@@ -1,0 +1,592 @@
+"""Rule -> pyspark Column compiler.
+
+Compiles every adtl rule form (SURVEY.md §2.2/§2.3 operator IDs P1-P17,
+F1-F8) into native Column expressions.  The reference evaluates these rule
+dicts per row in Python (src/adtl/get_value.py:137-241 ``get_value`` and
+:244-312 ``parse_if``); here each rule becomes one Column in a single
+``select`` so Catalyst sees the whole projection.
+
+Scalar cells use the canonical-string representation described in
+``adtl_spark.functions.render`` (bit-compat with the reference's dynamic
+per-cell typing).  Rules producing lists (combinedType list/set, enum_list)
+compile to ArrayType(String) columns.
+
+Evaluation order inside a field rule mirrors get_value_unhashed
+(src/adtl/get_value.py:184-235): skip-check -> if-guard -> apply ->
+empty-to-null -> values map -> unit xor date conversion; then the get_value
+wrapper (:155-170): sensitive hash | schema coercion | int-float coercion.
+"""
+
+from __future__ import annotations
+
+import re
+import uuid as uuid_mod
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+from typing import Any, Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adtl_spark.functions import render as R
+from adtl_spark.functions import units as U
+from adtl_spark.functions.datefmt import strftime_to_spark
+from adtl_spark.functions.transforms import build_transform
+from adtl_spark.spec import CompiledSpec, SpecError, StrDict
+
+_COMPARISON_OPS = {">", ">=", "<", "<=", "!=", "=", "==", "=~"}
+_IF_FLAGS = {"can_skip", "caseInsensitive"}
+
+
+@dataclass
+class Value:
+    """A compiled rule: the Column plus enough type knowledge for the
+    group-stage aggregator to pick numeric vs lexicographic semantics."""
+
+    col: Column
+    is_array: bool = False
+    # one of: int, float, bool, str, dynamic
+    type_hint: str = "dynamic"
+    combined_type: str | None = None  # set when the rule is a combinedType
+
+
+def truthy(col: Column) -> Column:
+    """Python truthiness of a canonically-rendered dynamic value.
+
+    Falsy renders: "False", "0", "0.0", "" (None is handled by callers).
+    A *source* string literally equal to "False"/"0" is falsy here even
+    though Python would call the str truthy — in practice those renders only
+    arise from bool/int values, and the adtl fixtures never feed the literal
+    text "False" through a truthiness fold.
+    """
+    return col.isNotNull() & ~col.isin("False", "0", "0.0", "-0.0", "")
+
+
+def _unify_literal_types(values: list[Any]) -> str:
+    kinds = set()
+    for v in values:
+        if isinstance(v, bool):
+            kinds.add("bool")
+        elif isinstance(v, int):
+            kinds.add("int")
+        elif isinstance(v, float):
+            kinds.add("float")
+        elif v is None:
+            continue
+        else:
+            kinds.add("str")
+    if kinds == {"bool"}:
+        return "bool"
+    if kinds == {"int"}:
+        return "int"
+    if kinds <= {"int", "float"} and kinds:
+        return "float"
+    if kinds == {"str"}:
+        return "dynamic"  # strings re-coerce via int/float attempt
+    return "dynamic"
+
+
+class RuleCompiler:
+    """Compiles rules/predicates of one spec against one source DataFrame's
+    column set."""
+
+    def __init__(
+        self,
+        spec: CompiledSpec,
+        columns: Sequence[str],
+        custom_transforms: dict[str, Callable] | None = None,
+    ) -> None:
+        self.spec = spec
+        self.columns = set(columns)
+        self.custom_transforms = custom_transforms or {}
+        self._namespace = spec.namespace_uuid()
+
+    # ------------------------------------------------------------------ source
+
+    def source(self, field: str) -> Column:
+        """Raw source cell: always a non-null string (CSV semantics — the
+        reference's DictReader never yields None; Spark's CSV reader maps
+        empty cells to null, so re-normalize)."""
+        if field not in self.columns:
+            raise SpecError(f"source column not found: {field!r}")
+        col = F.col(field).cast("string")
+        if self.spec.empty_fields is not None:
+            # header emptyFields token rewritten to "" on every cell (S2,
+            # reference: parser.py:656-661)
+            col = F.when(col == F.lit(self.spec.empty_fields), F.lit("")).otherwise(col)
+        return F.coalesce(col, F.lit(""))
+
+    def _skip_rule(self, rule: StrDict) -> bool:
+        """True when the rule's source column is absent and skippable
+        (P16/F8, reference: get_value.py:52-58)."""
+        fld = rule.get("field")
+        if fld is None or fld in self.columns:
+            return False
+        if rule.get("can_skip"):
+            return True
+        return self.spec.field_can_skip(fld)
+
+    # ------------------------------------------------------------- entry point
+
+    def compile_value(
+        self,
+        rule: Any,
+        attr: str | None = None,
+        coerce_type: str | list[str] | None = None,
+    ) -> Value:
+        """Compile any rule form to a Value (get_value,
+        src/adtl/get_value.py:137-170)."""
+        value = self._compile_unhashed(rule, attr)
+
+        if isinstance(rule, dict) and rule.get("sensitive") and not value.is_array:
+            # hash of str(value) before any numeric coercion (P10)
+            return Value(F.sha2(value.col, 256), type_hint="str")
+
+        if coerce_type is not None and not value.is_array:
+            return Value(
+                self._schema_coerce(value.col, coerce_type),
+                type_hint=self._coerce_hint(coerce_type),
+                combined_type=value.combined_type,
+            )
+
+        if value.is_array or value.type_hint != "dynamic":
+            return value
+        return Value(
+            F.nullif(R.numeric_coerce(value.col), F.lit("")),
+            type_hint="dynamic",
+            combined_type=value.combined_type,
+        )
+
+    # ------------------------------------------------------- rule form dispatch
+
+    def _compile_unhashed(self, rule: Any, attr: str | None) -> Value:
+        if not isinstance(rule, dict):
+            if isinstance(rule, list):
+                rendered = [R.render_literal(v) for v in rule]
+                return Value(
+                    F.array(*[F.lit(v) for v in rendered]),
+                    is_array=True,
+                    type_hint="str",
+                )
+            # P1 constant rule
+            return Value(
+                F.lit(R.render_literal(rule)),
+                type_hint=_unify_literal_types([rule]),
+            )
+        if "field" in rule:
+            return self._compile_field_rule(rule, attr)
+        if "combinedType" in rule:
+            return self._compile_combined(rule, attr)
+        if "generate" in rule:
+            return self._compile_generate(rule)
+        raise SpecError(f"cannot compile rule: {rule!r}")
+
+    # ------------------------------------------------------------- field rules
+
+    def _compile_field_rule(self, rule: StrDict, attr: str | None) -> Value:
+        if self._skip_rule(rule):
+            return Value(F.lit(None).cast("string"), type_hint="str")
+
+        raw = self.source(rule["field"])
+        guard: Column | None = None
+        if "if" in rule:
+            guard = self.compile_if(rule["if"])
+
+        value = raw
+        hint = "dynamic"
+        is_array = False
+
+        if "apply" in rule:
+            value, hint, is_array = self._compile_apply(rule, value)
+
+        if not is_array:
+            value = F.nullif(value, F.lit(""))
+
+        if "values" in rule and not is_array:
+            if rule.get("type") == "enum_list":
+                value = self._enum_list(value, rule)
+                is_array = True
+                hint = "str"
+            else:
+                value, hint = self._values_map(value, rule)
+
+        if "source_unit" in rule and "unit" in rule:
+            value = self._unit_conversion(value, rule)
+            hint = "float"
+        elif "source_date" in rule or (attr is not None and self.spec.is_date_field(attr)):
+            if not is_array:
+                value = self._date_conversion(value, rule)
+                hint = "str"
+
+        if guard is not None:
+            value = F.when(guard, value)
+        return Value(value, is_array=is_array, type_hint=hint)
+
+    def _compile_apply(self, rule: StrDict, value: Column) -> tuple[Column, str, bool]:
+        """P13 ``apply`` transform: named function with ``$field`` params
+        (reference: get_value.py:61-107)."""
+        spec_apply = rule["apply"]
+        name = spec_apply["function"]
+        params: list[Any] = []
+        for p in spec_apply.get("params", []):
+            params.append(self._resolve_param(p))
+        fail_value = value if self.spec.return_unmatched else F.lit(None).cast("string")
+        return build_transform(
+            name,
+            value,
+            params,
+            fail_value=fail_value,
+            custom_transforms=self.custom_transforms,
+            fail_is_passthrough=self.spec.return_unmatched,
+        )
+
+    def _resolve_param(self, p: Any) -> Any:
+        """``$field`` params become source Columns, lists resolve element-wise
+        (U3, reference: get_value.py:64-87)."""
+        if isinstance(p, str) and p.startswith("$"):
+            return self.source(p[1:])
+        if isinstance(p, list):
+            return [self._resolve_param(x) for x in p]
+        return p
+
+    # -------------------------------------------------------------- values map
+
+    def _values_map(self, value: Column, rule: StrDict) -> tuple[Column, str]:
+        """P3/P4/P5 value mapping (reference: convert_values,
+        get_value.py:110-131)."""
+        mapping: StrDict = rule["values"]
+        lookup = value
+        if rule.get("caseInsensitive"):
+            lookup = F.trim(F.lower(value))
+            mapping = {str(k).lower(): v for k, v in mapping.items()}
+        passthrough = rule.get("ignoreMissingKey") or self.spec.return_unmatched
+        mapped = None
+        for k, v in mapping.items():
+            rendered = F.lit(R.render_literal(v))
+            cond = lookup == F.lit(str(k))
+            mapped = F.when(cond, rendered) if mapped is None else mapped.when(cond, rendered)
+        if mapped is None:
+            mapped = lookup if passthrough else F.lit(None).cast("string")
+        elif passthrough:
+            mapped = mapped.otherwise(lookup)
+        # post-map "" -> null (maps may deliberately send values to None)
+        return F.nullif(mapped, F.lit("")), _unify_literal_types(list(mapping.values()))
+
+    def _enum_list(self, value: Column, rule: StrDict) -> Column:
+        """P6 enum_list: '[a, b]' -> per-element value mapping
+        (reference: get_value.py:111-119)."""
+        elements = F.split(
+            F.regexp_replace(value, r"^\[+|\]+$", ""), ","
+        )
+        scalar_rule = {k: v for k, v in rule.items() if k != "type"}
+
+        def map_element(elem: Column) -> Column:
+            mapped, _ = self._values_map_on(F.trim(elem), scalar_rule)
+            return mapped
+
+        return F.when(
+            value.isNotNull(), F.transform(elements, map_element)
+        )
+
+    def _values_map_on(self, lookup_value: Column, rule: StrDict) -> tuple[Column, str]:
+        return self._values_map(lookup_value, rule)
+
+    # --------------------------------------------------------- unit conversion
+
+    def _unit_conversion(self, value: Column, rule: StrDict) -> Column:
+        """P8: numeric value in source_unit converted to unit.  Conversion
+        factors are derived at compile time (functions/units.py); the
+        source_unit may itself be a rule yielding a per-row unit name
+        (reference: get_value.py:200-218)."""
+        target = rule["unit"]
+        src = rule["source_unit"]
+        as_double = F.when(R.is_numeric_string(value), value.cast("double"))
+        parse_fail = value.isNotNull() & ~R.is_numeric_string(value)
+        fail_col = value if self.spec.return_unmatched else F.lit(None).cast("string")
+
+        def convert_with(unit_name: str) -> Column:
+            scale, offset = U.conversion(unit_name, target)
+            return R.render_double(as_double * F.lit(scale) + F.lit(offset))
+
+        if isinstance(src, str):
+            converted = convert_with(src)
+        else:
+            unit_col = self._compile_unhashed(src, None).col
+            candidate_units = self._possible_units(src)
+            converted = None
+            for u in candidate_units:
+                try:
+                    branch = convert_with(u)
+                except (U.UnknownUnitError, ValueError):
+                    continue
+                cond = unit_col == F.lit(u)
+                converted = (
+                    F.when(cond, branch) if converted is None else converted.when(cond, branch)
+                )
+            # non-string/unmapped source_unit: assume already in target unit
+            # (reference logs and returns float(value), get_value.py:204-209)
+            fallback = R.render_double(as_double)
+            converted = fallback if converted is None else converted.otherwise(fallback)
+        return F.when(value.isNull(), F.lit(None).cast("string")).when(
+            parse_fail, fail_col
+        ).otherwise(converted)
+
+    def _possible_units(self, unit_rule: StrDict) -> list[str]:
+        """Candidate unit names a source_unit rule can produce: its values-map
+        outputs when present, else the whole unit table."""
+        if isinstance(unit_rule, dict) and "values" in unit_rule:
+            return [str(v) for v in unit_rule["values"].values()]
+        return U.known_units()
+
+    # ---------------------------------------------------------- date reformat
+
+    def _date_conversion(self, value: Column, rule: StrDict) -> Column:
+        """P9 date reformat, incl. implicit conversion for schema date fields
+        using defaultDateFormat (reference: get_value.py:219-234)."""
+        target_fmt = rule.get("date", "%Y-%m-%d")
+        source_fmt = rule.get("source_date", self.spec.default_date_format)
+        if not isinstance(source_fmt, str):
+            raise SpecError("dynamic source_date rules are not supported")
+        if source_fmt == target_fmt:
+            return value
+        parse_pat = strftime_to_spark(source_fmt, for_parsing=True)
+        fmt_pat = strftime_to_spark(target_fmt, for_parsing=False)
+        parsed = F.try_to_timestamp(value, F.lit(parse_pat))
+        reformatted = F.date_format(parsed, fmt_pat)
+        on_fail = value if self.spec.return_unmatched else F.lit(None).cast("string")
+        return F.when(value.isNull(), F.lit(None).cast("string")).when(
+            parsed.isNull(), on_fail
+        ).otherwise(reformatted)
+
+    # ------------------------------------------------------------ combinedType
+
+    def _expand_field_patterns(self, rules: list[StrDict]) -> list[StrDict]:
+        """fieldPattern sub-rules expand against the actual column set once at
+        compile time (the reference re-scans per row, get_value.py:343-348 —
+        a documented inefficiency)."""
+        out = []
+        for r in rules:
+            if "fieldPattern" in r:
+                pat = re.compile(r["fieldPattern"])
+                for col_name in sorted(self.columns):
+                    if pat.match(col_name):
+                        out.append({**{k: v for k, v in r.items() if k != "fieldPattern"}, "field": col_name})
+            else:
+                out.append(r)
+        return out
+
+    def _compile_combined(self, rule: StrDict, attr: str | None) -> Value:
+        """Row-wise combinedType fold over multiple fields
+        (reference: get_combined_type, get_value.py:315-385)."""
+        ctype = rule["combinedType"]
+        sub_rules = self._expand_field_patterns(rule["fields"])
+        sub_values = [self.compile_value(r, attr) for r in sub_rules]
+
+        if ctype in ("all", "any", "min", "max"):
+            # scalar sub-values, drop null and ""
+            arr = F.filter(
+                F.array(*[v.col for v in sub_values]),
+                lambda x: x.isNotNull() & (x != ""),
+            )
+            empty = F.size(arr) == 0
+            if ctype == "any":
+                result = R.render_bool(F.exists(arr, truthy))
+            elif ctype == "all":
+                result = R.render_bool(F.forall(arr, truthy))
+            else:
+                result = self._min_max_array(arr, ctype)
+            return Value(F.when(~empty, result), type_hint="bool" if ctype in ("all", "any") else "dynamic", combined_type=ctype)
+
+        # list-producing folds flatten arrays and scalars together
+        parts = [
+            v.col if v.is_array else F.array(v.col) for v in sub_values
+        ]
+        flat = F.concat(*parts) if len(parts) > 1 else parts[0]
+
+        if ctype == "firstNonNull":
+            non_null = F.filter(flat, lambda x: x.isNotNull())
+            return Value(
+                F.element_at(non_null, 1), type_hint="dynamic", combined_type=ctype
+            )
+        if ctype in ("list", "set"):
+            if ctype == "set":
+                flat = F.array_distinct(flat)
+            exclude = rule.get("excludeWhen")
+            if exclude == "none":
+                flat = F.filter(flat, lambda x: x.isNotNull())
+            elif exclude == "false-like":
+                flat = F.filter(flat, truthy)
+            elif isinstance(exclude, list):
+                rendered = [R.render_literal(v) for v in exclude]
+                flat = F.filter(
+                    flat,
+                    lambda x: x.isNull() | ~x.isin(*rendered),
+                )
+            elif exclude is not None:
+                raise SpecError(
+                    "excludeWhen rule should be 'none', 'false-like', or a list"
+                )
+            return Value(flat, is_array=True, type_hint="str", combined_type=ctype)
+        raise SpecError(f"unknown combinedType: {ctype!r}")
+
+    @staticmethod
+    def _min_max_array(arr: Column, ctype: str) -> Column:
+        """Python min/max over a homogeneous dynamic list: numeric when every
+        element parses as a number, else lexicographic."""
+        all_numeric = F.forall(arr, R.is_numeric_string)
+        all_int = F.forall(arr, R.is_int_string)
+        doubles = F.transform(arr, lambda x: x.cast("double"))
+        longs = F.transform(arr, lambda x: x.cast("long"))
+        agg = F.array_min if ctype == "min" else F.array_max
+        return (
+            F.when(all_int, agg(longs).cast("string"))
+            .when(all_numeric, agg(doubles).cast("string"))
+            .otherwise(agg(arr))
+        )
+
+    # ---------------------------------------------------------------- generate
+
+    def _compile_generate(self, rule: StrDict) -> Value:
+        """P14/P15 generated fields (reference: generate_field,
+        get_value.py:388-414)."""
+        gen = rule["generate"]
+        method = gen["type"]
+        if method == "datetime":
+            return Value(
+                F.date_format(
+                    F.current_timestamp(), "yyyy-MM-dd'T'HH:mm:ssxxx"
+                ),
+                type_hint="str",
+            )
+        if method == "uuid5":
+            namespace = self._namespace
+            parts = [
+                F.lower(
+                    F.coalesce(F.nullif(self.source(f), F.lit("")), F.lit("None"))
+                )
+                for f in gen["values"]
+            ]
+            seed = F.concat_ws("|", *parts)
+
+            @F.udf(returnType=T.StringType())
+            def uuid5_of(seed_value: str) -> str:
+                return str(uuid_mod.uuid5(namespace, seed_value))
+
+            return Value(uuid5_of(seed), type_hint="str")
+        raise SpecError(f"unknown generation method: {method!r}")
+
+    # -------------------------------------------------------------- predicates
+
+    def compile_if(self, rule: StrDict, can_skip: bool = False) -> Column:
+        """F1-F8 predicate compiler (reference: parse_if,
+        get_value.py:244-312)."""
+        keys = [k for k in rule if k not in _IF_FLAGS]
+        if "can_skip" in rule:
+            can_skip = True
+        if not keys:
+            raise SpecError(f"empty if rule: {rule!r}")
+        key = keys[0]
+
+        if key == "not" and isinstance(rule[key], dict):
+            return ~self.compile_if(rule[key], can_skip)
+        if key == "any" and isinstance(rule[key], list):
+            return reduce(
+                lambda a, b: a | b,
+                [self.compile_if(r, can_skip) for r in rule[key]],
+            )
+        if key == "all" and isinstance(rule[key], list):
+            return reduce(
+                lambda a, b: a & b,
+                [self.compile_if(r, can_skip) for r in rule[key]],
+            )
+
+        if key not in self.columns:
+            if can_skip or self.spec.field_can_skip(key):
+                return F.lit(False)
+            raise SpecError(f"if-rule column not found: {key!r}")
+
+        attr = self.source(key)
+        if "caseInsensitive" in rule:
+            attr = F.lower(attr)
+
+        condition = rule[key]
+        if isinstance(condition, dict):
+            op = next(iter(condition))
+            if op not in _COMPARISON_OPS:
+                raise SpecError(f"unrecognized operand: {op!r}")
+            return self._compare(attr, op, condition[op])
+        return self._compare(attr, "==", condition)
+
+    @staticmethod
+    def _compare(attr: Column, op: str, literal: Any) -> Column:
+        """Cast-to-literal-type comparison: the row value is cast to the
+        *literal's* Python type; a failed cast yields False
+        (reference: get_value.py:271-312)."""
+        if op == "=~":
+            # re.match: case-insensitive, anchored at start only
+            return attr.rlike("(?i)^(?:" + str(literal) + ")")
+
+        if isinstance(literal, bool):
+            lhs: Column = attr != ""  # bool(str) truthiness
+            rhs = F.lit(literal)
+            castable = F.lit(True)
+        elif isinstance(literal, int):
+            lhs = attr.cast("long")
+            rhs = F.lit(literal)
+            castable = R.is_int_string(attr)
+        elif isinstance(literal, float):
+            lhs = attr.cast("double")
+            rhs = F.lit(literal)
+            castable = R.is_float_string(attr)
+        else:
+            lhs = attr
+            rhs = F.lit(str(literal))
+            castable = F.lit(True)
+
+        if op == ">":
+            cmp = lhs > rhs
+        elif op == ">=":
+            cmp = lhs >= rhs
+        elif op == "<":
+            cmp = lhs < rhs
+        elif op == "<=":
+            cmp = lhs <= rhs
+        elif op == "!=":
+            cmp = lhs != rhs
+        elif op in ("=", "=="):
+            cmp = lhs == rhs
+        else:  # pragma: no cover
+            raise SpecError(f"unrecognized operand: {op!r}")
+        return castable & cmp
+
+    # ------------------------------------------------------------ schema casts
+
+    @staticmethod
+    def _coerce_hint(coerce_type: str | list[str]) -> str:
+        first = coerce_type if isinstance(coerce_type, str) else next(
+            (t for t in coerce_type if t in ("string", "integer", "number")), None
+        )
+        return {"integer": "int", "number": "float", "string": "str"}.get(first, "dynamic")
+
+    @staticmethod
+    def _schema_coerce(col: Column, coerce_type: str | list[str]) -> Column:
+        """P11 schema-directed cast; failure keeps the value unchanged
+        (reference: util.py:12-40).  integer falls back to round-half-even of
+        the float parse, matching Python's ``int(round(float(v)))``."""
+        types = [coerce_type] if isinstance(coerce_type, str) else list(coerce_type)
+        target = next((t for t in types if t in ("string", "integer", "number")), None)
+        if target is None or target == "string":
+            # str() of the canonical value is the value itself
+            return col
+        if target == "integer":
+            return (
+                F.when(R.is_int_string(col), R.render_long(col))
+                .when(
+                    R.is_float_string(col),
+                    F.bround(col.cast("double")).cast("long").cast("string"),
+                )
+                .otherwise(col)
+            )
+        # number
+        return F.when(R.is_float_string(col), R.render_double(col)).otherwise(col)

@@ -1,0 +1,272 @@
+"""Table materializers: one DataFrame plan per target table.
+
+Reference execution walks every table spec per source row
+(src/adtl/parser.py:685-732); here each table kind becomes one declarative
+plan over the source DataFrame:
+
+- ``constant``  -> single-row createDataFrame       (parser.py:536-537)
+- ``oneToOne``  -> one ``select`` of compiled rules
+- ``groupBy``   -> ``groupBy(key).agg(...)`` with order-aware aggregates
+                   reproducing lastNotNull / applyCombinedType semantics
+                   (parser.py:551-637)
+- ``oneToMany`` -> ONE scan: array-of-structs -> filter -> explode
+                   (vs. parser.py:516-535 which evaluates every block per
+                   row).  A union of per-block filters would rescan the
+                   source once per block; the explode form is a single
+                   narrow pass and preserves the reference's
+                   (row, block-index) output order.
+
+File-order semantics: ``lastNotNull``/``firstNonNull``/``list`` depend on
+source row order (parser.py:590, 615).  A monotonically increasing row id is
+captured at read time, before any shuffle; for a single input file Spark's
+split ordering makes it consistent with file order.  Multi-file reads would
+need a (file, offset) composite — documented limitation shared with the
+reference (which reads exactly one CSV).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from adtl_spark.functions import render as R
+from adtl_spark.plans.compiler import RuleCompiler, Value, truthy
+from adtl_spark.spec import CompiledSpec, StrDict
+
+ROW_ID = "__adtl_row_id__"
+
+
+def attach_row_id(df: DataFrame) -> DataFrame:
+    """Stable per-row id capturing file order; must run before any shuffle."""
+    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def _valid_cell(value: Value) -> Column:
+    """The group-stage validity filter: cells that are null, "" or [] are
+    ignored by every aggregation (parser.py:574, 600)."""
+    if value.is_array:
+        return value.col.isNotNull() & (F.size(value.col) > 0)
+    return value.col.isNotNull() & (value.col != "")
+
+
+def build_all_tables(
+    spec: CompiledSpec,
+    df: DataFrame,
+    spark: SparkSession,
+    custom_transforms: dict[str, Callable] | None = None,
+) -> dict[str, DataFrame]:
+    compiler = RuleCompiler(spec, df.columns, custom_transforms)
+    out: dict[str, DataFrame] = {}
+    needs_row_id = any(
+        meta.get("kind") == "groupBy" or meta.get("groupBy")
+        for meta in spec.tables.values()
+    )
+    if needs_row_id:
+        df = attach_row_id(df)
+    for table, meta in spec.tables.items():
+        kind = meta.get("kind")
+        if kind == "constant":
+            out[table] = _constant_table(spec, table, spark)
+        elif kind == "oneToMany":
+            out[table] = _one_to_many_table(spec, table, df, compiler)
+        elif meta.get("groupBy"):
+            out[table] = _group_by_table(spec, table, df, compiler)
+        else:
+            out[table] = _one_to_one_table(spec, table, df, compiler)
+    return out
+
+
+def _schema_type(spec: CompiledSpec, table: str, attr: str) -> Any:
+    schema = spec.schemas.get(table)
+    if not schema:
+        return None
+    prop = schema.get("properties", {}).get(attr)
+    if isinstance(prop, dict):
+        return prop.get("type")
+    return None
+
+
+def _constant_table(spec: CompiledSpec, table: str, spark: SparkSession) -> DataFrame:
+    row = {
+        k: R.render_literal(v) if not isinstance(v, list) else [R.render_literal(x) for x in v]
+        for k, v in spec.table_specs[table].items()
+    }
+    fields = spec.fieldnames[table]
+    return spark.createDataFrame([tuple(row.get(f) for f in fields)], schema=_ddl(row, fields))
+
+
+def _ddl(row: StrDict, fields: list[str]) -> str:
+    parts = []
+    for f in fields:
+        t = "array<string>" if isinstance(row.get(f), list) else "string"
+        parts.append(f"`{f}` {t}")
+    return ", ".join(parts)
+
+
+def _wide_cell(value: Value) -> Column:
+    """Wide-table cells drop empty lists (parser.py:547: ``value != []``)."""
+    if value.is_array:
+        return F.when(F.size(value.col) > 0, value.col)
+    return value.col
+
+
+def _one_to_one_table(
+    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+) -> DataFrame:
+    cols = []
+    for attr in spec.fieldnames[table]:
+        rule = spec.table_specs[table][attr]
+        value = compiler.compile_value(rule, attr, _schema_type(spec, table, attr))
+        cols.append(_wide_cell(value).alias(attr))
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------- groupBy kind
+
+
+def _group_by_table(
+    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+) -> DataFrame:
+    meta = spec.tables[table]
+    group_field = meta["groupBy"]
+    aggregation = meta.get("aggregation")
+    table_spec = spec.table_specs[table]
+
+    values: dict[str, Value] = {}
+    row_cols: list[Column] = [F.col(ROW_ID)]
+    for attr, rule in table_spec.items():
+        v = compiler.compile_value(rule, attr, _schema_type(spec, table, attr))
+        values[attr] = v
+        row_cols.append(_wide_cell(v).alias(attr))
+    projected = df.select(*row_cols)
+
+    aggs: list[Column] = []
+    for attr, v in values.items():
+        if attr == group_field:
+            continue
+        rule = table_spec[attr]
+        combined = (
+            rule.get("combinedType")
+            if isinstance(rule, dict) and aggregation == "applyCombinedType"
+            else None
+        )
+        aggs.append(_aggregate_attr(attr, v, combined).alias(attr))
+
+    return (
+        projected.groupBy(F.col(group_field))
+        .agg(*aggs)
+        .select(group_field, *[a for a in values if a != group_field])
+    )
+
+
+def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:
+    """One aggregate expression reproducing group_attrs semantics
+    (parser.py:559-617) for a single attribute."""
+    col = F.col(attr)
+    valid = (
+        (col.isNotNull() & (F.size(col) > 0))
+        if value.is_array
+        else (col.isNotNull() & (col != ""))
+    )
+    cell = F.when(valid, col)  # nulls are ignored by all aggregates below
+    rid = F.when(valid, F.col(ROW_ID))
+
+    if combined in ("all", "any"):
+        fold = F.bool_and(truthy(cell)) if combined == "all" else F.bool_or(truthy(cell))
+        return R.render_bool(fold)
+    if combined in ("min", "max"):
+        return _dynamic_min_max(cell, value, combined)
+    if combined == "set":
+        flat = F.flatten(F.collect_list(cell))
+        return F.when(F.count(cell) > 0, F.array_sort(F.array_distinct(flat)))
+    if combined == "list":
+        ordered = F.array_sort(F.collect_list(F.when(valid, F.struct(F.col(ROW_ID).alias("rid"), col.alias("v")))))
+        return F.when(F.count(cell) > 0, F.flatten(F.transform(ordered, lambda s: s["v"])))
+    if combined == "firstNonNull":
+        return F.min_by(col, rid)
+    # default: lastNotNull — keep the last valid value in file order
+    # (A2; reference warns on conflicting overwrites, parser.py:603-614)
+    return F.max_by(col, rid)
+
+
+def _dynamic_min_max(cell: Column, value: Value, combined: str) -> Column:
+    """Python min()/max() over a group's dynamic values: numeric when every
+    value parses as a number, lexicographic otherwise (ISO dates compare
+    correctly either way)."""
+    lo = combined == "min"
+    if value.type_hint == "int":
+        agg = F.min(cell.cast("long")) if lo else F.max(cell.cast("long"))
+        return agg.cast("string")
+    if value.type_hint == "float":
+        agg = F.min(cell.cast("double")) if lo else F.max(cell.cast("double"))
+        return agg.cast("string")
+    if value.type_hint in ("str", "bool"):
+        return F.min(cell) if lo else F.max(cell)
+    all_int = F.bool_and(R.is_int_string(cell))
+    all_num = F.bool_and(R.is_numeric_string(cell))
+    as_long = F.min(cell.cast("long")) if lo else F.max(cell.cast("long"))
+    as_dbl = F.min(cell.cast("double")) if lo else F.max(cell.cast("double"))
+    as_str = F.min(cell) if lo else F.max(cell)
+    return (
+        F.when(all_int, as_long.cast("string"))
+        .when(all_num, as_dbl.cast("string"))
+        .otherwise(as_str)
+    )
+
+
+# -------------------------------------------------------------- oneToMany kind
+
+
+def _one_to_many_table(
+    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+) -> DataFrame:
+    blocks = spec.table_specs[table]
+    fieldnames = list(spec.fieldnames[table])
+    for block in blocks:  # keep any extra-schema attrs (reference keeps them)
+        for attr in block:
+            if attr != "if" and attr not in fieldnames:
+                fieldnames.append(attr)
+
+    # decide one static type per attr across all blocks
+    compiled_blocks: list[tuple[Column, dict[str, Value]]] = []
+    attr_is_array: dict[str, bool] = {f: False for f in fieldnames}
+    attr_mixed: dict[str, bool] = {f: False for f in fieldnames}
+    seen_attr: dict[str, bool] = {f: False for f in fieldnames}
+    for block in blocks:
+        pred = compiler.compile_if(block["if"])
+        vals: dict[str, Value] = {}
+        for attr in block:
+            if attr == "if":
+                continue
+            v = compiler.compile_value(
+                block[attr], attr, _schema_type(spec, table, attr)
+            )
+            vals[attr] = v
+            if seen_attr[attr] and attr_is_array[attr] != v.is_array:
+                attr_mixed[attr] = True
+            attr_is_array[attr] = attr_is_array[attr] or v.is_array
+            seen_attr[attr] = True
+        compiled_blocks.append((pred, vals))
+
+    def cell(vals: dict[str, Value], attr: str) -> Column:
+        v = vals.get(attr)
+        want_array = attr_is_array[attr] and not attr_mixed[attr]
+        if v is None:
+            t = "array<string>" if want_array else "string"
+            return F.lit(None).cast(t)
+        if attr_mixed[attr] and v.is_array:
+            return R.render_array_python(v.col)  # mixed scalar/list attr
+        return v.col
+
+    structs = [
+        F.when(pred, F.struct(*[cell(vals, a).alias(a) for a in fieldnames]))
+        for pred, vals in compiled_blocks
+    ]
+    exploded = df.select(
+        F.explode(
+            F.filter(F.array(*structs), lambda s: s.isNotNull())
+        ).alias("__row__")
+    )
+    return exploded.select(*[F.col(f"__row__.`{a}`").alias(a) for a in fieldnames])

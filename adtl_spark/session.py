@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for the adtl_spark engine.
+
+Local-mode defaults follow the public Spark tuning guidance: shuffle
+partitions sized to cores (not the 200 default), AQE enabled for runtime
+coalescing/skew handling, Arrow enabled for the (rare) pandas-UDF paths.
+
+On a real cluster the same builder works unchanged — only ``master`` and the
+memory settings come from the environment instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "adtl_spark", cpus: int | None = None) -> SparkSession:
+    """Return (or create) a SparkSession with engine-appropriate defaults.
+
+    ANSI mode is disabled: the adtl data model is permissive — a failed cast
+    yields null/passthrough, never a job abort (reference behaviour:
+    src/adtl/get_value.py:163-170, src/adtl/util.py:29-40).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_engine(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine semantics to an externally-owned session.
+
+    Used when the driver hands us its own SparkSession (the __spark_entry__
+    contract): permissive casts + UTC rendering are required for adtl
+    semantics; both are runtime-mutable SQL confs.
+    """
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

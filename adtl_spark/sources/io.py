@@ -1,0 +1,95 @@
+"""Sources and sinks.
+
+S1 CSV source: header row, every column StringType (CSV cells are strings in
+the reference's data model, src/adtl/parser.py:653-654).  S2 NA
+normalization (header ``emptyFields``) is applied lazily by the rule
+compiler so it participates in pushdown rather than forcing an eager
+rewrite pass.
+
+Sinks: distributed ``df.write`` for scale; single-file driver-side variants
+for bit-compat with the reference's csv.DictWriter output
+(parser.py:778-843).
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from adtl_spark.functions import render as R
+from adtl_spark.spec import StrDict
+
+
+def read_csv_source(
+    spark: SparkSession, path: str, encoding: str = "UTF-8"
+) -> DataFrame:
+    """All-string CSV read; no schema inference (S1)."""
+    return (
+        spark.read.option("header", True)
+        .option("inferSchema", False)
+        .option("encoding", encoding)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def dataframe_from_rows(spark: SparkSession, rows: Iterable[StrDict]) -> DataFrame:
+    """S3 row-iterable source: list of dicts -> all-string DataFrame (the
+    reference's parse_rows accepts any iterable of dicts,
+    parser.py:667-683)."""
+    rows = list(rows)
+    columns: list[str] = []
+    for row in rows:
+        for k in row:
+            if k not in columns:
+                columns.append(k)
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    data = [
+        tuple(None if row.get(c) is None else str(row.get(c)) for c in columns)
+        for row in rows
+    ]
+    return spark.createDataFrame(data, schema=schema)
+
+
+def _csv_render(df: DataFrame) -> DataFrame:
+    """Render array columns as Python ``str(list)`` and booleans as
+    True/False for csv.DictWriter parity."""
+    cols = []
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if field.dataType.typeName() == "array":
+            cols.append(R.render_array_python(c).alias(field.name))
+        elif field.dataType.typeName() == "boolean":
+            cols.append(R.render_bool(c).alias(field.name))
+        else:
+            cols.append(c.cast("string").alias(field.name))
+    return df.select(*cols)
+
+
+def write_csv_distributed(df: DataFrame, path: str) -> None:
+    """S6 at scale: parallel CSV part-files."""
+    _csv_render(df).write.option("header", True).mode("overwrite").csv(path)
+
+
+def write_csv_single(df: DataFrame, output: str | None = None) -> str | None:
+    """S6 bit-compat: one CSV with the reference's header ordering
+    (validation columns first, then sorted field names).  Driver-side —
+    intended for the golden-test scale, not 100 TB outputs."""
+    pdf = _csv_render(df).toPandas()
+    buf = _io.StringIO()
+    pdf.to_csv(buf, index=False, lineterminator="\r\n")
+    text = buf.getvalue()
+    if output is None:
+        return text
+    with open(output, "w", newline="") as fp:
+        fp.write(text)
+    return None
+
+
+def write_parquet(df: DataFrame, path: str) -> None:
+    """S7 parquet sink (arrays stay native ArrayType)."""
+    df.write.mode("overwrite").parquet(path)
