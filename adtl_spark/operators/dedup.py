@@ -1,0 +1,500 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each with the partition/shuffle story thought through for the
+100 TB regime:
+
+- **exact**: group on sha2(text) — 64-byte shuffle keys instead of document
+  bodies; one shuffle, map-side partial aggregation.
+- **n-gram Jaccard**: shingle -> explode -> self-join on shingle ->
+  pair-count.  The join key is a 60-bit shingle hash (not the shingle
+  string).  A document-frequency cap drops ubiquitous shingles (stopword
+  shingles create quadratic pair blowup at scale).
+- **MinHash + LSH**: k deterministic permutations -> b bands of r rows ->
+  band-bucket join produces candidates; similarity estimated from matching
+  minhashes.  Avoids the all-pairs O(n^2) entirely; each band join is an
+  equi-join Catalyst shuffles on a short key.
+- **SimHash**: 48-bit weighted-token signature; near-dup = small hamming
+  distance.  Banded by the high bits for candidate generation.
+- **embedding near-dup**: cosine >= tau over normalized vectors (see
+  similarity.py for the ANN machinery).
+
+Hashing is md5-based (low 60 bits) everywhere so every operator has an
+exact DuckDB-SQL twin for the correctness oracle — no engine-specific hash
+functions on either side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic 31-bit modulus for minhash permutations (fits multiplication
+# by 31-bit coefficients inside int64)
+MERSENNE_31 = 2_147_483_647
+
+
+def md5_60(col: Column) -> Column:
+    """Low 60 bits of md5 as a non-negative BIGINT — portable across Spark
+    (conv) and DuckDB (0x-cast), identical values both sides."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def md5_60_sql(expr: str) -> str:
+    "DuckDB twin of md5_60"
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def minhash_coefficients(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod M31 — generated
+    by a fixed LCG so the oracle SQL embeds the same constants."""
+    coeffs = []
+    state = seed
+    for _ in range(k):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state | 1  # odd, non-zero
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state
+        coeffs.append((a % MERSENNE_31, b % MERSENNE_31))
+    return coeffs
+
+
+# --------------------------------------------------------------------- exact
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical doc per identical text = lowest id.  Grouping
+    key is sha2(text) so the shuffle moves 64-byte keys, not documents."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        df.select(F.col(id_col), h.alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+
+
+def char_shingles(text: Column, n: int = 5) -> Column:
+    """Distinct character n-grams of the lowercased text, as an array —
+    sequence/substring-based, no UDF."""
+    lowered = F.lower(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(lowered) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: lowered.substr(i, F.lit(n))))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (w-shingling) of the lowercased text.  Far more
+    discriminative than character n-grams on natural text: the shingle
+    space is |vocab|^n, so per-shingle document frequency — and with it the
+    shingle-join fan-out — stays small at scale."""
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_df(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle_hash) pairs, one row per distinct word-n-gram per doc.
+
+    Tokenization is materialized as its own projection first: expressions
+    inside higher-order-function lambdas are not common-subexpression-
+    eliminated by Catalyst, so referencing the tokenizer inline would re-run
+    the regex split once per shingle instead of once per document."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    tokenized = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    tcol = F.col("toks")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tcol) - (n - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(tcol, i + j) for j in range(n)]
+            ),
+        )
+    )
+    return tokenized.select(
+        "id", F.explode(grams).alias("shingle")
+    ).select("id", md5_60(F.col("shingle")).alias("sh"))
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq_frac: float | None = 0.2,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles_a, shingles_b) >= threshold.
+
+    inter(a,b) via self-join on shingle hash; |a|,|b| via per-doc counts;
+    jaccard = inter / (|a| + |b| - inter) over the *filtered* vocabulary:
+    shingles present in more than ``max_doc_freq_frac`` of all documents are
+    dropped before pairing.  Ubiquitous shingles contribute
+    sum(df^2) join rows for near-zero discriminative power — the cap is what
+    keeps this operator sub-quadratic at 100 TB (and it is part of the
+    operator's definition: the DuckDB oracle applies the same cap).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_df(df, text_col, id_col, n)
+    if max_doc_freq_frac is not None:
+        n_docs = df.count()  # one cheap metadata-only action
+        cap = int(n_docs * max_doc_freq_frac)
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= cap), "sh")
+    else:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq, "sh")
+
+    # PPJoin prefix filter (lossless): two docs with jaccard >= t must share
+    # a shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles when
+    # shingles are globally ordered rarest-first.  Joining only on prefix
+    # shingles cuts the candidate set by orders of magnitude vs. the naive
+    # shingle self-join, with identical output (the oracle runs the naive
+    # form).
+    by_rarity = Window.partitionBy("id").orderBy("df_", "sh")
+    ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
+    sized = ranked.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = sized.filter(F.col("pos") <= prefix_len).select("id", "sh", "sz")
+
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    # length filter: |a| >= t*|b| is necessary for jaccard >= t
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.id") < F.col("b.id"))
+            & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    doc_sets = sh.groupBy("id").agg(
+        F.array_sort(F.collect_list("sh")).alias("set_"),
+        F.count(F.lit(1)).alias("sz"),
+    )
+    pairs = (
+        cand.join(
+            doc_sets.select(
+                F.col("id").alias("id_a"),
+                F.col("set_").alias("set_a"),
+                F.col("sz").alias("sz_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            doc_sets.select(
+                F.col("id").alias("id_b"),
+                F.col("set_").alias("set_b"),
+                F.col("sz").alias("sz_b"),
+            ),
+            "id_b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def ngram_jaccard_oracle_sql(
+    table: str, threshold: float, n: int, max_doc_freq_frac: float | None = 0.2
+) -> str:
+    """DuckDB twin of dedup_ngram_jaccard (same hashing, same math, same
+    doc-frequency cap)."""
+    freq_filter = (
+        f"""
+    , freq AS (SELECT sh FROM shingles GROUP BY sh
+               HAVING count(*) <= (SELECT CAST(floor(count(*) * {max_doc_freq_frac}) AS BIGINT) FROM {table}))
+    , sh2 AS (SELECT s.* FROM shingles s JOIN freq USING (sh))
+    """
+        if max_doc_freq_frac is not None
+        else ", sh2 AS (SELECT * FROM shingles)"
+    )
+    return f"""
+    WITH shingles AS (
+      {shingle_cte_sql(table, n)}
+    )
+    {freq_filter}
+    , sizes AS (SELECT id, count(*) AS sz FROM sh2 GROUP BY id)
+    , inter AS (
+        SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        FROM sh2 a JOIN sh2 b ON a.sh = b.sh AND a.id < b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE inter / (sa.sz + sb.sz - inter) >= {threshold}
+    """
+
+
+# ------------------------------------------------------------- MinHash + LSH
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 16,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}): k minhashes over char n-gram shingles."""
+    sh = shingle_df(df, text_col, id_col, n)
+    x = F.col("sh") % MERSENNE_31
+    aggs = []
+    for i, (a, b) in enumerate(minhash_coefficients(k)):
+        aggs.append(F.min((x * a + b) % MERSENNE_31).alias(f"mh_{i}"))
+    return sh.groupBy("id").agg(*aggs)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs by LSH banding, scored by minhash-estimated Jaccard.
+
+    b bands of r=k/b rows; docs sharing any full band collide.  Estimated
+    similarity = (#equal minhashes)/k over candidates only.  At 100 TB the
+    band join shuffles (band_idx, band_signature) — a short key — and never
+    materializes all pairs.
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    band_rows = []
+    for b_idx in range(bands):
+        members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
+        band_rows.append(
+            F.struct(
+                F.lit(b_idx).alias("band"),
+                F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
+            )
+        )
+    banded = sig.select(
+        F.col("id"), *[F.col(f"mh_{i}") for i in range(k)],
+        F.explode(F.array(*band_rows)).alias("bs"),
+    ).select("id", *[f"mh_{i}" for i in range(k)], "bs.band", "bs.sig")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            *[
+                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
+                for i in range(k)
+            ],
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = sum(F.col(f"eq_{i}") for i in range(k)) / F.lit(float(k))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+
+
+def shingle_cte_sql(table: str, n: int) -> str:
+    """DuckDB twin of shingle_df's (id, sh) rows (word n-grams).
+    generate_series cannot take a per-row length, so the index list is
+    bounded by the global max token count and filtered per row."""
+    gram = ", ".join(f"toks[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"""
+      SELECT id, {md5_60_sql("sh_str")} AS sh
+      FROM (
+        SELECT DISTINCT id, concat_ws(' ', {gram}) AS sh_str
+        FROM (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+          FROM {table}
+        )
+        CROSS JOIN (
+          SELECT unnest(range(1, (
+            SELECT CAST(max(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != ''))) AS BIGINT) + 1
+            FROM {table}))) AS i
+        ) idx
+        WHERE i <= greatest(len(toks) - {n - 1}, 1)
+      )
+    """
+
+
+def minhash_lsh_oracle_sql(
+    table: str, k: int, bands: int, threshold: float, n: int
+) -> str:
+    """DuckDB twin of dedup_minhash_lsh: same shingles, same LCG constants,
+    same banding."""
+    r = k // bands
+    coeffs = minhash_coefficients(k)
+    mh_exprs = ",\n        ".join(
+        f"min(((sh % {MERSENNE_31}) * {a} + {b}) % {MERSENNE_31}) AS mh_{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_selects = "\n      UNION ALL\n".join(
+        f"SELECT id, {b_idx} AS band, "
+        + " || '_' || ".join(
+            f"CAST(mh_{b_idx * r + j} AS VARCHAR)" for j in range(r)
+        )
+        + " AS sig, "
+        + ", ".join(f"mh_{i}" for i in range(k))
+        + " FROM sigs"
+        for b_idx in range(bands)
+    )
+    eq_sum = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
+    return f"""
+    WITH shingles AS (
+      {shingle_cte_sql(table, n)}
+    ),
+    sigs AS (
+      SELECT id,
+        {mh_exprs}
+      FROM shingles GROUP BY id
+    ),
+    banded AS (
+      {band_selects}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             ({eq_sum}) / {float(k)} AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+    )
+    SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
+    FROM cand WHERE est_jaccard >= {threshold}
+    """
+
+
+# ------------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 48
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """48-bit SimHash over whitespace tokens: bit j is the sign of the sum
+    of (+1/-1) votes from each distinct token's hash bit j."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
+        ).alias("tok"),
+    ).select("id", md5_60(F.col("tok")).alias("h"))
+    bit_votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = toks.groupBy("id").agg(*bit_votes)
+    sig = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return votes.select(F.col("id").alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-generated by
+    banding the signature into 4 x 12-bit blocks (a pair within hamming<=3
+    of 4 blocks shares at least one block exactly; wider distances may be
+    missed — standard SimHash blocking tradeoff, documented)."""
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    block_w = SIMHASH_BITS // 4
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("blk"),
+                    F.shiftright(F.col("simhash"), i * block_w)
+                    .bitwiseAND(F.lit((1 << block_w) - 1))
+                    .alias("val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.val")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_oracle_sql(table: str) -> str:
+    """DuckDB twin of ``simhash`` (signatures only — the pair query's twin
+    composes this with the same banding)."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * {1 << j})"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id, tok
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM {table})
+      WHERE tok != ''
+    ),
+    hashed AS (SELECT id, {md5_60_sql("tok")} AS h FROM toks),
+    votes AS (SELECT id, {votes} FROM hashed GROUP BY id)
+    SELECT id AS doc_id, ({sig}) AS simhash FROM votes
+    """

@@ -1,0 +1,221 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+
+- **brute-force cosine top-k** — the exactness baseline: broadcast the
+  (small) query set against the corpus, dot products as native
+  ``aggregate(zip_with(...))`` expressions (JVM-side, no Python), top-k via
+  window.  Correct at any scale where queries are broadcastable; corpus side
+  stays partition-parallel and never shuffles (the only shuffle is the
+  final per-query top-k, keyed by query id).
+- **LSH-bucketed ANN** — the scale path: random-hyperplane signatures
+  (sign of dot with h fixed pseudo-random planes) bucket the corpus; a
+  query only scans its own bucket (plus multi-probe neighbors).  Planes are
+  generated from a deterministic LCG so signatures are reproducible and the
+  DuckDB oracle can mirror them.
+
+Cosine over float arrays is computed in double precision, summing in
+element order — bit-identical to the DuckDB twin (both fold left-to-right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _lcg_floats(count: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random values in [-1, 1) from a fixed LCG —
+    embeddable as literals in both engines."""
+    out = []
+    state = seed
+    for _ in range(count):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        out.append((state >> 11) / float(1 << 53) * 2.0 - 1.0)
+    return out
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product of two numeric arrays, left-to-right."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    ``queries`` is broadcast — the corpus is never shuffled for the join;
+    ties break on the lower corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+def cosine_topk_oracle_sql(table: str, k: int, n_queries: int) -> str:
+    """DuckDB twin of cosine_topk with queries = the n lowest vec_ids.
+    list_dot_product on DOUBLE[] folds left-to-right like F.aggregate."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM {table}),
+    sims AS (
+      SELECT query_id, corpus_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM c, q WHERE query_id != corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def hyperplane_signature(
+    vec: Column, dim: int, planes: int = 8, seed: int = 1234
+) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(vec . plane_i), packed
+    into a BIGINT.  Planes come from the deterministic LCG."""
+    sig = None
+    for i in range(planes):
+        coords = _lcg_floats(dim, seed + i * 1000)
+        plane = F.array(*[F.lit(c) for c in coords])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << i).cast("long")
+        sig = term if sig is None else sig + term
+    return sig
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    seed: int = 1234,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane signature; each
+    query scans only its bucket.  Recall grows with fewer planes / multi-
+    probe; this is the 100 TB path (bucket join instead of cross join)."""
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(F.col(vec_col), dim, planes, seed).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        hyperplane_signature(F.col(vec_col), dim, planes, seed).alias("bucket"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("corpus_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 1234,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= tau, LSH-bucketed: only pairs
+    sharing a hyperplane bucket are scored (high-cosine pairs almost always
+    share all sign bits; exact twin available by setting planes=0)."""
+    sig = (
+        hyperplane_signature(F.col(vec_col), dim, planes, seed)
+        if planes
+        else F.lit(0)
+    )
+    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    a, b = c.alias("a"), c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cos") >= tau)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round("cos", 4).alias("cos"),
+        )
+    )
+
+
+def embedding_neardup_oracle_sql(table: str, tau: float) -> str:
+    """DuckDB twin of embedding_neardup with planes=0 (exact all-pairs) —
+    used at oracle scale where n is small."""
+    return f"""
+    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM {table})
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+    FROM c a JOIN c b ON a.id < b.id
+    WHERE list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {tau}
+    """

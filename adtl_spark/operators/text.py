@@ -1,0 +1,164 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no UDFs):
+
+- tokenization + token counting (whitespace and BPE-ish regex)
+- quality scoring (length / punctuation / stopword / repetition signals)
+- language identification (stopword-hit n-gram heuristic)
+- document fingerprinting (normalize -> sort tokens -> md5), the
+  OpenRefine-style key-collision fingerprint
+
+Every operator has an exact ANSI-SQL twin (used as the DuckDB oracle in
+__spark_entry__.py) — deterministic by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
+# a cheap stand-in for byte-pair pre-segmentation rules
+BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in", "a", "is", "that", "for", "it",
+           "on", "with", "as", "was", "be", "by", "at", "this", "are", "or"],
+    "es": ["de", "la", "que", "el", "en", "y", "los", "del", "se", "las",
+           "por", "un", "para", "con", "una", "su", "al", "es", "lo", "como"],
+    "fr": ["de", "la", "le", "et", "les", "des", "en", "un", "du", "une",
+           "que", "est", "pour", "qui", "dans", "a", "par", "plus", "pas", "au"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit",
+           "sich", "des", "auf", "für", "ist", "im", "dem", "nicht", "ein",
+           "eine", "als"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the lowercased text (empty tokens removed)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def _tokenized(df: DataFrame, text_col: str) -> DataFrame:
+    """Materialize the token array once per row — repeated tokenizer
+    expressions (especially inside higher-order-function lambdas) are not
+    reliably common-subexpression-eliminated, so every operator projects
+    tokens first and the regex split runs exactly once per document."""
+    return df.select(
+        F.col("doc_id"),
+        F.col(text_col).alias("__text"),
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token counting: whitespace tokens, BPE-ish pieces,
+    characters, mean token length."""
+    t = _tokenized(df, text_col)
+    text, toks = F.col("__text"), F.col("__toks")
+    n_ws = F.size(toks)
+    n_bpe = F.regexp_count(text, F.lit(BPE_ISH_REGEX))
+    return t.select(
+        F.col("doc_id"),
+        F.length(text).alias("n_chars_measured"),
+        n_ws.cast("long").alias("n_tokens_ws"),
+        n_bpe.cast("long").alias("n_tokens_bpe"),
+        F.round(
+            F.when(n_ws > 0, F.length(F.concat_ws("", toks)) / n_ws).otherwise(
+                F.lit(0.0)
+            ),
+            4,
+        ).alias("mean_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1]: length band, alpha ratio,
+    stopword presence, token repetition (distinct ratio).  The formula is
+    fixed and SQL-expressible; each component is also emitted for
+    inspection/filter pushdown."""
+    t = _tokenized(df, text_col)
+    text, toks = F.col("__text"), F.col("__toks")
+    n = F.size(toks)
+    n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
+    n_total = F.length(text)
+    alpha_ratio = F.when(n_total > 0, n_alpha / n_total).otherwise(F.lit(0.0))
+    en = STOPWORDS["en"]
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*en)))
+    stop_ratio = F.when(n > 0, stop_hits / n).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n).otherwise(
+        F.lit(0.0)
+    )
+    length_ok = (n >= 10) & (n <= 100000)
+    score = (
+        F.when(length_ok, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.least(alpha_ratio / 0.8, F.lit(1.0)) * 0.25
+        + F.least(stop_ratio / 0.3, F.lit(1.0)) * 0.25
+        + F.least(distinct_ratio / 0.5, F.lit(1.0)) * 0.25
+    )
+    return t.select(
+        F.col("doc_id"),
+        n.cast("long").alias("n_tokens"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language identification: per language, the fraction of
+    tokens found in that language's stopword list; argmax wins, ties break
+    to the alphabetically-first language code.  'und' when nothing scores."""
+    t = _tokenized(df, text_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    langs = sorted(STOPWORDS)
+
+    def stopword_hits(words: list[str]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+    # two-step projection: materialize the per-language scores once, then
+    # run the argmax CASE chain over the score columns (each score would
+    # otherwise be re-evaluated ~2x per CASE branch)
+    score_df = t.select(
+        F.col("doc_id"),
+        *[
+            F.when(n > 0, stopword_hits(STOPWORDS[lang]) / n)
+            .otherwise(F.lit(0.0))
+            .alias(f"__s_{lang}")
+            for lang in langs
+        ],
+    )
+    scores: dict[str, Column] = {lang: F.col(f"__s_{lang}") for lang in langs}
+    # first language whose score >= all others (alphabetical tie-break) —
+    # expressed as a CASE chain so the DuckDB oracle can mirror it exactly
+    pred: Column = F.lit("und")
+    best: Column = F.lit(0.0)
+    for lang in reversed(langs):
+        ge_all = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            ge_all = c if ge_all is None else (ge_all & c)
+        pred = F.when(ge_all, F.lit(lang)).otherwise(pred)
+        best = F.when(ge_all, scores[lang]).otherwise(best)
+    return score_df.select(
+        F.col("doc_id"),
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
+        F.round(best, 4).alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Key-collision fingerprint: lowercase, strip non-alphanumerics,
+    distinct tokens sorted and joined, md5.  Two documents with the same
+    normalized vocabulary collide — a cheap canonical-form dedup key."""
+    normalized = F.lower(F.regexp_replace(F.col(text_col), r"[^A-Za-z0-9\s]", " "))
+    toks = F.filter(F.split(normalized, r"\s+"), lambda t: t != "")
+    staged = df.select(F.col("doc_id"), toks.alias("__toks"))
+    key = F.concat_ws(" ", F.array_sort(F.array_distinct(F.col("__toks"))))
+    return staged.select(
+        F.col("doc_id"), F.md5(key).alias("fingerprint")
+    )

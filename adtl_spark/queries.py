@@ -1,0 +1,738 @@
+"""Headline queries for the driver harness: one entry per operator family
+from SURVEY.md §2 (IDs in each docstring), plus the pipeline operators
+(dedup / similarity / text) on the documents & embeddings tables.
+
+Every query takes (spark, sf_dir) and returns a DataFrame whose columns are
+aliased identically to its DuckDB oracle twin in ``oracles()``.  Numeric
+conventions for hash-stable cross-engine comparison:
+
+- money/quantity aggregates go through DECIMAL(18,4) (exact, order-
+  independent) and are cast to double at the end;
+- dates are rendered as 'yyyy-MM-dd' strings;
+- floating results are rounded to 4 decimals AFTER thresholding.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from adtl_spark.operators import dedup as D
+from adtl_spark.operators import similarity as S
+from adtl_spark.operators import text as X
+from adtl_spark.session import configure_for_engine
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure_for_engine(spark)
+    # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    # rejects; read it as raw nanosecond longs instead
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, alias: str):
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+def _quantized_sum(col, alias: str):
+    """Cross-engine-stable sum of a computed double: floor(x*1e4 + 0.5) per
+    row (identical doubles -> identical longs in Spark and DuckDB; a
+    double->decimal cast is NOT portable — Spark rounds the shortest-string
+    repr, DuckDB the binary value), exact BIGINT sum, one final divide."""
+    return (
+        F.sum(F.floor(col * 10000 + F.lit(0.5)).cast("long")) / F.lit(10000.0)
+    ).alias(alias)
+
+
+# ----------------------------------------------------------------- relational
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped scan->filter->agg over lineitem.
+    Exercises S1 parquet scan, F2 predicates, A-layer aggregation.  The
+    filter and the 7-column projection push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _quantized_sum(disc_price, "sum_disc_price"),
+            _quantized_sum(charge, "sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def p3_value_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P4 value mapping as a when-chain (the compiled form of an adtl
+    ``values`` rule) over l_returnflag, with unmapped passthrough."""
+    li = _t(spark, sf_dir, "lineitem")
+    mapped = (
+        F.when(F.col("l_returnflag") == "A", F.lit("accepted"))
+        .when(F.col("l_returnflag") == "R", F.lit("returned"))
+        .when(F.col("l_returnflag") == "N", F.lit("none"))
+        .otherwise(F.col("l_returnflag"))
+    )
+    return (
+        li.groupBy(mapped.alias("return_status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("return_status")
+    )
+
+
+def f_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1-F6: comparison, regex (=~ anchored, case-insensitive), any/all/not
+    composition over orders."""
+    o = _t(spark, sf_dir, "orders")
+    pred = (
+        (F.col("o_totalprice") > 150000.0)
+        & F.col("o_orderpriority").rlike("(?i)^(?:1-URGENT|2-HIGH)")
+        & ~(F.col("o_orderstatus") == "P")
+    ) | (F.col("o_totalprice") <= 1000.0)
+    return o.filter(pred).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC).cast("double").alias("o_totalprice"),
+    )
+
+
+def a2_last_not_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 lastNotNull / A3 firstNonNull: per order, last and first ship date
+    in file order (file order == l_linenumber order for this table; the
+    engine's groupBy tables use a captured row id the same way)."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data, so the
+    # ordering key includes the value itself: max/min over the (order, value)
+    # struct is deterministic under ties where a bare max_by is not
+    key = F.struct(F.col("l_linenumber").alias("ln"), F.col("l_shipdate").alias("sd"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.date_format(F.max(key)["sd"], "yyyy-MM-dd").alias("last_ship"),
+            F.date_format(F.min(key)["sd"], "yyyy-MM-dd").alias("first_ship"),
+            F.max(F.col("l_linenumber")).cast("long").alias("n_lines"),
+        )
+    )
+
+
+def a3_combined_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 applyCombinedType folds per group: min/max numerics and the
+    sorted distinct 'set' fold (rendered as a joined string for
+    hash-stable comparison)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.min(F.col("l_quantity").cast(DEC)).cast("double").alias("min_qty"),
+        F.max(F.col("l_extendedprice").cast(DEC)).cast("double").alias("max_price"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
+            "flag_set"
+        ),
+    )
+
+
+def r1_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1 oneToMany row generation: each lineitem emits 0-3 observation
+    rows via the single-scan array-of-structs explode the engine uses
+    (one pass, not one scan per block)."""
+    li = _t(spark, sf_dir, "lineitem")
+    blocks = F.array(
+        F.when(
+            F.col("l_returnflag") == "R",
+            F.struct(F.lit("returned").alias("name"), F.lit(1.0).alias("value")),
+        ),
+        F.when(
+            F.col("l_discount") > 0.05,
+            F.struct(F.lit("high_discount").alias("name"), F.col("l_discount").cast("double").alias("value")),
+        ),
+        F.when(
+            F.col("l_quantity") >= 40.0,
+            F.struct(F.lit("heavy").alias("name"), F.col("l_quantity").cast("double").alias("value")),
+        ),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.explode(F.filter(blocks, lambda s: s.isNotNull())).alias("obs"),
+    ).select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("obs.name").alias("name"),
+        F.col("obs.value").alias("value"),
+    )
+
+
+def p9_date_reformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 date reformat: ISO -> dd/MM/yyyy (the strftime translation the
+    spec compiler performs)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey", F.date_format("o_orderdate", "dd/MM/yyyy").alias("order_date_dmy")
+    )
+
+
+def p10_sensitive_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 sensitive-field SHA-256 pseudonymization."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey", F.sha2(F.col("c_name"), 256).alias("name_hash")
+    )
+
+
+def t7_duration_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 durationDays via a broadcast equi-join (orders side is the small
+    dimension at any scale factor — broadcast keeps lineitem unshuffled)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("ship_delay_days"),
+        )
+    )
+
+
+def p8_unit_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 unit conversion with a per-row source unit (the compiled
+    when-chain over the unit factor table: lb rows x 0.45359237)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = F.when(F.col("l_linenumber") % 2 == 1, F.lit("lb")).otherwise(F.lit("kg"))
+    qty_kg = F.when(
+        unit == "lb", F.col("l_quantity") * 0.45359237
+    ).otherwise(F.col("l_quantity"))
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        unit.alias("source_unit"),
+        F.round(qty_kg.cast("double"), 4).alias("qty_kg"),
+    )
+
+
+def t4_get_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 getFloat liberal numeric extraction from o_orderpriority."""
+    o = _t(spark, sf_dir, "orders")
+    extracted = F.regexp_extract(F.col("o_orderpriority"), r"([-+]?\d*\.?\d+)", 1)
+    return o.select(
+        "o_orderkey",
+        F.when(extracted != "", extracted.cast("double")).alias("priority_num"),
+    )
+
+
+def t10_make_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 makeDate / T13 splitDate round trip on o_orderdate components."""
+    o = _t(spark, sf_dir, "orders")
+    y, m, d = F.year("o_orderdate"), F.month("o_orderdate"), F.dayofmonth("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        y.cast("long").alias("y"),
+        m.cast("long").alias("m"),
+        d.cast("long").alias("d"),
+        F.date_format(F.make_date(y, m, d), "yyyy-MM-dd").alias("rebuilt"),
+    )
+
+
+def v2_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2/S9: schema-predicate validation with kept-but-flagged rows and the
+    aggregated error histogram."""
+    o = _t(spark, sf_dir, "orders")
+    error = (
+        F.when(
+            ~F.col("o_orderstatus").isin("O", "F", "P"),
+            F.lit("data.o_orderstatus must be one of ['O', 'F', 'P']"),
+        )
+        .when(
+            (F.col("o_totalprice") <= 1000.0) | (F.col("o_totalprice") > 450000.0),
+            F.lit("data.o_totalprice must be in range"),
+        )
+    )
+    return (
+        o.withColumn("adtl_error", error)
+        .withColumn("adtl_valid", F.col("adtl_error").isNull())
+        .groupBy("adtl_valid", "adtl_error")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("adtl_valid", "adtl_error")
+    )
+
+
+def p14_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 deterministic uuid5 generated ids (no SQL oracle — DuckDB lacks
+    sha1; driver records the rows-only check)."""
+    import uuid as uuid_mod
+
+    from pyspark.sql import types as T
+
+    c = _t(spark, sf_dir, "customer")
+    ns = uuid_mod.uuid5(uuid_mod.NAMESPACE_DNS, "adtl_spark.queries")
+
+    @F.udf(returnType=T.StringType())
+    def u5(seed: str) -> str:
+        return str(uuid_mod.uuid5(ns, seed))
+
+    seed = F.concat_ws("|", F.lower("c_name"), F.lower("c_mktsegment"))
+    return c.select("c_custkey", u5(seed).alias("row_uuid"))
+
+
+# -------------------------------------------------------- windows over events
+
+
+def w1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum —
+    the batch twin of the streaming session operator."""
+    e = _t(spark, sf_dir, "events")  # ts arrives as nanosecond longs
+    by_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(by_user)
+    new_session = (gap.isNull() | (gap > 1800 * 1_000_000_000)).cast("long")
+    with_session = e.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            by_user.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_session = with_session.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        per_session.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def w2_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the events.props column + aggregation
+    (P12-adjacent: dynamic string -> typed value)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(k).alias("n_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user (rank window, deterministic
+    tie-break) — the per-group top-k primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "user_id",
+            F.col("rank").cast("long").alias("rank"),
+            "event_id",
+            F.round(F.col("value"), 4).alias("value"),
+        )
+    )
+
+
+# ------------------------------------------------------------- text operators
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(_t(spark, sf_dir, "documents"))
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(_t(spark, sf_dir, "documents"))
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(_t(spark, sf_dir, "documents"))
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------- de-dup
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+MAX_DF_FRAC = 0.2
+
+
+def dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_ngram_jaccard(
+        _t(spark, sf_dir, "documents"),
+        threshold=JACCARD_THRESHOLD,
+        n=SHINGLE_N,
+        max_doc_freq_frac=MAX_DF_FRAC,
+    )
+
+
+MINHASH_K = 16
+MINHASH_BANDS = 4
+MINHASH_THRESHOLD = 0.5
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_minhash_lsh(
+        _t(spark, sf_dir, "documents"),
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        n=SHINGLE_N,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+# the synthetic 64-dim embeddings top out near cosine 0.51; 0.35 yields a
+# non-trivial pair set at verification scale
+NEARDUP_TAU = 0.35
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # planes=0: exact all-pairs twin of the oracle at verification scale;
+    # the LSH-bucketed path is exercised by ann_lsh_topk
+    return S.embedding_neardup(
+        _t(spark, sf_dir, "embeddings"), tau=NEARDUP_TAU, planes=0
+    )
+
+
+# ---------------------------------------------------------------- similarity
+
+ANN_K = 5
+ANN_QUERIES = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.cosine_topk(emb, queries, k=ANN_K)
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (no oracle: approximate by design; driver records
+    rows-only).  Same interface as the exact path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.ann_lsh(emb, queries, dim=64, k=ANN_K, planes=6)
+
+
+# ------------------------------------------------------------------- oracles
+
+
+def oracles() -> dict[str, str]:
+    en = X.STOPWORDS["en"]
+    en_sql = "[" + ", ".join(f"'{w}'" for w in en) + "]"
+    lang_scores = {
+        lang: f"len(list_filter(toks, t -> list_contains({'[' + ', '.join(chr(39) + w + chr(39) for w in X.STOPWORDS[lang]) + ']'}, t)))"
+        for lang in sorted(X.STOPWORDS)
+    }
+    score_cols = ",\n          ".join(
+        f"CASE WHEN len(toks) > 0 THEN {expr} / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_{lang}"
+        for lang, expr in lang_scores.items()
+    )
+    langs = sorted(X.STOPWORDS)
+    lang_case = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        lang_case += f"WHEN {conds} THEN '{lang}' "
+    lang_case += "ELSE 'und' END"
+    lang_best = "CASE "
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in langs if other != lang
+        )
+        lang_best += f"WHEN {conds} THEN s_{lang} "
+    lang_best += "ELSE 0.0 END"
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_disc_price,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS sum_charge,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "p3_value_map": """
+            SELECT CASE l_returnflag
+                     WHEN 'A' THEN 'accepted'
+                     WHEN 'R' THEN 'returned'
+                     WHEN 'N' THEN 'none'
+                     ELSE l_returnflag END AS return_status,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1 ORDER BY 1
+        """,
+        "f_predicates": """
+            SELECT o_orderkey, o_orderstatus, o_orderpriority,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
+            FROM orders
+            WHERE (o_totalprice > 150000.0
+                   AND regexp_matches(o_orderpriority, '^(?:1-URGENT|2-HIGH)', 'i')
+                   AND NOT o_orderstatus = 'P')
+               OR o_totalprice <= 1000.0
+        """,
+        "a2_last_not_null": """
+            SELECT l_orderkey,
+                   strftime((max({'ln': l_linenumber, 'sd': l_shipdate})).sd, '%Y-%m-%d') AS last_ship,
+                   strftime((min({'ln': l_linenumber, 'sd': l_shipdate})).sd, '%Y-%m-%d') AS first_ship,
+                   CAST(max(l_linenumber) AS BIGINT) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "a3_combined_fold": """
+            SELECT l_orderkey,
+                   CAST(min(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS min_qty,
+                   CAST(max(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price,
+                   array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flag_set
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "r1_one_to_many": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   'returned' AS name, 1.0 AS value
+            FROM lineitem WHERE l_returnflag = 'R'
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'high_discount', CAST(l_discount AS DOUBLE)
+            FROM lineitem WHERE l_discount > 0.05
+            UNION ALL
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+                   'heavy', CAST(l_quantity AS DOUBLE)
+            FROM lineitem WHERE l_quantity >= 40.0
+        """,
+        "p9_date_reformat": """
+            SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS order_date_dmy
+            FROM orders
+        """,
+        "p10_sensitive_hash": """
+            SELECT c_custkey, sha256(c_name) AS name_hash FROM customer
+        """,
+        "t7_duration_days": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS ship_delay_days
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "p8_unit_convert": """
+            SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                   CASE WHEN l_linenumber % 2 = 1 THEN 'lb' ELSE 'kg' END AS source_unit,
+                   round(CAST(CASE WHEN l_linenumber % 2 = 1
+                              THEN l_quantity * 0.45359237 ELSE l_quantity END AS DOUBLE), 4) AS qty_kg
+            FROM lineitem
+        """,
+        "t4_get_float": """
+            SELECT o_orderkey,
+                   CASE WHEN regexp_extract(o_orderpriority, '([-+]?\\d*\\.?\\d+)', 1) != ''
+                        THEN CAST(regexp_extract(o_orderpriority, '([-+]?\\d*\\.?\\d+)', 1) AS DOUBLE)
+                   END AS priority_num
+            FROM orders
+        """,
+        "t10_make_date": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(month(o_orderdate) AS BIGINT) AS m,
+                   CAST(day(o_orderdate) AS BIGINT) AS d,
+                   strftime(make_date(year(o_orderdate), month(o_orderdate), day(o_orderdate)), '%Y-%m-%d') AS rebuilt
+            FROM orders
+        """,
+        "v2_validation_report": """
+            WITH annotated AS (
+              SELECT CASE
+                       WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                         THEN 'data.o_orderstatus must be one of [''O'', ''F'', ''P'']'
+                       WHEN o_totalprice <= 1000.0 OR o_totalprice > 450000.0
+                         THEN 'data.o_totalprice must be in range'
+                     END AS adtl_error
+              FROM orders
+            )
+            SELECT adtl_error IS NULL AS adtl_valid, adtl_error, count(*) AS n
+            FROM annotated GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "w1_sessionize": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts,
+                     epoch_ns(ts) - epoch_ns(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+              FROM events
+            ),
+            flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN gap IS NULL OR gap > CAST(1800 AS BIGINT) * 1000000000 THEN 1 ELSE 0 END AS new_session
+              FROM gaps
+            ),
+            sessions AS (
+              SELECT user_id,
+                     sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+              FROM flagged
+            ),
+            per_session AS (
+              SELECT user_id, session_idx, count(*) AS n_events
+              FROM sessions GROUP BY 1, 2
+            )
+            SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+            FROM per_session GROUP BY user_id
+        """,
+        "w2_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "w3_topn_per_group": """
+            WITH ranked AS (
+              SELECT user_id, event_id, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+              FROM events
+            )
+            SELECT user_id, CAST(rank AS BIGINT) AS rank, event_id,
+                   round(value, 4) AS value
+            FROM ranked WHERE rank <= 3
+        """,
+        "text_token_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars_measured,
+                   CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe,
+                   round(CASE WHEN len(toks) > 0
+                         THEN length(array_to_string(toks, '')) / CAST(len(toks) AS DOUBLE)
+                         ELSE 0.0 END, 4) AS mean_token_len
+            FROM toks
+        """,
+        "text_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id,
+                     len(toks) AS n,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> list_contains({en_sql}, t))) / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS distinct_ratio
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   round(alpha_ratio, 4) AS alpha_ratio,
+                   round(stop_ratio, 4) AS stopword_ratio,
+                   round(distinct_ratio, 4) AS distinct_ratio,
+                   round(
+                     (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END)
+                     + least(alpha_ratio / 0.8, 1.0) * 0.25
+                     + least(stop_ratio / 0.3, 1.0) * 0.25
+                     + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
+            FROM m
+        """,
+        "text_langid": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id,
+          {score_cols}
+              FROM t
+            )
+            SELECT doc_id,
+                   CASE WHEN ({lang_best}) > 0 THEN {lang_case} ELSE 'und' END AS lang_pred,
+                   round({lang_best}, 4) AS lang_score
+            FROM s
+        """,
+        "text_fingerprint": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(
+                       string_split_regex(lower(regexp_replace(text, '[^A-Za-z0-9\\s]', ' ', 'g')), '\\s+'),
+                       t -> t != '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+            FROM t
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS text_hash,
+                   min(doc_id) AS canonical_id,
+                   count(*) AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram": D.ngram_jaccard_oracle_sql(
+            "documents", JACCARD_THRESHOLD, SHINGLE_N, MAX_DF_FRAC
+        ),
+        "dedup_minhash": D.minhash_lsh_oracle_sql(
+            "documents", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N
+        ),
+        "dedup_simhash": D.simhash_oracle_sql("documents"),
+        "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
+        "ann_cosine_topk": S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES),
+    }
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "p3_value_map": p3_value_map,
+        "f_predicates": f_predicates,
+        "a2_last_not_null": a2_last_not_null,
+        "a3_combined_fold": a3_combined_fold,
+        "r1_one_to_many": r1_one_to_many,
+        "p9_date_reformat": p9_date_reformat,
+        "p10_sensitive_hash": p10_sensitive_hash,
+        "t7_duration_days": t7_duration_days,
+        "p8_unit_convert": p8_unit_convert,
+        "t4_get_float": t4_get_float,
+        "t10_make_date": t10_make_date,
+        "v2_validation_report": v2_validation_report,
+        "p14_uuid5": p14_uuid5,
+        "w1_sessionize": w1_sessionize,
+        "w2_json_extract": w2_json_extract,
+        "w3_topn_per_group": w3_topn_per_group,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "text_fingerprint": text_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram": dedup_ngram,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_embedding": dedup_embedding,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+    }

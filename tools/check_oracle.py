@@ -1,0 +1,109 @@
+"""Local twin of the driver's correctness gate: run every queries() entry
+on Spark and its oracle_sql() twin on DuckDB at the same scale factor;
+compare row count, column names/types and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
+    if len(sdf) != len(odf):
+        return f"row count {len(sdf)} vs {len(odf)}"
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    a, b = normalize(sdf), normalize(odf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            import numpy as np
+
+            af = av.astype(float)
+            bf = bv.astype(float)
+            both_nan = af.isna() & bf.isna()
+            eq = (af == bf) | both_nan
+            if not eq.all():
+                idx = (~eq).idxmax()
+                return f"col {c} first diff at {idx}: {af[idx]!r} vs {bf[idx]!r}"
+        else:
+            if not av.astype(str).equals(bv.astype(str)):
+                neq = av.astype(str) != bv.astype(str)
+                idx = neq.idxmax()
+                return f"col {c} first diff at {idx}: {av[idx]!r} vs {bv[idx]!r}"
+    return None
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from adtl_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("oracle_check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error {type(e).__name__}: {str(e)[:200]}")
+            continue
+        diff = compare(sdf, odf)
+        if diff is None:
+            print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}: {diff}")
+    if failures:
+        print("\nFAILURES:", ", ".join(failures))
+        sys.exit(1)
+    print("\nall queries match")
+
+
+if __name__ == "__main__":
+    main()
