@@ -239,9 +239,10 @@ def t_make_date(value: Column, params: list, fail: Column) -> BuildResult:
     ints_ok = (
         R.is_int_string(year) & R.is_int_string(month) & R.is_int_string(day)
     )
-    made = F.try_make_date(
-        year.cast("int"), month.cast("int"), day.cast("int")
-    )
+    # make_date yields null on invalid components under non-ANSI semantics
+    # (the engine session guarantees ANSI off); try_make_date does not exist
+    # as a PySpark function wrapper
+    made = F.make_date(year.cast("int"), month.cast("int"), day.cast("int"))
     result = (
         F.when(_empty(year) | _empty(month) | _empty(day), F.lit(None).cast("string"))
         .when(~ints_ok | made.isNull(), fail)  # warning sites
@@ -329,7 +330,7 @@ def _start_shifted(
 
     if provide_month_day:
         month, day = provide_month_day
-        cd = F.try_make_date(
+        cd = F.make_date(
             currentdate.cast("int"), _lit(month).cast("int"), _lit(day).cast("int")
         ).cast("timestamp")
     else:

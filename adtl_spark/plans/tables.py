@@ -174,7 +174,10 @@ def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:
     rid = F.when(valid, F.col(ROW_ID))
 
     if combined in ("all", "any"):
-        fold = F.bool_and(truthy(cell)) if combined == "all" else F.bool_or(truthy(cell))
+        # truthiness only over valid cells — null must stay null so the
+        # bool_and/bool_or aggregate ignores it instead of folding False
+        flag = F.when(cell.isNotNull(), truthy(cell))
+        fold = F.bool_and(flag) if combined == "all" else F.bool_or(flag)
         return R.render_bool(fold)
     if combined in ("min", "max"):
         return _dynamic_min_max(cell, value, combined)

@@ -1,0 +1,132 @@
+"""groupBy table semantics: A1-A5 (SURVEY.md §2.5) — lastNotNull file-order
+semantics and applyCombinedType group folds."""
+
+from adtl_spark.api import Parser
+
+
+def run(spark, table_meta, rules, rows):
+    spec = {
+        "adtl": {
+            "name": "g",
+            "description": "",
+            "tables": {"tab": table_meta},
+        },
+        "tab": rules,
+    }
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    return sorted(p.read_table("tab"), key=lambda r: str(r.get("sid")))
+
+
+def test_last_not_null(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "lastNotNull"}
+    rules = {"sid": {"field": "id"}, "v": {"field": "x"}}
+    rows = [
+        {"id": "a", "x": "1"},
+        {"id": "a", "x": ""},
+        {"id": "a", "x": "3"},
+        {"id": "b", "x": ""},
+        {"id": "b", "x": "9"},
+        {"id": "b", "x": ""},
+    ]
+    out = run(spark, meta, rules, rows)
+    # later non-empty values win; trailing empties are ignored
+    assert out == [{"sid": "a", "v": 3}, {"sid": "b", "v": 9}]
+
+
+def test_group_combined_min_first(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    rules = {
+        "sid": {"field": "id"},
+        "first_date": {
+            "combinedType": "min",
+            "fields": [{"field": "d1"}, {"field": "d2"}],
+        },
+        "initial": {
+            "combinedType": "firstNonNull",
+            "fields": [{"field": "x"}],
+        },
+    }
+    rows = [
+        {"id": "a", "d1": "2022-05-01", "d2": "", "x": ""},
+        {"id": "a", "d1": "2022-01-15", "d2": "2022-03-01", "x": "first"},
+        {"id": "a", "d1": "", "d2": "", "x": "second"},
+    ]
+    out = run(spark, meta, rules, rows)
+    assert out == [{"sid": "a", "first_date": "2022-01-15", "initial": "first"}]
+
+
+def test_group_combined_set_list(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    rules = {
+        "sid": {"field": "id"},
+        "symptoms": {
+            "combinedType": "set",
+            "excludeWhen": "none",
+            "fields": [
+                {"field": "cough", "values": {"1": "cough"}},
+                {"field": "fever", "values": {"1": "fever"}},
+            ],
+        },
+        "trail": {
+            "combinedType": "list",
+            "excludeWhen": "none",
+            "fields": [{"field": "ev"}],
+        },
+    }
+    rows = [
+        {"id": "a", "cough": "1", "fever": "", "ev": "e1"},
+        {"id": "a", "cough": "1", "fever": "1", "ev": "e2"},
+        {"id": "a", "cough": "", "fever": "", "ev": ""},
+    ]
+    out = run(spark, meta, rules, rows)
+    assert out[0]["symptoms"] == ["cough", "fever"]  # sorted set across rows
+    assert out[0]["trail"] == ["e1", "e2"]  # file order preserved
+
+
+def test_group_combined_any_all(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    yn = {"values": {"1": True, "0": False}}
+    rules = {
+        "sid": {"field": "id"},
+        "ever": {"combinedType": "any", "fields": [{"field": "flag", **yn}]},
+        "always": {"combinedType": "all", "fields": [{"field": "flag", **yn}]},
+    }
+    rows = [
+        {"id": "a", "flag": "1"},
+        {"id": "a", "flag": "0"},
+        {"id": "b", "flag": "1"},
+        {"id": "b", "flag": ""},
+        {"id": "c", "flag": ""},
+    ]
+    out = run(spark, meta, rules, rows)
+    assert out[0] == {"sid": "a", "ever": True, "always": False}
+    assert out[1] == {"sid": "b", "ever": True, "always": True}
+    assert out[2] == {"sid": "c"}  # no values at all -> attrs dropped
+
+
+def test_group_min_max_numeric_vs_string(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    rules = {
+        "sid": {"field": "id"},
+        "lo": {"combinedType": "min", "fields": [{"field": "n"}]},
+        "hi": {"combinedType": "max", "fields": [{"field": "n"}]},
+    }
+    rows = [
+        {"id": "a", "n": "9"},
+        {"id": "a", "n": "10"},  # numeric: 9 < 10 (lexicographic would flip)
+        {"id": "b", "n": "beta"},
+        {"id": "b", "n": "alpha"},
+    ]
+    out = run(spark, meta, rules, rows)
+    assert out[0] == {"sid": "a", "lo": 9, "hi": 10}
+    assert out[1] == {"sid": "b", "lo": "alpha", "hi": "beta"}
+
+
+def test_single_row_group_passthrough(spark):
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    rules = {
+        "sid": {"field": "id"},
+        "v": {"combinedType": "min", "fields": [{"field": "n"}]},
+    }
+    out = run(spark, meta, rules, [{"id": "solo", "n": "5"}])
+    assert out == [{"sid": "solo", "v": 5}]
