@@ -1,0 +1,102 @@
+"""Structured Streaming pipelines.
+
+The reference engine is batch-only (full materialization,
+src/adtl/parser.py:709-725).  Two streaming capabilities are added here:
+
+1. **Streaming spec execution** — an adtl spec's row-local phase (oneToOne
+   and oneToMany tables) is shuffle-free, so the same compiled Column plan
+   runs unchanged on a streaming DataFrame: ``readStream`` -> the exact
+   projection/explode the batch path builds -> ``writeStream``.  groupBy
+   tables need stateful semantics (lastNotNull over unbounded keys) and are
+   rejected with a clear error rather than silently wrong results.
+
+2. **Windowed event aggregation** — watermarked tumbling-window counts over
+   an event stream, the canonical late-data-tolerant rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adtl_spark.plans.compiler import RuleCompiler
+from adtl_spark.plans.tables import _one_to_many_table, _one_to_one_table
+from adtl_spark.spec import CompiledSpec
+
+
+class StreamingUnsupportedError(ValueError):
+    pass
+
+
+def stream_tables(spec: CompiledSpec, stream_df: DataFrame) -> dict[str, DataFrame]:
+    """Compile the spec against a *streaming* DataFrame.  Row-local tables
+    (oneToOne / oneToMany) stream as-is; groupBy tables raise — their
+    file-order lastNotNull semantics have no bounded-state streaming
+    equivalent."""
+    compiler = RuleCompiler(spec, stream_df.columns)
+    out: dict[str, DataFrame] = {}
+    for table, meta in spec.tables.items():
+        kind = meta.get("kind")
+        if kind == "constant":
+            continue  # no streaming shape for a constant single row
+        if kind == "groupBy" or meta.get("groupBy"):
+            raise StreamingUnsupportedError(
+                f"table {table!r}: groupBy tables need unbounded state "
+                "(lastNotNull over all history) and cannot stream; run batch"
+            )
+        if kind == "oneToMany":
+            out[table] = _one_to_many_table(spec, table, stream_df, compiler)
+        else:
+            out[table] = _one_to_one_table(spec, table, stream_df, compiler)
+    return out
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts: late rows within the watermark
+    still update their window; older ones are dropped (bounded state)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Session windows with a gap timeout — Spark's native session_window
+    keeps per-key state bounded by the watermark (the streaming twin of the
+    batch w1_sessionize query)."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("s"), F.col(user_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            user_col,
+            "n_events",
+        )
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming: spec execution on a stream + windowed/session
+aggregations, driven end-to-end through the rate/memory machinery."""
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from adtl_spark.spec import CompiledSpec
+from adtl_spark.streaming.pipeline import (
+    StreamingUnsupportedError,
+    sessionize_stream,
+    stream_tables,
+    windowed_event_counts,
+)
+
+
+def _run_stream_to_memory(df, name, timeout=60):
+    q = df.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def test_spec_streams_one_to_one(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    (src / "part1.csv").write_text("sid,sex\nS1,1\nS2,2\n")
+    spec = CompiledSpec(
+        {
+            "adtl": {
+                "name": "s",
+                "description": "",
+                "tables": {"subject": {"kind": "oneToOne"}},
+            },
+            "subject": {
+                "subject_id": {"field": "sid"},
+                "sex": {"field": "sex", "values": {"1": "male", "2": "female"}},
+            },
+        }
+    )
+    stream = (
+        spark.readStream.schema("sid string, sex string")
+        .option("header", True)
+        .csv(str(src))
+    )
+    tables = stream_tables(spec, stream)
+    assert set(tables) == {"subject"}
+    _run_stream_to_memory(tables["subject"], "subj_stream")
+    rows = {r["subject_id"]: r["sex"] for r in spark.sql("SELECT * FROM subj_stream").collect()}
+    assert rows == {"S1": "male", "S2": "female"}
+
+
+def test_spec_streaming_rejects_groupby(spark):
+    spec = CompiledSpec(
+        {
+            "adtl": {
+                "name": "s",
+                "description": "",
+                "tables": {
+                    "subject": {
+                        "kind": "groupBy",
+                        "groupBy": "sid",
+                        "aggregation": "lastNotNull",
+                    }
+                },
+            },
+            "subject": {"sid": {"field": "sid"}},
+        }
+    )
+    stream = spark.readStream.format("rate").load().selectExpr("CAST(value AS STRING) AS sid")
+    with pytest.raises(StreamingUnsupportedError):
+        stream_tables(spec, stream)
+
+
+def _event_stream_df(spark, tmp_path):
+    import json
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    rows = []
+    base = 1_700_000_000
+    for uid in (1, 2):
+        for i in range(5):
+            rows.append({"ts": base + uid * 10000 + i * 60, "user_id": uid, "event_type": "click", "value": float(i)})
+        # second session after a large gap
+        rows.append({"ts": base + uid * 10000 + 10_000, "user_id": uid, "event_type": "view", "value": 9.0})
+    (src / "p.json").write_text("\n".join(json.dumps(r) for r in rows))
+    return (
+        spark.readStream.schema("ts long, user_id long, event_type string, value double")
+        .json(str(src))
+        .withColumn("ts", F.timestamp_seconds("ts"))
+    )
+
+
+def test_windowed_event_counts_stream(spark, tmp_path):
+    events = _event_stream_df(spark, tmp_path)
+    agg = windowed_event_counts(events, window="5 minutes", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # append mode emits only watermark-closed windows; at least the early
+    # windows for each user close once the late event advances the watermark
+    rows = spark.sql("SELECT * FROM win_counts").collect()
+    assert len(rows) >= 2
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_sessionize_stream(spark, tmp_path):
+    events = _event_stream_df(spark, tmp_path)
+    sess = sessionize_stream(events, gap="10 minutes", watermark="2 hours")
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    # the 5-event burst forms one closed session per user
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["n_events"])
+    assert all(5 in counts for counts in per_user.values())
