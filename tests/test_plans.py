@@ -1,0 +1,76 @@
+"""Plan-shape regression tests: the scale properties the engine claims
+(single-scan oneToMany, parquet pushdown, broadcast joins) asserted against
+the actual physical plans."""
+
+from adtl_spark.api import Parser
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_one_to_many_single_scan(spark):
+    """N blocks must compile to ONE source scan (array-of-structs explode),
+    not a union of N filtered scans."""
+    spec = {
+        "adtl": {
+            "name": "x",
+            "description": "",
+            "tables": {"obs": {"kind": "oneToMany"}},
+        },
+        "obs": [
+            {"name": f"sym{i}", "if": {f"s{i}": "1"}, "v": {"field": f"s{i}"}}
+            for i in range(12)
+        ],
+    }
+    rows = [{f"s{i}": "1" for i in range(12)}]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    plan = physical_plan(p.table("obs"))
+    assert plan.count("Scan") == 1
+    assert "Generate explode" in plan
+
+
+def test_flagship_query_pushdown(spark):
+    from adtl_spark.queries import q1_pricing_summary
+
+    plan = physical_plan(q1_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: never reads more than the 7 referenced columns
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema
+    assert "l_quantity" in read_schema
+
+
+def test_duration_join_is_broadcast(spark):
+    from adtl_spark.queries import t7_duration_days
+
+    plan = physical_plan(t7_duration_days(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_group_by_single_shuffle(spark):
+    spec = {
+        "adtl": {
+            "name": "g",
+            "description": "",
+            "tables": {
+                "subject": {
+                    "kind": "groupBy",
+                    "groupBy": "sid",
+                    "aggregation": "applyCombinedType",
+                }
+            },
+        },
+        "subject": {
+            "sid": {"field": "id"},
+            "a": {"combinedType": "min", "fields": [{"field": "x"}]},
+            "b": {"combinedType": "set", "fields": [{"field": "y", "values": {"1": "v"}}]},
+        },
+    }
+    p = Parser(spec, spark=spark).parse_rows(
+        [{"id": "a", "x": "1", "y": "1"}], skip_validation=True
+    )
+    plan = physical_plan(p.table("subject"))
+    # one shuffle for the groupBy, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
