@@ -285,6 +285,102 @@ def p14_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", u5(seed).alias("row_uuid"))
 
 
+# ----------------------------------------------- spec engine on typed tables
+
+
+def adtl_engine_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actual spec engine (compile -> plan -> execute) run over the star
+    schema: lineitem rows as string cells (CSV semantics), a groupBy table
+    with applyCombinedType folds.  Output is the engine's canonical-string
+    rendering; the oracle mirrors those semantics in SQL."""
+    from adtl_spark.api import Parser
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("orderkey"),
+        F.col("l_quantity").cast("string").alias("qty"),
+        F.col("l_returnflag").cast("string").alias("flag"),
+    )
+    spec = {
+        "adtl": {
+            "name": "engine_groupby",
+            "description": "",
+            "tables": {
+                "orders_rollup": {
+                    "kind": "groupBy",
+                    "groupBy": "order_id",
+                    "aggregation": "applyCombinedType",
+                }
+            },
+        },
+        "orders_rollup": {
+            "order_id": {"field": "orderkey"},
+            "min_qty": {"combinedType": "min", "fields": [{"field": "qty"}]},
+            "flags": {
+                "combinedType": "set",
+                "excludeWhen": "none",
+                "fields": [
+                    {
+                        "field": "flag",
+                        "values": {"A": "accepted", "R": "returned", "N": "none"},
+                    }
+                ],
+            },
+            "ever_returned": {
+                "combinedType": "any",
+                "fields": [{"field": "flag", "values": {"R": True, "A": False, "N": False}}],
+            },
+        },
+    }
+    p = Parser(spec, spark=spark).parse_dataframe(li, skip_validation=True)
+    out = p.table("orders_rollup")
+    return out.select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("min_qty"),
+        F.array_join(F.col("flags"), ",").alias("flags"),
+        F.col("ever_returned"),
+    )
+
+
+def adtl_engine_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spec engine's oneToMany path over orders: two blocks with
+    explicit if predicates and value maps, emitted by the single-scan
+    explode plan."""
+    from adtl_spark.api import Parser
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("orderkey"),
+        F.col("o_orderstatus").cast("string").alias("status"),
+        F.col("o_orderpriority").cast("string").alias("priority"),
+    )
+    spec = {
+        "adtl": {
+            "name": "engine_o2m",
+            "description": "",
+            "tables": {"flags": {"kind": "oneToMany"}},
+        },
+        "flags": [
+            {
+                "order_id": {"field": "orderkey"},
+                "name": "fulfilled",
+                "value": {"field": "status", "values": {"F": "yes", "O": "no", "P": "partial"}},
+                "if": {"status": {"!=": "O"}},
+            },
+            {
+                "order_id": {"field": "orderkey"},
+                "name": "urgent",
+                "value": "flagged",
+                "if": {"priority": {"=~": "1-URGENT"}},
+            },
+        ],
+    }
+    p = Parser(spec, spark=spark).parse_dataframe(o, skip_validation=True)
+    return p.table("flags").select(
+        F.col("order_id").cast("long").alias("order_id"),
+        "name",
+        "value",
+    )
+
+
 # -------------------------------------------------------- windows over events
 
 
@@ -574,6 +670,25 @@ def oracles() -> dict[str, str]:
             SELECT adtl_error IS NULL AS adtl_valid, adtl_error, count(*) AS n
             FROM annotated GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "adtl_engine_groupby": """
+            SELECT l_orderkey AS order_id,
+                   CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR) AS min_qty,
+                   array_to_string(list_sort(list_distinct(list(
+                     CASE l_returnflag WHEN 'A' THEN 'accepted'
+                                       WHEN 'R' THEN 'returned'
+                                       WHEN 'N' THEN 'none' END))), ',') AS flags,
+                   CASE WHEN bool_or(l_returnflag = 'R') THEN 'True' ELSE 'False' END AS ever_returned
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "adtl_engine_one_to_many": """
+            SELECT o_orderkey AS order_id, 'fulfilled' AS name,
+                   CASE o_orderstatus WHEN 'F' THEN 'yes' WHEN 'O' THEN 'no'
+                                      WHEN 'P' THEN 'partial' END AS value
+            FROM orders WHERE o_orderstatus != 'O'
+            UNION ALL
+            SELECT o_orderkey, 'urgent', 'flagged'
+            FROM orders WHERE regexp_matches(o_orderpriority, '^(?:1-URGENT)', 'i')
+        """,
         "w1_sessionize": """
             WITH gaps AS (
               SELECT user_id, event_id, ts,
@@ -721,6 +836,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_make_date": t10_make_date,
         "v2_validation_report": v2_validation_report,
         "p14_uuid5": p14_uuid5,
+        "adtl_engine_groupby": adtl_engine_groupby,
+        "adtl_engine_one_to_many": adtl_engine_one_to_many,
         "w1_sessionize": w1_sessionize,
         "w2_json_extract": w2_json_extract,
         "w3_topn_per_group": w3_topn_per_group,

@@ -115,6 +115,25 @@ def expand_for_blocks(blocks: list[StrDict]) -> list[StrDict]:
     return out
 
 
+def fetch_remote_schema(url: str, timeout: float = 10.0) -> StrDict | None:
+    """S5 remote schema source: fetch JSON Schema over HTTP, warn and skip
+    validation on any failure (reference: parser.py:329-346 — non-200 or
+    connection errors never abort the parse)."""
+    import logging
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as res:
+            if getattr(res, "status", 200) != 200:
+                raise OSError(f"status {res.status}")
+            return json.loads(res.read().decode("utf-8"))
+    except Exception as e:
+        logging.getLogger(__name__).warning(
+            "Could not fetch schema from %s (%s), will not validate", url, e
+        )
+        return None
+
+
 def infer_date_fields(schema: StrDict) -> list[str]:
     """Schema fields treated as dates: name contains the date patterns or has
     ``format: date`` (reference: parser.py:133-145)."""
@@ -266,13 +285,16 @@ class CompiledSpec:
             if not schema_ref:
                 continue
             if str(schema_ref).startswith("http"):
-                # Remote schemas: warn-and-skip parity would need requests;
-                # treated as unavailable in this engine (validation skipped).
-                continue
-            schema_path = (
-                (self.specfile.parent / schema_ref) if self.specfile else Path(schema_ref)
-            )
-            schema = json.loads(Path(schema_path).read_text())
+                schema = fetch_remote_schema(str(schema_ref))
+                if schema is None:
+                    continue  # warn-and-skip, like the reference (S5)
+            else:
+                schema_path = (
+                    (self.specfile.parent / schema_ref)
+                    if self.specfile
+                    else Path(schema_ref)
+                )
+                schema = json.loads(Path(schema_path).read_text())
             self.schemas[table] = relax_schema(schema, meta.get("optional-fields"))
             self.date_fields.extend(infer_date_fields(self.schemas[table]))
         self.date_fields = sorted(set(self.date_fields))
@@ -322,6 +344,14 @@ class CompiledSpec:
         for key in ("name", "tables"):
             if key not in header:
                 raise SpecError(f"spec header missing required key: {key!r}")
+        try:
+            from adtl_spark.model import validate_document
+
+            validate_document(spec)
+        except ImportError:  # pydantic unavailable: structural checks below
+            pass
+        except Exception as e:
+            raise SpecError(f"spec validation failed: {e}") from e
         for table, meta in header["tables"].items():
             if table not in spec:
                 raise SpecError(f"table {table!r} declared in header but not defined")
