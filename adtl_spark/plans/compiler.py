@@ -101,6 +101,7 @@ class RuleCompiler:
         self.columns = set(columns)
         self.custom_transforms = custom_transforms or {}
         self._namespace = spec.namespace_uuid()
+        self._stage: dict[str, Column] | None = None
 
     # ------------------------------------------------------------------ source
 
@@ -134,10 +135,23 @@ class RuleCompiler:
         rule: Any,
         attr: str | None = None,
         coerce_type: str | list[str] | None = None,
+        stage: dict[str, Column] | None = None,
     ) -> Value:
         """Compile any rule form to a Value (get_value,
-        src/adtl/get_value.py:137-170)."""
+        src/adtl/get_value.py:137-170).
+
+        When ``stage`` is given, combinedType sub-rule values are registered
+        there as named staging columns and the fold references them as
+        plain column refs.  Fold expressions reference their input many
+        times inside higher-order functions, which Spark evaluates
+        interpreted and without common-subexpression elimination — inlining
+        a full rule expression there multiplies its cost ~6x per fold
+        (measured 20x wall-clock on the groupBy path).  The table
+        materializers insert one extra projection for the staged columns.
+        """
+        self._stage = stage
         value = self._compile_unhashed(rule, attr)
+        self._stage = None
 
         if isinstance(rule, dict) and rule.get("sensitive") and not value.is_array:
             # hash of str(value) before any numeric coercion (P10)
@@ -376,27 +390,66 @@ class RuleCompiler:
                 out.append(r)
         return out
 
+    def _stage_column(self, value: Value) -> Value:
+        """Register a sub-value as a staging column and return a Value that
+        references it by name (cheap to re-evaluate inside folds)."""
+        if self._stage is None:
+            return value
+        name = f"__adtl_stage_{len(self._stage)}__"
+        self._stage[name] = value.col
+        return Value(
+            F.col(name),
+            is_array=value.is_array,
+            type_hint=value.type_hint,
+            combined_type=value.combined_type,
+        )
+
     def _compile_combined(self, rule: StrDict, attr: str | None) -> Value:
         """Row-wise combinedType fold over multiple fields
         (reference: get_combined_type, get_value.py:315-385)."""
         ctype = rule["combinedType"]
         sub_rules = self._expand_field_patterns(rule["fields"])
+        stage, self._stage = self._stage, None  # sub-rules compile unstaged
         sub_values = [self.compile_value(r, attr) for r in sub_rules]
+        self._stage = stage
+        sub_values = [self._stage_column(v) for v in sub_values]
 
         if ctype in ("all", "any", "min", "max"):
-            # scalar sub-values, drop null and ""
-            arr = F.filter(
-                F.array(*[v.col for v in sub_values]),
-                lambda x: x.isNotNull() & (x != ""),
-            )
-            empty = F.size(arr) == 0
+            # scalar sub-values, drop null and "".  Pure boolean/least/
+            # greatest expressions — higher-order functions run interpreted
+            # (~1us/row each) and are avoided in these hot folds.
+            cols = [v.col for v in sub_values]
+            valid = [c.isNotNull() & (c != "") for c in cols]
+            any_valid = reduce(lambda a, b: a | b, valid)
             if ctype == "any":
-                result = R.render_bool(F.exists(arr, truthy))
+                hit = reduce(
+                    lambda a, b: a | b,
+                    [v & truthy(c) for v, c in zip(valid, cols)],
+                )
+                result = R.render_bool(hit)
             elif ctype == "all":
-                result = R.render_bool(F.forall(arr, truthy))
+                hit = reduce(
+                    lambda a, b: a & b,
+                    [~v | truthy(c) for v, c in zip(valid, cols)],
+                )
+                result = R.render_bool(hit)
             else:
-                result = self._min_max_array(arr, ctype)
-            return Value(F.when(~empty, result), type_hint="bool" if ctype in ("all", "any") else "dynamic", combined_type=ctype)
+                result = self._min_max_scalars(cols, valid, ctype)
+            return Value(
+                F.when(any_valid, result),
+                type_hint="bool" if ctype in ("all", "any") else "dynamic",
+                combined_type=ctype,
+            )
+
+        if ctype == "firstNonNull" and not any(v.is_array for v in sub_values):
+            # scalar-only: exactly a coalesce (first non-null in rule order)
+            return Value(
+                F.coalesce(*[v.col for v in sub_values])
+                if len(sub_values) > 1
+                else sub_values[0].col,
+                type_hint="dynamic",
+                combined_type=ctype,
+            )
 
         # list-producing folds flatten arrays and scalars together
         parts = [
@@ -431,18 +484,36 @@ class RuleCompiler:
         raise SpecError(f"unknown combinedType: {ctype!r}")
 
     @staticmethod
-    def _min_max_array(arr: Column, ctype: str) -> Column:
-        """Python min/max over a homogeneous dynamic list: numeric when every
-        element parses as a number, else lexicographic."""
-        all_numeric = F.forall(arr, R.is_numeric_string)
-        all_int = F.forall(arr, R.is_int_string)
-        doubles = F.transform(arr, lambda x: x.cast("double"))
-        longs = F.transform(arr, lambda x: x.cast("long"))
-        agg = F.array_min if ctype == "min" else F.array_max
+    def _min_max_scalars(
+        cols: list[Column], valid: list[Column], ctype: str
+    ) -> Column:
+        """Python min/max over the valid dynamic values: numeric when every
+        valid value parses as a number, else lexicographic — expressed with
+        least/greatest (null-skipping) and plain boolean folds so the whole
+        thing stays inside whole-stage codegen."""
+        pick = F.least if ctype == "min" else F.greatest
+
+        def fold(cast_to: str | None) -> Column:
+            branch = [
+                F.when(v, c.cast(cast_to) if cast_to else c)
+                for v, c in zip(valid, cols)
+            ]
+            if len(branch) == 1:
+                return branch[0]
+            return pick(*branch)
+
+        all_int = reduce(
+            lambda a, b: a & b,
+            [~v | R.is_int_string(c) for v, c in zip(valid, cols)],
+        )
+        all_num = reduce(
+            lambda a, b: a & b,
+            [~v | R.is_numeric_string(c) for v, c in zip(valid, cols)],
+        )
         return (
-            F.when(all_int, agg(longs).cast("string"))
-            .when(all_numeric, agg(doubles).cast("string"))
-            .otherwise(agg(arr))
+            F.when(all_int, fold("long").cast("string"))
+            .when(all_num, fold("double").cast("string"))
+            .otherwise(fold(None))
         )
 
     # ---------------------------------------------------------------- generate

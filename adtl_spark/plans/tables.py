@@ -112,15 +112,26 @@ def _wide_cell(value: Value) -> Column:
     return value.col
 
 
+def _with_stage(df: DataFrame, stage: dict[str, Column]) -> DataFrame:
+    """Widen df with the compiler's staging columns (combinedType sub-values
+    materialized once so fold expressions reference cheap column refs)."""
+    if not stage:
+        return df
+    return df.select(F.col("*"), *[c.alias(n) for n, c in stage.items()])
+
+
 def _one_to_one_table(
     spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
 ) -> DataFrame:
+    stage: dict[str, Column] = {}
     cols = []
     for attr in spec.fieldnames[table]:
         rule = spec.table_specs[table][attr]
-        value = compiler.compile_value(rule, attr, _schema_type(spec, table, attr))
+        value = compiler.compile_value(
+            rule, attr, _schema_type(spec, table, attr), stage=stage
+        )
         cols.append(_wide_cell(value).alias(attr))
-    return df.select(*cols)
+    return _with_stage(df, stage).select(*cols)
 
 
 # ---------------------------------------------------------------- groupBy kind
@@ -134,13 +145,16 @@ def _group_by_table(
     aggregation = meta.get("aggregation")
     table_spec = spec.table_specs[table]
 
+    stage: dict[str, Column] = {}
     values: dict[str, Value] = {}
     row_cols: list[Column] = [F.col(ROW_ID)]
     for attr, rule in table_spec.items():
-        v = compiler.compile_value(rule, attr, _schema_type(spec, table, attr))
+        v = compiler.compile_value(
+            rule, attr, _schema_type(spec, table, attr), stage=stage
+        )
         values[attr] = v
         row_cols.append(_wide_cell(v).alias(attr))
-    projected = df.select(*row_cols)
+    projected = _with_stage(df, stage).select(*row_cols)
 
     aggs: list[Column] = []
     for attr, v in values.items():
@@ -237,6 +251,7 @@ def _one_to_many_table(
     attr_is_array: dict[str, bool] = {f: False for f in fieldnames}
     attr_mixed: dict[str, bool] = {f: False for f in fieldnames}
     seen_attr: dict[str, bool] = {f: False for f in fieldnames}
+    stage: dict[str, Column] = {}
     for block in blocks:
         pred = compiler.compile_if(block["if"])
         vals: dict[str, Value] = {}
@@ -244,7 +259,7 @@ def _one_to_many_table(
             if attr == "if":
                 continue
             v = compiler.compile_value(
-                block[attr], attr, _schema_type(spec, table, attr)
+                block[attr], attr, _schema_type(spec, table, attr), stage=stage
             )
             vals[attr] = v
             if seen_attr[attr] and attr_is_array[attr] != v.is_array:
@@ -267,7 +282,7 @@ def _one_to_many_table(
         F.when(pred, F.struct(*[cell(vals, a).alias(a) for a in fieldnames]))
         for pred, vals in compiled_blocks
     ]
-    exploded = df.select(
+    exploded = _with_stage(df, stage).select(
         F.explode(
             F.filter(F.array(*structs), lambda s: s.isNotNull())
         ).alias("__row__")
