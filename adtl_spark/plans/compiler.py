@@ -39,6 +39,32 @@ _COMPARISON_OPS = {">", ">=", "<", "<=", "!=", "=", "==", "=~"}
 _IF_FLAGS = {"can_skip", "caseInsensitive"}
 
 
+def uuid5_column(namespace: uuid_mod.UUID, name: Column) -> Column:
+    """RFC 4122 uuid5 as a native expression — no Python UDF.
+
+    uuid5 is sha1(namespace_bytes + name) with the version nibble forced to
+    5 and the variant bits to 10xx, rendered 8-4-4-4-12.  The variant
+    correction maps the 17th hex digit through ``(d & 0x3) | 0x8``, which is
+    a 16-char translate table.  Byte-identical to ``uuid.uuid5``
+    (verified against CPython in tests)."""
+    digest = F.sha1(F.concat(F.lit(namespace.bytes), F.encode(name, "UTF-8")))
+    return F.concat_ws(
+        "-",
+        F.substring(digest, 1, 8),
+        F.substring(digest, 9, 4),
+        F.concat(F.lit("5"), F.substring(digest, 14, 3)),
+        F.concat(
+            F.translate(
+                F.substring(digest, 17, 1),
+                "0123456789abcdef",
+                "89ab89ab89ab89ab",
+            ),
+            F.substring(digest, 18, 3),
+        ),
+        F.substring(digest, 21, 12),
+    )
+
+
 @dataclass
 class Value:
     """A compiled rule: the Column plus enough type knowledge for the
@@ -531,7 +557,6 @@ class RuleCompiler:
                 type_hint="str",
             )
         if method == "uuid5":
-            namespace = self._namespace
             parts = [
                 F.lower(
                     F.coalesce(F.nullif(self.source(f), F.lit("")), F.lit("None"))
@@ -539,12 +564,7 @@ class RuleCompiler:
                 for f in gen["values"]
             ]
             seed = F.concat_ws("|", *parts)
-
-            @F.udf(returnType=T.StringType())
-            def uuid5_of(seed_value: str) -> str:
-                return str(uuid_mod.uuid5(namespace, seed_value))
-
-            return Value(uuid5_of(seed), type_hint="str")
+            return Value(uuid5_column(self._namespace, seed), type_hint="str")
         raise SpecError(f"unknown generation method: {method!r}")
 
     # -------------------------------------------------------------- predicates

@@ -268,21 +268,17 @@ def v2_validation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def p14_uuid5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P14 deterministic uuid5 generated ids (no SQL oracle — DuckDB lacks
-    sha1; driver records the rows-only check)."""
+    """P14 deterministic uuid5 generated ids, computed natively (sha1 +
+    hex surgery, no Python UDF).  No SQL oracle — DuckDB lacks sha1; the
+    driver records the rows-only check."""
     import uuid as uuid_mod
 
-    from pyspark.sql import types as T
+    from adtl_spark.plans.compiler import uuid5_column
 
     c = _t(spark, sf_dir, "customer")
     ns = uuid_mod.uuid5(uuid_mod.NAMESPACE_DNS, "adtl_spark.queries")
-
-    @F.udf(returnType=T.StringType())
-    def u5(seed: str) -> str:
-        return str(uuid_mod.uuid5(ns, seed))
-
     seed = F.concat_ws("|", F.lower("c_name"), F.lower("c_mktsegment"))
-    return c.select("c_custkey", u5(seed).alias("row_uuid"))
+    return c.select("c_custkey", uuid5_column(ns, seed).alias("row_uuid"))
 
 
 # ----------------------------------------------- spec engine on typed tables
