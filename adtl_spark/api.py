@@ -132,6 +132,13 @@ class Parser:
         return write_csv_single(df.select(*ordered), output)
 
     def write_parquet(self, table: str, output: str) -> None:
+        if self.spec.return_unmatched:
+            # returnUnmatched produces mixed-type cells; the reference
+            # refuses parquet for the same reason (python_interface.py:52-53)
+            raise ValueError(
+                "returnUnmatched specs produce mixed-type columns and cannot "
+                "be written to parquet"
+            )
         df = self.table(table)
         write_parquet(df.select(*self._output_columns(table, df)), output)
 

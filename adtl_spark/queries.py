@@ -439,6 +439,54 @@ def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped three-way join: broadcast the filtered customer
+    dimension, shuffle-join orders with lineitem, aggregate revenue.
+    Demonstrates the join strategies the reference lacks entirely."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(_quantized_sum(revenue, "revenue"))
+        .filter(F.col("revenue") > 100000.0)
+    )
+
+
+def dedup_apply_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applying a dedup decision at scale: keep only canonical documents
+    via a left-anti join against the non-canonical id set (the standard
+    'filter 100 TB by a pair list' shape)."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = D.dedup_exact(docs)
+    losers = clusters.filter(F.col("n_copies") > 1).join(
+        docs.select(F.sha2(F.col("text"), 256).alias("text_hash"), "doc_id"),
+        "text_hash",
+    ).filter(F.col("doc_id") != F.col("canonical_id")).select("doc_id")
+    kept = docs.join(losers, "doc_id", "left_anti")
+    return kept.select("doc_id", "lang", "source")
+
+
+def w4_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 5-row mean of event value per user (frame-based window) —
+    the analytic-frame primitive."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    rolling = F.avg("value").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(rolling, 4).alias("rolling_avg_5"),
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -685,6 +733,37 @@ def oracles() -> dict[str, str]:
             SELECT o_orderkey, 'urgent', 'flagged'
             FROM orders WHERE regexp_matches(o_orderpriority, '^(?:1-URGENT)', 'i')
         """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderpriority,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey, o_orderpriority
+            HAVING sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 > 100000.0
+        """,
+        "dedup_apply_anti_join": """
+            WITH clusters AS (
+              SELECT sha256(text) AS text_hash, min(doc_id) AS canonical_id, count(*) AS n_copies
+              FROM documents GROUP BY 1
+            ),
+            losers AS (
+              SELECT d.doc_id
+              FROM clusters c
+              JOIN (SELECT sha256(text) AS text_hash, doc_id FROM documents) d USING (text_hash)
+              WHERE c.n_copies > 1 AND d.doc_id != c.canonical_id
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        """,
+        "w4_rolling_aggregate": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg_5
+            FROM events
+        """,
         "w1_sessionize": """
             WITH gaps AS (
               SELECT user_id, event_id, ts,
@@ -834,9 +913,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p14_uuid5": p14_uuid5,
         "adtl_engine_groupby": adtl_engine_groupby,
         "adtl_engine_one_to_many": adtl_engine_one_to_many,
+        "q3_shipping_priority": q3_shipping_priority,
+        "dedup_apply_anti_join": dedup_apply_anti_join,
         "w1_sessionize": w1_sessionize,
         "w2_json_extract": w2_json_extract,
         "w3_topn_per_group": w3_topn_per_group,
+        "w4_rolling_aggregate": w4_rolling_aggregate,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
