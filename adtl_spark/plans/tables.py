@@ -156,7 +156,7 @@ def _group_by_table(
         row_cols.append(_wide_cell(v).alias(attr))
     projected = _with_stage(df, stage).select(*row_cols)
 
-    aggs: list[Column] = []
+    aggs: list[Column] = [F.min(F.col(ROW_ID)).alias(ROW_ID)]
     for attr, v in values.items():
         if attr == group_field:
             continue
@@ -168,9 +168,12 @@ def _group_by_table(
         )
         aggs.append(_aggregate_attr(attr, v, combined).alias(attr))
 
+    # groups emitted in first-encounter (file) order — the reference's
+    # insertion-ordered dict yields exactly this (parser.py:619-637)
     return (
         projected.groupBy(F.col(group_field))
         .agg(*aggs)
+        .orderBy(ROW_ID)
         .select(group_field, *[a for a in values if a != group_field])
     )
 
