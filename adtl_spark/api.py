@@ -163,6 +163,21 @@ class Parser:
             else:
                 raise ValueError(f"'Parser.save()': Invalid format: {format}")
 
+    def conflicts(self, table: str, source: DataFrame | None = None) -> DataFrame:
+        """Verbose-mode overwrite summary for a groupBy table: attributes
+        where lastNotNull silently overwrote conflicting values, with the
+        number of affected groups (reference warns per row;
+        parser.py:603-614)."""
+        from adtl_spark.plans.compiler import RuleCompiler
+        from adtl_spark.plans.tables import attach_row_id, group_conflicts
+
+        if source is None:
+            raise ValueError("conflicts() needs the source DataFrame")
+        if not self.tables[table].get("groupBy"):
+            raise ValueError(f"table {table!r} is not a groupBy table")
+        compiler = RuleCompiler(self.spec, source.columns, self.custom_transforms)
+        return group_conflicts(self.spec, table, attach_row_id(source), compiler)
+
     # ----------------------------------------------------------------- report
 
     def build_report(self) -> dict[str, Any]:

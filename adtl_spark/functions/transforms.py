@@ -465,30 +465,47 @@ def _py_render(v: Any) -> str | None:
 def _wrap_custom(
     fn: Callable, value: Column, params: list, fail_value: Column
 ) -> tuple[Column, str, bool]:
-    """User transform -> Python UDF.  Column params ($field) are passed as
-    UDF arguments; literals are closed over.  The AdtlTransformationWarning
-    channel maps to (failed, value) so the caller can route to fail_value."""
+    """User transform -> Arrow-batched pandas UDF.  Column params ($field)
+    are passed as UDF arguments; literals are closed over.  The function
+    itself is still scalar Python (the reference contract), but data moves
+    in Arrow batches instead of per-row pickling.  The
+    AdtlTransformationWarning channel maps to (failed, value) so the caller
+    can route to fail_value."""
+    import pandas as pd
+
     col_params = [p for p in params if _is_col(p)]
     spec: list[tuple[bool, Any]] = [(_is_col(p), p) for p in params]
+    out_type = T.StructType(
+        [
+            T.StructField("failed", T.BooleanType()),
+            T.StructField("value", T.StringType()),
+        ]
+    )
 
-    @F.udf(returnType=T.StructType([
-        T.StructField("failed", T.BooleanType()),
-        T.StructField("value", T.StringType()),
-    ]))
-    def run(v: str, *cols: str):
-        args = []
-        it = iter(cols)
-        for is_c, p in spec:
-            args.append(next(it) if is_c else p)
-        try:
-            with warnings.catch_warnings():
-                warnings.simplefilter("error", category=AdtlTransformationWarning)
-                out = fn(v, *args)
-            return (False, _py_render(out))
-        except AdtlTransformationWarning:
-            return (True, None)
+    def run(*series):
+        values = series[0]
+        failed = []
+        rendered = []
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", category=AdtlTransformationWarning)
+            for i in range(len(values)):
+                args = []
+                it = iter(series[1:])
+                for is_c, p in spec:
+                    args.append(next(it).iloc[i] if is_c else p)
+                try:
+                    out = fn(values.iloc[i], *args)
+                    failed.append(False)
+                    rendered.append(_py_render(out))
+                except AdtlTransformationWarning:
+                    failed.append(True)
+                    rendered.append(None)
+        return pd.DataFrame({"failed": failed, "value": rendered})
 
-    res = run(value, *col_params)
+    # variadic signature defeats type-hint inference; pass the eval type
+    # explicitly (SCALAR pandas UDF)
+    run_udf = F.pandas_udf(run, returnType=out_type, functionType=F.PandasUDFType.SCALAR)
+    res = run_udf(value, *col_params)
     return (
         F.when(res["failed"], fail_value).otherwise(res["value"]),
         "dynamic",

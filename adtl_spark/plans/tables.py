@@ -211,6 +211,52 @@ def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:
     return F.max_by(col, rid)
 
 
+def group_conflicts(
+    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+) -> DataFrame:
+    """Verbose-mode overwrite detection (reference: parser.py:603-614 warns
+    per group when a lastNotNull attribute has conflicting values).  Spark
+    shape: one aggregation returning, per attribute, how many groups carry
+    more than one distinct value — the actionable summary instead of a
+    per-row warning stream."""
+    meta = spec.tables[table]
+    group_field = meta["groupBy"]
+    table_spec = spec.table_specs[table]
+    stage: dict[str, Column] = {}
+    cols = []
+    plain_attrs = []
+    for attr, rule in table_spec.items():
+        if attr == group_field:
+            cols.append(
+                compiler.compile_value(rule, attr, stage=stage).col.alias(attr)
+            )
+            continue
+        if isinstance(rule, dict) and "combinedType" in rule:
+            continue  # folds aggregate by design; only plain attrs can clash
+        v = compiler.compile_value(rule, attr, stage=stage)
+        plain_attrs.append(attr)
+        cols.append(_wide_cell(v).alias(attr))
+    projected = _with_stage(df, stage).select(*cols)
+    per_group = projected.groupBy(group_field).agg(
+        *[
+            F.count_distinct(F.when(F.col(a) != "", F.col(a))).alias(a)
+            for a in plain_attrs
+        ]
+    )
+    counts = per_group.select(
+        [
+            F.sum((F.col(a) > 1).cast("long")).alias(a)
+            for a in plain_attrs
+        ]
+    )
+    schema = "attribute string, n_conflicting_groups long"
+    if not plain_attrs:
+        return df.sparkSession.createDataFrame([], schema)
+    row = counts.collect()[0]
+    rows = [(a, int(row[a] or 0)) for a in plain_attrs]
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
 def _dynamic_min_max(cell: Column, value: Value, combined: str) -> Column:
     """Python min()/max() over a group's dynamic values: numeric when every
     value parses as a number, lexicographic otherwise (ISO dates compare

@@ -90,6 +90,13 @@ def write_csv_single(df: DataFrame, output: str | None = None) -> str | None:
     return None
 
 
-def write_parquet(df: DataFrame, path: str) -> None:
-    """S7 parquet sink (arrays stay native ArrayType)."""
-    df.write.mode("overwrite").parquet(path)
+def write_parquet(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """S7 parquet sink (arrays stay native ArrayType).  ``partition_by``
+    enables hive-style directory partitioning — the scale path for outputs
+    consumed by partition-pruned downstream scans."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -130,3 +130,28 @@ def test_single_row_group_passthrough(spark):
     }
     out = run(spark, meta, rules, [{"id": "solo", "n": "5"}])
     assert out == [{"sid": "solo", "v": 5}]
+
+
+def test_conflict_detection(spark):
+    from adtl_spark.api import Parser
+    from adtl_spark.sources.io import dataframe_from_rows
+
+    spec = {
+        "adtl": {
+            "name": "g",
+            "description": "",
+            "tables": {
+                "tab": {"kind": "groupBy", "groupBy": "sid", "aggregation": "lastNotNull"}
+            },
+        },
+        "tab": {"sid": {"field": "id"}, "v": {"field": "x"}, "w": {"field": "y"}},
+    }
+    rows = [
+        {"id": "a", "x": "1", "y": "same"},
+        {"id": "a", "x": "2", "y": "same"},  # x conflicts, y does not
+        {"id": "b", "x": "3", "y": ""},
+    ]
+    p = Parser(spec, spark=spark)
+    source = dataframe_from_rows(spark, rows)
+    out = {r["attribute"]: r["n_conflicting_groups"] for r in p.conflicts("tab", source).collect()}
+    assert out == {"v": 1, "w": 0}
