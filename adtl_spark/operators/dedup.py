@@ -477,6 +477,79 @@ def simhash_pairs(
     )
 
 
+def cluster_pairs(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list: every member
+    labeled with the smallest id in its component (the canonical doc).
+
+    Each round does (a) neighbor-min adoption — every node takes the
+    smallest label among itself and its neighbors — and (b) pointer
+    jumping — ``label(x) <- label(label(x))`` — so the effective radius
+    doubles per round and a component of diameter d converges in
+    O(log d) shuffles, not O(d).  Intermediate label tables are
+    ``localCheckpoint``-ed: iterative plans otherwise grow lineage (and
+    codegen) exponentially.
+
+    Returns (doc_id, canonical_id) for every node appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        adopted = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        parent = adopted.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            adopted.join(parent, adopted.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def simhash_oracle_sql(table: str) -> str:
     """DuckDB twin of ``simhash`` (signatures only — the pair query's twin
     composes this with the same banding)."""

@@ -89,6 +89,16 @@ def truthy(col: Column) -> Column:
     return col.isNotNull() & ~col.isin("False", "0", "0.0", "-0.0", "")
 
 
+def _parses_numeric(rendered: str | None) -> bool:
+    if rendered is None:
+        return False
+    try:
+        float(rendered)
+        return True
+    except ValueError:
+        return False
+
+
 def _unify_literal_types(values: list[Any]) -> str:
     kinds = set()
     for v in values:
@@ -310,8 +320,17 @@ class RuleCompiler:
             mapped = lookup if passthrough else F.lit(None).cast("string")
         elif passthrough:
             mapped = mapped.otherwise(lookup)
+        hint = _unify_literal_types(list(mapping.values()))
+        if hint == "dynamic" and not passthrough:
+            # closed output domain: when no rendered literal re-parses as a
+            # number, the final int/float coercion is the identity — mark
+            # the column str so the regex pass is skipped entirely
+            if all(
+                not _parses_numeric(R.render_literal(v)) for v in mapping.values()
+            ):
+                hint = "str"
         # post-map "" -> null (maps may deliberately send values to None)
-        return F.nullif(mapped, F.lit("")), _unify_literal_types(list(mapping.values()))
+        return F.nullif(mapped, F.lit("")), hint
 
     def _enum_list(self, value: Column, rule: StrDict) -> Column:
         """P6 enum_list: '[a, b]' -> per-element value mapping

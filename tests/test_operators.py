@@ -128,3 +128,22 @@ def test_repartition_by_bytes(spark):
     out = M.repartition_by_bytes(media, target_partition_bytes=1024)
     assert out.count() == 32
     assert out.rdd.getNumPartitions() >= 2
+
+
+def test_cluster_pairs_connected_components(spark):
+    # components: {1,2,3,4} via chain, {10,11}, singletons absent from pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["canonical_id"] for r in D.cluster_pairs(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["canonical_id"] for r in D.cluster_pairs(pairs).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == n + 1
