@@ -17,6 +17,7 @@ from adtl_spark.session import get_spark
 from adtl_spark.sources.io import (
     dataframe_from_rows,
     read_csv_source,
+    read_source,
     write_csv_single,
     write_parquet,
 )
@@ -72,7 +73,7 @@ class Parser:
     def parse(
         self, file: str | Path, encoding: str = "UTF-8", skip_validation: bool = False
     ) -> "Parser":
-        source = read_csv_source(self.spark, str(file), encoding=encoding)
+        source = read_source(self.spark, str(file), encoding=encoding)
         return self._run(source, skip_validation)
 
     def parse_rows(

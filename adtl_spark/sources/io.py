@@ -27,7 +27,10 @@ from adtl_spark.spec import StrDict
 def read_csv_source(
     spark: SparkSession, path: str, encoding: str = "UTF-8"
 ) -> DataFrame:
-    """All-string CSV read; no schema inference (S1)."""
+    """All-string CSV read; no schema inference (S1).  Accepts globs /
+    directories; with multiple input files the captured row order follows
+    Spark's file-split ordering (documented multi-file caveat — the
+    reference reads exactly one file)."""
     return (
         spark.read.option("header", True)
         .option("inferSchema", False)
@@ -35,6 +38,20 @@ def read_csv_source(
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+
+
+def read_source(
+    spark: SparkSession, path: str, encoding: str = "UTF-8"
+) -> DataFrame:
+    """Source dispatch by extension — the engine's Spark-first extension of
+    S1: json-lines and parquet sources work with the same specs (every
+    column is stringified by the rule compiler)."""
+    lower = path.lower()
+    if lower.endswith(".json") or lower.endswith(".jsonl") or lower.endswith(".ndjson"):
+        return spark.read.json(path)
+    if lower.endswith(".parquet"):
+        return spark.read.parquet(path)
+    return read_csv_source(spark, path, encoding=encoding)
 
 
 def dataframe_from_rows(spark: SparkSession, rows: Iterable[StrDict]) -> DataFrame:

@@ -93,6 +93,36 @@ def _property_checks(
     if prop.get("format") == "date" and not is_arr:
         parsed = F.try_to_timestamp(col, F.lit("yyyy-M-d"))
         checks.append((present & parsed.isNull(), f"data.{attr} must be date"))
+    if "minimum" in prop and not is_arr:
+        num = F.when(R.is_numeric_string(col), col.cast("double"))
+        checks.append(
+            (
+                present & num.isNotNull() & (num < float(prop["minimum"])),
+                f"data.{attr} must be bigger than or equal to {prop['minimum']}",
+            )
+        )
+    if "maximum" in prop and not is_arr:
+        num = F.when(R.is_numeric_string(col), col.cast("double"))
+        checks.append(
+            (
+                present & num.isNotNull() & (num > float(prop["maximum"])),
+                f"data.{attr} must be smaller than or equal to {prop['maximum']}",
+            )
+        )
+    if "minLength" in prop and not is_arr:
+        checks.append(
+            (
+                present & (F.length(col) < int(prop["minLength"])),
+                f"data.{attr} must be longer than or equal to {prop['minLength']} characters",
+            )
+        )
+    if "maxLength" in prop and not is_arr:
+        checks.append(
+            (
+                present & (F.length(col) > int(prop["maxLength"])),
+                f"data.{attr} must be shorter than or equal to {prop['maxLength']} characters",
+            )
+        )
     if "items" in prop and is_arr and "enum" in prop.get("items", {}):
         rendered = [R.render_literal(v) for v in prop["items"]["enum"]]
         bad = F.exists(col, lambda x: ~x.isin(*rendered))

@@ -1,0 +1,84 @@
+"""CLI surface (reference: src/adtl/cli.py parse/check subcommands)."""
+
+import json
+import textwrap
+
+import pytest
+
+from adtl_spark.cli import main
+
+SPEC_TOML = textwrap.dedent(
+    """\
+    [adtl]
+    name = "clitest"
+    description = "cli test"
+
+    [adtl.tables.subject]
+    kind = "oneToOne"
+
+    [subject.subject_id]
+    field = "sid"
+
+    [subject.sex]
+    field = "sex"
+    [subject.sex.values]
+    1 = "male"
+    2 = "female"
+    """
+)
+
+CSV = "sid,sex,extra\nA1,1,x\nA2,2,y\n"
+
+
+@pytest.fixture()
+def workdir(tmp_path, spark):
+    (tmp_path / "spec.toml").write_text(SPEC_TOML)
+    (tmp_path / "data.csv").write_text(CSV)
+    return tmp_path
+
+
+def test_cli_parse_csv(workdir, capsys):
+    out_prefix = str(workdir / "out")
+    rc = main(
+        ["parse", str(workdir / "spec.toml"), str(workdir / "data.csv"), "-o", out_prefix, "-q"]
+    )
+    assert rc == 0
+    content = (workdir / "out-subject.csv").read_text()
+    assert content.splitlines()[0] == "sex,subject_id"
+    assert "male,A1" in content
+
+
+def test_cli_parse_json_source(workdir):
+    src = workdir / "data.jsonl"
+    src.write_text('{"sid": "B1", "sex": "2"}\n')
+    rc = main(
+        ["parse", str(workdir / "spec.toml"), str(src), "-o", str(workdir / "j"), "-q"]
+    )
+    assert rc == 0
+    assert "female,B1" in (workdir / "j-subject.csv").read_text()
+
+
+def test_cli_check(workdir, capsys):
+    rc = main(["check", str(workdir / "spec.toml"), str(workdir / "data.csv")])
+    captured = capsys.readouterr().out
+    assert rc == 0
+    assert "extra" in captured  # unmapped field warned
+
+
+def test_cli_save_report(workdir, tmp_path):
+    report_file = tmp_path / "report.json"
+    rc = main(
+        [
+            "parse",
+            str(workdir / "spec.toml"),
+            str(workdir / "data.csv"),
+            "-o",
+            str(workdir / "r"),
+            "-q",
+            "--save-report",
+            str(report_file),
+        ]
+    )
+    assert rc == 0
+    report = json.loads(report_file.read_text())
+    assert set(report) == {"total", "total_valid", "validation_errors"}
