@@ -52,6 +52,42 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _topk_per_query(sims: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k in two phases: each scan partition keeps its
+    local k best (sorted-array slice, map-side), then only partitions*k
+    candidate rows shuffle for the final merge.  A plain rank-window would
+    shuffle and sort EVERY similarity row per query — the difference
+    between moving k*partitions rows and the whole corpus at scale.
+
+    Ordering: cos desc, corpus_id asc (deterministic under ties) — encoded
+    in the sort key as (cos, -corpus_id) descending."""
+    keyed = sims.select(
+        "query_id",
+        F.struct(
+            F.col("cos").alias("cos"),
+            (-F.col("corpus_id")).alias("neg_id"),
+            F.col("corpus_id").alias("corpus_id"),
+        ).alias("sk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    partial = keyed.groupBy("query_id", "pid").agg(
+        F.slice(F.sort_array(F.collect_list("sk"), asc=False), 1, k).alias("top")
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top")), asc=False), 1, k
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "sk")
+    ).select(
+        "query_id",
+        F.col("sk.corpus_id").alias("corpus_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.round(F.col("sk.cos"), 4).alias("cos"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -72,19 +108,7 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 4).alias("cos"),
-        )
-    )
+    return _topk_per_query(sims, k)
 
 
 def cosine_topk_oracle_sql(table: str, k: int, n_queries: int) -> str:
@@ -157,19 +181,7 @@ def ann_lsh(
         .filter(F.col("query_id") != F.col("corpus_id"))
         .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("corpus_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "corpus_id",
-            F.col("rank").cast("long").alias("rank"),
-            F.round("cos", 4).alias("cos"),
-        )
-    )
+    return _topk_per_query(sims, k)
 
 
 def embedding_neardup(

@@ -27,7 +27,9 @@ HEADLINE = [
     "a2_last_not_null",
     "a3_combined_fold",
     "r1_one_to_many",
+    "q3_shipping_priority",
     "t7_duration_days",
+    "dedup_apply_anti_join",
     "w1_sessionize",
     "w3_topn_per_group",
     "text_quality",

@@ -147,3 +147,20 @@ def test_cluster_pairs_long_chain_converges(spark):
     out = {r["doc_id"]: r["canonical_id"] for r in D.cluster_pairs(pairs).collect()}
     assert set(out.values()) == {0}
     assert len(out) == n + 1
+
+
+def test_salted_join_matches_plain_join(spark):
+    from adtl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"k{i % 5}")], ["key", "v"]
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("k0", "A"), ("k1", "B"), ("k9", "Z")], ["key", "label"]
+    )
+    plain = fact.join(dim, "key").groupBy("key", "label").count()
+    salted = salted_join(fact, dim, "key", salt_buckets=8).groupBy("key", "label").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    left_plain = fact.join(dim, "key", "left").count()
+    left_salted = salted_join(fact, dim, "key", salt_buckets=8, how="left").count()
+    assert left_plain == left_salted
