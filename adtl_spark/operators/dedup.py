@@ -149,15 +149,16 @@ def dedup_ngram_jaccard(
     """
     from pyspark.sql import Window
 
+    # the shingle relation feeds three consumers (prefix join, doc-set
+    # arrays, frequency filter); persist the compact (id, sh, df) rows so
+    # tokenization+explode runs once, not three times
     sh = shingle_df(df, text_col, id_col, n)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # one cheap metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= cap), "sh")
-    else:
-        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq, "sh")
+        freq = freq.filter(F.col("df_") <= cap)
+    sh = sh.join(freq, "sh").persist()
 
     # PPJoin prefix filter (lossless): two docs with jaccard >= t must share
     # a shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles when
