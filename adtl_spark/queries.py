@@ -439,6 +439,53 @@ def w3_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def t3_word_substitute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 wordSubstituteSet: regex word-boundary matches -> sorted deduped
+    substitution set (rendered as a joined string)."""
+    o = _t(spark, sf_dir, "orders")
+    pairs = [("URGENT|HIGH", "expedite"), ("LOW", "relaxed"), ("MEDIUM", "normal")]
+    branches = [
+        F.when(F.col("o_orderpriority").rlike(r"(?i)\b(?:" + w + r")\b"), F.lit(s))
+        for w, s in pairs
+    ]
+    matches = F.array_sort(
+        F.array_distinct(F.filter(F.array(*branches), lambda x: x.isNotNull()))
+    )
+    return o.select(
+        "o_orderkey",
+        F.when(F.size(matches) > 0, F.array_join(matches, ",")).alias("priority_class"),
+    )
+
+
+def p6_enum_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 enum_list: a '[a, b]'-shaped cell split and element-wise
+    value-mapped (the compiled enum_list path), rendered as a joined
+    string."""
+    o = _t(spark, sf_dir, "orders")
+    cell = F.concat(
+        F.lit("["), F.col("o_orderstatus"), F.lit(", "), F.col("o_orderpriority"), F.lit("]")
+    )
+    elements = F.split(F.regexp_replace(cell, r"^\[+|\]+$", ""), ",")
+    mapping = {
+        "O": "open", "F": "fulfilled", "P": "pending",
+        "1-URGENT": "u", "2-HIGH": "h", "3-MEDIUM": "m",
+        "4-NOT SPECIFIED": "n", "5-LOW": "l",
+    }
+
+    def map_elem(e):
+        trimmed = F.trim(e)
+        out = None
+        for k, v in mapping.items():
+            cond = trimmed == k
+            out = F.when(cond, F.lit(v)) if out is None else out.when(cond, F.lit(v))
+        return out
+    mapped = F.transform(elements, lambda e: F.coalesce(map_elem(e), F.lit("?")))
+    return o.select(
+        "o_orderkey",
+        F.array_join(mapped, ",").alias("mapped_list"),
+    )
+
+
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped three-way join: broadcast the filtered customer
     dimension, shuffle-join orders with lineitem, aggregate revenue.
@@ -733,6 +780,36 @@ def oracles() -> dict[str, str]:
             SELECT o_orderkey, 'urgent', 'flagged'
             FROM orders WHERE regexp_matches(o_orderpriority, '^(?:1-URGENT)', 'i')
         """,
+        "t3_word_substitute": """
+            WITH m AS (
+              SELECT o_orderkey,
+                     list_sort(list_distinct(list_filter([
+                       CASE WHEN regexp_matches(o_orderpriority, '\\b(?:URGENT|HIGH)\\b', 'i') THEN 'expedite' END,
+                       CASE WHEN regexp_matches(o_orderpriority, '\\b(?:LOW)\\b', 'i') THEN 'relaxed' END,
+                       CASE WHEN regexp_matches(o_orderpriority, '\\b(?:MEDIUM)\\b', 'i') THEN 'normal' END
+                     ], x -> x IS NOT NULL))) AS matches
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   CASE WHEN len(matches) > 0 THEN array_to_string(matches, ',') END AS priority_class
+            FROM m
+        """,
+        "p6_enum_list": """
+            WITH cells AS (
+              SELECT o_orderkey,
+                     string_split(regexp_replace('[' || o_orderstatus || ', ' || o_orderpriority || ']',
+                                                 '^\\[+|\\]+$', '', 'g'), ',') AS elements
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   array_to_string(list_transform(elements, e ->
+                     coalesce(CASE trim(e) WHEN 'O' THEN 'open' WHEN 'F' THEN 'fulfilled'
+                                  WHEN 'P' THEN 'pending' WHEN '1-URGENT' THEN 'u'
+                                  WHEN '2-HIGH' THEN 'h' WHEN '3-MEDIUM' THEN 'm'
+                                  WHEN '4-NOT SPECIFIED' THEN 'n' WHEN '5-LOW' THEN 'l'
+                     END, '?')), ',') AS mapped_list
+            FROM cells
+        """,
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderpriority,
                    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
@@ -907,6 +984,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p10_sensitive_hash": p10_sensitive_hash,
         "t7_duration_days": t7_duration_days,
         "p8_unit_convert": p8_unit_convert,
+        "t3_word_substitute": t3_word_substitute,
+        "p6_enum_list": p6_enum_list,
         "t4_get_float": t4_get_float,
         "t10_make_date": t10_make_date,
         "v2_validation_report": v2_validation_report,
