@@ -134,3 +134,40 @@ def test_sessionize_stream(spark, tmp_path):
     for r in rows:
         per_user.setdefault(r["user_id"], []).append(r["n_events"])
     assert all(5 in counts for counts in per_user.values())
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    import json
+
+    from adtl_spark.streaming.stateful import stream_dedup_exact
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "alpha beta"},   # replay of 1's content
+        {"doc_id": 3, "text": "gamma delta"},
+        {"doc_id": 4, "text": "gamma delta"},  # replay
+        {"doc_id": 5, "text": "unique text"},
+    ]
+    (src / "batch1.json").write_text("\n".join(json.dumps(d) for d in docs))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    deduped = stream_dedup_exact(stream, shards=4)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT doc_id FROM dedup_stream").collect()
+    emitted = sorted(r["doc_id"] for r in rows)
+    # one doc per distinct content, first occurrence wins
+    assert len(emitted) == 3
+    assert 5 in emitted
+    assert not ({1, 2} <= set(emitted))
+    assert not ({3, 4} <= set(emitted))
