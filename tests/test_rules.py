@@ -341,3 +341,35 @@ def test_schema_coercion(spark, tmp_path):
     assert out[0]["n_int"] == 2
     assert out[0]["n_num"] == 2.5
     assert out[1]["n_int"] == 3
+
+
+def test_empty_source_produces_empty_tables(spark):
+    spec = {
+        "adtl": {
+            "name": "empty",
+            "description": "",
+            "tables": {
+                "wide": {"kind": "oneToOne"},
+                "grouped": {
+                    "kind": "groupBy",
+                    "groupBy": "sid",
+                    "aggregation": "applyCombinedType",
+                },
+                "long": {"kind": "oneToMany"},
+            },
+        },
+        "wide": {"v": {"field": "x"}},
+        "grouped": {
+            "sid": {"field": "x"},
+            "m": {"combinedType": "min", "fields": [{"field": "x"}]},
+        },
+        "long": [{"name": "n", "if": {"x": "1"}}],
+    }
+    from adtl_spark.sources.io import dataframe_from_rows
+
+    # schema present, zero rows
+    src = dataframe_from_rows(spark, [{"x": "seed"}]).limit(0)
+    p = Parser(spec, spark=spark).parse_dataframe(src, skip_validation=True)
+    assert p.table("wide").count() == 0
+    assert p.table("grouped").count() == 0
+    assert p.table("long").count() == 0
