@@ -55,6 +55,7 @@ class Parser:
         spark: SparkSession | None = None,
         quiet: bool = True,
         verbose: bool = False,
+        ordered_output: bool = True,
     ) -> None:
         self.spec = CompiledSpec(spec, include_defs=include_defs)
         self.name = self.spec.name
@@ -64,6 +65,7 @@ class Parser:
             load_custom_transformations(include_transform) if include_transform else {}
         )
         self.spark = spark or get_spark()
+        self.ordered_output = ordered_output
         self.data: dict[str, DataFrame] = {}
         self.report: dict[str, Any] = {}
         self.report_available = False
@@ -94,7 +96,11 @@ class Parser:
 
     def _run(self, source: DataFrame, skip_validation: bool) -> "Parser":
         tables = build_all_tables(
-            self.spec, source, self.spark, self.custom_transforms
+            self.spec,
+            source,
+            self.spark,
+            self.custom_transforms,
+            ordered_output=self.ordered_output,
         )
         if not skip_validation:
             tables = {

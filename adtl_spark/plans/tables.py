@@ -56,7 +56,13 @@ def build_all_tables(
     df: DataFrame,
     spark: SparkSession,
     custom_transforms: dict[str, Callable] | None = None,
+    ordered_output: bool = True,
 ) -> dict[str, DataFrame]:
+    """``ordered_output`` controls the reference-parity total order on
+    groupBy tables (groups in first-encounter order).  That final sort is
+    correct but costs a global range exchange; pipelines that don't need
+    row-order parity (anything feeding another Spark job) should disable
+    it."""
     compiler = RuleCompiler(spec, df.columns, custom_transforms)
     out: dict[str, DataFrame] = {}
     needs_row_id = any(
@@ -72,7 +78,7 @@ def build_all_tables(
         elif kind == "oneToMany":
             out[table] = _one_to_many_table(spec, table, df, compiler)
         elif meta.get("groupBy"):
-            out[table] = _group_by_table(spec, table, df, compiler)
+            out[table] = _group_by_table(spec, table, df, compiler, ordered_output)
         else:
             out[table] = _one_to_one_table(spec, table, df, compiler)
     return out
@@ -138,7 +144,11 @@ def _one_to_one_table(
 
 
 def _group_by_table(
-    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+    spec: CompiledSpec,
+    table: str,
+    df: DataFrame,
+    compiler: RuleCompiler,
+    ordered_output: bool = True,
 ) -> DataFrame:
     meta = spec.tables[table]
     group_field = meta["groupBy"]
@@ -170,12 +180,10 @@ def _group_by_table(
 
     # groups emitted in first-encounter (file) order — the reference's
     # insertion-ordered dict yields exactly this (parser.py:619-637)
-    return (
-        projected.groupBy(F.col(group_field))
-        .agg(*aggs)
-        .orderBy(ROW_ID)
-        .select(group_field, *[a for a in values if a != group_field])
-    )
+    grouped = projected.groupBy(F.col(group_field)).agg(*aggs)
+    if ordered_output:
+        grouped = grouped.orderBy(ROW_ID)
+    return grouped.select(group_field, *[a for a in values if a != group_field])
 
 
 def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:

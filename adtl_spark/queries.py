@@ -327,7 +327,9 @@ def adtl_engine_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         },
     }
-    p = Parser(spec, spark=spark).parse_dataframe(li, skip_validation=True)
+    p = Parser(spec, spark=spark, ordered_output=False).parse_dataframe(
+        li, skip_validation=True
+    )
     out = p.table("orders_rollup")
     return out.select(
         F.col("order_id").cast("long").alias("order_id"),
