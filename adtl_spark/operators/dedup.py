@@ -146,14 +146,42 @@ def dedup_ngram_jaccard(
     sum(df^2) join rows for near-zero discriminative power — the cap is what
     keeps this operator sub-quadratic at 100 TB (and it is part of the
     operator's definition: the DuckDB oracle applies the same cap).
+
+    Exact duplicates are collapsed before shingling and pairs are expanded
+    back afterwards — byte-identical semantics (duplicate docs have
+    identical shingle sets; document frequencies are weighted by group
+    multiplicity so the cap behaves exactly as on the raw corpus) at a
+    fraction of the join cost on duplicate-heavy corpora.
     """
     from pyspark.sql import Window
+
+    # ---- exact-duplicate collapse (semantics-preserving) -----------------
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.sha2(F.col(text_col), 256).alias("__th"),
+    )
+    groups = hashed.groupBy("__th").agg(
+        F.min("id").alias("__canon"),
+        F.count(F.lit(1)).alias("__gsize"),
+    )
+    membership = hashed.select("id", "__th").join(groups, "__th").persist()
+    canon = (
+        membership.filter(F.col("id") == F.col("__canon"))
+        .join(hashed, "id")
+        .select(F.col("id"), F.col("__text").alias(text_col), F.col("__gsize"))
+    )
 
     # the shingle relation feeds three consumers (prefix join, doc-set
     # arrays, frequency filter); persist the compact (id, sh, df) rows so
     # tokenization+explode runs once, not three times
-    sh = shingle_df(df, text_col, id_col, n)
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    sh = shingle_df(canon, text_col, "id", n)
+    weights = canon.select(F.col("id"), F.col("__gsize"))
+    freq = (
+        sh.join(weights, "id")
+        .groupBy("sh")
+        .agg(F.sum("__gsize").alias("df_"))  # multiplicity-weighted df
+    )
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # one cheap metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
@@ -214,8 +242,37 @@ def dedup_ngram_jaccard(
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
-    return pairs.select(
+
+    # ---- expand canonical pairs back to all duplicate members ------------
+    mem_a = membership.select(F.col("__canon").alias("id_a"), F.col("id").alias("m_a"))
+    mem_b = membership.select(F.col("__canon").alias("id_b"), F.col("id").alias("m_b"))
+    cross = (
+        pairs.join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    # within-group pairs: identical texts are jaccard 1.0 — but only when
+    # the capped shingle set is non-empty (the naive form's 0/0 yields null
+    # and drops the pair)
+    eligible = doc_sets.select(F.col("id").alias("__canon"))
+    wm = membership.join(eligible, "__canon").select("__th", "id")
+    within = (
+        wm.alias("wa")
+        .join(wm.alias("wb"), "__th")
+        .filter(F.col("wa.id") < F.col("wb.id"))
+        .select(
+            F.col("wa.id").alias("id_a"),
+            F.col("wb.id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
     )
 
