@@ -20,7 +20,7 @@ element order — bit-identical to the DuckDB twin (both fold left-to-right).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import re
 import uuid as uuid_mod
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass
 from functools import reduce
 from typing import Any, Callable, Sequence
 

@@ -31,13 +31,19 @@ def read_csv_source(
     directories; with multiple input files the captured row order follows
     Spark's file-split ordering (documented multi-file caveat — the
     reference reads exactly one file)."""
-    return (
+    df = (
         spark.read.option("header", True)
         .option("inferSchema", False)
         .option("encoding", encoding)
         .option("mode", "PERMISSIVE")
         .csv(path)
     )
+    # utf-8-sig parity (the reference's default encoding): a BOM survives
+    # into the first header name under plain UTF-8 reads
+    first = df.columns[0] if df.columns else None
+    if first and first.startswith("﻿"):
+        df = df.withColumnRenamed(first, first.lstrip("﻿"))
+    return df
 
 
 def read_source(

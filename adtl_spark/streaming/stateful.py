@@ -14,7 +14,6 @@ these operators need *arbitrary* per-key state:
 
 from __future__ import annotations
 
-import hashlib
 from typing import Any, Iterable, Iterator
 
 import pandas as pd

@@ -82,3 +82,15 @@ def test_cli_save_report(workdir, tmp_path):
     assert rc == 0
     report = json.loads(report_file.read_text())
     assert set(report) == {"total", "total_valid", "validation_errors"}
+
+
+def test_bom_in_source_header(workdir, spark):
+    from adtl_spark.api import Parser
+
+    bom_csv = workdir / "bom.csv"
+    bom_csv.write_bytes("﻿sid,sex\nZ1,1\n".encode("utf-8"))
+    p = Parser(str(workdir / "spec.toml"), spark=spark).parse(
+        str(bom_csv), skip_validation=True
+    )
+    out = list(p.read_table("subject"))
+    assert out == [{"subject_id": "Z1", "sex": "male"}]
