@@ -496,6 +496,32 @@ class RuleCompiler:
                 combined_type=ctype,
             )
 
+        exclude = rule.get("excludeWhen")
+        if ctype in ("list", "set") and exclude not in (None, "none", "false-like") and not isinstance(exclude, list):
+            raise SpecError(
+                "excludeWhen rule should be 'none', 'false-like', or a list"
+            )
+
+        all_scalar = not any(v.is_array for v in sub_values)
+        if ctype in ("list", "set") and all_scalar:
+            # scalar-only fold without higher-order functions: HOFs have no
+            # codegen, and ONE of them in a Project forces the whole stage
+            # interpreted — conditional single-element arrays + concat keep
+            # the plan inside whole-stage codegen
+            empty = F.array().cast("array<string>")
+            parts = []
+            for v in sub_values:
+                keep = self._exclude_keep(v.col, exclude)
+                parts.append(
+                    F.when(keep, F.array(v.col)).otherwise(empty)
+                    if keep is not None
+                    else F.array(v.col)
+                )
+            flat = F.concat(*parts) if len(parts) > 1 else parts[0]
+            if ctype == "set":
+                flat = F.array_distinct(flat)
+            return Value(flat, is_array=True, type_hint="str", combined_type=ctype)
+
         # list-producing folds flatten arrays and scalars together
         parts = [
             v.col if v.is_array else F.array(v.col) for v in sub_values
@@ -510,7 +536,6 @@ class RuleCompiler:
         if ctype in ("list", "set"):
             if ctype == "set":
                 flat = F.array_distinct(flat)
-            exclude = rule.get("excludeWhen")
             if exclude == "none":
                 flat = F.filter(flat, lambda x: x.isNotNull())
             elif exclude == "false-like":
@@ -521,12 +546,21 @@ class RuleCompiler:
                     flat,
                     lambda x: x.isNull() | ~x.isin(*rendered),
                 )
-            elif exclude is not None:
-                raise SpecError(
-                    "excludeWhen rule should be 'none', 'false-like', or a list"
-                )
             return Value(flat, is_array=True, type_hint="str", combined_type=ctype)
         raise SpecError(f"unknown combinedType: {ctype!r}")
+
+    @staticmethod
+    def _exclude_keep(col: Column, exclude: Any) -> Column | None:
+        """Element-keep predicate for excludeWhen on a scalar sub-value;
+        None means keep unconditionally."""
+        if exclude == "none":
+            return col.isNotNull()
+        if exclude == "false-like":
+            return truthy(col)
+        if isinstance(exclude, list):
+            rendered = [R.render_literal(v) for v in exclude]
+            return col.isNull() | ~col.isin(*rendered)
+        return None
 
     @staticmethod
     def _min_max_scalars(
