@@ -74,3 +74,36 @@ def test_group_by_single_shuffle(spark):
     plan = physical_plan(p.table("subject"))
     # one shuffle for the groupBy, nothing else
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_wide_spec_compiles_and_runs(spark):
+    """Compile-time and plan-size robustness: a 60-block oneToMany plus a
+    40-attribute wide table over a 120-column source must compile and
+    execute without codegen/analysis blowups."""
+    n_cols = 120
+    rules = {f"out_{i}": {"field": f"c{i}"} for i in range(40)}
+    rules["mapped"] = {
+        "field": "c0",
+        "values": {str(k): f"v{k}" for k in range(50)},
+    }
+    blocks = [
+        {"name": f"b{i}", "v": {"field": f"c{i % n_cols}"}, "if": {f"c{i % n_cols}": {"!=": ""}}}
+        for i in range(60)
+    ]
+    spec = {
+        "adtl": {
+            "name": "wide",
+            "description": "",
+            "tables": {
+                "wide": {"kind": "oneToOne"},
+                "long": {"kind": "oneToMany"},
+            },
+        },
+        "wide": rules,
+        "long": blocks,
+    }
+    rows = [{f"c{i}": str(i) for i in range(n_cols)} for _ in range(50)]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    assert p.table("wide").count() == 50
+    assert p.table("long").count() == 50 * 60
+    assert physical_plan(p.table("long")).count("Scan") == 1
