@@ -104,16 +104,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 
 def shingle_df(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, carry: list[str] | None = None
 ) -> DataFrame:
-    """(id, shingle_hash) pairs, one row per distinct word-n-gram per doc.
+    """(id, shingle_hash[, *carry]) pairs, one row per distinct word-n-gram
+    per doc.  ``carry`` columns ride along on every shingle row (cheap for
+    narrow columns; saves the caller a join back to the doc table).
 
     Tokenization is materialized as its own projection first: expressions
     inside higher-order-function lambdas are not common-subexpression-
     eliminated by Catalyst, so referencing the tokenizer inline would re-run
     the regex split once per shingle instead of once per document."""
+    carry = carry or []
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-    tokenized = df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+    tokenized = df.select(F.col(id_col).alias("id"), toks.alias("toks"), *carry)
     tcol = F.col("toks")
     idx = F.sequence(F.lit(1), F.greatest(F.size(tcol) - (n - 1), F.lit(1)))
     grams = F.array_distinct(
@@ -125,8 +128,8 @@ def shingle_df(
         )
     )
     return tokenized.select(
-        "id", F.explode(grams).alias("shingle")
-    ).select("id", md5_60(F.col("shingle")).alias("sh"))
+        "id", F.explode(grams).alias("shingle"), *carry
+    ).select("id", md5_60(F.col("shingle")).alias("sh"), *carry)
 
 
 def dedup_ngram_jaccard(
@@ -156,37 +159,41 @@ def dedup_ngram_jaccard(
     from pyspark.sql import Window
 
     # ---- exact-duplicate collapse (semantics-preserving) -----------------
+    # one shuffle: identical texts share a hash, so any_value picks the
+    # text and min(id) the canonical doc in the same aggregation
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.col(text_col).alias("__text"),
         F.sha2(F.col(text_col), 256).alias("__th"),
     )
-    groups = hashed.groupBy("__th").agg(
+    canon_full = hashed.groupBy("__th").agg(
         F.min("id").alias("__canon"),
+        F.any_value("__text").alias("__ctext"),
         F.count(F.lit(1)).alias("__gsize"),
     )
-    membership = hashed.select("id", "__th").join(groups, "__th").persist()
-    canon = (
-        membership.filter(F.col("id") == F.col("__canon"))
-        .join(hashed, "id")
-        .select(F.col("id"), F.col("__text").alias(text_col), F.col("__gsize"))
+    membership = (
+        hashed.select("id", "__th")
+        .join(canon_full.select("__th", "__canon"), "__th")
+        .persist()
+    )
+    canon = canon_full.select(
+        F.col("__canon").alias("id"),
+        F.col("__ctext").alias(text_col),
+        F.col("__gsize"),
     )
 
     # the shingle relation feeds three consumers (prefix join, doc-set
     # arrays, frequency filter); persist the compact (id, sh, df) rows so
     # tokenization+explode runs once, not three times
-    sh = shingle_df(canon, text_col, "id", n)
-    weights = canon.select(F.col("id"), F.col("__gsize"))
-    freq = (
-        sh.join(weights, "id")
-        .groupBy("sh")
-        .agg(F.sum("__gsize").alias("df_"))  # multiplicity-weighted df
+    sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
+    freq = sh.groupBy("sh").agg(
+        F.sum("__gsize").alias("df_")  # multiplicity-weighted df
     )
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # one cheap metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
         freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.join(freq, "sh").persist()
+    sh = sh.select("id", "sh").join(freq, "sh").persist()
 
     # PPJoin prefix filter (lossless): two docs with jaccard >= t must share
     # a shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles when
@@ -198,18 +205,31 @@ def dedup_ngram_jaccard(
     ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
     sized = ranked.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = sized.filter(F.col("pos") <= prefix_len).select("id", "sh", "sz")
+    prefix = sized.filter(F.col("pos") <= prefix_len).select("id", "sh", "sz", "pos")
 
     a = prefix.alias("a")
     b = prefix.alias("b")
-    # length filter: |a| >= t*|b| is necessary for jaccard >= t
+    # positional filter (PPJoin): a shared prefix shingle at ranks
+    # (pos_a, pos_b) bounds the overlap by 1 + min(remaining on each side);
+    # jaccard >= t needs overlap*(1+t) >= t*(|a|+|b|).  Lossless: the pair's
+    # FIRST shared shingle always carries a valid bound, so any-row-passes
+    # keeps every true pair while discarding most spurious candidates
+    # before they reach the (array-shuffling) verification join.
+    possible_inter = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.sh") == F.col("b.sh"))
             & (F.col("a.id") < F.col("b.id"))
+            # length filter: |a| >= t*|b| is necessary for jaccard >= t
             & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
-            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz")),
+            & (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+            & (
+                possible_inter * F.lit(1.0 + threshold)
+                >= F.lit(threshold) * (F.col("a.sz") + F.col("b.sz"))
+            ),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from adtl_spark.functions import render as R
 from adtl_spark.plans.compiler import RuleCompiler, Value, truthy
+from adtl_spark.session import scan_parallel
 from adtl_spark.spec import CompiledSpec, StrDict
 
 ROW_ID = "__adtl_row_id__"
@@ -65,22 +66,23 @@ def build_all_tables(
     it."""
     compiler = RuleCompiler(spec, df.columns, custom_transforms)
     out: dict[str, DataFrame] = {}
-    needs_row_id = any(
-        meta.get("kind") == "groupBy" or meta.get("groupBy")
-        for meta in spec.tables.values()
-    )
-    if needs_row_id:
-        df = attach_row_id(df)
+    if not df.isStreaming:
+        # row id BEFORE any exchange (it encodes file order), then spread a
+        # low-split scan across all cores — the rule projection is the
+        # engine's hot loop and must not run on one task just because the
+        # local file has one row group.  ordered_output restores file order
+        # per table from the row id afterwards.
+        df = scan_parallel(attach_row_id(df))
     for table, meta in spec.tables.items():
         kind = meta.get("kind")
         if kind == "constant":
             out[table] = _constant_table(spec, table, spark)
         elif kind == "oneToMany":
-            out[table] = _one_to_many_table(spec, table, df, compiler)
+            out[table] = _one_to_many_table(spec, table, df, compiler, ordered_output)
         elif meta.get("groupBy"):
             out[table] = _group_by_table(spec, table, df, compiler, ordered_output)
         else:
-            out[table] = _one_to_one_table(spec, table, df, compiler)
+            out[table] = _one_to_one_table(spec, table, df, compiler, ordered_output)
     return out
 
 
@@ -127,7 +129,11 @@ def _with_stage(df: DataFrame, stage: dict[str, Column]) -> DataFrame:
 
 
 def _one_to_one_table(
-    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+    spec: CompiledSpec,
+    table: str,
+    df: DataFrame,
+    compiler: RuleCompiler,
+    ordered_output: bool = True,
 ) -> DataFrame:
     stage: dict[str, Column] = {}
     cols = []
@@ -137,7 +143,12 @@ def _one_to_one_table(
             rule, attr, _schema_type(spec, table, attr), stage=stage
         )
         cols.append(_wide_cell(value).alias(attr))
-    return _with_stage(df, stage).select(*cols)
+    if ROW_ID not in df.columns:  # streaming source: no row id, no ordering
+        return _with_stage(df, stage).select(*cols)
+    out = _with_stage(df, stage).select(F.col(ROW_ID), *cols)
+    if ordered_output:
+        out = out.orderBy(ROW_ID)
+    return out.drop(ROW_ID)
 
 
 # ---------------------------------------------------------------- groupBy kind
@@ -294,7 +305,11 @@ def _dynamic_min_max(cell: Column, value: Value, combined: str) -> Column:
 
 
 def _one_to_many_table(
-    spec: CompiledSpec, table: str, df: DataFrame, compiler: RuleCompiler
+    spec: CompiledSpec,
+    table: str,
+    df: DataFrame,
+    compiler: RuleCompiler,
+    ordered_output: bool = True,
 ) -> DataFrame:
     blocks = spec.table_specs[table]
     fieldnames = list(spec.fieldnames[table])
@@ -339,9 +354,17 @@ def _one_to_many_table(
         F.when(pred, F.struct(*[cell(vals, a).alias(a) for a in fieldnames]))
         for pred, vals in compiled_blocks
     ]
+    blocks_arr = F.filter(F.array(*structs), lambda s: s.isNotNull())
+    if ROW_ID not in df.columns:  # streaming source: no row id, no ordering
+        exploded = _with_stage(df, stage).select(
+            F.explode(blocks_arr).alias("__row__")
+        )
+        return exploded.select(*[F.col(f"__row__.`{a}`").alias(a) for a in fieldnames])
+    # posexplode keeps the block position so (row, block) file order can be
+    # restored after the parallelizing repartition
     exploded = _with_stage(df, stage).select(
-        F.explode(
-            F.filter(F.array(*structs), lambda s: s.isNotNull())
-        ).alias("__row__")
+        F.col(ROW_ID), F.posexplode(blocks_arr).alias("__pos__", "__row__")
     )
+    if ordered_output:
+        exploded = exploded.orderBy(ROW_ID, "__pos__")
     return exploded.select(*[F.col(f"__row__.`{a}`").alias(a) for a in fieldnames])

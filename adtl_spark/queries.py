@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from adtl_spark.operators import dedup as D
 from adtl_spark.operators import similarity as S
 from adtl_spark.operators import text as X
-from adtl_spark.session import configure_for_engine
+from adtl_spark.session import configure_for_engine, scan_parallel
 
 DEC = "decimal(18,4)"
 
@@ -32,7 +32,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
     # rejects; read it as raw nanosecond longs instead
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # every consumer of these tables does heavy per-row compute
+        # (tokenize/shingle/vector math); never let a single-row-group file
+        # pin that to one core (no-op on an already-parallel scan)
+        df = scan_parallel(df)
+    return df
 
 
 def _dec_sum(col, alias: str):

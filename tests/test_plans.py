@@ -27,7 +27,7 @@ def test_one_to_many_single_scan(spark):
     p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
     plan = physical_plan(p.table("obs"))
     assert plan.count("Scan") == 1
-    assert "Generate explode" in plan
+    assert "Generate posexplode" in plan
 
 
 def test_flagship_query_pushdown(spark):
