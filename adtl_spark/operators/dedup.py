@@ -235,7 +235,10 @@ def dedup_ngram_jaccard(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    doc_sets = sh.groupBy("id").agg(
+    # derive doc sets from `sized`, not `sh`: Window already hash-partitioned
+    # the rows by id, so this groupBy reuses that exchange instead of
+    # re-shuffling the shingle relation a second time
+    doc_sets = sized.groupBy("id").agg(
         F.array_sort(F.collect_list("sh")).alias("set_"),
         F.count(F.lit(1)).alias("sz"),
     )
@@ -266,34 +269,38 @@ def dedup_ngram_jaccard(
     )
 
     # ---- expand canonical pairs back to all duplicate members ------------
-    mem_a = membership.select(F.col("__canon").alias("id_a"), F.col("id").alias("m_a"))
-    mem_b = membership.select(F.col("__canon").alias("id_b"), F.col("id").alias("m_b"))
-    cross = (
-        pairs.join(mem_a, "id_a")
-        .join(mem_b, "id_b")
-        .select(
-            F.least("m_a", "m_b").alias("id_a"),
-            F.greatest("m_a", "m_b").alias("id_b"),
-            "jaccard",
+    # identical texts are jaccard 1.0 with each other, but only when the
+    # capped shingle set is non-empty (the naive form's 0/0 yields null and
+    # drops the pair): every eligible dup group contributes a SELF-pair
+    # (c, c, 1.0), and one member-expansion pass then produces both the
+    # cross-group and the within-group output pairs.
+    self_pairs = (
+        doc_sets.select("id")
+        .join(
+            canon_full.filter(F.col("__gsize") > 1).select(
+                F.col("__canon").alias("id")
+            ),
+            "id",
         )
-    )
-    # within-group pairs: identical texts are jaccard 1.0 — but only when
-    # the capped shingle set is non-empty (the naive form's 0/0 yields null
-    # and drops the pair)
-    eligible = doc_sets.select(F.col("id").alias("__canon"))
-    wm = membership.join(eligible, "__canon").select("__th", "id")
-    within = (
-        wm.alias("wa")
-        .join(wm.alias("wb"), "__th")
-        .filter(F.col("wa.id") < F.col("wb.id"))
         .select(
-            F.col("wa.id").alias("id_a"),
-            F.col("wb.id").alias("id_b"),
+            F.col("id").alias("id_a"),
+            F.col("id").alias("id_b"),
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(within).select(
-        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    mem_a = membership.select(F.col("__canon").alias("id_a"), F.col("id").alias("m_a"))
+    mem_b = membership.select(F.col("__canon").alias("id_b"), F.col("id").alias("m_b"))
+    return (
+        pairs.unionByName(self_pairs)
+        .join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        # a self-pair expands its group's members both ways round; keep one
+        .filter((F.col("id_a") != F.col("id_b")) | (F.col("m_a") < F.col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
     )
 
 

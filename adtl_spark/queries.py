@@ -377,7 +377,9 @@ def adtl_engine_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
         ],
     }
-    p = Parser(spec, spark=spark).parse_dataframe(o, skip_validation=True)
+    p = Parser(spec, spark=spark, ordered_output=False).parse_dataframe(
+        o, skip_validation=True
+    )
     return p.table("flags").select(
         F.col("order_id").cast("long").alias("order_id"),
         "name",

@@ -30,6 +30,12 @@ def get_spark(app_name: str = "adtl_spark", cpus: int | None = None) -> SparkSes
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE's coalescer picks max(shuffle_bytes/parallelism, minPartitionSize)
+        # as the target partition size.  The 1 MiB default collapses small
+        # shuffles to 1-2 partitions, serializing every post-shuffle compute
+        # stage; 16 KiB keeps those stages on all cores.  At scale
+        # bytes/parallelism dominates the max() and this setting is inert.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -73,4 +79,8 @@ def configure_for_engine(spark: SparkSession) -> SparkSession:
     """
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # keep post-shuffle stages parallel on small data (see get_spark)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k"
+    )
     return spark
