@@ -36,7 +36,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name in ("documents", "embeddings"):
         # every consumer of these tables does heavy per-row compute
         # (tokenize/shingle/vector math); never let a single-row-group file
-        # pin that to one core (no-op on an already-parallel scan)
+        # pin that to one core (no-op on an already-parallel scan).  The
+        # relational tables are NOT parallelized this way: their queries are
+        # scan->agg shapes where map-side partial aggregation shrinks the
+        # data before any shuffle, and a raw-row repartition would defeat it
+        # (measured: q1/a2/a3/q3 all regress).
         df = scan_parallel(df)
     return df
 
