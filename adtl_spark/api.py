@@ -182,7 +182,10 @@ class Parser:
             raise ValueError("conflicts() needs the source DataFrame")
         if not self.tables[table].get("groupBy"):
             raise ValueError(f"table {table!r} is not a groupBy table")
-        compiler = RuleCompiler(self.spec, source.columns, self.custom_transforms)
+        compiler = RuleCompiler(
+            self.spec, source.columns, self.custom_transforms,
+            dtypes=dict(source.dtypes),
+        )
         return group_conflicts(self.spec, table, attach_row_id(source), compiler)
 
     # ----------------------------------------------------------------- report

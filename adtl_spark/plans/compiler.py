@@ -132,14 +132,43 @@ class RuleCompiler:
         spec: CompiledSpec,
         columns: Sequence[str],
         custom_transforms: dict[str, Callable] | None = None,
+        dtypes: dict[str, str] | None = None,
     ) -> None:
         self.spec = spec
         self.columns = set(columns)
         self.custom_transforms = custom_transforms or {}
+        self.dtypes = dtypes or {}
         self._namespace = spec.namespace_uuid()
         self._stage: dict[str, Column] | None = None
 
     # ------------------------------------------------------------------ source
+
+    # source dtype -> knowledge about the canonical string the cast yields.
+    # int/bigint cast to string IS str(int); double cast to string matches
+    # str(float) in the engine's supported magnitude range (render.py), so
+    # those columns skip the int-then-float regex re-parse entirely — the
+    # typed fast path for Spark-native pipelines where the source is parquet,
+    # not CSV.  decimal keeps trailing zeros ("26.00") and float32 prints a
+    # shortest-float repr, so both stay on the dynamic path; date/timestamp
+    # render ISO and can never re-parse as numbers.
+    _DTYPE_HINTS = {
+        "tinyint": "int",
+        "smallint": "int",
+        "int": "int",
+        "bigint": "int",
+        "double": "float",
+        "date": "str",
+        "timestamp": "str",
+        "timestamp_ntz": "str",
+        "boolean": "str",  # rendered 'True'/'False', never numeric
+    }
+
+    def source_hint(self, field: str) -> str:
+        """Static type knowledge for a source column ('dynamic' when the
+        canonical rendering could still re-parse as a number)."""
+        if self.spec.empty_fields is not None:
+            return "dynamic"  # emptyFields rewriting happens on the string
+        return self._DTYPE_HINTS.get(self.dtypes.get(field, "string"), "dynamic")
 
     def source(self, field: str) -> Column:
         """Raw source cell: always a non-null string (CSV semantics — the
@@ -147,7 +176,12 @@ class RuleCompiler:
         empty cells to null, so re-normalize)."""
         if field not in self.columns:
             raise SpecError(f"source column not found: {field!r}")
-        col = F.col(field).cast("string")
+        if self.dtypes.get(field) == "boolean":
+            # Spark renders booleans 'true'/'false'; the engine's canonical
+            # form is Python's 'True'/'False'
+            col = R.render_bool(F.col(field))
+        else:
+            col = F.col(field).cast("string")
         if self.spec.empty_fields is not None:
             # header emptyFields token rewritten to "" on every cell (S2,
             # reference: parser.py:656-661)
@@ -244,7 +278,11 @@ class RuleCompiler:
             guard = self.compile_if(rule["if"])
 
         value = raw
-        hint = "dynamic"
+        # typed fast path: a numeric/temporal source dtype already renders
+        # canonically, so the final int-then-float regex re-parse is a no-op
+        # and is skipped (every later step that changes the value overwrites
+        # this hint)
+        hint = self.source_hint(rule["field"])
         is_array = False
 
         if "apply" in rule:
@@ -472,17 +510,30 @@ class RuleCompiler:
                     [v & truthy(c) for v, c in zip(valid, cols)],
                 )
                 result = R.render_bool(hit)
+                result_hint = "bool"
             elif ctype == "all":
                 hit = reduce(
                     lambda a, b: a & b,
                     [~v | truthy(c) for v, c in zip(valid, cols)],
                 )
                 result = R.render_bool(hit)
+                result_hint = "bool"
             else:
-                result = self._min_max_scalars(cols, valid, ctype)
+                hints = {v.type_hint for v in sub_values}
+                result = self._min_max_scalars(
+                    cols, valid, ctype, hints=hints
+                )
+                if hints == {"int"}:
+                    result_hint = "int"
+                elif hints <= {"int", "float"}:
+                    result_hint = "float"
+                elif hints <= {"str", "bool"}:
+                    result_hint = "str"
+                else:
+                    result_hint = "dynamic"
             return Value(
                 F.when(any_valid, result),
-                type_hint="bool" if ctype in ("all", "any") else "dynamic",
+                type_hint=result_hint,
                 combined_type=ctype,
             )
 
@@ -564,12 +615,18 @@ class RuleCompiler:
 
     @staticmethod
     def _min_max_scalars(
-        cols: list[Column], valid: list[Column], ctype: str
+        cols: list[Column],
+        valid: list[Column],
+        ctype: str,
+        hints: set[str] | None = None,
     ) -> Column:
         """Python min/max over the valid dynamic values: numeric when every
         valid value parses as a number, else lexicographic — expressed with
         least/greatest (null-skipping) and plain boolean folds so the whole
-        thing stays inside whole-stage codegen."""
+        thing stays inside whole-stage codegen.
+
+        When static ``hints`` pin every sub-value's type (typed fast path),
+        the per-row regex classification is constant-folded away."""
         pick = F.least if ctype == "min" else F.greatest
 
         def fold(cast_to: str | None) -> Column:
@@ -581,6 +638,13 @@ class RuleCompiler:
                 return branch[0]
             return pick(*branch)
 
+        if hints is not None:
+            if hints == {"int"}:
+                return fold("long").cast("string")
+            if hints <= {"int", "float"}:
+                return fold("double").cast("string")
+            if hints <= {"str", "bool"}:
+                return fold(None)
         all_int = reduce(
             lambda a, b: a & b,
             [~v | R.is_int_string(c) for v, c in zip(valid, cols)],

@@ -64,7 +64,9 @@ def build_all_tables(
     correct but costs a global range exchange; pipelines that don't need
     row-order parity (anything feeding another Spark job) should disable
     it."""
-    compiler = RuleCompiler(spec, df.columns, custom_transforms)
+    compiler = RuleCompiler(
+        spec, df.columns, custom_transforms, dtypes=dict(df.dtypes)
+    )
     out: dict[str, DataFrame] = {}
     if not df.isStreaming:
         # row id BEFORE any exchange (it encodes file order), then spread a

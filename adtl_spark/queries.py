@@ -349,6 +349,62 @@ def adtl_engine_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def adtl_engine_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same spec as ``adtl_engine_groupby`` but fed TYPED columns (long
+    orderkey, double quantity) — the Spark-native path.  The compiler's
+    source-dtype hints constant-fold the dynamic-typing regexes away
+    (tests/test_plans.py asserts the plan is RLike-free), so this runs at
+    plain-DataFrame speed while producing the identical canonical output."""
+    from adtl_spark.api import Parser
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    spec = {
+        "adtl": {
+            "name": "engine_typed",
+            "description": "",
+            "tables": {
+                "orders_rollup": {
+                    "kind": "groupBy",
+                    "groupBy": "order_id",
+                    "aggregation": "applyCombinedType",
+                }
+            },
+        },
+        "orders_rollup": {
+            "order_id": {"field": "orderkey"},
+            "min_qty": {"combinedType": "min", "fields": [{"field": "qty"}]},
+            "flags": {
+                "combinedType": "set",
+                "excludeWhen": "none",
+                "fields": [
+                    {
+                        "field": "flag",
+                        "values": {"A": "accepted", "R": "returned", "N": "none"},
+                    }
+                ],
+            },
+            "ever_returned": {
+                "combinedType": "any",
+                "fields": [{"field": "flag", "values": {"R": True, "A": False, "N": False}}],
+            },
+        },
+    }
+    p = Parser(spec, spark=spark, ordered_output=False).parse_dataframe(
+        li, skip_validation=True
+    )
+    out = p.table("orders_rollup")
+    return out.select(
+        F.col("order_id").cast("long").alias("order_id"),
+        F.col("min_qty"),
+        F.array_join(F.col("flags"), ",").alias("flags"),
+        F.col("ever_returned"),
+    )
+
+
 def adtl_engine_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The spec engine's oneToMany path over orders: two blocks with
     explicit if predicates and value maps, emitted by the single-scan
@@ -775,6 +831,16 @@ def oracles() -> dict[str, str]:
             SELECT adtl_error IS NULL AS adtl_valid, adtl_error, count(*) AS n
             FROM annotated GROUP BY 1, 2 ORDER BY 1, 2
         """,
+        "adtl_engine_typed": """
+            SELECT l_orderkey AS order_id,
+                   CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR) AS min_qty,
+                   array_to_string(list_sort(list_distinct(list(
+                     CASE l_returnflag WHEN 'A' THEN 'accepted'
+                                       WHEN 'R' THEN 'returned'
+                                       WHEN 'N' THEN 'none' END))), ',') AS flags,
+                   CASE WHEN bool_or(l_returnflag = 'R') THEN 'True' ELSE 'False' END AS ever_returned
+            FROM lineitem GROUP BY l_orderkey
+        """,
         "adtl_engine_groupby": """
             SELECT l_orderkey AS order_id,
                    CAST(CAST(min(l_quantity) AS DOUBLE) AS VARCHAR) AS min_qty,
@@ -1005,6 +1071,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_validation_report": v2_validation_report,
         "p14_uuid5": p14_uuid5,
         "adtl_engine_groupby": adtl_engine_groupby,
+        "adtl_engine_typed": adtl_engine_typed,
         "adtl_engine_one_to_many": adtl_engine_one_to_many,
         "q3_shipping_priority": q3_shipping_priority,
         "dedup_apply_anti_join": dedup_apply_anti_join,

@@ -33,7 +33,7 @@ def stream_tables(spec: CompiledSpec, stream_df: DataFrame) -> dict[str, DataFra
     (oneToOne / oneToMany) stream as-is; groupBy tables raise — their
     file-order lastNotNull semantics have no bounded-state streaming
     equivalent."""
-    compiler = RuleCompiler(spec, stream_df.columns)
+    compiler = RuleCompiler(spec, stream_df.columns, dtypes=dict(stream_df.dtypes))
     out: dict[str, DataFrame] = {}
     for table, meta in spec.tables.items():
         kind = meta.get("kind")

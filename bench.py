@@ -27,6 +27,7 @@ from adtl_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "adtl_engine_groupby",
+    "adtl_engine_typed",
     "adtl_engine_one_to_many",
     "a2_last_not_null",
     "a3_combined_fold",

@@ -107,3 +107,62 @@ def test_wide_spec_compiles_and_runs(spark):
     assert p.table("wide").count() == 50
     assert p.table("long").count() == 50 * 60
     assert physical_plan(p.table("long")).count("Scan") == 1
+
+
+def test_typed_fast_path_skips_regex(spark):
+    """A long/double source column renders canonically already, so the plan
+    for a passthrough + min-fold spec must contain no regex re-parse; a
+    string-typed source of the same values must produce identical output."""
+    from pyspark.sql import functions as F
+
+    spec = {
+        "adtl": {
+            "name": "typed",
+            "description": "",
+            "tables": {
+                "t": {
+                    "kind": "groupBy",
+                    "groupBy": "k",
+                    "aggregation": "applyCombinedType",
+                }
+            },
+        },
+        "t": {
+            "k": {"field": "key"},
+            "lo": {"combinedType": "min", "fields": [{"field": "x"}]},
+            "hi": {"combinedType": "max", "fields": [{"field": "y"}]},
+        },
+    }
+    typed = spark.createDataFrame(
+        [(1, 10, 2.5), (1, 3, 4.25), (2, 7, 0.5)], "key long, x long, y double"
+    )
+    p_typed = Parser(spec, spark=spark).parse_dataframe(typed, skip_validation=True)
+    plan = physical_plan(p_typed.table("t"))
+    assert "RLike" not in plan and "rlike" not in plan
+
+    strings = typed.select(*[F.col(c).cast("string") for c in typed.columns])
+    p_str = Parser(spec, spark=spark).parse_dataframe(strings, skip_validation=True)
+    assert sorted(map(tuple, p_typed.table("t").collect())) == sorted(
+        map(tuple, p_str.table("t").collect())
+    )
+
+
+def test_typed_boolean_renders_python_style(spark):
+    """BooleanType sources must render 'True'/'False' (Python canon), and
+    truthiness folds must honor them."""
+    spec = {
+        "adtl": {
+            "name": "b",
+            "description": "",
+            "tables": {"t": {"kind": "oneToOne"}},
+        },
+        "t": {
+            "flag": {"field": "b"},
+            "ever": {"combinedType": "any", "fields": [{"field": "b"}]},
+        },
+    }
+    df = spark.createDataFrame([(True,), (False,), (None,)], "b boolean")
+    p = Parser(spec, spark=spark).parse_dataframe(df, skip_validation=True)
+    rows = [tuple(r) for r in p.table("t").collect()]
+    assert ("True", "True") in rows and ("False", "False") in rows
+    assert (None, None) in rows
