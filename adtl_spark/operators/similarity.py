@@ -184,6 +184,136 @@ def ann_lsh(
     return _topk_per_query(sims, k)
 
 
+def _centroid_literals(
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float], float]]:
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` lowest-id
+    vectors ARE the centroids (no iterative training, so the DuckDB oracle
+    can mirror the quantizer exactly).  Production IVF would k-means these;
+    the partition/shuffle story downstream is identical.  One tiny collect —
+    the index-build step, like LSH's fixed planes."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    out = []
+    for r in rows:
+        vec = [float(x) for x in r["v"]]
+        nrm = sum(x * x for x in vec) ** 0.5
+        out.append((r["i"], vec, nrm))
+    return out
+
+
+def _nearest_cells(vec: Column, cents, n: int) -> Column:
+    """Array of the ``n`` nearest centroid ids for ``vec``, by
+    dot(vec, c)/|c| descending (|vec| is constant per row and cannot change
+    the ranking), ties to the lower centroid id.  Pure codegen expression —
+    assignment is a narrow map over the corpus, no shuffle."""
+    scored = [
+        F.struct(
+            (dot(vec, F.array(*[F.lit(x) for x in cvec])) / F.lit(nrm)).alias(
+                "score"
+            ),
+            F.lit(-cid).cast("long").alias("ncid"),
+        )
+        for cid, cvec, nrm in cents
+    ]
+    top = F.slice(F.sort_array(F.array(*scored), asc=False), 1, n)
+    return F.transform(top, lambda s: -s["ncid"])
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are assigned to their nearest centroid
+    cell (narrow map — at scale this is the index build, written out
+    partitioned by cell); each query probes its ``n_probe`` nearest cells
+    and scores only those cells' vectors.  The cell equi-join replaces the
+    brute-force cross join: per query, work drops from |corpus| to
+    |corpus| * n_probe / n_centroids on a balanced quantizer."""
+    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_nearest_cells(F.col(vec_col), cents, 1), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_nearest_cells(F.col(vec_col), cents, n_probe)).alias("cell"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _topk_per_query(sims, k)
+
+
+def ann_ivf_oracle_sql(
+    table: str, n_centroids: int, n_probe: int, k: int, n_queries: int
+) -> str:
+    """DuckDB twin of ann_ivf: same quantizer (lowest-id centroids), same
+    probing, same tie-breaks."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM {table} ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    assign AS (
+      SELECT corpus_id, cid,
+             row_number() OVER (
+               PARTITION BY corpus_id
+               ORDER BY list_dot_product(v, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                        cid ASC
+             ) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cells AS (SELECT corpus_id, cid FROM assign WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                          cid ASC
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    sims AS (
+      SELECT q.query_id, c.corpus_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM probes p
+      JOIN cells ce ON ce.cid = p.cid
+      JOIN c ON c.corpus_id = ce.corpus_id
+      JOIN q ON q.query_id = p.query_id
+      WHERE q.query_id != c.corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_neardup(
     df: DataFrame,
     tau: float = 0.95,

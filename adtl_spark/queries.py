@@ -696,6 +696,22 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh(emb, queries, dim=64, k=ANN_K, planes=6)
 
 
+IVF_CENTROIDS = 16
+IVF_PROBE = 4
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic coarse quantizer (lowest-id vectors
+    as centroids), narrow-map cell assignment, multi-probe queries.  The
+    oracle mirrors the quantizer and probing exactly, so this one IS
+    value-checked despite being an ANN method."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.ann_ivf(
+        emb, queries, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, k=ANN_K
+    )
+
+
 # ------------------------------------------------------------------- oracles
 
 
@@ -1049,6 +1065,9 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
         "ann_cosine_topk": S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES),
+        "ann_ivf_topk": S.ann_ivf_oracle_sql(
+            "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
+        ),
     }
 
 
@@ -1090,4 +1109,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": dedup_embedding,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
     }

@@ -164,3 +164,38 @@ def test_salted_join_matches_plain_join(spark):
     left_plain = fact.join(dim, "key", "left").count()
     left_salted = salted_join(fact, dim, "key", salt_buckets=8, how="left").count()
     assert left_plain == left_salted
+
+
+def test_ann_ivf_probes_find_near_neighbors(spark):
+    """IVF with enough probes must agree with exact top-k on a clustered
+    dataset; with 1 probe it returns a subset of the exact ranking's ids
+    per query (cells only shrink the candidate set)."""
+    import math
+
+    rows = []
+    for cluster in range(4):
+        base = [math.cos(cluster + 1), math.sin(cluster + 1), 0.5 * cluster, 1.0]
+        for j in range(6):
+            rows.append(
+                (cluster * 10 + j, [x + 0.01 * j for x in base])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.orderBy("vec_id").limit(2)
+
+    exact = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in S.cosine_topk(emb, queries, k=3).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in S.ann_ivf(emb, queries, n_centroids=4, n_probe=4, k=3).collect()
+    }
+    assert ivf_all == exact  # probing every cell == brute force
+
+    # with 1 probe each query still finds its own cluster-mates
+    ivf_one = S.ann_ivf(emb, queries, n_centroids=4, n_probe=1, k=3).collect()
+    by_q = {}
+    for r in ivf_one:
+        by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
+    for q, ids in by_q.items():
+        assert ids and all(abs(i - q) < 10 for i in ids)
