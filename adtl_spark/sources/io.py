@@ -123,3 +123,35 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Bucketed (and optionally sorted) parquet table: the co-location
+    contract for repeated big-table joins and aggregations.
+
+    Two tables bucketed the same way on the join key joined on that key
+    need NO exchange on either side — at 100 TB that removes the dominant
+    shuffle from every downstream run that reuses the layout (bucket count
+    should be sized so one bucket fits an executor's memory; sortBy
+    additionally lets sort-merge join skip its per-task sort).  Registered
+    through the session catalog because bucket metadata lives there, with
+    the data at ``path``; returns the re-read catalog-backed DataFrame."""
+    spark = df.sparkSession
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    writer.saveAsTable(table)
+    return spark.table(table)

@@ -166,3 +166,38 @@ def test_typed_boolean_renders_python_style(spark):
     rows = [tuple(r) for r in p.table("t").collect()]
     assert ("True", "True") in rows and ("False", "False") in rows
     assert (None, None) in rows
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Two tables bucketed on the join key join with NO exchange on either
+    side, and a groupBy on the bucket key needs no exchange either — the
+    co-location contract write_bucketed exists for."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.sources.io import write_bucketed
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("prio")
+    )
+    lines = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("l_key"), (F.col("id") % 13).alias("qty")
+    )
+    bo = write_bucketed(orders, "t_orders_b", str(tmp_path / "o"), ["o_key"], 8)
+    bl = write_bucketed(lines, "t_lines_b", str(tmp_path / "l"), ["l_key"], 8)
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_key == bo.o_key)
+        assert joined.count() == 5000
+        plan = physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+
+        agg = bl.groupBy("l_key").agg(F.sum("qty").alias("q"))
+        assert agg.count() == 1000
+        assert "Exchange" not in physical_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
