@@ -1,0 +1,103 @@
+"""10x scale stress: build a multi-file 10x copy of sf0.1 (distinct ids per
+copy) and time the headline queries against it next to their sf0.1 runs.
+
+Unlike the single-row-group driver files, the stress dataset has 10 part
+files per table, so scans parallelize the way they do on a real cluster —
+`scan_parallel` must detect that and stay out of the way (its repartition
+is for the toy files only).  Ratios near 10x mean per-row work dominates
+(linear scaling); well under 10x means fixed overhead still dominates at
+sf0.1; over ~10x is a red flag (super-linear operator).
+
+Pair-producing dedup IS expected to grow faster than 10x here: every copy
+duplicates the corpus, so a 10x-duplicated corpus has ~50x more true
+duplicate pairs — the output itself is bigger.
+
+Usage: python tools/scale_stress.py [out_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from adtl_spark import queries as Q  # noqa: E402
+from adtl_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+# id column to offset per copy so keys stay unique; None = copy verbatim
+ID_OFFSETS = {
+    "lineitem": ("l_orderkey", 10_000_000),
+    "orders": ("o_orderkey", 10_000_000),
+    "events": ("event_id", 100_000_000),
+    "documents": ("doc_id", 1_000_000),
+    "embeddings": ("vec_id", 1_000_000),
+}
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+QUERIES = [
+    "q1_pricing_summary",
+    "adtl_engine_groupby",
+    "adtl_engine_typed",
+    "a2_last_not_null",
+    "dedup_exact",
+    "dedup_ngram",
+    "dedup_minhash",
+    "text_quality",
+    "ann_cosine_topk",
+]
+
+
+def build(spark, out: Path) -> None:
+    for t in TABLES:
+        dst = out / f"{t}.parquet"
+        if dst.exists():
+            continue
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t in ID_OFFSETS:
+            col, step = ID_OFFSETS[t]
+            for i in range(COPIES):
+                shifted = df.withColumn(col, F.col(col) + F.lit(i * step))
+                shifted.coalesce(1).write.mode(
+                    "append" if i else "overwrite"
+                ).parquet(str(dst))
+        else:
+            df.write.mode("overwrite").parquet(str(dst))
+
+
+def main() -> None:
+    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/adtl_stress_10x")
+    only = set(sys.argv[2:])
+    spark = get_spark("scale_stress")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    build(spark, out)
+
+    all_q = Q.all_queries()
+    for name in QUERIES:
+        if only and name not in only:
+            continue
+        fn = all_q[name]
+        fn(spark, SRC).write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        fn(spark, SRC).write.mode("overwrite").format("noop").save()
+        base = time.time() - t0
+        t0 = time.time()
+        fn(spark, str(out)).write.mode("overwrite").format("noop").save()
+        big = time.time() - t0
+        print(
+            f"{name}: sf0.1 {base:.2f}s -> 10x {big:.2f}s "
+            f"(ratio {big / base:.1f}x)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
