@@ -72,7 +72,8 @@ class Value:
 
     col: Column
     is_array: bool = False
-    # one of: int, float, bool, str, dynamic
+    # one of: int, float, bool, str, dynamic, num (num = known numeric but
+    # int/float mixed: already canonically rendered, compares as double)
     type_hint: str = "dynamic"
     combined_type: str | None = None  # set when the rule is a combinedType
 
@@ -525,8 +526,10 @@ class RuleCompiler:
                 )
                 if hints == {"int"}:
                     result_hint = "int"
-                elif hints <= {"int", "float"}:
+                elif hints == {"float"}:
                     result_hint = "float"
+                elif hints <= {"int", "float"}:
+                    result_hint = "num"  # mixed: canonical render, numeric order
                 elif hints <= {"str", "bool"}:
                     result_hint = "str"
                 else:
@@ -626,8 +629,15 @@ class RuleCompiler:
         thing stays inside whole-stage codegen.
 
         When static ``hints`` pin every sub-value's type (typed fast path),
-        the per-row regex classification is constant-folded away."""
+        the per-row regex classification is constant-folded away.
+
+        Numeric folds compare as double but keep the WINNING CELL's own
+        canonical render (Python ``str(min(7, 9.5))`` is ``"7"``, not
+        ``"7.0"``); the rule-position tiebreak reproduces Python's
+        keep-first-of-equals for ``min(7, 7.0)``-style ties.  All-int folds
+        compare as long — doubles lose ordering above 2**53."""
         pick = F.least if ctype == "min" else F.greatest
+        idx_sign = 1 if ctype == "min" else -1
 
         def fold(cast_to: str | None) -> Column:
             branch = [
@@ -638,11 +648,26 @@ class RuleCompiler:
                 return branch[0]
             return pick(*branch)
 
+        def fold_numeric() -> Column:
+            branch = [
+                F.when(
+                    v,
+                    F.struct(
+                        c.cast("double").alias("k"),
+                        F.lit(i * idx_sign).alias("i"),
+                        c.alias("o"),
+                    ),
+                )
+                for i, (v, c) in enumerate(zip(valid, cols))
+            ]
+            picked = branch[0] if len(branch) == 1 else pick(*branch)
+            return picked["o"]
+
         if hints is not None:
             if hints == {"int"}:
                 return fold("long").cast("string")
             if hints <= {"int", "float"}:
-                return fold("double").cast("string")
+                return fold_numeric()
             if hints <= {"str", "bool"}:
                 return fold(None)
         all_int = reduce(
@@ -655,7 +680,7 @@ class RuleCompiler:
         )
         return (
             F.when(all_int, fold("long").cast("string"))
-            .when(all_num, fold("double").cast("string"))
+            .when(all_num, fold_numeric())
             .otherwise(fold(None))
         )
 

@@ -218,7 +218,7 @@ def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:
         fold = F.bool_and(flag) if combined == "all" else F.bool_or(flag)
         return R.render_bool(fold)
     if combined in ("min", "max"):
-        return _dynamic_min_max(cell, value, combined)
+        return _dynamic_min_max(cell, value, combined, rid)
     if combined == "set":
         flat = F.flatten(F.collect_list(cell))
         return F.when(F.count(cell) > 0, F.array_sort(F.array_distinct(flat)))
@@ -278,27 +278,44 @@ def group_conflicts(
     return df.sparkSession.createDataFrame(rows, schema)
 
 
-def _dynamic_min_max(cell: Column, value: Value, combined: str) -> Column:
+def _dynamic_min_max(
+    cell: Column, value: Value, combined: str, rid: Column
+) -> Column:
     """Python min()/max() over a group's dynamic values: numeric when every
     value parses as a number, lexicographic otherwise (ISO dates compare
-    correctly either way)."""
+    correctly either way).
+
+    Numeric aggregation keeps the WINNING CELL's own canonical render
+    (``str(min(7, 9.5))`` is ``"7"``) and breaks double-ties on the
+    earliest row in file order — Python's keep-first-of-equals."""
     lo = combined == "min"
+
+    def numeric_keep_render() -> Column:
+        tie = rid if lo else -rid
+        keyed = F.when(
+            cell.isNotNull(),
+            F.struct(
+                cell.cast("double").alias("k"),
+                tie.alias("t"),
+                cell.alias("o"),
+            ),
+        )
+        return (F.min(keyed) if lo else F.max(keyed))["o"]
+
     if value.type_hint == "int":
         agg = F.min(cell.cast("long")) if lo else F.max(cell.cast("long"))
         return agg.cast("string")
-    if value.type_hint == "float":
-        agg = F.min(cell.cast("double")) if lo else F.max(cell.cast("double"))
-        return agg.cast("string")
+    if value.type_hint in ("float", "num"):
+        return numeric_keep_render()
     if value.type_hint in ("str", "bool"):
         return F.min(cell) if lo else F.max(cell)
     all_int = F.bool_and(R.is_int_string(cell))
     all_num = F.bool_and(R.is_numeric_string(cell))
-    as_long = F.min(cell.cast("long")) if lo else F.max(cell.cast("long"))
-    as_dbl = F.min(cell.cast("double")) if lo else F.max(cell.cast("double"))
     as_str = F.min(cell) if lo else F.max(cell)
+    as_long = F.min(cell.cast("long")) if lo else F.max(cell.cast("long"))
     return (
         F.when(all_int, as_long.cast("string"))
-        .when(all_num, as_dbl.cast("string"))
+        .when(all_num, numeric_keep_render())
         .otherwise(as_str)
     )
 

@@ -155,3 +155,61 @@ def test_conflict_detection(spark):
     source = dataframe_from_rows(spark, rows)
     out = {r["attribute"]: r["n_conflicting_groups"] for r in p.conflicts("tab", source).collect()}
     assert out == {"v": 1, "w": 0}
+
+
+def test_group_min_mixed_int_float_keeps_winner_render(spark):
+    """Python semantics: str(min(7, 9.5)) == '7' (the winning value keeps
+    its own type/render); str(min(7, 2.5)) == '2.5'.  The engine must not
+    re-render an int winner through double ('7.0')."""
+    meta = {"kind": "groupBy", "groupBy": "sid", "aggregation": "applyCombinedType"}
+    rules = {
+        "sid": {"field": "id"},
+        "lo": {"combinedType": "min", "fields": [{"field": "x"}]},
+        "hi": {"combinedType": "max", "fields": [{"field": "x"}]},
+    }
+    rows = [
+        {"id": "a", "x": "7"},
+        {"id": "a", "x": "9.5"},
+        {"id": "b", "x": "7"},
+        {"id": "b", "x": "2.5"},
+    ]
+    out = run(spark, meta, rules, rows)
+    # read_table re-types: int 7 stays int, 2.5/9.5 floats
+    assert out == [
+        {"sid": "a", "lo": 7, "hi": 9.5},
+        {"sid": "b", "lo": 2.5, "hi": 7},
+    ]
+    raw = {
+        r["sid"]: (r["lo"], r["hi"])
+        for r in __import__("adtl_spark.api", fromlist=["Parser"])
+        .Parser(
+            {
+                "adtl": {"name": "g", "description": "", "tables": {"tab": meta}},
+                "tab": rules,
+            },
+            spark=spark,
+        )
+        .parse_rows(rows, skip_validation=True)
+        .table("tab")
+        .collect()
+    }
+    assert raw["a"] == ("7", "9.5")  # canonical strings, not '7.0'
+    assert raw["b"] == ("2.5", "7")
+
+
+def test_rowwise_min_mixed_int_float_keeps_winner_render(spark):
+    """Row-wise combinedType min across two fields of different numeric
+    types: the winner's own render survives."""
+    meta = {"kind": "oneToOne"}
+    rules = {
+        "lo": {"combinedType": "min", "fields": [{"field": "a"}, {"field": "b"}]},
+        "hi": {"combinedType": "max", "fields": [{"field": "a"}, {"field": "b"}]},
+    }
+    rows = [{"a": "7", "b": "9.5"}, {"a": "7", "b": "2.5"}]
+    spec = {
+        "adtl": {"name": "g", "description": "", "tables": {"tab": meta}},
+        "tab": rules,
+    }
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    got = [(r["lo"], r["hi"]) for r in p.table("tab").collect()]
+    assert ("7", "9.5") in got and ("2.5", "7") in got
