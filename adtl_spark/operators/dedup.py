@@ -166,11 +166,15 @@ def dedup_ngram_jaccard(
         F.col(text_col).alias("__text"),
         F.sha2(F.col(text_col), 256).alias("__th"),
     )
+    # persisted: three consumers (membership, the shingle pass, self-pairs)
+    # would otherwise each re-plan the text-carrying aggregation — Spark
+    # plans trees, not DAGs, and only persist/checkpoint makes sharing real.
+    # This is the collapsed corpus you would checkpoint at scale anyway.
     canon_full = hashed.groupBy("__th").agg(
         F.min("id").alias("__canon"),
         F.any_value("__text").alias("__ctext"),
         F.count(F.lit(1)).alias("__gsize"),
-    )
+    ).persist()
     membership = (
         hashed.select("id", "__th")
         .join(canon_full.select("__th", "__canon"), "__th")
@@ -237,11 +241,12 @@ def dedup_ngram_jaccard(
 
     # derive doc sets from `sized`, not `sh`: Window already hash-partitioned
     # the rows by id, so this groupBy reuses that exchange instead of
-    # re-shuffling the shingle relation a second time
+    # re-shuffling the shingle relation a second time.  Persisted: both
+    # verification join sides and the self-pair eligibility check read it.
     doc_sets = sized.groupBy("id").agg(
         F.array_sort(F.collect_list("sh")).alias("set_"),
         F.count(F.lit(1)).alias("sz"),
-    )
+    ).persist()
     pairs = (
         cand.join(
             doc_sets.select(
