@@ -586,10 +586,14 @@ def cluster_pairs(
 
     Returns (doc_id, canonical_id) for every node appearing in ``pairs``.
     """
+    # checkpointed: every iteration joins against edges — without cutting
+    # lineage here each round would re-execute the whole upstream
+    # pair-generation pipeline
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -597,6 +601,7 @@ def cluster_pairs(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -615,6 +620,12 @@ def cluster_pairs(
         parent = adopted.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
+        # labels only ever decrease, so an unchanged sum(label) means a
+        # fixpoint; observe() rides the checkpoint's materialization job —
+        # convergence detection costs zero extra Spark jobs
+        from pyspark.sql import Observation
+
+        obs = Observation()
         jumped = (
             adopted.join(parent, adopted.label == parent.p_node, "left")
             .select(
@@ -623,21 +634,66 @@ def cluster_pairs(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
             )
+            .observe(obs, F.sum("label").alias("s"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.label") != F.col("l.label"))
-            .limit(1)
-            .count()
-        )
         labels = jumped
-        if changed == 0:
+        cur = obs.get["s"]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )
+
+
+def cluster_oracle_sql(table: str, max_hamming: int = 8) -> str:
+    """DuckDB twin of ``cluster_pairs(simhash_pairs(df))``: the SimHash
+    banding join produces the same pair list, and a recursive CTE computes
+    the transitive closure whose per-node minimum is exactly the pointer-
+    jumping result — an iterative Spark algorithm still value-checked."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END * {1 << j})"
+        for j in range(SIMHASH_BITS)
+    )
+    block_w = SIMHASH_BITS // 4
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT DISTINCT doc_id AS id, tok
+      FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM {table})
+      WHERE tok != ''
+    ),
+    hashed AS (SELECT id, {md5_60_sql("tok")} AS h FROM toks),
+    votes AS (SELECT id, {votes} FROM hashed GROUP BY id),
+    sigs AS (SELECT id AS doc_id, ({sig}) AS simhash FROM votes),
+    blocks AS (
+      SELECT doc_id, simhash, blk,
+             (simhash >> (blk * {block_w})) & {(1 << block_w) - 1} AS val
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+    """
 
 
 def simhash_oracle_sql(table: str) -> str:

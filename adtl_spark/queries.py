@@ -659,6 +659,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over SimHash near-dup pairs: every
+    doc labeled with the smallest doc_id in its component, via O(log d)
+    pointer-jumping rounds.  Oracle: recursive-CTE transitive closure —
+    the iterative Spark algorithm is still value-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.cluster_pairs(D.simhash_pairs(docs)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
@@ -1063,6 +1075,7 @@ def oracles() -> dict[str, str]:
             "documents", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N
         ),
         "dedup_simhash": D.simhash_oracle_sql("documents"),
+        "dedup_cluster": D.cluster_oracle_sql("documents"),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
         "ann_cosine_topk": S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES),
         "ann_ivf_topk": S.ann_ivf_oracle_sql(
@@ -1106,6 +1119,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,

@@ -204,3 +204,49 @@ def test_date_reformat_matches_strptime(spark, y, m, d, fmt, junk):
             assert g == e, (v, fmt, g, e)
         elif e is None:
             assert g is None, (v, fmt, g)
+
+
+@given(values=st.lists(value_strings, min_size=1, max_size=12))
+@settings(**SETTINGS)
+def test_group_min_max_fold_matches_python(spark, values):
+    """Engine groupBy min/max over dynamic cells == Python min()/max() over
+    the coerced values (the reference's applyCombinedType fold), including
+    the render of the winner."""
+    from adtl_spark.api import Parser
+
+    vals = []
+    for v in values:
+        if "_" in v or not v.isascii():
+            continue  # documented int()-parsing divergences
+        c = py_numeric_coerce(v)
+        if isinstance(c, float) and (c != c or c in (float("inf"), float("-inf"))):
+            continue  # inf/nan: Python parses, engine doesn't (documented)
+        if isinstance(c, float) and ("e" in v.lower() or abs(c) >= 1e7):
+            continue  # scientific-notation rendering divergence (documented)
+        vals.append(v)
+    coerced = [py_numeric_coerce(v) for v in vals if v != ""]
+    if not coerced:
+        return
+    kinds = {isinstance(c, str) for c in coerced}
+    if len(kinds) > 1:
+        return  # mixed numeric+str: Python raises TypeError; engine falls back
+
+    spec = {
+        "adtl": {
+            "name": "p",
+            "description": "",
+            "tables": {
+                "t": {"kind": "groupBy", "groupBy": "g", "aggregation": "applyCombinedType"}
+            },
+        },
+        "t": {
+            "g": {"field": "g"},
+            "lo": {"combinedType": "min", "fields": [{"field": "x"}]},
+            "hi": {"combinedType": "max", "fields": [{"field": "x"}]},
+        },
+    }
+    rows = [{"g": "k", "x": v} for v in vals]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    row = p.table("t").collect()[0]
+    assert row["lo"] == str(min(coerced)), (vals, row["lo"], min(coerced))
+    assert row["hi"] == str(max(coerced)), (vals, row["hi"], max(coerced))
