@@ -446,11 +446,12 @@ def shingle_cte_sql(table: str, n: int) -> str:
     """
 
 
-def minhash_lsh_oracle_sql(
+def minhash_pair_ctes(
     table: str, k: int, bands: int, threshold: float, n: int
 ) -> str:
-    """DuckDB twin of dedup_minhash_lsh: same shingles, same LCG constants,
-    same banding."""
+    """CTE chain (shingles → sigs → banded → cand → mh_pairs) producing
+    dedup_minhash_lsh's pair list over ``table`` — composable into larger
+    oracle queries (the pipeline oracle reuses it on a filtered corpus)."""
     r = k // bands
     coeffs = minhash_coefficients(k)
     mh_exprs = ",\n        ".join(
@@ -468,8 +469,7 @@ def minhash_lsh_oracle_sql(
         for b_idx in range(bands)
     )
     eq_sum = " + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END" for i in range(k))
-    return f"""
-    WITH shingles AS (
+    return f"""shingles AS (
       {shingle_cte_sql(table, n)}
     ),
     sigs AS (
@@ -485,9 +485,21 @@ def minhash_lsh_oracle_sql(
              ({eq_sum}) / {float(k)} AS est_jaccard
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
-    )
-    SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
-    FROM cand WHERE est_jaccard >= {threshold}
+    ),
+    mh_pairs AS (
+      SELECT id_a, id_b, round(est_jaccard, 4) AS est_jaccard
+      FROM cand WHERE est_jaccard >= {threshold}
+    )"""
+
+
+def minhash_lsh_oracle_sql(
+    table: str, k: int, bands: int, threshold: float, n: int
+) -> str:
+    """DuckDB twin of dedup_minhash_lsh: same shingles, same LCG constants,
+    same banding."""
+    return f"""
+    WITH {minhash_pair_ctes(table, k, bands, threshold, n)}
+    SELECT id_a, id_b, est_jaccard FROM mh_pairs
     """
 
 

@@ -724,6 +724,45 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- composite pipeline
+
+QUALITY_MIN = 0.5
+
+
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star composition, end-to-end in ONE DataFrame DAG:
+    quality-filter the corpus -> drop near-duplicates (MinHash-LSH pairs,
+    greedy keep-lower-id) -> per-language doc and token counts of the
+    surviving corpus.  Every stage is the same operator the standalone
+    queries exercise; Catalyst sees the whole pipeline and prunes columns
+    across stage boundaries (the quality stage's intermediate ratios never
+    leave the first projection)."""
+    docs = _t(spark, sf_dir, "documents")
+    good = X.quality_score(docs).filter(F.col("quality") >= QUALITY_MIN)
+    kept = docs.join(good.select("doc_id"), "doc_id")
+    pairs = D.dedup_minhash_lsh(
+        kept,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        n=SHINGLE_N,
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    clean = kept.join(drop, "doc_id", "left_anti")
+    lang = X.lang_id(clean).select("doc_id", "lang_pred")
+    toks = X.token_stats(clean).select("doc_id", "n_tokens_ws")
+    return (
+        clean.select("doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens_ws").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------------------- oracles
 
 
@@ -1035,6 +1074,60 @@ def oracles() -> dict[str, str]:
                      + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
             FROM m
         """,
+        "pipeline_corpus_clean": f"""
+            WITH qt AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ), qm AS (
+              SELECT doc_id,
+                     len(toks) AS n,
+                     CASE WHEN length(text) > 0
+                          THEN len(regexp_extract_all(text, '[A-Za-z]')) / CAST(length(text) AS DOUBLE)
+                          ELSE 0.0 END AS alpha_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_filter(toks, t -> list_contains({en_sql}, t))) / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS stop_ratio,
+                     CASE WHEN len(toks) > 0
+                          THEN len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                          ELSE 0.0 END AS distinct_ratio
+              FROM qt
+            ), quality AS (
+              SELECT doc_id,
+                     round(
+                       (CASE WHEN n >= 10 AND n <= 100000 THEN 0.25 ELSE 0.0 END)
+                       + least(alpha_ratio / 0.8, 1.0) * 0.25
+                       + least(stop_ratio / 0.3, 1.0) * 0.25
+                       + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
+              FROM qm
+            ), kept AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN quality USING (doc_id)
+              WHERE quality >= {QUALITY_MIN}
+            ),
+            {D.minhash_pair_ctes("kept", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N)},
+            dropped AS (SELECT DISTINCT id_b AS doc_id FROM mh_pairs),
+            clean AS (
+              SELECT k2.doc_id, k2.text FROM kept k2 ANTI JOIN dropped USING (doc_id)
+            ), ct AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM clean
+            ), s AS (
+              SELECT doc_id,
+          {score_cols}
+              FROM ct
+            ), lang AS (
+              SELECT doc_id,
+                     CASE WHEN ({lang_best}) > 0 THEN {lang_case} ELSE 'und' END AS lang_pred
+              FROM s
+            )
+            SELECT lang_pred,
+                   count(*) AS n_docs,
+                   CAST(sum(len(ct.toks)) AS BIGINT) AS n_tokens
+            FROM ct JOIN lang USING (doc_id)
+            GROUP BY lang_pred
+        """,
         "text_langid": f"""
             WITH t AS (
               SELECT doc_id,
@@ -1124,4 +1217,5 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "pipeline_corpus_clean": pipeline_corpus_clean,
     }
