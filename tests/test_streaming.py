@@ -171,3 +171,33 @@ def test_stream_dedup_exact(spark, tmp_path):
     assert 5 in emitted
     assert not ({1, 2} <= set(emitted))
     assert not ({3, 4} <= set(emitted))
+
+
+def test_text_operators_run_on_streams(spark, tmp_path):
+    """The text-analysis operators are stateless projections, so the exact
+    same operator code runs on a stream: quality scoring + language id over
+    a streamed document source."""
+    from adtl_spark.operators import text as X
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog and runs home"),
+            (2, "el zorro marron salta sobre el perro perezoso y corre"),
+        ],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    scored = X.quality_score(stream)
+    assert scored.isStreaming
+    _run_stream_to_memory(scored, "stream_quality")
+    got = {r["doc_id"]: r["n_tokens"] for r in spark.sql("SELECT * FROM stream_quality").collect()}
+    assert got == {1: 12, 2: 10}
+
+    lang = X.lang_id(stream)
+    _run_stream_to_memory(lang, "stream_lang")
+    preds = {r["doc_id"]: r["lang_pred"] for r in spark.sql("SELECT * FROM stream_lang").collect()}
+    assert preds[1] == "en" and preds[2] == "es"
