@@ -106,10 +106,16 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(
+    df: DataFrame, text_col: str = "text", with_token_count: bool = False
+) -> DataFrame:
     """Stopword-hit language identification: per language, the fraction of
     tokens found in that language's stopword list; argmax wins, ties break
-    to the alphabetically-first language code.  'und' when nothing scores."""
+    to the alphabetically-first language code.  'und' when nothing scores.
+
+    ``with_token_count`` adds an ``n_tokens_ws`` column from the same
+    tokenized pass — pipeline consumers that need both avoid a second
+    tokenization and a join."""
     t = _tokenized(df, text_col)
     toks = F.col("__toks")
     n = F.size(toks)
@@ -121,6 +127,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     # two-step projection: materialize the per-language scores once, then
     # run the argmax CASE chain over the score columns (each score would
     # otherwise be re-evaluated ~2x per CASE branch)
+    extra = [n.cast("long").alias("n_tokens_ws")] if with_token_count else []
     score_df = t.select(
         F.col("doc_id"),
         *[
@@ -129,6 +136,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             .alias(f"__s_{lang}")
             for lang in langs
         ],
+        *extra,
     )
     scores: dict[str, Column] = {lang: F.col(f"__s_{lang}") for lang in langs}
     # first language whose score >= all others (alphabetical tie-break) —
@@ -148,6 +156,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("doc_id"),
         F.when(best > 0, pred).otherwise(F.lit("und")).alias("lang_pred"),
         F.round(best, 4).alias("lang_score"),
+        *([F.col("n_tokens_ws")] if with_token_count else []),
     )
 
 

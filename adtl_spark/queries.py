@@ -739,7 +739,10 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave the first projection)."""
     docs = _t(spark, sf_dir, "documents")
     good = X.quality_score(docs).filter(F.col("quality") >= QUALITY_MIN)
-    kept = docs.join(good.select("doc_id"), "doc_id")
+    # persisted: the filtered working corpus feeds pair generation, the
+    # anti-join and the stats stages — without it each consumer re-plans
+    # the quality scoring pass
+    kept = docs.join(good.select("doc_id"), "doc_id").persist()
     pairs = D.dedup_minhash_lsh(
         kept,
         k=MINHASH_K,
@@ -749,12 +752,10 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     clean = kept.join(drop, "doc_id", "left_anti")
-    lang = X.lang_id(clean).select("doc_id", "lang_pred")
-    toks = X.token_stats(clean).select("doc_id", "n_tokens_ws")
+    # one tokenized pass yields both the language call and the token count —
+    # no second tokenization, no join back
     return (
-        clean.select("doc_id")
-        .join(lang, "doc_id")
-        .join(toks, "doc_id")
+        X.lang_id(clean, with_token_count=True)
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),

@@ -44,6 +44,7 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_simhash",
     "ann_cosine_topk",
+    "pipeline_corpus_clean",
 ]
 
 
