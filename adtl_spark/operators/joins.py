@@ -38,3 +38,69 @@ def salted_join(
     )
     out = salted_fact.join(exploded_dim, [on, "__salt__"], how)
     return out.drop("__salt__")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str,
+    key_col: str,
+    right_cols: list[str],
+    right_order: str | None = None,
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Backward as-of join: every left row gains the ``right_cols`` of the
+    latest right row with the same key and ``right.time <= left.time``
+    (nulls when no prior right row exists).
+
+    Spark has no ASOF JOIN; the naive encoding is a range join whose
+    candidate set explodes quadratically per key.  This is the scale-correct
+    union encoding instead: tag both sides, union, and run ONE window —
+    partition by key, order by (time, side, right_order) — taking the
+    running ``last`` non-null right payload.  Cost is a single shuffle+sort
+    of |left| + |right| rows, identical to any per-key window, regardless
+    of how many right rows precede each left row.
+
+    The right payload rides in a struct so a right row whose payload
+    values are null still matches (``last(ignorenulls)`` must skip
+    missing ROWS, not missing values).  ``right_order`` breaks ties among
+    right rows sharing a timestamp (latest wins); equal-time left/right
+    rows match (<= semantics, right sorts first via the side tag).
+    """
+    from pyspark.sql import Window
+
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__m__")
+    order_val = (
+        F.col(right_order) if right_order else F.lit(0)
+    ).alias("__ro__")
+    left_cols = [c for c in left.columns]
+    r = right.select(
+        F.col(key_col).alias("__k__"),
+        F.col(time_col).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        order_val,
+        payload,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__") for c in left_cols],
+    )
+    l = left.select(
+        F.col(key_col).alias("__k__"),
+        F.col(time_col).alias("__t__"),
+        F.lit(1).alias("__side__"),
+        F.lit(None)
+        .cast(right.schema[right_order].dataType if right_order else "int")
+        .alias("__ro__"),
+        F.lit(None).cast(r.schema["__m__"].dataType).alias("__m__"),
+        *[F.col(c).alias(f"__l_{c}__") for c in left_cols],
+    )
+    w = (
+        Window.partitionBy("__k__")
+        .orderBy("__t__", "__side__", "__ro__")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = l.unionByName(r).withColumn(
+        "__asof__", F.last("__m__", ignorenulls=True).over(w)
+    )
+    return matched.filter(F.col("__side__") == 1).select(
+        *[F.col(f"__l_{c}__").alias(c) for c in left_cols],
+        *[F.col("__asof__")[c].alias(f"{prefix}{c}") for c in right_cols],
+    )

@@ -604,6 +604,39 @@ def w4_rolling_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'click' event gains the latest preceding-or-equal
+    'view' event of the same user (Spark lacks ASOF JOIN; the operator is
+    the single-shuffle union+window encoding, not a range join).  Oracle:
+    DuckDB range join with a deterministic latest-first QUALIFY."""
+    from adtl_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        time_col="ts",
+        key_col="user_id",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+    )
+    # ts arrives as raw nanoseconds; DuckDB reads nanos-parquet at
+    # microsecond precision, so compare at us
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("matched_event_id").alias("view_event_id"),
+        F.round("matched_value", 4).alias("view_value"),
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -1029,6 +1062,18 @@ def oracles() -> dict[str, str]:
                    round(value, 4) AS value
             FROM ranked WHERE rank <= 3
         """,
+        "w5_asof_join": """
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   v.event_id AS view_event_id,
+                   round(v.value, 4) AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
+              ON v.user_id = c.user_id AND v.ts <= c.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY c.event_id ORDER BY v.ts DESC, v.event_id DESC
+            ) = 1
+        """,
         "text_token_stats": f"""
             WITH toks AS (
               SELECT doc_id, text,
@@ -1205,6 +1250,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_json_extract": w2_json_extract,
         "w3_topn_per_group": w3_topn_per_group,
         "w4_rolling_aggregate": w4_rolling_aggregate,
+        "w5_asof_join": w5_asof_join,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,

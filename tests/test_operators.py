@@ -199,3 +199,35 @@ def test_ann_ivf_probes_find_near_neighbors(spark):
         by_q.setdefault(r["query_id"], []).append(r["corpus_id"])
     for q, ids in by_q.items():
         assert ids and all(abs(i - q) < 10 for i in ids)
+
+
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right row with rt <= lt per key; equal
+    timestamps match; duplicate right timestamps break ties to the highest
+    order column; keys with no prior right row yield nulls."""
+    from adtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50), (4, 30, 100)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, 100, 1.0),   # equal ts as left 1 -> matches
+            (102, 10, 200, 2.0),
+            (103, 10, 200, 3.0),   # same ts as 102: higher id wins
+            (104, 20, 60, 4.0),    # after left 3 -> no match for key 20
+        ],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(
+            left, right, "ts", "user_id",
+            right_cols=["event_id", "value"], right_order="event_id",
+        ).collect()
+    }
+    assert out[1] == (101, 1.0)      # <= semantics
+    assert out[2] == (103, 3.0)      # tie -> highest right_order
+    assert out[3] == (None, None)    # right row is later
+    assert out[4] == (None, None)    # key never seen on the right
