@@ -138,7 +138,18 @@ class Parser:
         ordered = self._output_columns(table, df)
         return write_csv_single(df.select(*ordered), output)
 
-    def write_parquet(self, table: str, output: str) -> None:
+    def write_parquet(
+        self,
+        table: str,
+        output: str,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 32,
+        sort_by: list[str] | None = None,
+    ) -> None:
+        """Parquet sink.  ``bucket_by`` persists the table bucketed (and
+        optionally sorted) on those columns via the session catalog —
+        downstream joins/aggregations on the bucket key then plan with no
+        exchange (see sources/io.py:write_bucketed)."""
         if self.spec.return_unmatched:
             # returnUnmatched produces mixed-type cells; the reference
             # refuses parquet for the same reason (python_interface.py:52-53)
@@ -147,7 +158,15 @@ class Parser:
                 "be written to parquet"
             )
         df = self.table(table)
-        write_parquet(df.select(*self._output_columns(table, df)), output)
+        out = df.select(*self._output_columns(table, df))
+        if bucket_by:
+            from adtl_spark.sources.io import write_bucketed
+
+            write_bucketed(
+                out, f"{self.name}_{table}", output, bucket_by, n_buckets, sort_by
+            )
+            return
+        write_parquet(out, output)
 
     def _output_columns(self, table: str, df: DataFrame) -> list[str]:
         cols = []

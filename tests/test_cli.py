@@ -94,3 +94,21 @@ def test_bom_in_source_header(workdir, spark):
     )
     out = list(p.read_table("subject"))
     assert out == [{"subject_id": "Z1", "sex": "male"}]
+
+
+def test_parser_write_parquet_bucketed(spark, tmp_path):
+    from adtl_spark.api import Parser
+
+    spec = {
+        "adtl": {"name": "bk", "description": "", "tables": {"t": {"kind": "oneToOne"}}},
+        "t": {"sid": {"field": "id"}, "v": {"field": "x"}},
+    }
+    p = Parser(spec, spark=spark).parse_rows(
+        [{"id": str(i), "x": str(i * 2)} for i in range(20)], skip_validation=True
+    )
+    p.write_parquet("t", str(tmp_path / "t"), bucket_by=["sid"], n_buckets=4)
+    back = spark.table("bk_t")
+    assert back.count() == 20
+    plan = back.groupBy("sid").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # bucketed layout: agg needs no shuffle
+    spark.sql("DROP TABLE IF EXISTS bk_t")
