@@ -73,8 +73,9 @@ def build_all_tables(
         # low-split scan across all cores — the rule projection is the
         # engine's hot loop and must not run on one task just because the
         # local file has one row group.  ordered_output restores file order
-        # per table from the row id afterwards.
-        df = scan_parallel(attach_row_id(df))
+        # per table from the row id afterwards; hashing on the unique row id
+        # avoids round-robin's defensive pre-shuffle sort.
+        df = scan_parallel(attach_row_id(df), by=F.col(ROW_ID))
     for table, meta in spec.tables.items():
         kind = meta.get("kind")
         if kind == "constant":

@@ -41,7 +41,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # scan->agg shapes where map-side partial aggregation shrinks the
         # data before any shuffle, and a raw-row repartition would defeat it
         # (measured: q1/a2/a3/q3 all regress).
-        df = scan_parallel(df)
+        df = scan_parallel(df, by=F.col("doc_id" if name == "documents" else "vec_id"))
     return df
 
 

@@ -47,7 +47,7 @@ def get_spark(app_name: str = "adtl_spark", cpus: int | None = None) -> SparkSes
     return spark
 
 
-def scan_parallel(df, factor: int = 2):
+def scan_parallel(df, factor: int = 2, by=None):
     """Spread a low-split source across every core.
 
     Parquet assigns each row group to one input split, so a file with a
@@ -55,17 +55,24 @@ def scan_parallel(df, factor: int = 2):
     narrow operator fused onto the scan (the engine's regex-heavy row stage,
     shingling, tokenization) runs single-threaded no matter how many cores
     the session has.  When the scan's split count is under half the default
-    parallelism, insert one round-robin repartition (a cheap exchange of the
-    scan output) so downstream per-row compute uses the whole machine.
+    parallelism, insert one repartition (a cheap exchange of the scan
+    output) so downstream per-row compute uses the whole machine.
 
     On a many-file / many-row-group dataset — the 100 TB case — the scan
     already has thousands of splits, the condition is false, and this is a
     no-op: no extra exchange ever appears in an at-scale plan.
+
+    Round-robin repartition pays a defensive per-partition sort
+    (sortBeforeRepartition, for deterministic retries); passing a unique
+    ``by`` column switches to hash partitioning, which is retry-stable by
+    construction and skips that sort.
     """
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * factor <= target:
+        if by is not None:
+            return df.repartition(target, by)
         return df.repartition(target)
     return df
 
