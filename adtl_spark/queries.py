@@ -9,7 +9,11 @@ conventions for hash-stable cross-engine comparison:
 - money/quantity aggregates go through DECIMAL(18,4) (exact, order-
   independent) and are cast to double at the end;
 - dates are rendered as 'yyyy-MM-dd' strings;
-- floating results are rounded to 4 decimals AFTER thresholding.
+- floating results are rounded to 4 decimals AFTER thresholding;
+- DuckDB ``sum(BIGINT)`` widens to HUGEINT (int128) while Spark stays
+  LongType — ALWAYS wrap integer sums in the oracle with
+  ``CAST(sum(...) AS BIGINT)`` or the typed hash diverges even when the
+  values are identical.
 """
 
 from __future__ import annotations
@@ -1048,7 +1052,7 @@ def oracles() -> dict[str, str]:
         """,
         "w2_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
