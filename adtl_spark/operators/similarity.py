@@ -314,6 +314,61 @@ def ann_ivf_oracle_sql(
     """
 
 
+def _signature_sql(vec_sql: str, dim: int, planes: int, seed: int) -> str:
+    """DuckDB expression mirroring :func:`hyperplane_signature` exactly:
+    the SAME LCG plane literals (``repr`` round-trips doubles bit-exactly in
+    both engines), the same ``>= 0`` sign threshold, the same bit packing.
+    ``list_dot_product`` on DOUBLE[] folds left-to-right like
+    ``F.aggregate`` so the sign bits agree bit-for-bit."""
+    terms = []
+    for i in range(planes):
+        coords = _lcg_floats(dim, seed + i * 1000)
+        plane = "[" + ", ".join(repr(c) for c in coords) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({vec_sql}, {plane}) >= 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        )
+    return "(" + " + ".join(terms) + ")" if terms else "CAST(0 AS BIGINT)"
+
+
+def ann_lsh_oracle_sql(
+    table: str, dim: int, k: int, planes: int, seed: int, n_queries: int
+) -> str:
+    """DuckDB twin of ann_lsh: identical hyperplane buckets (mirrored LCG
+    literals), bucket equi-join, per-query top-k with the same tie-break.
+    The 'approximation' is deterministic given the planes, so the twin is
+    exact — queries whose bucket holds fewer than k mates emit fewer rows
+    in both engines."""
+    sig_v = _signature_sql("v", dim, planes, seed)
+    sig_q = _signature_sql("qv", dim, planes, seed)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS v,
+             {sig_v} AS bucket
+      FROM {table}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+             {sig_q} AS bucket
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_queries})
+    ),
+    sims AS (
+      SELECT q.query_id, c.corpus_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM c JOIN q ON c.bucket = q.bucket
+      WHERE q.query_id != c.corpus_id
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """
+
+
 def embedding_neardup(
     df: DataFrame,
     tau: float = 0.95,
@@ -349,15 +404,27 @@ def embedding_neardup(
     )
 
 
-def embedding_neardup_oracle_sql(table: str, tau: float) -> str:
-    """DuckDB twin of embedding_neardup with planes=0 (exact all-pairs) —
-    used at oracle scale where n is small."""
+def embedding_neardup_oracle_sql(
+    table: str,
+    tau: float,
+    planes: int = 0,
+    dim: int = 64,
+    seed: int = 1234,
+) -> str:
+    """DuckDB twin of embedding_neardup.  ``planes=0`` is the exact
+    all-pairs form; ``planes>0`` mirrors the LSH-bucketed scale path —
+    identical hyperplane signatures restrict pairs to same-bucket, so the
+    twin reproduces the bucketed result (including any recall loss) rather
+    than approximating it."""
+    sig = _signature_sql("v", dim, planes, seed) if planes else "CAST(0 AS BIGINT)"
+    bucket_cond = " AND a.bucket = b.bucket" if planes else ""
     return f"""
-    WITH c AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM {table})
+    WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    c AS (SELECT id, v, {sig} AS bucket FROM base)
     SELECT a.id AS id_a, b.id AS id_b,
            round(list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos
-    FROM c a JOIN c b ON a.id < b.id
+    FROM c a JOIN c b ON a.id < b.id{bucket_cond}
     WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {tau}
     """

@@ -717,11 +717,24 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_TAU = 0.35
 
 
+NEARDUP_PLANES = 8
+
+
 def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # planes=0: exact all-pairs twin of the oracle at verification scale;
-    # the LSH-bucketed path is exercised by ann_lsh_topk
+    # planes=0: exact all-pairs twin of the oracle at verification scale
     return S.embedding_neardup(
         _t(spark, sf_dir, "embeddings"), tau=NEARDUP_TAU, planes=0
+    )
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB embedding-dedup path: hyperplane-LSH bucketing restricts
+    candidate pairs to same-signature buckets (equi-join on a BIGINT key
+    instead of an all-pairs cross join).  The oracle mirrors the signature
+    bit-for-bit, so the bucketed result — including its recall loss — is
+    value-checked, not just row-counted."""
+    return S.embedding_neardup(
+        _t(spark, sf_dir, "embeddings"), tau=NEARDUP_TAU, planes=NEARDUP_PLANES
     )
 
 
@@ -737,12 +750,18 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, queries, k=ANN_K)
 
 
+LSH_PLANES = 6
+LSH_SEED = 1234
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (no oracle: approximate by design; driver records
-    rows-only).  Same interface as the exact path."""
+    """LSH-bucketed ANN.  The hyperplanes are deterministic LCG literals,
+    so although the method is approximate relative to exact top-k, it is
+    exactly reproducible — the DuckDB oracle mirrors the planes and bucket
+    join and value-checks the approximate result itself."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
-    return S.ann_lsh(emb, queries, dim=64, k=ANN_K, planes=6)
+    return S.ann_lsh(emb, queries, dim=64, k=ANN_K, planes=LSH_PLANES, seed=LSH_SEED)
 
 
 IVF_CENTROIDS = 16
@@ -1220,7 +1239,13 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_cluster": D.cluster_oracle_sql("documents"),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
+        "dedup_embedding_lsh": S.embedding_neardup_oracle_sql(
+            "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
+        ),
         "ann_cosine_topk": S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES),
+        "ann_lsh_topk": S.ann_lsh_oracle_sql(
+            "embeddings", 64, ANN_K, LSH_PLANES, LSH_SEED, ANN_QUERIES
+        ),
         "ann_ivf_topk": S.ann_ivf_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
         ),
@@ -1265,6 +1290,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
