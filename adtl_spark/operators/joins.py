@@ -23,14 +23,20 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``fact`` with ``dim`` on column ``on``, salting the key.
 
-    fact rows get a random-but-deterministic salt (hash of the full row's
-    key + a uniform bucket from the key's hash and a per-row component);
-    dim rows are exploded across all buckets.  Works for inner and left
-    joins; the dim side should be the (much) smaller relation.
+    fact rows get a deterministic salt — a hash over ALL fact columns, so
+    the same row always lands in the same bucket (a non-deterministic
+    component like ``monotonically_increasing_id`` would re-salt rows on
+    task retry and block Catalyst pushdown/plan-reuse around the join);
+    dim rows are exploded across all buckets.  Fully duplicate fact rows
+    share a bucket, which only matters if duplicates dominate a hot key.
+    Works for inner and left joins; the dim side should be the (much)
+    smaller relation.
     """
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner and left joins")
-    salt = (F.pmod(F.xxhash64(F.col(on), F.monotonically_increasing_id()), salt_buckets)).cast("int")
+    salt = (
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(salt_buckets))
+    ).cast("int")
     salted_fact = fact.withColumn("__salt__", salt)
     exploded_dim = dim.withColumn(
         "__salt__",
@@ -69,6 +75,13 @@ def asof_join(
     """
     from pyspark.sql import Window
 
+    # ASOF semantics (and the range-join encoding right.ts <= left.ts)
+    # never match a null-timestamp right row; without this filter Spark's
+    # nulls-first ordering would sort such a row before everything and make
+    # it the "latest preceding" match for left rows that have no real
+    # predecessor.  Null-time LEFT rows keep their row and get a null
+    # payload (they sort before every real right row).
+    right = right.filter(F.col(time_col).isNotNull())
     payload = F.struct(*[F.col(c) for c in right_cols]).alias("__m__")
     order_val = (
         F.col(right_order) if right_order else F.lit(0)

@@ -78,16 +78,30 @@ class Value:
     combined_type: str | None = None  # set when the rule is a combinedType
 
 
-def truthy(col: Column) -> Column:
-    """Python truthiness of a canonically-rendered dynamic value.
+def truthy(col: Column, hint: str = "dynamic") -> Column:
+    """Python truthiness of a rendered value, provenance-aware.
 
-    Falsy renders: "False", "0", "0.0", "" (None is handled by callers).
-    A *source* string literally equal to "False"/"0" is falsy here even
-    though Python would call the str truthy — in practice those renders only
-    arise from bool/int values, and the adtl fixtures never feed the literal
-    text "False" through a truthiness fold.
+    The falsy-string set depends on where the render came from (the
+    compile-time type hint), mirroring the reference exactly:
+
+    - ``bool`` renders: only "False" is falsy;
+    - ``int``/``float``/``num`` renders: numeric zeros are falsy;
+    - ``dynamic`` (raw cell after int-then-float auto-coercion): numeric
+      zeros are falsy, but a cell literally spelling "False" stays a
+      non-empty *string* in the reference (it cannot coerce) and is truthy;
+    - ``str`` (closed non-numeric domain): only "" is falsy.
+
+    "" is in every set (None is handled by callers).
     """
-    return col.isNotNull() & ~col.isin("False", "0", "0.0", "-0.0", "")
+    if hint == "bool":
+        falsy = ("False", "")
+    elif hint == "int":
+        falsy = ("0", "")
+    elif hint == "str":
+        falsy = ("",)
+    else:  # float / num / dynamic
+        falsy = ("0", "0.0", "-0.0", "")
+    return col.isNotNull() & ~col.isin(*falsy)
 
 
 def _parses_numeric(rendered: str | None) -> bool:
@@ -161,7 +175,9 @@ class RuleCompiler:
         "date": "str",
         "timestamp": "str",
         "timestamp_ntz": "str",
-        "boolean": "str",  # rendered 'True'/'False', never numeric
+        # rendered 'True'/'False', never numeric; 'bool' (vs 'str') so
+        # truthiness folds know "False" here really came from a boolean
+        "boolean": "bool",
     }
 
     def source_hint(self, field: str) -> str:
@@ -360,7 +376,13 @@ class RuleCompiler:
         elif passthrough:
             mapped = mapped.otherwise(lookup)
         hint = _unify_literal_types(list(mapping.values()))
-        if hint == "dynamic" and not passthrough:
+        if passthrough:
+            # unmapped cells pass through as their raw text, so only the
+            # mapped-literal outputs are guaranteed canonical — the final
+            # int-then-float coercion must still run (reference applies it
+            # unconditionally after convert_values): '007' -> 7, not '007'
+            hint = "dynamic"
+        elif hint == "dynamic":
             # closed output domain: when no rendered literal re-parses as a
             # number, the final int/float coercion is the identity — mark
             # the column str so the regex pass is skipped entirely
@@ -508,14 +530,20 @@ class RuleCompiler:
             if ctype == "any":
                 hit = reduce(
                     lambda a, b: a | b,
-                    [v & truthy(c) for v, c in zip(valid, cols)],
+                    [
+                        v & truthy(s.col, s.type_hint)
+                        for v, s in zip(valid, sub_values)
+                    ],
                 )
                 result = R.render_bool(hit)
                 result_hint = "bool"
             elif ctype == "all":
                 hit = reduce(
                     lambda a, b: a & b,
-                    [~v | truthy(c) for v, c in zip(valid, cols)],
+                    [
+                        ~v | truthy(s.col, s.type_hint)
+                        for v, s in zip(valid, sub_values)
+                    ],
                 )
                 result = R.render_bool(hit)
                 result_hint = "bool"
@@ -565,7 +593,7 @@ class RuleCompiler:
             empty = F.array().cast("array<string>")
             parts = []
             for v in sub_values:
-                keep = self._exclude_keep(v.col, exclude)
+                keep = self._exclude_keep(v.col, exclude, v.type_hint)
                 parts.append(
                     F.when(keep, F.array(v.col)).otherwise(empty)
                     if keep is not None
@@ -580,37 +608,46 @@ class RuleCompiler:
         parts = [
             v.col if v.is_array else F.array(v.col) for v in sub_values
         ]
-        flat = F.concat(*parts) if len(parts) > 1 else parts[0]
 
         if ctype == "firstNonNull":
+            flat = F.concat(*parts) if len(parts) > 1 else parts[0]
             non_null = F.filter(flat, lambda x: x.isNotNull())
             return Value(
                 F.element_at(non_null, 1), type_hint="dynamic", combined_type=ctype
             )
         if ctype in ("list", "set"):
-            if ctype == "set":
-                flat = F.array_distinct(flat)
+            # excludeWhen filters per PART (not on the concatenated array) so
+            # false-like truthiness sees each sub-value's own type hint —
+            # elementwise predicates commute with concat, so semantics match
             if exclude == "none":
-                flat = F.filter(flat, lambda x: x.isNotNull())
+                parts = [F.filter(p, lambda x: x.isNotNull()) for p in parts]
             elif exclude == "false-like":
-                flat = F.filter(flat, truthy)
+                parts = [
+                    F.filter(p, lambda x, h=v.type_hint: truthy(x, h))
+                    for p, v in zip(parts, sub_values)
+                ]
             elif isinstance(exclude, list):
                 rendered = [R.render_literal(v) for v in exclude]
-                flat = F.filter(
-                    flat,
-                    lambda x: x.isNull() | ~x.isin(*rendered),
-                )
+                parts = [
+                    F.filter(p, lambda x: x.isNull() | ~x.isin(*rendered))
+                    for p in parts
+                ]
+            flat = F.concat(*parts) if len(parts) > 1 else parts[0]
+            if ctype == "set":
+                flat = F.array_distinct(flat)
             return Value(flat, is_array=True, type_hint="str", combined_type=ctype)
         raise SpecError(f"unknown combinedType: {ctype!r}")
 
     @staticmethod
-    def _exclude_keep(col: Column, exclude: Any) -> Column | None:
+    def _exclude_keep(
+        col: Column, exclude: Any, hint: str = "dynamic"
+    ) -> Column | None:
         """Element-keep predicate for excludeWhen on a scalar sub-value;
         None means keep unconditionally."""
         if exclude == "none":
             return col.isNotNull()
         if exclude == "false-like":
-            return truthy(col)
+            return truthy(col, hint)
         if isinstance(exclude, list):
             rendered = [R.render_literal(v) for v in exclude]
             return col.isNull() | ~col.isin(*rendered)

@@ -215,7 +215,7 @@ def _aggregate_attr(attr: str, value: Value, combined: str | None) -> Column:
     if combined in ("all", "any"):
         # truthiness only over valid cells — null must stay null so the
         # bool_and/bool_or aggregate ignores it instead of folding False
-        flag = F.when(cell.isNotNull(), truthy(cell))
+        flag = F.when(cell.isNotNull(), truthy(cell, value.type_hint))
         fold = F.bool_and(flag) if combined == "all" else F.bool_or(flag)
         return R.render_bool(fold)
     if combined in ("min", "max"):

@@ -142,8 +142,13 @@ def write_bucketed(
     should be sized so one bucket fits an executor's memory; sortBy
     additionally lets sort-merge join skip its per-task sort).  Registered
     through the session catalog because bucket metadata lives there, with
-    the data at ``path``; returns the re-read catalog-backed DataFrame."""
+    the data at ``path``; returns the re-read catalog-backed DataFrame.
+
+    The catalog name is sanitized to ``[A-Za-z0-9_]`` (adtl spec names
+    routinely contain hyphens/dots, which are invalid SQL identifiers) and
+    backtick-quoted in the DROP statement."""
     spark = df.sparkSession
+    table = _sanitize_identifier(table)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")
@@ -152,6 +157,17 @@ def write_bucketed(
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS `{table}`")
     writer.saveAsTable(table)
     return spark.table(table)
+
+
+def _sanitize_identifier(name: str) -> str:
+    """Catalog-safe identifier: non-[A-Za-z0-9_] chars become '_', with a
+    leading underscore if the result would start with a digit."""
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_]", "_", name)
+    if not safe or safe[0].isdigit():
+        safe = "_" + safe
+    return safe

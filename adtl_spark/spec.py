@@ -300,18 +300,26 @@ class CompiledSpec:
         self.date_fields = sorted(set(self.date_fields))
 
         # merge per-table `common` mappings into every oneToMany block, then
-        # synthesize missing `if` predicates once (not per row)
+        # synthesize missing `if` predicates once (not per row).  The
+        # PRE-merge block-key union feeds schema-less fieldnames below —
+        # the reference computes fieldnames before merging common in
+        # (parser.py:_set_field_names), so the order must come from the
+        # unmerged blocks.
+        premerge_keys: dict[str, set[str]] = {}
         for table, meta in self.tables.items():
             if meta.get("kind") != "oneToMany":
                 continue
             common = meta.get("common", {})
             blocks = []
+            keys: set[str] = set()
             for block in self.table_specs[table]:
+                keys.update(block)
                 block = {**block, **common}
                 if "if" not in block:
                     block = synthesize_default_if(table, block, self.schemas[table])
                 blocks.append(block)
             self.table_specs[table] = blocks
+            premerge_keys[table] = keys
 
         self.fieldnames: dict[str, list[str]] = {}
         for table, meta in self.tables.items():
@@ -320,10 +328,18 @@ class CompiledSpec:
             elif table in self.schemas:
                 self.fieldnames[table] = sorted(self.schemas[table]["properties"])
             else:
-                seen: set[str] = set()
-                for block in self.table_specs[table]:
-                    seen.update(k for k in block if k != "if")
-                self.fieldnames[table] = sorted(seen)
+                # reference ordering for schema-less oneToMany: common keys
+                # in insertion order, then the sorted pre-merge block keys —
+                # INCLUDING a literal 'if' when a block spells one out (the
+                # reference emits it as an always-empty CSV column).  One
+                # documented deviation: a key present in BOTH common and a
+                # block appears once here (the reference duplicates the CSV
+                # column, which DataFrame schemas cannot express).
+                ordered = list(meta.get("common", {}).keys())
+                ordered += [
+                    k for k in sorted(premerge_keys[table]) if k not in set(ordered)
+                ]
+                self.fieldnames[table] = ordered
 
         self.default_date_format: str = self.header.get(
             "defaultDateFormat", DEFAULT_DATE_FORMAT

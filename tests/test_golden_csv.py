@@ -92,13 +92,17 @@ EXPECTED_SUBJECT = (
     ",True,,,P3,['cough']\r\n"
 )
 
+# verified against the reference parser run offline on this exact fixture:
+# a schema-less oneToMany table orders columns as sorted pre-common-merge
+# block keys, INCLUDING an always-empty 'if' column when blocks spell out
+# explicit if predicates (parser.py:_set_field_names)
 EXPECTED_OBSERVATION = (
-    "is_present,name,phase,subject,value\r\n"
-    "True,cough,admission,P1,\r\n"
-    ",spo2,admission,P1,95\r\n"
-    "False,cough,admission,P1,\r\n"
-    ",spo2,admission,P2,88\r\n"
-    "True,cough,admission,P3,\r\n"
+    "if,is_present,name,phase,subject,value\r\n"
+    ",True,cough,admission,P1,\r\n"
+    ",,spo2,admission,P1,95\r\n"
+    ",False,cough,admission,P1,\r\n"
+    ",,spo2,admission,P2,88\r\n"
+    ",True,cough,admission,P3,\r\n"
 )
 
 

@@ -166,6 +166,48 @@ def test_salted_join_matches_plain_join(spark):
     assert left_plain == left_salted
 
 
+def test_salted_join_deterministic(spark):
+    """The salt must be a deterministic function of the fact row (task
+    retries re-evaluate it; a random component would re-bucket rows and,
+    worse, block plan reuse).  Same input -> identical salted output, and
+    the physical plan carries no non-deterministic expression."""
+    from adtl_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(f"k{i % 3}", i) for i in range(30)], ["key", "v"]
+    )
+    dim = spark.createDataFrame([("k0", "A"), ("k1", "B")], ["key", "label"])
+    a = sorted(map(tuple, salted_join(fact, dim, "key", 4).collect()))
+    b = sorted(map(tuple, salted_join(fact, dim, "key", 4).collect()))
+    assert a == b
+    plan = salted_join(fact, dim, "key", 4)._jdf.queryExecution().executedPlan().toString()
+    assert "monotonically_increasing_id" not in plan
+
+
+def test_asof_join_ignores_null_timestamps(spark):
+    """A right row with a null timestamp is never a match (range semantics:
+    r.ts <= l.ts is unknown for null); a null-time LEFT row keeps its row
+    with a null payload."""
+    from adtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, None)], "event_id long, user_id long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(101, 10, None, 9.0), (102, 10, 50, 1.0)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    out = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(
+            left, right, "ts", "user_id", right_cols=["event_id", "value"]
+        ).collect()
+    }
+    assert out[1] == (102, 1.0)   # null-ts right row 101 must not win
+    assert out[2] == (None, None)  # null-ts left row matches nothing
+    assert len(out) == 2
+
+
 def test_ann_ivf_probes_find_near_neighbors(spark):
     """IVF with enough probes must agree with exact top-k on a clustered
     dataset; with 1 probe it returns a subset of the exact ranking's ids

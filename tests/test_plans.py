@@ -201,3 +201,18 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_bucketed_table_name_sanitized(spark, tmp_path):
+    """adtl spec names routinely contain hyphens/dots; the catalog table
+    name must be sanitized to a valid SQL identifier instead of failing at
+    DROP/saveAsTable time."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.sources.io import write_bucketed
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    out = write_bucketed(df, "my-spec.v2_t", str(tmp_path / "b"), ["k"], 4)
+    assert out.count() == 100
+    assert "my_spec_v2_t" in [t.name for t in spark.catalog.listTables()]
+    spark.sql("DROP TABLE IF EXISTS my_spec_v2_t")
