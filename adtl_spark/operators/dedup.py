@@ -58,6 +58,21 @@ def minhash_coefficients(k: int, seed: int = 7) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _materialize_and_release(result: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Materialize ``result`` (localCheckpoint cuts its lineage off the
+    cached intermediates), then unpersist the intermediates.
+
+    persist() without a matching unpersist leaks executor memory across
+    queries in a long-lived session; but the caches can only be released
+    once nothing will recompute through them.  The result of every dedup
+    operator is a pair/canonical list orders of magnitude smaller than the
+    corpus, so materializing it is cheap at any scale."""
+    out = result.localCheckpoint()
+    for c in caches:
+        c.unpersist()
+    return out
+
+
 # --------------------------------------------------------------------- exact
 
 
@@ -295,7 +310,7 @@ def dedup_ngram_jaccard(
     )
     mem_a = membership.select(F.col("__canon").alias("id_a"), F.col("id").alias("m_a"))
     mem_b = membership.select(F.col("__canon").alias("id_b"), F.col("id").alias("m_b"))
-    return (
+    result = (
         pairs.unionByName(self_pairs)
         .join(mem_a, "id_a")
         .join(mem_b, "id_b")
@@ -307,6 +322,7 @@ def dedup_ngram_jaccard(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+    return _materialize_and_release(result, [canon_full, membership, sh, doc_sets])
 
 
 def ngram_jaccard_oracle_sql(
@@ -380,7 +396,11 @@ def dedup_minhash_lsh(
     """
     assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col)
+    # persisted: the signature table feeds the band explode AND the two
+    # scoring joins below; without it the whole shingle+minhash pipeline
+    # would run three times.  k doubles per doc (k*8 B) — tiny relative to
+    # the corpus.  Released after the result is materialized.
+    sig = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col).persist()
     band_rows = []
     for b_idx in range(bands):
         members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
@@ -390,10 +410,12 @@ def dedup_minhash_lsh(
                 F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
             )
         )
+    # the band self-join shuffles ONLY (id, band, sig) — the k mh_i columns
+    # are joined back onto the (much smaller) candidate list afterwards, so
+    # shuffle width stays O(1) in k instead of carrying k*8 B per banded row
     banded = sig.select(
-        F.col("id"), *[F.col(f"mh_{i}") for i in range(k)],
-        F.explode(F.array(*band_rows)).alias("bs"),
-    ).select("id", *[f"mh_{i}" for i in range(k)], "bs.band", "bs.sig")
+        F.col("id"), F.explode(F.array(*band_rows)).alias("bs")
+    ).select("id", "bs.band", "bs.sig")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -404,22 +426,26 @@ def dedup_minhash_lsh(
             & (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            *[
-                (F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}")).cast("int").alias(f"eq_{i}")
-                for i in range(k)
-            ],
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = sum(F.col(f"eq_{i}") for i in range(k)) / F.lit(float(k))
-    return (
-        cand.withColumn("est_jaccard", est)
+    sig_a = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(k)]
+    )
+    sig_b = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(k)]
+    )
+    est = sum(
+        (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int") for i in range(k)
+    ) / F.lit(float(k))
+    result = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
+    return _materialize_and_release(result, [sig])
 
 
 def shingle_cte_sql(table: str, n: int) -> str:
@@ -584,6 +610,7 @@ def cluster_pairs(
     max_iterations: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair list: every member
     labeled with the smallest id in its component (the canonical doc).
@@ -593,25 +620,41 @@ def cluster_pairs(
     jumping — ``label(x) <- label(label(x))`` — so the effective radius
     doubles per round and a component of diameter d converges in
     O(log d) shuffles, not O(d).  Intermediate label tables are
-    ``localCheckpoint``-ed: iterative plans otherwise grow lineage (and
-    codegen) exponentially.
+    checkpointed: iterative plans otherwise grow lineage (and codegen)
+    exponentially.
+
+    ``checkpoint_dir`` selects the cut strategy.  Default (None) uses
+    ``localCheckpoint`` — blocks live on executors, fastest, but an
+    executor loss mid-iteration kills the job.  Passing a directory (HDFS/
+    object store on a real cluster) switches to reliable ``checkpoint()``:
+    every iteration's labels survive executor loss, the right default for
+    multi-hour 100 TB runs.
 
     Returns (doc_id, canonical_id) for every node appearing in ``pairs``.
     """
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def cut(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     # checkpointed: every iteration joins against edges — without cutting
     # lineage here each round would re-execute the whole upstream
     # pair-generation pipeline
-    edges = (
+    edges = cut(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    labels = cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iterations):
@@ -638,7 +681,7 @@ def cluster_pairs(
         from pyspark.sql import Observation
 
         obs = Observation()
-        jumped = (
+        jumped = cut(
             adopted.join(parent, adopted.label == parent.p_node, "left")
             .select(
                 "node",
@@ -647,7 +690,6 @@ def cluster_pairs(
                 ).alias("label"),
             )
             .observe(obs, F.sum("label").alias("s"))
-            .localCheckpoint()
         )
         labels = jumped
         cur = obs.get["s"]

@@ -810,7 +810,7 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = kept.join(drop, "doc_id", "left_anti")
     # one tokenized pass yields both the language call and the token count —
     # no second tokenization, no join back
-    return (
+    result = (
         X.lang_id(clean, with_token_count=True)
         .groupBy("lang_pred")
         .agg(
@@ -818,6 +818,12 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens_ws").cast("long").alias("n_tokens"),
         )
     )
+    # materialize the (tiny) per-language summary, then release the cached
+    # working corpus — persists without unpersist accumulate across queries
+    # in a long-lived session
+    out = result.localCheckpoint()
+    kept.unpersist()
+    return out
 
 
 # ------------------------------------------------------------------- oracles

@@ -166,6 +166,39 @@ def test_salted_join_matches_plain_join(spark):
     assert left_plain == left_salted
 
 
+def test_cluster_pairs_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage cuts to reliable checkpoint() files
+    (executor-loss-safe on a real cluster) with identical results."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["canonical_id"]
+        for r in D.cluster_pairs(pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    ckpt_files = list((tmp_path / "ckpt").rglob("*"))
+    assert ckpt_files  # reliable checkpoints actually hit the directory
+
+
+def test_dedup_caches_released(spark):
+    """dedup_ngram_jaccard / dedup_minhash_lsh must not leak persisted
+    intermediates: after the call, only the (small) materialized result may
+    remain cached."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon {i % 7} zeta eta theta") for i in range(40)],
+        "doc_id long, text string",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    D.dedup_ngram_jaccard(docs, threshold=0.5, n=3).count()
+    D.dedup_minhash_lsh(docs, k=8, bands=2, threshold=0.5, n=3).count()
+    after = jsc.getPersistentRDDs().size()
+    # each call may leave its localCheckpoint-ed result block; the four
+    # (ngram) + one (minhash) working caches must be gone
+    assert after - before <= 2
+
+
 def test_salted_join_deterministic(spark):
     """The salt must be a deterministic function of the fact row (task
     retries re-evaluate it; a random component would re-bucket rows and,
