@@ -17,11 +17,11 @@ plan over the source DataFrame:
                    (row, block-index) output order.
 
 File-order semantics: ``lastNotNull``/``firstNonNull``/``list`` depend on
-source row order (parser.py:590, 615).  A monotonically increasing row id is
-captured at read time, before any shuffle; for a single input file Spark's
-split ordering makes it consistent with file order.  Multi-file reads would
-need a (file, offset) composite — documented limitation shared with the
-reference (which reads exactly one CSV).
+source row order (parser.py:590, 615).  A row id is captured at read time,
+before any shuffle: a plain monotonic id for single-file/non-file sources,
+and a ``(file, split offset, id)`` composite struct for globbed multi-file
+reads (see ``attach_row_id``) — the reference reads exactly one CSV, so the
+multi-file order is this engine's extension, defined as sorted-path order.
 """
 
 from __future__ import annotations
@@ -40,8 +40,61 @@ ROW_ID = "__adtl_row_id__"
 
 
 def attach_row_id(df: DataFrame) -> DataFrame:
-    """Stable per-row id capturing file order; must run before any shuffle."""
-    return df.withColumn(ROW_ID, F.monotonically_increasing_id())
+    """Stable per-row id capturing file order; must run before any shuffle.
+
+    Single file (or non-file source): ``monotonically_increasing_id`` —
+    Spark's split ordering makes it consistent with file order.
+
+    Multi-file reads need more: Spark packs splits into partitions ordered
+    by SIZE, not path, so the raw id interleaves files.  Here the id
+    becomes a lexicographically-ordered struct
+    ``(file index by sorted path, split offset in file, id)`` built from the
+    hidden ``_metadata`` columns — no shuffle, no window, just a narrow
+    projection (every consumer is order-based: orderBy / min / max_by /
+    array_sort, all of which order structs field-by-field).  "File order"
+    for a glob is defined as sorted-path order, each file in its own row
+    order."""
+    mid = F.monotonically_increasing_id()
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) <= 1:
+        return df.withColumn(ROW_ID, mid)
+    # inputFiles() URIs spell the empty authority ('file:///p') while
+    # _metadata.file_path collapses it ('file:/p') — normalize both sides
+    import re
+
+    def _norm(p: str) -> str:
+        return re.sub(r"^([A-Za-z0-9+.-]+:)/+", r"\1/", p)
+
+    meta_path = F.regexp_replace(
+        F.col("_metadata.file_path"), r"^([A-Za-z0-9+.-]+:)/+", r"$1/"
+    )
+    if len(files) <= 10_000:
+        # literal path->index map keeps the sort key 20 bytes; beyond that
+        # fall back to the path string itself (compresses fine, avoids a
+        # giant literal in the plan)
+        pairs: list[Column] = []
+        for i, p in enumerate(sorted(_norm(f) for f in files)):
+            pairs.append(F.lit(p))
+            pairs.append(F.lit(i).cast("long"))
+        file_key = F.create_map(*pairs)[meta_path]
+    else:
+        file_key = meta_path
+    try:
+        out = df.withColumn(
+            ROW_ID,
+            F.struct(
+                file_key.alias("f"),
+                F.col("_metadata.file_block_start").alias("b"),
+                mid.alias("r"),
+            ),
+        )
+        out.schema  # force analysis — _metadata is source-dependent
+        return out
+    except Exception:
+        return df.withColumn(ROW_ID, mid)
 
 
 def _valid_cell(value: Value) -> Column:

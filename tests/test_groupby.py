@@ -213,3 +213,36 @@ def test_rowwise_min_mixed_int_float_keeps_winner_render(spark):
     p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
     got = [(r["lo"], r["hi"]) for r in p.table("tab").collect()]
     assert ("7", "9.5") in got and ("2.5", "7") in got
+
+
+def test_last_not_null_multi_file_order(spark, tmp_path):
+    """lastNotNull across a GLOBBED multi-file source follows sorted-path
+    file order (the multi-file extension of the reference's single-file
+    order): later files override earlier ones.  Many small files force
+    Spark to pack splits by size, so a plain monotonic id would interleave
+    — the composite (file, offset, id) row id must not."""
+    from adtl_spark.api import Parser
+
+    # file sizes deliberately NOT in path order: pack-by-size would reorder
+    (tmp_path / "part-000.csv").write_text(
+        "id,x\n" + "".join(f"a,{i}\n" for i in range(1, 200)) + "b,10\n"
+    )
+    (tmp_path / "part-001.csv").write_text("id,x\na,500\n")
+    (tmp_path / "part-002.csv").write_text(
+        "id,x\n" + "".join(f"c,{i}\n" for i in range(50)) + "a,900\nb,20\n"
+    )
+    spec = {
+        "adtl": {
+            "name": "mf",
+            "description": "",
+            "tables": {
+                "tab": {"kind": "groupBy", "groupBy": "sid", "aggregation": "lastNotNull"}
+            },
+        },
+        "tab": {"sid": {"field": "id"}, "v": {"field": "x"}},
+    }
+    p = Parser(spec, spark=spark).parse(str(tmp_path / "*.csv"), skip_validation=True)
+    got = {r["sid"]: r["v"] for r in p.table("tab").collect()}
+    assert got["a"] == "900"  # last file wins, not the largest split
+    assert got["b"] == "20"
+    assert got["c"] == "49"
