@@ -36,14 +36,20 @@ HEADLINE = [
     "t7_duration_days",
     "dedup_apply_anti_join",
     "w1_sessionize",
+    "w2_json_extract",
     "w3_topn_per_group",
+    "w4_rolling_aggregate",
+    "w5_asof_join",
     "text_quality",
     "text_langid",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
     "dedup_simhash",
+    "dedup_embedding_lsh",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
     "pipeline_corpus_clean",
 ]
 
@@ -62,8 +68,11 @@ def main() -> None:
             all_q[name](spark, warmup_dir).write.mode("overwrite").format(
                 "noop"
             ).save()
-        df = all_q[name](spark, sf_dir)
+        # construction is INSIDE the timer: the dedup/pipeline operators
+        # materialize eagerly (they release their working caches), so timing
+        # only the noop write would measure a cached-result replay
         t0 = time.time()
+        df = all_q[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
