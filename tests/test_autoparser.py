@@ -1,5 +1,13 @@
-"""AP1 dictionary inference + AP6 skeleton generation (SURVEY.md §2.11)."""
+"""autoparser pipeline (SURVEY.md §2.11): AP1 dictionary inference, AP2
+descriptions, AP3 dictionary formatting, AP4/AP5 mapping with the
+deterministic mock LLM client, AP6 TOML generation — ending with the
+generated spec executing end-to-end on adtl_spark.Parser (the reference
+golden-snapshots the same chain in
+tests/test_autoparser/test_parser_generator.py)."""
 
+import tomllib
+
+import pandas as pd
 import pytest
 
 from adtl_spark import autoparser as AP
@@ -15,6 +23,10 @@ def source(spark):
         ("S4", "2", "29.5", "", "unique string"),
         ("S5", "1", "31", "2022-05-01", "another"),
     ]
+    # repeat so the reference's 30%-of-rows privacy clamp doesn't swallow
+    # the common values on purpose-built fixtures
+    rows = rows * 6
+    rows = [(f"S{i}", *r[1:]) for i, r in enumerate(rows)]
     return spark.createDataFrame(rows, ["sid", "sex", "age", "visit", "notes"])
 
 
@@ -29,9 +41,18 @@ def test_infer_dictionary_types(spark, source):
 def test_infer_dictionary_common_values(spark, source):
     profile = {e["field"]: e for e in AP.infer_dictionary(source)}
     assert profile["sex"]["common_values"] == ["1", "2"]
-    # near-unique free text never lists raw values (privacy guard)
-    assert profile["notes"]["common_values"] is None
+    # ids never repeat -> no common values (freq-1 values are dropped)
     assert profile["sid"]["common_values"] is None
+
+
+def test_infer_dictionary_small_dataset_privacy_clamp(spark):
+    """On a tiny dataset the reference clamps max_common_count to 30% of
+    rows (dict_writer.py:113-126) so near-unique values never leak."""
+    df = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("b",), ("c",)], ["v"]
+    )
+    profile = {e["field"]: e for e in AP.infer_dictionary(df)}
+    assert profile["v"]["common_values"] is None  # 2 distinct > 30% of 5
 
 
 def test_generated_skeleton_is_runnable(spark, source):
@@ -39,12 +60,333 @@ def test_generated_skeleton_is_runnable(spark, source):
     spec = AP.generate_spec_skeleton(dictionary, name="gen", group_by="sid")
     p = Parser(spec, spark=spark).parse_dataframe(source, skip_validation=True)
     out = sorted(p.read_table("data"), key=lambda r: r["sid"])
-    assert len(out) == 5
+    assert len(out) == 30
     assert out[0]["sex"] == 1
 
 
-def test_llm_steps_are_stubbed(spark, source):
-    with pytest.raises(NotImplementedError):
-        AP.describe_fields_llm([])
-    with pytest.raises(NotImplementedError):
-        AP.map_fields_llm([], {})
+# --------------------------------------------------------------- AP2 / AP3
+
+
+def test_create_dict_reference_shape(spark, source):
+    dd = AP.create_dict(source)
+    assert list(dd.columns) == [
+        "Field Name",
+        "Description",
+        "Field Type",
+        "Common Values",
+    ]
+    row = dd.set_index("Field Name").loc["sex"]
+    assert row["Field Type"] == "number"
+    assert row["Common Values"] == "1, 2"
+
+
+def test_format_dict_parses_choices_strings():
+    dd = pd.DataFrame(
+        {
+            "Field Name": ["statut"],
+            "Field Type": ["string"],
+            "Description": ["Status"],
+            "Choices": ["1=vivant, 2=décédé"],
+        }
+    )
+    cfg = AP.AutoparserConfig(
+        column_mappings={
+            "source_field": "Field Name",
+            "source_type": "Field Type",
+            "source_description": "Description",
+            "choices": "Choices",
+        }
+    )
+    out = AP.format_dict(dd, cfg)
+    assert out.iloc[0]["choices"] == {"1": "vivant", "2": "décédé"}
+
+
+def test_generate_descriptions_with_mock_llm():
+    dd = pd.DataFrame(
+        {
+            "Field Name": ["Sexe", "EspeceAnimale"],
+            "Description": [None, None],
+            "Field Type": ["string", "string"],
+            "Common Values": ["m, f", "chien, chat"],
+        }
+    )
+    client = AP.MockLLMClient(
+        glossary={"Sexe": "Sex", "EspeceAnimale": "Animal species"}
+    )
+    out = AP.generate_descriptions(dd, client)
+    assert list(out["Description"]) == ["Sex", "Animal species"]
+
+
+# --------------------------------------------------------------- AP4 / AP5
+
+SCHEMA = {
+    "$schema": "https://json-schema.org/draft-07/schema",
+    "required": ["pet_id", "country_iso3"],
+    "properties": {
+        "pet_id": {"type": ["string"], "description": "unique id"},
+        "country_iso3": {"type": ["string"]},
+        "species": {"enum": ["dog", "cat", "bird", None]},
+        "sex": {"enum": ["male", "female", "unknown", None]},
+        "status": {"enum": ["alive", "dead", "unknown", None]},
+        "vaccinated": {"type": ["boolean", "null"]},
+        "dewormed": {"type": ["boolean", "null"]},
+        "symptoms": {
+            "type": ["array", "null"],
+            "items": {"enum": ["cough", "fever", "vomiting"]},
+        },
+        "visit_date": {"type": ["string", "null"], "format": "date"},
+    },
+}
+
+GLOSSARY = {
+    # header -> english description
+    "IdAnimal": "Pet id",
+    "Espece": "Species",
+    "Sexe": "Sex",
+    "Statut": "Status",
+    "Vaccine": "Vaccinated",
+    "Vermifuge": "Dewormed",
+    "Symptomes": "Symptoms",
+    "DateVisite": "Visit date",
+    # value translations
+    "chien": "dog",
+    "chat": "cat",
+    "oiseau": "bird",
+    "m": "male",
+    "f": "female",
+    "vivant": "alive",
+    "mort": "dead",
+    "oui": "true",
+    "non": "false",
+    "toux": "cough",
+    "fievre": "fever",
+}
+
+
+@pytest.fixture(scope="module")
+def data_dictionary():
+    return pd.DataFrame(
+        {
+            "Field Name": [
+                "IdAnimal",
+                "Espece",
+                "Sexe",
+                "Statut",
+                "Vaccine",
+                "Vermifuge",
+                "Symptomes",
+                "DateVisite",
+            ],
+            "Description": [
+                "Pet id",
+                "Species",
+                "Sex",
+                "Status",
+                "Vaccinated",
+                "Dewormed",
+                "Symptoms",
+                "Visit date",
+            ],
+            "Field Type": [
+                "string",
+                "string",
+                "string",
+                "string",
+                "string",
+                "string",
+                "list",
+                "date",
+            ],
+            "Common Values": [
+                None,
+                "chien, chat, oiseau",
+                "m, f",
+                "vivant, mort",
+                "oui, non",
+                "oui, non",
+                "toux, fievre",
+                None,
+            ],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def wide_mapping(data_dictionary):
+    cfg = AP.AutoparserConfig(schemas={"pets": SCHEMA})
+    client = AP.MockLLMClient(glossary=GLOSSARY)
+    with pytest.warns(UserWarning, match="country_iso3"):
+        return AP.create_mapping(data_dictionary, "pets", cfg, client)
+
+
+def test_wide_mapping_fields_and_values(wide_mapping):
+    m = wide_mapping
+    assert m.loc["species", "source_field"] == "Espece"
+    assert m.loc["sex", "source_field"] == "Sexe"
+    assert m.loc["visit_date", "source_field"] == "DateVisite"
+    assert m.loc["country_iso3", "source_field"] is None
+    # AP5: value maps serialized the reference way ("a=b | c=d"); common
+    # values are sorted (the reference's set-ordering made this arbitrary)
+    assert AP.parse_mapped_values(m.loc["vaccinated", "value_mapping"]) == {
+        "oui": True,
+        "non": False,
+    }
+    assert "vivant=alive" in m.loc["status", "value_mapping"]
+    assert "mort=dead" in m.loc["status", "value_mapping"]
+
+
+def test_wide_mapping_relabels_coded_choices():
+    """Dictionary choices {1: chien} + LLM label mapping -> code-keyed map
+    (base_mapper.py:108-145)."""
+    dd = pd.DataFrame(
+        {
+            "Field Name": ["Espece"],
+            "Description": ["Species"],
+            "Field Type": ["string"],
+            "Choices": ["1=chien, 2=chat"],
+        }
+    )
+    cfg = AP.AutoparserConfig(
+        schemas={"pets": {"properties": {"species": {"enum": ["dog", "cat"]}}}},
+        column_mappings={
+            "source_field": "Field Name",
+            "source_type": "Field Type",
+            "source_description": "Description",
+            "choices": "Choices",
+        },
+    )
+    client = AP.MockLLMClient(glossary=GLOSSARY)
+    m = AP.create_mapping(dd, "pets", cfg, client)
+    assert m.loc["species", "value_mapping"] == "1=dog | 2=chat".replace("chat", "cat")
+
+
+# --------------------------------------------------------------------- AP6
+
+
+@pytest.fixture(scope="module")
+def generated_spec(wide_mapping):
+    cfg = AP.AutoparserConfig(schemas={"pets": SCHEMA})
+    gen = AP.ParserGenerator(wide_mapping, cfg, "pets-parser")
+    return gen.make_parser()
+
+
+def test_parser_generator_refs_defs(generated_spec):
+    """The repeated oui/non boolean map is lifted into ONE Y/N/NK def and
+    both boolean fields reference it (make_toml.py:90-137)."""
+    defs = generated_spec["adtl"]["defs"]
+    assert "Y/N/NK" in defs
+    assert defs["Y/N/NK"]["values"] == {"oui": True, "non": False}
+    assert generated_spec["pets"]["vaccinated"]["ref"] == "Y/N/NK"
+    assert generated_spec["pets"]["dewormed"]["ref"] == "Y/N/NK"
+    assert "values" not in generated_spec["pets"]["vaccinated"]
+
+
+def test_parser_generator_field_rules(generated_spec):
+    pets = generated_spec["pets"]
+    assert pets["species"]["field"] == "Espece"
+    assert pets["species"]["values"] == {
+        "chien": "dog",
+        "chat": "cat",
+        "oiseau": "bird",
+    }
+    assert pets["species"]["caseInsensitive"] is True
+    # array-typed target -> enum_list
+    assert pets["symptoms"]["type"] == "enum_list"
+    # required-but-unmapped field backfilled as empty
+    assert pets["country_iso3"] == ""
+    assert generated_spec["adtl"]["returnUnmatched"] is True
+
+
+def test_generated_toml_round_trips(generated_spec):
+    text = AP.dumps(generated_spec)
+    parsed = tomllib.loads(text)
+    assert parsed == generated_spec
+
+
+def test_generated_parser_runs_end_to_end(spark, generated_spec, tmp_path):
+    """The whole point: the generated TOML executes on adtl_spark.Parser
+    and maps real rows."""
+    toml_path = tmp_path / "pets.toml"
+    AP.dump(generated_spec, str(toml_path))
+    csv_path = tmp_path / "pets.csv"
+    csv_path.write_text(
+        "IdAnimal,Espece,Sexe,Statut,Vaccine,Vermifuge,Symptomes,DateVisite\n"
+        "P1,chien,m,vivant,oui,non,toux,2022-01-05\n"
+        "P2,chat,f,mort,non,oui,fievre,2022-02-06\n"
+    )
+    p = Parser(str(toml_path), spark=spark).parse(str(csv_path), skip_validation=True)
+    rows = {r["pet_id"]: r for r in p.read_table("pets")}
+    assert rows["P1"]["species"] == "dog"
+    assert rows["P1"]["vaccinated"] is True
+    assert rows["P1"]["dewormed"] is False
+    assert rows["P2"]["status"] == "dead"
+    assert rows["P2"]["sex"] == "female"
+
+
+# -------------------------------------------------------------- long tables
+
+
+def test_long_mapper_and_parser(spark):
+    schema = {
+        "properties": {
+            "subjid": {"type": ["string"]},
+            "attribute": {"enum": ["vaccinated", "dewormed"]},
+            "value_bool": {"type": ["boolean", "null"]},
+            "value": {"type": ["string", "null"]},
+            "dataset": {"type": ["string"]},
+        }
+    }
+    cfg = AP.AutoparserConfig(
+        schemas={"attrs": schema},
+        long_tables={
+            "attrs": AP.LongTableConfig(
+                variable_col="attribute",
+                value_cols=["value_bool", "value"],
+                common_fields={"subjid": "IdAnimal", "dataset": "petclinic"},
+            )
+        },
+    )
+    dd = pd.DataFrame(
+        {
+            "Field Name": ["IdAnimal", "Vaccine", "Vermifuge"],
+            "Description": ["Pet id", "Vaccinated", "Dewormed"],
+            "Field Type": ["string", "boolean", "boolean"],
+            "Common Values": [None, "oui, non", "oui, non"],
+        }
+    )
+    client = AP.MockLLMClient(glossary=GLOSSARY)
+    mapping = AP.create_mapping(
+        dd[dd["Field Name"] != "IdAnimal"], "attrs", cfg, client, table_format="long"
+    )
+    assert mapping.loc["Vaccine", "attribute"] == "vaccinated"
+    assert mapping.loc["Vaccine", "value_col"] == "value_bool"
+
+    spec = AP.ParserGenerator(mapping, cfg, "attrs-parser").make_parser()
+    blocks = spec["attrs"]
+    assert len(blocks) == 2
+    vac = next(b for b in blocks if b["attribute"] == "vaccinated")
+    assert vac["value_bool"]["field"] == "Vaccine"
+    assert vac["value_bool"]["values"] == {"oui": True, "non": False}
+    assert vac["subjid"] == "IdAnimal"  # constant-by-default long fields
+    assert vac["dataset"] == "petclinic"
+
+    # the long spec must also round-trip as TOML
+    parsed = tomllib.loads(AP.dumps(spec))
+    assert parsed == spec
+
+
+def test_read_tabular_xlsx_gate(tmp_path):
+    """S10: xlsx path either works (engine present) or raises the clear
+    ImportError — never a silent stub."""
+    df = pd.DataFrame({"A": [1, 2]})
+    path = tmp_path / "dict.xlsx"
+    try:
+        df.to_excel(path, index=False)
+    except ImportError:
+        pytest.skip("no excel writer engine in environment")
+    try:
+        out = AP.read_tabular(str(path))
+    except ImportError as e:
+        assert "openpyxl" in str(e) or "excel" in str(e).lower()
+    else:
+        assert list(out["A"]) == [1, 2]
