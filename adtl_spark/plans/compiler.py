@@ -89,6 +89,8 @@ def truthy(col: Column, hint: str = "dynamic") -> Column:
     - ``dynamic`` (raw cell after int-then-float auto-coercion): numeric
       zeros are falsy, but a cell literally spelling "False" stays a
       non-empty *string* in the reference (it cannot coerce) and is truthy;
+    - ``dynbool`` (a closed value map mixing bool and other literals):
+      like dynamic, but "False" here can only be a bool render — falsy;
     - ``str`` (closed non-numeric domain): only "" is falsy.
 
     "" is in every set (None is handled by callers).
@@ -99,6 +101,8 @@ def truthy(col: Column, hint: str = "dynamic") -> Column:
         falsy = ("0", "")
     elif hint == "str":
         falsy = ("",)
+    elif hint == "dynbool":
+        falsy = ("0", "0.0", "-0.0", "", "False")
     else:  # float / num / dynamic
         falsy = ("0", "0.0", "-0.0", "")
     return col.isNotNull() & ~col.isin(*falsy)
@@ -251,11 +255,11 @@ class RuleCompiler:
                 combined_type=value.combined_type,
             )
 
-        if value.is_array or value.type_hint != "dynamic":
+        if value.is_array or value.type_hint not in ("dynamic", "dynbool"):
             return value
         return Value(
             F.nullif(R.numeric_coerce(value.col), F.lit("")),
-            type_hint="dynamic",
+            type_hint=value.type_hint,
             combined_type=value.combined_type,
         )
 
@@ -376,13 +380,22 @@ class RuleCompiler:
         elif passthrough:
             mapped = mapped.otherwise(lookup)
         hint = _unify_literal_types(list(mapping.values()))
+        has_bool = any(isinstance(v, bool) for v in mapping.values())
         if passthrough:
             # unmapped cells pass through as their raw text, so only the
             # mapped-literal outputs are guaranteed canonical — the final
             # int-then-float coercion must still run (reference applies it
-            # unconditionally after convert_values): '007' -> 7, not '007'
-            hint = "dynamic"
+            # unconditionally after convert_values): '007' -> 7, not '007'.
+            # With bool literals in the map a rendered "False" is almost
+            # certainly the mapped bool; the raw-text-"False"-passthrough
+            # corner is ambiguous once rendered and resolves falsy here.
+            hint = "dynbool" if has_bool else "dynamic"
         elif hint == "dynamic":
+            if has_bool:
+                # closed map mixing bool with str/num literals: "False"
+                # renders are bool-provenance (falsy), everything else
+                # still needs the final numeric coercion
+                return F.nullif(mapped, F.lit("")), "dynbool"
             # closed output domain: when no rendered literal re-parses as a
             # number, the final int/float coercion is the identity — mark
             # the column str so the regex pass is skipped entirely

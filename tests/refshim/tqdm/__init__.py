@@ -1,0 +1,2 @@
+def tqdm(iterable=None, *a, **k):
+    return iterable
