@@ -1,5 +1,10 @@
 """Command-line interface mirroring the reference's ``adtl`` CLI surface
-(reference: src/adtl/cli.py — ``parse`` and ``check`` subcommands)."""
+(reference: src/adtl/cli.py — ``parse`` and ``check`` subcommands) plus the
+``adtl-autoparser`` subcommands (reference: src/adtl/autoparser/__init__.py:
+create-dict / format-dict / create-mapping / create-parser).  The mapping
+step takes ``--glossary`` (a JSON translation table driving the
+deterministic offline client) since interactive LLM access is a deployment
+concern — a real client plugs in through the same LLMClient protocol."""
 
 from __future__ import annotations
 
@@ -61,6 +66,73 @@ def handle_check(args: argparse.Namespace) -> int:
     return status
 
 
+def _autoparser_config(path: str | None):
+    from adtl_spark.autoparser import AutoparserConfig, load_config
+
+    return load_config(path) if path else AutoparserConfig()
+
+
+def handle_create_dict(args: argparse.Namespace) -> int:
+    from adtl_spark import autoparser as AP
+    from adtl_spark.session import get_spark
+    from adtl_spark.sources.io import read_source
+
+    spark = get_spark()
+    df = read_source(spark, args.data)
+    dd = AP.create_dict(df, _autoparser_config(args.config))
+    dd.to_csv(args.output, index=False)
+    print(f"Data dictionary saved to '{args.output}'")
+    return 0
+
+
+def handle_format_dict(args: argparse.Namespace) -> int:
+    from adtl_spark import autoparser as AP
+
+    dd = AP.format_dict(args.data_dict, _autoparser_config(args.config))
+    out = args.output
+    if out.endswith(".parquet"):
+        dd.to_parquet(out, index=False)
+    else:
+        dd.to_csv(out, index=False)
+    print(f"Formatted data dictionary saved to '{out}'")
+    return 0
+
+
+def handle_create_mapping(args: argparse.Namespace) -> int:
+    from adtl_spark import autoparser as AP
+
+    glossary = {}
+    if args.glossary:
+        glossary = json.loads(Path(args.glossary).read_text())
+    client = AP.MockLLMClient(glossary=glossary)
+    mapping = AP.create_mapping(
+        args.data_dict,
+        args.table_name,
+        _autoparser_config(args.config),
+        client,
+        table_format="long" if args.long_table else "wide",
+        save=True,
+        file_name=args.output,
+    )
+    print(f"Mapping file saved to '{args.output}' ({len(mapping)} rows)")
+    return 0
+
+
+def handle_create_parser(args: argparse.Namespace) -> int:
+    from adtl_spark import autoparser as AP
+
+    out = args.output or f"{args.name}.toml"
+    AP.create_parser(
+        args.mappings,
+        _autoparser_config(args.config),
+        args.name,
+        description=args.description,
+        file_name=out,
+    )
+    print(f"Parser spec saved to '{out}'")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="adtl-spark",
@@ -98,6 +170,41 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("spec", help="specification file")
     c.add_argument("file", help="source CSV file")
     c.set_defaults(func=handle_check)
+
+    d = sub.add_parser("create-dict", help="infer a data dictionary from a dataset")
+    d.add_argument("data", help="source data file (csv/parquet)")
+    d.add_argument("-o", "--output", default="data_dictionary.csv")
+    d.add_argument("-c", "--config", help="autoparser config (.toml/.json)")
+    d.set_defaults(func=handle_create_dict)
+
+    f = sub.add_parser(
+        "format-dict", help="normalize a user data dictionary for autoparser"
+    )
+    f.add_argument("data_dict", help="dictionary file (csv/xlsx/parquet)")
+    f.add_argument("-o", "--output", default="formatted_data_dict.parquet")
+    f.add_argument("-c", "--config", help="autoparser config (.toml/.json)")
+    f.set_defaults(func=handle_format_dict)
+
+    m = sub.add_parser(
+        "create-mapping", help="map a data dictionary to a schema (offline client)"
+    )
+    m.add_argument("data_dict", help="dictionary file (csv/xlsx/parquet)")
+    m.add_argument("table_name", help="target table name from the config schemas")
+    m.add_argument("-c", "--config", required=True, help="autoparser config with schemas")
+    m.add_argument("--glossary", help="JSON file of header/value translations")
+    m.add_argument("--long-table", action="store_true", help="target is a long table")
+    m.add_argument("-o", "--output", default="mapping_file.csv")
+    m.set_defaults(func=handle_create_mapping)
+
+    t = sub.add_parser(
+        "create-parser", help="generate a TOML parser spec from a mapping file"
+    )
+    t.add_argument("mappings", help="mapping CSV from create-mapping")
+    t.add_argument("-c", "--config", required=True, help="autoparser config with schemas")
+    t.add_argument("-n", "--name", default="globalhealth", help="parser name")
+    t.add_argument("--description", help="parser description")
+    t.add_argument("-o", "--output", help="output TOML path (default: <name>.toml)")
+    t.set_defaults(func=handle_create_parser)
 
     args = ap.parse_args(argv)
     return args.func(args)

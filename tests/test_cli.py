@@ -112,3 +112,81 @@ def test_parser_write_parquet_bucketed(spark, tmp_path):
     plan = back.groupBy("sid").count()._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # bucketed layout: agg needs no shuffle
     spark.sql("DROP TABLE IF EXISTS bk_t")
+
+
+def test_cli_autoparser_chain(tmp_path, spark, monkeypatch, capsys):
+    """create-dict -> create-mapping -> create-parser -> parse: the whole
+    autoparser CLI surface chained on one dataset, ending with the
+    generated spec executing on the engine."""
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "pets.csv").write_text(
+        "Sexe,Statut\n" + "m,vivant\n" * 8 + "f,mort\n" * 7
+    )
+    schema = {
+        "properties": {
+            "sex": {"enum": ["male", "female", None]},
+            "status": {"enum": ["alive", "dead", None]},
+        }
+    }
+    (tmp_path / "schema.json").write_text(json.dumps(schema))
+    (tmp_path / "config.json").write_text(
+        json.dumps({"language": "fr", "schemas": {"pets": str(tmp_path / "schema.json")}})
+    )
+    (tmp_path / "glossary.json").write_text(
+        json.dumps(
+            {
+                "Sexe": "Sex",
+                "Statut": "Status",
+                "m": "male",
+                "f": "female",
+                "vivant": "alive",
+                "mort": "dead",
+            }
+        )
+    )
+
+    assert main(["create-dict", str(tmp_path / "pets.csv"), "-o", "dict.csv"]) == 0
+    dd = (tmp_path / "dict.csv").read_text()
+    assert "Sexe" in dd and "Field Name" in dd
+
+    # descriptions come from the glossary at mapping time; fill the
+    # Description column the way generate_descriptions would
+    import pandas as pd
+
+    from adtl_spark import autoparser as AP
+
+    described = AP.generate_descriptions(
+        str(tmp_path / "dict.csv"),
+        AP.MockLLMClient(glossary=json.loads((tmp_path / "glossary.json").read_text())),
+    )
+    described.to_csv(tmp_path / "dict.csv", index=False)
+
+    assert (
+        main(
+            [
+                "create-mapping",
+                "dict.csv",
+                "pets",
+                "-c",
+                "config.json",
+                "--glossary",
+                "glossary.json",
+                "-o",
+                "mapping.csv",
+            ]
+        )
+        == 0
+    )
+    assert main(
+        ["create-parser", "mapping.csv", "-c", "config.json", "-n", "petsgen"]
+    ) == 0
+    toml_text = (tmp_path / "petsgen.toml").read_text()
+    assert "vivant" in toml_text
+
+    from adtl_spark.api import Parser
+
+    p = Parser(str(tmp_path / "petsgen.toml"), spark=spark).parse(
+        str(tmp_path / "pets.csv"), skip_validation=True
+    )
+    rows = [tuple(r) for r in p.table("pets").collect()]
+    assert ("male", "alive") in rows and ("female", "dead") in rows
