@@ -10,6 +10,16 @@ same plan shapes), so the timed sf run measures steady-state execution.
 At the 100 TB design point one-time JIT is noise; at sf0.1 it would be the
 majority of several queries' wall time and would drown the signal the
 benchmark exists to track.
+
+Round-2 methodology changes (numbers are NOT comparable to BENCH_r01):
+six more queries (w2/w4/w5, LSH/IVF ANN, bucketed embedding dedup), and
+query CONSTRUCTION is now inside the per-query timer — the dedup and
+pipeline operators materialize eagerly (releasing their working caches),
+so the old timing measured a cached-result replay for them (dedup_ngram
+read 0.05 s while its real ~5 s of work ran untimed).  Caveat the warmup
+cannot remove: queries embedding data-derived literals (IVF centroids,
+LSH hyperplanes) generate different codegen classes per scale factor, so
+their first sf run pays JIT that a steady-state deployment would not.
 """
 
 from __future__ import annotations
