@@ -164,6 +164,7 @@ def infer_dictionary(
         ]
     stats = df.agg(*stat_aggs).collect()[0]
 
+    candidates: list[tuple[str, bool]] = []  # (column, listish)
     for c in df.columns:
         n = stats[f"{c}__n"] or 0
         n_distinct = stats[f"{c}__distinct"] or 0
@@ -188,35 +189,60 @@ def infer_dictionary(
         else:
             profile["type"] = "string"
 
-        common = None
+        profile["common_values"] = None
         if profile["type"] in ("string", "integer", "boolean", "list") and (
             0 < n_distinct <= max(max_common_count * 4, 32) or listish
         ):
-            values_col = F.col(c).cast("string").alias("v")
-            counts_df = df.select(values_col).filter(
-                F.col("v").isNotNull() & (F.col("v") != "")
-            )
-            if listish:
-                # explode list-ish cells so elements are counted, as the
-                # reference does (dict_writer.py:130-143)
-                counts_df = counts_df.select(
-                    F.explode(
-                        F.split(F.regexp_replace(F.col("v"), r"^\[|\]$", ""), ",")
-                    ).alias("v")
-                ).select(F.trim(F.col("v")).alias("v")).filter(F.col("v") != "")
-            counts = (
-                counts_df.groupBy("v")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .filter(F.col("n") > F.lit(max(1, min_count)))
-                .orderBy(F.col("n").desc(), F.col("v"))
-                .limit(max_common_count + 1)
-                .collect()
-            )
-            values = [r["v"] for r in counts]
-            if values and len(values) <= max_common_count:
-                common = values
-        profile["common_values"] = common
+            candidates.append((c, listish))
         out.append(profile)
+
+    if candidates:
+        # ONE stacked value-count pass for every candidate column (a
+        # per-column count job would mean N sequential scans at 100 TB):
+        # explode each row into (column, value) pairs — list-ish cells
+        # into their elements (dict_writer.py:130-143) — then a single
+        # groupBy + per-column top-k window
+        from pyspark.sql import Window
+
+        pair_cols = []
+        for c, listish in candidates:
+            s = F.col(c).cast("string")
+            if listish:
+                elems = F.transform(
+                    F.split(F.regexp_replace(s, r"^\[|\]$", ""), ","),
+                    lambda x: F.trim(x),
+                )
+            else:
+                elems = F.array(s)
+            pair_cols.append(
+                F.struct(F.lit(c).alias("col"), elems.alias("vals"))
+            )
+        pairs = (
+            df.select(F.explode(F.array(*pair_cols)).alias("p"))
+            .select(F.col("p.col").alias("col"), F.explode("p.vals").alias("v"))
+            .filter(F.col("v").isNotNull() & (F.col("v") != ""))
+        )
+        ranked = (
+            pairs.groupBy("col", "v")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > F.lit(max(1, min_count)))
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("col").orderBy(F.col("n").desc(), F.col("v"))
+                ),
+            )
+            .filter(F.col("rk") <= max_common_count + 1)
+            .collect()
+        )
+        by_col: dict[str, list[tuple[int, str]]] = {}
+        for r in ranked:
+            by_col.setdefault(r["col"], []).append((r["rk"], r["v"]))
+        profiles = {p["field"]: p for p in out}
+        for c, _ in candidates:
+            values = [v for _, v in sorted(by_col.get(c, []))]
+            if values and len(values) <= max_common_count:
+                profiles[c]["common_values"] = values
     return out
 
 
