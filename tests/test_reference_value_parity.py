@@ -1,0 +1,147 @@
+"""Rule-level parity sweep: evaluate hundreds of seeded-random (rule, cell)
+combinations through BOTH the reference's ``get_value`` interpreter
+(imported in-process with the tests/refshim dependency shims) and this
+engine's compiled columns — in ONE batched Spark action — and compare the
+canonical renders cell by cell.
+
+This complements test_reference_differential.py (whole-parser subprocess
+byte-compare) with much denser coverage of the value-mapping / coercion /
+fold rule space.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from pathlib import Path
+
+import pytest
+
+from adtl_spark.api import Parser
+
+REFERENCE = Path("/root/reference/src")
+SHIMS = Path(__file__).parent / "refshim"
+
+pytestmark = pytest.mark.skipif(
+    not REFERENCE.exists(), reason="reference checkout not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    # shims go at the END of sys.path: only modules genuinely absent from
+    # the environment (tomli, pint, joblib, ...) resolve to them
+    for p in (str(SHIMS), str(REFERENCE)):
+        if p not in sys.path:
+            sys.path.append(p)
+    from adtl.get_value import get_value
+
+    return get_value
+
+
+CELLS = ["", "1", "0", "2", "yes", "no", "Yes", "NO", "True", "False",
+         "7.5", "007", "-3", "0.0", "x y", "NA", "3.14", " 1 ", "true"]
+
+LITERALS = [True, False, 1, 0, 2, "alpha", "beta", 7.5, None, "True", "0"]
+
+
+def _random_rules(rng: random.Random, n: int) -> list[dict]:
+    rules = []
+    for _ in range(n):
+        kind = rng.choice(["map", "map", "field", "apply"])
+        if kind == "field":
+            rules.append({"field": "c"})
+        elif kind == "apply":
+            rules.append({"field": "c", "apply": {"function": "getFloat"}})
+        else:
+            keys = rng.sample(CELLS[1:], k=rng.randint(1, 4))
+            rule = {
+                "field": "c",
+                "values": {k: rng.choice(LITERALS) for k in keys},
+            }
+            if rng.random() < 0.4:
+                rule["caseInsensitive"] = True
+            if rng.random() < 0.4:
+                rule["ignoreMissingKey"] = True
+            rules.append(rule)
+    return rules
+
+
+def _canon(v) -> str | None:
+    """Reference Python value -> this engine's canonical string render."""
+    if v is None or v == "":
+        return None
+    return str(v)
+
+
+def test_rule_space_parity_with_reference(spark, ref):
+    rng = random.Random(20260813)
+    rules = _random_rules(rng, 24)
+    ctx = {
+        "returnUnmatched": False,
+        "defaultDateFormat": "%Y-%m-%d",
+        "skip_pattern": None,
+    }
+
+    # reference verdicts, one per (rule, cell)
+    expected: dict[tuple[int, str], str | None] = {}
+    for i, rule in enumerate(rules):
+        for cell in CELLS:
+            expected[(i, cell)] = _canon(ref({"c": cell}, dict(rule), ctx))
+
+    # engine: ONE table with a column per rule, a row per cell, keyed by a
+    # separate id column (the raw cell itself would be numeric-coerced)
+    spec = {
+        "adtl": {"name": "parity", "description": "", "tables": {"t": {"kind": "oneToOne"}}},
+        "t": {"cell": {"field": "id"}, **{f"r{i}": r for i, r in enumerate(rules)}},
+    }
+    rows = [{"id": str(n), "c": cell} for n, cell in enumerate(CELLS)]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    mismatches = []
+    for row in p.table("t").collect():
+        cell = CELLS[int(row["cell"])]
+        for i, rule in enumerate(rules):
+            got = row[f"r{i}"]
+            got = None if got is None else str(got)
+            want = expected[(i, cell)]
+            if got != want:
+                mismatches.append((rule, cell, want, got))
+    assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
+
+
+def test_return_unmatched_rule_space_parity(spark, ref):
+    """Same sweep with returnUnmatched=True (failed coercions pass the
+    original text through)."""
+    rng = random.Random(99)
+    rules = _random_rules(rng, 16)
+    ctx = {
+        "returnUnmatched": True,
+        "defaultDateFormat": "%Y-%m-%d",
+        "skip_pattern": None,
+    }
+    expected = {}
+    for i, rule in enumerate(rules):
+        for cell in CELLS:
+            expected[(i, cell)] = _canon(ref({"c": cell}, dict(rule), ctx))
+
+    spec = {
+        "adtl": {
+            "name": "parity2",
+            "description": "",
+            "returnUnmatched": True,
+            "tables": {"t": {"kind": "oneToOne"}},
+        },
+        "t": {"cell": {"field": "id"}, **{f"r{i}": r for i, r in enumerate(rules)}},
+    }
+    rows = [{"id": str(n), "c": cell} for n, cell in enumerate(CELLS)]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    mismatches = []
+    for row in p.table("t").collect():
+        cell = CELLS[int(row["cell"])]
+        for i, rule in enumerate(rules):
+            got = row[f"r{i}"]
+            got = None if got is None else str(got)
+            want = expected[(i, cell)]
+            if got != want:
+                mismatches.append((rule, cell, want, got))
+    assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
