@@ -145,3 +145,60 @@ def test_return_unmatched_rule_space_parity(spark, ref):
             if got != want:
                 mismatches.append((rule, cell, want, got))
     assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
+
+
+def test_predicate_space_parity_with_reference(spark):
+    """Random `if` predicate trees (comparisons, regex, equality sugar,
+    any/all/not nesting) against the reference's parse_if on messy cells —
+    via oneToMany block selection, so the whole F-layer runs end-to-end."""
+    for p in (str(SHIMS), str(REFERENCE)):
+        if p not in sys.path:
+            sys.path.append(p)
+    from adtl.get_value import parse_if
+
+    rng = random.Random(4242)
+
+    def leaf():
+        mode = rng.choice(["sugar", "cmp", "regex"])
+        if mode == "sugar":
+            return {"c": rng.choice(["1", "yes", 1, 2.5, "x y"])}
+        if mode == "cmp":
+            op = rng.choice([">", ">=", "<", "<=", "!=", "=="])
+            return {"c": {op: rng.choice([0, 1, 2, 7.5, -3])}}
+        return {"c": {"=~": rng.choice(["^y", "a", "[0-9]+", "^\\s*x"])}}
+
+    def tree(depth=0):
+        if depth >= 2 or rng.random() < 0.5:
+            return leaf()
+        kind = rng.choice(["any", "all", "not"])
+        if kind == "not":
+            return {"not": tree(depth + 1)}
+        return {kind: [tree(depth + 1) for _ in range(rng.randint(1, 3))]}
+
+    predicates = [tree() for _ in range(20)]
+    cells = ["", "1", "0", "2", "yes", "Yes", "7.5", "-3", "x y", "abc", "2.5", "007"]
+
+    expected = {}
+    for i, pred in enumerate(predicates):
+        for cell in cells:
+            expected[(i, cell)] = parse_if({"c": cell}, pred)
+
+    blocks = [
+        {"name": f"p{i}", "hit": {"field": "id"}, "if": pred}
+        for i, pred in enumerate(predicates)
+    ]
+    spec = {
+        "adtl": {"name": "predp", "description": "", "tables": {"t": {"kind": "oneToMany"}}},
+        "t": blocks,
+    }
+    rows = [{"id": str(n), "c": cell} for n, cell in enumerate(cells)]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    got = {(r["name"], str(r["hit"])) for r in p.table("t").collect()}
+    mismatches = []
+    for i, pred in enumerate(predicates):
+        for n, cell in enumerate(cells):
+            want = expected[(i, cell)]
+            have = (f"p{i}", str(n)) in got
+            if want != have:
+                mismatches.append((pred, cell, want, have))
+    assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
