@@ -202,3 +202,74 @@ def test_predicate_space_parity_with_reference(spark):
             if want != have:
                 mismatches.append((pred, cell, want, have))
     assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
+
+
+def test_transform_space_parity_with_reference(spark, ref):
+    """All 16 shipped transforms over valid + junk inputs, expectations
+    from the reference's own get_value/apply path (T1-T16)."""
+    ctx = {
+        "returnUnmatched": False,
+        "defaultDateFormat": "%Y-%m-%d",
+        "skip_pattern": None,
+    }
+    rules = [
+        {"field": "c", "apply": {"function": "isNotNull"}},
+        {"field": "c", "apply": {"function": "textIfNotNull", "params": ["seen"]}},
+        {"field": "c", "apply": {"function": "wordSubstituteSet",
+                                 "params": [["type 1", "t1"], ["type 2", "t2"]]}},
+        {"field": "c", "apply": {"function": "getFloat"}},
+        {"field": "c", "apply": {"function": "getFloat", "params": [","]}},
+        {"field": "c", "apply": {"function": "Percentage"}},
+        {"field": "c", "apply": {"function": "yearsElapsed",
+                                 "params": ["$d", 2022, "%d/%m/%Y", "%d/%m/%Y"]}},
+        {"field": "c", "apply": {"function": "durationDays", "params": ["$d", "%Y-%m-%d"]}},
+        {"field": "c", "apply": {"function": "startDate", "params": ["$n"]}},
+        {"field": "c", "apply": {"function": "endDate", "params": ["$n", "%Y-%m-%d"]}},
+        {"field": "y", "apply": {"function": "makeDate", "params": ["$m", "$dd"]}},
+        {"field": "c", "apply": {"function": "splitDate",
+                                 "params": ["year", 2022, "%Y-%m-%d"]}},
+        {"field": "dur", "apply": {"function": "startYear",
+                                   "params": [["$ref_date"], 2022, "%Y-%m-%d"]}},
+        {"field": "dur", "apply": {"function": "startMonth",
+                                   "params": [["$ref_date"], 2022, "%Y-%m-%d", "months"]}},
+    ]
+    datasets = [
+        # c, d, n, y, m, dd, dur, ref_date
+        ("12.5", "2022-02-01", "5", "1990", "6", "15", "3", "2022-03-01"),
+        ("1,5", "2022-01-15", "10", "2001", "2", "29", "12", "2022-06-15"),
+        ("abc", "bad", "x", "", "13", "40", "junk", "bad"),
+        ("", "", "", "1985", "1", "1", "", ""),
+        ("15/03/1990", "20/07/2021", "2", "2000", "12", "31", "24", "2021-12-31"),
+        ("2022-01-10", "2022-03-01", "7", "1999", "7", "4", "6", "2022-01-01"),
+        ("type 1 diabetes", "type 2", "1", "2010", "3", "3", "1", "2022-02-02"),
+        ("50", "2021-06-01", "3", "1970", "11", "30", "48", "2020-05-05"),
+    ]
+    cols = ["c", "d", "n", "y", "m", "dd", "dur", "ref_date"]
+
+    expected = {}
+    for i, rule in enumerate(rules):
+        for j, vals in enumerate(datasets):
+            row = dict(zip(cols, vals))
+            try:
+                expected[(i, j)] = _canon(ref(row, dict(rule), ctx))
+            except Exception as e:  # reference crash = nothing to match
+                expected[(i, j)] = ("__REF_RAISED__", type(e).__name__)
+
+    spec = {
+        "adtl": {"name": "tfp", "description": "", "tables": {"t": {"kind": "oneToOne"}}},
+        "t": {"cell": {"field": "id"}, **{f"r{i}": r for i, r in enumerate(rules)}},
+    }
+    rows = [dict(zip(cols, vals), id=str(j)) for j, vals in enumerate(datasets)]
+    p = Parser(spec, spark=spark).parse_rows(rows, skip_validation=True)
+    mismatches = []
+    for row in p.table("t").collect():
+        j = int(row["cell"])
+        for i, rule in enumerate(rules):
+            want = expected[(i, j)]
+            if isinstance(want, tuple):
+                continue  # reference raised; engine nulls/passthrough: skip
+            got = row[f"r{i}"]
+            got = None if got is None else str(got)
+            if got != want:
+                mismatches.append((rule["apply"]["function"], datasets[j], want, got))
+    assert not mismatches, f"{len(mismatches)} divergences, first: {mismatches[0]}"
