@@ -31,7 +31,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins.  Omitted entries (p14_uuid5,
-    ann_lsh_topk) are non-SQL-expressible (sha1-based uuid5; approximate
-    ANN) and take the driver's rows-only check."""
+    """DuckDB-runnable ANSI SQL twins.  The one omitted entry
+    (p14_uuid5) is non-SQL-expressible (DuckDB has no sha1) and takes the
+    driver's rows-only check; every other query — including the LSH ANN
+    and bucketed embedding-dedup paths, whose hyperplanes are mirrored
+    as literals — is value-checked."""
     return Q.oracles()
