@@ -19,8 +19,15 @@ Reference entry points mirrored here (citations are into /root/reference):
 src/adtl/python_interface.py:14-59).
 """
 
-from adtl_spark.api import Parser, parse, parse_rows
+from adtl_spark.api import Parser, check_mapping, parse, parse_rows, validate_specification
 from adtl_spark.session import get_spark
 
-__all__ = ["Parser", "parse", "parse_rows", "get_spark"]
+__all__ = [
+    "Parser",
+    "parse",
+    "parse_rows",
+    "check_mapping",
+    "validate_specification",
+    "get_spark",
+]
 __version__ = "0.1.0"

@@ -289,3 +289,46 @@ def parse_rows(
 ):
     parser = Parser(spec, spark=spark).parse_rows(rows)
     return parser.data
+
+
+def validate_specification(spec: str | Path | StrDict) -> None:
+    """Validate a parser specification without running it (reference:
+    python_interface.py:62-72).  Raises pydantic ``ValidationError`` on a
+    malformed document, returns None when valid."""
+    from adtl_spark.model import validate_document
+    from adtl_spark.spec import read_spec_file
+
+    if isinstance(spec, (str, Path)):
+        spec = read_spec_file(spec)
+    validate_document(spec)
+
+
+def check_mapping(
+    spec: str | Path | StrDict,
+    data: str | Path | None = None,
+    spark: SparkSession | None = None,
+) -> None:
+    """Validate a spec and, given a data file, cross-check its ``field``
+    references against the data's columns (reference:
+    python_interface.py:75-103): fields named in the spec but absent from
+    the data raise ``ValueError``; data columns the spec never maps raise a
+    ``UserWarning``.  As in the reference, fields used only as ``if``
+    condition keys are not resolved and may be reported as missing."""
+    import warnings
+
+    validate_specification(spec)
+    if data is None:
+        return
+    missing, absent = Parser(spec, spark=spark).check_spec_fields(data)
+    if absent:
+        listing = "\n".join(f" - {field}" for field in sorted(absent))
+        raise ValueError(
+            f"There are {len(absent)} fields present in your spec file, "
+            f"but not in the dataset:\n{listing}"
+        )
+    if missing:
+        listing = "\n".join(f" - {field}" for field in sorted(missing))
+        warnings.warn(
+            f"There are {len(missing)} fields missing from your spec file:\n{listing}",
+            UserWarning,
+        )

@@ -114,6 +114,35 @@ def test_parser_write_parquet_bucketed(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS bk_t")
 
 
+def test_validate_specification(workdir):
+    """Top-level API parity (reference: python_interface.py:62-72)."""
+    import pydantic
+
+    from adtl_spark import validate_specification
+
+    assert validate_specification(str(workdir / "spec.toml")) is None
+    with pytest.raises(pydantic.ValidationError):
+        validate_specification({"adtl": {"name": "broken"}})
+
+
+def test_check_mapping(workdir, spark):
+    """Reference python_interface.py:75-103: spec-only fields raise,
+    unmapped data columns warn."""
+    from adtl_spark import check_mapping
+
+    with pytest.warns(UserWarning, match="extra"):
+        check_mapping(str(workdir / "spec.toml"), str(workdir / "data.csv"), spark=spark)
+
+    # a spec field missing from the data is an error
+    bad = (workdir / "spec.toml").read_text() + '\n[subject.age]\nfield = "age"\n'
+    (workdir / "bad.toml").write_text(bad)
+    with pytest.raises(ValueError, match="age"):
+        check_mapping(str(workdir / "bad.toml"), str(workdir / "data.csv"), spark=spark)
+
+    # spec-only check runs without data
+    check_mapping(str(workdir / "spec.toml"))
+
+
 def test_cli_autoparser_chain(tmp_path, spark, monkeypatch, capsys):
     """create-dict -> create-mapping -> create-parser -> parse: the whole
     autoparser CLI surface chained on one dataset, ending with the
