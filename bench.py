@@ -4,22 +4,23 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully materialized via the noop sink (no driver collect cost,
-no result-size bias).  Every query is first executed once at sf0.001: the
-tiny run compiles the identical whole-stage-codegen classes (same schema,
-same plan shapes), so the timed sf run measures steady-state execution.
-At the 100 TB design point one-time JIT is noise; at sf0.1 it would be the
-majority of several queries' wall time and would drown the signal the
-benchmark exists to track.
+no result-size bias).  Every query first executes once UNTIMED at the
+target scale factor, then the timed run measures steady-state execution
+— at the 100 TB design point one-time codegen/JIT is noise; at sf0.1 it
+would be the majority of several queries' wall time and would drown the
+signal the benchmark exists to track.  The warmup runs at the TARGET sf
+(not a smaller one) because queries embedding data-derived literals (IVF
+centroids) generate a different codegen class per scale factor.  No
+cached state survives into the timed run: the dedup operators release
+their persisted intermediates after materializing, and the timed run
+rebuilds every plan from scratch (construction is INSIDE the timer — the
+eager operators do real work at construction time).
 
 Round-2 methodology changes (numbers are NOT comparable to BENCH_r01):
-six more queries (w2/w4/w5, LSH/IVF ANN, bucketed embedding dedup), and
-query CONSTRUCTION is now inside the per-query timer — the dedup and
-pipeline operators materialize eagerly (releasing their working caches),
-so the old timing measured a cached-result replay for them (dedup_ngram
-read 0.05 s while its real ~5 s of work ran untimed).  Caveat the warmup
-cannot remove: queries embedding data-derived literals (IVF centroids,
-LSH hyperplanes) generate different codegen classes per scale factor, so
-their first sf run pays JIT that a steady-state deployment would not.
+six more queries (w2/w4/w5, LSH/IVF ANN, bucketed embedding dedup);
+construction moved inside the timer (the old timing measured a
+cached-result replay for the eager dedup queries — dedup_ngram read
+0.05 s while its real ~5 s of work ran untimed); warmup at target sf.
 """
 
 from __future__ import annotations
@@ -70,17 +71,13 @@ def main() -> None:
     spark = get_spark("adtl_spark_bench")
 
     all_q = Q.all_queries()
-    warmup_dir = "/root/testdata/sf0.001"
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        if os.path.isdir(warmup_dir) and warmup_dir != sf_dir:
-            all_q[name](spark, warmup_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-        # construction is INSIDE the timer: the dedup/pipeline operators
-        # materialize eagerly (they release their working caches), so timing
-        # only the noop write would measure a cached-result replay
+        # warm at the TARGET sf (compiles this exact plan's codegen classes,
+        # including data-derived literals), then time a full fresh run —
+        # construction inside the timer, no cached state carried over
+        all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         t0 = time.time()
         df = all_q[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
