@@ -171,3 +171,39 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return staged.select(
         F.col("doc_id"), F.md5(key).alias("fingerprint")
     )
+
+
+def chunk_documents(
+    df: DataFrame, chunk_tokens: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Context-length chunking: whitespace tokens regrouped into fixed-size
+    chunks of ``chunk_tokens`` — the pre-tokenization pass that slices long
+    documents to a training context budget.  Emits
+    (doc_id, chunk_id, n_tokens, chunk_text); empty documents emit nothing.
+
+    One tokenizer pass (staged, see :func:`_tokenized`), then explode over
+    the chunk index — a narrow row-expander, no shuffle; chunk extraction
+    is an array slice on the already-materialized token array, so the text
+    is neither re-tokenized nor re-scanned per chunk."""
+    t = _tokenized(df, text_col)
+    n = F.size("__toks")
+    n_chunks = F.ceil(n / F.lit(chunk_tokens))
+    with_idx = t.select(
+        "doc_id",
+        "__toks",
+        F.explode(
+            F.when(n_chunks > 0, F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("chunk_id"),
+    )
+    chunk = F.slice(
+        "__toks",
+        (F.col("chunk_id") * chunk_tokens + 1).cast("int"),
+        chunk_tokens,
+    )
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

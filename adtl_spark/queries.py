@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from adtl_spark.operators import dedup as D
+from adtl_spark.operators import sampling as SA
 from adtl_spark.operators import similarity as S
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
@@ -660,6 +661,42 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+CHUNK_TOKENS = 32
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length chunking of the corpus (see text.chunk_documents)."""
+    return X.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=CHUNK_TOKENS)
+
+
+# ------------------------------------------------------------ sampling/splits
+
+SAMPLE_FRACTION = 0.1
+STRATA_K = 20
+SPLIT_WEIGHTS = {"train": 0.8, "valid": 0.1, "test": 0.1}
+
+
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Bernoulli corpus sample (sampling.hash_sample)."""
+    return SA.hash_sample(_t(spark, sf_dir, "documents"), SAMPLE_FRACTION).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k exemplars per language (sampling.stratified_sample)."""
+    return SA.stratified_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", k=STRATA_K
+    ).select("doc_id", "lang")
+
+
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket train/valid/test assignment (sampling.train_test_split)."""
+    return SA.train_test_split(_t(spark, sf_dir, "documents"), SPLIT_WEIGHTS).select(
+        "doc_id", "split"
+    )
+
+
 # ------------------------------------------------------------------- de-dup
 
 
@@ -1103,6 +1140,31 @@ def oracles() -> dict[str, str]:
               PARTITION BY c.event_id ORDER BY v.ts DESC, v.event_id DESC
             ) = 1
         """,
+        "text_chunk": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ),
+            nums AS (SELECT range AS ci FROM range(0, 4096))
+            SELECT doc_id,
+                   CAST(ci AS BIGINT) AS chunk_id,
+                   CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text
+            FROM t JOIN nums ON ci < ceil(len(toks) / CAST({CHUNK_TOKENS} AS DOUBLE))
+        """,
+        "sample_hash": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE {SA.hash_sample_where_sql(SAMPLE_FRACTION, "doc_id")}
+        """,
+        "sample_stratified": SA.stratified_sample_oracle_sql(
+            "documents", "lang", STRATA_K, select="doc_id, lang"
+        ),
+        "split_train_test": f"""
+            SELECT doc_id,
+                   {SA.train_test_split_case_sql(SPLIT_WEIGHTS, "doc_id")} AS split
+            FROM documents
+        """,
         "text_token_stats": f"""
             WITH toks AS (
               SELECT doc_id, text,
@@ -1290,6 +1352,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_chunk": text_chunk,
+        "sample_hash": sample_hash,
+        "sample_stratified": sample_stratified,
+        "split_train_test": split_train_test,
         "dedup_exact": dedup_exact,
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,

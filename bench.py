@@ -53,6 +53,10 @@ HEADLINE = [
     "w5_asof_join",
     "text_quality",
     "text_langid",
+    "text_chunk",
+    "sample_hash",
+    "sample_stratified",
+    "split_train_test",
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",

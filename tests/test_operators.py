@@ -306,3 +306,65 @@ def test_asof_join_semantics(spark):
     assert out[2] == (103, 3.0)      # tie -> highest right_order
     assert out[3] == (None, None)    # right row is later
     assert out[4] == (None, None)    # key never seen on the right
+
+
+def test_hash_sample_deterministic_and_append_stable(spark):
+    from adtl_spark.operators import sampling as SA
+
+    base = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s1 = set(r[0] for r in SA.hash_sample(base, 0.2).select("doc_id").collect())
+    s2 = set(r[0] for r in SA.hash_sample(base, 0.2).select("doc_id").collect())
+    assert s1 == s2  # deterministic across runs
+    # append-stable: growing the corpus never changes existing decisions
+    grown = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s3 = set(r[0] for r in SA.hash_sample(grown, 0.2).select("doc_id").collect())
+    assert s1 == {x for x in s3 if x < 1000}
+    # roughly the requested fraction
+    assert 0.1 < len(s1) / 1000 < 0.3
+    # a different salt draws an independent sample
+    s4 = set(r[0] for r in SA.hash_sample(base, 0.2, salt="other").select("doc_id").collect())
+    assert s4 != s1
+
+
+def test_stratified_sample_exact_k(spark):
+    from adtl_spark.operators import sampling as SA
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"]).repartition(8)
+    out = SA.stratified_sample(df, "lang", k=5)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5, "rare": 1}  # min(k, |stratum|)
+    # deterministic winners regardless of partitioning
+    again = SA.stratified_sample(df.repartition(3), "lang", k=5)
+    assert set(map(tuple, out.collect())) == set(map(tuple, again.collect()))
+    # full rows come back (all original columns)
+    assert out.columns == ["doc_id", "lang"]
+
+
+def test_train_test_split_partitions_corpus(spark):
+    from adtl_spark.operators import sampling as SA
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = SA.train_test_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000  # total partition, no row dropped
+    assert set(counts) == {"train", "valid", "test"}
+    assert counts["train"] > counts["valid"] and counts["train"] > counts["test"]
+    # assignment is per-row deterministic
+    out2 = SA.train_test_split(df, {"train": 0.8, "valid": 0.1, "test": 0.1})
+    assert set(map(tuple, out.collect())) == set(map(tuple, out2.collect()))
+
+
+def test_chunk_documents_covers_text(spark):
+    rows = [(1, " ".join(f"t{i}" for i in range(10))), (2, ""), (3, "one")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = X.chunk_documents(df, chunk_tokens=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 2 not in by_doc  # empty doc emits nothing
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [r["n_tokens"] for r in c1] == [4, 4, 2]
+    # chunks reassemble the token stream exactly
+    assert " ".join(r["chunk_text"] for r in c1) == rows[0][1]
+    assert by_doc[3][0]["chunk_text"] == "one"
