@@ -201,3 +201,38 @@ def test_text_operators_run_on_streams(spark, tmp_path):
     _run_stream_to_memory(lang, "stream_lang")
     preds = {r["doc_id"]: r["lang_pred"] for r in spark.sql("SELECT * FROM stream_lang").collect()}
     assert preds[1] == "en" and preds[2] == "es"
+
+
+def test_sampling_operators_run_on_streams(spark, tmp_path):
+    """Hash-keyed sampling/splitting/chunking are stateless narrow ops —
+    the same operator code filters or labels a stream with no state store,
+    and (being keyed on the row, not an RNG) a row's decision on the
+    stream equals its decision in batch."""
+    from adtl_spark.operators import sampling as SA
+    from adtl_spark.operators import text as X
+
+    src = tmp_path / "sample_stream"
+    src.mkdir()
+    batch = spark.range(0, 200).selectExpr(
+        "id AS doc_id", "concat('tok ', repeat('word ', CAST(id % 5 AS INT))) AS text"
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    sampled = SA.hash_sample(stream, 0.3)
+    assert sampled.isStreaming
+    _run_stream_to_memory(sampled.select("doc_id"), "stream_sample")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM stream_sample").collect()}
+    want = {r["doc_id"] for r in SA.hash_sample(batch, 0.3).select("doc_id").collect()}
+    assert got == want  # stream decision == batch decision, row by row
+
+    split = SA.train_test_split(stream, {"train": 0.8, "test": 0.2})
+    _run_stream_to_memory(split.select("doc_id", "split"), "stream_split")
+    s_got = dict(spark.sql("SELECT * FROM stream_split").collect())
+    s_want = dict(SA.train_test_split(batch, {"train": 0.8, "test": 0.2}).select("doc_id", "split").collect())
+    assert s_got == s_want
+
+    chunks = X.chunk_documents(stream, chunk_tokens=2)
+    _run_stream_to_memory(chunks, "stream_chunks")
+    n = spark.sql("SELECT count(*) AS n FROM stream_chunks").collect()[0]["n"]
+    assert n == X.chunk_documents(batch, chunk_tokens=2).count()
