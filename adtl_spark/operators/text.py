@@ -207,3 +207,63 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+# PII redaction patterns — conservative syntax on purpose: the subset
+# where Java regex (Spark) and RE2 (DuckDB) agree exactly, so the oracle
+# can apply the IDENTICAL strings.  Application order is part of the
+# operator contract: emails first (most specific), then IPs (dotted
+# digits would otherwise be eaten by the phone class), then phone-like
+# digit runs, then any remaining long digit identifier.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    ("id", r"[0-9]{9,}", "<ID>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4s, phone-like digit runs and long numeric ids,
+    emitting (doc_id, n_redactions, text_redacted).
+
+    Each pattern is counted on, then replaced in, the PREVIOUS pattern's
+    output (a staged projection per pattern — both keeps each regex to one
+    evaluation and makes the count/replace pair read the same text), so
+    e.g. the digits inside an already-redacted email are never
+    double-counted as an id.  Pure regexp expressions: narrow, codegen,
+    no shuffle — at scale this fuses into the scan projection."""
+    staged = df.select(
+        F.col("doc_id"), F.col(text_col).alias("__t"), F.lit(0).cast("long").alias("__n")
+    )
+    for name, pattern, token in PII_PATTERNS:
+        staged = staged.select(
+            "doc_id",
+            F.regexp_replace("__t", pattern, token).alias("__t"),
+            (F.col("__n") + F.regexp_count(F.col("__t"), F.lit(pattern))).alias("__n"),
+        )
+    return staged.select(
+        "doc_id",
+        F.col("__n").alias("n_redactions"),
+        F.col("__t").alias("text_redacted"),
+    )
+
+
+def redact_pii_oracle_sql(source_sql: str) -> str:
+    """DuckDB twin of redact_pii: the same patterns in the same order,
+    chained through one CTE per pattern (counts read the previous stage's
+    text, exactly like the Spark staging)."""
+    prev = f"stage0 AS (SELECT doc_id, text AS t, CAST(0 AS BIGINT) AS n FROM ({source_sql}))"
+    ctes = [prev]
+    for i, (name, pattern, token) in enumerate(PII_PATTERNS, start=1):
+        # RE2 needs the single-quote-escaped pattern; none of ours contain quotes
+        ctes.append(
+            f"stage{i} AS (SELECT doc_id, "
+            f"regexp_replace(t, '{pattern}', '{token}', 'g') AS t, "
+            f"n + len(regexp_extract_all(t, '{pattern}')) AS n FROM stage{i - 1})"
+        )
+    last = len(PII_PATTERNS)
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT doc_id, CAST(n AS BIGINT) AS n_redactions, t AS text_redacted FROM stage{last}"
+    )

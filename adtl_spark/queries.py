@@ -661,6 +661,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (text.redact_pii).  The synthetic corpus contains no real
+    PII, so the gate enriches every 7th document with a deterministic
+    email + IP suffix (mirrored in the oracle) to exercise actual
+    replacements, not just pass-through."""
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0."),
+                (F.col("doc_id") % 255).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return X.redact_pii(df)
+
+
 CHUNK_TOKENS = 32
 
 
@@ -1140,6 +1163,16 @@ def oracles() -> dict[str, str]:
               PARTITION BY c.event_id ORDER BY v.ts DESC, v.event_id DESC
             ) = 1
         """,
+        "text_redact": X.redact_pii_oracle_sql(
+            """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                             || '@example.com from 10.0.0.' || CAST(doc_id % 255 AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
+            """
+        ),
         "text_chunk": f"""
             WITH t AS (
               SELECT doc_id,
@@ -1352,6 +1385,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
+        "text_redact": text_redact,
         "text_chunk": text_chunk,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,

@@ -53,6 +53,7 @@ HEADLINE = [
     "w5_asof_join",
     "text_quality",
     "text_langid",
+    "text_redact",
     "text_chunk",
     "sample_hash",
     "sample_stratified",

@@ -368,3 +368,21 @@ def test_chunk_documents_covers_text(spark):
     # chunks reassemble the token stream exactly
     assert " ".join(r["chunk_text"] for r in c1) == rows[0][1]
     assert by_doc[3][0]["chunk_text"] == "one"
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "write to jane.doe+x@ex-1.co.uk or call +1-415-555-0199 today"),
+        (2, "server 192.168.0.1 logged card 4111111111111111"),
+        (3, "clean text with the number 42 only"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in X.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1]["text_redacted"] and "<PHONE>" in out[1]["text_redacted"]
+    assert "jane" not in out[1]["text_redacted"] and "415" not in out[1]["text_redacted"]
+    assert out[1]["n_redactions"] == 2
+    assert "<IP>" in out[2]["text_redacted"]
+    # the 16-digit card is a phone-class digit run -> redacted by that stage
+    assert "4111111111111111" not in out[2]["text_redacted"]
+    assert out[2]["n_redactions"] == 2
+    assert out[3]["text_redacted"] == rows[2][1] and out[3]["n_redactions"] == 0
