@@ -267,3 +267,82 @@ def redact_pii_oracle_sql(source_sql: str) -> str:
         "WITH " + ",\n    ".join(ctes)
         + f"\n    SELECT doc_id, CAST(n AS BIGINT) AS n_redactions, t AS text_redacted FROM stage{last}"
     )
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr``: sort, then fold a
+    (prev, run, best) struct over adjacent equals.  A narrow per-row
+    expression — the distributed alternative (explode -> count -> max) costs
+    two shuffles per n-gram order; this costs zero."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.sort_array(arr), init, step, lambda acc: acc["best"])
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Space-joined n-grams of the token array (empty below n tokens)."""
+    size = F.size(toks)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate-line
+    fraction, and the corpus-classic top-2-gram / top-3-gram fractions
+    (occurrences of the most frequent n-gram over all n-gram slots).
+
+    Entirely narrow — tokenization, n-gram construction and multiplicity
+    counting are per-row array expressions, so the operator runs with zero
+    shuffles at any scale (each document is its own world).  Fractions are
+    0.0 for documents too short to have the n-gram."""
+    t = _tokenized(df, text_col)
+    lines = F.filter(F.split(F.col("__text"), r"\n"), lambda l: l != "")
+    staged = t.select(
+        "doc_id",
+        F.size(lines).alias("__nl"),
+        F.size(F.array_distinct(lines)).alias("__ndl"),
+        _ngrams(F.col("__toks"), 2).alias("__bg"),
+        _ngrams(F.col("__toks"), 3).alias("__tg"),
+    )
+
+    def frac(top: Column, total: Column) -> Column:
+        return F.round(
+            F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0)), 4
+        )
+
+    return staged.select(
+        "doc_id",
+        frac(F.col("__nl") - F.col("__ndl"), F.col("__nl")).alias("dup_line_frac"),
+        frac(_max_multiplicity(F.col("__bg")), F.size("__bg")).alias("top_bigram_frac"),
+        frac(_max_multiplicity(F.col("__tg")), F.size("__tg")).alias("top_trigram_frac"),
+    )
+
+
+def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent whitespace tokens with
+    counts (ties to the lexicographically first token).  Shape at scale:
+    explode -> map-side partial count -> one shuffle on the token, then a
+    TakeOrdered of k rows to the driver side of the plan — the corpus
+    never moves, only (token, partial-count) pairs."""
+    t = _tokenized(df, text_col)
+    return (
+        t.select(F.explode("__toks").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )

@@ -684,6 +684,19 @@ def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.redact_pii(df)
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition signals (text.repetition_stats)."""
+    return X.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+VOCAB_K = 50
+
+
+def text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-k vocabulary (text.vocab_topk)."""
+    return X.vocab_topk(_t(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
 CHUNK_TOKENS = 32
 
 
@@ -1173,6 +1186,49 @@ def oracles() -> dict[str, str]:
             FROM documents
             """
         ),
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+              FROM documents
+            ),
+            nums AS (SELECT range AS i FROM range(1, 100000)),
+            bgc AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                FROM t JOIN nums ON i <= len(toks) - 1
+              ) GROUP BY doc_id, g
+            ),
+            bga AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total FROM bgc GROUP BY doc_id),
+            tgc AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                FROM t JOIN nums ON i <= len(toks) - 2
+              ) GROUP BY doc_id, g
+            ),
+            tga AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total FROM tgc GROUP BY doc_id),
+            lns AS (
+              SELECT doc_id, list_filter(string_split(text, chr(10)), x -> x != '') AS ls FROM t
+            )
+            SELECT t.doc_id,
+                   round(CASE WHEN len(ls) > 0
+                         THEN (len(ls) - len(list_distinct(ls))) / CAST(len(ls) AS DOUBLE)
+                         ELSE 0.0 END, 4) AS dup_line_frac,
+                   round(coalesce(bga.top / CAST(bga.total AS DOUBLE), 0.0), 4) AS top_bigram_frac,
+                   round(coalesce(tga.top / CAST(tga.total AS DOUBLE), 0.0), 4) AS top_trigram_frac
+            FROM t
+            JOIN lns ON lns.doc_id = t.doc_id
+            LEFT JOIN bga ON bga.doc_id = t.doc_id
+            LEFT JOIN tga ON tga.doc_id = t.doc_id
+        """,
+        "text_vocab": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (
+              SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS token
+              FROM documents
+            )
+            GROUP BY token ORDER BY n DESC, token ASC LIMIT {VOCAB_K}
+        """,
         "text_chunk": f"""
             WITH t AS (
               SELECT doc_id,
@@ -1386,6 +1442,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "text_redact": text_redact,
+        "text_repetition": text_repetition,
+        "text_vocab": text_vocab,
         "text_chunk": text_chunk,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,

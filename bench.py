@@ -54,6 +54,8 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_redact",
+    "text_repetition",
+    "text_vocab",
     "text_chunk",
     "sample_hash",
     "sample_stratified",

@@ -386,3 +386,29 @@ def test_redact_pii(spark):
     assert "4111111111111111" not in out[2]["text_redacted"]
     assert out[2]["n_redactions"] == 2
     assert out[3]["text_redacted"] == rows[2][1] and out[3]["n_redactions"] == 0
+
+
+def test_repetition_stats(spark):
+    rows = [
+        (1, "a b a b a b"),            # bigram 'a b' dominates
+        (2, "x\ny\nx\nz"),             # one duplicated line of 4
+        (3, "unique words only here"),
+        (4, "one"),                     # too short for any n-gram
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in X.repetition_stats(df).collect()}
+    # doc 1: bigrams = [a b, b a, a b, b a, a b] -> top 'a b' 3/5
+    assert out[1]["top_bigram_frac"] == 0.6
+    # trigrams = [a b a, b a b, a b a, b a b] -> 2/4
+    assert out[1]["top_trigram_frac"] == 0.5
+    assert out[2]["dup_line_frac"] == 0.25
+    assert out[3]["top_bigram_frac"] == round(1 / 3, 4)
+    assert out[4]["top_bigram_frac"] == 0.0 and out[4]["top_trigram_frac"] == 0.0
+
+
+def test_vocab_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "b a a"), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = [(r["token"], r["n"]) for r in X.vocab_topk(df, k=2).collect()]
+    assert out == [("a", 3), ("b", 2)]
