@@ -856,22 +856,30 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- composite pipeline
 
 QUALITY_MIN = 0.5
+REPETITION_MAX = 0.08  # drop docs whose top bigram fills >8% of slots
 
 
 def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north-star composition, end-to-end in ONE DataFrame DAG:
-    quality-filter the corpus -> drop near-duplicates (MinHash-LSH pairs,
-    greedy keep-lower-id) -> per-language doc and token counts of the
-    surviving corpus.  Every stage is the same operator the standalone
+    quality-filter the corpus -> drop repetition-heavy documents
+    (Gopher-style top-bigram cap, zero-shuffle stage) -> drop
+    near-duplicates (MinHash-LSH pairs, greedy keep-lower-id) ->
+    per-language doc and token counts of the surviving corpus.  Every
+    stage is the same operator the standalone
     queries exercise; Catalyst sees the whole pipeline and prunes columns
     across stage boundaries (the quality stage's intermediate ratios never
     leave the first projection)."""
     docs = _t(spark, sf_dir, "documents")
     good = X.quality_score(docs).filter(F.col("quality") >= QUALITY_MIN)
+    rep_ok = X.repetition_stats(docs).filter(F.col("top_bigram_frac") <= REPETITION_MAX)
     # persisted: the filtered working corpus feeds pair generation, the
     # anti-join and the stats stages — without it each consumer re-plans
     # the quality scoring pass
-    kept = docs.join(good.select("doc_id"), "doc_id").persist()
+    kept = (
+        docs.join(good.select("doc_id"), "doc_id")
+        .join(rep_ok.select("doc_id"), "doc_id")
+        .persist()
+    )
     pairs = D.dedup_minhash_lsh(
         kept,
         k=MINHASH_K,
@@ -1326,9 +1334,20 @@ def oracles() -> dict[str, str]:
                        + least(stop_ratio / 0.3, 1.0) * 0.25
                        + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
               FROM qm
+            ), nums AS (SELECT range AS i FROM range(1, 100000)),
+            bgc AS (
+              SELECT doc_id, g, count(*) AS c FROM (
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
+                FROM qt JOIN nums ON i <= len(toks) - 1
+              ) GROUP BY doc_id, g
+            ),
+            bga AS (SELECT doc_id, max(c) AS top, CAST(sum(c) AS BIGINT) AS total FROM bgc GROUP BY doc_id),
+            rep AS (
+              SELECT qt.doc_id FROM qt LEFT JOIN bga ON bga.doc_id = qt.doc_id
+              WHERE round(coalesce(bga.top / CAST(bga.total AS DOUBLE), 0.0), 4) <= {REPETITION_MAX}
             ), kept AS (
               SELECT d.doc_id, d.text
-              FROM documents d JOIN quality USING (doc_id)
+              FROM documents d JOIN quality USING (doc_id) JOIN rep USING (doc_id)
               WHERE quality >= {QUALITY_MIN}
             ),
             {D.minhash_pair_ctes("kept", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N)},
