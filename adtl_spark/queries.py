@@ -1200,7 +1200,7 @@ def oracles() -> dict[str, str]:
                      list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
               FROM documents
             ),
-            nums AS (SELECT range AS i FROM range(1, 100000)),
+            nums AS (SELECT range AS i FROM range(1, 1024)),
             bgc AS (
               SELECT doc_id, g, count(*) AS c FROM (
                 SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
@@ -1243,7 +1243,7 @@ def oracles() -> dict[str, str]:
                      list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
               FROM documents
             ),
-            nums AS (SELECT range AS ci FROM range(0, 4096))
+            nums AS (SELECT range AS ci FROM range(0, 1024))
             SELECT doc_id,
                    CAST(ci AS BIGINT) AS chunk_id,
                    CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
@@ -1334,7 +1334,7 @@ def oracles() -> dict[str, str]:
                        + least(stop_ratio / 0.3, 1.0) * 0.25
                        + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
               FROM qm
-            ), nums AS (SELECT range AS i FROM range(1, 100000)),
+            ), nums AS (SELECT range AS i FROM range(1, 1024)),
             bgc AS (
               SELECT doc_id, g, count(*) AS c FROM (
                 SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
