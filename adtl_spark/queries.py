@@ -34,10 +34,22 @@ DEC = "decimal(18,4)"
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure_for_engine(spark)
-    # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    # rejects; read it as raw nanosecond longs instead
+    # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+    # TIMESTAMP(MICROS) across driver data generations.  The nanos variant is
+    # rejected by Spark's vectorized reader unless read as raw longs; the
+    # micros variant arrives as timestamp_ntz.  Normalize both to one
+    # canonical representation — epoch nanosecond longs — so every consumer
+    # (sessionize gaps, as-of joins, us-precision oracles) sees one type.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and df.schema["ts"].dataType.simpleString().startswith(
+        "timestamp"
+    ):
+        # session tz is UTC (configure_for_engine), so the ntz->ltz cast is
+        # wall-clock-preserving and unix_micros matches DuckDB's epoch_us
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
     if name in ("documents", "embeddings"):
         # every consumer of these tables does heavy per-row compute
         # (tokenize/shingle/vector math); never let a single-row-group file
