@@ -32,7 +32,9 @@ from adtl_spark.session import configure_for_engine, scan_parallel
 DEC = "decimal(18,4)"
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, barrier: bool = False
+) -> DataFrame:
     configure_for_engine(spark)
     # events.ts has shipped as both parquet TIMESTAMP(NANOS) and
     # TIMESTAMP(MICROS) across driver data generations.  The nanos variant is
@@ -58,7 +60,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # scan->agg shapes where map-side partial aggregation shrinks the
         # data before any shuffle, and a raw-row repartition would defeat it
         # (measured: q1/a2/a3/q3 all regress).
-        df = scan_parallel(df, by=F.col("doc_id" if name == "documents" else "vec_id"))
+        df = scan_parallel(
+            df,
+            by=F.col("doc_id" if name == "documents" else "vec_id"),
+            barrier=barrier,
+        )
     return df
 
 
@@ -880,8 +886,14 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is the same operator the standalone
     queries exercise; Catalyst sees the whole pipeline and prunes columns
     across stage boundaries (the quality stage's intermediate ratios never
-    leave the first projection)."""
-    docs = _t(spark, sf_dir, "documents")
+    leave the first projection).
+
+    ``barrier=True`` on the scan: this is the one query that FILTERS on
+    computed per-document stats, and PushDownPredicates would otherwise
+    sink those regex-heavy predicates through the repartition exchange
+    into the single-split local scan stage (measured: 35 s -> 9 s at
+    sf0.1; see scan_parallel)."""
+    docs = _t(spark, sf_dir, "documents", barrier=True)
     good = X.quality_score(docs).filter(F.col("quality") >= QUALITY_MIN)
     rep_ok = X.repetition_stats(docs).filter(F.col("top_bigram_frac") <= REPETITION_MAX)
     # persisted: the filtered working corpus feeds pair generation, the
