@@ -1,0 +1,195 @@
+"""Corpus-level training-data operators: benchmark decontamination and
+unigram language-model scoring.
+
+Both are Spark-first extensions beyond the reference's spec engine (the
+reference has no corpus operators at all — see SURVEY.md §2.11 scope note);
+they follow the repo's cross-engine determinism protocol so each has an
+exact DuckDB oracle twin:
+
+- **decontaminate** — flag training documents sharing any word n-gram with
+  an evaluation/benchmark set.  The canonical pre-training hygiene step:
+  n-gram overlap against the eval suites (the method popularized by GPT-3's
+  13-gram and Llama's token-overlap decontamination reports).  Scale shape:
+  the eval side is tiny (benchmarks are thousands of docs), so its distinct
+  shingle set BROADCASTS; the corpus side streams map-side through the
+  broadcast hash join and only (doc_id, partial count) pairs shuffle for
+  the final per-doc aggregation.  The 100 TB corpus is never shuffled.
+- **unigram_logprob** — per-document mean log-probability under a unigram
+  LM trained on the corpus itself (top-K vocabulary, floor probability for
+  out-of-vocabulary tokens) — the cheap stand-in for the perplexity-based
+  quality filters (CCNet-style) used to rank web corpora.  Scale shape:
+  the vocabulary is an aggregation of (token, count) pairs — map-side
+  partial agg, one small shuffle — capped at K rows so it BROADCASTS back;
+  scoring is explode -> broadcast join -> per-doc partial agg.  Corpus
+  rows shuffle only as (doc_id, partial sums).
+
+Determinism: counts are exact integers; probabilities divide two exact
+BIGINTs in double precision (identical quotients in Spark and DuckDB);
+per-token log-probs are quantized to 1e-4 with the repo's floor(x*1e4+0.5)
+protocol BEFORE summing, so the per-doc mean is a ratio of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adtl_spark.operators.dedup import shingle_df, shingle_cte_sql
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per training document: how many of its distinct word ``n``-grams
+    also occur anywhere in ``eval_docs``, plus a 0/1 contamination flag.
+
+    Every training doc appears in the output (zero-hit docs included) —
+    the result is a decision table for a downstream anti-join, exactly
+    like the dedup pair lists.
+    """
+    ev = shingle_df(eval_docs, text_col, id_col, n).select("sh").distinct()
+    tr = shingle_df(docs, text_col, id_col, n)
+    # shingle_df emits DISTINCT shingles per doc and ev is distinct, so a
+    # plain count after the join is the distinct-overlap count
+    hits = (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, docs[id_col] == hits["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    train_sql: str, eval_sql: str, n: int = 3
+) -> str:
+    """DuckDB twin of :func:`decontaminate`.  ``train_sql`` / ``eval_sql``
+    are subqueries with (doc_id, text) columns; shingling reuses the dedup
+    oracle's CTE builder so both engines hash identical word n-grams."""
+    ev_shingles = shingle_cte_sql(f"({eval_sql})", n)
+    tr_shingles = shingle_cte_sql(f"({train_sql})", n)
+    return f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({ev_shingles})),
+    tr AS ({tr_shingles}),
+    hits AS (
+      SELECT id, count(*) AS n FROM tr JOIN ev USING (sh) GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS contaminated
+    FROM ({train_sql}) d LEFT JOIN hits h ON h.id = d.doc_id
+    """
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean unigram log-probability per document under a model trained on
+    the corpus itself: p(tok) = count(tok)/total for the ``vocab_k`` most
+    frequent tokens (ties break to the lexicographically first token),
+    p_floor = 0.5/total for everything else.  Documents with no tokens
+    emit a null score.
+
+    Output: (doc_id, n_tokens, oov_frac, avg_logprob) — avg_logprob is
+    the mean of per-token ln(p) quantized at 1e-4 (exact-integer protocol,
+    see module docstring), rounded to 4 decimals.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(vocab_k)
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    p = F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total")
+    qlog = F.floor(F.log(p) * 10000 + F.lit(0.5)).cast("long")
+    scored = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("__oov"),
+            F.sum(qlog).alias("__qsum"),
+        )
+    )
+    # final 4-decimal values via the floor protocol, NOT round(): round()
+    # of an arbitrary quotient is engine-specific at representation
+    # boundaries (Spark rounds the binary double through BigDecimal), while
+    # floor(x*1e4+0.5)/1e4 is pure double arithmetic — identical on
+    # identical inputs in both engines
+    def q4(x):
+        return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, docs[id_col] == scored["id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.when(
+                F.col("__n") > 0,
+                q4(F.col("__oov").cast("double") / F.col("__n")),
+            ).alias("oov_frac"),
+            F.when(
+                F.col("__n") > 0,
+                q4(F.col("__qsum").cast("double") / F.col("__n") / 10000.0),
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+def unigram_logprob_oracle_sql(source_sql: str, vocab_k: int = 20) -> str:
+    """DuckDB twin of :func:`unigram_logprob` over a (doc_id, text)
+    subquery — same tokenizer, same top-K tie-break, same quantized-log
+    protocol (ln on identical double quotients, floor at 1e4)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM ({source_sql})
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    tot AS (SELECT count(*) AS total FROM toks),
+    scored AS (
+      SELECT id,
+             count(*) AS n,
+             sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+             sum(CAST(floor(ln(COALESCE(v.cnt, 0.5) / t.total) * 10000 + 0.5) AS BIGINT)) AS qsum
+      FROM toks LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+      GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(s.n, 0) AS BIGINT) AS n_tokens,
+           CASE WHEN s.n > 0
+                THEN CAST(floor(CAST(s.oov AS DOUBLE) / s.n * 10000 + 0.5) AS DOUBLE) / 10000.0
+           END AS oov_frac,
+           CASE WHEN s.n > 0
+                THEN CAST(floor(CAST(s.qsum AS DOUBLE) / s.n / 10000.0 * 10000 + 0.5) AS DOUBLE) / 10000.0
+           END AS avg_logprob
+    FROM ({source_sql}) d LEFT JOIN scored s ON s.id = d.doc_id
+    """

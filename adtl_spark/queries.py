@@ -23,6 +23,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from adtl_spark.operators import corpus as C
 from adtl_spark.operators import dedup as D
 from adtl_spark.operators import sampling as SA
 from adtl_spark.operators import similarity as S
@@ -721,6 +722,34 @@ CHUNK_TOKENS = 32
 def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length chunking of the corpus (see text.chunk_documents)."""
     return X.chunk_documents(_t(spark, sf_dir, "documents"), chunk_tokens=CHUNK_TOKENS)
+
+
+# --------------------------------------------------------- corpus-level ops
+
+DECON_N = 5  # word-5-gram overlap: chance collisions on the synthetic
+# 31-token vocabulary are ~0.03% per gram, so flags mean real sharing
+DECON_EVAL_MOD = 20  # every 20th doc plays the held-out benchmark set
+UNIGRAM_VOCAB_K = 20  # < the corpus's 31 distinct tokens, so the
+# out-of-vocabulary floor path is exercised
+
+
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word 5-gram
+    with the pseudo-benchmark slice (every 20th doc).  The eval shingle
+    set broadcasts; the corpus never shuffles (corpus.decontaminate)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return C.decontaminate(tr, ev, n=DECON_N)
+
+
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score: mean ln p(token) per document under a
+    top-K corpus-trained model with an OOV floor (corpus.unigram_logprob)
+    — the CCNet-style perplexity filter, DataFrame-native."""
+    return C.unigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_k=UNIGRAM_VOCAB_K
+    )
 
 
 # ------------------------------------------------------------ sampling/splits
@@ -1430,6 +1459,14 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "corpus_decontaminate": C.decontaminate_oracle_sql(
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
+            n=DECON_N,
+        ),
+        "corpus_unigram_logprob": C.unigram_logprob_oracle_sql(
+            "SELECT doc_id, text FROM documents", vocab_k=UNIGRAM_VOCAB_K
+        ),
         "dedup_ngram": D.ngram_jaccard_oracle_sql(
             "documents", JACCARD_THRESHOLD, SHINGLE_N, MAX_DF_FRAC
         ),
@@ -1488,6 +1525,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "text_chunk": text_chunk,
+        "corpus_decontaminate": corpus_decontaminate,
+        "corpus_unigram_logprob": corpus_unigram_logprob,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "split_train_test": split_train_test,

@@ -412,3 +412,53 @@ def test_vocab_topk(spark):
     )
     out = [(r["token"], r["n"]) for r in X.vocab_topk(df, k=2).collect()]
     assert out == [("a", 3), ("b", 2)]
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    from adtl_spark.operators import corpus as C
+
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains eval 5-gram
+            (2, "one two three four five six seven"),  # clean
+            (3, ""),  # empty doc: its clamped 1-token shingle can't match
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["n_contaminated"], r["contaminated"])
+        for r in C.decontaminate(train, ev, n=5).collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert len(out) == 3  # every training doc is in the decision table
+
+
+def test_unigram_logprob_scores(spark):
+    import math
+
+    from adtl_spark.operators import corpus as C
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a rare"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in C.unigram_logprob(df, vocab_k=2).collect()}
+    # corpus: a=4, b=1, rare=1, total=6; vocab_k=2 keeps {a, b} (tie on
+    # count 1 breaks alphabetically), rare is OOV at p=0.5/6
+    def q(x):
+        return math.floor(x * 10000 + 0.5) / 10000.0
+
+    qa = math.floor(math.log(4 / 6) * 10000 + 0.5)
+    qb = math.floor(math.log(1 / 6) * 10000 + 0.5)
+    qr = math.floor(math.log(0.5 / 6) * 10000 + 0.5)
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["oov_frac"] == 0.0
+    assert out[1]["avg_logprob"] == q((3 * qa + qb) / 4 / 10000.0)
+    assert out[2]["avg_logprob"] == q((qa + qr) / 2 / 10000.0)
+    assert out[2]["oov_frac"] == 0.5
+    # empty doc: present, null score
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] is None
