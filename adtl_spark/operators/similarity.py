@@ -458,3 +458,195 @@ def embedding_neardup_oracle_sql(
     WHERE list_dot_product(a.v, b.v)
              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= {tau}
     """
+
+
+def label_centroids(
+    df: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label centroid of the embedding column, in long form
+    (label, dim, centroid) so the DuckDB oracle can mirror it without
+    array-aggregation order hazards.
+
+    Shape at scale: posexplode multiplies rows by ``dim``, but map-side
+    partial aggregation combines per (label, dim) BEFORE the shuffle, so
+    only |labels| x dim x n_partitions partial cells move — the embedding
+    data itself never shuffles.  Components are quantized at 1e-6 with the
+    repo's floor protocol so the mean is a ratio of exact integers
+    (identical doubles in both engines, no rounding step needed)."""
+    e = df.select(
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    q = F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    return (
+        e.groupBy("label", "dim")
+        .agg(F.sum(q).alias("__qsum"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "label",
+            F.col("dim").cast("long").alias("dim"),
+            (F.col("__qsum").cast("double") / F.col("__n") / 1000000.0).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def label_centroids_oracle_sql(table: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`label_centroids` (1-based list index maps to
+    the 0-based posexplode position)."""
+    return f"""
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS centroid
+    FROM {table}
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+    GROUP BY 1, 2
+    """
+
+
+def _kmeans_cell_sql(vec_name: str, cents) -> str:
+    """Spark-SQL text assigning ``vec_name`` to its nearest centroid by
+    squared Euclidean distance, as argmin over ``s = 0.5|c|^2 - v.c``
+    (|v|^2 is constant per row and cannot change the argmin).  Ascending
+    sort on (s, cid) ties to the lower centroid id — mirrored by the
+    oracle's ``ORDER BY s ASC, cid ASC``."""
+    structs = ", ".join(
+        f"named_struct('s', {_dlit(half_sq)} - ({_dot_lit_sql(vec_name, coords)}), "
+        f"'cid', CAST({cid} AS BIGINT))"
+        for cid, coords, half_sq in cents
+    )
+    return f"element_at(sort_array(array({structs}), true), 1).cid"
+
+
+def _half_sq(coords: list[float]) -> float:
+    """0.5 * |c|^2 with a left-to-right fold — the same summation order as
+    ``list_dot_product`` / ``F.aggregate``, so the embedded literal equals
+    what the oracle computes at runtime."""
+    acc = 0.0
+    for x in coords:
+        acc += x * x
+    return 0.5 * acc
+
+
+def kmeans_assign(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, returning the final
+    (vec_id, cluster) assignment after ``iters`` centroid updates.
+
+    Deterministic throughout so the DuckDB oracle can replay it exactly:
+    initial centroids are the ``k`` lowest-id vectors (relabeled 0..k-1 in
+    id order); assignment is a NARROW argmin expression over literal
+    centroids — no join, no shuffle of the corpus; the update step is the
+    same quantized-mean aggregation as :func:`label_centroids` (shuffles
+    only k x dim partial cells) with a k x dim collect per iteration (the
+    index-build step, like IVF's centroid collect).  Clusters that lose
+    all members simply drop out of the next round in both engines."""
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(k)
+        .collect()
+    )
+    cents = []
+    for cid, r in enumerate(rows):
+        coords = [float(x) for x in r["v"]]
+        cents.append((cid, coords, _half_sq(coords)))
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = c.select(
+            "vec_id", "v", F.expr(_kmeans_cell_sql("v", cents)).alias("cluster")
+        )
+        cells = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in cells:
+            by_cid.setdefault(r["cluster"], {})[r["dim"]] = (
+                r["qsum"] / r["n"] / 1000000.0
+            )
+        cents = []
+        for cid in sorted(by_cid):
+            coords = [by_cid[cid][d] for d in range(len(by_cid[cid]))]
+            cents.append((cid, coords, _half_sq(coords)))
+
+    return c.select(
+        "vec_id", F.expr(_kmeans_cell_sql("v", cents)).alias("cluster")
+    )
+
+
+def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_assign` with the iterations unrolled
+    into one CTE chain per update (assignment -> quantized-mean centroids),
+    ending in the final assignment.  Identical arithmetic: the score is
+    ``0.5*list_dot_product(cv,cv) - list_dot_product(v,cv)`` (same fold
+    order as the Spark literals), means use the same floor-1e6 protocol."""
+    parts = [
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"""cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM c ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT c.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY 0.5 * list_dot_product(cent.cv, cent.cv)
+                            - list_dot_product(c.v, cent.cv) ASC,
+                          cent.cid ASC
+               ) AS rn
+        FROM c CROSS JOIN cent{i} cent
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""cent{i + 1} AS (
+      SELECT cid, list(m ORDER BY dim) AS cv FROM (
+        SELECT a.cluster AS cid, i AS dim,
+               CAST(sum(CAST(floor(c.v[CAST(i AS INT)] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0 AS m
+        FROM c JOIN a{i} a USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+        GROUP BY 1, 2
+      ) GROUP BY cid
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
+      SELECT c.vec_id, cent.cid,
+             row_number() OVER (
+               PARTITION BY c.vec_id
+               ORDER BY 0.5 * list_dot_product(cent.cv, cent.cv)
+                          - list_dot_product(c.v, cent.cv) ASC,
+                        cent.cid ASC
+             ) AS rn
+      FROM c CROSS JOIN cent{iters} cent
+    ) WHERE rn = 1
+    """
+    )

@@ -900,6 +900,28 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid in long (label, dim, centroid) form —
+    the class-prototype aggregation (similarity.label_centroids).  Map-side
+    partial agg means only label x dim cells shuffle."""
+    return S.label_centroids(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means over embeddings: deterministic init (k lowest ids),
+    2 quantized-mean updates, final assignment (similarity.kmeans_assign).
+    Assignment is a narrow literal-centroid argmin — the corpus never
+    shuffles; each update shuffles only k x dim partial cells."""
+    return S.kmeans_assign(
+        _t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
 # ------------------------------------------------------- composite pipeline
 
 QUALITY_MIN = 0.5
@@ -1479,6 +1501,12 @@ def oracles() -> dict[str, str]:
         "dedup_embedding_lsh": S.embedding_neardup_oracle_sql(
             "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
         ),
+        "emb_label_centroids": S.label_centroids_oracle_sql(
+            "embeddings", dim=EMB_DIM
+        ),
+        "emb_kmeans": S.kmeans_oracle_sql(
+            "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
+        ),
         "ann_cosine_topk": S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES),
         "ann_lsh_topk": S.ann_lsh_oracle_sql(
             "embeddings", 64, ANN_K, LSH_PLANES, LSH_SEED, ANN_QUERIES
@@ -1537,6 +1565,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

@@ -462,3 +462,54 @@ def test_unigram_logprob_scores(spark):
     assert out[2]["oov_frac"] == 0.5
     # empty doc: present, null score
     assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] is None
+
+
+def test_label_centroids_exact_means(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+        ["label", "embedding"],
+    )
+    out = {
+        (r["label"], r["dim"]): r["centroid"]
+        for r in S.label_centroids(df, dim=2).collect()
+    }
+    assert out[(0, 0)] == 2.0 and out[(0, 1)] == 3.0
+    assert out[(1, 0)] == 10.0 and out[(1, 1)] == 20.0
+
+
+def test_kmeans_assign_separates_clear_clusters(spark):
+    # two tight blobs far apart; init takes ids 1 and 2 (one from each blob)
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [0.1, 0.0]),
+        (4, [0.0, 0.1]),
+        (5, [10.1, 10.0]),
+        (6, [10.0, 10.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster"] for r in S.kmeans_assign(df, k=2, iters=2).collect()}
+    assert out[1] == out[3] == out[4] == 0
+    assert out[2] == out[5] == out[6] == 1
+
+
+def test_kmeans_iterations_move_centroids(spark):
+    # init centroids (ids 1, 2) both sit inside the left blob; after one
+    # update the right blob must capture its own centroid
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.1, 0.1]),
+        (4, [20.0, 20.0]),
+        (5, [20.1, 20.0]),
+        (6, [20.0, 20.1]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    zero_iter = {r["vec_id"]: r["cluster"] for r in S.kmeans_assign(df, k=2, iters=0).collect()}
+    two_iter = {r["vec_id"]: r["cluster"] for r in S.kmeans_assign(df, k=2, iters=2).collect()}
+    # with the raw init, the far blob all lands on centroid 1 (closer of the two)
+    assert zero_iter[4] == zero_iter[5] == zero_iter[6] == 1
+    # after updates the far blob still shares one cluster, left blob the other
+    assert two_iter[4] == two_iter[5] == two_iter[6]
+    assert two_iter[1] == two_iter[3]
+    assert two_iter[1] != two_iter[4]
