@@ -117,3 +117,60 @@ def asof_join(
         *[F.col(f"__l_{c}__").alias(c) for c in left_cols],
         *[F.col("__asof__")[c].alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    lower: int,
+    upper: int,
+    right_cols: list[str],
+    prefix: str = "matched_",
+) -> DataFrame:
+    """Interval join: every (left, right) pair with the same key and
+    ``left.time + lower <= right.time <= left.time + upper`` (times are
+    non-negative integers, e.g. epoch nanoseconds).
+
+    Spark plans a plain range predicate as a broadcast-nested-loop (or a
+    per-key sort-merge whose candidate set is every same-key pair) —
+    quadratic in the hot keys.  The standard scale remedy encoded here:
+    quantize time into bins as wide as the window span, join on
+    (key, bin) — an EQUI-join Catalyst can hash-partition — and re-apply
+    the exact range filter after.  Each left row probes its two covering
+    bins, so the join fan-in per row is the two bins' contents instead of
+    the whole key group; cost is one shuffle of each side by (key, bin).
+
+    Bins use integer ``DIV`` — epoch-nanosecond values exceed 2^53, so a
+    double division would lose the precision the range filter needs.
+    """
+    span = upper - lower
+    if span <= 0:
+        raise ValueError("range_join_binned needs upper > lower")
+    lt = F.col(f"__l_{time_col}__")
+    l = left.select(
+        *[F.col(c).alias(f"__l_{c}__") for c in left.columns]
+    ).withColumn(
+        "__bin__",
+        F.explode(
+            F.sequence(
+                F.expr(f"(`__l_{time_col}__` + ({lower})) DIV {span}"),
+                F.expr(f"(`__l_{time_col}__` + ({upper})) DIV {span}"),
+            )
+        ),
+    )
+    r = right.select(
+        F.col(key_col).alias(f"__l_{key_col}__"),
+        F.expr(f"`{time_col}` DIV {span}").alias("__bin__"),
+        F.col(time_col).alias("__rt__"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+    out = l.join(r, [f"__l_{key_col}__", "__bin__"]).filter(
+        (F.col("__rt__") >= lt + F.lit(lower))
+        & (F.col("__rt__") <= lt + F.lit(upper))
+    )
+    return out.select(
+        *[F.col(f"__l_{c}__").alias(c) for c in left.columns],
+        *[F.col(f"{prefix}{c}") for c in right_cols],
+    )

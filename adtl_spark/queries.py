@@ -661,6 +661,45 @@ def w5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_WINDOW_NS = 600 * 1_000_000_000  # views within 10 min before a click
+
+
+def w6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join at scale: per click, the count and value sum of the
+    same user's views in the preceding 10 minutes.  Uses the binned
+    equi-join encoding (operators.joins.range_join_binned) instead of
+    Spark's quadratic per-key range join; zero-match clicks stay via a
+    left join against the aggregated hits."""
+    from adtl_spark.operators.joins import range_join_binned
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    pairs = range_join_binned(
+        clicks,
+        views,
+        key_col="user_id",
+        time_col="ts",
+        lower=-RANGE_WINDOW_NS,
+        upper=0,
+        right_cols=["value"],
+    )
+    hits = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.floor(F.col("matched_value") * 10000 + F.lit(0.5)).cast("long")
+        ).alias("__qs"),
+    )
+    return clicks.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_views_10m"),
+        (F.coalesce(F.col("__qs"), F.lit(0)) / 10000.0).alias("sum_view_value"),
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -1259,6 +1298,28 @@ def oracles() -> dict[str, str]:
               PARTITION BY c.event_id ORDER BY v.ts DESC, v.event_id DESC
             ) = 1
         """,
+        "w6_range_join": f"""
+            WITH c AS (
+              SELECT event_id, user_id, epoch_ns(ts) AS tns
+              FROM events WHERE event_type = 'click'
+            ),
+            v AS (
+              SELECT user_id, epoch_ns(ts) AS tns, value
+              FROM events WHERE event_type = 'view'
+            ),
+            hits AS (
+              SELECT c.event_id, count(*) AS n,
+                     sum(CAST(floor(v.value * 10000 + 0.5) AS BIGINT)) AS qs
+              FROM c JOIN v
+                ON v.user_id = c.user_id
+               AND v.tns >= c.tns - {RANGE_WINDOW_NS} AND v.tns <= c.tns
+              GROUP BY c.event_id
+            )
+            SELECT c.event_id, c.user_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_views_10m,
+                   COALESCE(h.qs, 0) / 10000.0 AS sum_view_value
+            FROM c LEFT JOIN hits h USING (event_id)
+        """,
         "text_redact": X.redact_pii_oracle_sql(
             """
             SELECT doc_id,
@@ -1545,6 +1606,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_topn_per_group": w3_topn_per_group,
         "w4_rolling_aggregate": w4_rolling_aggregate,
         "w5_asof_join": w5_asof_join,
+        "w6_range_join": w6_range_join,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,

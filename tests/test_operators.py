@@ -513,3 +513,35 @@ def test_kmeans_iterations_move_centroids(spark):
     assert two_iter[4] == two_iter[5] == two_iter[6]
     assert two_iter[1] == two_iter[3]
     assert two_iter[1] != two_iter[4]
+
+
+def test_range_join_binned_matches_naive(spark):
+    from adtl_spark.operators.joins import range_join_binned
+
+    left = spark.createDataFrame(
+        [(1, 1, 1000), (2, 1, 2000), (3, 2, 1500), (4, 3, 500)],
+        ["lid", "k", "t"],
+    )
+    right = spark.createDataFrame(
+        [(10, 1, 900), (11, 1, 1000), (12, 1, 1999), (13, 2, 1400),
+         (14, 2, 100), (15, 9, 1500)],
+        ["rid", "k", "t"],
+    )
+    out = range_join_binned(
+        left, right, key_col="k", time_col="t", lower=-100, upper=0,
+        right_cols=["rid"],
+    )
+    got = {(r["lid"], r["matched_rid"]) for r in out.collect()}
+    naive = (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col("l.k") == F.col("r.k"))
+            & (F.col("r.t") >= F.col("l.t") - 100)
+            & (F.col("r.t") <= F.col("l.t")),
+        )
+        .select("l.lid", "r.rid")
+    )
+    assert got == {(r["lid"], r["rid"]) for r in naive.collect()}
+    assert (1, 10) in got and (1, 11) in got  # boundary inclusive both ends
+    assert (4, 14) not in got  # outside window
