@@ -346,3 +346,59 @@ def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(k)
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    bucket_width: int = 1024,
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: lay the chunk stream end-to-end in (doc_id,
+    chunk_id) order and slice it into fixed ``budget``-token training
+    contexts (the concat-then-slice packing every LLM data pipeline runs
+    before batching).  Emits the packing decision per chunk:
+    (doc_id, chunk_id, n_tokens, pack_id, pack_offset) where pack_offset
+    is the chunk's start position inside its pack; a chunk whose tokens
+    cross a pack boundary starts in ``pack_id`` and spills into the next,
+    exactly like the concatenated token stream it models.
+
+    The global running sum is a DISTRIBUTED two-phase prefix sum, not one
+    giant ordered window (``Window.orderBy`` with no partition key
+    collapses the corpus onto a single task): chunks are bucketed by
+    contiguous doc_id ranges, each bucket cumsums in parallel, and only
+    the per-bucket totals — ~|corpus|/bucket_width rows — pass through
+    the one single-partition window that chains bucket offsets, which
+    then broadcast back.  All-integer arithmetic end to end.
+    """
+    from pyspark.sql import Window
+
+    b = chunks.withColumn("__bk__", F.expr(f"doc_id DIV {bucket_width}"))
+    local_w = (
+        Window.partitionBy("__bk__")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = b.withColumn(
+        "__lc__", F.coalesce(F.sum(tokens_col).over(local_w), F.lit(0))
+    )
+    totals = b.groupBy("__bk__").agg(F.sum(tokens_col).alias("__bt__"))
+    offset_w = Window.orderBy("__bk__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__bk__", F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__")
+    )
+    staged = local.join(F.broadcast(offsets), "__bk__").select(
+        "doc_id",
+        "chunk_id",
+        F.col(tokens_col),
+        (F.col("__bo__") + F.col("__lc__")).alias("__cum__"),
+    )
+    # integer DIV/%: the running sum exceeds 2^53 long before 100 TB, so a
+    # double division would misplace pack boundaries
+    return staged.select(
+        "doc_id",
+        "chunk_id",
+        F.col(tokens_col),
+        F.expr(f"`__cum__` DIV {budget}").cast("long").alias("pack_id"),
+        (F.col("__cum__") % budget).cast("long").alias("pack_offset"),
+    )

@@ -782,6 +782,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(tr, ev, n=DECON_N)
 
 
+PACK_BUDGET = 128  # four 32-token chunks per training context
+
+
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing decision table: chunk the corpus, lay chunks
+    end-to-end in (doc_id, chunk_id) order, slice into 128-token training
+    contexts via a distributed two-phase prefix sum (text.pack_chunks —
+    no global single-task window)."""
+    chunks = X.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=CHUNK_TOKENS
+    ).select("doc_id", "chunk_id", "n_tokens")
+    return X.pack_chunks(chunks, budget=PACK_BUDGET)
+
+
 def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean ln p(token) per document under a
     top-K corpus-trained model with an OOV floor (corpus.unigram_logprob)
@@ -1542,6 +1556,32 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "corpus_pack": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ),
+            nums AS (SELECT range AS ci FROM range(0, 1024)),
+            chunks AS (
+              SELECT doc_id,
+                     CAST(ci AS BIGINT) AS chunk_id,
+                     CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens
+              FROM t JOIN nums ON ci < ceil(len(toks) / CAST({CHUNK_TOKENS} AS DOUBLE))
+            ),
+            cum AS (
+              SELECT doc_id, chunk_id, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       ORDER BY doc_id, chunk_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS c
+              FROM chunks
+            )
+            SELECT doc_id, chunk_id, n_tokens,
+                   CAST(c // {PACK_BUDGET} AS BIGINT) AS pack_id,
+                   CAST(c % {PACK_BUDGET} AS BIGINT) AS pack_offset
+            FROM cum
+        """,
         "corpus_decontaminate": C.decontaminate_oracle_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
@@ -1615,6 +1655,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "text_chunk": text_chunk,
+        "corpus_pack": corpus_pack,
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_unigram_logprob": corpus_unigram_logprob,
         "sample_hash": sample_hash,

@@ -545,3 +545,21 @@ def test_range_join_binned_matches_naive(spark):
     assert got == {(r["lid"], r["rid"]) for r in naive.collect()}
     assert (1, 10) in got and (1, 11) in got  # boundary inclusive both ends
     assert (4, 14) not in got  # outside window
+
+
+def test_pack_chunks_global_prefix_sum(spark):
+    rows = [
+        # (doc_id, chunk_id, n_tokens) — doc ids straddle bucket 0 and 1
+        (1, 0, 30), (1, 1, 10), (2, 0, 25), (1500, 0, 40), (1500, 1, 5),
+    ]
+    chunks = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in X.pack_chunks(chunks, budget=32, bucket_width=1024).collect()
+    }
+    # cumulative-exclusive: 0, 30, 40, 65, 105 over (doc, chunk) order
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 1)] == (0, 30)  # crosses the 32-token boundary mid-chunk
+    assert out[(2, 0)] == (1, 8)
+    assert out[(1500, 0)] == (2, 1)  # bucket-1 chunk continues the stream
+    assert out[(1500, 1)] == (3, 9)
