@@ -216,3 +216,49 @@ def test_bucketed_table_name_sanitized(spark, tmp_path):
     assert out.count() == 100
     assert "my_spec_v2_t" in [t.name for t in spark.catalog.listTables()]
     spark.sql("DROP TABLE IF EXISTS my_spec_v2_t")
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — the training corpus is never
+    shuffled to find overlap (the 100 TB contract of the operator)."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    plan = physical_plan(C.decontaminate(docs, ev, n=3))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_binned_is_equi_join(spark):
+    """The binned encoding must plan as a hash equi-join, never a
+    broadcast-nested-loop over the raw range predicate."""
+    from adtl_spark.operators.joins import range_join_binned
+
+    left = spark.createDataFrame([(1, 1, 1000)], ["lid", "k", "t"])
+    right = spark.createDataFrame([(10, 1, 900)], ["rid", "k", "t"])
+    plan = physical_plan(
+        range_join_binned(
+            left, right, key_col="k", time_col="t", lower=-100, upper=0,
+            right_cols=["rid"],
+        )
+    )
+    assert "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """Final k-means assignment is a literal-centroid expression over the
+    corpus — no join and no exchange in the assignment plan."""
+    from adtl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)], ["vec_id", "embedding"]
+    )
+    plan = physical_plan(S.kmeans_assign(df, k=2, iters=0))
+    assert "Join" not in plan
+    assert "Exchange" not in plan
