@@ -92,28 +92,27 @@ def decontaminate_oracle_sql(
     """
 
 
-def unigram_logprob(
-    docs: DataFrame,
-    vocab_k: int = 20,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """Mean unigram log-probability per document under a model trained on
-    the corpus itself: p(tok) = count(tok)/total for the ``vocab_k`` most
-    frequent tokens (ties break to the lexicographically first token),
-    p_floor = 0.5/total for everything else.  Documents with no tokens
-    emit a null score.
-
-    Output: (doc_id, n_tokens, oov_frac, avg_logprob) — avg_logprob is
-    the mean of per-token ln(p) quantized at 1e-4 (exact-integer protocol,
-    see module docstring), rounded to 4 decimals.
-    """
-    toks = docs.select(
+def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return docs.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
         ).alias("token"),
     )
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train the unigram model: the ``vocab_k`` most frequent tokens (ties
+    break to the lexicographically first token) with their counts, plus the
+    corpus-wide token total on every row — a K-row, broadcastable model
+    table (token, cnt, total) that :func:`score_unigram` can apply to ANY
+    document set, including ones the model never saw."""
+    toks = _exploded_tokens(docs, text_col, id_col)
     vocab = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -121,10 +120,31 @@ def unigram_logprob(
         .limit(vocab_k)
     )
     total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return vocab.crossJoin(F.broadcast(total))
+
+
+def score_unigram(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a trained unigram model (see
+    :func:`train_unigram`): p(tok) = cnt/total for in-vocabulary tokens,
+    p_floor = 0.5/total for the rest.  Emits one row per document that has
+    at least one token; :func:`unigram_logprob` adds back empty documents
+    for the batch decision-table form.
+
+    Stream-safe: tokenization is a narrow explode, the model joins as a
+    broadcast (stream-to-batch), and the per-document aggregation is a
+    standard streaming agg — a batch-trained model scores a document
+    stream with the exact same code (see tests/test_streaming.py)."""
+    toks = _exploded_tokens(docs, text_col, id_col)
+    total = model.select("total").limit(1)
     p = F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total")
     qlog = F.floor(F.log(p) * 10000 + F.lit(0.5)).cast("long")
-    scored = (
-        toks.join(F.broadcast(vocab), "token", "left")
+    return (
+        toks.join(F.broadcast(model.select("token", "cnt")), "token", "left")
         .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(
@@ -133,6 +153,25 @@ def unigram_logprob(
             F.sum(qlog).alias("__qsum"),
         )
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    vocab_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean unigram log-probability per document under a model trained on
+    the corpus itself (train + score composed; see :func:`train_unigram`
+    and :func:`score_unigram`).  Documents with no tokens emit a null
+    score.
+
+    Output: (doc_id, n_tokens, oov_frac, avg_logprob) — avg_logprob is
+    the mean of per-token ln(p) quantized at 1e-4 (exact-integer protocol,
+    see module docstring), rounded to 4 decimals.
+    """
+    model = train_unigram(docs, vocab_k, text_col, id_col)
+    scored = score_unigram(docs, model, text_col, id_col)
     # final 4-decimal values via the floor protocol, NOT round(): round()
     # of an arbitrary quotient is engine-specific at representation
     # boundaries (Spark rounds the binary double through BigDecimal), while

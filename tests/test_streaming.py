@@ -236,3 +236,45 @@ def test_sampling_operators_run_on_streams(spark, tmp_path):
     _run_stream_to_memory(chunks, "stream_chunks")
     n = spark.sql("SELECT count(*) AS n FROM stream_chunks").collect()[0]["n"]
     assert n == X.chunk_documents(batch, chunk_tokens=2).count()
+
+
+def test_unigram_scoring_on_stream(spark, tmp_path):
+    """A batch-trained unigram model scores a document STREAM with the
+    same operator code: narrow tokenize, broadcast model join, streaming
+    per-doc aggregation (complete mode)."""
+    from adtl_spark.operators import corpus as C
+
+    src = tmp_path / "unigram_stream"
+    src.mkdir()
+    train = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b c")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [(10, "a b"), (11, "a zzz")], "doc_id long, text string"
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+    model = C.train_unigram(train, vocab_k=2)  # vocab {a, b}; c is OOV
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    scored = C.score_unigram(stream, model)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_unigram")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["id"]: (r["__n"], r["__oov"], r["__qsum"])
+        for r in spark.sql("SELECT * FROM stream_unigram").collect()
+    }
+    want = {
+        r["id"]: (r["__n"], r["__oov"], r["__qsum"])
+        for r in C.score_unigram(incoming, model).collect()
+    }
+    assert got == want  # stream scores == batch scores, doc by doc
+    assert got[11][1] == 1  # zzz is out-of-vocabulary
