@@ -402,3 +402,174 @@ def pack_chunks(
         F.expr(f"`__cum__` DIV {budget}").cast("long").alias("pack_id"),
         (F.col("__cum__") % budget).cast("long").alias("pack_offset"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf.
+
+    tf is the in-document occurrence count; idf = ln(N/df) is quantized to
+    an integer (floor(x*1e4+0.5)) so the ranking score tf*idf_q is EXACT
+    integer arithmetic — engine-portable ordering with no float
+    comparisons.  Ties break (score desc, token asc).  Output:
+    (doc_id, token, tf, rank, tfidf) with tfidf = tf*idf_q/1e4.
+
+    Shape at scale: one (doc, token) count agg (map-side combined), one
+    token-level df agg over the deduped pairs, a join back on token — AQE
+    upgrades it to broadcast at runtime when the vocabulary is small — and
+    a per-document top-k window (partitioned by doc, no global sort)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    idf_q = F.floor(
+        F.log(F.col("n_docs").cast("double") / F.col("df_")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(doc_freq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select("id", "token", "tf", (F.col("tf") * idf_q).alias("__score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("__score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / 10000.0).alias("tfidf"),
+        )
+    )
+
+
+def tfidf_topk_oracle_sql(table: str, k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_topk` — same tokenizer, same quantized
+    idf, same integer ranking and tie-break."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM {table}),
+    dfr AS (SELECT token, count(*) AS df_ FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id, tf.token, tf.tf,
+             tf.tf * CAST(floor(ln(CAST(nd.n_docs AS DOUBLE) / dfr.df_) * 10000 + 0.5) AS BIGINT) AS score
+      FROM tf JOIN dfr USING (token) CROSS JOIN nd
+    ),
+    ranked AS (
+      SELECT id, token, tf, score,
+             row_number() OVER (PARTITION BY id ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT id AS doc_id, token, CAST(tf AS BIGINT) AS tf,
+           CAST(rank AS BIGINT) AS rank,
+           CAST(score AS DOUBLE) / 10000.0 AS tfidf
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def length_stats_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group corpus length statistics with an EXACT median: n_docs,
+    token total, mean (quantized ratio) and the exact median token count.
+
+    The median is middle-element selection over a per-group rank window —
+    no approximate percentile sketch and no engine-specific interpolation:
+    for odd groups it is the middle value, for even groups the mean of the
+    two middle values (integer .0/.5, exact in both engines).  Shape at
+    scale: the window partitions by group (parallel across groups), and
+    only (doc_id, group, n_tokens) rows — not documents — flow into it."""
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.size(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy("n_tokens", "id")
+    ranked = lens.select(
+        "grp",
+        "n_tokens",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("__cnt"),
+    )
+    # middle ranks via integer DIV ("/" is float division in both engines
+    # and would round engine-specifically at the cast): lower middle
+    # (cnt+1) DIV 2, upper middle cnt DIV 2 + 1 — equal for odd groups
+    mid = ranked.filter(
+        (F.col("__rn") == F.expr("(`__cnt` + 1) DIV 2"))
+        | (F.col("__rn") == F.expr("`__cnt` DIV 2 + 1"))
+    ).groupBy("grp").agg(
+        (F.sum("n_tokens").cast("double") / F.count(F.lit(1))).alias("median_tokens")
+    )
+    agg = lens.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    return agg.join(mid, "grp").select(
+        F.col("grp").alias(group_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        (
+            F.floor(
+                F.col("total_tokens").cast("double") / F.col("n_docs") * 10000
+                + F.lit(0.5)
+            ).cast("double")
+            / 10000.0
+        ).alias("mean_tokens"),
+        F.col("median_tokens"),
+    )
+
+
+def length_stats_oracle_sql(table: str, group_col: str = "lang") -> str:
+    """DuckDB twin of :func:`length_stats_by_group` (same middle-element
+    median, same quantized mean)."""
+    return f"""
+    WITH lens AS (
+      SELECT doc_id AS id, {group_col} AS grp,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT grp, n_tokens,
+             row_number() OVER (PARTITION BY grp ORDER BY n_tokens, id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS cnt
+      FROM lens
+    ),
+    mid AS (
+      SELECT grp, CAST(sum(n_tokens) AS DOUBLE) / count(*) AS median_tokens
+      FROM ranked
+      WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1
+      GROUP BY grp
+    ),
+    agg AS (
+      SELECT grp, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      FROM lens GROUP BY grp
+    )
+    SELECT a.grp AS {group_col},
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.total_tokens AS BIGINT) AS total_tokens,
+           CAST(floor(CAST(a.total_tokens AS DOUBLE) / a.n_docs * 10000 + 0.5) AS DOUBLE) / 10000.0 AS mean_tokens,
+           m.median_tokens
+    FROM agg a JOIN mid m USING (grp)
+    """

@@ -782,6 +782,22 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(tr, ev, n=DECON_N)
 
 
+TFIDF_K = 3
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by tf-idf with integer-
+    exact ranking (text.tfidf_topk)."""
+    return X.tfidf_topk(_t(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+def corpus_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length statistics with an exact middle-element median
+    (text.length_stats_by_group) — no percentile sketch, no engine-
+    specific interpolation."""
+    return X.length_stats_by_group(_t(spark, sf_dir, "documents"))
+
+
 PACK_BUDGET = 128  # four 32-token chunks per training context
 
 
@@ -1556,6 +1572,8 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "text_tfidf": X.tfidf_topk_oracle_sql("documents", k=TFIDF_K),
+        "corpus_length_stats": X.length_stats_oracle_sql("documents"),
         "corpus_pack": f"""
             WITH t AS (
               SELECT doc_id,
@@ -1655,6 +1673,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "text_chunk": text_chunk,
+        "text_tfidf": text_tfidf,
+        "corpus_length_stats": corpus_length_stats,
         "corpus_pack": corpus_pack,
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_unigram_logprob": corpus_unigram_logprob,

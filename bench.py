@@ -64,6 +64,8 @@ HEADLINE = [
     "text_repetition",
     "text_vocab",
     "text_chunk",
+    "text_tfidf",
+    "corpus_length_stats",
     "corpus_pack",
     "corpus_decontaminate",
     "corpus_unigram_logprob",

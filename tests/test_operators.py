@@ -563,3 +563,41 @@ def test_pack_chunks_global_prefix_sum(spark):
     assert out[(2, 0)] == (1, 8)
     assert out[(1500, 0)] == (2, 1)  # bucket-1 chunk continues the stream
     assert out[(1500, 1)] == (3, 9)
+
+
+def test_tfidf_topk_ranks_characteristic_terms(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark common"),
+            (2, "duck duck common"),
+            (3, "common words only"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = [r for r in X.tfidf_topk(df, k=1).collect()]
+    top = {r["doc_id"]: (r["token"], r["tfidf"]) for r in out}
+    # 'spark' (df=1) beats 'common' (df=3, idf=0) despite lower tf ties
+    assert top[1][0] == "spark"
+    assert top[2][0] == "duck"
+    q = math.floor(math.log(3 / 1) * 10000 + 0.5)
+    assert top[1][1] == 3 * q / 10000.0
+    # doc 3's tokens all have positive idf except 'common' (ln 1 = 0)
+    assert top[3][0] in ("only", "words")
+
+
+def test_length_stats_exact_median(spark):
+    rows = [
+        (1, "en", "a b c"),           # 3 tokens
+        (2, "en", "a b c d e"),       # 5
+        (3, "en", "a"),               # 1
+        (4, "en", "a b c d e f g"),   # 7  -> even group: median (3+5)/2 = 4.0
+        (5, "es", "uno dos tres"),    # odd group: median 3.0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["lang"]: r for r in X.length_stats_by_group(df).collect()}
+    assert out["en"]["median_tokens"] == 4.0
+    assert out["en"]["n_docs"] == 4 and out["en"]["total_tokens"] == 16
+    assert out["en"]["mean_tokens"] == 4.0
+    assert out["es"]["median_tokens"] == 3.0
