@@ -52,6 +52,12 @@ QUERIES = [
     "dedup_ngram",
     "dedup_minhash",
     "text_quality",
+    "text_tfidf",
+    "corpus_pack",
+    "corpus_decontaminate",
+    "corpus_unigram_logprob",
+    "emb_kmeans",
+    "w6_range_join",
     "ann_cosine_topk",
 ]
 
