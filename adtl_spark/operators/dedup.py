@@ -771,3 +771,111 @@ def simhash_oracle_sql(table: str) -> str:
     votes AS (SELECT id, {votes} FROM hashed GROUP BY id)
     SELECT id AS doc_id, ({sig}) AS simhash FROM votes
     """
+
+
+def dedup_minhash_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW document batch and an EXISTING
+    corpus — the incremental-ingestion shape: corpus-vs-corpus pairs are
+    never recomputed, and the new batch (typically orders of magnitude
+    smaller than the corpus) BROADCASTS so the corpus-side signature
+    relation is read map-side, never shuffled.
+
+    ``corpus_sig`` accepts a precomputed :func:`minhash_signatures` table
+    (the persisted index a production pipeline maintains — write it out
+    with ``sources.io.write_bucketed`` keyed on id for shuffle-free
+    refresh joins); when omitted the signatures are computed inline.
+    Output: (new_id, corpus_id, est_jaccard) with the same estimator and
+    threshold semantics as :func:`dedup_minhash_lsh`.
+    """
+    assert k % bands == 0
+    r = k // bands
+
+    def band(sig: DataFrame) -> DataFrame:
+        rows = []
+        for b_idx in range(bands):
+            members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
+            rows.append(
+                F.struct(
+                    F.lit(b_idx).alias("band"),
+                    F.concat_ws("_", *[m.cast("string") for m in members]).alias(
+                        "sig"
+                    ),
+                )
+            )
+        return sig.select(F.col("id"), F.explode(F.array(*rows)).alias("bs")).select(
+            "id", "bs.band", "bs.sig"
+        )
+
+    sig_new = minhash_signatures(
+        new_docs, k=k, n=n, text_col=text_col, id_col=id_col
+    ).persist()
+    sig_old = (
+        corpus_sig
+        if corpus_sig is not None
+        else minhash_signatures(corpus, k=k, n=n, text_col=text_col, id_col=id_col)
+    ).persist()
+    old_b = band(sig_old).alias("o")
+    new_b = band(sig_new).alias("nw")
+    cand = (
+        old_b.join(
+            F.broadcast(new_b),
+            (F.col("o.band") == F.col("nw.band"))
+            & (F.col("o.sig") == F.col("nw.sig")),
+        )
+        .select(
+            F.col("nw.id").alias("new_id"), F.col("o.id").alias("corpus_id")
+        )
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = sig_new.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(k)],
+    )
+    sb = sig_old.select(
+        F.col("id").alias("corpus_id"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(k)],
+    )
+    est = sum(
+        (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int") for i in range(k)
+    ) / F.lit(float(k))
+    result = (
+        cand.join(F.broadcast(sa), "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard"))
+    )
+    return _materialize_and_release(result, [sig_new, sig_old])
+
+
+def minhash_incremental_oracle_sql(
+    table: str,
+    new_pred: str,
+    k: int,
+    bands: int,
+    threshold: float,
+    n: int,
+) -> str:
+    """DuckDB twin of :func:`dedup_minhash_incremental` where the batch
+    split is expressed as a predicate over ``table`` (``new_pred`` selects
+    the new batch, its complement the corpus).  Signatures are partition-
+    independent, so the cross pairs equal the full-corpus pair list
+    filtered to mixed-side pairs."""
+    return f"""
+    WITH {minhash_pair_ctes(table, k, bands, threshold, n)}
+    SELECT CASE WHEN ({new_pred.replace('doc_id', 'id_a')}) THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN ({new_pred.replace('doc_id', 'id_a')}) THEN id_b ELSE id_a END AS corpus_id,
+           est_jaccard
+    FROM mh_pairs
+    WHERE ({new_pred.replace('doc_id', 'id_a')}) != ({new_pred.replace('doc_id', 'id_b')})
+    """

@@ -991,6 +991,27 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_NEW_MOD = 4  # every 4th doc plays the incoming batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: near-dup pairs between the incoming
+    batch (every 4th doc) and the existing corpus only — corpus-vs-corpus
+    pairs never recomputed, batch side broadcast
+    (dedup.dedup_minhash_incremental)."""
+    docs = _t(spark, sf_dir, "documents")
+    new_docs = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return D.dedup_minhash_incremental(
+        new_docs,
+        corpus,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        n=SHINGLE_N,
+    )
+
+
 # ------------------------------------------------------- composite pipeline
 
 QUALITY_MIN = 0.5
@@ -1614,6 +1635,14 @@ def oracles() -> dict[str, str]:
         "dedup_minhash": D.minhash_lsh_oracle_sql(
             "documents", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N
         ),
+        "dedup_incremental": D.minhash_incremental_oracle_sql(
+            "documents",
+            f"doc_id % {INCR_NEW_MOD} = 0",
+            MINHASH_K,
+            MINHASH_BANDS,
+            MINHASH_THRESHOLD,
+            SHINGLE_N,
+        ),
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_cluster": D.cluster_oracle_sql("documents"),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
@@ -1684,6 +1713,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
+        "dedup_incremental": dedup_incremental,
         "dedup_simhash": dedup_simhash,
         "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,

@@ -601,3 +601,39 @@ def test_length_stats_exact_median(spark):
     assert out["en"]["n_docs"] == 4 and out["en"]["total_tokens"] == 16
     assert out["en"]["mean_tokens"] == 4.0
     assert out["es"]["median_tokens"] == 3.0
+
+
+def test_dedup_minhash_incremental_matches_full_cross_pairs(spark, docs):
+    """Incremental (new-vs-corpus) pairs must equal the full-corpus pair
+    list filtered to mixed-side pairs — signatures are partition-
+    independent."""
+    new_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    inc = {
+        (r["new_id"], r["corpus_id"]): r["est_jaccard"]
+        for r in D.dedup_minhash_incremental(
+            new_docs, corpus, k=16, bands=4, threshold=0.5, n=3
+        ).collect()
+    }
+    full = D.dedup_minhash_lsh(docs, k=16, bands=4, threshold=0.5, n=3).collect()
+    want = {}
+    for r in full:
+        a, b = r["id_a"], r["id_b"]
+        if (a % 2 == 0) != (b % 2 == 0):
+            new_id, corpus_id = (a, b) if a % 2 == 0 else (b, a)
+            want[(new_id, corpus_id)] = r["est_jaccard"]
+    assert inc == want
+    assert (2, 1) in inc  # docs 1/2 are exact dups across the split
+
+
+def test_dedup_minhash_incremental_accepts_precomputed_index(spark, docs):
+    new_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_signatures(corpus, k=16, n=3)
+    via_index = D.dedup_minhash_incremental(
+        new_docs, corpus, k=16, bands=4, threshold=0.5, n=3, corpus_sig=index
+    ).collect()
+    inline = D.dedup_minhash_incremental(
+        new_docs, corpus, k=16, bands=4, threshold=0.5, n=3
+    ).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, inline))
