@@ -991,6 +991,27 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal binary-column plumbing, value-checked end to end:
+    documents' text becomes an opaque binary payload, and the REAL
+    Arrow-batched mapInPandas feature extractor
+    (operators.multimodal.extract_image_features) computes per-payload
+    sha256 + byte length — the engine-portable subset of its output, so
+    the Python-batch path itself is oracle-gated, not just unit-tested."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("application/x-text").alias("mime"),
+        F.lit(None).cast(M.MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+    feats = M.extract_image_features(media)
+    return feats.select("media_id", "payload_sha256", "payload_bytes")
+
+
 INCR_NEW_MOD = 4  # every 4th doc plays the incoming batch
 
 
@@ -1635,6 +1656,12 @@ def oracles() -> dict[str, str]:
         "dedup_minhash": D.minhash_lsh_oracle_sql(
             "documents", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N
         ),
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   sha256(text) AS payload_sha256,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+            FROM documents
+        """,
         "dedup_incremental": D.minhash_incremental_oracle_sql(
             "documents",
             f"doc_id % {INCR_NEW_MOD} = 0",
@@ -1713,6 +1740,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
+        "multimodal_meta": multimodal_meta,
         "dedup_incremental": dedup_incremental,
         "dedup_simhash": dedup_simhash,
         "dedup_cluster": dedup_cluster,

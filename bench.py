@@ -75,6 +75,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram",
     "dedup_minhash",
+    "multimodal_meta",
     "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding_lsh",
