@@ -27,6 +27,13 @@ Determinism: counts are exact integers; probabilities divide two exact
 BIGINTs in double precision (identical quotients in Spark and DuckDB);
 per-token log-probs are quantized to 1e-4 with the repo's floor(x*1e4+0.5)
 protocol BEFORE summing, so the per-doc mean is a ratio of exact integers.
+One caveat the protocol inherits: ln() is exact-rounding-adjacent (<=1 ulp)
+but NOT guaranteed correctly-rounded in either engine, so a log value
+landing within ~1 ulp of a 1e-4 quantization boundary could floor
+differently across engines.  That needs the true value within ~1e-12
+relative of a boundary — negligible per token but not impossible; if a
+corpus ever trips it, nudge the quantization offset (0.5 -> 0.5000001)
+on both sides.
 """
 
 from __future__ import annotations
@@ -35,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from adtl_spark.operators.dedup import shingle_df, shingle_cte_sql
+from adtl_spark.operators.text import tokens
 
 
 def decontaminate(
@@ -59,10 +67,11 @@ def decontaminate(
         tr.join(F.broadcast(ev), "sh")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumnRenamed("id", "__did__")  # never collide with id_col="id"
     )
     return (
         docs.select(F.col(id_col))
-        .join(hits, docs[id_col] == hits["id"], "left")
+        .join(hits, docs[id_col] == hits["__did__"], "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_contaminated"),
@@ -93,11 +102,11 @@ def decontaminate_oracle_sql(
 
 
 def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    # text.tokens IS the cross-engine tokenizer contract (mirrors DuckDB's
+    # string_split_regex + list_filter); every operator must go through it
     return docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
+        F.col(id_col).alias("id"),  # consumers re-alias before joining docs
+        F.explode(tokens(F.col(text_col))).alias("token"),
     )
 
 
@@ -170,6 +179,10 @@ def unigram_logprob(
     the mean of per-token ln(p) quantized at 1e-4 (exact-integer protocol,
     see module docstring), rounded to 4 decimals.
     """
+    # train and score each tokenize the corpus (two streaming passes, no
+    # persisted explode): caching the exploded token relation would cost
+    # O(corpus tokens) memory at scale, while the training pass amortizes
+    # to zero in the train-once / score-many deployment this composes
     model = train_unigram(docs, vocab_k, text_col, id_col)
     scored = score_unigram(docs, model, text_col, id_col)
     # final 4-decimal values via the floor protocol, NOT round(): round()
@@ -180,9 +193,10 @@ def unigram_logprob(
     def q4(x):
         return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
 
+    scored = scored.withColumnRenamed("id", "__did__")  # avoid id_col="id" clash
     return (
         docs.select(F.col(id_col))
-        .join(scored, docs[id_col] == scored["id"], "left")
+        .join(scored, docs[id_col] == scored["__did__"], "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),

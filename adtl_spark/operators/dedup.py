@@ -378,6 +378,27 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
+def band_signatures(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """LSH banding of a :func:`minhash_signatures` table: one (id, band,
+    sig) row per band, where ``sig`` is the band's minhashes joined into a
+    short string key.  The single place the band encoding lives — both the
+    full self-join dedup and the incremental batch-vs-corpus variant build
+    their bucket keys here."""
+    r = k // bands
+    rows = []
+    for b_idx in range(bands):
+        members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
+        rows.append(
+            F.struct(
+                F.lit(b_idx).alias("band"),
+                F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
+            )
+        )
+    return sig.select(F.col("id"), F.explode(F.array(*rows)).alias("bs")).select(
+        "id", "bs.band", "bs.sig"
+    )
+
+
 def dedup_minhash_lsh(
     df: DataFrame,
     k: int = 16,
@@ -395,27 +416,15 @@ def dedup_minhash_lsh(
     materializes all pairs.
     """
     assert k % bands == 0
-    r = k // bands
     # persisted: the signature table feeds the band explode AND the two
     # scoring joins below; without it the whole shingle+minhash pipeline
     # would run three times.  k doubles per doc (k*8 B) — tiny relative to
     # the corpus.  Released after the result is materialized.
     sig = minhash_signatures(df, k=k, n=n, text_col=text_col, id_col=id_col).persist()
-    band_rows = []
-    for b_idx in range(bands):
-        members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
-        band_rows.append(
-            F.struct(
-                F.lit(b_idx).alias("band"),
-                F.concat_ws("_", *[m.cast("string") for m in members]).alias("sig"),
-            )
-        )
     # the band self-join shuffles ONLY (id, band, sig) — the k mh_i columns
     # are joined back onto the (much smaller) candidate list afterwards, so
     # shuffle width stays O(1) in k instead of carrying k*8 B per banded row
-    banded = sig.select(
-        F.col("id"), F.explode(F.array(*band_rows)).alias("bs")
-    ).select("id", "bs.band", "bs.sig")
+    banded = band_signatures(sig, k, bands)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -798,34 +807,23 @@ def dedup_minhash_incremental(
     threshold semantics as :func:`dedup_minhash_lsh`.
     """
     assert k % bands == 0
-    r = k // bands
-
-    def band(sig: DataFrame) -> DataFrame:
-        rows = []
-        for b_idx in range(bands):
-            members = [F.col(f"mh_{b_idx * r + j}") for j in range(r)]
-            rows.append(
-                F.struct(
-                    F.lit(b_idx).alias("band"),
-                    F.concat_ws("_", *[m.cast("string") for m in members]).alias(
-                        "sig"
-                    ),
-                )
-            )
-        return sig.select(F.col("id"), F.explode(F.array(*rows)).alias("bs")).select(
-            "id", "bs.band", "bs.sig"
-        )
-
     sig_new = minhash_signatures(
         new_docs, k=k, n=n, text_col=text_col, id_col=id_col
     ).persist()
-    sig_old = (
-        corpus_sig
-        if corpus_sig is not None
-        else minhash_signatures(corpus, k=k, n=n, text_col=text_col, id_col=id_col)
-    ).persist()
-    old_b = band(sig_old).alias("o")
-    new_b = band(sig_new).alias("nw")
+    # never persist/unpersist a CALLER-provided index: evicting the cache a
+    # production pipeline maintains behind its back would force the full
+    # corpus signature recompute on the next batch — the exact cost the
+    # index exists to avoid.  Only inline-computed signatures are cached
+    # here and released below.
+    if corpus_sig is not None:
+        sig_old, ours = corpus_sig, []
+    else:
+        sig_old = minhash_signatures(
+            corpus, k=k, n=n, text_col=text_col, id_col=id_col
+        ).persist()
+        ours = [sig_old]
+    old_b = band_signatures(sig_old, k, bands).alias("o")
+    new_b = band_signatures(sig_new, k, bands).alias("nw")
     cand = (
         old_b.join(
             F.broadcast(new_b),
@@ -855,7 +853,7 @@ def dedup_minhash_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", F.round("est_jaccard", 4).alias("est_jaccard"))
     )
-    return _materialize_and_release(result, [sig_new, sig_old])
+    return _materialize_and_release(result, [sig_new, *ours])
 
 
 def minhash_incremental_oracle_sql(

@@ -353,6 +353,8 @@ def pack_chunks(
     budget: int,
     bucket_width: int = 1024,
     tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
 ) -> DataFrame:
     """Sequence packing: lay the chunk stream end-to-end in (doc_id,
     chunk_id) order and slice it into fixed ``budget``-token training
@@ -373,10 +375,10 @@ def pack_chunks(
     """
     from pyspark.sql import Window
 
-    b = chunks.withColumn("__bk__", F.expr(f"doc_id DIV {bucket_width}"))
+    b = chunks.withColumn("__bk__", F.expr(f"`{id_col}` DIV {bucket_width}"))
     local_w = (
         Window.partitionBy("__bk__")
-        .orderBy("doc_id", "chunk_id")
+        .orderBy(id_col, order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = b.withColumn(
@@ -388,16 +390,16 @@ def pack_chunks(
         "__bk__", F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__")
     )
     staged = local.join(F.broadcast(offsets), "__bk__").select(
-        "doc_id",
-        "chunk_id",
+        id_col,
+        order_col,
         F.col(tokens_col),
         (F.col("__bo__") + F.col("__lc__")).alias("__cum__"),
     )
     # integer DIV/%: the running sum exceeds 2^53 long before 100 TB, so a
     # double division would misplace pack boundaries
     return staged.select(
-        "doc_id",
-        "chunk_id",
+        id_col,
+        order_col,
         F.col(tokens_col),
         F.expr(f"`__cum__` DIV {budget}").cast("long").alias("pack_id"),
         (F.col("__cum__") % budget).cast("long").alias("pack_offset"),
@@ -412,7 +414,9 @@ def tfidf_topk(
     tf is the in-document occurrence count; idf = ln(N/df) is quantized to
     an integer (floor(x*1e4+0.5)) so the ranking score tf*idf_q is EXACT
     integer arithmetic — engine-portable ordering with no float
-    comparisons.  Ties break (score desc, token asc).  Output:
+    comparisons (ln itself is <=1 ulp, not correctly-rounded, in both
+    engines; see operators/corpus.py module docstring for the boundary
+    caveat and remedy).  Ties break (score desc, token asc).  Output:
     (doc_id, token, tf, rank, tfidf) with tfidf = tf*idf_q/1e4.
 
     Shape at scale: one (doc, token) count agg (map-side combined), one
@@ -421,9 +425,7 @@ def tfidf_topk(
     a per-document top-k window (partitioned by doc, no global sort)."""
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("token"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_docs = df.select(F.countDistinct(F.col(id_col)).alias("n_docs"))
@@ -502,9 +504,7 @@ def length_stats_by_group(
     lens = df.select(
         F.col(id_col).alias("id"),
         F.col(group_col).alias("grp"),
-        F.size(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).cast("long").alias("n_tokens"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     w = Window.partitionBy("grp").orderBy("n_tokens", "id")
     ranked = lens.select(

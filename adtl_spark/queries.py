@@ -1085,11 +1085,13 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens_ws").cast("long").alias("n_tokens"),
         )
     )
-    # materialize the (tiny) per-language summary, then release the cached
-    # working corpus — persists without unpersist accumulate across queries
-    # in a long-lived session
+    # materialize the (tiny) per-language summary, then release BOTH
+    # caches — the working corpus and the barrier scan (scan_parallel's
+    # barrier mode hands cache ownership to the caller); persists without
+    # unpersist accumulate across queries in a long-lived session
     out = result.localCheckpoint()
     kept.unpersist()
+    docs.unpersist()
     return out
 
 

@@ -67,26 +67,29 @@ def scan_parallel(df, factor: int = 2, by=None, barrier: bool = False):
     ``by`` column switches to hash partitioning, which is retry-stable by
     construction and skips that sort.
 
-    ``barrier=True`` additionally truncates lineage with a LAZY
-    ``localCheckpoint``, making the repartition an optimizer barrier.
-    Needed when the CONSUMER will *filter on a computed column*:
-    ``PushDownPredicates`` moves deterministic filters straight through a
-    repartition exchange, so e.g. a quality-score filter would execute
-    inside the single-split scan stage on ONE task — measured 30x slower
-    than the post-exchange stage it was meant to run in.  The checkpoint
-    costs one materialization of the scan (~1 s on local test data), so
-    it is opt-in rather than default; pure-projection consumers never
-    need it (projections do not sink through the exchange).  At scale the
-    split-count condition is false, nothing happens, and filter pushdown
-    into the scan stays — there it is the RIGHT behaviour (early skipping
-    in a thousand-split scan).
+    ``barrier=True`` additionally ``persist()``s the repartitioned scan,
+    making it an optimizer barrier (predicates are planned on top of the
+    InMemoryRelation, never through it).  Needed when the CONSUMER will
+    *filter on a computed column*: ``PushDownPredicates`` moves
+    deterministic filters straight through a repartition exchange, so
+    e.g. a quality-score filter would execute inside the single-split
+    scan stage on ONE task — measured 30x slower than the post-exchange
+    stage it was meant to run in.  The cache costs one materialization of
+    the scan (~1 s on local test data), so it is opt-in rather than
+    default; pure-projection consumers never need it (projections do not
+    sink through the exchange).  The CALLER owns the release —
+    ``unpersist()`` the returned frame once its consumers have
+    materialized, or the cache leaks across queries in a long-lived
+    session.  At scale the split-count condition is false, nothing
+    happens, and filter pushdown into the scan stays — there it is the
+    RIGHT behaviour (early skipping in a thousand-split scan).
     """
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() * factor <= target:
         rep = df.repartition(target, by) if by is not None else df.repartition(target)
-        return rep.localCheckpoint(eager=False) if barrier else rep
+        return rep.persist() if barrier else rep
     return df
 
 

@@ -637,3 +637,18 @@ def test_dedup_minhash_incremental_accepts_precomputed_index(spark, docs):
         new_docs, corpus, k=16, bands=4, threshold=0.5, n=3
     ).collect()
     assert sorted(map(tuple, via_index)) == sorted(map(tuple, inline))
+
+
+def test_dedup_minhash_incremental_preserves_caller_index_cache(spark, docs):
+    """A caller-maintained signature index must NOT be unpersisted behind
+    the caller's back — evicting it would force a full corpus signature
+    recompute on the next batch."""
+    new_docs = docs.filter(F.col("doc_id") % 2 == 0)
+    corpus = docs.filter(F.col("doc_id") % 2 == 1)
+    index = D.minhash_signatures(corpus, k=16, n=3).persist()
+    index.count()
+    D.dedup_minhash_incremental(
+        new_docs, corpus, k=16, bands=4, threshold=0.5, n=3, corpus_sig=index
+    ).collect()
+    assert index.storageLevel.useMemory  # still cached
+    index.unpersist()
