@@ -650,3 +650,60 @@ def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
     ) WHERE rn = 1
     """
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar (symmetric, per-vector) quantization of the embedding column
+    — the storage/transfer path for embeddings at scale: an int8 vector +
+    one float scale is 4x smaller than float32, and distance computations
+    over it stay SIMD-friendly.  Emits long form (vec_id, dim, qval,
+    scale) so the oracle compares scalars, with
+    ``qval = floor(v/scale * (2^(bits-1)-1) + 0.5)`` and
+    ``scale = max(|v|)`` (0-vectors emit qval 0, scale 0).
+
+    Entirely narrow: per-vector max and the per-dimension quantization are
+    row-local array expressions — zero shuffles at any scale."""
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(v).alias("dim", "val"),
+        scale.alias("scale"),
+    )
+    qval = F.when(F.col("scale") > 0,
+        F.floor(F.col("val").cast("double") / F.col("scale") * qmax + F.lit(0.5))
+        .cast("long"),
+    ).otherwise(F.lit(0))
+    return staged.select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        qval.cast("long").alias("qval"),
+        F.col("scale"),
+    )
+
+
+def quantize_oracle_sql(table: str, bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`quantize_embeddings`: same per-vector max-abs
+    scale (order-independent), same floor protocol per component."""
+    qmax = (1 << (bits - 1)) - 1
+    return f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS scale
+      FROM {table}
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS BIGINT) AS dim,
+           CAST(CASE WHEN scale > 0
+                THEN floor(v[CAST(i AS INT)] / scale * {qmax} + 0.5)
+                ELSE 0 END AS BIGINT) AS qval,
+           scale
+    FROM base
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+    """

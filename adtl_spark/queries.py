@@ -974,6 +974,17 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
+QUANT_BITS = 8
+
+
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the 4x storage
+    path (similarity.quantize_embeddings); zero-shuffle narrow map."""
+    return S.quantize_embeddings(
+        _t(spark, sf_dir, "embeddings"), bits=QUANT_BITS
+    )
+
+
 def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid in long (label, dim, centroid) form —
     the class-prototype aggregation (similarity.label_centroids).  Map-side
@@ -1678,6 +1689,9 @@ def oracles() -> dict[str, str]:
         "dedup_embedding_lsh": S.embedding_neardup_oracle_sql(
             "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
         ),
+        "emb_quantize": S.quantize_oracle_sql(
+            "embeddings", bits=QUANT_BITS, dim=EMB_DIM
+        ),
         "emb_label_centroids": S.label_centroids_oracle_sql(
             "embeddings", dim=EMB_DIM
         ),
@@ -1748,6 +1762,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster": dedup_cluster,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
+        "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
         "ann_cosine_topk": ann_cosine_topk,

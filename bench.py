@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_incremental",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "emb_quantize",
     "emb_label_centroids",
     "emb_kmeans",
     "ann_cosine_topk",

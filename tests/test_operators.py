@@ -652,3 +652,19 @@ def test_dedup_minhash_incremental_preserves_caller_index_cache(spark, docs):
     ).collect()
     assert index.storageLevel.useMemory  # still cached
     index.unpersist()
+
+
+def test_quantize_embeddings_roundtrip_error_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    out = {(r["vec_id"], r["dim"]): r for r in S.quantize_embeddings(df).collect()}
+    assert out[(1, 0)]["qval"] == 127 and out[(1, 0)]["scale"] == 1.0
+    assert out[(1, 1)]["qval"] == -63  # floor(-63.5 + 0.5)
+    # zero vector quantizes to all zeros with scale 0, no division error
+    assert out[(2, 0)]["qval"] == 0 and out[(2, 0)]["scale"] == 0.0
+    # dequantized error bounded by scale/(2*127)
+    for (vid, dim), r in out.items():
+        if r["scale"] > 0:
+            orig = [1.0, -0.5, 0.25][dim]
+            assert abs(r["qval"] / 127 * r["scale"] - orig) <= r["scale"] / 127
