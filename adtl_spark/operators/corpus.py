@@ -45,6 +45,33 @@ from adtl_spark.operators.dedup import shingle_df, shingle_cte_sql
 from adtl_spark.operators.text import tokens
 
 
+def contamination_hits(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stream-safe core of :func:`decontaminate`: per document with at
+    least one eval-set n-gram overlap, the distinct-overlap count as
+    (__did__, __n).  Shingling is a narrow explode, the eval shingle set
+    joins as a broadcast (stream-to-batch), and the per-doc count is a
+    standard streaming aggregation — a document STREAM can be screened
+    against a batch benchmark set with this exact code (complete/update
+    output mode); :func:`decontaminate` adds the batch-only left join
+    that keeps zero-hit documents in the decision table."""
+    ev = shingle_df(eval_docs, text_col, id_col, n).select("sh").distinct()
+    tr = shingle_df(docs, text_col, id_col, n)
+    # shingle_df emits DISTINCT shingles per doc and ev is distinct, so a
+    # plain count after the join is the distinct-overlap count
+    return (
+        tr.join(F.broadcast(ev), "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumnRenamed("id", "__did__")  # never collide with id_col="id"
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -59,16 +86,7 @@ def decontaminate(
     the result is a decision table for a downstream anti-join, exactly
     like the dedup pair lists.
     """
-    ev = shingle_df(eval_docs, text_col, id_col, n).select("sh").distinct()
-    tr = shingle_df(docs, text_col, id_col, n)
-    # shingle_df emits DISTINCT shingles per doc and ev is distinct, so a
-    # plain count after the join is the distinct-overlap count
-    hits = (
-        tr.join(F.broadcast(ev), "sh")
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumnRenamed("id", "__did__")  # never collide with id_col="id"
-    )
+    hits = contamination_hits(docs, eval_docs, n, text_col, id_col)
     return (
         docs.select(F.col(id_col))
         .join(hits, docs[id_col] == hits["__did__"], "left")

@@ -278,3 +278,49 @@ def test_unigram_scoring_on_stream(spark, tmp_path):
     }
     assert got == want  # stream scores == batch scores, doc by doc
     assert got[11][1] == 1  # zzz is out-of-vocabulary
+
+
+def test_decontamination_screening_on_stream(spark, tmp_path):
+    """A document stream is screened against a batch benchmark set with
+    the same operator core: narrow shingling, broadcast eval-set join,
+    streaming per-doc overlap count."""
+    from adtl_spark.operators import corpus as C
+
+    src = tmp_path / "decon_stream"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # overlaps
+            (2, "one two three four five six"),          # clean
+        ],
+        "doc_id long, text string",
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    hits = C.contamination_hits(stream, ev, n=5)
+    assert hits.isStreaming
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("stream_decon")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["__did__"]: r["__n"]
+        for r in spark.sql("SELECT * FROM stream_decon").collect()
+    }
+    want = {
+        r["__did__"]: r["__n"]
+        for r in C.contamination_hits(incoming, ev, n=5).collect()
+    }
+    # the 5-token eval doc has exactly one 5-gram; doc 2 has no overlap
+    # and is absent from the hits stream
+    assert got == want == {1: 1}
