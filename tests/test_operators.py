@@ -668,3 +668,52 @@ def test_quantize_embeddings_roundtrip_error_bounded(spark):
         if r["scale"] > 0:
             orig = [1.0, -0.5, 0.25][dim]
             assert abs(r["qval"] / 127 * r["scale"] - orig) <= r["scale"] / 127
+
+
+def test_range_join_binned_randomized_equivalence(spark):
+    """Seeded random instance: the binned encoding must be EXACTLY the
+    naive range join across bin boundaries, empty keys, and ties."""
+    import random
+
+    rng = random.Random(77)
+    left = [(i, rng.randrange(5), rng.randrange(0, 5000)) for i in range(120)]
+    right = [(1000 + i, rng.randrange(6), rng.randrange(0, 5000)) for i in range(300)]
+    ldf = spark.createDataFrame(left, ["lid", "k", "t"])
+    rdf = spark.createDataFrame(right, ["rid", "k", "t"])
+    from adtl_spark.operators.joins import range_join_binned
+
+    got = {
+        (r["lid"], r["matched_rid"])
+        for r in range_join_binned(
+            ldf, rdf, key_col="k", time_col="t", lower=-250, upper=0,
+            right_cols=["rid"],
+        ).collect()
+    }
+    want = {
+        (l[0], r[0])
+        for l in left
+        for r in right
+        if l[1] == r[1] and l[2] - 250 <= r[2] <= l[2]
+    }
+    assert got == want
+
+
+def test_pack_chunks_randomized_invariants(spark):
+    """Seeded random chunk stream: pack ids are the exact prefix-sum
+    slicing regardless of bucket boundaries."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for doc in sorted(rng.sample(range(0, 5000), 60)):
+        for c in range(rng.randrange(1, 4)):
+            rows.append((doc, c, rng.randrange(1, 40)))
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+        for r in X.pack_chunks(df, budget=64, bucket_width=512).collect()
+    }
+    cum = 0
+    for doc, c, n in sorted(rows):
+        assert out[(doc, c)] == (cum // 64, cum % 64)
+        cum += n
