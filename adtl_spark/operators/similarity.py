@@ -550,6 +550,19 @@ def kmeans_assign(
     only k x dim partial cells) with a k x dim collect per iteration (the
     index-build step, like IVF's centroid collect).  Clusters that lose
     all members simply drop out of the next round in both engines."""
+    cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    return c.select(
+        "vec_id", F.expr(_kmeans_cell_sql("v", cents)).alias("cluster")
+    )
+
+
+def _kmeans_train(
+    corpus: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> list[tuple[int, list[float], float]]:
+    """The Lloyd training loop shared by :func:`kmeans_assign` and
+    :func:`kmeans_centroids`: returns (cid, coords, 0.5|c|^2) triples
+    after ``iters`` quantized-mean updates."""
     rows = (
         corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
         .orderBy("i")
@@ -588,18 +601,38 @@ def kmeans_assign(
         for cid in sorted(by_cid):
             coords = [by_cid[cid][d] for d in range(len(by_cid[cid]))]
             cents.append((cid, coords, _half_sq(coords)))
+    return cents
 
-    return c.select(
-        "vec_id", F.expr(_kmeans_cell_sql("v", cents)).alias("cluster")
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained k-means MODEL as a table: (cluster, dim, centroid) in
+    long form after ``iters`` updates — the value-checkable artifact that
+    pins the training itself (two different centroid sets can produce
+    identical assignments, so :func:`kmeans_assign`'s gate alone does not
+    uniquely verify the model).  The training runs distributed (see
+    :func:`_kmeans_train`); the returned table is k x dim rows, driver-
+    built like any index/model literal."""
+    cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
+    rows = [
+        (cid, d, coords[d]) for cid, coords, _ in cents for d in range(len(coords))
+    ]
+    return corpus.sparkSession.createDataFrame(
+        rows, "cluster long, dim long, centroid double"
     )
 
 
-def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
-    """DuckDB twin of :func:`kmeans_assign` with the iterations unrolled
-    into one CTE chain per update (assignment -> quantized-mean centroids),
-    ending in the final assignment.  Identical arithmetic: the score is
-    ``0.5*list_dot_product(cv,cv) - list_dot_product(v,cv)`` (same fold
-    order as the Spark literals), means use the same floor-1e6 protocol."""
+def _kmeans_cte_chain(table: str, k: int, iters: int, dim: int) -> str:
+    """The shared unrolled-iteration CTE chain (c, cent0, a0, cent1, ...)
+    behind both k-means oracles.  Identical arithmetic to the Spark side:
+    the score is ``0.5*list_dot_product(cv,cv) - list_dot_product(v,cv)``
+    (same fold order as the Spark literals), means use the same floor-1e6
+    protocol."""
     parts = [
         f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
         f"""cent0 AS (
@@ -634,9 +667,14 @@ def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
       ) GROUP BY cid
     )"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
+    """DuckDB twin of :func:`kmeans_assign`: the shared iteration chain
+    ending in the final assignment."""
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _kmeans_cte_chain(table, k, iters, dim)
         + f"""
     SELECT vec_id, CAST(cid AS BIGINT) AS cluster FROM (
       SELECT c.vec_id, cent.cid,
@@ -648,6 +686,23 @@ def kmeans_oracle_sql(table: str, k: int, iters: int, dim: int = 64) -> str:
              ) AS rn
       FROM c CROSS JOIN cent{iters} cent
     ) WHERE rn = 1
+    """
+    )
+
+
+def kmeans_centroids_oracle_sql(
+    table: str, k: int, iters: int, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`kmeans_centroids`: the shared iteration chain
+    with the final centroid table exploded to (cluster, dim, centroid)."""
+    return (
+        _kmeans_cte_chain(table, k, iters, dim)
+        + f"""
+    SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(i - 1 AS BIGINT) AS dim,
+           cv[CAST(i AS INT)] AS centroid
+    FROM cent{iters}
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
     """
     )
 

@@ -1044,6 +1044,15 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained k-means model table (cluster, dim, centroid) — value-
+    checks the training itself, which assignments alone underdetermine
+    (similarity.kmeans_centroids)."""
+    return S.kmeans_centroids(
+        _t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS
+    )
+
+
 # ------------------------------------------------------- composite pipeline
 
 QUALITY_MIN = 0.5
@@ -1695,6 +1704,9 @@ def oracles() -> dict[str, str]:
         "emb_label_centroids": S.label_centroids_oracle_sql(
             "embeddings", dim=EMB_DIM
         ),
+        "emb_kmeans_centroids": S.kmeans_centroids_oracle_sql(
+            "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
+        ),
         "emb_kmeans": S.kmeans_oracle_sql(
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1765,6 +1777,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
+        "emb_kmeans_centroids": emb_kmeans_centroids,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,

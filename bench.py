@@ -82,6 +82,7 @@ HEADLINE = [
     "emb_quantize",
     "emb_label_centroids",
     "emb_kmeans",
+    "emb_kmeans_centroids",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
