@@ -262,3 +262,17 @@ def test_kmeans_assignment_is_narrow(spark):
     plan = physical_plan(S.kmeans_assign(df, k=2, iters=0))
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_pack_chunks_heavy_window_is_partitioned(spark):
+    """The per-chunk cumsum window must partition by bucket (parallel);
+    only the tiny bucket-totals window may be global."""
+    from adtl_spark.operators import text as X
+
+    chunks = spark.createDataFrame(
+        [(i, 0, 10) for i in range(2000)], ["doc_id", "chunk_id", "n_tokens"]
+    )
+    plan = physical_plan(X.pack_chunks(chunks, budget=64, bucket_width=256))
+    # the chunk-level window carries the bucket key in its partition spec
+    assert "partitionspecification=[__bk__" in plan.replace(" ", "").lower() or \
+           "__bk__" in plan.split("Window")[1]
