@@ -1721,65 +1721,92 @@ def oracles() -> dict[str, str]:
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry of every oracle-gated query, ordered for the driver's gate.
+
+    The driver's correctness gate checks only the FIRST 50 entries of this
+    dict, so the ordering is a rotation policy, not an accident:
+
+    1. Least-recently driver-verified entries lead. As of round 4 that is
+       the four never-checked ``emb_*`` operators, then the six queries
+       that were green in round 2 but fell past the cap in round 3
+       (``dedup_embedding*``, ``ann_*``, ``pipeline_corpus_clean``).
+    2. Round-3 first-checked entries follow, then round-2 first-checked,
+       then the long-stable parity queries.
+    3. The tail (past the cap) holds the MOST-verified queries: scalar
+       transform parity checks green in rounds 1-3 AND independently
+       covered by the reference-differential pytest suite, plus
+       ``p14_uuid5`` which has no oracle (rows-only) regardless of
+       position.
+
+    When adding a query, insert it at the TOP so it gets a driver row next
+    round; rotate stable entries toward the tail.
+    """
     return {
-        "q1_pricing_summary": q1_pricing_summary,
-        "p3_value_map": p3_value_map,
-        "f_predicates": f_predicates,
-        "a2_last_not_null": a2_last_not_null,
-        "a3_combined_fold": a3_combined_fold,
-        "r1_one_to_many": r1_one_to_many,
-        "p9_date_reformat": p9_date_reformat,
-        "p10_sensitive_hash": p10_sensitive_hash,
-        "t7_duration_days": t7_duration_days,
-        "p8_unit_convert": p8_unit_convert,
-        "t3_word_substitute": t3_word_substitute,
-        "p6_enum_list": p6_enum_list,
-        "t4_get_float": t4_get_float,
-        "t10_make_date": t10_make_date,
-        "v2_validation_report": v2_validation_report,
-        "p14_uuid5": p14_uuid5,
-        "adtl_engine_groupby": adtl_engine_groupby,
-        "adtl_engine_typed": adtl_engine_typed,
-        "adtl_engine_one_to_many": adtl_engine_one_to_many,
-        "q3_shipping_priority": q3_shipping_priority,
+        # -- never driver-checked (new in round 3, past the 50-row cap) --
+        "emb_quantize": emb_quantize,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
+        "emb_kmeans_centroids": emb_kmeans_centroids,
+        # -- green in round 2, unmonitored since (fell past the cap) --
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "pipeline_corpus_clean": pipeline_corpus_clean,
+        # -- first checked in round 3 --
+        "text_tfidf": text_tfidf,
+        "corpus_length_stats": corpus_length_stats,
+        "corpus_pack": corpus_pack,
+        "corpus_decontaminate": corpus_decontaminate,
+        "corpus_unigram_logprob": corpus_unigram_logprob,
+        "dedup_incremental": dedup_incremental,
+        "w6_range_join": w6_range_join,
+        "multimodal_meta": multimodal_meta,
+        # -- first checked in round 2 --
+        "sample_hash": sample_hash,
+        "sample_stratified": sample_stratified,
+        "split_train_test": split_train_test,
+        "text_chunk": text_chunk,
+        "text_redact": text_redact,
+        "text_repetition": text_repetition,
+        "text_vocab": text_vocab,
+        # -- long-stable (green rounds 1-3) --
+        "dedup_exact": dedup_exact,
+        "dedup_ngram": dedup_ngram,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_cluster": dedup_cluster,
         "dedup_apply_anti_join": dedup_apply_anti_join,
         "w1_sessionize": w1_sessionize,
         "w2_json_extract": w2_json_extract,
         "w3_topn_per_group": w3_topn_per_group,
         "w4_rolling_aggregate": w4_rolling_aggregate,
         "w5_asof_join": w5_asof_join,
-        "w6_range_join": w6_range_join,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
-        "text_redact": text_redact,
-        "text_repetition": text_repetition,
-        "text_vocab": text_vocab,
-        "text_chunk": text_chunk,
-        "text_tfidf": text_tfidf,
-        "corpus_length_stats": corpus_length_stats,
-        "corpus_pack": corpus_pack,
-        "corpus_decontaminate": corpus_decontaminate,
-        "corpus_unigram_logprob": corpus_unigram_logprob,
-        "sample_hash": sample_hash,
-        "sample_stratified": sample_stratified,
-        "split_train_test": split_train_test,
-        "dedup_exact": dedup_exact,
-        "dedup_ngram": dedup_ngram,
-        "dedup_minhash": dedup_minhash,
-        "multimodal_meta": multimodal_meta,
-        "dedup_incremental": dedup_incremental,
-        "dedup_simhash": dedup_simhash,
-        "dedup_cluster": dedup_cluster,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "emb_quantize": emb_quantize,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_kmeans": emb_kmeans,
-        "emb_kmeans_centroids": emb_kmeans_centroids,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "pipeline_corpus_clean": pipeline_corpus_clean,
+        "adtl_engine_groupby": adtl_engine_groupby,
+        "adtl_engine_typed": adtl_engine_typed,
+        "adtl_engine_one_to_many": adtl_engine_one_to_many,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "f_predicates": f_predicates,
+        "a2_last_not_null": a2_last_not_null,
+        "a3_combined_fold": a3_combined_fold,
+        "r1_one_to_many": r1_one_to_many,
+        "v2_validation_report": v2_validation_report,
+        # -- past the cap: thrice-green scalar parity, also covered by the
+        #    reference-differential pytest suite; p14 is rows-only anyway --
+        "p3_value_map": p3_value_map,
+        "p6_enum_list": p6_enum_list,
+        "p8_unit_convert": p8_unit_convert,
+        "p9_date_reformat": p9_date_reformat,
+        "p10_sensitive_hash": p10_sensitive_hash,
+        "t3_word_substitute": t3_word_substitute,
+        "t4_get_float": t4_get_float,
+        "t7_duration_days": t7_duration_days,
+        "t10_make_date": t10_make_date,
+        "p14_uuid5": p14_uuid5,
     }
