@@ -165,9 +165,17 @@ def score_unigram(
     Stream-safe: tokenization is a narrow explode, the model joins as a
     broadcast (stream-to-batch), and the per-document aggregation is a
     standard streaming agg — a batch-trained model scores a document
-    stream with the exact same code (see tests/test_streaming.py)."""
+    stream with the exact same code (see tests/test_streaming.py).
+
+    Degenerate-model behavior: a model trained on a zero-token corpus has
+    an empty vocab.  The total is read with a global ``max`` aggregate
+    (always one row, null when the model is empty), so every scored
+    document then carries a NULL ``__qsum`` — a loud, visible anomaly —
+    instead of the cross join silently emitting zero rows and reporting
+    every document as having no tokens.  A non-empty model remains the
+    precondition for meaningful scores."""
     toks = _exploded_tokens(docs, text_col, id_col)
-    total = model.select("total").limit(1)
+    total = model.agg(F.max("total").alias("total"))
     p = F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total")
     qlog = F.floor(F.log(p) * 10000 + F.lit(0.5)).cast("long")
     return (

@@ -846,8 +846,12 @@ def dedup_minhash_incremental(
     est = sum(
         (F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}")).cast("int") for i in range(k)
     ) / F.lit(float(k))
+    # cand is the deduped (new_id, corpus_id) candidate list — small by
+    # construction — so the scoring probe into the corpus-side signature
+    # relation sb is broadcast explicitly rather than relying on AQE to
+    # notice; sb (corpus-sized) never shuffles.
     result = (
-        cand.join(F.broadcast(sa), "new_id")
+        F.broadcast(cand.join(F.broadcast(sa), "new_id"))
         .join(sb, "corpus_id")
         .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
@@ -858,22 +862,27 @@ def dedup_minhash_incremental(
 
 def minhash_incremental_oracle_sql(
     table: str,
-    new_pred: str,
+    new_pred_fmt: str,
     k: int,
     bands: int,
     threshold: float,
     n: int,
 ) -> str:
     """DuckDB twin of :func:`dedup_minhash_incremental` where the batch
-    split is expressed as a predicate over ``table`` (``new_pred`` selects
-    the new batch, its complement the corpus).  Signatures are partition-
-    independent, so the cross pairs equal the full-corpus pair list
-    filtered to mixed-side pairs."""
+    split is expressed as a predicate template over ``table``:
+    ``new_pred_fmt`` contains a ``{col}`` placeholder for the id column
+    (e.g. ``"{col} % 4 = 0"``) and selects the new batch, its complement
+    the corpus.  A template instead of textual substitution keeps
+    predicates that mention other identifiers intact.  Signatures are
+    partition-independent, so the cross pairs equal the full-corpus pair
+    list filtered to mixed-side pairs."""
+    pred_a = new_pred_fmt.format(col="id_a")
+    pred_b = new_pred_fmt.format(col="id_b")
     return f"""
     WITH {minhash_pair_ctes(table, k, bands, threshold, n)}
-    SELECT CASE WHEN ({new_pred.replace('doc_id', 'id_a')}) THEN id_a ELSE id_b END AS new_id,
-           CASE WHEN ({new_pred.replace('doc_id', 'id_a')}) THEN id_b ELSE id_a END AS corpus_id,
+    SELECT CASE WHEN ({pred_a}) THEN id_a ELSE id_b END AS new_id,
+           CASE WHEN ({pred_a}) THEN id_b ELSE id_a END AS corpus_id,
            est_jaccard
     FROM mh_pairs
-    WHERE ({new_pred.replace('doc_id', 'id_a')}) != ({new_pred.replace('doc_id', 'id_b')})
+    WHERE ({pred_a}) != ({pred_b})
     """

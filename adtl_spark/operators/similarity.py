@@ -501,7 +501,7 @@ def label_centroids_oracle_sql(table: str, dim: int = 64) -> str:
     SELECT CAST(label AS BIGINT) AS label,
            CAST(i - 1 AS BIGINT) AS dim,
            CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / count(*) / 1000000.0 AS centroid
+             / count(embedding[CAST(i AS INT)]) / 1000000.0 AS centroid
     FROM {table}
     CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
     GROUP BY 1, 2
@@ -660,7 +660,7 @@ def _kmeans_cte_chain(table: str, k: int, iters: int, dim: int) -> str:
       SELECT cid, list(m ORDER BY dim) AS cv FROM (
         SELECT a.cluster AS cid, i AS dim,
                CAST(sum(CAST(floor(c.v[CAST(i AS INT)] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-                 / count(*) / 1000000.0 AS m
+                 / count(c.v[CAST(i AS INT)]) / 1000000.0 AS m
         FROM c JOIN a{i} a USING (vec_id)
         CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
         GROUP BY 1, 2

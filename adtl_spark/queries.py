@@ -1644,7 +1644,15 @@ def oracles() -> dict[str, str]:
                      list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
               FROM documents
             ),
-            nums AS (SELECT range AS ci FROM range(0, 1024)),
+            -- chunk-index bound derived from the corpus max token count
+            -- (a hardcoded cap would silently truncate long documents in
+            -- the oracle only, shifting every later pack_id)
+            nums AS (
+              SELECT unnest(range(0, (
+                SELECT CAST(ceil(max(len(toks)) / CAST({CHUNK_TOKENS} AS DOUBLE)) AS BIGINT)
+                FROM t
+              ))) AS ci
+            ),
             chunks AS (
               SELECT doc_id,
                      CAST(ci AS BIGINT) AS chunk_id,
@@ -1686,7 +1694,7 @@ def oracles() -> dict[str, str]:
         """,
         "dedup_incremental": D.minhash_incremental_oracle_sql(
             "documents",
-            f"doc_id % {INCR_NEW_MOD} = 0",
+            f"{{col}} % {INCR_NEW_MOD} = 0",
             MINHASH_K,
             MINHASH_BANDS,
             MINHASH_THRESHOLD,

@@ -464,6 +464,20 @@ def test_unigram_logprob_scores(spark):
     assert out[3]["n_tokens"] == 0 and out[3]["avg_logprob"] is None
 
 
+def test_score_unigram_empty_model_is_loud(spark):
+    """A model trained on a zero-token corpus must not silently score
+    every document as token-free: rows keep their true token counts and
+    carry NULL __qsum (the visible anomaly documented on score_unigram)."""
+    from adtl_spark.operators import corpus as C
+
+    empty_train = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    model = C.train_unigram(empty_train, vocab_k=2)
+    docs = spark.createDataFrame([(10, "a b c")], ["doc_id", "text"])
+    rows = {r["id"]: r for r in C.score_unigram(docs, model).collect()}
+    assert rows[10]["__n"] == 3  # not dropped / not reported as empty
+    assert rows[10]["__qsum"] is None  # loud null, not a fake score
+
+
 def test_label_centroids_exact_means(spark):
     df = spark.createDataFrame(
         [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
