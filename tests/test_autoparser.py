@@ -390,3 +390,189 @@ def test_read_tabular_xlsx_gate(tmp_path):
         assert "openpyxl" in str(e) or "excel" in str(e).lower()
     else:
         assert list(out["A"]) == [1, 2]
+
+
+# ---- real-provider adapters, driven through fake SDK objects (the
+# reference tests mock the identical seam: test_openai.py monkeypatches
+# client.beta.chat.completions.parse, test_gemini.py the generate_content
+# call) ----
+
+
+class _FakeOpenAI:
+    """Minimal openai-SDK shape: beta.chat.completions.parse returning a
+    completion whose message carries the parsed response model."""
+
+    def __init__(self):
+        self.calls = []
+        fake = self
+
+        class _Completions:
+            def parse(self, *, model, messages, response_format):
+                fake.calls.append(
+                    {"model": model, "messages": messages, "rf": response_format}
+                )
+                from types import SimpleNamespace as NS
+
+                parsed = fake.respond(response_format)
+                return NS(choices=[NS(message=NS(parsed=parsed))])
+
+        from types import SimpleNamespace as NS
+
+        self.beta = NS(chat=NS(completions=_Completions()))
+
+    def respond(self, response_format):
+        from adtl_spark.autoparser import llm as L
+
+        if response_format is L.ColumnDescriptionRequest:
+            return L.ColumnDescriptionRequest(
+                field_descriptions=[
+                    L.SingleField(field_name="Identité", translation="Identity"),
+                    L.SingleField(field_name="Sexe", translation="Sex"),
+                ]
+            )
+        if response_format is L.MappingRequest:
+            return L.MappingRequest(
+                targets_descriptions=[
+                    L.SingleMapping(
+                        target_field="subject_id", source_description="Identity"
+                    ),
+                    L.SingleMapping(target_field="country", source_description=None),
+                ]
+            )
+        return L.ValuesRequest(
+            values=[
+                L.FieldMapping(
+                    field_name="sex",
+                    mapped_values=[
+                        L.ValueMapping(source_value="homme", target_value="male"),
+                        L.ValueMapping(source_value="inconnu", target_value=None),
+                    ],
+                )
+            ]
+        )
+
+
+def test_openai_compat_client_three_calls():
+    from adtl_spark.autoparser import llm as L
+
+    fake = _FakeOpenAI()
+    client = L.OpenAICompatClient(client=fake, model="gpt-4o-mini")
+
+    defs = client.get_definitions(["Identité", "Sexe"], "fr")
+    assert defs == {"Identité": "Identity", "Sexe": "Sex"}
+
+    fields = client.map_fields(["Identity", "Sex"], ["subject_id", "country"])
+    assert fields == {"subject_id": "Identity", "country": None}
+
+    values = client.map_values([("sex", ["homme", "inconnu"], ["male"])], "fr")
+    assert values == {"sex": {"homme": "male", "inconnu": None}}
+
+    # three calls, each bound to its own response model, prompts carry the
+    # language / payload
+    assert len(fake.calls) == 3
+    assert fake.calls[0]["model"] == "gpt-4o-mini"
+    assert "fr" in fake.calls[0]["messages"][0]["content"]
+    assert "Identité" in fake.calls[0]["messages"][1]["content"]
+    rf = [c["rf"].__name__ for c in fake.calls]
+    assert rf == ["ColumnDescriptionRequest", "MappingRequest", "ValuesRequest"]
+
+
+class _FakeGemini:
+    """Minimal google-genai shape: models.generate_content returning JSON
+    text matching the requested response schema."""
+
+    def __init__(self):
+        self.calls = []
+        fake = self
+
+        class _Models:
+            def generate_content(self, *, model, contents, config):
+                fake.calls.append(
+                    {"model": model, "contents": contents, "config": config}
+                )
+                from types import SimpleNamespace as NS
+
+                return NS(text=fake.respond(config["response_schema"]))
+
+        from types import SimpleNamespace as NS
+
+        self.models = _Models()
+        del NS
+
+    def respond(self, schema):
+        import json
+
+        from adtl_spark.autoparser import llm as L
+
+        if schema is L.ColumnDescriptionRequest:
+            return json.dumps(
+                {
+                    "field_descriptions": [
+                        {"field_name": "Province", "translation": "Province"}
+                    ]
+                }
+            )
+        if schema is L.MappingRequest:
+            return json.dumps(
+                {
+                    "targets_descriptions": [
+                        {"target_field": "province", "source_description": "Province"}
+                    ]
+                }
+            )
+        return json.dumps(
+            {
+                "values": [
+                    {
+                        "field_name": "status",
+                        "mapped_values": [
+                            {"source_value": "vivant", "target_value": "alive"}
+                        ],
+                    }
+                ]
+            }
+        )
+
+
+def test_gemini_compat_client_three_calls():
+    from adtl_spark.autoparser import llm as L
+
+    fake = _FakeGemini()
+    client = L.GeminiCompatClient(client=fake, model="gemini-2.5-flash")
+
+    assert client.get_definitions(["Province"], "fr") == {"Province": "Province"}
+    assert client.map_fields(["Province"], ["province"]) == {"province": "Province"}
+    assert client.map_values([("status", ["vivant"], ["alive"])], "fr") == {
+        "status": {"vivant": "alive"}
+    }
+    assert len(fake.calls) == 3
+    assert all(
+        c["config"]["response_mime_type"] == "application/json" for c in fake.calls
+    )
+
+
+def test_make_llm_client_provider_selection():
+    from adtl_spark.autoparser import llm as L
+
+    mock = L.make_llm_client("mock", glossary={"a": "b"})
+    assert isinstance(mock, L.MockLLMClient) and mock.glossary == {"a": "b"}
+
+    oai = L.make_llm_client("openai", client=_FakeOpenAI())
+    assert isinstance(oai, L.OpenAICompatClient)
+
+    gem = L.make_llm_client("gemini", client=_FakeGemini(), model="gemini-2.5-pro")
+    assert isinstance(gem, L.GeminiCompatClient)
+
+    with pytest.raises(ValueError, match="unknown LLM provider"):
+        L.make_llm_client("anthropic-esque-unknown")
+
+
+def test_provider_client_satisfies_pipeline_protocol():
+    """The wired adapter drops into the same AP4 pipeline slot as the mock:
+    generate_mapping consumes its dict shapes unchanged."""
+    from adtl_spark.autoparser import llm as L
+
+    client = L.OpenAICompatClient(client=_FakeOpenAI())
+    # same call pattern mapping.py uses: descriptions in, target fields in
+    fields = client.map_fields(["Identity", "Sex"], ["subject_id", "country"])
+    assert set(fields) == {"subject_id", "country"}
