@@ -26,14 +26,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator family from SURVEY.md §2 and the
-    pipeline-operator extensions; each callable takes (spark, sf_dir)."""
+    pipeline-operator extensions; each callable takes (spark, sf_dir).
+
+    Ordering is load-bearing: the driver's correctness gate checks the
+    FIRST 50 entries, so the registry leads with the least-recently
+    driver-verified queries and rotates thrice-verified parity queries
+    (independently pinned by the pytest reference-differential suite)
+    past the cap.  The policy, round ledger, and per-entry grouping live
+    in the all_queries() docstring (adtl_spark/queries.py); the registry
+    invariants (every entry has an oracle or a documented ROWS_ONLY
+    reason) are enforced by tools/check_oracle.py and
+    tests/test_plans.py."""
     return Q.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL twins.  The one omitted entry
-    (p14_uuid5) is non-SQL-expressible (DuckDB has no sha1) and takes the
-    driver's rows-only check; every other query — including the LSH ANN
+    """DuckDB-runnable ANSI SQL twins.  Omitted entries are exactly the
+    keys of adtl_spark.queries.ROWS_ONLY, each with its documented reason
+    (currently only p14_uuid5 — DuckDB has no sha1, so uuid5 takes the
+    driver's rows-only check); every other query — including the LSH ANN
     and bucketed embedding-dedup paths, whose hyperplanes are mirrored
     as literals — is value-checked."""
     return Q.oracles()

@@ -1728,6 +1728,19 @@ def oracles() -> dict[str, str]:
     }
 
 
+# Queries intentionally shipped WITHOUT a DuckDB oracle, with the reason —
+# the correctness harness (tools/check_oracle.py) and the registry test
+# fail if an entry is in neither oracles() nor this dict, so an oracle can
+# never be dropped silently.
+ROWS_ONLY: dict[str, str] = {
+    "p14_uuid5": (
+        "uuid5 is sha1-based and DuckDB ships no sha1; the uuid.uuid5 "
+        "semantics are pinned by unit tests instead (driver runs the "
+        "weaker rows-only check by design)"
+    ),
+}
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every oracle-gated query, ordered for the driver's gate.
 

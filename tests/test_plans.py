@@ -276,3 +276,33 @@ def test_pack_chunks_heavy_window_is_partitioned(spark):
     # the chunk-level window carries the bucket key in its partition spec
     assert "partitionspecification=[__bk__" in plan.replace(" ", "").lower() or \
            "__bk__" in plan.split("Window")[1]
+
+
+def test_query_registry_invariants():
+    """The driver gate checks the first 50 registry entries; these
+    invariants make registry drift loud: every query carries an oracle or
+    a documented rows-only reason, no oracle is orphaned, and the
+    rows-only list never shadows a real oracle."""
+    from adtl_spark.queries import ROWS_ONLY, all_queries, oracles
+
+    qs, os_ = all_queries(), oracles()
+    assert [k for k in qs if k not in os_ and k not in ROWS_ONLY] == []
+    assert [k for k in os_ if k not in qs] == []
+    assert [k for k in ROWS_ONLY if k in os_] == []
+    assert all(reason.strip() for reason in ROWS_ONLY.values())
+    # the never/least-recently driver-verified block must stay inside the
+    # gate window until CORRECTNESS rows exist for it (round-4 rotation)
+    gate = list(qs)[:50]
+    for name in (
+        "emb_quantize",
+        "emb_label_centroids",
+        "emb_kmeans",
+        "emb_kmeans_centroids",
+        "dedup_embedding",
+        "dedup_embedding_lsh",
+        "ann_cosine_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "pipeline_corpus_clean",
+    ):
+        assert name in gate, f"{name} rotated out of the gate window prematurely"

@@ -73,6 +73,29 @@ def main() -> None:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # Registry invariants, checked before any query runs so a silently
+    # dropped oracle or a stray oracle key fails loudly even on subset runs.
+    from adtl_spark.queries import ROWS_ONLY
+
+    unaccounted = [k for k in qs if k not in oracles and k not in ROWS_ONLY]
+    stray = [k for k in oracles if k not in qs]
+    both = [k for k in ROWS_ONLY if k in oracles]
+    if unaccounted or stray or both:
+        print(f"REGISTRY ERROR: no oracle and no ROWS_ONLY reason: {unaccounted}")
+        print(f"REGISTRY ERROR: oracle without query: {stray}")
+        print(f"REGISTRY ERROR: ROWS_ONLY but oracle exists: {both}")
+        sys.exit(1)
+    gate = list(qs)[:50]
+    print(
+        f"registry: {len(qs)} queries, {len(oracles)} oracles, "
+        f"{len(ROWS_ONLY)} rows-only; driver gate covers the first 50"
+    )
+    past_cap = list(qs)[50:]
+    if past_cap:
+        print(f"past the 50-query gate cap this round: {', '.join(past_cap)}")
+    del gate
+
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
