@@ -87,7 +87,19 @@ def scan_parallel(df, factor: int = 2, by=None, barrier: bool = False):
     if df.isStreaming:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() * factor <= target:
+    # File count is the split estimate: cheap (logical-plan file listing,
+    # no RDD conversion — df.rdd would build and analyze the physical plan
+    # on every table load, a real cost against a 100 TB catalog).  It
+    # lower-bounds the true split count (maxPartitionBytes may split large
+    # files further), so the only error direction is an occasional
+    # harmless repartition of an already-parallel few-big-files scan; the
+    # many-file at-scale case stays a guaranteed no-op.  Non-file sources
+    # (local/in-memory relations) report no files and keep whatever
+    # parallelism their source gave them.
+    n_files = len(df.inputFiles())
+    if n_files == 0:
+        return df
+    if n_files * factor <= target:
         rep = df.repartition(target, by) if by is not None else df.repartition(target)
         return rep.persist() if barrier else rep
     return df
