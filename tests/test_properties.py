@@ -250,3 +250,36 @@ def test_group_min_max_fold_matches_python(spark, values):
     row = p.table("t").collect()[0]
     assert row["lo"] == str(min(coerced)), (vals, row["lo"], min(coerced))
     assert row["hi"] == str(max(coerced)), (vals, row["hi"], max(coerced))
+
+
+def test_pack_chunks_equivalent_across_bucket_widths(spark):
+    """The two-phase distributed prefix sum behind pack_chunks must be
+    bucket-width-invariant: for ANY width the (pack_id, pack_offset)
+    assignment equals the single-stream prefix-sum oracle.  Randomized
+    (seeded) chunk stream with ragged chunk counts and token sizes;
+    widths cover every regime — one doc per bucket, widths that straddle
+    doc-id gaps, a prime width, and one bucket for the whole corpus."""
+    import random
+
+    from adtl_spark.operators import text as X
+
+    rng = random.Random(4242)
+    rows = []
+    for doc in sorted(rng.sample(range(0, 3000), 50)):
+        for c in range(rng.randrange(1, 5)):
+            rows.append((doc, c, rng.randrange(1, 60)))
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_id", "n_tokens"])
+
+    for budget in (32, 97):
+        cum, want = 0, {}
+        for doc, c, n in sorted(rows):
+            want[(doc, c)] = (cum // budget, cum % budget)
+            cum += n
+        for width in (1, 7, 256, 2048, 10**6):
+            got = {
+                (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_offset"])
+                for r in X.pack_chunks(
+                    df, budget=budget, bucket_width=width
+                ).collect()
+            }
+            assert got == want, f"budget={budget} width={width}"
