@@ -12,7 +12,18 @@ Pair-producing dedup IS expected to grow faster than 10x here: every copy
 duplicates the corpus, so a 10x-duplicated corpus has ~50x more true
 duplicate pairs — the output itself is bigger.
 
+A second dataset variant measures SKEW: the events table rebuilt with
+half of all rows remapped onto a single hot user (deterministically, by
+event-id parity), same total row count as the uniform 10x copy.  The
+as-of and binned range joins run against both and print skewed/uniform
+ratios — the binned join's bounded fan-in claim (candidates limited to
+same-bin + adjacent-bin rows per key, not the full hot-key history) is
+thereby measured rather than argued.  A ratio near 1x means the bins are
+doing their job; the as-of join's single-window-per-key shape is timed
+alongside for an honest account of what a hot key costs a window.
+
 Usage: python tools/scale_stress.py [out_dir] [query ...]
+       python tools/scale_stress.py --skew [out_dir]
 """
 
 from __future__ import annotations
@@ -79,12 +90,54 @@ def build(spark, out: Path) -> None:
             df.write.mode("overwrite").parquet(str(dst))
 
 
+SKEW_QUERIES = ["w5_asof_join", "w6_range_join"]
+
+
+def build_skew_events(spark, uniform: Path, out: Path) -> None:
+    """Events-only skew twin of the uniform 10x dataset: identical rows,
+    but every even event_id lands on user 0 — one key now owns ~half the
+    corpus.  Deterministic (parity, not rand), so runs are repeatable."""
+    dst = out / "events.parquet"
+    if dst.exists():
+        return
+    df = spark.read.parquet(str(uniform / "events.parquet"))
+    df.withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    ).write.mode("overwrite").parquet(str(dst))
+
+
+def run_skew(spark, uniform: Path, skew: Path) -> None:
+    build_skew_events(spark, uniform, skew)
+    all_q = Q.all_queries()
+    for name in SKEW_QUERIES:
+        fn = all_q[name]
+        fn(spark, str(uniform)).write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        fn(spark, str(uniform)).write.mode("overwrite").format("noop").save()
+        base = time.time() - t0
+        t0 = time.time()
+        fn(spark, str(skew)).write.mode("overwrite").format("noop").save()
+        hot = time.time() - t0
+        print(
+            f"{name}: uniform-10x {base:.2f}s -> hot-key-10x {hot:.2f}s "
+            f"(skew ratio {hot / base:.1f}x)",
+            flush=True,
+        )
+
+
 def main() -> None:
-    out = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/adtl_stress_10x")
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    skew_mode = "--skew" in argv
+    argv = [a for a in argv if a != "--skew"]
+    out = Path(argv[0] if argv else "/tmp/adtl_stress_10x")
+    only = set(argv[1:])
     spark = get_spark("scale_stress")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     build(spark, out)
+    if skew_mode:
+        run_skew(spark, out, Path(str(out) + "_skew"))
+        return
 
     all_q = Q.all_queries()
     for name in QUERIES:
