@@ -54,43 +54,66 @@ def asof_join(
     right_cols: list[str],
     right_order: str | None = None,
     prefix: str = "matched_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: every left row gains the ``right_cols`` of the
-    latest right row with the same key and ``right.time <= left.time``
-    (nulls when no prior right row exists).
+    """As-of join with pandas ``merge_asof`` direction semantics: every
+    left row gains the ``right_cols`` of one same-key right row —
+
+    - ``backward`` (default): the LATEST right row with
+      ``right.time <= left.time``;
+    - ``forward``: the EARLIEST right row with ``right.time >= left.time``;
+    - ``nearest``: whichever of those two is closer in time, ties
+      preferring the backward match (distance 0 is always backward).
+
+    Nulls when no qualifying right row exists.
 
     Spark has no ASOF JOIN; the naive encoding is a range join whose
     candidate set explodes quadratically per key.  This is the scale-correct
     union encoding instead: tag both sides, union, and run ONE window —
     partition by key, order by (time, side, right_order) — taking the
-    running ``last`` non-null right payload.  Cost is a single shuffle+sort
-    of |left| + |right| rows, identical to any per-key window, regardless
-    of how many right rows precede each left row.
+    running ``last`` (and, for forward/nearest, the upcoming ``first``)
+    non-null right payload.  Cost is a single shuffle+sort of
+    |left| + |right| rows, identical to any per-key window, regardless of
+    how many right rows precede each left row; ``nearest`` computes both
+    frames over the one sort, not two passes.
 
     The right payload rides in a struct so a right row whose payload
     values are null still matches (``last(ignorenulls)`` must skip
-    missing ROWS, not missing values).  ``right_order`` breaks ties among
-    right rows sharing a timestamp (latest wins); equal-time left/right
-    rows match (<= semantics, right sorts first via the side tag).
+    missing ROWS, not missing values); the struct carries the right
+    timestamp (``__rt__``) so ``nearest`` can compare distances.
+    ``right_order`` breaks ties among right rows sharing a timestamp:
+    the backward match takes the LARGEST order value, the forward match
+    the SMALLEST (the row "closest" to the left row from each side).
+    Equal-time left/right rows match (<=/>= semantics; the side tag sorts
+    the right row into the frame that includes it).
     """
     from pyspark.sql import Window
 
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward or nearest")
     # ASOF semantics (and the range-join encoding right.ts <= left.ts)
     # never match a null-timestamp right row; without this filter Spark's
     # nulls-first ordering would sort such a row before everything and make
     # it the "latest preceding" match for left rows that have no real
     # predecessor.  Null-time LEFT rows keep their row and get a null
-    # payload (they sort before every real right row).
+    # payload (they sort before every real right row, so the backward frame
+    # is naturally empty; forward/nearest null them out explicitly below).
     right = right.filter(F.col(time_col).isNotNull())
-    payload = F.struct(*[F.col(c) for c in right_cols]).alias("__m__")
+    payload = F.struct(
+        F.col(time_col).alias("__rt__"), *[F.col(c) for c in right_cols]
+    ).alias("__m__")
     order_val = (
         F.col(right_order) if right_order else F.lit(0)
     ).alias("__ro__")
     left_cols = [c for c in left.columns]
+    # side tags order equal-time rows: the right row must sort INSIDE the
+    # frame that may include it — before the left row for the backward /
+    # nearest frame (<= match), after it for the pure forward frame
+    right_side = 0 if direction in ("backward", "nearest") else 1
     r = right.select(
         F.col(key_col).alias("__k__"),
         F.col(time_col).alias("__t__"),
-        F.lit(0).alias("__side__"),
+        F.lit(right_side).alias("__side__"),
         order_val,
         payload,
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}__") for c in left_cols],
@@ -98,22 +121,41 @@ def asof_join(
     l = left.select(
         F.col(key_col).alias("__k__"),
         F.col(time_col).alias("__t__"),
-        F.lit(1).alias("__side__"),
+        F.lit(1 - right_side).alias("__side__"),
         F.lit(None)
         .cast(right.schema[right_order].dataType if right_order else "int")
         .alias("__ro__"),
         F.lit(None).cast(r.schema["__m__"].dataType).alias("__m__"),
         *[F.col(c).alias(f"__l_{c}__") for c in left_cols],
     )
-    w = (
-        Window.partitionBy("__k__")
-        .orderBy("__t__", "__side__", "__ro__")
-        .rowsBetween(Window.unboundedPreceding, 0)
+    base = Window.partitionBy("__k__").orderBy("__t__", "__side__", "__ro__")
+    prev = F.last("__m__", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, 0)
     )
-    matched = l.unionByName(r).withColumn(
-        "__asof__", F.last("__m__", ignorenulls=True).over(w)
+    nxt = F.first("__m__", ignorenulls=True).over(
+        base.rowsBetween(0, Window.unboundedFollowing)
     )
-    return matched.filter(F.col("__side__") == 1).select(
+    if direction == "backward":
+        chosen = prev
+    elif direction == "forward":
+        # a null-time left row sorts before every right row, so the
+        # following frame would hand it the first right row — guard it
+        chosen = F.when(F.col("__t__").isNotNull(), nxt)
+    else:
+        # nearest: equal-time rights sit in the backward frame (right side
+        # tag 0), so a distance-0 match is always the backward one — which
+        # is exactly the tie preference
+        dp = F.col("__t__") - prev["__rt__"]
+        dn = nxt["__rt__"] - F.col("__t__")
+        near = (
+            F.when(prev.isNull(), nxt)
+            .when(nxt.isNull(), prev)
+            .when(dp <= dn, prev)
+            .otherwise(nxt)
+        )
+        chosen = F.when(F.col("__t__").isNotNull(), near)
+    matched = l.unionByName(r).withColumn("__asof__", chosen)
+    return matched.filter(F.col("__side__") == (1 - right_side)).select(
         *[F.col(f"__l_{c}__").alias(c) for c in left_cols],
         *[F.col("__asof__")[c].alias(f"{prefix}{c}") for c in right_cols],
     )

@@ -700,6 +700,69 @@ def w6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w7_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every 'click' event gains the EARLIEST
+    following-or-equal 'view' event of the same user — the merge_asof
+    direction='forward' semantics, same single-shuffle union+window
+    encoding as w5 with the frame flipped (operators.joins.asof_join)."""
+    from adtl_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        time_col="ts",
+        key_col="user_id",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("matched_event_id").alias("view_event_id"),
+        F.round("matched_value", 4).alias("view_value"),
+    )
+
+
+def w8_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: per click, whichever same-user view is closest
+    in time (ties prefer the preceding view).  Both candidate frames come
+    out of ONE shuffle+sort — not two asof passes (see asof_join)."""
+    from adtl_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        time_col="ts",
+        key_col="user_id",
+        right_cols=["event_id", "value"],
+        right_order="event_id",
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("matched_event_id").alias("view_event_id"),
+        F.round("matched_value", 4).alias("view_value"),
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -1392,6 +1455,38 @@ def oracles() -> dict[str, str]:
               PARTITION BY c.event_id ORDER BY v.ts DESC, v.event_id DESC
             ) = 1
         """,
+        "w7_asof_forward": """
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   v.event_id AS view_event_id,
+                   round(v.value, 4) AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
+              ON v.user_id = c.user_id AND v.ts >= c.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY c.event_id ORDER BY v.ts ASC, v.event_id ASC
+            ) = 1
+        """,
+        # nearest: rank every same-user view by |dt|; equal distance prefers
+        # the preceding view, then latest-id among preceding / earliest-id
+        # among following — the same tie rules the union+window encoding
+        # applies per side (event_id is numeric, so the negation flips order)
+        "w8_asof_nearest": """
+            SELECT c.event_id, c.user_id,
+                   epoch_us(c.ts) AS ts_us,
+                   v.event_id AS view_event_id,
+                   round(v.value, 4) AS view_value
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'view') v
+              ON v.user_id = c.user_id
+            QUALIFY row_number() OVER (
+              PARTITION BY c.event_id ORDER BY
+                abs(epoch_ns(v.ts) - epoch_ns(c.ts)) ASC,
+                (epoch_ns(v.ts) > epoch_ns(c.ts)) ASC,
+                CASE WHEN epoch_ns(v.ts) <= epoch_ns(c.ts)
+                     THEN -v.event_id ELSE v.event_id END ASC
+            ) = 1
+        """,
         "w6_range_join": f"""
             WITH c AS (
               SELECT event_id, user_id, epoch_ns(ts) AS tns
@@ -1763,6 +1858,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round; rotate stable entries toward the tail.
     """
     return {
+        # -- new in round 4 (never driver-checked) --
+        "w7_asof_forward": w7_asof_forward,
+        "w8_asof_nearest": w8_asof_nearest,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

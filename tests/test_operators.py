@@ -308,6 +308,53 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)    # key never seen on the right
 
 
+def test_asof_join_direction_variants(spark):
+    """Forward: earliest right row with rt >= lt (equal time matches, ties
+    to the LOWEST order column); nearest: closer of the two candidates,
+    equal distance preferring the backward match; null-time left rows
+    never borrow a match from the following frame."""
+    from adtl_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 20, 50), (4, 30, 100), (5, 10, None)],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 10, 100, 1.0),   # equal ts as left 1
+            (102, 10, 210, 2.0),
+            (103, 10, 210, 3.0),   # same ts as 102
+            (104, 10, 200, 4.0),   # 5 before left 2; next is 5 after (tie)
+            (105, 20, 60, 5.0),    # only a FOLLOWING row for key 20
+        ],
+        "event_id long, user_id long, ts long, value double",
+    )
+
+    def run(direction):
+        return {
+            r["event_id"]: r["matched_event_id"]
+            for r in asof_join(
+                left, right, "ts", "user_id",
+                right_cols=["event_id", "value"], right_order="event_id",
+                direction=direction,
+            ).collect()
+        }
+
+    fwd = run("forward")
+    assert fwd[1] == 101    # >= semantics: equal time matches
+    assert fwd[2] == 102    # tie at ts=210 -> lowest right_order
+    assert fwd[3] == 105    # the following row IS the forward match
+    assert fwd[4] is None   # key never seen on the right
+    assert fwd[5] is None   # null-time left row matches nothing
+
+    near = run("nearest")
+    assert near[1] == 101   # distance 0 (backward frame)
+    assert near[2] == 104   # |205-200| == |210-205|: tie prefers backward
+    assert near[3] == 105   # only forward candidate exists
+    assert near[4] is None
+    assert near[5] is None
+
+
 def test_hash_sample_deterministic_and_append_stable(spark):
     from adtl_spark.operators import sampling as SA
 
