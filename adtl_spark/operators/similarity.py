@@ -762,3 +762,84 @@ def quantize_oracle_sql(table: str, bits: int = 8, dim: int = 64) -> str:
     FROM base
     CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
     """
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    tau: float = 0.95,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, score cosine only
+    WITHIN each cluster, and drop every vector whose cosine to a
+    lower-id cluster-mate is >= ``tau`` (the lowest id per duplicate
+    group survives as the representative).  Returns the survivors as
+    (vec_id, cluster).
+
+    This is the scale path for embedding dedup when an all-pairs (or even
+    LSH-bucketed) comparison is too wide: clustering first caps the
+    pairwise work at sum(|cluster|^2) instead of |corpus|^2 — at 100 TB,
+    k is chosen ~sqrt(N) so the expected cluster is ~sqrt(N) vectors and
+    the within-cluster self-join stays an equi-join Catalyst can
+    hash-partition on the cluster id.  Assignment itself is the NARROW
+    literal-centroid argmin from :func:`kmeans_assign` (no corpus
+    shuffle); training cost is the shared :func:`_kmeans_train` loop.
+
+    Deterministic end to end (deterministic k-means + exact double
+    cosine), so the DuckDB oracle replays it exactly — including any
+    recall loss from near-duplicates split across cluster boundaries,
+    which is inherent to the method, not an implementation artifact."""
+    cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("cluster", F.expr(_kmeans_cell_sql("v", cents)))
+    a, b = c.alias("a"), c.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= tau)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return c.join(dups, "vec_id", "left_anti").select("vec_id", "cluster")
+
+
+def semantic_dedup_oracle_sql(
+    table: str, tau: float, k: int, iters: int, dim: int = 64
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup`: the shared k-means CTE chain
+    for the final assignment, then an anti-join against within-cluster
+    pairs whose cosine (same fold order as the Spark side) clears tau."""
+    return (
+        _kmeans_cte_chain(table, k, iters, dim)
+        + f""",
+    asn AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT c.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY 0.5 * list_dot_product(cent.cv, cent.cv)
+                            - list_dot_product(c.v, cent.cv) ASC,
+                          cent.cid ASC
+               ) AS rn
+        FROM c CROSS JOIN cent{iters} cent
+      ) WHERE rn = 1
+    ),
+    cl AS (SELECT c.vec_id, c.v, a.cluster FROM c JOIN asn a USING (vec_id))
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+    FROM cl a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM cl b
+      WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+        AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= {tau}
+    )
+    """
+    )

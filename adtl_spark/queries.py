@@ -1065,6 +1065,20 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (cluster-then-compare) semantic dedup: k-means the
+    embeddings, drop any vector with a lower-id cluster-mate at cosine
+    >= tau, keep (vec_id, cluster) survivors.  Pairwise work is capped at
+    sum(|cluster|^2) — the scale path when LSH bucketing is still too
+    wide (similarity.semantic_dedup)."""
+    return S.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        tau=NEARDUP_TAU,
+        k=KMEANS_K,
+        iters=KMEANS_ITERS,
+    )
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal binary-column plumbing, value-checked end to end:
     documents' text becomes an opaque binary payload, and the REAL
@@ -1810,6 +1824,9 @@ def oracles() -> dict[str, str]:
         "emb_kmeans_centroids": S.kmeans_centroids_oracle_sql(
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
+        "dedup_semantic": S.semantic_dedup_oracle_sql(
+            "embeddings", NEARDUP_TAU, KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
+        ),
         "emb_kmeans": S.kmeans_oracle_sql(
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1861,6 +1878,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-checked) --
         "w7_asof_forward": w7_asof_forward,
         "w8_asof_nearest": w8_asof_nearest,
+        "dedup_semantic": dedup_semantic,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

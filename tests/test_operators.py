@@ -308,6 +308,24 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)    # key never seen on the right
 
 
+def test_semantic_dedup_keeps_cluster_representatives(spark):
+    """SemDeDup: within a cluster, near-identical vectors collapse to the
+    lowest id; vectors in different clusters are never compared even if
+    similar (the method's documented recall trade-off)."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),   # cluster seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),   # cluster seed B
+        (2, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 0 -> dropped
+        (3, [0.0, 0.998, 0.002, 0.0]),  # near-dup of 1 -> dropped
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0: same cluster? cos=-1 survives
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"] for r in S.semantic_dedup(emb, tau=0.95, k=2, iters=1).collect()}
+    assert 0 in out and 1 in out      # representatives survive
+    assert 2 not in out and 3 not in out
+    assert 4 in out                   # low cosine never collapses
+
+
 def test_asof_join_direction_variants(spark):
     """Forward: earliest right row with rt >= lt (equal time matches, ties
     to the LOWEST order column); nearest: closer of the two candidates,
