@@ -41,7 +41,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from adtl_spark.operators.dedup import shingle_df, shingle_cte_sql
+from adtl_spark.operators.dedup import (
+    MERSENNE_31,
+    minhash_coefficients,
+    shingle_cte_sql,
+    shingle_df,
+)
 from adtl_spark.operators.text import tokens
 
 
@@ -271,4 +276,161 @@ def unigram_logprob_oracle_sql(source_sql: str, vocab_k: int = 20) -> str:
                 THEN CAST(floor(CAST(s.qsum AS DOUBLE) / s.n / 10000.0 * 10000 + 0.5) AS DOUBLE) / 10000.0
            END AS avg_logprob
     FROM ({source_sql}) d LEFT JOIN scored s ON s.id = d.doc_id
+    """
+
+
+# ------------------------------------------------------------ bloom screening
+#
+# The broadcast-set decontaminate above is exact, but its broadcast grows
+# with the eval suite (distinct shingle hashes are 8 bytes each — a large
+# benchmark union can reach GBs, past Spark's broadcast comfort zone).  The
+# bloom variant compresses the eval side to a FIXED-size bit array: h=2
+# portable hash probes into words*63 bits, built with one small aggregation
+# and broadcast as a <=words-row table.  Membership is a superset screen
+# (false positives possible, false negatives impossible) — the right
+# contract for a cheap first-pass filter whose positives feed the exact
+# checker.  Everything is deterministic md5/LCG arithmetic, so the DuckDB
+# oracle replays the filter bit-for-bit, INCLUDING its false positives.
+
+BLOOM_WORDS = 8192          # 64 KiB of filter -> fill stays low at test SFs
+BLOOM_BITS_PER_WORD = 63    # keep shifts off the sign bit in both engines
+_BLOOM_SEED = 29
+
+
+def _bloom_pos_sql(col: str, a: int, b: int, words: int) -> str:
+    """Position expression shared verbatim by Spark and DuckDB: an LCG-
+    derived affine hash of the 60-bit shingle key into [0, words*63).
+    (sh % M31) * a stays under 2^62, so the arithmetic never overflows
+    a signed 64-bit integer in either engine."""
+    p = words * BLOOM_BITS_PER_WORD
+    return f"((({col} % {MERSENNE_31}) * {a} + {b}) % {MERSENNE_31}) % {p}"
+
+
+def bloom_build(
+    eval_docs: DataFrame,
+    n: int = 3,
+    words: int = BLOOM_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Build the eval-set bloom filter as a (word, bits) table: every
+    distinct eval word-n-gram sets h=2 bits.  At most ``words`` rows —
+    broadcastable no matter how large the eval suite is."""
+    ev = shingle_df(eval_docs, text_col, id_col, n).select("sh").distinct()
+    coeffs = minhash_coefficients(2, _BLOOM_SEED)
+    pos = ev.select(
+        F.explode(
+            F.array(*[F.expr(_bloom_pos_sql("sh", a, b, words)) for a, b in coeffs])
+        ).alias("p")
+    )
+    return (
+        pos.select(
+            F.expr(f"p DIV {BLOOM_BITS_PER_WORD}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_BITS_PER_WORD} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    words: int = BLOOM_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-screened decontamination decision table: per training doc,
+    how many of its distinct word n-grams the eval bloom filter flags
+    (n_flagged) plus the 0/1 flag.  A flagged count of 0 GUARANTEES no
+    eval overlap; positives are a superset of :func:`decontaminate`'s.
+
+    Scale shape: the filter build aggregates eval shingles down to
+    <= ``words`` rows; the corpus side probes via two broadcast-hash
+    joins on the word index (no corpus shuffle) and only (doc_id,
+    partial-count) pairs move for the final aggregation."""
+    flt = bloom_build(eval_docs, n, words, text_col, id_col)
+    (a1, b1), (a2, b2) = minhash_coefficients(2, _BLOOM_SEED)
+    tr = shingle_df(docs, text_col, id_col, n)
+    bpw = BLOOM_BITS_PER_WORD
+    probe = tr.select(
+        "id",
+        F.expr(_bloom_pos_sql("sh", a1, b1, words)).alias("p1"),
+        F.expr(_bloom_pos_sql("sh", a2, b2, words)).alias("p2"),
+    ).select(
+        "id",
+        F.expr(f"p1 DIV {bpw}").alias("w1"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p1 % {bpw} AS INT))").alias("m1"),
+        F.expr(f"p2 DIV {bpw}").alias("w2"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p2 % {bpw} AS INT))").alias("m2"),
+    )
+    f1 = F.broadcast(flt.select(F.col("word").alias("w1"), F.col("bits").alias("b1")))
+    f2 = F.broadcast(flt.select(F.col("word").alias("w2"), F.col("bits").alias("b2")))
+    hits = (
+        probe.join(f1, "w1")
+        .join(f2, "w2")
+        .filter(
+            (F.col("b1").bitwiseAND(F.col("m1")) == F.col("m1"))
+            & (F.col("b2").bitwiseAND(F.col("m2")) == F.col("m2"))
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumnRenamed("id", "__did__")
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits, docs[id_col] == hits["__did__"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_flagged"),
+            (F.coalesce(F.col("__n"), F.lit(0)) > 0).cast("int").alias("flagged"),
+        )
+    )
+
+
+def decontaminate_bloom_oracle_sql(
+    train_sql: str, eval_sql: str, n: int = 3, words: int = BLOOM_WORDS
+) -> str:
+    """DuckDB twin of :func:`decontaminate_bloom`: identical position
+    arithmetic, word/bit split and bit_or-aggregated filter, so the
+    replay matches bit-for-bit including any false positives."""
+    (a1, b1), (a2, b2) = minhash_coefficients(2, _BLOOM_SEED)
+    ev_shingles = shingle_cte_sql(f"({eval_sql})", n)
+    tr_shingles = shingle_cte_sql(f"({train_sql})", n)
+    bpw = BLOOM_BITS_PER_WORD
+    one = "CAST(1 AS BIGINT)"
+    return f"""
+    WITH ev AS (SELECT DISTINCT sh FROM ({ev_shingles})),
+    pos AS (
+      SELECT {_bloom_pos_sql("sh", a1, b1, words)} AS p FROM ev
+      UNION ALL
+      SELECT {_bloom_pos_sql("sh", a2, b2, words)} AS p FROM ev
+    ),
+    flt AS (
+      SELECT p // {bpw} AS word, bit_or({one} << CAST(p % {bpw} AS INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    tr AS ({tr_shingles}),
+    probe AS (
+      SELECT id,
+             {_bloom_pos_sql("sh", a1, b1, words)} AS p1,
+             {_bloom_pos_sql("sh", a2, b2, words)} AS p2
+      FROM tr
+    ),
+    hits AS (
+      SELECT id, count(*) AS n
+      FROM probe
+      JOIN flt f1 ON f1.word = p1 // {bpw}
+      JOIN flt f2 ON f2.word = p2 // {bpw}
+      WHERE (f1.bits & ({one} << CAST(p1 % {bpw} AS INT))) = ({one} << CAST(p1 % {bpw} AS INT))
+        AND (f2.bits & ({one} << CAST(p2 % {bpw} AS INT))) = ({one} << CAST(p2 % {bpw} AS INT))
+      GROUP BY id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_flagged,
+           CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS flagged
+    FROM ({train_sql}) d LEFT JOIN hits h ON h.id = d.doc_id
     """

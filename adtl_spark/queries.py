@@ -845,6 +845,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(tr, ev, n=DECON_N)
 
 
+def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination: same train/eval split as
+    corpus_decontaminate, but the eval side compresses to a fixed-size
+    bit-array table instead of a broadcast shingle set — the scale path
+    when the benchmark union is too big to broadcast exactly.  The flag
+    is a superset screen (no false negatives); the oracle replays the
+    filter bit-for-bit including false positives
+    (corpus.decontaminate_bloom)."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % DECON_EVAL_MOD == 0)
+    tr = docs.filter(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    return C.decontaminate_bloom(tr, ev, n=DECON_N)
+
+
 TFIDF_K = 3
 
 
@@ -1786,6 +1800,11 @@ def oracles() -> dict[str, str]:
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
             n=DECON_N,
         ),
+        "corpus_decontaminate_bloom": C.decontaminate_bloom_oracle_sql(
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
+            n=DECON_N,
+        ),
         "corpus_unigram_logprob": C.unigram_logprob_oracle_sql(
             "SELECT doc_id, text FROM documents", vocab_k=UNIGRAM_VOCAB_K
         ),
@@ -1879,6 +1898,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_asof_forward": w7_asof_forward,
         "w8_asof_nearest": w8_asof_nearest,
         "dedup_semantic": dedup_semantic,
+        "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

@@ -308,6 +308,39 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)    # key never seen on the right
 
 
+def test_bloom_screen_never_misses_exact_hits(spark):
+    """The bloom screen is a superset filter: every doc the exact
+    decontaminate flags must be flagged by the bloom variant (false
+    negatives are impossible by construction); clean docs with disjoint
+    vocab stay clean when the filter is sparse."""
+    from adtl_spark.operators import corpus as C
+
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "a quick brown fox ran off"),       # shares 'quick brown fox'
+            (2, "zebras graze quietly at dawn"),    # disjoint vocab
+            (3, "the quick brown fox jumps high"),  # identical
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in C.decontaminate(tr, ev, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["flagged"]
+        for r in C.decontaminate_bloom(tr, ev, n=3).collect()
+    }
+    assert set(bloom) == set(exact)
+    for did, hit in exact.items():
+        if hit:
+            assert bloom[did] == 1, f"false negative on doc {did}"
+    assert exact[2] == 0 and bloom[2] == 0  # sparse filter, disjoint vocab
+
+
 def test_semantic_dedup_keeps_cluster_representatives(spark):
     """SemDeDup: within a cluster, near-identical vectors collapse to the
     lowest id; vectors in different clusters are never compared even if
