@@ -573,3 +573,48 @@ def length_stats_oracle_sql(table: str, group_col: str = "lang") -> str:
            m.median_tokens
     FROM agg a JOIN mid m USING (grp)
     """
+
+
+def ngram_topk(
+    df: DataFrame, n: int = 2, k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-``k`` word ``n``-grams by occurrence count (every
+    slot counts, not per-doc distinct — the frequency table behind
+    boilerplate detection and collocation mining).  Ties break to the
+    lexicographically first n-gram.
+
+    Shape at scale: the n-gram construction is a narrow per-row array
+    expression; explode feeds a map-side partial count, so one shuffle of
+    (ngram, partial-count) pairs and a k-row TakeOrdered — the corpus
+    text itself never moves, same contract as :func:`vocab_topk`."""
+    t = _tokenized(df, text_col)
+    return (
+        t.select(F.explode(_ngrams(F.col("__toks"), n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def ngram_topk_oracle_sql(table: str, n: int = 2, k: int = 100) -> str:
+    """DuckDB twin of :func:`ngram_topk` — same tokenizer contract, full
+    n-grams only (documents shorter than ``n`` tokens emit nothing)."""
+    gram = ", ".join(f"toks[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+      FROM {table}
+    ),
+    grams AS (
+      SELECT concat_ws(' ', {gram}) AS ngram
+      FROM toks
+      CROSS JOIN (
+        SELECT unnest(range(1, (
+          SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM toks))) AS i
+      ) idx
+      WHERE i <= len(toks) - {n - 1}
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n
+    FROM grams GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT {k}
+    """

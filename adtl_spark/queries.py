@@ -845,6 +845,19 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.decontaminate(tr, ev, n=DECON_N)
 
 
+NGRAM_TOPK_N = 2
+NGRAM_TOPK_K = 50
+
+
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k bigrams by occurrence count — boilerplate /
+    collocation mining.  Narrow n-gram construction, map-side partial
+    count, one (ngram, count) shuffle (text.ngram_topk)."""
+    return X.ngram_topk(
+        _t(spark, sf_dir, "documents"), n=NGRAM_TOPK_N, k=NGRAM_TOPK_K
+    )
+
+
 def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screened decontamination: same train/eval split as
     corpus_decontaminate, but the eval side compresses to a fixed-size
@@ -1800,6 +1813,9 @@ def oracles() -> dict[str, str]:
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
             n=DECON_N,
         ),
+        "text_ngram_topk": X.ngram_topk_oracle_sql(
+            "documents", n=NGRAM_TOPK_N, k=NGRAM_TOPK_K
+        ),
         "corpus_decontaminate_bloom": C.decontaminate_bloom_oracle_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
@@ -1899,6 +1915,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w8_asof_nearest": w8_asof_nearest,
         "dedup_semantic": dedup_semantic,
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
+        "text_ngram_topk": text_ngram_topk,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,
