@@ -78,6 +78,32 @@ def dataframe_from_rows(spark: SparkSession, rows: Iterable[StrDict]) -> DataFra
     return spark.createDataFrame(data, schema=schema)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None
+) -> DataFrame:
+    """JSON-Lines source (one object per line — the interchange format LLM
+    corpus pipelines exchange).  Pass ``schema`` in production: schema
+    inference is a full extra pass over the input, which at 100 TB doubles
+    the read; an explicit schema also keeps corrupt records visible in the
+    standard ``_corrupt_record`` column instead of silently widening
+    types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """JSON-Lines sink: parallel part-files, arrays/structs serialized
+    natively, ``compression='gzip'`` for archival interchange.  (Spark's
+    json writer is line-delimited by construction — each partition writes
+    one object per line.)"""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def _csv_render(df: DataFrame) -> DataFrame:
     """Render array columns as Python ``str(list)`` and booleans as
     True/False for csv.DictWriter parity."""

@@ -203,6 +203,25 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
 
 
+def test_jsonl_round_trip(spark, tmp_path):
+    """JSONL sink/source round-trip preserves values including arrays;
+    the explicit-schema read path types columns without an inference
+    pass."""
+    from adtl_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", ["a", "b"]), (2, 'quote " and é', [])],
+        "doc_id long, text string, tags array<string>",
+    )
+    write_jsonl(df, str(tmp_path / "docs"))
+    back = read_jsonl(
+        spark, str(tmp_path / "docs"),
+        schema="doc_id long, text string, tags array<string>",
+    )
+    got = {r["doc_id"]: (r["text"], r["tags"]) for r in back.collect()}
+    assert got == {1: ("hello world", ["a", "b"]), 2: ('quote " and é', [])}
+
+
 def test_bucketed_table_name_sanitized(spark, tmp_path):
     """adtl spec names routinely contain hyphens/dots; the catalog table
     name must be sanitized to a valid SQL identifier instead of failing at
