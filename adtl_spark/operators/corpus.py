@@ -335,6 +335,51 @@ def bloom_build(
     )
 
 
+def bloom_hits(
+    docs: DataFrame,
+    flt: DataFrame,
+    n: int = 3,
+    words: int = BLOOM_WORDS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The stream-safe probe core of :func:`decontaminate_bloom`: per
+    document with at least one filter-flagged n-gram, the flagged-shingle
+    count as (__did__, __n).  ``flt`` is a prebuilt (word, bits) table
+    from :func:`bloom_build`.  Narrow shingling + two broadcast
+    stream-to-batch joins + a standard streaming aggregation, so a
+    document STREAM probes a batch-built filter with this exact code
+    (see tests/test_streaming.py); :func:`decontaminate_bloom` adds the
+    batch-only left join that keeps zero-hit documents."""
+    (a1, b1), (a2, b2) = minhash_coefficients(2, _BLOOM_SEED)
+    tr = shingle_df(docs, text_col, id_col, n)
+    bpw = BLOOM_BITS_PER_WORD
+    probe = tr.select(
+        "id",
+        F.expr(_bloom_pos_sql("sh", a1, b1, words)).alias("p1"),
+        F.expr(_bloom_pos_sql("sh", a2, b2, words)).alias("p2"),
+    ).select(
+        "id",
+        F.expr(f"p1 DIV {bpw}").alias("w1"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p1 % {bpw} AS INT))").alias("m1"),
+        F.expr(f"p2 DIV {bpw}").alias("w2"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p2 % {bpw} AS INT))").alias("m2"),
+    )
+    f1 = F.broadcast(flt.select(F.col("word").alias("w1"), F.col("bits").alias("b1")))
+    f2 = F.broadcast(flt.select(F.col("word").alias("w2"), F.col("bits").alias("b2")))
+    return (
+        probe.join(f1, "w1")
+        .join(f2, "w2")
+        .filter(
+            (F.col("b1").bitwiseAND(F.col("m1")) == F.col("m1"))
+            & (F.col("b2").bitwiseAND(F.col("m2")) == F.col("m2"))
+        )
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumnRenamed("id", "__did__")
+    )
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     eval_docs: DataFrame,
@@ -353,33 +398,7 @@ def decontaminate_bloom(
     joins on the word index (no corpus shuffle) and only (doc_id,
     partial-count) pairs move for the final aggregation."""
     flt = bloom_build(eval_docs, n, words, text_col, id_col)
-    (a1, b1), (a2, b2) = minhash_coefficients(2, _BLOOM_SEED)
-    tr = shingle_df(docs, text_col, id_col, n)
-    bpw = BLOOM_BITS_PER_WORD
-    probe = tr.select(
-        "id",
-        F.expr(_bloom_pos_sql("sh", a1, b1, words)).alias("p1"),
-        F.expr(_bloom_pos_sql("sh", a2, b2, words)).alias("p2"),
-    ).select(
-        "id",
-        F.expr(f"p1 DIV {bpw}").alias("w1"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p1 % {bpw} AS INT))").alias("m1"),
-        F.expr(f"p2 DIV {bpw}").alias("w2"),
-        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p2 % {bpw} AS INT))").alias("m2"),
-    )
-    f1 = F.broadcast(flt.select(F.col("word").alias("w1"), F.col("bits").alias("b1")))
-    f2 = F.broadcast(flt.select(F.col("word").alias("w2"), F.col("bits").alias("b2")))
-    hits = (
-        probe.join(f1, "w1")
-        .join(f2, "w2")
-        .filter(
-            (F.col("b1").bitwiseAND(F.col("m1")) == F.col("m1"))
-            & (F.col("b2").bitwiseAND(F.col("m2")) == F.col("m2"))
-        )
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .withColumnRenamed("id", "__did__")
-    )
+    hits = bloom_hits(docs, flt, n, words, text_col, id_col)
     return (
         docs.select(F.col(id_col))
         .join(hits, docs[id_col] == hits["__did__"], "left")

@@ -843,3 +843,66 @@ def semantic_dedup_oracle_sql(
     )
     """
     )
+
+
+def gram_matrix(
+    df: DataFrame, dim: int = 64, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangular Gram matrix ``X^T X`` of the embedding column in
+    long form (i, j, gram), i <= j — the one aggregation behind PCA /
+    whitening / covariance of an embedding corpus (the eigendecomposition
+    itself is a dim x dim driver-side step on this table's output).
+
+    Shape at scale: each row narrowly expands to its outer-product cells
+    (posexplode + a per-row slice, upper triangle only), and map-side
+    partial aggregation collapses them to <= dim*(dim+1)/2 cells per
+    partition BEFORE the one tiny shuffle — the embedding data itself
+    never moves, the shuffle carries ~2k cells per partition regardless
+    of corpus size.  Products are quantized with the repo's floor-1e6
+    protocol so the sums are exact BIGINTs (identical in both engines);
+    short (ragged) vectors simply contribute no cells past their length,
+    matching the oracle's null-skipping sum."""
+    e = df.select(F.posexplode(F.col(vec_col)).alias("i", "xi"), F.col(vec_col).alias("v"))
+    cells = e.select(
+        "i",
+        "xi",
+        F.posexplode(
+            F.slice(F.col("v"), F.col("i") + 1, F.lit(dim) - F.col("i"))
+        ).alias("dj", "xj"),
+    )
+    q = F.floor(
+        F.col("xi").cast("double") * F.col("xj").cast("double") * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        cells.select(
+            F.col("i").cast("long").alias("i"),
+            (F.col("i") + F.col("dj")).cast("long").alias("j"),
+            q.alias("__q"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("__q").alias("__qsum"))
+        .select(
+            "i",
+            "j",
+            (F.col("__qsum").cast("double") / 1000000.0).alias("gram"),
+        )
+    )
+
+
+def gram_matrix_oracle_sql(table: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`gram_matrix` (1-based list indexing shifted
+    back to the 0-based posexplode positions; null products — cells past
+    a short vector's length — drop out of the sum on both sides)."""
+    return f"""
+    WITH base AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM {table})
+    SELECT CAST(i - 1 AS BIGINT) AS i,
+           CAST(j - 1 AS BIGINT) AS j,
+           CAST(sum(CAST(floor(v[CAST(i AS INT)] * v[CAST(j AS INT)] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS gram
+    FROM base
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) a
+    CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS j) b
+    WHERE j >= i
+    GROUP BY 1, 2
+    """

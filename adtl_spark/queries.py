@@ -1106,6 +1106,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular Gram matrix of the embedding corpus — the PCA /
+    whitening input.  Narrow outer-product cells, map-side combine, one
+    ~2k-cell shuffle; the embeddings never move (similarity.gram_matrix)."""
+    return S.gram_matrix(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The multimodal binary-column plumbing, value-checked end to end:
     documents' text becomes an opaque binary payload, and the REAL
@@ -1859,6 +1866,7 @@ def oracles() -> dict[str, str]:
         "emb_kmeans_centroids": S.kmeans_centroids_oracle_sql(
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
+        "emb_gram_matrix": S.gram_matrix_oracle_sql("embeddings", dim=EMB_DIM),
         "dedup_semantic": S.semantic_dedup_oracle_sql(
             "embeddings", NEARDUP_TAU, KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1916,6 +1924,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": dedup_semantic,
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
         "text_ngram_topk": text_ngram_topk,
+        "emb_gram_matrix": emb_gram_matrix,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

@@ -27,6 +27,12 @@ unigram-LM scoring, label centroids, k-means); warmup restructured from
 per-query to whole-suite-first (per-query warmup left the earliest
 queries paying JVM-global C2 compilation in their timed run — 9 s for
 q1's second execution in a cold JVM vs <2 s hot).
+
+Round-4 changes: five more queries (forward/nearest as-of joins,
+SemDeDup semantic dedup, bloom decontamination, n-gram top-k), appended
+so the shared-prefix ordering stays identical to round 3; methodology
+unchanged — per-query times are directly comparable to BENCH_r03 (see
+docs/BENCH_NOTES.md for the r3->r4 diff table).
 """
 
 from __future__ import annotations
@@ -87,6 +93,13 @@ HEADLINE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "pipeline_corpus_clean",
+    # round-4 additions (appended; prefix order unchanged for r3 parity)
+    "w7_asof_forward",
+    "w8_asof_nearest",
+    "dedup_semantic",
+    "corpus_decontaminate_bloom",
+    "text_ngram_topk",
+    "emb_gram_matrix",
 ]
 
 

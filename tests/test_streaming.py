@@ -280,6 +280,51 @@ def test_unigram_scoring_on_stream(spark, tmp_path):
     assert got[11][1] == 1  # zzz is out-of-vocabulary
 
 
+def test_bloom_screening_on_stream(spark, tmp_path):
+    """A document stream probes a batch-built bloom filter: the (word,
+    bits) table broadcasts into two stream-to-batch joins, the flagged
+    count is a standard streaming agg — same results as the batch probe."""
+    from adtl_spark.operators import corpus as C
+
+    src = tmp_path / "bloom_stream"
+    src.mkdir()
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # overlaps
+            (2, "one two three four five six"),          # clean
+        ],
+        "doc_id long, text string",
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    flt = C.bloom_build(ev, n=5)
+    hits = C.bloom_hits(stream, flt, n=5)
+    assert hits.isStreaming
+    q = (
+        hits.writeStream.format("memory")
+        .queryName("stream_bloom")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["__did__"]: r["__n"]
+        for r in spark.sql("SELECT * FROM stream_bloom").collect()
+    }
+    want = {
+        r["__did__"]: r["__n"]
+        for r in C.bloom_hits(incoming, flt, n=5).collect()
+    }
+    assert got == want == {1: 1}
+
+
 def test_decontamination_screening_on_stream(spark, tmp_path):
     """A document stream is screened against a batch benchmark set with
     the same operator core: narrow shingling, broadcast eval-set join,

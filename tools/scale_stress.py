@@ -70,6 +70,13 @@ QUERIES = [
     "emb_kmeans",
     "w6_range_join",
     "ann_cosine_topk",
+    # round-4 operators
+    "w7_asof_forward",
+    "w8_asof_nearest",
+    "dedup_semantic",
+    "corpus_decontaminate_bloom",
+    "text_ngram_topk",
+    "emb_gram_matrix",
 ]
 
 
