@@ -297,6 +297,51 @@ def test_pack_chunks_heavy_window_is_partitioned(spark):
            "__bk__" in plan.split("Window")[1]
 
 
+def test_semantic_dedup_joins_on_cluster(spark):
+    """The within-cluster pair scan must plan as an equi-join on the
+    cluster id (hash-partitionable), never a cartesian/nested-loop over
+    the corpus."""
+    from adtl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    plan = physical_plan(S.semantic_dedup(df, tau=0.9, k=2, iters=1))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "Join" in plan
+
+
+def test_bloom_probe_broadcasts_filter(spark):
+    """Both word-index probes must be broadcast-hash joins — the corpus
+    side never shuffles to consult the filter."""
+    from adtl_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    ev = docs.limit(2)
+    plan = physical_plan(C.decontaminate_bloom(docs, ev, n=3))
+    # the two word-index probes broadcast; the only other join allowed is
+    # the final doc_id-only decision-table left join (ids, not text)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert plan.count("Join") - plan.count("BroadcastHashJoin") <= 1
+
+
+def test_gram_matrix_combines_map_side(spark):
+    """The cell aggregation must run partially before its exchange (the
+    shuffle carries combined cells, not raw outer-product rows)."""
+    from adtl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(4)], ["vec_id", "embedding"]
+    )
+    plan = physical_plan(S.gram_matrix(df, dim=3))
+    # partial_ aggregate appears below the exchange in the plan text
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") <= 2  # cell shuffle (+ AQE artifacts only)
+
+
 def test_query_registry_invariants():
     """The driver gate checks the first 50 registry entries; these
     invariants make registry drift loud: every query carries an oracle or
