@@ -886,3 +886,108 @@ def minhash_incremental_oracle_sql(
     FROM mh_pairs
     WHERE ({pred_a}) != ({pred_b})
     """
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 10,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact repeated-substring detection — the span-level dedup of Lee
+    et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499), re-expressed relationally: every maximal
+    token span whose length->=``n`` n-grams all occur in at least
+    ``min_df`` distinct documents is reported as (doc_id, span_start,
+    span_end) in token positions, ready for cut-and-splice removal.
+
+    The reference method builds a suffix array; a suffix array is a
+    sequential in-memory structure that does not shard.  The equivalent
+    relational shape used here: (1) positional n-grams — a narrow
+    explode; (2) the inverted-index aggregation counting distinct docs
+    per n-gram hash (map-side combine, one (hash, id) shuffle); (3) a
+    semi-join flagging positions whose n-gram repeats elsewhere (AQE
+    broadcasts the repeated-hash side when it is small — on clean
+    corpora it is); (4) per-doc gaps-and-islands windows merging
+    overlapping flagged starts (pos gap <= n) into maximal spans.  Every
+    stage is partition-parallel; nothing is ever resident per-executor
+    beyond one doc partition's flagged positions.
+    """
+    from pyspark.sql import Window
+
+    from adtl_spark.operators.text import _ngrams, tokens
+
+    t = docs.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("toks"))
+    g = t.select(
+        "id", F.posexplode(_ngrams(F.col("toks"), n)).alias("pos", "gram")
+    ).select("id", "pos", md5_60(F.col("gram")).alias("sh"))
+    rep = (
+        g.groupBy("sh")
+        .agg(F.countDistinct("id").alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("sh")
+    )
+    flagged = g.join(rep, "sh").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    new_island = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= n, F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    isl = flagged.withColumn(
+        "__g",
+        F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        isl.groupBy("id", "__g")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        )
+        .select(F.col("id").alias("doc_id"), "span_start", "span_end")
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str, n: int = 10, min_df: int = 2
+) -> str:
+    """DuckDB twin of :func:`duplicated_spans`: same tokenizer, same
+    positional n-gram hashes, same distinct-doc threshold, same
+    gaps-and-islands merge (a null lag starts a new island in both
+    engines)."""
+    gram = ", ".join(f"toks[CAST(i AS INT) + {j}]" for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM {table}
+    ),
+    pg AS (
+      SELECT id, i - 1 AS pos, {md5_60_sql("gram")} AS sh FROM (
+        SELECT id, i, concat_ws(' ', {gram}) AS gram
+        FROM toks
+        CROSS JOIN (
+          SELECT unnest(range(1, (
+            SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM toks))) AS i
+        ) idx
+        WHERE i <= len(toks) - {n - 1}
+      )
+    ),
+    rep AS (SELECT sh FROM pg GROUP BY sh HAVING count(DISTINCT id) >= {min_df}),
+    fl AS (SELECT id, pos FROM pg JOIN rep USING (sh)),
+    brk AS (
+      SELECT id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY id ORDER BY pos) <= {n}
+                  THEN 0 ELSE 1 END AS b
+      FROM fl
+    ),
+    isl AS (
+      SELECT id, pos,
+             sum(b) OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS g
+      FROM brk
+    )
+    SELECT id AS doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {n} - 1 AS BIGINT) AS span_end
+    FROM isl GROUP BY id, g
+    """

@@ -1106,6 +1106,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUPSPAN_N = 8
+
+
+def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring spans (Lee et al. 2021 span dedup,
+    relational form): maximal token spans whose 8-gram pieces occur in
+    >= 2 distinct documents — inverted-index agg + semi-join + per-doc
+    gaps-and-islands merge (dedup.duplicated_spans)."""
+    return D.duplicated_spans(_t(spark, sf_dir, "documents"), n=DUPSPAN_N)
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangular Gram matrix of the embedding corpus — the PCA /
     whitening input.  Narrow outer-product cells, map-side combine, one
@@ -1867,6 +1878,7 @@ def oracles() -> dict[str, str]:
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
         "emb_gram_matrix": S.gram_matrix_oracle_sql("embeddings", dim=EMB_DIM),
+        "dedup_spans": D.duplicated_spans_oracle_sql("documents", n=DUPSPAN_N),
         "dedup_semantic": S.semantic_dedup_oracle_sql(
             "embeddings", NEARDUP_TAU, KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1925,6 +1937,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
         "text_ngram_topk": text_ngram_topk,
         "emb_gram_matrix": emb_gram_matrix,
+        "dedup_spans": dedup_spans,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

@@ -100,6 +100,7 @@ HEADLINE = [
     "corpus_decontaminate_bloom",
     "text_ngram_topk",
     "emb_gram_matrix",
+    "dedup_spans",
 ]
 
 

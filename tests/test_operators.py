@@ -308,6 +308,27 @@ def test_asof_join_semantics(spark):
     assert out[4] == (None, None)    # key never seen on the right
 
 
+def test_duplicated_spans_merge_to_maximal(spark):
+    """Span dedup: the shared passage is reported as ONE maximal span per
+    document at its own token offsets; documents without cross-doc
+    repeats report nothing."""
+    from adtl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 s1 s2 s3 s4 s5 u3 u4"),  # shared block at pos 2..6
+            (2, "s1 s2 s3 s4 s5 v1 v2"),        # same block at pos 0..4
+            (3, "w1 w2 w3 w4 w5 w6 w7"),        # unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["span_start"], r["span_end"])
+        for r in D.duplicated_spans(docs, n=3).collect()
+    }
+    assert out == {1: (2, 6), 2: (0, 4)}
+
+
 def test_bloom_screen_never_misses_exact_hits(spark):
     """The bloom screen is a superset filter: every doc the exact
     decontaminate flags must be flagged by the bloom variant (false

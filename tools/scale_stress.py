@@ -77,6 +77,7 @@ QUERIES = [
     "corpus_decontaminate_bloom",
     "text_ngram_topk",
     "emb_gram_matrix",
+    "dedup_spans",
 ]
 
 
@@ -97,7 +98,7 @@ def build(spark, out: Path) -> None:
             df.write.mode("overwrite").parquet(str(dst))
 
 
-SKEW_QUERIES = ["w5_asof_join", "w6_range_join"]
+SKEW_QUERIES = ["w5_asof_join", "w6_range_join", "w7_asof_forward", "w8_asof_nearest"]
 
 
 def build_skew_events(spark, uniform: Path, out: Path) -> None:
