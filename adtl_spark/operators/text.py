@@ -618,3 +618,75 @@ def ngram_topk_oracle_sql(table: str, n: int = 2, k: int = 100) -> str:
     SELECT ngram, CAST(count(*) AS BIGINT) AS n
     FROM grams GROUP BY ngram ORDER BY n DESC, ngram ASC LIMIT {k}
     """
+
+
+def length_quantiles_by_group(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group EXACT p25/p50/p75 token-count quantiles by nearest-rank
+    selection (rank = ceil(q*n), the classic inclusive definition) — no
+    sketch, no interpolation, so the values are corpus elements and
+    identical across engines.  All rank arithmetic is integer
+    (ceil(q*n) = (q_num*n + q_den - 1) DIV q_den); one rank window per
+    group over (id, group, n_tokens) rows — documents never enter the
+    window, and groups sort in parallel."""
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("grp").orderBy("n_tokens", "id")
+    ranked = lens.select(
+        "grp",
+        "n_tokens",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("__cnt"),
+    )
+
+    def at_rank(rank_expr: str, alias: str):
+        return F.max(
+            F.when(F.col("__rn") == F.expr(rank_expr), F.col("n_tokens"))
+        ).alias(alias)
+
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            at_rank("(`__cnt` + 3) DIV 4", "p25_tokens"),
+            at_rank("(`__cnt` + 1) DIV 2", "p50_tokens"),
+            at_rank("(3 * `__cnt` + 3) DIV 4", "p75_tokens"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "p25_tokens",
+            "p50_tokens",
+            "p75_tokens",
+        )
+    )
+
+
+def length_quantiles_oracle_sql(table: str, group_col: str = "lang") -> str:
+    """DuckDB twin of :func:`length_quantiles_by_group` — same integer
+    nearest-rank arithmetic over the same (n_tokens, id) ordering."""
+    return f"""
+    WITH lens AS (
+      SELECT doc_id AS id, {group_col} AS grp,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT grp, n_tokens,
+             row_number() OVER (PARTITION BY grp ORDER BY n_tokens, id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS cnt
+      FROM lens
+    )
+    SELECT grp AS {group_col},
+           max(CASE WHEN rn = (cnt + 3) // 4 THEN n_tokens END) AS p25_tokens,
+           max(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS p50_tokens,
+           max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n_tokens END) AS p75_tokens
+    FROM ranked GROUP BY grp
+    """

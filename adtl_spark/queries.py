@@ -1106,6 +1106,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language p25/p50/p75 token counts by integer
+    nearest-rank selection — the distribution snapshot behind length
+    filtering thresholds (text.length_quantiles_by_group)."""
+    return X.length_quantiles_by_group(_t(spark, sf_dir, "documents"))
+
+
 DUPSPAN_N = 8
 
 
@@ -1879,6 +1886,7 @@ def oracles() -> dict[str, str]:
         ),
         "emb_gram_matrix": S.gram_matrix_oracle_sql("embeddings", dim=EMB_DIM),
         "dedup_spans": D.duplicated_spans_oracle_sql("documents", n=DUPSPAN_N),
+        "corpus_length_quantiles": X.length_quantiles_oracle_sql("documents"),
         "dedup_semantic": S.semantic_dedup_oracle_sql(
             "embeddings", NEARDUP_TAU, KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1938,6 +1946,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_topk": text_ngram_topk,
         "emb_gram_matrix": emb_gram_matrix,
         "dedup_spans": dedup_spans,
+        "corpus_length_quantiles": corpus_length_quantiles,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,
