@@ -101,6 +101,7 @@ HEADLINE = [
     "text_ngram_topk",
     "emb_gram_matrix",
     "dedup_spans",
+    "corpus_length_quantiles",
 ]
 
 

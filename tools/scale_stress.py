@@ -78,6 +78,7 @@ QUERIES = [
     "text_ngram_topk",
     "emb_gram_matrix",
     "dedup_spans",
+    "corpus_length_quantiles",
 ]
 
 
