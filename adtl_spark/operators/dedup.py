@@ -991,3 +991,86 @@ def duplicated_spans_oracle_sql(
            CAST(max(pos) + {n} - 1 AS BIGINT) AS span_end
     FROM isl GROUP BY id, g
     """
+
+
+def remove_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`duplicated_spans` decisions: cut the flagged token
+    spans out of each document, returning (doc_id, text) with the
+    surviving tokens re-joined by single spaces (the tokenizer contract's
+    whitespace normalization — span positions are token indices, so the
+    rebuilt text is token-exact even where the original spacing was not).
+
+    Scale shape: the span lists aggregate to one small row per affected
+    document and join back on the id (AQE broadcasts them when small);
+    the cut itself is a NARROW higher-order-function expression — token
+    positions are filtered against the span list per row, so document
+    text never explodes into per-token rows and never shuffles."""
+    sp = spans.groupBy(F.col(id_col).alias("__sid__")).agg(
+        F.collect_list(
+            F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+        ).alias("__spans__")
+    )
+    from adtl_spark.operators.text import tokens
+
+    t = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks__")
+    ).join(sp, F.col(id_col) == F.col("__sid__"), "left")
+    spans_arr = F.coalesce(
+        F.col("__spans__"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    idx = F.sequence(F.lit(0), F.size("__toks__") - 1)
+    kept = F.filter(
+        idx,
+        lambda i: ~F.exists(
+            spans_arr, lambda r: (i >= r["s"]) & (i <= r["e"])
+        ),
+    )
+    rebuilt = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("__toks__"), i + 1)), " "
+    )
+    return t.select(F.col(id_col), rebuilt.alias(text_col))
+
+
+def remove_spans_oracle_sql(table: str, n: int = 10, min_df: int = 2) -> str:
+    """DuckDB twin of duplicated_spans + remove_spans composed: the span
+    query as a CTE, then a per-token anti-join rebuild (the relational
+    equivalent of the narrow HOF cut; string_agg ORDER BY pos restores
+    token order).  Documents with every token covered — or zero tokens —
+    come back as empty strings via the left join."""
+    spans_q = duplicated_spans_oracle_sql(table, n, min_df)
+    return f"""
+    WITH spans AS ({spans_q}),
+    dtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM {table}
+    ),
+    tok_rows AS (
+      SELECT doc_id, i - 1 AS pos, toks[CAST(i AS INT)] AS tok
+      FROM dtoks
+      CROSS JOIN (
+        SELECT unnest(range(1, (
+          SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM dtoks))) AS i
+      ) idx
+      WHERE i <= len(toks)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok_rows t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end
+      )
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(r.text, '') AS text
+    FROM {table} d LEFT JOIN rebuilt r USING (doc_id)
+    """

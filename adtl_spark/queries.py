@@ -1124,6 +1124,15 @@ def dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicated_spans(_t(spark, sf_dir, "documents"), n=DUPSPAN_N)
 
 
+def dedup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span dedup APPLIED: cut every repeated span found by dedup_spans
+    out of the corpus — narrow HOF token filtering against the per-doc
+    span list; text never explodes into rows (dedup.remove_spans)."""
+    docs = _t(spark, sf_dir, "documents")
+    spans = D.duplicated_spans(docs, n=DUPSPAN_N)
+    return D.remove_spans(docs, spans)
+
+
 def emb_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangular Gram matrix of the embedding corpus — the PCA /
     whitening input.  Narrow outer-product cells, map-side combine, one
@@ -1887,6 +1896,7 @@ def oracles() -> dict[str, str]:
         "emb_gram_matrix": S.gram_matrix_oracle_sql("embeddings", dim=EMB_DIM),
         "dedup_spans": D.duplicated_spans_oracle_sql("documents", n=DUPSPAN_N),
         "corpus_length_quantiles": X.length_quantiles_oracle_sql("documents"),
+        "dedup_spans_apply": D.remove_spans_oracle_sql("documents", n=DUPSPAN_N),
         "dedup_semantic": S.semantic_dedup_oracle_sql(
             "embeddings", NEARDUP_TAU, KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -1947,6 +1957,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_gram_matrix": emb_gram_matrix,
         "dedup_spans": dedup_spans,
         "corpus_length_quantiles": corpus_length_quantiles,
+        "dedup_spans_apply": dedup_spans_apply,
         # -- never driver-checked (new in round 3, past the 50-row cap) --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

@@ -102,6 +102,7 @@ HEADLINE = [
     "emb_gram_matrix",
     "dedup_spans",
     "corpus_length_quantiles",
+    "dedup_spans_apply",
 ]
 
 

@@ -329,6 +329,22 @@ def test_duplicated_spans_merge_to_maximal(spark):
     assert out == {1: (2, 6), 2: (0, 4)}
 
 
+def test_remove_spans_cuts_flagged_tokens(spark):
+    """Span application: flagged token ranges disappear, untouched docs
+    survive whitespace-normalized, a fully-covered doc becomes empty."""
+    from adtl_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x  y\tz"), (3, "p q")],
+        "doc_id long, text string",
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 2), (3, 0, 1)], "doc_id long, span_start long, span_end long"
+    )
+    out = {r["doc_id"]: r["text"] for r in D.remove_spans(docs, spans).collect()}
+    assert out == {1: "a d e", 2: "x y z", 3: ""}
+
+
 def test_bloom_screen_never_misses_exact_hits(spark):
     """The bloom screen is a superset filter: every doc the exact
     decontaminate flags must be flagged by the bloom variant (false

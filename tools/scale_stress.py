@@ -79,6 +79,7 @@ QUERIES = [
     "emb_gram_matrix",
     "dedup_spans",
     "corpus_length_quantiles",
+    "dedup_spans_apply",
 ]
 
 
