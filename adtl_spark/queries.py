@@ -1643,7 +1643,15 @@ def oracles() -> dict[str, str]:
                      list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
               FROM documents
             ),
-            nums AS (SELECT range AS ci FROM range(0, 1024))
+            -- chunk-index bound derived from the corpus max token count
+            -- (same rationale as corpus_pack: a hardcoded cap would
+            -- silently truncate long documents in the oracle only)
+            nums AS (
+              SELECT unnest(range(0, (
+                SELECT CAST(ceil(max(len(toks)) / CAST({CHUNK_TOKENS} AS DOUBLE)) AS BIGINT)
+                FROM t
+              ))) AS ci
+            )
             SELECT doc_id,
                    CAST(ci AS BIGINT) AS chunk_id,
                    CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
