@@ -453,3 +453,208 @@ def decontaminate_bloom_oracle_sql(
            CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS INT) AS flagged
     FROM ({train_sql}) d LEFT JOIN hits h ON h.id = d.doc_id
     """
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    vocab_k: int = 20,
+    bigram_m: int = 200,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean log-probability under a bigram LM with stupid
+    backoff (Brants et al. 2007, alpha = 0.4) trained on the corpus
+    itself — the next step up from :func:`unigram_logprob`: it scores
+    SEQUENCE structure, so a document of coherent phrases outranks the
+    same tokens scrambled (a unigram model cannot tell them apart).
+
+    Model = three bounded relations: the top-``vocab_k`` unigram
+    vocabulary (out-of-vocabulary tokens collapse to ``<unk>``), the
+    per-context bigram-start counts (at most K+1 rows), and the
+    top-``bigram_m`` bigrams over the mapped alphabet.  Scoring:
+    the first token scores p_uni = cnt/total (0.5/total for ``<unk>``);
+    each following token scores cnt2/ctx(w1) when its bigram is in the
+    model, else 0.4 * p_uni(w2).  All per-token logs are quantized to
+    1e-4 integers before summing (module-docstring protocol), so the
+    per-doc mean is a ratio of exact integers.
+
+    Scale shape: the vocabulary is a K-row collect (a model build, like
+    the k-means centroid and IVF index collects) embedded as a literal
+    token map — the mapped-token array is then a NARROW expression, no
+    per-token join for mapping; bigram extraction is an in-row
+    arrays_zip, so the corpus contributes two (pair, count) map-side
+    combined aggs for training and one per-doc partial-sum agg for
+    scoring.  ctx/bigram/vocab all broadcast; the corpus never shuffles
+    except as (doc, partial sums).  Precondition: a non-empty training
+    corpus (same as unigram — an empty vocabulary yields loud NULLs)."""
+    from adtl_spark.operators.text import tokens
+
+    uni = train_unigram(docs, vocab_k, text_col, id_col)
+    vocab_tokens = [r["token"] for r in uni.select("token").collect()]
+
+    def mapped(col: Column) -> Column:
+        if not vocab_tokens:
+            return F.transform(tokens(col), lambda t: F.lit("<unk>"))
+        return F.transform(
+            tokens(col),
+            lambda t: F.when(t.isin(vocab_tokens), t).otherwise("<unk>"),
+        )
+
+    base = docs.select(
+        F.col(id_col).alias("__did__"),
+        mapped(F.col(text_col)).alias("m"),
+    )
+    pairs = base.select(
+        "__did__",
+        F.explode(
+            F.arrays_zip(
+                # greatest(.., 0): slice() rejects a negative length on
+                # zero-token documents
+                F.slice(F.col("m"), 1, F.greatest(F.size("m") - 1, F.lit(0))).alias(
+                    "w1"
+                ),
+                F.slice(F.col("m"), 2, F.greatest(F.size("m") - 1, F.lit(0))).alias(
+                    "w2"
+                ),
+            )
+        ).alias("p"),
+    ).select("__did__", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .orderBy(F.desc("cnt2"), F.asc("w1"), F.asc("w2"))
+        .limit(bigram_m)
+    )
+    total = uni.agg(F.max("total").alias("total"))
+
+    p_pair = F.when(
+        F.col("cnt2").isNotNull(), F.col("cnt2") / F.col("ctx")
+    ).otherwise(F.lit(0.4) * F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total"))
+    qpair = F.floor(F.log(p_pair) * 10000 + F.lit(0.5)).cast("long")
+    psum = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1")
+        .join(
+            F.broadcast(uni.select(F.col("token").alias("w2"), "cnt")), "w2", "left"
+        )
+        .crossJoin(F.broadcast(total))
+        .groupBy("__did__")
+        .agg(F.sum(qpair).alias("__ps__"))
+    )
+
+    def q4(x):
+        # floor protocol, not round() — see unigram_logprob
+        return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+    head = base.select(
+        "__did__",
+        F.size("m").cast("long").alias("n_tokens"),
+        F.size(F.filter(F.col("m"), lambda x: x == "<unk>")).alias("__oov__"),
+        F.element_at(F.col("m"), 1).alias("token"),
+    )
+    qfirst = F.floor(
+        F.log(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total")) * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        head.join(F.broadcast(uni.select("token", "cnt")), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("__qf__", F.when(F.col("n_tokens") > 0, qfirst))
+        .join(psum, "__did__", "left")
+    )
+    return scored.select(
+        F.col("__did__").alias(id_col),
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            q4(F.col("__oov__").cast("double") / F.col("n_tokens")),
+        ).alias("oov_frac"),
+        F.when(
+            F.col("n_tokens") > 0,
+            q4(
+                (F.col("__qf__") + F.coalesce(F.col("__ps__"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.col("n_tokens")
+                / 10000.0
+            ),
+        ).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob_oracle_sql(
+    source_sql: str, vocab_k: int = 20, bigram_m: int = 200
+) -> str:
+    """DuckDB twin of :func:`bigram_logprob` — same tokenizer, top-K and
+    top-M tie-breaks, <unk> mapping, stupid-backoff formula with
+    identical double-arithmetic association, and quantized-log protocol."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+      FROM ({source_sql})
+    ),
+    flat AS (SELECT id, unnest(toks) AS token FROM t),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM flat
+      GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    tot AS (SELECT count(*) AS total FROM flat),
+    vl AS (SELECT list(token) AS vl FROM vocab),
+    m AS (
+      SELECT id, toks,
+             list_transform(toks, x ->
+               CASE WHEN list_contains(vl.vl, x) THEN x ELSE '<unk>' END) AS m
+      FROM t CROSS JOIN vl
+    ),
+    pairs AS (
+      SELECT id, p[1] AS w1, p[2] AS w2
+      FROM (
+        SELECT id, unnest(list_zip(m[1:len(m)-1], m[2:len(m)])) AS p FROM m
+      )
+    ),
+    ctx AS (SELECT w1, count(*) AS ctx FROM pairs GROUP BY 1),
+    big AS (
+      SELECT w1, w2, count(*) AS cnt2 FROM pairs
+      GROUP BY 1, 2 ORDER BY cnt2 DESC, w1 ASC, w2 ASC LIMIT {bigram_m}
+    ),
+    psum AS (
+      SELECT p.id,
+             SUM(CAST(floor(ln(
+               CASE WHEN b.cnt2 IS NOT NULL THEN b.cnt2 / CAST(c.ctx AS DOUBLE)
+                    ELSE 0.4 * coalesce(v.cnt, 0.5) / tot.total END
+             ) * 10000 + 0.5) AS BIGINT)) AS ps
+      FROM pairs p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN ctx c ON p.w1 = c.w1
+      LEFT JOIN vocab v ON p.w2 = v.token
+      CROSS JOIN tot
+      GROUP BY 1
+    ),
+    head AS (
+      SELECT id, CAST(len(m) AS BIGINT) AS n_tokens,
+             len(list_filter(m, x -> x = '<unk>')) AS oov,
+             m[1] AS ft
+      FROM m
+    ),
+    scored AS (
+      SELECT h.id, h.n_tokens, h.oov,
+             CASE WHEN h.n_tokens > 0 THEN
+               CAST(floor(ln(coalesce(v.cnt, 0.5) / tot.total) * 10000 + 0.5) AS BIGINT)
+             END AS qf,
+             ps.ps
+      FROM head h
+      LEFT JOIN vocab v ON h.ft = v.token
+      CROSS JOIN tot
+      LEFT JOIN psum ps ON h.id = ps.id
+    )
+    SELECT id AS doc_id, n_tokens,
+           CASE WHEN n_tokens > 0 THEN
+             floor(CAST(oov AS DOUBLE) / n_tokens * 10000 + 0.5) / 10000.0
+           END AS oov_frac,
+           CASE WHEN n_tokens > 0 THEN
+             floor(CAST(qf + coalesce(ps, 0) AS DOUBLE) / n_tokens / 10000.0 * 10000 + 0.5) / 10000.0
+           END AS avg_logprob
+    FROM scored
+    """

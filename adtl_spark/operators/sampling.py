@@ -157,3 +157,169 @@ def stratified_sample_oracle_sql(
       FROM {table}
     ) WHERE __rn <= {k}
     """
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mixture",
+    default: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each group at its own target rate —
+    the "mix sources at fixed ratios" step every pretraining pipeline
+    runs (e.g. downsample crawl, keep all of books).
+
+    Same salted-hash Bernoulli as :func:`hash_sample` but with a
+    per-group threshold; the hash depends on the KEY only, so samples
+    are nested across weight changes (raising a group's weight strictly
+    grows its sample — reproducible curriculum re-mixes) and
+    append-stable.  A narrow CASE filter: no shuffle, no RNG, pushes
+    down to the scan, and at 100 TB prunes row groups wherever the
+    layout sorts or partitions by ``group_col``."""
+    thr: Column = F.lit(int(default * HASH_SPACE))
+    for grp, w in sorted(weights.items()):
+        thr = F.when(F.col(group_col) == grp, F.lit(int(w * HASH_SPACE))).otherwise(thr)
+    return df.filter(_keyed_hash(F.col(key_col), salt) < thr)
+
+
+def mixture_sample_where_sql(
+    weights: dict[str, float],
+    group_col: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "mixture",
+    default: float = 0.0,
+) -> str:
+    "DuckDB WHERE predicate twin of mixture_sample"
+    cases = " ".join(
+        f"WHEN '{g}' THEN {int(w * HASH_SPACE)}" for g, w in sorted(weights.items())
+    )
+    return (
+        f"{_keyed_hash_sql(key_expr, salt)} < "
+        f"(CASE {group_col} {cases} ELSE {int(default * HASH_SPACE)} END)"
+    )
+
+
+def select_until_budget(
+    df: DataFrame,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    band_width: int = 16,
+) -> DataFrame:
+    """Token-budget selection: walk documents in (priority DESC, id ASC)
+    order and keep them while the running token total stays within
+    ``budget`` — the "take the best B tokens" cut that turns a scored
+    corpus into a fixed-size training set.
+
+    The running total is the same DISTRIBUTED two-phase prefix sum as
+    sequence packing (see ``pack_chunks``): documents band by
+    ``priority DIV band_width`` (band boundaries respect the global
+    priority order, so per-band cumsums + band-offset chaining
+    reconstruct the exact global running sum); only the per-band totals
+    cross the one single-partition window.  Pick ``band_width`` so the
+    priority histogram spreads bands evenly — a constant-priority corpus
+    degenerates to one band (one window partition), the same caveat any
+    range-partitioned sort has on a constant key.
+
+    Emits (id, priority, n_tokens, cum_tokens) for kept documents, where
+    ``cum_tokens`` is the inclusive running total <= budget."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("__band__", F.expr(f"`{priority_col}` DIV {band_width}"))
+    local_w = (
+        Window.partitionBy("__band__")
+        .orderBy(F.desc(priority_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__lc__", F.sum(tokens_col).over(local_w))
+    totals = b.groupBy("__band__").agg(F.sum(tokens_col).alias("__bt__"))
+    offset_w = Window.orderBy(F.desc("__band__")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__band__",
+        F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__"),
+    )
+    return (
+        local.join(F.broadcast(offsets), "__band__")
+        .select(
+            id_col,
+            priority_col,
+            tokens_col,
+            (F.col("__bo__") + F.col("__lc__")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def select_until_budget_oracle_sql(
+    source_sql: str,
+    budget: int,
+    tokens_col: str = "n_tokens",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of select_until_budget: one global ordered window (the
+    two-phase banding is an execution strategy, not a semantic change)."""
+    return f"""
+    SELECT {id_col}, {priority_col}, {tokens_col}, cum_tokens FROM (
+      SELECT *, SUM({tokens_col}) OVER (
+        ORDER BY {priority_col} DESC, {id_col} ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_tokens
+      FROM ({source_sql})
+    ) WHERE cum_tokens <= {budget}
+    """
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Reproducible global training order: assign every row a dense
+    1-based ``shuffle_pos`` by sorting on the salted key hash — the
+    epoch-shuffle that must give the SAME order on every run, engine,
+    and partition layout (``orderBy(rand())`` gives none of that).
+
+    The global rank is two-phase: rows bucket by the hash's HIGH bits
+    (so bucket order == hash order), each bucket ranks locally in
+    parallel, and only the 256 per-bucket counts pass through the
+    single-partition offset window.  Uniform hashing makes the buckets
+    even by construction — no skew caveat, unlike value-ordered ranks.
+    Change ``salt`` to draw a fresh epoch permutation."""
+    from pyspark.sql import Window
+
+    bucket_width = HASH_SPACE // n_buckets
+    h = _keyed_hash(F.col(key_col), salt)
+    b = df.withColumn("__h__", h).withColumn(
+        "__bk__", F.expr(f"`__h__` DIV {bucket_width}")
+    )
+    local_w = Window.partitionBy("__bk__").orderBy("__h__", key_col)
+    local = b.withColumn("__rn__", F.row_number().over(local_w))
+    counts = b.groupBy("__bk__").agg(F.count(F.lit(1)).alias("__n__"))
+    offset_w = Window.orderBy("__bk__").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bk__", F.coalesce(F.sum("__n__").over(offset_w), F.lit(0)).alias("__off__")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__bk__")
+        .withColumn("shuffle_pos", (F.col("__off__") + F.col("__rn__")).cast("long"))
+        .drop("__h__", "__bk__", "__rn__", "__off__")
+    )
+
+
+def deterministic_shuffle_oracle_sql(
+    table: str, key_col: str = "doc_id", salt: str = "shuffle", select: str = "*"
+) -> str:
+    "DuckDB twin of deterministic_shuffle: one global ordered row_number."
+    h = _keyed_hash_sql(key_col, salt)
+    return f"""
+    SELECT {select}, CAST(row_number() OVER (ORDER BY {h}, {key_col}) AS BIGINT)
+           AS shuffle_pos
+    FROM {table}
+    """

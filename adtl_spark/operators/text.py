@@ -690,3 +690,150 @@ def length_quantiles_oracle_sql(table: str, group_col: str = "lang") -> str:
            max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n_tokens END) AS p75_tokens
     FROM ranked GROUP BY grp
     """
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents per query (Okapi BM25,
+    k1=1.2, b=0.75 — the Robertson/Sparck-Jones defaults every search
+    stack ships).  ``queries`` is a tiny (query_id, query) relation;
+    scoring uses the same whitespace tokenizer as the rest of the text
+    family.
+
+    Exactness: the two float-looking factors are quantized to integers
+    once each, so the per-(query, doc) score and therefore the ranking
+    are EXACT integer arithmetic, reproducible across engines:
+
+    - ``idf_q  = floor(ln(1 + (N - df + 0.5)/(df + 0.5)) * 1e4 + 0.5)``
+      (same 1e-4 quantum and 1-ulp ln() caveat as tf-idf above);
+    - ``tfn_q  = (2200000*tf) DIV (10*tf + 3 + (9000*dl) DIV A)`` where
+      ``A = (T*1000) DIV N`` is the milli-token average document length —
+      this is ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))`` scaled by
+      1e5 with every division an explicit integer DIV the oracle
+      replicates verbatim.  Magnitudes: tfn_q <= 2.2e5, idf_q <= ~3e5,
+      so a summed score stays far under 2^63 at any corpus size.
+
+    Shape at scale: the query relation (a handful of rows) tokenizes and
+    BROADCASTS; the corpus contributes one (doc, token) tf aggregation
+    (map-side combined) and a token-level df agg — both already computed
+    by any tf-idf pass and shareable — then the broadcast semi-join
+    keeps only tokens that appear in some query, so the per-(query, doc)
+    score agg and the per-query top-k window touch a relation whose size
+    is bounded by matches, not by the corpus.  The corpus is never
+    shuffled except on (id, token) for the tf agg."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
+    stats = df.select(
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col(text_col)))).alias("t_tokens"),
+    ).select(
+        "n_docs", F.expr("t_tokens * 1000 DIV n_docs").alias("avgdl_q")
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokens(F.col("query"))).alias("token")
+    ).distinct()
+    idf_q = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_") + 0.5) / (F.col("df_") + 0.5)
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(dl, "id")
+        .join(doc_freq, "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            (
+                idf_q
+                * F.expr(
+                    "(2200000 * tf) DIV (10 * tf + 3 + (9000 * dl) DIV avgdl_q)"
+                )
+            ).alias("__s"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("__s").alias("__score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / 1e9).alias("bm25"),
+        )
+    )
+
+
+def bm25_topk_oracle_sql(
+    table: str, queries: list[tuple[int, str]], k: int = 5
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` — same tokenizer, same integer
+    quantization (`//` is DuckDB's integer floor division; all operands
+    here are non-negative BIGINTs, so it matches Spark's DIV exactly)."""
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+    dfr AS (SELECT token, count(*) AS df_ FROM tf GROUP BY 1),
+    stats AS (
+      -- n_docs over the base table (a zero-token document still counts
+      -- toward N and avgdl, matching the Spark side's countDistinct)
+      SELECT (SELECT count(DISTINCT doc_id) FROM {table}) AS n_docs,
+             count(*) AS t_tokens
+      FROM toks
+    ),
+    st AS (SELECT n_docs, t_tokens * 1000 // n_docs AS avgdl_q FROM stats),
+    q(query_id, query) AS (VALUES {qvals}),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(query), '\\s+'), t -> t != '')
+      ) AS token
+      FROM q
+    ),
+    scored AS (
+      SELECT qt.query_id, tf.id,
+             SUM(
+               CAST(floor(ln(1 + (st.n_docs - dfr.df_ + 0.5) / (dfr.df_ + 0.5)) * 10000 + 0.5) AS BIGINT)
+               * ((2200000 * tf.tf) // (10 * tf.tf + 3 + (9000 * dl.dl) // st.avgdl_q))
+             ) AS score
+      FROM tf
+      JOIN qterms qt USING (token)
+      JOIN dl USING (id)
+      JOIN dfr USING (token)
+      CROSS JOIN st
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, id AS doc_id, CAST(rank AS BIGINT) AS rank,
+           CAST(score AS DOUBLE) / 1e9 AS bm25
+    FROM ranked WHERE rank <= {k}
+    """

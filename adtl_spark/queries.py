@@ -858,6 +858,18 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_QUERIES = [(1, "hash join spark"), (2, "columnar scan filter"), (3, "sort merge batch")]
+BM25_K = 5
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: top-k documents per query over the corpus —
+    integer-quantized Okapi scoring, broadcast query terms, per-query
+    top-k window (text.bm25_topk)."""
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return X.bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=BM25_K)
+
+
 def corpus_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-screened decontamination: same train/eval split as
     corpus_decontaminate, but the eval side compresses to a fixed-size
@@ -936,6 +948,60 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-bucket train/valid/test assignment (sampling.train_test_split)."""
     return SA.train_test_split(_t(spark, sf_dir, "documents"), SPLIT_WEIGHTS).select(
         "doc_id", "split"
+    )
+
+
+BIGRAM_M = 200
+
+
+def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with stupid backoff — sequence-aware
+    perplexity filtering; bounded broadcast model, literal vocab map,
+    narrow bigram extraction (corpus.bigram_logprob)."""
+    return C.bigram_logprob(
+        _t(spark, sf_dir, "documents"), vocab_k=UNIGRAM_VOCAB_K, bigram_m=BIGRAM_M
+    )
+
+
+MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+MIXTURE_DEFAULT = 0.1
+TOKEN_BUDGET = 15_000
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: per-source keep rates (keep all of src0,
+    half of src1, a tenth of everything else) via a narrow per-group
+    hash threshold (sampling.mixture_sample)."""
+    return SA.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        MIXTURE_WEIGHTS,
+        default=MIXTURE_DEFAULT,
+    ).select("doc_id", "source")
+
+
+def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: keep the highest-priority documents
+    (priority = distinct-token count, an exact integer quality proxy)
+    until the running token total reaches TOKEN_BUDGET — two-phase
+    distributed prefix sum, no global window
+    (sampling.select_until_budget)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long").alias(
+            "priority"
+        ),
+    )
+    return SA.select_until_budget(scored, TOKEN_BUDGET)
+
+
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch shuffle: dense global training order by salted
+    key hash, two-phase bucketed ranking — no single-partition sort of
+    the corpus (sampling.deterministic_shuffle)."""
+    return SA.deterministic_shuffle(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "shuffle_pos"
     )
 
 
@@ -1858,6 +1924,32 @@ def oracles() -> dict[str, str]:
         "text_ngram_topk": X.ngram_topk_oracle_sql(
             "documents", n=NGRAM_TOPK_N, k=NGRAM_TOPK_K
         ),
+        "text_bm25_topk": X.bm25_topk_oracle_sql(
+            "documents", BM25_QUERIES, k=BM25_K
+        ),
+        "corpus_bigram_logprob": C.bigram_logprob_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            vocab_k=UNIGRAM_VOCAB_K,
+            bigram_m=BIGRAM_M,
+        ),
+        "sample_mixture": f"""
+            SELECT doc_id, source FROM documents
+            WHERE {SA.mixture_sample_where_sql(MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)}
+        """,
+        "corpus_budget_select": SA.select_until_budget_oracle_sql(
+            """SELECT doc_id,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS priority
+               FROM (
+                 SELECT doc_id,
+                        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+                 FROM documents
+               )""",
+            TOKEN_BUDGET,
+        ),
+        "corpus_shuffle": SA.deterministic_shuffle_oracle_sql(
+            "documents", select="doc_id, source"
+        ),
         "corpus_decontaminate_bloom": C.decontaminate_bloom_oracle_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
@@ -1957,6 +2049,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in round 4 (never driver-checked) --
+        "text_bm25_topk": text_bm25_topk,
+        "corpus_bigram_logprob": corpus_bigram_logprob,
+        "sample_mixture": sample_mixture,
+        "corpus_budget_select": corpus_budget_select,
+        "corpus_shuffle": corpus_shuffle,
         "w7_asof_forward": w7_asof_forward,
         "w8_asof_nearest": w8_asof_nearest,
         "dedup_semantic": dedup_semantic,

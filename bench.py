@@ -28,11 +28,13 @@ per-query to whole-suite-first (per-query warmup left the earliest
 queries paying JVM-global C2 compilation in their timed run — 9 s for
 q1's second execution in a cold JVM vs <2 s hot).
 
-Round-4 changes: five more queries (forward/nearest as-of joins,
-SemDeDup semantic dedup, bloom decontamination, n-gram top-k), appended
-so the shared-prefix ordering stays identical to round 3; methodology
-unchanged — per-query times are directly comparable to BENCH_r03 (see
-docs/BENCH_NOTES.md for the r3->r4 diff table).
+Round-4 changes: thirteen more queries (forward/nearest as-of joins,
+SemDeDup semantic dedup, bloom decontamination, n-gram top-k, span
+dedup + application, length quantiles, gram matrix, BM25 retrieval,
+mixture sampling, token-budget selection, deterministic shuffle),
+appended so the shared-prefix ordering stays identical to round 3;
+methodology unchanged — per-query times are directly comparable to
+BENCH_r03 (see docs/BENCH_NOTES.md for the r3->r4 diff table).
 """
 
 from __future__ import annotations
@@ -103,6 +105,11 @@ HEADLINE = [
     "dedup_spans",
     "corpus_length_quantiles",
     "dedup_spans_apply",
+    "text_bm25_topk",
+    "corpus_bigram_logprob",
+    "sample_mixture",
+    "corpus_budget_select",
+    "corpus_shuffle",
 ]
 
 

@@ -866,3 +866,140 @@ def test_pack_chunks_randomized_invariants(spark):
     for doc, c, n in sorted(rows):
         assert out[(doc, c)] == (cum // 64, cum % 64)
         cum += n
+
+
+def test_bm25_topk_ranks_matching_docs(spark):
+    """The document saturated with the query terms must outrank partial
+    matches; ranks are dense 1..k per query and scores non-increasing."""
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join hash join hash join probe build"),
+            (2, "hash join once amid other words entirely unrelated here"),
+            (3, "sort merge sort merge runs"),
+            (4, "nothing relevant at all in this document"),
+        ],
+        ["doc_id", "text"],
+    )
+    qdf = spark.createDataFrame(
+        [(1, "hash join"), (2, "sort merge")], "query_id long, query string"
+    )
+    rows = X.bm25_topk(docs, qdf, k=3).collect()
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    q1 = sorted(byq[1], key=lambda r: r["rank"])
+    assert q1[0]["doc_id"] == 1  # saturated match wins
+    assert [r["rank"] for r in q1] == list(range(1, len(q1) + 1))
+    assert all(a["bm25"] >= b["bm25"] for a, b in zip(q1, q1[1:]))
+    assert sorted(r["doc_id"] for r in byq[2])[0] == 3
+    # doc 4 shares no terms with query 1's vocabulary -> never retrieved
+    assert 4 not in {r["doc_id"] for r in q1}
+
+
+def test_mixture_sample_nested_and_exact_at_extremes(spark):
+    """Weight 1.0 keeps the whole group, 0.0 drops it, and a lower weight
+    yields a SUBSET of a higher weight's sample (hash depends on the key
+    only — reproducible curriculum re-mixes)."""
+    from adtl_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}") for i in range(300)], ["doc_id", "source"]
+    )
+    full = SA.mixture_sample(df, {"src0": 1.0, "src1": 0.5, "src2": 0.0})
+    ids = {(r["doc_id"]) for r in full.collect()}
+    assert {i for i in range(300) if i % 3 == 0} <= ids
+    assert not any(i % 3 == 2 for i in ids)
+    smaller = {
+        r["doc_id"]
+        for r in SA.mixture_sample(df, {"src0": 1.0, "src1": 0.2, "src2": 0.0})
+        .collect()
+    }
+    assert smaller <= ids
+
+
+def test_select_until_budget_matches_global_window(spark):
+    """The two-phase banded prefix sum must equal the naive global ordered
+    cumsum cutoff, across band boundaries and priority ties."""
+    import random
+
+    from pyspark.sql import Window
+
+    from adtl_spark.operators import sampling as SA
+
+    rng = random.Random(11)
+    data = [(i, rng.randrange(1, 50), rng.randrange(0, 40)) for i in range(500)]
+    df = spark.createDataFrame(data, ["doc_id", "n_tokens", "priority"])
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in SA.select_until_budget(df, budget=3000, band_width=8).collect()
+    }
+    w = (
+        Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["doc_id"], r["cum"])
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 3000)
+        .collect()
+    }
+    assert got == want
+
+
+def test_deterministic_shuffle_dense_stable_permutation(spark):
+    """shuffle_pos is a dense 1..n permutation, identical across runs, and
+    a different salt draws a different permutation."""
+    from adtl_spark.operators import sampling as SA
+
+    df = spark.createDataFrame([(i,) for i in range(400)], ["doc_id"])
+    a = {r["doc_id"]: r["shuffle_pos"] for r in SA.deterministic_shuffle(df).collect()}
+    assert sorted(a.values()) == list(range(1, 401))
+    b = {r["doc_id"]: r["shuffle_pos"] for r in SA.deterministic_shuffle(df).collect()}
+    assert a == b
+    c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in SA.deterministic_shuffle(df, salt="epoch2").collect()
+    }
+    assert sorted(c.values()) == list(range(1, 401))
+    assert a != c
+
+
+def test_bigram_logprob_rewards_sequence_structure(spark):
+    """A document of coherent repeated phrases must outscore the SAME
+    token multiset scrambled — the structure signal a unigram model
+    cannot see (both docs have identical unigram scores by construction)."""
+    from adtl_spark.operators import corpus as C
+
+    phrase = "the cat sat " * 20
+    # same 60 tokens, alternation destroys every frequent bigram
+    scrambled = " ".join(["the"] * 20) + " " + " ".join(
+        t for pair in zip(["cat"] * 20, ["sat"] * 20) for t in pair
+    )
+    docs = spark.createDataFrame(
+        [(1, phrase.strip()), (2, scrambled)], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in C.bigram_logprob(docs, vocab_k=5, bigram_m=20).collect()
+    }
+    assert rows[1]["n_tokens"] == rows[2]["n_tokens"] == 60
+    assert rows[1]["oov_frac"] == rows[2]["oov_frac"] == 0.0
+    assert rows[1]["avg_logprob"] > rows[2]["avg_logprob"]
+    uni = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in C.unigram_logprob(docs, vocab_k=5).collect()
+    }
+    assert uni[1] == uni[2]
+
+
+def test_bigram_logprob_empty_and_single_token_docs(spark):
+    """Zero-token docs yield NULL scores; a single-token doc scores its
+    unigram term only."""
+    from adtl_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(1, "word word word"), (2, ""), (3, "word")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in C.bigram_logprob(docs, vocab_k=5).collect()}
+    assert rows[2]["n_tokens"] == 0 and rows[2]["avg_logprob"] is None
+    assert rows[3]["n_tokens"] == 1 and rows[3]["avg_logprob"] is not None

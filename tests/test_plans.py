@@ -370,3 +370,37 @@ def test_query_registry_invariants():
         "pipeline_corpus_clean",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
+
+
+def test_bm25_query_side_broadcasts(spark):
+    """BM25's query-term join must be a broadcast-hash join — the corpus
+    tf relation never shuffles for the semi-join against a handful of
+    query terms."""
+    from adtl_spark.operators import text as X
+
+    docs = spark.createDataFrame(
+        [(i, "hash join scan filter sort") for i in range(200)],
+        ["doc_id", "text"],
+    )
+    qdf = spark.createDataFrame([(1, "hash join")], "query_id long, query string")
+    plan = physical_plan(X.bm25_topk(docs, qdf, k=3))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shuffle_and_budget_heavy_windows_are_partitioned(spark):
+    """deterministic_shuffle's per-row ranking window and
+    select_until_budget's per-doc cumsum window must carry their bucket/
+    band key in the partition spec — only the tiny totals window may be
+    global (same invariant pack_chunks pins)."""
+    from adtl_spark.operators import sampling as SA
+
+    df = spark.createDataFrame(
+        [(i, 10, i % 40) for i in range(2000)], ["doc_id", "n_tokens", "priority"]
+    )
+    plan = physical_plan(SA.deterministic_shuffle(df)).replace(" ", "")
+    assert "row_number()windowspecdefinition(__bk__" in plan
+    plan2 = physical_plan(SA.select_until_budget(df, budget=5000)).replace(" ", "")
+    # the per-doc cumsum partitions by band; the only band-unkeyed window
+    # spec is the tiny totals chain
+    assert "windowspecdefinition(__band__" in plan2

@@ -80,6 +80,11 @@ QUERIES = [
     "dedup_spans",
     "corpus_length_quantiles",
     "dedup_spans_apply",
+    "text_bm25_topk",
+    "corpus_bigram_logprob",
+    "sample_mixture",
+    "corpus_budget_select",
+    "corpus_shuffle",
 ]
 
 
