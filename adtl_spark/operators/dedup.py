@@ -1074,3 +1074,73 @@ def remove_spans_oracle_sql(table: str, n: int = 10, min_df: int = 2) -> str:
     SELECT d.doc_id, COALESCE(r.text, '') AS text
     FROM {table} d LEFT JOIN rebuilt r USING (doc_id)
     """
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a dedup clustering by keeping the HIGHEST-QUALITY member of
+    each duplicate cluster (ties to the smallest id) instead of the
+    arbitrary min-id canonical — the production dedup policy: when near
+    duplicates differ (one is truncated, one is boilerplate-wrapped),
+    keep the best copy, drop the rest.
+
+    ``clusters`` is a (id, canonical_id) assignment as produced by
+    :func:`cluster_pairs` — it contains only documents that belong to
+    some duplicate pair, so it is SMALL relative to the corpus.
+    ``score_col`` names a column on ``docs`` (an exact-integer quality,
+    e.g. distinct-token count, keeps the selection engine-portable).
+
+    Shape at scale: representative selection windows the cluster relation
+    (partitioned by cluster id — parallel, and bounded by the duplicate
+    population, not the corpus); the corpus itself is touched only by one
+    left-anti join against the loser id set, the same 'filter 100 TB by
+    an id list' shape as dedup_apply, broadcast-upgraded by AQE when the
+    loser set is small."""
+    from pyspark.sql import Window
+
+    scored = docs.select(F.col(id_col), F.col(score_col))
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    reps = (
+        clusters.join(scored, id_col)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(id_col)
+    )
+    losers = clusters.select(id_col).join(reps, id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
+
+
+def keep_best_oracle_sql(table: str, max_hamming: int = 8) -> str:
+    """DuckDB twin of keep_best_representative over the SimHash
+    clustering, scoring by distinct-token count: the recursive-CTE
+    closure (cluster_oracle_sql) feeds a per-cluster best-pick window and
+    an anti-join."""
+    return f"""
+    WITH clusters AS ({cluster_oracle_sql(table, max_hamming)}),
+    score AS (
+      SELECT doc_id,
+             len(list_distinct(
+               list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+             )) AS score
+      FROM {table}
+    ),
+    ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (
+               PARTITION BY c.canonical_id ORDER BY s.score DESC, c.doc_id ASC
+             ) AS rn
+      FROM clusters c JOIN score s USING (doc_id)
+    ),
+    losers AS (
+      SELECT doc_id FROM ranked WHERE rn > 1
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM {table} d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+    """

@@ -837,3 +837,64 @@ def bm25_topk_oracle_sql(
            CAST(score AS DOUBLE) / 1e9 AS bm25
     FROM ranked WHERE rank <= {k}
     """
+
+
+# normalization passes, applied IN ORDER (each is a (pattern, replacement)
+# regexp_replace; both engines' regex dialects agree on these ASCII/
+# codepoint-class patterns).  Policy: control chars (except \t \n \v \f \r,
+# which are whitespace) are dropped; curly quotes/dashes/ellipsis fold to
+# ASCII; exotic spaces (NBSP, en-quads..zero-width, narrow NBSP,
+# ideographic) become plain spaces; finally whitespace runs collapse and
+# the ends trim.
+_NORMALIZE_PASSES: list[tuple[str, str]] = [
+    (r"[\x00-\x08\x0e-\x1f\x7f]", ""),
+    ("[‘’‚‛]", "'"),
+    ("[“”„‟]", '"'),
+    ("[–—―]", "-"),
+    ("…", "..."),
+    ("[  -​ 　]", " "),
+    (r"\s+", " "),
+]
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic text normalization (the CCNet-style cleanup pass every
+    web corpus runs before dedup/scoring): strip control characters, fold
+    typographic quotes/dashes/ellipses to ASCII, canonicalize exotic
+    Unicode spaces, collapse whitespace runs, trim.
+
+    A pure chain of ``regexp_replace`` Column expressions — narrow,
+    whole-stage codegen, zero shuffle; at 100 TB this runs fused into the
+    scan like any projection.  Emits (id, text_norm, n_chars_norm,
+    changed) so downstream passes can both consume the canonical text and
+    audit the normalization rate."""
+    c: Column = F.col(text_col)
+    for pat, repl in _NORMALIZE_PASSES:
+        c = F.regexp_replace(c, pat, repl)
+    c = F.trim(c)
+    return df.select(
+        F.col(id_col),
+        c.alias("text_norm"),
+        F.length(c).cast("long").alias("n_chars_norm"),
+        (c != F.col(text_col)).alias("changed"),
+    )
+
+
+def normalize_text_oracle_sql(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`normalize_text` — the same replacement chain
+    in the same order ('g' flag = Spark's replace-all default)."""
+    expr = "text"
+    for pat, repl in _NORMALIZE_PASSES:
+        lit_pat = pat.replace("'", "''")
+        lit_repl = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit_pat}', '{lit_repl}', 'g')"
+    expr = f"trim({expr})"
+    return f"""
+    SELECT {id_col},
+           {expr} AS text_norm,
+           CAST(length({expr}) AS BIGINT) AS n_chars_norm,
+           {expr} != text AS changed
+    FROM {table}
+    """

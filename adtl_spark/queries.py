@@ -858,6 +858,13 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style text normalization: control-char strip, typographic
+    fold, Unicode-space canonicalization, whitespace collapse — a pure
+    regexp_replace chain fused into the scan (text.normalize_text)."""
+    return X.normalize_text(_t(spark, sf_dir, "documents"))
+
+
 BM25_QUERIES = [(1, "hash join spark"), (2, "columnar scan filter"), (3, "sort merge batch")]
 BM25_K = 5
 
@@ -1055,6 +1062,22 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup application with a QUALITY policy: per SimHash near-dup
+    cluster keep the highest-scoring member (distinct-token count, exact
+    integer), not the min-id one — cluster-partitioned best-pick window
+    over the small duplicate population, one corpus anti-join
+    (dedup.keep_best_representative)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.withColumn(
+        "__q__", F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long")
+    )
+    clusters = D.cluster_pairs(D.simhash_pairs(docs))
+    return D.keep_best_representative(scored, clusters, "__q__").select(
+        "doc_id", "lang", "source"
+    )
 
 
 # the synthetic 64-dim embeddings top out near cosine 0.51; 0.35 yields a
@@ -1927,6 +1950,7 @@ def oracles() -> dict[str, str]:
         "text_bm25_topk": X.bm25_topk_oracle_sql(
             "documents", BM25_QUERIES, k=BM25_K
         ),
+        "text_normalize": X.normalize_text_oracle_sql("documents"),
         "corpus_bigram_logprob": C.bigram_logprob_oracle_sql(
             "SELECT doc_id, text FROM documents",
             vocab_k=UNIGRAM_VOCAB_K,
@@ -1980,6 +2004,7 @@ def oracles() -> dict[str, str]:
         ),
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_cluster": D.cluster_oracle_sql("documents"),
+        "dedup_keep_best": D.keep_best_oracle_sql("documents"),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
         "dedup_embedding_lsh": S.embedding_neardup_oracle_sql(
             "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
@@ -2050,7 +2075,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- new in round 4 (never driver-checked) --
         "text_bm25_topk": text_bm25_topk,
+        "text_normalize": text_normalize,
         "corpus_bigram_logprob": corpus_bigram_logprob,
+        "dedup_keep_best": dedup_keep_best,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

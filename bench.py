@@ -106,7 +106,12 @@ HEADLINE = [
     "corpus_length_quantiles",
     "dedup_spans_apply",
     "text_bm25_topk",
+    "text_normalize",
     "corpus_bigram_logprob",
+    # dedup_keep_best is gate-checked but (like dedup_cluster, which it
+    # composes) not benched: the synthetic corpus's 31-token vocabulary
+    # makes SimHash link most documents, so its cost measures the
+    # pathological pair set, not the operator
     "sample_mixture",
     "corpus_budget_select",
     "corpus_shuffle",

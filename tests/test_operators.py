@@ -1003,3 +1003,71 @@ def test_bigram_logprob_empty_and_single_token_docs(spark):
     rows = {r["doc_id"]: r for r in C.bigram_logprob(docs, vocab_k=5).collect()}
     assert rows[2]["n_tokens"] == 0 and rows[2]["avg_logprob"] is None
     assert rows[3]["n_tokens"] == 1 and rows[3]["avg_logprob"] is not None
+
+
+def test_keep_best_representative_prefers_quality_over_min_id(spark):
+    """Within a duplicate cluster the HIGHEST-scoring member survives even
+    when it has the largest id; singletons always survive."""
+    docs = spark.createDataFrame(
+        [
+            (1, 2, "short"),
+            (2, 2, "short short"),
+            (3, 9, "the long rich distinct copy"),  # best quality, max id
+            (7, 5, "unclustered singleton"),
+        ],
+        ["doc_id", "score", "text"],
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["doc_id", "canonical_id"]
+    )
+    kept = {
+        r["doc_id"]
+        for r in D.keep_best_representative(docs, clusters, "score").collect()
+    }
+    assert kept == {3, 7}
+    # tie on score -> smallest id wins
+    tie = spark.createDataFrame(
+        [(4, 5, "a"), (5, 5, "b")], ["doc_id", "score", "text"]
+    )
+    tclusters = spark.createDataFrame([(4, 4), (5, 4)], ["doc_id", "canonical_id"])
+    kept2 = {
+        r["doc_id"]
+        for r in D.keep_best_representative(tie, tclusters, "score").collect()
+    }
+    assert kept2 == {4}
+
+
+def test_normalize_text_folds_and_collapses(spark):
+    """Typographic folds, control strip, exotic-space canonicalization and
+    whitespace collapse — verified against the DuckDB oracle twin on
+    genuinely messy text (the gate corpus is clean ASCII, so this is the
+    real cross-engine coverage for the chain)."""
+    import duckdb
+
+    messy = [
+        (1, "“Smart” quotes ‘here’ — and… more"),
+        (2, "nbsp and em-space​and zero-width"),
+        (3, "ctrl\x01chars\x1fgone\ttabs\nnewlines   collapsed  "),
+        (4, "already clean ascii"),
+        (5, ""),
+    ]
+    docs = spark.createDataFrame(messy, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_norm"], r["n_chars_norm"], r["changed"])
+        for r in X.normalize_text(docs).collect()
+    }
+    assert got[1][0] == "\"Smart\" quotes 'here' - and... more"
+    assert got[2][0] == "nbsp and em-space and zero-width"
+    assert got[3][0] == "ctrlcharsgone tabs newlines collapsed"
+    assert got[4] == ("already clean ascii", 19, False)
+    assert got[5] == ("", 0, False)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", messy)
+    oracle = {
+        int(r[0]): (r[1], int(r[2]), bool(r[3]))
+        for r in con.execute(
+            X.normalize_text_oracle_sql("t")
+        ).fetchall()
+    }
+    assert got == oracle

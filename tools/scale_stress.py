@@ -81,7 +81,12 @@ QUERIES = [
     "corpus_length_quantiles",
     "dedup_spans_apply",
     "text_bm25_topk",
+    "text_normalize",
     "corpus_bigram_logprob",
+    # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
+    # corpus the SimHash pair set itself is pathological (every doc links
+    # to ~40 near-identical copies), so the stress measures pair-set
+    # explosion, not the representative-selection operator under test
     "sample_mixture",
     "corpus_budget_select",
     "corpus_shuffle",
