@@ -733,11 +733,19 @@ def bm25_topk(
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
     tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # document length is a NARROW per-row projection (size of the token
+    # array), not a second explode+shuffle; the corpus-wide stats then
+    # reduce the same narrow relation — one extra column-pruned scan, no
+    # extra shuffle.  The dl join below stays map-side at scale: the
+    # other side is the query-matched tf subset, which AQE broadcasts.
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
     doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
-    stats = df.select(
-        F.countDistinct(F.col(id_col)).alias("n_docs"),
-        F.sum(F.size(tokens(F.col(text_col)))).alias("t_tokens"),
+    stats = dl.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("t_tokens"),
     ).select(
         "n_docs", F.expr("t_tokens * 1000 DIV n_docs").alias("avgdl_q")
     )
@@ -801,9 +809,9 @@ def bm25_topk_oracle_sql(
     dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
     dfr AS (SELECT token, count(*) AS df_ FROM tf GROUP BY 1),
     stats AS (
-      -- n_docs over the base table (a zero-token document still counts
-      -- toward N and avgdl, matching the Spark side's countDistinct)
-      SELECT (SELECT count(DISTINCT doc_id) FROM {table}) AS n_docs,
+      -- N = table row count (a zero-token document still counts toward
+      -- N and avgdl, matching the Spark side's narrow dl relation)
+      SELECT (SELECT count(*) FROM {table}) AS n_docs,
              count(*) AS t_tokens
       FROM toks
     ),

@@ -369,3 +369,41 @@ def test_decontamination_screening_on_stream(spark, tmp_path):
     # the 5-token eval doc has exactly one 5-gram; doc 2 has no overlap
     # and is absent from the hits stream
     assert got == want == {1: 1}
+
+
+def test_mixture_and_normalize_run_on_streams(spark, tmp_path):
+    """The round-4 narrow operators are stream-safe by the same argument
+    as hash sampling: mixture_sample is a keyed-hash CASE filter and
+    normalize_text a regexp_replace chain — no state, no shuffle, and a
+    row's result on the stream equals its result in batch."""
+    from adtl_spark.operators import sampling as SA
+    from adtl_spark.operators import text as X
+
+    src = tmp_path / "mix_stream"
+    src.mkdir()
+    batch = spark.range(0, 150).selectExpr(
+        "id AS doc_id",
+        "concat('src', CAST(id % 3 AS STRING)) AS source",
+        "concat('“quoted”  text ', CAST(id AS STRING)) AS text",
+    )
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(str(src))
+
+    weights = {"src0": 1.0, "src1": 0.4, "src2": 0.0}
+    mixed = SA.mixture_sample(stream, weights)
+    assert mixed.isStreaming
+    _run_stream_to_memory(mixed.select("doc_id"), "stream_mixture")
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM stream_mixture").collect()}
+    want = {
+        r["doc_id"] for r in SA.mixture_sample(batch, weights).select("doc_id").collect()
+    }
+    assert got == want
+
+    normed = X.normalize_text(stream)
+    assert normed.isStreaming
+    _run_stream_to_memory(normed, "stream_norm")
+    rows = spark.sql("SELECT * FROM stream_norm").collect()
+    assert len(rows) == 150
+    assert all('"quoted" text' in r["text_norm"] and r["changed"] for r in rows)
