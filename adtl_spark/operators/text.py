@@ -906,3 +906,130 @@ def normalize_text_oracle_sql(table: str, id_col: str = "doc_id") -> str:
            {expr} != text AS changed
     FROM {table}
     """
+
+
+def cms_build(
+    df: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of the corpus token frequencies (Cormode &
+    Muthukrishnan 2005): ``depth`` salted hash rows x ``width`` cells,
+    each cell the count of tokens hashing into it.  The sketch is the
+    BOUNDED-memory scale path for frequency estimation — at 100 TB the
+    exact token distribution has billions of distinct keys, while this
+    relation never exceeds depth*width rows, merges across corpora by
+    cell-wise addition, and (hashing with the portable salted md5) is
+    deterministic across engines, partitionings and retries.
+
+    Shape: explode -> narrow per-row (row, pos) hash pair generation ->
+    one map-side-combined agg on depth*width short keys.  The corpus
+    never moves; only (cell, partial-count) pairs shuffle."""
+    from adtl_spark.operators.dedup import md5_60
+
+    toks = _tokenized(df, text_col).select(F.explode("__toks").alias("token"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            md5_60(F.concat_ws("|", F.lit(f"cms{i}"), F.col("token")))
+                            % width
+                        ).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c")
+    )
+    return (
+        cells.select(F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+        .groupBy("row", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    depth: int = 4,
+    width: int = 1024,
+    token_col: str = "token",
+) -> DataFrame:
+    """Point-estimate token counts from a count-min sketch: for each
+    candidate token take the MIN cell count over the ``depth`` rows —
+    an upper bound on the true count (never under, over only on
+    collisions).  The sketch (<= depth*width rows) broadcasts; the
+    candidate relation stays narrow."""
+    from adtl_spark.operators.dedup import md5_60
+
+    probes = candidates.select(
+        token_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        (
+                            md5_60(
+                                F.concat_ws("|", F.lit(f"cms{i}"), F.col(token_col))
+                            )
+                            % width
+                        ).alias("pos"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("c"),
+    ).select(token_col, F.col("c.row").alias("row"), F.col("c.pos").alias("pos"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "pos"], "left")
+        .groupBy(token_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("n_est"))
+    )
+
+
+def cms_topk_check_sql(
+    table: str, k: int = 50, depth: int = 4, width: int = 1024
+) -> str:
+    """DuckDB twin of ``cms_estimate(cms_build(corpus), vocab_topk(corpus))``
+    — same salted-md5 cell hashing, same min-over-rows estimate, joined
+    with the exact counts of the top-``k`` tokens."""
+    from adtl_spark.operators.dedup import md5_60_sql
+
+    # column reference passed as a parameter, not substring-replaced into
+    # a built expression (a replace() would corrupt identifiers that
+    # happen to contain the substring)
+    def probe(col: str) -> str:
+        return md5_60_sql(f"concat_ws('|', 'cms' || CAST(r.row AS VARCHAR), {col})")
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    exact AS (
+      SELECT token, count(*) AS n_exact FROM toks
+      GROUP BY token ORDER BY n_exact DESC, token ASC LIMIT {k}
+    ),
+    rows_ AS (SELECT unnest(range(0, {depth})) AS row),
+    cells AS (
+      SELECT r.row AS row, {probe("token")} % {width} AS pos, count(*) AS cnt
+      FROM toks, rows_ r
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT e.token, e.n_exact, r.row AS row, {probe("e.token")} % {width} AS pos
+      FROM exact e, rows_ r
+    )
+    SELECT p.token,
+           CAST(p.n_exact AS BIGINT) AS n_exact,
+           CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS n_est
+    FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.pos = c.pos
+    GROUP BY p.token, p.n_exact
+    """

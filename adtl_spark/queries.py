@@ -858,6 +858,27 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def text_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimation, self-validated: estimate
+    the exact top-VOCAB_K tokens through a depth x width sketch and emit
+    (token, n_exact, n_est) — est >= exact always, equal when no cell
+    collides.  The sketch is the bounded-memory merge-friendly scale
+    path for 100 TB token counting (text.cms_build / cms_estimate)."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = X.vocab_topk(docs, k=VOCAB_K).select(
+        "token", F.col("n").cast("long").alias("n_exact")
+    )
+    sketch = X.cms_build(docs, depth=CMS_DEPTH, width=CMS_WIDTH)
+    est = X.cms_estimate(
+        sketch, exact.select("token"), depth=CMS_DEPTH, width=CMS_WIDTH
+    )
+    return exact.join(est, "token").select("token", "n_exact", "n_est")
+
+
 def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style text normalization: control-char strip, typographic
     fold, Unicode-space canonicalization, whitespace collapse — a pure
@@ -1951,6 +1972,9 @@ def oracles() -> dict[str, str]:
             "documents", BM25_QUERIES, k=BM25_K
         ),
         "text_normalize": X.normalize_text_oracle_sql("documents"),
+        "text_cms_counts": X.cms_topk_check_sql(
+            "documents", k=VOCAB_K, depth=CMS_DEPTH, width=CMS_WIDTH
+        ),
         "corpus_bigram_logprob": C.bigram_logprob_oracle_sql(
             "SELECT doc_id, text FROM documents",
             vocab_k=UNIGRAM_VOCAB_K,
@@ -2076,6 +2100,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-checked) --
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,
+        "text_cms_counts": text_cms_counts,
         "corpus_bigram_logprob": corpus_bigram_logprob,
         "dedup_keep_best": dedup_keep_best,
         "sample_mixture": sample_mixture,

@@ -28,13 +28,14 @@ per-query to whole-suite-first (per-query warmup left the earliest
 queries paying JVM-global C2 compilation in their timed run — 9 s for
 q1's second execution in a cold JVM vs <2 s hot).
 
-Round-4 changes: thirteen more queries (forward/nearest as-of joins,
+Round-4 changes: sixteen more queries (forward/nearest as-of joins,
 SemDeDup semantic dedup, bloom decontamination, n-gram top-k, span
 dedup + application, length quantiles, gram matrix, BM25 retrieval,
-mixture sampling, token-budget selection, deterministic shuffle),
-appended so the shared-prefix ordering stays identical to round 3;
-methodology unchanged — per-query times are directly comparable to
-BENCH_r03 (see docs/BENCH_NOTES.md for the r3->r4 diff table).
+text normalization, count-min sketch, bigram-LM scoring, mixture
+sampling, token-budget selection, deterministic shuffle), appended so
+the shared-prefix ordering stays identical to round 3; methodology
+unchanged — per-query times are directly comparable to BENCH_r03 (see
+docs/BENCH_NOTES.md for the r3->r4 diff table).
 """
 
 from __future__ import annotations
@@ -107,6 +108,7 @@ HEADLINE = [
     "dedup_spans_apply",
     "text_bm25_topk",
     "text_normalize",
+    "text_cms_counts",
     "corpus_bigram_logprob",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary

@@ -1071,3 +1071,33 @@ def test_normalize_text_folds_and_collapses(spark):
         ).fetchall()
     }
     assert got == oracle
+
+
+def test_cms_never_underestimates_and_is_exact_when_wide(spark):
+    """Count-min law: estimates upper-bound true counts; with a width far
+    above the vocabulary size no cell collides and estimates are exact.
+    A deliberately tiny width forces collisions to exercise the min-over-
+    rows bound."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(i % 7 + 1))) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["token"]: r["n"] for r in X.vocab_topk(docs, k=100).collect()
+    }
+    wide = X.cms_estimate(
+        X.cms_build(docs, depth=4, width=4096),
+        X.vocab_topk(docs, k=100).select("token"),
+        depth=4,
+        width=4096,
+    )
+    assert {r["token"]: r["n_est"] for r in wide.collect()} == exact
+    narrow = X.cms_estimate(
+        X.cms_build(docs, depth=4, width=4),
+        X.vocab_topk(docs, k=100).select("token"),
+        depth=4,
+        width=4,
+    )
+    got = {r["token"]: r["n_est"] for r in narrow.collect()}
+    assert all(got[t] >= n for t, n in exact.items())
+    assert any(got[t] > n for t, n in exact.items())  # width=4 must collide

@@ -82,6 +82,7 @@ QUERIES = [
     "dedup_spans_apply",
     "text_bm25_topk",
     "text_normalize",
+    "text_cms_counts",
     "corpus_bigram_logprob",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
