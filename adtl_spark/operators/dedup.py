@@ -1144,3 +1144,171 @@ def keep_best_oracle_sql(table: str, max_hamming: int = 8) -> str:
     FROM {table} d
     WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
     """
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq_frac: float | None = 0.2,
+) -> DataFrame:
+    """All pairs with idf-weighted cosine similarity >= ``threshold`` over
+    word-``n``-gram shingle vectors — the WEIGHTED counterpart of
+    :func:`dedup_ngram_jaccard` (all-pairs similarity search a la Bayardo
+    et al. 2007): rare shared shingles count for much more than common
+    ones, so boilerplate overlap no longer masquerades as similarity.
+
+    Exactness protocol (order-independent, engine-portable): per-shingle
+    weight ``w = idf_q = floor(ln(N/df)*1e4+0.5)`` (distinct shingles per
+    doc, so tf = 1); per-doc norm from the exact integer sum of ``w*w``;
+    each doc's vector is then quantized to integer UNIT components
+    ``u = floor(w*1e6/norm)`` so the pair dot product is a sum of exact
+    integers — immune to float summation order, unlike a double dot
+    product accumulated across shuffle partitions.  ``cos = dot/1e12``
+    underestimates the true cosine by < 2e-6 — the quantization IS the
+    operator's definition and the oracle replays it bit-for-bit.
+    Magnitude bounds: w <= ~3e5 (ln(1e12) corpora), so the norm sum fits
+    a BIGINT for any document under ~10^8 distinct shingles, and the dot
+    (u <= 1e6, shared shingles <= doc size) under ~10^6 shared shingles.
+
+    Scale shape, same as the Jaccard twin: exact duplicates collapse
+    before the join (identical texts have identical shingle vectors, so
+    one canonical doc stands in for the group; document frequencies are
+    weighted by group multiplicity, and pairs expand back afterwards —
+    byte-identical semantics at a fraction of the fan-out on
+    duplicate-heavy corpora); the document-frequency cap then drops
+    ubiquitous shingles (sum(df^2) join fan-out for near-zero
+    discriminative weight — an idf near 0 confirms they carry nothing),
+    keeping the inverted-index self-join sub-quadratic; everything else
+    is per-doc aggs and one (id_a, id_b) partial-sum shuffle."""
+    # ---- exact-duplicate collapse (semantics-preserving, see
+    # dedup_ngram_jaccard for the full rationale) -------------------------
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.sha2(F.col(text_col), 256).alias("__th"),
+    )
+    canon_full = hashed.groupBy("__th").agg(
+        F.min("id").alias("__canon"),
+        F.any_value("__text").alias("__ctext"),
+        F.count(F.lit(1)).alias("__gsize"),
+    ).persist()
+    membership = (
+        hashed.select("id", "__th")
+        .join(canon_full.select("__th", "__canon"), "__th")
+        .persist()
+    )
+    canon = canon_full.select(
+        F.col("__canon").alias("id"),
+        F.col("__ctext").alias(text_col),
+        F.col("__gsize"),
+    )
+
+    sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
+    n_docs = df.count()  # raw count — multiplicity-weighted df cap below
+    freq = sh.groupBy("sh").agg(F.sum("__gsize").alias("df_"))
+    if max_doc_freq_frac is not None:
+        freq = freq.filter(F.col("df_") <= int(n_docs * max_doc_freq_frac))
+    w = F.floor(
+        F.log(F.lit(float(n_docs)) / F.col("df_")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    weighted = sh.select("id", "sh").join(freq, "sh").select(
+        "id", "sh", w.alias("w")
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("__s2__")
+    )
+    # persisted: the pair self-join reads the unit relation twice and the
+    # self-pair check a third time
+    unit = (
+        weighted.join(norms, "id")
+        .filter(F.col("__s2__") > 0)
+        .select(
+            "id",
+            "sh",
+            F.floor(
+                (F.col("w") * 1000000) / F.sqrt(F.col("__s2__").cast("double"))
+            )
+            .cast("long")
+            .alias("u"),
+        )
+        .persist()
+    )
+    t_int = int(round(threshold * 1_000_000_000_000))
+    a, b = unit.alias("a"), unit.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("__dot__"))
+        .filter(F.col("__dot__") >= t_int)
+    )
+    # members of a dup group pair with the group's self-dot (sum u^2 —
+    # slightly under 1e12 by the floor quantization, exactly as the naive
+    # per-member form computes it)
+    self_pairs = (
+        unit.groupBy("id")
+        .agg(F.sum(F.col("u") * F.col("u")).alias("__dot__"))
+        .join(
+            canon_full.filter(F.col("__gsize") > 1).select(
+                F.col("__canon").alias("id")
+            ),
+            "id",
+        )
+        .filter(F.col("__dot__") >= t_int)
+        .select(F.col("id").alias("id_a"), F.col("id").alias("id_b"), "__dot__")
+    )
+    mem_a = membership.select(F.col("__canon").alias("id_a"), F.col("id").alias("m_a"))
+    mem_b = membership.select(F.col("__canon").alias("id_b"), F.col("id").alias("m_b"))
+    result = (
+        pairs.unionByName(self_pairs)
+        .join(mem_a, "id_a")
+        .join(mem_b, "id_b")
+        .filter((F.col("id_a") != F.col("id_b")) | (F.col("m_a") < F.col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            (F.col("__dot__").cast("double") / 1e12).alias("cosine"),
+        )
+    )
+    return _materialize_and_release(result, [canon_full, membership, unit])
+
+
+def tfidf_cosine_oracle_sql(
+    table: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_doc_freq_frac: float = 0.2,
+) -> str:
+    """DuckDB twin of :func:`tfidf_cosine_pairs`: same shingles, same df
+    cap, same quantized idf / unit components / integer dot."""
+    t_int = int(round(threshold * 1_000_000_000_000))
+    return f"""
+    WITH sh AS ({shingle_cte_sql(table, n)}),
+    nd AS (SELECT count(*) AS n_docs FROM {table}),
+    freq AS (
+      SELECT sh, count(*) AS df_ FROM sh GROUP BY 1
+    ),
+    capped AS (
+      SELECT f.sh, f.df_, nd.n_docs FROM freq f CROSS JOIN nd
+      WHERE f.df_ <= nd.n_docs * {max_doc_freq_frac}
+    ),
+    weighted AS (
+      SELECT s.id, s.sh,
+             CAST(floor(ln(CAST(c.n_docs AS DOUBLE) / c.df_) * 10000 + 0.5) AS BIGINT) AS w
+      FROM sh s JOIN capped c USING (sh)
+    ),
+    norms AS (SELECT id, SUM(w * w) AS s2 FROM weighted GROUP BY 1),
+    unit AS (
+      SELECT w.id, w.sh,
+             CAST(floor((w.w * 1000000) / sqrt(CAST(n.s2 AS DOUBLE))) AS BIGINT) AS u
+      FROM weighted w JOIN norms n USING (id)
+      WHERE n.s2 > 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(SUM(a.u * b.u) AS DOUBLE) / 1e12 AS cosine
+    FROM unit a JOIN unit b ON a.sh = b.sh AND a.id < b.id
+    GROUP BY 1, 2
+    HAVING SUM(a.u * b.u) >= {t_int}
+    """

@@ -1085,6 +1085,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+COSINE_THRESHOLD = 0.8
+
+
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted near-dup pairs: idf-weighted shingle cosine >= 0.8 via the
+    df-capped inverted-index join; exact integer unit-vector dot protocol
+    (dedup.tfidf_cosine_pairs)."""
+    return D.tfidf_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=COSINE_THRESHOLD,
+        n=SHINGLE_N,
+        max_doc_freq_frac=MAX_DF_FRAC,
+    )
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup application with a QUALITY policy: per SimHash near-dup
     cluster keep the highest-scoring member (distinct-token count, exact
@@ -2029,6 +2044,9 @@ def oracles() -> dict[str, str]:
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_cluster": D.cluster_oracle_sql("documents"),
         "dedup_keep_best": D.keep_best_oracle_sql("documents"),
+        "dedup_tfidf_cosine": D.tfidf_cosine_oracle_sql(
+            "documents", COSINE_THRESHOLD, SHINGLE_N, MAX_DF_FRAC
+        ),
         "dedup_embedding": S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU),
         "dedup_embedding_lsh": S.embedding_neardup_oracle_sql(
             "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
@@ -2103,6 +2121,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_counts": text_cms_counts,
         "corpus_bigram_logprob": corpus_bigram_logprob,
         "dedup_keep_best": dedup_keep_best,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

@@ -1101,3 +1101,34 @@ def test_cms_never_underestimates_and_is_exact_when_wide(spark):
     got = {r["token"]: r["n_est"] for r in narrow.collect()}
     assert all(got[t] >= n for t, n in exact.items())
     assert any(got[t] > n for t, n in exact.items())  # width=4 must collide
+
+
+def test_tfidf_cosine_weights_rare_overlap(spark):
+    """Two docs sharing RARE shingles must pair with high cosine, while
+    docs overlapping only in boilerplate shared by most of the corpus are
+    df-capped out of the candidate space entirely."""
+    boiler = "all rights reserved by the site"
+    rare = "quantum flux capacitor alignment manual"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{rare} part one"),
+            (2, f"{rare} part two"),
+            (3, f"{boiler} page alpha entirely different body here"),
+            (4, f"{boiler} page beta unrelated content words instead"),
+            (5, boiler),
+            (6, boiler + " x"),
+            (7, boiler + " y"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.tfidf_cosine_pairs(
+            docs, threshold=0.5, n=3, max_doc_freq_frac=0.6
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.6
+    # 3-4 share only the boilerplate shingles, which exceed the df cap
+    assert (3, 4) not in pairs
+    for k, v in pairs.items():
+        assert 0.0 <= v <= 1.0
