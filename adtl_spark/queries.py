@@ -763,6 +763,74 @@ def w8_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WEEK_NS = 7 * 24 * 3600 * 1_000_000_000
+
+
+def w9_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase) per user: a step counts
+    only when it happens STRICTLY AFTER the previous step's first
+    qualifying event — the sequence-pattern analytic every event
+    warehouse runs.  Expressed as stacked conditional-min windows over
+    ONE (user_id, ts) shuffle+sort: the running first-view feeds the
+    click qualifier, whose running first feeds the purchase qualifier —
+    no self-joins, no per-user iteration.  Emits per-user step
+    timestamps and the completed-step count."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    s1 = e.withColumn(
+        "__ta__",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    qb = (F.col("event_type") == "click") & F.col("__ta__").isNotNull()
+    s2 = s1.withColumn("__qb__", qb).withColumn(
+        "__tb__", F.min(F.when(F.col("__qb__"), F.col("ts"))).over(w)
+    )
+    qc = (F.col("event_type") == "purchase") & F.col("__tb__").isNotNull()
+    per_user = (
+        s2.withColumn("__qc__", qc)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("__qb__"), F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("__qc__"), F.col("ts"))).alias("t_purchase"),
+        )
+    )
+    steps = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return per_user.select(
+        "user_id",
+        F.expr("t_view DIV 1000").alias("t_view_us"),
+        F.expr("t_click DIV 1000").alias("t_click_us"),
+        F.expr("t_purchase DIV 1000").alias("t_purchase_us"),
+        steps.cast("long").alias("steps_completed"),
+    )
+
+
+def w10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    active per week offset — the classic triangle matrix.  Integer epoch
+    arithmetic (week = ts DIV WEEK_NS); two aggregations sharing the
+    user_id key and one join AQE broadcasts at report scale."""
+    e = _t(spark, sf_dir, "events")
+    weeks = e.select(
+        "user_id", F.expr(f"ts DIV {WEEK_NS}").alias("week")
+    ).distinct()
+    first = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(first, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -1687,6 +1755,61 @@ def oracles() -> dict[str, str]:
                      THEN -v.event_id ELSE v.event_id END ASC
             ) = 1
         """,
+        "w9_funnel": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_ns(ts) AS tns, event_type
+              FROM events
+            ),
+            s1 AS (
+              SELECT *,
+                     min(CASE WHEN event_type = 'view' THEN tns END) OVER (
+                       PARTITION BY user_id ORDER BY tns, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS ta
+              FROM e
+            ),
+            s2 AS (
+              SELECT *,
+                     min(CASE WHEN event_type = 'click' AND ta IS NOT NULL
+                              THEN tns END) OVER (
+                       PARTITION BY user_id ORDER BY tns, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS tb
+              FROM s1
+            ),
+            per_user AS (
+              SELECT user_id,
+                     min(CASE WHEN event_type = 'view' THEN tns END) AS t_view,
+                     min(CASE WHEN event_type = 'click' AND ta IS NOT NULL
+                              THEN tns END) AS t_click,
+                     min(CASE WHEN event_type = 'purchase' AND tb IS NOT NULL
+                              THEN tns END) AS t_purchase
+              FROM s2 GROUP BY 1
+            )
+            SELECT user_id,
+                   t_view // 1000 AS t_view_us,
+                   t_click // 1000 AS t_click_us,
+                   t_purchase // 1000 AS t_purchase_us,
+                   CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                             WHEN t_click IS NOT NULL THEN 2
+                             WHEN t_view IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS steps_completed
+            FROM per_user
+        """,
+        "w10_retention": f"""
+            WITH weeks AS (
+              SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week
+              FROM events
+            ),
+            first AS (
+              SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1
+            )
+            SELECT f.cohort_week,
+                   w.week - f.cohort_week AS week_offset,
+                   CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_users
+            FROM weeks w JOIN first f USING (user_id)
+            GROUP BY 1, 2
+        """,
         "w6_range_join": f"""
             WITH c AS (
               SELECT event_id, user_id, epoch_ns(ts) AS tns
@@ -2122,6 +2245,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bigram_logprob": corpus_bigram_logprob,
         "dedup_keep_best": dedup_keep_best,
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "w9_funnel": w9_funnel,
+        "w10_retention": w10_retention,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

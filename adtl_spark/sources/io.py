@@ -197,3 +197,40 @@ def _sanitize_identifier(name: str) -> str:
     if not safe or safe[0].isdigit():
         safe = "_" + safe
     return safe
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+) -> None:
+    """Export the corpus as ``n_shards`` deterministic training shards:
+    rows are assigned to shards by the same salted portable hash the
+    epoch shuffle uses (``shard = hash DIV (space/n_shards)``), then each
+    shard is written as one parquet part via a single hash repartition.
+
+    Properties the trainer relies on: shard membership is a pure function
+    of the row key (reshard-stable across runs, engines and
+    partitionings — rerunning the export or appending new data never
+    moves an existing row to a different shard), and within a shard rows
+    are sorted by the hash, so concatenating shards 0..n-1 reproduces the
+    deterministic epoch order exactly.  One exchange + per-partition
+    sort; no global sort, no driver involvement."""
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sampling import HASH_SPACE
+
+    h = md5_60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    shard_width = HASH_SPACE // n_shards
+    staged = df.withColumn("__h__", h).withColumn(
+        "__shard__", F.expr(f"`__h__` DIV {shard_width}")
+    )
+    (
+        staged.repartition(n_shards, "__shard__")
+        .sortWithinPartitions("__shard__", "__h__", key_col)
+        .drop("__h__")
+        .write.mode("overwrite")
+        .partitionBy("__shard__")
+        .parquet(path)
+    )

@@ -111,6 +111,8 @@ HEADLINE = [
     "text_cms_counts",
     "corpus_bigram_logprob",
     "dedup_tfidf_cosine",
+    "w9_funnel",
+    "w10_retention",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

@@ -1132,3 +1132,96 @@ def test_tfidf_cosine_weights_rare_overlap(spark):
     assert (3, 4) not in pairs
     for k, v in pairs.items():
         assert 0.0 <= v <= 1.0
+
+
+def test_write_training_shards_deterministic_layout(spark, tmp_path):
+    """Shard membership is a pure function of the key (append-stable:
+    re-exporting a superset never moves an existing row) and reading the
+    shards back in (shard, hash) order reproduces deterministic_shuffle's
+    epoch order."""
+    import pyspark.sql.functions as F
+
+    from adtl_spark.operators import sampling as SA
+    from adtl_spark.sources.io import write_training_shards
+
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(300)], ["doc_id", "text"])
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=8)
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    shards = {r["__shard__"] for r in back.select("__shard__").distinct().collect()}
+    assert shards <= set(range(8)) and len(shards) > 1
+    # membership stability under append
+    bigger = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(400)], ["doc_id", "text"]
+    )
+    out2 = str(tmp_path / "shards2")
+    write_training_shards(bigger, out2, n_shards=8)
+    back2 = spark.read.parquet(out2)
+    m1 = {r["doc_id"]: r["__shard__"] for r in back.collect()}
+    m2 = {r["doc_id"]: r["__shard__"] for r in back2.collect()}
+    assert all(m2[k] == v for k, v in m1.items())
+    # concatenating shards in order == the deterministic epoch order
+    order = [
+        r["doc_id"]
+        for r in SA.deterministic_shuffle(df)
+        .orderBy("shuffle_pos")
+        .select("doc_id")
+        .collect()
+    ]
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit("shuffle"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    got = [
+        r["doc_id"]
+        for r in back.withColumn("__h__", h)
+        .orderBy("__shard__", "__h__", "doc_id")
+        .select("doc_id")
+        .collect()
+    ]
+    assert got == order
+
+
+def test_funnel_requires_strict_step_order(spark, monkeypatch, tmp_path):
+    """A purchase BEFORE the first qualifying click must not complete the
+    funnel; only steps strictly after the previous step's first
+    qualifying event count."""
+    import adtl_spark.queries as Q
+
+    rows = [
+        # user 1: purchase first (ignored), then full ordered funnel
+        (1, 1, "purchase"), (2, 2, "view"), (3, 3, "click"), (4, 4, "purchase"),
+        # user 2: click before any view -> stops at step 1
+        (5, 1, "click"), (6, 2, "view"),
+        # user 3: never views -> 0 steps
+        (7, 1, "signup"),
+    ]
+    df = (
+        spark.createDataFrame(rows, ["event_id", "tsec", "event_type"])
+        .selectExpr(
+            "event_id",
+            "CAST(tsec AS BIGINT) * 1000000000 AS ts",
+            "CAST(event_id % 3 + 1 AS BIGINT) AS ignore_me",
+            "event_type",
+        )
+        .withColumn("user_id", (F.col("event_id") <= 4).cast("long"))
+    )
+    df = df.withColumn(
+        "user_id",
+        F.when(F.col("event_id") <= 4, 1)
+        .when(F.col("event_id") <= 6, 2)
+        .otherwise(3),
+    )
+    src = tmp_path / "funnel"
+    df.selectExpr(
+        "event_id", "timestamp_micros(CAST(ts DIV 1000 AS BIGINT)) AS ts",
+        "user_id", "event_type", "CAST(0.0 AS DOUBLE) AS value",
+        "'{}' AS props"
+    ).write.mode("overwrite").parquet(str(src / "events.parquet"))
+    out = {r["user_id"]: r for r in Q.w9_funnel(spark, str(src)).collect()}
+    assert out[1]["steps_completed"] == 3
+    assert out[1]["t_purchase_us"] == 4_000_000  # t=4s, not the t=1s one
+    assert out[2]["steps_completed"] == 1
+    assert out[3]["steps_completed"] == 0

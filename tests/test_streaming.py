@@ -407,3 +407,49 @@ def test_mixture_and_normalize_run_on_streams(spark, tmp_path):
     rows = spark.sql("SELECT * FROM stream_norm").collect()
     assert len(rows) == 150
     assert all('"quoted" text' in r["text_norm"] and r["changed"] for r in rows)
+
+
+def test_cms_sketch_aggregates_on_stream(spark, tmp_path):
+    """The count-min sketch is a streaming-native structure: its state is
+    the fixed depth x width cell table regardless of vocabulary size, so
+    cms_build runs as a standard streaming aggregation (complete mode)
+    and the streamed sketch equals the batch sketch cell for cell."""
+    from adtl_spark.operators import text as X
+
+    src = tmp_path / "cms_stream"
+    src.mkdir()
+    batch = spark.range(0, 120).selectExpr(
+        "id AS doc_id",
+        "concat('alpha beta gamma tok', CAST(id % 9 AS STRING)) AS text",
+    )
+    # two files so the stream consumes multiple micro-batches
+    batch.filter("doc_id < 60").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p1")
+    )
+    batch.filter("doc_id >= 60").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p2")
+    )
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    sketch = X.cms_build(stream, depth=4, width=64)
+    assert sketch.isStreaming
+    q = (
+        sketch.writeStream.format("memory")
+        .queryName("stream_cms")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM stream_cms").collect()
+    }
+    want = {
+        (r["row"], r["pos"]): r["cnt"]
+        for r in X.cms_build(batch, depth=4, width=64).collect()
+    }
+    assert got == want

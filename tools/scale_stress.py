@@ -85,6 +85,8 @@ QUERIES = [
     "text_cms_counts",
     "corpus_bigram_logprob",
     "dedup_tfidf_cosine",
+    "w9_funnel",
+    "w10_retention",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
     # to ~40 near-identical copies), so the stress measures pair-set
