@@ -831,6 +831,36 @@ def w10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (lang, source) -> subtotals -> grand total over
+    the corpus — Catalyst's native grouping-sets expansion; one shuffle,
+    map-side partial aggs for every grouping set.  NULL marks the
+    rolled-up level, as in ANSI SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot/crosstab: document counts lang x source (sources pivoted to
+    columns from a FIXED value list — at scale an explicit list keeps the
+    plan one pass; an unlisted-values pivot would first collect the
+    distinct sources).  Oracle: conditional aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    srcs = [f"src{i}" for i in range(4)]
+    out = (
+        d.filter(F.col("source").isin(srcs))
+        .groupBy("lang")
+        .pivot("source", srcs)
+        .agg(F.count(F.lit(1)))
+    )
+    for s in srcs:
+        out = out.withColumn(s, F.coalesce(F.col(s), F.lit(0)).cast("long"))
+    return out
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -1796,6 +1826,23 @@ def oracles() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS steps_completed
             FROM per_user
         """,
+        "olap_rollup": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY ROLLUP (lang, source)
+        """,
+        "olap_pivot": """
+            SELECT lang,
+                   CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS src0,
+                   CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS src1,
+                   CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS src2,
+                   CAST(count(*) FILTER (source = 'src3') AS BIGINT) AS src3
+            FROM documents
+            WHERE source IN ('src0', 'src1', 'src2', 'src3')
+            GROUP BY lang
+        """,
         "w10_retention": f"""
             WITH weeks AS (
               SELECT DISTINCT user_id, epoch_ns(ts) // {WEEK_NS} AS week
@@ -2247,6 +2294,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_tfidf_cosine": dedup_tfidf_cosine,
         "w9_funnel": w9_funnel,
         "w10_retention": w10_retention,
+        "olap_rollup": olap_rollup,
+        "olap_pivot": olap_pivot,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

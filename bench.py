@@ -113,6 +113,8 @@ HEADLINE = [
     "dedup_tfidf_cosine",
     "w9_funnel",
     "w10_retention",
+    "olap_rollup",
+    "olap_pivot",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

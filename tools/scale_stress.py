@@ -87,6 +87,8 @@ QUERIES = [
     "dedup_tfidf_cosine",
     "w9_funnel",
     "w10_retention",
+    "olap_rollup",
+    "olap_pivot",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
     # to ~40 near-identical copies), so the stress measures pair-set
