@@ -906,3 +906,149 @@ def gram_matrix_oracle_sql(table: str, dim: int = 64) -> str:
     WHERE j >= i
     GROUP BY 1, 2
     """
+
+
+def centroid_distances(
+    df: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Squared distance of every vector to its OWN label's centroid —
+    the embedding-space outlier signal (mislabeled / off-distribution
+    vectors sit far from their class mean).
+
+    Exactness: centroids are the label_centroids quantized-mean rationals;
+    each per-dimension squared difference is quantized to an integer at
+    1e-9 BEFORE the sum, so the per-vector distance is an exact integer
+    sum — order-independent across partitions (a double SUM over shuffled
+    rows is not).  Emits (id, label, dist2q) with dist2 = dist2q/1e9.
+
+    Shape at scale: the centroid relation is |labels| x dim rows and
+    BROADCASTS; the corpus contributes one posexplode (narrow) and one
+    (id) partial-sum shuffle — embeddings never move whole."""
+    cents = label_centroids(df, dim, label_col, vec_col)
+    e = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+    diff = F.col("val").cast("double") - F.col("centroid")
+    q = F.floor(diff * diff * 1000000000 + F.lit(0.5)).cast("long")
+    return (
+        e.join(F.broadcast(cents), ["label", "dim"])
+        .groupBy("id", "label")
+        .agg(F.sum(q).alias("dist2q"))
+    )
+
+
+def _label_centroid_cte(table: str, dim: int) -> str:
+    "Shared oracle CTE: the quantized-mean label centroids in long form."
+    return f"""
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(sum(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+               / count(embedding[CAST(i AS INT)]) / 1000000.0 AS centroid
+      FROM {table}
+      CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+      GROUP BY 1, 2
+    """
+
+
+def centroid_outliers_oracle_sql(
+    table: str, threshold_q: int, dim: int = 64
+) -> str:
+    """DuckDB twin of the outlier query built on centroid_distances."""
+    return f"""
+    WITH cents AS ({_label_centroid_cte(table, dim)}),
+    e AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS label,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM {table}
+      CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+    ),
+    d AS (
+      SELECT e.id, e.label,
+             SUM(CAST(floor((e.val - c.centroid) * (e.val - c.centroid) * 1000000000 + 0.5) AS BIGINT)) AS dist2q
+      FROM e JOIN cents c ON c.label = e.label AND c.dim = e.dim
+      GROUP BY 1, 2
+    )
+    SELECT id AS vec_id, label,
+           CAST(dist2q AS DOUBLE) / 1e9 AS dist2,
+           dist2q > {threshold_q} AS is_outlier
+    FROM d
+    """
+
+
+def nearest_centroid(
+    df: DataFrame,
+    dim: int = 64,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid classification: assign each vector to the closest
+    label centroid (quantized-integer distances, ties to the lower
+    label) and report it against the true label — the standard embedding
+    sanity eval (how separable are the classes their own means?).
+
+    Shape: the |labels| x dim centroid relation broadcasts; the exploded
+    corpus joins per dimension, aggregates (id, candidate-label) partial
+    sums map-side, and a per-id min_by picks the winner — rows x labels
+    intermediate, which is the inherent cost of exact nearest-centroid
+    with a handful of labels."""
+    cents = label_centroids(df, dim, label_col, vec_col).select(
+        F.col("label").alias("clabel"), "dim", "centroid"
+    )
+    e = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("true_label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).withColumn("dim", F.col("dim").cast("long"))
+    diff = F.col("val").cast("double") - F.col("centroid")
+    q = F.floor(diff * diff * 1000000000 + F.lit(0.5)).cast("long")
+    per_cand = (
+        e.join(F.broadcast(cents), "dim")
+        .groupBy("id", "true_label", "clabel")
+        .agg(F.sum(q).alias("d2q"))
+    )
+    best = per_cand.groupBy("id", "true_label").agg(
+        F.min(F.struct("d2q", "clabel")).alias("__best__")
+    )
+    return best.select(
+        F.col("id").alias(id_col),
+        F.col("true_label").alias("label"),
+        F.col("__best__.clabel").alias("pred_label"),
+        (F.col("__best__.clabel") == F.col("true_label")).alias("correct"),
+    )
+
+
+def nearest_centroid_oracle_sql(table: str, dim: int = 64) -> str:
+    """DuckDB twin of :func:`nearest_centroid` — same quantized distances,
+    same (distance, label) tie-break."""
+    return f"""
+    WITH cents AS ({_label_centroid_cte(table, dim)}),
+    e AS (
+      SELECT CAST(vec_id AS BIGINT) AS id, CAST(label AS BIGINT) AS true_label,
+             CAST(i - 1 AS BIGINT) AS dim,
+             CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+      FROM {table}
+      CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS i) idx
+    ),
+    per_cand AS (
+      SELECT e.id, e.true_label, c.label AS clabel,
+             SUM(CAST(floor((e.val - c.centroid) * (e.val - c.centroid) * 1000000000 + 0.5) AS BIGINT)) AS d2q
+      FROM e JOIN cents c ON c.dim = e.dim
+      GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+      SELECT id, true_label, clabel, d2q,
+             row_number() OVER (PARTITION BY id ORDER BY d2q ASC, clabel ASC) AS rn
+      FROM per_cand
+    )
+    SELECT id AS vec_id, true_label AS label, clabel AS pred_label,
+           clabel = true_label AS correct
+    FROM ranked WHERE rn = 1
+    """

@@ -1305,6 +1305,30 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.label_centroids(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
 
 
+OUTLIER_T_Q = 1_020_000_000  # dist^2 > 1.02 (the corpus's ~p90), at 1e-9 quanta
+
+
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier flags: squared distance to the own-label
+    centroid, exact integer-quantized; dist^2 above the fixed threshold
+    marks the vector off-distribution (similarity.centroid_distances).
+    Broadcast centroids; the corpus shuffles only (id, partial-sum)."""
+    d = S.centroid_distances(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+    return d.select(
+        F.col("id").alias("vec_id"),
+        "label",
+        (F.col("dist2q").cast("double") / 1e9).alias("dist2"),
+        (F.col("dist2q") > OUTLIER_T_Q).alias("is_outlier"),
+    )
+
+
+def emb_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification eval: predict each vector's label
+    by closest class prototype, report against the true label
+    (similarity.nearest_centroid)."""
+    return S.nearest_centroid(_t(spark, sf_dir, "embeddings"), dim=EMB_DIM)
+
+
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means over embeddings: deterministic init (k lowest ids),
     2 quantized-mean updates, final assignment (similarity.kmeans_assign).
@@ -2227,6 +2251,12 @@ def oracles() -> dict[str, str]:
         "emb_label_centroids": S.label_centroids_oracle_sql(
             "embeddings", dim=EMB_DIM
         ),
+        "emb_outliers": S.centroid_outliers_oracle_sql(
+            "embeddings", OUTLIER_T_Q, dim=EMB_DIM
+        ),
+        "emb_nearest_centroid": S.nearest_centroid_oracle_sql(
+            "embeddings", dim=EMB_DIM
+        ),
         "emb_kmeans_centroids": S.kmeans_centroids_oracle_sql(
             "embeddings", KMEANS_K, KMEANS_ITERS, dim=EMB_DIM
         ),
@@ -2296,6 +2326,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_retention": w10_retention,
         "olap_rollup": olap_rollup,
         "olap_pivot": olap_pivot,
+        "emb_outliers": emb_outliers,
+        "emb_nearest_centroid": emb_nearest_centroid,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

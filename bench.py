@@ -115,6 +115,8 @@ HEADLINE = [
     "w10_retention",
     "olap_rollup",
     "olap_pivot",
+    "emb_outliers",
+    "emb_nearest_centroid",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

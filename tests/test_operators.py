@@ -1225,3 +1225,27 @@ def test_funnel_requires_strict_step_order(spark, monkeypatch, tmp_path):
     assert out[1]["t_purchase_us"] == 4_000_000  # t=4s, not the t=1s one
     assert out[2]["steps_completed"] == 1
     assert out[3]["steps_completed"] == 0
+
+
+def test_nearest_centroid_separates_clear_classes(spark):
+    """With well-separated classes every vector classifies back to its own
+    label; an off-distribution vector lands far from its class centroid
+    (outlier signal) and classifies to the nearest other prototype."""
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(40):
+        label = i % 2
+        base = 5.0 if label else -5.0
+        rows.append((i, [base + rng.uniform(-0.1, 0.1) for _ in range(8)], label))
+    # vector 99: labeled 0 but sitting in class 1's region
+    rows.append((99, [5.0] * 8, 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    pred = {r["vec_id"]: r for r in S.nearest_centroid(df, dim=8).collect()}
+    assert all(pred[i]["correct"] for i in range(40))
+    assert pred[99]["pred_label"] == 1 and not pred[99]["correct"]
+    dists = {
+        r["id"]: r["dist2q"] for r in S.centroid_distances(df, dim=8).collect()
+    }
+    assert dists[99] > 10 * max(dists[i] for i in range(40))
