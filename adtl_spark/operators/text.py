@@ -1033,3 +1033,142 @@ def cms_topk_check_sql(
     FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.pos = c.pos
     GROUP BY p.token, p.n_exact
     """
+
+
+def length_filter_iqr(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tukey-fence length filter per group: flag documents whose token
+    count falls outside [p25 - 1.5*IQR, p75 + 1.5*IQR] of their group —
+    the standard outlier cut before length statistics poison a training
+    mix.  ALL-INTEGER comparison: the fence test is scaled by 2
+    (``2*n < 2*p25 - 3*IQR``), so no float bound ever exists and the
+    decision is identical across engines.
+
+    Shape: the per-group quantile relation (|groups| rows, from the
+    exact nearest-rank pass) broadcasts; the corpus side is one narrow
+    projection + broadcast join — no extra shuffle beyond the quantile
+    pass itself."""
+    q = length_quantiles_by_group(df, group_col, text_col, id_col)
+    lens = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    iqr = F.col("p75_tokens") - F.col("p25_tokens")
+    lo2 = 2 * F.col("p25_tokens") - 3 * iqr
+    hi2 = 2 * F.col("p75_tokens") + 3 * iqr
+    return lens.join(F.broadcast(q), group_col).select(
+        id_col,
+        group_col,
+        "n_tokens",
+        ((2 * F.col("n_tokens") >= lo2) & (2 * F.col("n_tokens") <= hi2)).alias(
+            "kept"
+        ),
+    )
+
+
+def length_filter_iqr_oracle_sql(table: str, group_col: str = "lang") -> str:
+    "DuckDB twin of :func:`length_filter_iqr` (same 2x-scaled fences)."
+    return f"""
+    WITH q AS ({length_quantiles_oracle_sql(table, group_col)}),
+    lens AS (
+      SELECT doc_id, {group_col},
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      FROM {table}
+    )
+    SELECT l.doc_id, l.{group_col}, l.n_tokens,
+           (2 * l.n_tokens >= 2 * q.p25_tokens - 3 * (q.p75_tokens - q.p25_tokens)
+            AND 2 * l.n_tokens <= 2 * q.p75_tokens + 3 * (q.p75_tokens - q.p25_tokens)) AS kept
+    FROM lens l JOIN q ON l.{group_col} = q.{group_col}
+    """
+
+
+def zipf_fit(df: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Zipf's-law fit over the top-``k`` token frequencies: OLS slope and
+    intercept of ln(freq) against ln(rank) — the corpus-health number
+    (natural text sits near slope -1; templated/duplicated corpora
+    flatten or steepen it).
+
+    Exactness: ln(rank) and ln(count) are quantized to 1e-6 integers per
+    row, so every OLS sum is exact integer arithmetic (order-independent)
+    and the closed-form slope/intercept divide two exact integers in
+    double precision — identical in both engines.  Magnitudes: |x_q|,
+    |y_q| <= ~3e7 for any corpus, so the K*sum(xy) term stays under 2^63
+    through k ~ 1e4.
+
+    Shape: the (token, count) agg is the vocab_topk pass; the fit itself
+    touches k rows."""
+    from pyspark.sql import Window
+
+    top = vocab_topk(df, k, text_col)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rank"), F.col("n")
+    )
+    xq = F.floor(F.log(F.col("rank").cast("double")) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    yq = F.floor(F.log(F.col("n").cast("double")) * 1000000 + F.lit(0.5)).cast(
+        "long"
+    )
+    s = ranked.select(xq.alias("x"), yq.alias("y")).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("k")
+        / 1000000.0
+    )
+
+    def q4(x):
+        return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+    return s.select(
+        F.col("k").cast("long").alias("k"),
+        q4(slope).alias("zipf_slope"),
+        q4(intercept).alias("zipf_intercept"),
+    )
+
+
+def zipf_fit_oracle_sql(table: str, k: int = 50) -> str:
+    "DuckDB twin of :func:`zipf_fit` — same quantization, same OLS sums."
+    return f"""
+    WITH toks AS (
+      SELECT unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    top AS (
+      SELECT token, count(*) AS n FROM toks
+      GROUP BY 1 ORDER BY n DESC, token ASC LIMIT {k}
+    ),
+    ranked AS (
+      SELECT row_number() OVER (ORDER BY n DESC, token ASC) AS rank, n FROM top
+    ),
+    q AS (
+      SELECT CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM q
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           floor(CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) * 10000 + 0.5) / 10000.0 AS zipf_slope,
+           floor((CAST(sy AS DOUBLE) - CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / k / 1000000.0 * 10000 + 0.5) / 10000.0 AS zipf_intercept
+    FROM s
+    """

@@ -831,6 +831,19 @@ def w10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5*IQR) length outlier flags per language — exact
+    nearest-rank quantiles, 2x-scaled integer fences, broadcast bound
+    join (text.length_filter_iqr)."""
+    return X.length_filter_iqr(_t(spark, sf_dir, "documents"))
+
+
+def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS fit over the top-K token frequencies — quantized
+    integer OLS sums, closed-form slope/intercept (text.zipf_fit)."""
+    return X.zipf_fit(_t(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
 def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (lang, source) -> subtotals -> grand total over
     the corpus — Catalyst's native grouping-sets expansion; one shuffle,
@@ -1850,6 +1863,8 @@ def oracles() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS steps_completed
             FROM per_user
         """,
+        "corpus_length_filter": X.length_filter_iqr_oracle_sql("documents"),
+        "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
         "olap_rollup": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -2328,6 +2343,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "olap_pivot": olap_pivot,
         "emb_outliers": emb_outliers,
         "emb_nearest_centroid": emb_nearest_centroid,
+        "corpus_length_filter": corpus_length_filter,
+        "corpus_zipf": corpus_zipf,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

@@ -117,6 +117,8 @@ HEADLINE = [
     "olap_pivot",
     "emb_outliers",
     "emb_nearest_centroid",
+    "corpus_length_filter",
+    "corpus_zipf",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

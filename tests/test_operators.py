@@ -1249,3 +1249,33 @@ def test_nearest_centroid_separates_clear_classes(spark):
         r["id"]: r["dist2q"] for r in S.centroid_distances(df, dim=8).collect()
     }
     assert dists[99] > 10 * max(dists[i] for i in range(40))
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A corpus constructed with freq(rank) = C/rank must fit slope ~ -1;
+    a uniform-frequency corpus fits slope ~ 0."""
+    zipf_rows, uni_rows = [], []
+    did = 0
+    for r in range(1, 21):
+        for _ in range(1200 // r):
+            zipf_rows.append((did, f"w{r:02d}")); did += 1
+        for _ in range(40):
+            uni_rows.append((did, f"w{r:02d}")); did += 1
+    z = spark.createDataFrame(zipf_rows, ["doc_id", "text"])
+    u = spark.createDataFrame(uni_rows, ["doc_id", "text"])
+    zs = X.zipf_fit(z, k=20).collect()[0]
+    us = X.zipf_fit(u, k=20).collect()[0]
+    assert abs(zs["zipf_slope"] + 1.0) < 0.05
+    assert abs(us["zipf_slope"]) < 0.01
+
+
+def test_length_filter_iqr_flags_extremes(spark):
+    """Documents far outside their group's Tukey fences are flagged; the
+    bulk of a tight distribution is kept."""
+    rows = [(i, "en", "tok " * 50) for i in range(40)]
+    rows.append((100, "en", "tok " * 5000))   # way above the fence
+    rows.append((101, "en", "tok"))           # way below
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r["doc_id"]: r["kept"] for r in X.length_filter_iqr(df).collect()}
+    assert all(got[i] for i in range(40))
+    assert not got[100]

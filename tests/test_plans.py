@@ -404,3 +404,22 @@ def test_shuffle_and_budget_heavy_windows_are_partitioned(spark):
     # the per-doc cumsum partitions by band; the only band-unkeyed window
     # spec is the tiny totals chain
     assert "windowspecdefinition(__band__" in plan2
+
+
+def test_centroid_joins_broadcast(spark):
+    """centroid_distances and nearest_centroid must join the |labels| x dim
+    centroid relation as a broadcast — the corpus side never shuffles for
+    the join (only the final partial-sum agg)."""
+    from adtl_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3)] * 8, i % 3) for i in range(200)],
+        ["vec_id", "embedding", "label"],
+    )
+    for op in (
+        S.centroid_distances(df, dim=8),
+        S.nearest_centroid(df, dim=8),
+    ):
+        plan = physical_plan(op)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan

@@ -91,6 +91,8 @@ QUERIES = [
     "olap_pivot",
     "emb_outliers",
     "emb_nearest_centroid",
+    "corpus_length_filter",
+    "corpus_zipf",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
     # to ~40 near-identical copies), so the stress measures pair-set
