@@ -323,3 +323,81 @@ def deterministic_shuffle_oracle_sql(
            AS shuffle_pos
     FROM {table}
     """
+
+
+def select_until_budget_by_group(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+    band_width: int = 16,
+) -> DataFrame:
+    """Per-group token-budget selection: within EACH group walk documents
+    in (priority DESC, id ASC) order and keep them while the group's
+    running token total stays within ``budget`` — the per-domain token
+    cap ("at most B tokens from crawl, B from forums, ...") that
+    mixture construction needs when RATES aren't enough and hard ceilings
+    are required.
+
+    Same banded two-phase prefix sum as :func:`select_until_budget`, but
+    every window carries the group key — the per-band cumsum partitions
+    by (group, band) and the band-offset chain by group, so NO window in
+    the plan is single-partition: the operator is fully parallel across
+    groups AND bands.  Emits (id, group, priority, n_tokens, cum_tokens)
+    for kept documents."""
+    from pyspark.sql import Window
+
+    b = df.withColumn("__band__", F.expr(f"`{priority_col}` DIV {band_width}"))
+    local_w = (
+        Window.partitionBy(group_col, "__band__")
+        .orderBy(F.desc(priority_col), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = b.withColumn("__lc__", F.sum(tokens_col).over(local_w))
+    totals = b.groupBy(group_col, "__band__").agg(
+        F.sum(tokens_col).alias("__bt__")
+    )
+    offset_w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.desc("__band__"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "__band__",
+        F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__"),
+    )
+    return (
+        local.join(F.broadcast(offsets), [group_col, "__band__"])
+        .select(
+            id_col,
+            group_col,
+            priority_col,
+            tokens_col,
+            (F.col("__bo__") + F.col("__lc__")).alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def select_until_budget_by_group_oracle_sql(
+    source_sql: str,
+    budget: int,
+    group_col: str = "source",
+    tokens_col: str = "n_tokens",
+    priority_col: str = "priority",
+    id_col: str = "doc_id",
+) -> str:
+    "DuckDB twin: one per-group ordered window (execution strategy differs)."
+    return f"""
+    SELECT {id_col}, {group_col}, {priority_col}, {tokens_col}, cum_tokens FROM (
+      SELECT *, SUM({tokens_col}) OVER (
+        PARTITION BY {group_col}
+        ORDER BY {priority_col} DESC, {id_col} ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS cum_tokens
+      FROM ({source_sql})
+    ) WHERE cum_tokens <= {budget}
+    """

@@ -1172,3 +1172,197 @@ def zipf_fit_oracle_sql(table: str, k: int = 50) -> str:
            floor((CAST(sy AS DOUBLE) - CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / k / 1000000.0 * 10000 + 0.5) / 10000.0 AS zipf_intercept
     FROM s
     """
+
+
+def pmi_topk(
+    df: DataFrame, k: int = 50, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` bigram collocations by pointwise mutual information:
+    ``PMI(a,b) = ln(p(a,b) / (p(a) p(b)))`` with bigram probability over
+    bigram slots and unigram probabilities over tokens — the measure that
+    surfaces 'hong kong'-style fixed phrases that raw frequency buries
+    under stopword pairs.  Bigrams under ``min_count`` occurrences are
+    dropped (PMI is noise-dominated at tiny counts).
+
+    Exactness: every count is an exact integer; the PMI expression
+    ``ln(cab) - ln(ca) - ln(cb) + 2 ln(Tu) - ln(Tb)`` is evaluated in
+    this fixed order and quantized at 1e-4 (the module's ln() caveat
+    applies, compounded over five ln calls — still ~1e-12 relative odds
+    of a boundary crossing).  Ties break (pmi desc, ngram asc).
+
+    Shape: two corpus aggs (unigram and bigram counts, both map-side
+    combined), token-keyed joins to attach the marginals (AQE broadcasts
+    the min_count-filtered bigram side when small), a 1-row totals
+    broadcast and a k-row TakeOrdered."""
+    t = _tokenized(df, text_col)
+    uni = (
+        t.select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    totals = t.select(
+        F.sum(F.size("__toks")).alias("tu"),
+        F.sum(F.greatest(F.size("__toks") - 1, F.lit(0))).alias("tb"),
+    )
+    big = (
+        t.select(F.explode(_ngrams(F.col("__toks"), 2)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    parts = F.split(F.col("ngram"), " ")
+    joined = (
+        big.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(uni.select(F.col("tok").alias("w1"), F.col("cu").alias("ca")), "w1")
+        .join(uni.select(F.col("tok").alias("w2"), F.col("cu").alias("cb")), "w2")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi_q = F.floor(
+        (
+            F.log(F.col("cab").cast("double"))
+            - F.log(F.col("ca").cast("double"))
+            - F.log(F.col("cb").cast("double"))
+            + 2 * F.log(F.col("tu").cast("double"))
+            - F.log(F.col("tb").cast("double"))
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        joined.select(
+            "ngram",
+            F.col("cab").cast("long").alias("n_ab"),
+            (pmi_q.cast("double") / 10000.0).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def pmi_topk_oracle_sql(table: str, k: int = 50, min_count: int = 5) -> str:
+    "DuckDB twin of :func:`pmi_topk` — same counts, ln order, quantum."
+    return f"""
+    WITH t AS (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+      FROM {table}
+    ),
+    uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ),
+    cu AS (SELECT tok, count(*) AS cu FROM uni GROUP BY 1),
+    totals AS (
+      SELECT sum(len(toks)) AS tu,
+             sum(greatest(len(toks) - 1, 0)) AS tb
+      FROM t
+    ),
+    grams AS (
+      SELECT concat_ws(' ', toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]) AS ngram,
+             toks[CAST(i AS INT)] AS w1, toks[CAST(i AS INT) + 1] AS w2
+      FROM t
+      CROSS JOIN (
+        SELECT unnest(range(1, (SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM t))) AS i
+      ) idx
+      WHERE i <= len(toks) - 1
+    ),
+    big AS (
+      SELECT ngram, any_value(w1) AS w1, any_value(w2) AS w2, count(*) AS cab
+      FROM grams GROUP BY 1 HAVING count(*) >= {min_count}
+    ),
+    scored AS (
+      SELECT b.ngram, b.cab,
+             CAST(floor((
+               ln(CAST(b.cab AS DOUBLE)) - ln(CAST(a.cu AS DOUBLE))
+               - ln(CAST(c.cu AS DOUBLE)) + 2 * ln(CAST(tt.tu AS DOUBLE))
+               - ln(CAST(tt.tb AS DOUBLE))
+             ) * 10000 + 0.5) AS BIGINT) AS pmi_q
+      FROM big b
+      JOIN cu a ON b.w1 = a.tok
+      JOIN cu c ON b.w2 = c.tok
+      CROSS JOIN totals tt
+    )
+    SELECT ngram, CAST(cab AS BIGINT) AS n_ab,
+           CAST(pmi_q AS DOUBLE) / 10000.0 AS pmi
+    FROM scored
+    ORDER BY pmi DESC, ngram ASC
+    LIMIT {k}
+    """
+
+
+def length_quantiles_histogram(
+    df: DataFrame,
+    group_col: str = "lang",
+    bin_width: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Histogram-sketch quantiles: per-group p25/p50/p75 token-count
+    estimates from fixed integer bins (``bin = n DIV bin_width``; the
+    estimate is the lower bound of the bin where the cumulative count
+    reaches the nearest-rank position, so error <= bin_width-1, always
+    biased low).  This is the BOUNDED-STATE scale path next to the exact
+    :func:`length_quantiles_by_group`: state is |groups| x |bins| cells
+    (mergeable by addition, streaming-friendly), and the rank windows run
+    over those cells, never over documents.  All arithmetic is integer —
+    deterministic and exactly mirrored by the oracle."""
+    from pyspark.sql import Window
+
+    lens = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(
+            f"size(filter(split(lower(`{text_col}`), '\\\\s+'), t -> t != '')) "
+            f"DIV {bin_width}"
+        ).alias("bin"),
+    )
+    cells = lens.groupBy("grp", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("grp").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy("grp")
+    staged = cells.select(
+        "grp",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def est(q_num: int, q_den: int, alias: str):
+        rank = F.expr(f"({q_num} * n + {q_den} - 1) DIV {q_den}")
+        return F.min(F.when(F.col("cum") >= rank, F.col("bin"))).alias(alias)
+
+    return (
+        staged.groupBy("grp")
+        .agg(est(1, 4, "b25"), est(1, 2, "b50"), est(3, 4, "b75"))
+        .select(
+            F.col("grp").alias(group_col),
+            (F.col("b25") * bin_width).cast("long").alias("p25_est"),
+            (F.col("b50") * bin_width).cast("long").alias("p50_est"),
+            (F.col("b75") * bin_width).cast("long").alias("p75_est"),
+        )
+    )
+
+
+def length_quantiles_histogram_oracle_sql(
+    table: str, group_col: str = "lang", bin_width: int = 8
+) -> str:
+    "DuckDB twin of :func:`length_quantiles_histogram` (same integer bins)."
+    return f"""
+    WITH lens AS (
+      SELECT {group_col} AS grp,
+             CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')) AS BIGINT) // {bin_width} AS bin
+      FROM {table}
+    ),
+    cells AS (SELECT grp, bin, count(*) AS c FROM lens GROUP BY 1, 2),
+    staged AS (
+      SELECT grp, bin,
+             SUM(c) OVER (PARTITION BY grp ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY grp) AS n
+      FROM cells
+    )
+    SELECT grp AS {group_col},
+           CAST(min(CASE WHEN cum >= (1 * n + 3) // 4 THEN bin END) * {bin_width} AS BIGINT) AS p25_est,
+           CAST(min(CASE WHEN cum >= (1 * n + 1) // 2 THEN bin END) * {bin_width} AS BIGINT) AS p50_est,
+           CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN bin END) * {bin_width} AS BIGINT) AS p75_est
+    FROM staged GROUP BY 1
+    """

@@ -831,6 +831,18 @@ def w10_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_K = 50
+PMI_MIN_COUNT = 5
+
+
+def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information —
+    quantized-ln protocol over exact counts (text.pmi_topk)."""
+    return X.pmi_topk(
+        _t(spark, sf_dir, "documents"), k=PMI_K, min_count=PMI_MIN_COUNT
+    )
+
+
 def corpus_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence (1.5*IQR) length outlier flags per language — exact
     nearest-rank quantiles, 2x-scaled integer fences, broadcast bound
@@ -842,6 +854,18 @@ def corpus_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law OLS fit over the top-K token frequencies — quantized
     integer OLS sums, closed-form slope/intercept (text.zipf_fit)."""
     return X.zipf_fit(_t(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
+HIST_BIN_W = 8
+
+
+def corpus_length_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch length quantiles per language — bounded
+    |groups| x |bins| state, the mergeable scale path beside the exact
+    nearest-rank pass (text.length_quantiles_histogram)."""
+    return X.length_quantiles_histogram(
+        _t(spark, sf_dir, "documents"), bin_width=HIST_BIN_W
+    )
 
 
 def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,6 +1157,26 @@ def corpus_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return SA.select_until_budget(scored, TOKEN_BUDGET)
+
+
+GROUP_TOKEN_BUDGET = 1_500
+
+
+def corpus_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token caps: within each source keep the best documents
+    until that source's token budget fills — every window in the plan is
+    (group, band)- or group-partitioned, none single-partition
+    (sampling.select_until_budget_by_group)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long").alias(
+            "priority"
+        ),
+    )
+    return SA.select_until_budget_by_group(scored, GROUP_TOKEN_BUDGET)
 
 
 def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1863,7 +1907,13 @@ def oracles() -> dict[str, str]:
                              ELSE 0 END AS BIGINT) AS steps_completed
             FROM per_user
         """,
+        "text_pmi_topk": X.pmi_topk_oracle_sql(
+            "documents", k=PMI_K, min_count=PMI_MIN_COUNT
+        ),
         "corpus_length_filter": X.length_filter_iqr_oracle_sql("documents"),
+        "corpus_length_quantiles_hist": X.length_quantiles_histogram_oracle_sql(
+            "documents", bin_width=HIST_BIN_W
+        ),
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
         "olap_rollup": """
             SELECT lang, source,
@@ -2222,6 +2272,17 @@ def oracles() -> dict[str, str]:
         "corpus_shuffle": SA.deterministic_shuffle_oracle_sql(
             "documents", select="doc_id, source"
         ),
+        "corpus_budget_by_source": SA.select_until_budget_by_group_oracle_sql(
+            """SELECT doc_id, source,
+                      CAST(len(toks) AS BIGINT) AS n_tokens,
+                      CAST(len(list_distinct(toks)) AS BIGINT) AS priority
+               FROM (
+                 SELECT doc_id, source,
+                        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+                 FROM documents
+               )""",
+            GROUP_TOKEN_BUDGET,
+        ),
         "corpus_decontaminate_bloom": C.decontaminate_bloom_oracle_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} != 0",
             f"SELECT doc_id, text FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0",
@@ -2345,6 +2406,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_nearest_centroid": emb_nearest_centroid,
         "corpus_length_filter": corpus_length_filter,
         "corpus_zipf": corpus_zipf,
+        "text_pmi_topk": text_pmi_topk,
+        "corpus_budget_by_source": corpus_budget_by_source,
+        "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

@@ -119,6 +119,9 @@ HEADLINE = [
     "emb_nearest_centroid",
     "corpus_length_filter",
     "corpus_zipf",
+    "text_pmi_topk",
+    "corpus_budget_by_source",
+    "corpus_length_quantiles_hist",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

@@ -1279,3 +1279,72 @@ def test_length_filter_iqr_flags_extremes(spark):
     got = {r["doc_id"]: r["kept"] for r in X.length_filter_iqr(df).collect()}
     assert all(got[i] for i in range(40))
     assert not got[100]
+
+
+def test_pmi_surfaces_collocations_over_frequency(spark):
+    """A bigram whose parts ONLY occur together (a true collocation) must
+    outscore a frequent pair of independent tokens."""
+    rows = []
+    did = 0
+    for _ in range(20):
+        rows.append((did, "hong kong")); did += 1          # always together
+    for i in range(100):
+        # 'the' and 'cat' frequent but paired only sometimes
+        rows.append((did, "the dog" if i % 2 else "the cat")); did += 1
+        rows.append((did, "a cat")); did += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["ngram"]: r["pmi"] for r in X.pmi_topk(df, k=10, min_count=5).collect()}
+    assert out["hong kong"] > out["the cat"]
+
+
+def test_budget_by_group_matches_per_group_window(spark):
+    """The grouped two-phase prefix sum equals the naive per-group ordered
+    cumsum cutoff; every group respects its own ceiling independently."""
+    import random
+
+    from pyspark.sql import Window
+
+    from adtl_spark.operators import sampling as SA
+
+    rng = random.Random(5)
+    data = [
+        (i, f"g{i % 4}", rng.randrange(1, 30), rng.randrange(0, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(data, ["doc_id", "source", "n_tokens", "priority"])
+    got = {
+        (r["doc_id"], r["cum_tokens"])
+        for r in SA.select_until_budget_by_group(
+            df, budget=800, band_width=8
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        (r["doc_id"], r["cum"])
+        for r in df.withColumn("cum", F.sum("n_tokens").over(w))
+        .filter(F.col("cum") <= 800)
+        .collect()
+    }
+    assert got == want
+
+
+def test_histogram_quantiles_bounded_error(spark):
+    """Sketch estimates sit within bin_width below the exact quantiles
+    (lower-bound estimator), and in a degenerate single-bin group they
+    coincide with the bin floor."""
+    import random
+
+    rng = random.Random(9)
+    rows = [
+        (i, "en", "tok " * rng.randrange(1, 200)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    exact = X.length_quantiles_by_group(df).collect()[0]
+    est = X.length_quantiles_histogram(df, bin_width=8).collect()[0]
+    for p in ("25", "50", "75"):
+        e, s = exact[f"p{p}_tokens"], est[f"p{p}_est"]
+        assert s <= e < s + 8
