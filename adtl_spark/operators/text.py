@@ -866,7 +866,10 @@ _NORMALIZE_PASSES: list[tuple[str, str]] = [
 
 
 def normalize_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic text normalization (the CCNet-style cleanup pass every
     web corpus runs before dedup/scoring): strip control characters, fold
@@ -875,30 +878,38 @@ def normalize_text(
 
     A pure chain of ``regexp_replace`` Column expressions — narrow,
     whole-stage codegen, zero shuffle; at 100 TB this runs fused into the
-    scan like any projection.  Emits (id, text_norm, n_chars_norm,
-    changed) so downstream passes can both consume the canonical text and
-    audit the normalization rate."""
+    scan like any projection.  Emits (id[, *carry], text_norm,
+    n_chars_norm, changed) so downstream passes can both consume the
+    canonical text and audit the normalization rate; ``carry`` rides
+    narrow columns along so pipeline consumers skip a join back."""
     c: Column = F.col(text_col)
     for pat, repl in _NORMALIZE_PASSES:
         c = F.regexp_replace(c, pat, repl)
     c = F.trim(c)
     return df.select(
         F.col(id_col),
+        *[F.col(x) for x in (carry or [])],
         c.alias("text_norm"),
         F.length(c).cast("long").alias("n_chars_norm"),
         (c != F.col(text_col)).alias("changed"),
     )
 
 
-def normalize_text_oracle_sql(table: str, id_col: str = "doc_id") -> str:
-    """DuckDB twin of :func:`normalize_text` — the same replacement chain
-    in the same order ('g' flag = Spark's replace-all default)."""
-    expr = "text"
+def normalize_expr_sql(col: str = "text") -> str:
+    """The DuckDB expression mirroring normalize_text's replacement chain
+    — exported so composed pipeline oracles reuse the identical text."""
+    expr = col
     for pat, repl in _NORMALIZE_PASSES:
         lit_pat = pat.replace("'", "''")
         lit_repl = repl.replace("'", "''")
         expr = f"regexp_replace({expr}, '{lit_pat}', '{lit_repl}', 'g')"
-    expr = f"trim({expr})"
+    return f"trim({expr})"
+
+
+def normalize_text_oracle_sql(table: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`normalize_text` — the same replacement chain
+    in the same order ('g' flag = Spark's replace-all default)."""
+    expr = normalize_expr_sql("text")
     return f"""
     SELECT {id_col},
            {expr} AS text_norm,

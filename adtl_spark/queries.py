@@ -868,6 +868,36 @@ def corpus_length_quantiles_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus ASSEMBLY (the composition counterpart of
+    pipeline_corpus_clean's filtering): normalize text -> per-language
+    Tukey-fence length filter -> domain-mixture sampling -> global
+    token-budget selection -> deterministic epoch order.  One DAG of the
+    round-4 operators; every stage keeps its scale shape (narrow
+    normalize, broadcast quantile bounds, narrow mixture predicate,
+    banded prefix sums, bucketed ranking).  Oracle: the same chain as
+    one composed SQL query."""
+    docs = _t(spark, sf_dir, "documents")
+    normed = X.normalize_text(docs, carry=["lang", "source"]).select(
+        "doc_id", "lang", "source", F.col("text_norm").alias("text")
+    )
+    flags = X.length_filter_iqr(normed)
+    kept = flags.filter(F.col("kept")).select("doc_id", "n_tokens")
+    base = kept.join(normed.select("doc_id", "source", "text"), "doc_id")
+    sampled = SA.mixture_sample(base, MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)
+    scored = sampled.select(
+        "doc_id",
+        "n_tokens",
+        F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long").alias(
+            "priority"
+        ),
+    )
+    sel = SA.select_until_budget(scored, TOKEN_BUDGET)
+    return SA.deterministic_shuffle(sel).select(
+        "doc_id", "priority", "n_tokens", "cum_tokens", "shuffle_pos"
+    )
+
+
 def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP aggregation (lang, source) -> subtotals -> grand total over
     the corpus — Catalyst's native grouping-sets expansion; one shuffle,
@@ -1914,6 +1944,56 @@ def oracles() -> dict[str, str]:
         "corpus_length_quantiles_hist": X.length_quantiles_histogram_oracle_sql(
             "documents", bin_width=HIST_BIN_W
         ),
+        "pipeline_corpus_assemble": f"""
+            WITH norm AS (
+              SELECT doc_id, lang, source, {X.normalize_expr_sql("text")} AS text
+              FROM documents
+            ),
+            lens AS (
+              SELECT doc_id, lang, source,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(toks)) AS BIGINT) AS priority
+              FROM (
+                SELECT *, list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+                FROM norm
+              )
+            ),
+            ranked AS (
+              SELECT lang, doc_id, n_tokens,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS cnt
+              FROM lens
+            ),
+            q AS (
+              SELECT lang,
+                     max(CASE WHEN rn = (cnt + 3) // 4 THEN n_tokens END) AS p25,
+                     max(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n_tokens END) AS p75
+              FROM ranked GROUP BY 1
+            ),
+            kept AS (
+              SELECT l.* FROM lens l JOIN q USING (lang)
+              WHERE 2 * l.n_tokens >= 2 * q.p25 - 3 * (q.p75 - q.p25)
+                AND 2 * l.n_tokens <= 2 * q.p75 + 3 * (q.p75 - q.p25)
+            ),
+            sampled AS (
+              SELECT * FROM kept
+              WHERE {SA.mixture_sample_where_sql(MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)}
+            ),
+            cum AS (
+              SELECT doc_id, priority, n_tokens,
+                     SUM(n_tokens) OVER (
+                       ORDER BY priority DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum_tokens
+              FROM sampled
+            ),
+            sel AS (SELECT * FROM cum WHERE cum_tokens <= {TOKEN_BUDGET})
+            SELECT doc_id, priority, n_tokens, cum_tokens,
+                   CAST(row_number() OVER (
+                     ORDER BY {SA._keyed_hash_sql("doc_id", "shuffle")}, doc_id
+                   ) AS BIGINT) AS shuffle_pos
+            FROM sel
+        """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
         "olap_rollup": """
             SELECT lang, source,
@@ -2409,6 +2489,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_topk": text_pmi_topk,
         "corpus_budget_by_source": corpus_budget_by_source,
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
+        "pipeline_corpus_assemble": pipeline_corpus_assemble,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,
