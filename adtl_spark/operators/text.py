@@ -1051,6 +1051,7 @@ def length_filter_iqr(
     group_col: str = "lang",
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: list[str] | None = None,
 ) -> DataFrame:
     """Tukey-fence length filter per group: flag documents whose token
     count falls outside [p25 - 1.5*IQR, p75 + 1.5*IQR] of their group —
@@ -1067,6 +1068,7 @@ def length_filter_iqr(
     lens = df.select(
         F.col(id_col),
         F.col(group_col),
+        *[F.col(x) for x in (carry or [])],
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
     )
     iqr = F.col("p75_tokens") - F.col("p25_tokens")
@@ -1075,6 +1077,7 @@ def length_filter_iqr(
     return lens.join(F.broadcast(q), group_col).select(
         id_col,
         group_col,
+        *(carry or []),
         "n_tokens",
         ((2 * F.col("n_tokens") >= lo2) & (2 * F.col("n_tokens") <= hi2)).alias(
             "kept"

@@ -881,17 +881,18 @@ def pipeline_corpus_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = X.normalize_text(docs, carry=["lang", "source"]).select(
         "doc_id", "lang", "source", F.col("text_norm").alias("text")
     )
-    flags = X.length_filter_iqr(normed)
-    kept = flags.filter(F.col("kept")).select("doc_id", "n_tokens")
-    base = kept.join(normed.select("doc_id", "source", "text"), "doc_id")
-    sampled = SA.mixture_sample(base, MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)
-    scored = sampled.select(
-        "doc_id",
-        "n_tokens",
-        F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long").alias(
-            "priority"
+    # carry rides source/priority through the fence pass, so the pipeline
+    # needs NO corpus-to-corpus join to rehydrate columns afterwards
+    flags = X.length_filter_iqr(
+        normed.withColumn(
+            "priority",
+            F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long"),
         ),
+        carry=["source", "priority"],
     )
+    kept = flags.filter(F.col("kept"))
+    sampled = SA.mixture_sample(kept, MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)
+    scored = sampled.select("doc_id", "n_tokens", "priority")
     sel = SA.select_until_budget(scored, TOKEN_BUDGET)
     return SA.deterministic_shuffle(sel).select(
         "doc_id", "priority", "n_tokens", "cum_tokens", "shuffle_pos"
