@@ -1380,3 +1380,65 @@ def length_quantiles_histogram_oracle_sql(
            CAST(min(CASE WHEN cum >= (3 * n + 3) // 4 THEN bin END) * {bin_width} AS BIGINT) AS p75_est
     FROM staged GROUP BY 1
     """
+
+
+def pack_texts(
+    packed: DataFrame,
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "chunk_id",
+) -> DataFrame:
+    """Materialize packed training contexts: given the packing DECISION
+    (``pack_chunks`` output) and the chunk texts, emit one row per pack
+    with its chunks concatenated in stream order — the final "write the
+    training examples" step after packing assigns positions.
+
+    Order safety: ``collect_list`` over a shuffled relation has no
+    deterministic order, so the chunks collect as (id, order, text)
+    structs and ``array_sort`` restores stream order INSIDE the row
+    before concatenation — the emitted text is identical across
+    partitionings and retries.  One (pack_id) shuffle; each pack's
+    payload is budget-bounded by construction, so rows stay small no
+    matter the corpus size."""
+    joined = packed.join(chunks, [id_col, order_col]).select(
+        "pack_id",
+        F.struct(
+            F.col(id_col).alias("i"),
+            F.col(order_col).alias("o"),
+            F.col("chunk_text").alias("t"),
+        ).alias("s"),
+    )
+    return (
+        joined.groupBy("pack_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "pack_id",
+            F.size("ss").cast("long").alias("n_chunks"),
+            F.concat_ws(
+                " ", F.transform(F.col("ss"), lambda s: s.getField("t"))
+            ).alias("pack_text"),
+        )
+    )
+
+
+def pack_texts_oracle_sql(
+    chunk_sql: str, budget: int
+) -> str:
+    """DuckDB twin of pack_chunks + pack_texts composed over a chunk
+    relation (doc_id, chunk_id, n_tokens, chunk_text)."""
+    return f"""
+    WITH chunks AS ({chunk_sql}),
+    cum AS (
+      SELECT doc_id, chunk_id, n_tokens, chunk_text,
+             coalesce(SUM(n_tokens) OVER (
+               ORDER BY doc_id, chunk_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS c
+      FROM chunks
+    )
+    SELECT c // {budget} AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS pack_text
+    FROM cum
+    GROUP BY 1
+    """

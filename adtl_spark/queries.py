@@ -1108,6 +1108,45 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pack_chunks(chunks, budget=PACK_BUDGET)
 
 
+# DuckDB chunk relation (doc_id, chunk_id, n_tokens, chunk_text) — shared
+# by the text_chunk oracle and the pack_texts composition
+CHUNK_ORACLE_SQL = f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+              FROM documents
+            ),
+            -- chunk-index bound derived from the corpus max token count
+            -- (same rationale as corpus_pack: a hardcoded cap would
+            -- silently truncate long documents in the oracle only)
+            nums AS (
+              SELECT unnest(range(0, (
+                SELECT CAST(ceil(max(len(toks)) / CAST({CHUNK_TOKENS} AS DOUBLE)) AS BIGINT)
+                FROM t
+              ))) AS ci
+            )
+            SELECT doc_id,
+                   CAST(ci AS BIGINT) AS chunk_id,
+                   CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+                   array_to_string(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text
+            FROM t JOIN nums ON ci < ceil(len(toks) / CAST({CHUNK_TOKENS} AS DOUBLE))
+"""
+
+
+def corpus_pack_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed training contexts MATERIALIZED: the packing decision joined
+    back to the chunk texts and concatenated per pack in stream order —
+    the final "emit the examples" step (text.pack_texts; in-row
+    array_sort makes the concatenation partition-order-independent)."""
+    chunks = X.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=CHUNK_TOKENS
+    )
+    packed = X.pack_chunks(
+        chunks.select("doc_id", "chunk_id", "n_tokens"), budget=PACK_BUDGET
+    )
+    return X.pack_texts(packed, chunks.select("doc_id", "chunk_id", "chunk_text"))
+
+
 def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM quality score: mean ln p(token) per document under a
     top-K corpus-trained model with an OOV floor (corpus.unigram_logprob)
@@ -2102,27 +2141,8 @@ def oracles() -> dict[str, str]:
             )
             GROUP BY token ORDER BY n DESC, token ASC LIMIT {VOCAB_K}
         """,
-        "text_chunk": f"""
-            WITH t AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
-              FROM documents
-            ),
-            -- chunk-index bound derived from the corpus max token count
-            -- (same rationale as corpus_pack: a hardcoded cap would
-            -- silently truncate long documents in the oracle only)
-            nums AS (
-              SELECT unnest(range(0, (
-                SELECT CAST(ceil(max(len(toks)) / CAST({CHUNK_TOKENS} AS DOUBLE)) AS BIGINT)
-                FROM t
-              ))) AS ci
-            )
-            SELECT doc_id,
-                   CAST(ci AS BIGINT) AS chunk_id,
-                   CAST(len(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
-                   array_to_string(toks[ci * {CHUNK_TOKENS} + 1 : ci * {CHUNK_TOKENS} + {CHUNK_TOKENS}], ' ') AS chunk_text
-            FROM t JOIN nums ON ci < ceil(len(toks) / CAST({CHUNK_TOKENS} AS DOUBLE))
-        """,
+        "text_chunk": CHUNK_ORACLE_SQL,
+        "corpus_pack_texts": X.pack_texts_oracle_sql(CHUNK_ORACLE_SQL, PACK_BUDGET),
         "sample_hash": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE {SA.hash_sample_where_sql(SAMPLE_FRACTION, "doc_id")}
@@ -2491,6 +2511,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_by_source": corpus_budget_by_source,
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "pipeline_corpus_assemble": pipeline_corpus_assemble,
+        "corpus_pack_texts": corpus_pack_texts,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

@@ -123,6 +123,7 @@ HEADLINE = [
     "corpus_budget_by_source",
     "corpus_length_quantiles_hist",
     "pipeline_corpus_assemble",
+    "corpus_pack_texts",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

@@ -97,6 +97,7 @@ QUERIES = [
     "corpus_budget_by_source",
     "corpus_length_quantiles_hist",
     "pipeline_corpus_assemble",
+    "corpus_pack_texts",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
     # to ~40 near-identical copies), so the stress measures pair-set
