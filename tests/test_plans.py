@@ -423,3 +423,15 @@ def test_centroid_joins_broadcast(spark):
         plan = physical_plan(op)
         assert "BroadcastHashJoin" in plan
         assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_assembly_pipeline_joins_all_broadcast(spark):
+    """The composed assembly pipeline must contain NO corpus-to-corpus
+    join: every join (quantile bounds, band offsets, bucket offsets) is
+    a broadcast of a tiny relation."""
+    from adtl_spark.queries import pipeline_corpus_assemble
+
+    plan = physical_plan(pipeline_corpus_assemble(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
