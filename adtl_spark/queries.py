@@ -597,6 +597,112 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join: customer-orders-lineitem joined to
+    supplier under the same-nation constraint, rolled up through
+    nation/region.  Exercises Catalyst join REORDERING and mixed
+    strategies: region/nation broadcast, the fact joins shuffle on their
+    keys, the date filter pushes into the orders scan."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            s,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(_quantized_sum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: the HAVING subquery
+    compiles to an aggregation + LEFT SEMI join (never a materialized IN
+    list), then customer/orders join and a deterministic top-100."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__q"))
+        .filter(F.col("__q") > Q18_QTY_THRESHOLD)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias(
+                "o_totalprice"
+            ),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+PRIVACY_K = 5
+PRIVACY_L = 3
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit over quasi-identifiers — the
+    privacy check a clinical-data pipeline (the reference's home domain:
+    sensitive hashing, dictionary privacy clamps) runs before release:
+    per (nation, market-segment) equivalence class, the row count
+    (k-anonymity) and the distinct count of the bucketed sensitive
+    attribute (l-diversity).  One aggregation, map-side combined."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("long")
+            ).alias("l_div"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n",
+            (F.col("n") >= PRIVACY_K).alias("k_anonymous"),
+            "l_div",
+            (F.col("l_div") >= PRIVACY_L).alias("l_diverse"),
+        )
+    )
+
+
 def dedup_apply_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Applying a dedup decision at scale: keep only canonical documents
     via a left-anti join against the non-canonical id set (the standard
@@ -1670,6 +1776,47 @@ def oracles() -> dict[str, str]:
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
         """,
+        "q5_local_supplier_volume": """
+            SELECT n_name,
+                   sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey
+              AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "q18_large_volume_customer": f"""
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+            FROM customer, orders, lineitem
+            WHERE o_orderkey IN (
+              SELECT l_orderkey FROM lineitem
+              GROUP BY l_orderkey
+              HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > {Q18_QTY_THRESHOLD}
+            )
+            AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 100
+        """,
+        "privacy_k_anonymity": f"""
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   count(*) >= {PRIVACY_K} AS k_anonymous,
+                   CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS BIGINT) AS l_div,
+                   count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= {PRIVACY_L} AS l_diverse
+            FROM customer
+            GROUP BY 1, 2
+        """,
         "p3_value_map": """
             SELECT CASE l_returnflag
                      WHEN 'A' THEN 'accepted'
@@ -2512,6 +2659,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "pipeline_corpus_assemble": pipeline_corpus_assemble,
         "corpus_pack_texts": corpus_pack_texts,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "privacy_k_anonymity": privacy_k_anonymity,
         "sample_mixture": sample_mixture,
         "corpus_budget_select": corpus_budget_select,
         "corpus_shuffle": corpus_shuffle,

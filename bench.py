@@ -124,6 +124,9 @@ HEADLINE = [
     "corpus_length_quantiles_hist",
     "pipeline_corpus_assemble",
     "corpus_pack_texts",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "privacy_k_anonymity",
     # dedup_keep_best is gate-checked but (like dedup_cluster, which it
     # composes) not benched: the synthetic corpus's 31-token vocabulary
     # makes SimHash link most documents, so its cost measures the

@@ -98,6 +98,9 @@ QUERIES = [
     "corpus_length_quantiles_hist",
     "pipeline_corpus_assemble",
     "corpus_pack_texts",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "privacy_k_anonymity",
     # dedup_keep_best: excluded like dedup_cluster — on the all-dupes 10x
     # corpus the SimHash pair set itself is pathological (every doc links
     # to ~40 near-identical copies), so the stress measures pair-set
