@@ -283,3 +283,33 @@ def test_pack_chunks_equivalent_across_bucket_widths(spark):
                 ).collect()
             }
             assert got == want, f"budget={budget} width={width}"
+
+
+def test_select_until_budget_equivalent_across_band_widths(spark):
+    """The banded prefix-sum selection must be invariant to band_width —
+    including width 1 (one band per priority), a prime width, and a
+    width collapsing everything into one band — and must equal a pure
+    Python walk of the (priority DESC, id ASC) order."""
+    import random
+
+    from adtl_spark.operators import sampling as SA
+
+    rng = random.Random(777)
+    rows = [
+        (i, rng.randrange(1, 40), rng.randrange(0, 25)) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "priority"])
+    for budget in (500, 2000):
+        cum, want = 0, {}
+        for doc, n, p in sorted(rows, key=lambda r: (-r[2], r[0])):
+            cum += n
+            if cum <= budget:
+                want[doc] = cum
+        for width in (1, 7, 64, 10**6):
+            got = {
+                r["doc_id"]: r["cum_tokens"]
+                for r in SA.select_until_budget(
+                    df, budget=budget, band_width=width
+                ).collect()
+            }
+            assert got == want, f"budget={budget} width={width}"
