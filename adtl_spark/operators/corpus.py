@@ -658,3 +658,197 @@ def bigram_logprob_oracle_sql(
            END AS avg_logprob
     FROM scored
     """
+
+
+# -------------------------------------------------- Naive Bayes quality model
+
+
+NB_CURATED_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def train_nb(
+    docs: DataFrame,
+    pos: Column,
+    vocab_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Train a two-class multinomial Naive Bayes text classifier — the
+    fastText-style linear quality filter (curated domains vs the rest)
+    used to score web corpora for pre-training (GPT-3 / Llama quality
+    classifiers are exactly this shape: bag-of-words, per-token log-odds).
+
+    ``pos`` is the boolean weak-label column (True = curated class).
+    Returns ``(model, prior)``:
+
+    - ``model``: (token, w) — per-token log-odds
+      ln((cnt_pos + 0.5) / (total_pos + 0.5 V)) -
+      ln((cnt_neg + 0.5) / (total_neg + 0.5 V))
+      quantized to 1e-4 BIGINTs, for the ``vocab_k`` most frequent tokens
+      (ties to the lexicographically first).  K rows — broadcastable.
+    - ``prior``: one row (b,) — quantized class-prior log-odds
+      ln((n_pos + 0.5) / (n_neg + 0.5)).
+
+    Scale shape: training is two aggregations over the exploded token
+    relation (map-side partial agg, (token, class-count) shuffle capped by
+    vocabulary size) plus a one-row document-count aggregate.  Nothing
+    document-sized is ever collected; at 100 TB you raise ``vocab_k`` to
+    ~1e6 and the model still broadcasts.
+    """
+    labeled = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        pos.cast("boolean").alias("__pos"),
+    )
+    toks = labeled.select(
+        F.col("id"),
+        F.col("__pos"),
+        F.explode(tokens(F.col("__text"))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cnt_pos"),
+    )
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_k)
+    totals = toks.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("tot_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("tot_neg"),
+    )
+    v = F.lit(0.5) * vocab_k
+    w = F.floor(
+        (
+            F.log(
+                (F.col("cnt_pos") + 0.5)
+                / (F.col("tot_pos").cast("double") + v)
+            )
+            - F.log(
+                (F.col("cnt") - F.col("cnt_pos") + 0.5)
+                / (F.col("tot_neg").cast("double") + v)
+            )
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    model = (
+        vocab.crossJoin(F.broadcast(totals)).select(F.col("token"), w.alias("w"))
+    )
+    ndocs = labeled.agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(F.col("__pos"), 0).otherwise(1)).alias("n_neg"),
+    )
+    prior = ndocs.select(
+        F.floor(
+            F.log((F.col("n_pos") + 0.5) / (F.col("n_neg") + 0.5)) * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("b")
+    )
+    return model, prior
+
+
+def score_nb(
+    docs: DataFrame,
+    model: DataFrame,
+    prior: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents under a trained NB model (:func:`train_nb`):
+    score = b + sum of in-vocabulary token log-odds (out-of-vocabulary
+    tokens contribute zero — they carry no class signal under the
+    symmetric smoothing).  Output (id_col, n_tokens, nb_score, nb_keep)
+    with nb_score the quantized-integer sum divided back to a double and
+    nb_keep = score > 0 (the classifier's keep/drop decision).
+
+    Stream-safe like :func:`score_unigram`: narrow explode, broadcast
+    model join, per-doc streaming agg; the 1-row prior cross-joins as a
+    broadcast.  Empty documents score exactly the prior."""
+    toks = _exploded_tokens(docs, text_col, id_col)
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("__wsum"),
+        )
+        .withColumnRenamed("id", "__did__")
+    )
+    q = (F.coalesce(F.col("__wsum"), F.lit(0)) + F.col("b")).cast("double")
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, docs[id_col] == scored["__did__"], "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
+            (q / 10000.0).alias("nb_score"),
+            (q > 0).alias("nb_keep"),
+        )
+    )
+
+
+def nb_quality(
+    docs: DataFrame,
+    pos: Column,
+    vocab_k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train-on-self + score composed (the gate-query form)."""
+    model, prior = train_nb(docs, pos, vocab_k, text_col, id_col)
+    return score_nb(docs, model, prior, text_col, id_col)
+
+
+def nb_quality_oracle_sql(
+    source_sql: str, pos_sql: str, vocab_k: int = 50
+) -> str:
+    """DuckDB twin of :func:`nb_quality` over a (doc_id, text, ...)
+    subquery; ``pos_sql`` is the boolean weak-label expression evaluated
+    on the source columns.  Same tokenizer, same top-K tie-break, same
+    quantized log-odds."""
+    return f"""
+    WITH labeled AS (
+      SELECT doc_id AS id, text, CAST(({pos_sql}) AS BOOLEAN) AS pos
+      FROM ({source_sql})
+    ),
+    toks AS (
+      SELECT id, pos, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM labeled
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt,
+             sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cnt_pos
+      FROM toks GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    tot AS (
+      SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS tot_pos,
+             sum(CASE WHEN pos THEN 0 ELSE 1 END) AS tot_neg
+      FROM toks
+    ),
+    model AS (
+      SELECT token,
+             CAST(floor((ln((cnt_pos + 0.5) / (CAST(tot_pos AS DOUBLE) + {0.5 * vocab_k}))
+                        - ln((cnt - cnt_pos + 0.5) / (CAST(tot_neg AS DOUBLE) + {0.5 * vocab_k})))
+                        * 10000 + 0.5) AS BIGINT) AS w
+      FROM vocab CROSS JOIN tot
+    ),
+    prior AS (
+      SELECT CAST(floor(ln((sum(CASE WHEN pos THEN 1 ELSE 0 END) + 0.5)
+                          / (sum(CASE WHEN pos THEN 0 ELSE 1 END) + 0.5))
+                        * 10000 + 0.5) AS BIGINT) AS b
+      FROM labeled
+    ),
+    scored AS (
+      SELECT t.id, count(*) AS n, CAST(sum(coalesce(m.w, 0)) AS BIGINT) AS wsum
+      FROM toks t LEFT JOIN model m USING (token)
+      GROUP BY t.id
+    )
+    SELECT l.id AS doc_id,
+           CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(s.wsum, 0) + p.b AS DOUBLE) / 10000.0 AS nb_score,
+           (coalesce(s.wsum, 0) + p.b) > 0 AS nb_keep
+    FROM labeled l LEFT JOIN scored s ON l.id = s.id CROSS JOIN prior p
+    """

@@ -1052,3 +1052,93 @@ def nearest_centroid_oracle_sql(table: str, dim: int = 64) -> str:
            clabel = true_label AS correct
     FROM ranked WHERE rn = 1
     """
+
+
+# ----------------------------------------------------------------------- PCA
+
+
+def pca_fit(
+    df: DataFrame, k: int = 2, dim: int = 64, vec_col: str = "embedding"
+) -> tuple[list[list[float]], list[float]]:
+    """Fit the top-``k`` principal components of the embedding corpus.
+
+    Two distributed aggregations feed a driver-side dim x dim
+    eigendecomposition — the standard big-data PCA split (Spark MLlib's
+    RowMatrix.computePrincipalComponents does the same): the corpus never
+    leaves the executors, only the O(dim^2) Gram matrix and the O(dim)
+    mean vector come back, and numpy.linalg.eigh runs on a 64x64 array no
+    matter whether the corpus is 60 k or 100 TB rows.
+
+    Sign convention: each component is flipped so its
+    largest-absolute-value coordinate is positive (eigh's sign is
+    arbitrary; this pins a deterministic output).
+
+    Ragged (shorter-than-dim) vectors are excluded — covariance over
+    mixed-length vectors is undefined.
+    """
+    import numpy as np
+
+    full = df.filter(F.size(F.col(vec_col)) >= dim)
+    # exact-integer mean protocol (same floor-1e6 quantization as the gram)
+    sums = (
+        full.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
+        .filter(F.col("i") < dim)
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("qsum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    n = sums[0]["n"] if sums else 0
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 full-length vectors")
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r["i"]] = (r["qsum"] / 1000000.0) / r["n"]
+    g = np.zeros((dim, dim))
+    for r in gram_matrix(full, dim, vec_col).collect():
+        g[int(r["i"]), int(r["j"])] = r["gram"]
+        g[int(r["j"]), int(r["i"])] = r["gram"]
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    vals, vecs = np.linalg.eigh(cov)
+    comps = []
+    for c in range(1, k + 1):
+        v = vecs[:, -c]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps, [float(x) for x in mu]
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project each embedding onto the fitted top-``k`` components
+    (mean-centering folds into a constant offset per component, so the
+    projection is a single literal-array dot per row — zero-shuffle,
+    whole-stage-codegen narrow map, like :func:`quantize_embeddings`).
+
+    Output: (id_col, pc1..pck), rounded to 4 decimals.  No DuckDB oracle:
+    the loadings come from a driver-side eigendecomposition — the gate
+    runs the weaker rows-only check and the semantics are pinned by a
+    pytest against numpy.linalg.svd on the collected corpus."""
+    comps, mu = pca_fit(df, k, dim, vec_col)
+    full = df.filter(F.size(F.col(vec_col)) >= dim)
+    cols = [F.col(id_col)]
+    for c, coords in enumerate(comps, start=1):
+        lit_vec = F.array(*[F.lit(x) for x in coords])
+        proj = dot(F.slice(F.col(vec_col), 1, dim), lit_vec)
+        # mean-centering folds into one constant per component:
+        # (v - mu) . e  ==  v . e - mu . e
+        offset = sum(m * x for m, x in zip(mu, coords))
+        cols.append((F.round(proj - F.lit(offset), 4)).alias(f"pc{c}"))
+    return full.select(*cols)

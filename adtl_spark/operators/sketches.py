@@ -1,0 +1,155 @@
+"""Mergeable distinct-count sketches (HyperLogLog) for corpus statistics.
+
+At 100 TB an exact ``count(DISTINCT token)`` shuffles every distinct token
+once; the HLL register table is a fixed 2^p rows per group regardless of
+corpus size, merges with ``max`` (associative + commutative, so map-side
+partial aggregation collapses each partition to at most 2^p rows before
+the shuffle), and the estimate is a driver-free final aggregate.
+
+Everything is deterministic and engine-portable:
+
+- hashing is the repo-wide portable salted md5 (``dedup.md5_60``), so the
+  DuckDB oracle computes the exact same 60-bit values;
+- the leading-zero rank comes from the bit length of the register
+  remainder via ``length(bin(x))`` — identical semantics in Spark and
+  DuckDB (no leading zeros, ``bin(0) = '0'``);
+- the harmonic mean is accumulated as an EXACT integer: each register
+  contributes ``2^(SCALE_POW - M)`` (a power of two, ``shiftleft``), so
+  the sum is order-independent BIGINT arithmetic — no float summation
+  order to diverge between engines.  Only the final ``alpha*m^2/Z`` (and
+  the small-range ``m*ln(m/V)`` linear-counting correction) is float, and
+  it is quantized at 1e-4 by the repo's floor protocol.
+
+The reference has no sketch support (its engine is a row-at-a-time Python
+interpreter, src/adtl/__init__.py); this module is part of the Spark-first
+extension surface alongside the count-min sketch (text.cms_build).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from adtl_spark.operators.dedup import md5_60, md5_60_sql
+
+HLL_P = 8  # 2^8 = 256 registers per group
+HLL_M = 1 << HLL_P
+HLL_W = 60 - HLL_P  # remainder bits below the register index
+SCALE_POW = HLL_W + 2  # 2^(SCALE_POW - M) stays integral for M in [0, W+1]
+
+# alpha_m for m >= 128 (Flajolet et al. 2007); embedded as a literal so
+# both engines parse the identical decimal string to the identical double
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _q4(x: Column) -> Column:
+    return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+
+def hll_registers(
+    df: DataFrame, key: Column, group: Column, group_name: str = "grp"
+) -> DataFrame:
+    """The mergeable sketch itself: one row per (group, register) holding
+    the max leading-zero rank.  ``groupBy().max()`` IS the merge operator —
+    union two register tables and re-aggregate to combine sketches built
+    on disjoint corpus partitions (or on a stream, where max-agg is a
+    supported streaming aggregate)."""
+    h = md5_60(F.concat_ws("|", F.lit("hll"), key.cast("string")))
+    # exact integer bit ops — h exceeds 2^53, so double division would
+    # mis-assign registers near multiples of 2^W; shiftright never does
+    j = F.shiftright(h, HLL_W)  # top p bits -> register index
+    rest = h % F.lit(1 << HLL_W)
+    # rank of the first set bit in the W-bit remainder, counted from the
+    # MSB: W+1 when the remainder is zero, else W+1 - bit_length(rest)
+    rho = F.when(rest == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(group.alias(group_name), j.alias("register"), rho.alias("rho"))
+        .groupBy(group_name, "register")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_name: str = "grp") -> DataFrame:
+    """Collapse a register table to (group, n_set, est_distinct).
+
+    Harmonic mean via the exact-integer protocol: registers sum
+    ``2^(SCALE_POW - m_rho)``; absent registers (value 0) contribute
+    ``2^SCALE_POW`` each, added as ``(m - n_set) * 2^SCALE_POW`` after the
+    aggregate.  Small cardinalities (E <= 2.5m with empty registers) use
+    the linear-counting correction ``m * ln(m / V)``.
+    """
+    m = F.lit(HLL_M).cast("double")
+    per_group = registers.groupBy(group_name).agg(
+        F.count(F.lit(1)).alias("n_set"),
+        # the 1 MUST be a long (shiftleft on a 32-bit int wraps at 32);
+        # the shift amount is a column, which the Python shiftleft helper
+        # rejects — the SQL form accepts any expression
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {SCALE_POW} - m_rho)")
+        ).alias("__zsum"),
+    )
+    zsum = (
+        F.col("__zsum")
+        + (F.lit(HLL_M) - F.col("n_set")) * F.lit(1 << SCALE_POW)
+    ).cast("double")
+    raw = F.lit(HLL_ALPHA) * m * m * F.lit(float(1 << SCALE_POW)) / zsum
+    v = m - F.col("n_set")  # empty registers
+    est = F.when((v > 0) & (raw <= 2.5 * m), m * F.log(m / v)).otherwise(raw)
+    return per_group.select(
+        F.col(group_name),
+        F.col("n_set").cast("long").alias("n_set"),
+        _q4(est).alias("est_distinct"),
+    ).orderBy(group_name)
+
+
+def hll_distinct(
+    df: DataFrame, key: Column, group: Column, group_name: str = "grp"
+) -> DataFrame:
+    """Distinct-count estimate of ``key`` per ``group`` — registers + final
+    estimate composed.  Plan shape: one shuffle of at most 2^p rows per
+    group (map-side max-combine first), then a 2^p-to-1 aggregate."""
+    return hll_estimate(hll_registers(df, key, group, group_name), group_name)
+
+
+def hll_distinct_oracle_sql(
+    source_sql: str, key_expr: str, group_expr: str, group_name: str = "grp"
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` over an arbitrary subquery —
+    same salted hash, same register math, same integer harmonic sum."""
+    h = md5_60_sql(f"concat_ws('|', 'hll', CAST({key_expr} AS VARCHAR))")
+    return f"""
+    WITH hashed AS (
+      SELECT {group_expr} AS {group_name},
+             ({h}) >> {HLL_W} AS register,
+             ({h}) % {1 << HLL_W} AS rest
+      FROM ({source_sql})
+    ),
+    regs AS (
+      SELECT {group_name}, register,
+             max(CASE WHEN rest = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W + 1} - length(bin(rest)) END) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT {group_name},
+             count(*) AS n_set,
+             sum(CAST(1 AS BIGINT) << ({SCALE_POW} - m_rho)) AS zsum
+      FROM regs GROUP BY 1
+    )
+    SELECT {group_name},
+           CAST(n_set AS BIGINT) AS n_set,
+           CAST(floor(
+             CASE WHEN ({HLL_M} - n_set) > 0
+                   AND (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * CAST({float(1 << SCALE_POW)!r} AS DOUBLE)
+                        / CAST(zsum + ({HLL_M} - n_set) * {1 << SCALE_POW} AS DOUBLE)) <= {2.5 * HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_set))
+                  ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * CAST({float(1 << SCALE_POW)!r} AS DOUBLE)
+                       / CAST(zsum + ({HLL_M} - n_set) * {1 << SCALE_POW} AS DOUBLE)
+             END * 10000 + 0.5) AS DOUBLE) / 10000.0 AS est_distinct
+    FROM grp
+    ORDER BY {group_name}
+    """

@@ -27,6 +27,7 @@ from adtl_spark.operators import corpus as C
 from adtl_spark.operators import dedup as D
 from adtl_spark.operators import sampling as SA
 from adtl_spark.operators import similarity as S
+from adtl_spark.operators import sketches as SK
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -1736,6 +1737,131 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------------- oracles
 
 
+def text_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token estimate per language (p=8, 256
+    registers) — the mergeable-sketch answer to ``count(DISTINCT token)``
+    at 100 TB: per-group state is a fixed 256-row register table merged
+    with max (map-side combine collapses each partition before the
+    shuffle), vs an exact-distinct shuffle of every unique token."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("lang"), F.explode(X.tokens(F.col("text"))).alias("token")
+    )
+    return SK.hll_distinct(toks, F.col("token"), F.col("lang"), "lang")
+
+
+def quality_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier trained on a curated-vs-rest weak
+    label (the fastText-style GPT-3/Llama quality-filter shape): per-token
+    log-odds model (50 rows, broadcast) + per-document scoring."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin(*C.NB_CURATED_SOURCES)
+    return C.nb_quality(docs, pos, vocab_k=50).orderBy("doc_id")
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped (adapted to the trimmed schema: 'late' is
+    l_shipdate > o_orderdate + 90 days): suppliers who were the SOLE late
+    supplier on a multi-supplier finished order.
+
+    The oracle states it the textbook way — EXISTS + NOT EXISTS
+    correlated self-joins on lineitem.  This side is the decorrelated
+    plan an optimizer should reach: ONE pass over lineitem aggregated to
+    (order, supplier) grain [max(late), count late rows], one more to
+    order grain [supplier count, late-supplier count], then the sole-late
+    filter — two cheap aggregations instead of two correlated lineitem
+    self-joins, the difference between O(|li|) and O(|li|^2 / |orders|)
+    work at 100 TB.  Supplier + nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    lo = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    )
+    late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late).alias("any_late"),
+        F.sum(late).alias("n_late_rows"),
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum("any_late").alias("n_late_supp"),
+    )
+    sole_late = (
+        per_os.filter(F.col("any_late") == 1)
+        .join(
+            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+    )
+    named = sole_late.join(
+        F.broadcast(
+            supplier.join(
+                F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+                supplier["s_nationkey"] == F.col("n_nationkey"),
+            ).select("s_suppkey", "s_name")
+        ),
+        sole_late["l_suppkey"] == F.col("s_suppkey"),
+    )
+    return (
+        named.groupBy("s_name")
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped (cntrycode -> c_nationkey on the trimmed schema,
+    and — because every generated customer has orders — 'no orders'
+    becomes 'no URGENT orders'): well-funded customers in a target nation
+    set who never placed an urgent order.  The scalar AVG subquery
+    decorrelates to a 1-row broadcast cross join; the NOT EXISTS
+    decorrelates to a left-anti join against the filtered orders (the
+    filter pushes below the anti join, shrinking its build side).  The
+    average threshold uses the exact decimal-sum protocol so the float
+    compare is bit-identical across engines."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    nations = [0, 3, 7, 11, 14, 18, 21]
+    pool = cust.filter(F.col("c_nationkey").isin(nations))
+    thr = pool.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, pool["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal-component projection of the embedding corpus:
+    distributed mean+Gram aggregation, 64x64 driver eigh, zero-shuffle
+    literal-loading projection (see similarity.pca_project).  Rows-only
+    gate: the eigendecomposition is not SQL-expressible; semantics are
+    pinned by tests/test_operators.py against numpy SVD."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pca_project(emb, k=2).orderBy("vec_id")
+
+
 def oracles() -> dict[str, str]:
     en = X.STOPWORDS["en"]
     en_sql = "[" + ", ".join(f"'{w}'" for w in en) + "]"
@@ -1807,6 +1933,49 @@ def oracles() -> dict[str, str]:
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
+        """,
+        "q21_waiting_supplier": """
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM supplier, lineitem l1, orders o, nation
+            WHERE s_suppkey = l1.l_suppkey
+              AND o.o_orderkey = l1.l_orderkey
+              AND o.o_orderstatus = 'F'
+              AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+              AND s_nationkey = n_nationkey
+              AND n_name = 'NATION_5'
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 100
+        """,
+        "q22_sales_opportunity": """
+            WITH pool AS (
+              SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+              WHERE c_nationkey IN (0, 3, 7, 11, 14, 18, 21)
+            ),
+            thr AS (
+              SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(*) AS avg_bal
+              FROM pool WHERE c_acctbal > 0.0
+            )
+            SELECT c_nationkey AS cntrycode,
+                   count(*) AS numcust,
+                   CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+            FROM pool, thr
+            WHERE c_acctbal > thr.avg_bal
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = pool.c_custkey
+                  AND o_orderpriority = '1-URGENT')
+            GROUP BY 1 ORDER BY 1
         """,
         "privacy_k_anonymity": f"""
             SELECT c_nationkey, c_mktsegment,
@@ -2446,6 +2615,22 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "text_hll_distinct": SK.hll_distinct_oracle_sql(
+            """SELECT lang, unnest(
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+               ) AS token FROM documents""",
+            "token",
+            "lang",
+            "lang",
+        ),
+        "quality_nb": C.nb_quality_oracle_sql(
+            "SELECT doc_id, text, source FROM documents",
+            "source IN ("
+            + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
+            + ")",
+            vocab_k=50,
+        )
+        + " ORDER BY doc_id",
         "text_tfidf": X.tfidf_topk_oracle_sql("documents", k=TFIDF_K),
         "corpus_length_stats": X.length_stats_oracle_sql("documents"),
         "corpus_pack": f"""
@@ -2609,6 +2794,12 @@ def oracles() -> dict[str, str]:
 # fail if an entry is in neither oracles() nor this dict, so an oracle can
 # never be dropped silently.
 ROWS_ONLY: dict[str, str] = {
+    "emb_pca_project": (
+        "PCA loadings come from a driver-side 64x64 numpy eigendecomposition "
+        "of the distributed Gram/mean aggregates — not expressible in SQL; "
+        "semantics pinned by tests/test_operators.py::test_pca_matches_numpy "
+        "(driver runs the weaker rows-only check by design)"
+    ),
     "p14_uuid5": (
         "uuid5 is sha1-based and DuckDB ships no sha1; the uuid.uuid5 "
         "semantics are pinned by unit tests instead (driver runs the "
@@ -2640,6 +2831,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in round 4 (never driver-checked) --
+        "text_hll_distinct": text_hll_distinct,
+        "quality_nb": quality_nb,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "emb_pca_project": emb_pca_project,
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,
         "text_cms_counts": text_cms_counts,

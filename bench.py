@@ -134,6 +134,11 @@ HEADLINE = [
     "sample_mixture",
     "corpus_budget_select",
     "corpus_shuffle",
+    "text_hll_distinct",
+    "quality_nb",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    "emb_pca_project",
 ]
 
 

@@ -1348,3 +1348,122 @@ def test_histogram_quantiles_bounded_error(spark):
     for p in ("25", "50", "75"):
         e, s = exact[f"p{p}_tokens"], est[f"p{p}_est"]
         assert s <= e < s + 8
+
+
+# ------------------------------------------------------------------ sketches
+
+
+def test_hll_close_to_exact_and_mergeable(spark):
+    from adtl_spark.operators import sketches as SK
+
+    n = 5000
+    rows = [(i, f"grp{i % 2}", f"key{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, ["i", "grp", "key"])
+    out = {
+        r["grp"]: (r["n_set"], r["est_distinct"])
+        for r in SK.hll_distinct(df, F.col("key"), F.col("grp")).collect()
+    }
+    for grp, exact in [("grp0", 2500), ("grp1", 2500)]:
+        n_set, est = out[grp]
+        # p=8 gives ~6.5% standard error; 4 sigma is a safe determinism-free bound
+        assert abs(est - exact) / exact < 0.26, (grp, est)
+    # mergeability: sketch(A) merged with sketch(B) == sketch(A union B)
+    a = df.filter(F.col("i") < 2000)
+    b = df.filter(F.col("i") >= 2000)
+    merged = (
+        SK.hll_registers(a, F.col("key"), F.col("grp"))
+        .unionByName(SK.hll_registers(b, F.col("key"), F.col("grp")))
+        .groupBy("grp", "register")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    whole = SK.hll_distinct(df, F.col("key"), F.col("grp")).collect()
+    via_merge = SK.hll_estimate(merged).collect()
+    assert sorted(map(tuple, whole)) == sorted(map(tuple, via_merge))
+
+
+def test_hll_small_range_uses_linear_counting(spark):
+    from adtl_spark.operators import sketches as SK
+
+    df = spark.createDataFrame(
+        [("g", f"k{i % 10}") for i in range(100)], ["grp", "key"]
+    )
+    row = SK.hll_distinct(df, F.col("key"), F.col("grp")).collect()[0]
+    # 10 distinct keys -> at most 10 registers set, linear counting regime:
+    # the estimate lands within 1 of exact at this density
+    assert row["n_set"] <= 10
+    assert abs(row["est_distinct"] - 10) <= 1.0
+
+
+# ----------------------------------------------------------------------- PCA
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: variance concentrated along a known direction
+    base = rng.normal(size=(300, 8))
+    base[:, 0] *= 10.0
+    base[:, 1] *= 3.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    comps, mu = S.pca_fit(df, k=2, dim=8)
+    centered = base - base.mean(axis=0)
+    _, _, vt = np.linalg.svd(centered, full_matrices=False)
+    for c, v in zip(comps, vt[:2]):
+        # same axis up to sign; quantized gram admits ~1e-3 wiggle
+        assert abs(abs(np.dot(c, v)) - 1.0) < 1e-3, np.dot(c, v)
+    assert np.allclose(mu, base.mean(axis=0), atol=1e-4)
+
+    proj = {
+        r["vec_id"]: (r["pc1"], r["pc2"])
+        for r in S.pca_project(df, k=2, dim=8).collect()
+    }
+    expect = centered @ np.array(comps).T
+    for i in range(300):
+        assert abs(proj[i][0] - expect[i, 0]) < 1e-2
+        assert abs(proj[i][1] - expect[i, 1]) < 1e-2
+
+
+def test_pca_excludes_ragged_vectors(spark):
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(10)]
+    rows.append((99, [1.0, 2.0]))  # short vector must not break the fit
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = S.pca_project(df, k=1, dim=4)
+    assert 99 not in {r["vec_id"] for r in out.collect()}
+
+
+# --------------------------------------------------------------- NB quality
+
+
+def test_nb_separates_classes_and_prior_for_empty(spark):
+    from adtl_spark.operators import corpus as C
+
+    rows = [
+        (1, "good clean prose with structure and meaning", "wiki"),
+        (2, "good careful prose with sources and meaning", "wiki"),
+        (3, "click here buy now free offer spam spam", "web"),
+        (4, "buy free spam offer click now here spam", "web"),
+        (5, "good prose with meaning", "unlabeled"),
+        (6, "spam offer click", "unlabeled"),
+        (7, "", "unlabeled"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in C.nb_quality(
+            docs, F.col("source") == "wiki", vocab_k=30
+        ).collect()
+    }
+    assert out[1]["nb_keep"] and out[2]["nb_keep"]
+    assert not out[3]["nb_keep"] and not out[4]["nb_keep"]
+    # unlabeled docs score by their tokens, not their (negative) label
+    assert out[5]["nb_score"] > out[6]["nb_score"]
+    # empty doc scores exactly the class prior
+    assert out[7]["n_tokens"] == 0
+    prior_only = out[7]["nb_score"]
+    import math
+
+    expected_prior = math.floor(math.log(2.5 / 5.5) * 10000 + 0.5) / 10000.0
+    assert abs(prior_only - expected_prior) < 1e-9
