@@ -28,6 +28,7 @@ from adtl_spark.operators import dedup as D
 from adtl_spark.operators import sampling as SA
 from adtl_spark.operators import similarity as S
 from adtl_spark.operators import sketches as SK
+from adtl_spark.operators import tokenizer as T
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -1852,6 +1853,15 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: the first 6 merges learned over
+    the word-frequency table (see operators/tokenizer.py — per iteration
+    one vocab scan, one small pair-count shuffle, a 1-row model collect;
+    the corpus is tokenized exactly once)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_merges(docs, n_merges=6)
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal-component projection of the embedding corpus:
     distributed mean+Gram aggregation, 64x64 driver eigh, zero-shuffle
@@ -2615,6 +2625,9 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
+            "SELECT text FROM documents", n_merges=6
+        ),
         "text_hll_distinct": SK.hll_distinct_oracle_sql(
             """SELECT lang, unnest(
                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
@@ -2831,6 +2844,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in round 4 (never driver-checked) --
+        "tokenizer_bpe_merges": tokenizer_bpe_merges,
         "text_hll_distinct": text_hll_distinct,
         "quality_nb": quality_nb,
         "q21_waiting_supplier": q21_waiting_supplier,

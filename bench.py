@@ -35,7 +35,9 @@ text normalization, count-min sketch, bigram-LM scoring, mixture
 sampling, token-budget selection, deterministic shuffle), appended so
 the shared-prefix ordering stays identical to round 3; methodology
 unchanged — per-query times are directly comparable to BENCH_r03 (see
-docs/BENCH_NOTES.md for the r3->r4 diff table).
+docs/BENCH_NOTES.md for the r3->r4 diff table).  Late round-4 batch
+appends six more: HyperLogLog distinct sketch, NB quality classifier,
+TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
 """
 
 from __future__ import annotations
@@ -139,6 +141,7 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q22_sales_opportunity",
     "emb_pca_project",
+    "tokenizer_bpe_merges",
 ]
 
 

@@ -1467,3 +1467,44 @@ def test_nb_separates_classes_and_prior_for_empty(spark):
 
     expected_prior = math.floor(math.log(2.5 / 5.5) * 10000 + 0.5) / 10000.0
     assert abs(prior_only - expected_prior) < 1e-9
+
+
+# ------------------------------------------------------------------ tokenizer
+
+
+def test_bpe_learns_frequent_pairs_and_segments(spark):
+    from adtl_spark.operators import tokenizer as T
+
+    rows = [
+        (1, "lower lower lower newest newest"),
+        (2, "lowest lowest newer newer lower"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = T.bpe_merges(docs, n_merges=3).collect()
+    assert [m["step"] for m in merges] == [1, 2, 3]
+    # 'w e' appears in every word of lower/lowest/newer/newest: 10 total
+    assert (merges[0]["s1"], merges[0]["s2"], merges[0]["cnt"]) == ("w", "e", 10)
+    # later merges may build on earlier merged symbols
+    seg = {
+        r["doc_id"]: r
+        for r in T.bpe_segment(
+            docs, [(m["s1"], m["s2"]) for m in merges]
+        ).collect()
+    }
+    # merging strictly reduces piece count below the character count
+    chars = {1: len("lowerlowerlowernewestnewest"), 2: len("lowestlowestnewernewerlower")}
+    for d in (1, 2):
+        assert seg[d]["n_pieces"] < chars[d]
+        assert seg[d]["n_words"] == 5
+
+
+def test_bpe_two_pass_replace_semantics(spark):
+    from adtl_spark.operators import tokenizer as T
+
+    # 'aaaa' with top pair (a,a): two passes give aa aa (the single-pass
+    # miss is repaired); this pins the documented cross-engine semantics
+    docs = spark.createDataFrame([(1, "aaaa aaaa")], ["doc_id", "text"])
+    merges = T.bpe_merges(docs, n_merges=1).collect()
+    assert (merges[0]["s1"], merges[0]["s2"], merges[0]["cnt"]) == ("a", "a", 6)
+    seg = T.bpe_segment(docs, [("a", "a")]).collect()[0]
+    assert seg["n_pieces"] == 4  # two words x (aa, aa)

@@ -71,6 +71,9 @@ QUERIES = [
     "w6_range_join",
     "ann_cosine_topk",
     # round-4 operators
+    "tokenizer_bpe_merges",
+    "text_hll_distinct",
+    "quality_nb",
     "w7_asof_forward",
     "w8_asof_nearest",
     "dedup_semantic",
