@@ -763,28 +763,32 @@ def score_nb(
 
     Stream-safe like :func:`score_unigram`: narrow explode, broadcast
     model join, per-doc streaming agg; the 1-row prior cross-joins as a
-    broadcast.  Empty documents score exactly the prior."""
-    toks = _exploded_tokens(docs, text_col, id_col)
+    broadcast.  Empty documents score exactly the prior — via
+    ``explode_outer`` (an empty doc emits one null-token row), NOT a
+    re-join against the document table: the join-back form forces a
+    doc-id sort-merge join of two corpus-sized relations just to restore
+    empty rows, where explode_outer keeps the whole scorer one narrow
+    pass + one broadcast join + one aggregation."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(F.col(text_col))).alias("token"),
+    )
     scored = (
         toks.join(F.broadcast(model), "token", "left")
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("__n"),
+            # count(token) counts non-null rows only: an empty document's
+            # single null-token row contributes 0
+            F.count(F.col("token")).alias("__n"),
             F.sum(F.coalesce(F.col("w"), F.lit(0))).alias("__wsum"),
         )
-        .withColumnRenamed("id", "__did__")
     )
     q = (F.coalesce(F.col("__wsum"), F.lit(0)) + F.col("b")).cast("double")
-    return (
-        docs.select(F.col(id_col))
-        .join(scored, docs[id_col] == scored["__did__"], "left")
-        .crossJoin(F.broadcast(prior))
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_tokens"),
-            (q / 10000.0).alias("nb_score"),
-            (q > 0).alias("nb_keep"),
-        )
+    return scored.crossJoin(F.broadcast(prior)).select(
+        F.col("id").alias(id_col),
+        F.col("__n").cast("long").alias("n_tokens"),
+        (q / 10000.0).alias("nb_score"),
+        (q > 0).alias("nb_keep"),
     )
 
 

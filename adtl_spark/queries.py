@@ -1790,16 +1790,21 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(late).alias("any_late"),
         F.sum(late).alias("n_late_rows"),
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum("any_late").alias("n_late_supp"),
-    )
-    sole_late = (
-        per_os.filter(F.col("any_late") == 1)
-        .join(
-            per_o.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-            "l_orderkey",
-        )
+    # order-level rollup as a WINDOW over the (order, supplier) aggregate,
+    # not a second aggregation joined back: Spark does not reuse the shared
+    # subplan, so the groupBy+join form scans lineitem TWICE and SMJ-joins
+    # the two branches.  The window shuffles only the per-(order, supplier)
+    # relation (bounded by suppliers-per-order, << lineitem) and keeps the
+    # whole query one lineitem pass.
+    w_o = Window.partitionBy("l_orderkey")
+    sole_late = per_os.select(
+        "*",
+        F.count(F.lit(1)).over(w_o).alias("n_supp"),
+        F.sum("any_late").over(w_o).alias("n_late_supp"),
+    ).filter(
+        (F.col("any_late") == 1)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_late_supp") == 1)
     )
     named = sole_late.join(
         F.broadcast(

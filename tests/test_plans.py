@@ -435,3 +435,59 @@ def test_assembly_pipeline_joins_all_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_decorrelated_single_lineitem_pass(spark):
+    """The EXISTS/NOT-EXISTS pair must NOT become two correlated lineitem
+    self-joins: the decorrelated plan scans lineitem once, aggregates to
+    (order, supplier) grain, and every dimension join broadcasts."""
+    from adtl_spark.queries import q21_waiting_supplier
+
+    plan = physical_plan(q21_waiting_supplier(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") <= 4  # lineitem, orders, supplier, nation
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quality_nb_scoring_join_broadcasts(spark):
+    """The NB model is vocab_k rows — the scoring join must broadcast it,
+    never shuffle the exploded token relation."""
+    from adtl_spark.queries import quality_nb
+
+    plan = physical_plan(quality_nb(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hll_register_agg_has_partial_aggregate(spark):
+    """The register table must build with map-side partial aggregation
+    (HashAggregate below the exchange) so at most 2^p rows per group leave
+    each partition."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators import sketches as SK
+
+    df = spark.range(0, 1000).selectExpr(
+        "CAST(id % 2 AS STRING) AS grp", "CAST(id AS STRING) AS key"
+    )
+    plan = physical_plan(SK.hll_registers(df, F.col("key"), F.col("grp")))
+    pre_shuffle = plan.split("Exchange hashpartitioning")[-1]
+    assert "HashAggregate" in pre_shuffle  # partial agg below the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pca_projection_is_narrow(spark):
+    """After the fit, the projection itself must be a zero-exchange
+    narrow map over the embedding scan."""
+    from adtl_spark.operators import similarity as S
+
+    rows = [(i, [float(i + j) for j in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    comps, mu = S.pca_fit(df, k=1, dim=4)
+    from pyspark.sql import functions as F
+
+    lit_vec = F.array(*[F.lit(x) for x in comps[0]])
+    proj = df.select(
+        "vec_id", S.dot(F.col("embedding"), lit_vec).alias("pc1")
+    )
+    assert "Exchange" not in physical_plan(proj)

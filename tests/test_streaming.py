@@ -453,3 +453,49 @@ def test_cms_sketch_aggregates_on_stream(spark, tmp_path):
         for r in X.cms_build(batch, depth=4, width=64).collect()
     }
     assert got == want
+
+
+def test_hll_registers_aggregate_on_stream(spark, tmp_path):
+    """The HLL register table is streaming-native the same way the CMS
+    is: fixed 2^p rows per group merged with max, a supported streaming
+    aggregate (complete mode).  The streamed sketch must equal the batch
+    sketch register for register — which also pins mergeability across
+    micro-batches."""
+    from adtl_spark.operators import sketches as SK
+
+    src = tmp_path / "hll_stream"
+    src.mkdir()
+    batch = spark.range(0, 200).selectExpr(
+        "CAST(id % 3 AS STRING) AS grp",
+        "concat('key', CAST(id % 57 AS STRING)) AS key",
+    )
+    batch.filter("id < 100").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p1")
+    )
+    batch.filter("id >= 100").coalesce(1).write.mode("overwrite").parquet(
+        str(src / "p2")
+    )
+    stream = spark.readStream.schema("grp string, key string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    regs = SK.hll_registers(stream, F.col("key"), F.col("grp"))
+    assert regs.isStreaming
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("stream_hll")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["grp"], r["register"]): r["m_rho"]
+        for r in spark.sql("SELECT * FROM stream_hll").collect()
+    }
+    want = {
+        (r["grp"], r["register"]): r["m_rho"]
+        for r in SK.hll_registers(batch, F.col("key"), F.col("grp")).collect()
+    }
+    assert got == want
