@@ -29,6 +29,8 @@ from adtl_spark.operators import sampling as SA
 from adtl_spark.operators import similarity as S
 from adtl_spark.operators import sketches as SK
 from adtl_spark.operators import tokenizer as T
+from adtl_spark.operators import graph as G
+from adtl_spark.operators import fuzzy as FZ
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -1867,6 +1869,26 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merges(docs, n_merges=6)
 
 
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the supplier co-occurrence graph (suppliers
+    sharing an order), 3 exact-integer iterations — see operators/graph.py
+    for the distributed shape and the cross-engine integer protocol."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    vertices = supplier.select(F.col("s_suppkey").alias("v"))
+    return G.pagerank(edges, vertices, iters=3)
+
+
+def fuzzy_pairs_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance-1 fuzzy name matching over supplier names via SymSpell
+    deletion-neighborhood blocking (equi-join on deletion keys + exact
+    levenshtein verify); the oracle is the naive quadratic self-join —
+    same result, different asymptotics (see operators/fuzzy.py)."""
+    supplier = _t(spark, sf_dir, "supplier")
+    return FZ.fuzzy_pairs(supplier, "s_suppkey", "s_name", max_dist=1)
+
+
 def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-2 principal-component projection of the embedding corpus:
     distributed mean+Gram aggregation, 64x64 driver eigh, zero-shuffle
@@ -2630,6 +2652,14 @@ def oracles() -> dict[str, str]:
                    count(*) AS n_copies
             FROM documents GROUP BY 1
         """,
+        "graph_pagerank": G.pagerank_cooccurrence_oracle_sql(
+            "SELECT l_orderkey AS g, l_suppkey AS m FROM lineitem",
+            "SELECT s_suppkey AS v FROM supplier",
+            iters=3,
+        ),
+        "fuzzy_pairs_suppliers": FZ.fuzzy_pairs_oracle_sql(
+            "SELECT s_suppkey, s_name FROM supplier", "s_suppkey", "s_name"
+        ),
         "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
             "SELECT text FROM documents", n_merges=6
         ),
@@ -2849,6 +2879,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- new in round 4 (never driver-checked) --
+        "graph_pagerank": graph_pagerank,
+        "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
         "tokenizer_bpe_merges": tokenizer_bpe_merges,
         "text_hll_distinct": text_hll_distinct,
         "quality_nb": quality_nb,

@@ -142,6 +142,8 @@ HEADLINE = [
     "q22_sales_opportunity",
     "emb_pca_project",
     "tokenizer_bpe_merges",
+    "graph_pagerank",
+    "fuzzy_pairs_suppliers",
 ]
 
 

@@ -1508,3 +1508,49 @@ def test_bpe_two_pass_replace_semantics(spark):
     assert (merges[0]["s1"], merges[0]["s2"], merges[0]["cnt"]) == ("a", "a", 6)
     seg = T.bpe_segment(docs, [("a", "a")]).collect()[0]
     assert seg["n_pieces"] == 4  # two words x (aa, aa)
+
+
+# ---------------------------------------------------------------- graph/fuzzy
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    from adtl_spark.operators import graph as G
+
+    # star graph: hub h co-occurs with each spoke in its own group
+    pairs = [(g, "h") for g in range(4)] + [(g, f"s{g}") for g in range(4)]
+    pdf = spark.createDataFrame(pairs, ["g", "m"])
+    edges = G.cooccurrence_edges(pdf, "g", "m")
+    verts = spark.createDataFrame(
+        [("h",), ("s0",), ("s1",), ("s2",), ("s3",), ("iso",)], ["v"]
+    )
+    out = G.pagerank(edges, verts, iters=3).collect()
+    ranks = {r["v"]: r["pagerank"] for r in out}
+    assert max(ranks, key=ranks.get) == "h"
+    # isolated vertex holds exactly the base rank
+    assert ranks["iso"] == 0.15
+    # spokes are symmetric
+    assert len({ranks[f"s{i}"] for i in range(4)}) == 1
+    # output ordered by rank desc then id
+    assert [r["v"] for r in out][0] == "h"
+
+
+def test_fuzzy_blocking_complete_at_distance_one(spark):
+    from adtl_spark.operators import fuzzy as FZ
+
+    names = [
+        (1, "martha"),
+        (2, "marhta"),   # transposition = distance 2, must NOT match
+        (3, "marta"),    # deletion: dist 1 from martha
+        (4, "martha"),   # exact dup: dist 0
+        (5, "maratha"),  # insertion: dist 1 from martha
+        (6, "zzzzzz"),   # unrelated
+    ]
+    df = spark.createDataFrame(names, ["id", "name"])
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in FZ.fuzzy_pairs(df, "id", "name", max_dist=1).collect()
+    }
+    assert got[(1, 3)] == 1 and got[(1, 4)] == 0 and got[(1, 5)] == 1
+    assert got[(3, 4)] == 1 and got[(4, 5)] == 1
+    assert (1, 2) not in got  # transposition is distance 2
+    assert not any(6 in p for p in got)

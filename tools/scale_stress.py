@@ -72,6 +72,8 @@ QUERIES = [
     "ann_cosine_topk",
     # round-4 operators
     "tokenizer_bpe_merges",
+    "graph_pagerank",
+    "fuzzy_pairs_suppliers",
     "text_hll_distinct",
     "quality_nb",
     "w7_asof_forward",
