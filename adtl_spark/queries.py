@@ -945,6 +945,47 @@ PMI_K = 50
 PMI_MIN_COUNT = 5
 
 
+def w11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from the event log (the
+    CDC-to-warehouse pattern): collapse each user's consecutive runs of
+    equal event_type into validity intervals [valid_from, valid_to).
+
+    Shape: two window passes over the same (user_id, ts, event_id)
+    ordering — change detection (lag) + run numbering (running sum) —
+    then a per-run aggregate and a lead() for the closing bound.  All
+    three window steps share ONE partitioning (user_id), so the whole
+    build is a single shuffle of the event log; at 100 TB that is the
+    floor for any per-entity ordered computation."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.col("event_type") != F.lag("event_type").over(w)),
+        1,
+    ).otherwise(0)
+    runs = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(changed)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("run_id")
+    return per_run.select(
+        "user_id",
+        "event_type",
+        F.col("valid_from").cast("long").alias("valid_from"),
+        F.lead("valid_from").over(w_run).cast("long").alias("valid_to"),
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "valid_from")
+
+
 def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information —
     quantized-ln protocol over exact counts (text.pmi_topk)."""
@@ -2229,6 +2270,35 @@ def oracles() -> dict[str, str]:
             SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
             FROM per_session GROUP BY user_id
         """,
+        "w11_scd2": """
+            WITH ordered AS (
+              SELECT user_id, event_type, epoch_ns(ts) AS tsn, event_id,
+                     CASE WHEN lag(event_type) OVER w IS NULL
+                            OR event_type <> lag(event_type) OVER w
+                          THEN 1 ELSE 0 END AS changed
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            runs AS (
+              SELECT user_id, event_type, tsn,
+                     sum(changed) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+              FROM ordered
+            ),
+            per_run AS (
+              SELECT user_id, run_id,
+                     min(event_type) AS event_type,
+                     min(tsn) AS valid_from,
+                     count(*) AS n_events
+              FROM runs GROUP BY 1, 2
+            )
+            SELECT user_id, event_type,
+                   CAST(valid_from AS BIGINT) AS valid_from,
+                   CAST(lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS BIGINT) AS valid_to,
+                   CAST(n_events AS BIGINT) AS n_events
+            FROM per_run
+            ORDER BY user_id, valid_from
+        """,
         "w2_json_extract": """
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -2881,6 +2951,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 4 (never driver-checked) --
         "graph_pagerank": graph_pagerank,
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
+        "w11_scd2": w11_scd2,
         "tokenizer_bpe_merges": tokenizer_bpe_merges,
         "text_hll_distinct": text_hll_distinct,
         "quality_nb": quality_nb,

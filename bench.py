@@ -144,6 +144,7 @@ HEADLINE = [
     "tokenizer_bpe_merges",
     "graph_pagerank",
     "fuzzy_pairs_suppliers",
+    "w11_scd2",
 ]
 
 

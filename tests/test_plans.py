@@ -491,3 +491,13 @@ def test_pca_projection_is_narrow(spark):
         "vec_id", S.dot(F.col("embedding"), lit_vec).alias("pc1")
     )
     assert "Exchange" not in physical_plan(proj)
+
+
+def test_scd2_single_shuffle(spark):
+    """Change detection, run numbering, the per-run aggregate, and the
+    closing-bound lead() must all reuse the ONE user_id hash partitioning
+    — a second exchange would double the event-log shuffle at scale."""
+    from adtl_spark.queries import w11_scd2
+
+    plan = physical_plan(w11_scd2(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange hashpartitioning") == 1
