@@ -2527,7 +2527,7 @@ def oracles() -> dict[str, str]:
                      list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
               FROM documents
             ),
-            nums AS (SELECT range AS i FROM range(1, 1024)),
+            nums AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(toks)), 1) FROM t))) AS i),
             bgc AS (
               SELECT doc_id, g, count(*) AS c FROM (
                 SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
@@ -2650,7 +2650,7 @@ def oracles() -> dict[str, str]:
                        + least(stop_ratio / 0.3, 1.0) * 0.25
                        + least(distinct_ratio / 0.5, 1.0) * 0.25, 4) AS quality
               FROM qm
-            ), nums AS (SELECT range AS i FROM range(1, 1024)),
+            ), nums AS (SELECT unnest(range(1, (SELECT COALESCE(max(len(toks)), 1) FROM qt))) AS i),
             bgc AS (
               SELECT doc_id, g, count(*) AS c FROM (
                 SELECT doc_id, toks[i] || ' ' || toks[i+1] AS g
