@@ -2932,22 +2932,35 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. Least-recently driver-verified entries lead. As of round 4 that is
-       the four never-checked ``emb_*`` operators, then the six queries
-       that were green in round 2 but fell past the cap in round 3
-       (``dedup_embedding*``, ``ann_*``, ``pipeline_corpus_clean``).
-    2. Round-3 first-checked entries follow, then round-2 first-checked,
-       then the long-stable parity queries.
-    3. The tail (past the cap) holds the MOST-verified queries: scalar
-       transform parity checks green in rounds 1-3 AND independently
-       covered by the reference-differential pytest suite, plus
-       ``p14_uuid5`` which has no oracle (rows-only) regardless of
-       position.
+    1. The round-3 verdict's priority block leads: the four ``emb_*``
+       operators with no driver row ever, then the six unmonitored since
+       round 2 (``dedup_embedding*``, ``ann_*``, ``pipeline_corpus_clean``).
+    2. Round-4 additions follow, newest first — the suite outgrew the cap
+       (103 queries), so the last few round-4 entries (span dedup, length
+       quantiles) wait a round; each is pinned meanwhile by randomized
+       pytest equivalence tests.
+    3. The tail holds the MOST-verified queries: entries green in rounds
+       1-3 AND independently covered by the reference-differential pytest
+       suite, plus ``p14_uuid5`` which has no oracle (rows-only)
+       regardless of position.
 
-    When adding a query, insert it at the TOP so it gets a driver row next
-    round; rotate stable entries toward the tail.
+    When adding a query, insert it below the priority block so it gets a
+    driver row next round; rotate stable entries toward the tail.
     """
     return {
+        # -- the round-3 verdict's priority block: never driver-checked
+        #    (emb_*) or unmonitored since round 2 (dedup_embedding*,
+        #    ann_*, pipeline) — these lead until green driver rows exist --
+        "emb_quantize": emb_quantize,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
+        "emb_kmeans_centroids": emb_kmeans_centroids,
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "pipeline_corpus_clean": pipeline_corpus_clean,
         # -- new in round 4 (never driver-checked) --
         "graph_pagerank": graph_pagerank,
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
@@ -2992,18 +3005,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": dedup_spans,
         "corpus_length_quantiles": corpus_length_quantiles,
         "dedup_spans_apply": dedup_spans_apply,
-        # -- never driver-checked (new in round 3, past the 50-row cap) --
-        "emb_quantize": emb_quantize,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_kmeans": emb_kmeans,
-        "emb_kmeans_centroids": emb_kmeans_centroids,
-        # -- green in round 2, unmonitored since (fell past the cap) --
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "pipeline_corpus_clean": pipeline_corpus_clean,
         # -- first checked in round 3 --
         "text_tfidf": text_tfidf,
         "corpus_length_stats": corpus_length_stats,
