@@ -198,3 +198,41 @@ def bpe_merges_oracle_sql(source_sql: str, n_merges: int = 5) -> str:
     return (
         "WITH" + ",".join(ctes) + f"\n    SELECT CAST(step AS INT) AS step, s1, s2, cnt FROM ({unions}) ORDER BY step"
     )
+
+
+def bpe_segment_oracle_sql(source_sql: str, n_merges: int = 5) -> str:
+    """DuckDB twin of bpe_merges + bpe_segment composed: learn the merges
+    with the same unrolled CTE chain, then apply all of them (two-pass
+    replace each, via scalar subqueries on m1..mN) to every document's
+    words and count the resulting pieces."""
+    # reuse the merge-learning chain: everything up to m{n_merges},
+    # including the apply CTEs that feed later iterations
+    learn = bpe_merges_oracle_sql(source_sql, n_merges)
+    ctes = learn.split("\n    SELECT CAST(step AS INT)")[0]  # "WITH w0 ... )"
+    expr = "' ' || w || ' '"
+    for i in range(1, n_merges + 1):
+        pat = f"(SELECT ' ' || s1 || ' ' || s2 || ' ' FROM m{i})"
+        rep = f"(SELECT ' ' || s1 || s2 || ' ' FROM m{i})"
+        expr = f"' ' || trim(replace(replace({expr}, {pat}, {rep}), {pat}, {rep})) || ' '"
+    return (
+        ctes
+        + f""",
+    docw AS MATERIALIZED (
+      SELECT doc_id,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w
+      FROM (
+        SELECT doc_id, unnest(
+          list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+        ) AS word
+        FROM ({source_sql})
+      )
+    ),
+    seg AS (
+      SELECT doc_id, trim({expr}) AS w FROM docw
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(w, ' '))) AS BIGINT) AS n_pieces
+    FROM seg GROUP BY doc_id ORDER BY doc_id
+    """
+    )

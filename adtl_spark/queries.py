@@ -1910,6 +1910,18 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merges(docs, n_merges=6)
 
 
+def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE train + apply composed: learn 6 merges on the word-frequency
+    table, then segment every document with them (zero-shuffle narrow
+    replay) and report the per-document piece counts a token-budget
+    pipeline consumes."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_merges(docs, n_merges=6).collect()
+    return T.bpe_segment(docs, [(m["s1"], m["s2"]) for m in merges]).orderBy(
+        "doc_id"
+    )
+
+
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the supplier co-occurrence graph (suppliers
     sharing an order), 3 exact-integer iterations — see operators/graph.py
@@ -2733,6 +2745,9 @@ def oracles() -> dict[str, str]:
         "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
             "SELECT text FROM documents", n_merges=6
         ),
+        "tokenizer_bpe_segment": T.bpe_segment_oracle_sql(
+            "SELECT doc_id, text FROM documents", n_merges=6
+        ),
         "text_hll_distinct": SK.hll_distinct_oracle_sql(
             """SELECT lang, unnest(
                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
@@ -2966,6 +2981,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
         "w11_scd2": w11_scd2,
         "tokenizer_bpe_merges": tokenizer_bpe_merges,
+        "tokenizer_bpe_segment": tokenizer_bpe_segment,
         "text_hll_distinct": text_hll_distinct,
         "quality_nb": quality_nb,
         "q21_waiting_supplier": q21_waiting_supplier,

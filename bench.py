@@ -145,6 +145,7 @@ HEADLINE = [
     "graph_pagerank",
     "fuzzy_pairs_suppliers",
     "w11_scd2",
+    "tokenizer_bpe_segment",
 ]
 
 
