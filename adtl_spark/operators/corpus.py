@@ -856,3 +856,68 @@ def nb_quality_oracle_sql(
            (coalesce(s.wsum, 0) + p.b) > 0 AS nb_keep
     FROM labeled l LEFT JOIN scored s ON l.id = s.id CROSS JOIN prior p
     """
+
+
+# ------------------------------------------------------------- corpus upsert
+
+
+def merge_upsert(
+    base: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+) -> DataFrame:
+    """CDC-style corpus merge (the MERGE INTO / dataset-diff primitive):
+    full-outer join the current corpus snapshot with an incoming batch on
+    the document id and classify every row —
+
+    - ``inserted``: only in the batch
+    - ``updated``: in both, payload differs (md5-compared)
+    - ``unchanged``: in both, payload identical
+    - ``retained``: only in the base snapshot
+
+    Output: (id_col, status, payload_hash) with the winning payload's
+    md5 (batch wins on conflict).
+
+    Scale shape: ONE full-outer shuffle join on the id — the floor for
+    any upsert.  On a bucketed base layout (sources/io.py:write_bucketed)
+    the base side's exchange disappears and only the (much smaller) batch
+    shuffles; either way nothing is collected and no side is scanned
+    twice."""
+    b = base.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(payload_col)).alias("__bh")
+    )
+    i = incoming.select(
+        F.col(id_col).alias("__iid"), F.md5(F.col(payload_col)).alias("__ih")
+    )
+    joined = b.join(i, b["__id"] == i["__iid"], "full_outer")
+    status = (
+        F.when(F.col("__bh").isNull(), F.lit("inserted"))
+        .when(F.col("__ih").isNull(), F.lit("retained"))
+        .when(F.col("__bh") == F.col("__ih"), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__id"), F.col("__iid")).alias(id_col),
+        status.alias("status"),
+        F.coalesce(F.col("__ih"), F.col("__bh")).alias("payload_hash"),
+    )
+
+
+def merge_upsert_oracle_sql(
+    base_sql: str, incoming_sql: str, id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of :func:`merge_upsert` (md5 is bit-identical across
+    engines, so payload comparison and the winning hash both match)."""
+    return f"""
+    WITH b AS (SELECT {id_col} AS id, md5(text) AS bh FROM ({base_sql})),
+         i AS (SELECT {id_col} AS id, md5(text) AS ih FROM ({incoming_sql}))
+    SELECT COALESCE(b.id, i.id) AS {id_col},
+           CASE WHEN b.id IS NULL THEN 'inserted'
+                WHEN i.id IS NULL THEN 'retained'
+                WHEN b.bh = i.ih THEN 'unchanged'
+                ELSE 'updated' END AS status,
+           COALESCE(i.ih, b.bh) AS payload_hash
+    FROM b FULL OUTER JOIN i ON b.id = i.id
+    ORDER BY {id_col}
+    """

@@ -986,6 +986,41 @@ def w11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+def w12_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: counts
+    and probabilities of event_type -> next event_type per user step (the
+    product-analytics 'paths' primitive).  One lag window over the
+    (user_id, ts, event_id) ordering — same single-shuffle floor as
+    sessionize/SCD2 — then a tiny (|types|^2)-row aggregate; probabilities
+    are exact-integer ratios quantized at 1e-4."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+    ).filter(F.col("src").isNotNull())
+    w_src = Window.partitionBy("src")
+    return (
+        steps.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src",
+            "dst",
+            F.col("n").cast("long").alias("n"),
+            (
+                F.floor(
+                    F.col("n").cast("double")
+                    / F.sum("n").over(w_src)
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("p"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
 def text_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k bigram collocations by pointwise mutual information —
     quantized-ln protocol over exact counts (text.pmi_topk)."""
@@ -1910,6 +1945,22 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merges(docs, n_merges=6)
 
 
+def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge of an incoming batch into the corpus snapshot (see
+    corpus.merge_upsert): the batch is a deterministic simulation —
+    every doc_id % 7 == 0 arrives updated (suffixed text), every
+    doc_id % 13 == 0 arrives as a brand-new id (+10M offset)."""
+    docs = _t(spark, sf_dir, "documents")
+    updated = docs.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    )
+    inserted = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    batch = updated.unionByName(inserted)
+    return C.merge_upsert(docs, batch).orderBy("doc_id")
+
+
 def tokenizer_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE train + apply composed: learn 6 merges on the word-frequency
     table, then segment every document with them (zero-shuffle narrow
@@ -2281,6 +2332,21 @@ def oracles() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "w12_transitions": """
+            WITH steps AS (
+              SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+                     event_type AS dst
+              FROM events
+            ),
+            cnt AS (
+              SELECT src, dst, count(*) AS n FROM steps
+              WHERE src IS NOT NULL GROUP BY 1, 2
+            )
+            SELECT src, dst, CAST(n AS BIGINT) AS n,
+                   floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) * 10000 + 0.5) / 10000.0 AS p
+            FROM cnt
+            ORDER BY src, dst
         """,
         "w11_scd2": """
             WITH ordered AS (
@@ -2745,6 +2811,14 @@ def oracles() -> dict[str, str]:
         "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
             "SELECT text FROM documents", n_merges=6
         ),
+        "corpus_merge_upsert": C.merge_upsert_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            """SELECT doc_id, text || ' v2' AS text FROM documents
+               WHERE doc_id % 7 = 0
+               UNION ALL
+               SELECT doc_id + 10000000 AS doc_id, text FROM documents
+               WHERE doc_id % 13 = 0""",
+        ),
         "tokenizer_bpe_segment": T.bpe_segment_oracle_sql(
             "SELECT doc_id, text FROM documents", n_merges=6
         ),
@@ -2980,6 +3054,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": graph_pagerank,
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
         "w11_scd2": w11_scd2,
+        "w12_transitions": w12_transitions,
+        "corpus_merge_upsert": corpus_merge_upsert,
         "tokenizer_bpe_merges": tokenizer_bpe_merges,
         "tokenizer_bpe_segment": tokenizer_bpe_segment,
         "text_hll_distinct": text_hll_distinct,

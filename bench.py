@@ -146,6 +146,8 @@ HEADLINE = [
     "fuzzy_pairs_suppliers",
     "w11_scd2",
     "tokenizer_bpe_segment",
+    "w12_transitions",
+    "corpus_merge_upsert",
 ]
 
 
