@@ -401,3 +401,64 @@ def select_until_budget_by_group_oracle_sql(
       FROM ({source_sql})
     ) WHERE cum_tokens <= {budget}
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis one-pass scheme with the repo's portable hashed
+    uniforms instead of an RNG: each row draws u = (md5_60(salt|id)+1) /
+    2^60 in (0, 1] and scores key = ln(u) / w; the k LARGEST keys are the
+    sample (equivalent to k draws without replacement with probability
+    proportional to weight).  Deterministic, append-stable, and
+    distributed as a single TakeOrderedAndProject — every partition keeps
+    its local top-k, only k*partitions candidate rows reach the driver-
+    side merge, the corpus never shuffles.
+
+    The key is quantized (floor at 1e6) so the cross-engine ordering
+    compares exact integers; ties (quantization collisions) break by id.
+    Rows with weight <= 0 or null are excluded (zero-weight rows have
+    zero selection probability; negative weights are undefined).
+
+    Output: (id_col, weight, wkey) for the k selected rows, ordered by
+    (wkey DESC, id) — wkey exposes the selection ordering so downstream
+    re-draws can resume where the sample stopped."""
+    h = md5_60(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    kq = F.floor(F.log(u) / w * 1000000).cast("long")
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), kq.alias("wkey"))
+        .orderBy(F.desc("wkey"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def weighted_sample_oracle_sql(
+    source_sql: str,
+    weight_expr: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "wsample",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` — same hashed uniform, same
+    quantized key, same tie-break."""
+    h = md5_60_sql(f"concat_ws('|', '{salt}', CAST({id_col} AS VARCHAR))")
+    return f"""
+    WITH t AS (
+      SELECT {id_col},
+             CAST({weight_expr} AS DOUBLE) AS weight,
+             CAST(floor(ln(CAST(({h}) + 1 AS DOUBLE) / CAST({float(1 << 60)!r} AS DOUBLE))
+                        / CAST({weight_expr} AS DOUBLE) * 1000000) AS BIGINT) AS wkey
+      FROM ({source_sql})
+      WHERE CAST({weight_expr} AS DOUBLE) > 0
+    )
+    SELECT {id_col}, weight, wkey
+    FROM t ORDER BY wkey DESC, {id_col} ASC LIMIT {k}
+    """

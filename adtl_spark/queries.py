@@ -986,6 +986,45 @@ def w11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+def w13_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outlier detection over the event stream's
+    value column.  The two moments aggregate EXACTLY (decimal sums —
+    order-independent, identical in both engines), the |types|-row stats
+    table broadcasts back, and the flag pass is a narrow map: the classic
+    two-pass anomaly scan whose only shuffle is the map-side-combined
+    moment aggregation."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(v.cast("decimal(28,6)")).cast("double").alias("__s"),
+        F.sum((v * v).cast("decimal(38,12)")).cast("double").alias("__s2"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    mean = F.col("__s") / F.col("__n")
+    var = F.col("__s2") / F.col("__n") - mean * mean
+    z = (v - F.col("__mean")) / F.col("__std")
+    return (
+        ev.join(
+            F.broadcast(
+                stats.select(
+                    "event_type",
+                    mean.alias("__mean"),
+                    F.sqrt(var).alias("__std"),
+                )
+            ),
+            "event_type",
+        )
+        .filter((F.col("__std") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000.0).alias("z"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def w12_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix over the event stream: counts
     and probabilities of event_type -> next event_type per user step (the
@@ -1945,6 +1984,14 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merges(docs, n_merges=6)
 
 
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement (weight =
+    document length): one TakeOrderedAndProject pass, no corpus shuffle
+    (see sampling.weighted_sample)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.weighted_sample(docs, "n_chars", k=100)
+
+
 def corpus_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC merge of an incoming batch into the corpus snapshot (see
     corpus.merge_upsert): the batch is a deterministic simulation —
@@ -2332,6 +2379,28 @@ def oracles() -> dict[str, str]:
             )
             SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "w13_anomaly": """
+            WITH stats AS (
+              SELECT event_type,
+                     CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s,
+                     CAST(sum(CAST(value * value AS DECIMAL(38,12))) AS DOUBLE) AS s2,
+                     count(*) AS n
+              FROM events WHERE value IS NOT NULL
+              GROUP BY event_type
+            ),
+            st AS (
+              SELECT event_type, s / n AS mean,
+                     sqrt(s2 / n - (s / n) * (s / n)) AS std
+              FROM stats
+            )
+            SELECT e.event_id, e.event_type, e.value,
+                   floor((e.value - st.mean) / st.std * 10000 + 0.5) / 10000.0 AS z
+            FROM events e JOIN st USING (event_type)
+            WHERE e.value IS NOT NULL
+              AND st.std > 0
+              AND abs((e.value - st.mean) / st.std) > 3.0
+            ORDER BY e.event_id
         """,
         "w12_transitions": """
             WITH steps AS (
@@ -2811,6 +2880,9 @@ def oracles() -> dict[str, str]:
         "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
             "SELECT text FROM documents", n_merges=6
         ),
+        "sample_weighted": SA.weighted_sample_oracle_sql(
+            "SELECT doc_id, n_chars FROM documents", "n_chars", k=100
+        ),
         "corpus_merge_upsert": C.merge_upsert_oracle_sql(
             "SELECT doc_id, text FROM documents",
             """SELECT doc_id, text || ' v2' AS text FROM documents
@@ -3055,6 +3127,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
         "w11_scd2": w11_scd2,
         "w12_transitions": w12_transitions,
+        "w13_anomaly": w13_anomaly,
+        "sample_weighted": sample_weighted,
         "corpus_merge_upsert": corpus_merge_upsert,
         "tokenizer_bpe_merges": tokenizer_bpe_merges,
         "tokenizer_bpe_segment": tokenizer_bpe_segment,

@@ -148,6 +148,8 @@ HEADLINE = [
     "tokenizer_bpe_segment",
     "w12_transitions",
     "corpus_merge_upsert",
+    "w13_anomaly",
+    "sample_weighted",
 ]
 
 

@@ -1554,3 +1554,23 @@ def test_fuzzy_blocking_complete_at_distance_one(spark):
     assert got[(3, 4)] == 1 and got[(4, 5)] == 1
     assert (1, 2) not in got  # transposition is distance 2
     assert not any(6 in p for p in got)
+
+
+def test_weighted_sample_biases_toward_weight(spark):
+    """Heavier rows must be overrepresented: with weights 100 vs 1, a
+    100-of-200 sample must take nearly all heavy rows."""
+    from adtl_spark.operators import sampling as SA
+
+    rows = [(i, 100.0 if i < 100 else 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    picked = {r["doc_id"] for r in SA.weighted_sample(df, "w", k=100).collect()}
+    heavy = sum(1 for i in picked if i < 100)
+    assert heavy >= 90
+    # deterministic: second call returns the identical set
+    again = {r["doc_id"] for r in SA.weighted_sample(df, "w", k=100).collect()}
+    assert picked == again
+    # zero/negative weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, 5.0)], ["doc_id", "w"]
+    )
+    assert {r["doc_id"] for r in SA.weighted_sample(df2, "w", k=3).collect()} == {3}

@@ -499,3 +499,51 @@ def test_hll_registers_aggregate_on_stream(spark, tmp_path):
         for r in SK.hll_registers(batch, F.col("key"), F.col("grp")).collect()
     }
     assert got == want
+
+
+def test_nb_scoring_on_stream(spark, tmp_path):
+    """A batch-trained NB quality model scores a document STREAM with the
+    same operator code (explode_outer tokenize, broadcast model + prior
+    joins, streaming per-doc aggregation, complete mode)."""
+    from adtl_spark.operators import corpus as C
+
+    src = tmp_path / "nb_stream"
+    src.mkdir()
+    train = spark.createDataFrame(
+        [
+            (1, "good clean prose here", "wiki"),
+            (2, "buy spam now free", "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    incoming = spark.createDataFrame(
+        [(10, "good prose"), (11, "spam free"), (12, "")],
+        "doc_id long, text string",
+    )
+    incoming.coalesce(1).write.mode("overwrite").parquet(str(src))
+    model, prior = C.train_nb(train, F.col("source") == "wiki", vocab_k=8)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    scored = C.score_nb(stream, model, prior)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("stream_nb")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["nb_score"], r["nb_keep"])
+        for r in spark.sql("SELECT * FROM stream_nb").collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["nb_score"], r["nb_keep"])
+        for r in C.score_nb(incoming, model, prior).collect()
+    }
+    assert got == want
+    assert got[10][2] and not got[11][2]
+    assert got[12][0] == 0  # empty doc present, scored at the prior
