@@ -313,3 +313,37 @@ def test_select_until_budget_equivalent_across_band_widths(spark):
                 ).collect()
             }
             assert got == want, f"budget={budget} width={width}"
+
+
+def test_hll_registers_match_pure_python_model(spark):
+    """Independent differential: the Spark HLL register table must equal a
+    from-scratch Python implementation (hashlib md5, integer bit ops) on
+    randomized keys — independent of the DuckDB oracle, which shares the
+    SQL formulation."""
+    import hashlib
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators import sketches as SK
+
+    rng = random.Random(17)
+    rows = [
+        (f"g{rng.randrange(3)}", f"key-{rng.randrange(500)}")
+        for _ in range(2000)
+    ]
+    expected: dict[tuple[str, int], int] = {}
+    for grp, key in rows:
+        h = int(hashlib.md5(f"hll|{key}".encode()).hexdigest()[:15], 16)
+        j = h >> SK.HLL_W
+        rest = h % (1 << SK.HLL_W)
+        rho = SK.HLL_W + 1 if rest == 0 else SK.HLL_W + 1 - rest.bit_length()
+        k = (grp, j)
+        expected[k] = max(expected.get(k, 0), rho)
+
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    got = {
+        (r["grp"], r["register"]): r["m_rho"]
+        for r in SK.hll_registers(df, F.col("key"), F.col("grp")).collect()
+    }
+    assert got == expected
