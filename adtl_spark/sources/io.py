@@ -234,3 +234,21 @@ def write_training_shards(
         .partitionBy("__shard__")
         .parquet(path)
     )
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink — same surface as :func:`write_parquet` for warehouses
+    standardized on ORC (Hive lineage).  Spark's native ORC writer keeps
+    predicate pushdown and column pruning on the read path just like
+    parquet."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema from footer metadata, splits per stripe)."""
+    return spark.read.orc(path)

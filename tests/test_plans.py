@@ -501,3 +501,38 @@ def test_scd2_single_shuffle(spark):
 
     plan = physical_plan(w11_scd2(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_partitioned_write_prunes_downstream_scan(spark, tmp_path):
+    """Hive-style partitioned output must let a downstream filtered scan
+    prune whole directories: the partition filter appears as a
+    PartitionFilter (metadata-level skip), never a data-level filter over
+    all files."""
+    from adtl_spark.sources.io import write_parquet
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr", f"text {i}") for i in range(100)],
+        ["doc_id", "lang", "text"],
+    )
+    out = str(tmp_path / "part_docs")
+    write_parquet(df, out, partition_by=["lang"])
+    got = spark.read.parquet(out).filter("lang = 'en'")
+    plan = physical_plan(got)
+    assert "PartitionFilters: [isnotnull(lang" in plan
+    # the partition predicate must NOT degrade into a post-scan Filter
+    assert "PushedFilters: []" in plan
+    assert got.count() == 50
+
+
+def test_orc_round_trip(spark, tmp_path):
+    from adtl_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"], True), (2, ["c"], False)],
+        ["id", "tags", "flag"],
+    )
+    out = str(tmp_path / "orc_out")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
