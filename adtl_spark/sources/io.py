@@ -252,3 +252,49 @@ def write_orc(
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source (schema from footer metadata, splits per stripe)."""
     return spark.read.orc(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    lakehouse dataset needs: streaming/micro-batch sinks accrete thousands
+    of tiny part files, and scan planning cost grows with file count, not
+    bytes.  Re-writes ``path`` as ceil(on_disk_bytes / target) files and
+    returns the new file count.
+
+    Sizing uses the REAL on-disk bytes of the existing files (filesystem
+    metadata — no data scan), so compressed data compacts to compressed-
+    size targets.  The rewrite is staged next to the original and swapped
+    in only after success (a failed rewrite leaves the table untouched).
+    Coalesce, not repartition: no shuffle — each output task concatenates
+    whole input splits."""
+    import math
+    import shutil
+
+    df = spark.read.parquet(path)
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, math.ceil(total / target_file_bytes))
+    staged = path.rstrip("/") + "__compacting"
+    df.coalesce(n).write.mode("overwrite").parquet(staged)
+    shutil.rmtree(path)
+    shutil.move(staged, path)
+    return len(
+        [f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")]
+    )
+
+
+def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union multiple dataset generations whose
+    schemas drifted (columns added over time) into one frame with the
+    merged schema — missing columns are null, the standard
+    ``mergeSchema`` contract.  Schema merging costs a footer read per
+    file at planning time, which is why it is an explicit reader here
+    rather than a global default."""
+    return spark.read.option("mergeSchema", True).parquet(*paths)

@@ -536,3 +536,30 @@ def test_orc_round_trip(spark, tmp_path):
     back = read_orc(spark, out)
     assert back.schema == df.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_reduces_file_count(spark, tmp_path):
+    out = str(tmp_path / "fragmented")
+    spark.range(0, 10000).repartition(50).write.parquet(out)
+    from adtl_spark.sources.io import compact_parquet
+
+    before = len(spark.read.parquet(out).inputFiles())
+    assert before >= 50
+    n = compact_parquet(spark, out, target_file_bytes=10 * 1024 * 1024)
+    assert n < before and n >= 1
+    assert spark.read.parquet(out).count() == 10000
+
+
+def test_schema_evolution_read_merges_generations(spark, tmp_path):
+    g1 = str(tmp_path / "gen1")
+    g2 = str(tmp_path / "gen2")
+    spark.createDataFrame([(1, "a")], ["id", "text"]).write.parquet(g1)
+    spark.createDataFrame(
+        [(2, "b", "en")], ["id", "text", "lang"]
+    ).write.parquet(g2)
+    from adtl_spark.sources.io import read_parquet_evolved
+
+    df = read_parquet_evolved(spark, g1, g2)
+    assert set(df.columns) == {"id", "text", "lang"}
+    rows = {r["id"]: r["lang"] for r in df.collect()}
+    assert rows[1] is None and rows[2] == "en"
