@@ -73,13 +73,26 @@ def pagerank(
     Output: (v, pagerank) for every vertex, pagerank rounded to 4
     decimals, ordered by rank descending then vertex id."""
     base_q = int(round((1.0 - damping) * PR_SCALE))
-    edges = edges.persist()  # reused every iteration
+    # persist the JOINED (edge, outdeg) relation, not the bare edge list:
+    # every iteration scans ew, and caching only edges would re-run the
+    # outdegree aggregation + join once per iteration
+    edges = edges.persist()  # read twice while building ew
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    ew = edges.join(outdeg, "src").persist()
+    ew.count()  # materialize ew, then the bare edge cache can go
+    edges.unpersist()
     try:
-        outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
         ranks = vertices.select(
             F.col("v"), F.lit(PR_SCALE).cast("long").alias("rq")
         )
-        ew = edges.join(outdeg, "src")
+        # each iteration ends in an eager localCheckpoint: it truncates the
+        # lineage (otherwise the final DAG embeds ew once PER iteration and
+        # recomputes it that many times at materialization), keeps the rank
+        # vector distributed (never collected), and lets the ew cache be
+        # released before returning.  The standard iterative-graph shape —
+        # GraphX/Pregel checkpoint the same way.  Trade-off: checkpointed
+        # blocks skip lineage recovery, acceptable for a 3-iteration model
+        # build (rerun on executor loss).
         for _ in range(iters):
             contrib = (
                 ew.join(ranks, ew["src"] == ranks["v"])
@@ -105,6 +118,7 @@ def pagerank(
                         F.lit(base_q) + F.coalesce(F.col("csum"), F.lit(0))
                     ).alias("rq"),
                 )
+                .localCheckpoint(eager=True)
             )
         return ranks.select(
             F.col("v"),
@@ -114,7 +128,7 @@ def pagerank(
             ).alias("pagerank"),
         ).orderBy(F.desc("pagerank"), F.asc("v"))
     finally:
-        edges.unpersist()
+        ew.unpersist()
 
 
 def pagerank_cooccurrence_oracle_sql(
