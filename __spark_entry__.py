@@ -43,8 +43,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twins.  Omitted entries are exactly the
     keys of adtl_spark.queries.ROWS_ONLY, each with its documented reason
-    (currently only p14_uuid5 — DuckDB has no sha1, so uuid5 takes the
-    driver's rows-only check); every other query — including the LSH ANN
-    and bucketed embedding-dedup paths, whose hyperplanes are mirrored
-    as literals — is value-checked."""
+    (p14_uuid5 — DuckDB has no sha1; emb_pca_project — driver-side
+    eigendecomposition, pinned by a numpy differential test); every other
+    query — including the LSH ANN and bucketed embedding-dedup paths,
+    whose hyperplanes are mirrored as literals, and the iterative
+    k-means / PageRank / BPE loops, whose oracles unroll the iterations
+    as MATERIALIZED CTE chains — is value-checked."""
     return Q.oracles()
