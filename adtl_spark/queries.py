@@ -1940,6 +1940,62 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped (late = l_shipdate > o_orderdate + 90 days on the
+    trimmed schema): order counts per priority among 1996 orders with at
+    least one late lineitem.  The EXISTS subquery decorrelates to a
+    LEFT SEMI join — lineitem is filtered by the join itself, never
+    aggregated or duplicated, the canonical semi-join reduction."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"] + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share (p_type = 'PROMO') of one shipping
+    month.  A conditional aggregate over one broadcast-joined scan; the
+    ratio uses the exact quantized-sum protocol."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    promo = F.col("p_type") == "PROMO"
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    return joined.agg(
+        (
+            F.floor(
+                F.sum(F.when(promo, rev).otherwise(0)).cast("double")
+                / F.sum(rev).cast("double")
+                * 100.0
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("promo_revenue_pct"),
+        (F.sum(rev) / 10000.0).alias("total_revenue"),
+    )
+
+
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22-shaped (cntrycode -> c_nationkey on the trimmed schema,
     and — because every generated customer has orders — 'no orders'
@@ -2121,6 +2177,32 @@ def oracles() -> dict[str, str]:
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+              SELECT CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT) AS rev,
+                     p_type = 'PROMO' AS promo
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+            )
+            SELECT floor(CAST(sum(CASE WHEN promo THEN rev ELSE 0 END) AS DOUBLE)
+                         / CAST(sum(rev) AS DOUBLE) * 100.0 * 10000 + 0.5) / 10000.0
+                     AS promo_revenue_pct,
+                   CAST(sum(rev) AS BIGINT) / 10000.0 AS total_revenue
+            FROM j
         """,
         "q21_waiting_supplier": """
             SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
@@ -3136,6 +3218,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_nb": quality_nb,
         "q21_waiting_supplier": q21_waiting_supplier,
         "q22_sales_opportunity": q22_sales_opportunity,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
         "emb_pca_project": emb_pca_project,
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,

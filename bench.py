@@ -150,6 +150,8 @@ HEADLINE = [
     "corpus_merge_upsert",
     "w13_anomaly",
     "sample_weighted",
+    "q4_order_priority",
+    "q14_promo_revenue",
 ]
 
 

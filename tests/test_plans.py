@@ -563,3 +563,13 @@ def test_schema_evolution_read_merges_generations(spark, tmp_path):
     assert set(df.columns) == {"id", "text", "lang"}
     rows = {r["id"]: r["lang"] for r in df.collect()}
     assert rows[1] is None and rows[2] == "en"
+
+
+def test_q4_exists_becomes_semi_join(spark):
+    """The EXISTS must lower to one LeftSemi join — lineitem filtered by
+    the join, never aggregated, duplicated, or scanned twice."""
+    from adtl_spark.queries import q4_order_priority
+
+    plan = physical_plan(q4_order_priority(spark, "/root/testdata/sf0.001"))
+    assert "LeftSemi" in plan
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
