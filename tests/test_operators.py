@@ -1574,3 +1574,34 @@ def test_weighted_sample_biases_toward_weight(spark):
         [(1, 0.0), (2, -1.0), (3, 5.0)], ["doc_id", "w"]
     )
     assert {r["doc_id"] for r in SA.weighted_sample(df2, "w", k=3).collect()} == {3}
+
+
+def test_operators_handle_empty_corpus(spark):
+    """Degenerate-input sweep: an EMPTY documents table must flow through
+    the operator surface without crashing — empty results, never
+    exceptions (a 100 TB pipeline's per-partition slices are routinely
+    empty after filtering)."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators import corpus as C
+    from adtl_spark.operators import dedup as D
+    from adtl_spark.operators import sketches as SK
+    from adtl_spark.operators import text as X
+    from adtl_spark.operators import tokenizer as T
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert D.dedup_exact(empty).count() == 0
+    assert D.dedup_minhash_lsh(empty, k=8, bands=2, threshold=0.5).count() == 0
+    assert X.token_stats(empty).count() == 0
+    assert X.vocab_topk(empty, k=5).count() == 0
+    assert X.pack_chunks(X.chunk_documents(empty), budget=64).count() == 0
+    assert (
+        C.nb_quality(empty, F.col("source") == "x", vocab_k=5).count() == 0
+    )
+    assert SK.hll_distinct(
+        empty.select("doc_id", F.col("text").alias("key"), F.lit("g").alias("grp")),
+        F.col("key"),
+        F.col("grp"),
+    ).count() == 0
+    assert T.bpe_merges(empty, n_merges=2).count() == 0
+    assert T.bpe_segment(empty, [("a", "b")]).count() == 0

@@ -150,10 +150,38 @@ def build_skew_events(spark, uniform: Path, out: Path) -> None:
     ).write.mode("overwrite").parquet(str(dst))
 
 
+SKEW_SUPPLIER_QUERIES = ["q21_waiting_supplier", "graph_pagerank"]
+
+
+def build_skew_lineitem(spark, uniform: Path, out: Path) -> None:
+    """Lineitem skew twin: every even-l_orderkey lineitem is remapped to
+    supplier 0 — one supplier now appears in ~half of all orders.  Hits
+    q21's (order, supplier) aggregate and PageRank's hot-vertex edge
+    join: the co-occurrence edge list gains a hub whose outgoing weight
+    dwarfs every other vertex."""
+    dst = out / "lineitem.parquet"
+    if dst.exists():
+        return
+    df = spark.read.parquet(str(uniform / "lineitem.parquet"))
+    df.withColumn(
+        "l_suppkey",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0)).otherwise(
+            F.col("l_suppkey")
+        ),
+    ).write.mode("overwrite").parquet(str(dst))
+
+
 def run_skew(spark, uniform: Path, skew: Path) -> None:
     build_skew_events(spark, uniform, skew)
+    build_skew_lineitem(spark, uniform, skew)
+    for t in ("orders", "supplier", "nation"):
+        dst = skew / f"{t}.parquet"
+        if not dst.exists():
+            spark.read.parquet(str(uniform / f"{t}.parquet")).write.mode(
+                "overwrite"
+            ).parquet(str(dst))
     all_q = Q.all_queries()
-    for name in SKEW_QUERIES:
+    for name in SKEW_QUERIES + SKEW_SUPPLIER_QUERIES:
         fn = all_q[name]
         fn(spark, str(uniform)).write.mode("overwrite").format("noop").save()  # warm
         t0 = time.time()
