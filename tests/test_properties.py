@@ -347,3 +347,102 @@ def test_hll_registers_match_pure_python_model(spark):
         for r in SK.hll_registers(df, F.col("key"), F.col("grp")).collect()
     }
     assert got == expected
+
+
+def test_pagerank_matches_pure_python_model(spark):
+    """Independent differential: exact-integer PageRank must equal a
+    from-scratch Python implementation on a randomized co-occurrence
+    graph — including the quantization, so the match is exact, not
+    approximate.  Runs 5 iterations to also exercise the localCheckpoint
+    lineage truncation beyond the gate query's 3."""
+    import math
+    import random
+
+    from adtl_spark.operators import graph as G
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(40), f"m{rng.randrange(12)}") for _ in range(300)]
+    verts = [f"m{i}" for i in range(14)]  # two isolated vertices
+
+    # pure-python twin
+    member = set(pairs)
+    edges: dict[tuple[str, str], int] = {}
+    by_g: dict[int, list[str]] = {}
+    for g, m in member:
+        by_g.setdefault(g, []).append(m)
+    for g, ms in by_g.items():
+        for a in ms:
+            for b in ms:
+                if a != b:
+                    edges[(a, b)] = edges.get((a, b), 0) + 1
+    outdeg: dict[str, int] = {}
+    for (a, _), w in edges.items():
+        outdeg[a] = outdeg.get(a, 0) + w
+    S = G.PR_SCALE
+    iters, damping = 5, 0.85
+    base_q = int(round(0.15 * S))
+    rq = {v: S for v in verts}
+    for _ in range(iters):
+        nxt = {v: base_q for v in verts}
+        for (a, b), w in edges.items():
+            nxt[b] += math.floor(damping * float(rq[a]) * w / outdeg[a])
+        rq = nxt
+    want = {
+        v: math.floor(rq[v] / (S / 10000.0) + 0.5) / 10000.0 for v in verts
+    }
+
+    pdf = spark.createDataFrame(pairs, ["g", "m"])
+    vdf = spark.createDataFrame([(v,) for v in verts], ["v"])
+    got = {
+        r["v"]: r["pagerank"]
+        for r in G.pagerank(
+            G.cooccurrence_edges(pdf, "g", "m"), vdf, iters=iters
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bpe_merges_match_pure_python_model(spark):
+    """Independent differential: the BPE merge table must equal a
+    from-scratch Python trainer implementing the same documented
+    semantics (word-frequency training, two-pass left-to-right replace,
+    count-then-lexicographic tie-break)."""
+    import random
+
+    from adtl_spark.operators import tokenizer as T
+
+    rng = random.Random(31)
+    alphabet = "abcde"
+    words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 8)))
+        for _ in range(120)
+    ]
+    text = " ".join(words)
+
+    vocab: dict[str, int] = {}
+    for w in words:
+        vocab[w] = vocab.get(w, 0) + 1
+    spaced = {" ".join(w): c for w, c in vocab.items()}
+    expected = []
+    for step in range(1, 5):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in spaced.items():
+            syms = w.split(" ")
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((step, a, b, c))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        spaced = {
+            (" " + w + " ").replace(pat, rep).replace(pat, rep).strip(): cnt
+            for w, cnt in spaced.items()
+        }
+
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    got = [
+        (r["step"], r["s1"], r["s2"], r["cnt"])
+        for r in T.bpe_merges(docs, n_merges=4).collect()
+    ]
+    assert got == expected
