@@ -547,3 +547,104 @@ def test_nb_scoring_on_stream(spark, tmp_path):
     assert got == want
     assert got[10][2] and not got[11][2]
     assert got[12][0] == 0  # empty doc present, scored at the prior
+
+
+def test_windowed_hll_with_watermark_drops_late_data(spark, tmp_path):
+    """HLL registers grouped by event-time window run as a WATERMARKED
+    streaming aggregation in append mode: closed windows emit finalized
+    register tables and data later than the watermark is dropped — the
+    streaming-distinct-users-per-window pattern with bounded state."""
+    import datetime as dt
+
+    from adtl_spark.operators import sketches as SK
+
+    src = tmp_path / "hll_win"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def batch(rows, name):
+        spark.createDataFrame(rows, "ts timestamp, uid string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+
+    # window 1 [00:00, 01:00): 3 users; window 2 [01:00, 02:00): 2 users
+    batch(
+        [(t0 + dt.timedelta(minutes=m), f"u{m % 3}") for m in range(0, 50, 10)],
+        "p1",
+    )
+    batch(
+        [
+            (t0 + dt.timedelta(minutes=70), "u7"),
+            (t0 + dt.timedelta(minutes=80), "u8"),
+            # advances the watermark far past window 1
+            (t0 + dt.timedelta(hours=4), "u9"),
+        ],
+        "p2",
+    )
+    # intermediate batch: the late-row filter applies the watermark with a
+    # one-batch lag, so a fresh batch must commit AFTER the 04:00 row
+    # before the straggler arrives for the drop to be observable
+    batch([(t0 + dt.timedelta(hours=5), "u10")], "p3")
+    # straggler: arrives after the watermark passed its window -> dropped
+    batch([(t0 + dt.timedelta(minutes=5), "uLATE")], "p4")
+
+    stream = (
+        spark.readStream.schema("ts timestamp, uid string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+        .withWatermark("ts", "1 hour")
+    )
+    h = SK.md5_60 if hasattr(SK, "md5_60") else None
+    regs = (
+        stream.select(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("uid"),
+        )
+        .select(
+            F.col("win"),
+            F.shiftright(
+                SK.md5_60(F.concat_ws("|", F.lit("hll"), F.col("uid"))), SK.HLL_W
+            ).alias("register"),
+            F.when(
+                SK.md5_60(F.concat_ws("|", F.lit("hll"), F.col("uid")))
+                % F.lit(1 << SK.HLL_W)
+                == 0,
+                F.lit(SK.HLL_W + 1),
+            )
+            .otherwise(
+                F.lit(SK.HLL_W + 1)
+                - F.length(
+                    F.bin(
+                        SK.md5_60(F.concat_ws("|", F.lit("hll"), F.col("uid")))
+                        % F.lit(1 << SK.HLL_W)
+                    )
+                )
+            )
+            .alias("rho"),
+        )
+        .groupBy("win", "register")
+        .agg(F.max("rho").alias("m_rho"))
+        .select(F.col("win.start").alias("wstart"), "register", "m_rho")
+    )
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_win")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("SELECT * FROM hll_win").collect()
+    by_win: dict = {}
+    for r in rows:
+        by_win.setdefault(str(r["wstart"]), set()).add(
+            (r["register"], r["m_rho"])
+        )
+    w1 = by_win[str(t0)]
+    # exactly the 3 on-time users' registers — the late straggler's
+    # register must NOT appear (it was u LATE, a distinct register whp)
+    assert len(w1) == 3
+    w2 = by_win[str(t0 + dt.timedelta(hours=1))]
+    assert len(w2) == 2
