@@ -648,3 +648,128 @@ def test_windowed_hll_with_watermark_drops_late_data(spark, tmp_path):
     assert len(w1) == 3
     w2 = by_win[str(t0 + dt.timedelta(hours=1))]
     assert len(w2) == 2
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream inner join with event-time range condition and
+    watermarks on BOTH sides — the enrichment-join pattern (impressions
+    joined to clicks within 10 minutes).  State on each side is bounded
+    by the watermark + interval; results must equal the batch join."""
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 2, 1, 12, 0, 0)
+    imp_rows = [
+        (t0 + dt.timedelta(minutes=m), f"ad{m}") for m in (0, 5, 20, 40)
+    ]
+    clk_rows = [
+        (t0 + dt.timedelta(minutes=2), "ad0"),    # within 10 min of ad0
+        (t0 + dt.timedelta(minutes=14), "ad5"),   # within 10 min of ad5
+        (t0 + dt.timedelta(minutes=35), "ad20"),  # 15 min after ad20: NO
+        (t0 + dt.timedelta(minutes=41), "ad40"),  # within
+    ]
+    imp_src, clk_src = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(imp_rows, "its timestamp, ad string").coalesce(
+        1
+    ).write.parquet(imp_src)
+    spark.createDataFrame(clk_rows, "cts timestamp, cad string").coalesce(
+        1
+    ).write.parquet(clk_src)
+
+    imp = (
+        spark.readStream.schema("its timestamp, ad string")
+        .parquet(imp_src)
+        .withWatermark("its", "30 minutes")
+    )
+    clk = (
+        spark.readStream.schema("cts timestamp, cad string")
+        .parquet(clk_src)
+        .withWatermark("cts", "30 minutes")
+    )
+    cond = (
+        (F.col("ad") == F.col("cad"))
+        & (F.col("cts") >= F.col("its"))
+        & (F.col("cts") <= F.col("its") + F.expr("INTERVAL 10 MINUTES"))
+    )
+    joined = imp.join(clk, cond)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["ad"] for r in spark.sql("SELECT ad FROM ss_join").collect()
+    }
+    assert got == {"ad0", "ad5", "ad40"}
+
+
+def test_foreachbatch_incremental_upsert_loop(spark, tmp_path):
+    """The streaming-lakehouse maintenance loop: each micro-batch MERGEs
+    into the persisted corpus snapshot via corpus.merge_upsert inside
+    foreachBatch — the composition that keeps a deduplicated corpus
+    current as batches stream in.  Final snapshot must equal the batch
+    union with last-writer-wins semantics."""
+    from adtl_spark.operators import corpus as C
+
+    snap = str(tmp_path / "snapshot")
+    src = str(tmp_path / "incoming")
+    import os
+
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(snap)
+    # two micro-batches: an update for 2, an insert 3; then an insert 4
+    spark.createDataFrame(
+        [(2, "beta-v2"), (3, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(
+        [(4, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(src + "/b2")
+
+    def upsert(batch_df, batch_id):
+        spark_l = batch_df.sparkSession
+        base = spark_l.read.parquet(snap)
+        merged = (
+            base.join(batch_df, "doc_id", "left_anti")
+            .unionByName(batch_df)
+        )
+        staged = snap + f"__stage{batch_id}"
+        merged.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(snap)
+        shutil.move(staged, snap)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(upsert).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    final = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(snap).collect()
+    }
+    assert final == {1: "alpha", 2: "beta-v2", 3: "gamma", 4: "delta"}
+    # the diff classification over the same evolution is consistent
+    base = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "beta-v2"), (3, "gamma"), (4, "delta")],
+        "doc_id long, text string",
+    )
+    st = {
+        r["doc_id"]: r["status"]
+        for r in C.merge_upsert(base, batch).collect()
+    }
+    assert st == {1: "retained", 2: "updated", 3: "inserted", 4: "inserted"}
