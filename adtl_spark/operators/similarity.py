@@ -1079,31 +1079,55 @@ def pca_fit(
     import numpy as np
 
     full = df.filter(F.size(F.col(vec_col)) >= dim)
-    # exact-integer mean protocol (same floor-1e6 quantization as the gram)
-    sums = (
-        full.select(F.posexplode(F.col(vec_col)).alias("i", "x"))
-        .filter(F.col("i") < dim)
-        .groupBy("i")
-        .agg(
-            F.sum(
-                F.floor(F.col("x").cast("double") * 1000000 + F.lit(0.5)).cast(
-                    "long"
-                )
-            ).alias("qsum"),
-            F.count(F.lit(1)).alias("n"),
+    # ONE corpus pass for both moments: the Gram cells (i, j>=0) and the
+    # linear sums as sentinel cells (i, j=-1) flow through a single
+    # map-side-combined aggregation and a single collect — the two-job
+    # form (mean agg + gram agg) scans the corpus twice for no reason.
+    # Same floor-1e6 exact-integer protocol as gram_matrix.
+    e = full.select(
+        F.posexplode(F.col(vec_col)).alias("i", "xi"),
+        F.col(vec_col).alias("v"),
+    )
+    prod_cells = e.select(
+        F.col("i").cast("long").alias("i"),
+        F.posexplode(
+            F.slice(F.col("v"), F.col("i") + 1, F.lit(dim) - F.col("i"))
+        ).alias("dj", "xj"),
+        F.col("xi"),
+    ).select(
+        "i",
+        (F.col("i") + F.col("dj")).cast("long").alias("j"),
+        F.floor(
+            F.col("xi").cast("double") * F.col("xj").cast("double") * 1000000
+            + F.lit(0.5)
         )
+        .cast("long")
+        .alias("q"),
+    )
+    lin_cells = e.select(
+        F.col("i").cast("long").alias("i"),
+        F.lit(-1).cast("long").alias("j"),
+        F.floor(F.col("xi").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    cells = (
+        prod_cells.unionByName(lin_cells)
+        .groupBy("i", "j")
+        .agg(F.sum("q").alias("qsum"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
-    n = sums[0]["n"] if sums else 0
+    n = next((r["n"] for r in cells if r["j"] == -1), 0)
     if n < 2:
         raise ValueError("pca_fit needs at least 2 full-length vectors")
     mu = np.zeros(dim)
-    for r in sums:
-        mu[r["i"]] = (r["qsum"] / 1000000.0) / r["n"]
     g = np.zeros((dim, dim))
-    for r in gram_matrix(full, dim, vec_col).collect():
-        g[int(r["i"]), int(r["j"])] = r["gram"]
-        g[int(r["j"]), int(r["i"])] = r["gram"]
+    for r in cells:
+        if r["j"] == -1:
+            mu[int(r["i"])] = (r["qsum"] / 1000000.0) / r["n"]
+        else:
+            g[int(r["i"]), int(r["j"])] = r["qsum"] / 1000000.0
+            g[int(r["j"]), int(r["i"])] = r["qsum"] / 1000000.0
     cov = (g - n * np.outer(mu, mu)) / (n - 1)
     vals, vecs = np.linalg.eigh(cov)
     comps = []
