@@ -133,6 +133,31 @@ def handle_create_parser(args: argparse.Namespace) -> int:
     return 0
 
 
+def handle_clean(args: argparse.Namespace) -> int:
+    from adtl_spark.pipeline import corpus_clean
+    from adtl_spark.session import get_spark
+    from adtl_spark.sources.io import read_jsonl
+
+    spark = get_spark("adtl_spark_clean")
+    if args.data.endswith((".jsonl", ".json")):
+        docs = read_jsonl(
+            spark, args.data, schema=f"{args.id_col} long, {args.text_col} string"
+        )
+    else:
+        docs = spark.read.parquet(args.data)
+    clean, report = corpus_clean(
+        docs,
+        min_quality=args.min_quality,
+        max_top_bigram_frac=args.max_repetition,
+        threshold=args.dedup_threshold,
+        text_col=args.text_col,
+        id_col=args.id_col,
+    )
+    clean.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(
         prog="adtl-spark",
@@ -205,6 +230,20 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--description", help="parser description")
     t.add_argument("-o", "--output", help="output TOML path (default: <name>.toml)")
     t.set_defaults(func=handle_create_parser)
+
+    cl = sub.add_parser(
+        "clean",
+        help="clean a document corpus: quality filter, repetition filter, "
+        "MinHash near-dup removal (extension; not in the reference CLI)",
+    )
+    cl.add_argument("data", help="documents file (parquet or jsonl)")
+    cl.add_argument("-o", "--output", required=True, help="output parquet path")
+    cl.add_argument("--min-quality", type=float, default=0.5)
+    cl.add_argument("--max-repetition", type=float, default=0.2)
+    cl.add_argument("--dedup-threshold", type=float, default=0.6)
+    cl.add_argument("--text-col", default="text")
+    cl.add_argument("--id-col", default="doc_id")
+    cl.set_defaults(func=handle_clean)
 
     args = ap.parse_args(argv)
     return args.func(args)

@@ -219,3 +219,29 @@ def test_cli_autoparser_chain(tmp_path, spark, monkeypatch, capsys):
     )
     rows = [tuple(r) for r in p.table("pets").collect()]
     assert ("male", "alive") in rows and ("female", "dead") in rows
+
+
+def test_cli_clean_corpus(tmp_path, spark, capsys):
+    """End-to-end `adtl-spark clean`: parquet in, cleaned parquet out,
+    per-stage JSON report on stdout."""
+    import json as _json
+
+    from adtl_spark.cli import main
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "a good document with plenty of distinct readable words here"),
+        (2, "a good document with plenty of distinct readable words here"),
+        (3, "spam spam spam spam spam spam spam spam spam spam"),
+        (4, "another reasonable document about entirely different topics"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(src)
+    out = str(tmp_path / "cleaned")
+    rc = main(["clean", src, "-o", out, "--min-quality", "0.3"])
+    assert rc == 0
+    report = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["input"] == 4
+    # the repetition filter kills doc 3; near-dedup kills one of 1/2
+    assert report["after_near_dedup"] < report["input"]
+    kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert kept in ({1, 4}, {2, 4})  # exactly one of the twins survives
