@@ -31,11 +31,19 @@ def corpus_clean(
 ) -> tuple[DataFrame, dict[str, int]]:
     """Clean a document corpus; returns (clean_df, report).
 
-    The report counts documents surviving each stage — it materializes
-    the intermediate frames, so calling this is eager (the CLI contract).
-    The returned frame is the cleaned corpus with the original columns.
+    The report counts documents surviving each stage.  The input and
+    post-filter counts ride on ``Observation``s — metrics collected as a
+    side effect of the ONE materializing action, not separate count()
+    jobs re-running each stage (two fewer corpus passes than the naive
+    form; the same trick `dedup.cluster_pairs` uses for zero-job
+    convergence checks).  The returned frame is the cleaned corpus with
+    the original columns.
     """
-    report: dict[str, int] = {"input": docs.count()}
+    from pyspark.sql import Observation
+
+    obs_in = Observation("corpus_clean_input")
+    obs_kept = Observation("corpus_clean_kept")
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     good = X.quality_score(docs, text_col).filter(
         F.col("quality") >= min_quality
     )
@@ -45,9 +53,9 @@ def corpus_clean(
     kept = (
         docs.join(good.select(id_col), id_col)
         .join(rep_ok.select(id_col), id_col)
+        .observe(obs_kept, F.count(F.lit(1)).alias("n"))
         .persist()
     )
-    report["after_quality_and_repetition"] = kept.count()
     pairs = D.dedup_minhash_lsh(
         kept,
         k=minhash_k,
@@ -59,6 +67,8 @@ def corpus_clean(
     )
     drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
     clean = kept.join(drop, id_col, "left_anti")
-    report["after_near_dedup"] = clean.count()
+    report: dict[str, int] = {"after_near_dedup": clean.count()}
+    report["input"] = int(obs_in.get["n"])
+    report["after_quality_and_repetition"] = int(obs_kept.get["n"])
     kept.unpersist()
     return clean, report
