@@ -1940,6 +1940,77 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned items, ranked by lost revenue
+    over one quarter.  Fact-side aggregation happens BEFORE the dimension
+    joins (revenue per customer first, then broadcast nation + customer
+    attributes onto 20 rows' worth of groups) — the
+    aggregate-then-enrich ordering that keeps the join input at customer
+    grain instead of lineitem grain."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    per_cust = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg((F.sum(rev) / 10000.0).alias("revenue"))
+    )
+    return (
+        per_cust.join(
+            F.broadcast(
+                cust.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+            ),
+            per_cust["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of order counts per customer — a
+    count-of-counts histogram over a LEFT OUTER join (customers with zero
+    qualifying orders appear in the c_count=0 bucket).  Two cascaded
+    aggregations; the first reduces orders to customer grain before
+    anything joins."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    return (
+        cust.select("c_custkey")
+        .join(per_cust, cust["c_custkey"] == per_cust["o_custkey"], "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shaped (late = l_shipdate > o_orderdate + 90 days on the
     trimmed schema): order counts per priority among 1996 orders with at
@@ -2177,6 +2248,36 @@ def oracles() -> dict[str, str]:
             GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
+        """,
+        "q10_returned_items": """
+            WITH per_cust AS (
+              SELECT o_custkey,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                       / 10000.0 AS revenue
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, revenue,
+                   CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+            FROM per_cust
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+              SELECT o_custkey, count(*) AS c_count
+              FROM orders WHERE o_orderpriority <> '1-URGENT'
+              GROUP BY o_custkey
+            )
+            SELECT COALESCE(p.c_count, 0) AS c_count,
+                   count(*) AS custdist
+            FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+            GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
         """,
         "q4_order_priority": """
             SELECT o_orderpriority, count(*) AS order_count
@@ -3220,6 +3321,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_sales_opportunity": q22_sales_opportunity,
         "q4_order_priority": q4_order_priority,
         "q14_promo_revenue": q14_promo_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
         "emb_pca_project": emb_pca_project,
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,

@@ -152,6 +152,8 @@ HEADLINE = [
     "sample_weighted",
     "q4_order_priority",
     "q14_promo_revenue",
+    "q10_returned_items",
+    "q13_customer_distribution",
 ]
 
 
