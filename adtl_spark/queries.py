@@ -2011,6 +2011,48 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured approximation quality of the MinHash-LSH path: exact
+    n-gram-Jaccard pairs (threshold 0.5, df-capped) as truth, LSH
+    candidates scored at the same estimated threshold as found; one row
+    (n_true, n_found, n_hit, recall).  The recall number the README's
+    scale claims rest on, computed inside the correctness gate rather
+    than asserted — found-but-not-true pairs mix estimator optimism with
+    the df-cap asymmetry (the LSH path has no cap), so precision is NOT
+    claimed here, only recall against the capped truth."""
+    docs = _t(spark, sf_dir, "documents")
+    truth = D.dedup_ngram_jaccard(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        n=SHINGLE_N,
+        max_doc_freq_frac=MAX_DF_FRAC,
+    ).select("id_a", "id_b", F.lit(1).alias("t"))
+    found = D.dedup_minhash_lsh(
+        docs,
+        k=MINHASH_K,
+        bands=MINHASH_BANDS,
+        threshold=MINHASH_THRESHOLD,
+        n=SHINGLE_N,
+    ).select("id_a", "id_b", F.lit(1).alias("f"))
+    j = truth.join(found, ["id_a", "id_b"], "full_outer")
+    n_true = F.sum(F.coalesce(F.col("t"), F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("t").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_true.cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("f"), F.lit(0))).cast("long").alias("n_found"),
+        n_hit.cast("long").alias("n_hit"),
+        (
+            F.floor(
+                n_hit.cast("double") / n_true.cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall"),
+    )
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4-shaped (late = l_shipdate > o_orderdate + 90 days on the
     trimmed schema): order counts per priority among 1996 orders with at
@@ -2249,6 +2291,37 @@ def oracles() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
         """,
+        "dedup_minhash_recall": f"""
+            WITH truth AS (
+              SELECT id_a, id_b, 1 AS t FROM (
+                {{EXACT}}
+              )
+            ),
+            found AS (
+              SELECT id_a, id_b, 1 AS f FROM (
+                {{MH}}
+              )
+            ),
+            j AS (
+              SELECT COALESCE(truth.t, 0) AS t, COALESCE(found.f, 0) AS f
+              FROM truth FULL OUTER JOIN found USING (id_a, id_b)
+            )
+            SELECT CAST(sum(t) AS BIGINT) AS n_true,
+                   CAST(sum(f) AS BIGINT) AS n_found,
+                   CAST(sum(t * f) AS BIGINT) AS n_hit,
+                   floor(CAST(sum(t * f) AS DOUBLE) / CAST(sum(t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall
+            FROM j
+        """.replace(
+            "{EXACT}",
+            D.ngram_jaccard_oracle_sql(
+                "documents", MINHASH_THRESHOLD, SHINGLE_N, MAX_DF_FRAC
+            ),
+        ).replace(
+            "{MH}",
+            D.minhash_lsh_oracle_sql(
+                "documents", MINHASH_K, MINHASH_BANDS, MINHASH_THRESHOLD, SHINGLE_N
+            ),
+        ),
         "q10_returned_items": """
             WITH per_cust AS (
               SELECT o_custkey,
@@ -3323,6 +3396,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_revenue": q14_promo_revenue,
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
+        "dedup_minhash_recall": dedup_minhash_recall,
         "emb_pca_project": emb_pca_project,
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,

@@ -154,6 +154,7 @@ HEADLINE = [
     "q14_promo_revenue",
     "q10_returned_items",
     "q13_customer_distribution",
+    "dedup_minhash_recall",
 ]
 
 
