@@ -883,7 +883,13 @@ def merge_upsert(
     any upsert.  On a bucketed base layout (sources/io.py:write_bucketed)
     the base side's exchange disappears and only the (much smaller) batch
     shuffles; either way nothing is collected and no side is scanned
-    twice."""
+    twice.
+
+    Precondition: ids are unique within each side (a snapshot and a
+    compacted CDC batch both satisfy this by construction).  Duplicate
+    ids would fan out through the join — dedupe the batch first
+    (e.g. keep the latest record per id) if it can carry multiple
+    versions of one document."""
     b = base.select(
         F.col(id_col).alias("__id"), F.md5(F.col(payload_col)).alias("__bh")
     )

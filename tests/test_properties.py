@@ -446,3 +446,80 @@ def test_bpe_merges_match_pure_python_model(spark):
         for r in T.bpe_merges(docs, n_merges=4).collect()
     ]
     assert got == expected
+
+
+def test_weighted_sample_randomized_invariants(spark):
+    """Randomized invariants: sample size = min(k, positive-weight rows),
+    sample is a subset of the positive-weight population, and the result
+    is the exact top-k of the full keyed ordering (so any two runs or any
+    partitioning agree)."""
+    import math
+    import random
+
+    from adtl_spark.operators import sampling as SA
+    from adtl_spark.operators.dedup import md5_60  # noqa: F401  (doc pointer)
+
+    rng = random.Random(43)
+    for trial in range(3):
+        n = rng.randrange(5, 60)
+        k = rng.randrange(1, 20)
+        rows = [
+            (i, round(rng.uniform(-1.0, 5.0), 3)) for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "w"])
+        out = SA.weighted_sample(df, "w", k=k).collect()
+        positives = {i for i, w in rows if w > 0}
+        assert len(out) == min(k, len(positives))
+        assert {r["doc_id"] for r in out} <= positives
+        # equals the top-k of the full ordering computed in python
+        import hashlib
+
+        def key(i, w):
+            h = int(
+                hashlib.md5(f"wsample|{i}".encode()).hexdigest()[:15], 16
+            )
+            u = (h + 1) / float(1 << 60)
+            return math.floor(math.log(u) / w * 1000000)
+
+        full = sorted(
+            ((key(i, w), i) for i, w in rows if w > 0),
+            key=lambda t: (-t[0], t[1]),
+        )
+        assert [r["doc_id"] for r in out] == [i for _, i in full[: len(out)]]
+
+
+def test_merge_upsert_randomized_partition(spark):
+    """Randomized: statuses partition the id space exactly as a python
+    dict simulation says, and the winning hash is batch-side on update."""
+    import hashlib
+    import random
+
+    from adtl_spark.operators import corpus as C
+
+    rng = random.Random(47)
+    base_ids = rng.sample(range(100), 30)
+    batch_ids = rng.sample(range(100), 30)
+    base_rows = [(i, f"text-{i}") for i in base_ids]
+    batch_rows = [
+        (i, f"text-{i}" if rng.random() < 0.5 else f"text-{i}-v2")
+        for i in batch_ids
+    ]
+    base = spark.createDataFrame(base_rows, ["doc_id", "text"])
+    batch = spark.createDataFrame(batch_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["status"], r["payload_hash"])
+        for r in C.merge_upsert(base, batch).collect()
+    }
+    bd, id_ = dict(base_rows), dict(batch_rows)
+    for i in set(bd) | set(id_):
+        status, h = got[i]
+        if i not in bd:
+            assert status == "inserted"
+        elif i not in id_:
+            assert status == "retained"
+        elif bd[i] == id_[i]:
+            assert status == "unchanged"
+        else:
+            assert status == "updated"
+        win = id_.get(i, bd.get(i))
+        assert h == hashlib.md5(win.encode()).hexdigest()
