@@ -72,8 +72,22 @@ QUERIES = [
     "ann_cosine_topk",
     # round-4 operators
     "tokenizer_bpe_merges",
+    "tokenizer_bpe_segment",
     "graph_pagerank",
     "fuzzy_pairs_suppliers",
+    "w11_scd2",
+    "w12_transitions",
+    "w13_anomaly",
+    "sample_weighted",
+    "corpus_merge_upsert",
+    "emb_pca_project",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q21_waiting_supplier",
+    "q22_sales_opportunity",
+    "dedup_minhash_recall",
     "text_hll_distinct",
     "quality_nb",
     "w7_asof_forward",
