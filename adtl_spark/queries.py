@@ -1592,6 +1592,38 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the planes=8 LSH-bucketed embedding dedup
+    against the exact all-pairs truth (same tau) — one row
+    (n_true, n_found, n_hit, recall).  Same measured-approximation
+    pattern as dedup_minhash_recall; both sides are themselves
+    oracle-gated queries, so this gate pins the composition."""
+    emb = _t(spark, sf_dir, "embeddings")
+    truth = S.embedding_neardup(emb, tau=NEARDUP_TAU, planes=0).select(
+        "id_a", "id_b", F.lit(1).alias("t")
+    )
+    found = S.embedding_neardup(
+        emb, tau=NEARDUP_TAU, planes=NEARDUP_PLANES
+    ).select("id_a", "id_b", F.lit(1).alias("f"))
+    j = truth.join(found, ["id_a", "id_b"], "full_outer")
+    n_true = F.sum(F.coalesce(F.col("t"), F.lit(0)))
+    n_hit = F.sum(
+        F.when(F.col("t").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
+    )
+    return j.agg(
+        n_true.cast("long").alias("n_true"),
+        F.sum(F.coalesce(F.col("f"), F.lit(0))).cast("long").alias("n_found"),
+        n_hit.cast("long").alias("n_hit"),
+        (
+            F.floor(
+                n_hit.cast("double") / n_true.cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------- similarity
 
 ANN_K = 5
@@ -1616,6 +1648,35 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
     return S.ann_lsh(emb, queries, dim=64, k=ANN_K, planes=LSH_PLANES, seed=LSH_SEED)
+
+
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the LSH-bucketed ANN against exact cosine
+    top-k for the same queries — one row (n_exact, n_hit, recall_at_k).
+    The number that justifies shipping the bucketed path at 100 TB,
+    computed inside the gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    exact = S.cosine_topk(emb, queries, k=ANN_K).select(
+        "query_id", "corpus_id", F.lit(1).alias("t")
+    )
+    approx = S.ann_lsh(
+        emb, queries, dim=64, k=ANN_K, planes=LSH_PLANES, seed=LSH_SEED
+    ).select("query_id", "corpus_id", F.lit(1).alias("f"))
+    j = exact.join(approx, ["query_id", "corpus_id"], "left")
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("f"), F.lit(0)))
+    return j.agg(
+        n_exact.cast("long").alias("n_exact"),
+        n_hit.cast("long").alias("n_hit"),
+        (
+            F.floor(
+                n_hit.cast("double") / n_exact.cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall_at_k"),
+    )
 
 
 IVF_CENTROIDS = 16
@@ -2291,6 +2352,54 @@ def oracles() -> dict[str, str]:
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 100
         """,
+        "dedup_embedding_recall": """
+            WITH truth AS (
+              SELECT id_a, id_b, 1 AS t FROM ({EXACT})
+            ),
+            found AS (
+              SELECT id_a, id_b, 1 AS f FROM ({LSH})
+            ),
+            j AS (
+              SELECT COALESCE(truth.t, 0) AS t, COALESCE(found.f, 0) AS f
+              FROM truth FULL OUTER JOIN found USING (id_a, id_b)
+            )
+            SELECT CAST(sum(t) AS BIGINT) AS n_true,
+                   CAST(sum(f) AS BIGINT) AS n_found,
+                   CAST(sum(t * f) AS BIGINT) AS n_hit,
+                   floor(CAST(sum(t * f) AS DOUBLE) / CAST(sum(t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall
+            FROM j
+        """.replace(
+            "{EXACT}",
+            S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU, planes=0),
+        ).replace(
+            "{LSH}",
+            S.embedding_neardup_oracle_sql(
+                "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
+            ),
+        ),
+        "ann_lsh_recall": """
+            WITH exact AS (
+              SELECT query_id, corpus_id, 1 AS t FROM ({EXACT})
+            ),
+            approx AS (
+              SELECT query_id, corpus_id, 1 AS f FROM ({LSH})
+            ),
+            j AS (
+              SELECT exact.t, COALESCE(approx.f, 0) AS f
+              FROM exact LEFT JOIN approx USING (query_id, corpus_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_exact,
+                   CAST(sum(f) AS BIGINT) AS n_hit,
+                   floor(CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall_at_k
+            FROM j
+        """.replace(
+            "{EXACT}", S.cosine_topk_oracle_sql("embeddings", ANN_K, ANN_QUERIES)
+        ).replace(
+            "{LSH}",
+            S.ann_lsh_oracle_sql(
+                "embeddings", 64, ANN_K, LSH_PLANES, LSH_SEED, ANN_QUERIES
+            ),
+        ),
         "dedup_minhash_recall": f"""
             WITH truth AS (
               SELECT id_a, id_b, 1 AS t FROM (
@@ -3397,6 +3506,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": q10_returned_items,
         "q13_customer_distribution": q13_customer_distribution,
         "dedup_minhash_recall": dedup_minhash_recall,
+        "dedup_embedding_recall": dedup_embedding_recall,
+        "ann_lsh_recall": ann_lsh_recall,
         "emb_pca_project": emb_pca_project,
         "text_bm25_topk": text_bm25_topk,
         "text_normalize": text_normalize,

@@ -155,6 +155,8 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "dedup_minhash_recall",
+    "dedup_embedding_recall",
+    "ann_lsh_recall",
 ]
 
 
