@@ -189,10 +189,17 @@ def ann_lsh(
     seed: int = 1234,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: corpus bucketed by hyperplane signature; each
-    query scans only its bucket.  Recall grows with fewer planes / multi-
-    probe; this is the 100 TB path (bucket join instead of cross join)."""
+    query scans its own bucket plus (``multiprobe``=1, the default) every
+    bucket at Hamming distance 1 — the standard multi-probe LSH move.
+    Probing was added because the gate MEASURED single-probe recall@5 at
+    0.04 on the test corpus (ann_lsh_recall); Hamming-1 probing lifts it
+    to a usable level at the cost of planes+1 bucket lookups per query,
+    still a bucket equi-join (never a cross join) since the corpus side
+    stays single-bucket.  A corpus vector lives in exactly one bucket and
+    the probe set is distinct, so no candidate pair duplicates."""
     c = corpus.select(
         F.col(id_col).alias("corpus_id"),
         F.col(vec_col).alias("cv"),
@@ -203,6 +210,17 @@ def ann_lsh(
         F.col(vec_col).alias("qv"),
         hyperplane_signature(vec_col, dim, planes, seed).alias("bucket"),
     )
+    if multiprobe and planes:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(planes)
+            ],
+        )
+        q = q.select(
+            "query_id", "qv", F.explode(probes).alias("bucket")
+        )
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("corpus_id"))
@@ -362,26 +380,42 @@ def _signature_sql(vec_sql: str, dim: int, planes: int, seed: int) -> str:
 
 
 def ann_lsh_oracle_sql(
-    table: str, dim: int, k: int, planes: int, seed: int, n_queries: int
+    table: str,
+    dim: int,
+    k: int,
+    planes: int,
+    seed: int,
+    n_queries: int,
+    multiprobe: int = 1,
 ) -> str:
     """DuckDB twin of ann_lsh: identical hyperplane buckets (mirrored LCG
-    literals), bucket equi-join, per-query top-k with the same tie-break.
+    literals), the same Hamming-1 multi-probe expansion on the query
+    side, bucket equi-join, per-query top-k with the same tie-break.
     The 'approximation' is deterministic given the planes, so the twin is
-    exact — queries whose bucket holds fewer than k mates emit fewer rows
-    in both engines."""
+    exact — queries whose probed buckets hold fewer than k mates emit
+    fewer rows in both engines."""
     sig_v = _signature_sql("v", dim, planes, seed)
     sig_q = _signature_sql("qv", dim, planes, seed)
+    if multiprobe and planes:
+        probe_q = f"""
+      SELECT query_id, qv,
+             CASE WHEN i = -1 THEN bucket0
+                  ELSE xor(bucket0, CAST(1 AS BIGINT) << i) END AS bucket
+      FROM q0, (SELECT unnest(range(-1, {planes})) AS i)"""
+    else:
+        probe_q = "SELECT query_id, qv, bucket0 AS bucket FROM q0"
     return f"""
     WITH c AS (
       SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS v,
              {sig_v} AS bucket
       FROM {table}
     ),
-    q AS (
+    q0 AS (
       SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
-             {sig_q} AS bucket
+             {sig_q} AS bucket0
       FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {n_queries})
     ),
+    q AS ({probe_q}),
     sims AS (
       SELECT q.query_id, c.corpus_id,
              list_dot_product(q.qv, c.v)
@@ -407,21 +441,78 @@ def embedding_neardup(
     planes: int = 8,
     dim: int = 64,
     seed: int = 1234,
+    bands: int = 0,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= tau, LSH-bucketed: only pairs
-    sharing a hyperplane bucket are scored (high-cosine pairs almost always
-    share all sign bits; exact twin available by setting planes=0)."""
+    """Near-duplicate pairs by cosine >= tau, LSH-bucketed.
+
+    ``bands=0`` (default): one bucket = the full ``planes``-bit signature.
+    Collision probability for a pair at angle θ is (1-θ/π)^planes — the
+    right structure for HIGH tau (the 0.95 default: ~0.9^8 ≈ 43-90%
+    per-band... and near-identical vectors share all bits), but at low
+    tau it decays geometrically; the gate MEASURES 0.022 at tau=0.35,
+    matching the theory value 0.020 to the third decimal
+    (dedup_embedding_recall — the calibration that lets you size planes
+    for a target tau).
+
+    ``bands=B`` (with ``planes = B*r`` total bits): OR-amplified banding —
+    a pair is a candidate if ANY band's r-bit sub-signature matches
+    (1-(1-p^r)^B), the structure for low-tau regimes; candidates are
+    deduped before the exact cosine refilter.  Exact twin: planes=0."""
     sig = (
         hyperplane_signature(vec_col, dim, planes, seed)
         if planes
-        else F.lit(0)
+        else F.lit(0).cast("long")
     )
-    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"))
+    c = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+    )
+    if bands and planes:
+        r = planes // bands
+        mask = (1 << r) - 1
+        c = c.select(
+            "id",
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "_",
+                            F.lit(bnd),
+                            (
+                                F.shiftright(F.col("sig"), bnd * r)
+                                % F.lit(mask + 1)
+                            ).cast("string"),
+                        )
+                        for bnd in range(bands)
+                    ]
+                )
+            ).alias("bucket"),
+        )
+        a, b = c.alias("a"), c.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return (
+            cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+            .filter(F.col("cos") >= tau)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+        )
     a, b = c.alias("a"), c.alias("b")
     return (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
@@ -440,13 +531,40 @@ def embedding_neardup_oracle_sql(
     planes: int = 0,
     dim: int = 64,
     seed: int = 1234,
+    bands: int = 0,
 ) -> str:
     """DuckDB twin of embedding_neardup.  ``planes=0`` is the exact
-    all-pairs form; ``planes>0`` mirrors the LSH-bucketed scale path —
-    identical hyperplane signatures restrict pairs to same-bucket, so the
-    twin reproduces the bucketed result (including any recall loss) rather
-    than approximating it."""
+    all-pairs form; ``planes>0`` mirrors the LSH-bucketed scale path
+    (single full-signature bucket, or ``bands``-way OR-amplified
+    sub-signatures) — identical hyperplane signatures restrict pairs the
+    same way, so the twin reproduces the bucketed result (including any
+    recall loss) rather than approximating it."""
     sig = _signature_sql("v", dim, planes, seed) if planes else "CAST(0 AS BIGINT)"
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+        "* sqrt(list_dot_product(b.v, b.v)))"
+    )
+    if bands and planes:
+        r = planes // bands
+        return f"""
+    WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    sigs AS (SELECT id, v, {sig} AS sig FROM base),
+    c AS (
+      SELECT id, v,
+             CAST(bnd AS VARCHAR) || '_' ||
+             CAST((sig >> (bnd * {r})) % {1 << r} AS VARCHAR) AS bucket
+      FROM sigs, (SELECT unnest(range(0, {bands})) AS bnd)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM c a JOIN c b ON a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT cand.id_a, cand.id_b, round({cos}, 4) AS cos
+    FROM cand
+    JOIN sigs a ON a.id = cand.id_a
+    JOIN sigs b ON b.id = cand.id_b
+    WHERE {cos} >= {tau}
+    """
     bucket_cond = " AND a.bucket = b.bucket" if planes else ""
     return f"""
     WITH base AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),

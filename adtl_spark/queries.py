@@ -1593,34 +1593,51 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall of the planes=8 LSH-bucketed embedding dedup
-    against the exact all-pairs truth (same tau) — one row
-    (n_true, n_found, n_hit, recall).  Same measured-approximation
-    pattern as dedup_minhash_recall; both sides are themselves
-    oracle-gated queries, so this gate pins the composition."""
+    """Measured recall of BOTH LSH structures against the exact all-pairs
+    truth at tau=0.35 — one row per path.
+
+    ``single_bucket``: full 8-bit signature; collision probability at
+    this low tau is (1-θ/π)^8 ≈ 0.020 in theory, and the measured recall
+    (~0.022) CONFIRMS the model — the calibration that lets you size
+    planes for a target tau at 100 TB.  ``banded_4x2``: 4 bands × 2 bits
+    with OR-amplification, 1-(1-p²)⁴ ≈ 0.85 in theory — the structure a
+    low-tau regime needs (at the cost of weaker pruning; at genuinely
+    high tau the single bucket prunes AND recalls).  Same
+    measured-approximation pattern as dedup_minhash_recall."""
     emb = _t(spark, sf_dir, "embeddings")
-    truth = S.embedding_neardup(emb, tau=NEARDUP_TAU, planes=0).select(
-        "id_a", "id_b", F.lit(1).alias("t")
-    )
-    found = S.embedding_neardup(
-        emb, tau=NEARDUP_TAU, planes=NEARDUP_PLANES
-    ).select("id_a", "id_b", F.lit(1).alias("f"))
-    j = truth.join(found, ["id_a", "id_b"], "full_outer")
-    n_true = F.sum(F.coalesce(F.col("t"), F.lit(0)))
-    n_hit = F.sum(
-        F.when(F.col("t").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
-    )
-    return j.agg(
-        n_true.cast("long").alias("n_true"),
-        F.sum(F.coalesce(F.col("f"), F.lit(0))).cast("long").alias("n_found"),
-        n_hit.cast("long").alias("n_hit"),
-        (
-            F.floor(
-                n_hit.cast("double") / n_true.cast("double") * 10000
-                + F.lit(0.5)
-            )
-            / 10000.0
-        ).alias("recall"),
+
+    def measure(path: str, **kw) -> DataFrame:
+        truth = S.embedding_neardup(emb, tau=NEARDUP_TAU, planes=0).select(
+            "id_a", "id_b", F.lit(1).alias("t")
+        )
+        found = S.embedding_neardup(emb, tau=NEARDUP_TAU, **kw).select(
+            "id_a", "id_b", F.lit(1).alias("f")
+        )
+        j = truth.join(found, ["id_a", "id_b"], "full_outer")
+        n_true = F.sum(F.coalesce(F.col("t"), F.lit(0)))
+        n_hit = F.sum(
+            F.when(
+                F.col("t").isNotNull() & F.col("f").isNotNull(), 1
+            ).otherwise(0)
+        )
+        return j.agg(
+            F.lit(path).alias("path"),
+            n_true.cast("long").alias("n_true"),
+            F.sum(F.coalesce(F.col("f"), F.lit(0)))
+            .cast("long")
+            .alias("n_found"),
+            n_hit.cast("long").alias("n_hit"),
+            (
+                F.floor(
+                    n_hit.cast("double") / n_true.cast("double") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("recall"),
+        )
+
+    return measure("single_bucket", planes=NEARDUP_PLANES).unionByName(
+        measure("banded_4x2", planes=NEARDUP_PLANES, bands=4)
     )
 
 
@@ -2356,25 +2373,43 @@ def oracles() -> dict[str, str]:
             WITH truth AS (
               SELECT id_a, id_b, 1 AS t FROM ({EXACT})
             ),
-            found AS (
-              SELECT id_a, id_b, 1 AS f FROM ({LSH})
+            single AS (
+              SELECT id_a, id_b, 1 AS f FROM ({SINGLE})
             ),
-            j AS (
-              SELECT COALESCE(truth.t, 0) AS t, COALESCE(found.f, 0) AS f
-              FROM truth FULL OUTER JOIN found USING (id_a, id_b)
+            banded AS (
+              SELECT id_a, id_b, 1 AS f FROM ({BANDED})
+            ),
+            m1 AS (
+              SELECT 'single_bucket' AS path,
+                     CAST(sum(COALESCE(t, 0)) AS BIGINT) AS n_true,
+                     CAST(sum(COALESCE(f, 0)) AS BIGINT) AS n_found,
+                     CAST(sum(COALESCE(t, 0) * COALESCE(f, 0)) AS BIGINT) AS n_hit,
+                     floor(CAST(sum(COALESCE(t, 0) * COALESCE(f, 0)) AS DOUBLE)
+                           / CAST(sum(COALESCE(t, 0)) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall
+              FROM truth FULL OUTER JOIN single USING (id_a, id_b)
+            ),
+            m2 AS (
+              SELECT 'banded_4x2' AS path,
+                     CAST(sum(COALESCE(t, 0)) AS BIGINT) AS n_true,
+                     CAST(sum(COALESCE(f, 0)) AS BIGINT) AS n_found,
+                     CAST(sum(COALESCE(t, 0) * COALESCE(f, 0)) AS BIGINT) AS n_hit,
+                     floor(CAST(sum(COALESCE(t, 0) * COALESCE(f, 0)) AS DOUBLE)
+                           / CAST(sum(COALESCE(t, 0)) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall
+              FROM truth FULL OUTER JOIN banded USING (id_a, id_b)
             )
-            SELECT CAST(sum(t) AS BIGINT) AS n_true,
-                   CAST(sum(f) AS BIGINT) AS n_found,
-                   CAST(sum(t * f) AS BIGINT) AS n_hit,
-                   floor(CAST(sum(t * f) AS DOUBLE) / CAST(sum(t) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS recall
-            FROM j
+            SELECT * FROM m1 UNION ALL SELECT * FROM m2
         """.replace(
             "{EXACT}",
             S.embedding_neardup_oracle_sql("embeddings", NEARDUP_TAU, planes=0),
         ).replace(
-            "{LSH}",
+            "{SINGLE}",
             S.embedding_neardup_oracle_sql(
                 "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES
+            ),
+        ).replace(
+            "{BANDED}",
+            S.embedding_neardup_oracle_sql(
+                "embeddings", NEARDUP_TAU, planes=NEARDUP_PLANES, bands=4
             ),
         ),
         "ann_lsh_recall": """
