@@ -44,17 +44,25 @@ def fuzzy_pairs(
     id_col: str,
     name_col: str,
     max_dist: int = 1,
+    max_len: int = 64,
 ) -> DataFrame:
     """All pairs (id_a, id_b, name_a, name_b, dist) with
     levenshtein(name_a, name_b) <= max_dist and id_a < id_b, found by
-    deletion-neighborhood blocking + exact verification (complete for
-    max_dist=1; for larger distances the blocking is a recall-oriented
-    prefilter and the docstring contract is 'distance-1-complete')."""
+    deletion-neighborhood blocking + exact verification.
+
+    Completeness bound: the distance-1 no-false-negatives guarantee holds
+    for strings up to ``max_len + 1`` characters — deletion positions are
+    capped at ``max_len``, so a single edit strictly past that position
+    in a longer string can fall outside the shared-key neighborhood.
+    Raise ``max_len`` (cost: that many keys per row) when keying strings
+    longer than 65 chars.  For max_dist > 1 the blocking is a
+    recall-oriented prefilter and the contract is 'distance-1-complete'.
+    """
     # two-step select: aliasing and exploding the same source column in
     # one projection trips lateral-alias resolution when name_col == "name"
     named = df.select(F.col(id_col).alias("id"), F.col(name_col).alias("name"))
     keyed = named.select(
-        "id", "name", F.explode(deletion_keys(F.col("name"))).alias("k")
+        "id", "name", F.explode(deletion_keys(F.col("name"), max_len)).alias("k")
     )
     a, b = keyed.alias("a"), keyed.alias("b")
     cand = (

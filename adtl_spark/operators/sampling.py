@@ -201,13 +201,63 @@ def mixture_sample_where_sql(
     )
 
 
+def _derive_bands(
+    df: DataFrame,
+    priority_col: str,
+    id_col: str,
+    band_width: int | None,
+    target_bands: int = 64,
+) -> tuple[Column, Column]:
+    """Pick the banding keys for the two-phase prefix sum.
+
+    Returns a composite band ``(pband, iband)``; a band is every row
+    sharing both values, and bands are contiguous in the global
+    (priority DESC, id ASC) order when walked as (pband DESC, iband
+    ASC).  With an explicit ``band_width`` this is the legacy fixed
+    ``priority DIV width`` banding (iband constant 0).  With
+    ``band_width=None`` (the default) it spends ONE cheap min/max
+    aggregation to adapt to the observed priority histogram:
+
+    - wide priority range: pband = priority DIV (range/target_bands),
+      iband = 0 — the histogram spreads over ~``target_bands`` bands no
+      matter the priority scale;
+    - narrow range (fewer distinct priorities than target_bands —
+      including the fully constant-priority corpus, the documented
+      degenerate case where fixed banding collapses to ONE window
+      partition): pband = the exact priority value, iband = id DIV
+      (id_range/target_bands).  Within one exact priority the global
+      order is id ASC, so id-range sub-bands stay contiguous, and even
+      a corpus where 99% of rows share one priority value fans out
+      across ~target_bands window partitions.
+
+    The adaptive agg is min/max only — no histogram pass — and at 100 TB
+    it is a metadata-cheap map-side-combined reduction."""
+    if band_width is not None:
+        return F.expr(f"`{priority_col}` DIV {band_width}"), F.lit(0)
+    stats = df.agg(
+        F.min(priority_col).alias("pmin"),
+        F.max(priority_col).alias("pmax"),
+        F.min(id_col).alias("imin"),
+        F.max(id_col).alias("imax"),
+    ).collect()[0]
+    if stats["pmax"] is None:  # empty input: any constant band works
+        return F.lit(0), F.lit(0)
+    prange = int(stats["pmax"]) - int(stats["pmin"])
+    if prange >= target_bands:
+        width = prange // target_bands + 1
+        return F.expr(f"`{priority_col}` DIV {width}"), F.lit(0)
+    irange = int(stats["imax"]) - int(stats["imin"])
+    iwidth = irange // target_bands + 1
+    return F.col(priority_col), F.expr(f"`{id_col}` DIV {iwidth}")
+
+
 def select_until_budget(
     df: DataFrame,
     budget: int,
     tokens_col: str = "n_tokens",
     priority_col: str = "priority",
     id_col: str = "doc_id",
-    band_width: int = 16,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Token-budget selection: walk documents in (priority DESC, id ASC)
     order and keep them while the running token total stays within
@@ -215,36 +265,40 @@ def select_until_budget(
     corpus into a fixed-size training set.
 
     The running total is the same DISTRIBUTED two-phase prefix sum as
-    sequence packing (see ``pack_chunks``): documents band by
-    ``priority DIV band_width`` (band boundaries respect the global
-    priority order, so per-band cumsums + band-offset chaining
-    reconstruct the exact global running sum); only the per-band totals
-    cross the one single-partition window.  Pick ``band_width`` so the
-    priority histogram spreads bands evenly — a constant-priority corpus
-    degenerates to one band (one window partition), the same caveat any
-    range-partitioned sort has on a constant key.
+    sequence packing (see ``pack_chunks``): documents band by a key that
+    respects the global (priority DESC, id ASC) order — adaptive by
+    default (see :func:`_derive_bands`; the one-agg derivation also
+    covers the constant-priority corpus that fixed priority-banding
+    degenerates on) — so per-band cumsums + band-offset chaining
+    reconstruct the exact global running sum and only the per-band
+    totals cross the one single-partition window.  Pass an explicit
+    ``band_width`` to force the fixed ``priority DIV width`` banding.
 
     Emits (id, priority, n_tokens, cum_tokens) for kept documents, where
     ``cum_tokens`` is the inclusive running total <= budget."""
     from pyspark.sql import Window
 
-    b = df.withColumn("__band__", F.expr(f"`{priority_col}` DIV {band_width}"))
+    pband, iband = _derive_bands(df, priority_col, id_col, band_width)
+    b = df.withColumn("__band__", pband).withColumn("__iband__", iband)
     local_w = (
-        Window.partitionBy("__band__")
+        Window.partitionBy("__band__", "__iband__")
         .orderBy(F.desc(priority_col), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = b.withColumn("__lc__", F.sum(tokens_col).over(local_w))
-    totals = b.groupBy("__band__").agg(F.sum(tokens_col).alias("__bt__"))
-    offset_w = Window.orderBy(F.desc("__band__")).rowsBetween(
-        Window.unboundedPreceding, -1
+    totals = b.groupBy("__band__", "__iband__").agg(
+        F.sum(tokens_col).alias("__bt__")
     )
+    offset_w = Window.orderBy(
+        F.desc("__band__"), F.asc("__iband__")
+    ).rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__band__",
+        "__iband__",
         F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__"),
     )
     return (
-        local.join(F.broadcast(offsets), "__band__")
+        local.join(F.broadcast(offsets), ["__band__", "__iband__"])
         .select(
             id_col,
             priority_col,
@@ -266,10 +320,10 @@ def select_until_budget_oracle_sql(
     two-phase banding is an execution strategy, not a semantic change)."""
     return f"""
     SELECT {id_col}, {priority_col}, {tokens_col}, cum_tokens FROM (
-      SELECT *, SUM({tokens_col}) OVER (
+      SELECT *, CAST(SUM({tokens_col}) OVER (
         ORDER BY {priority_col} DESC, {id_col} ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS cum_tokens
+      ) AS BIGINT) AS cum_tokens
       FROM ({source_sql})
     ) WHERE cum_tokens <= {budget}
     """
@@ -332,7 +386,7 @@ def select_until_budget_by_group(
     tokens_col: str = "n_tokens",
     priority_col: str = "priority",
     id_col: str = "doc_id",
-    band_width: int = 16,
+    band_width: int | None = None,
 ) -> DataFrame:
     """Per-group token-budget selection: within EACH group walk documents
     in (priority DESC, id ASC) order and keep them while the group's
@@ -341,36 +395,41 @@ def select_until_budget_by_group(
     mixture construction needs when RATES aren't enough and hard ceilings
     are required.
 
-    Same banded two-phase prefix sum as :func:`select_until_budget`, but
-    every window carries the group key — the per-band cumsum partitions
-    by (group, band) and the band-offset chain by group, so NO window in
-    the plan is single-partition: the operator is fully parallel across
-    groups AND bands.  Emits (id, group, priority, n_tokens, cum_tokens)
-    for kept documents."""
+    Same banded two-phase prefix sum as :func:`select_until_budget`
+    (adaptive banding by default — the degeneracy derivation is global,
+    which is the conservative choice: id-sub-banding kicks in whenever
+    the CORPUS-wide priority range is narrow), but every window carries
+    the group key — the per-band cumsum partitions by (group, bands) and
+    the band-offset chain by group, so NO window in the plan is
+    single-partition: the operator is fully parallel across groups AND
+    bands.  Emits (id, group, priority, n_tokens, cum_tokens) for kept
+    documents."""
     from pyspark.sql import Window
 
-    b = df.withColumn("__band__", F.expr(f"`{priority_col}` DIV {band_width}"))
+    pband, iband = _derive_bands(df, priority_col, id_col, band_width)
+    b = df.withColumn("__band__", pband).withColumn("__iband__", iband)
     local_w = (
-        Window.partitionBy(group_col, "__band__")
+        Window.partitionBy(group_col, "__band__", "__iband__")
         .orderBy(F.desc(priority_col), F.asc(id_col))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = b.withColumn("__lc__", F.sum(tokens_col).over(local_w))
-    totals = b.groupBy(group_col, "__band__").agg(
+    totals = b.groupBy(group_col, "__band__", "__iband__").agg(
         F.sum(tokens_col).alias("__bt__")
     )
     offset_w = (
         Window.partitionBy(group_col)
-        .orderBy(F.desc("__band__"))
+        .orderBy(F.desc("__band__"), F.asc("__iband__"))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = totals.select(
         group_col,
         "__band__",
+        "__iband__",
         F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__"),
     )
     return (
-        local.join(F.broadcast(offsets), [group_col, "__band__"])
+        local.join(F.broadcast(offsets), [group_col, "__band__", "__iband__"])
         .select(
             id_col,
             group_col,
@@ -393,11 +452,11 @@ def select_until_budget_by_group_oracle_sql(
     "DuckDB twin: one per-group ordered window (execution strategy differs)."
     return f"""
     SELECT {id_col}, {group_col}, {priority_col}, {tokens_col}, cum_tokens FROM (
-      SELECT *, SUM({tokens_col}) OVER (
+      SELECT *, CAST(SUM({tokens_col}) OVER (
         PARTITION BY {group_col}
         ORDER BY {priority_col} DESC, {id_col} ASC
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS cum_tokens
+      ) AS BIGINT) AS cum_tokens
       FROM ({source_sql})
     ) WHERE cum_tokens <= {budget}
     """

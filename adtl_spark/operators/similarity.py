@@ -909,23 +909,54 @@ def semantic_dedup(
     Deterministic end to end (deterministic k-means + exact double
     cosine), so the DuckDB oracle replays it exactly — including any
     recall loss from near-duplicates split across cluster boundaries,
-    which is inherent to the method, not an implementation artifact."""
+    which is inherent to the method, not an implementation artifact.
+
+    Duplicate-heavy corpora (the operator's whole reason to exist) get
+    the same scale move as the other dedup operators: byte-identical
+    vectors COLLAPSE to one representative row before the within-cluster
+    self-join, so a corpus where half the rows share one hot vector costs
+    one distinct-side row, not (n/2)^2 candidate pairs.  The collapse is
+    exact, not approximate: cluster assignment is a function of the
+    vector alone, cosine against any member equals cosine against the
+    representative, and the member-level keep/drop rule reconstructs from
+    (a) the group's internal cosine (identical vectors: every non-minimum
+    id has the group minimum as a lower-id mate) and (b) the smallest
+    representative id among qualifying cross-group mates — both computed
+    on the distinct-vector relation only."""
     cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("cluster", F.expr(_kmeans_cell_sql("v", cents)))
-    a, b = c.alias("a"), c.alias("b")
-    dups = (
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    d = (
+        c.groupBy("v")
+        .agg(F.min("vec_id").alias("rep"))
+        .withColumn("cluster", F.expr(_kmeans_cell_sql("v", cents)))
+        .withColumn("self_cos", cosine(F.col("v"), F.col("v")))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    # smallest lower-bound threat per distinct vector: any DIFFERENT
+    # vector in the same cluster within tau drops every member id larger
+    # than that vector's smallest member id
+    threats = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
-            & (F.col("b.vec_id") < F.col("a.vec_id")),
+            & (F.col("a.v") != F.col("b.v")),
         )
         .filter(cosine(F.col("a.v"), F.col("b.v")) >= tau)
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        .groupBy(F.col("a.rep").alias("rep"))
+        .agg(F.min(F.col("b.rep")).alias("thr"))
     )
-    return c.join(dups, "vec_id", "left_anti").select("vec_id", "cluster")
+    meta = d.join(threats, "rep", "left")
+    return (
+        c.join(meta, "v")
+        .filter(
+            (F.col("thr").isNull() | (F.col("vec_id") < F.col("thr")))
+            & (
+                (F.col("vec_id") == F.col("rep"))
+                | ~F.coalesce(F.col("self_cos") >= tau, F.lit(False))
+            )
+        )
+        .select("vec_id", "cluster")
+    )
 
 
 def semantic_dedup_oracle_sql(
@@ -1192,19 +1223,23 @@ def pca_fit(
     arbitrary; this pins a deterministic output).
 
     Ragged (shorter-than-dim) vectors are excluded — covariance over
-    mixed-length vectors is undefined.
+    mixed-length vectors is undefined.  Longer-than-dim vectors are
+    truncated to the first ``dim`` coordinates, matching pca_project's
+    ``slice(1, dim)`` so fit and project agree on every input class.
     """
     import numpy as np
 
-    full = df.filter(F.size(F.col(vec_col)) >= dim)
+    full = df.filter(F.size(F.col(vec_col)) >= dim).select(
+        F.slice(F.col(vec_col), 1, dim).alias("__v__")
+    )
     # ONE corpus pass for both moments: the Gram cells (i, j>=0) and the
     # linear sums as sentinel cells (i, j=-1) flow through a single
     # map-side-combined aggregation and a single collect — the two-job
     # form (mean agg + gram agg) scans the corpus twice for no reason.
     # Same floor-1e6 exact-integer protocol as gram_matrix.
     e = full.select(
-        F.posexplode(F.col(vec_col)).alias("i", "xi"),
-        F.col(vec_col).alias("v"),
+        F.posexplode(F.col("__v__")).alias("i", "xi"),
+        F.col("__v__").alias("v"),
     )
     prod_cells = e.select(
         F.col("i").cast("long").alias("i"),

@@ -1436,7 +1436,7 @@ def pack_texts_oracle_sql(
              ), 0) AS c
       FROM chunks
     )
-    SELECT c // {budget} AS pack_id,
+    SELECT CAST(c // {budget} AS BIGINT) AS pack_id,
            CAST(count(*) AS BIGINT) AS n_chunks,
            string_agg(chunk_text, ' ' ORDER BY doc_id, chunk_id) AS pack_text
     FROM cum

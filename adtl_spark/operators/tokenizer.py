@@ -36,6 +36,8 @@ this is part of the training-data-pipeline extension surface.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -235,4 +237,182 @@ def bpe_segment_oracle_sql(source_sql: str, n_merges: int = 5) -> str:
            CAST(sum(len(string_split(w, ' '))) AS BIGINT) AS n_pieces
     FROM seg GROUP BY doc_id ORDER BY doc_id
     """
+    )
+
+
+# ------------------------------------------------------- driver-side trainer
+
+
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """One PASS of the pair merge on a symbol list, with the exact
+    semantics of a single left-to-right non-overlapping string
+    ``replace(' a b ', ' ab ')`` on the space-joined form: a match
+    consumes its trailing space, so the pair starting at the immediately
+    following symbol can never match in the same pass (i advances by 2).
+    """
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+            # the consumed trailing space also blocks a match STARTING at
+            # the next symbol (string-replace resumes scanning after the
+            # replacement text): emit it unexamined
+            if i < n:
+                out.append(syms[i])
+                i += 1
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _merge_word_twopass(syms: list[str], a: str, b: str) -> list[str]:
+    """The module's documented two-pass merge (see _merge_once)."""
+    return _merge_word(_merge_word(syms, a, b), a, b)
+
+
+def _learn_merges_local(
+    words: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Incremental BPE merge learning over a collected (word, count)
+    table — the driver-side half of bpe_train_local.  Pure Python, no
+    Spark: pair counts update only for the words a merge actually
+    touches (inverted pair->word index), so 30k merges cost
+    O(touched words), not 30k corpus rescans.  Semantics are
+    bit-identical to the distributed bpe_merges loop: same two-pass
+    replace, same (count DESC, s1 ASC, s2 ASC) tie-break."""
+    from collections import defaultdict
+
+    syms: list[list[str]] = [list(w) for w, _ in words]
+    cnts: list[int] = [c for _, c in words]
+    pair_cnt: dict[tuple[str, str], int] = defaultdict(int)
+    pair_words: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, s in enumerate(syms):
+        c = cnts[wi]
+        for i in range(len(s) - 1):
+            p = (s[i], s[i + 1])
+            pair_cnt[p] += c
+            pair_words[p].add(wi)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        live = [(p, c) for p, c in pair_cnt.items() if c > 0]
+        if not live:
+            break
+        (a, b), top_cnt = min(live, key=lambda pc: (-pc[1], pc[0]))
+        merges.append((step, a, b, top_cnt))
+        for wi in list(pair_words[(a, b)]):
+            s, c = syms[wi], cnts[wi]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_cnt[p] -= c
+                if pair_cnt[p] <= 0:
+                    del pair_cnt[p]
+                pair_words[p].discard(wi)
+            s2 = _merge_word_twopass(s, a, b)
+            syms[wi] = s2
+            for i in range(len(s2) - 1):
+                p = (s2[i], s2[i + 1])
+                pair_cnt[p] += c
+                pair_words[p].add(wi)
+    return merges
+
+
+def bpe_train_local(
+    docs: DataFrame,
+    n_merges: int = 1000,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE merge learning at realistic vocab sizes (n_merges up to ~32k):
+    ONE distributed tokenize + word-count aggregation (the only corpus
+    pass — on 100 TB this is the map-side-combined agg that collapses the
+    corpus to a |vocab|-row table), collect the vocab-bound word-frequency
+    table to the driver, learn the merges locally with incremental
+    pair-count updates, and return the same (step, s1, s2, cnt) merge
+    table as :func:`bpe_merges`.
+
+    Equivalence with the distributed loop (and so with the DuckDB oracle)
+    is pinned by tests/test_tokenizer.py::test_local_trainer_matches_
+    distributed — the distributed loop stays the oracle-gated reference
+    implementation; this is the production trainer.  The collect is
+    legitimate: the word-frequency table is vocabulary-bound (Heaps' law),
+    not corpus-bound, and the learned merges are MODEL PARAMETERS."""
+    spark: SparkSession = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    words = [(r["word"], int(r["cnt"])) for r in vocab]
+    merges = _learn_merges_local(words, n_merges)
+    return spark.createDataFrame(
+        merges, "step INT, s1 STRING, s2 STRING, cnt BIGINT"
+    )
+
+
+def bpe_segment_model(
+    docs: DataFrame,
+    merge_rows: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Segment a document set with a learned merge list of ANY size.
+
+    bpe_segment folds each merge into the Column expression tree (two
+    F.replace per merge) — perfect at n_merges=6, a 60k-deep expression
+    at a realistic 30k-merge vocabulary.  This is the scale path:
+
+    - the merge list ships to executors ONCE as a broadcast variable
+      (a real tokenizer model is a few MB — broadcast, not closure,
+      so it serializes once per executor instead of once per task);
+    - segmentation runs on the DISTINCT word table, not the token
+      stream — Zipf means unique words are orders of magnitude fewer
+      than tokens, and the per-word piece count joins back to documents
+      by word (broadcast-sized right side for any real vocabulary);
+    - the per-word replay is an Arrow-batched pandas UDF applying the
+      same two-pass list merge as the trainer, with a C-level substring
+      prefilter (' a b ' in word) so the N-merge loop skips merges the
+      word cannot contain.
+
+    Output schema matches bpe_segment: (id_col, n_words, n_pieces)."""
+    from pyspark.sql import types as ST
+
+    spark: SparkSession = docs.sparkSession
+    bc = spark.sparkContext.broadcast(list(merge_rows))
+
+    @F.pandas_udf(ST.IntegerType())
+    def n_pieces_udf(words: pd.Series) -> pd.Series:
+        model = bc.value
+
+        def seg(word: str) -> int:
+            syms = list(word)
+            spaced = " " + " ".join(syms) + " "
+            for a, b in model:
+                pat = f" {a} {b} "
+                if pat not in spaced:
+                    continue
+                syms = _merge_word_twopass(syms, a, b)
+                spaced = " " + " ".join(syms) + " "
+            return len(syms)
+
+        return words.map(seg)
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    word_pieces = (
+        toks.select("word")
+        .distinct()
+        .select("word", n_pieces_udf(F.col("word")).alias("np"))
+    )
+    return (
+        toks.join(F.broadcast(word_pieces), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
     )

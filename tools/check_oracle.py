@@ -36,6 +36,18 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> str | None:
         return f"row count {len(sdf)} vs {len(odf)}"
     if sorted(sdf.columns) != sorted(odf.columns):
         return f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+    # Typed-hash tripwire: the driver hashes *typed* values, so a DuckDB
+    # HUGEINT (surfacing as float64/object in pandas) against an integral
+    # Spark column diverges even when every value is equal.  Value-compare
+    # below would silently pass (float compare), so fail here first — the
+    # fix is always CAST(... AS BIGINT) on the oracle expression.
+    for c in sdf.columns:
+        if sdf[c].dtype.kind in "iu" and odf[c].dtype.kind in "fO":
+            return (
+                f"col {c}: Spark dtype {sdf[c].dtype} vs oracle dtype "
+                f"{odf[c].dtype} — uncast HUGEINT-widened oracle expression?"
+                " Wrap it in CAST(... AS BIGINT)."
+            )
     a, b = normalize(sdf), normalize(odf)
     for c in a.columns:
         av, bv = a[c], b[c]
