@@ -153,3 +153,83 @@ def hll_distinct_oracle_sql(
     FROM grp
     ORDER BY {group_name}
     """
+
+
+# -------------------------------------------------- Misra-Gries heavy hitters
+
+
+def heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Exact frequent items (count > n/k) found via a Misra-Gries sketch
+    pass plus an exact recount — the two-pass shape that makes frequency
+    mining 100 TB-safe.
+
+    Pass 1 (the sketch): every partition keeps a k-counter Misra-Gries
+    summary (Misra & Gries 1982; mergeable per Agarwal et al., PODS'12
+    "Mergeable Summaries") inside one Arrow-batched ``mapInPandas`` —
+    at most k candidate rows leave each partition no matter how many
+    items it holds.  The union of per-partition summaries is a SUPERSET
+    of every item with global count > n/k: per-partition undercount is
+    bounded by n_p/k, the bounds sum to n/k, so a qualifying item's
+    retained count stays positive in at least one summary.  (Python is
+    justified here: a decrement-all counter structure is genuinely
+    imperative; everything leaving the UDF is k rows per partition.)
+
+    Pass 2 (exact): the candidate set (sketch-bounded, broadcast-sized)
+    semi-joins the corpus and the survivors are EXACTLY counted — so the
+    operator's OUTPUT is exact and deterministic, the sketch only bounds
+    the candidate set, and a one-line DuckDB frequency query is a full
+    oracle.  Returns (item, cnt) with cnt > n/k, ordered by
+    (cnt DESC, item)."""
+    import pandas as pd
+
+    src = items.select(F.col(item_col).alias("item")).filter(
+        F.col("item").isNotNull()
+    )
+
+    def mg_partition(batches):
+        # batch-merge form of the sketch: each Arrow batch collapses to
+        # exact value_counts (vectorized, no per-row Python), then the
+        # mergeable-summaries rule folds it into the running k-counter
+        # table — subtract the (k+1)th-largest count from everything and
+        # drop the non-positive rows.  Same n_p/(k+1) undercount bound
+        # as row-at-a-time Misra-Gries (Agarwal et al., merge theorem).
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for it, c in pdf["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys())})
+
+    cand = (
+        src.mapInPandas(mg_partition, "item string")
+        .distinct()
+    )
+    total = src.count()
+    thr = total / k
+    return (
+        src.join(F.broadcast(cand), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > thr)
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+def heavy_hitters_oracle_sql(item_sql: str, k: int = 200) -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the exact statement of the
+    contract the sketch pass only accelerates."""
+    return f"""
+    WITH src AS (SELECT item FROM ({item_sql}) WHERE item IS NOT NULL)
+    SELECT item, CAST(count(*) AS BIGINT) AS cnt
+    FROM src
+    GROUP BY item
+    HAVING count(*) > (SELECT CAST(count(*) AS DOUBLE) FROM src) / {k}
+    ORDER BY cnt DESC, item ASC
+    """

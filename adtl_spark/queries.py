@@ -31,6 +31,7 @@ from adtl_spark.operators import sketches as SK
 from adtl_spark.operators import tokenizer as T
 from adtl_spark.operators import graph as G
 from adtl_spark.operators import fuzzy as FZ
+from adtl_spark.operators import joins as J
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -1136,6 +1137,77 @@ def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent tokens (count > n/150) via a per-partition
+    Misra-Gries sketch pass (at most k rows leave any partition) + exact
+    recount of the sketch-bounded candidate set — see
+    sketches.heavy_hitters.  The oracle states the exact contract; the
+    sketch is acceleration only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens(F.col("text"))).alias("item"))
+    return SK.heavy_hitters(toks, "item", k=150)
+
+
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact<->dim equi-join (joins.salted_join): lineitem salted
+    into 16 sub-keys, supplier exploded 16 ways, then revenue rolled up
+    per supplier nation.  Salting is for a hot join key a broadcast
+    can't fix and AQE's skew split can't reach (it splits shuffle
+    partitions, not a single key's hash bucket in a non-AQE exchange);
+    the oracle is the PLAIN join — salting must be result-invariant."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = J.salted_join(
+        li.select(
+            F.col("l_suppkey").alias("s_suppkey"), "l_extendedprice", "l_discount",
+            "l_orderkey", "l_linenumber",
+        ),
+        supp,
+        on="s_suppkey",
+        salt_buckets=16,
+    )
+    return (
+        j.groupBy(F.col("s_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+def olap_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over (lang, source): all four grouping sets in
+    one shuffle (Catalyst expands the sets map-side, so the corpus scans
+    ONCE — not once per set).  Distinguishes the rolled-up NULL from a
+    data NULL via grouping_id, as ANSI GROUPING() does."""
+    d = _t(spark, sf_dir, "documents")
+    return d.cube("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def olap_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((lang), (source), ()): the general form
+    rollup/cube sugar over — via Spark SQL, still a single-scan
+    grouping-sets expansion."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__docs_gs")
+    return d.sparkSession.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               sum(n_chars) AS total_chars
+        FROM __docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
 def olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot/crosstab: document counts lang x source (sources pivoted to
     columns from a FIXED value list — at scale an explicit list keeps the
@@ -2230,6 +2302,419 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped (no partsupp on the trimmed schema: 'supplies the
+    part' = shipped it at least once, 'min cost' = max account balance):
+    for each small part of one size class, the best EUROPE supplier that
+    has shipped it.  The correlated min-subquery decorrelates to ONE
+    row_number window over the distinct (part, supplier) pairs; the
+    distinct itself is the only lineitem-sized shuffle, keyed on the
+    pair, and every dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "SMALL")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu_supp = (
+        supp.join(
+            F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        li.join(F.broadcast(part.select("p_partkey", "p_name")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .select("p_partkey", "p_name", "l_suppkey")
+        .distinct()
+    )
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(eu_supp), pairs["l_suppkey"] == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.desc("s_acctbal"), F.asc("p_partkey"))
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one nation's market share of PROMO-part volume sold to
+    ASIA customers, by year.  Numerator and denominator are exact
+    quantized BIGINT sums folded into ONE conditional aggregation (no
+    second scan for the nation slice); the big join is lineitem<->orders,
+    everything else broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = (
+        cust.join(
+            F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"]
+        )
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        supp["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    vol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(0)
+                ).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped (no partsupp/supplycost on the trimmed schema:
+    profit = discounted revenue): per supplier-nation per order-year
+    revenue on one part-name family.  The name filter broadcasts through
+    part; lineitem<->orders is the one big join; nation rollup keys are
+    dimension-bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            _quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "profit"
+            )
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped (no partsupp: 'stock value' = shipped revenue via
+    one nation's suppliers): parts whose value exceeds a fraction of the
+    nation's total.  The HAVING-over-global-total correlator decorrelates
+    to a 1-row broadcast cross join against the part-grain aggregate —
+    the aggregate is part-bound (small), so the threshold filter is
+    broadcast-side work, not a second corpus scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    nat_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey")
+    vol = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + F.lit(0.5)
+    ).cast("long")
+    per_part = (
+        li.join(F.broadcast(nat_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(vol).alias("vq"))
+    )
+    total = per_part.agg(F.sum("vq").alias("tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("vq").cast("double") > F.col("tot").cast("double") * 0.001)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("vq") / 10000.0).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("p_partkey"))
+    )
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped ('supplies' = shipped at least once; the
+    complaints exclusion becomes negative account balance): distinct
+    supplier counts per (brand, type, size) bucket over an excluded-brand
+    part slice.  The distinct pair set is the one lineitem-grain shuffle;
+    count(DISTINCT) then reduces the pair relation, and both dimension
+    filters broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    ok_supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") >= 0
+    ).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            li["l_partkey"] == F.col("p_partkey"),
+        )
+        .join(F.broadcast(ok_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped (no partsupp: 'excess stock' = a supplier whose
+    1996 shipped quantity of one part-name family exceeds half the
+    per-supplier average): candidate suppliers of one nation.  The
+    scalar-average correlator decorrelates to a 1-row broadcast; the
+    quantity rollup is supplier-grain (small) after the broadcast
+    part-family semi-join."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains("blue"))
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    qty = F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long")
+    per_supp = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(qty).alias("sq"))
+    )
+    avg_q = per_supp.agg(
+        (F.sum("sq").cast("double") / F.count(F.lit(1))).alias("aq")
+    )
+    nat_supp = supp.join(
+        F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(avg_q))
+        .filter(F.col("sq").cast("double") > F.col("aq") * 0.5)
+        .join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", (F.col("sq") / 10000.0).alias("ship_qty"))
+        .orderBy("s_suppkey")
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — one scan, three pushed-down
+    range predicates, one quantized sum.  The whole query is a single
+    WholeStageCodegen span over a pruned 4-column parquet scan (the
+    shape where Spark's scan-level filter pushdown pays most directly)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        _quantized_sum(
+            F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+        )
+    )
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year.  Lineitem
+    joins the supplier-side nation and (through orders->customer) the
+    customer-side nation — both dimension chains broadcast, so the only
+    big-table shuffle is lineitem<->orders on the order key; the nation
+    pair filter prunes before aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            _quantized_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped (trimmed schema has no shipmode/commit/receipt
+    dates: the bucket is the SHIPPING DELAY l_shipdate - o_orderdate,
+    'late' >= 60 days): high/low order-priority counts per delay bucket.
+    One lineitem<->orders key join, conditional aggregation — the CASE
+    sums fold into one pass, no second scan per priority class."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li["l_orderkey"] == F.col("o_orderkey"))
+    bucket = F.when(
+        F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.lit("late"),
+    ).otherwise(F.lit("ontime"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy(bucket.alias("delay_bucket"))
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the top revenue supplier(s) of one quarter.  The view +
+    scalar-max correlated shape decorrelates to: one lineitem aggregation
+    to supplier grain, a 1-row max, and a broadcast cross-join filter —
+    the per-supplier revenue relation is supplier-bound (small), so both
+    the max and the final equality check are broadcast-side work."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _quantized_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped (no p_container on the trimmed schema; the brand
+    filter carries the selectivity): average yearly revenue lost if
+    small-quantity orders of one brand's parts were not taken.  The
+    correlated per-part AVG subquery decorrelates to a groupBy at part
+    grain joined back to the same filtered lineitem relation — both
+    sides pre-filtered by the broadcast part-brand semi-join, so the
+    self-aggregate runs on the small slice, not the full lineitem."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#2")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    # exact threshold: quantized per-part mean (floor-1e4 on the sum, one
+    # divide) so the 0.2*avg compare is bit-identical across engines
+    thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            F.sum(F.floor(F.col("l_quantity") * 10000 + F.lit(0.5)).cast("long"))
+            / F.count(F.lit(1))
+            / 10000.0
+            * 0.2
+        ).alias("qty_thr")
+    )
+    return (
+        li.join(F.broadcast(thr), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast(
+                        "long"
+                    )
+                )
+                / 10000.0
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped (no shipmode/shipinstruct on the trimmed schema):
+    revenue from three disjoint (brand, size-range, quantity-range)
+    bands.  The OR-of-ANDs predicate references both sides of the
+    part<->lineitem join, so it evaluates as a join residual ON a
+    broadcast hash join — the part side is dimension-sized, and no
+    band materializes its own scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(band).agg(
+        _quantized_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        )
+    )
+
+
 def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: the first 6 merges learned over
     the word-frequency table (see operators/tokenizer.py — per iteration
@@ -2538,6 +3023,195 @@ def oracles() -> dict[str, str]:
                   AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority
+        """,
+        "q2_best_supplier": """
+            WITH pairs AS (
+              SELECT DISTINCT p_partkey, p_name, l_suppkey
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_size = 15 AND p_type = 'SMALL'
+            ),
+            eu AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'
+            ),
+            ranked AS (
+              SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                     row_number() OVER (
+                       PARTITION BY p_partkey
+                       ORDER BY s_acctbal DESC, s_suppkey ASC
+                     ) AS rn
+              FROM pairs JOIN eu ON l_suppkey = s_suppkey
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+            FROM ranked WHERE rn = 1
+            ORDER BY s_acctbal DESC, p_partkey ASC
+        """,
+        "q8_market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                 THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                                 * 10000 + 0.5) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+                     / CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                            * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                     AS mkt_share
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) / 10000.0 AS profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY 1, 2 ORDER BY nation, o_year DESC
+        """,
+        "q11_important_parts": """
+            WITH per_part AS (
+              SELECT l_partkey,
+                     sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                              AS BIGINT)) AS vq
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_5'
+              GROUP BY 1
+            )
+            SELECT l_partkey AS p_partkey,
+                   CAST(vq AS BIGINT) / 10000.0 AS part_value
+            FROM per_part
+            WHERE CAST(vq AS DOUBLE) >
+                  CAST((SELECT sum(vq) FROM per_part) AS DOUBLE) * 0.001
+            ORDER BY part_value DESC, p_partkey ASC
+        """,
+        "q16_supplier_count": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+              AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+              AND s_acctbal >= 0
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_excess_shipments": """
+            WITH per_supp AS (
+              SELECT l_suppkey,
+                     sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS sq
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%blue%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, CAST(sq AS BIGINT) / 10000.0 AS ship_qty
+            FROM per_supp
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_5'
+              AND CAST(sq AS DOUBLE) >
+                  (SELECT CAST(sum(sq) AS DOUBLE) / count(*) FROM per_supp) * 0.5
+            ORDER BY s_suppkey
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q7_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q12_shipping_delay": """
+            SELECT CASE WHEN l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                        THEN 'late' ELSE 'ontime' END AS delay_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                                 THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                                   AS BIGINT)) AS BIGINT) / 10000.0 AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_quantity_revenue": """
+            WITH li AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#2'
+            ),
+            thr AS (
+              SELECT l_partkey AS t_partkey,
+                     CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT))
+                          AS DOUBLE) / count(*) / 10000.0 * 0.2 AS qty_thr
+              FROM li GROUP BY 1
+            )
+            SELECT CAST(sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT))
+                        AS BIGINT) / 10000.0 / 7.0 AS avg_yearly
+            FROM li JOIN thr ON l_partkey = t_partkey
+            WHERE l_quantity < qty_thr
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                                 AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "q14_promo_revenue": """
             WITH j AS (
@@ -3036,6 +3710,36 @@ def oracles() -> dict[str, str]:
             FROM sel
         """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
+        "text_heavy_hitters": SK.heavy_hitters_oracle_sql(
+            """SELECT unnest(
+                 list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+               ) AS item FROM documents""",
+            k=150,
+        ),
+        "join_salted_hot_key": """
+            SELECT s_nationkey AS nation,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                                        * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+                     / 10000.0 AS revenue
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "olap_cube": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid
+            FROM documents
+            GROUP BY CUBE (lang, source)
+        """,
+        "olap_grouping_sets": """
+            SELECT lang, source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+            GROUP BY GROUPING SETS ((lang), (source), ())
+        """,
         "olap_rollup": """
             SELECT lang, source,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -3570,6 +4274,22 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new round-5 queries insert HERE (above the rotation) --
         "tokenizer_bpe_train_local": tokenizer_bpe_train_local,
         "tokenizer_bpe_segment_model": tokenizer_bpe_segment_model,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_best_supplier": q2_best_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shipments": q20_excess_shipments,
+        "olap_cube": olap_cube,
+        "olap_grouping_sets": olap_grouping_sets,
+        "join_salted_hot_key": join_salted_hot_key,
+        "text_heavy_hitters": text_heavy_hitters,
         # -- rotation: round-4 greens re-verify, then older stable tail --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

@@ -38,6 +38,12 @@ unchanged — per-query times are directly comparable to BENCH_r03 (see
 docs/BENCH_NOTES.md for the r3->r4 diff table).  Late round-4 batch
 appends six more: HyperLogLog distinct sketch, NB quality classifier,
 TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
+
+Round-5 changes: appends the 18 queries that completed registry
+coverage (cluster/embedding/keep-best dedup, token stats, fingerprint,
+validation report, the driver-side BPE trainer + broadcast segmenter,
+and the ten scalar-parity microbenchmarks), so BENCH now covers every
+registry query; shared-prefix ordering and methodology unchanged.
 """
 
 from __future__ import annotations
@@ -157,6 +163,41 @@ HEADLINE = [
     "dedup_minhash_recall",
     "dedup_embedding_recall",
     "ann_lsh_recall",
+    # round-5 appends: the remaining registry queries, so BENCH covers the
+    # full registry — ordering stays append-only for r4 comparability
+    "dedup_cluster",
+    "dedup_embedding",
+    "dedup_keep_best",
+    "text_token_stats",
+    "text_fingerprint",
+    "v2_validation_report",
+    "tokenizer_bpe_train_local",
+    "tokenizer_bpe_segment_model",
+    # the nine scalar-parity queries run in microseconds each; they are
+    # benched as individual entries anyway (suite cost ~= session overhead)
+    "f_predicates",
+    "p3_value_map",
+    "p6_enum_list",
+    "p8_unit_convert",
+    "p9_date_reformat",
+    "p10_sensitive_hash",
+    "t3_word_substitute",
+    "t4_get_float",
+    "t10_make_date",
+    "p14_uuid5",
+    # round-5 additions: the 12 TPC-H shapes completing q1-q22 parity
+    "q2_best_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shipments",
 ]
 
 

@@ -1643,6 +1643,62 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_heavy_hitters_exact_and_layout_invariant(spark):
+    """heavy_hitters must return EXACTLY the items with count > n/k (the
+    sketch only bounds candidates) and the same answer under different
+    partition layouts (per-partition Misra-Gries content is layout- and
+    order-dependent; the recount must erase that)."""
+    from collections import Counter
+
+    from adtl_spark.operators import sketches as SK
+
+    # Zipf-ish stream: item i appears ~1000/i times, plus a long tail
+    rows = []
+    for i in range(1, 60):
+        rows += [(f"hot{i}",)] * (1000 // i)
+    rows += [(f"tail{j}",) for j in range(2000)]
+    n = len(rows)
+    k = 40
+    exact = Counter(r[0] for r in rows)
+    want = {(it, c) for it, c in exact.items() if c > n / k}
+    for parts in (1, 7, 32):
+        df = spark.createDataFrame(rows, ["item"]).repartition(parts)
+        got = {
+            (r["item"], r["cnt"])
+            for r in SK.heavy_hitters(df, "item", k=k).collect()
+        }
+        assert got == want, f"parts={parts}"
+
+
+def test_heavy_hitters_candidate_bound(spark):
+    """At most k candidate rows leave each partition (the sketch's whole
+    point: bounded shuffle regardless of distinct count)."""
+    from adtl_spark.operators import sketches as SK
+    import pandas as pd
+
+    k = 10
+    pdf = pd.DataFrame({"item": [f"u{i}" for i in range(5000)]})
+    df = spark.createDataFrame(pdf).repartition(4)
+    src = df.select("item")
+
+    # replicate the internal sketch stage alone to count its output rows
+    def mg(batches, _k=k):
+        counters = {}
+        for p in batches:
+            for it, c in p["item"].value_counts().items():
+                counters[it] = counters.get(it, 0) + int(c)
+            if len(counters) > _k:
+                cut = sorted(counters.values(), reverse=True)[_k]
+                counters = {i: c - cut for i, c in counters.items() if c > cut}
+        if counters:
+            yield pd.DataFrame({"item": list(counters.keys())})
+
+    n_cand = src.mapInPandas(mg, "item string").count()
+    assert n_cand <= 4 * k
+    # all-unique stream: nothing clears n/k, exact output is empty
+    assert SK.heavy_hitters(df, "item", k=k).count() == 0
+
+
 # ---------------------------------------------------------------- graph/fuzzy
 
 

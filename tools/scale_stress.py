@@ -24,6 +24,13 @@ alongside for an honest account of what a hot key costs a window.
 
 Usage: python tools/scale_stress.py [out_dir] [query ...]
        python tools/scale_stress.py --skew [out_dir]
+       python tools/scale_stress.py --degenerate [out_dir]
+
+``--skew`` also covers the two superlinear-output dedup operators
+(span-dedup application, semantic dedup) against duplicate-heavy skew
+twins (one hot text / one hot vector on half the rows).  ``--degenerate``
+stresses the banded prefix-sum selector with a CONSTANT priority column —
+the case the adaptive id-sub-banding exists for.
 """
 
 from __future__ import annotations
@@ -166,6 +173,85 @@ def build_skew_events(spark, uniform: Path, out: Path) -> None:
 
 SKEW_SUPPLIER_QUERIES = ["q21_waiting_supplier", "graph_pagerank"]
 
+# the two superlinear-output dedup operators: a duplicate-heavy AND skewed
+# corpus is their worst case (one hot span / one hot vector owning half
+# the rows), so they get their own skew twins
+SKEW_DOC_QUERIES = ["dedup_spans_apply", "dedup_semantic"]
+
+
+def build_skew_documents(spark, uniform: Path, out: Path) -> None:
+    """Documents skew twin: every even doc_id gets ONE shared hot text, so
+    a single 12-token span is duplicated across ~half the corpus — the
+    duplicated-spans worst case (maximum span df, maximum rows carrying
+    the flagged span into remove_spans' narrow cut)."""
+    dst = out / "documents.parquet"
+    if dst.exists():
+        return
+    df = spark.read.parquet(str(uniform / "documents.parquet"))
+    hot = "the quick brown fox jumps over the lazy dog again and again"
+    df.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 2 == 0, F.lit(hot)).otherwise(F.col("text")),
+    ).write.mode("overwrite").parquet(str(dst))
+
+
+def build_skew_embeddings(spark, uniform: Path, out: Path) -> None:
+    """Embeddings skew twin: every even vec_id gets ONE shared hot vector
+    — half the corpus is byte-identical, the SemDeDup worst case.  The
+    exact-vector collapse in semantic_dedup must keep this linear (one
+    distinct-side row for the hot group, not (n/2)^2 candidate pairs)."""
+    dst = out / "embeddings.parquet"
+    if dst.exists():
+        return
+    df = spark.read.parquet(str(uniform / "embeddings.parquet"))
+    dim = len(df.select("embedding").first()["embedding"])
+    hot = F.array(*[F.lit(float((i % 7) + 1) / 7.0) for i in range(dim)])
+    df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, hot).otherwise(F.col("embedding")),
+    ).write.mode("overwrite").parquet(str(dst))
+
+
+def run_degenerate(spark, uniform: Path) -> None:
+    """Constant-priority stress for the banded prefix-sum selector: the
+    case where fixed priority-banding collapses to ONE window partition.
+    Runs select_until_budget on the 10x documents with (a) the normal
+    distinct-token priority and (b) a CONSTANT priority, and prints the
+    ratio plus the adaptive band fan-out — near-1x ratio and fan-out >>1
+    mean the id-sub-banding removed the single-partition window."""
+    from adtl_spark.operators import sampling as SA
+    from adtl_spark.operators import text as X
+
+    docs = spark.read.parquet(str(uniform / "documents.parquet"))
+    toks = X.tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("priority"),
+    )
+    budget = 1_000_000
+    variants = {
+        "varying": scored,
+        "constant": scored.withColumn("priority", F.lit(7).cast("long")),
+    }
+    times = {}
+    for label, df in variants.items():
+        sel = SA.select_until_budget(df, budget)
+        sel.write.mode("overwrite").format("noop").save()  # warm
+        t0 = time.time()
+        SA.select_until_budget(df, budget).write.mode("overwrite").format(
+            "noop"
+        ).save()
+        times[label] = time.time() - t0
+        pband, iband = SA._derive_bands(df, "priority", "doc_id", None)
+        fanout = df.select(pband.alias("p"), iband.alias("i")).distinct().count()
+        print(f"select_until_budget[{label}]: {times[label]:.2f}s, "
+              f"adaptive band fan-out {fanout}", flush=True)
+    print(
+        f"degenerate/varying ratio {times['constant'] / times['varying']:.2f}x",
+        flush=True,
+    )
+
 
 def build_skew_lineitem(spark, uniform: Path, out: Path) -> None:
     """Lineitem skew twin: every even-l_orderkey lineitem is remapped to
@@ -188,6 +274,8 @@ def build_skew_lineitem(spark, uniform: Path, out: Path) -> None:
 def run_skew(spark, uniform: Path, skew: Path) -> None:
     build_skew_events(spark, uniform, skew)
     build_skew_lineitem(spark, uniform, skew)
+    build_skew_documents(spark, uniform, skew)
+    build_skew_embeddings(spark, uniform, skew)
     for t in ("orders", "supplier", "nation"):
         dst = skew / f"{t}.parquet"
         if not dst.exists():
@@ -195,7 +283,7 @@ def run_skew(spark, uniform: Path, skew: Path) -> None:
                 "overwrite"
             ).parquet(str(dst))
     all_q = Q.all_queries()
-    for name in SKEW_QUERIES + SKEW_SUPPLIER_QUERIES:
+    for name in SKEW_QUERIES + SKEW_SUPPLIER_QUERIES + SKEW_DOC_QUERIES:
         fn = all_q[name]
         fn(spark, str(uniform)).write.mode("overwrite").format("noop").save()  # warm
         t0 = time.time()
@@ -214,12 +302,16 @@ def run_skew(spark, uniform: Path, skew: Path) -> None:
 def main() -> None:
     argv = sys.argv[1:]
     skew_mode = "--skew" in argv
-    argv = [a for a in argv if a != "--skew"]
+    degen_mode = "--degenerate" in argv
+    argv = [a for a in argv if a not in ("--skew", "--degenerate")]
     out = Path(argv[0] if argv else "/tmp/adtl_stress_10x")
     only = set(argv[1:])
     spark = get_spark("scale_stress")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     build(spark, out)
+    if degen_mode:
+        run_degenerate(spark, out)
+        return
     if skew_mode:
         run_skew(spark, out, Path(str(out) + "_skew"))
         return
