@@ -1319,3 +1319,403 @@ def pca_project(
         offset = sum(m * x for m, x in zip(mu, coords))
         cols.append((F.round(proj - F.lit(offset), 4)).alias(f"pc{c}"))
     return full.select(*cols)
+
+
+# -------------------------------------------------- product quantization ANN
+
+
+def _pq_codebooks(
+    corpus: DataFrame, m: int, ks: int, dim: int, id_col: str, vec_col: str
+) -> list[list[tuple[int, list[float], float]]]:
+    """Deterministic PQ codebooks: subspace j's codebook is the j-th
+    sub-slice of the ``ks`` lowest-id vectors (codes 0..ks-1 in id
+    order) — the same no-Lloyd quantizer convention as IVF's
+    _centroid_literals, so the DuckDB oracle can rebuild the codebooks
+    exactly.  Production PQ would k-means each subspace; every
+    partition/shuffle property downstream is identical.  Returns per
+    subspace a list of (code, coords, half_sq) triples compatible with
+    _kmeans_cell_sql."""
+    d_sub = dim // m
+    rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(ks)
+        .collect()
+    )
+    books = []
+    for j in range(m):
+        cells = []
+        for code, r in enumerate(rows):
+            coords = [float(x) for x in r["v"]][j * d_sub : (j + 1) * d_sub]
+            cells.append((code, coords, _half_sq(coords)))
+        books.append(cells)
+    return books
+
+
+def _self_dot_sql(vec_name: str) -> str:
+    """Spark-SQL text for dot(col, col) with the exact fold of dot()."""
+    return (
+        f"aggregate(zip_with(`{vec_name}`, `{vec_name}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _pq_cell_sql(
+    vec_name: str, cells: list[tuple[int, list[float], float]], d_sub: int
+) -> str:
+    """Argmin sub-centroid as ONE transform lambda over a 2D literal
+    array (cell layout: [half_sq, c0..c{d-1}]), instead of
+    _kmeans_cell_sql's per-cell named_struct folds: expression size — and
+    Catalyst analysis time — stays O(1) in the codebook size, which is
+    what lets PQ run ks=64 codebooks where the per-cell form costs
+    seconds of planning.  ``array_position(scores, array_min(scores))``
+    returns the FIRST minimum, i.e. ties break to the lower code —
+    identical to the oracle's (score ASC, code ASC) rank.  Cells must be
+    passed in ascending code order."""
+    arrs = ", ".join(
+        "array(" + ", ".join([_dlit(hs)] + [_dlit(c) for c in coords]) + ")"
+        for _, coords, hs in cells
+    )
+    scores = (
+        f"transform(array({arrs}), c -> element_at(c, 1) - "
+        f"aggregate(zip_with(`{vec_name}`, slice(c, 2, {d_sub}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return f"CAST(array_position({scores}, array_min({scores})) - 1 AS BIGINT)"
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple[int, list[float], float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding: each vector compresses to ``m`` one-byte-ish codes —
+    the 100 TB move that shrinks a 64-float embedding to m bytes so the
+    whole index fits in memory.  A pure NARROW map (argmin over literal
+    sub-centroids per subspace, one transform lambda each — see
+    _pq_cell_sql); no join, no shuffle.  Returns (corpus_id,
+    code0..code{m-1})."""
+    m = len(books)
+    d_sub = dim // m
+    sliced = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        *[
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
+            for j in range(m)
+        ],
+    )
+    return sliced.select(
+        "corpus_id",
+        *[
+            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+
+def ann_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): corpus vectors encode to m sub-space
+    codes; each query scores candidates by ADC — the asymmetric distance
+    sum_j ||q_j - codebook_j[code_j]||^2 — via a per-subspace lookup
+    table instead of touching the original floats.
+
+    Scale shape: encoding is a narrow map over the corpus (the index
+    build; at 100 TB the m-byte codes are what you persist and scan);
+    queries broadcast; per-subspace distances are element_at lookups
+    into LITERAL per-query tables folded into one expression, so scoring
+    runs inside whole-stage codegen with zero joins beyond the broadcast.
+
+    Determinism: per-subspace distances quantize to BIGINT at 1e-9
+    before summing (order-independent integer adds), ranking ties break
+    on the lower corpus id, and the codebooks are the lowest-id vectors'
+    sub-slices — all mirrored exactly by the DuckDB oracle.  Returns
+    (query_id, corpus_id, rank, qdist) with qdist the quantized ADC
+    distance."""
+    d_sub = dim // m
+    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+    codes = pq_encode(corpus, books, dim, id_col, vec_col)
+    # ADC lookup tables: ||q_j - cb_j[c]||^2 for every (query, subspace,
+    # code), quantized to BIGINT at 1e-9.  Computed DRIVER-SIDE from the
+    # collected query vectors — the per-query LUT build real PQ engines
+    # do at query time (queries are serving-sized by definition; this is
+    # the same legitimate collect as IVF's centroid build).  The payoff:
+    # the scoring expression contains ONLY integer literals (m maps of
+    # |queries| x ks longs), no per-cell dot folds, so Catalyst analysis
+    # stays milliseconds at any ks and scoring is pure codegen'd integer
+    # lookups.  Arithmetic is the exact left-fold + ((qq - 2*qc) + cc)
+    # order the oracle's list_dot_product replay uses, so the quantized
+    # values agree bit-for-bit.
+    qrows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    luts: list[dict[int, list[int]]] = []  # per subspace: query_id -> [dq]
+    for j in range(m):
+        per_q: dict[int, list[int]] = {}
+        for r in qrows:
+            qv = [float(x) for x in r["v"]][j * d_sub : (j + 1) * d_sub]
+            qq = _fold_dot(qv, qv)
+            cells = []
+            for _, coords, half_sq in books[j]:
+                d = qq - 2 * _fold_dot(qv, coords) + 2.0 * half_sq
+                cells.append(int(math.floor(d * 1000000000 + 0.5)))
+            per_q[int(r["i"])] = cells
+        luts.append(per_q)
+    qids = sorted(luts[0]) if luts and luts[0] else []
+    qid_df = queries.sparkSession.createDataFrame(
+        [(i,) for i in qids], "query_id long"
+    )
+    joined = codes.crossJoin(F.broadcast(qid_df)).filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    dist_terms = []
+    for j in range(m):
+        lut_map = "map(" + ", ".join(
+            f"CAST({qid} AS BIGINT), array({', '.join(str(v) + 'L' for v in luts[j][qid])})"
+            for qid in qids
+        ) + ")"
+        dist_terms.append(
+            f"element_at(element_at({lut_map}, `query_id`), "
+            f"CAST(`code{j}` AS INT) + 1)"
+        )
+    total = " + ".join(dist_terms)
+    sims = joined.select(
+        "query_id", "corpus_id", F.expr(total).alias("qdist")
+    )
+    # two-phase exact top-k per query, ascending distance (the mirror of
+    # _topk_per_query's descending-cosine form)
+    keyed = sims.select(
+        "query_id",
+        F.struct(
+            F.col("qdist").alias("qdist"), F.col("corpus_id").alias("corpus_id")
+        ).alias("sk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    partial = keyed.groupBy("query_id", "pid").agg(
+        F.slice(F.sort_array(F.collect_list("sk"), asc=True), 1, k).alias("top")
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top")), asc=True), 1, k
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "sk")
+    ).select(
+        "query_id",
+        F.col("sk.corpus_id").alias("corpus_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("sk.qdist").alias("qdist"),
+    )
+
+
+def _pq_replay_ctes(table: str, m: int, ks: int, k: int, n_queries: int, dim: int) -> str:
+    """Shared DuckDB CTE chain rebuilding the PQ index and the per-pair
+    quantized ADC distances (used by the topk oracle and the recall
+    oracle)."""
+    d_sub = dim // m
+    return f"""
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {ks})
+    ),
+    subs AS (
+      SELECT code, j, list_slice(cv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS scv
+      FROM cb CROSS JOIN js
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    csub AS (
+      SELECT corpus_id, j, list_slice(v, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sv
+      FROM c CROSS JOIN js
+    ),
+    enc AS (
+      SELECT corpus_id, j, code FROM (
+        SELECT corpus_id, cs.j, s.code,
+               row_number() OVER (
+                 PARTITION BY corpus_id, cs.j
+                 ORDER BY 0.5 * list_dot_product(s.scv, s.scv)
+                            - list_dot_product(cs.sv, s.scv) ASC,
+                          s.code ASC
+               ) AS rn
+        FROM csub cs JOIN subs s ON cs.j = s.j
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    qsub AS (
+      SELECT query_id, j, list_slice(qv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sq
+      FROM q CROSS JOIN js
+    ),
+    pair_d AS (
+      SELECT qs.query_id, e.corpus_id,
+             CAST(sum(CAST(floor(
+               (list_dot_product(qs.sq, qs.sq)
+                - 2 * list_dot_product(qs.sq, s.scv)
+                + list_dot_product(s.scv, s.scv)) * 1000000000 + 0.5
+             ) AS BIGINT)) AS BIGINT) AS qdist
+      FROM qsub qs
+      JOIN enc e ON qs.j = e.j
+      JOIN subs s ON s.j = e.j AND s.code = e.code
+      WHERE qs.query_id <> e.corpus_id
+      GROUP BY 1, 2
+    ),
+    pq_ranked AS (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM pair_d
+    )"""
+
+
+def ann_pq_oracle_sql(
+    table: str, m: int, ks: int, k: int, n_queries: int, dim: int = 64
+) -> str:
+    "DuckDB twin of :func:`ann_pq`: full index + ADC replay."
+    return (
+        "WITH" + _pq_replay_ctes(table, m, ks, k, n_queries, dim)
+        + f"""
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist
+    FROM pq_ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+def l2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k EUCLIDEAN neighbors (the ground truth PQ's ADC
+    approximates): quantized squared L2, ascending, ties on lower corpus
+    id.  Same broadcast + two-phase top-k shape as cosine_topk."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    d2 = dot(F.col("qv"), F.col("qv")) - 2 * dot(F.col("qv"), F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .withColumn(
+            "qdist",
+            F.floor(d2 * 1000000000 + F.lit(0.5)).cast("long"),
+        )
+    )
+    keyed = sims.select(
+        "query_id",
+        F.struct(
+            F.col("qdist").alias("qdist"), F.col("corpus_id").alias("corpus_id")
+        ).alias("sk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    partial = keyed.groupBy("query_id", "pid").agg(
+        F.slice(F.sort_array(F.collect_list("sk"), asc=True), 1, k).alias("top")
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top")), asc=True), 1, k
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "sk")
+    ).select(
+        "query_id",
+        F.col("sk.corpus_id").alias("corpus_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("sk.qdist").alias("qdist"),
+    )
+
+
+def l2_topk_oracle_sql(table: str, k: int, n_queries: int) -> str:
+    "DuckDB twin of :func:`l2_topk`."
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM {table}),
+    d AS (
+      SELECT query_id, corpus_id,
+             CAST(floor((list_dot_product(qv, qv) - 2 * list_dot_product(qv, cv)
+                         + list_dot_product(cv, cv)) * 1000000000 + 0.5)
+                  AS BIGINT) AS qdist
+      FROM q CROSS JOIN c WHERE query_id <> corpus_id
+    ),
+    r AS (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM d
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist
+    FROM r WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+
+
+def ann_pq_recall_oracle_sql(
+    table: str, m: int, ks: int, k: int, n_queries: int, dim: int = 64
+) -> str:
+    """DuckDB twin of the PQ recall gate: exact-L2 top-k as truth, PQ ADC
+    top-k as the approximation, one (n_exact, n_hit, recall_at_k) row."""
+    return (
+        "WITH" + _pq_replay_ctes(table, m, ks, k, n_queries, dim)
+        + f""",
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT p.query_id, p.corpus_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+                   ASC, p.corpus_id ASC
+               ) AS rn
+        FROM (SELECT DISTINCT query_id, corpus_id
+              FROM pair_d) p
+        JOIN q ON p.query_id = q.query_id
+        JOIN c ON p.corpus_id = c.corpus_id
+      ) WHERE rn <= {k}
+    ),
+    approx AS (SELECT query_id, corpus_id FROM pq_ranked WHERE rank <= {k})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           floor(CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a USING (query_id, corpus_id)
+    """
+    )

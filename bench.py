@@ -198,6 +198,15 @@ HEADLINE = [
     "q17_small_quantity_revenue",
     "q19_disjunctive_revenue",
     "q20_excess_shipments",
+    # round-5 additions: OLAP grouping sets, salted join, heavy hitters,
+    # PQ ANN + its exact-L2 truth + measured recall
+    "olap_cube",
+    "olap_grouping_sets",
+    "join_salted_hot_key",
+    "text_heavy_hitters",
+    "ann_l2_topk",
+    "ann_pq_topk",
+    "ann_pq_recall",
 ]
 
 

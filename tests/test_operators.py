@@ -1643,6 +1643,72 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_ann_pq_matches_python_replay(spark):
+    """Differential: ann_pq (codebooks, encoding, quantized ADC, ranking)
+    against a from-scratch pure-Python PQ on a synthetic corpus."""
+    import math
+    import random
+
+    from adtl_spark.operators import similarity as S
+
+    rng = random.Random(5)
+    dim, m, ks, k = 16, 4, 6, 3
+    d_sub = dim // m
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.orderBy("vec_id").limit(3)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    # python replay: codebooks = lowest-id vectors' sub-slices
+    books = [
+        [rows[c][1][j * d_sub : (j + 1) * d_sub] for c in range(ks)]
+        for j in range(m)
+    ]
+
+    def encode(v):
+        out = []
+        for j in range(m):
+            sv = v[j * d_sub : (j + 1) * d_sub]
+            best, bc = None, None
+            for c, cb in enumerate(books[j]):
+                s = 0.5 * fold_dot(cb, cb) - fold_dot(sv, cb)
+                if best is None or s < best:
+                    best, bc = s, c
+            out.append(bc)
+        return out
+
+    want = {}
+    for qi, qv in rows[:3]:
+        dists = []
+        for ci, cv in rows:
+            if ci == qi:
+                continue
+            codes = encode(cv)
+            d = 0
+            for j in range(m):
+                sq = qv[j * d_sub : (j + 1) * d_sub]
+                cb = books[j][codes[j]]
+                dj = fold_dot(sq, sq) - 2 * fold_dot(sq, cb) + fold_dot(cb, cb)
+                d += int(math.floor(dj * 1000000000 + 0.5))
+            dists.append((d, ci))
+        dists.sort()
+        for rank, (d, ci) in enumerate(dists[:k], 1):
+            want[(qi, ci)] = (rank, d)
+    got = {
+        (r["query_id"], r["corpus_id"]): (r["rank"], r["qdist"])
+        for r in S.ann_pq(df, q, m=m, ks=ks, k=k, dim=dim).collect()
+    }
+    assert got == want
+
+
 def test_heavy_hitters_exact_and_layout_invariant(spark):
     """heavy_hitters must return EXACTLY the items with count > n/k (the
     sketch only bounds candidates) and the same answer under different
