@@ -184,3 +184,49 @@ def pagerank_cooccurrence_oracle_sql(
     ORDER BY pagerank DESC, v ASC
     """
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over an undirected edge list (both-direction
+    (src, dst, w) rows, as cooccurrence_edges emits).
+
+    The classic two-join shape on ORIENTED edges: keep each undirected
+    edge once as (lo, hi), build wedges lo->mid->hi, close them against
+    the oriented edge set — every triangle a<b<c counts exactly once, and
+    orientation halves both join inputs.  At scale the refinement is
+    degree-orientation (orient toward the higher-degree endpoint, bounding
+    wedge fan-out by sqrt(|E|) per node); id-orientation keeps the oracle
+    a three-way SQL join while the join/shuffle shape — two equi-joins on
+    vertex keys — is identical.  Returns one row (n_triangles)."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") < F.col("dst"))
+        .distinct()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e1.src") == F.col("e3.src"))
+            & (F.col("e2.dst") == F.col("e3.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
+def triangle_count_cooccurrence_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB twin of cooccurrence_edges + triangle_count composed;
+    ``pairs_sql`` must yield (g, m)."""
+    return f"""
+    WITH mem AS MATERIALIZED (SELECT DISTINCT g, m FROM ({pairs_sql})),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.m AS src, b.m AS dst
+      FROM mem a JOIN mem b USING (g)
+      WHERE a.m < b.m
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM e e1
+    JOIN e e2 ON e1.dst = e2.src
+    JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst
+    """

@@ -521,3 +521,71 @@ def weighted_sample_oracle_sql(
     SELECT {id_col}, weight, wkey
     FROM t ORDER BY wkey DESC, {id_col} ASC LIMIT {k}
     """
+
+
+def temperature_sample(
+    df: DataFrame,
+    group_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "temperature",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at tau = 2 (the sqrt
+    temperature): each group's keep-rate is sqrt(n_min / n_g), so the
+    smallest group keeps everything and the expected sampled size per
+    group is sqrt(n_min * n_g) — the standard alpha = 0.5 flattening
+    (sampled proportions follow n^alpha) multilingual pretraining uses
+    to upweight low-resource sources, with the rates DERIVED FROM THE
+    DATA instead of mixture_sample's hand-specified table.
+
+    alpha is fixed at 0.5 deliberately: sqrt and division are correctly
+    rounded in IEEE-754, so the derived thresholds are bit-identical
+    across engines — a general pow() is only faithfully rounded and may
+    differ in the last ulp between libm implementations, which would
+    flake the hash compare at the threshold boundary.
+
+    Fully in-plan: one group-count aggregation (group-bound), a 1-row
+    min, a broadcast of per-group thresholds, then the same salted-hash
+    Bernoulli filter as hash_sample — samples are nested and
+    append-stable like every other sampler here."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n__"))
+    mn = counts.agg(F.min("__n__").alias("__mn__"))
+    thresholds = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.floor(
+            F.sqrt(F.col("__mn__").cast("double") / F.col("__n__").cast("double"))
+            * HASH_SPACE
+        )
+        .cast("long")
+        .alias("__thr__"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), group_col)
+        .filter(_keyed_hash(F.col(key_col), salt) < F.col("__thr__"))
+        .drop("__thr__")
+    )
+
+
+def temperature_sample_oracle_sql(
+    source_sql: str,
+    group_col: str = "source",
+    key_expr: str = "doc_id",
+    salt: str = "temperature",
+    select: str = "*",
+) -> str:
+    "DuckDB twin of temperature_sample."
+    h = _keyed_hash_sql(key_expr, salt)
+    return f"""
+    WITH src AS ({source_sql}),
+    cnt AS (
+      SELECT {group_col}, count(*) AS n FROM src GROUP BY 1
+    ),
+    thr AS (
+      SELECT {group_col},
+             CAST(floor(sqrt(CAST((SELECT min(n) FROM cnt) AS DOUBLE)
+                             / CAST(n AS DOUBLE)) * {HASH_SPACE}) AS BIGINT)
+               AS t
+      FROM cnt
+    )
+    SELECT {select} FROM src JOIN thr USING ({group_col})
+    WHERE {h} < t
+    """

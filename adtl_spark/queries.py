@@ -1137,6 +1137,86 @@ def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture (sampling.temperature_sample): per-source
+    keep-rates derived from observed counts at the sqrt temperature
+    (alpha=0.5 — chosen because sqrt/divide are correctly rounded, so the
+    derived thresholds are bit-identical across engines), then the same
+    narrow salted-hash Bernoulli as every sampler here."""
+    docs = _t(spark, sf_dir, "documents")
+    return SA.temperature_sample(docs).orderBy("doc_id")
+
+
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count over the supplier co-occurrence graph
+    (graph.triangle_count): oriented edges, two equi-joins, one count —
+    the clustering-coefficient numerator at graph scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    return G.triangle_count(edges)
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic video frame sampling on METADATA only — the
+    scheduling half of a frame-extraction pipeline (the codec decode
+    itself is the documented environmental stub): synthesize per-doc
+    duration/fps, emit every 24th frame index capped at 8 frames per
+    video as (media_id, frame_idx, t_ms).  A narrow sequence-explode;
+    at 100 TB the output is the work list a decode stage consumes,
+    partitioned by media_id."""
+    docs = _t(spark, sf_dir, "documents")
+    fps = 24
+    step = 24
+    cap = 8
+    meta = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 40).alias("duration_ms"),
+    )
+    # integer `div` throughout: DuckDB's CAST(double AS BIGINT) ROUNDS
+    # while Spark's cast truncates, so any float division here would
+    # diverge at fractional frame counts
+    n_frames = F.expr(f"(duration_ms * {fps}) div 1000")
+    last = F.least(
+        F.lit(cap - 1).cast("long"),
+        F.when(n_frames > 0, F.expr(f"((duration_ms * {fps}) div 1000 - 1) div {step}"))
+        .otherwise(F.lit(-1).cast("long")),
+    )
+    return (
+        meta.select(
+            "media_id",
+            F.explode(
+                F.when(
+                    last >= 0, F.sequence(F.lit(0).cast("long"), last)
+                ).otherwise(F.expr("array()").cast("array<long>"))
+            ).alias("s"),
+        )
+        .select(
+            "media_id",
+            (F.col("s") * step).alias("frame_idx"),
+            F.expr(f"(s * {step} * 1000) div {fps}").alias("t_ms"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+def w14_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one query:
+    percent_rank, cume_dist and ntile(4) per language over document
+    length with a deterministic (n_chars, doc_id) order.  Partitioned by
+    lang — no global single-partition window; the rational outputs
+    ((rank-1)/(n-1), rank/n) are exact in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact frequent tokens (count > n/150) via a per-partition
     Misra-Gries sketch pass (at most k rows leave any partition) + exact
@@ -3763,6 +3843,40 @@ def oracles() -> dict[str, str]:
             FROM sel
         """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
+        "sample_temperature": SA.temperature_sample_oracle_sql(
+            "SELECT * FROM documents",
+            select="doc_id, text, lang, source, n_chars",
+        )
+        + " ORDER BY doc_id",
+        "graph_triangles": G.triangle_count_cooccurrence_oracle_sql(
+            "SELECT l_orderkey AS g, l_suppkey AS m FROM lineitem"
+        ),
+        "multimodal_frame_sample": """
+            WITH meta AS (
+              SELECT doc_id AS media_id,
+                     (n_chars * 40 * 24) // 1000 AS n_frames
+              FROM documents
+            ),
+            s AS (
+              SELECT media_id, unnest(range(0,
+                least(8, CASE WHEN n_frames > 0
+                              THEN (n_frames - 1) // 24 + 1
+                              ELSE 0 END))) AS i
+              FROM meta
+            )
+            SELECT media_id,
+                   CAST(i * 24 AS BIGINT) AS frame_idx,
+                   CAST((i * 24 * 1000) // 24 AS BIGINT) AS t_ms
+            FROM s ORDER BY media_id, frame_idx
+        """,
+        "w14_rank_functions": """
+            SELECT doc_id, lang, n_chars,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume,
+                   CAST(ntile(4) OVER w AS BIGINT) AS quartile
+            FROM documents
+            WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+        """,
         "text_heavy_hitters": SK.heavy_hitters_oracle_sql(
             """SELECT unnest(
                  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
@@ -4353,6 +4467,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_topk": ann_l2_topk,
         "ann_pq_topk": ann_pq_topk,
         "ann_pq_recall": ann_pq_recall,
+        "sample_temperature": sample_temperature,
+        "graph_triangles": graph_triangles,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "w14_rank_functions": w14_rank_functions,
         # -- rotation: round-4 greens re-verify, then older stable tail --
         "emb_quantize": emb_quantize,
         "emb_label_centroids": emb_label_centroids,

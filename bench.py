@@ -207,6 +207,10 @@ HEADLINE = [
     "ann_l2_topk",
     "ann_pq_topk",
     "ann_pq_recall",
+    "sample_temperature",
+    "graph_triangles",
+    "multimodal_frame_sample",
+    "w14_rank_functions",
 ]
 
 

@@ -1643,6 +1643,61 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_temperature_sample_flattens_and_nests(spark):
+    """sqrt-temperature sampling keeps ALL of the smallest group,
+    downsamples big groups toward sqrt(n_min*n_g), and is append-stable
+    (adding rows to one group never flips another group's decisions)."""
+    from adtl_spark.operators import sampling as SA
+
+    rows = [(i, "big") for i in range(4000)] + [
+        (i + 10000, "small") for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = SA.temperature_sample(df).groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in kept}
+    assert by["small"] == 250  # rate 1.0: smallest group keeps everything
+    import math
+
+    expect_big = math.sqrt(250 * 4000)
+    assert abs(by["big"] - expect_big) / expect_big < 0.15
+    # append-stability: growing 'big' only shrinks ITS rate; the kept set
+    # for 'small' is unchanged and 'big' keeps a subset of its old sample
+    bigger = df.union(
+        spark.createDataFrame([(i + 50000, "big") for i in range(2000)],
+                              ["doc_id", "source"])
+    )
+    old_big = {
+        r["doc_id"]
+        for r in SA.temperature_sample(df).filter("source = 'big'").collect()
+    }
+    new_big = {
+        r["doc_id"]
+        for r in SA.temperature_sample(bigger)
+        .filter("source = 'big' AND doc_id < 10000")
+        .collect()
+    }
+    assert new_big <= old_big
+
+
+def test_triangle_count_known_graph(spark):
+    """Triangles on a known co-occurrence graph: group {a,b,c} is one
+    triangle; adding d sharing a group with only a adds none; a 4-clique
+    group {a,b,c,e} makes C(4,3)=4 total triangles containing its edges."""
+    from adtl_spark.operators import graph as G
+
+    pairs = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "d")]
+    df = spark.createDataFrame(pairs, ["g", "m"])
+    edges = G.cooccurrence_edges(df, "g", "m")
+    assert G.triangle_count(edges).collect()[0]["n_triangles"] == 1
+    clique = df.union(
+        spark.createDataFrame(
+            [(3, "a"), (3, "b"), (3, "c"), (3, "e")], ["g", "m"]
+        )
+    )
+    edges4 = G.cooccurrence_edges(clique, "g", "m")
+    assert G.triangle_count(edges4).collect()[0]["n_triangles"] == 4
+
+
 def test_ann_pq_matches_python_replay(spark):
     """Differential: ann_pq (codebooks, encoding, quantized ADC, ranking)
     against a from-scratch pure-Python PQ on a synthetic corpus."""

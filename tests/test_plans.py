@@ -449,6 +449,54 @@ def test_q21_decorrelated_single_lineitem_pass(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_round5_tpch_dimension_joins_broadcast(spark):
+    """Every round-5 TPC-H shape joins its dimension chains as
+    broadcasts — the only permissible non-broadcast join is the
+    lineitem<->orders fact join (q7/q8/q12), and none may cartesian.
+    q6's single-scan aggregate must contain pushed-down filters."""
+    from adtl_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    for name in (
+        "q2_best_supplier",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_parts",
+        "q15_top_supplier",
+        "q16_supplier_count",
+        "q17_small_quantity_revenue",
+        "q19_disjunctive_revenue",
+        "q20_excess_shipments",
+    ):
+        plan = physical_plan(Q.all_queries()[name](spark, sf))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, name
+    q6 = physical_plan(Q.all_queries()["q6_forecast_revenue"](spark, sf))
+    assert "PushedFilters: [" in q6 and "IsNotNull" in q6
+
+
+def test_salted_join_no_broadcast_of_fact(spark):
+    """join_salted_hot_key: the fact side must not be broadcast (salting
+    exists precisely for the case where it can't be) and the join must be
+    an equi-join on (key, salt), not a cartesian."""
+    from adtl_spark.queries import join_salted_hot_key
+
+    plan = physical_plan(join_salted_hot_key(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_encode_is_narrow(spark):
+    """pq_encode must be a single narrow projection over the corpus scan:
+    no join, no exchange before the codes exist."""
+    from adtl_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = S._pq_codebooks(emb, 4, 8, 64, "vec_id", "embedding")
+    plan = physical_plan(S.pq_encode(emb, books, 64))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
 def test_quality_nb_scoring_join_broadcasts(spark):
     """The NB model is vocab_k rows — the scoring join must broadcast it,
     never shuffle the exploded token relation."""
