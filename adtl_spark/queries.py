@@ -1137,6 +1137,63 @@ def olap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _layout_zorder_oracle_sql() -> str:
+    "DuckDB twin of layout_zorder_key (same bucket-normalize + interleave)."
+    from adtl_spark.sources.io import zorder_key_sql
+
+    bits = 12
+    full = (1 << bits) - 1
+    z = zorder_key_sql(["zb_n", "zb_d"], bits)
+    return f"""
+    WITH stats AS (
+      SELECT min(n_chars) AS nlo, max(n_chars) AS nhi,
+             min(doc_id) AS dlo, max(doc_id) AS dhi
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             ((n_chars - nlo) * {full}) // greatest(1, nhi - nlo) AS zb_n,
+             ((doc_id - dlo) * {full}) // greatest(1, dhi - dlo) AS zb_d
+      FROM documents CROSS JOIN stats
+    )
+    SELECT doc_id, CAST({z} AS BIGINT) AS zkey FROM b ORDER BY doc_id
+    """
+
+
+def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (n_chars, doc_id), both
+    bucket-normalized to 12 bits from observed min/max — the layout
+    primitive behind multi-dimensional data skipping (io.zorder_key /
+    write_zordered; row-group pruning measured by
+    tools/zorder_pruning.py: ~70-75% of row groups skipped on EITHER
+    dimension vs 88%/0% for a 1-D sort).  Pure integer bit math, exact
+    oracle."""
+    from adtl_spark.sources.io import zorder_key
+
+    docs = _t(spark, sf_dir, "documents")
+    bits = 12
+    full = (1 << bits) - 1
+    stats = docs.agg(
+        F.min("n_chars").alias("nlo"),
+        F.max("n_chars").alias("nhi"),
+        F.min("doc_id").alias("dlo"),
+        F.max("doc_id").alias("dhi"),
+    )
+    b = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.expr(f"((n_chars - nlo) * {full}) div greatest(1, nhi - nlo)").alias(
+            "zb_n"
+        ),
+        F.expr(f"((doc_id - dlo) * {full}) div greatest(1, dhi - dlo)").alias(
+            "zb_d"
+        ),
+    )
+    return b.select(
+        "doc_id",
+        zorder_key([F.col("zb_n"), F.col("zb_d")], bits).alias("zkey"),
+    ).orderBy("doc_id")
+
+
 def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled mixture (sampling.temperature_sample): per-source
     keep-rates derived from observed counts at the sqrt temperature
@@ -3843,6 +3900,7 @@ def oracles() -> dict[str, str]:
             FROM sel
         """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
+        "layout_zorder_key": _layout_zorder_oracle_sql(),
         "sample_temperature": SA.temperature_sample_oracle_sql(
             "SELECT * FROM documents",
             select="doc_id, text, lang, source, n_chars",
@@ -4467,6 +4525,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_l2_topk": ann_l2_topk,
         "ann_pq_topk": ann_pq_topk,
         "ann_pq_recall": ann_pq_recall,
+        "layout_zorder_key": layout_zorder_key,
         "sample_temperature": sample_temperature,
         "graph_triangles": graph_triangles,
         "multimodal_frame_sample": multimodal_frame_sample,

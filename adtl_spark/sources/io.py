@@ -302,3 +302,63 @@ def read_parquet_evolved(spark: SparkSession, *paths: str) -> DataFrame:
     file at planning time, which is why it is an explicit reader here
     rather than a global default."""
     return spark.read.option("mergeSchema", True).parquet(*paths)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Z-order (Morton) key over ``bits`` low bits of each integer column:
+    bit b of column i lands at position ``b * n_cols + i`` of the key.
+
+    The layout primitive behind multi-dimensional data skipping: sorting a
+    table by one column gives parquet min/max pruning on that column only;
+    sorting by the interleaved key clusters BOTH dimensions at once, so a
+    range predicate on either column (or both) skips most row groups.
+    Delta/Iceberg OPTIMIZE ZORDER is this exact transform.  Pure bit
+    arithmetic (shiftright/&/shiftleft fold) — deterministic, engine-
+    portable, and a narrow expression with no shuffle of its own.
+
+    Columns must already be non-negative integers at a comparable scale
+    (rank or bucket them first — interleaving raw skewed values wastes
+    high bits); values are masked to ``bits`` bits."""
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return key
+
+
+def zorder_key_sql(col_exprs: list[str], bits: int = 16) -> str:
+    "DuckDB twin of :func:`zorder_key` (same bit placement)."
+    n = len(col_exprs)
+    terms = []
+    for b in range(bits):
+        for i, e in enumerate(col_exprs):
+            terms.append(
+                f"(((CAST({e} AS BIGINT) >> {b}) & 1) << {b * n + i})"
+            )
+    return "(" + " | ".join(terms) + ")"
+
+
+def write_zordered(
+    df,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` clustered by the Z-order key of ``cols``: range-
+    partition on the key (so files tile the Z-curve) and sort within each
+    partition (so row groups tile it too).  Downstream range predicates
+    on ANY of ``cols`` prune at both the file and row-group level —
+    measured by tools/zorder_pruning.py."""
+    keyed = df.withColumn(
+        "__zkey__", zorder_key([F.col(c) for c in cols], bits)
+    )
+    (
+        keyed.repartitionByRange(n_files, "__zkey__")
+        .sortWithinPartitions("__zkey__")
+        .drop("__zkey__")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -211,6 +211,7 @@ HEADLINE = [
     "graph_triangles",
     "multimodal_frame_sample",
     "w14_rank_functions",
+    "layout_zorder_key",
 ]
 
 

@@ -1643,6 +1643,31 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_zorder_key_matches_python_interleave(spark):
+    """zorder_key must equal the textbook Morton interleave (bit b of
+    column i at position b*n+i), and preserve the curve's locality
+    property: the key of (x, y) and (x, y+1) differ only in y-bits."""
+    from adtl_spark.sources.io import zorder_key
+
+    def morton(vals, bits):
+        out = 0
+        for b in range(bits):
+            for i, v in enumerate(vals):
+                out |= ((v >> b) & 1) << (b * len(vals) + i)
+        return out
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=8).alias("z")
+        ).collect()
+    }
+    for x, y in rows:
+        assert got[(x, y)] == morton([x, y], 8), (x, y)
+
+
 def test_temperature_sample_flattens_and_nests(spark):
     """sqrt-temperature sampling keeps ALL of the smallest group,
     downsamples big groups toward sqrt(n_min*n_g), and is append-stable

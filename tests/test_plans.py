@@ -355,19 +355,46 @@ def test_query_registry_invariants():
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
     # the never/least-recently driver-verified block must stay inside the
-    # gate window until CORRECTNESS rows exist for it (round-4 rotation)
+    # gate window until CORRECTNESS rows exist for it (round-5 rotation:
+    # the three r4 hash-fails, the fifteen never-checked r4 overflow
+    # queries, and every query added in round 5)
     gate = list(qs)[:50]
     for name in (
-        "emb_quantize",
-        "emb_label_centroids",
-        "emb_kmeans",
-        "emb_kmeans_centroids",
-        "dedup_embedding",
-        "dedup_embedding_lsh",
-        "ann_cosine_topk",
-        "ann_lsh_topk",
-        "ann_ivf_topk",
-        "pipeline_corpus_clean",
+        # r4 hash-fails (oracle-side HUGEINT casts, fixed in r5)
+        "corpus_budget_by_source",
+        "pipeline_corpus_assemble",
+        "corpus_pack_texts",
+        # never driver-checked before r5
+        "q5_local_supplier_volume",
+        "q18_large_volume_customer",
+        "privacy_k_anonymity",
+        "sample_mixture",
+        "corpus_budget_select",
+        "corpus_shuffle",
+        "w7_asof_forward",
+        "w8_asof_nearest",
+        "dedup_semantic",
+        "corpus_decontaminate_bloom",
+        "text_ngram_topk",
+        "emb_gram_matrix",
+        "dedup_spans",
+        "corpus_length_quantiles",
+        "dedup_spans_apply",
+        # new in round 5
+        "tokenizer_bpe_train_local",
+        "tokenizer_bpe_segment_model",
+        "q6_forecast_revenue",
+        "q2_best_supplier",
+        "olap_cube",
+        "join_salted_hot_key",
+        "text_heavy_hitters",
+        "ann_pq_topk",
+        "ann_pq_recall",
+        "sample_temperature",
+        "graph_triangles",
+        "multimodal_frame_sample",
+        "w14_rank_functions",
+        "layout_zorder_key",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
