@@ -1,0 +1,133 @@
+"""Automated physical-plan audit of every registry query.
+
+For each query (at sf0.001 so eager index-build collects stay cheap) the
+tool compiles the plan and reports the scale-relevant shape facts a
+reviewer would otherwise extract by hand from .explain():
+
+- #Exchange (shuffles), #Scan parquet, #BroadcastHashJoin,
+  #SortMergeJoin, #CartesianProduct / BroadcastNestedLoopJoin,
+  whole-stage-codegen span count;
+- a FLAG column when a plan contains a cartesian product or a
+  sort-merge join not on the allowlist below (big-fact joins that are
+  legitimately shuffle joins).
+
+Exit code 1 if any non-allowlisted cartesian/SMJ appears — wired as a
+regression gate, not just a report.  AQE is disabled for the audit
+session so codegen spans and join strategies print deterministically
+(see .claude/skills/verify gotcha).
+
+Usage: python tools/plan_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from adtl_spark import queries as Q  # noqa: E402
+from adtl_spark.session import get_spark  # noqa: E402
+
+# Queries where a SortMergeJoin is the RIGHT plan (fact-to-fact joins on
+# keys where neither side is broadcastable at scale), with the reason.
+SMJ_ALLOWED = {
+    "w5_asof_join": "event-to-event as-of: both sides are fact-sized",
+    "w6_range_join": "binned range join: both sides fact-sized",
+    "w7_asof_forward": "as-of twin of w5",
+    "w8_asof_nearest": "as-of twin of w5",
+    "w9_funnel": "step-to-step funnel over the events fact",
+    "w10_retention": "cohort-to-activity self-join over events",
+    "q7_volume_shipping": "lineitem<->orders fact join",
+    "q8_market_share": "lineitem<->orders fact join",
+    "q9_product_profit": "lineitem<->orders fact join",
+    "q12_shipping_delay": "lineitem<->orders fact join",
+    "q21_waiting_supplier": "lineitem<->orders fact join",
+    "q3_shipping_priority": "lineitem<->orders fact join",
+    "q5_local_supplier_volume": "lineitem<->orders fact join",
+    "q10_returned_items": "lineitem<->orders fact join",
+    "q18_large_volume_customer": "lineitem<->orders fact join",
+    "graph_pagerank": "edge<->rank iteration joins: both fact-sized",
+    "graph_triangles": "edge<->edge wedge joins: both fact-sized",
+    "w1_sessionize": "session window over events fact",
+    "dedup_incremental": "corpus-side band join",
+    "corpus_merge_upsert": "snapshot<->batch full-outer merge",
+    "w11_scd2": "snapshot-to-snapshot change join",
+    "pipeline_corpus_clean": "near-dup pair join inside the pipeline",
+    "dedup_cluster": "CC iteration edge<->label joins",
+    "dedup_keep_best": "pair<->cluster joins",
+    "corpus_unigram_logprob": (
+        "doc-grain left join re-attaching zero-token docs to the doc-grain "
+        "score relation: both sides corpus-sized (the LM model itself "
+        "broadcasts)"
+    ),
+    "corpus_bigram_logprob": (
+        "doc-grain head<->pair-sum join: both sides corpus-sized (vocab/"
+        "bigram/ctx model relations all broadcast)"
+    ),
+    "dedup_semantic": (
+        "distinct-vector threat self-join on the cluster key: both sides "
+        "are the collapsed corpus, neither broadcastable"
+    ),
+    "dedup_minhash_recall": "contains the exact n-gram truth join it measures",
+    "dedup_embedding_recall": "contains the exact all-pairs truth side twice",
+    "ann_lsh_recall": "contains the exact cosine truth side",
+    "ann_pq_recall": "contains the exact L2 truth side",
+}
+# BroadcastNestedLoopJoin is tolerated only for tiny-literal cross joins
+# (1-row thresholds, query sets) — flagged otherwise.
+BNLJ_ALLOWED_PATTERNS = ("crossJoin", "threshold", "recall", "budget")
+
+
+def audit(name: str, df) -> dict:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "name": name,
+        "exchanges": plan.count("Exchange"),
+        "scans": plan.count("Scan parquet"),
+        "bhj": plan.count("BroadcastHashJoin"),
+        "smj": plan.count("SortMergeJoin"),
+        "cart": plan.count("CartesianProduct"),
+        "bnlj": plan.count("BroadcastNestedLoopJoin"),
+        "wsc": len(re.findall(r"\*\(\d+\)", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    spark = get_spark("plan_audit")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    bad = []
+    print(f"{'query':34s} {'exch':>4} {'scan':>4} {'bhj':>3} {'smj':>3} "
+          f"{'cart':>4} {'bnlj':>4} {'wsc':>3}  flag")
+    for name, fn in Q.all_queries().items():
+        if only and name not in only:
+            continue
+        try:
+            row = audit(name, fn(spark, sf_dir))
+        except Exception as e:
+            bad.append(name)
+            print(f"{name:34s} PLAN ERROR: {type(e).__name__}: {str(e)[:80]}")
+            continue
+        flags = []
+        if row["cart"]:
+            flags.append("CARTESIAN")
+        if row["smj"] and name not in SMJ_ALLOWED:
+            flags.append("SMJ-unallowlisted")
+        if flags:
+            bad.append(name)
+        print(
+            f"{row['name']:34s} {row['exchanges']:4d} {row['scans']:4d} "
+            f"{row['bhj']:3d} {row['smj']:3d} {row['cart']:4d} "
+            f"{row['bnlj']:4d} {row['wsc']:3d}  {','.join(flags)}"
+        )
+    if bad:
+        print(f"\nFLAGGED: {bad}")
+        sys.exit(1)
+    print("\nplan audit clean")
+
+
+if __name__ == "__main__":
+    main()
