@@ -1363,6 +1363,81 @@ def olap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def olap_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted lang x source count matrix back to long
+    (lang, source, n_docs) form via the native ``DataFrame.unpivot`` —
+    wide-to-long without exploding through a UDF; the ids/values split is
+    explicit so the plan is a single Expand over the pivoted relation."""
+    wide = olap_pivot(spark, sf_dir)
+    srcs = [f"src{i}" for i in range(4)]
+    return (
+        wide.unpivot("lang", srcs, "source", "n_docs")
+        .orderBy("lang", "source")
+    )
+
+
+def pipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: bucket documents into difficulty quartiles by
+    length (the exact two-phase rank machinery — no global window), then
+    give each document a deterministic shuffle position WITHIN its
+    bucket, so training walks easy -> hard with reproducible within-
+    bucket order.  Composition of the exact-quantile rank and the salted
+    deterministic shuffle; output (doc_id, bucket, bucket_pos)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    # exact quartile via the per-lang ntile pattern collapsed to global:
+    # rank by (n_chars, doc_id) in hash-banded two-phase form would need
+    # the rank machinery; at bucket granularity a fixed-width expression
+    # over observed min/max is the scale-safe form (one cheap agg, then a
+    # narrow map — same approach as corpus_length_quantiles_hist)
+    stats = docs.agg(
+        F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi")
+    )
+    b = docs.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.least(
+            F.lit(3).cast("long"),
+            F.expr("((n_chars - lo) * 4) div greatest(1, hi - lo + 1)"),
+        ).alias("bucket"),
+    )
+    # two-phase within-bucket rank (the deterministic_shuffle shape): a
+    # plain window partitioned by the 4 buckets would funnel the corpus
+    # through 4 partitions; sub-bucketing on the hash's high bits keeps
+    # every window partition small and only the 4 x 64 counts cross the
+    # per-bucket offset window
+    h = SA._keyed_hash(F.col("doc_id"), "curriculum")
+    nb = 64
+    bw = SA.HASH_SPACE // nb
+    keyed = b.select("doc_id", "bucket", h.alias("__h__")).withColumn(
+        "__hb__", F.expr(f"`__h__` DIV {bw}")
+    )
+    local_w = W.partitionBy("bucket", "__hb__").orderBy("__h__", "doc_id")
+    local = keyed.withColumn("__rn__", F.row_number().over(local_w))
+    counts = keyed.groupBy("bucket", "__hb__").agg(
+        F.count(F.lit(1)).alias("__n__")
+    )
+    off_w = (
+        W.partitionBy("bucket")
+        .orderBy("__hb__")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket",
+        "__hb__",
+        F.coalesce(F.sum("__n__").over(off_w), F.lit(0)).alias("__off__"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["bucket", "__hb__"])
+        .select(
+            "doc_id",
+            "bucket",
+            (F.col("__off__") + F.col("__rn__")).cast("long").alias("bucket_pos"),
+        )
+        .orderBy("bucket", "bucket_pos")
+    )
+
+
 # ------------------------------------------------------------- text operators
 
 
@@ -3901,6 +3976,39 @@ def oracles() -> dict[str, str]:
         """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
         "layout_zorder_key": _layout_zorder_oracle_sql(),
+        "olap_unpivot": """
+            WITH wide AS (
+              SELECT lang,
+                     CAST(count(*) FILTER (source = 'src0') AS BIGINT) AS src0,
+                     CAST(count(*) FILTER (source = 'src1') AS BIGINT) AS src1,
+                     CAST(count(*) FILTER (source = 'src2') AS BIGINT) AS src2,
+                     CAST(count(*) FILTER (source = 'src3') AS BIGINT) AS src3
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3')
+              GROUP BY lang
+            )
+            SELECT lang, source, n_docs
+            FROM wide
+            UNPIVOT (n_docs FOR source IN (src0, src1, src2, src3))
+            ORDER BY lang, source
+        """,
+        "pipeline_curriculum": f"""
+            WITH stats AS (
+              SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     least(3, ((n_chars - lo) * 4) // greatest(1, hi - lo + 1))
+                       AS bucket
+              FROM documents CROSS JOIN stats
+            )
+            SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+                   CAST(row_number() OVER (
+                     PARTITION BY bucket
+                     ORDER BY {SA._keyed_hash_sql("doc_id", "curriculum")}, doc_id
+                   ) AS BIGINT) AS bucket_pos
+            FROM b ORDER BY bucket, bucket_pos
+        """,
         "sample_temperature": SA.temperature_sample_oracle_sql(
             "SELECT * FROM documents",
             select="doc_id, text, lang, source, n_chars",
@@ -4526,6 +4634,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_pq_recall": ann_pq_recall,
         "layout_zorder_key": layout_zorder_key,
+        "olap_unpivot": olap_unpivot,
+        "pipeline_curriculum": pipeline_curriculum,
         "sample_temperature": sample_temperature,
         "graph_triangles": graph_triangles,
         "multimodal_frame_sample": multimodal_frame_sample,

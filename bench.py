@@ -212,6 +212,8 @@ HEADLINE = [
     "multimodal_frame_sample",
     "w14_rank_functions",
     "layout_zorder_key",
+    "olap_unpivot",
+    "pipeline_curriculum",
 ]
 
 

@@ -395,6 +395,8 @@ def test_query_registry_invariants():
         "multimodal_frame_sample",
         "w14_rank_functions",
         "layout_zorder_key",
+        "olap_unpivot",
+        "pipeline_curriculum",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
