@@ -134,6 +134,37 @@ QUERIES = [
     "sample_mixture",
     "corpus_budget_select",
     "corpus_shuffle",
+    # round-5 operators
+    "q2_best_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_shipments",
+    "tokenizer_bpe_train_local",
+    "tokenizer_bpe_segment_model",
+    "olap_cube",
+    "olap_grouping_sets",
+    "olap_unpivot",
+    "join_salted_hot_key",
+    "text_heavy_hitters",
+    "ann_pq_topk",
+    "ann_l2_topk",
+    "sample_temperature",
+    "graph_triangles",
+    "multimodal_frame_sample",
+    "w14_rank_functions",
+    "layout_zorder_key",
+    "pipeline_curriculum",
+    # ann_pq_recall: excluded like the other recall gates' truth sides —
+    # the exact-L2 all-pairs join dominates and measures the truth, not
+    # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
 ]
 
 
