@@ -1719,3 +1719,70 @@ def ann_pq_recall_oracle_sql(
     LEFT JOIN approx a USING (query_id, corpus_id)
     """
     )
+
+
+# -------------------------------------------- Johnson-Lindenstrauss projection
+
+
+def _jl_rows(k: int, dim: int, seed: int) -> list[list[float]]:
+    """Deterministic Achlioptas sign-projection rows: entry (j, i) is
+    +-1/sqrt(k) by the sign of the shared LCG stream.  k=16 keeps the
+    1/sqrt(k)=0.25 scale exactly representable, so the literals are
+    bit-identical in both engines with no rounding step."""
+    scale = 1.0 / (k ** 0.5)
+    rows = []
+    for j in range(k):
+        signs = _lcg_floats(dim, seed + j * 7777)
+        rows.append([scale if s >= 0 else -scale for s in signs])
+    return rows
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 16,
+    dim: int = 64,
+    seed: int = 97,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 sign
+    variant): dim-d embeddings compress to k dims while approximately
+    preserving pairwise distances — the cheap dimensionality cut before
+    clustering/ANN when PCA's data-dependent fit is not wanted.
+
+    A pure NARROW map: the k x dim sign matrix embeds as literals (same
+    LCG stream both engines), each output coordinate is one fold, and
+    values quantize at 1e-6 so the long-form output (vec_id, j, yq)
+    hash-compares exactly.  No shuffle, no model state, no collect."""
+    rows = _jl_rows(k, dim, seed)
+    cols = [
+        F.floor(
+            F.expr(_dot_lit_sql(vec_col, rows[j])) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(f"y{j}")
+        for j in range(k)
+    ]
+    wide = df.select(F.col(id_col).alias("vec_id"), *cols)
+    pairs = ", ".join(f"CAST({j} AS BIGINT), `y{j}`" for j in range(k))
+    return wide.select(
+        "vec_id",
+        F.explode(F.expr(f"map({pairs})")).alias("j", "yq"),
+    ).orderBy("vec_id", "j")
+
+
+def jl_project_oracle_sql(
+    table: str, k: int = 16, dim: int = 64, seed: int = 97
+) -> str:
+    "DuckDB twin of :func:`jl_project` (same literal rows, fold, floor)."
+    rows = _jl_rows(k, dim, seed)
+    selects = []
+    for j in range(k):
+        lits = "[" + ", ".join(repr(c) for c in rows[j]) + "]"
+        selects.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS j, "
+            f"CAST(floor(list_dot_product(CAST(embedding AS DOUBLE[]), {lits}) "
+            f"* 1000000 + 0.5) AS BIGINT) AS yq FROM {table}"
+        )
+    u = "\n      UNION ALL ".join(selects)
+    return f"SELECT vec_id, j, yq FROM ({u}) ORDER BY vec_id, j"

@@ -1160,6 +1160,15 @@ def _layout_zorder_oracle_sql() -> str:
     """
 
 
+def emb_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign projection 64 -> 16 dims
+    (similarity.jl_project): literal sign matrix, one fold per output
+    coordinate, zero shuffle — the data-independent dimensionality cut
+    (contrast emb_pca_project's fitted one)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.jl_project(emb, k=16, dim=EMB_DIM)
+
+
 def layout_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (n_chars, doc_id), both
     bucket-normalized to 12 bits from observed min/max — the layout
@@ -3995,6 +4004,9 @@ def oracles() -> dict[str, str]:
         """,
         "corpus_zipf": X.zipf_fit_oracle_sql("documents", k=VOCAB_K),
         "layout_zorder_key": _layout_zorder_oracle_sql(),
+        "emb_jl_project": S.jl_project_oracle_sql(
+            "embeddings", k=16, dim=EMB_DIM
+        ),
         "olap_unpivot": """
             WITH wide AS (
               SELECT lang,
@@ -4654,6 +4666,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": ann_pq_topk,
         "ann_pq_recall": ann_pq_recall,
         "layout_zorder_key": layout_zorder_key,
+        "emb_jl_project": emb_jl_project,
         "olap_unpivot": olap_unpivot,
         "pipeline_curriculum": pipeline_curriculum,
         "sample_temperature": sample_temperature,

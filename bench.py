@@ -214,6 +214,7 @@ HEADLINE = [
     "layout_zorder_key",
     "olap_unpivot",
     "pipeline_curriculum",
+    "emb_jl_project",
 ]
 
 

@@ -1643,6 +1643,51 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_jl_projection_preserves_distances(spark):
+    """JL sign projection must (a) match a pure-Python replay of the
+    literal sign matrix and (b) roughly preserve pairwise squared
+    distances (the property the operator exists for) — mean relative
+    distortion across random pairs well under 50% at k=16."""
+    import random
+
+    from adtl_spark.operators import similarity as S
+
+    rng = random.Random(3)
+    dim, k = 64, 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["vec_id"], r["j"]): r["yq"]
+        for r in S.jl_project(df, k=k, dim=dim).collect()
+    }
+    mat = S._jl_rows(k, dim, 97)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    proj = {}
+    for i, v in rows:
+        proj[i] = []
+        for j in range(k):
+            y = fold_dot(v, mat[j])
+            assert got[(i, j)] == int(math.floor(y * 1000000 + 0.5)), (i, j)
+            proj[i].append(y)
+    errs = []
+    for _ in range(200):
+        a, b = rng.sample(range(80), 2)
+        d_o = sum((x - y) ** 2 for x, y in zip(rows[a][1], rows[b][1]))
+        d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        errs.append(abs(d_p - d_o) / d_o)
+    assert sum(errs) / len(errs) < 0.5
+
+
 def test_zorder_key_matches_python_interleave(spark):
     """zorder_key must equal the textbook Morton interleave (bit b of
     column i at position b*n+i), and preserve the curve's locality

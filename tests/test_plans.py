@@ -397,6 +397,7 @@ def test_query_registry_invariants():
         "layout_zorder_key",
         "olap_unpivot",
         "pipeline_curriculum",
+        "emb_jl_project",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
