@@ -523,3 +523,72 @@ def test_merge_upsert_randomized_partition(spark):
             assert status == "updated"
         win = id_.get(i, bd.get(i))
         assert h == hashlib.md5(win.encode()).hexdigest()
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    k=st.integers(min_value=3, max_value=25),
+    n_hot=st.integers(min_value=0, max_value=6),
+)
+def test_heavy_hitters_matches_brute_force(spark, seed, k, n_hot):
+    """Randomized guarantee check: heavy_hitters(k) must return EXACTLY
+    the items with count > n/k on arbitrary Zipf-ish streams — the
+    Misra-Gries candidate pass may not lose a single qualifying item
+    under any (k, distribution) combination."""
+    import random
+    from collections import Counter
+
+    from adtl_spark.operators import sketches as SK
+
+    rng = random.Random(seed)
+    rows = []
+    for h in range(n_hot):
+        rows += [(f"hot{h}",)] * rng.randrange(50, 400)
+    rows += [(f"t{rng.randrange(500)}",) for _ in range(rng.randrange(100, 800))]
+    rng.shuffle(rows)
+    n = len(rows)
+    exact = Counter(r[0] for r in rows)
+    want = {(i, c) for i, c in exact.items() if c > n / k}
+    df = spark.createDataFrame(rows, ["item"]).repartition(
+        rng.choice([1, 3, 8])
+    )
+    got = {
+        (r["item"], r["cnt"]) for r in SK.heavy_hitters(df, "item", k=k).collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=10**6),
+    bits=st.integers(min_value=2, max_value=16),
+)
+def test_zorder_key_bijective_and_monotone_per_axis(spark, seed, bits):
+    """Property: within the masked bit range the Morton key is a
+    BIJECTION of (x, y) (no two cells collide), and fixing one axis
+    makes the key strictly monotone in the other — the locality
+    property row-group pruning relies on."""
+    import random
+
+    from adtl_spark.sources.io import zorder_key
+
+    rng = random.Random(seed)
+    lim = 1 << min(bits, 6)
+    pts = [(x, y) for x in range(lim) for y in range(lim)]
+    sample = rng.sample(pts, min(len(pts), 300))
+    df = spark.createDataFrame(sample, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", zorder_key([F.col("x"), F.col("y")], bits=bits).alias("z")
+        ).collect()
+    }
+    assert len(set(got.values())) == len(got)  # bijective on the sample
+    by_x: dict[int, list[tuple[int, int]]] = {}
+    for (x, y), z in got.items():
+        by_x.setdefault(x, []).append((y, z))
+    for x, yz in by_x.items():
+        yz.sort()
+        zs = [z for _, z in yz]
+        assert zs == sorted(zs), f"non-monotone at x={x}"
