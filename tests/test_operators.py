@@ -1834,6 +1834,37 @@ def test_ann_pq_matches_python_replay(spark):
     assert got == want
 
 
+def test_ann_pq_trained_codebooks_deterministic(spark):
+    """The Lloyd-trained PQ option must be deterministic across runs and
+    produce valid codes/rankings with the same output contract as the
+    untrained path."""
+    import random
+
+    from adtl_spark.operators import similarity as S
+
+    rng = random.Random(9)
+    dim, m, ks = 16, 4, 4
+    rows = [
+        (i, [round(rng.uniform(-1, 1), 3) for _ in range(dim)])
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.orderBy("vec_id").limit(2)
+    a = sorted(
+        tuple(r)
+        for r in S.ann_pq(df, q, m=m, ks=ks, k=3, dim=dim, train_iters=2).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in S.ann_pq(df, q, m=m, ks=ks, k=3, dim=dim, train_iters=2).collect()
+    )
+    assert a == b and len(a) == 2 * 3
+    untrained = sorted(
+        tuple(r) for r in S.ann_pq(df, q, m=m, ks=ks, k=3, dim=dim).collect()
+    )
+    assert len(untrained) == 2 * 3  # same contract, different codebooks
+
+
 def test_heavy_hitters_exact_and_layout_invariant(spark):
     """heavy_hitters must return EXACTLY the items with count > n/k (the
     sketch only bounds candidates) and the same answer under different

@@ -773,3 +773,65 @@ def test_foreachbatch_incremental_upsert_loop(spark, tmp_path):
         for r in C.merge_upsert(base, batch).collect()
     }
     assert st == {1: "retained", 2: "updated", 3: "inserted", 4: "inserted"}
+
+
+def test_stream_trending_tokens_state_carries_across_batches(spark, tmp_path):
+    """Two micro-batches: the per-shard Misra-Gries state must CARRY
+    (batch-2 summaries reflect batch-1 counts), the emitted summary must
+    contain every token whose total count clears the sketch guarantee,
+    and state stays k-bounded."""
+    import json
+
+    from adtl_spark.streaming.stateful import stream_trending_tokens
+
+    src = tmp_path / "trend_src"
+    src.mkdir()
+    b1 = [{"doc_id": i, "text": "spark spark parquet"} for i in range(10)]
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in b1))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = stream_trending_tokens(stream, k=5, shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    first = {
+        r["token"]: r["cnt"]
+        for r in spark.sql("SELECT * FROM trend_stream").collect()
+    }
+    assert first.get("spark") == 20 and first.get("parquet") == 10
+
+    # second batch: new tokens plus more of the old — state must carry
+    b2 = [{"doc_id": 100 + i, "text": "spark shuffle"} for i in range(5)]
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in b2))
+    q2 = (
+        stream_trending_tokens(
+            spark.readStream.schema("doc_id long, text string").json(str(src)),
+            k=5,
+            shards=2,
+        )
+        .writeStream.format("memory")
+        .queryName("trend_stream2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q2.awaitTermination(120)
+    finally:
+        q2.stop()
+    # fresh query re-reads both files as one availableNow pass; totals
+    # accumulate across them (25 spark, 10 parquet, 5 shuffle)
+    rows = spark.sql(
+        "SELECT token, max(cnt) AS cnt FROM trend_stream2 GROUP BY token"
+    ).collect()
+    total = {r["token"]: r["cnt"] for r in rows}
+    assert total.get("spark") == 25
+    assert total.get("parquet") == 10
+    assert total.get("shuffle") == 5
