@@ -1643,6 +1643,32 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_dataset_report_single_pass_stats(spark):
+    """report_table: one aggregation per table, stats match known values
+    on a crafted frame (nulls, distincts, numeric and string ranges)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "dataset_report",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "dataset_report.py"),
+    )
+    dr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(dr)
+
+    df = spark.createDataFrame(
+        [(1, "aa", 2.0), (2, None, 4.0), (3, "cccc", None)],
+        "id long, s string, x double",
+    )
+    rep = dr.report_table(df)
+    assert rep["rows"] == 3
+    assert rep["columns"]["s"]["null_frac"] == round(1 / 3, 6)
+    assert rep["columns"]["s"]["min_len"] == 2
+    assert rep["columns"]["s"]["max_len"] == 4
+    assert rep["columns"]["x"]["min"] == 2.0 and rep["columns"]["x"]["max"] == 4.0
+    assert rep["columns"]["id"]["distinct"] == 3
+
+
 def test_jl_projection_preserves_distances(spark):
     """JL sign projection must (a) match a pure-Python replay of the
     literal sign matrix and (b) roughly preserve pairwise squared
