@@ -987,6 +987,49 @@ def w11_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "valid_from")
 
 
+def w15_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap-fill: each user's event stream collapses
+    to one row per DAY (latest event wins, deterministic (ts, event_id)
+    tie-break), the per-user day grid is completed by a sequence-explode
+    over [first_day, last_day], and missing days forward-fill from the
+    last observed value — the time_bucket_gapfill / SAMPLE BY FILL(PREV)
+    operator of time-series stores, in three narrow steps plus one
+    per-user window.
+
+    Scale shape: the daily collapse is a map-side-combined max-struct
+    agg (no window over raw events); the grid explode is bounded by
+    days-in-span per user, not event count; the forward-fill window
+    partitions by user — parallel across users, which is the natural
+    key (a single user's day series is small by construction)."""
+    ev = _t(spark, sf_dir, "events")
+    # _t normalizes ts to epoch-nanosecond longs (see its docstring);
+    # session tz is UTC, so the micros->date cast is wall-clock-exact
+    # against the oracle's CAST(ts AS DATE)
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.max(F.struct("ts", "event_id", "value")).getField("value").alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value"),
+        F.col("v").isNotNull().alias("observed"),
+    ).orderBy("user_id", "day")
+
+
 def w13_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outlier detection over the event stream's
     value column.  The two moments aggregate EXACTLY (decimal sums —
@@ -4007,6 +4050,40 @@ def oracles() -> dict[str, str]:
         "emb_jl_project": S.jl_project_oracle_sql(
             "embeddings", k=16, dim=EMB_DIM
         ),
+        "w15_gapfill": """
+            WITH daily AS (
+              SELECT user_id, day, v FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+                       row_number() OVER (
+                         PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            span AS (
+              SELECT user_id, min(day) AS lo, max(day) AS hi
+              FROM daily GROUP BY 1
+            ),
+            grid AS (
+              SELECT user_id,
+                     CAST(unnest(range(CAST(lo AS TIMESTAMP),
+                                       CAST(hi AS TIMESTAMP) + INTERVAL 1 DAY,
+                                       INTERVAL 1 DAY)) AS DATE) AS day
+              FROM span
+            ),
+            j AS (
+              SELECT g.user_id, g.day, d.v
+              FROM grid g LEFT JOIN daily d USING (user_id, day)
+            )
+            SELECT user_id, day,
+                   last_value(v IGNORE NULLS) OVER (
+                     PARTITION BY user_id ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   v IS NOT NULL AS observed
+            FROM j ORDER BY user_id, day
+        """,
         "olap_unpivot": """
             WITH wide AS (
               SELECT lang,
@@ -4667,6 +4744,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_recall": ann_pq_recall,
         "layout_zorder_key": layout_zorder_key,
         "emb_jl_project": emb_jl_project,
+        "w15_gapfill": w15_gapfill,
         "olap_unpivot": olap_unpivot,
         "pipeline_curriculum": pipeline_curriculum,
         "sample_temperature": sample_temperature,

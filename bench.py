@@ -215,6 +215,7 @@ HEADLINE = [
     "olap_unpivot",
     "pipeline_curriculum",
     "emb_jl_project",
+    "w15_gapfill",
 ]
 
 

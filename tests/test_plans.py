@@ -398,6 +398,7 @@ def test_query_registry_invariants():
         "olap_unpivot",
         "pipeline_curriculum",
         "emb_jl_project",
+        "w15_gapfill",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
