@@ -54,10 +54,12 @@ def main() -> None:
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     con = duckdb.connect()
+    li = Path(sf_dir) / "lineitem.parquet"
+    src = f"{li}/*.parquet" if li.is_dir() else str(li)  # Spark multi-part dirs
     raw = con.execute(
         f"""SELECT CAST(l_orderkey AS VARCHAR), CAST(l_quantity AS VARCHAR),
                    l_returnflag
-            FROM '{sf_dir}/lineitem.parquet'"""
+            FROM '{src}'"""
     ).fetchall()
     n = len(raw)
 
