@@ -228,3 +228,58 @@ def range_join_binned(
         *[F.col(f"__l_{c}__").alias(c) for c in left.columns],
         *[F.col(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def gapfill_linear(
+    observed: DataFrame,
+    key_col: str,
+    pos_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Linear-interpolation gap fill over a per-key integer position grid
+    (the FILL(LINEAR) companion to w15's forward fill): ``observed``
+    holds (key, pos, value) rows where value may be null on grid
+    positions to fill; nulls between two observed positions interpolate
+    linearly, nulls before the first / after the last observation take
+    the nearest observed value (edge clamp).
+
+    Two windows per key (previous observed via last-ignorenulls over the
+    preceding frame, next observed via first-ignorenulls over the
+    following frame) — parallel across keys, no self-join.  The
+    interpolation ``v_prev + (v_next - v_prev) * (pos - p_prev) /
+    (p_next - p_prev)`` is plain double arithmetic, deterministic on
+    identical inputs; quantize downstream if gating cross-engine."""
+    from pyspark.sql import Window
+
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(pos_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(pos_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    obs_pos = F.when(v.isNotNull(), F.col(pos_col))
+    prev_v = F.last(v, ignorenulls=True).over(w_back)
+    prev_p = F.last(obs_pos, ignorenulls=True).over(w_back)
+    next_v = F.first(v, ignorenulls=True).over(w_fwd)
+    next_p = F.first(obs_pos, ignorenulls=True).over(w_fwd)
+    interp = F.when(v.isNotNull(), v.cast("double")).otherwise(
+        F.when(prev_v.isNull(), next_v.cast("double"))
+        .when(next_v.isNull(), prev_v.cast("double"))
+        .otherwise(
+            prev_v.cast("double")
+            + (next_v.cast("double") - prev_v.cast("double"))
+            * (F.col(pos_col) - prev_p).cast("double")
+            / (next_p - prev_p).cast("double")
+        )
+    )
+    return observed.select(
+        key_col,
+        pos_col,
+        interp.alias("filled"),
+        v.isNotNull().alias("observed"),
+    )

@@ -1643,6 +1643,31 @@ def test_local_trainer_realistic_vocab_size(spark):
     assert time.time() - t0 < 60
 
 
+def test_gapfill_linear_interpolates_and_clamps(spark):
+    """Linear gap fill: interior nulls interpolate between neighbors,
+    leading/trailing nulls clamp to the nearest observation, observed
+    values pass through untouched, keys stay independent."""
+    from adtl_spark.operators.joins import gapfill_linear
+
+    rows = [
+        ("a", 0, None), ("a", 1, 10.0), ("a", 2, None), ("a", 3, None),
+        ("a", 4, 40.0), ("a", 5, None),
+        ("b", 0, 5.0), ("b", 1, None), ("b", 2, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, pos int, v double")
+    got = {
+        (r["k"], r["pos"]): (r["filled"], r["observed"])
+        for r in gapfill_linear(df, "k", "pos", "v").collect()
+    }
+    assert got[("a", 0)] == (10.0, False)   # leading clamp
+    assert got[("a", 1)] == (10.0, True)
+    assert got[("a", 2)] == (20.0, False)   # 10 + 30*(1/3)
+    assert got[("a", 3)] == (30.0, False)
+    assert got[("a", 4)] == (40.0, True)
+    assert got[("a", 5)] == (40.0, False)   # trailing clamp
+    assert got[("b", 1)] == (6.0, False)
+
+
 def test_dataset_report_single_pass_stats(spark):
     """report_table: one aggregation per table, stats match known values
     on a crafted frame (nulls, distincts, numeric and string ranges)."""
