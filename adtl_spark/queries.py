@@ -4697,6 +4697,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     When adding a query, insert it below the priority block so it gets a
     driver row next round; rotate stable entries toward the tail.
+
+    Round-6 gating queue (implemented + pytest-pinned this round, gate
+    window full at 50): joins.gapfill_linear (needs an integer-quantized
+    output for the typed hash), similarity.ann_pq(train_iters=...) as a
+    trained-codebook gate (oracle = per-subspace kmeans CTE chains), and
+    a batch finalizer over streaming.stream_trending_tokens summaries.
     """
     return {
         # -- round-5 priority block: the three r4 hash-fails (oracle-side
