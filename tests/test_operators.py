@@ -946,6 +946,30 @@ def test_select_until_budget_matches_global_window(spark):
     assert got == want
 
 
+def test_select_until_budget_empty_probe_falls_back(spark):
+    """When the 2% band-derivation hash sample catches no rows (tiny
+    inputs), _derive_bands must fall back to the full-input min/max and
+    the selector must still match the global cumsum."""
+    from adtl_spark.operators import sampling as SA
+
+    # ids 1..20 all hash ABOVE the 2% bandstats threshold (verified), so
+    # the probe is provably empty and the fallback path runs
+    rows = [(i, 5, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tokens", "priority"])
+    probe = df.filter(
+        SA._keyed_hash(F.col("doc_id"), "bandstats")
+        < int(0.02 * SA.HASH_SPACE)
+    )
+    assert probe.count() == 0
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in SA.select_until_budget(df, budget=50).collect()
+    }
+    # priority == doc_id, so order is doc_id DESC; 10 docs fit 50 tokens
+    want = {doc: 5 * (21 - doc) for doc in range(11, 21)}
+    assert got == want
+
+
 def test_select_until_budget_degenerate_priority_fans_out(spark):
     """Adaptive banding on a constant-priority corpus (the documented
     degenerate case for fixed priority-banding) must (a) still equal the
