@@ -1648,6 +1648,23 @@ def test_segment_model_matches_expression_segmenter(spark):
     assert a == b
 
 
+def test_local_trainer_empty_and_tiny_corpus(spark):
+    """bpe_train_local edge cases: an empty corpus yields an empty merge
+    table; a corpus of single-character words (no pairs) stops at zero
+    merges; ann_pq-style short inputs with fewer rows than requested
+    merges stop early with contiguous steps."""
+    from adtl_spark.operators import tokenizer as T
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.bpe_train_local(empty, n_merges=5).count() == 0
+    singles = spark.createDataFrame([(1, "a b c a b")], ["doc_id", "text"])
+    assert T.bpe_train_local(singles, n_merges=5).count() == 0
+    tiny = spark.createDataFrame([(1, "ab ab")], ["doc_id", "text"])
+    merges = T.bpe_train_local(tiny, n_merges=10).collect()
+    assert [m["step"] for m in merges] == list(range(1, len(merges) + 1))
+    assert 0 < len(merges) < 10  # saturates before the cap
+
+
 def test_local_trainer_realistic_vocab_size(spark):
     """The whole point of the driver-side loop: a four-digit merge count
     completes without one-Spark-job-per-merge.  The corpus saturates
