@@ -1030,6 +1030,47 @@ def w15_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "day")
 
 
+def w16_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (joins.gapfill_linear) over the same
+    per-user daily grid as w15: interior missing days interpolate
+    between the neighboring observations, edges clamp.  Output values
+    quantize to integer micro-units so the typed hash compares exactly
+    (the interpolation itself is plain double arithmetic with identical
+    operator precedence in both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    daily = ev.groupBy("user_id", day.alias("day")).agg(
+        F.max(F.struct("ts", "event_id", "value")).getField("value").alias("v")
+    )
+    span = daily.groupBy("user_id").agg(F.min("day").alias("lo"))
+    grid_src = daily.join(F.broadcast(span), "user_id").select(
+        "user_id",
+        F.datediff("day", "lo").cast("long").alias("pos"),
+        "v",
+    )
+    # complete the grid: explode every user's [0, max_pos] range
+    full = (
+        grid_src.groupBy("user_id")
+        .agg(F.max("pos").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("mx"))).alias(
+                "pos"
+            ),
+        )
+        .join(grid_src, ["user_id", "pos"], "left")
+    )
+    filled = J.gapfill_linear(full, "user_id", "pos", "v")
+    return filled.select(
+        "user_id",
+        "pos",
+        F.floor(F.col("filled") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("filled_q"),
+        "observed",
+    ).orderBy("user_id", "pos")
+
+
 def w13_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score outlier detection over the event stream's
     value column.  The two moments aggregate EXACTLY (decimal sums —
@@ -4050,6 +4091,67 @@ def oracles() -> dict[str, str]:
         "emb_jl_project": S.jl_project_oracle_sql(
             "embeddings", k=16, dim=EMB_DIM
         ),
+        "w16_gapfill_linear": """
+            WITH daily AS (
+              SELECT user_id, day, v FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, value AS v,
+                       row_number() OVER (
+                         PARTITION BY user_id, CAST(ts AS DATE)
+                         ORDER BY ts DESC, event_id DESC
+                       ) AS rn
+                FROM events
+              ) WHERE rn = 1
+            ),
+            pos AS (
+              SELECT user_id,
+                     date_diff('day',
+                       min(day) OVER (PARTITION BY user_id), day) AS pos,
+                     v
+              FROM daily
+            ),
+            grid AS (
+              SELECT p.user_id, CAST(unnest(range(0, mx + 1)) AS BIGINT) AS pos
+              FROM (SELECT user_id, max(pos) AS mx FROM pos GROUP BY 1) p
+            ),
+            j AS (
+              SELECT g.user_id, g.pos, p.v
+              FROM grid g LEFT JOIN pos p USING (user_id, pos)
+            ),
+            w AS (
+              SELECT user_id, pos, v,
+                     last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS pv,
+                     last_value(CASE WHEN v IS NOT NULL THEN pos END
+                                IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS pp,
+                     first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS nv,
+                     first_value(CASE WHEN v IS NOT NULL THEN pos END
+                                 IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                     ) AS np
+              FROM j
+            )
+            SELECT user_id, pos,
+                   CAST(floor(
+                     CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+                          WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+                          WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+                          ELSE CAST(pv AS DOUBLE)
+                               + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                                 * CAST(pos - pp AS DOUBLE)
+                                 / CAST(np - pp AS DOUBLE)
+                     END * 1000000 + 0.5) AS BIGINT) AS filled_q,
+                   v IS NOT NULL AS observed
+            FROM w ORDER BY user_id, pos
+        """,
         "w15_gapfill": """
             WITH daily AS (
               SELECT user_id, day, v FROM (
@@ -4698,9 +4800,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When adding a query, insert it below the priority block so it gets a
     driver row next round; rotate stable entries toward the tail.
 
-    Round-6 gating queue (implemented + pytest-pinned this round, gate
-    window full at 50): joins.gapfill_linear (needs an integer-quantized
-    output for the typed hash), similarity.ann_pq(train_iters=...) as a
+    Round-6 gating queue: w16_gapfill_linear is already registered at
+    position 51 (past this round's driver cap, first in line next
+    round); still to gate: similarity.ann_pq(train_iters=...) as a
     trained-codebook gate (oracle = per-subspace kmeans CTE chains), and
     a batch finalizer over streaming.stream_trending_tokens summaries.
     """
@@ -4759,6 +4861,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         # -- rotation: round-4 greens re-verify, then older stable tail --
         "emb_quantize": emb_quantize,
+        # position 51+: past this round's driver cap by construction;
+        # judge-checkable via check_oracle now, FIRST in line for the
+        # round-6 gate window
+        "w16_gapfill_linear": w16_gapfill_linear,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
         "emb_kmeans_centroids": emb_kmeans_centroids,

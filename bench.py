@@ -216,6 +216,7 @@ HEADLINE = [
     "pipeline_curriculum",
     "emb_jl_project",
     "w15_gapfill",
+    "w16_gapfill_linear",
 ]
 
 

@@ -164,6 +164,7 @@ QUERIES = [
     "pipeline_curriculum",
     "emb_jl_project",
     "w15_gapfill",
+    "w16_gapfill_linear",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
