@@ -4800,11 +4800,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     When adding a query, insert it below the priority block so it gets a
     driver row next round; rotate stable entries toward the tail.
 
-    Round-6 gating queue: w16_gapfill_linear is already registered at
-    position 51 (past this round's driver cap, first in line next
-    round); still to gate: similarity.ann_pq(train_iters=...) as a
-    trained-codebook gate (oracle = per-subspace kmeans CTE chains), and
-    a batch finalizer over streaming.stream_trending_tokens summaries.
+    Round-6 gating queue (implemented + pytest-pinned this round):
+    similarity.ann_pq(train_iters=...) as a trained-codebook gate
+    (oracle = per-subspace kmeans CTE chains) and a batch finalizer over
+    streaming.stream_trending_tokens summaries.
     """
     return {
         # -- round-5 priority block: the three r4 hash-fails (oracle-side
@@ -4861,9 +4860,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         # -- rotation: round-4 greens re-verify, then older stable tail --
         "emb_quantize": emb_quantize,
-        # position 51+: past this round's driver cap by construction;
-        # judge-checkable via check_oracle now, FIRST in line for the
-        # round-6 gate window
+        # position 50: the last slot of this round's driver gate window
         "w16_gapfill_linear": w16_gapfill_linear,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,

@@ -399,6 +399,7 @@ def test_query_registry_invariants():
         "pipeline_curriculum",
         "emb_jl_project",
         "w15_gapfill",
+        "w16_gapfill_linear",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
