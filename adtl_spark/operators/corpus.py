@@ -478,47 +478,66 @@ def bigram_logprob(
     1e-4 integers before summing (module-docstring protocol), so the
     per-doc mean is a ratio of exact integers.
 
-    Scale shape: the vocabulary is a K-row collect (a model build, like
-    the k-means centroid and IVF index collects) embedded as a literal
-    token map — the mapped-token array is then a NARROW expression, no
-    per-token join for mapping; bigram extraction is an in-row
-    arrays_zip, so the corpus contributes two (pair, count) map-side
-    combined aggs for training and one per-doc partial-sum agg for
-    scoring.  ctx/bigram/vocab all broadcast; the corpus never shuffles
-    except as (doc, partial sums).  Precondition: a non-empty training
-    corpus (same as unigram — an empty vocabulary yields loud NULLs)."""
+    Scale shape: the vocabulary stays a DataFrame relation end-to-end —
+    the ``<unk>`` mapping is a broadcast left join against the K-row
+    vocab table, never an IN-list literal, so the plan size is O(1) in
+    ``vocab_k`` and a realistic 50k-100k vocabulary compiles exactly
+    like the test's K=20 (an embedded literal list is the documented
+    Catalyst expression-size trap, cf. similarity._pq_cell_sql).  Bigram
+    extraction is an in-row arrays_zip over the RAW token array (mapping
+    happens after the explode, one broadcast join per pair side), so the
+    corpus contributes two (pair, count) map-side combined aggs for
+    training and one per-doc partial-sum agg for scoring.  ctx/bigram/
+    vocab all broadcast; the corpus never shuffles except as (doc,
+    partial sums).  Precondition: a non-empty training corpus (same as
+    unigram — an empty vocabulary yields loud NULLs)."""
     from adtl_spark.operators.text import tokens
 
     uni = train_unigram(docs, vocab_k, text_col, id_col)
-    vocab_tokens = [r["token"] for r in uni.select("token").collect()]
+    # vocab membership relation (<= vocab_k rows), broadcast at each use
+    vset = uni.select("token", F.lit(True).alias("__in_v"))
 
-    def mapped(col: Column) -> Column:
-        if not vocab_tokens:
-            return F.transform(tokens(col), lambda t: F.lit("<unk>"))
-        return F.transform(
-            tokens(col),
-            lambda t: F.when(t.isin(vocab_tokens), t).otherwise("<unk>"),
-        )
-
-    base = docs.select(
+    raw = docs.select(
         F.col(id_col).alias("__did__"),
-        mapped(F.col(text_col)).alias("m"),
+        tokens(F.col(text_col)).alias("t"),
     )
-    pairs = base.select(
+    pairs_raw = raw.select(
         "__did__",
         F.explode(
             F.arrays_zip(
                 # greatest(.., 0): slice() rejects a negative length on
                 # zero-token documents
-                F.slice(F.col("m"), 1, F.greatest(F.size("m") - 1, F.lit(0))).alias(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))).alias(
                     "w1"
                 ),
-                F.slice(F.col("m"), 2, F.greatest(F.size("m") - 1, F.lit(0))).alias(
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))).alias(
                     "w2"
                 ),
             )
         ).alias("p"),
-    ).select("__did__", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    ).select("__did__", F.col("p.w1").alias("r1"), F.col("p.w2").alias("r2"))
+    # <unk>-map each pair side via broadcast joins (NOT an isin literal);
+    # a raw token spelled "<unk>" that IS in vocab maps to itself, which
+    # is identical to mapping it to "<unk>" — the mapped alphabets agree
+    v1 = F.broadcast(
+        vset.select(F.col("token").alias("r1"), F.col("__in_v").alias("__v1"))
+    )
+    v2 = F.broadcast(
+        vset.select(F.col("token").alias("r2"), F.col("__in_v").alias("__v2"))
+    )
+    pairs = (
+        pairs_raw.join(v1, "r1", "left")
+        .join(v2, "r2", "left")
+        .select(
+            "__did__",
+            F.when(F.col("__v1").isNotNull(), F.col("r1"))
+            .otherwise("<unk>")
+            .alias("w1"),
+            F.when(F.col("__v2").isNotNull(), F.col("r2"))
+            .otherwise("<unk>")
+            .alias("w2"),
+        )
+    )
     ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
     big = (
         pairs.groupBy("w1", "w2")
@@ -547,11 +566,42 @@ def bigram_logprob(
         # floor protocol, not round() — see unigram_logprob
         return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
 
-    head = base.select(
-        "__did__",
-        F.size("m").cast("long").alias("n_tokens"),
-        F.size(F.filter(F.col("m"), lambda x: x == "<unk>")).alias("__oov__"),
-        F.element_at(F.col("m"), 1).alias("token"),
+    # per-doc stats: n_tokens / first-token from the raw array (narrow),
+    # the oov count from the exploded tokens via the same broadcast vocab
+    # join (a token counts as <unk> when out-of-vocab OR literally spelled
+    # "<unk>", matching the mapped-array filter this replaces)
+    toks_flat = raw.select("__did__", F.explode("t").alias("tok"))
+    vt = F.broadcast(
+        vset.select(F.col("token").alias("tok"), F.col("__in_v").alias("__vt"))
+    )
+    oov_df = (
+        toks_flat.join(vt, "tok", "left")
+        .groupBy("__did__")
+        .agg(
+            F.sum(
+                (F.col("__vt").isNull() | (F.col("tok") == "<unk>")).cast("int")
+            ).alias("__oov__")
+        )
+    )
+    vf = F.broadcast(
+        vset.select(F.col("token").alias("ft"), F.col("__in_v").alias("__vf"))
+    )
+    head = (
+        raw.select(
+            "__did__",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.element_at(F.col("t"), 1).alias("ft"),
+        )
+        .join(vf, "ft", "left")
+        .select(
+            "__did__",
+            "n_tokens",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.when(F.col("__vf").isNotNull(), F.col("ft")).otherwise("<unk>"),
+            ).alias("token"),
+        )
+        .join(oov_df, "__did__", "left")
     )
     qfirst = F.floor(
         F.log(F.coalesce(F.col("cnt"), F.lit(0.5)) / F.col("total")) * 10000

@@ -1102,6 +1102,30 @@ def test_bigram_logprob_empty_and_single_token_docs(spark):
     assert rows[3]["n_tokens"] == 1 and rows[3]["avg_logprob"] is not None
 
 
+def test_lm_scorers_plan_size_independent_of_vocab_k(spark):
+    """The <unk> mapping is a broadcast join against the vocab relation,
+    never an IN-list literal: the analyzed plan at a realistic
+    vocab_k=50_000 must be the same size as at vocab_k=20 (an embedded
+    literal list is the documented Catalyst expression-size trap — it
+    would grow the plan by ~1MB of token literals here)."""
+    from adtl_spark.operators import corpus as C
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i % 7} alpha beta") for i in range(40)],
+        ["doc_id", "text"],
+    )
+
+    def plan_len(df):
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    for fn in (C.bigram_logprob, C.unigram_logprob):
+        small = plan_len(fn(docs, vocab_k=20))
+        big = plan_len(fn(docs, vocab_k=50_000))
+        # identical up to the digits of the repeated LIMIT literal itself
+        # (an IN-list at 50k tokens would add ~400KB); measured delta 402B
+        assert abs(big - small) < 2000, (fn.__name__, small, big)
+
+
 def test_keep_best_representative_prefers_quality_over_min_id(spark):
     """Within a duplicate cluster the HIGHEST-scoring member survives even
     when it has the largest id; singletons always survive."""
