@@ -375,7 +375,9 @@ def pack_chunks(
     """
     from pyspark.sql import Window
 
-    b = chunks.withColumn("__bk__", F.expr(f"`{id_col}` DIV {bucket_width}"))
+    b = chunks.withColumn(
+        "__bk__", F.expr(f"`{id_col}` DIV {bucket_width}")
+    ).filter(F.col("__bk__").isNotNull())  # symmetric for exchange reuse
     local_w = (
         Window.partitionBy("__bk__")
         .orderBy(id_col, order_col)
@@ -384,7 +386,13 @@ def pack_chunks(
     local = b.withColumn(
         "__lc__", F.coalesce(F.sum(tokens_col).over(local_w), F.lit(0))
     )
-    totals = b.groupBy("__bk__").agg(F.sum(tokens_col).alias("__bt__"))
+    # bucket total = max over rows of (exclusive running sum + own
+    # tokens); deriving it from the WINDOW OUTPUT (not a second agg over
+    # ``b``) keeps the plan to one scan+shuffle of the chunk stream —
+    # the agg reuses the window's partitioning, no new exchange
+    totals = local.groupBy("__bk__").agg(
+        F.max(F.col("__lc__") + F.col(tokens_col)).alias("__bt__")
+    )
     offset_w = Window.orderBy("__bk__").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select(
         "__bk__", F.coalesce(F.sum("__bt__").over(offset_w), F.lit(0)).alias("__bo__")
