@@ -449,7 +449,7 @@ def adtl_engine_one_to_many(spark: SparkSession, sf_dir: str) -> DataFrame:
         "adtl": {
             "name": "engine_o2m",
             "description": "",
-            "tables": {"flags": {"kind": "oneToMany"}},
+            "tables": {"flags": {"kind": "oneToMany", "discriminator": "name"}},
         },
         "flags": [
             {

@@ -17,7 +17,7 @@ SPEC = {
                 "groupBy": "subject_id",
                 "aggregation": "applyCombinedType",
             },
-            "observation": {"kind": "oneToMany"},
+            "observation": {"kind": "oneToMany", "discriminator": "attr"},
             "metadata": {"kind": "constant"},
         },
         "defs": {

@@ -33,7 +33,7 @@ def test_blocks_with_explicit_if(spark):
         "adtl": {
             "name": "o",
             "description": "",
-            "tables": {"obs": {"kind": "oneToMany"}},
+            "tables": {"obs": {"kind": "oneToMany", "discriminator": "attr"}},
         },
         "obs": [
             {
@@ -133,6 +133,7 @@ def test_common_mappings_merged(spark):
             "tables": {
                 "obs": {
                     "kind": "oneToMany",
+                    "discriminator": "attr",
                     "common": {"subject_id": {"field": "sid"}},
                 }
             },

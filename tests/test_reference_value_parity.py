@@ -188,7 +188,7 @@ def test_predicate_space_parity_with_reference(spark):
         for i, pred in enumerate(predicates)
     ]
     spec = {
-        "adtl": {"name": "predp", "description": "", "tables": {"t": {"kind": "oneToMany"}}},
+        "adtl": {"name": "predp", "description": "", "tables": {"t": {"kind": "oneToMany", "discriminator": "attr"}}},
         "t": blocks,
     }
     rows = [{"id": str(n), "c": cell} for n, cell in enumerate(cells)]

@@ -355,7 +355,7 @@ def test_empty_source_produces_empty_tables(spark):
                     "groupBy": "sid",
                     "aggregation": "applyCombinedType",
                 },
-                "long": {"kind": "oneToMany"},
+                "long": {"kind": "oneToMany", "discriminator": "attr"},
             },
         },
         "wide": {"v": {"field": "x"}},

@@ -146,3 +146,159 @@ def test_namespace_uuid_deterministic():
         "t": {"a": {"field": "x"}},
     }
     assert CompiledSpec(doc).namespace_uuid() == CompiledSpec(doc).namespace_uuid()
+
+
+# ---- eager rule-level validation (V1 depth; reference adtl_pydantic.py) ----
+#
+# Each malformed document must fail at LOAD time (CompiledSpec construction)
+# with a SpecError wrapping a pydantic ValidationError whose message names
+# the offending spec path — not later with a compiler message.  The
+# rejection surface mirrors the reference models (verified against
+# /root/reference/src/adtl/adtl_pydantic.py by direct probe); the
+# documented widenings (numeric constants, False flags, float comparisons,
+# nested combinators, defs-style source-less escape via ref) are covered by
+# the acceptance tests above and the parity suite.
+
+
+def _doc(body, kind="oneToOne", **meta):
+    return {
+        "adtl": {
+            "name": "t",
+            "description": "d",
+            "tables": {"tab": {"kind": kind, **meta}},
+        },
+        "tab": body,
+    }
+
+
+def _expect_load_error(doc, *needles):
+    with pytest.raises(SpecError) as e:
+        CompiledSpec(doc)
+    msg = str(e.value)
+    for needle in needles:
+        assert needle in msg, (needle, msg)
+
+
+def test_unknown_rule_key_rejected_with_path():
+    _expect_load_error(
+        _doc({"x": {"field": "a", "bogus": 1}}),
+        "tab.x",
+        "bogus",
+        "Extra inputs are not permitted",
+    )
+
+
+def test_bad_combined_type_rejected():
+    _expect_load_error(
+        _doc({"x": {"combinedType": "bogus", "fields": [{"field": "a"}]}}),
+        "tab.x",
+        "combinedType",
+    )
+
+
+def test_bad_generate_type_rejected():
+    _expect_load_error(
+        _doc({"x": {"field": "a", "generate": {"type": "sha1", "values": []}}}),
+        "generate.type",
+    )
+
+
+def test_rule_without_source_rejected():
+    _expect_load_error(
+        _doc({"x": {"values": {"1": "y"}}}),
+        "tab.x",
+        "must name a source",
+    )
+
+
+def test_one_to_many_requires_discriminator():
+    doc = {
+        "adtl": {
+            "name": "t",
+            "description": "d",
+            "tables": {"tab": {"kind": "oneToMany"}},
+        },
+        "tab": [{"attr": "a", "v": {"field": "x"}}],
+    }
+    _expect_load_error(doc, "discriminator")
+
+
+def test_missing_table_body_named():
+    doc = {
+        "adtl": {
+            "name": "t",
+            "description": "d",
+            "tables": {"tab": {"kind": "oneToOne"}, "gone": {"kind": "oneToOne"}},
+        },
+        "tab": {"x": {"field": "a"}},
+    }
+    _expect_load_error(doc, "missing tables: gone")
+
+
+def test_undeclared_table_body_named():
+    doc = _doc({"x": {"field": "a"}})
+    doc["stray"] = {"y": {"field": "b"}}
+    _expect_load_error(doc, "not defined in the header: stray")
+
+
+def test_long_body_for_non_one_to_many_rejected():
+    doc = {
+        "adtl": {
+            "name": "t",
+            "description": "d",
+            "tables": {"tab": {"kind": "oneToOne"}},
+        },
+        "tab": [{"v": {"field": "x"}}],
+    }
+    _expect_load_error(doc, "oneToMany")
+
+
+def test_scalar_table_body_rejected():
+    doc = _doc({"x": {"field": "a"}})
+    doc["stray"] = 5
+    _expect_load_error(doc, "stray")
+
+
+def test_group_by_requires_keys():
+    doc = {
+        "adtl": {
+            "name": "t",
+            "description": "d",
+            "tables": {"tab": {"kind": "groupBy", "groupBy": "id"}},
+        },
+        "tab": {"x": {"field": "a"}},
+    }
+    _expect_load_error(doc, "aggregation")
+
+
+def test_bad_header_key_rejected():
+    doc = _doc({"x": {"field": "a"}})
+    doc["adtl"]["typo_key"] = True
+    _expect_load_error(doc, "typo_key")
+
+
+def test_bad_if_operator_payload_rejected():
+    # "=~" must be a regex string, not a mapping
+    _expect_load_error(
+        _doc({"x": {"field": "a", "if": {"c": {"=~": {"nested": 1}}}}}),
+        "if",
+    )
+
+
+def test_widened_forms_accepted():
+    """The documented widenings load cleanly: numeric constants, False
+    flags, float comparisons, nested combinators, generate-only rules."""
+    CompiledSpec(
+        _doc(
+            {
+                "n": 42,
+                "flag": {"field": "a", "sensitive": False},
+                "cmp": {"field": "a", "if": {"c": {">=": 2.5}}},
+                "nested": {
+                    "field": "a",
+                    "if": {"any": [{"not": {"c": {"=~": "^y"}}}, {"c": 1}]},
+                },
+                "gen": {"generate": {"type": "uuid5", "values": ["a", "b"]}},
+            }
+        )
+    )
