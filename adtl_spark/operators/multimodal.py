@@ -60,12 +60,133 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decoder stub: would be PIL.Image.open(io.BytesIO(payload)).
-    The image/audio libraries are not available in this container."""
-    raise NotImplementedError(
-        "image decoding requires PIL; wire Image.open(io.BytesIO(payload)) here"
-    )
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free binary PPM (P6) decoder: header ``P6 <w> <h>
+    <maxval>`` in ASCII with whitespace/comments, then w*h*3 raw RGB
+    bytes.  Returns (width, height, rgb_bytes).  Strict: truncated or
+    malformed payloads raise ValueError (corrupt media must fail loudly,
+    not produce garbage features)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if start == pos:
+            raise ValueError("malformed PPM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace byte after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, got maxval={maxval}")
+    need = width * height * 3
+    rgb = payload[pos : pos + need]
+    if len(rgb) != need:
+        raise ValueError(f"truncated PPM: need {need} bytes, have {len(rgb)}")
+    return width, height, rgb
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Dependency-free RIFF/WAVE PCM decoder: walks the chunk list, reads
+    the ``fmt `` chunk (PCM only) and the ``data`` chunk.  Returns
+    (sample_rate, channels, bits_per_sample, pcm_bytes); malformed or
+    compressed payloads raise ValueError."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_format, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if audio_format != 1:
+                raise ValueError(f"only PCM supported, got format {audio_format}")
+            fmt = (rate, channels, bits)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAVE payload missing fmt or data chunk")
+    return fmt[0], fmt[1], fmt[2], data
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode an image payload to (width, height, rgb_bytes).  PPM (P6)
+    decodes natively; compressed formats (PNG/JPEG magic detected) need a
+    codec library that is not in this container and raise
+    NotImplementedError naming the format."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"\x89PNG"):
+        raise NotImplementedError(
+            "PNG decoding requires a codec library (PIL) not in this container"
+        )
+    if payload.startswith(b"\xff\xd8\xff"):
+        raise NotImplementedError(
+            "JPEG decoding requires a codec library (PIL) not in this container"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an audio payload to (sample_rate, channels, bits, pcm).
+    WAV/PCM decodes natively; compressed codecs raise
+    NotImplementedError."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload)
+    if payload.startswith(b"\xff\xfb") or payload.startswith(b"ID3"):
+        raise NotImplementedError(
+            "MP3 decoding requires a codec library (ffmpeg) not in this container"
+        )
+    raise ValueError("unrecognized audio payload")
+
+
+def image_feature(payload: bytes, dim: int = 8) -> list[float]:
+    """Real decoded-image feature vector: [width, height, mean_r, mean_g,
+    mean_b, mean_gray, min_gray, max_gray, ...] scaled to [0, 1] and
+    padded/truncated to ``dim`` — the deterministic decode-derived
+    counterpart of :func:`fake_feature`."""
+    width, height, rgb = decode_image(payload)
+    n = width * height
+    sums = [0, 0, 0]
+    gmin, gmax, gsum = 255, 0, 0
+    for i in range(n):
+        r, g, b = rgb[3 * i], rgb[3 * i + 1], rgb[3 * i + 2]
+        sums[0] += r
+        sums[1] += g
+        sums[2] += b
+        gray = (r + g + b) // 3
+        gmin = min(gmin, gray)
+        gmax = max(gmax, gray)
+        gsum += gray
+    feats = [
+        min(width / 4096.0, 1.0),
+        min(height / 4096.0, 1.0),
+        sums[0] / n / 255.0,
+        sums[1] / n / 255.0,
+        sums[2] / n / 255.0,
+        gsum / n / 255.0,
+        gmin / 255.0,
+        gmax / 255.0,
+    ]
+    feats = feats[:dim] + [0.0] * max(0, dim - len(feats))
+    return feats
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> list[float]:
@@ -85,7 +206,9 @@ def extract_image_features(
 
     mapInPandas processes whole Arrow batches; the Python worker sees
     columnar buffers, never per-row pickling.  With ``use_real_decoder``
-    the stub raises NotImplementedError by design.
+    the feature comes from the native PPM decode path
+    (:func:`image_feature`); compressed formats raise
+    NotImplementedError naming the missing codec.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -103,7 +226,9 @@ def extract_image_features(
                     "entropy_estimate": payloads.map(_entropy_estimate),
                     "feature": payloads.map(
                         lambda b: (
-                            decode_image(b) if use_real_decoder else fake_feature(b, dim)
+                            image_feature(b, dim)
+                            if use_real_decoder
+                            else fake_feature(b, dim)
                         )
                         if b is not None
                         else None
@@ -113,6 +238,62 @@ def extract_image_features(
             yield out
 
     return df.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction through the native WAV/PCM
+    decode path: per payload the format facts (rate/channels/bits), the
+    decoded sample count and duration, and RMS/peak amplitude — the
+    signal-level stats a corpus filter needs (silence / clipping
+    screens).  16-bit PCM only for the amplitude stats; other widths
+    report format facts with null amplitudes."""
+    import struct
+
+    def one(b: bytes | None):
+        if b is None:
+            return (None, None, None, None, None, None, None)
+        rate, channels, bits, pcm = decode_audio(b)
+        frames = len(pcm) // (channels * (bits // 8)) if bits else 0
+        dur_ms = int(frames * 1000 / rate) if rate else None
+        rms = peak = None
+        if bits == 16 and frames:
+            n = len(pcm) // 2
+            samples = struct.unpack(f"<{n}h", pcm[: 2 * n])
+            peak = max(abs(s) for s in samples)
+            rms = (sum(s * s for s in samples) / n) ** 0.5
+        return (rate, channels, bits, frames, dur_ms, rms, peak)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "sample_rate": [d[0] for d in decoded],
+                    "channels": [d[1] for d in decoded],
+                    "bits": [d[2] for d in decoded],
+                    "n_samples": [d[3] for d in decoded],
+                    "duration_ms": [d[4] for d in decoded],
+                    "rms": [d[5] for d in decoded],
+                    "peak": [d[6] for d in decoded],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
 def _entropy_estimate(payload: bytes | None) -> float | None:
@@ -158,17 +339,65 @@ def repartition_by_bytes(
     return df.repartition(n, "media_id")
 
 
+def synthetic_ppm(width: int, height: int, seed: int) -> bytes:
+    """A REAL binary PPM payload with deterministic pixels (sha256-driven
+    pattern), decodable by :func:`decode_ppm`."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    rgb = bytearray()
+    stream = b""
+    while len(stream) < width * height * 3:
+        stream += hashlib.sha256(f"{seed}:{len(stream)}".encode()).digest()
+    rgb = stream[: width * height * 3]
+    return header + bytes(rgb)
+
+
+def synthetic_wav(
+    n_frames: int, seed: int, rate: int = 16000, channels: int = 1
+) -> bytes:
+    """A REAL RIFF/WAVE 16-bit PCM payload with a deterministic waveform,
+    decodable by :func:`decode_wav`."""
+    import math
+    import struct
+
+    freq = 110.0 * (1 + seed % 8)
+    samples = [
+        int(12000 * math.sin(2 * math.pi * freq * t / rate))
+        for t in range(n_frames)
+        for _ in range(channels)
+    ]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived from
-    the id, round-robin kinds, plausible metadata."""
+    """Deterministic media table for tests: image payloads are REAL
+    binary PPMs and audio payloads REAL 16-bit PCM WAVs (both decode
+    through the native paths above); video stays an opaque deterministic
+    blob behind typed metadata, matching the stubbed frame-grab
+    contract."""
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
-        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
-        meta = {
-            "image": (64 + i % 128, 64 + (i * 3) % 128, None, None),
-            "audio": (None, None, 1000 * (1 + i % 30), 16000),
-            "video": (320, 240, 1000 * (1 + i % 10), None),
+        if kind == "image":
+            w, h = 8 + i % 16, 8 + (i * 3) % 16
+            payload = synthetic_ppm(w, h, seed + i)
+            meta = (w, h, None, None)
+        elif kind == "audio":
+            frames = 160 * (1 + i % 30)
+            payload = synthetic_wav(frames, seed + i)
+            meta = (None, None, int(frames * 1000 / 16000), 16000)
+        else:
+            payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+            meta = (320, 240, 1000 * (1 + i % 10), None)
+        mime = {
+            "image": "image/x-portable-pixmap",
+            "audio": "audio/wav",
+            "video": "application/x-fake-video",
         }[kind]
-        rows.append((i, kind, payload, f"application/x-fake-{kind}", meta))
+        rows.append((i, kind, payload, mime, meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -107,10 +107,71 @@ def test_multimodal_feature_extraction(spark):
     assert again[0]["feature"] == by_id[0]["feature"]
 
 
-def test_multimodal_real_decoder_is_stubbed(spark):
-    media = M.synthetic_media(spark, n=3)
-    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
-        M.extract_image_features(media, use_real_decoder=True).collect()
+def test_ppm_decode_roundtrip():
+    """The native P6 decoder recovers the exact pixels synthetic_ppm
+    wrote; malformed payloads fail loudly."""
+    payload = M.synthetic_ppm(6, 4, seed=11)
+    w, h, rgb = M.decode_ppm(payload)
+    assert (w, h) == (6, 4) and len(rgb) == 6 * 4 * 3
+    assert M.decode_ppm(payload) == (w, h, rgb)  # deterministic
+    with pytest.raises(ValueError):
+        M.decode_ppm(payload[:-5])  # truncated pixel data
+    with pytest.raises(ValueError):
+        M.decode_ppm(b"P5\n1 1\n255\n\x00")  # not P6
+
+
+def test_wav_decode_roundtrip():
+    payload = M.synthetic_wav(320, seed=3)
+    rate, channels, bits, pcm = M.decode_wav(payload)
+    assert (rate, channels, bits) == (16000, 1, 16)
+    assert len(pcm) == 320 * 2
+    with pytest.raises(ValueError):
+        M.decode_wav(b"RIFF\x00\x00\x00\x00DATA")  # not WAVE
+
+
+def test_multimodal_real_decoder_decodes_ppm(spark):
+    """Real decode path end-to-end through the Arrow mapInPandas
+    pipeline: PPM payloads produce decode-derived features (width/height
+    channels match the metadata), deterministically."""
+    media = M.synthetic_media(spark, n=12).filter("kind = 'image'")
+    feats = {
+        r["media_id"]: r
+        for r in M.extract_image_features(media, use_real_decoder=True).collect()
+    }
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert feats
+    for mid, r in feats.items():
+        f = r["feature"]
+        assert len(f) == 8
+        assert abs(f[0] - meta[mid]["width"] / 4096.0) < 1e-6
+        assert abs(f[1] - meta[mid]["height"] / 4096.0) < 1e-6
+        assert 0.0 <= f[5] <= 1.0 and f[6] <= f[5] <= f[7]
+    again = {
+        r["media_id"]: r["feature"]
+        for r in M.extract_image_features(media, use_real_decoder=True).collect()
+    }
+    assert all(again[m] == feats[m]["feature"] for m in feats)
+
+
+def test_multimodal_compressed_formats_still_stubbed():
+    with pytest.raises(NotImplementedError):
+        M.decode_image(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(b"ID3....")
+
+
+def test_multimodal_audio_features(spark):
+    media = M.synthetic_media(spark, n=12).filter("kind = 'audio'")
+    feats = {
+        r["media_id"]: r for r in M.extract_audio_features(media).collect()
+    }
+    meta = {r["media_id"]: r["meta"] for r in media.collect()}
+    assert feats
+    for mid, r in feats.items():
+        assert r["sample_rate"] == 16000 and r["bits"] == 16
+        assert r["duration_ms"] == meta[mid]["duration_ms"]
+        assert r["peak"] is not None and 0 < r["peak"] <= 12000
+        assert r["rms"] is not None and 0 < r["rms"] <= r["peak"]
 
 
 def test_frame_sample_plan(spark):
