@@ -1758,6 +1758,284 @@ def ann_pq_recall_oracle_sql(
     )
 
 
+def _pq_trained_replay_ctes(
+    table: str, m: int, ks: int, iters: int, n_queries: int, dim: int
+) -> str:
+    """DuckDB CTE chain rebuilding the LLOYD-TRAINED PQ index
+    (:func:`_pq_codebooks_trained`): per subspace j, the same unrolled
+    k-means chain as :func:`_kmeans_cte_chain` runs on the j-th vector
+    slice — seed centroids are the ``ks`` lowest-id slices, each
+    iteration reassigns by (0.5|c|^2 - v.c, cid ASC) and re-means with
+    the floor-1e6 protocol, and clusters that lose every member drop out
+    (``sorted(by_cid)`` on the Spark side == GROUP BY here).  The final
+    positional code is the row number over surviving cids, matching
+    pq_encode's first-minimum ``array_position`` tie-break, and the ADC
+    distance quantizes at 1e-9 exactly like the driver-built LUTs."""
+    d_sub = dim // m
+    parts = [
+        f"c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table})",
+        f"""q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    )""",
+    ]
+    for j in range(m):
+        lo, hi = j * d_sub + 1, j * d_sub + d_sub
+        parts.append(
+            f"sj{j} AS (SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM c)"
+        )
+        parts.append(
+            f"""cent0_{j} AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM sj{j} ORDER BY vec_id LIMIT {ks})
+    )"""
+        )
+        for i in range(iters):
+            parts.append(
+                f"""a{i}_{j} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT s.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY 0.5 * list_dot_product(cent.cv, cent.cv)
+                            - list_dot_product(s.v, cent.cv) ASC,
+                          cent.cid ASC
+               ) AS rn
+        FROM sj{j} s CROSS JOIN cent{i}_{j} cent
+      ) WHERE rn = 1
+    )"""
+            )
+            parts.append(
+                f"""cent{i + 1}_{j} AS (
+      SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+        SELECT a.cluster AS cid, i AS dim,
+               CAST(sum(CAST(floor(s.v[CAST(i AS INT)] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / count(s.v[CAST(i AS INT)]) / 1000000.0 AS mu
+        FROM sj{j} s JOIN a{i}_{j} a USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, {d_sub + 1})) AS i) idx
+        GROUP BY 1, 2
+      ) GROUP BY cid
+    )"""
+            )
+        parts.append(
+            f"""cb{j} AS (
+      SELECT row_number() OVER (ORDER BY cid) - 1 AS code, cv
+      FROM cent{iters}_{j}
+    )"""
+        )
+        parts.append(
+            f"""enc{j} AS (
+      SELECT vec_id AS corpus_id, code FROM (
+        SELECT s.vec_id, b.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id
+                 ORDER BY 0.5 * list_dot_product(b.cv, b.cv)
+                            - list_dot_product(s.v, b.cv) ASC,
+                          b.code ASC
+               ) AS rn
+        FROM sj{j} s CROSS JOIN cb{j} b
+      ) WHERE rn = 1
+    )"""
+        )
+        parts.append(
+            f"""pd{j} AS (
+      SELECT qq.query_id, e.corpus_id,
+             CAST(floor(
+               (list_dot_product(sq, sq) - 2 * list_dot_product(sq, b.cv)
+                + list_dot_product(b.cv, b.cv)) * 1000000000 + 0.5
+             ) AS BIGINT) AS dq
+      FROM (SELECT query_id, list_slice(qv, {lo}, {hi}) AS sq FROM q) qq
+      CROSS JOIN enc{j} e
+      JOIN cb{j} b USING (code)
+      WHERE qq.query_id <> e.corpus_id
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM pd{j}" for j in range(m)
+    )
+    parts.append(
+        f"""pair_d AS (
+      SELECT query_id, corpus_id, CAST(sum(dq) AS BIGINT) AS qdist
+      FROM ({union})
+      GROUP BY 1, 2
+    )"""
+    )
+    parts.append(
+        """pq_ranked AS (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM pair_d
+    )"""
+    )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def ann_pq_trained_oracle_sql(
+    table: str, m: int, ks: int, iters: int, k: int, n_queries: int, dim: int = 64
+) -> str:
+    "DuckDB twin of :func:`ann_pq` with ``train_iters=iters``."
+    return (
+        _pq_trained_replay_ctes(table, m, ks, iters, n_queries, dim)
+        + f"""
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist
+    FROM pq_ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+def ann_pq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    train_iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ADC shortlist + exact re-rank (the deployment shape from Jegou
+    et al. 2011 §V: the compressed index prunes to ``shortlist``
+    candidates per query, then the ORIGINAL vectors of just those
+    candidates are fetched for an exact distance re-rank to top-``k``).
+    This is how PQ recall gets to production quality without ever
+    scanning raw vectors corpus-wide: the raw-vector work is
+    O(queries * shortlist), not O(queries * corpus).
+
+    Scale shape: the shortlist inherits ann_pq's codegen'd integer-LUT
+    scoring over the m-byte codes; the re-rank joins the (query, corpus)
+    candidate pairs — a serving-sized relation — back to the corpus
+    vectors on the id (broadcast of the candidate set against the corpus
+    scan), so the original floats are touched only for candidates.
+    Output: (query_id, corpus_id, rank, qdist) with qdist the exact
+    quantized squared L2 (same protocol as :func:`l2_topk`, so the two
+    agree on shared pairs)."""
+    from pyspark.sql import Window
+
+    cand = ann_pq(
+        corpus, queries, m=m, ks=ks, k=shortlist, dim=dim,
+        train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "corpus_id")
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    d2 = dot(F.col("qv"), F.col("qv")) - 2 * dot(F.col("qv"), F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("qdist", F.floor(d2 * 1000000000 + F.lit(0.5)).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("qdist"), F.asc("corpus_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "qdist")
+    )
+
+
+def ann_pq_rerank_oracle_sql(
+    table: str,
+    m: int,
+    ks: int,
+    k: int,
+    shortlist: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    "DuckDB twin of :func:`ann_pq_rerank` (untrained codebooks)."
+    return (
+        "WITH" + _pq_replay_ctes(table, m, ks, shortlist, n_queries, dim)
+        + f""",
+    cand AS (SELECT query_id, corpus_id FROM pq_ranked WHERE rank <= {shortlist}),
+    rr AS (
+      SELECT cand.query_id, cand.corpus_id,
+             CAST(floor((list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.v)
+                 + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+               AS qdist
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN c ON c.corpus_id = cand.corpus_id
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist FROM (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM rr
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+def ann_pq_rerank_recall_oracle_sql(
+    table: str,
+    m: int,
+    ks: int,
+    k: int,
+    shortlist: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the rerank recall gate: exact-L2 top-k truth vs the
+    reranked PQ top-k, one (n_exact, n_hit, recall_at_k) row."""
+    return (
+        "WITH" + _pq_replay_ctes(table, m, ks, shortlist, n_queries, dim)
+        + f""",
+    cand AS (SELECT query_id, corpus_id FROM pq_ranked WHERE rank <= {shortlist}),
+    rr AS (
+      SELECT cand.query_id, cand.corpus_id,
+             CAST(floor((list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.v)
+                 + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+               AS qdist
+      FROM cand
+      JOIN q ON q.query_id = cand.query_id
+      JOIN c ON c.corpus_id = cand.corpus_id
+    ),
+    approx AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+               ) AS rank
+        FROM rr
+      ) WHERE rank <= {k}
+    ),
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, c.corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+                   ASC, c.corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.corpus_id
+      ) WHERE rn <= {k}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           floor(CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a USING (query_id, corpus_id)
+    """
+    )
+
+
 # -------------------------------------------- Johnson-Lindenstrauss projection
 
 

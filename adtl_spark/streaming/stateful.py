@@ -121,7 +121,21 @@ def stream_trending_tokens(
     stream length, the property that makes it deployable on an unbounded
     stream (contrast stream_dedup_exact's by-design unbounded seen-set).
     Tokens shard by hash so the per-key state and work spread evenly."""
-    toks = docs.select(
+    toks = _sharded_tokens(docs, k, text_col, shards)
+    return toks.groupBy("shard", "k").applyInPandasWithState(
+        _trending_group,
+        outputStructType=TREND_OUT_SCHEMA,
+        stateStructType=TREND_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _sharded_tokens(
+    docs: DataFrame, k: int, text_col: str, shards: int
+) -> DataFrame:
+    "Shared tokenize + hash-shard projection for the trending operators."
+    return docs.select(
         F.explode(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
@@ -132,10 +146,73 @@ def stream_trending_tokens(
         F.pmod(F.xxhash64("token"), F.lit(shards)).cast("int").alias("shard"),
         F.lit(k).alias("k"),
     )
-    return toks.groupBy("shard", "k").applyInPandasWithState(
-        _trending_group,
-        outputStructType=TREND_OUT_SCHEMA,
-        stateStructType=TREND_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+
+
+def trending_summaries_batch(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    shards: int = 16,
+) -> DataFrame:
+    """BATCH twin of :func:`stream_trending_tokens`: the same per-shard
+    Misra-Gries fold (the exact ``_trending_group`` counter logic) run
+    over each shard as one mega-batch via ``applyInPandas`` — what the
+    stream's state converges to after consuming the whole corpus in one
+    micro-batch.  Deterministic despite the imperative fold: with a
+    single batch per shard the counter table is the exact per-shard
+    frequency map (commutative adds) and the single final k-cut is
+    order-free.  Emits the per-shard (token, cnt) summaries."""
+    import pandas as pd
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        kk = int(pdf["k"].iloc[0])
+        counters: dict[str, int] = {}
+        for tok, c in pdf["token"].value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > kk:
+            cut = sorted(counters.values(), reverse=True)[kk]
+            counters = {t: c - cut for t, c in counters.items() if c > cut}
+        return pd.DataFrame(
+            {"token": list(counters.keys()), "cnt": list(counters.values())}
+        )
+
+    toks = _sharded_tokens(docs, k, text_col, shards)
+    return toks.groupBy("shard", "k").applyInPandas(
+        fold, schema="token string, cnt long"
+    )
+
+
+def finalize_trending(
+    summaries: DataFrame,
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    shards: int = 16,
+) -> DataFrame:
+    """Batch finalizer over trending-token summaries: the downstream
+    exact-recount step the streaming operator's contract promises.
+
+    The summary union is a SUPERSET witness of every token with global
+    count > n/(k+1): tokens shard by hash, so a token's whole stream
+    lands in one shard, and its retained per-shard count stays positive
+    whenever its count exceeds n_shard/(k+1) <= n/(k+1) (Misra-Gries
+    undercount bound; merge-safe per Agarwal et al., PODS'12).  Exactly
+    recounting the candidates and thresholding at the STRICTLY LARGER
+    n/k therefore yields an exact, deterministic, summary-independent
+    result — which is what makes a one-line frequency query a full
+    oracle even though the summaries themselves are order-sensitive.
+
+    Scale shape: candidates are <= shards*k rows (broadcast); the corpus
+    contributes one semi-joined exploded pass with map-side partial
+    counts.  Works unchanged on summaries collected from the live stream
+    (tests/test_streaming.py) or from :func:`trending_summaries_batch`."""
+    cand = F.broadcast(summaries.select("token").distinct())
+    toks = _sharded_tokens(docs, k, text_col, shards).select("token")
+    total = toks.count()
+    return (
+        toks.join(cand, "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > total / k)
+        .orderBy(F.desc("cnt"), F.asc("token"))
     )

@@ -16,7 +16,7 @@ def test_one_to_many_single_scan(spark):
         "adtl": {
             "name": "x",
             "description": "",
-            "tables": {"obs": {"kind": "oneToMany"}},
+            "tables": {"obs": {"kind": "oneToMany", "discriminator": "name"}},
         },
         "obs": [
             {"name": f"sym{i}", "if": {f"s{i}": "1"}, "v": {"field": f"s{i}"}}
@@ -96,7 +96,7 @@ def test_wide_spec_compiles_and_runs(spark):
             "description": "",
             "tables": {
                 "wide": {"kind": "oneToOne"},
-                "long": {"kind": "oneToMany"},
+                "long": {"kind": "oneToMany", "discriminator": "name"},
             },
         },
         "wide": rules,
@@ -354,52 +354,36 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the never/least-recently driver-verified block must stay inside the
-    # gate window until CORRECTNESS rows exist for it (round-5 rotation:
-    # the three r4 hash-fails, the fifteen never-checked r4 overflow
-    # queries, and every query added in round 5)
+    # the round-6 window: the four new queries plus the head of the
+    # least-recently-verified block (driver rows from rounds 1-4) must
+    # stay inside the gate window until CORRECTNESS_r6 rows exist
     gate = list(qs)[:50]
     for name in (
-        # r4 hash-fails (oracle-side HUGEINT casts, fixed in r5)
-        "corpus_budget_by_source",
-        "pipeline_corpus_assemble",
-        "corpus_pack_texts",
-        # never driver-checked before r5
-        "q5_local_supplier_volume",
-        "q18_large_volume_customer",
-        "privacy_k_anonymity",
-        "sample_mixture",
-        "corpus_budget_select",
-        "corpus_shuffle",
-        "w7_asof_forward",
-        "w8_asof_nearest",
-        "dedup_semantic",
-        "corpus_decontaminate_bloom",
-        "text_ngram_topk",
-        "emb_gram_matrix",
-        "dedup_spans",
-        "corpus_length_quantiles",
-        "dedup_spans_apply",
-        # new in round 5
-        "tokenizer_bpe_train_local",
-        "tokenizer_bpe_segment_model",
-        "q6_forecast_revenue",
-        "q2_best_supplier",
-        "olap_cube",
-        "join_salted_hot_key",
-        "text_heavy_hitters",
-        "ann_pq_topk",
-        "ann_pq_recall",
-        "sample_temperature",
-        "graph_triangles",
-        "multimodal_frame_sample",
-        "w14_rank_functions",
-        "layout_zorder_key",
-        "olap_unpivot",
-        "pipeline_curriculum",
-        "emb_jl_project",
-        "w15_gapfill",
-        "w16_gapfill_linear",
+        # new in round 6
+        "ann_pq_trained_topk",
+        "ann_pq_rerank_topk",
+        "ann_pq_rerank_recall",
+        "stream_trending_finalize",
+        # least-recently-verified head (rounds 1-4 driver rows)
+        "emb_label_centroids",
+        "emb_kmeans",
+        "dedup_embedding",
+        "ann_cosine_topk",
+        "graph_pagerank",
+        "w11_scd2",
+        "sample_weighted",
+        "corpus_merge_upsert",
+        "tokenizer_bpe_merges",
+        "quality_nb",
+        "q21_waiting_supplier",
+        "dedup_minhash_recall",
+        "emb_pca_project",
+        "corpus_bigram_logprob",
+        "dedup_keep_best",
+        "w9_funnel",
+        "olap_rollup",
+        "corpus_zipf",
+        "corpus_length_quantiles_hist",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
@@ -653,3 +637,43 @@ def test_q4_exists_becomes_semi_join(spark):
     plan = physical_plan(q4_order_priority(spark, "/root/testdata/sf0.001"))
     assert "LeftSemi" in plan
     assert plan.count("Scan parquet") == 2  # orders + lineitem, once each
+
+
+def test_plan_audit_catches_broadcast_regression(spark):
+    """The SMJ allowlist is reason-checked, not name-checked: when a
+    dimension join under an allowlisted query name loses its broadcast
+    (simulated by disabling the auto-broadcast threshold), the resulting
+    sort-merge joins land on NON-fact keys (nationkey/regionkey instead
+    of orderkey) and the audit must flag the drift instead of hiding it
+    behind the allowlisted name."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", Path(__file__).resolve().parent.parent / "tools" / "plan_audit.py"
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+    from adtl_spark import queries as Q
+
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df = Q.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    # the de-broadcast plan must contain dimension SMJs...
+    assert "SortMergeJoin" in plan
+    drift = pa.smj_drift("q5_local_supplier_volume", plan)
+    # ...and the audit must flag the non-orderkey ones as drift
+    assert drift, "dimension SMJs were not flagged as key drift"
+    assert any("nationkey" in d or "regionkey" in d for d in drift)
+    # while the healthy plan stays clean
+    df2 = Q.q5_local_supplier_volume(spark, "/root/testdata/sf0.001")
+    healthy = df2._jdf.queryExecution().executedPlan().toString()
+    assert pa.smj_drift("q5_local_supplier_volume", healthy) == []

@@ -835,3 +835,68 @@ def test_stream_trending_tokens_state_carries_across_batches(spark, tmp_path):
     assert total.get("spark") == 25
     assert total.get("parquet") == 10
     assert total.get("shuffle") == 5
+
+
+def test_finalize_trending_from_live_stream_summaries(spark, tmp_path):
+    """The batch finalizer consumes summaries emitted by the LIVE
+    applyInPandasWithState stream and produces the exact frequent-token
+    set (count > n/k) — the full stream-sketch -> batch-finalize
+    contract, end to end."""
+    import json
+
+    from adtl_spark.streaming.stateful import (
+        finalize_trending,
+        stream_trending_tokens,
+        trending_summaries_batch,
+    )
+
+    docs = [
+        {"doc_id": i, "text": "hot hot hot warm cold" if i % 2 else "hot warm rare%d" % i}
+        for i in range(20)
+    ]
+    src = tmp_path / "trend_fin_src"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(d) for d in docs[:10]))
+    (src / "b2.json").write_text("\n".join(json.dumps(d) for d in docs[10:]))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = stream_trending_tokens(stream, k=4, shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("trend_fin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    summaries = spark.sql("SELECT token, cnt FROM trend_fin")
+    assert summaries.count() > 0
+
+    batch_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for d in docs], ["doc_id", "text"]
+    )
+    got = {
+        (r["token"], r["cnt"])
+        for r in finalize_trending(summaries, batch_docs, k=4, shards=2).collect()
+    }
+    # exact contract: tokens with count > n/k, exact counts
+    from collections import Counter
+
+    counts = Counter(t for d in docs for t in d["text"].lower().split())
+    n = sum(counts.values())
+    want = {(t, c) for t, c in counts.items() if c > n / 4}
+    assert got == want
+
+    # the batch twin's summaries finalize to the same exact set
+    got_batch = {
+        (r["token"], r["cnt"])
+        for r in finalize_trending(
+            trending_summaries_batch(batch_docs, k=4, shards=2),
+            batch_docs,
+            k=4,
+            shards=2,
+        ).collect()
+    }
+    assert got_batch == want

@@ -74,7 +74,69 @@ SMJ_ALLOWED = {
     "dedup_embedding_recall": "contains the exact all-pairs truth side twice",
     "ann_lsh_recall": "contains the exact cosine truth side",
     "ann_pq_recall": "contains the exact L2 truth side",
+    "ann_pq_rerank_recall": "contains the exact L2 truth side (rerank twin)",
 }
+
+# Reason-pattern check: when an allowlisted query's plan DOES contain a
+# SortMergeJoin, every SMJ key pair (expression-ids stripped) must match
+# the query's expected-key regex — the keys the written reason describes.
+# An SMJ on OTHER keys under an allowlisted name (e.g. a dimension join
+# that lost its broadcast hint) is a plan regression and flags as
+# SMJ-key-drift instead of hiding behind the name.  Names without an
+# entry fall back to name-only allowlisting.
+_FACT_ORDERKEY = r"orderkey"
+SMJ_EXPECT = {
+    "w5_asof_join": r"__bin__",
+    "w6_range_join": r"__bin__|event_id",
+    "w7_asof_forward": r"__bin__",
+    "w8_asof_nearest": r"__bin__",
+    "w9_funnel": r"user_id",
+    "w10_retention": r"user_id",
+    "w1_sessionize": r"user_id",
+    "q3_shipping_priority": _FACT_ORDERKEY,
+    "q5_local_supplier_volume": _FACT_ORDERKEY,
+    "q7_volume_shipping": _FACT_ORDERKEY,
+    "q8_market_share": _FACT_ORDERKEY,
+    "q9_product_profit": _FACT_ORDERKEY,
+    "q10_returned_items": _FACT_ORDERKEY,
+    "q12_shipping_delay": _FACT_ORDERKEY,
+    "q18_large_volume_customer": _FACT_ORDERKEY,
+    "q21_waiting_supplier": _FACT_ORDERKEY,
+    "graph_pagerank": r"\bsrc\b|\bdst\b|\bv\b",
+    "graph_triangles": r"\bu\b|\ba2\b|\bb2\b|\bsrc\b|\bdst\b",
+    "dedup_incremental": r"\bsh\b|band|id_a|id_b",
+    "corpus_merge_upsert": r"__id|__iid",
+    "pipeline_corpus_clean": r"id",
+    "dedup_cluster": r"node|label|src|dst|id_a|id_b",
+    "dedup_keep_best": r"doc_id|node",
+    "corpus_unigram_logprob": r"doc_id|__did__",
+    "corpus_bigram_logprob": r"__did__",
+    "dedup_semantic": r"\brep\b",
+    "dedup_minhash_recall": r"id_a|id_b",
+    "dedup_embedding_recall": r"id_a|id_b",
+    "ann_lsh_recall": r"query_id|corpus_id",
+    "ann_pq_recall": r"query_id|corpus_id",
+    "ann_pq_rerank_recall": r"query_id|corpus_id",
+}
+
+
+def smj_key_pairs(plan: str) -> list[str]:
+    """Normalized 'lhs|rhs' key strings of every SortMergeJoin in the
+    plan, expression ids stripped."""
+    pairs = re.findall(r"SortMergeJoin(?: \w+hashjoin)?\s*\[([^\]]*)\], \[([^\]]*)\]", plan)
+    return [
+        re.sub(r"#\d+L?", "", a) + "|" + re.sub(r"#\d+L?", "", b)
+        for a, b in pairs
+    ]
+
+
+def smj_drift(name: str, plan: str) -> list[str]:
+    """Key pairs of allowlisted-name SMJs that do NOT match the expected
+    pattern — non-empty means a plan regression hiding behind the name."""
+    pattern = SMJ_EXPECT.get(name)
+    if pattern is None:
+        return []
+    return [kp for kp in smj_key_pairs(plan) if not re.search(pattern, kp)]
 # BroadcastNestedLoopJoin is tolerated only for tiny-literal cross joins
 # (1-row thresholds, query sets) — flagged otherwise.
 BNLJ_ALLOWED_PATTERNS = ("crossJoin", "threshold", "recall", "budget")
@@ -91,6 +153,7 @@ def audit(name: str, df) -> dict:
         "cart": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "wsc": len(re.findall(r"\*\(\d+\)", plan)),
+        "smj_drift": smj_drift(name, plan) if name in SMJ_ALLOWED else [],
     }
 
 
@@ -116,6 +179,8 @@ def main() -> None:
             flags.append("CARTESIAN")
         if row["smj"] and name not in SMJ_ALLOWED:
             flags.append("SMJ-unallowlisted")
+        if row["smj_drift"]:
+            flags.append(f"SMJ-key-drift:{row['smj_drift'][0][:40]}")
         if flags:
             bad.append(name)
         print(
