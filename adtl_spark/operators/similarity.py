@@ -1403,16 +1403,79 @@ def _pq_codebooks_trained(
     cluster structure of a small corpus, while 64 distinct data-point
     codewords keep more resolution.  That crossover is why the gate uses
     untrained ks=64 and this stays an option: pick by measurement, per
-    corpus.  m extra training loops, each collecting a ks x d_sub model
-    per iteration."""
+    corpus.  All m subspaces train TOGETHER: each Lloyd iteration is ONE
+    job that assigns every subspace's cell (m argmin expressions over the
+    sliced vector, no join) and aggregates the (j, cluster, dim) means in
+    a single m*ks*d_sub-group shuffle — the same exact integer qsum/count
+    arithmetic as the per-subspace ``_kmeans_train`` loop (which this
+    replaces; it cost m*iters separate jobs), so the unrolled oracle
+    replay is unchanged."""
     d_sub = dim // m
-    books = []
+    seed_rows = (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(ks)
+        .collect()
+    )
+    books: list[list[tuple[int, list[float], float]]] = []
     for j in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("__pid__"),
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias("__sv__"),
+        cells = []
+        for code, r in enumerate(seed_rows):
+            coords = [float(x) for x in r["v"]][j * d_sub : (j + 1) * d_sub]
+            cells.append((code, coords, _half_sq(coords)))
+        books.append(cells)
+
+    base = corpus.select(
+        F.col(id_col).alias("__pid__"),
+        *[
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"__sv{j}__")
+            for j in range(m)
+        ],
+    )
+    for _ in range(iters):
+        assigned = base.select(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(
+                        _kmeans_cell_sql(f"__sv{j}__", books[j])
+                    ).alias("cluster"),
+                    F.col(f"__sv{j}__").alias("sv"),
+                ).alias(f"__a{j}__")
+                for j in range(m)
+            ]
         )
-        books.append(_kmeans_train(sub, ks, iters, "__pid__", "__sv__"))
+        stacked = assigned.select(
+            F.explode(F.array(*[f"__a{j}__" for j in range(m)])).alias("a")
+        ).select(
+            F.col("a.j").alias("j"),
+            F.col("a.cluster").alias("cluster"),
+            F.posexplode("a.sv").alias("dim", "val"),
+        )
+        cells = (
+            stacked.groupBy("j", "cluster", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5))
+                    .cast("long")
+                ).alias("qsum"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        per_j: dict[int, dict[int, dict[int, float]]] = {}
+        for r in cells:
+            per_j.setdefault(r["j"], {}).setdefault(r["cluster"], {})[
+                r["dim"]
+            ] = r["qsum"] / r["n"] / 1000000.0
+        books = []
+        for j in range(m):
+            by_cid = per_j.get(j, {})
+            new_cells = []
+            for cid in sorted(by_cid):
+                coords = [by_cid[cid][d] for d in range(len(by_cid[cid]))]
+                new_cells.append((cid, coords, _half_sq(coords)))
+            books.append(new_cells)
     return books
 
 

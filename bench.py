@@ -39,6 +39,10 @@ docs/BENCH_NOTES.md for the r3->r4 diff table).  Late round-4 batch
 appends six more: HyperLogLog distinct sketch, NB quality classifier,
 TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
 
+Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
+rerank + its recall, trending finalizer); ordering stays append-only so
+per-query times compare directly to BENCH_r05.
+
 Round-5 changes: appends the 18 queries that completed registry
 coverage (cluster/embedding/keep-best dedup, token stats, fingerprint,
 validation report, the driver-side BPE trainer + broadcast segmenter,
@@ -217,6 +221,13 @@ HEADLINE = [
     "emb_jl_project",
     "w15_gapfill",
     "w16_gapfill_linear",
+    # round-6 additions (appended; prefix order unchanged for r5 parity):
+    # trained-codebook PQ, ADC-shortlist + exact re-rank (+ measured
+    # recall), and the trending-token batch finalizer
+    "ann_pq_trained_topk",
+    "ann_pq_rerank_topk",
+    "ann_pq_rerank_recall",
+    "stream_trending_finalize",
 ]
 
 
