@@ -17,6 +17,8 @@ from pathlib import Path
 def handle_parse(args: argparse.Namespace) -> int:
     from adtl_spark.api import Parser
 
+    if getattr(args, "parquet", False):
+        args.format = "parquet"
     if args.format == "parquet" and _spec_returns_unmatched(args.spec):
         print(
             "adtl-spark: returnUnmatched specs produce mixed-type columns "
@@ -172,6 +174,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--encoding", default="UTF-8", help="source file encoding")
     p.add_argument(
         "--format", default="csv", choices=("csv", "parquet"), help="output format"
+    )
+    p.add_argument(
+        "--parquet",
+        action="store_true",
+        help="output in parquet format (reference-CLI spelling of --format parquet)",
+    )
+    p.add_argument(
+        "-v",
+        "--verbose",
+        action="store_true",
+        help="accepted for reference-CLI compatibility (Spark logs are "
+        "controlled by the session log level)",
     )
     p.add_argument(
         "--include-def",

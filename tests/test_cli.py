@@ -245,3 +245,24 @@ def test_cli_clean_corpus(tmp_path, spark, capsys):
     assert report["after_near_dedup"] < report["input"]
     kept = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert kept in ({1, 4}, {2, 4})  # exactly one of the twins survives
+
+
+def test_cli_parquet_flag_spelling(workdir):
+    """The reference CLI spells parquet output as a --parquet flag; it
+    must behave exactly like --format parquet."""
+    rc = main(
+        [
+            "parse",
+            str(workdir / "spec.toml"),
+            str(workdir / "data.csv"),
+            "-o",
+            str(workdir / "pq"),
+            "--parquet",
+            "-q",
+            "-v",  # accepted for compatibility
+        ]
+    )
+    assert rc == 0
+    import glob
+
+    assert glob.glob(str(workdir / "pq-subject.parquet*"))
