@@ -885,7 +885,7 @@ def quantize_oracle_sql(table: str, bits: int = 8, dim: int = 64) -> str:
 def semantic_dedup(
     corpus: DataFrame,
     tau: float = 0.95,
-    k: int = 8,
+    k: int | None = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -922,7 +922,17 @@ def semantic_dedup(
     (a) the group's internal cosine (identical vectors: every non-minimum
     id has the group minimum as a lower-id mate) and (b) the smallest
     representative id among qualifying cross-group mates — both computed
-    on the distinct-vector relation only."""
+    on the distinct-vector relation only.
+
+    ``k=None`` picks k = isqrt(N) from one corpus count — the
+    sqrt-scaling deployment described above as an actual code path, so
+    within-cluster pair work stays ~N^1.5 as the corpus grows (the
+    oracle-gated query pins a FIXED k instead, because the replayed
+    k-means chain must be knowable at SQL-generation time)."""
+    if k is None:
+        import math
+
+        k = max(2, math.isqrt(max(int(corpus.count()), 1)))
     cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     d = (

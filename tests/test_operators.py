@@ -2193,3 +2193,27 @@ def test_operators_handle_empty_corpus(spark):
     ).count() == 0
     assert T.bpe_merges(empty, n_merges=2).count() == 0
     assert T.bpe_segment(empty, [("a", "b")]).count() == 0
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """k=None derives isqrt(N) clusters (the documented sqrt-scaling
+    deployment) and matches the explicit-k run exactly."""
+    import math
+
+    from adtl_spark.operators import similarity as S
+
+    n = 120
+    rows = [
+        (i, [float((i * 7 + d * 3) % 13) for d in range(8)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    auto = {
+        r["vec_id"]: r["cluster"]
+        for r in S.semantic_dedup(df, tau=0.999, k=None).collect()
+    }
+    explicit = {
+        r["vec_id"]: r["cluster"]
+        for r in S.semantic_dedup(df, tau=0.999, k=math.isqrt(n)).collect()
+    }
+    assert auto == explicit
+    assert len(set(auto.values())) > 1  # actually clustered
