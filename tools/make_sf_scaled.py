@@ -75,6 +75,16 @@ def main() -> None:
                     copy = copy.withColumn(
                         keycol, (F.col(keycol) + F.lit(c * OFFSET)).cast("long")
                     )
+                if table == "supplier" and c > 0:
+                    # names copied verbatim would give every supplier 9
+                    # exact clones and inflate the fuzzy-join deletion
+                    # neighborhoods quadratically per name group (the
+                    # named fuzzy_pairs_suppliers artifact in the first
+                    # sf1 snapshot); suffixing keeps realistic name
+                    # structure with fresh identities per copy
+                    copy = copy.withColumn(
+                        "s_name", F.concat(F.col("s_name"), F.lit(f"-{c}"))
+                    )
                 if table == "documents" and c > 0:
                     copy = copy.withColumn(
                         "text",
