@@ -1401,6 +1401,42 @@ TREND_K = 30
 TREND_SHARDS = 16
 
 
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAV encode -> decode round trip, value-checked end to end:
+    each document synthesizes a real RIFF/WAVE PCM payload with
+    doc_id-derived sizing (multimodal.synthetic_wav), and the Arrow
+    mapInPandas audio extractor (multimodal.extract_audio_features)
+    DECODES the bytes back to format facts.  The oracle states the
+    sizing arithmetic directly — a decoder bug (header layout, chunk
+    walk, frame math) breaks the match.  Only exact-integer outputs are
+    gated; RMS/peak go through libm sin() and stay pytest-pinned
+    (cross-engine float protocol, operators/corpus.py docstring)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_wav(160 * (1 + int(i) % 30), seed=int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    feats = M.extract_audio_features(media)
+    return feats.select(
+        "media_id", "sample_rate", "channels", "bits", "n_samples", "duration_ms"
+    )
+
+
 def stream_trending_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch finalizer over trending-token summaries
     (streaming.finalize_trending): the per-shard Misra-Gries summaries —
@@ -4348,6 +4384,19 @@ def oracles() -> dict[str, str]:
                ) AS item FROM documents""",
             k=150,
         ),
+        # the WAV sizing arithmetic the decoder must recover: frames =
+        # 160*(1+doc_id%30) at 16 kHz mono 16-bit; duration divides
+        # exactly (frames is a multiple of 16)
+        "multimodal_audio_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(1 AS INT) AS channels,
+                   CAST(16 AS INT) AS bits,
+                   CAST(160 * (1 + doc_id % 30) AS BIGINT) AS n_samples,
+                   CAST(160 * (1 + doc_id % 30) * 1000 // 16000 AS BIGINT)
+                     AS duration_ms
+            FROM documents
+        """,
         # finalize_trending's contract is the same exact frequency
         # statement (the MG summaries only bound the candidate set)
         "stream_trending_finalize": f"""
@@ -4902,12 +4951,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. New round-6 queries lead so each gets a driver row the round it
        lands: the Lloyd-trained PQ gate, the ADC-shortlist + exact
        re-rank pair (the measured recall's production configuration),
-       and the trending-token batch finalizer.
+       the trending-token batch finalizer, and the WAV encode->decode
+       round-trip gate.
     2. Then the LEAST-recently driver-verified entries: positions 51-146
        of the round-5 registry, whose driver rows date to rounds 1-4
        (all re-verified green at HEAD by the r5 verdict's full
-       check_oracle run).  The first 46 fill the rest of this round's
-       window, through ``corpus_length_quantiles_hist`` at position 50.
+       check_oracle run).  The first 45 fill the rest of this round's
+       window, through ``text_pmi_topk`` at position 50.
     3. The tail holds the rest of that block and then the 50 queries the
        round-5 driver gate checked (the freshest green rows).
 
@@ -4921,6 +4971,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
+        "multimodal_audio_meta": multimodal_audio_meta,
         "emb_label_centroids": emb_label_centroids,  # -- least-recently-verified block (rounds 1-4 rows) --
         "emb_kmeans": emb_kmeans,
         "emb_kmeans_centroids": emb_kmeans_centroids,

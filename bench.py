@@ -228,6 +228,7 @@ HEADLINE = [
     "ann_pq_rerank_topk",
     "ann_pq_rerank_recall",
     "stream_trending_finalize",
+    "multimodal_audio_meta",
 ]
 
 

@@ -364,6 +364,7 @@ def test_query_registry_invariants():
         "ann_pq_rerank_topk",
         "ann_pq_rerank_recall",
         "stream_trending_finalize",
+        "multimodal_audio_meta",
         # least-recently-verified head (rounds 1-4 driver rows)
         "emb_label_centroids",
         "emb_kmeans",
@@ -383,7 +384,7 @@ def test_query_registry_invariants():
         "w9_funnel",
         "olap_rollup",
         "corpus_zipf",
-        "corpus_length_quantiles_hist",
+        "text_pmi_topk",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
