@@ -1437,6 +1437,46 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PPM encode -> decode round trip, value-checked end to end:
+    each document synthesizes a real binary P6 payload with
+    doc_id-derived dimensions, the Arrow mapInPandas extractor DECODES
+    the pixels through the real-decoder path, and the gated width/height
+    are recovered FROM the decoded feature vector (f[0]*4096, f[1]*4096
+    — exact: the /4096 normalization is a power-of-two division), so the
+    match proves the header parse, not just byte bookkeeping.
+    payload_bytes additionally pins the exact header+pixel layout."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_ppm(
+                            8 + int(i) % 16, 8 + (int(i) * 3) % 16, seed=int(i)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    feats = M.extract_image_features(media, use_real_decoder=True)
+    return feats.select(
+        "media_id",
+        "payload_bytes",
+        (F.element_at("feature", 1) * 4096).cast("long").alias("width"),
+        (F.element_at("feature", 2) * 4096).cast("long").alias("height"),
+    )
+
+
 def stream_trending_finalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch finalizer over trending-token summaries
     (streaming.finalize_trending): the per-shard Misra-Gries summaries —
@@ -4384,6 +4424,19 @@ def oracles() -> dict[str, str]:
                ) AS item FROM documents""",
             k=150,
         ),
+        # the PPM layout arithmetic the decoder must recover: header
+        # "P6\n{w} {h}\n255\n" + w*h*3 pixel bytes, dims from doc_id
+        "multimodal_image_meta": """
+            SELECT doc_id AS media_id,
+                   CAST(3 + length(CAST(8 + doc_id % 16 AS VARCHAR)) + 1
+                        + length(CAST(8 + (doc_id * 3) % 16 AS VARCHAR)) + 1
+                        + 4
+                        + (8 + doc_id % 16) * (8 + (doc_id * 3) % 16) * 3
+                     AS BIGINT) AS payload_bytes,
+                   CAST(8 + doc_id % 16 AS BIGINT) AS width,
+                   CAST(8 + (doc_id * 3) % 16 AS BIGINT) AS height
+            FROM documents
+        """,
         # the WAV sizing arithmetic the decoder must recover: frames =
         # 160*(1+doc_id%30) at 16 kHz mono 16-bit; duration divides
         # exactly (frames is a multiple of 16)
@@ -4951,13 +5004,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. New round-6 queries lead so each gets a driver row the round it
        lands: the Lloyd-trained PQ gate, the ADC-shortlist + exact
        re-rank pair (the measured recall's production configuration),
-       the trending-token batch finalizer, and the WAV encode->decode
-       round-trip gate.
+       the trending-token batch finalizer, and the WAV + PPM
+       encode->decode round-trip gates.
     2. Then the LEAST-recently driver-verified entries: positions 51-146
        of the round-5 registry, whose driver rows date to rounds 1-4
        (all re-verified green at HEAD by the r5 verdict's full
-       check_oracle run).  The first 45 fill the rest of this round's
-       window, through ``text_pmi_topk`` at position 50.
+       check_oracle run).  The first 44 fill the rest of this round's
+       window, through ``corpus_zipf`` at position 50.
     3. The tail holds the rest of that block and then the 50 queries the
        round-5 driver gate checked (the freshest green rows).
 
@@ -4972,6 +5025,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
         "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,  # -- least-recently-verified block (rounds 1-4 rows) --
         "emb_kmeans": emb_kmeans,
         "emb_kmeans_centroids": emb_kmeans_centroids,

@@ -229,6 +229,7 @@ HEADLINE = [
     "ann_pq_rerank_recall",
     "stream_trending_finalize",
     "multimodal_audio_meta",
+    "multimodal_image_meta",
 ]
 
 

@@ -365,6 +365,7 @@ def test_query_registry_invariants():
         "ann_pq_rerank_recall",
         "stream_trending_finalize",
         "multimodal_audio_meta",
+        "multimodal_image_meta",
         # least-recently-verified head (rounds 1-4 driver rows)
         "emb_label_centroids",
         "emb_kmeans",
@@ -384,7 +385,6 @@ def test_query_registry_invariants():
         "w9_funnel",
         "olap_rollup",
         "corpus_zipf",
-        "text_pmi_topk",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 
