@@ -592,3 +592,119 @@ def test_zorder_key_bijective_and_monotone_per_axis(spark, seed, bits):
         yz.sort()
         zs = [z for _, z in yz]
         assert zs == sorted(zs), f"non-monotone at x={x}"
+
+
+# ---------------- spec-model properties (V1 rule-level validation) ----------
+
+_idents = st.sampled_from(["f1", "field_b", "src", "col9"])
+_scalars = st.one_of(st.text(max_size=8).filter(lambda s: "\x00" not in s),
+                     st.integers(-100, 100), st.booleans())
+
+
+def _condition(depth: int):
+    leaf = st.one_of(
+        st.dictionaries(_idents, _scalars, min_size=1, max_size=2),
+        st.dictionaries(
+            _idents,
+            st.fixed_dictionaries(
+                {}, optional={
+                    "<": st.integers(-5, 5),
+                    ">=": st.integers(-5, 5),
+                    "!=": st.integers(-5, 5),
+                    "=~": st.sampled_from(["^a", "[0-9]+"]),
+                },
+            ).filter(lambda d: d),
+            min_size=1,
+            max_size=2,
+        ),
+    )
+    if depth <= 0:
+        return leaf
+    sub = _condition(depth - 1)
+    return st.one_of(
+        leaf,
+        st.fixed_dictionaries({"any": st.lists(sub, min_size=1, max_size=2)}),
+        st.fixed_dictionaries({"all": st.lists(sub, min_size=1, max_size=2)}),
+        st.fixed_dictionaries({"not": sub}),
+    )
+
+
+_field_rule = st.fixed_dictionaries(
+    {"field": _idents},
+    optional={
+        "values": st.dictionaries(
+            st.sampled_from(["1", "2", "y"]), _scalars, max_size=3
+        ),
+        "sensitive": st.booleans(),
+        "caseInsensitive": st.just(True),
+        "apply": st.fixed_dictionaries(
+            {"function": st.sampled_from(["getFloat", "isNotNull"])}
+        ),
+        "if": _condition(2),
+    },
+)
+_rule = st.one_of(
+    st.text(max_size=6).filter(lambda s: "\x00" not in s),
+    st.integers(-9, 9),
+    st.booleans(),
+    _field_rule,
+    st.fixed_dictionaries(
+        {
+            "combinedType": st.sampled_from(
+                ["list", "any", "all", "min", "max", "firstNonNull", "set"]
+            ),
+            "fields": st.lists(_field_rule, min_size=1, max_size=2),
+        }
+    ),
+)
+
+
+@given(rules=st.dictionaries(st.sampled_from(["a", "b", "c"]), _rule,
+                             min_size=1, max_size=3))
+@settings(**SETTINGS)
+def test_model_accepts_arbitrary_valid_rule_trees(rules):
+    """Every document assembled from the accepted rule grammar (constants,
+    field rules with values/flags/apply/nested-if, combinedType folds)
+    validates — the widened surface never rejects a well-formed spec."""
+    from adtl_spark.model import validate_document
+
+    validate_document(
+        {
+            "adtl": {
+                "name": "prop",
+                "description": "p",
+                "tables": {"t": {"kind": "oneToOne"}},
+            },
+            "t": rules,
+        }
+    )
+
+
+@given(
+    rules=st.dictionaries(st.sampled_from(["a", "b"]), _field_rule,
+                          min_size=1, max_size=2),
+    bad_key=st.sampled_from(["bogus", "Field", "valeus", "iff"]),
+)
+@settings(**SETTINGS)
+def test_model_rejects_any_unknown_rule_key(rules, bad_key):
+    """Injecting one unknown key into any field rule always fails
+    validation, and the error names the key."""
+    import pydantic
+    import pytest as _pytest
+
+    from adtl_spark.model import validate_document
+
+    target = next(iter(rules))
+    rules = {**rules, target: {**rules[target], bad_key: 1}}
+    with _pytest.raises(pydantic.ValidationError) as e:
+        validate_document(
+            {
+                "adtl": {
+                    "name": "prop",
+                    "description": "p",
+                    "tables": {"t": {"kind": "oneToOne"}},
+                },
+                "t": rules,
+            }
+        )
+    assert bad_key in str(e.value)
