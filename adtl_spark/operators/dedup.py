@@ -1312,3 +1312,153 @@ def tfidf_cosine_oracle_sql(
     GROUP BY 1, 2
     HAVING SUM(a.u * b.u) >= {t_int}
     """
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq_frac: float | None = 0.2,
+) -> DataFrame:
+    """Directed containment join: every (src, dst) pair with
+    |shingles(src) AND shingles(dst)| >= threshold * |shingles(src)|,
+    src != dst — the asymmetric cousin of :func:`dedup_ngram_jaccard`
+    that catches INCLUSION (a document quoting, excerpting, or wholly
+    embedding another) which symmetric Jaccard misses when sizes differ.
+
+    Same sub-quadratic machinery as the Jaccard join, adapted to the
+    one-sided predicate: ubiquitous shingles above the document-frequency
+    cap are dropped (part of the operator's definition — the oracle
+    applies the same cap), and only the SRC side is prefix-filtered:
+    containment >= t forces a shared shingle within src's first
+    |src| - ceil(t*|src|) + 1 rarest-first shingles, while dst must join
+    with its full shingle set (no symmetric bound exists for it; the
+    |dst| >= t*|src| size filter still prunes).  The verification
+    intersection runs on sorted shingle arrays, and the threshold check
+    compares integers (inter >= t * |src| with exact-int inter/|src| and
+    an exact t literal) — no float drift.
+
+    Output: (src, dst, inter, n_src, containment_q4), containment
+    quantized at 1e-4.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_df(df, text_col, id_col, n)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    if max_doc_freq_frac is not None:
+        n_docs = df.count()  # metadata-only action
+        cap = int(n_docs * max_doc_freq_frac)
+        freq = freq.filter(F.col("df_") <= cap)
+    sh = sh.join(freq, "sh").persist()
+
+    by_rarity = Window.partitionBy("id").orderBy("df_", "sh")
+    ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
+    sized = ranked.withColumn(
+        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
+    # one-sided PPJoin prefix: overlap >= ceil(t*sz) means a shared
+    # shingle appears among src's first sz - ceil(t*sz) + 1 rarest
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    src_prefix = (
+        sized.filter(F.col("pos") <= prefix_len)
+        .select(
+            F.col("id").alias("src"),
+            F.col("sh").alias("src_sh"),
+            F.col("sz").alias("sz_src"),
+        )
+    )
+    dst_all = sized.select(
+        F.col("id").alias("dst"),
+        F.col("sh").alias("dst_sh"),
+        F.col("sz").alias("sz_dst"),
+    )
+
+    cand = (
+        src_prefix.join(
+            dst_all,
+            (F.col("src_sh") == F.col("dst_sh"))
+            & (F.col("src") != F.col("dst"))
+            # inter <= min(sz_src, sz_dst) and inter >= t*sz_src
+            & (F.col("sz_dst") >= F.lit(threshold) * F.col("sz_src")),
+        )
+        .select("src", "dst")
+        .dropDuplicates(["src", "dst"])
+    )
+
+    doc_sets = sized.groupBy("id").agg(
+        F.array_sort(F.collect_list("sh")).alias("set_"),
+        F.count(F.lit(1)).alias("sz"),
+    ).persist()
+    out = (
+        cand.join(
+            doc_sets.select(
+                F.col("id").alias("src"),
+                F.col("set_").alias("set_src"),
+                F.col("sz").alias("n_src"),
+            ),
+            "src",
+        )
+        .join(
+            doc_sets.select(
+                F.col("id").alias("dst"), F.col("set_").alias("set_dst")
+            ),
+            "dst",
+        )
+        .withColumn("inter", F.size(F.array_intersect("set_src", "set_dst")))
+        .filter(F.col("inter") >= F.lit(threshold) * F.col("n_src"))
+        .select(
+            "src",
+            "dst",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("n_src").cast("long").alias("n_src"),
+            (
+                F.floor(
+                    F.col("inter") / F.col("n_src") * 10000 + F.lit(0.5)
+                ).cast("double")
+                / 10000.0
+            ).alias("containment_q4"),
+        )
+    )
+    return out
+
+
+def containment_pairs_oracle_sql(
+    table: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    max_doc_freq_frac: float | None = 0.2,
+) -> str:
+    """DuckDB twin of containment_pairs: the naive capped shingle
+    self-join (no prefix filter — the prefix is a lossless optimization,
+    so naive and optimized outputs are identical)."""
+    cap_cte = (
+        f"""
+      capped AS (
+        SELECT sh FROM (SELECT sh, count(*) AS df_ FROM shingles GROUP BY sh)
+        WHERE df_ <= (SELECT CAST(floor(count(*) * {max_doc_freq_frac}) AS BIGINT) FROM {table})
+      ),
+      kept AS (SELECT s.id, s.sh FROM shingles s JOIN capped USING (sh)),"""
+        if max_doc_freq_frac is not None
+        else """
+      kept AS (SELECT id, sh FROM shingles),"""
+    )
+    return f"""
+      WITH shingles AS (
+        {shingle_cte_sql(table, n)}
+      ),{cap_cte}
+      sizes AS (SELECT id, count(*) AS sz FROM kept GROUP BY id),
+      inters AS (
+        SELECT a.id AS src, b.id AS dst, count(*) AS inter
+        FROM kept a JOIN kept b ON a.sh = b.sh AND a.id != b.id
+        GROUP BY 1, 2
+      )
+      SELECT src, dst,
+             CAST(inter AS BIGINT) AS inter,
+             CAST(s.sz AS BIGINT) AS n_src,
+             floor(CAST(inter AS DOUBLE) / s.sz * 10000 + 0.5) / 10000.0
+               AS containment_q4
+      FROM inters JOIN sizes s ON s.id = src
+      WHERE inter >= {threshold} * s.sz
+    """

@@ -1,0 +1,127 @@
+"""Pipeline monitoring: distribution-drift statistics between corpus
+snapshots.
+
+A 100 TB training-data pipeline re-ingests continuously; the question
+"did this week's crawl shift under us?" is a per-feature comparison of
+two snapshot distributions.  The Population Stability Index is the
+standard scalar for it: over a shared bucketing,
+
+    PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+with add-half smoothing so empty buckets stay finite (PSI >= 0; ~0.1 is
+"watch", ~0.25 is "investigate").
+
+Scale shape: one narrow projection per snapshot -> a <= n_buckets-row
+aggregation each -> a bucket-grain join of two tiny relations.  The
+corpus is scanned once per side and never shuffled at row grain; the
+expensive inputs can be the SAME scan filtered two ways (Catalyst prunes
+to the bucket + split columns).
+
+Cross-engine exactness: counts are integers, smoothed p/q are single
+correctly-rounded divisions, ln goes through libm on bit-identical
+doubles (the protocol every LM scorer here already relies on,
+operators/corpus.py), and outputs quantize via floor(x*1e6+0.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _q6(x: Column) -> Column:
+    return F.floor(x * 1000000 + F.lit(0.5)).cast("long")
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    bucket: Column,
+    n_buckets: int,
+) -> DataFrame:
+    """Per-bucket PSI decomposition between a reference snapshot and a
+    current snapshot, bucketed by ``bucket`` (an expression over the
+    input columns yielding values in [0, n_buckets); the caller owns the
+    bucketing so numeric, categorical, and hashed features all reduce to
+    the same contract).
+
+    Output, one row per OCCUPIED bucket ordered by bucket id:
+    (bucket, n_ref, n_cur, p_q6, q_q6, psi_q6) where p/q are the smoothed
+    shares (cnt + 0.5) / (N + 0.5 * n_buckets) and psi_q6 the bucket's
+    quantized PSI contribution; sum(psi_q6)/1e6 is the headline index.
+    Unoccupied buckets contribute (p-q)*ln(p/q) = 0 exactly and are
+    omitted.
+    """
+    r = ref.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_ref")
+    )
+    c = cur.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+    rt = r.agg(F.sum("n_ref").alias("ref_total"))
+    ct = c.agg(F.sum("n_cur").alias("cur_total"))
+    joined = (
+        r.join(c, "bucket", "full_outer")
+        .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(ct))
+    )
+    p = (F.coalesce(F.col("n_ref"), F.lit(0)) + 0.5) / (
+        F.col("ref_total") + 0.5 * n_buckets
+    )
+    q = (F.coalesce(F.col("n_cur"), F.lit(0)) + 0.5) / (
+        F.col("cur_total") + 0.5 * n_buckets
+    )
+    return (
+        joined.select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            _q6(p).alias("p_q6"),
+            _q6(q).alias("q_q6"),
+            _q6((p - q) * F.log(p / q)).alias("psi_q6"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def psi_drift_oracle_sql(
+    table: str,
+    ref_where: str,
+    cur_where: str,
+    bucket_expr: str,
+    n_buckets: int,
+) -> str:
+    """DuckDB twin of psi_drift where both snapshots are ``table`` rows
+    split by the given WHERE predicates and bucketed by ``bucket_expr``
+    (same smoothing, same ln, same 1e-6 quantization)."""
+    smooth = f"0.5 * {n_buckets}"
+    return f"""
+      WITH r AS (
+        SELECT {bucket_expr} AS bucket, count(*) AS n_ref
+        FROM {table} WHERE {ref_where} GROUP BY 1
+      ),
+      c AS (
+        SELECT {bucket_expr} AS bucket, count(*) AS n_cur
+        FROM {table} WHERE {cur_where} GROUP BY 1
+      ),
+      rt AS (SELECT sum(n_ref) AS ref_total FROM r),
+      ct AS (SELECT sum(n_cur) AS cur_total FROM c),
+      j AS (
+        SELECT COALESCE(r.bucket, c.bucket) AS bucket,
+               COALESCE(n_ref, 0) AS n_ref,
+               COALESCE(n_cur, 0) AS n_cur,
+               (COALESCE(n_ref, 0) + 0.5) / (ref_total + {smooth}) AS p,
+               (COALESCE(n_cur, 0) + 0.5) / (cur_total + {smooth}) AS q
+        FROM r FULL OUTER JOIN c ON r.bucket = c.bucket
+        CROSS JOIN rt CROSS JOIN ct
+      )
+      SELECT CAST(bucket AS BIGINT) AS bucket,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_q6,
+             CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q_q6,
+             CAST(floor((p - q) * ln(p / q) * 1000000 + 0.5) AS BIGINT)
+               AS psi_q6
+      FROM j
+      ORDER BY bucket
+    """

@@ -401,3 +401,203 @@ def synthetic_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
         }[kind]
         rows.append((i, kind, payload, mime, meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# ---- integer-exact signal path (round 7) -------------------------------
+# Arithmetic-sample synthetics: the WAV/PPM payloads are REAL (they decode
+# through the strict native decoders above), but every sample/pixel value
+# is closed-form integer arithmetic in its index, so decoded-signal
+# statistics (energy, zero crossings, resampled-pixel checksums) have
+# EXACT DuckDB twins via generate_series replay — the decode+DSP pipeline
+# is value-checked end to end, not just its header bookkeeping.
+
+# sample_i = ((seed*2654435761 + i*40503) % 65536) - 32768: Knuth
+# multiplicative mix, non-negative dividend so Python/Spark/DuckDB '%'
+# agree; products stay far under int64.
+_WAV_MIX_A = 2654435761
+_WAV_MIX_B = 40503
+# pixel byte at flat index j = (seed*31 + j*131) % 256
+_PPM_MIX_SEED = 31
+_PPM_MIX_IDX = 131
+
+
+def synthetic_wav_arith(n_frames: int, seed: int, rate: int = 16000) -> bytes:
+    """A REAL RIFF/WAVE mono 16-bit PCM payload whose samples are pure
+    integer arithmetic in the frame index (see module constants) — the
+    exact-oracle counterpart of :func:`synthetic_wav` (whose sin() samples
+    go through libm and stay pytest-pinned)."""
+    import struct
+
+    samples = [
+        ((seed * _WAV_MIX_A + i * _WAV_MIX_B) % 65536) - 32768
+        for i in range(n_frames)
+    ]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def synthetic_ppm_arith(width: int, height: int, seed: int) -> bytes:
+    """A REAL binary P6 payload whose pixel byte at flat index ``j`` is
+    ``(seed*31 + j*131) % 256`` — the exact-oracle counterpart of
+    :func:`synthetic_ppm` (sha256 pixels, not SQL-replayable)."""
+    header = f"P6\n{width} {height}\n255\n".encode()
+    n = width * height * 3
+    rgb = bytes(
+        (seed * _PPM_MIX_SEED + j * _PPM_MIX_IDX) % 256 for j in range(n)
+    )
+    return header + rgb
+
+
+AUDIO_SIGNAL_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("sum_abs", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms_q6", T.LongType(), True),
+    ]
+)
+
+
+def audio_signal_features(df: DataFrame) -> DataFrame:
+    """Signal-level audio statistics through the native WAV decode path:
+    peak amplitude, total absolute amplitude, zero-crossing count (sign
+    transitions with sign(x) := x >= 0), and RMS quantized at 1e-6.
+
+    All-integer until the final RMS: sum(x^2) fits a double exactly at
+    WAV-chunk sizes (<= 2^53), and /n then sqrt are correctly-rounded
+    IEEE ops, so rms_q6 is bit-identical across engines (cross-engine
+    float protocol, operators/corpus.py docstring).  Vectorized numpy
+    over whole Arrow batches — per-sample work never runs row-at-a-time
+    Python."""
+    import numpy as np
+
+    def stats(b: bytes | None):
+        if b is None:
+            return (None,) * 5
+        try:
+            _rate, _ch, bits, pcm = decode_wav(b)
+            if bits != 16:
+                return (None,) * 5
+            x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+            n = x.size
+            if n == 0:
+                return (0, None, None, None, None)
+            sign = x >= 0
+            zc = int(np.count_nonzero(sign[1:] != sign[:-1]))
+            sumsq = int(np.sum(x * x))
+            rms_q6 = int(np.floor(np.sqrt(sumsq / n) * 1e6 + 0.5))
+            return (n, int(np.max(np.abs(x))), int(np.sum(np.abs(x))), zc, rms_q6)
+        except ValueError:
+            return (None,) * 5
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [stats(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [v[0] for v in vals],
+                    "peak": [v[1] for v in vals],
+                    "sum_abs": [v[2] for v in vals],
+                    "zero_crossings": [v[3] for v in vals],
+                    "rms_q6": [v[4] for v in vals],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SIGNAL_SCHEMA)
+
+
+def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Nearest-neighbor downsample by an integer factor through the native
+    PPM decode path: decode -> strided numpy slice ``[::f, ::f, :]`` ->
+    re-encode P6.  Output (media_id, payload) composes back into any
+    decoder-consuming stage (the round-trip gate decodes the output
+    again).  Arrow-batched; pixel work is numpy slicing, never per-pixel
+    Python."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("resize_image_nn needs factor >= 1")
+
+    def one(b: bytes | None):
+        if b is None:
+            return None
+        w, h, rgb = decode_ppm(b)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        out = np.ascontiguousarray(a[::factor, ::factor, :])
+        oh, ow = out.shape[0], out.shape[1]
+        return f"P6\n{ow} {oh}\n255\n".encode() + out.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema="media_id long, payload binary")
+
+
+IMAGE_PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("checksum", T.LongType(), True),
+    ]
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """Exact pixel statistics through the native PPM decode path: per-
+    channel sums and a position-weighted checksum
+    ``sum_p (p+1) * (r + 2g + 3b)`` (flat pixel index p) — the checksum is
+    sensitive to pixel ORDER, so it pins the decoder's layout and any
+    upstream resample's stride arithmetic, not just value multisets."""
+    import numpy as np
+
+    def stats(b: bytes | None):
+        if b is None:
+            return (None,) * 6
+        try:
+            w, h, rgb = decode_ppm(b)
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3).astype(np.int64)
+            weights = np.arange(1, h * w + 1, dtype=np.int64)
+            mix = a[:, 0] + 2 * a[:, 1] + 3 * a[:, 2]
+            return (
+                w,
+                h,
+                int(a[:, 0].sum()),
+                int(a[:, 1].sum()),
+                int(a[:, 2].sum()),
+                int((weights * mix).sum()),
+            )
+        except ValueError:
+            return (None,) * 6
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [stats(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [v[0] for v in vals],
+                    "height": [v[1] for v in vals],
+                    "sum_r": [v[2] for v in vals],
+                    "sum_g": [v[3] for v in vals],
+                    "sum_b": [v[4] for v in vals],
+                    "checksum": [v[5] for v in vals],
+                }
+            )
+
+    return df.mapInPandas(run, schema=IMAGE_PIXEL_STATS_SCHEMA)

@@ -693,3 +693,165 @@ def temperature_sample_oracle_sql(
     SELECT {select} FROM src JOIN thr USING ({group_col})
     WHERE {h} < t
     """
+
+
+# ---- DSIR: data selection with importance resampling (round 7) ---------
+# Xie et al. 2023, "Data Selection for Language Models via Importance
+# Resampling": estimate target vs raw token distributions over HASHED
+# n-gram buckets (the hash keeps the feature space fixed-size regardless
+# of vocabulary), score every raw document by its importance log-ratio,
+# and keep the top-scoring documents.  Here the features are hashed
+# unigrams over the cross-engine tokenizer contract, and the log-ratio
+# sum is carried as the established exact-integer qlog protocol
+# (floor(ln(p)*1e4+0.5), operators/corpus.py) so the whole selection has
+# an exact DuckDB twin.
+
+
+def _dsir_bucket(token: Column, n_buckets: int) -> Column:
+    return md5_60(token) % n_buckets
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(bucket, cnt, total): hashed-unigram bucket histogram plus the
+    corpus token total on every row — an <= n_buckets-row broadcastable
+    model table, the DSIR analogue of corpus.train_unigram's output."""
+    from adtl_spark.operators.corpus import _exploded_tokens
+
+    toks = _exploded_tokens(docs, text_col, id_col)
+    b = toks.select(_dsir_bucket(F.col("token"), n_buckets).alias("bucket"))
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    total = b.agg(F.count(F.lit(1)).alias("total"))
+    return hist.crossJoin(F.broadcast(total))
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    top_n: int = 100,
+    n_buckets: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top ``top_n`` raw documents by DSIR importance weight toward
+    ``target`` (a DataFrame with the same text column — typically a small
+    high-quality exemplar set).
+
+    Per-bucket log-ratio: qlog((cnt_t + 0.5)/(total_t + 0.5*B)) -
+    qlog((cnt_r + 0.5)/(total_r + 0.5*B)) with add-half smoothing (absent
+    buckets get the floor mass), quantized to exact integers; a document's
+    weight is the sum over its tokens.  Ties break to the smaller doc id.
+
+    Scale shape: both bucket models are <= B rows and BROADCAST onto the
+    token stream; the per-document sum is one map-side-combinable
+    aggregation; top-n orders the doc-grain relation (corpus-sized, but
+    the sort is the cheapest stage).  No all-pairs, no driver collect.
+
+    Output: (doc_id, n_tokens, weight_q4) — weight_q4 is the exact-integer
+    sum of per-token quantized log-ratios (divide by 1e4 for nats).
+    """
+    from adtl_spark.operators.corpus import _exploded_tokens
+
+    t_model = dsir_bucket_counts(target, n_buckets, text_col, id_col)
+    r_model = dsir_bucket_counts(docs, n_buckets, text_col, id_col)
+
+    def qlog_ratio(cnt: Column, total: Column) -> Column:
+        p = (F.coalesce(cnt, F.lit(0)) + 0.5) / (total + 0.5 * n_buckets)
+        return F.floor(F.log(p) * 10000 + F.lit(0.5)).cast("long")
+
+    # totals ride every model row; read them back with single-row aggs so
+    # empty-bucket tokens still see the right denominator
+    t_total = t_model.agg(F.max("total").alias("t_total"))
+    r_total = r_model.agg(F.max("total").alias("r_total"))
+    toks = _exploded_tokens(docs, text_col, id_col).select(
+        "id", _dsir_bucket(F.col("token"), n_buckets).alias("bucket")
+    )
+    scored = (
+        toks.join(
+            F.broadcast(
+                t_model.select("bucket", F.col("cnt").alias("t_cnt"))
+            ),
+            "bucket",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                r_model.select("bucket", F.col("cnt").alias("r_cnt"))
+            ),
+            "bucket",
+            "left",
+        )
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(r_total))
+        .select(
+            "id",
+            (
+                qlog_ratio(F.col("t_cnt"), F.col("t_total"))
+                - qlog_ratio(F.col("r_cnt"), F.col("r_total"))
+            ).alias("qdiff"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("qdiff").alias("weight_q4"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("weight_q4"), F.asc("id"))
+        .limit(top_n)
+        .select(F.col("id").alias(id_col), "n_tokens", "weight_q4")
+    )
+
+
+def dsir_select_oracle_sql(
+    table: str,
+    target_where: str,
+    top_n: int = 100,
+    n_buckets: int = 512,
+) -> str:
+    """DuckDB twin of dsir_select where the target set is ``table`` rows
+    matching ``target_where`` (same hashing, same smoothing, same qlog
+    quantization, same tie-break)."""
+    bucket = md5_60_sql("token") + f" % {n_buckets}"
+    return f"""
+      WITH toks AS (
+        SELECT doc_id AS id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t != '')) AS token
+        FROM {table}
+      ),
+      bt AS (SELECT id, {bucket} AS bucket FROM toks),
+      t_ids AS (SELECT doc_id AS id FROM {table} WHERE {target_where}),
+      t_hist AS (
+        SELECT bucket, count(*) AS t_cnt
+        FROM bt JOIN t_ids USING (id) GROUP BY bucket
+      ),
+      r_hist AS (SELECT bucket, count(*) AS r_cnt FROM bt GROUP BY bucket),
+      t_total AS (SELECT count(*) AS t_total FROM bt JOIN t_ids USING (id)),
+      r_total AS (SELECT count(*) AS r_total FROM bt),
+      scored AS (
+        SELECT bt.id,
+               count(*) AS n_tokens,
+               CAST(sum(
+                 CAST(floor(ln((COALESCE(t_cnt, 0) + 0.5)
+                              / (t_total + 0.5 * {n_buckets})) * 10000 + 0.5)
+                      AS BIGINT)
+                 - CAST(floor(ln((COALESCE(r_cnt, 0) + 0.5)
+                                / (r_total + 0.5 * {n_buckets})) * 10000 + 0.5)
+                        AS BIGINT)
+               ) AS BIGINT) AS weight_q4
+        FROM bt
+        LEFT JOIN t_hist USING (bucket)
+        LEFT JOIN r_hist USING (bucket)
+        CROSS JOIN t_total CROSS JOIN r_total
+        GROUP BY bt.id
+      )
+      SELECT id AS doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, weight_q4
+      FROM scored
+      ORDER BY weight_q4 DESC, id ASC
+      LIMIT {top_n}
+    """

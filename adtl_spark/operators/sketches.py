@@ -233,3 +233,175 @@ def heavy_hitters_oracle_sql(item_sql: str, k: int = 200) -> str:
     HAVING count(*) > (SELECT CAST(count(*) AS DOUBLE) FROM src) / {k}
     ORDER BY cnt DESC, item ASC
     """
+
+
+# ---- KMV (k-minimum-values) set-overlap sketch (round 7) ----------------
+# Theta-sketch-style set operations: keep the k smallest distinct hash
+# values per corpus; the k-th minimum estimates the distinct count
+# ((k-1) * SPACE / kth, Bar-Yossef et al. 2002), and because the sketches
+# are uniform samples OF THE SAME hash order, their union's top-k doubles
+# as a Jaccard estimator (|union-top-k present in both sides| / |union
+# top-k|) — which is how you answer "how much does this week's crawl
+# overlap last week's?" without a corpus-sized intersection join.
+
+KMV_SPACE = float(1 << 60)  # md5_60 hash domain
+_KMV_SALTS = 64  # per-salt pre-top-k bounds every sort to ~k rows
+
+
+def _kmv_sketch(df: DataFrame, value: Column, k: int, side: str) -> DataFrame:
+    """The k smallest DISTINCT md5_60 hashes of ``value`` as (h, side)
+    rows.  Dedup is one map-side-combinable hash aggregate; the global
+    top-k runs per hash-derived salt first (parallel, each sorting ~k of
+    the smallest candidates), so the final single-partition top-k sees at
+    most SALTS*k rows — no global sort of the distinct relation."""
+    from pyspark.sql import Window
+
+    h = df.select(md5_60(value).alias("h")).distinct()
+    salted = h.select("h", (F.col("h") % _KMV_SALTS).alias("s"))
+    per_salt = F.row_number().over(Window.partitionBy("s").orderBy("h"))
+    cand = salted.withColumn("rn", per_salt).filter(F.col("rn") <= k)
+    glob = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+    return (
+        cand.select("h")
+        .withColumn("rn", glob)
+        .filter(F.col("rn") <= k)
+        .select("h", F.lit(side).alias("side"))
+    )
+
+
+def kmv_overlap(
+    a: DataFrame,
+    b: DataFrame,
+    value: Column | str,
+    k: int = 128,
+) -> DataFrame:
+    """One-row overlap summary of two corpora from their KMV sketches.
+
+    Columns: k_a/k_b/k_u (actual sketch sizes, < k when a side has fewer
+    distinct values — estimates are then exact counts), matches (union
+    top-k values present in BOTH sketches), est_a/est_b/est_union
+    (distinct-count estimates, floor-quantized to BIGINT), jaccard_q6
+    (matches/k_u at 1e-6), est_inter (jaccard * est_union, floored).
+
+    Exactness: every count is integer; (k-1)*2^60 is a power-of-two
+    multiple of a small int (exact double), the /kth divisions and the
+    jaccard ratio are single correctly-rounded IEEE ops, so the DuckDB
+    replay twin matches bit-for-bit (cross-engine float protocol)."""
+    value = F.col(value) if isinstance(value, str) else value
+    sk_a = _kmv_sketch(a, value, k, "a")
+    sk_b = _kmv_sketch(b, value, k, "b")
+    # any union-top-k value is in its own side's top-k, so the union
+    # sketch derives from the two k-row sketches alone
+    from pyspark.sql import Window
+
+    u = (
+        sk_a.select("h")
+        .unionByName(sk_b.select("h"))
+        .distinct()
+        .withColumn(
+            "rn", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
+        )
+        .filter(F.col("rn") <= k)
+    )
+    flags = (
+        u.join(sk_a.select("h", F.lit(1).alias("in_a")), "h", "left")
+        .join(sk_b.select("h", F.lit(1).alias("in_b")), "h", "left")
+    )
+
+    def est(kth: Column, size: Column) -> Column:
+        return F.when(size < k, size.cast("double")).otherwise(
+            F.lit(float(k - 1)) * F.lit(KMV_SPACE) / kth
+        )
+
+    stats_a = sk_a.agg(
+        F.count(F.lit(1)).alias("k_a"), F.max("h").alias("kth_a")
+    )
+    stats_b = sk_b.agg(
+        F.count(F.lit(1)).alias("k_b"), F.max("h").alias("kth_b")
+    )
+    stats_u = flags.agg(
+        F.count(F.lit(1)).alias("k_u"),
+        F.max("h").alias("kth_u"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("matches"),
+    )
+    est_a = est(F.col("kth_a"), F.col("k_a"))
+    est_b = est(F.col("kth_b"), F.col("k_b"))
+    est_u = est(F.col("kth_u"), F.col("k_u"))
+    jac = F.col("matches") / F.col("k_u")
+    return (
+        stats_u.crossJoin(F.broadcast(stats_a))
+        .crossJoin(F.broadcast(stats_b))
+        .select(
+            F.col("k_a").cast("long").alias("k_a"),
+            F.col("k_b").cast("long").alias("k_b"),
+            F.col("k_u").cast("long").alias("k_u"),
+            F.col("matches").cast("long").alias("matches"),
+            F.floor(est_a + F.lit(0.5)).cast("long").alias("est_a"),
+            F.floor(est_b + F.lit(0.5)).cast("long").alias("est_b"),
+            F.floor(est_u + F.lit(0.5)).cast("long").alias("est_union"),
+            F.floor(jac * 1000000 + F.lit(0.5)).cast("long").alias("jaccard_q6"),
+            F.floor(jac * est_u + F.lit(0.5)).cast("long").alias("est_inter"),
+        )
+    )
+
+
+def kmv_overlap_oracle_sql(
+    a_select: str, b_select: str, k: int = 128
+) -> str:
+    """DuckDB replay twin of kmv_overlap: ``a_select``/``b_select`` are
+    single-column SELECTs producing each side's values."""
+    h = md5_60_sql("v")
+    kmv = (
+        "SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn "
+        "FROM (SELECT DISTINCT {hh} AS h FROM ({src}) t(v))) WHERE rn <= {k}"
+    )
+    sk_a = kmv.format(hh=h, src=a_select, k=k)
+    sk_b = kmv.format(hh=h, src=b_select, k=k)
+    return f"""
+      WITH sk_a AS ({sk_a}),
+      sk_b AS ({sk_b}),
+      u AS (
+        SELECT h FROM (
+          SELECT h, row_number() OVER (ORDER BY h) AS rn
+          FROM (SELECT DISTINCT h FROM (SELECT h FROM sk_a UNION ALL SELECT h FROM sk_b))
+        ) WHERE rn <= {k}
+      ),
+      flags AS (
+        SELECT u.h,
+               EXISTS (SELECT 1 FROM sk_a WHERE sk_a.h = u.h) AS in_a,
+               EXISTS (SELECT 1 FROM sk_b WHERE sk_b.h = u.h) AS in_b
+        FROM u
+      ),
+      s AS (
+        SELECT (SELECT count(*) FROM sk_a) AS k_a,
+               (SELECT max(h) FROM sk_a) AS kth_a,
+               (SELECT count(*) FROM sk_b) AS k_b,
+               (SELECT max(h) FROM sk_b) AS kth_b,
+               (SELECT count(*) FROM flags) AS k_u,
+               (SELECT max(h) FROM flags) AS kth_u,
+               (SELECT count(*) FROM flags WHERE in_a AND in_b) AS matches
+      )
+      SELECT CAST(k_a AS BIGINT) AS k_a,
+             CAST(k_b AS BIGINT) AS k_b,
+             CAST(k_u AS BIGINT) AS k_u,
+             CAST(matches AS BIGINT) AS matches,
+             CAST(floor(CASE WHEN k_a < {k} THEN CAST(k_a AS DOUBLE)
+                             ELSE {float(k - 1)} * {KMV_SPACE} / kth_a END + 0.5)
+                  AS BIGINT) AS est_a,
+             CAST(floor(CASE WHEN k_b < {k} THEN CAST(k_b AS DOUBLE)
+                             ELSE {float(k - 1)} * {KMV_SPACE} / kth_b END + 0.5)
+                  AS BIGINT) AS est_b,
+             CAST(floor(CASE WHEN k_u < {k} THEN CAST(k_u AS DOUBLE)
+                             ELSE {float(k - 1)} * {KMV_SPACE} / kth_u END + 0.5)
+                  AS BIGINT) AS est_union,
+             CAST(floor(CAST(matches AS DOUBLE) / k_u * 1000000 + 0.5)
+                  AS BIGINT) AS jaccard_q6,
+             CAST(floor(CAST(matches AS DOUBLE) / k_u
+                        * (CASE WHEN k_u < {k} THEN CAST(k_u AS DOUBLE)
+                                ELSE {float(k - 1)} * {KMV_SPACE} / kth_u END)
+                        + 0.5) AS BIGINT) AS est_inter
+      FROM s
+    """

@@ -32,6 +32,7 @@ from adtl_spark.operators import tokenizer as T
 from adtl_spark.operators import graph as G
 from adtl_spark.operators import fuzzy as FZ
 from adtl_spark.operators import joins as J
+from adtl_spark.operators import monitor as MO
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -3354,6 +3355,125 @@ def emb_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_project(emb, k=2).orderBy("vec_id")
 
 
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): top-100 documents by
+    hashed-unigram importance log-ratio toward the English subset as the
+    target distribution — bucket models broadcast onto the token stream,
+    weights carried as exact-integer quantized logs
+    (sampling.dsir_select; oracle is the same math as CTEs)."""
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return SA.dsir_select(docs, target, top_n=100, n_buckets=512)
+
+
+def quality_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift report between two corpus
+    snapshots (even vs odd doc ids) over document-length buckets
+    (n_chars//100 capped at 7): per-bucket smoothed shares and PSI
+    contributions, everything quantized per the cross-engine float
+    protocol (operators/monitor.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(F.col("n_chars") / 100), F.lit(7))
+    return MO.psi_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        bucket,
+        n_buckets=8,
+    )
+
+
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-overlap sketch between the even- and
+    odd-doc token populations: distinct-count estimates from the k-th
+    minimum hash, Jaccard from the union sketch, intersection by
+    inclusion-exclusion — the corpus-overlap question answered in
+    sketch space instead of a corpus-sized intersection join
+    (sketches.kmv_overlap; the oracle replays the identical sketch)."""
+    from adtl_spark.operators.corpus import _exploded_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    a = _exploded_tokens(
+        docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id"
+    ).select("token")
+    b = _exploded_tokens(
+        docs.filter(F.col("doc_id") % 2 == 1), "text", "doc_id"
+    ).select("token")
+    return SK.kmv_overlap(a, b, "token", k=128)
+
+
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signal-level DSP through the native WAV decode path, value-checked
+    end to end: arithmetic-sample PCM payloads (multimodal.
+    synthetic_wav_arith) are decoded back and reduced to exact integer
+    statistics — peak, total amplitude, zero crossings, quantized RMS —
+    so the oracle replays the whole decode+DSP pipeline per sample via
+    generate_series, not just the header walk (which
+    multimodal_audio_meta already pins)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_wav_arith(160 * (1 + int(i) % 30), seed=int(i))
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.audio_signal_features(media)
+
+
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full image transform chain — encode, decode, nearest-neighbor
+    downsample by 2, re-encode, decode again, pixel statistics — with an
+    arithmetic pixel pattern (multimodal.synthetic_ppm_arith) so the
+    position-weighted checksum of the RESIZED image is exact arithmetic
+    the oracle replays per output pixel; any stride/layout bug anywhere
+    in the chain breaks the match."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_ppm_arith(
+                            8 + int(i) % 16, 8 + (int(i) * 3) % 16, seed=int(i)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.image_pixel_stats(M.resize_image_nn(media, factor=2))
+
+
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed n-gram containment pairs (|src AND dst| / |src| >= 0.6):
+    catches one document quoting or embedding another even when symmetric
+    Jaccard is low.  One-sided PPJoin prefix blocking keeps it
+    sub-quadratic; the oracle runs the naive capped self-join
+    (dedup.containment_pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, threshold=0.6, n=3)
+
+
 def oracles() -> dict[str, str]:
     en = X.STOPWORDS["en"]
     en_sql = "[" + ", ".join(f"'{w}'" for w in en) + "]"
@@ -4426,6 +4546,98 @@ def oracles() -> dict[str, str]:
         ),
         # the PPM layout arithmetic the decoder must recover: header
         # "P6\n{w} {h}\n255\n" + w*h*3 pixel bytes, dims from doc_id
+        # DSIR / PSI / KMV / containment: the operator modules own their
+        # oracle twins (same constants, same quantization) — composed here
+        # with the gate's parameters
+        "corpus_dsir_select": SA.dsir_select_oracle_sql(
+            "documents", "lang = 'en'", top_n=100, n_buckets=512
+        ),
+        "quality_psi_drift": MO.psi_drift_oracle_sql(
+            "documents",
+            "doc_id % 2 = 0",
+            "doc_id % 2 = 1",
+            "LEAST(n_chars // 100, 7)",
+            n_buckets=8,
+        ),
+        "sketch_kmv_overlap": SK.kmv_overlap_oracle_sql(
+            "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+            " t -> t != '')) AS v FROM documents WHERE doc_id % 2 = 0",
+            "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+            " t -> t != '')) AS v FROM documents WHERE doc_id % 2 = 1",
+            k=128,
+        ),
+        "text_containment": D.containment_pairs_oracle_sql(
+            "documents", threshold=0.6, n=3
+        ),
+        # the decode+DSP pipeline replayed per sample: same mix constants
+        # as multimodal.synthetic_wav_arith, same sign convention, RMS via
+        # exact-int sum(s^2) then correctly-rounded /n and sqrt
+        "multimodal_audio_features": """
+            WITH base AS (
+              SELECT doc_id, 160 * (1 + doc_id % 30) AS n FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM base
+            ),
+            x AS (
+              SELECT doc_id, n, i,
+                     ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS s,
+                     CASE WHEN i = 0 THEN NULL
+                          ELSE ((doc_id * 2654435761 + (i - 1) * 40503) % 65536)
+                               - 32768
+                     END AS prev
+              FROM v
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(max(abs(s)) AS BIGINT) AS peak,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                  AND ((s >= 0) != (prev >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                   CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / max(n))
+                              * 1000000 + 0.5) AS BIGINT) AS rms_q6
+            FROM x GROUP BY doc_id
+        """,
+        # the resize chain replayed per OUTPUT pixel: output (y,x) channel c
+        # reads input flat byte j = ((2y)*w + 2x)*3 + c with the arithmetic
+        # pixel pattern of multimodal.synthetic_ppm_arith
+        "multimodal_image_resize": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     (8 + doc_id % 16 + 1) // 2 AS ow,
+                     (8 + (doc_id * 3) % 16 + 1) // 2 AS oh
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, ow, oh,
+                     unnest(generate_series(0, CAST(ow * oh - 1 AS BIGINT))) AS p
+              FROM dims
+            ),
+            j AS (
+              SELECT doc_id, ow, oh, p,
+                     ((p // ow) * 2 * w + (p % ow) * 2) * 3 AS jj
+              FROM px
+            ),
+            c AS (
+              SELECT doc_id, ow, oh, p,
+                     (doc_id * 31 + jj * 131) % 256 AS r,
+                     (doc_id * 31 + (jj + 1) * 131) % 256 AS g,
+                     (doc_id * 31 + (jj + 2) * 131) % 256 AS b
+              FROM j
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(ow) AS BIGINT) AS width,
+                   CAST(max(oh) AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum((p + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
+            FROM c GROUP BY doc_id
+        """,
         "multimodal_image_meta": """
             SELECT doc_id AS media_id,
                    CAST(3 + length(CAST(8 + doc_id % 16 AS VARCHAR)) + 1
@@ -5001,18 +5213,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. New round-6 queries lead so each gets a driver row the round it
-       lands: the Lloyd-trained PQ gate, the ADC-shortlist + exact
-       re-rank pair (the measured recall's production configuration),
-       the trending-token batch finalizer, and the WAV + PPM
-       encode->decode round-trip gates.
-    2. Then the LEAST-recently driver-verified entries: positions 51-146
-       of the round-5 registry, whose driver rows date to rounds 1-4
-       (all re-verified green at HEAD by the r5 verdict's full
-       check_oracle run).  The first 44 fill the rest of this round's
-       window, through ``corpus_zipf`` at position 50.
+    1. New round-7 queries lead so each gets a driver row the round it
+       lands: DSIR importance selection, the PSI drift report, the KMV
+       set-overlap sketch, the decode+DSP and decode+resize exact
+       round-trip gates, and the directed containment join.
+    2. Then the LEAST-recently driver-verified entries: positions 51-152
+       of the round-6 registry (``text_pmi_topk`` onward), whose driver
+       rows date to rounds 1-4 (all re-verified green at HEAD by the r5
+       verdict's full check_oracle run).  The first 44 fill the rest of
+       this round's window, through ``p6_enum_list`` at position 50.
     3. The tail holds the rest of that block and then the 50 queries the
-       round-5 driver gate checked (the freshest green rows).
+       round-6 driver gate checked (the freshest green rows).
 
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the
@@ -5020,59 +5231,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        "ann_pq_trained_topk": ann_pq_trained_topk,  # -- new round-6 queries --
-        "ann_pq_rerank_topk": ann_pq_rerank_topk,
-        "ann_pq_rerank_recall": ann_pq_rerank_recall,
-        "stream_trending_finalize": stream_trending_finalize,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_image_meta": multimodal_image_meta,
-        "emb_label_centroids": emb_label_centroids,  # -- least-recently-verified block (rounds 1-4 rows) --
-        "emb_kmeans": emb_kmeans,
-        "emb_kmeans_centroids": emb_kmeans_centroids,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "pipeline_corpus_clean": pipeline_corpus_clean,
-        "graph_pagerank": graph_pagerank,
-        "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
-        "w11_scd2": w11_scd2,
-        "w12_transitions": w12_transitions,
-        "w13_anomaly": w13_anomaly,
-        "sample_weighted": sample_weighted,
-        "corpus_merge_upsert": corpus_merge_upsert,
-        "tokenizer_bpe_merges": tokenizer_bpe_merges,
-        "tokenizer_bpe_segment": tokenizer_bpe_segment,
-        "text_hll_distinct": text_hll_distinct,
-        "quality_nb": quality_nb,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
-        "q4_order_priority": q4_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "dedup_minhash_recall": dedup_minhash_recall,
-        "dedup_embedding_recall": dedup_embedding_recall,
-        "ann_lsh_recall": ann_lsh_recall,
-        "emb_pca_project": emb_pca_project,
-        "text_bm25_topk": text_bm25_topk,
-        "text_normalize": text_normalize,
-        "text_cms_counts": text_cms_counts,
-        "corpus_bigram_logprob": corpus_bigram_logprob,
-        "dedup_keep_best": dedup_keep_best,
-        "dedup_tfidf_cosine": dedup_tfidf_cosine,
-        "w9_funnel": w9_funnel,
-        "w10_retention": w10_retention,
-        "olap_rollup": olap_rollup,
-        "olap_pivot": olap_pivot,
-        "emb_outliers": emb_outliers,
-        "emb_nearest_centroid": emb_nearest_centroid,
-        "corpus_length_filter": corpus_length_filter,
-        "corpus_zipf": corpus_zipf,
-        "text_pmi_topk": text_pmi_topk,
+        "corpus_dsir_select": corpus_dsir_select,  # -- new round-7 queries --
+        "quality_psi_drift": quality_psi_drift,
+        "sketch_kmv_overlap": sketch_kmv_overlap,
+        "multimodal_audio_features": multimodal_audio_features,
+        "multimodal_image_resize": multimodal_image_resize,
+        "text_containment": text_containment,
+        "text_pmi_topk": text_pmi_topk,  # -- least-recently-verified block (rounds 1-4 driver rows) --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
-        "text_tfidf": text_tfidf,  # -- past the 50-entry gate window --
+        "text_tfidf": text_tfidf,
         "corpus_length_stats": corpus_length_stats,
         "corpus_pack": corpus_pack,
         "corpus_decontaminate": corpus_decontaminate,
@@ -5114,7 +5281,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
-        "p8_unit_convert": p8_unit_convert,
+        "p8_unit_convert": p8_unit_convert,  # -- past the 50-entry gate window --
         "p9_date_reformat": p9_date_reformat,
         "p10_sensitive_hash": p10_sensitive_hash,
         "t3_word_substitute": t3_word_substitute,
@@ -5122,7 +5289,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_duration_days": t7_duration_days,
         "t10_make_date": t10_make_date,
         "p14_uuid5": p14_uuid5,
-        "corpus_budget_by_source": corpus_budget_by_source,  # -- round-5 driver-checked window (freshest rows) --
+        "corpus_budget_by_source": corpus_budget_by_source,
         "pipeline_corpus_assemble": pipeline_corpus_assemble,
         "corpus_pack_texts": corpus_pack_texts,
         "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -5172,4 +5339,54 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
+        "ann_pq_trained_topk": ann_pq_trained_topk,  # -- round-6 driver-verified window (freshest rows) --
+        "ann_pq_rerank_topk": ann_pq_rerank_topk,
+        "ann_pq_rerank_recall": ann_pq_rerank_recall,
+        "stream_trending_finalize": stream_trending_finalize,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_image_meta": multimodal_image_meta,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
+        "emb_kmeans_centroids": emb_kmeans_centroids,
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "pipeline_corpus_clean": pipeline_corpus_clean,
+        "graph_pagerank": graph_pagerank,
+        "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
+        "w11_scd2": w11_scd2,
+        "w12_transitions": w12_transitions,
+        "w13_anomaly": w13_anomaly,
+        "sample_weighted": sample_weighted,
+        "corpus_merge_upsert": corpus_merge_upsert,
+        "tokenizer_bpe_merges": tokenizer_bpe_merges,
+        "tokenizer_bpe_segment": tokenizer_bpe_segment,
+        "text_hll_distinct": text_hll_distinct,
+        "quality_nb": quality_nb,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "dedup_minhash_recall": dedup_minhash_recall,
+        "dedup_embedding_recall": dedup_embedding_recall,
+        "ann_lsh_recall": ann_lsh_recall,
+        "emb_pca_project": emb_pca_project,
+        "text_bm25_topk": text_bm25_topk,
+        "text_normalize": text_normalize,
+        "text_cms_counts": text_cms_counts,
+        "corpus_bigram_logprob": corpus_bigram_logprob,
+        "dedup_keep_best": dedup_keep_best,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "w9_funnel": w9_funnel,
+        "w10_retention": w10_retention,
+        "olap_rollup": olap_rollup,
+        "olap_pivot": olap_pivot,
+        "emb_outliers": emb_outliers,
+        "emb_nearest_centroid": emb_nearest_centroid,
+        "corpus_length_filter": corpus_length_filter,
+        "corpus_zipf": corpus_zipf,
     }

@@ -354,37 +354,33 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-6 window: the four new queries plus the head of the
+    # the round-7 window: the six new queries plus the head of the
     # least-recently-verified block (driver rows from rounds 1-4) must
-    # stay inside the gate window until CORRECTNESS_r6 rows exist
+    # stay inside the gate window until CORRECTNESS_r7 rows exist
     gate = list(qs)[:50]
     for name in (
-        # new in round 6
-        "ann_pq_trained_topk",
-        "ann_pq_rerank_topk",
-        "ann_pq_rerank_recall",
-        "stream_trending_finalize",
-        "multimodal_audio_meta",
-        "multimodal_image_meta",
+        # new in round 7
+        "corpus_dsir_select",
+        "quality_psi_drift",
+        "sketch_kmv_overlap",
+        "multimodal_audio_features",
+        "multimodal_image_resize",
+        "text_containment",
         # least-recently-verified head (rounds 1-4 driver rows)
-        "emb_label_centroids",
-        "emb_kmeans",
-        "dedup_embedding",
-        "ann_cosine_topk",
-        "graph_pagerank",
-        "w11_scd2",
-        "sample_weighted",
-        "corpus_merge_upsert",
-        "tokenizer_bpe_merges",
-        "quality_nb",
-        "q21_waiting_supplier",
-        "dedup_minhash_recall",
-        "emb_pca_project",
-        "corpus_bigram_logprob",
-        "dedup_keep_best",
-        "w9_funnel",
-        "olap_rollup",
-        "corpus_zipf",
+        "text_pmi_topk",
+        "corpus_length_quantiles_hist",
+        "text_tfidf",
+        "corpus_pack",
+        "corpus_decontaminate",
+        "corpus_unigram_logprob",
+        "dedup_incremental",
+        "text_langid",
+        "text_quality",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "sample_stratified",
+        "p6_enum_list",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 

@@ -1,0 +1,253 @@
+"""Round-7 operator units: DSIR selection, PSI drift, the KMV overlap
+sketch, containment pairs, and the exact decode+DSP / decode+resize
+multimodal paths.  Each operator's oracle twin is exercised by the
+registry gate (tools/check_oracle.py); these tests pin the SEMANTICS
+against straight-line Python/numpy reimplementations on small inputs,
+plus the edge cases the gate corpus never hits."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- DSIR --
+def _py_tokens(text):
+    return [t for t in text.lower().split() if t]
+
+
+def test_dsir_select_matches_python(spark):
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sampling import dsir_select
+
+    rows = [
+        (0, "the quick brown fox", "en"),
+        (1, "le renard brun rapide", "fr"),
+        (2, "the lazy dog sleeps", "en"),
+        (3, "der faule hund schlaeft", "de"),
+        (4, "quick quick fox fox the", "en"),
+        (5, "renard renard rapide", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    target = docs.filter(F.col("lang") == "en")
+    B = 64
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["weight_q4"])
+        for r in dsir_select(docs, target, top_n=6, n_buckets=B).collect()
+    }
+
+    # straight-line python twin using Spark's own md5_60 for bucketing
+    toks = {i: _py_tokens(t) for i, t, _ in rows}
+    all_tokens = sorted({t for ts in toks.values() for t in ts})
+    hdf = spark.createDataFrame([(t,) for t in all_tokens], ["t"])
+    h = {
+        r["t"]: r["h"] % B
+        for r in hdf.select("t", md5_60(F.col("t")).alias("h")).collect()
+    }
+    t_hist, r_hist = {}, {}
+    t_total = r_total = 0
+    for i, ts in toks.items():
+        for t in ts:
+            b = h[t]
+            r_hist[b] = r_hist.get(b, 0) + 1
+            r_total += 1
+            if rows[i][2] == "en":
+                t_hist[b] = t_hist.get(b, 0) + 1
+                t_total += 1
+
+    def qlog(cnt, total):
+        return math.floor(
+            math.log((cnt + 0.5) / (total + 0.5 * B)) * 10000 + 0.5
+        )
+
+    for i, ts in toks.items():
+        w = sum(
+            qlog(t_hist.get(h[t], 0), t_total) - qlog(r_hist.get(h[t], 0), r_total)
+            for t in ts
+        )
+        assert out[i] == (len(ts), w)
+    # english docs should outrank non-english ones under an english target
+    ranked = sorted(out, key=lambda i: (-out[i][1], i))
+    assert set(ranked[:3]) == {0, 2, 4}
+
+
+# ----------------------------------------------------------------- PSI --
+def test_psi_drift_matches_python(spark):
+    from adtl_spark.operators.monitor import psi_drift
+
+    ref_vals = [0, 0, 1, 1, 1, 2, 3]
+    cur_vals = [0, 1, 2, 2, 2, 2, 5]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["b"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["b"])
+    n_buckets = 6
+    out = {
+        r["bucket"]: r
+        for r in psi_drift(ref, cur, F.col("b"), n_buckets).collect()
+    }
+    # occupied buckets only; bucket 4 appears in neither side
+    assert set(out) == {0, 1, 2, 3, 5}
+    for b in out:
+        n_ref = ref_vals.count(b)
+        n_cur = cur_vals.count(b)
+        p = (n_ref + 0.5) / (len(ref_vals) + 0.5 * n_buckets)
+        q = (n_cur + 0.5) / (len(cur_vals) + 0.5 * n_buckets)
+        assert out[b]["n_ref"] == n_ref and out[b]["n_cur"] == n_cur
+        assert out[b]["p_q6"] == math.floor(p * 1e6 + 0.5)
+        assert out[b]["psi_q6"] == math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+    # identical snapshots -> every contribution is exactly zero
+    same = psi_drift(ref, ref, F.col("b"), n_buckets).collect()
+    assert all(r["psi_q6"] == 0 for r in same)
+
+
+# ----------------------------------------------------------------- KMV --
+def test_kmv_overlap_exact_and_estimates(spark):
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sketches import KMV_SPACE, kmv_overlap
+
+    # below-k sides: estimates must be EXACT distinct counts and the
+    # overlap exact jaccard
+    a_vals = [f"tok{i}" for i in range(40)] * 3  # duplicates collapse
+    b_vals = [f"tok{i}" for i in range(20, 70)]
+    a = spark.createDataFrame([(v,) for v in a_vals], ["v"])
+    b = spark.createDataFrame([(v,) for v in b_vals], ["v"])
+    row = kmv_overlap(a, b, "v", k=128).collect()[0]
+    assert (row["k_a"], row["k_b"]) == (40, 50)
+    assert row["est_a"] == 40 and row["est_b"] == 50 and row["est_union"] == 70
+    assert row["matches"] == 20  # |intersection| exact below k
+    assert row["jaccard_q6"] == math.floor(20 / 70 * 1e6 + 0.5)
+    assert row["est_inter"] == math.floor(20 / 70 * 70 + 0.5) == 20
+
+    # above-k side: estimator formula (k-1)*SPACE/kth on the k-th minimum
+    big = spark.createDataFrame([(f"item{i}",) for i in range(500)], ["v"])
+    k = 64
+    row = kmv_overlap(big, big, "v", k=k).collect()[0]
+    hashes = sorted(
+        r["h"]
+        for r in big.select(md5_60(F.col("v")).alias("h")).distinct().collect()
+    )
+    kth = hashes[k - 1]
+    est = math.floor((k - 1) * KMV_SPACE / kth + 0.5)
+    assert row["k_a"] == k and row["est_a"] == est
+    # identical sides: sketches coincide
+    assert row["matches"] == k and row["jaccard_q6"] == 1_000_000
+    assert row["est_inter"] == row["est_union"] == est
+    # the estimate lands in a sane band around the true 500
+    assert 250 <= est <= 1000
+
+
+# --------------------------------------------------------- containment --
+def test_containment_pairs_matches_naive(spark):
+    from adtl_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta"),  # contained in 0
+        (2, "gamma delta epsilon zeta eta theta"),
+        (3, "completely different words here now"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r["src"], r["dst"]): (r["inter"], r["n_src"], r["containment_q4"])
+        for r in containment_pairs(
+            df, threshold=0.5, n=3, max_doc_freq_frac=None
+        ).collect()
+    }
+
+    def shingles(text, n=3):
+        ts = _py_tokens(text)
+        return {
+            " ".join(ts[i : i + n]) for i in range(max(len(ts) - n + 1, 1))
+        }
+
+    expected = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i == j:
+                continue
+            si, sj = shingles(ti), shingles(tj)
+            inter = len(si & sj)
+            if inter >= 0.5 * len(si):
+                expected[(i, j)] = (
+                    inter,
+                    len(si),
+                    math.floor(inter / len(si) * 1e4 + 0.5) / 1e4,
+                )
+    assert out == expected
+    # directionality: the short doc is FULLY contained in the long one,
+    # while the long one is only half-covered by the short one
+    assert out[(1, 0)] == (2, 2, 1.0)
+    assert out[(0, 1)][2] == 0.5
+
+
+# ---------------------------------------------------------- multimodal --
+def test_synthetic_wav_arith_roundtrip_and_features(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        _WAV_MIX_A,
+        _WAV_MIX_B,
+        audio_signal_features,
+        decode_wav,
+        synthetic_wav_arith,
+    )
+
+    n, seed = 320, 7
+    payload = synthetic_wav_arith(n, seed)
+    rate, ch, bits, pcm = decode_wav(payload)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+    ref = np.array(
+        [((seed * _WAV_MIX_A + i * _WAV_MIX_B) % 65536) - 32768 for i in range(n)]
+    )
+    assert (x == ref).all()
+
+    df = spark.createDataFrame([(1, payload), (2, None)], "media_id long, payload binary")
+    rows = {r["media_id"]: r for r in audio_signal_features(df).collect()}
+    sign = ref >= 0
+    assert rows[1]["n_samples"] == n
+    assert rows[1]["peak"] == int(np.max(np.abs(ref)))
+    assert rows[1]["sum_abs"] == int(np.sum(np.abs(ref)))
+    assert rows[1]["zero_crossings"] == int(np.count_nonzero(sign[1:] != sign[:-1]))
+    assert rows[1]["rms_q6"] == math.floor(
+        math.sqrt(int(np.sum(ref * ref)) / n) * 1e6 + 0.5
+    )
+    assert rows[2]["n_samples"] is None  # null payload propagates nulls
+
+
+def test_resize_image_nn_and_pixel_stats(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        decode_ppm,
+        image_pixel_stats,
+        resize_image_nn,
+        synthetic_ppm_arith,
+    )
+
+    w, h, seed = 11, 7, 3  # odd dims exercise the ceil-division stride
+    payload = synthetic_ppm_arith(w, h, seed)
+    dw, dh, rgb = decode_ppm(payload)
+    assert (dw, dh) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+
+    df = spark.createDataFrame([(1, payload)], "media_id long, payload binary")
+    out = resize_image_nn(df, factor=2)
+    row = image_pixel_stats(out).collect()[0]
+    small = a[::2, ::2, :]
+    oh, ow = small.shape[0], small.shape[1]
+    assert (row["width"], row["height"]) == (ow, oh)
+    flat = small.reshape(-1, 3).astype(np.int64)
+    weights = np.arange(1, oh * ow + 1)
+    assert row["sum_r"] == int(flat[:, 0].sum())
+    assert row["checksum"] == int(
+        (weights * (flat[:, 0] + 2 * flat[:, 1] + 3 * flat[:, 2])).sum()
+    )
+
+    # factor=1 is the identity transform byte-for-byte
+    same = resize_image_nn(df, factor=1).collect()[0]["payload"]
+    assert bytes(same) == payload
+    with pytest.raises(ValueError):
+        resize_image_nn(df, factor=0)
