@@ -251,8 +251,8 @@ _KMV_SALTS = 64  # per-salt pre-top-k bounds every sort to ~k rows
 def _kmv_sketch(df: DataFrame, value: Column, k: int, side: str) -> DataFrame:
     """The k smallest DISTINCT md5_60 hashes of ``value`` as (h, side)
     rows.  Dedup is one map-side-combinable hash aggregate; the global
-    top-k runs per hash-derived salt first (parallel, each sorting ~k of
-    the smallest candidates), so the final single-partition top-k sees at
+    top-k runs per hash-derived salt first (parallel, each keeping ~k of
+    the smallest candidates), so the final TakeOrderedAndProject sees at
     most SALTS*k rows — no global sort of the distinct relation."""
     from pyspark.sql import Window
 
@@ -260,11 +260,10 @@ def _kmv_sketch(df: DataFrame, value: Column, k: int, side: str) -> DataFrame:
     salted = h.select("h", (F.col("h") % _KMV_SALTS).alias("s"))
     per_salt = F.row_number().over(Window.partitionBy("s").orderBy("h"))
     cand = salted.withColumn("rn", per_salt).filter(F.col("rn") <= k)
-    glob = F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
     return (
         cand.select("h")
-        .withColumn("rn", glob)
-        .filter(F.col("rn") <= k)
+        .orderBy("h")
+        .limit(k)
         .select("h", F.lit(side).alias("side"))
     )
 
@@ -292,16 +291,12 @@ def kmv_overlap(
     sk_b = _kmv_sketch(b, value, k, "b")
     # any union-top-k value is in its own side's top-k, so the union
     # sketch derives from the two k-row sketches alone
-    from pyspark.sql import Window
-
     u = (
         sk_a.select("h")
         .unionByName(sk_b.select("h"))
         .distinct()
-        .withColumn(
-            "rn", F.row_number().over(Window.partitionBy(F.lit(1)).orderBy("h"))
-        )
-        .filter(F.col("rn") <= k)
+        .orderBy("h")
+        .limit(k)
     )
     flags = (
         u.join(sk_a.select("h", F.lit(1).alias("in_a")), "h", "left")
