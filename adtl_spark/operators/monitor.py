@@ -52,30 +52,31 @@ def psi_drift(
     Unoccupied buckets contribute (p-q)*ln(p/q) = 0 exactly and are
     omitted.
     """
-    r = ref.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_ref")
+    # tag-and-union instead of a full-outer histogram join: a single
+    # map-side-combinable aggregation produces both counts per bucket
+    # (absent-on-one-side buckets fall out as zeros), so the whole report
+    # is one shuffle of <= n_buckets rows — no join strategy to regress
+    tagged = ref.select(
+        bucket.alias("bucket"), F.lit(1).alias("__r"), F.lit(0).alias("__c")
+    ).unionByName(
+        cur.select(
+            bucket.alias("bucket"), F.lit(0).alias("__r"), F.lit(1).alias("__c")
+        )
     )
-    c = cur.select(bucket.alias("bucket")).groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_cur")
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("__r").alias("n_ref"), F.sum("__c").alias("n_cur")
     )
-    rt = r.agg(F.sum("n_ref").alias("ref_total"))
-    ct = c.agg(F.sum("n_cur").alias("cur_total"))
-    joined = (
-        r.join(c, "bucket", "full_outer")
-        .crossJoin(F.broadcast(rt))
-        .crossJoin(F.broadcast(ct))
+    tot = counts.agg(
+        F.sum("n_ref").alias("ref_total"), F.sum("n_cur").alias("cur_total")
     )
-    p = (F.coalesce(F.col("n_ref"), F.lit(0)) + 0.5) / (
-        F.col("ref_total") + 0.5 * n_buckets
-    )
-    q = (F.coalesce(F.col("n_cur"), F.lit(0)) + 0.5) / (
-        F.col("cur_total") + 0.5 * n_buckets
-    )
+    joined = counts.crossJoin(F.broadcast(tot))
+    p = (F.col("n_ref") + 0.5) / (F.col("ref_total") + 0.5 * n_buckets)
+    q = (F.col("n_cur") + 0.5) / (F.col("cur_total") + 0.5 * n_buckets)
     return (
         joined.select(
             F.col("bucket").cast("long").alias("bucket"),
-            F.coalesce(F.col("n_ref"), F.lit(0)).cast("long").alias("n_ref"),
-            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_cur").cast("long").alias("n_cur"),
             _q6(p).alias("p_q6"),
             _q6(q).alias("q_q6"),
             _q6((p - q) * F.log(p / q)).alias("psi_q6"),

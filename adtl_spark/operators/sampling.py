@@ -719,13 +719,21 @@ def dsir_bucket_counts(
 ) -> DataFrame:
     """(bucket, cnt, total): hashed-unigram bucket histogram plus the
     corpus token total on every row — an <= n_buckets-row broadcastable
-    model table, the DSIR analogue of corpus.train_unigram's output."""
+    model table, the DSIR analogue of corpus.train_unigram's output.
+
+    One token-stream pass: the total is the histogram's own sum, so the
+    corpus is aggregated once and the second aggregate runs over the
+    <= n_buckets-row model relation."""
     from adtl_spark.operators.corpus import _exploded_tokens
 
     toks = _exploded_tokens(docs, text_col, id_col)
     b = toks.select(_dsir_bucket(F.col("token"), n_buckets).alias("bucket"))
-    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    total = b.agg(F.count(F.lit(1)).alias("total"))
+    # persisted: the histogram feeds both the total aggregate and the
+    # model join — Spark plans trees, so without it each consumer would
+    # re-run the corpus-sized tokenize+aggregate (this is the model
+    # artifact you would checkpoint in a train-once/score-many pipeline)
+    hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    total = hist.agg(F.sum("cnt").alias("total"))
     return hist.crossJoin(F.broadcast(total))
 
 
