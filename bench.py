@@ -39,6 +39,11 @@ docs/BENCH_NOTES.md for the r3->r4 diff table).  Late round-4 batch
 appends six more: HyperLogLog distinct sketch, NB quality classifier,
 TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
 
+Round-7 changes: appends the six new gates (DSIR selection, PSI drift,
+KMV overlap, decode+DSP and decode+resize round trips, containment
+join); ordering stays append-only so per-query times compare directly
+to BENCH_r06.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -230,6 +235,15 @@ HEADLINE = [
     "stream_trending_finalize",
     "multimodal_audio_meta",
     "multimodal_image_meta",
+    # round-7 additions (appended; prefix order unchanged for r6 parity):
+    # DSIR selection, PSI drift, KMV overlap sketch, the exact decode+DSP
+    # and decode+resize round trips, and the directed containment join
+    "corpus_dsir_select",
+    "quality_psi_drift",
+    "sketch_kmv_overlap",
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    "text_containment",
 ]
 
 
