@@ -100,3 +100,48 @@ def fuzzy_pairs_oracle_sql(
     WHERE levenshtein(a.name, b.name) <= {max_dist}
     ORDER BY id_a, id_b
     """
+
+
+def entity_resolution_oracle_sql(
+    source_sql: str,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 1,
+    block_col: str | None = None,
+) -> str:
+    """DuckDB twin of the fuzzy-join -> connected-components entity
+    resolution pipeline (queries.graph_entity_resolution): naive
+    quadratic levenshtein pairs (restricted to equal ``block_col`` when
+    given — the blocking key), recursive-CTE transitive closure with
+    per-node minimum as the entity label, singletons re-attached as
+    their own entity."""
+    blk_sel = f", {block_col} AS blk" if block_col else ""
+    blk_cond = " AND a.blk = b.blk" if block_col else ""
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT {id_col} AS id, {name_col} AS name{blk_sel} FROM ({source_sql})
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM t a JOIN t b ON a.id < b.id{blk_cond}
+      WHERE levenshtein(a.name, b.name) <= {max_dist}
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    canon AS (
+      SELECT src AS id, least(src, min(dst)) AS entity FROM reach GROUP BY src
+    )
+    SELECT CAST(COALESCE(canon.entity, t.id) AS BIGINT) AS entity_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(t.id) AS BIGINT) AS max_member
+    FROM t LEFT JOIN canon ON canon.id = t.id
+    GROUP BY 1
+    ORDER BY entity_id
+    """

@@ -428,11 +428,11 @@ def synthetic_wav_arith(n_frames: int, seed: int, rate: int = 16000) -> bytes:
     go through libm and stay pytest-pinned)."""
     import struct
 
-    samples = [
-        ((seed * _WAV_MIX_A + i * _WAV_MIX_B) % 65536) - 32768
-        for i in range(n_frames)
-    ]
-    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    import numpy as np
+
+    idx = np.arange(n_frames, dtype=np.int64)
+    samples = ((seed * _WAV_MIX_A + idx * _WAV_MIX_B) % 65536) - 32768
+    pcm = samples.astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm

@@ -41,7 +41,7 @@ TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
 
 Round-7 changes: appends the six new gates (DSIR selection, PSI drift,
 KMV overlap, decode+DSP and decode+resize round trips, containment
-join); ordering stays append-only so per-query times compare directly
+join, blocked entity resolution); ordering stays append-only so per-query times compare directly
 to BENCH_r06.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -244,6 +244,7 @@ HEADLINE = [
     "multimodal_audio_features",
     "multimodal_image_resize",
     "text_containment",
+    "graph_entity_resolution",
 ]
 
 

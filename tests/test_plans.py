@@ -366,6 +366,7 @@ def test_query_registry_invariants():
         "multimodal_audio_features",
         "multimodal_image_resize",
         "text_containment",
+        "graph_entity_resolution",
         # least-recently-verified head (rounds 1-4 driver rows)
         "text_pmi_topk",
         "corpus_length_quantiles_hist",
@@ -380,7 +381,6 @@ def test_query_registry_invariants():
         "dedup_minhash",
         "dedup_simhash",
         "sample_stratified",
-        "p6_enum_list",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 

@@ -56,6 +56,10 @@ SMJ_ALLOWED = {
     "w11_scd2": "snapshot-to-snapshot change join",
     "pipeline_corpus_clean": "near-dup pair join inside the pipeline",
     "dedup_cluster": "CC iteration edge<->label joins",
+    "graph_entity_resolution": (
+        "CC iteration edge<->label joins plus the record<->entity-label "
+        "re-attach join: both sides record-grain"
+    ),
     "dedup_keep_best": "pair<->cluster joins",
     "corpus_unigram_logprob": (
         "doc-grain left join re-attaching zero-token docs to the doc-grain "
@@ -108,6 +112,7 @@ SMJ_EXPECT = {
     "corpus_merge_upsert": r"__id|__iid",
     "pipeline_corpus_clean": r"id",
     "dedup_cluster": r"node|label|src|dst|id_a|id_b",
+    "graph_entity_resolution": r"node|label|src|dst|id_a|id_b|^id$|#id\b|\bid\b",
     "dedup_keep_best": r"doc_id|node",
     "corpus_unigram_logprob": r"doc_id|__did__",
     "corpus_bigram_logprob": r"__did__",
