@@ -362,3 +362,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---- file-grain ingestion (round 7) -------------------------------------
+
+
+def read_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Media-file ingestion via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content) with one row per file,
+    distributed by file — the entry point that feeds raw image/audio
+    payloads into the multimodal decode pipelines
+    (operators/multimodal.py).  ``glob`` filters by filename pattern
+    (``pathGlobFilter``, e.g. ``"*.ppm"``) WITHOUT listing-then-filtering:
+    the source prunes during file listing.  Metadata-only queries (count,
+    size histograms) never read file contents — the format reads
+    ``content`` lazily per requested column."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def media_from_binary_dir(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """``read_binary_dir`` shaped for the decode pipelines: (media_id,
+    media_path, payload) with a deterministic 60-bit id hashed from the
+    file path (stable across runs, listings, and partitionings — the same
+    portable-hash contract every sampling/dedup operator uses)."""
+    from adtl_spark.operators.dedup import md5_60
+
+    raw = read_binary_dir(spark, path, glob)
+    return raw.select(
+        md5_60(F.col("path")).alias("media_id"),
+        F.col("path").alias("media_path"),
+        F.col("content").alias("payload"),
+    )
+
+
+def read_text_dir(
+    spark: SparkSession, path: str, whole_files: bool = False
+) -> DataFrame:
+    """Raw-text corpus ingestion: line-grain rows (``value`` column) by
+    default, or one row per FILE with ``whole_files=True`` (Spark's
+    ``wholetext`` option) for document-grain corpora — pair with
+    ``input_file_name()`` or the ``_metadata`` columns for provenance.
+    ``wholetext`` must be the reader-method keyword: ``.text()`` rebuilds
+    its options, so a prior ``.option(...)`` call is silently dropped."""
+    return spark.read.text(path, wholetext=whole_files)

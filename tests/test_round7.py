@@ -251,3 +251,61 @@ def test_resize_image_nn_and_pixel_stats(spark):
     assert bytes(same) == payload
     with pytest.raises(ValueError):
         resize_image_nn(df, factor=0)
+
+
+# ------------------------------------------------------- file ingestion --
+def test_binary_dir_feeds_decode_pipeline(spark, tmp_path):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        image_pixel_stats,
+        synthetic_ppm_arith,
+    )
+    from adtl_spark.sources.io import media_from_binary_dir, read_binary_dir
+
+    dims = {"a": (6, 4), "b": (9, 5), "c": (3, 8)}
+    for name, (w, h) in dims.items():
+        (tmp_path / f"{name}.ppm").write_bytes(synthetic_ppm_arith(w, h, seed=w))
+    (tmp_path / "ignore.txt").write_text("not media")
+
+    raw = read_binary_dir(spark, str(tmp_path), glob="*.ppm")
+    assert raw.count() == 3  # glob prunes at listing time
+    assert {"path", "content", "length"} <= set(raw.columns)
+
+    media = media_from_binary_dir(spark, str(tmp_path), glob="*.ppm")
+    stats = image_pixel_stats(media.select("media_id", "payload"))
+    got = {
+        (r["width"], r["height"]): (r["sum_r"], r["checksum"])
+        for r in stats.collect()
+    }
+    assert set(got) == {(w, h) for w, h in dims.values()}
+    for w, h in dims.values():
+        rgb = synthetic_ppm_arith(w, h, seed=w)[
+            len(f"P6\n{w} {h}\n255\n".encode()):
+        ]
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        weights = np.arange(1, w * h + 1)
+        assert got[(w, h)] == (
+            int(a[:, 0].sum()),
+            int((weights * (a[:, 0] + 2 * a[:, 1] + 3 * a[:, 2])).sum()),
+        )
+    # ids are stable across listings
+    again = media_from_binary_dir(spark, str(tmp_path), glob="*.ppm")
+    assert sorted(r["media_id"] for r in media.select("media_id").collect()) == \
+        sorted(r["media_id"] for r in again.select("media_id").collect())
+
+
+def test_read_text_dir_line_and_file_grain(spark, tmp_path):
+    from adtl_spark.sources.io import read_text_dir
+
+    (tmp_path / "x.txt").write_text("line one\nline two\n")
+    (tmp_path / "y.txt").write_text("only line\n")
+    lines = read_text_dir(spark, str(tmp_path))
+    assert sorted(r["value"] for r in lines.collect()) == [
+        "line one",
+        "line two",
+        "only line",
+    ]
+    files = read_text_dir(spark, str(tmp_path), whole_files=True)
+    vals = sorted(r["value"] for r in files.collect())
+    assert vals == ["line one\nline two\n", "only line\n"]

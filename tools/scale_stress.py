@@ -165,6 +165,14 @@ QUERIES = [
     "emb_jl_project",
     "w15_gapfill",
     "w16_gapfill_linear",
+    # round-7 additions
+    "corpus_dsir_select",
+    "quality_psi_drift",
+    "sketch_kmv_overlap",
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    "text_containment",
+    "graph_entity_resolution",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
