@@ -126,3 +126,130 @@ def psi_drift_oracle_sql(
       FROM j
       ORDER BY bucket
     """
+
+
+def ks_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value: Column,
+    max_points: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between snapshots:
+    D = max over observed values of |CDF_ref(x) - CDF_cur(x)| — the
+    location-sensitive complement of :func:`psi_drift` (PSI sees share
+    shifts inside fixed buckets; KS sees where along the axis the mass
+    moved, with no bucketing choice to get wrong).
+
+    ``value`` must be an integer-valued expression (quantize floats
+    first — the same contract as psi_drift's bucketing: the caller owns
+    the discretization).  The CDF comparison runs at value grain: one
+    tag-and-union aggregation to (value, n_ref, n_cur), then running
+    sums ordered by value.  That final window is a single partition over
+    the DISTINCT-VALUE relation — bounded by the value domain, not the
+    corpus (pass ``max_points`` to assert the bound: the operator fails
+    loudly rather than sorting an unexpectedly huge domain on one task;
+    production features are quantized to <= ~1e5 points).
+
+    Output: ONE row (n_ref, n_cur, d_q6, d_at) — the statistic quantized
+    at 1e-6 and the smallest value where the maximum gap is attained.
+    Exactness: CDFs are exact-integer running counts over exact totals;
+    each CDF is one correctly-rounded division, the gap is one
+    subtraction, abs is exact — bit-identical in the DuckDB twin.
+    """
+    from pyspark.sql import Window
+
+    tagged = ref.select(
+        value.alias("v"), F.lit(1).alias("__r"), F.lit(0).alias("__c")
+    ).unionByName(
+        cur.select(value.alias("v"), F.lit(0).alias("__r"), F.lit(1).alias("__c"))
+    )
+    # persisted: the value-grain relation feeds the totals, the CDF
+    # window, and the argmax re-scan; it is bounded by the value domain
+    # (see max_points), so caching it is model-sized, while recompute
+    # would re-aggregate the corpus once per consumer
+    counts = tagged.groupBy("v").agg(
+        F.sum("__r").alias("nr"), F.sum("__c").alias("nc")
+    ).persist()
+    if max_points is not None:
+        n_points = counts.count()
+        if n_points > max_points:
+            raise ValueError(
+                f"ks_drift: {n_points} distinct values exceeds "
+                f"max_points={max_points}; quantize the value expression"
+            )
+    tot = counts.agg(
+        F.sum("nr").alias("ref_total"), F.sum("nc").alias("cur_total")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    q = (
+        counts.withColumn("cum_r", F.sum("nr").over(w))
+        .withColumn("cum_c", F.sum("nc").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "v",
+            "ref_total",
+            "cur_total",
+            F.floor(
+                F.abs(
+                    F.col("cum_r") / F.col("ref_total")
+                    - F.col("cum_c") / F.col("cur_total")
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("g_q6"),
+        )
+    )
+    dmax = q.agg(F.max("g_q6").alias("d_q6"))
+    return (
+        q.crossJoin(F.broadcast(dmax))
+        .filter(F.col("g_q6") == F.col("d_q6"))
+        .groupBy("ref_total", "cur_total", "d_q6")
+        .agg(F.min("v").cast("long").alias("d_at"))
+        .select(
+            F.col("ref_total").cast("long").alias("n_ref"),
+            F.col("cur_total").cast("long").alias("n_cur"),
+            "d_q6",
+            "d_at",
+        )
+    )
+
+
+def ks_drift_oracle_sql(
+    table: str, ref_where: str, cur_where: str, value_expr: str
+) -> str:
+    """DuckDB twin of ks_drift over ``table`` rows split by the WHERE
+    predicates (same tag-and-union CDF, same quantization, same
+    smallest-value tie-break for d_at)."""
+    return f"""
+      WITH tagged AS (
+        SELECT {value_expr} AS v, 1 AS r, 0 AS c FROM {table} WHERE {ref_where}
+        UNION ALL
+        SELECT {value_expr} AS v, 0 AS r, 1 AS c FROM {table} WHERE {cur_where}
+      ),
+      counts AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM tagged GROUP BY v),
+      tot AS (
+        SELECT sum(nr) AS ref_total, sum(nc) AS cur_total FROM counts
+      ),
+      cdf AS (
+        SELECT v, ref_total, cur_total,
+               abs(CAST(sum(nr) OVER (ORDER BY v) AS DOUBLE) / ref_total
+                   - CAST(sum(nc) OVER (ORDER BY v) AS DOUBLE) / cur_total)
+                 AS gap
+        FROM counts CROSS JOIN tot
+      ),
+      q AS (
+        SELECT v, ref_total, cur_total,
+               CAST(floor(gap * 1000000 + 0.5) AS BIGINT) AS g_q6
+        FROM cdf
+      ),
+      dmax AS (SELECT max(g_q6) AS d_q6 FROM q)
+      SELECT CAST(ref_total AS BIGINT) AS n_ref,
+             CAST(cur_total AS BIGINT) AS n_cur,
+             d_q6,
+             CAST(min(v) AS BIGINT) AS d_at
+      FROM q CROSS JOIN dmax
+      WHERE g_q6 = d_q6
+      GROUP BY ref_total, cur_total, d_q6
+    """

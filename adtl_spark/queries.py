@@ -3474,6 +3474,21 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(docs, threshold=0.6, n=3)
 
 
+def quality_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the even-
+    and odd-doc snapshots over document length — the location-sensitive
+    complement of quality_psi_drift (no bucketing choice; the max CDF gap
+    and where it occurs).  Exact-integer CDF counts, correctly-rounded
+    divisions, 1e-6 quantization (operators/monitor.ks_drift)."""
+    docs = _t(spark, sf_dir, "documents")
+    return MO.ks_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        F.col("n_chars"),
+        max_points=100_000,
+    )
+
+
 def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end entity resolution over supplier names: SymSpell
     deletion-neighborhood fuzzy matching (operators/fuzzy.py) refined by
@@ -4620,6 +4635,9 @@ def oracles() -> dict[str, str]:
         "text_containment": D.containment_pairs_oracle_sql(
             "documents", threshold=0.6, n=3
         ),
+        "quality_ks_drift": MO.ks_drift_oracle_sql(
+            "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "n_chars"
+        ),
         "graph_entity_resolution": FZ.entity_resolution_oracle_sql(
             "SELECT s_suppkey, s_name, s_nationkey FROM supplier",
             "s_suppkey",
@@ -5273,13 +5291,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. New round-7 queries lead so each gets a driver row the round it
        lands: DSIR importance selection, the PSI drift report, the KMV
        set-overlap sketch, the decode+DSP and decode+resize exact
-       round-trip gates, the directed containment join, and the blocked
-       fuzzy-join -> connected-components entity resolution pipeline.
+       round-trip gates, the directed containment join, the blocked
+       fuzzy-join -> connected-components entity resolution pipeline,
+       and the PSI + KS snapshot-drift monitors.
     2. Then the LEAST-recently driver-verified entries: positions 51-152
        of the round-6 registry (``text_pmi_topk`` onward), whose driver
        rows date to rounds 1-4 (all re-verified green at HEAD by the r5
-       verdict's full check_oracle run).  The first 43 fill the rest of
-       this round's window, through ``p3_value_map`` at position 50.
+       verdict's full check_oracle run).  The first 42 fill the rest of
+       this round's window, through ``v2_validation_report`` at
+       position 50.
     3. The tail holds the rest of that block and then the 50 queries the
        round-6 driver gate checked (the freshest green rows).
 
@@ -5291,6 +5311,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "corpus_dsir_select": corpus_dsir_select,  # -- new round-7 queries --
         "quality_psi_drift": quality_psi_drift,
+        "quality_ks_drift": quality_ks_drift,
         "sketch_kmv_overlap": sketch_kmv_overlap,
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_image_resize": multimodal_image_resize,

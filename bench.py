@@ -39,7 +39,7 @@ docs/BENCH_NOTES.md for the r3->r4 diff table).  Late round-4 batch
 appends six more: HyperLogLog distinct sketch, NB quality classifier,
 TPC-H q21/q22 shapes, PCA projection, BPE tokenizer training.
 
-Round-7 changes: appends the six new gates (DSIR selection, PSI drift,
+Round-7 changes: appends the new gates (DSIR selection, PSI + KS drift,
 KMV overlap, decode+DSP and decode+resize round trips, containment
 join, blocked entity resolution); ordering stays append-only so per-query times compare directly
 to BENCH_r06.
@@ -240,6 +240,7 @@ HEADLINE = [
     # and decode+resize round trips, and the directed containment join
     "corpus_dsir_select",
     "quality_psi_drift",
+    "quality_ks_drift",
     "sketch_kmv_overlap",
     "multimodal_audio_features",
     "multimodal_image_resize",

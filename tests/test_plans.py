@@ -362,6 +362,7 @@ def test_query_registry_invariants():
         # new in round 7
         "corpus_dsir_select",
         "quality_psi_drift",
+        "quality_ks_drift",
         "sketch_kmv_overlap",
         "multimodal_audio_features",
         "multimodal_image_resize",

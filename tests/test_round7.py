@@ -309,3 +309,37 @@ def test_read_text_dir_line_and_file_grain(spark, tmp_path):
     files = read_text_dir(spark, str(tmp_path), whole_files=True)
     vals = sorted(r["value"] for r in files.collect())
     assert vals == ["line one\nline two\n", "only line\n"]
+
+
+# ------------------------------------------------------------ KS drift --
+def test_ks_drift_matches_python(spark):
+    from adtl_spark.operators.monitor import ks_drift
+
+    ref_vals = [10, 10, 20, 30, 30, 30, 50]
+    cur_vals = [10, 20, 20, 40, 50, 50]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["x"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["x"])
+    row = ks_drift(ref, cur, F.col("x")).collect()[0]
+
+    pts = sorted(set(ref_vals) | set(cur_vals))
+    gaps = {
+        v: abs(
+            sum(1 for a in ref_vals if a <= v) / len(ref_vals)
+            - sum(1 for b in cur_vals if b <= v) / len(cur_vals)
+        )
+        for v in pts
+    }
+    g_q6 = {v: math.floor(g * 1e6 + 0.5) for v, g in gaps.items()}
+    d = max(g_q6.values())
+    assert row["n_ref"] == len(ref_vals) and row["n_cur"] == len(cur_vals)
+    assert row["d_q6"] == d
+    assert row["d_at"] == min(v for v, g in g_q6.items() if g == d)
+
+    # identical snapshots: D is exactly zero everywhere
+    same = ks_drift(ref, ref, F.col("x")).collect()[0]
+    assert same["d_q6"] == 0
+
+    # the domain guard fails loudly instead of sorting a huge domain
+    big = spark.range(0, 1000).select(F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="distinct values exceeds"):
+        ks_drift(big, big, F.col("x"), max_points=100)

@@ -168,6 +168,7 @@ QUERIES = [
     # round-7 additions
     "corpus_dsir_select",
     "quality_psi_drift",
+    "quality_ks_drift",
     "sketch_kmv_overlap",
     "multimodal_audio_features",
     "multimodal_image_resize",
