@@ -1340,18 +1340,53 @@ def containment_pairs(
     compares integers (inter >= t * |src| with exact-int inter/|src| and
     an exact t literal) — no float drift.
 
+    Exact duplicates are collapsed before shingling and directed pairs
+    expanded back afterwards, exactly as in the Jaccard join: identical
+    texts have identical shingle sets, so every member of a group shares
+    its canonical doc's containment relations (within-group members are
+    mutually contained at 1.0 whenever the capped set is non-empty —
+    matching the naive form, whose empty-set pairs join nothing and drop
+    out).  On clone-heavy corpora this is the difference between pairing
+    canonical documents and pairing every copy: the 10x-clone stress
+    corpus runs the join on the ORIGINAL pair space and only the
+    (inherently ~100x larger) output expansion scales with the clones.
+
     Output: (src, dst, inter, n_src, containment_q4), containment
     quantized at 1e-4.
     """
     from pyspark.sql import Window
 
-    sh = shingle_df(df, text_col, id_col, n)
-    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    # ---- exact-duplicate collapse (semantics-preserving) -----------------
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__text"),
+        F.sha2(F.col(text_col), 256).alias("__th"),
+    )
+    canon_full = hashed.groupBy("__th").agg(
+        F.min("id").alias("__canon"),
+        F.any_value("__text").alias("__ctext"),
+        F.count(F.lit(1)).alias("__gsize"),
+    ).persist()
+    membership = (
+        hashed.select("id", "__th")
+        .join(canon_full.select("__th", "__canon"), "__th")
+        .persist()
+    )
+    canon = canon_full.select(
+        F.col("__canon").alias("id"),
+        F.col("__ctext").alias(text_col),
+        F.col("__gsize"),
+    )
+
+    sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
+    freq = sh.groupBy("sh").agg(
+        F.sum("__gsize").alias("df_")  # multiplicity-weighted df
+    )
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
         freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.join(freq, "sh").persist()
+    sh = sh.select("id", "sh").join(freq, "sh").persist()
 
     by_rarity = Window.partitionBy("id").orderBy("df_", "sh")
     ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
@@ -1391,7 +1426,7 @@ def containment_pairs(
         F.array_sort(F.collect_list("sh")).alias("set_"),
         F.count(F.lit(1)).alias("sz"),
     ).persist()
-    out = (
+    canon_pairs = (
         cand.join(
             doc_sets.select(
                 F.col("id").alias("src"),
@@ -1408,9 +1443,43 @@ def containment_pairs(
         )
         .withColumn("inter", F.size(F.array_intersect("set_src", "set_dst")))
         .filter(F.col("inter") >= F.lit(threshold) * F.col("n_src"))
+        .select("src", "dst", "inter", "n_src")
+    )
+
+    # ---- expand canonical pairs back to all duplicate members ------------
+    # within-group members are mutually contained at 1.0 whenever the
+    # capped shingle set is non-empty (inter = n_src = |set|); the member
+    # expansion below then emits every ordered member pair, both the
+    # within-group and the cross-group directions
+    self_pairs = (
+        doc_sets.select("id", F.col("sz"))
+        .join(
+            canon_full.filter(F.col("__gsize") > 1).select(
+                F.col("__canon").alias("id")
+            ),
+            "id",
+        )
         .select(
-            "src",
-            "dst",
+            F.col("id").alias("src"),
+            F.col("id").alias("dst"),
+            F.col("sz").alias("inter"),
+            F.col("sz").alias("n_src"),
+        )
+    )
+    mem_s = membership.select(
+        F.col("__canon").alias("src"), F.col("id").alias("m_src")
+    )
+    mem_d = membership.select(
+        F.col("__canon").alias("dst"), F.col("id").alias("m_dst")
+    )
+    return (
+        canon_pairs.unionByName(self_pairs)
+        .join(mem_s, "src")
+        .join(mem_d, "dst")
+        .filter(F.col("m_src") != F.col("m_dst"))
+        .select(
+            F.col("m_src").alias("src"),
+            F.col("m_dst").alias("dst"),
             F.col("inter").cast("long").alias("inter"),
             F.col("n_src").cast("long").alias("n_src"),
             (
@@ -1421,7 +1490,6 @@ def containment_pairs(
             ).alias("containment_q4"),
         )
     )
-    return out
 
 
 def containment_pairs_oracle_sql(

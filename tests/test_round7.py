@@ -343,3 +343,51 @@ def test_ks_drift_matches_python(spark):
     big = spark.range(0, 1000).select(F.col("id").alias("x"))
     with pytest.raises(ValueError, match="distinct values exceeds"):
         ks_drift(big, big, F.col("x"), max_points=100)
+
+
+def test_containment_collapse_expands_duplicate_members(spark):
+    """Exact-duplicate collapse must be semantics-preserving: clones share
+    every containment relation of their canonical doc, within-group
+    members are mutually contained at 1.0, and zero-shingle docs (empty
+    after the cap) contribute nothing — all matching the naive form."""
+    from adtl_spark.operators.dedup import containment_pairs
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # exact clone of 1
+        (3, "alpha beta gamma delta epsilon zeta"),  # exact clone of 0
+        (4, "unrelated totally different text here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {
+        (r["src"], r["dst"]): (r["inter"], r["n_src"], r["containment_q4"])
+        for r in containment_pairs(
+            df, threshold=0.5, n=3, max_doc_freq_frac=None
+        ).collect()
+    }
+
+    def shingles(text, n=3):
+        ts = text.lower().split()
+        return {" ".join(ts[i : i + n]) for i in range(max(len(ts) - n + 1, 1))}
+
+    expected = {}
+    for i, ti in docs:
+        for j, tj in docs:
+            if i == j:
+                continue
+            si, sj = shingles(ti), shingles(tj)
+            inter = len(si & sj)
+            if inter >= 0.5 * len(si):
+                import math as _m
+
+                expected[(i, j)] = (
+                    inter,
+                    len(si),
+                    _m.floor(inter / len(si) * 1e4 + 0.5) / 1e4,
+                )
+    assert out == expected
+    # clones are mutually contained at 1.0 in both directions
+    assert out[(1, 2)][2] == 1.0 and out[(2, 1)][2] == 1.0
+    # a clone inherits its canonical doc's cross-group relations
+    assert out[(1, 0)] == out[(2, 3)] == out[(1, 3)] == out[(2, 0)]
