@@ -56,6 +56,10 @@ SMJ_ALLOWED = {
     "w11_scd2": "snapshot-to-snapshot change join",
     "pipeline_corpus_clean": "near-dup pair join inside the pipeline",
     "dedup_cluster": "CC iteration edge<->label joins",
+    "text_containment": (
+        "canonical-pair <-> duplicate-membership expansion joins: both "
+        "sides corpus-grain (membership is one row per raw document)"
+    ),
     "graph_entity_resolution": (
         "CC iteration edge<->label joins plus the record<->entity-label "
         "re-attach join: both sides record-grain"
@@ -112,6 +116,7 @@ SMJ_EXPECT = {
     "corpus_merge_upsert": r"__id|__iid",
     "pipeline_corpus_clean": r"id",
     "dedup_cluster": r"node|label|src|dst|id_a|id_b",
+    "text_containment": r"\bsrc\b|\bdst\b",
     "graph_entity_resolution": r"node|label|src|dst|id_a|id_b|^id$|#id\b|\bid\b",
     "dedup_keep_best": r"doc_id|node",
     "corpus_unigram_logprob": r"doc_id|__did__",
@@ -146,6 +151,12 @@ def smj_drift(name: str, plan: str) -> list[str]:
 # (1-row thresholds, query sets) — flagged otherwise.
 BNLJ_ALLOWED_PATTERNS = ("crossJoin", "threshold", "recall", "budget")
 
+# Row-at-a-time Python (BatchEvalPython) is the slow path; only the
+# reference-mandated uuid5 UDF may use it.  Arrow-batched operators
+# (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+# sanctioned Python path and are not flagged.
+ROW_PYTHON_ALLOWED = {"p14_uuid5"}
+
 
 def audit(name: str, df) -> dict:
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -158,6 +169,7 @@ def audit(name: str, df) -> dict:
         "cart": plan.count("CartesianProduct"),
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "wsc": len(re.findall(r"\*\(\d+\)", plan)),
+        "rowpy": plan.count("BatchEvalPython"),
         "smj_drift": smj_drift(name, plan) if name in SMJ_ALLOWED else [],
     }
 
@@ -186,6 +198,8 @@ def main() -> None:
             flags.append("SMJ-unallowlisted")
         if row["smj_drift"]:
             flags.append(f"SMJ-key-drift:{row['smj_drift'][0][:40]}")
+        if row["rowpy"] and name not in ROW_PYTHON_ALLOWED:
+            flags.append("row-at-a-time-Python")
         if flags:
             bad.append(name)
         print(
