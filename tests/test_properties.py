@@ -708,3 +708,209 @@ def test_model_rejects_any_unknown_rule_key(rules, bad_key):
             }
         )
     assert bad_key in str(e.value)
+
+
+def test_kmv_overlap_matches_pure_python_model(spark):
+    """Independent differential: the KMV overlap row must equal a
+    from-scratch Python model (hashlib md5, float estimator) on
+    randomized token populations — independent of the DuckDB oracle,
+    which shares the SQL formulation."""
+    import hashlib
+    import math
+    import random
+
+    from adtl_spark.operators.sketches import kmv_overlap
+
+    rng = random.Random(23)
+    a_vals = [f"tok-{rng.randrange(400)}" for _ in range(1500)]
+    b_vals = [f"tok-{rng.randrange(400, 700)}" for _ in range(800)] + [
+        f"tok-{rng.randrange(400)}" for _ in range(400)
+    ]
+    k = 64
+
+    def h60(v: str) -> int:
+        return int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+    def sketch(vals):
+        return sorted({h60(v) for v in vals})[:k]
+
+    sk_a, sk_b = sketch(a_vals), sketch(b_vals)
+    union = sorted(set(sk_a) | set(sk_b))[:k]
+    matches = sum(1 for h in union if h in set(sk_a) and h in set(sk_b))
+
+    def est(sk):
+        if len(sk) < k:
+            return float(len(sk))
+        return (k - 1) * float(1 << 60) / sk[k - 1]
+
+    a = spark.createDataFrame([(v,) for v in a_vals], ["v"])
+    b = spark.createDataFrame([(v,) for v in b_vals], ["v"])
+    row = kmv_overlap(a, b, "v", k=k).collect()[0]
+    assert row["k_a"] == len(sk_a) and row["k_b"] == len(sk_b)
+    assert row["k_u"] == len(union) and row["matches"] == matches
+    assert row["est_a"] == math.floor(est(sk_a) + 0.5)
+    assert row["est_b"] == math.floor(est(sk_b) + 0.5)
+    assert row["est_union"] == math.floor(est(union) + 0.5)
+    jac = matches / len(union)
+    assert row["jaccard_q6"] == math.floor(jac * 1e6 + 0.5)
+    assert row["est_inter"] == math.floor(jac * est(union) + 0.5)
+
+
+def test_containment_matches_pure_python_model(spark):
+    """Independent differential on a randomized duplicate-heavy corpus:
+    the collapse-first containment join must equal the from-scratch naive
+    python form (raw-document df cap included)."""
+    import math
+    import random
+
+    from adtl_spark.operators.dedup import containment_pairs
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(8)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(3, 10)))
+        for _ in range(12)
+    ]
+    # force exact duplicates (the collapse path) on top of random docs
+    docs = [(i, texts[i % len(texts)]) for i in range(20)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    t, n, cap_frac = 0.4, 2, 0.5
+    out = {
+        (r["src"], r["dst"]): (r["inter"], r["n_src"], r["containment_q4"])
+        for r in containment_pairs(
+            df, threshold=t, n=n, max_doc_freq_frac=cap_frac
+        ).collect()
+    }
+
+    def shingles(text):
+        ts = [w for w in text.lower().split() if w]
+        return {" ".join(ts[i : i + n]) for i in range(max(len(ts) - n + 1, 1))}
+
+    sets = {i: shingles(txt) for i, txt in docs}
+    df_counts: dict[str, int] = {}
+    for s in sets.values():
+        for sh in s:
+            df_counts[sh] = df_counts.get(sh, 0) + 1
+    cap = int(len(docs) * cap_frac)
+    kept = {i: {sh for sh in s if df_counts[sh] <= cap} for i, s in sets.items()}
+
+    expected = {}
+    for i in kept:
+        for j in kept:
+            if i == j or not kept[i]:
+                continue
+            inter = len(kept[i] & kept[j])
+            if inter >= t * len(kept[i]):
+                expected[(i, j)] = (
+                    inter,
+                    len(kept[i]),
+                    math.floor(inter / len(kept[i]) * 1e4 + 0.5) / 1e4,
+                )
+    assert out == expected
+
+
+def test_drift_monitors_match_python_model_randomized(spark):
+    """Randomized differential for both drift monitors: PSI rows and the
+    KS row must equal from-scratch python models, and the headline
+    statistics obey their analytic ranges (PSI contributions >= 0 up to
+    quantization of nonnegative reals; 0 <= D <= 1e6)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.monitor import ks_drift, psi_drift
+
+    rng = random.Random(47)
+    ref_vals = [rng.randrange(12) for _ in range(900)]
+    cur_vals = [min(11, rng.randrange(12) + (1 if rng.random() < 0.3 else 0))
+                for _ in range(700)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["x"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["x"])
+    nb = 12
+
+    rows = psi_drift(ref, cur, F.col("x"), nb).collect()
+    for r in rows:
+        p = (ref_vals.count(r["bucket"]) + 0.5) / (len(ref_vals) + 0.5 * nb)
+        q = (cur_vals.count(r["bucket"]) + 0.5) / (len(cur_vals) + 0.5 * nb)
+        assert r["psi_q6"] == math.floor((p - q) * math.log(p / q) * 1e6 + 0.5)
+        assert r["psi_q6"] >= 0
+
+    row = ks_drift(ref, cur, F.col("x")).collect()[0]
+    pts = sorted(set(ref_vals) | set(cur_vals))
+    g = {
+        v: math.floor(
+            abs(
+                sum(1 for a in ref_vals if a <= v) / len(ref_vals)
+                - sum(1 for b in cur_vals if b <= v) / len(cur_vals)
+            )
+            * 1e6
+            + 0.5
+        )
+        for v in pts
+    }
+    d = max(g.values())
+    assert row["d_q6"] == d and 0 <= d <= 1_000_000
+    assert row["d_at"] == min(v for v in pts if g[v] == d)
+
+
+def test_dsir_matches_pure_python_model(spark):
+    """Independent differential for DSIR: hashlib-md5 bucket models and
+    python-float qlogs on a randomized corpus (the round-7 unit test uses
+    Spark's own hash; this one shares nothing with the implementation)."""
+    import hashlib
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.sampling import dsir_select
+
+    rng = random.Random(59)
+    vocab = [f"v{i}" for i in range(30)]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12))),
+            rng.choice(["en", "fr"]),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+    B, top_n = 32, 40
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["weight_q4"])
+        for r in dsir_select(
+            df, df.filter(F.col("lang") == "en"), top_n=top_n, n_buckets=B
+        ).collect()
+    }
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % B
+
+    t_hist: dict[int, int] = {}
+    r_hist: dict[int, int] = {}
+    t_total = r_total = 0
+    toks = {i: [w for w in txt.lower().split() if w] for i, txt, _ in docs}
+    for i, txt, lang in docs:
+        for w in toks[i]:
+            b = bucket(w)
+            r_hist[b] = r_hist.get(b, 0) + 1
+            r_total += 1
+            if lang == "en":
+                t_hist[b] = t_hist.get(b, 0) + 1
+                t_total += 1
+
+    def qlog(cnt, total):
+        return math.floor(math.log((cnt + 0.5) / (total + 0.5 * B)) * 1e4 + 0.5)
+
+    for i, txt, _ in docs:
+        if not toks[i]:
+            assert i not in out
+            continue
+        w = sum(
+            qlog(t_hist.get(bucket(x), 0), t_total)
+            - qlog(r_hist.get(bucket(x), 0), r_total)
+            for x in toks[i]
+        )
+        assert out[i] == (len(toks[i]), w)
