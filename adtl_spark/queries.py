@@ -5303,6 +5303,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. The tail holds the rest of that block and then the 50 queries the
        round-6 driver gate checked (the freshest green rows).
 
+    Round-8 rotation queue: any new round-8 gates first, then the
+    still-unrefreshed rounds-1-4 remainder (``p3_value_map`` onward,
+    between position 51 and the round-6-window tail); the round-6 and
+    round-7 driver-verified blocks hold the tail as the freshest rows.
+
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the
     tail.  Every entry has an oracle or a documented ROWS_ONLY reason
