@@ -100,3 +100,34 @@ def sessionize_stream(
             "n_events",
         )
     )
+
+
+def drift_monitor_sink(ref: DataFrame, bucket, n_buckets: int, log_path: str):
+    """foreachBatch sink that scores every micro-batch's distribution
+    against a STATIC reference snapshot and appends one summary row
+    (batch_id, n_ref, n_cur, psi_q6_total) to a parquet drift log — the
+    streaming deployment of operators/monitor.psi_drift (identical math
+    and quantization: the logged total equals the batch twin's
+    sum(psi_q6), so alert thresholds calibrate once and hold in both
+    modes).
+
+    Scale shape per micro-batch: one narrow projection + one
+    <= n_buckets-row aggregation over the batch, the reference histogram
+    broadcast-sized — drift scoring adds no corpus-grain shuffle to the
+    stream."""
+    from adtl_spark.operators.monitor import psi_drift
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        report = psi_drift(ref, batch_df, bucket, n_buckets)
+        (
+            report.agg(
+                F.max(F.lit(int(batch_id))).alias("batch_id"),
+                F.sum("n_ref").cast("long").alias("n_ref"),
+                F.sum("n_cur").cast("long").alias("n_cur"),
+                F.sum("psi_q6").cast("long").alias("psi_q6_total"),
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink
