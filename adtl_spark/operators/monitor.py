@@ -152,6 +152,9 @@ def ks_drift(
 
     Output: ONE row (n_ref, n_cur, d_q6, d_at) — the statistic quantized
     at 1e-6 and the smallest value where the maximum gap is attained.
+    An empty snapshot (on either side) has CDF 0 everywhere by
+    convention, so the report is the loud maximal D = 1.0, not an empty
+    relation; only both-sides-empty input yields no rows.
     Exactness: CDFs are exact-integer running counts over exact totals;
     each CDF is one correctly-rounded division, the gap is one
     subtraction, abs is exact — bit-identical in the DuckDB twin.
@@ -189,10 +192,14 @@ def ks_drift(
             "v",
             "ref_total",
             "cur_total",
+            # an EMPTY snapshot has CDF 0 everywhere (greatest(total, 1)
+            # keeps the division defined), so one-sided-empty inputs
+            # report the maximal D = 1.0 loudly instead of a null-gap
+            # empty result; non-degenerate totals are unchanged
             F.floor(
                 F.abs(
-                    F.col("cum_r") / F.col("ref_total")
-                    - F.col("cum_c") / F.col("cur_total")
+                    F.col("cum_r") / F.greatest(F.col("ref_total"), F.lit(1))
+                    - F.col("cum_c") / F.greatest(F.col("cur_total"), F.lit(1))
                 )
                 * 1000000
                 + F.lit(0.5)
@@ -234,8 +241,10 @@ def ks_drift_oracle_sql(
       ),
       cdf AS (
         SELECT v, ref_total, cur_total,
-               abs(CAST(sum(nr) OVER (ORDER BY v) AS DOUBLE) / ref_total
-                   - CAST(sum(nc) OVER (ORDER BY v) AS DOUBLE) / cur_total)
+               abs(CAST(sum(nr) OVER (ORDER BY v) AS DOUBLE)
+                     / greatest(ref_total, 1)
+                   - CAST(sum(nc) OVER (ORDER BY v) AS DOUBLE)
+                     / greatest(cur_total, 1))
                  AS gap
         FROM counts CROSS JOIN tot
       ),

@@ -391,3 +391,51 @@ def test_containment_collapse_expands_duplicate_members(spark):
     assert out[(1, 2)][2] == 1.0 and out[(2, 1)][2] == 1.0
     # a clone inherits its canonical doc's cross-group relations
     assert out[(1, 0)] == out[(2, 3)] == out[(1, 3)] == out[(2, 0)]
+
+
+# ------------------------------------------------------- degenerate inputs --
+def test_dsir_empty_target_is_loud_not_silent(spark):
+    """A DSIR target with zero tokens cannot define a distribution: the
+    scored weights come back NULL (the same loud-anomaly contract as
+    score_unigram's empty-model behavior) instead of silently ranking by
+    the raw distribution alone."""
+    from adtl_spark.operators.sampling import dsir_select
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], ["doc_id", "text"]
+    )
+    out = dsir_select(
+        docs, docs.filter(F.col("doc_id") < 0), top_n=5, n_buckets=16
+    ).collect()
+    assert len(out) == 2
+    assert all(r["weight_q4"] is None for r in out)
+
+
+def test_psi_and_ks_with_empty_current_snapshot(spark):
+    """An empty current snapshot is a legal (maximal-drift) input: PSI
+    rows carry n_cur=0 with the smoothed floor share, and KS reports
+    D = max CDF gap = 1.0 — no crashes, no division artifacts."""
+    from adtl_spark.operators.monitor import ks_drift, psi_drift
+
+    ref = spark.createDataFrame([(v,) for v in [0, 1, 1, 2]], ["b"])
+    empty = ref.filter(F.col("b") < 0)
+    rows = psi_drift(ref, empty, F.col("b"), 4).collect()
+    assert [r["bucket"] for r in rows] == [0, 1, 2]
+    assert all(r["n_cur"] == 0 and r["psi_q6"] >= 0 for r in rows)
+
+    row = ks_drift(ref, empty, F.col("b")).collect()[0]
+    # CDF of the empty side is 0 everywhere -> D = 1.0 at the ref median
+    assert row["n_cur"] == 0 and row["d_q6"] == 1_000_000
+
+
+def test_kmv_overlap_empty_side(spark):
+    """An empty side yields exact zeros (size < k path), not NaNs: the
+    union sketch equals the non-empty side and intersection is 0."""
+    from adtl_spark.operators.sketches import kmv_overlap
+
+    a = spark.createDataFrame([(f"t{i}",) for i in range(30)], ["v"])
+    b = a.filter(F.col("v") == "nope")
+    row = kmv_overlap(a, b, "v", k=64).collect()[0]
+    assert row["k_b"] == 0 and row["est_b"] == 0
+    assert row["k_u"] == 30 and row["matches"] == 0
+    assert row["jaccard_q6"] == 0 and row["est_inter"] == 0
