@@ -1472,7 +1472,7 @@ def containment_pairs(
     mem_d = membership.select(
         F.col("__canon").alias("dst"), F.col("id").alias("m_dst")
     )
-    return (
+    result = (
         canon_pairs.unionByName(self_pairs)
         .join(mem_s, "src")
         .join(mem_d, "dst")
@@ -1489,6 +1489,9 @@ def containment_pairs(
                 / 10000.0
             ).alias("containment_q4"),
         )
+    )
+    return _materialize_and_release(
+        result, [canon_full, membership, sh, doc_sets]
     )
 
 

@@ -208,8 +208,10 @@ def ks_drift(
             .alias("g_q6"),
         )
     )
+    from adtl_spark.operators.dedup import _materialize_and_release
+
     dmax = q.agg(F.max("g_q6").alias("d_q6"))
-    return (
+    result = (
         q.crossJoin(F.broadcast(dmax))
         .filter(F.col("g_q6") == F.col("d_q6"))
         .groupBy("ref_total", "cur_total", "d_q6")
@@ -221,6 +223,8 @@ def ks_drift(
             "d_at",
         )
     )
+    # one-row result; release the persisted value-grain relation
+    return _materialize_and_release(result, [counts])
 
 
 def ks_drift_oracle_sql(

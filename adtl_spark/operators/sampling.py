@@ -716,6 +716,7 @@ def dsir_bucket_counts(
     n_buckets: int = 512,
     text_col: str = "text",
     id_col: str = "doc_id",
+    _caches: list | None = None,
 ) -> DataFrame:
     """(bucket, cnt, total): hashed-unigram bucket histogram plus the
     corpus token total on every row — an <= n_buckets-row broadcastable
@@ -733,6 +734,8 @@ def dsir_bucket_counts(
     # re-run the corpus-sized tokenize+aggregate (this is the model
     # artifact you would checkpoint in a train-once/score-many pipeline)
     hist = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    if _caches is not None:
+        _caches.append(hist)
     total = hist.agg(F.sum("cnt").alias("total"))
     return hist.crossJoin(F.broadcast(total))
 
@@ -764,8 +767,9 @@ def dsir_select(
     """
     from adtl_spark.operators.corpus import _exploded_tokens
 
-    t_model = dsir_bucket_counts(target, n_buckets, text_col, id_col)
-    r_model = dsir_bucket_counts(docs, n_buckets, text_col, id_col)
+    caches: list = []
+    t_model = dsir_bucket_counts(target, n_buckets, text_col, id_col, caches)
+    r_model = dsir_bucket_counts(docs, n_buckets, text_col, id_col, caches)
 
     def qlog_ratio(cnt: Column, total: Column) -> Column:
         p = (F.coalesce(cnt, F.lit(0)) + 0.5) / (total + 0.5 * n_buckets)
@@ -808,11 +812,17 @@ def dsir_select(
             F.sum("qdiff").alias("weight_q4"),
         )
     )
-    return (
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    result = (
         scored.orderBy(F.desc("weight_q4"), F.asc("id"))
         .limit(top_n)
         .select(F.col("id").alias(id_col), "n_tokens", "weight_q4")
     )
+    # the selection is top_n rows — materialize it and release the
+    # persisted bucket models (standalone dsir_bucket_counts callers keep
+    # their persisted model: it IS the reusable artifact)
+    return _materialize_and_release(result, caches)
 
 
 def dsir_select_oracle_sql(
