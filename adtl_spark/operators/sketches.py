@@ -400,3 +400,207 @@ def kmv_overlap_oracle_sql(
                         + 0.5) AS BIGINT) AS est_inter
       FROM s
     """
+
+
+# ------------------------------------------------- bottom-k quantile sketch
+
+
+def quantile_bottomk(
+    df: DataFrame,
+    value: Column | str,
+    key: Column | str,
+    group: Column | str,
+    k: int = 256,
+    group_name: str = "grp",
+    percents: tuple = (10, 25, 50, 75, 90),
+) -> DataFrame:
+    """Mergeable bottom-k quantile sketch: per group, keep the ``k`` rows
+    whose ``key`` has the smallest portable hash (a uniform sample of the
+    distinct keys, since md5 order is independent of the value), then
+    read type-1 (lower) empirical quantiles off the sample.
+
+    Merge law: ``sketch(A ∪ B) = bottom_k(sketch(A) ∪ sketch(B))`` — the
+    k smallest hashes of a union are a subset of the union of each side's
+    k smallest, so shards/streams sketch independently and combine with a
+    k-row-per-group union (pinned by test_quantile_bottomk_merge_law).
+
+    Scale shape: duplicate keys collapse in one map-side-combinable hash
+    aggregate; the per-group top-k runs per hash-derived salt first, so
+    no group ever funnels its full distinct set through one task — the
+    final per-group sort sees at most SALTS*k rows.  Everything after is
+    arithmetic on <= k rows per group.
+
+    Determinism: quantile index is integer ``ceil(n*q/100) = (n*q+99)
+    DIV 100`` (no float), sample order is (value, hash) — a total order
+    both engines agree on; the DuckDB twin replays the sketch exactly.
+
+    The reference has no quantile support (row-at-a-time interpreter,
+    /root/reference/src/adtl/__init__.py); extension surface alongside
+    hll_distinct/kmv_overlap.
+    """
+    from pyspark.sql import Window
+
+    value = F.col(value) if isinstance(value, str) else value
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    h = md5_60(F.concat_ws("|", F.lit("qsk"), key.cast("string")))
+    hashed = (
+        df.select(
+            group.alias(group_name),
+            h.alias("h"),
+            value.cast("long").alias("v"),
+        )
+        .groupBy(group_name, "h")
+        .agg(F.min("v").alias("v"))
+    )
+    salted = hashed.withColumn("s", F.col("h") % _KMV_SALTS)
+    pre = F.row_number().over(Window.partitionBy(group_name, "s").orderBy("h"))
+    cand = salted.withColumn("rn", pre).filter(F.col("rn") <= k).drop("rn", "s")
+    fin = F.row_number().over(Window.partitionBy(group_name).orderBy("h"))
+    sample = cand.withColumn("rn", fin).filter(F.col("rn") <= k).drop("rn")
+    wv = Window.partitionBy(group_name).orderBy("v", "h")
+    ranked = sample.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy(group_name))
+    )
+    aggs = [F.max("n").cast("long").alias("n_sample")]
+    for q in percents:
+        aggs.append(
+            F.max(
+                F.expr(f"CASE WHEN rn = (n*{q}+99) DIV 100 THEN v END")
+            ).cast("long").alias(f"q{q}")
+        )
+    return ranked.groupBy(group_name).agg(*aggs).orderBy(group_name)
+
+
+def quantile_bottomk_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    value_expr: str,
+    group_expr: str,
+    k: int = 256,
+    group_name: str = "grp",
+    percents: tuple = (10, 25, 50, 75, 90),
+) -> str:
+    """DuckDB replay twin of :func:`quantile_bottomk` — same salted hash,
+    same bottom-k selection, same integer quantile indices."""
+    h = md5_60_sql(f"concat_ws('|', 'qsk', CAST({key_expr} AS VARCHAR))")
+    qcols = ",\n           ".join(
+        f"CAST(max(CASE WHEN rn = (n*{q}+99)//100 THEN v END) AS BIGINT) AS q{q}"
+        for q in percents
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {group_name}, h, min(v) AS v FROM (
+        SELECT {group_expr} AS {group_name}, {h} AS h,
+               CAST({value_expr} AS BIGINT) AS v
+        FROM ({source_sql})
+      ) GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT {group_name}, h, v FROM (
+        SELECT {group_name}, h, v,
+               row_number() OVER (PARTITION BY {group_name} ORDER BY h) AS rn
+        FROM hashed
+      ) WHERE rn <= {k}
+    ),
+    ranked AS (
+      SELECT {group_name}, v,
+             row_number() OVER (PARTITION BY {group_name} ORDER BY v, h) AS rn,
+             count(*) OVER (PARTITION BY {group_name}) AS n
+      FROM topk
+    )
+    SELECT {group_name},
+           CAST(max(n) AS BIGINT) AS n_sample,
+           {qcols}
+    FROM ranked GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------- HLL rollup (merge law)
+
+
+def hll_rollup(
+    df: DataFrame,
+    key: Column | str,
+    group: Column | str,
+    group_name: str = "grp",
+    total_label: str = "__all__",
+) -> DataFrame:
+    """Per-group distinct estimates PLUS a global estimate derived by
+    MERGING the per-group register tables (register-wise max), never
+    re-reading the input: the sketch-space analogue of ROLLUP.  This is
+    the operation that makes HLL useful at 100 TB — per-source register
+    tables computed once (2^p rows each) roll up to any coarser grouping
+    with a register-max aggregate over sketch-sized data.
+
+    Output: one (grp, n_set, est_distinct) row per group plus a
+    ``total_label`` row whose estimate comes from the merged registers.
+    """
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    # the register table feeds BOTH grouping levels; Catalyst does not
+    # reuse the exchange across the union branches, so persist it (it is
+    # sketch-sized — n_groups * 2^p rows — whatever the corpus size) to
+    # scan the corpus exactly once, then release per the repo contract
+    regs = hll_registers(df, key, group.cast("string"), group_name).persist()
+    merged = (
+        regs.groupBy("register")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .select(F.lit(total_label).alias(group_name), "register", "m_rho")
+    )
+    out = hll_estimate(regs.unionByName(merged), group_name)
+    return _materialize_and_release(out, [regs])
+
+
+def hll_rollup_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_expr: str,
+    group_name: str = "grp",
+    total_label: str = "__all__",
+) -> str:
+    """DuckDB twin of :func:`hll_rollup`: one register CTE, estimated at
+    both grouping levels with the identical integer harmonic-sum math as
+    hll_distinct_oracle_sql."""
+    h = md5_60_sql(f"concat_ws('|', 'hll', CAST({key_expr} AS VARCHAR))")
+    est = f"""CAST(floor(
+             CASE WHEN ({HLL_M} - n_set) > 0
+                   AND (CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * CAST({float(1 << SCALE_POW)!r} AS DOUBLE)
+                        / CAST(zsum + ({HLL_M} - n_set) * {1 << SCALE_POW} AS DOUBLE)) <= {2.5 * HLL_M}
+                  THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M} - n_set))
+                  ELSE CAST({HLL_ALPHA!r} AS DOUBLE) * {HLL_M}.0 * {HLL_M}.0 * CAST({float(1 << SCALE_POW)!r} AS DOUBLE)
+                       / CAST(zsum + ({HLL_M} - n_set) * {1 << SCALE_POW} AS DOUBLE)
+             END * 10000 + 0.5) AS DOUBLE) / 10000.0"""
+    return f"""
+    WITH hashed AS (
+      SELECT CAST({group_expr} AS VARCHAR) AS {group_name},
+             ({h}) >> {HLL_W} AS register,
+             ({h}) % {1 << HLL_W} AS rest
+      FROM ({source_sql})
+    ),
+    regs AS (
+      SELECT {group_name}, register,
+             max(CASE WHEN rest = 0 THEN {HLL_W + 1}
+                      ELSE {HLL_W + 1} - length(bin(rest)) END) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    ),
+    all_regs AS (
+      SELECT {group_name}, register, m_rho FROM regs
+      UNION ALL
+      SELECT '{total_label}' AS {group_name}, register, max(m_rho) AS m_rho
+      FROM regs GROUP BY register
+    ),
+    grp AS (
+      SELECT {group_name},
+             count(*) AS n_set,
+             sum(CAST(1 AS BIGINT) << ({SCALE_POW} - m_rho)) AS zsum
+      FROM all_regs GROUP BY 1
+    )
+    SELECT {group_name},
+           CAST(n_set AS BIGINT) AS n_set,
+           {est} AS est_distinct
+    FROM grp
+    ORDER BY {group_name}
+    """

@@ -412,3 +412,90 @@ def read_text_dir(
     ``wholetext`` must be the reader-method keyword: ``.text()`` rebuilds
     its options, so a prior ``.option(...)`` call is silently dropped."""
     return spark.read.text(path, wholetext=whole_files)
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "shuffle",
+    size_col: str | None = None,
+) -> DataFrame:
+    """Integrity manifest for a :func:`write_training_shards` export:
+    per-shard row counts, total payload size, and an order-independent
+    content checksum — computable BEFORE the write (plan the export),
+    AFTER it (verify the parquet), or incrementally on an appended batch
+    (manifests add: counts/sizes sum, checksums xor).
+
+    Shard assignment replays write_training_shards exactly (same salted
+    portable hash, ``shard = hash DIV (space/n_shards)``), so the
+    manifest describes the real shard files.  The checksum is
+    ``bit_xor`` of a per-row 60-bit content hash (key + size column):
+    xor is commutative/associative, so the checksum is independent of
+    partitioning and row order — two exports of the same corpus match
+    bit-for-bit however Spark scheduled them, and a single flipped row
+    flips the shard checksum.  One map-side-combinable aggregate, output
+    is ``n_shards`` rows; use a power-of-two ``n_shards`` so the hash
+    space divides exactly (same contract as write_training_shards).
+    """
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sampling import HASH_SPACE
+
+    h = md5_60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    content_cols = [F.col(key_col).cast("string")]
+    if size_col is not None:
+        content_cols.append(F.col(size_col).cast("string"))
+    row_h = md5_60(F.concat_ws("|", F.lit("manifest"), *content_cols))
+    sized = (
+        F.col(size_col).cast("long") if size_col else F.lit(0).cast("long")
+    )
+    shard_width = HASH_SPACE // n_shards
+    staged = df.withColumn("__h__", h).select(
+        F.expr(f"`__h__` DIV {shard_width}").alias("shard"),
+        row_h.alias("__rh__"),
+        sized.alias("__sz__"),
+    )
+    return (
+        staged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("__sz__").cast("long").alias("total_size"),
+            F.expr("bit_xor(`__rh__`)").alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+def shard_manifest_oracle_sql(
+    source_sql: str,
+    n_shards: int,
+    key_expr: str = "doc_id",
+    salt: str = "shuffle",
+    size_expr: str | None = None,
+) -> str:
+    """DuckDB replay twin of :func:`shard_manifest` — same salted shard
+    hash, same per-row content hash, same xor checksum."""
+    from adtl_spark.operators.dedup import md5_60_sql
+    from adtl_spark.operators.sampling import HASH_SPACE
+
+    h = md5_60_sql(f"concat_ws('|', '{salt}', CAST({key_expr} AS VARCHAR))")
+    content = f"concat_ws('|', 'manifest', CAST({key_expr} AS VARCHAR)"
+    if size_expr is not None:
+        content += f", CAST({size_expr} AS VARCHAR)"
+    content += ")"
+    row_h = md5_60_sql(content)
+    sz = f"CAST({size_expr} AS BIGINT)" if size_expr else "CAST(0 AS BIGINT)"
+    shard_width = HASH_SPACE // n_shards
+    return f"""
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(sz) AS BIGINT) AS total_size,
+           CAST(bit_xor(rh) AS BIGINT) AS checksum
+    FROM (
+      SELECT ({h}) // {shard_width} AS shard,
+             ({row_h}) AS rh,
+             {sz} AS sz
+      FROM ({source_sql})
+    )
+    GROUP BY 1 ORDER BY 1
+    """

@@ -360,6 +360,9 @@ def test_query_registry_invariants():
     gate = list(qs)[:50]
     for name in (
         # new in round 7
+        "sketch_quantile_bottomk",
+        "sketch_hll_rollup",
+        "layout_shard_manifest",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

@@ -439,3 +439,165 @@ def test_kmv_overlap_empty_side(spark):
     assert row["k_b"] == 0 and row["est_b"] == 0
     assert row["k_u"] == 30 and row["matches"] == 0
     assert row["jaccard_q6"] == 0 and row["est_inter"] == 0
+
+
+# --------------------------------------------- bottom-k quantile sketch --
+def test_quantile_bottomk_small_group_is_exact(spark):
+    """When a group has fewer distinct keys than k the sample IS the
+    population, so the sketch quantiles equal exact type-1 quantiles."""
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]  # key i -> value vals[i]
+    df = spark.createDataFrame(
+        [(i, v, "g") for i, v in enumerate(vals)], ["k", "v", "g"]
+    )
+    row = quantile_bottomk(df, "v", "k", "g", k=256).collect()[0]
+    srt = sorted(vals)
+    n = len(srt)
+    assert row["n_sample"] == n
+    for q in (10, 25, 50, 75, 90):
+        assert row[f"q{q}"] == srt[(n * q + 99) // 100 - 1]
+
+
+def test_quantile_bottomk_merge_law(spark):
+    """sketch(A ∪ B) == bottom_k(sketch(A) ∪ sketch(B)): shards sketch
+    independently and merge without touching the raw data again."""
+    from pyspark.sql import Window
+
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    k = 16
+    rows = [(i, (i * 37) % 101, "g") for i in range(400)]
+    df = spark.createDataFrame(rows, ["k", "v", "g"])
+    a, b = df.filter(F.col("k") % 2 == 0), df.filter(F.col("k") % 2 == 1)
+
+    def sample(side):
+        h = md5_60(F.concat_ws("|", F.lit("qsk"), F.col("k").cast("string")))
+        w = Window.partitionBy("g").orderBy("h")
+        return (
+            side.select("g", h.alias("h"), F.col("v").cast("long").alias("v"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    merged = sample(a).unionByName(sample(b))
+    w = Window.partitionBy("g").orderBy("h")
+    remerged = (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("g", "h", "v")
+    )
+    wv = Window.partitionBy("g").orderBy("v", "h")
+    ranked = remerged.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    via_merge = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_sample"),
+        *[
+            F.max(
+                F.expr(f"CASE WHEN rn = (n*{q}+99) DIV 100 THEN v END")
+            ).cast("long").alias(f"q{q}")
+            for q in (10, 25, 50, 75, 90)
+        ],
+    )
+    direct = quantile_bottomk(df, "v", "k", "g", k=k)
+    assert direct.collect() == via_merge.collect()
+
+
+def test_quantile_bottomk_duplicate_keys_collapse(spark):
+    """Duplicate keys contribute one sample row (min value), so re-feeding
+    the same corpus twice never skews the sample toward repeated rows."""
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    df = spark.createDataFrame(
+        [(i, i, "g") for i in range(50)], ["k", "v", "g"]
+    )
+    doubled = df.unionByName(df)
+    assert (
+        quantile_bottomk(df, "v", "k", "g", k=64).collect()
+        == quantile_bottomk(doubled, "v", "k", "g", k=64).collect()
+    )
+
+
+# ----------------------------------------------------------- HLL rollup --
+def test_hll_rollup_total_matches_ungrouped_estimate(spark):
+    """The merged __all__ row must equal hll_distinct over the whole
+    corpus with a single group — merging registers IS re-sketching."""
+    from adtl_spark.operators.sketches import hll_distinct, hll_rollup
+
+    rows = [(f"tok{i % 97}", f"s{i % 3}") for i in range(500)]
+    df = spark.createDataFrame(rows, ["token", "src"])
+    rolled = {
+        r["src"]: (r["n_set"], r["est_distinct"])
+        for r in hll_rollup(df, "token", "src", "src").collect()
+    }
+    whole = hll_distinct(
+        df, F.col("token"), F.lit("__all__"), "src"
+    ).collect()[0]
+    assert rolled["__all__"] == (whole["n_set"], whole["est_distinct"])
+    assert set(rolled) == {"s0", "s1", "s2", "__all__"}
+
+
+# -------------------------------------------------------- shard manifest --
+def test_shard_manifest_partitioning_invariant(spark):
+    """Counts and xor checksums are identical under any repartitioning or
+    row order — the manifest describes content, not scheduling."""
+    from adtl_spark.sources.io import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}", 10 + i % 7) for i in range(300)],
+        ["doc_id", "text", "n_chars"],
+    )
+    base = shard_manifest(df, 8, size_col="n_chars").collect()
+    scrambled = shard_manifest(
+        df.repartition(13).sortWithinPartitions(F.col("n_chars").desc()),
+        8,
+        size_col="n_chars",
+    ).collect()
+    assert base == scrambled
+    assert sum(r["n_rows"] for r in base) == 300
+
+
+def test_shard_manifest_detects_single_row_change(spark):
+    """A one-row edit flips exactly that shard's checksum and size."""
+    from adtl_spark.sources.io import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(64)], ["doc_id", "n_chars"]
+    )
+    edited = df.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 7, 999).otherwise(F.col("n_chars")),
+    )
+    a = {r["shard"]: r for r in shard_manifest(df, 4, size_col="n_chars").collect()}
+    b = {r["shard"]: r for r in shard_manifest(edited, 4, size_col="n_chars").collect()}
+    diff = [s for s in a if a[s] != b[s]]
+    assert len(diff) == 1
+    s = diff[0]
+    assert a[s]["n_rows"] == b[s]["n_rows"]
+    assert a[s]["checksum"] != b[s]["checksum"]
+    assert b[s]["total_size"] - a[s]["total_size"] == 999 - 100
+
+
+def test_shard_manifest_matches_written_shards(spark, tmp_path):
+    """The manifest computed from the DataFrame agrees with per-directory
+    counts of an actual write_training_shards export."""
+    from adtl_spark.sources.io import shard_manifest, write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, 5 * i) for i in range(200)], ["doc_id", "n_chars"]
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, n_shards=4)
+    manifest = {
+        r["shard"]: r["n_rows"]
+        for r in shard_manifest(df, 4, size_col="n_chars").collect()
+    }
+    written = spark.read.parquet(out)
+    counts = {
+        r["__shard__"]: r["n"]
+        for r in written.groupBy("__shard__").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert manifest == counts
