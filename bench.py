@@ -246,6 +246,10 @@ HEADLINE = [
     "multimodal_image_resize",
     "text_containment",
     "graph_entity_resolution",
+    # late round-7 additions: quantile sketch, HLL rollup, shard manifest
+    "sketch_quantile_bottomk",
+    "sketch_hll_rollup",
+    "layout_shard_manifest",
 ]
 
 

@@ -601,3 +601,30 @@ def test_shard_manifest_matches_written_shards(spark, tmp_path):
         for r in written.groupBy("__shard__").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert manifest == counts
+
+
+def test_shard_manifest_is_additive(spark):
+    """Manifests of disjoint batches combine with sum/xor into the
+    manifest of the union — per-shard bookkeeping for incremental
+    appends without rescanning the corpus."""
+    from adtl_spark.sources.io import shard_manifest
+
+    df = spark.createDataFrame(
+        [(i, 3 * i + 1) for i in range(500)], ["doc_id", "n_chars"]
+    )
+    a, b = df.filter(F.col("doc_id") < 250), df.filter(F.col("doc_id") >= 250)
+    ma = {r["shard"]: r for r in shard_manifest(a, 8, size_col="n_chars").collect()}
+    mb = {r["shard"]: r for r in shard_manifest(b, 8, size_col="n_chars").collect()}
+    combined = {}
+    for s in set(ma) | set(mb):
+        ra, rb = ma.get(s), mb.get(s)
+        combined[s] = (
+            (ra["n_rows"] if ra else 0) + (rb["n_rows"] if rb else 0),
+            (ra["total_size"] if ra else 0) + (rb["total_size"] if rb else 0),
+            (ra["checksum"] if ra else 0) ^ (rb["checksum"] if rb else 0),
+        )
+    whole = {
+        r["shard"]: (r["n_rows"], r["total_size"], r["checksum"])
+        for r in shard_manifest(df, 8, size_col="n_chars").collect()
+    }
+    assert combined == whole

@@ -953,3 +953,81 @@ def test_drift_monitor_scores_each_microbatch(spark, tmp_path):
     ).agg(F.sum("psi_q6").alias("t")).collect()[0]["t"]
     assert scores == sorted([b1_twin, b2_twin])
     assert b2_twin > b1_twin  # the shifted batch is the louder one
+
+
+def test_quantile_sketch_merges_across_microbatches(spark, tmp_path):
+    """The bottom-k quantile sample maintains itself on a stream via
+    foreachBatch: each micro-batch's per-group bottom-k merges into a
+    parquet sketch store (union + re-take-k — the quantile_bottomk merge
+    law), so the store stays k rows per group however long the stream
+    runs.  Quantiles read from the final store must equal the batch
+    sketch over all the data."""
+    from pyspark.sql import Window
+
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    k = 16
+    src = tmp_path / "q_stream"
+    src.mkdir()
+    store = str(tmp_path / "q_store")
+    rows = spark.range(0, 300).selectExpr(
+        "CAST(id % 2 AS STRING) AS g",
+        "id AS k_id",
+        "(id * 31) % 97 AS v",
+    )
+    for i, pred in enumerate(("id < 100", "id >= 100 AND id < 200", "id >= 200")):
+        rows.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+
+    def sample(df):
+        h = md5_60(F.concat_ws("|", F.lit("qsk"), F.col("k_id").cast("string")))
+        w = Window.partitionBy("g").orderBy("h")
+        return (
+            df.select("g", h.alias("h"), F.col("v").cast("long").alias("v"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    def merge(batch_df, batch_id):
+        sk = sample(batch_df)
+        try:
+            prev = batch_df.sparkSession.read.parquet(store)
+            sk = sk.unionByName(prev)
+        except Exception:
+            pass
+        w = Window.partitionBy("g").orderBy("h")
+        merged = (
+            sk.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    stream = spark.readStream.schema("g string, k_id long, v long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(store)
+    wv = Window.partitionBy("g").orderBy("v", "h")
+    ranked = final.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    streamed = ranked.groupBy("g").agg(
+        F.max("n").cast("long").alias("n_sample"),
+        *[
+            F.max(
+                F.expr(f"CASE WHEN rn = (n*{qq}+99) DIV 100 THEN v END")
+            ).cast("long").alias(f"q{qq}")
+            for qq in (10, 25, 50, 75, 90)
+        ],
+    ).orderBy("g")
+    batch = quantile_bottomk(rows, "v", "k_id", "g", k=k, group_name="g")
+    assert streamed.collect() == batch.collect()
