@@ -38,7 +38,7 @@ on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from adtl_spark.operators.dedup import (
@@ -803,6 +803,7 @@ def score_nb(
     prior: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry: Column | None = None,
 ) -> DataFrame:
     """Score documents under a trained NB model (:func:`train_nb`):
     score = b + sum of in-vocabulary token log-odds (out-of-vocabulary
@@ -819,13 +820,19 @@ def score_nb(
     doc-id sort-merge join of two corpus-sized relations just to restore
     empty rows, where explode_outer keeps the whole scorer one narrow
     pass + one broadcast join + one aggregation."""
+    carry_cols = [carry.alias("__carry")] if carry is not None else []
     toks = docs.select(
         F.col(id_col).alias("id"),
+        *carry_cols,
         F.explode_outer(tokens(F.col(text_col))).alias("token"),
     )
+    # __carry is functionally determined by id, so adding it to the
+    # grouping key changes no group — it just rides the same aggregate
+    # instead of forcing a doc-grain join-back to restore the label
+    keys = ["id"] + (["__carry"] if carry is not None else [])
     scored = (
         toks.join(F.broadcast(model), "token", "left")
-        .groupBy("id")
+        .groupBy(*keys)
         .agg(
             # count(token) counts non-null rows only: an empty document's
             # single null-token row contributes 0
@@ -834,8 +841,12 @@ def score_nb(
         )
     )
     q = (F.coalesce(F.col("__wsum"), F.lit(0)) + F.col("b")).cast("double")
+    out_carry = (
+        [F.col("__carry").alias("label")] if carry is not None else []
+    )
     return scored.crossJoin(F.broadcast(prior)).select(
         F.col("id").alias(id_col),
+        *out_carry,
         F.col("__n").cast("long").alias("n_tokens"),
         (q / 10000.0).alias("nb_score"),
         (q > 0).alias("nb_keep"),
@@ -976,4 +987,134 @@ def merge_upsert_oracle_sql(
            COALESCE(i.ih, b.bh) AS payload_hash
     FROM b FULL OUTER JOIN i ON b.id = i.id
     ORDER BY {id_col}
+    """
+
+
+# -------------------------------------------- classifier calibration curve
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "nb_score",
+    n_bins: int = 32,
+) -> DataFrame:
+    """Binned precision/recall calibration curve for a quality
+    classifier: how precision trades against recall as the keep
+    threshold sweeps the score range — the table you read before picking
+    a filter threshold for a training corpus.
+
+    Scale shape: documents collapse into ``n_bins`` fixed-width score
+    bins in ONE map-side-combinable aggregate (bin edges come from a
+    broadcast one-row min/max stats join, never a driver collect); the
+    cumulative-from-the-top sums then run over the n_bins-row cell
+    table, so the unpartitioned window is bounded state, not a corpus
+    sort.  Scores are the repo's quantized-q4 doubles; binning recovers
+    the exact integer (``floor(s*1e4 + 0.5)``) so bin assignment is pure
+    integer arithmetic both engines replay.
+
+    Output, ordered by descending bin (highest threshold first): bin,
+    score_lo_q4 (lowest quantized score in the bin), n, n_pos, cum_n /
+    cum_tp (documents / true positives at-or-above the bin), and
+    precision_q6 / recall_q6 per the cross-engine float protocol.
+    """
+    from pyspark.sql import Window
+
+    iscore = F.floor(F.col(score_col) * 10000 + F.lit(0.5)).cast("long")
+    base = scored.select(
+        iscore.alias("s"), F.col(label_col).cast("boolean").alias("y")
+    )
+    stats = base.agg(F.min("s").alias("lo"), F.max("s").alias("hi"))
+    binned = base.crossJoin(F.broadcast(stats)).select(
+        F.expr(
+            f"CASE WHEN hi = lo THEN 0 "
+            f"ELSE ((s - lo) * {n_bins}) DIV (hi - lo + 1) END"
+        ).alias("bin"),
+        "s",
+        "y",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("n_pos"),
+        F.min("s").alias("score_lo_q4"),
+    )
+    w_cum = Window.orderBy(F.desc("bin")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    staged = cells.select(
+        "bin",
+        "score_lo_q4",
+        "n",
+        "n_pos",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n_pos").over(w_cum).alias("cum_tp"),
+        F.sum("n_pos").over(w_all).alias("tot_pos"),
+    )
+    prec = F.col("cum_tp") / F.col("cum_n")
+    rec = F.when(F.col("tot_pos") > 0, F.col("cum_tp") / F.col("tot_pos")).otherwise(
+        F.lit(0.0)
+    )
+    return staged.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("score_lo_q4").cast("long").alias("score_lo_q4"),
+        F.col("n").cast("long").alias("n"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_tp").cast("long").alias("cum_tp"),
+        F.floor(prec * 1000000 + F.lit(0.5)).cast("long").alias("precision_q6"),
+        F.floor(rec * 1000000 + F.lit(0.5)).cast("long").alias("recall_q6"),
+    ).orderBy(F.desc("bin"))
+
+
+def pr_curve_oracle_sql(
+    scored_sql: str,
+    label_expr: str = "label",
+    score_expr: str = "nb_score",
+    n_bins: int = 32,
+) -> str:
+    """DuckDB replay twin of :func:`pr_curve` over a subquery producing
+    the scored+labeled rows — same integer bin math, same cumulative
+    windows, same quantized ratios."""
+    return f"""
+    WITH base AS (
+      SELECT CAST(floor({score_expr} * 10000 + 0.5) AS BIGINT) AS s,
+             CAST({label_expr} AS BOOLEAN) AS y
+      FROM ({scored_sql})
+    ),
+    stats AS (SELECT min(s) AS lo, max(s) AS hi FROM base),
+    binned AS (
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE ((s - lo) * {n_bins}) // (hi - lo + 1) END AS bin,
+             s, y
+      FROM base CROSS JOIN stats
+    ),
+    cells AS (
+      SELECT bin, count(*) AS n,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS n_pos,
+             min(s) AS score_lo_q4
+      FROM binned GROUP BY bin
+    ),
+    staged AS (
+      SELECT bin, score_lo_q4, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tp,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM cells
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(score_lo_q4 AS BIGINT) AS score_lo_q4,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           cum_n, cum_tp,
+           CAST(floor(CAST(cum_tp AS DOUBLE) / cum_n * 1000000 + 0.5) AS BIGINT)
+             AS precision_q6,
+           CAST(floor(CASE WHEN tot_pos > 0
+                           THEN CAST(cum_tp AS DOUBLE) / tot_pos
+                           ELSE 0.0 END * 1000000 + 0.5) AS BIGINT)
+             AS recall_q6
+    FROM staged
+    ORDER BY bin DESC
     """

@@ -3427,6 +3427,21 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rollup(toks, "token", "source", "source")
 
 
+def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall calibration curve for the NB quality classifier
+    over 32 fixed score bins — the threshold-picking table for a corpus
+    filter.  The weak label rides the scoring aggregate (score_nb's
+    carry column), so no doc-grain join-back; bin edges come from a
+    broadcast min/max stats row and the cumulative windows run over the
+    32-row cell table (corpus.pr_curve; the oracle recomputes the same
+    integer bins from the replayed NB scores)."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin(*C.NB_CURATED_SOURCES)
+    model, prior = C.train_nb(docs, pos, vocab_k=50)
+    scored = C.score_nb(docs, model, prior, carry=pos)
+    return C.pr_curve(scored, "label", "nb_score", n_bins=32)
+
+
 def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard integrity manifest: per-shard row counts, total
     chars, and an order-independent xor content checksum under the SAME
@@ -4691,6 +4706,22 @@ def oracles() -> dict[str, str]:
             "source",
         ),
         "layout_shard_manifest": _io_shard_manifest_oracle(),
+        "quality_pr_curve": C.pr_curve_oracle_sql(
+            "SELECT s.nb_score, (d.source IN ("
+            + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
+            + ")) AS label FROM ("
+            + C.nb_quality_oracle_sql(
+                "SELECT doc_id, text, source FROM documents",
+                "source IN ("
+                + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
+                + ")",
+                vocab_k=50,
+            )
+            + ") s JOIN documents d USING (doc_id)",
+            "label",
+            "nb_score",
+            n_bins=32,
+        ),
         "sketch_kmv_overlap": SK.kmv_overlap_oracle_sql(
             "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
             " t -> t != '')) AS v FROM documents WHERE doc_id % 2 = 0",
@@ -5385,6 +5416,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_bottomk": sketch_quantile_bottomk,  # -- new round-7 queries --
         "sketch_hll_rollup": sketch_hll_rollup,
         "layout_shard_manifest": layout_shard_manifest,
+        "quality_pr_curve": quality_pr_curve,
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,

@@ -250,6 +250,7 @@ HEADLINE = [
     "sketch_quantile_bottomk",
     "sketch_hll_rollup",
     "layout_shard_manifest",
+    "quality_pr_curve",
 ]
 
 

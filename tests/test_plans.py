@@ -363,6 +363,7 @@ def test_query_registry_invariants():
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",
         "layout_shard_manifest",
+        "quality_pr_curve",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

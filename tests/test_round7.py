@@ -628,3 +628,68 @@ def test_shard_manifest_is_additive(spark):
         for r in shard_manifest(df, 8, size_col="n_chars").collect()
     }
     assert combined == whole
+
+
+# ---------------------------------------------------------- PR curve --
+def test_pr_curve_matches_python(spark):
+    """pr_curve against a straight-line Python sweep on a small labeled
+    score set, including the all-one-bin degenerate case."""
+    from adtl_spark.operators.corpus import pr_curve
+
+    data = [
+        (0.9, True), (0.8, True), (0.7, False), (0.6, True),
+        (0.4, False), (0.3, False), (0.2, True), (0.1, False),
+    ]
+    df = spark.createDataFrame(data, ["nb_score", "label"])
+    n_bins = 4
+    got = pr_curve(df, "label", "nb_score", n_bins=n_bins).collect()
+
+    scores = [int(s * 10000 + 0.5) for s, _ in data]
+    lo, hi = min(scores), max(scores)
+    cells = {}
+    for (s, y), i in zip(data, scores):
+        b = 0 if hi == lo else ((i - lo) * n_bins) // (hi - lo + 1)
+        n, npos, smin = cells.get(b, (0, 0, None))
+        cells[b] = (n + 1, npos + (1 if y else 0),
+                    i if smin is None else min(smin, i))
+    tot_pos = sum(v[1] for v in cells.values())
+    cum_n = cum_tp = 0
+    want = []
+    for b in sorted(cells, reverse=True):
+        n, npos, smin = cells[b]
+        cum_n += n
+        cum_tp += npos
+        want.append((b, smin, n, npos, cum_n, cum_tp,
+                     int(cum_tp / cum_n * 1e6 + 0.5),
+                     int(cum_tp / tot_pos * 1e6 + 0.5)))
+    assert [tuple(r) for r in got] == want
+
+    # degenerate: constant score -> one bin, precision = base rate
+    const = spark.createDataFrame(
+        [(0.5, True), (0.5, False), (0.5, False), (0.5, True)],
+        ["nb_score", "label"],
+    )
+    rows = pr_curve(const, "label", "nb_score", n_bins=8).collect()
+    assert len(rows) == 1
+    assert rows[0]["bin"] == 0 and rows[0]["cum_n"] == 4
+    assert rows[0]["precision_q6"] == 500000 and rows[0]["recall_q6"] == 1000000
+
+
+def test_score_nb_carry_label_identical_scores(spark):
+    """The carry column changes nothing about the scores — it only rides
+    the aggregate; scores with and without carry must be identical."""
+    from adtl_spark.operators.corpus import score_nb, train_nb
+
+    docs = spark.createDataFrame(
+        [(0, "good clean text", "a"), (1, "spam spam spam", "b"),
+         (2, "good text again", "a"), (3, "", "b")],
+        ["doc_id", "text", "src"],
+    )
+    pos = F.col("src") == "a"
+    model, prior = train_nb(docs, pos, vocab_k=10)
+    plain = score_nb(docs, model, prior).orderBy("doc_id").collect()
+    carried = score_nb(docs, model, prior, carry=pos).orderBy("doc_id").collect()
+    assert [(r["doc_id"], r["nb_score"], r["nb_keep"]) for r in plain] == [
+        (r["doc_id"], r["nb_score"], r["nb_keep"]) for r in carried
+    ]
+    assert [r["label"] for r in carried] == [True, False, True, False]
