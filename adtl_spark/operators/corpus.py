@@ -1118,3 +1118,136 @@ def pr_curve_oracle_sql(
     FROM staged
     ORDER BY bin DESC
     """
+
+
+def roc_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "nb_score",
+    band_width: int = 4096,
+) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney U) of a classifier score —
+    the single-number ranking companion to :func:`pr_curve`.
+
+    ``U2 = sum over score cells of n_pos(s) * (2*cum_neg_below(s) +
+    n_neg(s))`` (ties credit 1/2, doubled to stay integer);
+    ``AUC = U2 / (2*P*N)``.
+
+    Scale shape: the corpus collapses to DISTINCT quantized-score cells
+    in one map-side-combinable aggregate; ``cum_neg_below`` is the same
+    banded two-phase prefix sum as sampling.select_until_budget (per-band
+    window + band-offset chaining — only the per-band totals cross the
+    single-partition window), so there is no global corpus sort and no
+    unbounded window.  Banding biases the integer score by 2^40 before
+    the DIV so both engines divide non-negative operands (truncating vs
+    flooring division agree).  U2 is exact BIGINT while P*N < 2^62
+    (P, N < ~2x10^9 — beyond that, widen to double).
+
+    Output: one row (n_pos, n_neg, u2, auc_q6); auc_q6 is NULL when
+    either class is absent (AUC undefined — loud, not a silent 0).
+    """
+    from pyspark.sql import Window
+
+    iscore = F.floor(F.col(score_col) * 10000 + F.lit(0.5)).cast("long")
+    cells = (
+        scored.select(
+            iscore.alias("s"), F.col(label_col).cast("boolean").alias("y")
+        )
+        .groupBy("s")
+        .agg(
+            F.sum(F.when(F.col("y"), 1).otherwise(0)).alias("np"),
+            F.sum(F.when(F.col("y"), 0).otherwise(1)).alias("nn"),
+        )
+    )
+    bias = 1 << 40
+    banded = cells.withColumn(
+        "band", F.expr(f"(s + {bias}) DIV {band_width}")
+    )
+    local_w = (
+        Window.partitionBy("band")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = banded.withColumn(
+        "cnb", F.coalesce(F.sum("nn").over(local_w), F.lit(0))
+    )
+    # band totals from the window output (inclusive cum = cnb + nn, nn
+    # non-negative so its max IS the band total) — same one-scan trick
+    # as select_until_budget
+    totals = local.groupBy("band").agg(
+        F.max(F.col("cnb") + F.col("nn")).alias("bt")
+    )
+    offset_w = Window.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "band", F.coalesce(F.sum("bt").over(offset_w), F.lit(0)).alias("bo")
+    )
+    terms = local.join(F.broadcast(offsets), "band").select(
+        "np",
+        "nn",
+        (
+            F.col("np")
+            * (2 * (F.col("bo") + F.col("cnb")) + F.col("nn"))
+        ).alias("u2"),
+    )
+    agg = terms.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum("u2").cast("long").alias("u2"),
+    )
+    auc = F.col("u2").cast("double") / (
+        F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        "u2",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.floor(auc * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("auc_q6"),
+    )
+
+
+def roc_auc_oracle_sql(
+    scored_sql: str,
+    label_expr: str = "label",
+    score_expr: str = "nb_score",
+) -> str:
+    """DuckDB replay twin of :func:`roc_auc` — same cells, same exact
+    integer U2 (the oracle's cumulative sum needs no banding; the banded
+    Spark form reconstructs the identical global prefix sum)."""
+    return f"""
+    WITH base AS (
+      SELECT CAST(floor({score_expr} * 10000 + 0.5) AS BIGINT) AS s,
+             CAST({label_expr} AS BOOLEAN) AS y
+      FROM ({scored_sql})
+    ),
+    cells AS (
+      SELECT s,
+             sum(CASE WHEN y THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y THEN 0 ELSE 1 END) AS nn
+      FROM base GROUP BY s
+    ),
+    cum AS (
+      SELECT s, np, nn,
+             CAST(coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cnb
+      FROM cells
+    ),
+    agg AS (
+      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+             CAST(sum(nn) AS BIGINT) AS n_neg,
+             CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2
+      FROM cum
+    )
+    SELECT n_pos, n_neg, u2,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(floor(CAST(u2 AS DOUBLE)
+                       / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                       * 1000000 + 0.5) AS BIGINT)
+           END AS auc_q6
+    FROM agg
+    """

@@ -3442,6 +3442,19 @@ def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.pr_curve(scored, "label", "nb_score", n_bins=32)
 
 
+def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney U) of the NB quality score
+    against the curated weak label — one row, computed over distinct
+    quantized-score cells with the banded two-phase prefix sum (no
+    corpus sort, no unbounded window; corpus.roc_auc).  The oracle
+    recomputes the identical integer U2 from the replayed scores."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.col("source").isin(*C.NB_CURATED_SOURCES)
+    model, prior = C.train_nb(docs, pos, vocab_k=50)
+    scored = C.score_nb(docs, model, prior, carry=pos)
+    return C.roc_auc(scored, "label", "nb_score")
+
+
 def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard integrity manifest: per-shard row counts, total
     chars, and an order-independent xor content checksum under the SAME
@@ -4722,6 +4735,21 @@ def oracles() -> dict[str, str]:
             "nb_score",
             n_bins=32,
         ),
+        "quality_roc_auc": C.roc_auc_oracle_sql(
+            "SELECT s.nb_score, (d.source IN ("
+            + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
+            + ")) AS label FROM ("
+            + C.nb_quality_oracle_sql(
+                "SELECT doc_id, text, source FROM documents",
+                "source IN ("
+                + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
+                + ")",
+                vocab_k=50,
+            )
+            + ") s JOIN documents d USING (doc_id)",
+            "label",
+            "nb_score",
+        ),
         "sketch_kmv_overlap": SK.kmv_overlap_oracle_sql(
             "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
             " t -> t != '')) AS v FROM documents WHERE doc_id % 2 = 0",
@@ -5417,6 +5445,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_rollup": sketch_hll_rollup,
         "layout_shard_manifest": layout_shard_manifest,
         "quality_pr_curve": quality_pr_curve,
+        "quality_roc_auc": quality_roc_auc,
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,

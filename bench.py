@@ -251,6 +251,7 @@ HEADLINE = [
     "sketch_hll_rollup",
     "layout_shard_manifest",
     "quality_pr_curve",
+    "quality_roc_auc",
 ]
 
 

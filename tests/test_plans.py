@@ -364,6 +364,7 @@ def test_query_registry_invariants():
         "sketch_hll_rollup",
         "layout_shard_manifest",
         "quality_pr_curve",
+        "quality_roc_auc",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

@@ -914,3 +914,102 @@ def test_dsir_matches_pure_python_model(spark):
             for x in toks[i]
         )
         assert out[i] == (len(toks[i]), w)
+
+
+def test_quantile_bottomk_matches_pure_python_model(spark):
+    """Independent differential: the bottom-k quantile sketch must equal
+    a from-scratch Python model (hashlib md5 bottom-k of distinct keys,
+    type-1 sample quantiles) on randomized multi-group data with
+    duplicate keys and ties."""
+    import hashlib
+    import random
+
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    rng = random.Random(71)
+    rows = [
+        (rng.randrange(300), rng.randrange(40), f"g{rng.randrange(3)}")
+        for _ in range(2000)
+    ]
+    k = 32
+
+    def h60(v: str) -> int:
+        return int(hashlib.md5(f"qsk|{v}".encode()).hexdigest()[:15], 16)
+
+    # duplicate keys collapse to min value, matching the operator
+    per_key = {}
+    for key, v, g in rows:
+        cur = per_key.get((g, key))
+        per_key[(g, key)] = v if cur is None else min(cur, v)
+    by_group = {}
+    for (g, key), v in per_key.items():
+        by_group.setdefault(g, []).append((h60(str(key)), v))
+    want = {}
+    for g, hv in by_group.items():
+        sample = sorted(hv)[:k]
+        ordered = sorted((v, h) for h, v in sample)
+        n = len(ordered)
+        qs = [ordered[(n * q + 99) // 100 - 1][0] for q in (10, 25, 50, 75, 90)]
+        want[g] = (n, *qs)
+
+    df = spark.createDataFrame(rows, ["k", "v", "g"])
+    got = {
+        r["grp"]: (r["n_sample"], r["q10"], r["q25"], r["q50"], r["q75"], r["q90"])
+        for r in quantile_bottomk(df, "v", "k", "g", k=k).collect()
+    }
+    assert got == want
+
+
+def test_shard_manifest_matches_pure_python_model(spark):
+    """Independent differential: shard ids, counts, sizes, and xor
+    checksums against a hashlib reimplementation."""
+    import hashlib
+    import random
+
+    from adtl_spark.sources.io import shard_manifest
+
+    rng = random.Random(5)
+    rows = [(i, rng.randrange(1, 5000)) for i in range(700)]
+    n_shards = 8
+    width = (1 << 60) // n_shards
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want = {}
+    for doc_id, n_chars in rows:
+        shard = h60(f"shuffle|{doc_id}") // width
+        rh = h60(f"manifest|{doc_id}|{n_chars}")
+        n, sz, x = want.get(shard, (0, 0, 0))
+        want[shard] = (n + 1, sz + n_chars, x ^ rh)
+
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    got = {
+        r["shard"]: (r["n_rows"], r["total_size"], r["checksum"])
+        for r in shard_manifest(df, n_shards, size_col="n_chars").collect()
+    }
+    assert got == want
+
+
+def test_pr_curve_randomized_invariants(spark):
+    """Randomized invariants: recall is monotone non-decreasing as the
+    threshold drops, the last row covers everything (recall 1.0, cum_n =
+    N), and bin populations partition the input."""
+    import random
+
+    from adtl_spark.operators.corpus import pr_curve
+
+    rng = random.Random(13)
+    data = [
+        (round(rng.gauss(0.4 if rng.random() < 0.5 else -0.2, 0.3), 4),
+         rng.random() < 0.45)
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(data, ["nb_score", "label"])
+    rows = pr_curve(df, "label", "nb_score", n_bins=16).collect()
+    recalls = [r["recall_q6"] for r in rows]
+    assert recalls == sorted(recalls)
+    assert rows[-1]["cum_n"] == len(data)
+    assert rows[-1]["recall_q6"] == 1000000
+    assert sum(r["n"] for r in rows) == len(data)
+    assert rows[-1]["cum_tp"] == sum(1 for _, y in data if y)

@@ -693,3 +693,38 @@ def test_score_nb_carry_label_identical_scores(spark):
         (r["doc_id"], r["nb_score"], r["nb_keep"]) for r in carried
     ]
     assert [r["label"] for r in carried] == [True, False, True, False]
+
+
+def test_roc_auc_matches_pairwise_python(spark):
+    """roc_auc against the O(P*N) pairwise definition (ties credit 1/2)
+    on randomized scores, plus the single-class NULL contract."""
+    import random
+
+    from adtl_spark.operators.corpus import roc_auc
+
+    rng = random.Random(99)
+    data = [
+        (round(rng.choice([0.1, 0.2, 0.2, 0.35, 0.5, -0.4]), 4),
+         rng.random() < 0.4)
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(data, ["nb_score", "label"])
+    row = roc_auc(df, "label", "nb_score", band_width=2).collect()[0]
+
+    import math
+
+    qp = [math.floor(s * 10000 + 0.5) for s, y in data if y]
+    qn = [math.floor(s * 10000 + 0.5) for s, y in data if not y]
+    u2 = sum(
+        2 if p > n else (1 if p == n else 0) for p in qp for n in qn
+    )
+    assert row["n_pos"] == len(qp) and row["n_neg"] == len(qn)
+    assert row["u2"] == u2
+    want_auc = math.floor(u2 / (2.0 * len(qp) * len(qn)) * 1e6 + 0.5)
+    assert row["auc_q6"] == want_auc
+
+    one_class = spark.createDataFrame(
+        [(0.5, True), (0.7, True)], ["nb_score", "label"]
+    )
+    r = roc_auc(one_class, "label", "nb_score").collect()[0]
+    assert r["auc_q6"] is None and r["n_neg"] == 0
