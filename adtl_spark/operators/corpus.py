@@ -1191,10 +1191,12 @@ def roc_auc(
             * (2 * (F.col("bo") + F.col("cnb")) + F.col("nn"))
         ).alias("u2"),
     )
+    # coalesce: an EMPTY corpus aggregates to one all-null row — report
+    # zero counts (and a NULL AUC via the class guard), not nulls
     agg = terms.agg(
-        F.sum("np").cast("long").alias("n_pos"),
-        F.sum("nn").cast("long").alias("n_neg"),
-        F.sum("u2").cast("long").alias("u2"),
+        F.coalesce(F.sum("np"), F.lit(0)).cast("long").alias("n_pos"),
+        F.coalesce(F.sum("nn"), F.lit(0)).cast("long").alias("n_neg"),
+        F.coalesce(F.sum("u2"), F.lit(0)).cast("long").alias("u2"),
     )
     auc = F.col("u2").cast("double") / (
         F.lit(2.0) * F.col("n_pos").cast("double") * F.col("n_neg").cast("double")
@@ -1238,9 +1240,9 @@ def roc_auc_oracle_sql(
       FROM cells
     ),
     agg AS (
-      SELECT CAST(sum(np) AS BIGINT) AS n_pos,
-             CAST(sum(nn) AS BIGINT) AS n_neg,
-             CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2
+      SELECT CAST(coalesce(sum(np), 0) AS BIGINT) AS n_pos,
+             CAST(coalesce(sum(nn), 0) AS BIGINT) AS n_neg,
+             CAST(coalesce(sum(np * (2 * cnb + nn)), 0) AS BIGINT) AS u2
       FROM cum
     )
     SELECT n_pos, n_neg, u2,

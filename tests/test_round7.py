@@ -728,3 +728,37 @@ def test_roc_auc_matches_pairwise_python(spark):
     )
     r = roc_auc(one_class, "label", "nb_score").collect()[0]
     assert r["auc_q6"] is None and r["n_neg"] == 0
+
+
+# ---------------------------------------- degenerate-input contracts --
+def test_new_sketches_on_empty_input(spark):
+    """Empty corpus: quantile sketch, rollup, manifest, PR curve and AUC
+    all return empty / defined-null results rather than erroring."""
+    from adtl_spark.operators.corpus import pr_curve, roc_auc
+    from adtl_spark.operators.sketches import hll_rollup, quantile_bottomk
+    from adtl_spark.sources.io import shard_manifest
+
+    empty_docs = spark.createDataFrame([], "doc_id long, n_chars long, source string")
+    empty_toks = spark.createDataFrame([], "token string, source string")
+    empty_scored = spark.createDataFrame([], "nb_score double, label boolean")
+
+    assert quantile_bottomk(
+        empty_docs, "n_chars", "doc_id", "source", k=8, group_name="source"
+    ).collect() == []
+    # rollup still emits the __all__ row over zero registers?  No: no
+    # registers at all -> empty result (nothing was ever observed)
+    assert hll_rollup(empty_toks, "token", "source", "source").collect() == []
+    assert shard_manifest(empty_docs, 4, size_col="n_chars").collect() == []
+    assert pr_curve(empty_scored, "label", "nb_score").collect() == []
+    row = roc_auc(empty_scored, "label", "nb_score").collect()[0]
+    assert row["n_pos"] == 0 and row["n_neg"] == 0 and row["auc_q6"] is None
+
+
+def test_quantile_bottomk_single_row_group(spark):
+    """A one-row group reports that value at every quantile."""
+    from adtl_spark.operators.sketches import quantile_bottomk
+
+    df = spark.createDataFrame([(1, 42, "g")], ["k", "v", "g"])
+    row = quantile_bottomk(df, "v", "k", "g", k=8).collect()[0]
+    assert row["n_sample"] == 1
+    assert all(row[f"q{q}"] == 42 for q in (10, 25, 50, 75, 90))
