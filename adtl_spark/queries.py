@@ -3427,6 +3427,19 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.hll_rollup(toks, "token", "source", "source")
 
 
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row key-skew diagnostic for lineitem.l_partkey — the numbers
+    read before choosing salting/bucketing for a join key: exact
+    row/key totals, hottest-key and top-10 shares, Shannon entropy and
+    Gini of the key-frequency distribution, all derived from the
+    count-of-counts cells so the corpus never sorts
+    (operators/profile.skew_report; the oracle replays the closed-form
+    rank runs and quantized entropy terms)."""
+    from adtl_spark.operators.profile import skew_report
+
+    return skew_report(_t(spark, sf_dir, "lineitem"), "l_partkey", top_k=10)
+
+
 def quality_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precision/recall calibration curve for the NB quality classifier
     over 32 fixed score bins — the threshold-picking table for a corpus
@@ -3603,6 +3616,14 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("entity_id").cast("long"), "n_members", "max_member")
         .orderBy("entity_id")
+    )
+
+
+def _profile_skew_oracle() -> str:
+    from adtl_spark.operators.profile import skew_report_oracle_sql
+
+    return skew_report_oracle_sql(
+        "SELECT l_partkey FROM lineitem", "l_partkey", top_k=10
     )
 
 
@@ -4719,6 +4740,7 @@ def oracles() -> dict[str, str]:
             "source",
         ),
         "layout_shard_manifest": _io_shard_manifest_oracle(),
+        "profile_key_skew": _profile_skew_oracle(),
         "quality_pr_curve": C.pr_curve_oracle_sql(
             "SELECT s.nb_score, (d.source IN ("
             + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
@@ -5446,6 +5468,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_shard_manifest": layout_shard_manifest,
         "quality_pr_curve": quality_pr_curve,
         "quality_roc_auc": quality_roc_auc,
+        "profile_key_skew": profile_key_skew,
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,

@@ -252,6 +252,7 @@ HEADLINE = [
     "layout_shard_manifest",
     "quality_pr_curve",
     "quality_roc_auc",
+    "profile_key_skew",
 ]
 
 

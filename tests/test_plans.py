@@ -365,6 +365,7 @@ def test_query_registry_invariants():
         "layout_shard_manifest",
         "quality_pr_curve",
         "quality_roc_auc",
+        "profile_key_skew",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

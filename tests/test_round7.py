@@ -762,3 +762,45 @@ def test_quantile_bottomk_single_row_group(spark):
     row = quantile_bottomk(df, "v", "k", "g", k=8).collect()[0]
     assert row["n_sample"] == 1
     assert all(row[f"q{q}"] == 42 for q in (10, 25, 50, 75, 90))
+
+
+# ------------------------------------------------------- skew report --
+def test_skew_report_matches_python(spark):
+    """skew_report vs straight-line Python on a skewed key set, plus the
+    uniform case (gini 0) and the empty case (NULL stats)."""
+    import math
+
+    from adtl_spark.operators.profile import skew_report
+
+    keys = ["hot"] * 50 + ["warm"] * 20 + [f"cold{i}" for i in range(30)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    row = skew_report(df, "k", top_k=3).collect()[0]
+
+    from collections import Counter
+
+    cnt = Counter(keys)
+    n, kk = len(keys), len(cnt)
+    assert (row["n_rows"], row["n_keys"]) == (n, kk)
+    assert row["max_share_q6"] == math.floor(50 / n * 1e6 + 0.5)
+    top3 = sum(c for _, c in cnt.most_common(3))
+    assert row["topk_share_q6"] == math.floor(top3 / n * 1e6 + 0.5)
+    # entropy from q7-quantized per-key terms
+    h_q7 = sum(
+        m * math.floor((c / n) * math.log(n / c) * 1e7 + 0.5)
+        for c, m in Counter(cnt.values()).items()
+    )
+    assert row["entropy_q6"] == (h_q7 + 5) // 10
+    # gini from sorted ascending counts
+    xs = sorted(cnt.values())
+    s_rank = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = 2.0 * s_rank / (kk * n) - (kk + 1.0) / kk
+    assert row["gini_q6"] == math.floor(gini * 1e6 + 0.5)
+
+    uniform = spark.createDataFrame([(f"u{i}",) for i in range(40)], ["k"])
+    u = skew_report(uniform, "k").collect()[0]
+    assert u["gini_q6"] == 0 and u["max_share_q6"] == 25000
+
+    empty = spark.createDataFrame([], "k string")
+    e = skew_report(empty, "k").collect()[0]
+    assert e["n_rows"] == 0 and e["max_share_q6"] is None
+    assert e["entropy_q6"] is None and e["gini_q6"] is None
