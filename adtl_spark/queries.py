@@ -5441,13 +5441,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        round-trip gates, the directed containment join, the blocked
        fuzzy-join -> connected-components entity resolution pipeline,
        and the PSI + KS snapshot-drift monitors; late in the round the
-       bottom-k quantile sketch, the HLL register rollup, and the
-       training-shard integrity manifest joined the head.
+       bottom-k quantile sketch, the HLL register rollup, the
+       training-shard integrity manifest, the PR calibration curve, the
+       exact ROC AUC, and the key-skew diagnostic joined the head.
     2. Then the LEAST-recently driver-verified entries: positions 51-152
        of the round-6 registry (``text_pmi_topk`` onward), whose driver
        rows date to rounds 1-4 (all re-verified green at HEAD by the r5
-       verdict's full check_oracle run).  The first 42 fill the rest of
-       this round's window, through ``v2_validation_report`` at
+       verdict's full check_oracle run).  The first 36 fill the rest of
+       this round's window, through ``q1_pricing_summary`` at
        position 50.
     3. The tail holds the rest of that block and then the 50 queries the
        round-6 driver gate checked (the freshest green rows).
