@@ -405,6 +405,40 @@ def kmv_overlap_oracle_sql(
 # ------------------------------------------------- bottom-k quantile sketch
 
 
+def _bottomk_sample(
+    df: DataFrame,
+    value: Column | str,
+    key: Column | str,
+    group: Column | str,
+    k: int,
+    group_name: str,
+) -> DataFrame:
+    """Per-group uniform sample of distinct keys: the k rows with the
+    smallest salted key-hash, carrying ``min(value)`` per key.  Shared by
+    quantile_bottomk and range_bounds; the per-(group, salt) pre-top-k
+    bounds every sort to ~k rows before the per-group final top-k."""
+    from pyspark.sql import Window
+
+    value = F.col(value) if isinstance(value, str) else value
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    h = md5_60(F.concat_ws("|", F.lit("qsk"), key.cast("string")))
+    hashed = (
+        df.select(
+            group.alias(group_name),
+            h.alias("h"),
+            value.cast("long").alias("v"),
+        )
+        .groupBy(group_name, "h")
+        .agg(F.min("v").alias("v"))
+    )
+    salted = hashed.withColumn("s", F.col("h") % _KMV_SALTS)
+    pre = F.row_number().over(Window.partitionBy(group_name, "s").orderBy("h"))
+    cand = salted.withColumn("rn", pre).filter(F.col("rn") <= k).drop("rn", "s")
+    fin = F.row_number().over(Window.partitionBy(group_name).orderBy("h"))
+    return cand.withColumn("rn", fin).filter(F.col("rn") <= k).drop("rn")
+
+
 def quantile_bottomk(
     df: DataFrame,
     value: Column | str,
@@ -440,24 +474,7 @@ def quantile_bottomk(
     """
     from pyspark.sql import Window
 
-    value = F.col(value) if isinstance(value, str) else value
-    key = F.col(key) if isinstance(key, str) else key
-    group = F.col(group) if isinstance(group, str) else group
-    h = md5_60(F.concat_ws("|", F.lit("qsk"), key.cast("string")))
-    hashed = (
-        df.select(
-            group.alias(group_name),
-            h.alias("h"),
-            value.cast("long").alias("v"),
-        )
-        .groupBy(group_name, "h")
-        .agg(F.min("v").alias("v"))
-    )
-    salted = hashed.withColumn("s", F.col("h") % _KMV_SALTS)
-    pre = F.row_number().over(Window.partitionBy(group_name, "s").orderBy("h"))
-    cand = salted.withColumn("rn", pre).filter(F.col("rn") <= k).drop("rn", "s")
-    fin = F.row_number().over(Window.partitionBy(group_name).orderBy("h"))
-    sample = cand.withColumn("rn", fin).filter(F.col("rn") <= k).drop("rn")
+    sample = _bottomk_sample(df, value, key, group, k, group_name)
     wv = Window.partitionBy(group_name).orderBy("v", "h")
     ranked = sample.withColumn("rn", F.row_number().over(wv)).withColumn(
         "n", F.count(F.lit(1)).over(Window.partitionBy(group_name))
@@ -603,4 +620,78 @@ def hll_rollup_oracle_sql(
            {est} AS est_distinct
     FROM grp
     ORDER BY {group_name}
+    """
+
+
+def range_bounds(
+    df: DataFrame,
+    value: Column | str,
+    key: Column | str,
+    n_ranges: int = 8,
+    k: int = 256,
+) -> DataFrame:
+    """``n_ranges - 1`` upper boundaries for a range partitioning of
+    ``value`` — what Spark's RangePartitioner derives by sampling before
+    a distributed sort, made deterministic: the bottom-k hash sample is
+    a pure function of the keys, so two runs (or two engines) plan the
+    identical boundaries.  Boundary i sits at the type-1 sample quantile
+    ``ceil(n*i/n_ranges)``; rows with ``value <= bound(i)`` (and above
+    the previous bound) belong to range i.  Output: (bound_idx, upper),
+    ascending — feed directly into ``F.when`` chains or a
+    ``repartitionByRange`` preview.
+
+    Same sketch, same merge law, same scale shape as
+    :func:`quantile_bottomk` (k-row state however large the corpus).
+    """
+    from pyspark.sql import Window
+
+    sample = _bottomk_sample(df, value, key, F.lit("all"), k, "grp")
+    wv = Window.partitionBy("grp").orderBy("v", "h")
+    ranked = sample.withColumn("rn", F.row_number().over(wv)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("grp"))
+    )
+    idx = df.sparkSession.range(1, n_ranges).select(
+        F.col("id").cast("long").alias("bound_idx")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(idx))
+        .filter(
+            F.col("rn")
+            == F.expr(f"(n * bound_idx + {n_ranges} - 1) DIV {n_ranges}")
+        )
+        .select("bound_idx", F.col("v").cast("long").alias("upper"))
+        .orderBy("bound_idx")
+    )
+
+
+def range_bounds_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    value_expr: str,
+    n_ranges: int = 8,
+    k: int = 256,
+) -> str:
+    """DuckDB replay twin of :func:`range_bounds`."""
+    h = md5_60_sql(f"concat_ws('|', 'qsk', CAST({key_expr} AS VARCHAR))")
+    return f"""
+    WITH hashed AS (
+      SELECT h, min(v) AS v FROM (
+        SELECT {h} AS h, CAST({value_expr} AS BIGINT) AS v
+        FROM ({source_sql})
+      ) GROUP BY 1
+    ),
+    topk AS (
+      SELECT h, v FROM (
+        SELECT h, v, row_number() OVER (ORDER BY h) AS rn FROM hashed
+      ) WHERE rn <= {k}
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+             count(*) OVER () AS n
+      FROM topk
+    )
+    SELECT CAST(i AS BIGINT) AS bound_idx, CAST(v AS BIGINT) AS upper
+    FROM ranked, generate_series(1, {n_ranges - 1}) AS t(i)
+    WHERE rn = (n * i + {n_ranges} - 1) // {n_ranges}
+    ORDER BY bound_idx
     """

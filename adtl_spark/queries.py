@@ -3468,6 +3468,16 @@ def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.roc_auc(scored, "label", "nb_score")
 
 
+def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partition boundary planning for documents.n_chars: 7 upper
+    bounds at sample octiles of the deterministic bottom-k key-hash
+    sample — what RangePartitioner derives by sampling before a
+    distributed sort, made reproducible across runs and engines
+    (sketches.range_bounds; the oracle replays sample and indices)."""
+    docs = _t(spark, sf_dir, "documents")
+    return SK.range_bounds(docs, "n_chars", "doc_id", n_ranges=8, k=256)
+
+
 def layout_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-shard integrity manifest: per-shard row counts, total
     chars, and an order-independent xor content checksum under the SAME
@@ -4741,6 +4751,13 @@ def oracles() -> dict[str, str]:
         ),
         "layout_shard_manifest": _io_shard_manifest_oracle(),
         "profile_key_skew": _profile_skew_oracle(),
+        "layout_range_bounds": SK.range_bounds_oracle_sql(
+            "SELECT doc_id, n_chars FROM documents",
+            "doc_id",
+            "n_chars",
+            n_ranges=8,
+            k=256,
+        ),
         "quality_pr_curve": C.pr_curve_oracle_sql(
             "SELECT s.nb_score, (d.source IN ("
             + ", ".join(f"'{s}'" for s in C.NB_CURATED_SOURCES)
@@ -5470,6 +5487,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_pr_curve": quality_pr_curve,
         "quality_roc_auc": quality_roc_auc,
         "profile_key_skew": profile_key_skew,
+        "layout_range_bounds": layout_range_bounds,
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,

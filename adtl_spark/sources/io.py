@@ -499,3 +499,40 @@ def shard_manifest_oracle_sql(
     )
     GROUP BY 1 ORDER BY 1
     """
+
+
+def manifest_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Compare two :func:`shard_manifest` outputs: per shard, classify
+    ``unchanged`` / ``changed`` / ``added`` / ``removed`` with both
+    sides' row counts.  The comparison is manifest-sized (n_shards
+    rows), so verifying a 100 TB re-export costs two manifest scans and
+    a tiny join — the corpus itself is never re-read, and because the
+    checksum is order-independent the diff is immune to scheduling
+    differences between the two exports."""
+    o = old.select(
+        F.col("shard"),
+        F.col("n_rows").alias("old_rows"),
+        F.col("checksum").alias("old_sum"),
+    )
+    n = new.select(
+        F.col("shard"),
+        F.col("n_rows").alias("new_rows"),
+        F.col("checksum").alias("new_sum"),
+    )
+    j = o.join(n, "shard", "full_outer")
+    status = (
+        F.when(F.col("old_rows").isNull(), F.lit("added"))
+        .when(F.col("new_rows").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_sum") == F.col("new_sum"))
+            & (F.col("old_rows") == F.col("new_rows")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "shard",
+        status.alias("status"),
+        F.coalesce(F.col("old_rows"), F.lit(0)).cast("long").alias("old_rows"),
+        F.coalesce(F.col("new_rows"), F.lit(0)).cast("long").alias("new_rows"),
+    ).orderBy("shard")

@@ -253,6 +253,7 @@ HEADLINE = [
     "quality_pr_curve",
     "quality_roc_auc",
     "profile_key_skew",
+    "layout_range_bounds",
 ]
 
 

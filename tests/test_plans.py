@@ -366,6 +366,7 @@ def test_query_registry_invariants():
         "quality_pr_curve",
         "quality_roc_auc",
         "profile_key_skew",
+        "layout_range_bounds",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

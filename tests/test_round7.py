@@ -804,3 +804,57 @@ def test_skew_report_matches_python(spark):
     e = skew_report(empty, "k").collect()[0]
     assert e["n_rows"] == 0 and e["max_share_q6"] is None
     assert e["entropy_q6"] is None and e["gini_q6"] is None
+
+
+def test_manifest_diff_classifies_shards(spark):
+    """manifest_diff pinpoints exactly the shards an edit touched."""
+    from adtl_spark.sources.io import manifest_diff, shard_manifest
+
+    base = spark.createDataFrame(
+        [(i, 100 + i) for i in range(128)], ["doc_id", "n_chars"]
+    )
+    edited = base.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") == 11, 1).otherwise(F.col("n_chars")),
+    ).filter(F.col("doc_id") != 77)  # one edit + one delete
+    m_old = shard_manifest(base, 8, size_col="n_chars")
+    m_new = shard_manifest(edited, 8, size_col="n_chars")
+    rows = {r["shard"]: r["status"] for r in manifest_diff(m_old, m_new).collect()}
+    assert len(rows) == 8
+    changed = [s for s, st in rows.items() if st == "changed"]
+    assert len(changed) == 2  # the edit's shard and the delete's shard
+    assert all(st in ("changed", "unchanged") for st in rows.values())
+
+
+def test_range_bounds_partition_preview(spark):
+    """Bounds are monotone, derived from the sample's type-1 quantiles,
+    and below-k they split the EXACT population into near-equal ranges;
+    repartitionByRange-style assignment respects the bounds."""
+    from adtl_spark.operators.sketches import range_bounds
+
+    df = spark.createDataFrame(
+        [(i, (i * 17) % 1000) for i in range(800)], ["doc_id", "n_chars"]
+    )
+    bounds = range_bounds(df, "n_chars", "doc_id", n_ranges=8, k=1024).collect()
+    assert [r["bound_idx"] for r in bounds] == list(range(1, 8))
+    ups = [r["upper"] for r in bounds]
+    assert ups == sorted(ups)
+    # below-k: sample == population, so bound i is the exact octile
+    vals = sorted(((i * 17) % 1000) for i in range(800))
+    n = len(vals)
+    for i, u in enumerate(ups, start=1):
+        assert u == vals[(n * i + 7) // 8 - 1]
+    # assignment sanity: each range holds between 0.5x and 2x the ideal
+    counts = []
+    prev = None
+    for u in ups + [None]:
+        if prev is None and u is not None:
+            c = sum(1 for v in vals if v <= u)
+        elif u is not None:
+            c = sum(1 for v in vals if prev < v <= u)
+        else:
+            c = sum(1 for v in vals if v > prev)
+        counts.append(c)
+        prev = u
+    ideal = n / 8
+    assert all(0.5 * ideal <= c <= 2 * ideal for c in counts)

@@ -1031,3 +1031,52 @@ def test_quantile_sketch_merges_across_microbatches(spark, tmp_path):
     ).orderBy("g")
     batch = quantile_bottomk(rows, "v", "k_id", "g", k=k, group_name="g")
     assert streamed.collect() == batch.collect()
+
+
+def test_shard_manifest_maintained_on_stream(spark, tmp_path):
+    """The manifest maintains itself on a stream via foreachBatch: each
+    micro-batch's manifest merges into a parquet store with sum/xor
+    (the additivity law), so the store always equals the batch manifest
+    of everything seen — incremental integrity without rescanning."""
+    from adtl_spark.sources.io import shard_manifest
+
+    src = tmp_path / "m_stream"
+    src.mkdir()
+    store = str(tmp_path / "m_store")
+    rows = spark.range(0, 240).selectExpr("id AS doc_id", "10 + id % 13 AS n_chars")
+    for i, pred in enumerate(("id < 80", "id >= 80 AND id < 160", "id >= 160")):
+        rows.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+
+    def merge(batch_df, batch_id):
+        m = shard_manifest(batch_df, 4, size_col="n_chars")
+        try:
+            prev = batch_df.sparkSession.read.parquet(store)
+            m = m.unionByName(prev)
+        except Exception:
+            pass
+        combined = m.groupBy("shard").agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("total_size").cast("long").alias("total_size"),
+            F.expr("bit_xor(checksum)").alias("checksum"),
+        )
+        combined.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    stream = spark.readStream.schema("doc_id long, n_chars long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        map(tuple, spark.read.parquet(store).select(
+            "shard", "n_rows", "total_size", "checksum").collect())
+    )
+    want = sorted(
+        map(tuple, shard_manifest(rows, 4, size_col="n_chars").collect())
+    )
+    assert got == want
