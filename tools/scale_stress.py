@@ -314,7 +314,34 @@ def build_skew_lineitem(spark, uniform: Path, out: Path) -> None:
     ).write.mode("overwrite").parquet(str(dst))
 
 
+def run_skew_profile(spark, uniform: Path, skew: Path) -> None:
+    """The skew DETECTOR on the skew twin: skew_report(l_suppkey) must
+    (a) cost the same on uniform and hot-key data — its state is the
+    count-of-counts cells, which SHRINK under skew — and (b) make the
+    hot key visible (max-share and Gini jump).  This is the tool a user
+    runs before deciding the salting the other skew stresses measure."""
+    from adtl_spark.operators.profile import skew_report
+
+    build_skew_lineitem(spark, uniform, skew)
+    for label, src in (("uniform-10x", uniform), ("hot-key-10x", skew)):
+        li = spark.read.parquet(str(src / "lineitem.parquet"))
+        skew_report(li, "l_suppkey").write.mode("overwrite").format(
+            "noop"
+        ).save()  # warm
+        t0 = time.time()
+        row = skew_report(li, "l_suppkey").collect()[0]
+        dt = time.time() - t0
+        print(
+            f"skew_report[{label}]: {dt:.2f}s  max_share "
+            f"{row['max_share_q6'] / 1e6:.3f}  top10 "
+            f"{row['topk_share_q6'] / 1e6:.3f}  gini "
+            f"{row['gini_q6'] / 1e6:.3f}  keys {row['n_keys']}",
+            flush=True,
+        )
+
+
 def run_skew(spark, uniform: Path, skew: Path) -> None:
+    run_skew_profile(spark, uniform, skew)
     build_skew_events(spark, uniform, skew)
     build_skew_lineitem(spark, uniform, skew)
     build_skew_documents(spark, uniform, skew)
@@ -346,7 +373,8 @@ def main() -> None:
     argv = sys.argv[1:]
     skew_mode = "--skew" in argv
     degen_mode = "--degenerate" in argv
-    argv = [a for a in argv if a not in ("--skew", "--degenerate")]
+    skew_profile_mode = "--skew-profile" in argv
+    argv = [a for a in argv if a not in ("--skew", "--degenerate", "--skew-profile")]
     out = Path(argv[0] if argv else "/tmp/adtl_stress_10x")
     only = set(argv[1:])
     spark = get_spark("scale_stress")
@@ -354,6 +382,9 @@ def main() -> None:
     build(spark, out)
     if degen_mode:
         run_degenerate(spark, out)
+        return
+    if skew_profile_mode:
+        run_skew_profile(spark, out, Path(str(out) + "_skew"))
         return
     if skew_mode:
         run_skew(spark, out, Path(str(out) + "_skew"))
