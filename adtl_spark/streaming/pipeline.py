@@ -131,3 +131,30 @@ def drift_monitor_sink(ref: DataFrame, bucket, n_buckets: int, log_path: str):
         )
 
     return sink
+
+
+def ks_drift_monitor_sink(ref: DataFrame, value, log_path: str):
+    """KS twin of :func:`drift_monitor_sink`: scores every micro-batch
+    against the static reference with the two-sample Kolmogorov-Smirnov
+    statistic (operators/monitor.ks_drift — identical math, so the
+    logged D equals the batch twin's and thresholds transfer).  One row
+    (batch_id, n_ref, n_cur, d_q6, d_at) appends to the parquet log per
+    batch; PSI flags share shifts inside fixed buckets, KS flags WHERE
+    along the axis the mass moved — production monitors run both."""
+    from adtl_spark.operators.monitor import ks_drift
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        report = ks_drift(ref, batch_df, value)
+        (
+            report.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "n_ref",
+                "n_cur",
+                "d_q6",
+                "d_at",
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink

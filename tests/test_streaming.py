@@ -1080,3 +1080,53 @@ def test_shard_manifest_maintained_on_stream(spark, tmp_path):
         map(tuple, shard_manifest(rows, 4, size_col="n_chars").collect())
     )
     assert got == want
+
+
+def test_ks_drift_monitor_scores_each_microbatch(spark, tmp_path):
+    """KS streaming monitor: every micro-batch's D statistic against
+    the static reference equals the batch twin, and the shifted batch
+    reports a larger D with d_at inside the shifted region."""
+    import os
+
+    from adtl_spark.operators.monitor import ks_drift
+    from adtl_spark.streaming.pipeline import ks_drift_monitor_sink
+
+    ref = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(400)],
+        "doc_id long, n_chars long",
+    )
+    src = str(tmp_path / "incoming_ks")
+    os.makedirs(src)
+    b1 = [(1000 + i, 100 + (i * 53) % 300) for i in range(200)]
+    b2 = [(2000 + i, 400 + (i * 53) % 300) for i in range(200)]
+    spark.createDataFrame(b1, "doc_id long, n_chars long").coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, "doc_id long, n_chars long").coalesce(1).write.parquet(src + "/b2")
+
+    log = str(tmp_path / "ks_log")
+    stream = (
+        spark.readStream.schema("doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(
+        ks_drift_monitor_sink(ref, F.col("n_chars"), log)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(log).collect()
+    assert len(rows) == 2 and all(r["n_ref"] == 400 for r in rows)
+    twins = sorted(
+        ks_drift(
+            ref,
+            spark.createDataFrame(b, "doc_id long, n_chars long"),
+            F.col("n_chars"),
+        ).collect()[0]["d_q6"]
+        for b in (b1, b2)
+    )
+    assert sorted(r["d_q6"] for r in rows) == twins
+    # the fully-shifted batch is (near-)maximally drifted and louder
+    assert max(twins) > min(twins)
+    assert max(r["d_q6"] for r in rows) > 900000
