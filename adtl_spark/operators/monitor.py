@@ -266,3 +266,159 @@ def ks_drift_oracle_sql(
       WHERE g_q6 = d_q6
       GROUP BY ref_total, cur_total, d_q6
     """
+
+
+def vocab_js_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+    vocab_k: int = 64,
+    oov_label: str = "__oov__",
+) -> DataFrame:
+    """Lexical drift between two corpus snapshots: per-token
+    Jensen-Shannon divergence contributions over the union top-K
+    vocabulary plus one OOV cell — the companion to :func:`psi_drift`
+    (numeric feature shares) and :func:`ks_drift` (numeric location)
+    for the TOKEN distribution itself, i.e. "did the language change",
+    not just the metadata.
+
+        JS = sum_cells 0.5 * (p*ln(p/m) + q*ln(q/m)),  m = (p+q)/2
+
+    with add-half smoothing over K+1 cells, so JS is finite, symmetric
+    and bounded by ln 2.  Lumping everything outside the top-K into one
+    OOV cell keeps the statistic exact over the WHOLE corpus (cell
+    counts always sum to the totals) while bounding state at K+1 rows.
+
+    Scale shape: one tag-and-union token aggregation (map-side
+    combinable, token-grain shuffle — the same cost class as training a
+    unigram LM), a TakeOrderedAndProject top-K, and arithmetic over
+    K+1 rows.  The token-count relation feeds three consumers (top-K,
+    totals, OOV remainder), so it is persisted and released per the repo
+    contract.
+
+    Output, one row per cell ordered by token (OOV last by its label
+    sorting, counts included): (token, n_ref, n_cur, p_q6, q_q6, js_q6);
+    sum(js_q6)/1e6 is the headline divergence.  Both-sides-empty input
+    yields the single zero-drift OOV row.
+    """
+    from adtl_spark.operators.dedup import _materialize_and_release
+    from adtl_spark.operators.text import tokens
+
+    tagged = ref.select(
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.lit(1).alias("__r"),
+        F.lit(0).alias("__c"),
+    ).unionByName(
+        cur.select(
+            F.explode(tokens(F.col(text_col))).alias("token"),
+            F.lit(0).alias("__r"),
+            F.lit(1).alias("__c"),
+        )
+    )
+    counts = (
+        tagged.groupBy("token")
+        .agg(F.sum("__r").alias("n_ref"), F.sum("__c").alias("n_cur"))
+        .persist()
+    )
+    tot = counts.agg(
+        F.coalesce(F.sum("n_ref"), F.lit(0)).alias("ref_total"),
+        F.coalesce(F.sum("n_cur"), F.lit(0)).alias("cur_total"),
+    )
+    top = (
+        counts.withColumn("__t", F.col("n_ref") + F.col("n_cur"))
+        .orderBy(F.desc("__t"), F.asc("token"))
+        .limit(vocab_k)
+        .drop("__t")
+    )
+    top_sums = top.agg(
+        F.coalesce(F.sum("n_ref"), F.lit(0)).alias("tr"),
+        F.coalesce(F.sum("n_cur"), F.lit(0)).alias("tc"),
+    )
+    oov = tot.crossJoin(F.broadcast(top_sums)).select(
+        F.lit(oov_label).alias("token"),
+        (F.col("ref_total") - F.col("tr")).alias("n_ref"),
+        (F.col("cur_total") - F.col("tc")).alias("n_cur"),
+    )
+    cells = top.unionByName(oov)
+    joined = cells.crossJoin(F.broadcast(tot))
+    smooth = 0.5 * (vocab_k + 1)
+    p = (F.col("n_ref") + 0.5) / (F.col("ref_total") + smooth)
+    q = (F.col("n_cur") + 0.5) / (F.col("cur_total") + smooth)
+    m = (p + q) / 2
+    js = 0.5 * (p * F.log(p / m) + q * F.log(q / m))
+    out = joined.select(
+        F.col("token"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        _q6(p).alias("p_q6"),
+        _q6(q).alias("q_q6"),
+        _q6(js).alias("js_q6"),
+    ).orderBy("token")
+    return _materialize_and_release(out, [counts])
+
+
+def vocab_js_drift_oracle_sql(
+    table: str,
+    ref_where: str,
+    cur_where: str,
+    vocab_k: int = 64,
+    oov_label: str = "__oov__",
+) -> str:
+    """DuckDB twin of vocab_js_drift over ``table`` rows split by the
+    WHERE predicates (same tokenizer, same top-K tie-break, same
+    smoothing, same ln/quantization)."""
+    smooth = f"0.5 * {vocab_k + 1}"
+    toks = (
+        "SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),"
+        " t -> t != '')) AS token, {r} AS r, {c} AS c"
+        " FROM {table} WHERE {where}"
+    )
+    return f"""
+      WITH tagged AS (
+        {toks.format(r=1, c=0, table=table, where=ref_where)}
+        UNION ALL
+        {toks.format(r=0, c=1, table=table, where=cur_where)}
+      ),
+      counts AS (
+        SELECT token, CAST(sum(r) AS BIGINT) AS n_ref,
+               CAST(sum(c) AS BIGINT) AS n_cur
+        FROM tagged GROUP BY token
+      ),
+      tot AS (
+        SELECT CAST(coalesce(sum(n_ref), 0) AS BIGINT) AS ref_total,
+               CAST(coalesce(sum(n_cur), 0) AS BIGINT) AS cur_total
+        FROM counts
+      ),
+      top AS (
+        SELECT token, n_ref, n_cur FROM counts
+        ORDER BY n_ref + n_cur DESC, token ASC LIMIT {vocab_k}
+      ),
+      top_sums AS (
+        SELECT CAST(coalesce(sum(n_ref), 0) AS BIGINT) AS tr,
+               CAST(coalesce(sum(n_cur), 0) AS BIGINT) AS tc
+        FROM top
+      ),
+      cells AS (
+        SELECT token, n_ref, n_cur FROM top
+        UNION ALL
+        SELECT '{oov_label}' AS token,
+               ref_total - tr AS n_ref, cur_total - tc AS n_cur
+        FROM tot CROSS JOIN top_sums
+      ),
+      j AS (
+        SELECT token, n_ref, n_cur,
+               (n_ref + 0.5) / (ref_total + {smooth}) AS p,
+               (n_cur + 0.5) / (cur_total + {smooth}) AS q
+        FROM cells CROSS JOIN tot
+      )
+      SELECT token,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(floor(p * 1000000 + 0.5) AS BIGINT) AS p_q6,
+             CAST(floor(q * 1000000 + 0.5) AS BIGINT) AS q_q6,
+             CAST(floor(0.5 * (p * ln(p / ((p + q) / 2))
+                              + q * ln(q / ((p + q) / 2)))
+                  * 1000000 + 0.5) AS BIGINT) AS js_q6
+      FROM j
+      ORDER BY token
+    """

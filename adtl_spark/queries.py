@@ -3468,6 +3468,21 @@ def quality_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.roc_auc(scored, "label", "nb_score")
 
 
+def quality_vocab_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical drift between the even- and odd-doc snapshots: per-token
+    Jensen-Shannon divergence contributions over the union top-64
+    vocabulary plus an exact OOV remainder cell — "did the language
+    change", the token-distribution companion to the PSI/KS numeric
+    monitors (monitor.vocab_js_drift; oracle replays tokenizer, top-K
+    tie-break, smoothing and quantization)."""
+    docs = _t(spark, sf_dir, "documents")
+    return MO.vocab_js_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        vocab_k=64,
+    )
+
+
 def layout_range_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partition boundary planning for documents.n_chars: 7 upper
     bounds at sample octiles of the deterministic bottom-k key-hash
@@ -4751,6 +4766,9 @@ def oracles() -> dict[str, str]:
         ),
         "layout_shard_manifest": _io_shard_manifest_oracle(),
         "profile_key_skew": _profile_skew_oracle(),
+        "quality_vocab_js": MO.vocab_js_drift_oracle_sql(
+            "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", vocab_k=64
+        ),
         "layout_range_bounds": SK.range_bounds_oracle_sql(
             "SELECT doc_id, n_chars FROM documents",
             "doc_id",
@@ -5488,6 +5506,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_roc_auc": quality_roc_auc,
         "profile_key_skew": profile_key_skew,
         "layout_range_bounds": layout_range_bounds,
+        "quality_vocab_js": quality_vocab_js,
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,

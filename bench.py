@@ -254,6 +254,7 @@ HEADLINE = [
     "quality_roc_auc",
     "profile_key_skew",
     "layout_range_bounds",
+    "quality_vocab_js",
 ]
 
 

@@ -367,6 +367,7 @@ def test_query_registry_invariants():
         "quality_roc_auc",
         "profile_key_skew",
         "layout_range_bounds",
+        "quality_vocab_js",
         "corpus_dsir_select",
         "quality_psi_drift",
         "quality_ks_drift",

@@ -858,3 +858,51 @@ def test_range_bounds_partition_preview(spark):
         prev = u
     ideal = n / 8
     assert all(0.5 * ideal <= c <= 2 * ideal for c in counts)
+
+
+def test_vocab_js_drift_matches_python(spark):
+    """vocab_js_drift vs straight-line Python (Counter + JS formula),
+    including the OOV remainder and the identical-snapshot zero case."""
+    import math
+    from collections import Counter
+
+    from adtl_spark.operators.monitor import vocab_js_drift
+
+    a_docs = ["the cat sat", "the dog ran fast", "cat and dog"]
+    b_docs = ["the bird flew", "the cat slept", "fish swam deep today"]
+    ref = spark.createDataFrame([(i, t) for i, t in enumerate(a_docs)], ["doc_id", "text"])
+    cur = spark.createDataFrame([(i, t) for i, t in enumerate(b_docs)], ["doc_id", "text"])
+    K = 4
+    got = {
+        r["token"]: (r["n_ref"], r["n_cur"], r["js_q6"])
+        for r in vocab_js_drift(ref, cur, vocab_k=K).collect()
+    }
+
+    ca = Counter(w for d in a_docs for w in d.split())
+    cb = Counter(w for d in b_docs for w in d.split())
+    combined = Counter(ca) + Counter(cb)
+    top = sorted(combined, key=lambda t: (-combined[t], t))[:K]
+    nr_tot, nc_tot = sum(ca.values()), sum(cb.values())
+    cells = {t: (ca.get(t, 0), cb.get(t, 0)) for t in top}
+    cells["__oov__"] = (
+        nr_tot - sum(ca.get(t, 0) for t in top),
+        nc_tot - sum(cb.get(t, 0) for t in top),
+    )
+    smooth = 0.5 * (K + 1)
+    want = {}
+    for t, (nr, nc) in cells.items():
+        p = (nr + 0.5) / (nr_tot + smooth)
+        q = (nc + 0.5) / (nc_tot + smooth)
+        m = (p + q) / 2
+        js = 0.5 * (p * math.log(p / m) + q * math.log(q / m))
+        want[t] = (nr, nc, math.floor(js * 1e6 + 0.5))
+    assert got == want
+    assert len(got) == K + 1
+
+    same = vocab_js_drift(ref, ref, vocab_k=K).collect()
+    assert all(r["js_q6"] == 0 for r in same)
+
+    # both empty -> single zero-drift OOV row
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    z = vocab_js_drift(empty, empty, vocab_k=K).collect()
+    assert len(z) == 1 and z[0]["token"] == "__oov__" and z[0]["js_q6"] == 0
