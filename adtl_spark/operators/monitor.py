@@ -422,3 +422,286 @@ def vocab_js_drift_oracle_sql(
       FROM j
       ORDER BY token
     """
+
+
+def chi2_drift(ref: DataFrame, cur: DataFrame, category: Column) -> DataFrame:
+    """Pearson chi-square homogeneity decomposition between snapshots
+    over a CATEGORICAL feature — the unordered complement of
+    :func:`psi_drift` (PSI needs a bucketing with an order/width choice;
+    chi-square treats categories as pure labels and weights cells by
+    expected count, so rare-category shifts register proportionally).
+
+    Per category, with row_total = n_ref + n_cur and grand = N_ref +
+    N_cur, the expected counts are E_s = row_total * N_s / grand and the
+    contribution is sum_s (O_s - E_s)^2 / E_s; sum(chi2_q6)/1e6 is the
+    headline statistic (df = categories - 1).
+
+    Scale shape: identical to psi_drift — one tag-and-union map-side
+    combinable aggregation to category grain, a broadcast totals row,
+    arithmetic over <= |categories| rows; the corpus never shuffles at
+    row grain.
+
+    Exactness: counts and the row_total * N_s products are exact BIGINT
+    arithmetic (the products bound the input at ~3e9 rows per side
+    before BIGINT overflow — quantize categories first at that scale);
+    each E_s is one correctly-rounded division and each term three more
+    IEEE ops, bit-identical in DuckDB.  A one-sided-empty input yields
+    E = O for every cell on the occupied side, i.e. chi2 = 0 exactly:
+    homogeneity is undefined without both margins, so callers read the
+    n_ref/n_cur columns for that case (documented, tested).
+
+    Output, one row per category ordered by the STRING category label:
+    (category, n_ref, n_cur, e_ref_q6, e_cur_q6, chi2_q6).
+    """
+    tagged = ref.select(
+        category.cast("string").alias("category"),
+        F.lit(1).alias("__r"),
+        F.lit(0).alias("__c"),
+    ).unionByName(
+        cur.select(
+            category.cast("string").alias("category"),
+            F.lit(0).alias("__r"),
+            F.lit(1).alias("__c"),
+        )
+    )
+    counts = tagged.groupBy("category").agg(
+        F.sum("__r").alias("n_ref"), F.sum("__c").alias("n_cur")
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("ref_total"), F.sum("n_cur").alias("cur_total")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    row_total = F.col("n_ref") + F.col("n_cur")
+    grand = F.col("ref_total") + F.col("cur_total")
+    e_ref = (row_total * F.col("ref_total")) / grand
+    e_cur = (row_total * F.col("cur_total")) / grand
+    term_ref = F.when(
+        e_ref > 0, (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+    ).otherwise(F.lit(0.0))
+    term_cur = F.when(
+        e_cur > 0, (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "category",
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        _q6(e_ref).alias("e_ref_q6"),
+        _q6(e_cur).alias("e_cur_q6"),
+        _q6(term_ref + term_cur).alias("chi2_q6"),
+    ).orderBy("category")
+
+
+def chi2_drift_oracle_sql(
+    table: str, ref_where: str, cur_where: str, category_expr: str
+) -> str:
+    """DuckDB twin of chi2_drift over ``table`` rows split by the WHERE
+    predicates (same expected-count arithmetic, same term order, same
+    1e-6 quantization)."""
+    return f"""
+      WITH tagged AS (
+        SELECT CAST({category_expr} AS VARCHAR) AS category, 1 AS r, 0 AS c
+        FROM {table} WHERE {ref_where}
+        UNION ALL
+        SELECT CAST({category_expr} AS VARCHAR) AS category, 0 AS r, 1 AS c
+        FROM {table} WHERE {cur_where}
+      ),
+      counts AS (
+        SELECT category, CAST(sum(r) AS BIGINT) AS n_ref,
+               CAST(sum(c) AS BIGINT) AS n_cur
+        FROM tagged GROUP BY category
+      ),
+      tot AS (
+        SELECT CAST(sum(n_ref) AS BIGINT) AS ref_total,
+               CAST(sum(n_cur) AS BIGINT) AS cur_total
+        FROM counts
+      ),
+      j AS (
+        SELECT category, n_ref, n_cur,
+               ((n_ref + n_cur) * ref_total) / (ref_total + cur_total) AS e_ref,
+               ((n_ref + n_cur) * cur_total) / (ref_total + cur_total) AS e_cur
+        FROM counts CROSS JOIN tot
+      )
+      SELECT category,
+             n_ref,
+             n_cur,
+             CAST(floor(e_ref * 1000000 + 0.5) AS BIGINT) AS e_ref_q6,
+             CAST(floor(e_cur * 1000000 + 0.5) AS BIGINT) AS e_cur_q6,
+             CAST(floor((
+               (CASE WHEN e_ref > 0
+                     THEN (n_ref - e_ref) * (n_ref - e_ref) / e_ref
+                     ELSE 0.0 END)
+               + (CASE WHEN e_cur > 0
+                       THEN (n_cur - e_cur) * (n_cur - e_cur) / e_cur
+                       ELSE 0.0 END)
+             ) * 1000000 + 0.5) AS BIGINT) AS chi2_q6
+      FROM j
+      ORDER BY category
+    """
+
+
+def centroid_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space drift between snapshots: per label (or one global
+    row), the geometry of the two snapshot CENTROIDS — cosine between
+    them, the L2 shift, and the norm ratio.  This is the drift monitor
+    for the representation itself: PSI/KS/chi2 see metadata and token
+    distributions; a retrained or silently-updated embedding model moves
+    the centroids even when every scalar feature looks stable.
+
+    Scale shape: posexplode to (label, dim) grain with map-side partial
+    aggregation — only |labels| * dim * n_partitions cells shuffle, the
+    vectors themselves never do (label_centroids' shape, tagged twice);
+    everything after is arithmetic over |labels| rows of dim-length
+    arrays.
+
+    Exactness: per-dimension means are ratios of exact integers (the
+    repo's 1e-6 floor-quantize protocol) divided in the fixed
+    (qsum / n) / 1e6 order; means assemble into dim-ORDERED arrays and
+    every dot product is the shared left-to-right fold
+    (``F.aggregate`` = ``list_dot_product``); cos/shift/ratio are short
+    chains of correctly-rounded IEEE ops with shift2 clamped at 0 before
+    sqrt (it can round epsilon-negative at zero drift).  Labels present
+    on only ONE side are omitted — centroid geometry needs both points;
+    callers diff the label sets separately (chi2_drift on the label
+    column is the companion for that).
+
+    Output, one row per shared label ordered by label: (label, n_ref,
+    n_cur, cos_q6, shift_q6, ratio_q6) with ratio = |centroid_cur| /
+    |centroid_ref|.
+    """
+    lab = (
+        F.col(label_col).cast("long") if label_col else F.lit(0).cast("long")
+    )
+    tagged = ref.select(
+        lab.alias("label"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+        F.lit(1).alias("__r"),
+        F.lit(0).alias("__c"),
+    ).unionByName(
+        cur.select(
+            lab.alias("label"),
+            F.posexplode(F.col(vec_col)).alias("dim", "val"),
+            F.lit(0).alias("__r"),
+            F.lit(1).alias("__c"),
+        )
+    )
+    q = F.floor(F.col("val").cast("double") * 1000000 + F.lit(0.5)).cast("long")
+    per = (
+        tagged.groupBy("label", "dim")
+        .agg(
+            F.sum(q * F.col("__r")).alias("qsum_r"),
+            F.sum("__r").alias("n_r"),
+            F.sum(q * F.col("__c")).alias("qsum_c"),
+            F.sum("__c").alias("n_c"),
+        )
+        .filter((F.col("n_r") > 0) & (F.col("n_c") > 0))
+        .select(
+            "label",
+            "dim",
+            "n_r",
+            "n_c",
+            (F.col("qsum_r").cast("double") / F.col("n_r") / 1000000.0).alias(
+                "mr"
+            ),
+            (F.col("qsum_c").cast("double") / F.col("n_c") / 1000000.0).alias(
+                "mc"
+            ),
+        )
+    )
+    arrs = (
+        per.groupBy("label")
+        .agg(
+            F.max("n_r").alias("n_ref"),
+            F.max("n_c").alias("n_cur"),
+            F.sort_array(F.collect_list(F.struct("dim", "mr"))).alias("rs"),
+            F.sort_array(F.collect_list(F.struct("dim", "mc"))).alias("cs"),
+        )
+        .select(
+            "label",
+            "n_ref",
+            "n_cur",
+            F.expr("transform(rs, s -> s.mr)").alias("vr"),
+            F.expr("transform(cs, s -> s.mc)").alias("vc"),
+        )
+    )
+    fold = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    rr = F.expr(fold.format(a="vr", b="vr"))
+    cc = F.expr(fold.format(a="vc", b="vc"))
+    rc = F.expr(fold.format(a="vr", b="vc"))
+    shift2 = F.greatest(rr - 2 * rc + cc, F.lit(0.0))
+    return arrs.select(
+        F.col("label"),
+        F.col("n_ref").cast("long").alias("n_ref"),
+        F.col("n_cur").cast("long").alias("n_cur"),
+        _q6(rc / (F.sqrt(rr) * F.sqrt(cc))).alias("cos_q6"),
+        _q6(F.sqrt(shift2)).alias("shift_q6"),
+        _q6(F.sqrt(cc) / F.sqrt(rr)).alias("ratio_q6"),
+    ).orderBy("label")
+
+
+def centroid_drift_oracle_sql(
+    table: str,
+    ref_where: str,
+    cur_where: str,
+    dim: int = 64,
+    label_expr: str = "label",
+) -> str:
+    """DuckDB twin of centroid_drift over ``table`` rows split by the
+    WHERE predicates (same quantized means, same dim-ordered fold via
+    list_dot_product, same clamp/quantization)."""
+    side = (
+        "SELECT CAST({lab} AS BIGINT) AS label, i - 1 AS dim,"
+        " CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT) AS qv"
+        " FROM {table} CROSS JOIN idx WHERE {where}"
+    )
+    return f"""
+      WITH idx AS (SELECT unnest(range(1, {dim + 1})) AS i),
+      r AS ({side.format(lab=label_expr, table=table, where=ref_where)}),
+      c AS ({side.format(lab=label_expr, table=table, where=cur_where)}),
+      pr AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS mr,
+               count(*) AS n_r
+        FROM r GROUP BY 1, 2
+      ),
+      pc AS (
+        SELECT label, dim,
+               CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS mc,
+               count(*) AS n_c
+        FROM c GROUP BY 1, 2
+      ),
+      arrs AS (
+        SELECT pr.label,
+               max(n_r) AS n_ref, max(n_c) AS n_cur,
+               list(mr ORDER BY pr.dim) AS vr,
+               list(mc ORDER BY pr.dim) AS vc
+        FROM pr JOIN pc ON pr.label = pc.label AND pr.dim = pc.dim
+        GROUP BY pr.label
+      ),
+      g AS (
+        SELECT label, n_ref, n_cur,
+               list_dot_product(vr, vr) AS rr,
+               list_dot_product(vc, vc) AS cc,
+               list_dot_product(vr, vc) AS rc
+        FROM arrs
+      )
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(n_ref AS BIGINT) AS n_ref,
+             CAST(n_cur AS BIGINT) AS n_cur,
+             CAST(floor(rc / (sqrt(rr) * sqrt(cc)) * 1000000 + 0.5) AS BIGINT)
+               AS cos_q6,
+             CAST(floor(sqrt(greatest(rr - 2 * rc + cc, 0.0)) * 1000000 + 0.5)
+                  AS BIGINT) AS shift_q6,
+             CAST(floor(sqrt(cc) / sqrt(rr) * 1000000 + 0.5) AS BIGINT)
+               AS ratio_q6
+      FROM g
+      ORDER BY label
+    """

@@ -173,3 +173,144 @@ def skew_report_oracle_sql(
               - (CAST(n_keys AS DOUBLE) + 1.0) / CAST(n_keys AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) END AS gini_q6
     FROM totals CROSS JOIN top CROSS JOIN ent
     """
+
+
+def join_cardinality(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: Column | str,
+    right_key: Column | str | None = None,
+    top_k: int = 10,
+) -> DataFrame:
+    """One-row pre-join planning diagnostic: the EXACT inner-join output
+    cardinality and its key concentration, computed from per-key count
+    tables — i.e. "how big is this join and is one key about to blow up
+    the shuffle", answered WITHOUT running the join.
+
+    - ``n_left`` / ``n_right`` / ``keys_left`` / ``keys_right`` — exact
+      row and distinct-key totals per side;
+    - ``shared_keys`` — keys present on both sides (SQL join semantics:
+      null keys never match, so they are excluded here too);
+    - ``join_rows`` — sum over shared keys of n_l * n_r: the exact
+      inner-join output size;
+    - ``max_key_pairs`` — the heaviest single key's contribution (the
+      task that will straggle);
+    - ``topk_share_q6`` — share of join_rows owned by the ``top_k``
+      heaviest keys (the salting decision number; 0 when the join is
+      empty).
+
+    Scale shape: one map-side-combinable count per side, a key-grain
+    join of the two COUNT tables (orders of magnitude smaller than the
+    data join being planned), a TakeOrderedAndProject for the top-k,
+    and one-row aggregates.  All integer-exact until the final
+    quantized share (the repo's cross-engine float protocol).  The
+    n_l * n_r products and their sum are BIGINT — overflow-safe until
+    the join being planned is itself ~9e18 output rows, at which point
+    the answer ("do not run this join") is already legible.
+    """
+    lk = F.col(left_key) if isinstance(left_key, str) else left_key
+    rk = (
+        lk
+        if right_key is None
+        else (F.col(right_key) if isinstance(right_key, str) else right_key)
+    )
+    counts_l = left.groupBy(lk.alias("k")).agg(F.count(F.lit(1)).alias("n_l"))
+    counts_r = right.groupBy(rk.alias("k")).agg(F.count(F.lit(1)).alias("n_r"))
+    stats_l = counts_l.agg(
+        F.coalesce(F.sum("n_l"), F.lit(0)).alias("n_left"),
+        F.count(F.lit(1)).alias("keys_left"),
+    )
+    stats_r = counts_r.agg(
+        F.coalesce(F.sum("n_r"), F.lit(0)).alias("n_right"),
+        F.count(F.lit(1)).alias("keys_right"),
+    )
+    pairs = counts_l.join(counts_r, "k").select(
+        "k", (F.col("n_l") * F.col("n_r")).alias("p")
+    )
+    shared = pairs.agg(
+        F.count(F.lit(1)).alias("shared_keys"),
+        F.coalesce(F.sum("p"), F.lit(0)).alias("join_rows"),
+        F.coalesce(F.max("p"), F.lit(0)).alias("max_key_pairs"),
+    )
+    top = (
+        pairs.orderBy(F.desc("p"), F.asc("k"))
+        .limit(top_k)
+        .agg(F.coalesce(F.sum("p"), F.lit(0)).alias("top_pairs"))
+    )
+    share = F.when(
+        F.col("join_rows") > 0,
+        F.floor(
+            F.col("top_pairs").cast("double")
+            / F.col("join_rows").cast("double")
+            * 1000000
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        stats_l.crossJoin(F.broadcast(stats_r))
+        .crossJoin(F.broadcast(shared))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n_left").cast("long").alias("n_left"),
+            F.col("n_right").cast("long").alias("n_right"),
+            F.col("keys_left").cast("long").alias("keys_left"),
+            F.col("keys_right").cast("long").alias("keys_right"),
+            F.col("shared_keys").cast("long").alias("shared_keys"),
+            F.col("join_rows").cast("long").alias("join_rows"),
+            F.col("max_key_pairs").cast("long").alias("max_key_pairs"),
+            share.alias("topk_share_q6"),
+        )
+    )
+
+
+def join_cardinality_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    left_key: str,
+    right_key: str,
+    top_k: int = 10,
+) -> str:
+    """DuckDB twin of join_cardinality over arbitrary side subqueries
+    (same null-key exclusion via the inner count join, same top-k
+    tie-break on ascending key, same quantized share)."""
+    return f"""
+      WITH cl AS (
+        SELECT {left_key} AS k, CAST(count(*) AS BIGINT) AS n_l
+        FROM ({left_sql}) GROUP BY 1
+      ),
+      cr AS (
+        SELECT {right_key} AS k, CAST(count(*) AS BIGINT) AS n_r
+        FROM ({right_sql}) GROUP BY 1
+      ),
+      sl AS (
+        SELECT CAST(coalesce(sum(n_l), 0) AS BIGINT) AS n_left,
+               CAST(count(*) AS BIGINT) AS keys_left
+        FROM cl
+      ),
+      sr AS (
+        SELECT CAST(coalesce(sum(n_r), 0) AS BIGINT) AS n_right,
+               CAST(count(*) AS BIGINT) AS keys_right
+        FROM cr
+      ),
+      pairs AS (
+        SELECT cl.k, n_l * n_r AS p FROM cl JOIN cr ON cl.k = cr.k
+      ),
+      sh AS (
+        SELECT CAST(count(*) AS BIGINT) AS shared_keys,
+               CAST(coalesce(sum(p), 0) AS BIGINT) AS join_rows,
+               CAST(coalesce(max(p), 0) AS BIGINT) AS max_key_pairs
+        FROM pairs
+      ),
+      tp AS (
+        SELECT CAST(coalesce(sum(p), 0) AS BIGINT) AS top_pairs
+        FROM (SELECT p FROM pairs ORDER BY p DESC, k ASC LIMIT {top_k})
+      )
+      SELECT n_left, n_right, keys_left, keys_right, shared_keys,
+             join_rows, max_key_pairs,
+             CASE WHEN join_rows > 0
+                  THEN CAST(floor(CAST(top_pairs AS DOUBLE)
+                                  / CAST(join_rows AS DOUBLE)
+                                  * 1000000 + 0.5) AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS topk_share_q6
+      FROM sl CROSS JOIN sr CROSS JOIN sh CROSS JOIN tp
+    """

@@ -2174,3 +2174,394 @@ def jl_project_oracle_sql(
         )
     u = "\n      UNION ALL ".join(selects)
     return f"SELECT vec_id, j, yq FROM ({u}) ORDER BY vec_id, j"
+
+
+# ------------------------------------------------------------------- IVF-PQ
+
+
+def ann_ivfpq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite ANN (Jegou et al. 2011 §V "IVFADC", in the
+    no-residual form — faiss's ``by_residual=False`` variant, chosen so
+    the codebooks stay rebuildable from the raw corpus and the DuckDB
+    oracle can replay them without a residual pass): the coarse IVF
+    quantizer prunes each query's candidate set to its ``n_probe``
+    nearest cells, and PQ ADC scores ONLY those candidates from their
+    m-byte codes.  This is the composition billion-vector indexes
+    deploy: IVF bounds the SCAN (|corpus| * n_probe / n_centroids
+    candidates per query on a balanced quantizer), PQ bounds the BYTES
+    (m bytes per candidate, integer LUT adds — the raw floats are never
+    touched at query time).
+
+    Scale shape: the index build is one narrow projection over the
+    corpus (cell argmax + m code argmins against literal centroids — no
+    join, no shuffle; at 100 TB this is the relation you persist,
+    partitioned by cell); queries contribute a broadcast
+    (query_id, cell) relation of n_queries * n_probe rows plus per-query
+    integer LUT literals, so scoring is a broadcast-hash equi-join ON
+    CELL followed by codegen'd integer lookups — the corpus-wide cross
+    join of plain ADC never happens.
+
+    Determinism is the intersection of ann_ivf's and ann_pq's
+    conventions: lowest-id centroids/codebooks, probe ties to the lower
+    cell id, per-subspace distances quantized to BIGINT at 1e-9 before
+    the order-independent integer sum, ranking ties to the lower corpus
+    id.  Returns (query_id, corpus_id, rank, qdist).
+    """
+    import math
+
+    d_sub = dim // m
+    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+
+    ranked = _cell_rank_sql(vec_col, cents)
+    sliced = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+        *[
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
+            for j in range(m)
+        ],
+    )
+    codes = sliced.select(
+        "corpus_id",
+        "cell",
+        *[
+            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+
+    # ONE driver collect serves both query-side artifacts (probe cells
+    # and ADC LUTs) — queries are serving-sized by definition, the same
+    # legitimate collect as ann_pq's LUT build and ann_ivf's probing.
+    qrows = queries.select(
+        F.col(id_col).alias("i"), F.col(vec_col).alias("v")
+    ).collect()
+
+    def _fold_dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    # probe cells per query: the same (-dot/|c|, cid) ascending ranking
+    # _cell_rank_sql encodes, computed driver-side over the collected
+    # query vectors (bit-identical fold + division order)
+    probe_pairs: list[tuple[int, int]] = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        scored = sorted(
+            (-(_fold_dot(qv, cvec)) / nrm, cid) for cid, cvec, nrm in cents
+        )
+        for _, cid in scored[:n_probe]:
+            probe_pairs.append((int(r["i"]), int(cid)))
+
+    luts: list[dict[int, list[int]]] = []
+    for j in range(m):
+        per_q: dict[int, list[int]] = {}
+        for r in qrows:
+            qv = [float(x) for x in r["v"]][j * d_sub : (j + 1) * d_sub]
+            qq = _fold_dot(qv, qv)
+            cells = []
+            for _, coords, half_sq in books[j]:
+                d = qq - 2 * _fold_dot(qv, coords) + 2.0 * half_sq
+                cells.append(int(math.floor(d * 1000000000 + 0.5)))
+            per_q[int(r["i"])] = cells
+        luts.append(per_q)
+
+    qcell = queries.sparkSession.createDataFrame(
+        probe_pairs, "query_id long, cell long"
+    )
+    joined = codes.join(F.broadcast(qcell), "cell").filter(
+        F.col("query_id") != F.col("corpus_id")
+    )
+    qids = sorted(luts[0]) if luts and luts[0] else []
+    dist_terms = []
+    for j in range(m):
+        lut_map = "map(" + ", ".join(
+            f"CAST({qid} AS BIGINT), array({', '.join(str(v) + 'L' for v in luts[j][qid])})"
+            for qid in qids
+        ) + ")"
+        dist_terms.append(
+            f"element_at(element_at({lut_map}, `query_id`), "
+            f"CAST(`code{j}` AS INT) + 1)"
+        )
+    total = " + ".join(dist_terms) if dist_terms else "CAST(NULL AS BIGINT)"
+    sims = joined.select(
+        "query_id", "corpus_id", F.expr(total).alias("qdist")
+    )
+    # two-phase exact top-k per query, ascending distance (the shape
+    # ann_pq/l2_topk use: partitions keep local k, only k*partitions
+    # candidate rows shuffle)
+    keyed = sims.select(
+        "query_id",
+        F.struct(
+            F.col("qdist").alias("qdist"), F.col("corpus_id").alias("corpus_id")
+        ).alias("sk"),
+        F.spark_partition_id().alias("pid"),
+    )
+    partial = keyed.groupBy("query_id", "pid").agg(
+        F.slice(F.sort_array(F.collect_list("sk"), asc=True), 1, k).alias("top")
+    )
+    merged = partial.groupBy("query_id").agg(
+        F.slice(
+            F.sort_array(F.flatten(F.collect_list("top")), asc=True), 1, k
+        ).alias("top")
+    )
+    return merged.select(
+        "query_id", F.posexplode("top").alias("pos", "sk")
+    ).select(
+        "query_id",
+        F.col("sk.corpus_id").alias("corpus_id"),
+        (F.col("pos") + 1).cast("long").alias("rank"),
+        F.col("sk.qdist").alias("qdist"),
+    )
+
+
+def _ivfpq_replay_ctes(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    n_queries: int,
+    dim: int,
+) -> str:
+    """Shared DuckDB CTE chain rebuilding the IVF-PQ index end-to-end:
+    the IVF coarse assignment + probing (ann_ivf's replay), the PQ
+    encoding (ann_pq's replay), and the ADC distances restricted to the
+    probed cells' members.  Ends at ``ivfpq_ranked``."""
+    d_sub = dim // m
+    return f"""
+    cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM {table} ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}),
+    cassign AS (
+      SELECT corpus_id, cid,
+             row_number() OVER (
+               PARTITION BY corpus_id
+               ORDER BY list_dot_product(v, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                        cid ASC
+             ) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cells AS (SELECT corpus_id, cid FROM cassign WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                          cid ASC
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    cand AS (
+      SELECT p.query_id, ce.corpus_id
+      FROM probes p JOIN cells ce ON ce.cid = p.cid
+      WHERE p.query_id <> ce.corpus_id
+    ),
+    js AS (SELECT unnest(range(0, {m})) AS j),
+    cb AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM (SELECT * FROM {table} ORDER BY vec_id LIMIT {ks})
+    ),
+    subs AS (
+      SELECT code, j, list_slice(cv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS scv
+      FROM cb CROSS JOIN js
+    ),
+    csub AS (
+      SELECT corpus_id, j, list_slice(v, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sv
+      FROM c CROSS JOIN js
+    ),
+    enc AS (
+      SELECT corpus_id, j, code FROM (
+        SELECT corpus_id, cs.j, s.code,
+               row_number() OVER (
+                 PARTITION BY corpus_id, cs.j
+                 ORDER BY 0.5 * list_dot_product(s.scv, s.scv)
+                            - list_dot_product(cs.sv, s.scv) ASC,
+                          s.code ASC
+               ) AS rn
+        FROM csub cs JOIN subs s ON cs.j = s.j
+      ) WHERE rn = 1
+    ),
+    qsub AS (
+      SELECT query_id, j, list_slice(qv, j * {d_sub} + 1, j * {d_sub} + {d_sub}) AS sq
+      FROM q CROSS JOIN js
+    ),
+    pair_d AS (
+      SELECT ca.query_id, ca.corpus_id,
+             CAST(sum(CAST(floor(
+               (list_dot_product(qs.sq, qs.sq)
+                - 2 * list_dot_product(qs.sq, s.scv)
+                + list_dot_product(s.scv, s.scv)) * 1000000000 + 0.5
+             ) AS BIGINT)) AS BIGINT) AS qdist
+      FROM cand ca
+      JOIN qsub qs ON qs.query_id = ca.query_id
+      JOIN enc e ON e.corpus_id = ca.corpus_id AND e.j = qs.j
+      JOIN subs s ON s.j = e.j AND s.code = e.code
+      GROUP BY 1, 2
+    ),
+    ivfpq_ranked AS (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM pair_d
+    )"""
+
+
+def ann_ivfpq_oracle_sql(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    k: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    "DuckDB twin of :func:`ann_ivfpq`: full IVF + PQ index replay."
+    return (
+        "WITH"
+        + _ivfpq_replay_ctes(table, n_centroids, n_probe, m, ks, n_queries, dim)
+        + f"""
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist
+    FROM ivfpq_ranked WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+def ann_ivfpq_recall_oracle_sql(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    k: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the IVF-PQ recall gate: exact-L2 top-k over ALL
+    pairs as truth (IVF pruning loss must count against recall, so the
+    truth side is NOT restricted to probed cells), IVF-PQ top-k as the
+    approximation, one (n_exact, n_hit, recall_at_k) row."""
+    return (
+        "WITH"
+        + _ivfpq_replay_ctes(table, n_centroids, n_probe, m, ks, n_queries, dim)
+        + f""",
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, c.corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+                   ASC, c.corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE q.query_id <> c.corpus_id
+      ) WHERE rn <= {k}
+    ),
+    approx AS (SELECT query_id, corpus_id FROM ivfpq_ranked WHERE rank <= {k})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           floor(CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a USING (query_id, corpus_id)
+    """
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for every query vector, the top-k most
+    cosine-similar corpus vectors with a DIFFERENT label — the standard
+    contrastive-training data step (similar-but-wrong examples teach the
+    boundary; random negatives are too easy).  Same broadcast +
+    two-phase top-k shape as cosine_topk with the label inequality
+    folded into the join condition, so mismatched labels prune BEFORE
+    any similarity arithmetic runs.  At scale the exact form here is the
+    per-batch miner (queries are batch-sized); corpus-wide mining would
+    front an ANN index (ann_ivfpq) with the same label filter on the
+    candidate join.  Ties break on the lower corpus id.  Returns
+    (query_id, corpus_id, rank, cos)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    sims = (
+        c.join(
+            F.broadcast(q),
+            (F.col("query_id") != F.col("corpus_id"))
+            & (F.col("q_label") != F.col("c_label")),
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _topk_per_query(sims, k)
+
+
+def hard_negatives_oracle_sql(table: str, k: int, n_queries: int) -> str:
+    """DuckDB twin of :func:`hard_negatives` with queries = the n lowest
+    vec_ids (same fold order, same tie-breaks, same label inequality)."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS (
+      SELECT vec_id AS corpus_id, label AS c_label,
+             CAST(embedding AS DOUBLE[]) AS cv
+      FROM {table}
+    ),
+    sims AS (
+      SELECT query_id, corpus_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      FROM c, q WHERE query_id != corpus_id AND q_label != c_label
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """

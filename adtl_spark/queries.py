@@ -3652,6 +3652,18 @@ def _profile_skew_oracle() -> str:
     )
 
 
+def _join_cardinality_oracle() -> str:
+    from adtl_spark.operators.profile import join_cardinality_oracle_sql
+
+    return join_cardinality_oracle_sql(
+        "SELECT o_orderkey FROM orders",
+        "SELECT l_orderkey FROM lineitem",
+        "o_orderkey",
+        "l_orderkey",
+        top_k=10,
+    )
+
+
 def _io_shard_manifest_oracle() -> str:
     from adtl_spark.sources.io import shard_manifest_oracle_sql
 
@@ -3660,6 +3672,114 @@ def _io_shard_manifest_oracle() -> str:
         16,
         key_expr="doc_id",
         size_expr="n_chars",
+    )
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (similarity.ann_ivfpq): the coarse quantizer
+    prunes each query to its n_probe cells and PQ ADC scores only those
+    candidates from m-byte codes — the composition billion-vector
+    indexes deploy (IVF bounds the scan, PQ bounds the bytes).  The
+    oracle replays the ENTIRE index — coarse assignment, probing, PQ
+    encoding, cell-restricted ADC — so both pruning layers are
+    value-checked, not just the final lookup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.ann_ivfpq(
+        emb, queries, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        m=PQ_M, ks=PQ_KS, k=ANN_K, dim=EMB_DIM,
+    )
+
+
+def ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of IVF-PQ against exact L2 over ALL pairs —
+    both loss sources (IVF pruning + PQ quantization) count against the
+    number, the way a production index is sized.  Measured 0.36 at
+    (16 cells, 4 probes, ks=64) on this corpus — identical to plain
+    ADC's 0.36: probing 4/16 cells loses nothing here while scanning a
+    quarter of the corpus per query.  The knob pair (n_probe, ks) and
+    that crossover are what this gate records."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    exact = S.l2_topk(emb, queries, k=ANN_K).select(
+        "query_id", "corpus_id", F.lit(1).alias("t")
+    )
+    approx = S.ann_ivfpq(
+        emb, queries, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        m=PQ_M, ks=PQ_KS, k=ANN_K, dim=EMB_DIM,
+    ).select("query_id", "corpus_id", F.lit(1).alias("f"))
+    j = exact.join(approx, ["query_id", "corpus_id"], "left")
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("f"), F.lit(0)))
+    return j.agg(
+        n_exact.cast("long").alias("n_exact"),
+        n_hit.cast("long").alias("n_hit"),
+        (
+            F.floor(
+                n_hit.cast("double") / n_exact.cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall_at_k"),
+    )
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negatives): per query vector, the top-k most
+    similar corpus vectors with a DIFFERENT label — the
+    similar-but-wrong examples that teach the decision boundary.  Label
+    mismatch prunes inside the join condition before any similarity
+    arithmetic runs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.hard_negatives(emb, queries, k=ANN_K)
+
+
+def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity drift over the CATEGORICAL source column
+    between the even/odd document snapshots (operators/monitor.py
+    chi2_drift) — the unordered companion to quality_psi_drift's
+    bucketed shares: per-category expected counts and (O-E)^2/E
+    contributions, df = categories - 1."""
+    docs = _t(spark, sf_dir, "documents")
+    return MO.chi2_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        F.col("source"),
+    )
+
+
+def emb_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between the even/odd vec_id snapshots, per
+    label (operators/monitor.py centroid_drift): cosine between the two
+    snapshot centroids, the L2 shift, and the norm ratio — the monitor
+    that catches a silently-retrained embedding model when every scalar
+    feature still looks stable.  Per-dimension means ride the
+    label_centroids aggregation shape; the vectors never shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return MO.centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        label_col="label",
+    )
+
+
+def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pre-join planning diagnostic for orders x lineitem on the
+    order key (operators/profile.join_cardinality): the inner-join
+    output size and its key concentration computed from per-key COUNT
+    tables — orders of magnitude smaller than running the join — so the
+    salting/broadcast decision is made from numbers, not guesses.  The
+    companion to profile_key_skew at the two-sided grain."""
+    from adtl_spark.operators.profile import join_cardinality
+
+    return join_cardinality(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+        top_k=10,
     )
 
 
@@ -3691,6 +3811,24 @@ def oracles() -> dict[str, str]:
     lang_best += "ELSE 0.0 END"
 
     return {
+        "ann_ivfpq_topk": S.ann_ivfpq_oracle_sql(
+            "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
+            ANN_K, ANN_QUERIES, dim=EMB_DIM,
+        ),
+        "ann_ivfpq_recall": S.ann_ivfpq_recall_oracle_sql(
+            "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
+            ANN_K, ANN_QUERIES, dim=EMB_DIM,
+        ),
+        "emb_hard_negatives": S.hard_negatives_oracle_sql(
+            "embeddings", ANN_K, ANN_QUERIES
+        ),
+        "quality_chi2_drift": MO.chi2_drift_oracle_sql(
+            "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "source"
+        ),
+        "emb_centroid_drift": MO.centroid_drift_oracle_sql(
+            "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1", dim=EMB_DIM
+        ),
+        "profile_join_cardinality": _join_cardinality_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -5470,15 +5608,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. New round-7 queries lead so each gets a driver row the round it
-       lands: DSIR importance selection, the PSI drift report, the KMV
-       set-overlap sketch, the decode+DSP and decode+resize exact
-       round-trip gates, the directed containment join, the blocked
-       fuzzy-join -> connected-components entity resolution pipeline,
-       and the PSI + KS snapshot-drift monitors; late in the round the
-       bottom-k quantile sketch, the HLL register rollup, the
-       training-shard integrity manifest, the PR calibration curve, the
-       exact ROC AUC, and the key-skew diagnostic joined the head.
+    1. The newest queries lead so each gets a driver row the round it
+       lands: the IVF-PQ composite ANN gate + its all-pairs recall
+       twin, hard-negative mining, chi-square categorical drift, and
+       embedding centroid drift head the window; behind them the
+       still-unverified previous block — DSIR importance selection,
+       the PSI drift report, the KMV set-overlap sketch, the
+       decode+DSP and decode+resize exact round-trip gates, the
+       directed containment join, the blocked fuzzy-join ->
+       connected-components entity resolution pipeline, the PSI + KS
+       snapshot-drift monitors, the bottom-k quantile sketch, the HLL
+       register rollup, the training-shard integrity manifest, the PR
+       calibration curve, the exact ROC AUC, and the key-skew
+       diagnostic.
     2. Then the LEAST-recently driver-verified entries: positions 51-152
        of the round-6 registry (``text_pmi_topk`` onward), whose driver
        rows date to rounds 1-4 (all re-verified green at HEAD by the r5
@@ -5499,6 +5641,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
+        "ann_ivfpq_topk": ann_ivfpq_topk,  # -- newest queries (this round's window head) --
+        "ann_ivfpq_recall": ann_ivfpq_recall,
+        "emb_hard_negatives": emb_hard_negatives,
+        "quality_chi2_drift": quality_chi2_drift,
+        "emb_centroid_drift": emb_centroid_drift,
+        "profile_join_cardinality": profile_join_cardinality,
         "sketch_quantile_bottomk": sketch_quantile_bottomk,  # -- new round-7 queries --
         "sketch_hll_rollup": sketch_hll_rollup,
         "layout_shard_manifest": layout_shard_manifest,

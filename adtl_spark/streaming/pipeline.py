@@ -158,3 +158,40 @@ def ks_drift_monitor_sink(ref: DataFrame, value, log_path: str):
         )
 
     return sink
+
+
+def centroid_drift_monitor_sink(
+    ref: DataFrame,
+    log_path: str,
+    vec_col: str = "embedding",
+    label_col: str | None = None,
+):
+    """Embedding-drift twin of :func:`drift_monitor_sink`: scores every
+    micro-batch of vectors against a static reference snapshot with
+    operators/monitor.centroid_drift (identical math and quantization,
+    so alert thresholds calibrate once on the batch twin).  Appends one
+    row per shared label (batch_id, label, n_ref, n_cur, cos_q6,
+    shift_q6, ratio_q6) to the parquet drift log per batch — the
+    monitor that catches an upstream embedding-model swap while the
+    stream is running, not at the next offline audit."""
+    from adtl_spark.operators.monitor import centroid_drift
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        report = centroid_drift(
+            ref, batch_df, vec_col=vec_col, label_col=label_col
+        )
+        (
+            report.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "label",
+                "n_ref",
+                "n_cur",
+                "cos_q6",
+                "shift_q6",
+                "ratio_q6",
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink

@@ -1,0 +1,309 @@
+"""Round-8 operator units: the IVF-PQ composite ANN index, chi-square
+categorical drift, embedding centroid drift, and hard-negative mining.
+Each operator's oracle twin is exercised by the registry gate
+(tools/check_oracle.py); these tests pin the SEMANTICS against
+straight-line Python replays on small inputs, plus the edge cases the
+gate corpus never hits (one-sided-empty snapshots, one-sided labels,
+all-same-label corpora)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def _fold_dot(a, b):
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+# -------------------------------------------------------------- IVF-PQ --
+def _py_ivfpq(vecs, n_centroids, n_probe, m, ks, k, dim):
+    """Straight-line replay of similarity.ann_ivfpq's conventions:
+    lowest-id centroids/codebooks, (-dot/|c|, cid) probe ranking,
+    per-subspace 1e-9-quantized ADC, (qdist, corpus_id) top-k."""
+    d_sub = dim // m
+    ids = sorted(vecs)
+    cents = []
+    for cid in ids[:n_centroids]:
+        v = vecs[cid]
+        cents.append((cid, v, _fold_dot(v, v) ** 0.5))
+    books = []
+    for j in range(m):
+        books.append(
+            [
+                (code, vecs[i][j * d_sub : (j + 1) * d_sub])
+                for code, i in enumerate(ids[:ks])
+            ]
+        )
+
+    def cell_of(v):
+        return sorted(
+            (-(_fold_dot(v, cv)) / nrm, cid) for cid, cv, nrm in cents
+        )[0][1]
+
+    def codes_of(v):
+        out = []
+        for j in range(m):
+            sv = v[j * d_sub : (j + 1) * d_sub]
+            scored = sorted(
+                (
+                    0.5 * _fold_dot(cv, cv) - _fold_dot(sv, cv),
+                    code,
+                )
+                for code, cv in books[j]
+            )
+            out.append(scored[0][1])
+        return out
+
+    cells = {i: cell_of(v) for i, v in vecs.items()}
+    codes = {i: codes_of(v) for i, v in vecs.items()}
+    results = {}
+    for qid, qv in vecs.items():
+        probed = [
+            cid
+            for _, cid in sorted(
+                (-(_fold_dot(qv, cv)) / nrm, cid) for cid, cv, nrm in cents
+            )[:n_probe]
+        ]
+        cand = []
+        for cid, v in vecs.items():
+            if cid == qid or cells[cid] not in probed:
+                continue
+            qdist = 0
+            for j in range(m):
+                sq = qv[j * d_sub : (j + 1) * d_sub]
+                cv = books[j][codes[cid][j]][1]
+                d = (
+                    _fold_dot(sq, sq)
+                    - 2 * _fold_dot(sq, cv)
+                    + 2.0 * (0.5 * _fold_dot(cv, cv))
+                )
+                qdist += int(math.floor(d * 1000000000 + 0.5))
+            cand.append((qdist, cid))
+        results[qid] = sorted(cand)[:k]
+    return results
+
+
+def test_ann_ivfpq_matches_python(spark):
+    from adtl_spark.operators.similarity import ann_ivfpq
+
+    dim, m, ks, n_centroids, n_probe, k = 8, 2, 4, 4, 2, 3
+    vecs = {
+        i: [math.sin(i * 7 + d * 3) * 2 for d in range(dim)] for i in range(12)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = ann_ivfpq(
+        df, df, n_centroids=n_centroids, n_probe=n_probe, m=m, ks=ks, k=k,
+        dim=dim,
+    ).collect()
+    want = _py_ivfpq(vecs, n_centroids, n_probe, m, ks, k, dim)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["qdist"], r["corpus_id"])
+        )
+    for qid, pairs in want.items():
+        rows = sorted(by_q[qid])
+        assert [(i + 1, d, c) for i, (d, c) in enumerate(pairs)] == rows
+
+
+def test_ann_ivfpq_candidates_stay_in_probed_cells(spark):
+    # the pruning contract: no returned neighbor can live outside the
+    # query's probed cells — the property that bounds the scan at scale
+    from adtl_spark.operators.similarity import ann_ivfpq
+
+    dim = 4
+    vecs = {i: [float((i * 5 + d) % 7) - 3.0 for d in range(dim)] for i in range(20)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = ann_ivfpq(
+        df, df.limit(3), n_centroids=5, n_probe=2, m=2, ks=3, k=20, dim=dim
+    ).collect()
+    want = _py_ivfpq(vecs, 5, 2, 2, 3, 20, dim)
+    for r in got:
+        assert (r["qdist"], r["corpus_id"]) in want[r["query_id"]]
+
+
+# ---------------------------------------------------------- chi-square --
+def test_chi2_drift_matches_python(spark):
+    from adtl_spark.operators.monitor import chi2_drift
+
+    ref_vals = ["a", "a", "a", "b", "b", "c"]
+    cur_vals = ["a", "b", "b", "b", "c", "c", "d"]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["s"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["s"])
+    out = {r["category"]: r for r in chi2_drift(ref, cur, F.col("s")).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    grand = len(ref_vals) + len(cur_vals)
+    for cat in out:
+        n_ref = ref_vals.count(cat)
+        n_cur = cur_vals.count(cat)
+        e_ref = (n_ref + n_cur) * len(ref_vals) / grand
+        e_cur = (n_ref + n_cur) * len(cur_vals) / grand
+        chi2 = (n_ref - e_ref) ** 2 / e_ref + (n_cur - e_cur) ** 2 / e_cur
+        assert out[cat]["n_ref"] == n_ref and out[cat]["n_cur"] == n_cur
+        assert out[cat]["e_ref_q6"] == math.floor(e_ref * 1e6 + 0.5)
+        assert out[cat]["e_cur_q6"] == math.floor(e_cur * 1e6 + 0.5)
+        assert out[cat]["chi2_q6"] == math.floor(chi2 * 1e6 + 0.5)
+    # identical snapshots: O == E exactly, every contribution zero
+    same = chi2_drift(ref, ref, F.col("s")).collect()
+    assert all(r["chi2_q6"] == 0 for r in same)
+
+
+def test_chi2_drift_one_sided_empty_is_zero(spark):
+    # documented convention: homogeneity is undefined without both
+    # margins; E collapses to O on the occupied side, so chi2 is 0 and
+    # callers read n_ref/n_cur to detect the degenerate case
+    from adtl_spark.operators.monitor import chi2_drift
+
+    ref = spark.createDataFrame([("a",), ("b",)], ["s"])
+    empty = ref.filter(F.lit(False))
+    rows = chi2_drift(ref, empty, F.col("s")).collect()
+    assert [(r["category"], r["n_ref"], r["n_cur"]) for r in rows] == [
+        ("a", 1, 0),
+        ("b", 1, 0),
+    ]
+    assert all(r["chi2_q6"] == 0 for r in rows)
+
+
+# ------------------------------------------------------ centroid drift --
+def test_centroid_drift_matches_python(spark):
+    from adtl_spark.operators.monitor import centroid_drift
+
+    dim = 4
+    rows = [
+        (0, 0, [1.0, 0.0, 2.0, -1.0]),
+        (1, 0, [0.5, 0.25, 1.5, -0.5]),
+        (2, 0, [2.0, -0.5, 1.0, 0.0]),
+        (3, 0, [1.5, 0.5, 2.5, -1.5]),
+        (4, 1, [0.0, 3.0, 0.5, 1.0]),
+        (5, 1, [0.25, 2.5, 0.0, 1.5]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    ref = df.filter(F.col("vec_id") % 2 == 0)
+    cur = df.filter(F.col("vec_id") % 2 == 1)
+    out = {
+        r["label"]: r
+        for r in centroid_drift(ref, cur, label_col="label").collect()
+    }
+
+    def qmean(vals):
+        qs = sum(int(math.floor(v * 1e6 + 0.5)) for v in vals)
+        return float(qs) / len(vals) / 1e6
+
+    for lab in (0, 1):
+        rvecs = [v for i, l, v in rows if l == lab and i % 2 == 0]
+        cvecs = [v for i, l, v in rows if l == lab and i % 2 == 1]
+        mr = [qmean([v[d] for v in rvecs]) for d in range(dim)]
+        mc = [qmean([v[d] for v in cvecs]) for d in range(dim)]
+        rr, cc, rc = _fold_dot(mr, mr), _fold_dot(mc, mc), _fold_dot(mr, mc)
+        cos = rc / (math.sqrt(rr) * math.sqrt(cc))
+        shift = math.sqrt(max(rr - 2 * rc + cc, 0.0))
+        ratio = math.sqrt(cc) / math.sqrt(rr)
+        r = out[lab]
+        assert r["n_ref"] == len(rvecs) and r["n_cur"] == len(cvecs)
+        assert r["cos_q6"] == math.floor(cos * 1e6 + 0.5)
+        assert r["shift_q6"] == math.floor(shift * 1e6 + 0.5)
+        assert r["ratio_q6"] == math.floor(ratio * 1e6 + 0.5)
+
+
+def test_centroid_drift_identical_and_one_sided(spark):
+    from adtl_spark.operators.monitor import centroid_drift
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, 2.0]),
+            (1, 0, [3.0, -1.0]),
+            (2, 1, [0.5, 0.5]),
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    # identical snapshots: cos == 1, shift == 0, ratio == 1 exactly
+    same = centroid_drift(df, df, label_col="label").collect()
+    assert all(
+        (r["cos_q6"], r["shift_q6"], r["ratio_q6"]) == (1000000, 0, 1000000)
+        for r in same
+    )
+    # label 1 lives only on the ref side -> omitted (needs both points)
+    out = centroid_drift(df, df.filter(F.col("label") == 0), label_col="label")
+    assert [r["label"] for r in out.collect()] == [0]
+    # global mode (no label): one row
+    g = centroid_drift(df, df).collect()
+    assert len(g) == 1 and g[0]["label"] == 0
+
+
+# ------------------------------------------------------ hard negatives --
+def test_hard_negatives_label_filter_and_ranking(spark):
+    from adtl_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, 0, [1.0, 0.0, 0.0]),
+        (1, 0, [0.9, 0.1, 0.0]),   # same label as q0: must be excluded
+        (2, 1, [0.95, 0.05, 0.0]),  # different label, very similar: hardest
+        (3, 1, [0.0, 1.0, 0.0]),
+        (4, 2, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    got = hard_negatives(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    labels = {i: l for i, l, _ in rows}
+    assert all(labels[r["corpus_id"]] != 0 for r in got)
+    ranked = [r["corpus_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    # python cosine ordering among different-label candidates
+    def cos(a, b):
+        return _fold_dot(a, b) / (
+            math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+        )
+
+    vecs = {i: v for i, _, v in rows}
+    want = sorted(
+        (i for i in vecs if i != 0 and labels[i] != 0),
+        key=lambda i: (-cos(vecs[0], vecs[i]), i),
+    )
+    assert ranked == want[:3]
+    # all-same-label corpus: nothing to mine, empty result
+    mono = df.withColumn("label", F.lit(7))
+    assert hard_negatives(mono, mono.limit(1), k=3).count() == 0
+
+
+# ------------------------------------------------- join cardinality --
+def test_join_cardinality_matches_python(spark):
+    from adtl_spark.operators.profile import join_cardinality
+
+    left = [(1,), (1,), (2,), (3,), (3,), (3,), (None,)]
+    right = [(1,), (2,), (2,), (2,), (4,), (None,), (None,)]
+    ldf = spark.createDataFrame(left, "k int")
+    rdf = spark.createDataFrame(right, "k int")
+    r = join_cardinality(ldf, rdf, "k", top_k=1).collect()[0]
+    # exact mirrors of SQL inner-join semantics (nulls never match but
+    # DO count as distinct keys on their own side, like GROUP BY)
+    assert r["n_left"] == 7 and r["n_right"] == 7
+    assert r["keys_left"] == 4 and r["keys_right"] == 4
+    assert r["shared_keys"] == 2           # keys 1 and 2
+    assert r["join_rows"] == 2 * 1 + 1 * 3  # = 5
+    assert r["max_key_pairs"] == 3
+    assert r["topk_share_q6"] == math.floor(3 / 5 * 1e6 + 0.5)
+    # sanity: join_rows equals the materialized inner join's count
+    assert ldf.join(rdf, "k").count() == 5
+
+
+def test_join_cardinality_disjoint_and_empty(spark):
+    from adtl_spark.operators.profile import join_cardinality
+
+    a = spark.createDataFrame([(1,), (2,)], "k int")
+    b = spark.createDataFrame([(3,), (4,)], "k int")
+    r = join_cardinality(a, b, "k").collect()[0]
+    assert (r["shared_keys"], r["join_rows"], r["topk_share_q6"]) == (0, 0, 0)
+    empty = a.filter(F.lit(False))
+    r = join_cardinality(a, empty, "k").collect()[0]
+    assert (r["n_right"], r["keys_right"], r["join_rows"]) == (0, 0, 0)

@@ -1130,3 +1130,69 @@ def test_ks_drift_monitor_scores_each_microbatch(spark, tmp_path):
     # the fully-shifted batch is (near-)maximally drifted and louder
     assert max(twins) > min(twins)
     assert max(r["d_q6"] for r in rows) > 900000
+
+
+def test_centroid_drift_monitor_scores_each_microbatch(spark, tmp_path):
+    """Embedding streaming monitor: every micro-batch's per-label
+    centroid geometry against the static reference equals the batch
+    twin, and a rotated-embedding batch reports a lower cosine than an
+    identical-distribution batch."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.monitor import centroid_drift
+    from adtl_spark.streaming.pipeline import centroid_drift_monitor_sink
+
+    def vec(i, flip=False):
+        base = [1.0 + (i % 5) * 0.1, 2.0 - (i % 3) * 0.2, 0.5, -1.0]
+        return [-x for x in base] if flip else base
+
+    schema = "vec_id long, label long, embedding array<double>"
+    ref = spark.createDataFrame(
+        [(i, i % 2, vec(i)) for i in range(40)], schema
+    )
+    src = str(tmp_path / "incoming_emb")
+    os.makedirs(src)
+    b1 = [(100 + i, i % 2, vec(i)) for i in range(20)]
+    b2 = [(200 + i, i % 2, vec(i, flip=True)) for i in range(20)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    log = str(tmp_path / "emb_log")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(
+        centroid_drift_monitor_sink(ref, log, label_col="label")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(log).collect()
+    # two batches x two labels
+    assert len(rows) == 4 and all(r["n_ref"] == 20 for r in rows)
+    for b in (b1, b2):
+        twin = {
+            r["label"]: r["cos_q6"]
+            for r in centroid_drift(
+                ref, spark.createDataFrame(b, schema), label_col="label"
+            ).collect()
+        }
+        got = {
+            r["label"]: r["cos_q6"]
+            for r in rows
+            if (r["n_cur"], r["label"]) in {(10, 0), (10, 1)}
+            and r["cos_q6"] in (twin[0], twin[1])
+        }
+        assert twin[0] in {r["cos_q6"] for r in rows}
+        assert twin[1] in {r["cos_q6"] for r in rows}
+    # the flipped batch reads as maximal angular drift (cos ~ -1) while
+    # the same-distribution batch stays ~1 (not exactly 1: the i%3 cycle
+    # doesn't divide the batch size evenly, so the means differ slightly)
+    assert min(r["cos_q6"] for r in rows) < -900000
+    assert max(r["cos_q6"] for r in rows) > 999000

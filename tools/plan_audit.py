@@ -83,6 +83,7 @@ SMJ_ALLOWED = {
     "ann_lsh_recall": "contains the exact cosine truth side",
     "ann_pq_recall": "contains the exact L2 truth side",
     "ann_pq_rerank_recall": "contains the exact L2 truth side (rerank twin)",
+    "ann_ivfpq_recall": "contains the exact L2 truth side (IVF-PQ twin)",
 }
 
 # Reason-pattern check: when an allowlisted query's plan DOES contain a
@@ -127,6 +128,7 @@ SMJ_EXPECT = {
     "ann_lsh_recall": r"query_id|corpus_id",
     "ann_pq_recall": r"query_id|corpus_id",
     "ann_pq_rerank_recall": r"query_id|corpus_id",
+    "ann_ivfpq_recall": r"query_id|corpus_id",
 }
 
 
