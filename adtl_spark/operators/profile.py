@@ -314,3 +314,124 @@ def join_cardinality_oracle_sql(
                   ELSE CAST(0 AS BIGINT) END AS topk_share_q6
       FROM sl CROSS JOIN sr CROSS JOIN sh CROSS JOIN tp
     """
+
+
+def robust_outliers(
+    df: DataFrame,
+    value: Column | str,
+    id_col: str,
+    z_q4: int = 35000,
+    max_points: int | None = None,
+) -> DataFrame:
+    """Robust outlier detection by the modified z-score (Iglewicz &
+    Hoaglin): flag rows where 0.6745 * |x - median| / MAD > z — the
+    median/MAD pair shrugs off the very outliers a mean/stddev filter
+    would let poison its own threshold.
+
+    ``value`` must be an integer-valued expression (quantize floats
+    first — the ks_drift contract: the caller owns the discretization).
+    Both the median and the MAD (median of |x - median|) are EXACT
+    lower medians computed from the value-grain count relation via
+    cumulative sums (2*cum >= n picks the lower middle element — the
+    same rule in the DuckDB twin), so the entire decision
+    0.6745*dev > z*MAD evaluates in integers: 6745 * dev > z_q4 * MAD
+    with z_q4 the threshold scaled by 1e4 (35000 = the standard 3.5).
+
+    Scale shape: one map-side-combinable count per distinct value, two
+    windows over the value-grain relation (bounded by the value domain,
+    not the corpus — ``max_points`` asserts the bound loudly, as in
+    ks_drift), then one broadcast of the two scalar rows back over the
+    corpus scan for the filter.  A zero MAD (majority at one value)
+    flags EVERY deviating row — the loud convention; callers read the
+    mad column.
+
+    Output: (id, value, dev, med, mad) for flagged rows, ordered by id.
+    """
+    from pyspark.sql import Window
+
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    v = F.col(value) if isinstance(value, str) else value
+    base = df.select(F.col(id_col).alias("id"), v.cast("long").alias("x"))
+    counts = base.groupBy("x").agg(F.count(F.lit(1)).alias("c")).persist()
+    if max_points is not None:
+        n_points = counts.count()
+        if n_points > max_points:
+            raise ValueError(
+                f"robust_outliers: {n_points} distinct values exceeds "
+                f"max_points={max_points}; quantize the value expression"
+            )
+    tot = counts.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    med = (
+        counts.withColumn("cum", F.sum("c").over(w))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("x").alias("med"))
+    )
+    devs = (
+        counts.crossJoin(F.broadcast(med))
+        .select(F.abs(F.col("x") - F.col("med")).alias("d"), "c")
+        .groupBy("d")
+        .agg(F.sum("c").alias("c"))
+    )
+    wd = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    mad = (
+        devs.withColumn("cum", F.sum("c").over(wd))
+        .crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("d").alias("mad"))
+    )
+    out = (
+        base.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .withColumn("dev", F.abs(F.col("x") - F.col("med")))
+        .filter(6745 * F.col("dev") > F.lit(z_q4) * F.col("mad"))
+        .select(
+            "id",
+            F.col("x").alias("value"),
+            F.col("dev").cast("long").alias("dev"),
+            F.col("med").cast("long").alias("med"),
+            F.col("mad").cast("long").alias("mad"),
+        )
+        .orderBy("id")
+    )
+    return _materialize_and_release(out, [counts])
+
+
+def robust_outliers_oracle_sql(
+    table_sql: str, value_expr: str, id_expr: str, z_q4: int = 35000
+) -> str:
+    """DuckDB twin of robust_outliers (same lower-median rule, same
+    integer decision)."""
+    return f"""
+      WITH base AS (
+        SELECT {id_expr} AS id, CAST({value_expr} AS BIGINT) AS x
+        FROM ({table_sql})
+      ),
+      counts AS (SELECT x, count(*) AS c FROM base GROUP BY x),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM counts),
+      med AS (
+        SELECT min(x) AS med FROM (
+          SELECT x, sum(c) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cum
+          FROM counts
+        ) CROSS JOIN tot WHERE 2 * cum >= n
+      ),
+      devs AS (
+        SELECT abs(x - med) AS d, sum(c) AS c
+        FROM counts CROSS JOIN med GROUP BY 1
+      ),
+      mad AS (
+        SELECT min(d) AS mad FROM (
+          SELECT d, sum(c) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cum
+          FROM devs
+        ) CROSS JOIN tot WHERE 2 * cum >= n
+      )
+      SELECT id, x AS value,
+             CAST(abs(x - med) AS BIGINT) AS dev,
+             CAST(med AS BIGINT) AS med,
+             CAST(mad AS BIGINT) AS mad
+      FROM base CROSS JOIN med CROSS JOIN mad
+      WHERE 6745 * abs(x - med) > {z_q4} * mad
+      ORDER BY id
+    """

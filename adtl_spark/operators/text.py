@@ -1450,3 +1450,89 @@ def pack_texts_oracle_sql(
     FROM cum
     GROUP BY 1
     """
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase search over the positional inverted index — grep at
+    corpus scale without a per-query text scan.  Returns every
+    (doc_id, match_pos) where the L-token ``phrase`` occurs contiguously
+    under the shared whitespace tokenizer.
+
+    Shape: the positional token relation (doc, pos, token) is the INDEX
+    (at 100 TB it is persisted once, bucketed/partitioned by token so a
+    query's postings prune at the scan); the query broadcast-joins the
+    L-row (idx, token) phrase relation against it — only the phrase
+    tokens' postings survive the join — and a single (doc, anchor)
+    aggregation checks contiguity: a posting for phrase[idx] at pos
+    aligns to anchor = pos - idx, and an anchor with all L distinct idx
+    values present is a complete match.  One narrow explode + one
+    postings-sized shuffle; no L-way self-join, no LIKE scan.
+
+    Repeated tokens inside the phrase are handled by the distinct-idx
+    count (each occupied position contributes every phrase slot it
+    could fill; only a true alignment fills all L).  Matching is exact
+    and case-normalized by the tokenizer; overlapping matches all
+    report (one row per anchor).
+    """
+    if not phrase:
+        raise ValueError("phrase_search: phrase must be non-empty")
+    L = len(phrase)
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    ph = docs.sparkSession.createDataFrame(
+        [(i, w) for i, w in enumerate(phrase)], "idx long, token string"
+    )
+    hits = t.join(F.broadcast(ph), "token").select(
+        "id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx"
+    )
+    return (
+        hits.groupBy("id", "anchor")
+        .agg(F.countDistinct("idx").alias("__k"))
+        .filter(F.col("__k") == L)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("anchor").cast("long").alias("match_pos"),
+        )
+        .orderBy("doc_id", "match_pos")
+    )
+
+
+def phrase_search_oracle_sql(table: str, phrase: list[str]) -> str:
+    """DuckDB twin of :func:`phrase_search`: same tokenizer, same
+    positional postings, same anchor-alignment distinct-idx check."""
+    vals = ", ".join(
+        f"({i}, '" + w.replace("'", "''") + "')" for i, w in enumerate(phrase)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM {table}
+    ),
+    t AS (
+      SELECT id, i - 1 AS pos, toks[CAST(i AS INT)] AS token
+      FROM toks
+      CROSS JOIN (
+        SELECT unnest(range(1, (
+          SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM toks))) AS i
+      ) idx
+      WHERE i <= len(toks)
+    ),
+    ph(idx, token) AS (VALUES {vals}),
+    hits AS (
+      SELECT t.id, t.pos - ph.idx AS anchor, ph.idx
+      FROM t JOIN ph ON t.token = ph.token
+    )
+    SELECT id AS doc_id, CAST(anchor AS BIGINT) AS match_pos
+    FROM hits
+    GROUP BY id, anchor
+    HAVING count(DISTINCT idx) = {len(phrase)}
+    ORDER BY doc_id, match_pos
+    """

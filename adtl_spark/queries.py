@@ -3652,6 +3652,16 @@ def _profile_skew_oracle() -> str:
     )
 
 
+def _robust_outliers_oracle() -> str:
+    from adtl_spark.operators.profile import robust_outliers_oracle_sql
+
+    return robust_outliers_oracle_sql(
+        "SELECT event_id, value FROM events",
+        "floor(value)",
+        "event_id",
+    )
+
+
 def _join_cardinality_oracle() -> str:
     from adtl_spark.operators.profile import join_cardinality_oracle_sql
 
@@ -3783,6 +3793,35 @@ def profile_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def profile_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified-z-score outlier report over events.value
+    (operators/profile.robust_outliers): exact lower-median and MAD
+    from the value-grain count relation, integer decision
+    6745*dev > 35000*MAD — the data-quality filter whose threshold the
+    outliers themselves cannot poison (unlike mean/stddev)."""
+    from adtl_spark.operators.profile import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(
+        ev, F.floor(F.col("value")).cast("long"), "event_id"
+    )
+
+
+PHRASE_QUERY = ["fast", "merge"]
+
+
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional inverted index
+    (text.phrase_search): every (doc, position) occurrence of a token
+    phrase found via a broadcast join against the postings plus ONE
+    (doc, anchor) aggregation — grep at corpus scale with no per-query
+    text scan and no L-way self-join.  At 100 TB the postings relation
+    is persisted bucketed by token so a query prunes to its own tokens'
+    postings at the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    return X.phrase_search(docs, PHRASE_QUERY)
+
+
 def oracles() -> dict[str, str]:
     en = X.STOPWORDS["en"]
     en_sql = "[" + ", ".join(f"'{w}'" for w in en) + "]"
@@ -3829,6 +3868,10 @@ def oracles() -> dict[str, str]:
             "embeddings", "vec_id % 2 = 0", "vec_id % 2 = 1", dim=EMB_DIM
         ),
         "profile_join_cardinality": _join_cardinality_oracle(),
+        "text_phrase_search": X.phrase_search_oracle_sql(
+            "documents", PHRASE_QUERY
+        ),
+        "profile_robust_outliers": _robust_outliers_oracle(),
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
@@ -5647,6 +5690,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
+        "text_phrase_search": text_phrase_search,
+        "profile_robust_outliers": profile_robust_outliers,
         "sketch_quantile_bottomk": sketch_quantile_bottomk,  # -- new round-7 queries --
         "sketch_hll_rollup": sketch_hll_rollup,
         "layout_shard_manifest": layout_shard_manifest,

@@ -307,3 +307,108 @@ def test_join_cardinality_disjoint_and_empty(spark):
     empty = a.filter(F.lit(False))
     r = join_cardinality(a, empty, "k").collect()[0]
     assert (r["n_right"], r["keys_right"], r["join_rows"]) == (0, 0, 0)
+
+
+# --------------------------------------------------- phrase search --
+def test_phrase_search_matches_python(spark):
+    from adtl_spark.operators.text import phrase_search
+
+    docs = [
+        (0, "a b c a b c a b"),      # overlapping bigram matches
+        (1, "x a b y a a b"),
+        (2, "b a"),                   # reversed: no match
+        (3, "A B"),                   # tokenizer lowercases
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["match_pos"])
+        for r in phrase_search(df, ["a", "b"]).collect()
+    )
+    want = []
+    for i, t in docs:
+        toks = t.lower().split()
+        for p in range(len(toks) - 1):
+            if toks[p : p + 2] == ["a", "b"]:
+                want.append((i, p))
+    assert got == sorted(want)
+
+
+def test_phrase_search_repeated_token_phrase(spark):
+    # phrase with a repeated token: the distinct-idx check must demand a
+    # TRUE alignment, not just both tokens nearby
+    from adtl_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [
+            (0, "a x a a x a"),   # matches at 0 and 3
+            (1, "a x x a"),       # 'a x' then 'x a' — no 'a x a'
+            (2, "a a a"),          # no x at all
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r["doc_id"], r["match_pos"])
+        for r in phrase_search(df, ["a", "x", "a"]).collect()
+    )
+    assert got == [(0, 0), (0, 3)]
+
+
+def test_phrase_search_single_token_and_empty(spark):
+    import pytest as _pytest
+
+    from adtl_spark.operators.text import phrase_search
+
+    df = spark.createDataFrame(
+        [(0, "w q w"), (1, "q")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["match_pos"])
+        for r in phrase_search(df, ["w"]).collect()
+    )
+    assert got == [(0, 0), (0, 2)]
+    with _pytest.raises(ValueError):
+        phrase_search(df, [])
+
+
+# -------------------------------------------------- robust outliers --
+def test_robust_outliers_matches_python(spark):
+    from adtl_spark.operators.profile import robust_outliers
+
+    vals = [10, 11, 12, 10, 11, 12, 10, 11, 50, 9, 13, 300]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x long"
+    )
+    got = {
+        r["id"]: (r["value"], r["dev"], r["med"], r["mad"])
+        for r in robust_outliers(df, "x", "id").collect()
+    }
+    s = sorted(vals)
+    n = len(vals)
+    med = s[(n - 1) // 2]  # lower median == smallest x with 2*cum >= n
+    devs = sorted(abs(v - med) for v in vals)
+    mad = devs[(n - 1) // 2]
+    want = {
+        i: (v, abs(v - med), med, mad)
+        for i, v in enumerate(vals)
+        if 6745 * abs(v - med) > 35000 * mad
+    }
+    assert got == want and len(want) == 2  # 50 and 300
+
+
+def test_robust_outliers_zero_mad_and_guard(spark):
+    import pytest as _pytest
+
+    from adtl_spark.operators.profile import robust_outliers
+
+    # majority constant -> MAD 0 -> every deviating row flags (loud)
+    vals = [5, 5, 5, 5, 5, 7, 4]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, x long"
+    )
+    rows = robust_outliers(df, "x", "id").collect()
+    assert {r["id"] for r in rows} == {5, 6}
+    assert all(r["mad"] == 0 for r in rows)
+    # max_points guard fails loudly on an unexpectedly wide domain
+    wide = spark.range(0, 500).select(F.col("id"), F.col("id").alias("x"))
+    with _pytest.raises(ValueError):
+        robust_outliers(wide, "x", "id", max_points=100)
