@@ -412,3 +412,71 @@ def test_robust_outliers_zero_mad_and_guard(spark):
     wide = spark.range(0, 500).select(F.col("id"), F.col("id").alias("x"))
     with _pytest.raises(ValueError):
         robust_outliers(wide, "x", "id", max_points=100)
+
+
+# ----------------------------------------------- bloom-filtered join --
+def test_bloom_filtered_join_equals_plain_join(spark):
+    from adtl_spark.operators.joins import bloom_filtered_join
+
+    probe = spark.createDataFrame(
+        [(i % 37, i) for i in range(500)], "k long, payload long"
+    )
+    build = spark.createDataFrame(
+        [(j, j * 100) for j in range(0, 37, 3)], "bk long, battr long"
+    )
+    got = sorted(
+        (r["k"], r["payload"], r["bk"], r["battr"])
+        for r in bloom_filtered_join(probe, build, "k", "bk").collect()
+    )
+    want = sorted(
+        (r["k"], r["payload"], r["bk"], r["battr"])
+        for r in probe.join(build, F.col("k") == F.col("bk")).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    # the scale claim: the bloom pass must drop (most of) the rows whose
+    # keys are absent from the build side BEFORE the real join
+    from adtl_spark.operators.corpus import (
+        BLOOM_BITS_PER_WORD,
+        _BLOOM_SEED,
+        _bloom_pos_sql,
+    )
+    from adtl_spark.operators.dedup import minhash_coefficients
+
+    words = 8192
+    (a1, b1), (a2, b2) = minhash_coefficients(2, _BLOOM_SEED)
+    build_keys = set(range(0, 1000, 50))  # 20 keys
+    probe_keys = list(range(1000))
+
+    def bloom_bits():
+        bits = {}
+        for kk in build_keys:
+            for a, b in ((a1, b1), (a2, b2)):
+                p = (((kk % 2147483647) * a + b) % 2147483647) % (
+                    words * BLOOM_BITS_PER_WORD
+                )
+                bits.setdefault(p // BLOOM_BITS_PER_WORD, set()).add(
+                    p % BLOOM_BITS_PER_WORD
+                )
+        return bits
+
+    bits = bloom_bits()
+    survivors = 0
+    for kk in probe_keys:
+        ok = True
+        for a, b in ((a1, b1), (a2, b2)):
+            p = (((kk % 2147483647) * a + b) % 2147483647) % (
+                words * BLOOM_BITS_PER_WORD
+            )
+            if p % BLOOM_BITS_PER_WORD not in bits.get(
+                p // BLOOM_BITS_PER_WORD, set()
+            ):
+                ok = False
+                break
+        if ok:
+            survivors += 1
+    # with 20 keys in a 516k-bit filter the false-positive rate is ~0:
+    # essentially only the 20 true keys survive the python replay
+    assert survivors < 40
