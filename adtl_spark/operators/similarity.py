@@ -2565,3 +2565,165 @@ def hard_negatives_oracle_sql(table: str, k: int, n_queries: int) -> str:
     SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
     FROM ranked WHERE rank <= {k}
     """
+
+
+def ann_ivfpq_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    ks: int = 16,
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production ANN serving path: IVF cells prune the scan,
+    PQ ADC ranks the probed candidates from m-byte codes, and the top
+    ``shortlist`` per query are re-ranked with EXACT L2 on the raw
+    vectors — raw floats touched only O(queries * shortlist), never
+    corpus-wide, and only for ids the compressed index already
+    shortlisted.  This is faiss's IndexIVFPQ + refine step as a
+    composition of the two oracle-gated pieces (:func:`ann_ivfpq`,
+    the re-rank block of :func:`ann_pq_rerank`).  Output: (query_id,
+    corpus_id, rank, qdist) with qdist the exact quantized squared L2
+    (agrees with :func:`l2_topk` on shared pairs)."""
+    from pyspark.sql import Window
+
+    cand = ann_ivfpq(
+        corpus, queries, n_centroids=n_centroids, n_probe=n_probe,
+        m=m, ks=ks, k=shortlist, dim=dim, id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "corpus_id")
+    c = corpus.select(F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    d2 = dot(F.col("qv"), F.col("qv")) - 2 * dot(F.col("qv"), F.col("cv")) + dot(
+        F.col("cv"), F.col("cv")
+    )
+    scored = (
+        c.join(F.broadcast(cand), "corpus_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("qdist", F.floor(d2 * 1000000000 + F.lit(0.5)).cast("long"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "corpus_id", "rank", "qdist")
+    )
+
+
+def _ivfpq_rerank_ctes(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    shortlist: int,
+    n_queries: int,
+    dim: int,
+) -> str:
+    "IVF-PQ replay + shortlist + exact re-rank, ending at CTE ``rr``."
+    return (
+        _ivfpq_replay_ctes(table, n_centroids, n_probe, m, ks, n_queries, dim)
+        + f""",
+    scand AS (
+      SELECT query_id, corpus_id FROM ivfpq_ranked WHERE rank <= {shortlist}
+    ),
+    rr AS (
+      SELECT scand.query_id, scand.corpus_id,
+             CAST(floor((list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.v)
+                 + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+               AS qdist
+      FROM scand
+      JOIN q ON q.query_id = scand.query_id
+      JOIN c ON c.corpus_id = scand.corpus_id
+    )"""
+    )
+
+
+def ann_ivfpq_rerank_oracle_sql(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    k: int,
+    shortlist: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    "DuckDB twin of :func:`ann_ivfpq_rerank`."
+    return (
+        "WITH"
+        + _ivfpq_rerank_ctes(
+            table, n_centroids, n_probe, m, ks, shortlist, n_queries, dim
+        )
+        + f"""
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, qdist FROM (
+      SELECT query_id, corpus_id, qdist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+             ) AS rank
+      FROM rr
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+    """
+    )
+
+
+def ann_ivfpq_rerank_recall_oracle_sql(
+    table: str,
+    n_centroids: int,
+    n_probe: int,
+    m: int,
+    ks: int,
+    k: int,
+    shortlist: int,
+    n_queries: int,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the IVF-PQ rerank recall gate (exact-L2 all-pairs
+    truth — both pruning layers AND the shortlist cut count against the
+    number)."""
+    return (
+        "WITH"
+        + _ivfpq_rerank_ctes(
+            table, n_centroids, n_probe, m, ks, shortlist, n_queries, dim
+        )
+        + f""",
+    approx AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY qdist ASC, corpus_id ASC
+               ) AS rank
+        FROM rr
+      ) WHERE rank <= {k}
+    ),
+    exact AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT q.query_id, c.corpus_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(floor((list_dot_product(q.qv, q.qv)
+                     - 2 * list_dot_product(q.qv, c.v)
+                     + list_dot_product(c.v, c.v)) * 1000000000 + 0.5) AS BIGINT)
+                   ASC, c.corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c
+        WHERE q.query_id <> c.corpus_id
+      ) WHERE rn <= {k}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           floor(CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS recall_at_k
+    FROM exact e
+    LEFT JOIN approx a USING (query_id, corpus_id)
+    """
+    )

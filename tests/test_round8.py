@@ -480,3 +480,37 @@ def test_bloom_prefilter_actually_prunes(spark):
     # with 20 keys in a 516k-bit filter the false-positive rate is ~0:
     # essentially only the 20 true keys survive the python replay
     assert survivors < 40
+
+
+def test_ann_ivfpq_rerank_matches_python(spark):
+    from adtl_spark.operators.similarity import ann_ivfpq_rerank
+
+    dim, m, ks, n_centroids, n_probe, k, shortlist = 8, 2, 4, 4, 2, 3, 6
+    vecs = {
+        i: [math.sin(i * 11 + d * 5) * 2 for d in range(dim)]
+        for i in range(14)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = sorted(
+        (r["query_id"], r["rank"], r["corpus_id"], r["qdist"])
+        for r in ann_ivfpq_rerank(
+            df, df.limit(2), n_centroids=n_centroids, n_probe=n_probe,
+            m=m, ks=ks, k=k, shortlist=shortlist, dim=dim,
+        ).collect()
+    )
+    short = _py_ivfpq(vecs, n_centroids, n_probe, m, ks, shortlist, dim)
+    want = []
+    for qid in (0, 1):
+        qv = vecs[qid]
+        rr = []
+        for _, cid in short[qid]:
+            cv = vecs[cid]
+            d2 = (
+                _fold_dot(qv, qv) - 2 * _fold_dot(qv, cv) + _fold_dot(cv, cv)
+            )
+            rr.append((int(math.floor(d2 * 1000000000 + 0.5)), cid))
+        for rank, (d, cid) in enumerate(sorted(rr)[:k], start=1):
+            want.append((qid, rank, cid, d))
+    assert got == sorted(want)

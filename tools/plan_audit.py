@@ -84,6 +84,7 @@ SMJ_ALLOWED = {
     "ann_pq_recall": "contains the exact L2 truth side",
     "ann_pq_rerank_recall": "contains the exact L2 truth side (rerank twin)",
     "ann_ivfpq_recall": "contains the exact L2 truth side (IVF-PQ twin)",
+    "ann_ivfpq_rerank_recall": "contains the exact L2 truth side (IVF-PQ rerank twin)",
 }
 
 # Reason-pattern check: when an allowlisted query's plan DOES contain a
@@ -129,6 +130,7 @@ SMJ_EXPECT = {
     "ann_pq_recall": r"query_id|corpus_id",
     "ann_pq_rerank_recall": r"query_id|corpus_id",
     "ann_ivfpq_recall": r"query_id|corpus_id",
+    "ann_ivfpq_rerank_recall": r"query_id|corpus_id",
 }
 
 
