@@ -695,3 +695,100 @@ def range_bounds_oracle_sql(
     WHERE rn = (n * i + {n_ranges} - 1) // {n_ranges}
     ORDER BY bound_idx
     """
+
+
+def bitmap_distinct_rollup(
+    df: DataFrame,
+    key: Column | str,
+    group: Column | str,
+    group_name: str = "grp",
+    total_label: str = "__all__",
+) -> DataFrame:
+    """EXACT distinct counts per group PLUS the exact global count from
+    MERGING the per-group bitmap tables (word-wise bit_or) — the exact
+    twin of :func:`hll_rollup` for BOUNDED non-negative integer key
+    domains (surrogate keys, dictionary-encoded ids).  Where HLL trades
+    ~0.8% error for fixed 2^p state, the bitmap spends ceil(domain/63)
+    words per group and answers exactly; the merge law is identical in
+    shape (word-wise OR instead of register-wise max), so per-shard /
+    per-group bitmap tables roll up to any coarser grouping over
+    bitmap-sized data without rescanning the corpus — the classic OLAP
+    bitmap-index distinct accelerator.
+
+    Keys MUST be non-negative integers; map or hash into a bounded
+    domain first (the dictionary encode most warehouses already have).
+    Output: one (grp, n_words, n_distinct) row per group plus the
+    ``total_label`` row from the merged bitmaps, ordered by grp.
+    """
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    base = df.select(
+        group.cast("string").alias(group_name),
+        key.cast("long").alias("__k"),
+    )
+    # the bitmap table feeds both grouping levels; persist (bitmap-sized:
+    # n_groups * ceil(domain/63) rows) so the corpus scans exactly once
+    bm = (
+        base.select(
+            group_name,
+            F.expr("__k DIV 63").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__k % 63 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(group_name, "word")
+        .agg(F.bit_or("mask").alias("bits"))
+        .persist()
+    )
+    merged = (
+        bm.groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+        .select(F.lit(total_label).alias(group_name), "word", "bits")
+    )
+    out = (
+        bm.unionByName(merged)
+        .groupBy(group_name)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.expr("bit_count(bits)")).cast("long").alias("n_distinct"),
+        )
+        .orderBy(group_name)
+    )
+    return _materialize_and_release(out, [bm])
+
+
+def bitmap_distinct_rollup_oracle_sql(
+    source_sql: str,
+    key_expr: str,
+    group_expr: str,
+    group_name: str = "grp",
+    total_label: str = "__all__",
+) -> str:
+    """DuckDB twin of :func:`bitmap_distinct_rollup` (same words, same
+    masks, same OR-merge at both levels)."""
+    return f"""
+    WITH base AS (
+      SELECT CAST({group_expr} AS VARCHAR) AS {group_name},
+             CAST({key_expr} AS BIGINT) AS k
+      FROM ({source_sql})
+    ),
+    bm AS (
+      SELECT {group_name}, k // 63 AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(k % 63 AS INT)) AS bits
+      FROM base GROUP BY 1, 2
+    ),
+    lv AS (
+      SELECT {group_name}, word, bits FROM bm
+      UNION ALL
+      SELECT '{total_label}' AS {group_name}, word, bit_or(bits) AS bits
+      FROM bm GROUP BY word
+    )
+    SELECT {group_name},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_distinct
+    FROM lv
+    GROUP BY {group_name}
+    ORDER BY {group_name}
+    """

@@ -3807,6 +3807,22 @@ def profile_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bitmap-index distinct rollup
+    (sketches.bitmap_distinct_rollup): distinct l_partkey per return
+    flag PLUS the exact corpus-wide count from OR-merging the per-flag
+    bitmap tables, never rescanning lineitem — the exact twin of
+    sketch_hll_rollup for bounded integer key domains, with the same
+    mergeable-state shape (word-wise OR instead of register-wise
+    max)."""
+    from adtl_spark.operators.sketches import bitmap_distinct_rollup
+
+    li = _t(spark, sf_dir, "lineitem")
+    return bitmap_distinct_rollup(
+        li, "l_partkey", "l_returnflag", group_name="flag"
+    )
+
+
 def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full production ANN path (similarity.ann_ivfpq_rerank): IVF
     cells prune the scan, PQ ADC ranks probed candidates from m-byte
@@ -3953,6 +3969,12 @@ def oracles() -> dict[str, str]:
             "documents", PHRASE_QUERY
         ),
         "profile_robust_outliers": _robust_outliers_oracle(),
+        "sketch_bitmap_distinct": SK.bitmap_distinct_rollup_oracle_sql(
+            "SELECT l_partkey, l_returnflag FROM lineitem",
+            "l_partkey",
+            "l_returnflag",
+            group_name="flag",
+        ),
         "ann_ivfpq_rerank_topk": S.ann_ivfpq_rerank_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
             ANN_K, PQ_RERANK_SHORTLIST, ANN_QUERIES, dim=EMB_DIM,
@@ -5792,6 +5814,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_bloom_pruned": join_bloom_pruned,
         "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
         "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
+        "sketch_bitmap_distinct": sketch_bitmap_distinct,
         "sketch_quantile_bottomk": sketch_quantile_bottomk,  # -- new round-7 queries --
         "sketch_hll_rollup": sketch_hll_rollup,
         "layout_shard_manifest": layout_shard_manifest,

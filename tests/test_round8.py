@@ -514,3 +514,47 @@ def test_ann_ivfpq_rerank_matches_python(spark):
         for rank, (d, cid) in enumerate(sorted(rr)[:k], start=1):
             want.append((qid, rank, cid, d))
     assert got == sorted(want)
+
+
+# ----------------------------------------------- bitmap distinct rollup --
+def test_bitmap_distinct_rollup_exact(spark):
+    from adtl_spark.operators.sketches import bitmap_distinct_rollup
+
+    rows = [
+        ("a", 0), ("a", 1), ("a", 1), ("a", 200),
+        ("b", 1), ("b", 63), ("b", 64), ("b", 200), ("b", 200),
+    ]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {
+        r["grp"]: (r["n_words"], r["n_distinct"])
+        for r in bitmap_distinct_rollup(df, "k", "g").collect()
+    }
+    # exact per group and exact merged total (distinct of the union)
+    assert out["a"][1] == 3 and out["b"][1] == 4
+    assert out["__all__"][1] == len({k for _, k in rows})  # == 6
+    # word counts: a touches words {0, 3}; b touches {0, 1, 3}; merged 3
+    assert out["a"][0] == 2 and out["b"][0] == 3 and out["__all__"][0] == 3
+    # cross-check against Spark's own countDistinct
+    want = {
+        r["g"]: r["d"]
+        for r in df.groupBy("g").agg(
+            F.countDistinct("k").alias("d")
+        ).collect()
+    }
+    for g, d in want.items():
+        assert out[g][1] == d
+
+
+def test_bitmap_distinct_rollup_boundary_bits(spark):
+    # keys on word boundaries (0, 62, 63, 125, 126) land in the right
+    # words/bits — the off-by-one trap of the 63-bit packing
+    from adtl_spark.operators.sketches import bitmap_distinct_rollup
+
+    df = spark.createDataFrame(
+        [("x", k) for k in (0, 62, 63, 125, 126, 126)], "g string, k long"
+    )
+    out = {
+        r["grp"]: (r["n_words"], r["n_distinct"])
+        for r in bitmap_distinct_rollup(df, "k", "g").collect()
+    }
+    assert out["x"] == (3, 5) and out["__all__"] == (3, 5)
