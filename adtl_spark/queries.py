@@ -5839,6 +5839,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_unigram_logprob": corpus_unigram_logprob,
         "dedup_incremental": dedup_incremental,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
         "w6_range_join": w6_range_join,
         "multimodal_meta": multimodal_meta,
         "sample_hash": sample_hash,
@@ -5849,9 +5851,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "dedup_exact": dedup_exact,
-        "dedup_ngram": dedup_ngram,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
         "dedup_cluster": dedup_cluster,
         "dedup_apply_anti_join": dedup_apply_anti_join,
         "w1_sessionize": w1_sessionize,
@@ -5860,8 +5862,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_rolling_aggregate": w4_rolling_aggregate,
         "w5_asof_join": w5_asof_join,
         "text_token_stats": text_token_stats,
-        "text_quality": text_quality,
-        "text_langid": text_langid,
         "text_fingerprint": text_fingerprint,
         "adtl_engine_groupby": adtl_engine_groupby,
         "adtl_engine_typed": adtl_engine_typed,

@@ -44,6 +44,13 @@ KMV overlap, decode+DSP and decode+resize round trips, containment
 join, blocked entity resolution); ordering stays append-only so per-query times compare directly
 to BENCH_r06.
 
+Round-8 changes: appends the twelve new gates (IVF-PQ composite + the
+full rerank serving path with their recall twins, hard-negative mining,
+chi-square + embedding-centroid drift, the join-cardinality planner,
+positional-index phrase search, robust median/MAD outliers, the Bloom
+runtime-filter join, the exact bitmap-distinct rollup); prefix order
+unchanged, so per-query times compare directly to earlier runs.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -255,6 +262,22 @@ HEADLINE = [
     "profile_key_skew",
     "layout_range_bounds",
     "quality_vocab_js",
+    # round-8 additions (appended; prefix order unchanged for r7 parity):
+    # IVF-PQ composite + rerank path, hard negatives, chi2/centroid drift,
+    # join-cardinality planner, phrase search, robust outliers, bloom join,
+    # exact bitmap-distinct rollup
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_rerank_recall",
+    "emb_hard_negatives",
+    "quality_chi2_drift",
+    "emb_centroid_drift",
+    "profile_join_cardinality",
+    "text_phrase_search",
+    "profile_robust_outliers",
+    "join_bloom_pruned",
+    "sketch_bitmap_distinct",
 ]
 
 

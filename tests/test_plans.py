@@ -359,6 +359,19 @@ def test_query_registry_invariants():
     # stay inside the gate window until CORRECTNESS_r7 rows exist
     gate = list(qs)[:50]
     for name in (
+        # newest additions (no driver row yet — must hold the window head)
+        "ann_ivfpq_topk",
+        "ann_ivfpq_recall",
+        "ann_ivfpq_rerank_topk",
+        "ann_ivfpq_rerank_recall",
+        "emb_hard_negatives",
+        "quality_chi2_drift",
+        "emb_centroid_drift",
+        "profile_join_cardinality",
+        "text_phrase_search",
+        "profile_robust_outliers",
+        "join_bloom_pruned",
+        "sketch_bitmap_distinct",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",
