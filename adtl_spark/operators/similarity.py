@@ -2727,3 +2727,112 @@ def ann_ivfpq_rerank_recall_oracle_sql(
     LEFT JOIN approx a USING (query_id, corpus_id)
     """
     )
+
+
+def hard_negatives_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Corpus-scale hard-negative mining: :func:`hard_negatives` fronted
+    by the IVF coarse index — candidates come ONLY from the query's
+    ``n_probe`` nearest cells (where the hard negatives live, by
+    construction: hard means nearby), the label-mismatch filter rides
+    the cell equi-join, and exact cosine ranks just those candidates.
+    Per query the scan drops from |corpus| to |corpus| * n_probe /
+    n_centroids — the mining pass a contrastive-training pipeline runs
+    over the full corpus, where the exact form stays batch-sized.
+    Same conventions as ann_ivf (lowest-id centroids, probe ties to the
+    lower cell id) + cosine ties to the lower corpus id.  Returns
+    (query_id, corpus_id, rank, cos)."""
+    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    ranked = _cell_rank_sql(vec_col, cents)
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.col(label_col).alias("c_label"),
+        F.col(vec_col).alias("cv"),
+        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("q_label"),
+        F.col(vec_col).alias("qv"),
+        F.explode(F.expr(f"slice({ranked}, 1, {n_probe})")).alias("__cell_s"),
+    ).select(
+        "query_id", "q_label", "qv", F.col("__cell_s.cid").alias("cell")
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .filter(
+            (F.col("query_id") != F.col("corpus_id"))
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _topk_per_query(sims, k)
+
+
+def hard_negatives_ann_oracle_sql(
+    table: str, n_centroids: int, n_probe: int, k: int, n_queries: int
+) -> str:
+    """DuckDB twin of :func:`hard_negatives_ann` (ann_ivf's replay plus
+    the label-mismatch filter)."""
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM {table} ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    c AS (
+      SELECT vec_id AS corpus_id, label AS c_label,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM {table}
+    ),
+    assign AS (
+      SELECT corpus_id, cid,
+             row_number() OVER (
+               PARTITION BY corpus_id
+               ORDER BY list_dot_product(v, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                        cid ASC
+             ) AS rn
+      FROM c CROSS JOIN cent
+    ),
+    cells AS (SELECT corpus_id, cid FROM assign WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS query_id, label AS q_label,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    probes AS (
+      SELECT query_id, cid FROM (
+        SELECT query_id, cid,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv) / sqrt(list_dot_product(cv, cv)) DESC,
+                          cid ASC
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn <= {n_probe}
+    ),
+    sims AS (
+      SELECT q.query_id, c.corpus_id,
+             list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      FROM probes p
+      JOIN cells ce ON ce.cid = p.cid
+      JOIN c ON c.corpus_id = ce.corpus_id
+      JOIN q ON q.query_id = p.query_id
+      WHERE q.query_id != c.corpus_id AND q.q_label != c.c_label
+    ),
+    ranked AS (
+      SELECT query_id, corpus_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, corpus_id ASC) AS rank
+      FROM sims
+    )
+    SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
+    FROM ranked WHERE rank <= {k}
+    """

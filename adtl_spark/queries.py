@@ -3746,6 +3746,20 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(emb, queries, k=ANN_K)
 
 
+def emb_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale hard-negative mining
+    (similarity.hard_negatives_ann): candidates only from the query's
+    probed IVF cells (hard negatives are nearby by definition), label
+    filter on the cell join, exact cosine over just those candidates —
+    the mining pass that runs over a full corpus where the exact form
+    (emb_hard_negatives) stays batch-sized."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    return S.hard_negatives_ann(
+        emb, queries, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE, k=ANN_K
+    )
+
+
 def quality_chi2_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square homogeneity drift over the CATEGORICAL source column
     between the even/odd document snapshots (operators/monitor.py
@@ -3957,6 +3971,9 @@ def oracles() -> dict[str, str]:
         ),
         "emb_hard_negatives": S.hard_negatives_oracle_sql(
             "embeddings", ANN_K, ANN_QUERIES
+        ),
+        "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
+            "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
         ),
         "quality_chi2_drift": MO.chi2_drift_oracle_sql(
             "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "source"
@@ -5796,10 +5813,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. The tail holds the rest of that block and then the 50 queries the
        round-6 driver gate checked (the freshest green rows).
 
-    Round-8 rotation queue: any new round-8 gates first, then the
-    still-unrefreshed rounds-1-4 remainder (``p3_value_map`` onward,
-    between position 51 and the round-6-window tail); the round-6 and
-    round-7 driver-verified blocks hold the tail as the freshest rows.
+    Next-round rotation queue: any new gates first, then the
+    still-unrefreshed rounds-1-4 remainder (``w1_sessionize``,
+    ``text_fingerprint``, ``p3_value_map`` onward — everything between
+    position 51 and the round-6-window tail); the round-6 and newest
+    driver-verified blocks hold the tail as the freshest rows.
 
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the
@@ -5810,6 +5828,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": ann_ivfpq_topk,  # -- newest queries (this round's window head) --
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "emb_hard_negatives": emb_hard_negatives,
+        "emb_hard_negatives_ann": emb_hard_negatives_ann,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -5851,13 +5870,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "split_train_test": split_train_test,
         "text_chunk": text_chunk,
-        "text_redact": text_redact,
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "text_redact": text_redact,
         "dedup_cluster": dedup_cluster,
         "dedup_apply_anti_join": dedup_apply_anti_join,
         "w1_sessionize": w1_sessionize,

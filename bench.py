@@ -271,6 +271,7 @@ HEADLINE = [
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_rerank_recall",
     "emb_hard_negatives",
+    "emb_hard_negatives_ann",
     "quality_chi2_drift",
     "emb_centroid_drift",
     "profile_join_cardinality",

@@ -558,3 +558,61 @@ def test_bitmap_distinct_rollup_boundary_bits(spark):
         for r in bitmap_distinct_rollup(df, "k", "g").collect()
     }
     assert out["x"] == (3, 5) and out["__all__"] == (3, 5)
+
+
+def test_hard_negatives_ann_candidates_and_ranking(spark):
+    # indexed miner: every result lies in the query's probed cells AND
+    # has a different label; ranking is exact cosine within candidates
+    from adtl_spark.operators.similarity import (
+        _centroid_literals,
+        hard_negatives_ann,
+    )
+
+    dim = 4
+    rows = [
+        (i, i % 3, [math.cos(i * 3 + d) * 2 for d in range(dim)])
+        for i in range(18)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    n_centroids, n_probe = 4, 2
+    got = hard_negatives_ann(
+        df, df.limit(2), n_centroids=n_centroids, n_probe=n_probe, k=18
+    ).collect()
+    cents = _centroid_literals(df, n_centroids, "vec_id", "embedding")
+    vecs = {i: v for i, _, v in rows}
+    labels = {i: l for i, l, _ in rows}
+
+    def cell_rank(v):
+        return [
+            cid
+            for _, cid in sorted(
+                (-(_fold_dot(v, cv)) / nrm, cid) for cid, cv, nrm in cents
+            )
+        ]
+
+    cells = {i: cell_rank(v)[0] for i, v in vecs.items()}
+    for qid in (0, 1):
+        probed = set(cell_rank(vecs[qid])[:n_probe])
+        mine = [r for r in got if r["query_id"] == qid]
+        assert mine, "probed cells must yield candidates on this corpus"
+        for r in mine:
+            cid = r["corpus_id"]
+            assert cells[cid] in probed
+            assert labels[cid] != labels[qid] and cid != qid
+        # ranking equals exact cosine order over the candidate set
+        def cos(a, b):
+            return _fold_dot(a, b) / (
+                math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b))
+            )
+
+        want = sorted(
+            (
+                i
+                for i in vecs
+                if i != qid and labels[i] != labels[qid] and cells[i] in probed
+            ),
+            key=lambda i: (-cos(vecs[qid], vecs[i]), i),
+        )
+        assert [r["corpus_id"] for r in sorted(mine, key=lambda r: r["rank"])] == want
