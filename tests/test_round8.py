@@ -616,3 +616,135 @@ def test_hard_negatives_ann_candidates_and_ranking(spark):
             key=lambda i: (-cos(vecs[qid], vecs[i]), i),
         )
         assert [r["corpus_id"] for r in sorted(mine, key=lambda r: r["rank"])] == want
+
+
+# ----------------------------------------- degenerate-input contracts --
+def test_ann_ivfpq_corpus_smaller_than_codebook(spark):
+    # corpus smaller than ks and n_centroids: codebooks/centroids just
+    # shrink to the available vectors — no crash, results still exact
+    from adtl_spark.operators.similarity import ann_ivfpq
+
+    dim = 4
+    vecs = {i: [float(i + d) for d in range(dim)] for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = ann_ivfpq(
+        df, df, n_centroids=8, n_probe=8, m=2, ks=8, k=5, dim=dim
+    ).collect()
+    want = _py_ivfpq(vecs, 8, 8, 2, 8, 5, dim)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append((r["qdist"], r["corpus_id"]))
+    assert {q: sorted(v) for q, v in by_q.items()} == {
+        q: sorted(v) for q, v in want.items() if v
+    }
+
+
+def test_centroid_drift_randomized_differential(spark):
+    import random
+
+    from adtl_spark.operators.monitor import centroid_drift
+
+    rng = random.Random(417)
+    dim = 6
+    rows = [
+        (i, rng.randrange(3), [rng.uniform(-2, 2) for _ in range(dim)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    ref = df.filter(F.col("vec_id") % 2 == 0)
+    cur = df.filter(F.col("vec_id") % 2 == 1)
+    out = {
+        r["label"]: r
+        for r in centroid_drift(ref, cur, label_col="label").collect()
+    }
+
+    def qmean(vals):
+        qs = sum(int(math.floor(v * 1e6 + 0.5)) for v in vals)
+        return float(qs) / len(vals) / 1e6
+
+    for lab in sorted({l for _, l, _ in rows}):
+        rv = [v for i, l, v in rows if l == lab and i % 2 == 0]
+        cv = [v for i, l, v in rows if l == lab and i % 2 == 1]
+        if not rv or not cv:
+            assert lab not in out
+            continue
+        mr = [qmean([v[d] for v in rv]) for d in range(dim)]
+        mc = [qmean([v[d] for v in cv]) for d in range(dim)]
+        rr, cc, rc = _fold_dot(mr, mr), _fold_dot(mc, mc), _fold_dot(mr, mc)
+        assert out[lab]["cos_q6"] == math.floor(
+            rc / (math.sqrt(rr) * math.sqrt(cc)) * 1e6 + 0.5
+        )
+        assert out[lab]["shift_q6"] == math.floor(
+            math.sqrt(max(rr - 2 * rc + cc, 0.0)) * 1e6 + 0.5
+        )
+
+
+def test_chi2_drift_randomized_differential(spark):
+    import random
+
+    from adtl_spark.operators.monitor import chi2_drift
+
+    rng = random.Random(99)
+    cats = "abcdef"
+    ref_vals = [rng.choice(cats) for _ in range(200)]
+    cur_vals = [rng.choice(cats[:4]) for _ in range(150)]
+    ref = spark.createDataFrame([(v,) for v in ref_vals], ["s"])
+    cur = spark.createDataFrame([(v,) for v in cur_vals], ["s"])
+    out = {r["category"]: r for r in chi2_drift(ref, cur, F.col("s")).collect()}
+    grand = len(ref_vals) + len(cur_vals)
+    total_chi2 = 0
+    for cat in sorted(set(ref_vals) | set(cur_vals)):
+        n_r, n_c = ref_vals.count(cat), cur_vals.count(cat)
+        e_r = (n_r + n_c) * len(ref_vals) / grand
+        e_c = (n_r + n_c) * len(cur_vals) / grand
+        chi2 = (n_r - e_r) ** 2 / e_r + (n_c - e_c) ** 2 / e_c
+        assert out[cat]["chi2_q6"] == math.floor(chi2 * 1e6 + 0.5)
+        total_chi2 += out[cat]["chi2_q6"]
+    # the headline statistic is clearly nonzero for disjoint tails
+    assert total_chi2 > 1000000
+
+
+def test_bitmap_rollup_or_merge_additivity(spark):
+    # the merge law the rollup relies on: bitmaps built per PARTITION of
+    # the data OR-merge to the same distinct counts as one-shot build —
+    # what makes per-shard bitmap state reusable without rescanning
+    from adtl_spark.operators.sketches import bitmap_distinct_rollup
+
+    rows = [("g%d" % (i % 2), (i * 7) % 150) for i in range(300)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    whole = {
+        r["grp"]: r["n_distinct"]
+        for r in bitmap_distinct_rollup(df, "k", "g").collect()
+    }
+    half_a = df.filter(F.col("k") % 2 == 0)
+    half_b = df.filter(F.col("k") % 2 == 1)
+    # rebuild from the two halves' bitmap tables by OR at (grp, word)
+    from pyspark.sql import functions as SF
+
+    def bitmaps(d):
+        return (
+            d.select(
+                "g",
+                SF.expr("k DIV 63").alias("word"),
+                SF.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(k % 63 AS INT))"
+                ).alias("mask"),
+            )
+            .groupBy("g", "word")
+            .agg(SF.bit_or("mask").alias("bits"))
+        )
+
+    merged = (
+        bitmaps(half_a)
+        .unionByName(bitmaps(half_b))
+        .groupBy("g", "word")
+        .agg(SF.bit_or("bits").alias("bits"))
+        .groupBy("g")
+        .agg(SF.sum(SF.expr("bit_count(bits)")).alias("d"))
+    )
+    got = {r["g"]: r["d"] for r in merged.collect()}
+    assert got == {g: n for g, n in whole.items() if g != "__all__"}
