@@ -2242,6 +2242,34 @@ def ann_ivfpq(
         ],
     )
 
+    return _ivfpq_score_codes(codes, queries, cents, books, n_probe, k,
+                              dim, id_col, vec_col)
+
+
+def _ivfpq_score_codes(
+    codes: DataFrame,
+    queries: DataFrame,
+    cents,
+    books,
+    n_probe: int,
+    k: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """The query-side half of IVF-PQ, shared by the in-memory form
+    (:func:`ann_ivfpq`) and the persisted-index form
+    (:func:`ann_ivfpq_query_index`): probe cells + ADC LUTs from ONE
+    driver collect of the serving-sized query set, broadcast
+    (query_id, cell) join against the (corpus_id, cell, code*) relation,
+    codegen'd integer lookups, two-phase top-k.  ``codes``'s cell join
+    key is what partition pruning keys on when the index is persisted
+    partitioned by cell."""
+    import math
+
+    m = len(books)
+    d_sub = dim // m
+
     # ONE driver collect serves both query-side artifacts (probe cells
     # and ADC LUTs) — queries are serving-sized by definition, the same
     # legitimate collect as ann_pq's LUT build and ann_ivf's probing.
@@ -2280,6 +2308,13 @@ def ann_ivfpq(
             per_q[int(r["i"])] = cells
         luts.append(per_q)
 
+    # a static IN-list of the probed cells reaches the scan as a
+    # partition filter when the codes relation is a cell-partitioned
+    # parquet read — only the probed cells' files are listed/read; on
+    # the in-memory form it is a cheap redundant filter
+    probed_cells = sorted({c for _, c in probe_pairs})
+    if probed_cells:
+        codes = codes.filter(F.col("cell").isin(probed_cells))
     qcell = queries.sparkSession.createDataFrame(
         probe_pairs, "query_id long, cell long"
     )
@@ -2836,3 +2871,102 @@ def hard_negatives_ann_oracle_sql(
     SELECT query_id, corpus_id, CAST(rank AS BIGINT) AS rank, round(cos, 4) AS cos
     FROM ranked WHERE rank <= {k}
     """
+
+
+def write_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF-PQ index: the (corpus_id, code*, cell) relation
+    written as parquet PARTITIONED BY cell (so a query's probed cells
+    prune at file listing — untouched cells are never read), plus a
+    JSON sidecar with the coarse centroids and PQ codebooks.  Build
+    once over the corpus, query many times with
+    :func:`ann_ivfpq_query_index` — the build-scan never repeats per
+    query, which is the entire point of an ANN index at 100 TB (the
+    in-memory :func:`ann_ivfpq` re-encodes per call; this form is what
+    a serving pipeline deploys)."""
+    import json
+
+    d_sub = dim // m
+    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+    ranked = _cell_rank_sql(vec_col, cents)
+    sliced = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+        *[
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
+            for j in range(m)
+        ],
+    )
+    codes = sliced.select(
+        "corpus_id",
+        "cell",
+        *[
+            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+    codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
+    model = {
+        "dim": dim,
+        "m": m,
+        "cents": [[cid, vec, nrm] for cid, vec, nrm in cents],
+        "books": [
+            [[code, coords, hs] for code, coords, hs in book] for book in books
+        ],
+    }
+    # repr round-trips doubles exactly through json (json floats are
+    # repr-based), so the reloaded literals are bit-identical
+    jvm_safe = json.dumps(model)
+    sc = corpus.sparkSession.sparkContext
+    # write the sidecar through the Hadoop FS API so the index works on
+    # any Spark-supported filesystem, not just the local one
+    jpath = sc._jvm.org.apache.hadoop.fs.Path(f"{path}/model.json")
+    fs = jpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(jvm_safe.encode("utf-8")))
+    out.close()
+
+
+def ann_ivfpq_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index (:func:`write_ivfpq_index`):
+    reload the sidecar model, read ONLY the probed cells' partitions of
+    the codes relation (the static probed-cell IN-list reaches the scan
+    as a PartitionFilter — asserted by test), and score with the shared
+    ADC path.  Results are identical to the in-memory
+    :func:`ann_ivfpq` at the same parameters (asserted by test)."""
+    import json
+
+    # the sidecar is one JSON line; spark.read.text works on any
+    # Spark-supported filesystem (wholetext keeps it a single row)
+    model = json.loads(
+        spark.read.option("wholetext", "true")
+        .text(f"{path}/model.json")
+        .collect()[0][0]
+    )
+    cents = [(int(c), [float(x) for x in v], float(nrm)) for c, v, nrm in model["cents"]]
+    books = [
+        [(int(code), [float(x) for x in coords], float(hs)) for code, coords, hs in book]
+        for book in model["books"]
+    ]
+    codes = spark.read.parquet(f"{path}/codes")
+    return _ivfpq_score_codes(
+        codes, queries, cents, books, n_probe, k,
+        int(model["dim"]), id_col, vec_col,
+    )

@@ -748,3 +748,44 @@ def test_bitmap_rollup_or_merge_additivity(spark):
     )
     got = {r["g"]: r["d"] for r in merged.collect()}
     assert got == {g: n for g, n in whole.items() if g != "__all__"}
+
+
+# ------------------------------------------- persisted IVF-PQ index --
+def test_ivfpq_persisted_index_equals_in_memory_and_prunes(spark, tmp_path):
+    from adtl_spark.operators.similarity import (
+        ann_ivfpq,
+        ann_ivfpq_query_index,
+        write_ivfpq_index,
+    )
+
+    dim, m, ks, n_centroids, n_probe, k = 8, 2, 4, 4, 2, 3
+    vecs = {
+        i: [math.sin(i * 7 + d * 3) * 2 for d in range(dim)] for i in range(12)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    path = str(tmp_path / "ivfpq_index")
+    write_ivfpq_index(
+        df, path, n_centroids=n_centroids, m=m, ks=ks, dim=dim
+    )
+    queries = df.limit(3)
+    via_index = ann_ivfpq_query_index(
+        spark, path, queries, n_probe=n_probe, k=k
+    )
+    in_memory = ann_ivfpq(
+        df, queries, n_centroids=n_centroids, n_probe=n_probe,
+        m=m, ks=ks, k=k, dim=dim,
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["corpus_id"], r["qdist"])
+    assert sorted(map(key, via_index.collect())) == sorted(
+        map(key, in_memory.collect())
+    )
+    # the scale claim: the probed-cell IN-list must reach the parquet
+    # scan as a PartitionFilter so unprobed cells are never read
+    plan = via_index._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan[:2000]
