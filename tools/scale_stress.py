@@ -339,6 +339,27 @@ def run_skew_profile(spark, uniform: Path, skew: Path) -> None:
             flush=True,
         )
 
+    # the two-sided planner on the same twins: join_cardinality must
+    # price lineitem x supplier exactly and surface the hot supplier as
+    # max_key_pairs / top-k concentration BEFORE anyone runs the join
+    from adtl_spark.operators.profile import join_cardinality
+
+    sup = spark.read.parquet(str(uniform / "supplier.parquet"))
+    for label, src in (("uniform-10x", uniform), ("hot-key-10x", skew)):
+        li = spark.read.parquet(str(src / "lineitem.parquet"))
+        join_cardinality(li, sup, "l_suppkey", "s_suppkey").write.mode(
+            "overwrite"
+        ).format("noop").save()  # warm
+        t0 = time.time()
+        row = join_cardinality(li, sup, "l_suppkey", "s_suppkey").collect()[0]
+        dt = time.time() - t0
+        print(
+            f"join_cardinality[{label}]: {dt:.2f}s  join_rows "
+            f"{row['join_rows']}  max_key_pairs {row['max_key_pairs']}  "
+            f"top10_share {row['topk_share_q6'] / 1e6:.3f}",
+            flush=True,
+        )
+
 
 def run_skew(spark, uniform: Path, skew: Path) -> None:
     run_skew_profile(spark, uniform, skew)
