@@ -2970,3 +2970,58 @@ def ann_ivfpq_query_index(
         codes, queries, cents, books, n_probe, k,
         int(model["dim"]), id_col, vec_col,
     )
+
+
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Index maintenance: encode NEW vectors with the persisted sidecar
+    model (same centroids, same codebooks — no retrain) and append them
+    to the cell partitions.  This is how a production IVF-PQ index
+    absorbs a daily crawl: quantizer stability is what makes the codes
+    comparable across appends, and dynamic partition overwrite is NOT
+    used — appends only add files inside each cell directory, so a
+    concurrent reader never sees a cell disappear.  Retrain (rewrite
+    via :func:`write_ivfpq_index`) when drift
+    (:func:`adtl_spark.operators.monitor.centroid_drift` on the new
+    batch vs the index corpus) says the quantizer no longer fits."""
+    import json
+
+    spark = new_vectors.sparkSession
+    model = json.loads(
+        spark.read.option("wholetext", "true")
+        .text(f"{path}/model.json")
+        .collect()[0][0]
+    )
+    dim, m = int(model["dim"]), int(model["m"])
+    d_sub = dim // m
+    cents = [
+        (int(c), [float(x) for x in v], float(nrm))
+        for c, v, nrm in model["cents"]
+    ]
+    books = [
+        [(int(code), [float(x) for x in coords], float(hs))
+         for code, coords, hs in book]
+        for book in model["books"]
+    ]
+    ranked = _cell_rank_sql(vec_col, cents)
+    sliced = new_vectors.select(
+        F.col(id_col).alias("corpus_id"),
+        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+        *[
+            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
+            for j in range(m)
+        ],
+    )
+    codes = sliced.select(
+        "corpus_id",
+        "cell",
+        *[
+            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+    codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")

@@ -789,3 +789,66 @@ def test_ivfpq_persisted_index_equals_in_memory_and_prunes(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "cell" in pf.group(1), plan[:2000]
+
+
+def test_ivfpq_index_append_absorbs_new_vectors(spark, tmp_path):
+    # maintenance path: append encodes with the PERSISTED model (no
+    # retrain), so query results equal an in-memory index built with the
+    # ORIGINAL corpus's centroids/codebooks over the full union
+    from adtl_spark.operators.similarity import (
+        _centroid_literals,
+        _ivfpq_score_codes,
+        _pq_codebooks,
+        ann_ivfpq_query_index,
+        append_to_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    dim, m, ks, n_centroids, n_probe, k = 8, 2, 4, 4, 2, 4
+    base_vecs = {
+        i: [math.sin(i * 7 + d * 3) * 2 for d in range(dim)] for i in range(10)
+    }
+    new_vecs = {
+        i: [math.cos(i * 5 + d) * 2 for d in range(dim)] for i in range(100, 106)
+    }
+    schema = "vec_id long, embedding array<double>"
+    base = spark.createDataFrame(list(base_vecs.items()), schema)
+    new = spark.createDataFrame(list(new_vecs.items()), schema)
+    path = str(tmp_path / "idx")
+    write_ivfpq_index(base, path, n_centroids=n_centroids, m=m, ks=ks, dim=dim)
+    append_to_ivfpq_index(new, path)
+
+    queries = base.limit(2)
+    got = ann_ivfpq_query_index(spark, path, queries, n_probe=n_probe, k=k)
+
+    # reference: score the union's codes built with the BASE model
+    cents = _centroid_literals(base, n_centroids, "vec_id", "embedding")
+    books = _pq_codebooks(base, m, ks, dim, "vec_id", "embedding")
+    from adtl_spark.operators.similarity import _cell_rank_sql, _pq_cell_sql
+    from pyspark.sql import functions as SF
+
+    union = base.unionByName(new)
+    ranked = _cell_rank_sql("embedding", cents)
+    d_sub = dim // m
+    codes = union.select(
+        SF.col("vec_id").alias("corpus_id"),
+        SF.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+        *[
+            SF.slice(SF.col("embedding"), j * d_sub + 1, d_sub).alias(f"sv{j}")
+            for j in range(m)
+        ],
+    ).select(
+        "corpus_id",
+        "cell",
+        *[
+            SF.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
+            for j in range(m)
+        ],
+    )
+    want = _ivfpq_score_codes(
+        codes, queries, cents, books, n_probe, k, dim, "vec_id", "embedding"
+    )
+    key = lambda r: (r["query_id"], r["rank"], r["corpus_id"], r["qdist"])
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    # appended ids are findable (at least one new vector in some result)
+    assert any(r["corpus_id"] >= 100 for r in got.collect())
