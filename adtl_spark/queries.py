@@ -3746,6 +3746,85 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(emb, queries, k=ANN_K)
 
 
+DAY_NS = 86_400_000_000_000
+HOUR_NS = 3_600_000_000_000
+
+
+def w17_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resample: per (user, day) the open/high/low/close of the
+    event value — the time-series candle aggregation.  Open/close pin
+    to the (ts, event_id)-first/last rows via two row_number windows in
+    ONE shuffle by (user, day); high/low/count ride the same
+    aggregation.  Values quantize per the floor protocol."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        F.floor(F.col("ts") / F.lit(DAY_NS)).cast("long").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_f = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    w_l = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    q4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+    return (
+        base.withColumn("rn_f", F.row_number().over(w_f))
+        .withColumn("rn_l", F.row_number().over(w_l))
+        .groupBy("user_id", "day")
+        .agg(
+            q4(F.max(F.when(F.col("rn_f") == 1, F.col("value")))).alias("open"),
+            q4(F.max("value")).alias("high"),
+            q4(F.min("value")).alias("low"),
+            q4(F.max(F.when(F.col("rn_l") == 1, F.col("value")))).alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+def w18_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequence detection (view -> purchase within one
+    hour) with NO self-join: a descending-(ts, event_id) running min of
+    purchase timestamps gives every event its NEXT purchase time in one
+    window pass, so the match is a filter — the funnel-style question
+    answered with one shuffle by user where the naive form is an
+    interval self-join.  Exact integer output: per user, views,
+    conversions, and the summed view->purchase gap in nanos."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    views = (
+        ev.withColumn("next_pts", nxt)
+        .filter(F.col("event_type") == "view")
+        .withColumn("gap", F.col("next_pts") - F.col("ts"))
+        .withColumn(
+            "conv",
+            (F.col("gap").isNotNull() & (F.col("gap") <= HOUR_NS)).cast("int"),
+        )
+    )
+    return (
+        views.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum("conv").cast("long").alias("n_conversions"),
+            F.coalesce(
+                F.sum(F.when(F.col("conv") == 1, F.col("gap"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("sum_gap_ns"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def emb_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale hard-negative mining
     (similarity.hard_negatives_ann): candidates only from the query's
@@ -3975,6 +4054,61 @@ def oracles() -> dict[str, str]:
         "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
         ),
+        "w17_ohlc": f"""
+            WITH base AS (
+              SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day,
+                     epoch_ns(ts) AS tsn, event_id, value
+              FROM events
+            ),
+            ranked AS (
+              SELECT user_id, day, value,
+                     row_number() OVER (
+                       PARTITION BY user_id, day ORDER BY tsn, event_id
+                     ) AS rn_f,
+                     row_number() OVER (
+                       PARTITION BY user_id, day ORDER BY tsn DESC, event_id DESC
+                     ) AS rn_l
+              FROM base
+            )
+            SELECT user_id, CAST(day AS BIGINT) AS day,
+                   floor(max(CASE WHEN rn_f = 1 THEN value END) * 10000 + 0.5) / 10000.0 AS open,
+                   floor(max(value) * 10000 + 0.5) / 10000.0 AS high,
+                   floor(min(value) * 10000 + 0.5) / 10000.0 AS low,
+                   floor(max(CASE WHEN rn_l = 1 THEN value END) * 10000 + 0.5) / 10000.0 AS close,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ranked
+            GROUP BY user_id, day
+            ORDER BY user_id, day
+        """,
+        "w18_sequence_detect": f"""
+            WITH base AS (
+              SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+              FROM events
+            ),
+            nxt AS (
+              SELECT user_id, event_type, tsn,
+                     min(CASE WHEN event_type = 'purchase' THEN tsn END) OVER (
+                       PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS next_pts
+              FROM base
+            ),
+            v AS (
+              SELECT user_id, next_pts - tsn AS gap,
+                     CASE WHEN next_pts IS NOT NULL
+                           AND next_pts - tsn <= {HOUR_NS}
+                          THEN 1 ELSE 0 END AS conv
+              FROM nxt WHERE event_type = 'view'
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_views,
+                   CAST(sum(conv) AS BIGINT) AS n_conversions,
+                   CAST(coalesce(sum(CASE WHEN conv = 1 THEN gap END), 0)
+                        AS BIGINT) AS sum_gap_ns
+            FROM v
+            GROUP BY user_id
+            ORDER BY user_id
+        """,
         "quality_chi2_drift": MO.chi2_drift_oracle_sql(
             "documents", "doc_id % 2 = 0", "doc_id % 2 = 1", "source"
         ),
@@ -5829,6 +5963,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "emb_hard_negatives": emb_hard_negatives,
         "emb_hard_negatives_ann": emb_hard_negatives_ann,
+        "w17_ohlc": w17_ohlc,
+        "w18_sequence_detect": w18_sequence_detect,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -5870,12 +6006,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": sample_stratified,
         "split_train_test": split_train_test,
         "text_chunk": text_chunk,
-        "text_repetition": text_repetition,
-        "text_vocab": text_vocab,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "text_repetition": text_repetition,
+        "text_vocab": text_vocab,
         "text_redact": text_redact,
         "dedup_cluster": dedup_cluster,
         "dedup_apply_anti_join": dedup_apply_anti_join,

@@ -279,6 +279,8 @@ HEADLINE = [
     "profile_robust_outliers",
     "join_bloom_pruned",
     "sketch_bitmap_distinct",
+    "w17_ohlc",
+    "w18_sequence_detect",
 ]
 
 

@@ -373,6 +373,8 @@ def test_query_registry_invariants():
         "profile_robust_outliers",
         "join_bloom_pruned",
         "sketch_bitmap_distinct",
+        "w17_ohlc",
+        "w18_sequence_detect",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",
