@@ -3825,6 +3825,51 @@ def w18_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DEBOUNCE_NS = 5_000_000_000_000  # 5000 s on this corpus's sparse timeline
+
+
+def w19_dedup_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce (trailing form, the UI-debounce semantics):
+    a burst of same-(user, event_type) events collapses to its FIRST
+    event, where a burst is any run whose consecutive gaps all stay
+    within the debounce window — the timer resets on every event, so
+    the run ends only at a quiet gap.  Gaps-and-islands makes this one
+    relational pass (lag-gap > window starts an island; the island's
+    first row survives): one shuffle by (user, type).  The other
+    debounce variant — distance from the last KEPT event — is
+    inherently sequential (state depends on prior decisions); its
+    streaming home is the stateful first-seen dedup
+    (streaming/stateful.py), and this is the batch burst-collapse twin.
+    Output: per (user, type), events seen vs kept."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_starts = (
+        F.when(
+            F.col("ts") - F.lag("ts").over(w) > DEBOUNCE_NS, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    isl = ev.withColumn(
+        "island",
+        F.sum(
+            F.when(F.lag("ts").over(w).isNull(), F.lit(1)).otherwise(gap_starts)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w_isl = Window.partitionBy("user_id", "event_type", "island").orderBy(
+        "ts", "event_id"
+    )
+    flagged = isl.withColumn(
+        "kept", (F.row_number().over(w_isl) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("user_id", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 def emb_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale hard-negative mining
     (similarity.hard_negatives_ann): candidates only from the query's
@@ -4054,6 +4099,42 @@ def oracles() -> dict[str, str]:
         "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
         ),
+        "w19_dedup_debounce": f"""
+            WITH base AS (
+              SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+              FROM events
+            ),
+            brk AS (
+              SELECT user_id, event_type, event_id, tsn,
+                     CASE WHEN lag(tsn) OVER w IS NULL THEN 1
+                          WHEN tsn - lag(tsn) OVER w > {DEBOUNCE_NS} THEN 1
+                          ELSE 0 END AS b
+              FROM base
+              WINDOW w AS (PARTITION BY user_id, event_type
+                           ORDER BY tsn, event_id)
+            ),
+            isl AS (
+              SELECT user_id, event_type, event_id, tsn,
+                     sum(b) OVER (PARTITION BY user_id, event_type
+                                  ORDER BY tsn, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS island
+              FROM brk
+            ),
+            kept AS (
+              SELECT user_id, event_type,
+                     CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type, island
+                            ORDER BY tsn, event_id) = 1
+                          THEN 1 ELSE 0 END AS k
+              FROM isl
+            )
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(k) AS BIGINT) AS n_kept
+            FROM kept
+            GROUP BY user_id, event_type
+            ORDER BY user_id, event_type
+        """,
         "w17_ohlc": f"""
             WITH base AS (
               SELECT user_id, epoch_ns(ts) // {DAY_NS} AS day,
@@ -5965,6 +6046,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives_ann": emb_hard_negatives_ann,
         "w17_ohlc": w17_ohlc,
         "w18_sequence_detect": w18_sequence_detect,
+        "w19_dedup_debounce": w19_dedup_debounce,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -6005,11 +6087,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "split_train_test": split_train_test,
-        "text_chunk": text_chunk,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "text_chunk": text_chunk,
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "text_redact": text_redact,

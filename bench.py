@@ -281,6 +281,7 @@ HEADLINE = [
     "sketch_bitmap_distinct",
     "w17_ohlc",
     "w18_sequence_detect",
+    "w19_dedup_debounce",
 ]
 
 

@@ -375,6 +375,7 @@ def test_query_registry_invariants():
         "sketch_bitmap_distinct",
         "w17_ohlc",
         "w18_sequence_detect",
+        "w19_dedup_debounce",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",
