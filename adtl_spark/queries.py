@@ -3825,6 +3825,54 @@ def w18_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile drift between snapshots in SKETCH space: per source, the
+    p25/p50/p90 document lengths of the even- and odd-doc snapshots read
+    off two bottom-k sketches, plus the shifts — the location-by-group
+    complement of quality_ks_drift (KS gives one global max-gap; this
+    names WHICH group's WHICH quantile moved).  Each side is a mergeable
+    k-row-per-group sketch, so at 100 TB the drift report costs two
+    sketch reads, not two corpus sorts; the oracle replays both sketches
+    exactly.  (Snapshots split on doc_id % 40 < 20: this corpus assigns
+    source = src{doc_id % 20}, so a parity split would give the two
+    snapshots DISJOINT sources — the %40 split covers every source on
+    both sides.)"""
+    docs = _t(spark, sf_dir, "documents")
+    ref = SK.quantile_bottomk(
+        docs.filter(F.col("doc_id") % 40 < 20),
+        "n_chars", "doc_id", "source", k=256, group_name="source",
+    ).select(
+        "source",
+        F.col("n_sample").alias("n_ref"),
+        F.col("q25").alias("q25_ref"),
+        F.col("q50").alias("q50_ref"),
+        F.col("q90").alias("q90_ref"),
+    )
+    cur = SK.quantile_bottomk(
+        docs.filter(F.col("doc_id") % 40 >= 20),
+        "n_chars", "doc_id", "source", k=256, group_name="source",
+    ).select(
+        "source",
+        F.col("n_sample").alias("n_cur"),
+        F.col("q25").alias("q25_cur"),
+        F.col("q50").alias("q50_cur"),
+        F.col("q90").alias("q90_cur"),
+    )
+    return (
+        ref.join(cur, "source")
+        .select(
+            "source", "n_ref", "n_cur",
+            "q25_ref", "q25_cur",
+            (F.col("q25_cur") - F.col("q25_ref")).cast("long").alias("q25_shift"),
+            "q50_ref", "q50_cur",
+            (F.col("q50_cur") - F.col("q50_ref")).cast("long").alias("q50_shift"),
+            "q90_ref", "q90_cur",
+            (F.col("q90_cur") - F.col("q90_ref")).cast("long").alias("q90_shift"),
+        )
+        .orderBy("source")
+    )
+
+
 DEBOUNCE_NS = 5_000_000_000_000  # 5000 s on this corpus's sparse timeline
 
 
@@ -4098,6 +4146,30 @@ def oracles() -> dict[str, str]:
         ),
         "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
+        ),
+        "quality_quantile_drift": (
+            "WITH ref AS ("
+            + SK.quantile_bottomk_oracle_sql(
+                "SELECT doc_id, n_chars, source FROM documents WHERE doc_id % 40 < 20",
+                "doc_id", "n_chars", "source", k=256, group_name="source",
+            )
+            + "), cur AS ("
+            + SK.quantile_bottomk_oracle_sql(
+                "SELECT doc_id, n_chars, source FROM documents WHERE doc_id % 40 >= 20",
+                "doc_id", "n_chars", "source", k=256, group_name="source",
+            )
+            + """)
+            SELECT ref.source,
+                   ref.n_sample AS n_ref, cur.n_sample AS n_cur,
+                   ref.q25 AS q25_ref, cur.q25 AS q25_cur,
+                   CAST(cur.q25 - ref.q25 AS BIGINT) AS q25_shift,
+                   ref.q50 AS q50_ref, cur.q50 AS q50_cur,
+                   CAST(cur.q50 - ref.q50 AS BIGINT) AS q50_shift,
+                   ref.q90 AS q90_ref, cur.q90 AS q90_cur,
+                   CAST(cur.q90 - ref.q90 AS BIGINT) AS q90_shift
+            FROM ref JOIN cur ON ref.source = cur.source
+            ORDER BY ref.source
+            """
         ),
         "w19_dedup_debounce": f"""
             WITH base AS (
@@ -6047,6 +6119,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w17_ohlc": w17_ohlc,
         "w18_sequence_detect": w18_sequence_detect,
         "w19_dedup_debounce": w19_dedup_debounce,
+        "quality_quantile_drift": quality_quantile_drift,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -6086,12 +6159,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": multimodal_meta,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
-        "split_train_test": split_train_test,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
         "text_chunk": text_chunk,
+        "split_train_test": split_train_test,
         "text_repetition": text_repetition,
         "text_vocab": text_vocab,
         "text_redact": text_redact,

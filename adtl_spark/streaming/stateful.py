@@ -216,3 +216,60 @@ def finalize_trending(
         .filter(F.col("cnt") > total / k)
         .orderBy(F.desc("cnt"), F.asc("token"))
     )
+
+
+DEBOUNCE_OUT_SCHEMA = "user_id long, event_type string, event_id long, ts long"
+DEBOUNCE_STATE_SCHEMA = "last_kept long"
+
+
+def stream_debounce_last_kept(
+    events: DataFrame,
+    window_ns: int,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """The PREVIOUS-KEPT debounce: an event is kept iff it arrives more
+    than ``window_ns`` after the last KEPT event of its (user, type) —
+    the rate-limit semantics (at most one survivor per window, however
+    long the burst).  This variant is inherently sequential (each
+    decision depends on prior decisions), which is exactly what
+    per-group streaming state is for: the state is ONE long per key
+    (the last kept timestamp), batches scan their key's rows in
+    (ts, id) order against it, and the batch gaps-and-islands form
+    (queries.w19_dedup_debounce) is the relational twin for the
+    trailing-reset semantics.  State is O(1) per key — bounded however
+    long the stream runs."""
+
+    def _debounce_group(key, batches, state):
+        last = int(state.get[0]) if state.exists else None
+        frames = [pdf for pdf in batches]
+        pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        keep = []
+        for ts, eid in zip(pdf["ts"], pdf["event_id"]):
+            if last is None or int(ts) - last > window_ns:
+                keep.append((int(eid), int(ts)))
+                last = int(ts)
+        state.update((last,))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(keep),
+                "event_type": [str(key[1])] * len(keep),
+                "event_id": [e for e, _ in keep],
+                "ts": [t for _, t in keep],
+            }
+        )
+
+    base = events.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(ts_col).cast("long").alias("ts"),
+    )
+    return base.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_group,
+        outputStructType=DEBOUNCE_OUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -282,6 +282,7 @@ HEADLINE = [
     "w17_ohlc",
     "w18_sequence_detect",
     "w19_dedup_debounce",
+    "quality_quantile_drift",
 ]
 
 

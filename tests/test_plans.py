@@ -376,6 +376,7 @@ def test_query_registry_invariants():
         "w17_ohlc",
         "w18_sequence_detect",
         "w19_dedup_debounce",
+        "quality_quantile_drift",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",

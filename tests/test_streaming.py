@@ -1196,3 +1196,61 @@ def test_centroid_drift_monitor_scores_each_microbatch(spark, tmp_path):
     # doesn't divide the batch size evenly, so the means differ slightly)
     assert min(r["cos_q6"] for r in rows) < -900000
     assert max(r["cos_q6"] for r in rows) > 999000
+
+
+def test_stream_debounce_last_kept(spark, tmp_path):
+    """Previous-KEPT debounce: rate-limit semantics across micro-batch
+    boundaries — the survivor chain must thread through state, and the
+    result must match a sequential python replay (and DIFFER from the
+    trailing/burst form on a chained burst)."""
+    import os
+
+    from adtl_spark.streaming.stateful import stream_debounce_last_kept
+
+    W = 5
+    # user 1: chained burst at ts 0,3,6,9,12 -> keep 0,6,12 under
+    # previous-KEPT (trailing form would keep only 0)
+    b1 = [(1, "click", 10, 0), (1, "click", 11, 3), (1, "click", 12, 6)]
+    b2 = [(1, "click", 13, 9), (1, "click", 14, 12), (2, "view", 20, 100)]
+    schema = "user_id long, event_type string, event_id long, ts long"
+    src = str(tmp_path / "deb_src")
+    os.makedirs(src)
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = str(tmp_path / "deb_out")
+    chk = str(tmp_path / "deb_chk")
+    q = (
+        stream_debounce_last_kept(stream, window_ns=W)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["user_id"], r["event_id"], r["ts"])
+        for r in spark.read.parquet(out).collect()
+    )
+    # python sequential replay over the global (batch, ts) order
+    events = sorted(b1) + sorted(b2)
+    last: dict = {}
+    want = []
+    for u, t, eid, ts in sorted(b1 + b2, key=lambda r: (r[3], r[2])):
+        k = (u, t)
+        if k not in last or ts - last[k] > W:
+            want.append((u, eid, ts))
+            last[k] = ts
+    assert got == sorted(want)
+    # the chain: 0, 6, 12 survive for user 1 (trailing form keeps only 0)
+    assert [(ts) for u, e, ts in got if u == 1] == [0, 6, 12]
