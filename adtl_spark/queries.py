@@ -3825,6 +3825,97 @@ def w18_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w20_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new vs cumulative distinct users — the growth curve.  The
+    running-distinct trap (a distinct inside a moving window rescans
+    history per day) reduces to first-seen attribution: one (user)
+    aggregation finds each user's first day, a day-grain count gives
+    new-user counts, and a running sum over the DAY-GRAIN relation
+    (bounded by the calendar, not the corpus) yields the cumulative
+    curve exactly."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.floor(F.col("ts") / F.lit(DAY_NS))).cast("long").alias("day")
+    )
+    daily = first.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("day")
+
+
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP = 15
+
+
+def olap_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over co-ordered parts: for part pairs sharing
+    an order, lift = P(a,b) / (P(a) P(b)) over the order population —
+    the association measure behind recommendations.  The pair space is
+    bounded by the per-order item count (max 13 lines here, so <= 78
+    pairs per order), NOT |parts|^2: the self-join on the order key
+    explodes only within orders — the fact-to-fact equi-join shape with
+    a tiny per-key fan-out.  Integer-exact: counts are BIGINT, lift
+    quantizes at 1e-4 from exact products."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
+    )
+    b = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= BASKET_MIN_SUPPORT)
+    )
+    part_counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    n_orders = li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(part_counts.withColumnRenamed("l_partkey", "pa")
+                        .withColumnRenamed("n_p", "n_a")),
+            "pa",
+        )
+        .join(
+            F.broadcast(part_counts.withColumnRenamed("l_partkey", "pb")
+                        .withColumnRenamed("n_p", "n_b")),
+            "pb",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (
+                F.floor(
+                    (F.col("n_ab") * F.col("n_orders") * 10000).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift"), F.asc("pa"), F.asc("pb")
+    ).limit(BASKET_TOP)
+
+
 def quality_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile drift between snapshots in SKETCH space: per source, the
     p25/p50/p90 document lengths of the even- and odd-doc snapshots read
@@ -4147,6 +4238,54 @@ def oracles() -> dict[str, str]:
         "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
         ),
+        "w20_cumulative_users": f"""
+            WITH first AS (
+              SELECT user_id, CAST(min(epoch_ns(ts) // {DAY_NS}) AS BIGINT) AS day
+              FROM events GROUP BY user_id
+            ),
+            daily AS (
+              SELECT day, CAST(count(*) AS BIGINT) AS new_users
+              FROM first GROUP BY day
+            )
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (
+                     ORDER BY day ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_users
+            FROM daily
+            ORDER BY day
+        """,
+        "olap_basket_lift": f"""
+            WITH li AS (
+              SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ),
+            pairs AS (
+              SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+              WHERE a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+              HAVING count(*) >= {BASKET_MIN_SUPPORT}
+            ),
+            pc AS (
+              SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_p
+              FROM li GROUP BY 1
+            ),
+            no AS (
+              SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+              FROM li
+            )
+            SELECT pa, pb, n_ab,
+                   ca.n_p AS n_a, cb.n_p AS n_b,
+                   floor(CAST(n_ab * n_orders * 10000 AS DOUBLE)
+                         / CAST(ca.n_p * cb.n_p AS DOUBLE) + 0.5) / 10000.0
+                     AS lift
+            FROM pairs
+            JOIN pc ca ON ca.l_partkey = pa
+            JOIN pc cb ON cb.l_partkey = pb
+            CROSS JOIN no
+            ORDER BY lift DESC, pa ASC, pb ASC
+            LIMIT {BASKET_TOP}
+        """,
         "quality_quantile_drift": (
             "WITH ref AS ("
             + SK.quantile_bottomk_oracle_sql(
@@ -6120,6 +6259,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w18_sequence_detect": w18_sequence_detect,
         "w19_dedup_debounce": w19_dedup_debounce,
         "quality_quantile_drift": quality_quantile_drift,
+        "w20_cumulative_users": w20_cumulative_users,
+        "olap_basket_lift": olap_basket_lift,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -6155,14 +6296,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "text_quality": text_quality,
         "text_langid": text_langid,
-        "w6_range_join": w6_range_join,
-        "multimodal_meta": multimodal_meta,
         "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "w6_range_join": w6_range_join,
+        "multimodal_meta": multimodal_meta,
         "text_chunk": text_chunk,
         "split_train_test": split_train_test,
         "text_repetition": text_repetition,

@@ -283,6 +283,8 @@ HEADLINE = [
     "w18_sequence_detect",
     "w19_dedup_debounce",
     "quality_quantile_drift",
+    "w20_cumulative_users",
+    "olap_basket_lift",
 ]
 
 

@@ -377,6 +377,8 @@ def test_query_registry_invariants():
         "w18_sequence_detect",
         "w19_dedup_debounce",
         "quality_quantile_drift",
+        "w20_cumulative_users",
+        "olap_basket_lift",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",

@@ -38,6 +38,7 @@ SMJ_ALLOWED = {
     "w7_asof_forward": "as-of twin of w5",
     "w8_asof_nearest": "as-of twin of w5",
     "w9_funnel": "step-to-step funnel over the events fact",
+    "olap_basket_lift": "within-order pair self-join: both sides are the lineitem fact",
     "w10_retention": "cohort-to-activity self-join over events",
     "q7_volume_shipping": "lineitem<->orders fact join",
     "q8_market_share": "lineitem<->orders fact join",
@@ -101,6 +102,7 @@ SMJ_EXPECT = {
     "w7_asof_forward": r"__bin__",
     "w8_asof_nearest": r"__bin__",
     "w9_funnel": r"user_id",
+    "olap_basket_lift": r"ok|l_orderkey",
     "w10_retention": r"user_id",
     "w1_sessionize": r"user_id",
     "q3_shipping_priority": _FACT_ORDERKEY,
