@@ -6216,11 +6216,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     1. The newest queries lead so each gets a driver row the round it
        lands: the IVF-PQ composite ANN gate + its all-pairs recall
        twin, the full IVF-PQ + exact-rerank serving path (+ recall),
-       hard-negative mining, chi-square categorical drift, embedding
-       centroid drift, the join-cardinality planner, positional-index
-       phrase search, robust median/MAD outliers, the Bloom
-       runtime-filter join, and the exact bitmap-distinct rollup head
-       the window; behind them the
+       hard-negative mining (exact + IVF-pruned), chi-square
+       categorical drift, embedding centroid drift, the
+       join-cardinality planner, positional-index phrase search, robust
+       median/MAD outliers, the Bloom runtime-filter join, the exact
+       bitmap-distinct rollup, OHLC resample, sequence detection, burst
+       debounce, per-group quantile drift, cumulative distinct users,
+       and market-basket lift head the window; behind them the
        still-unverified previous block — DSIR importance selection,
        the PSI drift report, the KMV set-overlap sketch, the
        decode+DSP and decode+resize exact round-trip gates, the
