@@ -3025,3 +3025,81 @@ def append_to_ivfpq_index(
         ],
     )
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
+
+
+def cosine_truncated_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    d_keep: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimension-truncated cosine top-k: score on only the FIRST
+    ``d_keep`` coordinates — the matryoshka-style cheap index (half the
+    dims = half the bytes and FLOPs per candidate).  Whether that is
+    safe is an empirical property of the embedding model: matryoshka-
+    trained embeddings concentrate information in the prefix; generic
+    embeddings do not — this corpus's random-ish vectors measure
+    recall@5 0.32 at d_keep=32 of 64 (the recall gate records it), i.e.
+    the trade is measured, not assumed.  Same broadcast + two-phase
+    top-k shape as cosine_topk."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.slice(F.col(vec_col), 1, d_keep).alias("qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.slice(F.col(vec_col), 1, d_keep).alias("cv"),
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("corpus_id"))
+        .withColumn("cos", cosine(F.col("qv"), F.col("cv")))
+    )
+    return _topk_per_query(sims, k)
+
+
+def ann_truncation_recall_oracle_sql(
+    table: str, d_keep: int, k: int, n_queries: int
+) -> str:
+    """DuckDB twin of the truncation recall gate: full-dim cosine top-k
+    truth vs first-``d_keep``-dims cosine top-k, one recall row."""
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM {table}),
+    t AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                   corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE query_id != corpus_id
+      ) WHERE rn <= {k}
+    ),
+    a AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv[1:{d_keep}], cv[1:{d_keep}])
+                   / (sqrt(list_dot_product(qv[1:{d_keep}], qv[1:{d_keep}]))
+                      * sqrt(list_dot_product(cv[1:{d_keep}], cv[1:{d_keep}]))) DESC,
+                   corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE query_id != corpus_id
+      ) WHERE rn <= {k}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           floor(CAST(sum(CASE WHEN a.corpus_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)
+             / 10000.0 AS recall_at_k
+    FROM t LEFT JOIN a USING (query_id, corpus_id)
+    """

@@ -3825,6 +3825,41 @@ def w18_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_D = 32
+
+
+def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of FIRST-HALF-dims cosine vs full-dim cosine
+    (similarity.cosine_truncated_topk): the matryoshka-index question —
+    can half the bytes/FLOPs per candidate keep the neighbors — answered
+    by measurement: 0.32 on this corpus (generic embeddings spread
+    information across dims; matryoshka-trained models concentrate it,
+    and THIS gate is how you verify a model actually does before sizing
+    the cheap index)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    exact = S.cosine_topk(emb, queries, k=ANN_K).select(
+        "query_id", "corpus_id", F.lit(1).alias("t")
+    )
+    approx = S.cosine_truncated_topk(
+        emb, queries, d_keep=TRUNC_D, k=ANN_K
+    ).select("query_id", "corpus_id", F.lit(1).alias("f"))
+    j = exact.join(approx, ["query_id", "corpus_id"], "left")
+    n_exact = F.count(F.lit(1))
+    n_hit = F.sum(F.coalesce(F.col("f"), F.lit(0)))
+    return j.agg(
+        n_exact.cast("long").alias("n_exact"),
+        n_hit.cast("long").alias("n_hit"),
+        (
+            F.floor(
+                n_hit.cast("double") / n_exact.cast("double") * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("recall_at_k"),
+    )
+
+
 def w20_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily new vs cumulative distinct users — the growth curve.  The
     running-distinct trap (a distinct inside a moving window rescans
@@ -4237,6 +4272,9 @@ def oracles() -> dict[str, str]:
         ),
         "emb_hard_negatives_ann": S.hard_negatives_ann_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, ANN_K, ANN_QUERIES
+        ),
+        "ann_truncation_recall": S.ann_truncation_recall_oracle_sql(
+            "embeddings", TRUNC_D, ANN_K, ANN_QUERIES
         ),
         "w20_cumulative_users": f"""
             WITH first AS (
@@ -6263,6 +6301,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_quantile_drift": quality_quantile_drift,
         "w20_cumulative_users": w20_cumulative_users,
         "olap_basket_lift": olap_basket_lift,
+        "ann_truncation_recall": ann_truncation_recall,
         "quality_chi2_drift": quality_chi2_drift,
         "emb_centroid_drift": emb_centroid_drift,
         "profile_join_cardinality": profile_join_cardinality,
@@ -6298,7 +6337,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": dedup_incremental,
         "text_quality": text_quality,
         "text_langid": text_langid,
-        "sample_hash": sample_hash,
         "sample_stratified": sample_stratified,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -6306,6 +6344,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram": dedup_ngram,
         "w6_range_join": w6_range_join,
         "multimodal_meta": multimodal_meta,
+        "sample_hash": sample_hash,
         "text_chunk": text_chunk,
         "split_train_test": split_train_test,
         "text_repetition": text_repetition,

@@ -285,6 +285,7 @@ HEADLINE = [
     "quality_quantile_drift",
     "w20_cumulative_users",
     "olap_basket_lift",
+    "ann_truncation_recall",
 ]
 
 

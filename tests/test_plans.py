@@ -379,6 +379,7 @@ def test_query_registry_invariants():
         "quality_quantile_drift",
         "w20_cumulative_users",
         "olap_basket_lift",
+        "ann_truncation_recall",
         # new in round 7
         "sketch_quantile_bottomk",
         "sketch_hll_rollup",
