@@ -1254,3 +1254,78 @@ def test_stream_debounce_last_kept(spark, tmp_path):
     assert got == sorted(want)
     # the chain: 0, 6, 12 survive for user 1 (trailing form keeps only 0)
     assert [(ts) for u, e, ts in got if u == 1] == [0, 6, 12]
+
+
+def test_bitmap_distinct_maintained_on_stream(spark, tmp_path):
+    """The exact-distinct bitmap maintains itself on a stream via
+    foreachBatch: each micro-batch's (grp, word, bits) table OR-merges
+    into a parquet bitmap store (the bitmap_distinct_rollup merge law),
+    so the store stays ceil(domain/63) words per group however long the
+    stream runs — and the distinct counts read from the final store
+    equal the batch rollup over all the data, EXACTLY (no HLL error)."""
+    from pyspark.sql import functions as SF
+
+    from adtl_spark.operators.sketches import bitmap_distinct_rollup
+
+    src = tmp_path / "bm_stream"
+    src.mkdir()
+    store = str(tmp_path / "bm_store")
+    rows = spark.range(0, 300).selectExpr(
+        "CAST(id % 2 AS STRING) AS g", "(id * 7) % 150 AS k"
+    )
+    for i, pred in enumerate(("id < 100", "id >= 100 AND id < 200", "id >= 200")):
+        rows.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+
+    def bitmaps(df):
+        return (
+            df.select(
+                "g",
+                SF.expr("k DIV 63").alias("word"),
+                SF.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(k % 63 AS INT))"
+                ).alias("bits"),
+            )
+            .groupBy("g", "word")
+            .agg(SF.bit_or("bits").alias("bits"))
+        )
+
+    def merge(batch_df, batch_id):
+        bm = bitmaps(batch_df)
+        try:
+            prev = batch_df.sparkSession.read.parquet(store)
+            bm = bm.unionByName(prev)
+        except Exception:
+            pass
+        merged = bm.groupBy("g", "word").agg(SF.bit_or("bits").alias("bits"))
+        merged.localCheckpoint().write.mode("overwrite").parquet(store)
+
+    stream = spark.readStream.schema("g string, k long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(merge).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = spark.read.parquet(store)
+    streamed = {
+        r["g"]: r["d"]
+        for r in final.groupBy("g")
+        .agg(SF.sum(SF.expr("bit_count(bits)")).cast("long").alias("d"))
+        .collect()
+    }
+    batch = {
+        r["grp"]: r["n_distinct"]
+        for r in bitmap_distinct_rollup(rows, "k", "g").collect()
+        if r["grp"] != "__all__"
+    }
+    assert streamed == batch
+    # exactness cross-check against countDistinct
+    want = {
+        r["g"]: r["d"]
+        for r in rows.groupBy("g").agg(SF.countDistinct("k").alias("d")).collect()
+    }
+    assert streamed == want
