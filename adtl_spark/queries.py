@@ -3861,26 +3861,26 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def w20_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Daily new vs cumulative distinct users — the growth curve.  The
+    """Hourly new vs cumulative distinct users — the growth curve.  The
     running-distinct trap (a distinct inside a moving window rescans
-    history per day) reduces to first-seen attribution: one (user)
-    aggregation finds each user's first day, a day-grain count gives
-    new-user counts, and a running sum over the DAY-GRAIN relation
+    history per bucket) reduces to first-seen attribution: one (user)
+    aggregation finds each user's first hour, an hour-grain count gives
+    new-user counts, and a running sum over the HOUR-GRAIN relation
     (bounded by the calendar, not the corpus) yields the cumulative
     curve exactly."""
     ev = _t(spark, sf_dir, "events")
     first = ev.groupBy("user_id").agg(
-        F.min(F.floor(F.col("ts") / F.lit(DAY_NS))).cast("long").alias("day")
+        F.min(F.floor(F.col("ts") / F.lit(HOUR_NS))).cast("long").alias("hour")
     )
-    daily = first.groupBy("day").agg(
+    hourly = first.groupBy("hour").agg(
         F.count(F.lit(1)).cast("long").alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "day",
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    return hourly.select(
+        "hour",
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
-    ).orderBy("day")
+    ).orderBy("hour")
 
 
 BASKET_MIN_SUPPORT = 2
@@ -4278,19 +4278,19 @@ def oracles() -> dict[str, str]:
         ),
         "w20_cumulative_users": f"""
             WITH first AS (
-              SELECT user_id, CAST(min(epoch_ns(ts) // {DAY_NS}) AS BIGINT) AS day
+              SELECT user_id, CAST(min(epoch_ns(ts) // {HOUR_NS}) AS BIGINT) AS hour
               FROM events GROUP BY user_id
             ),
-            daily AS (
-              SELECT day, CAST(count(*) AS BIGINT) AS new_users
-              FROM first GROUP BY day
+            hourly AS (
+              SELECT hour, CAST(count(*) AS BIGINT) AS new_users
+              FROM first GROUP BY hour
             )
-            SELECT day, new_users,
+            SELECT hour, new_users,
                    CAST(sum(new_users) OVER (
-                     ORDER BY day ROWS UNBOUNDED PRECEDING
+                     ORDER BY hour ROWS UNBOUNDED PRECEDING
                    ) AS BIGINT) AS cum_users
-            FROM daily
-            ORDER BY day
+            FROM hourly
+            ORDER BY hour
         """,
         "olap_basket_lift": f"""
             WITH li AS (
