@@ -852,3 +852,30 @@ def test_ivfpq_index_append_absorbs_new_vectors(spark, tmp_path):
     assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
     # appended ids are findable (at least one new vector in some result)
     assert any(r["corpus_id"] >= 100 for r in got.collect())
+
+
+# ------------------------------------------------- join advisor smoke --
+def test_join_advisor_smoke(spark):
+    # the tool composes the oracle-gated profiling operators; pin that
+    # its recommendation logic runs and prices the join exactly
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [
+            sys.executable,
+            "tools/join_advisor.py",
+            "/root/testdata/sf0.001",
+            "lineitem",
+            "l_orderkey",
+            "orders",
+            "o_orderkey",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "exact join output:" in out.stdout
+    assert "->" in out.stdout  # at least one recommendation line
