@@ -286,6 +286,8 @@ HEADLINE = [
     "w20_cumulative_users",
     "olap_basket_lift",
     "ann_truncation_recall",
+    "ann_ivfpq_residual_topk",
+    "ann_ivfpq_residual_recall",
 ]
 
 

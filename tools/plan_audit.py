@@ -86,6 +86,7 @@ SMJ_ALLOWED = {
     "ann_pq_rerank_recall": "contains the exact L2 truth side (rerank twin)",
     "ann_ivfpq_recall": "contains the exact L2 truth side (IVF-PQ twin)",
     "ann_ivfpq_rerank_recall": "contains the exact L2 truth side (IVF-PQ rerank twin)",
+    "ann_ivfpq_residual_recall": "contains the exact L2 truth side (residual-IVFADC twin)",
 }
 
 # Reason-pattern check: when an allowlisted query's plan DOES contain a
@@ -133,6 +134,7 @@ SMJ_EXPECT = {
     "ann_pq_rerank_recall": r"query_id|corpus_id",
     "ann_ivfpq_recall": r"query_id|corpus_id",
     "ann_ivfpq_rerank_recall": r"query_id|corpus_id",
+    "ann_ivfpq_residual_recall": r"query_id|corpus_id",
 }
 
 
