@@ -195,3 +195,40 @@ def centroid_drift_monitor_sink(
         )
 
     return sink
+
+
+def ann_query_sink(
+    index_path: str,
+    log_path: str,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """ANN serving on a stream: every micro-batch of query vectors runs
+    against the PERSISTED IVF-PQ index (similarity.ann_ivfpq_query_index
+    — probed cells prune at the scan) and the top-k results append to a
+    parquet log keyed by batch_id.  This is the serving loop an online
+    retrieval pipeline runs: the index is built/maintained offline
+    (write_ivfpq_index / append_to_ivfpq_index), queries arrive
+    continuously, and each batch touches only its probed cells' code
+    partitions — never the corpus."""
+    from adtl_spark.operators.similarity import ann_ivfpq_query_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = ann_ivfpq_query_index(
+            batch_df.sparkSession, index_path, batch_df,
+            n_probe=n_probe, k=k, id_col=id_col, vec_col=vec_col,
+        )
+        (
+            out.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "query_id", "corpus_id", "rank", "qdist",
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink

@@ -879,3 +879,96 @@ def test_join_advisor_smoke(spark):
     assert out.returncode == 0, out.stderr[-2000:]
     assert "exact join output:" in out.stdout
     assert "->" in out.stdout  # at least one recommendation line
+
+
+# ------------------------------------------------- residual IVFADC --
+def _py_ivfpq_residual(vecs, n_centroids, n_probe, m, ks, k, dim):
+    "Straight-line replay of similarity.ann_ivfpq_residual's conventions."
+    d_sub = dim // m
+    ids = sorted(vecs)
+    cents = []
+    for cid in ids[:n_centroids]:
+        v = vecs[cid]
+        cents.append((cid, v, _fold_dot(v, v) ** 0.5))
+    cent_by_id = {cid: cv for cid, cv, _ in cents}
+
+    def cell_of(v):
+        return sorted(
+            (-(_fold_dot(v, cv)) / nrm, cid) for cid, cv, nrm in cents
+        )[0][1]
+
+    seed_res = []
+    for i in ids[:ks]:
+        v = vecs[i]
+        c = cent_by_id[cell_of(v)]
+        seed_res.append([x - y for x, y in zip(v, c)])
+    books = [
+        [(code, rv[j * d_sub : (j + 1) * d_sub]) for code, rv in enumerate(seed_res)]
+        for j in range(m)
+    ]
+    cells = {i: cell_of(v) for i, v in vecs.items()}
+
+    def codes_of(i):
+        rv = [x - y for x, y in zip(vecs[i], cent_by_id[cells[i]])]
+        out = []
+        for j in range(m):
+            sv = rv[j * d_sub : (j + 1) * d_sub]
+            scored = sorted(
+                (0.5 * _fold_dot(cv, cv) - _fold_dot(sv, cv), code)
+                for code, cv in books[j]
+            )
+            out.append(scored[0][1])
+        return out
+
+    codes = {i: codes_of(i) for i in vecs}
+    results = {}
+    for qid, qv in vecs.items():
+        probed = [
+            cid
+            for _, cid in sorted(
+                (-(_fold_dot(qv, cv)) / nrm, cid) for cid, cv, nrm in cents
+            )[:n_probe]
+        ]
+        cand = []
+        for cid, v in vecs.items():
+            if cid == qid or cells[cid] not in probed:
+                continue
+            qr = [x - y for x, y in zip(qv, cent_by_id[cells[cid]])]
+            qdist = 0
+            for j in range(m):
+                sq = qr[j * d_sub : (j + 1) * d_sub]
+                cb = books[j][codes[cid][j]][1]
+                d = (
+                    _fold_dot(sq, sq)
+                    - 2 * _fold_dot(sq, cb)
+                    + 2.0 * (0.5 * _fold_dot(cb, cb))
+                )
+                qdist += int(math.floor(d * 1000000000 + 0.5))
+            cand.append((qdist, cid))
+        results[qid] = sorted(cand)[:k]
+    return results
+
+
+def test_ann_ivfpq_residual_matches_python(spark):
+    from adtl_spark.operators.similarity import ann_ivfpq_residual
+
+    dim, m, ks, n_centroids, n_probe, k = 8, 2, 4, 4, 2, 3
+    vecs = {
+        i: [math.sin(i * 13 + d * 5) * 2 for d in range(dim)] for i in range(12)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = ann_ivfpq_residual(
+        df, df, n_centroids=n_centroids, n_probe=n_probe, m=m, ks=ks, k=k,
+        dim=dim,
+    ).collect()
+    want = _py_ivfpq_residual(vecs, n_centroids, n_probe, m, ks, k, dim)
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["qdist"], r["corpus_id"])
+        )
+    for qid, pairs in want.items():
+        rows = sorted(by_q.get(qid, []))
+        assert [(i + 1, d, c) for i, (d, c) in enumerate(pairs)] == rows

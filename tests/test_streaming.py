@@ -1329,3 +1329,65 @@ def test_bitmap_distinct_maintained_on_stream(spark, tmp_path):
         for r in rows.groupBy("g").agg(SF.countDistinct("k").alias("d")).collect()
     }
     assert streamed == want
+
+
+def test_ann_query_sink_serves_stream_from_persisted_index(spark, tmp_path):
+    """ANN serving loop: a STREAM of query vectors runs per micro-batch
+    against the persisted IVF-PQ index; logged results equal the batch
+    query of the same vectors against the same index."""
+    import math
+    import os
+
+    from adtl_spark.operators.similarity import (
+        ann_ivfpq_query_index,
+        write_ivfpq_index,
+    )
+    from adtl_spark.streaming.pipeline import ann_query_sink
+
+    dim, m, ks, n_centroids, n_probe, k = 8, 2, 4, 4, 2, 3
+    corpus = spark.createDataFrame(
+        [
+            (i, [math.sin(i * 7 + d * 3) * 2 for d in range(dim)])
+            for i in range(12)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    index = str(tmp_path / "serve_idx")
+    write_ivfpq_index(corpus, index, n_centroids=n_centroids, m=m, ks=ks, dim=dim)
+
+    queries = [
+        (100 + i, [math.cos(i * 5 + d) * 2 for d in range(dim)]) for i in range(4)
+    ]
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(queries[:2], schema).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(queries[2:], schema).coalesce(1).write.parquet(src + "/b2")
+
+    log = str(tmp_path / "serve_log")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    q = stream.writeStream.foreachBatch(
+        ann_query_sink(index, log, n_probe=n_probe, k=k)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["corpus_id"], r["qdist"])
+        for r in spark.read.parquet(log).collect()
+    )
+    batch = ann_ivfpq_query_index(
+        spark, index, spark.createDataFrame(queries, schema),
+        n_probe=n_probe, k=k,
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["corpus_id"], r["qdist"])
+        for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
