@@ -1536,3 +1536,76 @@ def phrase_search_oracle_sql(table: str, phrase: list[str]) -> str:
     HAVING count(DISTINCT idx) = {len(phrase)}
     ORDER BY doc_id, match_pos
     """
+
+
+POSTINGS_BUCKETS = 256
+
+
+def write_postings_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> None:
+    """Persist the positional inverted index for :func:`phrase_search`:
+    (doc, pos, token) rows written as parquet PARTITIONED BY a stable
+    token hash bucket.  Partitioning by raw token would create a
+    directory per distinct token (a filesystem DoS at corpus scale);
+    ``n_buckets`` hash buckets keep the layout bounded while a query
+    still prunes at file listing to its tokens' buckets, with the exact
+    token equality pushed into the scan (PushedFilters — both asserted
+    by test).  Build once over the corpus; every phrase query after
+    reads only its tokens' buckets."""
+    t = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    ).withColumn(
+        "bucket", F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    )
+    t.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def phrase_search_index(
+    spark,
+    path: str,
+    phrase: list[str],
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> DataFrame:
+    """Phrase search over a PERSISTED postings index
+    (:func:`write_postings_index`): identical anchor-alignment semantics
+    to :func:`phrase_search`, but the corpus text is never touched —
+    the phrase's hash buckets prune at file listing (PartitionFilters)
+    and the token equality pushes into the parquet scan (PushedFilters),
+    so a query's IO is its own tokens' postings, not the index.
+    Results equal the in-memory form row-for-row (tested)."""
+    if not phrase:
+        raise ValueError("phrase_search_index: phrase must be non-empty")
+    L = len(phrase)
+    t = spark.read.parquet(path)
+    # static pruning values computed with the SAME hash the writer used
+    bucket_rows = spark.createDataFrame(
+        [(w,) for w in sorted(set(phrase))], "token string"
+    ).select(
+        F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int").alias("b")
+    ).collect()
+    buckets = sorted({r["b"] for r in bucket_rows})
+    pruned = t.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("token").isin(sorted(set(phrase)))
+    )
+    ph = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(phrase)], "idx long, token string"
+    )
+    hits = pruned.join(F.broadcast(ph), "token").select(
+        "id", (F.col("pos") - F.col("idx")).alias("anchor"), "idx"
+    )
+    return (
+        hits.groupBy("id", "anchor")
+        .agg(F.countDistinct("idx").alias("__k"))
+        .filter(F.col("__k") == L)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("anchor").cast("long").alias("match_pos"),
+        )
+        .orderBy("doc_id", "match_pos")
+    )

@@ -972,3 +972,45 @@ def test_ann_ivfpq_residual_matches_python(spark):
     for qid, pairs in want.items():
         rows = sorted(by_q.get(qid, []))
         assert [(i + 1, d, c) for i, (d, c) in enumerate(pairs)] == rows
+
+
+# --------------------------------------------- persisted postings index --
+def test_phrase_search_index_equals_in_memory_and_prunes(spark, tmp_path):
+    from adtl_spark.operators.text import (
+        phrase_search,
+        phrase_search_index,
+        write_postings_index,
+    )
+
+    docs = [
+        (0, "a b c a b c a b"),
+        (1, "x a b y a a b"),
+        (2, "b a"),
+        (3, "A B"),
+        (4, "zz yy xx ww"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    path = str(tmp_path / "postings")
+    write_postings_index(df, path, n_buckets=16)
+
+    for phrase in (["a", "b"], ["a", "x", "a"], ["zz"]):
+        got = sorted(
+            (r["doc_id"], r["match_pos"])
+            for r in phrase_search_index(spark, path, phrase, n_buckets=16).collect()
+        )
+        want = sorted(
+            (r["doc_id"], r["match_pos"])
+            for r in phrase_search(df, phrase).collect()
+        )
+        assert got == want
+
+    # the scale claims: bucket pruning reaches the scan as a
+    # PartitionFilter AND the token equality is pushed into the scan
+    q = phrase_search_index(spark, path, ["a", "b"], n_buckets=16)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan[:1500]
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "token" in pushed.group(1), plan[:1500]
