@@ -275,3 +275,120 @@ def triangle_count_cooccurrence_oracle_sql(
     JOIN e e2 ON e1.dst = e2.src
     JOIN e e3 ON e1.src = e3.src AND e2.dst = e3.dst
     """
+
+
+def label_propagation(
+    edges: DataFrame,
+    vertices: DataFrame,
+    iters: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous weighted label propagation
+    (Raghavan et al. 2007, made deterministic): every vertex starts as
+    its own label, and each iteration reassigns
+
+        label'(v) = argmax_L  [ sum of w(u, v) over neighbors u with
+                                label(u) = L ]
+                              + 1 if label(v) = L   (tie -> smaller label)
+
+    for all vertices at once (synchronous update — the asynchronous
+    variant is scan-order-dependent and therefore not reproducible
+    across engines or partitionings).  The +1 incumbency vote is the
+    standard anti-oscillation guard for the synchronous form: without
+    it a 2-vertex community flips labels forever (the bipartite
+    oscillation Raghavan et al. §3 note); with it the pair agrees on
+    the smaller label in one step.  It also subsumes the isolated-
+    vertex rule — a vertex with no neighbors keeps its own label
+    because only its self-vote scores.  A fixed iteration count, not
+    convergence, bounds the loop: deterministic output, and on
+    co-occurrence graphs the label landscape stabilizes within a few
+    rounds.
+
+    The per-iteration shape is the same join+agg PageRank lowers to —
+    edges join the |V|-row label vector on src (AQE broadcasts it when
+    small), one (dst, label) weight aggregation, one argmax window over
+    the per-vertex candidate labels (bounded by distinct neighbor
+    labels, never by |E|) — with an eager localCheckpoint per iteration
+    to keep the lineage flat.  Everything is BIGINT arithmetic; the
+    DuckDB oracle unrolls the loop and matches exactly.
+
+    Output: (v, community) for every vertex, ordered by (community, v).
+    """
+    from pyspark.sql import Window
+
+    edges = edges.persist()
+    edges.count()
+    try:
+        labels = vertices.select("v", F.col("v").cast("long").alias("lab"))
+        for _ in range(iters):
+            votes = (
+                edges.join(labels, edges["src"] == labels["v"])
+                .select(F.col("dst"), F.col("lab"), F.col("w"))
+                .unionByName(
+                    labels.select(
+                        F.col("v").alias("dst"),
+                        F.col("lab"),
+                        F.lit(1).cast("long").alias("w"),
+                    )
+                )
+            )
+            scores = votes.groupBy("dst", "lab").agg(F.sum("w").alias("s"))
+            w = Window.partitionBy("dst").orderBy(F.desc("s"), F.asc("lab"))
+            labels = (
+                scores.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select(F.col("dst").alias("v"), F.col("lab"))
+                .localCheckpoint(eager=True)
+            )
+        return labels.select(
+            "v", F.col("lab").alias("community")
+        ).orderBy("community", "v")
+    finally:
+        edges.unpersist()
+
+
+def label_propagation_cooccurrence_oracle_sql(
+    pairs_sql: str, vertices_sql: str, iters: int = 4
+) -> str:
+    """DuckDB twin of cooccurrence_edges + label_propagation composed:
+    the synchronous loop unrolled as MATERIALIZED CTEs (l0 -> s1/l1 ->
+    ...), identical argmax tie-break (weight DESC, label ASC)."""
+    ctes = [
+        f"""
+    mem AS MATERIALIZED (SELECT DISTINCT g, m FROM ({pairs_sql})),
+    verts AS MATERIALIZED (SELECT v FROM ({vertices_sql})),
+    edges AS MATERIALIZED (
+      SELECT a.m AS src, b.m AS dst, CAST(count(*) AS BIGINT) AS w
+      FROM mem a JOIN mem b USING (g)
+      WHERE a.m <> b.m
+      GROUP BY 1, 2
+    ),
+    l0 AS MATERIALIZED (SELECT v, CAST(v AS BIGINT) AS lab FROM verts)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+    s{i} AS MATERIALIZED (
+      SELECT dst, lab, CAST(sum(w) AS BIGINT) AS s FROM (
+        SELECT e.dst, l.lab, e.w
+        FROM edges e JOIN l{i - 1} l ON l.v = e.src
+        UNION ALL
+        SELECT v AS dst, lab, CAST(1 AS BIGINT) AS w FROM l{i - 1}
+      ) GROUP BY 1, 2
+    ),
+    l{i} AS MATERIALIZED (
+      SELECT dst AS v, lab FROM (
+        SELECT dst, lab,
+               row_number() OVER (PARTITION BY dst ORDER BY s DESC, lab ASC) AS rn
+        FROM s{i}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH"
+        + ",".join(ctes)
+        + f"""
+    SELECT v, lab AS community
+    FROM l{iters}
+    ORDER BY community, v
+    """
+    )

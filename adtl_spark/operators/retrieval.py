@@ -1,0 +1,634 @@
+"""Retrieval ranking, fusion, diversification and evaluation.
+
+The reference engine has no retrieval surface at all (its "queries" are
+spec files — /root/reference/src/adtl/parser.py); this module is part of
+the training-data-pipeline extension family, complementing the BM25
+retriever in operators/text.py with the other half of a production
+retrieval stack:
+
+- :func:`ql_topk`           — Dirichlet-smoothed query-likelihood ranking
+                              (Zhai & Lafferty 2001), the second classic
+                              lexical scorer;
+- :func:`rrf_fuse_topk`     — reciprocal-rank fusion (Cormack et al. 2009)
+                              of two rankers' top-N lists;
+- :func:`ndcg_vs_truth`     — graded nDCG@k + MRR of an approximate ANN
+                              ranking against the exact-cosine truth, the
+                              ranked-quality complement to the recall@k
+                              gates in operators/similarity.py;
+- :func:`mmr_topk`          — maximal-marginal-relevance diversified
+                              selection (Carbonell & Goldstein 1998) over
+                              an exact-cosine candidate pool.
+
+Cross-engine exactness follows the repo-wide integer protocol: every
+float-looking factor is quantized ONCE to a BIGINT (floor(x * scale +
+0.5)) at a documented quantum, so sums, rankings, and greedy argmax
+decisions are order-independent integer arithmetic the DuckDB oracles
+replay bit-for-bit.  The only doubles that cross an engine boundary are
+(a) ln()/cosine values computed from identical integer inputs with the
+same expression tree (the repo-wide 1-ulp libm caveat, accepted since
+the tf-idf gate) and (b) final display divisions by the scale.
+
+Scale shape: query relations are tiny and BROADCAST; the corpus
+contributes the same (doc, token) tf aggregation BM25 already needs
+(shareable at scale), and every post-candidate relation is bounded by
+matches or by queries x pool, never by the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from adtl_spark.operators.similarity import cosine, cosine_topk
+from adtl_spark.operators.text import tokens
+
+QL_SCALE = 1_000_000          # quantum of the per-term ln() factors
+RRF_SCALE = 1_000_000_000_000  # 1/(k0+rank) quantized as SCALE DIV (k0+rank)
+NDCG_SCALE = 1_000_000        # quantum of the 1/log2(pos+1) weights
+MMR_SCALE = 1_000_000         # quantum of rel/sim; scores are 10x (7*rel-3*sim)
+
+
+# --------------------------------------------------------------- query like.
+def ql_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval: top-``k`` documents
+    per query under p(q|d) with Bayesian smoothing parameter ``mu``
+    (Zhai & Lafferty 2001, the INQUERY/Lemur default family).
+
+    Rank-equivalent sparse form (the one an inverted index evaluates):
+
+        score(q, d) = sum_{t in q, tf>0} c(t,q) * ln(1 + tf*T / (mu*ctf))
+                      + |q| * ln(mu / (dl + mu))
+
+    where T is the corpus token total, ctf the corpus frequency of t, dl
+    the document length, and |q| counts query tokens present in the
+    corpus vocabulary (terms with ctf=0 have zero probability mass under
+    pure Dirichlet smoothing and are dropped, the standard convention).
+    The rank-constant sum_t c(t,q)*ln(ctf/T) is omitted — documented
+    rank-equivalence, and it keeps every factor's magnitude small.
+
+    Candidate set = documents matching at least one query term (standard
+    inverted-index practice; an unmatched document's score is not
+    comparable without the dropped constant).  Both ln() factors are
+    quantized at 1e-6 (floor(x*1e6+0.5) BIGINTs), so scores and ranking
+    are exact integer arithmetic.
+
+    Scale shape: identical to text.bm25_topk — the corpus shuffles once
+    on (id, token) for tf; query terms broadcast; the scored relation is
+    bounded by postings matches, and dl joins map-side (AQE broadcasts
+    the match-bounded side)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+    ctf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
+    total = toks.agg(F.count(F.lit(1)).alias("t_tokens"))
+    qterms = (
+        queries.select(
+            "query_id", F.explode(tokens(F.col("query"))).alias("token")
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).alias("qtf"))
+    )
+    # in-vocabulary query terms with their corpus frequency: broadcast the
+    # tiny query side into the token-frequency relation
+    qv = ctf.join(F.broadcast(qterms), "token")
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
+    a_q = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("tf") * F.col("t_tokens"))
+            / (F.lit(mu) * F.col("ctf"))
+        )
+        * QL_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    asum = (
+        tf.join(F.broadcast(qv), "token")
+        .crossJoin(F.broadcast(total))
+        .select("query_id", "id", (F.col("qtf") * a_q).alias("__a"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__a").alias("__asum"))
+    )
+    b_q = F.floor(
+        F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))) * QL_SCALE + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        asum.join(dl, "id")
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id",
+            "id",
+            (F.col("__asum") + F.col("qlen") * b_q).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / QL_SCALE).alias("ql"),
+        )
+    )
+
+
+def ql_topk_oracle_sql(
+    table: str, queries: list[tuple[int, str]], k: int = 5, mu: int = 2000
+) -> str:
+    """DuckDB twin of :func:`ql_topk` — same tokenizer, same quantized-ln
+    protocol (identical double quotients into ln, floor at 1e-6)."""
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+    ctf AS (SELECT token, count(*) AS ctf FROM toks GROUP BY 1),
+    tot AS (SELECT count(*) AS t_tokens FROM toks),
+    q(query_id, query) AS (VALUES {qvals}),
+    qt AS (
+      SELECT query_id, token, count(*) AS qtf FROM (
+        SELECT query_id, unnest(
+          list_filter(string_split_regex(lower(query), '\\s+'), t -> t != '')
+        ) AS token
+        FROM q
+      ) GROUP BY 1, 2
+    ),
+    qv AS (SELECT qt.query_id, qt.token, qt.qtf, ctf.ctf
+           FROM qt JOIN ctf USING (token)),
+    qlen AS (SELECT query_id, sum(qtf) AS qlen FROM qv GROUP BY 1),
+    asum AS (
+      SELECT qv.query_id, tf.id,
+             CAST(sum(qv.qtf * CAST(floor(
+               ln(1.0 + (tf.tf * t.t_tokens) / ({mu} * qv.ctf)) * {QL_SCALE} + 0.5
+             ) AS BIGINT)) AS BIGINT) AS asum
+      FROM tf JOIN qv USING (token) CROSS JOIN tot t
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT a.query_id, a.id,
+             a.asum + ql.qlen * CAST(floor(
+               ln({mu} / (dl.dl + {mu})) * {QL_SCALE} + 0.5
+             ) AS BIGINT) AS score
+      FROM asum a JOIN dl USING (id) JOIN qlen ql USING (query_id)
+    ),
+    ranked AS (
+      SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, id AS doc_id, CAST(rank AS BIGINT) AS rank,
+           CAST(score AS DOUBLE) / {QL_SCALE} AS ql
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+# --------------------------------------------------------------- RRF fusion
+def rrf_fuse_topk(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion of two per-query rankings (Cormack,
+    Clarke & Buettcher 2009): score(d) = sum over systems of
+    1/(k0 + rank_system(d)), with the TREC-standard k0=60.  Inputs are
+    (query_id, id_col, rank, ...) relations as :func:`ql_topk` /
+    text.bm25_topk emit; a document present in only one list gets only
+    that list's contribution (standard RRF — no penalty term).
+
+    Exactness: each contribution is quantized as RRF_SCALE DIV
+    (k0 + rank) — pure integer division, so fused scores and the final
+    ranking are exact BIGINTs.  Ties break on the lower document id.
+
+    Scale shape: inputs are top-N-per-query relations (queries x N
+    rows); because RRF is additive over systems the fusion is a UNION +
+    one aggregation on that tiny relation (no join — a full outer join
+    here would sort-merge both lists for nothing); the expensive part
+    is the upstream rankers, which share their postings aggregations."""
+    # union + sum instead of a full-outer join: RRF is additive over
+    # systems, so the fusion is one aggregation — no join at all (a
+    # full outer join is never broadcastable in Spark and would shuffle
+    # both lists as a sort-merge join for nothing)
+    contrib = F.expr(f"{RRF_SCALE} DIV ({k0} + rank)")
+    a = ranked_a.select(
+        "query_id", F.col(id_col).alias("id"), contrib.alias("__c")
+    )
+    b = ranked_b.select(
+        "query_id", F.col(id_col).alias("id"), contrib.alias("__c")
+    )
+    fused = (
+        a.unionByName(b)
+        .groupBy("query_id", "id")
+        .agg(F.sum("__c").alias("__score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / RRF_SCALE).alias("rrf"),
+        )
+    )
+
+
+def rrf_fuse_oracle_sql(
+    ranked_a_sql: str, ranked_b_sql: str, k: int = 10, k0: int = 60
+) -> str:
+    """DuckDB twin of :func:`rrf_fuse_topk` over two ranking subqueries
+    (each a full SELECT — nested WITH is fine in DuckDB derived tables)
+    that yield (query_id, doc_id, rank, ...)."""
+    return f"""
+    WITH ra AS (SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS ca
+                FROM ({ranked_a_sql}) __a),
+    rb AS (SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS cb
+           FROM ({ranked_b_sql}) __b),
+    fused AS (
+      SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
+             COALESCE(ra.id, rb.id) AS id,
+             COALESCE(ca, 0) + COALESCE(cb, 0) AS score
+      FROM ra FULL OUTER JOIN rb ON ra.query_id = rb.query_id AND ra.id = rb.id
+    ),
+    ranked AS (
+      SELECT query_id, id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, id AS doc_id, CAST(rank AS BIGINT) AS rank,
+           CAST(score AS DOUBLE) / {RRF_SCALE} AS rrf
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------------------------ nDCG/MRR
+def _ndcg_weights(k: int) -> list[int]:
+    """Position weights floor-quantized from 1/log2(pos+1): engine-
+    independent Python constants injected as literals on BOTH sides, so
+    no cross-engine log2 is ever evaluated."""
+    return [int(round(NDCG_SCALE / math.log2(i + 1))) for i in range(1, k + 1)]
+
+
+def ndcg_vs_truth(
+    truth: DataFrame,
+    approx: DataFrame,
+    k: int,
+    id_col: str = "corpus_id",
+) -> DataFrame:
+    """Graded nDCG@k and MRR of an approximate ranking against an exact
+    truth ranking — the ranked-quality complement to recall@k (which
+    only counts set overlap and is blind to WHERE the survivors land).
+
+    Inputs are per-query top-k relations with (query_id, id_col, rank).
+    Relevance is graded from the truth rank: rel(truth rank r) = k+1-r,
+    rel(not in truth top-k) = 0.  DCG(approx) = sum over approx
+    positions i of rel * w_i with w_i = round(1e6 / log2(i+1)) — Python
+    constants, see :func:`_ndcg_weights` — and IDCG is the constant
+    sum_i (k+1-i)*w_i, so ndcg = (dcg*10000) DIV idcg / 1e4 is exact
+    integer arithmetic end to end.  MRR is the reciprocal approx rank
+    of the truth TOP-1 document (1e6 DIV rank, 0 when missed).
+
+    Output: one row per query — (query_id, overlap, ndcg, mrr)."""
+    weights = _ndcg_weights(k)
+    idcg = sum((k + 1 - i) * w for i, w in enumerate(weights, start=1))
+    w_arr = F.array(*[F.lit(w).cast("long") for w in weights])
+    # rename both sides up front: truth and approx often share lineage
+    # (same corpus, same query relation), and positional column
+    # references across a self-join are ambiguous otherwise
+    ap = approx.select(
+        F.col("query_id"),
+        F.col(id_col).alias("__aid"),
+        F.col("rank").alias("__arank"),
+    )
+    rel = truth.select(
+        F.col("query_id").alias("__tq"),
+        F.col(id_col).alias("__tid"),
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("rel"),
+    )
+    t1 = truth.filter(F.col("rank") == 1).select(
+        F.col("query_id").alias("__t1q"), F.col(id_col).alias("__t1id")
+    )
+    j = ap.join(
+        F.broadcast(rel),
+        (F.col("query_id") == F.col("__tq"))
+        & (F.col("__aid") == F.col("__tid")),
+        "left",
+    )
+    g = j.groupBy("query_id").agg(
+        F.sum(
+            F.coalesce(F.col("rel"), F.lit(0))
+            * F.element_at(w_arr, F.col("__arank").cast("int"))
+        ).alias("__dcg"),
+        F.sum(F.when(F.col("rel").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("overlap"),
+    )
+    mrr = (
+        ap.join(
+            F.broadcast(t1),
+            (F.col("query_id") == F.col("__t1q"))
+            & (F.col("__aid") == F.col("__t1id")),
+        )
+        .select(
+            "query_id",
+            F.expr(f"{NDCG_SCALE} DIV __arank").alias("__mrr_q"),
+        )
+    )
+    return (
+        g.join(F.broadcast(mrr), "query_id", "left")
+        .select(
+            "query_id",
+            "overlap",
+            (
+                F.expr(f"(__dcg * 10000) DIV {idcg}").cast("double") / 10000.0
+            ).alias("ndcg"),
+            (
+                F.coalesce(F.col("__mrr_q"), F.lit(0)).cast("double")
+                / NDCG_SCALE
+            ).alias("mrr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ndcg_truncated_oracle_sql(
+    table: str, d_keep: int, k: int, n_queries: int
+) -> str:
+    """DuckDB twin of the truncated-dims nDCG gate: full-dim cosine top-k
+    truth vs first-``d_keep``-dims approx, graded nDCG@k + MRR per query
+    (same Python-constant weights, same integer protocol)."""
+    weights = _ndcg_weights(k)
+    idcg = sum((k + 1 - i) * w for i, w in enumerate(weights, start=1))
+    wvals = ", ".join(f"({i}, {w})" for i, w in enumerate(weights, start=1))
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM {table}),
+    t AS (
+      SELECT query_id, corpus_id, rn FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                   corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE query_id != corpus_id
+      ) WHERE rn <= {k}
+    ),
+    a AS (
+      SELECT query_id, corpus_id, rn FROM (
+        SELECT query_id, corpus_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv[1:{d_keep}], cv[1:{d_keep}])
+                   / (sqrt(list_dot_product(qv[1:{d_keep}], qv[1:{d_keep}]))
+                      * sqrt(list_dot_product(cv[1:{d_keep}], cv[1:{d_keep}]))) DESC,
+                   corpus_id ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE query_id != corpus_id
+      ) WHERE rn <= {k}
+    ),
+    w(pos, wq) AS (VALUES {wvals}),
+    g AS (
+      SELECT a.query_id,
+             CAST(sum(COALESCE({k} + 1 - t.rn, 0) * w.wq) AS BIGINT) AS dcg,
+             CAST(sum(CASE WHEN t.rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+      FROM a
+      JOIN w ON w.pos = a.rn
+      LEFT JOIN t ON t.query_id = a.query_id AND t.corpus_id = a.corpus_id
+      GROUP BY 1
+    ),
+    t1 AS (SELECT query_id, corpus_id FROM t WHERE rn = 1),
+    m AS (
+      SELECT a.query_id, {NDCG_SCALE} // a.rn AS mrr_q
+      FROM a JOIN t1 ON t1.query_id = a.query_id AND t1.corpus_id = a.corpus_id
+    )
+    SELECT g.query_id, g.overlap,
+           CAST(g.dcg * 10000 // {idcg} AS DOUBLE) / 10000.0 AS ndcg,
+           CAST(COALESCE(m.mrr_q, 0) AS DOUBLE) / {NDCG_SCALE} AS mrr
+    FROM g LEFT JOIN m ON m.query_id = g.query_id
+    ORDER BY g.query_id
+    """
+
+
+# ---------------------------------------------------------------------- MMR
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    pool: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998) with the classic lambda = 0.7: greedily select
+
+        argmax_c  0.7 * rel(c)  -  0.3 * max_{s in selected} sim(c, s)
+
+    from an exact-cosine candidate pool of ``pool`` per query.  Lambda
+    enters as the exact rational 7/10, so a decision score is the
+    BIGINT 7*rel_q - 3*maxsim_q at 1e-6 quantum (rel_q re-derived from
+    the pool's 4-decimal cosine: floor(cos*1e4+0.5)*100; pairwise sims
+    quantized at floor(cos*1e6+0.5)); ties break on the lower id.  The
+    first pick has no diversity term (maxsim = 0): it is argmax rel.
+
+    Scale shape: the pool comes from :func:`cosine_topk` (partition-
+    local top-k, corpus never shuffled); everything after is queries x
+    pool sized — the pairwise-sim relation is pool^2 per query, and the
+    k-step greedy loop runs as tiny broadcast joins with an eager
+    localCheckpoint per step to keep the lineage flat (the same
+    iterative shape as operators/graph.pagerank).
+
+    Output: (query_id, vec_id, pick, mmr) — pick is selection order
+    1..k, mmr the decision score at the moment of selection, displayed
+    at the 1e-7 quantum (the 10x lambda scaling over 1e-6)."""
+    cand = cosine_topk(corpus, queries, k=pool, id_col=id_col, vec_col=vec_col)
+    cand = cand.select(
+        "query_id",
+        F.col("corpus_id").alias("cid"),
+        (F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long") * 100).alias(
+            "relq"
+        ),
+    )
+    cv = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
+    candv = cv.join(F.broadcast(cand), "cid").select("query_id", "cid", "v")
+    a, b = candv.alias("a"), candv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.cid") != F.col("b.cid")),
+        )
+        .select(
+            F.col("a.query_id").alias("query_id"),
+            F.col("a.cid").alias("ca"),
+            F.col("b.cid").alias("cb"),
+            F.floor(cosine(F.col("a.v"), F.col("b.v")) * MMR_SCALE + F.lit(0.5))
+            .cast("long")
+            .alias("simq"),
+        )
+        .localCheckpoint(eager=True)  # pool^2 x queries rows; reused k-1 times
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("relq"), F.asc("cid"))
+    sel = (
+        cand.withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "cid",
+            F.lit(1).cast("long").alias("pick"),
+            (7 * F.col("relq")).alias("mmrq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for t in range(2, k + 1):
+        rem = cand.join(sel.select("query_id", "cid"), ["query_id", "cid"], "left_anti")
+        ms = (
+            pairs.join(
+                sel.select("query_id", F.col("cid").alias("cb")),
+                ["query_id", "cb"],
+            )
+            .groupBy("query_id", F.col("ca").alias("cid"))
+            .agg(F.max("simq").alias("maxsim"))
+        )
+        scored = rem.join(ms, ["query_id", "cid"]).select(
+            "query_id",
+            "cid",
+            (7 * F.col("relq") - 3 * F.col("maxsim")).alias("mmrq"),
+        )
+        wt = Window.partitionBy("query_id").orderBy(
+            F.desc("mmrq"), F.asc("cid")
+        )
+        pick = (
+            scored.withColumn("__rn", F.row_number().over(wt))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "query_id",
+                "cid",
+                F.lit(t).cast("long").alias("pick"),
+                "mmrq",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select(
+        "query_id",
+        F.col("cid").alias("vec_id"),
+        "pick",
+        (F.col("mmrq").cast("double") / (MMR_SCALE * 10)).alias("mmr"),
+    ).orderBy("query_id", "pick")
+
+
+def mmr_topk_oracle_sql(
+    table: str, k: int, pool: int, n_queries: int
+) -> str:
+    """DuckDB twin of :func:`mmr_topk`: the greedy loop unrolled as
+    MATERIALIZED CTEs (sel1 -> m2/sel2 -> ...), identical integer
+    protocol (rel from the 4-decimal pool cosine, pairwise sims at
+    1e-6, scores 7*rel - 3*maxsim)."""
+    ctes = [
+        f"""
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM {table} ORDER BY vec_id LIMIT {n_queries}
+    ),
+    c AS MATERIALIZED (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM {table}),
+    cand AS MATERIALIZED (
+      SELECT query_id, cid,
+             CAST(floor(round(cos, 4) * 10000 + 0.5) AS BIGINT) * 100 AS relq
+      FROM (
+        SELECT query_id, cid,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_dot_product(qv, cv)
+                   / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                   cid ASC
+               ) AS rn
+        FROM q CROSS JOIN c WHERE query_id != cid
+      ) WHERE rn <= {pool}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.query_id, a.cid AS ca, b.cid AS cb,
+             CAST(floor(
+               list_dot_product(ac.cv, bc.cv)
+                 / (sqrt(list_dot_product(ac.cv, ac.cv)) * sqrt(list_dot_product(bc.cv, bc.cv)))
+               * {MMR_SCALE} + 0.5
+             ) AS BIGINT) AS simq
+      FROM cand a
+      JOIN cand b ON a.query_id = b.query_id AND a.cid != b.cid
+      JOIN c ac ON ac.cid = a.cid
+      JOIN c bc ON bc.cid = b.cid
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT query_id, cid, CAST(1 AS BIGINT) AS pick, 7 * relq AS mmrq
+      FROM (
+        SELECT query_id, cid, relq,
+               row_number() OVER (PARTITION BY query_id ORDER BY relq DESC, cid ASC) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    )"""
+    ]
+    for t in range(2, k + 1):
+        ctes.append(
+            f"""
+    m{t} AS MATERIALIZED (
+      SELECT r.query_id, r.cid, r.relq, max(p.simq) AS maxsim
+      FROM cand r
+      JOIN pairs p ON p.query_id = r.query_id AND p.ca = r.cid
+      JOIN sel{t - 1} s ON s.query_id = p.query_id AND s.cid = p.cb
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sel{t - 1} s2
+        WHERE s2.query_id = r.query_id AND s2.cid = r.cid
+      )
+      GROUP BY 1, 2, 3
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT query_id, cid, pick, mmrq FROM sel{t - 1}
+      UNION ALL
+      SELECT query_id, cid, CAST({t} AS BIGINT) AS pick, mmrq FROM (
+        SELECT query_id, cid, 7 * relq - 3 * maxsim AS mmrq,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY 7 * relq - 3 * maxsim DESC, cid ASC
+               ) AS rn
+        FROM m{t}
+      ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH"
+        + ",".join(ctes)
+        + f"""
+    SELECT query_id, cid AS vec_id, pick,
+           CAST(mmrq AS DOUBLE) / {MMR_SCALE * 10} AS mmr
+    FROM sel{k}
+    ORDER BY query_id, pick
+    """
+    )

@@ -873,3 +873,182 @@ def dsir_select_oracle_sql(
       ORDER BY weight_q4 DESC, id ASC
       LIMIT {top_n}
     """
+
+
+# ------------------------------------------------------------- DoReMi step
+#
+# Domain reweighting for training mixtures (Xie et al. 2023, "DoReMi"):
+# upweight domains whose data the current model finds HARD (high excess
+# loss vs a reference), one multiplicative-weights step at a time.  The
+# full method alternates proxy-model training with these updates; the
+# UPDATE itself is pure relational arithmetic over per-domain losses, and
+# that is the operator here — the training loop supplies the losses, the
+# engine turns them into the next mixture.  As the difficulty signal this
+# self-contained form uses the per-token negative log-likelihood under
+# the corpus-trained unigram LM (operators/corpus.train_unigram /
+# score_unigram — the same broadcastable model the quality scorers use):
+# domains whose text the corpus-level model compresses worst get
+# upweighted, exactly the DoReMi direction.
+
+DOREMI_W_SCALE = 1_000_000  # mixture weights held as 1e-6 BIGINT fractions
+DOREMI_E_SCALE = 1_000_000  # quantum of the exp(eta * excess) factor
+
+
+def doremi_step(
+    docs: DataFrame,
+    domain_col: str = "source",
+    eta: float = 1.0,
+    smooth_num: int = 1,
+    smooth_den: int = 10,
+    vocab_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One DoReMi multiplicative-weights update of per-domain mixture
+    weights from a uniform prior:
+
+        nll_d    = per-token negative log-likelihood of domain d under
+                   the corpus unigram LM (1e-4-quantized per-token ln p,
+                   summed exactly as BIGINTs — corpus.score_unigram)
+        excess_d = max(0, nll_d - nll_corpus)        (clipped, per paper)
+        w_d      proportional to exp(eta * excess_d), normalized, then
+                   smoothed: w = (1-s) * w + s / K   with s = smooth_num/
+                   smooth_den (default 1/10) and K = number of domains.
+
+    Exactness: the exp factor is quantized once (floor(exp(.)*1e6+0.5),
+    same 1-ulp libm caveat as the ln-based scorers); normalization and
+    smoothing are integer DIV arithmetic at the 1e-6 weight quantum —
+    weights can undershoot 1.0 by a few millionths (floor division),
+    documented and mirrored by the oracle.
+
+    Scale shape: two corpus token passes (train + score, identical to
+    corpus.unigram_logprob), one domain-level aggregation; everything
+    after the per-domain rollup is K rows.
+
+    Output: (domain, n_tokens, nll, excess, weight), one row per domain,
+    nll/excess displayed at 1e-4, weight at 1e-6."""
+    from adtl_spark.operators.corpus import score_unigram, train_unigram
+
+    model = train_unigram(docs, vocab_k, text_col, id_col)
+    scored = score_unigram(docs, model, text_col, id_col).withColumnRenamed(
+        "id", "__did__"
+    )
+    dom = (
+        docs.select(F.col(id_col).alias("__did__"), F.col(domain_col).alias("domain"))
+        .join(scored, "__did__")
+        .groupBy("domain")
+        .agg(
+            F.sum("__n").cast("long").alias("n_tokens"),
+            F.sum("__qsum").cast("long").alias("qsum"),
+        )
+    )
+    tot = dom.agg(
+        F.sum("n_tokens").alias("tn"),
+        F.sum("qsum").alias("tq"),
+        F.count(F.lit(1)).cast("long").alias("k_domains"),
+    )
+    # nll in nats/token: the stored qsum is 1e4-scaled ln p (negative)
+    nll_d = -(F.col("qsum").cast("double") / F.col("n_tokens")) / 10000.0
+    nll_c = -(F.col("tq").cast("double") / F.col("tn")) / 10000.0
+    excess = F.greatest(F.lit(0.0), nll_d - nll_c)
+    eq = F.floor(
+        F.exp(F.lit(eta) * excess) * DOREMI_E_SCALE + F.lit(0.5)
+    ).cast("long")
+    stage = dom.crossJoin(F.broadcast(tot)).select(
+        "domain",
+        "n_tokens",
+        F.floor(nll_d * 10000 + F.lit(0.5)).cast("double").alias("__nll_q"),
+        F.floor(excess * 10000 + F.lit(0.5)).cast("double").alias("__exc_q"),
+        eq.alias("__eq"),
+        F.col("k_domains"),
+    )
+    esum = stage.agg(F.sum("__eq").alias("es"))
+    return (
+        stage.crossJoin(F.broadcast(esum))
+        .select(
+            "domain",
+            "n_tokens",
+            (F.col("__nll_q") / 10000.0).alias("nll"),
+            (F.col("__exc_q") / 10000.0).alias("excess"),
+            (
+                (
+                    F.expr(
+                        f"({smooth_den - smooth_num} * ((__eq * {DOREMI_W_SCALE}) DIV es))"
+                        f" DIV {smooth_den}"
+                        f" + ({DOREMI_W_SCALE} DIV ({smooth_den} * k_domains)) * {smooth_num}"
+                    )
+                ).cast("double")
+                / DOREMI_W_SCALE
+            ).alias("weight"),
+        )
+        .orderBy("domain")
+    )
+
+
+def doremi_step_oracle_sql(
+    source_sql: str,
+    domain_col: str = "source",
+    eta: float = 1.0,
+    smooth_num: int = 1,
+    smooth_den: int = 10,
+    vocab_k: int = 20,
+) -> str:
+    """DuckDB twin of :func:`doremi_step` over a (doc_id, text,
+    {domain_col}) subquery — same tokenizer, same 1e-4 ln quantization,
+    same integer normalization/smoothing."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM ({source_sql})
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM toks
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    tot AS (SELECT count(*) AS total FROM toks),
+    scored AS (
+      SELECT id,
+             count(*) AS n,
+             sum(CAST(floor(ln(COALESCE(v.cnt, 0.5) / t.total) * 10000 + 0.5) AS BIGINT)) AS qsum
+      FROM toks LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+      GROUP BY id
+    ),
+    dom AS (
+      SELECT d.{domain_col} AS domain,
+             CAST(sum(s.n) AS BIGINT) AS n_tokens,
+             CAST(sum(s.qsum) AS BIGINT) AS qsum
+      FROM ({source_sql}) d JOIN scored s ON s.id = d.doc_id
+      GROUP BY 1
+    ),
+    t2 AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS tn,
+             CAST(sum(qsum) AS BIGINT) AS tq,
+             CAST(count(*) AS BIGINT) AS k_domains
+      FROM dom
+    ),
+    stage AS (
+      SELECT domain, n_tokens,
+             floor(-(CAST(qsum AS DOUBLE) / n_tokens) / 10000.0 * 10000 + 0.5) AS nll_q,
+             floor(greatest(0.0,
+               -(CAST(qsum AS DOUBLE) / n_tokens) / 10000.0
+               - (-(CAST(tq AS DOUBLE) / tn) / 10000.0)) * 10000 + 0.5) AS exc_q,
+             CAST(floor(exp({eta!r} * greatest(0.0,
+               -(CAST(qsum AS DOUBLE) / n_tokens) / 10000.0
+               - (-(CAST(tq AS DOUBLE) / tn) / 10000.0))) * {DOREMI_E_SCALE} + 0.5)
+             AS BIGINT) AS eq,
+             k_domains
+      FROM dom CROSS JOIN t2
+    ),
+    es AS (SELECT CAST(sum(eq) AS BIGINT) AS es FROM stage)
+    SELECT domain, n_tokens,
+           CAST(nll_q AS DOUBLE) / 10000.0 AS nll,
+           CAST(exc_q AS DOUBLE) / 10000.0 AS excess,
+           CAST(
+             ({smooth_den - smooth_num} * ((eq * {DOREMI_W_SCALE}) // es)) // {smooth_den}
+             + ({DOREMI_W_SCALE} // ({smooth_den} * k_domains)) * {smooth_num}
+           AS DOUBLE) / {DOREMI_W_SCALE} AS weight
+    FROM stage CROSS JOIN es
+    ORDER BY domain
+    """

@@ -33,6 +33,7 @@ from adtl_spark.operators import graph as G
 from adtl_spark.operators import fuzzy as FZ
 from adtl_spark.operators import joins as J
 from adtl_spark.operators import monitor as MO
+from adtl_spark.operators import retrieval as R
 from adtl_spark.operators import text as X
 from adtl_spark.session import configure_for_engine, scan_parallel
 
@@ -4310,6 +4311,28 @@ def oracles() -> dict[str, str]:
     lang_best += "ELSE 0.0 END"
 
     return {
+        "retrieval_ql_topk": R.ql_topk_oracle_sql(
+            "documents", BM25_QUERIES, k=BM25_K
+        ),
+        "retrieval_rrf_fuse": R.rrf_fuse_oracle_sql(
+            X.bm25_topk_oracle_sql("documents", BM25_QUERIES, k=RRF_N),
+            R.ql_topk_oracle_sql("documents", BM25_QUERIES, k=RRF_N),
+            k=RRF_K,
+        ),
+        "retrieval_ndcg_truncated": R.ndcg_truncated_oracle_sql(
+            "embeddings", TRUNC_D, NDCG_K, ANN_QUERIES
+        ),
+        "retrieval_mmr_topk": R.mmr_topk_oracle_sql(
+            "embeddings", MMR_K, MMR_POOL, MMR_QUERIES
+        ),
+        "graph_label_propagation": G.label_propagation_cooccurrence_oracle_sql(
+            "SELECT l_orderkey AS g, l_suppkey AS m FROM lineitem",
+            "SELECT s_suppkey AS v FROM supplier",
+            iters=LPA_ITERS,
+        ),
+        "mixture_doremi_step": SA.doremi_step_oracle_sql(
+            "SELECT doc_id, text, source FROM documents"
+        ),
         "ann_ivfpq_topk": S.ann_ivfpq_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
             ANN_K, ANN_QUERIES, dim=EMB_DIM,
@@ -6304,6 +6327,79 @@ ROWS_ONLY: dict[str, str] = {
 }
 
 
+# ------------------------------------------------- round-7 retrieval gates
+RRF_N = 15   # per-system candidate depth feeding the fusion
+RRF_K = 10   # fused list depth
+NDCG_K = 10  # graded-eval depth
+MMR_QUERIES = 3
+MMR_POOL = 12
+MMR_K = 5
+LPA_ITERS = 4
+
+
+def retrieval_ql_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet query-likelihood retrieval (Zhai & Lafferty): top-5
+    documents per query, exact-integer quantized-ln scoring over the
+    same postings aggregations BM25 uses (retrieval.ql_topk)."""
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return R.ql_topk(_t(spark, sf_dir, "documents"), qdf, k=BM25_K)
+
+
+def retrieval_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of BM25 and query-likelihood top-15 lists
+    into a fused top-10 (retrieval.rrf_fuse_topk): contributions are
+    exact BIGINTs (1e12 DIV (60+rank)), so the hybrid ranking is pure
+    integer arithmetic over two tiny per-query relations."""
+    docs = _t(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    bm = X.bm25_topk(docs, qdf, k=RRF_N)
+    ql = R.ql_topk(docs, qdf, k=RRF_N)
+    return R.rrf_fuse_topk(bm, ql, k=RRF_K)
+
+
+def retrieval_ndcg_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 + MRR of the truncated-dims cosine index against
+    the full-dim exact truth (retrieval.ndcg_vs_truth) — the ranked-
+    quality view of the same trade ann_truncation_recall measures as
+    set overlap: recall is blind to WHERE survivors land; this gate
+    pays position-discounted credit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    truth = S.cosine_topk(emb, queries, k=NDCG_K)
+    approx = S.cosine_truncated_topk(emb, queries, d_keep=TRUNC_D, k=NDCG_K)
+    return R.ndcg_vs_truth(truth, approx, k=NDCG_K)
+
+
+def retrieval_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-5 from an exact-cosine
+    pool of 12 per query, lambda=0.7 as the exact rational 7/10
+    (retrieval.mmr_topk); the greedy loop runs as tiny broadcast joins
+    and the oracle unrolls it as MATERIALIZED CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(MMR_QUERIES)
+    return R.mmr_topk(emb, queries, k=MMR_K, pool=MMR_POOL)
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection: 4 synchronous weighted label-propagation
+    iterations over the supplier co-occurrence graph (graph.
+    label_propagation) — same join+agg iteration shape as PageRank,
+    argmax tie-break to the smaller label, unrolled-CTE oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    vertices = supplier.select(F.col("s_suppkey").alias("v"))
+    return G.label_propagation(edges, vertices, iters=LPA_ITERS)
+
+
+def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi multiplicative-weights update of per-source mixture
+    weights from the per-token NLL under the corpus unigram LM
+    (sampling.doremi_step): clipped excess loss, exp factor quantized
+    at 1e-6, integer-DIV normalization + 1/10 uniform smoothing."""
+    return SA.doremi_step(_t(spark, sf_dir, "documents"))
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every oracle-gated query, ordered for the driver's gate.
 
@@ -6311,7 +6407,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     dict, so the ordering is a rotation policy, not an accident:
 
     1. The newest queries lead so each gets a driver row the round it
-       lands: the IVF-PQ composite ANN gate + its all-pairs recall
+       lands: the round-9 retrieval/ranking block (Dirichlet query
+       likelihood, BM25+QL reciprocal-rank fusion, truncated-dims
+       nDCG/MRR, MMR diversification), label-propagation communities,
+       and the DoReMi mixture step sit at the very head; behind them
+       the IVF-PQ composite ANN gate + its all-pairs recall
        twin, the full IVF-PQ + exact-rerank serving path (+ recall),
        hard-negative mining (exact + IVF-pruned), chi-square
        categorical drift, embedding centroid drift, the
@@ -6350,6 +6450,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
+        "retrieval_ql_topk": retrieval_ql_topk,  # -- round-7 session gates --
+        "retrieval_rrf_fuse": retrieval_rrf_fuse,
+        "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
+        "retrieval_mmr_topk": retrieval_mmr_topk,
+        "graph_label_propagation": graph_label_propagation,
+        "mixture_doremi_step": mixture_doremi_step,
         "ann_ivfpq_topk": ann_ivfpq_topk,  # -- newest queries (this round's window head) --
         "ann_ivfpq_recall": ann_ivfpq_recall,
         "emb_hard_negatives": emb_hard_negatives,

@@ -288,6 +288,12 @@ HEADLINE = [
     "ann_truncation_recall",
     "ann_ivfpq_residual_topk",
     "ann_ivfpq_residual_recall",
+    "retrieval_ql_topk",
+    "retrieval_rrf_fuse",
+    "retrieval_ndcg_truncated",
+    "retrieval_mmr_topk",
+    "graph_label_propagation",
+    "mixture_doremi_step",
 ]
 
 

@@ -1,0 +1,357 @@
+"""Round-9 operator units: query-likelihood retrieval, reciprocal-rank
+fusion, nDCG/MRR ranked evaluation, MMR diversification, label
+propagation, and the DoReMi mixture step.  Each operator's oracle twin
+is exercised by the registry gate (tools/check_oracle.py); these tests
+pin the SEMANTICS against straight-line Python replays on small inputs,
+plus the edge cases the gate corpus never hits (all-OOV queries,
+single-list fusion, disjoint rankings, k > pool, isolated vertices,
+single-domain corpora)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from adtl_spark.operators import retrieval as R
+from adtl_spark.operators.graph import cooccurrence_edges, label_propagation
+from adtl_spark.operators.sampling import doremi_step
+
+DOCS = [
+    (1, "spark joins the hash table with spark speed", "a"),
+    (2, "columnar scan and filter over parquet", "a"),
+    (3, "hash join beats sort merge join on small tables", "b"),
+    (4, "the quick brown fox", "b"),
+    (5, "spark spark spark scan scan filter", "c"),
+]
+QUERIES = [(1, "spark hash join"), (2, "columnar filter")]
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, source string")
+
+
+def _q_df(spark):
+    return spark.createDataFrame(QUERIES, "query_id long, query string")
+
+
+# ---------------------------------------------------------------- QL ----
+def _py_ql(docs, queries, k=5, mu=2000):
+    """Straight-line replay of retrieval.ql_topk's scoring protocol."""
+    toks = {d: t.lower().split() for d, t, *_ in docs}
+    tf: dict[tuple[int, str], int] = {}
+    ctf: dict[str, int] = {}
+    for d, ts in toks.items():
+        for t in ts:
+            tf[(d, t)] = tf.get((d, t), 0) + 1
+            ctf[t] = ctf.get(t, 0) + 1
+    total = sum(ctf.values())
+    out = []
+    for qid, q in queries:
+        qtf: dict[str, int] = {}
+        for t in q.lower().split():
+            if t in ctf:
+                qtf[t] = qtf.get(t, 0) + 1
+        qlen = sum(qtf.values())
+        scores = {}
+        for (d, t), f in tf.items():
+            if t in qtf:
+                a = math.floor(
+                    math.log(1.0 + (f * total) / (mu * ctf[t])) * 1e6 + 0.5
+                )
+                scores[d] = scores.get(d, 0) + qtf[t] * a
+        for d in scores:
+            dl = len(toks[d])
+            b = math.floor(math.log(mu / (dl + mu)) * 1e6 + 0.5)
+            scores[d] += qlen * b
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            out.append((qid, d, rank, s / 1e6))
+    return out
+
+
+def test_ql_topk_matches_python_replay(spark):
+    got = sorted(
+        tuple(r)
+        for r in R.ql_topk(_docs_df(spark), _q_df(spark), k=5).collect()
+    )
+    assert got == sorted(_py_ql(DOCS, QUERIES, k=5))
+
+
+def test_ql_topk_all_oov_query_emits_nothing(spark):
+    qdf = spark.createDataFrame(
+        [(9, "zzz qqq")], "query_id long, query string"
+    )
+    assert R.ql_topk(_docs_df(spark), qdf, k=5).count() == 0
+
+
+# --------------------------------------------------------------- RRF ----
+def test_rrf_fuse_exact_contributions_and_single_list_docs(spark):
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank long"
+    )
+    rows = {
+        r["doc_id"]: (r["rank"], r["rrf"])
+        for r in R.rrf_fuse_topk(a, b, k=10).collect()
+    }
+    c = lambda r: 10**12 // (60 + r)  # noqa: E731
+    # doc 11: rank 2 in a + rank 1 in b -> top; 10 and 12 one-list only
+    assert rows[11] == (1, (c(2) + c(1)) / 1e12)
+    assert rows[10] == (2, c(1) / 1e12)  # beats 12 (same score? no:)
+    assert rows[12] == (3, c(2) / 1e12)
+
+
+def test_rrf_tie_breaks_on_lower_doc_id(spark):
+    a = spark.createDataFrame(
+        [(1, 20, 1), (1, 7, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 7, 1), (1, 20, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = [
+        r["doc_id"]
+        for r in R.rrf_fuse_topk(a, b, k=2).orderBy("rank").collect()
+    ]
+    assert got == [7, 20]  # equal scores -> lower id first
+
+
+# -------------------------------------------------------------- nDCG ----
+def _ranked_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, corpus_id long, rank long"
+    )
+
+
+def test_ndcg_identical_rankings_score_one(spark):
+    truth = _ranked_df(spark, [(1, i + 100, i) for i in range(1, 6)])
+    out = R.ndcg_vs_truth(truth, truth, k=5).collect()[0]
+    assert out["overlap"] == 5
+    assert out["ndcg"] == 1.0
+    assert out["mrr"] == 1.0
+
+
+def test_ndcg_disjoint_rankings_score_zero(spark):
+    truth = _ranked_df(spark, [(1, i + 100, i) for i in range(1, 6)])
+    approx = _ranked_df(spark, [(1, i + 900, i) for i in range(1, 6)])
+    out = R.ndcg_vs_truth(truth, approx, k=5).collect()[0]
+    assert (out["overlap"], out["ndcg"], out["mrr"]) == (0, 0.0, 0.0)
+
+
+def test_ndcg_partial_overlap_matches_hand_computation(spark):
+    k = 3
+    w = R._ndcg_weights(k)  # [1e6, 630930, 500000]
+    idcg = 3 * w[0] + 2 * w[1] + 1 * w[2]
+    truth = _ranked_df(spark, [(1, 100, 1), (1, 101, 2), (1, 102, 3)])
+    # approx puts truth-top1 at position 2, truth-rank2 at position 1
+    approx = _ranked_df(spark, [(1, 101, 1), (1, 100, 2), (1, 999, 3)])
+    out = R.ndcg_vs_truth(truth, approx, k=k).collect()[0]
+    dcg = 2 * w[0] + 3 * w[1]
+    assert out["overlap"] == 2
+    assert out["ndcg"] == (dcg * 10000 // idcg) / 10000.0
+    assert out["mrr"] == (10**6 // 2) / 1e6
+
+
+# --------------------------------------------------------------- MMR ----
+VECS = {
+    1: [1.0, 0.0, 0.0, 0.0],
+    2: [0.9, 0.1, 0.0, 0.0],
+    3: [0.9, 0.05, 0.05, 0.0],
+    4: [0.0, 1.0, 0.0, 0.0],
+    5: [0.1, 0.9, 0.1, 0.0],
+    6: [0.0, 0.0, 1.0, 0.0],
+}
+
+
+def _cos(a, b):
+    d = n1 = n2 = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+    for x in a:
+        n1 += x * x
+    for y in b:
+        n2 += y * y
+    return d / (math.sqrt(n1) * math.sqrt(n2))
+
+
+def _py_mmr(vecs, qids, k, pool):
+    """Straight-line replay of retrieval.mmr_topk's greedy protocol."""
+    out = []
+    for q in qids:
+        sims = sorted(
+            ((_cos(vecs[q], vecs[c]), c) for c in vecs if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:pool]
+        # Spark's round(cos, 4) == HALF_UP on the shortest decimal repr
+        from decimal import ROUND_HALF_UP, Decimal
+
+        def r4(x):
+            return float(
+                Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
+
+        rel = {c: int(math.floor(r4(s) * 10000 + 0.5)) * 100 for s, c in sims}
+        simq = {
+            (a, b): int(math.floor(_cos(vecs[a], vecs[b]) * 1e6 + 0.5))
+            for a in rel
+            for b in rel
+            if a != b
+        }
+        sel = []
+        first = sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        sel.append((first[0], 1, 7 * first[1]))
+        while len(sel) < min(k, len(rel)):
+            best = None
+            for c in rel:
+                if any(c == s[0] for s in sel):
+                    continue
+                ms = max(simq[(c, s[0])] for s in sel)
+                score = 7 * rel[c] - 3 * ms
+                if best is None or (-score, c) < (-best[1], best[0]):
+                    best = (c, score)
+            sel.append((best[0], len(sel) + 1, best[1]))
+        for cid, pick, mmrq in sel:
+            out.append((q, cid, pick, mmrq / 1e7))
+    return sorted(out)
+
+
+def test_mmr_matches_python_replay(spark):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") == 1)
+    got = sorted(
+        tuple(r) for r in R.mmr_topk(emb, queries, k=3, pool=4).collect()
+    )
+    assert got == _py_mmr(VECS, [1], k=3, pool=4)
+
+
+def test_mmr_k_beyond_pool_degrades_gracefully(spark):
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in VECS.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id") == 1)
+    rows = R.mmr_topk(emb, queries, k=10, pool=3).collect()
+    assert len(rows) == 3  # pool exhausted; loop emits nothing further
+    assert sorted(r["pick"] for r in rows) == [1, 2, 3]
+
+
+# --------------------------------------------------------------- LPA ----
+def _py_lpa(edges, verts, iters):
+    """Synchronous weighted label propagation with the +1 incumbency
+    vote, argmax tie -> min label."""
+    w: dict[tuple[int, int], int] = {}
+    for s, d, wt in edges:
+        w[(s, d)] = w.get((s, d), 0) + wt
+    lab = {v: v for v in verts}
+    for _ in range(iters):
+        new = {}
+        for v in verts:
+            scores: dict[int, int] = {lab[v]: 1}
+            for (s, d), wt in w.items():
+                if d == v:
+                    scores[lab[s]] = scores.get(lab[s], 0) + wt
+            new[v] = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[
+                0
+            ][0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques_and_isolated_vertex(spark):
+    # groups {1,2,3} x2 orders, {4,5} x1 order; vertex 9 isolated
+    pairs = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 3), (12, 4), (12, 5)],
+        "g long, m long",
+    )
+    verts = spark.createDataFrame(
+        [(v,) for v in [1, 2, 3, 4, 5, 9]], "v long"
+    )
+    edges = cooccurrence_edges(pairs, "g", "m")
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(edges, verts, iters=4).collect()
+    }
+    e = [
+        (r["src"], r["dst"], r["w"])
+        for r in edges.collect()
+    ]
+    assert got == _py_lpa(e, [1, 2, 3, 4, 5, 9], 4)
+    assert got[9] == 9  # isolated keeps its own label
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5]
+    assert got[1] != got[4]
+
+
+# ------------------------------------------------------------- DoReMi ---
+def _py_doremi(docs, eta=1.0, vocab_k=20):
+    toks_all = []
+    per_doc = {}
+    for d, t, src in docs:
+        ts = t.lower().split()
+        per_doc[d] = (ts, src)
+        toks_all.extend(ts)
+    cnt: dict[str, int] = {}
+    for t in toks_all:
+        cnt[t] = cnt.get(t, 0) + 1
+    vocab = dict(
+        sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k]
+    )
+    total = len(toks_all)
+    dom: dict[str, list[int]] = {}
+    for d, (ts, src) in per_doc.items():
+        n = len(ts)
+        qsum = sum(
+            math.floor(math.log(vocab.get(t, 0.5) / total) * 1e4 + 0.5)
+            for t in ts
+        )
+        acc = dom.setdefault(src, [0, 0])
+        acc[0] += n
+        acc[1] += qsum
+    tn = sum(v[0] for v in dom.values())
+    tq = sum(v[1] for v in dom.values())
+    kd = len(dom)
+    nll_c = -(tq / tn) / 1e4
+    stage = {}
+    for src, (n, qs) in dom.items():
+        nll = -(qs / n) / 1e4
+        exc = max(0.0, nll - nll_c)
+        eq = int(math.floor(math.exp(eta * exc) * 1e6 + 0.5))
+        stage[src] = (n, math.floor(nll * 1e4 + 0.5) / 1e4,
+                      math.floor(exc * 1e4 + 0.5) / 1e4, eq)
+    es = sum(v[3] for v in stage.values())
+    out = {}
+    for src, (n, nll, exc, eq) in stage.items():
+        wq = (9 * ((eq * 10**6) // es)) // 10 + (10**6 // (10 * kd))
+        out[src] = (n, nll, exc, wq / 1e6)
+    return out
+
+
+def test_doremi_step_matches_python_replay(spark):
+    got = {
+        r["domain"]: (r["n_tokens"], r["nll"], r["excess"], r["weight"])
+        for r in doremi_step(_docs_df(spark)).collect()
+    }
+    assert got == _py_doremi(DOCS)
+
+
+def test_doremi_single_domain_gets_full_weight(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "only"), (2, "a a d", "only")],
+        "doc_id long, text string, source string",
+    )
+    rows = doremi_step(docs).collect()
+    assert len(rows) == 1
+    # excess clips to 0, exp factor 1e6, normalized 1e6 -> 0.9 + 0.1
+    assert rows[0]["excess"] == 0.0
+    assert rows[0]["weight"] == 1.0
+
+
+def test_doremi_weights_sum_to_one_within_quantum(spark):
+    rows = doremi_step(_docs_df(spark)).collect()
+    s = sum(r["weight"] for r in rows)
+    assert 1.0 - len(rows) * 3e-6 <= s <= 1.0 + 1e-9
