@@ -346,12 +346,11 @@ def label_propagation(
         edges.unpersist()
 
 
-def label_propagation_cooccurrence_oracle_sql(
-    pairs_sql: str, vertices_sql: str, iters: int = 4
-) -> str:
-    """DuckDB twin of cooccurrence_edges + label_propagation composed:
-    the synchronous loop unrolled as MATERIALIZED CTEs (l0 -> s1/l1 ->
-    ...), identical argmax tie-break (weight DESC, label ASC)."""
+def _lpa_ctes(pairs_sql: str, vertices_sql: str, iters: int) -> str:
+    """The shared WITH-body of the label-propagation oracles: cooccurrence
+    edges + the synchronous loop unrolled as MATERIALIZED CTEs (l0 ->
+    s1/l1 -> ...), identical argmax tie-break (weight DESC, label ASC).
+    The final label vector is ``l{iters}``."""
     ctes = [
         f"""
     mem AS MATERIALIZED (SELECT DISTINCT g, m FROM ({pairs_sql})),
@@ -383,12 +382,212 @@ def label_propagation_cooccurrence_oracle_sql(
       ) WHERE rn = 1
     )"""
         )
+    return "WITH" + ",".join(ctes)
+
+
+def label_propagation_cooccurrence_oracle_sql(
+    pairs_sql: str, vertices_sql: str, iters: int = 4
+) -> str:
+    """DuckDB twin of cooccurrence_edges + label_propagation composed
+    (see :func:`_lpa_ctes`)."""
     return (
-        "WITH"
-        + ",".join(ctes)
+        _lpa_ctes(pairs_sql, vertices_sql, iters)
         + f"""
     SELECT v, lab AS community
     FROM l{iters}
     ORDER BY community, v
     """
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a community assignment over a weighted
+    both-direction edge list — the standard "is this partition better
+    than chance" score for :func:`label_propagation` output:
+
+        Q = sum over communities c of [ e_c / W  -  (d_c / W)^2 ]
+
+    where W = total directed weight (2m), e_c = directed weight inside
+    c, d_c = weighted degree mass of c.  Computed as the exact BIGINT
+    numerator sum_c (e_c * W - d_c^2) divided once by W^2 — one edge
+    scan joined twice against the |V|-row broadcast label vector, then
+    community-level (tiny) arithmetic.  Edgeless input is defined as
+    Q = 0.  Magnitudes: d_c <= W, so each term and the sum stay within
+    2^63 while W < ~3e9 directed weight; beyond that, scale the weights
+    down (documented bound, same family as PageRank's 1e9 quantum).
+
+    Output: one row (n_communities, w_total, modularity) with
+    modularity floor-quantized at 1e-6."""
+    lab = labels.select(F.col("v"), F.col("community").alias("c"))
+    e_src = edges.join(
+        F.broadcast(lab.select(F.col("v").alias("src"), F.col("c").alias("cs"))),
+        "src",
+    )
+    both = e_src.join(
+        F.broadcast(lab.select(F.col("v").alias("dst"), F.col("c").alias("cd"))),
+        "dst",
+    )
+    d_c = e_src.groupBy("cs").agg(F.sum("w").alias("dc"))
+    e_c = (
+        both.filter(F.col("cs") == F.col("cd"))
+        .groupBy("cs")
+        .agg(F.sum("w").alias("ec"))
+    )
+    w_tot = edges.agg(F.sum("w").alias("wt"))
+    num = (
+        d_c.join(F.broadcast(e_c), "cs", "left")
+        .crossJoin(F.broadcast(w_tot))
+        .agg(
+            F.sum(
+                F.coalesce(F.col("ec"), F.lit(0)) * F.col("wt")
+                - F.col("dc") * F.col("dc")
+            ).alias("num")
+        )
+    )
+    n_comm = labels.agg(
+        F.countDistinct("community").cast("long").alias("n_communities")
+    )
+    return (
+        n_comm.crossJoin(w_tot)
+        .crossJoin(num)
+        .select(
+            "n_communities",
+            F.coalesce(F.col("wt"), F.lit(0)).cast("long").alias("w_total"),
+            F.when(
+                F.coalesce(F.col("wt"), F.lit(0)) > 0,
+                F.floor(
+                    F.col("num").cast("double")
+                    / (F.col("wt").cast("double") * F.col("wt"))
+                    * 1000000
+                    + F.lit(0.5)
+                )
+                / 1000000.0,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("modularity"),
+        )
+    )
+
+
+def modularity_lpa_oracle_sql(
+    pairs_sql: str, vertices_sql: str, iters: int = 4
+) -> str:
+    """DuckDB twin of cooccurrence_edges + label_propagation +
+    modularity composed: the LPA CTEs of :func:`_lpa_ctes` with the
+    exact-BIGINT-numerator modularity tail."""
+    return (
+        _lpa_ctes(pairs_sql, vertices_sql, iters)
+        + f""",
+    lw AS (SELECT CAST(COALESCE(sum(w), 0) AS BIGINT) AS wt FROM edges),
+    dc AS (
+      SELECT l.lab AS c, CAST(sum(e.w) AS BIGINT) AS dc
+      FROM edges e JOIN l{iters} l ON l.v = e.src
+      GROUP BY 1
+    ),
+    ec AS (
+      SELECT ls.lab AS c, CAST(sum(e.w) AS BIGINT) AS ec
+      FROM edges e
+      JOIN l{iters} ls ON ls.v = e.src
+      JOIN l{iters} ld ON ld.v = e.dst
+      WHERE ls.lab = ld.lab
+      GROUP BY 1
+    ),
+    num AS (
+      SELECT CAST(sum(COALESCE(ec.ec, 0) * lw.wt - dc.dc * dc.dc) AS BIGINT) AS num
+      FROM dc LEFT JOIN ec USING (c) CROSS JOIN lw
+    )
+    SELECT (SELECT CAST(count(DISTINCT lab) AS BIGINT) FROM l{iters}) AS n_communities,
+           lw.wt AS w_total,
+           CASE WHEN lw.wt > 0
+                THEN floor(CAST(num.num AS DOUBLE) / (CAST(lw.wt AS DOUBLE) * lw.wt)
+                           * 1000000 + 0.5) / 1000000.0
+                ELSE 0.0 END AS modularity
+    FROM lw CROSS JOIN num
+    """
+    )
+
+
+def adjacency_edges(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token-adjacency co-occurrence edges for TextRank (Mihalcea &
+    Tarau 2004, window = 2): every adjacent token pair in a document
+    contributes weight 1 to the undirected edge between the two words,
+    emitted in both directions (src, dst, w) for :func:`pagerank`.
+
+    Bigram extraction is an in-row arrays_zip over the token array (the
+    corpus.bigram pattern — narrow, no self-join on positions); the
+    only shuffle is the (src, dst) weight aggregation, bounded by
+    distinct adjacent-pair vocabulary, not corpus size."""
+    from adtl_spark.operators.text import tokens
+
+    t = docs.select(tokens(F.col(text_col)).alias("t"))
+    bi = t.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("a"),
+                F.slice(
+                    F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("b"),
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b")).filter(
+        F.col("a") != F.col("b")
+    )
+    sym = bi.unionByName(
+        bi.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return sym.groupBy(F.col("a").alias("src"), F.col("b").alias("dst")).agg(
+        F.count(F.lit(1)).cast("long").alias("w")
+    )
+
+
+def pagerank_edges_oracle_sql(
+    edges_sql: str,
+    vertices_sql: str,
+    iters: int = 3,
+    damping: float = 0.85,
+    tail_sql: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`pagerank` over an arbitrary (src, dst, w)
+    edge subquery — the generic form of
+    :func:`pagerank_cooccurrence_oracle_sql` (which fixes the edge
+    derivation to group co-membership).  ``tail_sql``, when given,
+    replaces the final SELECT and may reference ``r{iters}`` plus the
+    standard rank rendering; it must keep the same integer protocol."""
+    base_q = int(round((1.0 - damping) * PR_SCALE))
+    ctes = [
+        f"""
+    verts AS MATERIALIZED (SELECT v FROM ({vertices_sql})),
+    edges AS MATERIALIZED (SELECT src, dst, w FROM ({edges_sql})),
+    ew AS MATERIALIZED (
+      SELECT e.src, e.dst, e.w, o.outdeg
+      FROM edges e
+      JOIN (SELECT src, sum(w) AS outdeg FROM edges GROUP BY src) o
+        USING (src)
+    ),
+    r0 AS MATERIALIZED (SELECT v, CAST({PR_SCALE} AS BIGINT) AS rq FROM verts)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""
+    c{i} AS MATERIALIZED (
+      SELECT ew.dst,
+             CAST(sum(CAST(floor(CAST({damping!r} AS DOUBLE) * CAST(r.rq AS DOUBLE) * ew.w / ew.outdeg) AS BIGINT)) AS BIGINT) AS csum
+      FROM ew JOIN r{i - 1} r ON ew.src = r.v
+      GROUP BY ew.dst
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT verts.v, {base_q} + COALESCE(c.csum, 0) AS rq
+      FROM verts LEFT JOIN c{i} c ON verts.v = c.dst
+    )"""
+        )
+    tail = tail_sql or f"""
+    SELECT v,
+           floor(CAST(rq AS DOUBLE) / CAST({PR_SCALE / 10000.0!r} AS DOUBLE) + 0.5) / 10000.0 AS pagerank
+    FROM r{iters}
+    ORDER BY pagerank DESC, v ASC
+    """
+    return "WITH" + ",".join(ctes) + tail

@@ -210,6 +210,7 @@ def rrf_fuse_topk(
     k: int = 10,
     k0: int = 60,
     id_col: str = "doc_id",
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Reciprocal-rank fusion of two per-query rankings (Cormack,
     Clarke & Buettcher 2009): score(d) = sum over systems of
@@ -243,6 +244,12 @@ def rrf_fuse_topk(
         .groupBy("query_id", "id")
         .agg(F.sum("__c").alias("__score"))
     )
+    if exclude_self:
+        # known-item / related-document retrieval: when query ids live in
+        # the same id space as documents, drop the query's own document
+        # AFTER fusion (it still holds its per-system ranks — uniform,
+        # documented semantics mirrored by the oracle)
+        fused = fused.filter(F.col("id") != F.col("query_id"))
     w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
     return (
         fused.withColumn("rank", F.row_number().over(w))
@@ -257,26 +264,33 @@ def rrf_fuse_topk(
 
 
 def rrf_fuse_oracle_sql(
-    ranked_a_sql: str, ranked_b_sql: str, k: int = 10, k0: int = 60
+    ranked_a_sql: str,
+    ranked_b_sql: str,
+    k: int = 10,
+    k0: int = 60,
+    exclude_self: bool = False,
 ) -> str:
     """DuckDB twin of :func:`rrf_fuse_topk` over two ranking subqueries
     (each a full SELECT — nested WITH is fine in DuckDB derived tables)
     that yield (query_id, doc_id, rank, ...)."""
+    self_filter = "WHERE id != query_id" if exclude_self else ""
     return f"""
-    WITH ra AS (SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS ca
-                FROM ({ranked_a_sql}) __a),
-    rb AS (SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS cb
-           FROM ({ranked_b_sql}) __b),
-    fused AS (
-      SELECT COALESCE(ra.query_id, rb.query_id) AS query_id,
-             COALESCE(ra.id, rb.id) AS id,
-             COALESCE(ca, 0) + COALESCE(cb, 0) AS score
-      FROM ra FULL OUTER JOIN rb ON ra.query_id = rb.query_id AND ra.id = rb.id
+    WITH contrib AS (
+      SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS c
+      FROM ({ranked_a_sql}) __a
+      UNION ALL
+      SELECT query_id, doc_id AS id, {RRF_SCALE} // ({k0} + rank) AS c
+      FROM ({ranked_b_sql}) __b
     ),
+    fused AS (
+      SELECT query_id, id, CAST(sum(c) AS BIGINT) AS score
+      FROM contrib GROUP BY 1, 2
+    ),
+    kept AS (SELECT * FROM fused {self_filter}),
     ranked AS (
       SELECT query_id, id, score,
              row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS rank
-      FROM fused
+      FROM kept
     )
     SELECT query_id, id AS doc_id, CAST(rank AS BIGINT) AS rank,
            CAST(score AS DOUBLE) / {RRF_SCALE} AS rrf
@@ -631,4 +645,361 @@ def mmr_topk_oracle_sql(
     FROM sel{k}
     ORDER BY query_id, pick
     """
+    )
+
+
+# ------------------------------------------------------ RM3-style expansion
+RM3_SCALE = 1_000_000  # quantum of the per-(term, doc) tf/dl mass
+
+
+def rm3_expansion_terms(
+    df: DataFrame,
+    queries: DataFrame,
+    m: int = 5,
+    e: int = 8,
+    mu: int = 2000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (the RM1 estimate
+    inside RM3, Lavrenko & Croft 2001): run the Dirichlet QL retriever,
+    take the top-``m`` feedback documents per query, and rank candidate
+    expansion terms by their relevance-model mass
+
+        w(t | q) = sum over feedback docs d of  tf(t, d) / dl_d
+
+    with uniform feedback-document weights and each per-document ratio
+    quantized once as (tf * 1e6) DIV dl — exact BIGINT sums.  Terms
+    already in the query are excluded (these are the EXPANSION terms;
+    RM3's interpolation with the original query is a downstream mix).
+    Ties break lexicographically.
+
+    Scale shape: feedback is queries x m rows (broadcast); the term
+    aggregation touches only the feedback documents' postings, and the
+    final top-``e`` window runs per query over candidate terms bounded
+    by feedback-set vocabulary.
+
+    Output: (query_id, term, rank, weight) at the 1e-6 quantum."""
+    fb = ql_topk(df, queries, k=m, mu=mu, text_col=text_col, id_col=id_col)
+    fb = fb.select("query_id", F.col(id_col).alias("id"))
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+    qterms = queries.select(
+        "query_id", F.explode(tokens(F.col("query"))).alias("token")
+    ).distinct()
+    mass = (
+        tf.join(F.broadcast(fb), "id")
+        .join(dl, "id")
+        .select(
+            "query_id",
+            "token",
+            F.expr(f"(tf * {RM3_SCALE}) DIV dl").alias("__m"),
+        )
+        .groupBy("query_id", "token")
+        .agg(F.sum("__m").alias("__mass"))
+        .join(F.broadcast(qterms), ["query_id", "token"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__mass"), F.asc("token")
+    )
+    return (
+        mass.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= e)
+        .select(
+            "query_id",
+            F.col("token").alias("term"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__mass").cast("double") / RM3_SCALE).alias("weight"),
+        )
+    )
+
+
+def rm3_expansion_oracle_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    m: int = 5,
+    e: int = 8,
+    mu: int = 2000,
+) -> str:
+    """DuckDB twin of :func:`rm3_expansion_terms`: the QL oracle as the
+    feedback subquery, then the same (tf * 1e6) DIV dl mass protocol."""
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    fb_sql = ql_topk_oracle_sql(table, queries, k=m, mu=mu)
+    return f"""
+    WITH fb AS (SELECT query_id, doc_id AS id FROM ({fb_sql}) __fb),
+    toks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM {table}
+    ),
+    tf AS (SELECT id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY 1),
+    q(query_id, query) AS (VALUES {qvals}),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(query), '\\s+'), t -> t != '')
+      ) AS token
+      FROM q
+    ),
+    mass AS (
+      SELECT fb.query_id, tf.token,
+             CAST(sum((tf.tf * {RM3_SCALE}) // dl.dl) AS BIGINT) AS mass
+      FROM tf JOIN fb USING (id) JOIN dl USING (id)
+      GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT m.* FROM mass m
+      WHERE NOT EXISTS (
+        SELECT 1 FROM qterms qt
+        WHERE qt.query_id = m.query_id AND qt.token = m.token
+      )
+    ),
+    ranked AS (
+      SELECT query_id, token, mass,
+             row_number() OVER (PARTITION BY query_id ORDER BY mass DESC, token ASC) AS rank
+      FROM kept
+    )
+    SELECT query_id, token AS term, CAST(rank AS BIGINT) AS rank,
+           CAST(mass AS DOUBLE) / {RM3_SCALE} AS weight
+    FROM ranked WHERE rank <= {e}
+    """
+
+
+# ------------------------------------------------- persisted search index
+#
+# "Build once, query many" retrieval serving: the corpus-side
+# aggregations every lexical scorer needs (postings tf, lexicon df/ctf,
+# document lengths, corpus totals) are computed ONCE and persisted; a
+# query then reads ONLY its own tokens' postings/lexicon rows — the
+# token-hash bucket layout prunes at file listing (PartitionFilters) and
+# the exact token equality pushes into the parquet scan (PushedFilters),
+# the same layout contract as text.write_postings_index and the IVF-PQ
+# index sidecar.  bm25_query_index / ql_query_index reproduce their
+# in-memory twins row-for-row (tested), so the index is a pure IO
+# optimization, not a semantics fork.
+
+SEARCH_INDEX_BUCKETS = 64
+
+
+def write_search_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = SEARCH_INDEX_BUCKETS,
+) -> None:
+    """Persist the lexical search index:
+
+    - ``{path}/postings`` — (id, token, tf), parquet PARTITIONED BY the
+      token's stable hash bucket (a directory per raw token would be a
+      filesystem DoS at corpus scale; a query still prunes to its own
+      tokens' buckets);
+    - ``{path}/lexicon``  — (token, df, ctf), same bucket layout;
+    - ``{path}/docs``     — (id, dl) document lengths (zero-token
+      documents included — they count toward N/avgdl, matching the
+      in-memory operators' narrow dl relation);
+    - ``{path}/stats``    — one row (n_docs, t_tokens).
+    """
+    bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    lex = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_"),
+        F.sum("tf").cast("long").alias("ctf"),
+    )
+    lex.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/lexicon")
+    dl = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/docs")
+    dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("t_tokens"),
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def _query_terms(spark, queries: DataFrame):
+    """(query_id, token, qtf) rows of the tiny query relation, plus the
+    distinct token list driving static bucket/token pruning.  The
+    collect is query-sized (the repo's model-sized-collect rule)."""
+    qt = (
+        queries.select(
+            "query_id", F.explode(tokens(F.col("query"))).alias("token")
+        )
+        .groupBy("query_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("qtf"))
+    )
+    rows = qt.collect()
+    terms = sorted({r["token"] for r in rows})
+    return rows, terms
+
+
+def _pruned(spark, path: str, terms: list[str], n_buckets: int) -> DataFrame:
+    """Read an index component pruned to the query's tokens: bucket
+    values computed with the WRITER's hash, then token equality on top
+    (reaches the scan as PushedFilters)."""
+    t = spark.read.parquet(path)
+    if not terms:
+        return t.filter(F.lit(False))
+    bucket_rows = (
+        spark.createDataFrame([(w,) for w in terms], "token string")
+        .select(
+            F.pmod(F.xxhash64("token"), F.lit(n_buckets))
+            .cast("int")
+            .alias("b")
+        )
+        .collect()
+    )
+    buckets = sorted({r["b"] for r in bucket_rows})
+    return t.filter(F.col("bucket").isin(buckets)).filter(
+        F.col("token").isin(terms)
+    )
+
+
+def bm25_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    n_buckets: int = SEARCH_INDEX_BUCKETS,
+) -> DataFrame:
+    """Okapi BM25 served from a PERSISTED index
+    (:func:`write_search_index`): identical integer protocol to
+    text.bm25_topk (idf at the 1e-4 ln quantum, the 1e5-scaled
+    integer-DIV tf normalization), but the corpus text is never touched
+    — query IO is the query's own tokens' postings + lexicon rows plus
+    the match-bounded dl join.  Row-for-row equal to the in-memory form
+    (tested)."""
+    qrows, terms = _query_terms(spark, queries)
+    qt = spark.createDataFrame(
+        [(r["query_id"], r["token"]) for r in qrows],
+        "query_id long, token string",
+    ).distinct()
+    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
+    lex = _pruned(spark, f"{path}/lexicon", terms, n_buckets)
+    dl = spark.read.parquet(f"{path}/docs")
+    stats = spark.read.parquet(f"{path}/stats").select(
+        "n_docs", F.expr("t_tokens * 1000 DIV n_docs").alias("avgdl_q")
+    )
+    idf_q = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_") + 0.5) / (F.col("df_") + 0.5)
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        post.join(F.broadcast(qt), "token")
+        .join(F.broadcast(lex.select("token", "df_")), "token")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "id",
+            (
+                idf_q
+                * F.expr(
+                    "(2200000 * tf) DIV (10 * tf + 3 + (9000 * dl) DIV avgdl_q)"
+                )
+            ).alias("__s"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("__s").alias("__score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / 1e9).alias("bm25"),
+        )
+    )
+
+
+def ql_query_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    mu: int = 2000,
+    id_col: str = "doc_id",
+    n_buckets: int = SEARCH_INDEX_BUCKETS,
+) -> DataFrame:
+    """Dirichlet query likelihood served from the same persisted index —
+    identical protocol to :func:`ql_topk` (both ln factors at the 1e-6
+    quantum), identical results (tested); query IO is the query's
+    tokens' rows plus the match-bounded dl join."""
+    qrows, terms = _query_terms(spark, queries)
+    qt = spark.createDataFrame(
+        [(r["query_id"], r["token"], r["qtf"]) for r in qrows],
+        "query_id long, token string, qtf long",
+    )
+    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
+    lex = _pruned(spark, f"{path}/lexicon", terms, n_buckets)
+    dl = spark.read.parquet(f"{path}/docs")
+    total = spark.read.parquet(f"{path}/stats").select("t_tokens")
+    qv = qt.join(F.broadcast(lex.select("token", "ctf")), "token")
+    qlen = qv.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
+    a_q = F.floor(
+        F.log(
+            F.lit(1.0)
+            + (F.col("tf") * F.col("t_tokens"))
+            / (F.lit(mu) * F.col("ctf"))
+        )
+        * QL_SCALE
+        + F.lit(0.5)
+    ).cast("long")
+    asum = (
+        post.join(F.broadcast(qv), "token")
+        .crossJoin(F.broadcast(total))
+        .select("query_id", "id", (F.col("qtf") * a_q).alias("__a"))
+        .groupBy("query_id", "id")
+        .agg(F.sum("__a").alias("__asum"))
+    )
+    b_q = F.floor(
+        F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))) * QL_SCALE + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        asum.join(dl, "id")
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id",
+            "id",
+            (F.col("__asum") + F.col("qlen") * b_q).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            (F.col("__score").cast("double") / QL_SCALE).alias("ql"),
+        )
     )

@@ -800,12 +800,22 @@ def bm25_topk(
 
 
 def bm25_topk_oracle_sql(
-    table: str, queries: list[tuple[int, str]], k: int = 5
+    table: str,
+    queries: list[tuple[int, str]] | None,
+    k: int = 5,
+    queries_sql: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`bm25_topk` — same tokenizer, same integer
     quantization (`//` is DuckDB's integer floor division; all operands
-    here are non-negative BIGINTs, so it matches Spark's DIV exactly)."""
-    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    here are non-negative BIGINTs, so it matches Spark's DIV exactly).
+    Queries come either as a literal list or, via ``queries_sql``, as a
+    (query_id, query) subquery (the hybrid-retrieval gate derives its
+    queries from the corpus itself)."""
+    if queries_sql is not None:
+        qcte = f"q AS (SELECT query_id, query FROM ({queries_sql}))"
+    else:
+        qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+        qcte = f"q(query_id, query) AS (VALUES {qvals})"
     return f"""
     WITH toks AS (
       SELECT doc_id AS id, unnest(
@@ -824,7 +834,7 @@ def bm25_topk_oracle_sql(
       FROM toks
     ),
     st AS (SELECT n_docs, t_tokens * 1000 // n_docs AS avgdl_q FROM stats),
-    q(query_id, query) AS (VALUES {qvals}),
+    {qcte},
     qterms AS (
       SELECT DISTINCT query_id, unnest(
         list_filter(string_split_regex(lower(query), '\\s+'), t -> t != '')

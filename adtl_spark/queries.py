@@ -4333,6 +4333,44 @@ def oracles() -> dict[str, str]:
         "mixture_doremi_step": SA.doremi_step_oracle_sql(
             "SELECT doc_id, text, source FROM documents"
         ),
+        "retrieval_hybrid_rrf": R.rrf_fuse_oracle_sql(
+            X.bm25_topk_oracle_sql(
+                "documents",
+                None,
+                k=RRF_N,
+                queries_sql=(
+                    "SELECT doc_id AS query_id, text AS query FROM documents "
+                    f"ORDER BY doc_id LIMIT {HY_QUERIES}"
+                ),
+            ),
+            (
+                "SELECT query_id, corpus_id AS doc_id, rank FROM ("
+                + S.cosine_topk_oracle_sql("embeddings", RRF_N, HY_QUERIES)
+                + ") __dn"
+            ),
+            k=RRF_K,
+            exclude_self=True,
+        ),
+        "retrieval_rm3_expand": R.rm3_expansion_oracle_sql(
+            "documents", BM25_QUERIES, m=RM3_M, e=RM3_E
+        ),
+        "graph_modularity": G.modularity_lpa_oracle_sql(
+            "SELECT l_orderkey AS g, l_suppkey AS m FROM lineitem",
+            "SELECT s_suppkey AS v FROM supplier",
+            iters=LPA_ITERS,
+        ),
+        "text_textrank_keywords": G.pagerank_edges_oracle_sql(
+            _TEXTRANK_EDGES_SQL,
+            _TEXTRANK_VERTS_SQL,
+            iters=3,
+            tail_sql=f"""
+    SELECT v AS token,
+           floor(CAST(rq AS DOUBLE) / CAST({G.PR_SCALE / 10000.0!r} AS DOUBLE) + 0.5) / 10000.0 AS pagerank
+    FROM r3
+    ORDER BY pagerank DESC, v ASC
+    LIMIT {TEXTRANK_K}
+    """,
+        ),
         "ann_ivfpq_topk": S.ann_ivfpq_oracle_sql(
             "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
             ANN_K, ANN_QUERIES, dim=EMB_DIM,
@@ -6400,6 +6438,107 @@ def mixture_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SA.doremi_step(_t(spark, sf_dir, "documents"))
 
 
+HY_QUERIES = 3   # known-item hybrid retrieval: query docs = 3 lowest ids
+RM3_M = 5        # feedback depth
+RM3_E = 8        # expansion terms per query
+TEXTRANK_K = 20  # corpus keywords
+
+# TextRank's relational edge derivation, mirrored for the oracle: in-row
+# bigrams (list_zip of the two shifted token slices), self-pairs dropped,
+# symmetrized, counted.
+_TEXTRANK_EDGES_SQL = """
+WITH bi AS (
+  SELECT z[1] AS a, z[2] AS b FROM (
+    SELECT unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+    FROM (
+      SELECT list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM documents
+    ) d
+  ) u
+  WHERE z[1] != z[2]
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+  SELECT a AS src, b AS dst FROM bi
+  UNION ALL
+  SELECT b AS src, a AS dst FROM bi
+) GROUP BY 1, 2
+"""
+
+_TEXTRANK_VERTS_SQL = """
+SELECT DISTINCT unnest(
+  list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+) AS v
+FROM documents
+"""
+
+
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid dense+sparse retrieval: RRF of the BM25 ranking (query =
+    the document's own text) and the dense cosine ranking (query = the
+    document's embedding) for the 3 lowest doc ids — the production
+    related-document stack, joined across the aligned doc_id/vec_id
+    spaces.  The query's own document is dropped after fusion
+    (exclude_self; the dense side never contains it, the lexical side
+    ranks it #1 — uniform, documented, oracle-mirrored)."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = (
+        docs.orderBy("doc_id")
+        .limit(HY_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"), F.col("text").alias("query")
+        )
+    )
+    bm = X.bm25_topk(docs, qdf, k=RRF_N)
+    qe = emb.orderBy("vec_id").limit(HY_QUERIES)
+    dn = S.cosine_topk(emb, qe, k=RRF_N).select(
+        "query_id", F.col("corpus_id").alias("doc_id"), "rank"
+    )
+    return R.rrf_fuse_topk(bm, dn, k=RRF_K, exclude_self=True)
+
+
+def retrieval_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (RM1 inside RM3,
+    Lavrenko & Croft): QL top-5 feedback docs per query, expansion mass
+    (tf*1e6) DIV dl summed exactly, query's own terms excluded, top-8
+    per query (retrieval.rm3_expansion_terms)."""
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return R.rm3_expansion_terms(
+        _t(spark, sf_dir, "documents"), qdf, m=RM3_M, e=RM3_E
+    )
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition over the
+    supplier co-occurrence graph (graph.modularity): exact-BIGINT
+    numerator sum_c(e_c*W - d_c^2) over W^2 — the partition-quality
+    scorecard for graph_label_propagation, one row."""
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    vertices = supplier.select(F.col("s_suppkey").alias("v"))
+    labels = G.label_propagation(edges, vertices, iters=LPA_ITERS)
+    return G.modularity(edges, labels)
+
+
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords (Mihalcea & Tarau): PageRank over the
+    token-adjacency co-occurrence graph (graph.adjacency_edges — in-row
+    bigram extraction, no positional self-join), 3 exact-integer
+    iterations, top-20 tokens by rank (graph.pagerank reused verbatim;
+    the oracle is the generic unrolled-CTE PageRank over the same
+    relational edge derivation)."""
+    docs = _t(spark, sf_dir, "documents")
+    edges = G.adjacency_edges(docs)
+    vertices = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("v")).distinct()
+    )
+    ranked = G.pagerank(edges, vertices, iters=3)
+    return ranked.limit(TEXTRANK_K).select(
+        F.col("v").alias("token"), "pagerank"
+    )
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry of every oracle-gated query, ordered for the driver's gate.
 
@@ -6408,9 +6547,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     1. The newest queries lead so each gets a driver row the round it
        lands: the round-9 retrieval/ranking block (Dirichlet query
-       likelihood, BM25+QL reciprocal-rank fusion, truncated-dims
-       nDCG/MRR, MMR diversification), label-propagation communities,
-       and the DoReMi mixture step sit at the very head; behind them
+       likelihood, BM25+QL reciprocal-rank fusion, the dense+sparse
+       hybrid, RM3 expansion terms, truncated-dims nDCG/MRR, MMR
+       diversification), label-propagation communities + their
+       modularity scorecard, TextRank keywords, and the DoReMi mixture
+       step sit at the very head; behind them
        the IVF-PQ composite ANN gate + its all-pairs recall
        twin, the full IVF-PQ + exact-rerank serving path (+ recall),
        hard-negative mining (exact + IVF-pruned), chi-square
@@ -6454,7 +6595,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rrf_fuse": retrieval_rrf_fuse,
         "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
         "retrieval_mmr_topk": retrieval_mmr_topk,
+        "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
+        "retrieval_rm3_expand": retrieval_rm3_expand,
         "graph_label_propagation": graph_label_propagation,
+        "graph_modularity": graph_modularity,
+        "text_textrank_keywords": text_textrank_keywords,
         "mixture_doremi_step": mixture_doremi_step,
         "ann_ivfpq_topk": ann_ivfpq_topk,  # -- newest queries (this round's window head) --
         "ann_ivfpq_recall": ann_ivfpq_recall,

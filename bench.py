@@ -294,6 +294,10 @@ HEADLINE = [
     "retrieval_mmr_topk",
     "graph_label_propagation",
     "mixture_doremi_step",
+    "retrieval_hybrid_rrf",
+    "retrieval_rm3_expand",
+    "graph_modularity",
+    "text_textrank_keywords",
 ]
 
 

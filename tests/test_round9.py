@@ -355,3 +355,208 @@ def test_doremi_weights_sum_to_one_within_quantum(spark):
     rows = doremi_step(_docs_df(spark)).collect()
     s = sum(r["weight"] for r in rows)
     assert 1.0 - len(rows) * 3e-6 <= s <= 1.0 + 1e-9
+
+
+# ------------------------------------------------------ RM3 expansion ---
+def _py_rm3(docs, queries, m, e, mu=2000):
+    fb = {}
+    for qid, d, rank, _ in _py_ql(docs, queries, k=m, mu=mu):
+        fb.setdefault(qid, []).append(d)
+    toks = {d: t.lower().split() for d, t, *_ in docs}
+    out = []
+    for qid, q in queries:
+        qset = set(q.lower().split())
+        mass: dict[str, int] = {}
+        for d in fb.get(qid, []):
+            dl = len(toks[d])
+            tf: dict[str, int] = {}
+            for t in toks[d]:
+                tf[t] = tf.get(t, 0) + 1
+            for t, f in tf.items():
+                mass[t] = mass.get(t, 0) + (f * 10**6) // dl
+        cand = [(t, w) for t, w in mass.items() if t not in qset]
+        ranked = sorted(cand, key=lambda kv: (-kv[1], kv[0]))[:e]
+        for rank, (t, w) in enumerate(ranked, start=1):
+            out.append((qid, t, rank, w / 1e6))
+    return sorted(out)
+
+
+def test_rm3_expansion_matches_python_replay(spark):
+    got = sorted(
+        tuple(r)
+        for r in R.rm3_expansion_terms(
+            _docs_df(spark), _q_df(spark), m=3, e=5
+        ).collect()
+    )
+    assert got == _py_rm3(DOCS, QUERIES, m=3, e=5)
+
+
+def test_rm3_excludes_original_query_terms(spark):
+    rows = R.rm3_expansion_terms(
+        _docs_df(spark), _q_df(spark), m=3, e=50
+    ).collect()
+    qterms = {
+        (qid, t) for qid, q in QUERIES for t in q.lower().split()
+    }
+    assert all((r["query_id"], r["term"]) not in qterms for r in rows)
+
+
+# -------------------------------------------------- hybrid exclude_self --
+def test_rrf_exclude_self_drops_query_doc(spark):
+    a = spark.createDataFrame(
+        [(1, 1, 1), (1, 5, 2)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(1, 5, 1), (1, 6, 2)], "query_id long, doc_id long, rank long"
+    )
+    got = [
+        r["doc_id"]
+        for r in R.rrf_fuse_topk(a, b, k=10, exclude_self=True).collect()
+    ]
+    assert 1 not in got and sorted(got) == [5, 6]
+
+
+# --------------------------------------------------------- modularity ---
+def _edges_df(spark, rows):
+    return spark.createDataFrame(rows, "src long, dst long, w long")
+
+
+def _labels_df(spark, rows):
+    return spark.createDataFrame(rows, "v long, community long")
+
+
+def _both_dirs(undirected):
+    out = []
+    for a, b, w in undirected:
+        out.append((a, b, w))
+        out.append((b, a, w))
+    return out
+
+
+def test_modularity_two_disjoint_triangles_is_half(spark):
+    tri1 = [(1, 2, 1), (2, 3, 1), (1, 3, 1)]
+    tri2 = [(4, 5, 1), (5, 6, 1), (4, 6, 1)]
+    edges = _edges_df(spark, _both_dirs(tri1 + tri2))
+    labels = _labels_df(
+        spark, [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)]
+    )
+    row = __import__("adtl_spark.operators.graph", fromlist=["modularity"]).modularity(
+        edges, labels
+    ).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["w_total"] == 12
+    assert row["modularity"] == 0.5
+
+
+def test_modularity_single_community_is_zero_and_edgeless_defined(spark):
+    tri = [(1, 2, 1), (2, 3, 1), (1, 3, 1)]
+    from adtl_spark.operators.graph import modularity
+
+    edges = _edges_df(spark, _both_dirs(tri))
+    labels = _labels_df(spark, [(1, 7), (2, 7), (3, 7)])
+    row = modularity(edges, labels).collect()[0]
+    assert (row["n_communities"], row["modularity"]) == (1, 0.0)
+    empty = _edges_df(spark, [])
+    row2 = modularity(empty, labels).collect()[0]
+    assert (row2["w_total"], row2["modularity"]) == (0, 0.0)
+
+
+# ----------------------------------------------------------- TextRank ---
+def test_adjacency_edges_counts_and_symmetry(spark):
+    from adtl_spark.operators.graph import adjacency_edges
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c")], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in adjacency_edges(docs).collect()
+    }
+    # doc1 bigrams: (a,b), (b,a); doc2: (b,c) -> symmetric counts
+    assert got == {
+        ("a", "b"): 2,
+        ("b", "a"): 2,
+        ("b", "c"): 1,
+        ("c", "b"): 1,
+    }
+
+
+def test_adjacency_edges_drops_self_pairs_and_short_docs(spark):
+    from adtl_spark.operators.graph import adjacency_edges
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "solo"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        (r["src"], r["dst"]): r["w"] for r in adjacency_edges(docs).collect()
+    }
+    assert got == {("x", "y"): 1, ("y", "x"): 1}  # (x,x) dropped
+
+
+def test_textrank_star_center_ranks_first(spark):
+    from adtl_spark.operators.graph import adjacency_edges, pagerank
+
+    # hub appears adjacent to every spoke; spokes never touch each other
+    docs = spark.createDataFrame(
+        [(i, f"hub w{i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    edges = adjacency_edges(docs)
+    verts = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("v")
+    ).distinct()
+    top = pagerank(edges, verts, iters=3).collect()
+    assert top[0]["v"] == "hub"
+    assert top[0]["pagerank"] > top[1]["pagerank"]
+
+
+# ------------------------------------------------ persisted search index
+def test_search_index_bm25_and_ql_equal_in_memory_and_prune(spark, tmp_path):
+    import re
+
+    from adtl_spark.operators.retrieval import (
+        bm25_query_index,
+        ql_query_index,
+        write_search_index,
+    )
+    from adtl_spark.operators.text import bm25_topk
+
+    docs = _docs_df(spark)
+    qdf = _q_df(spark)
+    path = str(tmp_path / "searchidx")
+    write_search_index(docs, path, n_buckets=16)
+
+    got_bm = sorted(
+        tuple(r)
+        for r in bm25_query_index(spark, path, qdf, k=5, n_buckets=16).collect()
+    )
+    want_bm = sorted(tuple(r) for r in bm25_topk(docs, qdf, k=5).collect())
+    assert got_bm == want_bm
+
+    got_ql = sorted(
+        tuple(r)
+        for r in ql_query_index(spark, path, qdf, k=5, n_buckets=16).collect()
+    )
+    want_ql = sorted(tuple(r) for r in R.ql_topk(docs, qdf, k=5).collect())
+    assert got_ql == want_ql
+
+    # scale claims: bucket pruning reaches the scan as PartitionFilters
+    # and the token equality is pushed into the parquet scan
+    q = bm25_query_index(spark, path, qdf, k=5, n_buckets=16)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "bucket" in pf.group(1), plan[:1500]
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "token" in pushed.group(1), plan[:1500]
+
+
+def test_search_index_all_oov_query_is_empty(spark, tmp_path):
+    from adtl_spark.operators.retrieval import (
+        bm25_query_index,
+        write_search_index,
+    )
+
+    path = str(tmp_path / "searchidx2")
+    write_search_index(_docs_df(spark), path, n_buckets=16)
+    qdf = spark.createDataFrame(
+        [(9, "zzz qqq")], "query_id long, query string"
+    )
+    assert bm25_query_index(spark, path, qdf, k=5, n_buckets=16).count() == 0
