@@ -837,6 +837,22 @@ def write_search_index(
     ).write.mode("overwrite").parquet(f"{path}/stats")
 
 
+_POSTINGS_SCHEMA = "id long, token string, tf long, bucket int"
+_LEXICON_SCHEMA = "token string, df_ long, ctf long, bucket int"
+
+
+def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
+    """Read an index component, tolerating the zero-row case: a
+    PARTITIONED parquet write with no rows emits no data files, so a
+    later read cannot infer a schema — an empty (freshly seeded) index
+    is still a valid index, so fall back to an empty relation with the
+    component's schema."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return spark.createDataFrame([], schema)
+
+
 def _query_terms(spark, queries: DataFrame):
     """(query_id, token, qtf) rows of the tiny query relation, plus the
     distinct token list driving static bucket/token pruning.  The
@@ -857,7 +873,10 @@ def _pruned(spark, path: str, terms: list[str], n_buckets: int) -> DataFrame:
     """Read an index component pruned to the query's tokens: bucket
     values computed with the WRITER's hash, then token equality on top
     (reaches the scan as PushedFilters)."""
-    t = spark.read.parquet(path)
+    schema = (
+        _LEXICON_SCHEMA if path.endswith("/lexicon") else _POSTINGS_SCHEMA
+    )
+    t = _read_or_empty(spark, path, schema)
     if not terms:
         return t.filter(F.lit(False))
     bucket_rows = (
@@ -1003,3 +1022,78 @@ def ql_query_index(
             (F.col("__score").cast("double") / QL_SCALE).alias("ql"),
         )
     )
+
+
+def append_to_search_index(
+    batch_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = SEARCH_INDEX_BUCKETS,
+) -> None:
+    """Absorb a batch of NEW documents into a persisted search index
+    (:func:`write_search_index`) without rebuilding it — the streaming/
+    incremental ingestion path (same append contract as the IVF-PQ
+    index: document ids must be previously unseen; re-ingesting an id
+    would double-count its postings).
+
+    Per component: postings and dl rows APPEND (per-document rows are
+    final on first sight); the lexicon and corpus stats are aggregates,
+    so they merge — read, union the batch delta, re-aggregate, staged
+    overwrite (localCheckpoint breaks the read-overwrite cycle, the
+    quantile-store pattern).  The merged lexicon/stats stay
+    vocabulary-/one-row-sized however long ingestion runs, and serving
+    queries against the maintained index equals a from-scratch build
+    over the full corpus exactly (tested, batch and foreachBatch)."""
+    spark = batch_docs.sparkSession
+    bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
+    toks = batch_docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    tf = tf.localCheckpoint(eager=True)  # read twice (postings + lexicon delta)
+    tf.withColumn("bucket", bucket).write.mode("append").partitionBy(
+        "bucket"
+    ).parquet(f"{path}/postings")
+    delta = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_"),
+        F.sum("tf").cast("long").alias("ctf"),
+    )
+    merged_lex = (
+        _read_or_empty(spark, f"{path}/lexicon", _LEXICON_SCHEMA)
+        .select("token", "df_", "ctf")
+        .unionByName(delta)
+        .groupBy("token")
+        .agg(
+            F.sum("df_").cast("long").alias("df_"),
+            F.sum("ctf").cast("long").alias("ctf"),
+        )
+        .withColumn("bucket", bucket)
+        .localCheckpoint(eager=True)
+    )
+    merged_lex.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/lexicon"
+    )
+    dl = batch_docs.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
+    )
+    dl.write.mode("append").parquet(f"{path}/docs")
+    merged_stats = (
+        spark.read.parquet(f"{path}/stats")
+        .unionByName(
+            dl.agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t_tokens"),
+            )
+        )
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("t_tokens").cast("long").alias("t_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    merged_stats.write.mode("overwrite").parquet(f"{path}/stats")

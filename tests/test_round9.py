@@ -560,3 +560,33 @@ def test_search_index_all_oov_query_is_empty(spark, tmp_path):
         [(9, "zzz qqq")], "query_id long, query string"
     )
     assert bm25_query_index(spark, path, qdf, k=5, n_buckets=16).count() == 0
+
+
+def test_append_to_search_index_equals_full_rebuild(spark, tmp_path):
+    from adtl_spark.operators.retrieval import (
+        append_to_search_index,
+        bm25_query_index,
+        ql_query_index,
+        write_search_index,
+    )
+
+    docs = _docs_df(spark)
+    qdf = _q_df(spark)
+    inc = str(tmp_path / "inc_idx")
+    full = str(tmp_path / "full_idx")
+    write_search_index(docs.filter(F.col("doc_id") <= 2), inc, n_buckets=16)
+    append_to_search_index(
+        docs.filter(F.col("doc_id").isin(3, 4)), inc, n_buckets=16
+    )
+    append_to_search_index(
+        docs.filter(F.col("doc_id") == 5), inc, n_buckets=16
+    )
+    write_search_index(docs, full, n_buckets=16)
+    for fn in (bm25_query_index, ql_query_index):
+        got = sorted(
+            tuple(r) for r in fn(spark, inc, qdf, k=5, n_buckets=16).collect()
+        )
+        want = sorted(
+            tuple(r) for r in fn(spark, full, qdf, k=5, n_buckets=16).collect()
+        )
+        assert got == want, fn.__name__

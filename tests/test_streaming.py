@@ -1391,3 +1391,66 @@ def test_ann_query_sink_serves_stream_from_persisted_index(spark, tmp_path):
         for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_search_index_maintained_on_stream(spark, tmp_path):
+    """The lexical search index maintains itself on a document stream
+    via foreachBatch append_to_search_index: postings/dl rows append,
+    lexicon and corpus stats merge (staying vocabulary-/one-row-sized
+    for the stream's lifetime), and BM25 served from the maintained
+    index equals a from-scratch build over everything the stream has
+    seen."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.retrieval import (
+        append_to_search_index,
+        bm25_query_index,
+        write_search_index,
+    )
+
+    docs = [
+        (1, "spark joins the hash table with spark speed"),
+        (2, "columnar scan and filter over parquet"),
+        (3, "hash join beats sort merge join on small tables"),
+        (4, "the quick brown fox"),
+        (5, "spark spark spark scan scan filter"),
+        (6, "merge sort on the columnar batch"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = tmp_path / "idx_stream"
+    src.mkdir()
+    for i, pred in enumerate(("doc_id <= 2", "doc_id IN (3, 4)", "doc_id >= 5")):
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+    store = str(tmp_path / "idx_store")
+    # seed an empty index so every micro-batch is a pure append
+    write_search_index(df.filter(F.lit(False)), store, n_buckets=16)
+
+    def ingest(batch_df, batch_id):
+        append_to_search_index(batch_df, store, n_buckets=16)
+
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(ingest).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    qdf = spark.createDataFrame(
+        [(1, "spark hash join"), (2, "columnar filter")],
+        "query_id long, query string",
+    )
+    full = str(tmp_path / "idx_full")
+    write_search_index(df, full, n_buckets=16)
+    got = sorted(
+        tuple(r)
+        for r in bm25_query_index(spark, store, qdf, k=5, n_buckets=16).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bm25_query_index(spark, full, qdf, k=5, n_buckets=16).collect()
+    )
+    assert got == want

@@ -174,6 +174,17 @@ QUERIES = [
     "multimodal_image_resize",
     "text_containment",
     "graph_entity_resolution",
+    # round-9 additions (retrieval / graph / mixture block)
+    "retrieval_ql_topk",
+    "retrieval_rrf_fuse",
+    "retrieval_hybrid_rrf",
+    "retrieval_rm3_expand",
+    "retrieval_mmr_topk",
+    "retrieval_ndcg_truncated",
+    "graph_label_propagation",
+    "graph_modularity",
+    "text_textrank_keywords",
+    "mixture_doremi_step",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
