@@ -1097,3 +1097,37 @@ def append_to_search_index(
         .localCheckpoint(eager=True)
     )
     merged_stats.write.mode("overwrite").parquet(f"{path}/stats")
+
+
+def ndcg_oracle_sql(truth_sql: str, approx_sql: str, k: int) -> str:
+    """Generic DuckDB twin of :func:`ndcg_vs_truth` over two ranking
+    subqueries that each yield (query_id, corpus_id, rank) — used to
+    grade ANY approximate ranking (IVF-PQ rerank, LSH, truncation)
+    against its exact truth with the same Python-constant weights."""
+    weights = _ndcg_weights(k)
+    idcg = sum((k + 1 - i) * w for i, w in enumerate(weights, start=1))
+    wvals = ", ".join(f"({i}, {w})" for i, w in enumerate(weights, start=1))
+    return f"""
+    WITH t AS (SELECT query_id, corpus_id, rank AS rn FROM ({truth_sql}) __t),
+    a AS (SELECT query_id, corpus_id, rank AS rn FROM ({approx_sql}) __a),
+    w(pos, wq) AS (VALUES {wvals}),
+    g AS (
+      SELECT a.query_id,
+             CAST(sum(COALESCE({k} + 1 - t.rn, 0) * w.wq) AS BIGINT) AS dcg,
+             CAST(sum(CASE WHEN t.rn IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+      FROM a
+      JOIN w ON w.pos = a.rn
+      LEFT JOIN t ON t.query_id = a.query_id AND t.corpus_id = a.corpus_id
+      GROUP BY 1
+    ),
+    t1 AS (SELECT query_id, corpus_id FROM t WHERE rn = 1),
+    m AS (
+      SELECT a.query_id, {NDCG_SCALE} // a.rn AS mrr_q
+      FROM a JOIN t1 ON t1.query_id = a.query_id AND t1.corpus_id = a.corpus_id
+    )
+    SELECT g.query_id, g.overlap,
+           CAST(g.dcg * 10000 // {idcg} AS DOUBLE) / 10000.0 AS ndcg,
+           CAST(COALESCE(m.mrr_q, 0) AS DOUBLE) / {NDCG_SCALE} AS mrr
+    FROM g LEFT JOIN m ON m.query_id = g.query_id
+    ORDER BY g.query_id
+    """

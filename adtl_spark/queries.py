@@ -4354,6 +4354,14 @@ def oracles() -> dict[str, str]:
         "retrieval_rm3_expand": R.rm3_expansion_oracle_sql(
             "documents", BM25_QUERIES, m=RM3_M, e=RM3_E
         ),
+        "ann_ivfpq_rerank_ndcg": R.ndcg_oracle_sql(
+            S.l2_topk_oracle_sql("embeddings", NDCG_K, ANN_QUERIES),
+            S.ann_ivfpq_rerank_oracle_sql(
+                "embeddings", IVF_CENTROIDS, IVF_PROBE, PQ_M, PQ_KS,
+                NDCG_K, PQ_RERANK_SHORTLIST, ANN_QUERIES, dim=EMB_DIM,
+            ),
+            k=NDCG_K,
+        ),
         "graph_modularity": G.modularity_lpa_oracle_sql(
             "SELECT l_orderkey AS g, l_suppkey AS m FROM lineitem",
             "SELECT s_suppkey AS v FROM supplier",
@@ -6508,6 +6516,25 @@ def retrieval_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_ivfpq_rerank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded nDCG@10 + MRR of the full production ANN path (IVF-PQ +
+    exact re-rank) against all-pairs exact-L2 truth — the position-
+    discounted companion to ann_ivfpq_rerank_recall (recall counts set
+    overlap; this grades WHERE the survivors land).  Convention note:
+    the index may return the query's own vector (production serving
+    does) while the truth side excludes it, so self hits earn zero gain
+    — the same convention the recall gate measures under."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(ANN_QUERIES)
+    truth = S.l2_topk(emb, queries, k=NDCG_K)
+    approx = S.ann_ivfpq_rerank(
+        emb, queries, n_centroids=IVF_CENTROIDS, n_probe=IVF_PROBE,
+        m=PQ_M, ks=PQ_KS, k=NDCG_K, shortlist=PQ_RERANK_SHORTLIST,
+        dim=EMB_DIM,
+    )
+    return R.ndcg_vs_truth(truth, approx, k=NDCG_K)
+
+
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Newman modularity of the label-propagation partition over the
     supplier co-occurrence graph (graph.modularity): exact-BIGINT
@@ -6597,6 +6624,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_mmr_topk": retrieval_mmr_topk,
         "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
         "retrieval_rm3_expand": retrieval_rm3_expand,
+        "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
         "graph_label_propagation": graph_label_propagation,
         "graph_modularity": graph_modularity,
         "text_textrank_keywords": text_textrank_keywords,

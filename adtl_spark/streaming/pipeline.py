@@ -232,3 +232,32 @@ def ann_query_sink(
         )
 
     return sink
+
+
+def bm25_query_sink(index_path: str, log_path: str, k: int = 5):
+    """Lexical retrieval serving on a stream: every micro-batch of
+    (query_id, query) text queries runs BM25 against the PERSISTED
+    search index (retrieval.bm25_query_index — the query's token-hash
+    buckets prune at the scan) and the top-k results append to a
+    parquet log keyed by batch_id.  The lexical twin of
+    :func:`ann_query_sink`: index built/maintained offline
+    (write_search_index / append_to_search_index), queries arrive
+    continuously, each batch's IO bounded by its own tokens."""
+    from adtl_spark.operators.retrieval import bm25_query_index
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = bm25_query_index(
+            batch_df.sparkSession, index_path, batch_df, k=k
+        )
+        (
+            out.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "query_id", "doc_id", "rank", "bm25",
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink

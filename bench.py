@@ -298,6 +298,7 @@ HEADLINE = [
     "retrieval_rm3_expand",
     "graph_modularity",
     "text_textrank_keywords",
+    "ann_ivfpq_rerank_ndcg",
 ]
 
 

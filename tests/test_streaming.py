@@ -1454,3 +1454,54 @@ def test_search_index_maintained_on_stream(spark, tmp_path):
         for r in bm25_query_index(spark, full, qdf, k=5, n_buckets=16).collect()
     )
     assert got == want
+
+
+def test_bm25_query_sink_serves_stream_equal_to_batch(spark, tmp_path):
+    """Lexical serving loop: text queries stream in; every micro-batch
+    scores against the persisted search index and appends to a result
+    log.  The union of logged batches must equal batch BM25 over all
+    the queries."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.retrieval import write_search_index
+    from adtl_spark.operators.text import bm25_topk
+    from adtl_spark.streaming.pipeline import bm25_query_sink
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins the hash table with spark speed"),
+            (2, "columnar scan and filter over parquet"),
+            (3, "hash join beats sort merge join on small tables"),
+            (4, "spark spark spark scan scan filter"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "serve_idx")
+    write_search_index(docs, idx, n_buckets=16)
+
+    queries = [(1, "spark hash join"), (2, "columnar filter"), (3, "scan")]
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    src = tmp_path / "q_src"
+    src.mkdir()
+    for i, pred in enumerate(("query_id = 1", "query_id >= 2")):
+        qdf.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+    log = str(tmp_path / "serve_log")
+    stream = spark.readStream.schema("query_id long, query string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(bm25_query_sink(idx, log, k=3)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(log)
+        .select("query_id", "doc_id", "rank", "bm25")
+        .collect()
+    )
+    want = sorted(tuple(r) for r in bm25_topk(docs, qdf, k=3).collect())
+    assert got == want
