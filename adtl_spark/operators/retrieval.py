@@ -806,8 +806,15 @@ def write_search_index(
     - ``{path}/docs``     — (id, dl) document lengths (zero-token
       documents included — they count toward N/avgdl, matching the
       in-memory operators' narrow dl relation);
-    - ``{path}/stats``    — one row (n_docs, t_tokens).
+    - ``{path}/stats``    — one row (n_docs, t_tokens);
+    - ``{path}/meta``     — one row (n_buckets): the index is
+      self-describing, so readers and appenders never need to be told
+      the writer's bucket count.
     """
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(n_buckets),)], "n_buckets int"
+    ).write.mode("overwrite").parquet(f"{path}/meta")
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -839,6 +846,15 @@ def write_search_index(
 
 _POSTINGS_SCHEMA = "id long, token string, tf long, bucket int"
 _LEXICON_SCHEMA = "token string, df_ long, ctf long, bucket int"
+
+
+def _index_buckets(spark, path: str, n_buckets: int | None) -> int:
+    """Resolve an index's bucket count: an explicit argument wins,
+    otherwise read the meta sidecar (indexes written before meta existed
+    do not occur — write_search_index always emits it)."""
+    if n_buckets is not None:
+        return n_buckets
+    return spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
 
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
@@ -900,7 +916,7 @@ def bm25_query_index(
     queries: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",
-    n_buckets: int = SEARCH_INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Okapi BM25 served from a PERSISTED index
     (:func:`write_search_index`): identical integer protocol to
@@ -909,6 +925,7 @@ def bm25_query_index(
     — query IO is the query's own tokens' postings + lexicon rows plus
     the match-bounded dl join.  Row-for-row equal to the in-memory form
     (tested)."""
+    n_buckets = _index_buckets(spark, path, n_buckets)
     qrows, terms = _query_terms(spark, queries)
     qt = spark.createDataFrame(
         [(r["query_id"], r["token"]) for r in qrows],
@@ -966,12 +983,13 @@ def ql_query_index(
     k: int = 5,
     mu: int = 2000,
     id_col: str = "doc_id",
-    n_buckets: int = SEARCH_INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Dirichlet query likelihood served from the same persisted index —
     identical protocol to :func:`ql_topk` (both ln factors at the 1e-6
     quantum), identical results (tested); query IO is the query's
     tokens' rows plus the match-bounded dl join."""
+    n_buckets = _index_buckets(spark, path, n_buckets)
     qrows, terms = _query_terms(spark, queries)
     qt = spark.createDataFrame(
         [(r["query_id"], r["token"], r["qtf"]) for r in qrows],
@@ -1029,7 +1047,7 @@ def append_to_search_index(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    n_buckets: int = SEARCH_INDEX_BUCKETS,
+    n_buckets: int | None = None,
 ) -> None:
     """Absorb a batch of NEW documents into a persisted search index
     (:func:`write_search_index`) without rebuilding it — the streaming/
@@ -1046,6 +1064,7 @@ def append_to_search_index(
     queries against the maintained index equals a from-scratch build
     over the full corpus exactly (tested, batch and foreachBatch)."""
     spark = batch_docs.sparkSession
+    n_buckets = _index_buckets(spark, path, n_buckets)
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
     toks = batch_docs.select(
         F.col(id_col).alias("id"),
