@@ -417,7 +417,15 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     down (documented bound, same family as PageRank's 1e9 quantum).
 
     Output: one row (n_communities, w_total, modularity) with
-    modularity floor-quantized at 1e-6."""
+    modularity floor-quantized at 1e-6.
+
+    The edge list is persisted for the computation's duration (four
+    subtrees read it: degree mass, intra-community mass, total weight,
+    and the label joins' probe side) and released before returning —
+    the one-row result is eagerly checkpointed so laziness never
+    re-reads the unpersisted cache."""
+    edges = edges.persist()
+    edges.count()
     lab = labels.select(F.col("v"), F.col("community").alias("c"))
     e_src = edges.join(
         F.broadcast(lab.select(F.col("v").alias("src"), F.col("c").alias("cs"))),
@@ -447,26 +455,32 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     n_comm = labels.agg(
         F.countDistinct("community").cast("long").alias("n_communities")
     )
-    return (
-        n_comm.crossJoin(w_tot)
-        .crossJoin(num)
-        .select(
-            "n_communities",
-            F.coalesce(F.col("wt"), F.lit(0)).cast("long").alias("w_total"),
-            F.when(
-                F.coalesce(F.col("wt"), F.lit(0)) > 0,
-                F.floor(
-                    F.col("num").cast("double")
-                    / (F.col("wt").cast("double") * F.col("wt"))
-                    * 1000000
-                    + F.lit(0.5)
+    try:
+        return (
+            n_comm.crossJoin(w_tot)
+            .crossJoin(num)
+            .select(
+                "n_communities",
+                F.coalesce(F.col("wt"), F.lit(0))
+                .cast("long")
+                .alias("w_total"),
+                F.when(
+                    F.coalesce(F.col("wt"), F.lit(0)) > 0,
+                    F.floor(
+                        F.col("num").cast("double")
+                        / (F.col("wt").cast("double") * F.col("wt"))
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000.0,
                 )
-                / 1000000.0,
+                .otherwise(F.lit(0.0))
+                .alias("modularity"),
             )
-            .otherwise(F.lit(0.0))
-            .alias("modularity"),
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        edges.unpersist()
 
 
 def modularity_lpa_oracle_sql(

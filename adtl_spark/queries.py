@@ -6597,20 +6597,22 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        register rollup, the training-shard integrity manifest, the PR
        calibration curve, the exact ROC AUC, and the key-skew
        diagnostic.
-    2. Then the LEAST-recently driver-verified entries: positions 51-152
-       of the round-6 registry (``text_pmi_topk`` onward), whose driver
-       rows date to rounds 1-4 (all re-verified green at HEAD by the r5
-       verdict's full check_oracle run).  The first 36 fill the rest of
-       this round's window, through ``q1_pricing_summary`` at
-       position 50.
-    3. The tail holds the rest of that block and then the 50 queries the
+    2. Then the LEAST-recently driver-verified entries: the rounds-1-4
+       block headed by ``text_pmi_topk`` (position 50 this round), whose
+       driver rows date to rounds 1-4 (all re-verified green at HEAD by
+       the r5 verdict's and this session's full check_oracle runs).
+    3. The tail holds the rest of that block and then the queries the
        round-6 driver gate checked (the freshest green rows).
 
     Next-round rotation queue: any new gates first, then the
-    still-unrefreshed rounds-1-4 remainder (``w1_sessionize``,
-    ``text_fingerprint``, ``p3_value_map`` onward — everything between
-    position 51 and the round-6-window tail); the round-6 and newest
-    driver-verified blocks hold the tail as the freshest rows.
+    still-unrefreshed rounds-1-4 remainder
+    (``corpus_length_quantiles_hist``, ``text_tfidf``, ``corpus_pack``,
+    ``corpus_decontaminate``, ``corpus_unigram_logprob``,
+    ``dedup_incremental``, ``text_quality``, ``text_langid``,
+    ``sample_stratified``, ``dedup_exact``, ``dedup_minhash``,
+    ``dedup_simhash`` onward — everything between position 51 and the
+    round-6-window tail); the round-6 and newest driver-verified blocks
+    hold the tail as the freshest rows.
 
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the

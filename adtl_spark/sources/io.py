@@ -536,3 +536,85 @@ def manifest_diff(old: DataFrame, new: DataFrame) -> DataFrame:
         F.coalesce(F.col("old_rows"), F.lit(0)).cast("long").alias("old_rows"),
         F.coalesce(F.col("new_rows"), F.lit(0)).cast("long").alias("new_rows"),
     ).orderBy("shard")
+
+
+def parse_warc_records(
+    files: DataFrame, content_col: str = "value"
+) -> DataFrame:
+    """Parse WARC/1.0 archives (the CommonCrawl container format) that
+    were ingested file-per-row (``read_text_dir(whole_files=True)``)
+    into one row per record — entirely with native Column expressions
+    (split / posexplode / regexp_extract / substring), so record
+    extraction distributes by file with no Python in the path.
+
+    Per record: ``rec_pos`` (0-based position in its file), ``warc_type``
+    (response/request/conversion/...), ``target_uri``, ``record_id``
+    (the <urn:uuid:...> header value), ``content_length`` (header value,
+    may be null), and ``content`` — the payload, cut to content_length
+    when present, else trimmed of the inter-record CRLF padding.
+
+    Character-addressed: WARC Content-Length counts BYTES; this text
+    pipeline is byte-exact for ASCII/8-bit payloads (the WET/text use
+    case it exists for).  Archives with binary payloads should go
+    through ``read_binary_dir`` + the multimodal decode pipeline
+    instead.  The reference engine has no archive ingestion at all; this
+    is part of the training-data-pipeline extension surface."""
+    recs = files.select(
+        F.col(content_col).alias("__raw"),
+        F.posexplode(
+            F.split(F.col(content_col), r"WARC/1\.0\r?\n")
+        ).alias("__pos", "__rec"),
+    ).filter((F.col("__pos") > 0) & (F.col("__rec") != ""))
+    parts = recs.select(
+        (F.col("__pos") - 1).cast("long").alias("rec_pos"),
+        F.split(F.col("__rec"), r"\r?\n\r?\n", 2).alias("__hb"),
+    )
+    headers = F.element_at(F.col("__hb"), 1)
+    body = F.element_at(F.col("__hb"), 2)
+    clen = F.nullif(
+        F.regexp_extract(headers, r"(?m)^Content-Length:\s*(\d+)", 1), F.lit("")
+    ).cast("long")
+    content = F.when(
+        clen.isNotNull(), F.substring(body, 1, clen)
+    ).otherwise(F.regexp_replace(body, r"(\r?\n)+$", ""))
+    return parts.select(
+        "rec_pos",
+        F.nullif(
+            F.regexp_extract(headers, r"(?m)^WARC-Type:\s*(\S+)", 1),
+            F.lit(""),
+        ).alias("warc_type"),
+        F.nullif(
+            F.regexp_extract(headers, r"(?m)^WARC-Target-URI:\s*(\S+)", 1),
+            F.lit(""),
+        ).alias("target_uri"),
+        F.nullif(
+            F.regexp_extract(
+                headers, r"(?m)^WARC-Record-ID:\s*<?([^>\r\n]+)>?", 1
+            ),
+            F.lit(""),
+        ).alias("record_id"),
+        clen.alias("content_length"),
+        F.coalesce(content, F.lit("")).alias("content"),
+    )
+
+
+def wet_documents(files: DataFrame, content_col: str = "value") -> DataFrame:
+    """WET-style text-document extraction from parsed WARC archives:
+    keep ``conversion`` records (WET's extracted-text type), emit
+    (doc_id, uri, text) with the deterministic 60-bit id hashed from
+    (uri, rec_pos) — the same portable-id contract media ingestion uses,
+    so downstream dedup/sampling decisions are append-stable."""
+    from adtl_spark.operators.dedup import md5_60
+
+    recs = parse_warc_records(files, content_col)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        md5_60(
+            F.concat_ws(
+                "|",
+                F.coalesce(F.col("target_uri"), F.lit("")),
+                F.col("rec_pos").cast("string"),
+            )
+        ).alias("doc_id"),
+        F.col("target_uri").alias("uri"),
+        F.col("content").alias("text"),
+    )

@@ -354,12 +354,28 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-7 window: the six new queries plus the head of the
-    # least-recently-verified block (driver rows from rounds 1-4) must
-    # stay inside the gate window until CORRECTNESS_r7 rows exist
+    # the round-7 window: every query WITHOUT a driver row yet must hold
+    # the window head (the round-9 retrieval/graph/mixture block plus the
+    # still-unverified rounds-7/8 additions); the remaining slots go to
+    # the least-recently-verified block.  When a new head block lands,
+    # the tail of the previous window rotates to the next-round refresh
+    # queue (their lifetime-green rounds-1-4 rows stand, re-verified at
+    # HEAD by the full check_oracle runs — see the registry docstring).
     gate = list(qs)[:50]
     for name in (
-        # newest additions (no driver row yet — must hold the window head)
+        # round-9 block (no driver row yet)
+        "retrieval_ql_topk",
+        "retrieval_rrf_fuse",
+        "retrieval_ndcg_truncated",
+        "retrieval_mmr_topk",
+        "retrieval_hybrid_rrf",
+        "retrieval_rm3_expand",
+        "ann_ivfpq_rerank_ndcg",
+        "graph_label_propagation",
+        "graph_modularity",
+        "text_textrank_keywords",
+        "mixture_doremi_step",
+        # rounds-7/8 additions (no driver row yet — must stay in-window)
         "ann_ivfpq_topk",
         "ann_ivfpq_recall",
         "ann_ivfpq_rerank_topk",
@@ -399,22 +415,10 @@ def test_query_registry_invariants():
         "multimodal_image_resize",
         "text_containment",
         "graph_entity_resolution",
-        # least-recently-verified head (rounds 1-4 driver rows)
+        # least-recently-verified head (rounds 1-4 driver rows);
+        # corpus_length_quantiles_hist .. dedup_minhash rotated to the
+        # next-round refresh queue when the round-9 block took the head
         "text_pmi_topk",
-        "corpus_length_quantiles_hist",
-        "text_tfidf",
-        "corpus_pack",
-        "corpus_decontaminate",
-        "corpus_unigram_logprob",
-        "dedup_incremental",
-        "text_langid",
-        "text_quality",
-        "dedup_exact",
-        "dedup_minhash",
-        # dedup_simhash rotated to the next-round refresh queue when the
-        # residual-IVFADC gates took the window head (lifetime-green
-        # rows from rounds 1-4 stand; see the registry docstring)
-        "sample_stratified",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
 

@@ -590,3 +590,74 @@ def test_append_to_search_index_equals_full_rebuild(spark, tmp_path):
             tuple(r) for r in fn(spark, full, qdf, k=5, n_buckets=16).collect()
         )
         assert got == want, fn.__name__
+
+
+# ---------------------------------------------------------------- WARC ---
+WARC_SAMPLE = (
+    "WARC/1.0\r\n"
+    "WARC-Type: response\r\n"
+    "WARC-Record-ID: <urn:uuid:aaa-111>\r\n"
+    "WARC-Target-URI: http://example.com/a\r\n"
+    "Content-Length: 11\r\n"
+    "\r\n"
+    "hello world\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: request\r\n"
+    "WARC-Record-ID: <urn:uuid:bbb-222>\r\n"
+    "WARC-Target-URI: http://example.com/a\r\n"
+    "\r\n"
+    "GET /a HTTP/1.1\r\n"
+    "\r\n"
+    "WARC/1.0\r\n"
+    "WARC-Type: conversion\r\n"
+    "WARC-Record-ID: <urn:uuid:ccc-333>\r\n"
+    "WARC-Target-URI: http://example.com/b\r\n"
+    "Content-Length: 20\r\n"
+    "\r\n"
+    "extracted text\nbody\r\n"
+)
+
+
+def test_parse_warc_records_fields_and_content(spark, tmp_path):
+    from adtl_spark.sources.io import parse_warc_records, read_text_dir
+
+    d = tmp_path / "warc"
+    d.mkdir()
+    (d / "f1.warc").write_text(WARC_SAMPLE)
+    files = read_text_dir(spark, str(d), whole_files=True)
+    rows = {
+        r["rec_pos"]: r for r in parse_warc_records(files).collect()
+    }
+    assert len(rows) == 3
+    assert rows[0]["warc_type"] == "response"
+    assert rows[0]["target_uri"] == "http://example.com/a"
+    assert rows[0]["record_id"] == "urn:uuid:aaa-111"
+    assert rows[0]["content_length"] == 11
+    assert rows[0]["content"] == "hello world"
+    # no Content-Length header -> trailing CRLF padding trimmed
+    assert rows[1]["content_length"] is None
+    assert rows[1]["content"] == "GET /a HTTP/1.1"
+    # multi-line payload cut to content_length exactly
+    assert rows[2]["content"] == "extracted text\nbody\r"
+    assert rows[2]["content_length"] == 20
+
+
+def test_wet_documents_keeps_conversion_records_with_stable_ids(
+    spark, tmp_path
+):
+    from adtl_spark.sources.io import read_text_dir, wet_documents
+
+    d = tmp_path / "warc2"
+    d.mkdir()
+    (d / "f1.warc").write_text(WARC_SAMPLE)
+    files = read_text_dir(spark, str(d), whole_files=True)
+    docs = wet_documents(files).collect()
+    assert len(docs) == 1
+    assert docs[0]["uri"] == "http://example.com/b"
+    assert docs[0]["text"].startswith("extracted text")
+    first_id = docs[0]["doc_id"]
+    again = wet_documents(
+        read_text_dir(spark, str(d), whole_files=True)
+    ).collect()[0]["doc_id"]
+    assert first_id == again  # deterministic across reads
