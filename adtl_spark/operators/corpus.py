@@ -1253,3 +1253,94 @@ def roc_auc_oracle_sql(
            END AS auc_q6
     FROM agg
     """
+
+
+def heldout_perplexity(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    vocab_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Held-out evaluation of the unigram LM: train on one split, score
+    the OTHER (the eval-hygiene form of :func:`unigram_logprob`, which
+    scores the training corpus itself).  One summary row:
+
+        (n_docs, n_tokens, oov_frac, nll, ppl)
+
+    with nll the per-token negative log-likelihood over the held-out
+    split (1e-4-quantized per-token ln p summed exactly) and
+    ppl = exp(nll) — both displayed at the 1e-4 floor quantum (exp
+    shares the repo-wide 1-ulp libm caveat).  OOV tokens score at the
+    0.5/total floor like every scorer built on train_unigram, so a
+    vocabulary mismatch shows up as BOTH a high oov_frac and a high ppl.
+
+    Scale shape: one token pass over each split plus the K-row broadcast
+    model — the same two-aggregation cost as unigram_logprob."""
+    model = train_unigram(train_docs, vocab_k, text_col, id_col)
+    scored = score_unigram(eval_docs, model, text_col, id_col)
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("n_tokens"),
+        F.sum("__oov").cast("long").alias("oov"),
+        F.sum("__qsum").cast("long").alias("qsum"),
+    )
+    nll = -(F.col("qsum").cast("double") / F.col("n_tokens")) / 10000.0
+
+    def q4(x):
+        return F.floor(x * 10000 + F.lit(0.5)).cast("double") / 10000.0
+
+    return agg.select(
+        "n_docs",
+        "n_tokens",
+        q4(F.col("oov").cast("double") / F.col("n_tokens")).alias("oov_frac"),
+        q4(nll).alias("nll"),
+        q4(F.exp(nll)).alias("ppl"),
+    )
+
+
+def heldout_perplexity_oracle_sql(
+    train_sql: str, eval_sql: str, vocab_k: int = 20
+) -> str:
+    """DuckDB twin of :func:`heldout_perplexity` over (doc_id, text)
+    subqueries for the two splits — same tokenizer, same top-K vocab
+    tie-break, same quantized-ln/exp protocol."""
+    return f"""
+    WITH ttoks AS (
+      SELECT unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM ({train_sql})
+    ),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM ttoks
+      GROUP BY token ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    tot AS (SELECT count(*) AS total FROM ttoks),
+    etoks AS (
+      SELECT doc_id AS id, unnest(
+        list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '')
+      ) AS token
+      FROM ({eval_sql})
+    ),
+    scored AS (
+      SELECT id,
+             count(*) AS n,
+             sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov,
+             sum(CAST(floor(ln(COALESCE(v.cnt, 0.5) / t.total) * 10000 + 0.5) AS BIGINT)) AS qsum
+      FROM etoks LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+      GROUP BY id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS oov,
+             CAST(sum(qsum) AS BIGINT) AS qsum
+      FROM scored
+    )
+    SELECT n_docs, n_tokens,
+           CAST(floor(CAST(oov AS DOUBLE) / n_tokens * 10000 + 0.5) AS DOUBLE) / 10000.0 AS oov_frac,
+           CAST(floor(-(CAST(qsum AS DOUBLE) / n_tokens) / 10000.0 * 10000 + 0.5) AS DOUBLE) / 10000.0 AS nll,
+           CAST(floor(exp(-(CAST(qsum AS DOUBLE) / n_tokens) / 10000.0) * 10000 + 0.5) AS DOUBLE) / 10000.0 AS ppl
+    FROM agg
+    """

@@ -903,6 +903,7 @@ def doremi_step(
     vocab_k: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """One DoReMi multiplicative-weights update of per-domain mixture
     weights from a uniform prior:
@@ -926,10 +927,17 @@ def doremi_step(
     after the per-domain rollup is K rows.
 
     Output: (domain, n_tokens, nll, excess, weight), one row per domain,
-    nll/excess displayed at 1e-4, weight at 1e-6."""
+    nll/excess displayed at 1e-4, weight at 1e-6.
+
+    ``model``: a pre-trained unigram model (corpus.train_unigram) to
+    score under instead of training on ``docs`` itself — the online/
+    monitoring form: a static reference model scores incoming batches
+    (see streaming.doremi_monitor_sink), so per-batch weight updates
+    are comparable across batches and equal the batch twin exactly."""
     from adtl_spark.operators.corpus import score_unigram, train_unigram
 
-    model = train_unigram(docs, vocab_k, text_col, id_col)
+    if model is None:
+        model = train_unigram(docs, vocab_k, text_col, id_col)
     scored = score_unigram(docs, model, text_col, id_col).withColumnRenamed(
         "id", "__did__"
     )

@@ -4354,6 +4354,10 @@ def oracles() -> dict[str, str]:
         "retrieval_rm3_expand": R.rm3_expansion_oracle_sql(
             "documents", BM25_QUERIES, m=RM3_M, e=RM3_E
         ),
+        "corpus_heldout_ppl": C.heldout_perplexity_oracle_sql(
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {HOLDOUT_MOD} != 0",
+            f"SELECT doc_id, text FROM documents WHERE doc_id % {HOLDOUT_MOD} = 0",
+        ),
         "ann_ivfpq_rerank_ndcg": R.ndcg_oracle_sql(
             S.l2_topk_oracle_sql("embeddings", NDCG_K, ANN_QUERIES),
             S.ann_ivfpq_rerank_oracle_sql(
@@ -6516,6 +6520,21 @@ def retrieval_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HOLDOUT_MOD = 5  # every 5th doc held out for LM eval
+
+
+def corpus_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out unigram-LM evaluation (corpus.heldout_perplexity): train
+    on doc_id % 5 != 0, score the held-out fifth — one summary row of
+    per-token NLL, perplexity, and OOV fraction.  The eval-hygiene twin
+    of corpus_unigram_logprob (which scores the training corpus
+    itself)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+    ev = docs.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
+    return C.heldout_perplexity(train, ev)
+
+
 def ann_ivfpq_rerank_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graded nDCG@10 + MRR of the full production ANN path (IVF-PQ +
     exact re-rank) against all-pairs exact-L2 truth — the position-
@@ -6627,6 +6646,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
         "retrieval_rm3_expand": retrieval_rm3_expand,
         "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
+        "corpus_heldout_ppl": corpus_heldout_ppl,
         "graph_label_propagation": graph_label_propagation,
         "graph_modularity": graph_modularity,
         "text_textrank_keywords": text_textrank_keywords,

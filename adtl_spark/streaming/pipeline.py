@@ -261,3 +261,37 @@ def bm25_query_sink(index_path: str, log_path: str, k: int = 5):
         )
 
     return sink
+
+
+def doremi_monitor_sink(
+    model: DataFrame,
+    log_path: str,
+    domain_col: str = "source",
+    eta: float = 1.0,
+):
+    """Online mixture monitoring: every micro-batch of documents gets
+    one DoReMi weight update computed against a STATIC reference unigram
+    model (corpus.train_unigram — the same broadcastable model every
+    scorer uses), and the per-domain rows append to a parquet log keyed
+    by batch_id.  Scoring under the fixed reference (not the batch
+    itself) keeps batches comparable over time and makes each logged
+    batch equal sampling.doremi_step(batch, model=reference) exactly
+    (tested) — the mixture twin of the PSI/KS/centroid drift sinks."""
+    from adtl_spark.operators.sampling import doremi_step
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        out = doremi_step(
+            batch_df, domain_col=domain_col, eta=eta, model=model
+        )
+        (
+            out.select(
+                F.lit(int(batch_id)).alias("batch_id"),
+                "domain", "n_tokens", "nll", "excess", "weight",
+            )
+            .write.mode("append")
+            .parquet(log_path)
+        )
+
+    return sink

@@ -299,6 +299,7 @@ HEADLINE = [
     "graph_modularity",
     "text_textrank_keywords",
     "ann_ivfpq_rerank_ndcg",
+    "corpus_heldout_ppl",
 ]
 
 

@@ -661,3 +661,36 @@ def test_wet_documents_keeps_conversion_records_with_stable_ids(
         read_text_dir(spark, str(d), whole_files=True)
     ).collect()[0]["doc_id"]
     assert first_id == again  # deterministic across reads
+
+
+# --------------------------------------------------- held-out perplexity
+def test_heldout_perplexity_oov_split_scores_at_floor(spark):
+    from adtl_spark.operators.corpus import heldout_perplexity
+
+    train = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(3, "z z")], "doc_id long, text string"
+    )  # fully OOV
+    row = heldout_perplexity(train, ev, vocab_k=10).collect()[0]
+    assert row["n_docs"] == 1 and row["n_tokens"] == 2
+    assert row["oov_frac"] == 1.0
+    # every token scores ln(0.5/6); nll = -ln(0.5/6), quantized at 1e-4
+    q = math.floor(math.log(0.5 / 6) * 1e4 + 0.5)
+    nll = math.floor(-(2 * q / 2) / 1e4 * 1e4 + 0.5) / 1e4
+    assert row["nll"] == nll
+    assert row["ppl"] == math.floor(math.exp(-(2 * q / 2) / 1e4) * 1e4 + 0.5) / 1e4
+
+
+def test_heldout_perplexity_in_vocab_beats_oov(spark):
+    from adtl_spark.operators.corpus import heldout_perplexity
+
+    train = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame([(3, "a b")], "doc_id long, text string")
+    unseen = spark.createDataFrame([(3, "z z")], "doc_id long, text string")
+    p_seen = heldout_perplexity(train, seen).collect()[0]["ppl"]
+    p_unseen = heldout_perplexity(train, unseen).collect()[0]["ppl"]
+    assert p_seen < p_unseen

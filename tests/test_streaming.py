@@ -1505,3 +1505,69 @@ def test_bm25_query_sink_serves_stream_equal_to_batch(spark, tmp_path):
     )
     want = sorted(tuple(r) for r in bm25_topk(docs, qdf, k=3).collect())
     assert got == want
+
+
+def test_doremi_monitor_sink_equals_batch_twin(spark, tmp_path):
+    """Online mixture monitoring: each micro-batch's DoReMi weight
+    update against the static reference model must equal
+    sampling.doremi_step(batch, model=reference)."""
+    from pyspark.sql import functions as F
+
+    from adtl_spark.operators.corpus import train_unigram
+    from adtl_spark.operators.sampling import doremi_step
+    from adtl_spark.streaming.pipeline import doremi_monitor_sink
+
+    ref = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha", "a"),
+            (2, "beta beta delta", "b"),
+            (3, "alpha delta delta epsilon", "a"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    model = train_unigram(ref).localCheckpoint(eager=True)
+
+    batches = [
+        [(10, "alpha beta", "a"), (11, "zzz yyy", "b")],
+        [(12, "delta delta epsilon", "b"), (13, "alpha", "c")],
+    ]
+    src = tmp_path / "dm_src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / f"p{i}"))
+    log = str(tmp_path / "dm_log")
+    stream = spark.readStream.schema(
+        "doc_id long, text string, source string"
+    ).option("maxFilesPerTrigger", 1).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(
+        doremi_monitor_sink(model, log)
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    logged = spark.read.parquet(log)
+    assert logged.select("batch_id").distinct().count() == 2
+    for rows in batches:
+        batch_df = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        want = sorted(
+            tuple(r) for r in doremi_step(batch_df, model=model).collect()
+        )
+        # find the logged batch containing these domains/token counts
+        matched = False
+        for bid in [r["batch_id"] for r in logged.select("batch_id").distinct().collect()]:
+            got = sorted(
+                tuple(r)
+                for r in logged.filter(F.col("batch_id") == bid)
+                .select("domain", "n_tokens", "nll", "excess", "weight")
+                .collect()
+            )
+            if got == want:
+                matched = True
+                break
+        assert matched, f"no logged batch equals the twin for {rows}"
