@@ -6595,7 +6595,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        lands: the round-9 retrieval/ranking block (Dirichlet query
        likelihood, BM25+QL reciprocal-rank fusion, the dense+sparse
        hybrid, RM3 expansion terms, truncated-dims nDCG/MRR, MMR
-       diversification), label-propagation communities + their
+       diversification, the IVF-PQ-rerank nDCG grade), held-out LM
+       perplexity, label-propagation communities + their
        modularity scorecard, TextRank keywords, and the DoReMi mixture
        step sit at the very head; behind them
        the IVF-PQ composite ANN gate + its all-pairs recall

@@ -694,3 +694,113 @@ def test_heldout_perplexity_in_vocab_beats_oov(spark):
     p_seen = heldout_perplexity(train, seen).collect()[0]["ppl"]
     p_unseen = heldout_perplexity(train, unseen).collect()[0]["ppl"]
     assert p_seen < p_unseen
+
+
+# ----------------------------------------------- randomized differentials
+def test_randomized_ql_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(97)
+    words = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 15))), "s")
+        for i in range(1, 21)
+    ]
+    queries = [
+        (qid, " ".join(rng.choice(words) for _ in range(rng.randint(1, 4))))
+        for qid in (1, 2, 3)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    qdf = spark.createDataFrame(queries, "query_id long, query string")
+    got = sorted(tuple(r) for r in R.ql_topk(ddf, qdf, k=7).collect())
+    assert got == sorted(_py_ql(docs, queries, k=7))
+
+
+def test_randomized_rrf_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(23)
+    rows_a, rows_b = [], []
+    for qid in (1, 2):
+        docs = rng.sample(range(100, 140), 12)
+        for rank, d in enumerate(docs[:8], start=1):
+            rows_a.append((qid, d, rank))
+        docs_b = rng.sample(range(100, 140), 12)
+        for rank, d in enumerate(docs_b[:8], start=1):
+            rows_b.append((qid, d, rank))
+    a = spark.createDataFrame(rows_a, "query_id long, doc_id long, rank long")
+    b = spark.createDataFrame(rows_b, "query_id long, doc_id long, rank long")
+    got = sorted(
+        tuple(r) for r in R.rrf_fuse_topk(a, b, k=20).collect()
+    )
+    # python replay
+    scores: dict[tuple[int, int], int] = {}
+    for qid, d, rank in rows_a + rows_b:
+        scores[(qid, d)] = scores.get((qid, d), 0) + 10**12 // (60 + rank)
+    want = []
+    for qid in (1, 2):
+        ranked = sorted(
+            ((d, s) for (q, d), s in scores.items() if q == qid),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:20]
+        for rank, (d, s) in enumerate(ranked, start=1):
+            want.append((qid, d, rank, s / 1e12))
+    assert got == sorted(want)
+
+
+def test_randomized_lpa_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = []
+    for g in range(20):
+        members = rng.sample(range(1, 13), rng.randint(2, 4))
+        pairs.extend((g, m) for m in members)
+    pdf = spark.createDataFrame(pairs, "g long, m long")
+    verts = spark.createDataFrame([(v,) for v in range(1, 13)], "v long")
+    edges = cooccurrence_edges(pdf, "g", "m")
+    e = [(r["src"], r["dst"], r["w"]) for r in edges.collect()]
+    got = {
+        r["v"]: r["community"]
+        for r in label_propagation(edges, verts, iters=3).collect()
+    }
+    assert got == _py_lpa(e, list(range(1, 13)), 3)
+
+
+def test_randomized_mmr_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(1, 11)
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.filter(F.col("vec_id").isin(1, 2))
+    got = sorted(
+        tuple(r) for r in R.mmr_topk(emb, queries, k=4, pool=6).collect()
+    )
+    assert got == _py_mmr(vecs, [1, 2], k=4, pool=6)
+
+
+def test_randomized_doremi_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(41)
+    words = [f"t{i}" for i in range(9)]
+    docs = [
+        (
+            i,
+            " ".join(rng.choice(words) for _ in range(rng.randint(1, 12))),
+            rng.choice(["a", "b", "c", "d"]),
+        )
+        for i in range(1, 31)
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string, source string")
+    got = {
+        r["domain"]: (r["n_tokens"], r["nll"], r["excess"], r["weight"])
+        for r in doremi_step(ddf).collect()
+    }
+    assert got == _py_doremi(docs)
