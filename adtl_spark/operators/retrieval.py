@@ -1150,3 +1150,156 @@ def ndcg_oracle_sql(truth_sql: str, approx_sql: str, k: int) -> str:
     FROM g LEFT JOIN m ON m.query_id = g.query_id
     ORDER BY g.query_id
     """
+
+
+# ------------------------------------------------------------- snippets
+def best_snippet(
+    df: DataFrame,
+    queries: DataFrame,
+    w: int = 10,
+    n_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Result presentation: for each query's BM25 top-``n_docs``
+    documents, find the best ``w``-token window — the one covering the
+    most DISTINCT query terms (ties: more total hits, then the earliest
+    position) — and emit it as a token-space snippet.
+
+    Fully relational: candidate docs come from text.bm25_topk; the
+    positional postings of the query's terms in just those documents
+    feed an anchor-window self-join whose size is (hits per doc)^2 —
+    bounded by query-term occurrences, never document length — and the
+    snippet text is an in-row slice of the token array.  Everything is
+    integer counting, so the oracle matches exactly.
+
+    Output: (query_id, doc_id, snippet_start, n_terms, snippet)."""
+    from adtl_spark.operators.text import bm25_topk
+
+    cand = bm25_topk(df, queries, k=n_docs, text_col=text_col, id_col=id_col)
+    cand = cand.select("query_id", F.col(id_col).alias("id"))
+    qterms = queries.select(
+        "query_id", F.explode(tokens(F.col("query"))).alias("token")
+    ).distinct()
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    hits = (
+        pos.join(F.broadcast(cand), "id")
+        .join(F.broadcast(qterms), ["query_id", "token"])
+        .select("query_id", "id", "pos", "token")
+        .localCheckpoint(eager=True)  # tiny; read twice by the self-join
+    )
+    a = hits.select("query_id", "id", F.col("pos").alias("apos"))
+    b = hits.select(
+        "query_id", "id", F.col("pos").alias("bpos"), F.col("token").alias("btok")
+    )
+    cov = (
+        a.join(F.broadcast(b), ["query_id", "id"])
+        .filter(
+            (F.col("bpos") >= F.col("apos"))
+            & (F.col("bpos") < F.col("apos") + w)
+        )
+        .groupBy("query_id", "id", "apos")
+        .agg(
+            F.countDistinct("btok").cast("long").alias("n_terms"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    sel = Window.partitionBy("query_id", "id").orderBy(
+        F.desc("n_terms"), F.desc("n_hits"), F.asc("apos")
+    )
+    best = (
+        cov.withColumn("__rn", F.row_number().over(sel))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "id", "apos", "n_terms")
+    )
+    toks_arr = df.select(
+        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return (
+        toks_arr.join(F.broadcast(best), "id")
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            F.col("apos").cast("long").alias("snippet_start"),
+            "n_terms",
+            F.array_join(
+                F.slice(F.col("__toks"), F.col("apos") + 1, w), " "
+            ).alias("snippet"),
+        )
+        .orderBy("query_id", id_col)
+    )
+
+
+def best_snippet_oracle_sql(
+    table: str,
+    queries: list[tuple[int, str]],
+    w: int = 10,
+    n_docs: int = 3,
+) -> str:
+    """DuckDB twin of :func:`best_snippet`: BM25 oracle candidates, the
+    range-derived positional postings (the phrase-search pattern), the
+    same anchor-window coverage counting and tie-breaks, and the same
+    token-slice snippet rendering."""
+    from adtl_spark.operators.text import bm25_topk_oracle_sql
+
+    qvals = ", ".join(f"({qid}, '{q}')" for qid, q in queries)
+    bm = bm25_topk_oracle_sql(table, queries, k=n_docs)
+    return f"""
+    WITH cand AS (SELECT query_id, doc_id AS id FROM ({bm}) __bm),
+    q(query_id, query) AS (VALUES {qvals}),
+    qterms AS (
+      SELECT DISTINCT query_id, unnest(
+        list_filter(string_split_regex(lower(query), '\\s+'), t -> t != '')
+      ) AS token
+      FROM q
+    ),
+    tarr AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t != '') AS toks
+      FROM {table}
+    ),
+    t AS (
+      SELECT id, i - 1 AS pos, toks[CAST(i AS INT)] AS token
+      FROM tarr
+      CROSS JOIN (
+        SELECT unnest(range(1, (
+          SELECT CAST(max(len(toks)) AS BIGINT) + 1 FROM tarr))) AS i
+      ) idx
+      WHERE i <= len(toks)
+    ),
+    hits AS (
+      SELECT c.query_id, t.id, t.pos, t.token
+      FROM t
+      JOIN cand c ON c.id = t.id
+      JOIN qterms qt ON qt.query_id = c.query_id AND qt.token = t.token
+    ),
+    cov AS (
+      SELECT a.query_id, a.id, a.pos AS apos,
+             CAST(count(DISTINCT b.token) AS BIGINT) AS n_terms,
+             CAST(count(*) AS BIGINT) AS n_hits
+      FROM hits a
+      JOIN hits b ON b.query_id = a.query_id AND b.id = a.id
+       AND b.pos >= a.pos AND b.pos < a.pos + {w}
+      GROUP BY 1, 2, 3
+    ),
+    best AS (
+      SELECT query_id, id, apos, n_terms FROM (
+        SELECT query_id, id, apos, n_terms,
+               row_number() OVER (
+                 PARTITION BY query_id, id
+                 ORDER BY n_terms DESC, n_hits DESC, apos ASC
+               ) AS rn
+        FROM cov
+      ) WHERE rn = 1
+    )
+    SELECT b.query_id, b.id AS doc_id,
+           CAST(b.apos AS BIGINT) AS snippet_start, b.n_terms,
+           array_to_string(
+             ta.toks[CAST(b.apos + 1 AS INT):CAST(b.apos + {w} AS INT)], ' '
+           ) AS snippet
+    FROM best b JOIN tarr ta ON ta.id = b.id
+    ORDER BY b.query_id, doc_id
+    """

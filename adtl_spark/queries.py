@@ -4354,6 +4354,9 @@ def oracles() -> dict[str, str]:
         "retrieval_rm3_expand": R.rm3_expansion_oracle_sql(
             "documents", BM25_QUERIES, m=RM3_M, e=RM3_E
         ),
+        "retrieval_snippet": R.best_snippet_oracle_sql(
+            "documents", BM25_QUERIES, w=SNIPPET_W, n_docs=SNIPPET_DOCS
+        ),
         "corpus_heldout_ppl": C.heldout_perplexity_oracle_sql(
             f"SELECT doc_id, text FROM documents WHERE doc_id % {HOLDOUT_MOD} != 0",
             f"SELECT doc_id, text FROM documents WHERE doc_id % {HOLDOUT_MOD} = 0",
@@ -6520,6 +6523,22 @@ def retrieval_rm3_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SNIPPET_W = 10
+SNIPPET_DOCS = 3
+
+
+def retrieval_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-window snippet extraction for each query's BM25 top docs
+    (retrieval.best_snippet): the 10-token window covering the most
+    distinct query terms, ties to more hits then the earliest position;
+    the anchor-window self-join is bounded by query-term occurrences,
+    never document length."""
+    qdf = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return R.best_snippet(
+        _t(spark, sf_dir, "documents"), qdf, w=SNIPPET_W, n_docs=SNIPPET_DOCS
+    )
+
+
 HOLDOUT_MOD = 5  # every 5th doc held out for LM eval
 
 
@@ -6624,7 +6643,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     3. The tail holds the rest of that block and then the queries the
        round-6 driver gate checked (the freshest green rows).
 
-    Next-round rotation queue: any new gates first, then the
+    Next-round rotation queue: ``graph_entity_resolution`` first (the
+    one never-driver-verified query the 50-slot window cannot hold this
+    round — 51 candidates; it is lifetime-green by the local
+    check_oracle twin and pytest-pinned by its recursive-closure
+    differential), then any new gates, then the
     still-unrefreshed rounds-1-4 remainder
     (``corpus_length_quantiles_hist``, ``text_tfidf``, ``corpus_pack``,
     ``corpus_decontaminate``, ``corpus_unigram_logprob``,
@@ -6648,6 +6671,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_rm3_expand": retrieval_rm3_expand,
         "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
         "corpus_heldout_ppl": corpus_heldout_ppl,
+        "retrieval_snippet": retrieval_snippet,
         "graph_label_propagation": graph_label_propagation,
         "graph_modularity": graph_modularity,
         "text_textrank_keywords": text_textrank_keywords,

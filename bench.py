@@ -300,6 +300,7 @@ HEADLINE = [
     "text_textrank_keywords",
     "ann_ivfpq_rerank_ndcg",
     "corpus_heldout_ppl",
+    "retrieval_snippet",
 ]
 
 

@@ -804,3 +804,46 @@ def test_randomized_doremi_matches_python_replay(spark):
         for r in doremi_step(ddf).collect()
     }
     assert got == _py_doremi(docs)
+
+
+# ------------------------------------------------------------- snippets
+def test_best_snippet_covers_most_query_terms(spark):
+    from adtl_spark.operators.retrieval import best_snippet
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x spark hash join x x spark x"),
+            (2, "spark y y y y y y y y y y y y hash y join"),
+        ],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(1, "spark hash join")], "query_id long, query string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in best_snippet(docs, qdf, w=5, n_docs=2).collect()
+    }
+    # doc 1: window starting at 'spark' (pos 3) covers spark+hash+join
+    assert rows[1]["snippet_start"] == 3
+    assert rows[1]["n_terms"] == 3
+    assert rows[1]["snippet"] == "spark hash join x x"
+    # doc 2: terms are spread wider than w=5 -> best window covers 2
+    assert rows[2]["n_terms"] == 2
+    assert rows[2]["snippet_start"] == 13  # 'hash ... join' window
+    assert rows[2]["snippet"].startswith("hash")
+
+
+def test_best_snippet_tie_breaks_to_earliest_position(spark):
+    from adtl_spark.operators.retrieval import best_snippet
+
+    docs = spark.createDataFrame(
+        [(1, "a b z z z a b")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(1, "a b")], "query_id long, query string")
+    row = best_snippet(docs, qdf, w=2, n_docs=1).collect()[0]
+    assert (row["snippet_start"], row["n_terms"], row["snippet"]) == (
+        0,
+        2,
+        "a b",
+    )
