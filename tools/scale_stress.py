@@ -186,6 +186,7 @@ QUERIES = [
     "text_textrank_keywords",
     "mixture_doremi_step",
     "corpus_heldout_ppl",
+    "retrieval_snippet",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
