@@ -847,3 +847,62 @@ def test_best_snippet_tie_breaks_to_earliest_position(spark):
         2,
         "a b",
     )
+
+
+# ------------------------------------------------------ metric invariants
+def test_ndcg_bounded_and_one_iff_identical_on_random_rankings(spark):
+    import random
+
+    rng = random.Random(71)
+    k = 5
+    for trial in range(4):
+        truth_rows, approx_rows = [], []
+        for qid in (1, 2):
+            t_docs = rng.sample(range(100, 130), k)
+            a_docs = rng.sample(range(100, 130), k)
+            truth_rows += [(qid, d, i + 1) for i, d in enumerate(t_docs)]
+            approx_rows += [(qid, d, i + 1) for i, d in enumerate(a_docs)]
+        truth = _ranked_df(spark, truth_rows)
+        approx = _ranked_df(spark, approx_rows)
+        for r in R.ndcg_vs_truth(truth, approx, k=k).collect():
+            assert 0.0 <= r["ndcg"] <= 1.0
+            assert 0.0 <= r["mrr"] <= 1.0
+        # identical rankings always score exactly 1
+        for r in R.ndcg_vs_truth(truth, truth, k=k).collect():
+            assert r["ndcg"] == 1.0 and r["mrr"] == 1.0
+
+
+def test_rrf_improving_a_rank_never_lowers_fused_score(spark):
+    base_b = [(1, 50, 1), (1, 51, 2), (1, 52, 3)]
+    b = spark.createDataFrame(base_b, "query_id long, doc_id long, rank long")
+    prev = None
+    for rank_in_a in (3, 2, 1):  # doc 52 climbs system A
+        a = spark.createDataFrame(
+            [(1, 60, r) for r in (1, 2, 3) if r != rank_in_a]
+            + [(1, 52, rank_in_a)],
+            "query_id long, doc_id long, rank long",
+        )
+        score = {
+            r["doc_id"]: r["rrf"]
+            for r in R.rrf_fuse_topk(a, b, k=10).collect()
+        }[52]
+        if prev is not None:
+            assert score > prev
+        prev = score
+
+
+def test_lpa_labels_are_vertex_ids_and_deterministic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (2, 3), (3, 4), (3, 5)], "g long, m long"
+    )
+    verts = spark.createDataFrame([(v,) for v in range(1, 6)], "v long")
+    edges = cooccurrence_edges(pairs, "g", "m")
+    r1 = sorted(
+        tuple(r) for r in label_propagation(edges, verts, iters=3).collect()
+    )
+    r2 = sorted(
+        tuple(r) for r in label_propagation(edges, verts, iters=3).collect()
+    )
+    assert r1 == r2
+    vset = set(range(1, 6))
+    assert all(c in vset for _, c in r1)
