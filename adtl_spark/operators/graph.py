@@ -305,16 +305,17 @@ def label_propagation(
 
     The per-iteration shape is the same join+agg PageRank lowers to —
     edges join the |V|-row label vector on src (AQE broadcasts it when
-    small), one (dst, label) weight aggregation, one argmax window over
-    the per-vertex candidate labels (bounded by distinct neighbor
-    labels, never by |E|) — with an eager localCheckpoint per iteration
-    to keep the lineage flat.  Everything is BIGINT arithmetic; the
-    DuckDB oracle unrolls the loop and matches exactly.
+    small), one (dst, label) weight aggregation, then the per-vertex
+    argmax as a second HASH aggregation (``max_by`` over the ordered
+    struct (s, -label) — highest weight, then smallest label) instead
+    of a rank window, so no per-vertex sort ever runs — with an eager
+    localCheckpoint per iteration to keep the lineage flat.  Everything
+    is BIGINT arithmetic; the DuckDB oracle unrolls the loop (its
+    row_number form encodes the identical (s DESC, label ASC) order)
+    and matches exactly.
 
     Output: (v, community) for every vertex, ordered by (community, v).
     """
-    from pyspark.sql import Window
-
     edges = edges.persist()
     edges.count()
     try:
@@ -332,10 +333,14 @@ def label_propagation(
                 )
             )
             scores = votes.groupBy("dst", "lab").agg(F.sum("w").alias("s"))
-            w = Window.partitionBy("dst").orderBy(F.desc("s"), F.asc("lab"))
             labels = (
-                scores.withColumn("__rn", F.row_number().over(w))
-                .filter(F.col("__rn") == 1)
+                scores.groupBy("dst")
+                .agg(
+                    F.max_by(
+                        "lab",
+                        F.struct(F.col("s"), (-F.col("lab")).alias("nl")),
+                    ).alias("lab")
+                )
                 .select(F.col("dst").alias("v"), F.col("lab"))
                 .localCheckpoint(eager=True)
             )

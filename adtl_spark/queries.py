@@ -3896,7 +3896,9 @@ def ann_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = S.cosine_truncated_topk(
         emb, queries, d_keep=TRUNC_D, k=ANN_K
     ).select("query_id", "corpus_id", F.lit(1).alias("f"))
-    j = exact.join(approx, ["query_id", "corpus_id"], "left")
+    # both sides are queries x k rows; hint the approx side so the
+    # recall join never sort-merges (the other recall gates' shape)
+    j = exact.join(F.broadcast(approx), ["query_id", "corpus_id"], "left")
     n_exact = F.count(F.lit(1))
     n_hit = F.sum(F.coalesce(F.col("f"), F.lit(0)))
     return j.agg(
