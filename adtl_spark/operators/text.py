@@ -1619,3 +1619,45 @@ def phrase_search_index(
         )
         .orderBy("doc_id", "match_pos")
     )
+
+
+# HTML -> text extraction passes, applied IN ORDER: drop non-content
+# blocks wholesale (script/style/head/comments), break block-level
+# boundaries into newlines so words from adjacent elements never fuse,
+# strip remaining tags, decode the common entities, collapse whitespace.
+# Pure regexp_replace chain — distributes with no Python in the path and
+# replays identically in any engine with (?is)-capable regexes.
+_HTML_PASSES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),
+    (r"(?is)<head\b[^>]*>.*?</head>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"(?i)<(?:br|hr)\s*/?>", "\n"),
+    (r"(?i)</?(?:p|div|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|section|article|header|footer)\b[^>]*>", "\n"),
+    (r"(?s)<[^>]+>", " "),
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;|&apos;", "'"),
+    (r"[ \t\x0b\f\r]+", " "),
+    (r" ?\n ?", "\n"),
+    (r"\n{2,}", "\n"),
+    (r"^\s+|\s+$", ""),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Extract visible text from HTML markup — the WET-making step of a
+    CommonCrawl-style pipeline (compose with sources.parse_warc_records
+    over ``response`` records to turn raw crawl archives into a text
+    corpus).  Regex-based by design: it distributes as a narrow Column
+    chain, needs no parser library, and handles the non-content-block /
+    tag / entity / whitespace cases that dominate real pages.  It is NOT
+    a conforming HTML5 parser (CDATA inside scripts, conditional
+    comments, and broken markup degrade gracefully to over-stripping) —
+    documented trade, same contract as text.normalize_text."""
+    for pat, repl in _HTML_PASSES:
+        col = F.regexp_replace(col, pat, repl)
+    return col

@@ -906,3 +906,52 @@ def test_lpa_labels_are_vertex_ids_and_deterministic(spark):
     assert r1 == r2
     vset = set(range(1, 6))
     assert all(c in vset for _, c in r1)
+
+
+# -------------------------------------------------------------- HTML ----
+def test_html_to_text_strips_blocks_tags_entities(spark):
+    from adtl_spark.operators.text import html_to_text
+
+    html = (
+        "<html><head><title>skip me</title></head><body>"
+        "<script>var x = '<p>no</p>';</script>"
+        "<style>.a { color: red }</style>"
+        "<!-- hidden -->"
+        "<h1>Title</h1><p>Hello &amp; welcome to <b>the</b> corpus.</p>"
+        "<ul><li>one</li><li>two&nbsp;three</li></ul>"
+        "<div>4 &lt; 5 &gt; 3</div></body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    out = df.select(html_to_text(F.col("html")).alias("t")).collect()[0]["t"]
+    assert "skip me" not in out and "var x" not in out
+    assert "color" not in out and "hidden" not in out
+    lines = out.split("\n")
+    assert "Title" in lines
+    assert "Hello & welcome to the corpus." in out
+    assert "one" in lines and "two three" in lines
+    assert "4 < 5 > 3" in out
+
+
+def test_html_to_text_composes_with_warc_response_records(spark, tmp_path):
+    from adtl_spark.operators.text import html_to_text
+    from adtl_spark.sources.io import parse_warc_records, read_text_dir
+
+    body = "<html><body><p>crawled page</p></body></html>"
+    warc = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://example.com/p\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        "\r\n"
+        f"{body}\r\n"
+    )
+    d = tmp_path / "warc3"
+    d.mkdir()
+    (d / "f.warc").write_text(warc)
+    recs = parse_warc_records(read_text_dir(spark, str(d), whole_files=True))
+    out = (
+        recs.filter(F.col("warc_type") == "response")
+        .select(html_to_text(F.col("content")).alias("text"))
+        .collect()
+    )
+    assert out[0]["text"] == "crawled page"
