@@ -431,13 +431,19 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     re-reads the unpersisted cache."""
     edges = edges.persist()
     edges.count()
+    # The label vector is |V|-row — NO forced broadcast hint: at web-scale
+    # vertex counts a forced hint OOMs the driver where a plain equi-join
+    # degrades gracefully to shuffle, and AQE still picks a broadcast when
+    # the vector is actually small (plan-asserted at test scale) — the same
+    # reasoning pagerank applies to its rank vector.  The one-row/
+    # community-sized relations below keep their hints.
     lab = labels.select(F.col("v"), F.col("community").alias("c"))
     e_src = edges.join(
-        F.broadcast(lab.select(F.col("v").alias("src"), F.col("c").alias("cs"))),
+        lab.select(F.col("v").alias("src"), F.col("c").alias("cs")),
         "src",
     )
     both = e_src.join(
-        F.broadcast(lab.select(F.col("v").alias("dst"), F.col("c").alias("cd"))),
+        lab.select(F.col("v").alias("dst"), F.col("c").alias("cd")),
         "dst",
     )
     d_c = e_src.groupBy("cs").agg(F.sum("w").alias("dc"))

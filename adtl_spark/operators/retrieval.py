@@ -489,7 +489,11 @@ def mmr_topk(
         (F.floor(F.col("cos") * 10000 + F.lit(0.5)).cast("long") * 100).alias(
             "relq"
         ),
-    )
+    ).localCheckpoint(eager=True)
+    # ^ the pool is the ONLY corpus-sized subtree; checkpointing it here
+    # (before candv/pairs/sel derive from it) is what makes the k-1 greedy
+    # iterations queries x pool sized — without it every per-step eager
+    # checkpoint re-runs the full-corpus cosine top-k through sel1/rem.
     cv = corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("v"))
     candv = cv.join(F.broadcast(cand), "cid").select("query_id", "cid", "v")
     a, b = candv.alias("a"), candv.alias("b")
@@ -849,12 +853,20 @@ _LEXICON_SCHEMA = "token string, df_ long, ctf long, bucket int"
 
 
 def _index_buckets(spark, path: str, n_buckets: int | None) -> int:
-    """Resolve an index's bucket count: an explicit argument wins,
-    otherwise read the meta sidecar (indexes written before meta existed
-    do not occur — write_search_index always emits it)."""
-    if n_buckets is not None:
-        return n_buckets
-    return spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
+    """Resolve an index's bucket count from the meta sidecar
+    (write_search_index always emits it).  An explicit argument is
+    VALIDATED against meta, never trusted over it: a mismatched bucket
+    count would silently route new postings into different buckets than
+    the persisted ones, corrupting every pruned read after — fail fast
+    instead."""
+    stored = spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
+    if n_buckets is not None and int(n_buckets) != int(stored):
+        raise ValueError(
+            f"search index at {path} was written with n_buckets={stored}; "
+            f"got explicit n_buckets={n_buckets} — mixed bucket layouts "
+            "silently mis-route postings, rebuild the index instead"
+        )
+    return stored
 
 
 def _read_or_empty(spark, path: str, schema: str) -> DataFrame:
@@ -1062,7 +1074,16 @@ def append_to_search_index(
     quantile-store pattern).  The merged lexicon/stats stay
     vocabulary-/one-row-sized however long ingestion runs, and serving
     queries against the maintained index equals a from-scratch build
-    over the full corpus exactly (tested, batch and foreachBatch)."""
+    over the full corpus exactly (tested, batch and foreachBatch).
+
+    FAILURE CONTRACT: the five steps are not atomic.  A crash between
+    the postings append and the lexicon/stats overwrites leaves the
+    index inconsistent, and because postings/dl are append-mode,
+    RE-RUNNING the failed batch double-counts them — recover a failed
+    append by rebuilding the index (write_search_index), never by
+    retrying the batch.  An explicit ``n_buckets`` is validated against
+    the index's meta sidecar and raises on mismatch (a silent mismatch
+    would bucket new postings differently from old ones)."""
     spark = batch_docs.sparkSession
     n_buckets = _index_buckets(spark, path, n_buckets)
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")

@@ -1636,11 +1636,14 @@ _HTML_PASSES: list[tuple[str, str]] = [
     (r"(?i)</?(?:p|div|li|ul|ol|tr|td|th|table|h[1-6]|blockquote|section|article|header|footer)\b[^>]*>", "\n"),
     (r"(?s)<[^>]+>", " "),
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;|&apos;", "'"),
+    # &amp; decodes LAST (standard unescape order): decoding it earlier
+    # double-decodes escaped entities — '&amp;lt;' must render as the
+    # literal '&lt;' the page displays, not '<'
+    (r"&amp;", "&"),
     (r"[ \t\x0b\f\r]+", " "),
     (r" ?\n ?", "\n"),
     (r"\n{2,}", "\n"),

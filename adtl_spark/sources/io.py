@@ -558,11 +558,26 @@ def parse_warc_records(
     case it exists for).  Archives with binary payloads should go
     through ``read_binary_dir`` + the multimodal decode pipeline
     instead.  The reference engine has no archive ingestion at all; this
-    is part of the training-data-pipeline extension surface."""
+    is part of the training-data-pipeline extension surface.
+
+    Record splitting is anchored to the RECORD BOUNDARY — the blank line
+    that terminates the previous record's block followed by the version
+    line (``\\r\\n\\r\\nWARC/1.0\\r\\n``; the file head is handled by
+    prepending a synthetic boundary) — never to ``WARC/1.0`` alone, so a
+    crawled payload that merely mentions the version string does not
+    fragment its record.  Remaining documented hazard of this
+    SQL-replayable path: a payload containing a blank line IMMEDIATELY
+    followed by a version line still false-splits (the content then
+    comes up short of its Content-Length); archives where that can occur
+    should use :func:`parse_warc_records_strict`, which walks
+    Content-Length like a conformant WARC reader."""
     recs = files.select(
         F.col(content_col).alias("__raw"),
         F.posexplode(
-            F.split(F.col(content_col), r"WARC/1\.0\r?\n")
+            F.split(
+                F.concat(F.lit("\r\n\r\n"), F.col(content_col)),
+                r"\r?\n\r?\nWARC/1\.0\r?\n",
+            )
         ).alias("__pos", "__rec"),
     ).filter((F.col("__pos") > 0) & (F.col("__rec") != ""))
     parts = recs.select(
@@ -595,6 +610,98 @@ def parse_warc_records(
         ).alias("record_id"),
         clen.alias("content_length"),
         F.coalesce(content, F.lit("")).alias("content"),
+    )
+
+
+def parse_warc_records_strict(
+    files: DataFrame, content_col: str = "value"
+) -> DataFrame:
+    """Conformant WARC record parsing: like :func:`parse_warc_records`
+    (same output schema, equal rows on well-formed archives — tested)
+    but advances by ``Content-Length`` the way a real WARC reader does,
+    so a payload containing ANY byte sequence — including a blank line
+    followed by a version line, which false-splits the Column path — is
+    returned intact.
+
+    Arrow-batched ``mapInPandas`` over whole files: parallelism is
+    per-file (same unit as the ingestion scan), and the per-record walk
+    is offset arithmetic plus header-block regexes — payload bytes are
+    sliced, never regex-scanned.  Use this for arbitrary crawled
+    archives; the Column path remains the SQL-replayable fast path for
+    text archives where payload collisions cannot occur (WET, test
+    fixtures, synthetic corpora).  Character-addressed like the Column
+    path (byte-exact for ASCII/8-bit payloads)."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    h_end = re.compile(r"\r?\n\r?\n")
+    next_rec = re.compile(r"\r?\n\r?\nWARC/1\.0\r?\n")
+    r_clen = re.compile(r"(?m)^Content-Length:\s*(\d+)")
+    r_type = re.compile(r"(?m)^WARC-Type:\s*(\S+)")
+    r_uri = re.compile(r"(?m)^WARC-Target-URI:\s*(\S+)")
+    r_rid = re.compile(r"(?m)^WARC-Record-ID:\s*<?([^>\r\n]+)>?")
+
+    def walk(content: str):
+        pos, rec_pos, n = 0, 0, len(content)
+        while pos < n:
+            while pos < n and content[pos] in "\r\n":
+                pos += 1
+            if not content.startswith("WARC/1.0", pos):
+                break  # strict: stop at the first non-record byte
+            m = h_end.search(content, pos)
+            if m is None:
+                break  # truncated header block
+            headers = content[pos : m.start()]
+            body_start = m.end()
+            mc = r_clen.search(headers)
+            if mc is not None:
+                clen = int(mc.group(1))
+                body = content[body_start : body_start + clen]
+                pos = body_start + clen
+            else:
+                clen = None
+                nxt = next_rec.search(content, body_start)
+                end = nxt.start() if nxt is not None else n
+                body = content[body_start:end].rstrip("\r\n")
+                pos = end
+            mt, mu, mi = (
+                r_type.search(headers),
+                r_uri.search(headers),
+                r_rid.search(headers),
+            )
+            yield (
+                rec_pos,
+                mt.group(1) if mt else None,
+                mu.group(1) if mu else None,
+                mi.group(1) if mi else None,
+                clen,
+                body,
+            )
+            rec_pos += 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "rec_pos",
+            "warc_type",
+            "target_uri",
+            "record_id",
+            "content_length",
+            "content",
+        ]
+        for pdf in batches:
+            rows = [
+                rec for c in pdf[content_col] if c is not None for rec in walk(c)
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        run,
+        schema=(
+            "rec_pos long, warc_type string, target_uri string, "
+            "record_id string, content_length long, content string"
+        ),
     )
 
 
