@@ -2,10 +2,13 @@
 with typed metadata.
 
 The Spark-side plumbing is real and tested: schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing by byte budget, deterministic
-fake decoders for tests.  The actual codec calls (PIL/ffmpeg/torchaudio)
-are stubbed behind ``NotImplementedError`` — those libraries are not in
-this container — with the batch shapes and UDF signatures they would use.
+``mapInPandas`` pipelines, partition sizing by byte budget.  Three codecs
+are real and dependency-free — binary PPM, RIFF/WAVE PCM, and PNG
+(stdlib zlib inflate + all five scanline unfilters + gray/palette/alpha
+conversion) — so decode round trips are value-checked end to end.  The
+remaining compressed codecs (JPEG/MP3) need libraries not in this
+container and stay behind ``NotImplementedError`` with the batch shapes
+and UDF signatures they would use.
 
 Design for 100 TB:
 - binary payloads never pass through Python row-at-a-time; every decode /
@@ -126,17 +129,255 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     return fmt[0], fmt[1], fmt[2], data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytearray:
+    """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
+    Average/Paeth).  ``raw`` is the inflated stream: height scanlines of
+    1 filter-type byte + width*bpp filtered bytes.  Sequential by
+    construction (Sub/Average/Paeth recon depends on the pixel to the
+    left), so this is a plain byte loop — at gate/image sizes it is
+    cheap, and the mapInPandas harness distributes whole images across
+    executors, never pixels across rows of Python."""
+    stride = width * bpp
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG stream size {len(raw)} != expected {height * (stride + 1)}"
+        )
+    out = bytearray(height * stride)
+    prev_row_start = -1
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        row_start = y * stride
+        if ftype == 0:  # None
+            out[row_start : row_start + stride] = line
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                left = out[row_start + x - bpp] if x >= bpp else 0
+                out[row_start + x] = (line[x] + left) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                up = out[prev_row_start + x] if y > 0 else 0
+                out[row_start + x] = (line[x] + up) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                left = out[row_start + x - bpp] if x >= bpp else 0
+                up = out[prev_row_start + x] if y > 0 else 0
+                out[row_start + x] = (line[x] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[row_start + x - bpp] if x >= bpp else 0
+                b = out[prev_row_start + x] if y > 0 else 0
+                c = (
+                    out[prev_row_start + x - bpp]
+                    if (y > 0 and x >= bpp)
+                    else 0
+                )
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                out[row_start + x] = (line[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} is not in 0..4")
+        prev_row_start = row_start
+    return out
+
+
+# PNG color types: (channels, needs_palette)
+_PNG_COLOR = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Dependency-free PNG decoder (stdlib zlib only): walks the chunk
+    list verifying each CRC, inflates the IDAT stream, reverses all five
+    scanline filters, and converts to packed RGB bytes.  Supports 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha)
+    and 6 (RGBA) — alpha is STRIPPED (not composited), gray replicates,
+    palette indexes PLTE.  Interlaced (Adam7) and 16-bit images raise
+    NotImplementedError; malformed payloads (bad CRC, short stream,
+    unknown filter) raise ValueError — corrupt media must fail loudly.
+
+    Returns (width, height, rgb_bytes) — the same contract as
+    :func:`decode_ppm`, so every downstream stage (features, resize,
+    pixel stats) is format-agnostic."""
+    import struct
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    width = height = None
+    color_type = None
+    palette: bytes | None = None
+    idat = bytearray()
+    seen_iend = False
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8:
+                raise NotImplementedError(
+                    f"only 8-bit PNG supported, got depth={depth}"
+                )
+            if color_type not in _PNG_COLOR:
+                raise ValueError(f"unknown PNG color type {color_type}")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard PNG compression/filter method")
+            if interlace != 0:
+                raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        pos += 12 + length
+    if width is None or not seen_iend or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    if width == 0 or height == 0:
+        raise ValueError("zero-dimension PNG")
+    bpp = _PNG_COLOR[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _png_unfilter(raw, width, height, bpp)
+    n = width * height
+    if color_type == 2:
+        rgb = bytes(px)
+    elif color_type == 6:  # RGBA: strip alpha
+        rgb = bytearray(n * 3)
+        for i in range(n):
+            rgb[3 * i : 3 * i + 3] = px[4 * i : 4 * i + 3]
+        rgb = bytes(rgb)
+    elif color_type == 0:  # gray
+        rgb = bytes(v for v in px for _ in range(3))
+    elif color_type == 4:  # gray+alpha
+        rgb = bytes(px[2 * i] for i in range(n) for _ in range(3))
+    else:  # palette
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        rgb = bytearray(n * 3)
+        for i in range(n):
+            j = px[i] * 3
+            if j + 3 > len(palette):
+                raise ValueError("PNG palette index out of range")
+            rgb[3 * i : 3 * i + 3] = palette[j : j + 3]
+        rgb = bytes(rgb)
+    return width, height, rgb
+
+
+def _png_filter_line(
+    ftype: int, line: bytes, prev: bytes | None, bpp: int
+) -> bytes:
+    """Forward-apply one PNG scanline filter (the encoder side of
+    :func:`_png_unfilter`)."""
+    stride = len(line)
+    out = bytearray(stride)
+    for x in range(stride):
+        left = line[x - bpp] if x >= bpp else 0
+        up = prev[x] if prev is not None else 0
+        ul = prev[x - bpp] if (prev is not None and x >= bpp) else 0
+        if ftype == 0:
+            v = line[x]
+        elif ftype == 1:
+            v = line[x] - left
+        elif ftype == 2:
+            v = line[x] - up
+        elif ftype == 3:
+            v = line[x] - ((left + up) >> 1)
+        elif ftype == 4:
+            p = left + up - ul
+            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+            if pa <= pb and pa <= pc:
+                pr = left
+            elif pb <= pc:
+                pr = up
+            else:
+                pr = ul
+            v = line[x] - pr
+        else:
+            raise ValueError(f"PNG filter type {ftype} is not in 0..4")
+        out[x] = v & 0xFF
+    return bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raw: bytes,
+    color_type: int = 2,
+    filter_mode: str = "mixed",
+) -> bytes:
+    """Dependency-free PNG encoder: ``raw`` is packed channel bytes for
+    ``color_type`` (2=RGB, 6=RGBA, 0=gray; len = w*h*channels).
+    ``filter_mode='mixed'`` filters scanline y with type y % 5 — every
+    decoder unfilter path (None/Sub/Up/Average/Paeth) is exercised by
+    any image of >= 5 rows, which is exactly what the round-trip gates
+    want; ``'none'`` writes filter 0 throughout (fastest)."""
+    import struct
+
+    if color_type not in (0, 2, 6):
+        raise ValueError(f"encode_png supports color types 0/2/6, got {color_type}")
+    bpp = _PNG_COLOR[color_type]
+    stride = width * bpp
+    if len(raw) != height * stride:
+        raise ValueError(
+            f"raw size {len(raw)} != {height}*{stride} for color type {color_type}"
+        )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stream = bytearray()
+    prev: bytes | None = None
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ftype = (y % 5) if filter_mode == "mixed" else 0
+        stream.append(ftype)
+        stream += _png_filter_line(ftype, line, prev, bpp)
+        prev = line
+    idat = zlib.compress(bytes(stream), 6)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, rgb_bytes).  PPM (P6)
-    decodes natively; compressed formats (PNG/JPEG magic detected) need a
-    codec library that is not in this container and raise
-    NotImplementedError naming the format."""
+    and PNG (stdlib-zlib chunk walk + unfilter, :func:`decode_png`)
+    decode natively; JPEG needs a codec library that is not in this
+    container and raises NotImplementedError naming the format."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"\x89PNG"):
-        raise NotImplementedError(
-            "PNG decoding requires a codec library (PIL) not in this container"
-        )
+        return decode_png(payload)
     if payload.startswith(b"\xff\xd8\xff"):
         raise NotImplementedError(
             "JPEG decoding requires a codec library (PIL) not in this container"
@@ -451,6 +692,23 @@ def synthetic_ppm_arith(width: int, height: int, seed: int) -> bytes:
     return header + rgb
 
 
+def synthetic_png_arith(
+    width: int, height: int, seed: int, color_type: int = 6
+) -> bytes:
+    """A REAL PNG payload (mixed per-row filters, so decoding it runs
+    all five unfilter paths) whose CHANNEL byte at flat index ``j`` is
+    ``(seed*31 + j*131) % 256`` — the same mix as
+    :func:`synthetic_ppm_arith`, over w*h*channels bytes.  With the
+    default RGBA (color type 6) the decoder must also strip alpha, so an
+    oracle replaying output channel c of pixel p as source byte
+    ``j = p*4 + c`` pins the channel stride too."""
+    n = width * height * _PNG_COLOR[color_type]
+    raw = bytes(
+        (seed * _PPM_MIX_SEED + j * _PPM_MIX_IDX) % 256 for j in range(n)
+    )
+    return encode_png(width, height, raw, color_type=color_type)
+
+
 AUDIO_SIGNAL_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -514,11 +772,11 @@ def audio_signal_features(df: DataFrame) -> DataFrame:
 
 def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:
     """Nearest-neighbor downsample by an integer factor through the native
-    PPM decode path: decode -> strided numpy slice ``[::f, ::f, :]`` ->
-    re-encode P6.  Output (media_id, payload) composes back into any
-    decoder-consuming stage (the round-trip gate decodes the output
-    again).  Arrow-batched; pixel work is numpy slicing, never per-pixel
-    Python."""
+    decode path (PPM or PNG — :func:`decode_image`): decode -> strided
+    numpy slice ``[::f, ::f, :]`` -> re-encode P6.  Output (media_id,
+    payload) composes back into any decoder-consuming stage (the
+    round-trip gates decode the output again).  Arrow-batched; pixel
+    work is numpy slicing, never per-pixel Python."""
     import numpy as np
 
     if factor < 1:
@@ -527,7 +785,7 @@ def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:
     def one(b: bytes | None):
         if b is None:
             return None
-        w, h, rgb = decode_ppm(b)
+        w, h, rgb = decode_image(b)
         a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
         out = np.ascontiguousarray(a[::factor, ::factor, :])
         oh, ow = out.shape[0], out.shape[1]
@@ -559,8 +817,8 @@ IMAGE_PIXEL_STATS_SCHEMA = T.StructType(
 
 
 def image_pixel_stats(df: DataFrame) -> DataFrame:
-    """Exact pixel statistics through the native PPM decode path: per-
-    channel sums and a position-weighted checksum
+    """Exact pixel statistics through the native decode path (PPM or
+    PNG): per-channel sums and a position-weighted checksum
     ``sum_p (p+1) * (r + 2g + 3b)`` (flat pixel index p) — the checksum is
     sensitive to pixel ORDER, so it pins the decoder's layout and any
     upstream resample's stride arithmetic, not just value multisets."""
@@ -570,7 +828,7 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
         if b is None:
             return (None,) * 6
         try:
-            w, h, rgb = decode_ppm(b)
+            w, h, rgb = decode_image(b)
             a = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3).astype(np.int64)
             weights = np.arange(1, h * w + 1, dtype=np.int64)
             mix = a[:, 0] + 2 * a[:, 1] + 3 * a[:, 2]

@@ -1651,6 +1651,19 @@ _HTML_PASSES: list[tuple[str, str]] = [
 ]
 
 
+def html_extract_expr_sql(col: str) -> str:
+    """The DuckDB expression mirroring :func:`html_to_text`'s pass chain
+    — same patterns, same order, 'g' flag for Spark's replace-all
+    default (the normalize_expr_sql pattern).  Exported so the WET gate
+    oracle replays the extraction on the same constructed HTML."""
+    expr = col
+    for pat, repl in _HTML_PASSES:
+        lit_pat = pat.replace("'", "''")
+        lit_repl = repl.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{lit_pat}', '{lit_repl}', 'g')"
+    return expr
+
+
 def html_to_text(col: Column) -> Column:
     """Extract visible text from HTML markup — the WET-making step of a
     CommonCrawl-style pipeline (compose with sources.parse_warc_records

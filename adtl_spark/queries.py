@@ -3569,6 +3569,125 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(M.resize_image_nn(media, factor=2))
 
 
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PNG twin of multimodal_image_resize, through the stdlib-zlib
+    PNG decode path: arithmetic RGBA payloads written with MIXED per-row
+    filters (every one of the five unfilter paths executes on any image
+    >= 5 rows) -> chunk walk + CRC verify + inflate + unfilter + alpha
+    strip -> NN downsample by 2 -> P6 re-encode -> decode again -> pixel
+    stats.  The oracle replays output pixel p channel c as source RGBA
+    byte ((p//ow)*2*w + (p%ow)*2)*4 + c of the arithmetic pattern, so a
+    bug anywhere in the chain — filtering, stride, channel order, alpha
+    handling — breaks the position-weighted checksum."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_png_arith(
+                            8 + (int(i) * 5) % 16,
+                            8 + (int(i) * 7) % 16,
+                            seed=int(i),
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.image_pixel_stats(M.resize_image_nn(media, factor=2))
+
+
+# The constructed-page template for the WET gate: single-line (a WARC
+# payload must not contain a blank line — the Column parser's documented
+# boundary), with every extraction pass represented: head/style/script
+# blocks, a comment, block-level tags, <br/>, &nbsp;, quote entities, and
+# the &amp;lt; double-escape case the entity ordering fix exists for.
+_WET_HEAD = (
+    '<html><head><title>corpus</title><style>p{color:#333}</style></head>'
+    '<body><!-- boilerplate --><script type="text/javascript">var ok = 1 < 2'
+    ' && "x";</script><h1>Doc '
+)
+_WET_TAIL = (
+    '</p><div>fine&nbsp;print &amp;lt; escaped &quot;q&quot; &amp; done'
+    "</div><br/></body></html>"
+)
+
+
+def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET-making pipeline value-checked end to end: per document,
+    build an HTML page (entity-escaping the text), wrap it as a WARC
+    response record with a correct Content-Length, concatenate 8 records
+    per archive file, then run the ingestion path — parse_warc_records
+    boundary split + Content-Length cut, html_to_text extraction — and
+    emit (doc_id, text, n_chars).  The oracle builds the same HTML
+    directly from ``documents`` and applies the identical regexp_replace
+    chain (text.html_extract_expr_sql), so the WARC wrap/parse must be
+    an exact identity and the extraction must match pass for pass."""
+    from adtl_spark.sources.io import parse_warc_records
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    esc = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"
+        ),
+        ">",
+        "&gt;",
+    )
+    html = F.concat(
+        F.lit(_WET_HEAD),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        esc,
+        F.lit(_WET_TAIL),
+    )
+    rec = F.concat(
+        F.lit(
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://corpus.test/doc/"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nContent-Length: "),
+        F.length(html).cast("string"),
+        F.lit("\r\n\r\n"),
+        html,
+        F.lit("\r\n\r\n"),
+    )
+    files = (
+        docs.select(
+            (F.col("doc_id") % 8).alias("__f"),
+            F.struct(F.col("doc_id").alias("k"), rec.alias("rec")).alias("__s"),
+        )
+        .groupBy("__f")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("__s")), lambda x: x["rec"]
+                ),
+                "",
+            ).alias("value")
+        )
+    )
+    recs = parse_warc_records(files)
+    out = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        X.html_to_text(F.col("content")).alias("text"),
+    )
+    return out.select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed n-gram containment pairs (|src AND dst| / |src| >= 0.6):
     catches one document quoting or embedding another even when symmetric
@@ -3643,6 +3762,29 @@ def graph_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("entity_id").cast("long"), "n_members", "max_member")
         .orderBy("entity_id")
     )
+
+
+def _wet_extract_oracle() -> str:
+    """DuckDB twin of :func:`wet_extract`: the same single-line HTML
+    built directly from ``documents`` (the WARC wrap/parse on the Spark
+    side must be an exact identity), then text.html_extract_expr_sql —
+    the identical pass chain, pattern for pattern."""
+    head = _WET_HEAD.replace("'", "''")
+    tail = _WET_TAIL.replace("'", "''")
+    expr = X.html_extract_expr_sql("html")
+    return f"""
+    WITH h AS (
+      SELECT doc_id,
+             '{head}' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||
+             replace(replace(replace(text, '&', '&amp;'),
+                     '<', '&lt;'), '>', '&gt;') ||
+             '{tail}' AS html
+      FROM documents
+    )
+    SELECT doc_id, {expr} AS text,
+           CAST(length({expr}) AS BIGINT) AS n_chars
+    FROM h ORDER BY doc_id
+    """
 
 
 def _profile_skew_oracle() -> str:
@@ -5813,6 +5955,45 @@ def oracles() -> dict[str, str]:
                    CAST(sum((p + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
             FROM c GROUP BY doc_id
         """,
+        # the PNG chain replayed per OUTPUT pixel: identical structure to
+        # multimodal_image_resize but over the RGBA byte stream (stride 4,
+        # alpha byte jj+3 dropped by the decoder) and the PNG gate's own
+        # dimension arithmetic
+        "multimodal_png_resize": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + (doc_id * 5) % 16 AS w,
+                     (8 + (doc_id * 5) % 16 + 1) // 2 AS ow,
+                     (8 + (doc_id * 7) % 16 + 1) // 2 AS oh
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, ow, oh,
+                     unnest(generate_series(0, CAST(ow * oh - 1 AS BIGINT))) AS p
+              FROM dims
+            ),
+            j AS (
+              SELECT doc_id, ow, oh, p,
+                     ((p // ow) * 2 * w + (p % ow) * 2) * 4 AS jj
+              FROM px
+            ),
+            c AS (
+              SELECT doc_id, ow, oh, p,
+                     (doc_id * 31 + jj * 131) % 256 AS r,
+                     (doc_id * 31 + (jj + 1) * 131) % 256 AS g,
+                     (doc_id * 31 + (jj + 2) * 131) % 256 AS b
+              FROM j
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(ow) AS BIGINT) AS width,
+                   CAST(max(oh) AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum((p + 1) * (r + 2 * g + 3 * b)) AS BIGINT) AS checksum
+            FROM c GROUP BY doc_id
+        """,
+        "wet_extract": _wet_extract_oracle(),
         "multimodal_image_meta": """
             SELECT doc_id AS media_id,
                    CAST(3 + length(CAST(8 + doc_id % 16 AS VARCHAR)) + 1
@@ -6716,6 +6897,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize": multimodal_image_resize,
         "text_containment": text_containment,
         "graph_entity_resolution": graph_entity_resolution,
+        "multimodal_png_resize": multimodal_png_resize,
+        "wet_extract": wet_extract,
         "text_pmi_topk": text_pmi_topk,  # -- least-recently-verified block (rounds 1-4 driver rows) --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,

@@ -183,6 +183,208 @@ def test_append_rejects_mismatched_bucket_count(spark, tmp_path):
     append_to_search_index(batch, path, n_buckets=8)
 
 
+# ------------------------------------------------------- PNG codec ---
+
+
+def _spec_filtered_stream(pixels: bytes, width: int, height: int, bpp: int):
+    """Filtered scanline stream computed DIRECTLY from the PNG spec §6
+    formulas (independent of multimodal._png_filter_line): row y uses
+    filter type y % 5; predictors read the reconstructed (= original)
+    bytes of the current and previous rows."""
+    stride = width * bpp
+    out = bytearray()
+    for y in range(height):
+        ftype = y % 5
+        out.append(ftype)
+        for x in range(stride):
+            orig = pixels[y * stride + x]
+            a = pixels[y * stride + x - bpp] if x >= bpp else 0
+            b = pixels[(y - 1) * stride + x] if y > 0 else 0
+            c = pixels[(y - 1) * stride + x - bpp] if (y > 0 and x >= bpp) else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            out.append((orig - pred) & 0xFF)
+    return bytes(out)
+
+
+def _hand_png(width, height, color_type, stream, palette=None):
+    """Assemble a PNG container by hand (struct + zlib only — independent
+    of multimodal.encode_png)."""
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(
+        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", zlib.compress(stream))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+def _arith_bytes(n, seed):
+    return bytes((seed * 31 + j * 131) % 256 for j in range(n))
+
+
+def test_decode_png_all_filters_from_spec_formulas():
+    """Decoder correctness independent of our own encoder: the filtered
+    stream is computed in-test straight from the spec formulas (6 rows
+    -> every filter type incl. a second None row), container assembled
+    by hand."""
+    from adtl_spark.operators.multimodal import decode_png
+
+    w, h, bpp = 7, 6, 3
+    pixels = _arith_bytes(w * h * bpp, seed=9)
+    payload = _hand_png(w, h, 2, _spec_filtered_stream(pixels, w, h, bpp))
+    dw, dh, rgb = decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert rgb == pixels
+
+
+def test_encode_decode_round_trip_rgb_rgba_gray():
+    from adtl_spark.operators.multimodal import decode_png, encode_png
+
+    w, h = 9, 7
+    rgb = _arith_bytes(w * h * 3, seed=3)
+    assert decode_png(encode_png(w, h, rgb, color_type=2)) == (w, h, rgb)
+
+    rgba = _arith_bytes(w * h * 4, seed=4)
+    exp = bytes(
+        rgba[4 * i + c] for i in range(w * h) for c in range(3)
+    )  # alpha stripped
+    assert decode_png(encode_png(w, h, rgba, color_type=6)) == (w, h, exp)
+
+    gray = _arith_bytes(w * h, seed=5)
+    exp_g = bytes(v for v in gray for _ in range(3))
+    assert decode_png(encode_png(w, h, gray, color_type=0)) == (w, h, exp_g)
+
+
+def test_decode_png_palette_and_gray_alpha():
+    from adtl_spark.operators.multimodal import decode_png
+
+    # palette: 4 entries, 2x2 image, filter 0 rows
+    palette = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    idx = bytes([0, 3, 1, 2])
+    stream = bytes([0]) + idx[:2] + bytes([0]) + idx[2:]
+    payload = _hand_png(2, 2, 3, stream, palette=palette)
+    _, _, rgb = decode_png(payload)
+    assert rgb == bytes(
+        [10, 20, 30, 100, 110, 120, 40, 50, 60, 70, 80, 90]
+    )
+    # gray+alpha (type 4): alpha dropped, gray replicated
+    ga = bytes([200, 255, 100, 0])
+    stream = bytes([0]) + ga
+    _, _, rgb = decode_png(_hand_png(2, 1, 4, stream))
+    assert rgb == bytes([200, 200, 200, 100, 100, 100])
+
+
+def test_decode_png_rejects_corruption_and_unsupported():
+    import struct
+    import zlib as _z
+
+    from adtl_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(5, 5, _arith_bytes(75, 1), color_type=2)
+    # flip a byte inside IDAT -> CRC mismatch
+    bad = bytearray(good)
+    idat_at = good.index(b"IDAT") + 4
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+    with pytest.raises(ValueError):
+        decode_png(good[: len(good) // 2])  # truncated
+
+    def hdr(depth=8, interlace=0):
+        return _hand_png_hdr_only(depth, interlace)
+
+    def _hand_png_hdr_only(depth, interlace):
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n"
+        out += chunk(
+            b"IHDR",
+            struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace),
+        )
+        out += chunk(b"IDAT", _z.compress(bytes(14)))
+        out += chunk(b"IEND", b"")
+        return out
+
+    with pytest.raises(NotImplementedError, match="16|depth"):
+        decode_png(hdr(depth=16))
+    with pytest.raises(NotImplementedError, match="nterlace"):
+        decode_png(hdr(interlace=1))
+    # unknown filter type byte
+    stream = bytes([7]) + bytes(6)
+    with pytest.raises(ValueError, match="filter type"):
+        decode_png(_hand_png(2, 1, 2, stream))
+
+
+def test_resize_and_pixel_stats_flow_png(spark):
+    """PNG payloads flow through the SAME resize/stats pipeline as PPM:
+    decode_image dispatch, RGBA stripping, NN stride, P6 re-encode."""
+    from adtl_spark.operators.multimodal import (
+        image_pixel_stats,
+        resize_image_nn,
+        synthetic_png_arith,
+    )
+
+    df = spark.createDataFrame(
+        [(i, synthetic_png_arith(8 + i, 6 + i, seed=i)) for i in range(4)],
+        "media_id long, payload binary",
+    )
+    rows = {
+        r["media_id"]: r
+        for r in image_pixel_stats(resize_image_nn(df, factor=2)).collect()
+    }
+    for i in range(4):
+        w, h = 8 + i, 6 + i
+        ow, oh = (w + 1) // 2, (h + 1) // 2
+        assert (rows[i]["width"], rows[i]["height"]) == (ow, oh)
+        # replay: output pixel p reads input pixel (2y, 2x), channel c at
+        # source flat byte ((2y*w + 2x)*4 + c) of the arith RGBA stream
+        sum_r = sum_g = sum_b = chk = 0
+        for p in range(ow * oh):
+            y, x = divmod(p, ow)
+            j = ((2 * y) * w + 2 * x) * 4
+            r = (i * 31 + j * 131) % 256
+            g = (i * 31 + (j + 1) * 131) % 256
+            b = (i * 31 + (j + 2) * 131) % 256
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            chk += (p + 1) * (r + 2 * g + 3 * b)
+        assert rows[i]["sum_r"] == sum_r
+        assert rows[i]["sum_g"] == sum_g
+        assert rows[i]["sum_b"] == sum_b
+        assert rows[i]["checksum"] == chk
+
+
 # ------------------------------------------------- modularity plan ---
 
 
