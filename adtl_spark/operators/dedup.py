@@ -25,6 +25,8 @@ functions on either side.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -88,6 +90,124 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style repeated-paragraph removal (Wenzek et al. 2020 §3.1):
+    split each document on ``sep``, count how many DISTINCT documents
+    each normalized paragraph (lower+trim) appears in, drop every
+    paragraph whose document frequency reaches ``min_df`` (boilerplate:
+    navigation, cookie banners, license headers), and reassemble the
+    survivors in original order.  Every input document appears in the
+    output — fully-boilerplate documents come back with empty text and
+    n_kept = 0, which is the signal a downstream length filter acts on.
+
+    Scale shape: the corpus shuffles once keyed by the normalized-
+    paragraph key to build the frequency relation, once for the flag
+    join (paragraph-vocabulary-sized build side; AQE picks the
+    strategy), and ONCE by document id for a single aggregation that
+    computes the reassembled text and both counts together (dropped
+    paragraphs become null structs, which collect_list skips).
+    Paragraph POSITION rides the rows (posexplode), so reassembly is an
+    array_sort, not a window.
+
+    Output: (id_col, text, n_kept, n_removed); empty paragraphs are
+    dropped from both counts."""
+    parts = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__pos", "__para"
+        ),
+    ).filter(F.trim(F.col("__para")) != "")
+    parts = parts.withColumn("__key", F.lower(F.trim(F.col("__para"))))
+    freq = parts.groupBy("__key").agg(
+        F.countDistinct("__id").alias("__pdf")
+    )
+    keep = F.col("__pdf") < min_df
+    agg = (
+        parts.join(freq, "__key")
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("__pos", "__para"))
+                        )
+                    ),
+                    lambda s: s["__para"],
+                ),
+                sep,
+            ).alias("text"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.count(F.lit(1)).cast("long").alias("__n_all"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce(F.col("__n_all"), F.lit(0))
+                - F.coalesce(F.col("n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def paragraph_dedup_oracle_sql(
+    pages_sql: str, min_df: int = 2, sep: str = "\n\n"
+) -> str:
+    """DuckDB twin of :func:`paragraph_dedup` over a subquery yielding
+    (doc_id, page): literal string_split, the same lower+trim key, the
+    same distinct-document frequency threshold, list(... ORDER BY pos)
+    reassembly."""
+    s = sep.replace("'", "''")
+    return f"""
+    WITH pages AS ({pages_sql}),
+    parts AS (
+      SELECT doc_id, i - 1 AS pos, lst[CAST(i AS INT)] AS para
+      FROM (SELECT doc_id, string_split(page, '{s}') AS lst FROM pages),
+           LATERAL (SELECT unnest(generate_series(1, len(lst))) AS i) g
+    ),
+    np AS (SELECT * FROM parts WHERE trim(para) != ''),
+    freq AS (
+      SELECT lower(trim(para)) AS key, count(DISTINCT doc_id) AS pdf
+      FROM np GROUP BY 1
+    ),
+    kept AS (
+      SELECT np.doc_id, np.pos, np.para
+      FROM np JOIN freq f ON lower(trim(np.para)) = f.key
+      WHERE f.pdf < {min_df}
+    ),
+    agg AS (
+      SELECT doc_id,
+             array_to_string(list(para ORDER BY pos), '{s}') AS text,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_all FROM np GROUP BY doc_id)
+    SELECT p.doc_id,
+           COALESCE(a.text, '') AS text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(t.n_all, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM pages p
+    LEFT JOIN tot t ON t.doc_id = p.doc_id
+    LEFT JOIN agg a ON a.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """
 
 
 # ------------------------------------------------------------ n-gram Jaccard

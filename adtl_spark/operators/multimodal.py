@@ -132,64 +132,74 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _png_unfilter(
-    raw: bytes, width: int, height: int, bpp: int
-) -> bytearray:
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
     """Reverse the per-scanline PNG filters (spec §6: None/Sub/Up/
     Average/Paeth).  ``raw`` is the inflated stream: height scanlines of
-    1 filter-type byte + width*bpp filtered bytes.  Sequential by
-    construction (Sub/Average/Paeth recon depends on the pixel to the
-    left), so this is a plain byte loop — at gate/image sizes it is
-    cheap, and the mapInPandas harness distributes whole images across
-    executors, never pixels across rows of Python."""
+    1 filter-type byte + width*bpp filtered bytes.
+
+    Vectorized where the recurrence allows: None and Up are whole-row
+    numpy ops, Sub is a per-lane cumulative sum (recon = running sum of
+    filtered bytes mod 256 within each byte lane).  Average and Paeth
+    genuinely chain on the reconstructed LEFT pixel, so they walk pixels
+    — but as width-length loops over bpp-wide lane vectors, and only on
+    the rows that use them.  The mapInPandas harness distributes whole
+    images across executors, never pixels across rows of Python."""
+    import numpy as np
+
     stride = width * bpp
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"PNG stream size {len(raw)} != expected {height * (stride + 1)}"
         )
-    out = bytearray(height * stride)
-    prev_row_start = -1
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = scan[:, 0]
+    if ftypes.max(initial=0) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"PNG filter type {bad} is not in 0..4")
+    lines = scan[:, 1:].astype(np.int32)
+    out = np.empty((height, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-        row_start = y * stride
+        ftype = int(ftypes[y])
+        line = lines[y]
         if ftype == 0:  # None
-            out[row_start : row_start + stride] = line
-        elif ftype == 1:  # Sub
-            for x in range(stride):
-                left = out[row_start + x - bpp] if x >= bpp else 0
-                out[row_start + x] = (line[x] + left) & 0xFF
+            cur = line
+        elif ftype == 1:  # Sub: per-lane running sum mod 256
+            cur = np.cumsum(line.reshape(width, bpp), axis=0, dtype=np.int64)
+            cur = (cur % 256).astype(np.int32).reshape(stride)
         elif ftype == 2:  # Up
-            for x in range(stride):
-                up = out[prev_row_start + x] if y > 0 else 0
-                out[row_start + x] = (line[x] + up) & 0xFF
+            cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
-            for x in range(stride):
-                left = out[row_start + x - bpp] if x >= bpp else 0
-                up = out[prev_row_start + x] if y > 0 else 0
-                out[row_start + x] = (line[x] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for x in range(stride):
-                a = out[row_start + x - bpp] if x >= bpp else 0
-                b = out[prev_row_start + x] if y > 0 else 0
-                c = (
-                    out[prev_row_start + x - bpp]
-                    if (y > 0 and x >= bpp)
-                    else 0
+            cur = np.empty(stride, dtype=np.int32)
+            lanes = line.reshape(width, bpp)
+            up = prev.reshape(width, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                left = (lanes[x] + ((left + up[x]) >> 1)) & 0xFF
+                cur[x * bpp : (x + 1) * bpp] = left
+        else:  # Paeth
+            cur = np.empty(stride, dtype=np.int32)
+            lanes = line.reshape(width, bpp)
+            up = prev.reshape(width, bpp)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            for x in range(width):
+                b = up[x]
+                p = left + b - ul
+                pa, pb, pc = (
+                    np.abs(p - left),
+                    np.abs(p - b),
+                    np.abs(p - ul),
                 )
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                if pa <= pb and pa <= pc:
-                    pr = a
-                elif pb <= pc:
-                    pr = b
-                else:
-                    pr = c
-                out[row_start + x] = (line[x] + pr) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype} is not in 0..4")
-        prev_row_start = row_start
-    return out
+                pr = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, ul)
+                )
+                left = (lanes[x] + pr) & 0xFF
+                cur[x * bpp : (x + 1) * bpp] = left
+                ul = b
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).tobytes()
 
 
 # PNG color types: (channels, needs_palette)

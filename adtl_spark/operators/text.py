@@ -14,6 +14,8 @@ __spark_entry__.py) — deterministic by construction.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1649,6 +1651,110 @@ _HTML_PASSES: list[tuple[str, str]] = [
     (r"\n{2,}", "\n"),
     (r"^\s+|\s+$", ""),
 ]
+
+
+# ------------------------------------------------------------- URLs ---
+
+_URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+_URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
+_URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+_URL_QUERY_RE = r"\?([^#]*)"
+# scheme -> default port, stripped during canonicalization
+_URL_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
+
+
+def normalize_url(col: Column) -> Column:
+    """Crawl-pipeline URL canonicalization as a native Column chain — the
+    key that makes URL-level dedup and per-host aggregation stable across
+    crawls of the same page:
+
+    - scheme and host lowercase (RFC 3986 §6.2.2.1); path case KEPT
+      (paths are case-sensitive);
+    - default port stripped (http:80 / https:443 / ftp:21), explicit
+      non-default ports kept;
+    - duplicate slashes in the path collapsed, empty path -> '/';
+    - query parameters SORTED (the order-insensitive canonical form that
+      makes '?a=1&b=2' and '?b=2&a=1' one URL), empty params dropped,
+      empty query dropped;
+    - fragment dropped (never sent to the server).
+
+    Dot-segment resolution ('/a/../b') and percent-encoding
+    normalization are NOT performed — documented trade, they need
+    stateful passes.  Non-absolute inputs (no 'scheme://') yield NULL:
+    relative links must be resolved against their page before entering a
+    corpus-level key space."""
+    scheme = F.lower(F.regexp_extract(col, _URL_SCHEME_RE, 1))
+    auth = F.regexp_extract(col, _URL_AUTH_RE, 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    port = F.regexp_extract(auth, r":(\d+)$", 1)
+    is_default = (port == "") | functools.reduce(
+        lambda a, b: a | b,
+        [
+            (scheme == s) & (port == F.lit(p))
+            for s, p in _URL_DEFAULT_PORTS.items()
+        ],
+    )
+    path = F.regexp_extract(col, _URL_PATH_RE, 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(col, _URL_QUERY_RE, 1)
+    qsorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != "")), "&"
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(is_default, F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(qsorted == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), qsorted)
+        ),
+    )
+    return F.when(scheme == "", F.lit(None).cast("string")).otherwise(rebuilt)
+
+
+def url_host(col: Column) -> Column:
+    """The canonical (lowercased, port-stripped) host of an absolute URL
+    — the partition key for per-site aggregation and politeness
+    bucketing.  NULL for non-absolute inputs, like normalize_url."""
+    auth = F.regexp_extract(col, _URL_AUTH_RE, 1)
+    host = F.lower(F.regexp_extract(auth, r"^([^:]*)", 1))
+    return F.when(host == "", F.lit(None).cast("string")).otherwise(host)
+
+
+def normalize_url_expr_sql(col: str) -> str:
+    """DuckDB expression twin of :func:`normalize_url` — same regexes
+    (RE2-compatible by construction), same default-port table, same
+    sorted-query form."""
+    scheme = f"lower(regexp_extract({col}, '{_URL_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({col}, '{_URL_AUTH_RE}', 1)"
+    host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    defaults = " OR ".join(
+        f"({scheme} = '{s}' AND {port} = '{p}')"
+        for s, p in _URL_DEFAULT_PORTS.items()
+    )
+    raw_path = f"regexp_replace(regexp_extract({col}, '{_URL_PATH_RE}', 1), '/{{2,}}', '/', 'g')"
+    path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
+    query = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    qsorted = (
+        f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
+        f" p -> p != '')), '&')"
+    )
+    return f"""CASE WHEN {scheme} = '' THEN NULL ELSE
+      {scheme} || '://' || {host}
+      || CASE WHEN {port} = '' OR {defaults} THEN '' ELSE ':' || {port} END
+      || {path}
+      || CASE WHEN {qsorted} = '' THEN '' ELSE '?' || {qsorted} END
+    END"""
+
+
+def url_host_expr_sql(col: str) -> str:
+    """DuckDB expression twin of :func:`url_host`."""
+    auth = f"regexp_extract({col}, '{_URL_AUTH_RE}', 1)"
+    host = f"lower(regexp_extract({auth}, '^([^:]*)', 1))"
+    return f"CASE WHEN {host} = '' THEN NULL ELSE {host} END"
 
 
 def html_extract_expr_sql(col: str) -> str:

@@ -3661,9 +3661,14 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         html,
         F.lit("\r\n\r\n"),
     )
+    # one archive per 64 consecutive docs: the file COUNT scales with the
+    # corpus while each group's collect_list stays 64-record-bounded (a
+    # fixed modulus would concentrate the whole corpus into a constant
+    # number of ever-growing groups — the 10x stress showed 8 archives of
+    # 62.5k records each)
     files = (
         docs.select(
-            (F.col("doc_id") % 8).alias("__f"),
+            F.floor(F.col("doc_id") / 64).alias("__f"),
             F.struct(F.col("doc_id").alias("k"), rec.alias("rec")).alias("__s"),
         )
         .groupBy("__f")
@@ -3685,6 +3690,68 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    ).orderBy("doc_id")
+
+
+# Boilerplate paragraphs for the paragraph-dedup gate page construction:
+# one on every page, one on every even-id page (so the gate exercises both
+# corpus-wide and partial boilerplate at different document frequencies).
+_PD_BOILER_ALL = "subscribe to our newsletter for updates"
+_PD_BOILER_EVEN = "copyright 2024 example corp all rights reserved"
+
+
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style repeated-paragraph removal value-checked end to end:
+    each document becomes a page of [its own text, a corpus-wide
+    boilerplate paragraph, (even ids) a second half-corpus boilerplate];
+    paragraph_dedup(min_df=2) must strip both boilerplates everywhere
+    AND any document text that repeats verbatim across documents (the
+    synthetic corpus is near-dup heavy by design), reassembling
+    survivors in original order.  The oracle replays split -> distinct-
+    document frequency -> threshold -> ordered reassembly
+    (dedup.paragraph_dedup_oracle_sql)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    page = F.concat(
+        F.col("text"),
+        F.lit("\n\n" + _PD_BOILER_ALL),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("\n\n" + _PD_BOILER_EVEN)
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return D.paragraph_dedup(pages, min_df=2).orderBy("doc_id")
+
+
+def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-pipeline URL canonicalization: messy absolute URLs built
+    from the documents table (uppercase scheme+host, a default :80 /
+    non-default :8080 / absent port split by id, duplicate path slashes,
+    unsorted query params, a fragment) normalized to the canonical
+    dedup/aggregation key plus the per-host partition key.  The oracle
+    replays the identical regex chain (text.normalize_url_expr_sql) —
+    path case must be PRESERVED while scheme/host lowercase, :80 must
+    strip while :8080 survives, and the query must come back sorted."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    port = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("HTTP://WWW.Example-"),
+        F.col("source"),
+        F.lit(".COM"),
+        port,
+        F.lit("//A/b//c/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?z=1&a=2&m="),
+        F.col("lang"),
+        F.lit("#frag"),
+    )
+    return docs.select(
+        "doc_id",
+        X.normalize_url(url).alias("url_norm"),
+        X.url_host(url).alias("host"),
     ).orderBy("doc_id")
 
 
@@ -5994,6 +6061,29 @@ def oracles() -> dict[str, str]:
             FROM c GROUP BY doc_id
         """,
         "wet_extract": _wet_extract_oracle(),
+        "text_paragraph_dedup": D.paragraph_dedup_oracle_sql(
+            "SELECT doc_id, text || '\n\n' || '" + _PD_BOILER_ALL + "'"
+            " || CASE WHEN doc_id % 2 = 0 THEN '\n\n' || '"
+            + _PD_BOILER_EVEN
+            + "' ELSE '' END AS page FROM documents",
+            min_df=2,
+        ),
+        "web_url_normalize": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'HTTP://WWW.Example-' || source || '.COM' ||
+                     CASE WHEN doc_id % 3 = 0 THEN ':80'
+                          WHEN doc_id % 3 = 1 THEN ':8080'
+                          ELSE '' END ||
+                     '//A/b//c/' || CAST(doc_id AS VARCHAR) ||
+                     '?z=1&a=2&m=' || lang || '#frag' AS url
+              FROM documents
+            )
+            SELECT doc_id,
+                   {X.normalize_url_expr_sql("url")} AS url_norm,
+                   {X.url_host_expr_sql("url")} AS host
+            FROM u ORDER BY doc_id
+        """,
         "multimodal_image_meta": """
             SELECT doc_id AS media_id,
                    CAST(3 + length(CAST(8 + doc_id % 16 AS VARCHAR)) + 1
@@ -6793,52 +6883,33 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The newest queries lead so each gets a driver row the round it
-       lands: the round-9 retrieval/ranking block (Dirichlet query
-       likelihood, BM25+QL reciprocal-rank fusion, the dense+sparse
-       hybrid, RM3 expansion terms, truncated-dims nDCG/MRR, MMR
-       diversification, the IVF-PQ-rerank nDCG grade), held-out LM
-       perplexity, label-propagation communities + their
-       modularity scorecard, TextRank keywords, and the DoReMi mixture
-       step sit at the very head; behind them
-       the IVF-PQ composite ANN gate + its all-pairs recall
-       twin, the full IVF-PQ + exact-rerank serving path (+ recall),
-       hard-negative mining (exact + IVF-pruned), chi-square
-       categorical drift, embedding centroid drift, the
-       join-cardinality planner, positional-index phrase search, robust
-       median/MAD outliers, the Bloom runtime-filter join, the exact
-       bitmap-distinct rollup, OHLC resample, sequence detection, burst
-       debounce, per-group quantile drift, cumulative distinct users,
-       and market-basket lift head the window; behind them the
-       still-unverified previous block — DSIR importance selection,
-       the PSI drift report, the KMV set-overlap sketch, the
-       decode+DSP and decode+resize exact round-trip gates, the
-       directed containment join, the blocked fuzzy-join ->
-       connected-components entity resolution pipeline, the PSI + KS
-       snapshot-drift monitors, the bottom-k quantile sketch, the HLL
-       register rollup, the training-shard integrity manifest, the PR
-       calibration curve, the exact ROC AUC, and the key-skew
-       diagnostic.
-    2. Then the LEAST-recently driver-verified entries: the rounds-1-4
-       block headed by ``text_pmi_topk`` (position 50 this round), whose
-       driver rows date to rounds 1-4 (all re-verified green at HEAD by
-       the r5 verdict's and this session's full check_oracle runs).
-    3. The tail holds the rest of that block and then the queries the
-       round-6 driver gate checked (the freshest green rows).
+    1. The window head holds ``graph_entity_resolution`` — the one query
+       that had no lifetime driver row after round 7 (it landed at
+       position 51 that round; locally green in the r7 verdict's own
+       check_oracle run) — followed by the two gates new this round:
+       the four gates new this round: the stdlib-PNG decode+resize round
+       trip (``multimodal_png_resize``), the WARC->HTML->text WET
+       extraction (``wet_extract``), CCNet-style paragraph dedup
+       (``text_paragraph_dedup``), and crawl-URL canonicalization
+       (``web_url_normalize``).
+    2. The remaining 45 slots refresh the LEAST-recently driver-verified
+       entries: the rounds-1-4 block from ``text_pmi_topk`` through
+       ``p8_unit_convert`` (driver rows dating to rounds 1-4, all
+       re-verified green at HEAD by every full check_oracle run since —
+       committed as CORRECTNESS_LOCAL_r08.json this round).
+    3. The tail holds, in refresh-queue order: the rest of the
+       rounds-1-4 remainder (``p9_date_reformat`` onward), the
+       round-6-verified block, and — freshest rows last — the 50 queries
+       the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
-    Next-round rotation queue: ``graph_entity_resolution`` first (the
-    one never-driver-verified query the 50-slot window cannot hold this
-    round — 51 candidates; it is lifetime-green by the local
-    check_oracle twin and pytest-pinned by its recursive-closure
-    differential), then any new gates, then the
-    still-unrefreshed rounds-1-4 remainder
-    (``corpus_length_quantiles_hist``, ``text_tfidf``, ``corpus_pack``,
-    ``corpus_decontaminate``, ``corpus_unigram_logprob``,
-    ``dedup_incremental``, ``text_quality``, ``text_langid``,
-    ``sample_stratified``, ``dedup_exact``, ``dedup_minhash``,
-    ``dedup_simhash`` onward — everything between position 51 and the
-    round-6-window tail); the round-6 and newest driver-verified blocks
-    hold the tail as the freshest rows.
+    Next-round rotation queue: the rounds-1-4 remainder from
+    ``p9_date_reformat`` through the pre-round-6 tail, then the
+    round-6 block; the round-7-verified block stays last as the
+    freshest rows.  Lifetime invariant: after this round's gate, every
+    registry query except the two documented ROWS_ONLY entries has an
+    exact driver-green row in some CORRECTNESS_r*.json, and the full
+    203-oracle sweep at HEAD is committed per round as
+    CORRECTNESS_LOCAL_r*.json (enforced by tests/test_plans.py).
 
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the
@@ -6846,60 +6917,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        "retrieval_ql_topk": retrieval_ql_topk,  # -- round-7 session gates --
-        "retrieval_rrf_fuse": retrieval_rrf_fuse,
-        "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
-        "retrieval_mmr_topk": retrieval_mmr_topk,
-        "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
-        "retrieval_rm3_expand": retrieval_rm3_expand,
-        "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
-        "corpus_heldout_ppl": corpus_heldout_ppl,
-        "retrieval_snippet": retrieval_snippet,
-        "graph_label_propagation": graph_label_propagation,
-        "graph_modularity": graph_modularity,
-        "text_textrank_keywords": text_textrank_keywords,
-        "mixture_doremi_step": mixture_doremi_step,
-        "ann_ivfpq_topk": ann_ivfpq_topk,  # -- newest queries (this round's window head) --
-        "ann_ivfpq_recall": ann_ivfpq_recall,
-        "emb_hard_negatives": emb_hard_negatives,
-        "emb_hard_negatives_ann": emb_hard_negatives_ann,
-        "w17_ohlc": w17_ohlc,
-        "w18_sequence_detect": w18_sequence_detect,
-        "w19_dedup_debounce": w19_dedup_debounce,
-        "quality_quantile_drift": quality_quantile_drift,
-        "w20_cumulative_users": w20_cumulative_users,
-        "olap_basket_lift": olap_basket_lift,
-        "ann_truncation_recall": ann_truncation_recall,
-        "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
-        "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
-        "quality_chi2_drift": quality_chi2_drift,
-        "emb_centroid_drift": emb_centroid_drift,
-        "profile_join_cardinality": profile_join_cardinality,
-        "text_phrase_search": text_phrase_search,
-        "profile_robust_outliers": profile_robust_outliers,
-        "join_bloom_pruned": join_bloom_pruned,
-        "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
-        "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
-        "sketch_bitmap_distinct": sketch_bitmap_distinct,
-        "sketch_quantile_bottomk": sketch_quantile_bottomk,  # -- new round-7 queries --
-        "sketch_hll_rollup": sketch_hll_rollup,
-        "layout_shard_manifest": layout_shard_manifest,
-        "quality_pr_curve": quality_pr_curve,
-        "quality_roc_auc": quality_roc_auc,
-        "profile_key_skew": profile_key_skew,
-        "layout_range_bounds": layout_range_bounds,
-        "quality_vocab_js": quality_vocab_js,
-        "corpus_dsir_select": corpus_dsir_select,
-        "quality_psi_drift": quality_psi_drift,
-        "quality_ks_drift": quality_ks_drift,
-        "sketch_kmv_overlap": sketch_kmv_overlap,
-        "multimodal_audio_features": multimodal_audio_features,
-        "multimodal_image_resize": multimodal_image_resize,
-        "text_containment": text_containment,
+        # -- r8 window head: the one never-driver-verified query, then
+        # the two gates new this round --
         "graph_entity_resolution": graph_entity_resolution,
         "multimodal_png_resize": multimodal_png_resize,
         "wet_extract": wet_extract,
-        "text_pmi_topk": text_pmi_topk,  # -- least-recently-verified block (rounds 1-4 driver rows) --
+        "text_paragraph_dedup": text_paragraph_dedup,
+        "web_url_normalize": web_url_normalize,
+        "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
         "corpus_pack": corpus_pack,
@@ -6943,8 +6968,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
-        "p8_unit_convert": p8_unit_convert,  # -- past the 50-entry gate window --
-        "p9_date_reformat": p9_date_reformat,
+        "p8_unit_convert": p8_unit_convert,
+        "p9_date_reformat": p9_date_reformat,  # -- past the 50-entry gate window --
         "p10_sensitive_hash": p10_sensitive_hash,
         "t3_word_substitute": t3_word_substitute,
         "t4_get_float": t4_get_float,
@@ -7001,7 +7026,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
-        "ann_pq_trained_topk": ann_pq_trained_topk,  # -- round-6 driver-verified window (freshest rows) --
+        "ann_pq_trained_topk": ann_pq_trained_topk,  # -- round-6 driver rows --
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
@@ -7051,4 +7076,54 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_nearest_centroid": emb_nearest_centroid,
         "corpus_length_filter": corpus_length_filter,
         "corpus_zipf": corpus_zipf,
+        "retrieval_ql_topk": retrieval_ql_topk,  # -- round-7 driver-verified window (freshest rows, rotated to tail) --
+        "retrieval_rrf_fuse": retrieval_rrf_fuse,
+        "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
+        "retrieval_mmr_topk": retrieval_mmr_topk,
+        "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
+        "retrieval_rm3_expand": retrieval_rm3_expand,
+        "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
+        "corpus_heldout_ppl": corpus_heldout_ppl,
+        "retrieval_snippet": retrieval_snippet,
+        "graph_label_propagation": graph_label_propagation,
+        "graph_modularity": graph_modularity,
+        "text_textrank_keywords": text_textrank_keywords,
+        "mixture_doremi_step": mixture_doremi_step,
+        "ann_ivfpq_topk": ann_ivfpq_topk,
+        "ann_ivfpq_recall": ann_ivfpq_recall,
+        "emb_hard_negatives": emb_hard_negatives,
+        "emb_hard_negatives_ann": emb_hard_negatives_ann,
+        "w17_ohlc": w17_ohlc,
+        "w18_sequence_detect": w18_sequence_detect,
+        "w19_dedup_debounce": w19_dedup_debounce,
+        "quality_quantile_drift": quality_quantile_drift,
+        "w20_cumulative_users": w20_cumulative_users,
+        "olap_basket_lift": olap_basket_lift,
+        "ann_truncation_recall": ann_truncation_recall,
+        "ann_ivfpq_residual_topk": ann_ivfpq_residual_topk,
+        "ann_ivfpq_residual_recall": ann_ivfpq_residual_recall,
+        "quality_chi2_drift": quality_chi2_drift,
+        "emb_centroid_drift": emb_centroid_drift,
+        "profile_join_cardinality": profile_join_cardinality,
+        "text_phrase_search": text_phrase_search,
+        "profile_robust_outliers": profile_robust_outliers,
+        "join_bloom_pruned": join_bloom_pruned,
+        "ann_ivfpq_rerank_topk": ann_ivfpq_rerank_topk,
+        "ann_ivfpq_rerank_recall": ann_ivfpq_rerank_recall,
+        "sketch_bitmap_distinct": sketch_bitmap_distinct,
+        "sketch_quantile_bottomk": sketch_quantile_bottomk,
+        "sketch_hll_rollup": sketch_hll_rollup,
+        "layout_shard_manifest": layout_shard_manifest,
+        "quality_pr_curve": quality_pr_curve,
+        "quality_roc_auc": quality_roc_auc,
+        "profile_key_skew": profile_key_skew,
+        "layout_range_bounds": layout_range_bounds,
+        "quality_vocab_js": quality_vocab_js,
+        "corpus_dsir_select": corpus_dsir_select,
+        "quality_psi_drift": quality_psi_drift,
+        "quality_ks_drift": quality_ks_drift,
+        "sketch_kmv_overlap": sketch_kmv_overlap,
+        "multimodal_audio_features": multimodal_audio_features,
+        "multimodal_image_resize": multimodal_image_resize,
+        "text_containment": text_containment,
     }

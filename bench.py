@@ -51,6 +51,13 @@ positional-index phrase search, robust median/MAD outliers, the Bloom
 runtime-filter join, the exact bitmap-distinct rollup); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
+Round-10 changes: appends the PNG decode+resize round trip and the WET
+extraction gate; mapInPandas-backed queries get a second untimed warmup
+pass (PYTHON_WORKER_QUERIES) so their timed run measures steady-state
+Python-worker reuse rather than daemon pool spin-up — the r7 driver
+bench's multimodal_{audio,image}_meta spikes were exactly this fixed
+cost surfacing in a cold pool (docs/BENCH_NOTES.md).
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -301,6 +308,28 @@ HEADLINE = [
     "ann_ivfpq_rerank_ndcg",
     "corpus_heldout_ppl",
     "retrieval_snippet",
+    # round-10 additions (appended; prefix order unchanged for parity):
+    # the stdlib-PNG decode+resize round trip and the WARC->HTML->text
+    # WET extraction gate
+    "multimodal_png_resize",
+    "wet_extract",
+    "text_paragraph_dedup",
+    "web_url_normalize",
+]
+
+# Queries whose plans run Python workers (mapInPandas codec work): their
+# first execution pays the JVM->Python daemon pool spin-up (measured:
+# 17.7 s cold -> 2.8 s warm for the audio round trip), a one-time cost
+# that at the 100 TB design point is noise but at sf0.1 would read as a
+# 2-6x regression.  The whole-suite warmup covers them once; they get a
+# SECOND untimed pass so the timed run measures steady-state worker-pool
+# reuse, not residual allocator churn.
+PYTHON_WORKER_QUERIES = [
+    "multimodal_audio_meta",
+    "multimodal_image_meta",
+    "multimodal_audio_features",
+    "multimodal_image_resize",
+    "multimodal_png_resize",
 ]
 
 
@@ -318,6 +347,8 @@ def main() -> None:
     # steady state — measured: the first two queries read 9 s on their
     # SECOND execution in a cold JVM vs <2 s once the session is hot.
     for name in HEADLINE:
+        all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    for name in PYTHON_WORKER_QUERIES:
         all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # Phase 2: one timed run per query — construction inside the timer

@@ -354,78 +354,69 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-7 window: every query WITHOUT a driver row yet must hold
-    # the window head (the round-9 retrieval/graph/mixture block plus the
-    # still-unverified rounds-7/8 additions); the remaining slots go to
-    # the least-recently-verified block.  When a new head block lands,
-    # the tail of the previous window rotates to the next-round refresh
-    # queue (their lifetime-green rounds-1-4 rows stand, re-verified at
-    # HEAD by the full check_oracle runs — see the registry docstring).
+    # the round-8 window: every query WITHOUT a lifetime driver row must
+    # hold the window head — after the 50/50-green round-7 gate that is
+    # exactly graph_entity_resolution (landed at position 51 last round)
+    # plus the two gates new this round; the remaining 47 slots refresh
+    # the least-recently-verified rounds-1-4 block.  The round-7-verified
+    # block rotated to the registry tail (freshest rows last).
     gate = list(qs)[:50]
+    assert gate[:5] == [
+        "graph_entity_resolution",
+        "multimodal_png_resize",
+        "wet_extract",
+        "text_paragraph_dedup",
+        "web_url_normalize",
+    ], "window head must hold the never-driver-verified + new-this-round gates"
     for name in (
-        # round-9 block (no driver row yet)
-        "retrieval_ql_topk",
-        "retrieval_rrf_fuse",
-        "retrieval_ndcg_truncated",
-        "retrieval_mmr_topk",
-        "retrieval_hybrid_rrf",
-        "retrieval_rm3_expand",
-        "ann_ivfpq_rerank_ndcg",
-        "corpus_heldout_ppl",
-        "retrieval_snippet",
-        "graph_label_propagation",
-        "graph_modularity",
-        "text_textrank_keywords",
-        "mixture_doremi_step",
-        # rounds-7/8 additions (no driver row yet — must stay in-window)
-        "ann_ivfpq_topk",
-        "ann_ivfpq_recall",
-        "ann_ivfpq_rerank_topk",
-        "ann_ivfpq_rerank_recall",
-        "emb_hard_negatives",
-        "emb_hard_negatives_ann",
-        "quality_chi2_drift",
-        "emb_centroid_drift",
-        "profile_join_cardinality",
-        "text_phrase_search",
-        "profile_robust_outliers",
-        "join_bloom_pruned",
-        "sketch_bitmap_distinct",
-        "w17_ohlc",
-        "w18_sequence_detect",
-        "w19_dedup_debounce",
-        "quality_quantile_drift",
-        "w20_cumulative_users",
-        "olap_basket_lift",
-        "ann_truncation_recall",
-        "ann_ivfpq_residual_topk",
-        "ann_ivfpq_residual_recall",
-        # new in round 7
-        "sketch_quantile_bottomk",
-        "sketch_hll_rollup",
-        "layout_shard_manifest",
-        "quality_pr_curve",
-        "quality_roc_auc",
-        "profile_key_skew",
-        "layout_range_bounds",
-        "quality_vocab_js",
-        "corpus_dsir_select",
-        "quality_psi_drift",
-        "quality_ks_drift",
-        "sketch_kmv_overlap",
-        "multimodal_audio_features",
-        "multimodal_image_resize",
-        "text_containment",
-        # graph_entity_resolution is the ONE never-driver-verified query
-        # the 50-slot window cannot hold this round (51 candidates); it
-        # heads the next-round rotation queue (registry docstring) and
-        # stays pinned by its recursive-closure differential meanwhile.
-        # The rounds-1-4 least-recently-verified block (text_pmi_topk
-        # onward) rotated to the next-round refresh queue when the
-        # round-9 block took the window head; its lifetime-green rows
-        # stand, re-verified at HEAD by the full check_oracle runs.
+        # head of the rounds-1-4 refresh block
+        "text_pmi_topk",
+        "corpus_length_quantiles_hist",
+        "text_tfidf",
+        "corpus_pack",
+        "corpus_decontaminate",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "w1_sessionize",
+        "q1_pricing_summary",
+        "a2_last_not_null",
+        "p8_unit_convert",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
+    # the round-7-verified block must be at the very tail, not burning
+    # window slots (their CORRECTNESS_r07 rows are the freshest)
+    tail = list(qs)[-50:]
+    for name in ("retrieval_ql_topk", "text_containment", "graph_modularity"):
+        assert name in tail, f"{name} should have rotated to the tail"
+
+
+def test_full_registry_local_verification_artifact():
+    """CORRECTNESS_LOCAL_r*.json is the committed machine-readable green
+    for the registry tail the 50-slot driver window cannot reach: the
+    newest artifact must cover every CURRENT registry query that has an
+    oracle, and every covered query must be fully green."""
+    import json
+    import re as _re
+    from pathlib import Path
+
+    from adtl_spark.queries import ROWS_ONLY, all_queries
+
+    root = Path(__file__).resolve().parent.parent
+    arts = sorted(root.glob("CORRECTNESS_LOCAL_r*.json"))
+    assert arts, "no committed full-registry verification artifact"
+    latest = json.loads(arts[-1].read_text())
+    qs = all_queries()
+    missing = [k for k in qs if k not in latest and k not in ROWS_ONLY]
+    assert missing == [], f"registry queries absent from {arts[-1].name}: {missing}"
+    bad = {
+        k: v
+        for k, v in latest.items()
+        if k in qs
+        and not v.get("rows_only")
+        and not (v.get("rows_match") and v.get("schema_match") and v.get("hash_match"))
+    }
+    assert bad == {}, f"non-green rows in {arts[-1].name}: {sorted(bad)}"
 
 
 def test_bm25_query_side_broadcasts(spark):

@@ -385,6 +385,101 @@ def test_resize_and_pixel_stats_flow_png(spark):
         assert rows[i]["checksum"] == chk
 
 
+# ------------------------------------------------- paragraph dedup ---
+
+
+def test_paragraph_dedup_removes_boilerplate_keeps_order(spark):
+    from adtl_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe now"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha one\n\n{boiler}\n\nbeta two"),
+            (2, f"{boiler}\n\ngamma three"),
+            (3, f"delta four\n\nSubscribe Now"),  # case-insensitive key
+            (4, "unique only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_df=2).collect()}
+    assert out[1]["text"] == "alpha one\n\nbeta two"
+    assert (out[1]["n_kept"], out[1]["n_removed"]) == (2, 1)
+    assert out[2]["text"] == "gamma three"
+    assert out[3]["text"] == "delta four"  # 'Subscribe Now' matched by key
+    assert out[4]["text"] == "unique only"
+    assert out[4]["n_removed"] == 0
+
+
+def test_paragraph_dedup_all_boilerplate_and_empty_paragraphs(spark):
+    from adtl_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "same\n\n\n\nsame"), (2, "same"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup(docs, min_df=2).collect()}
+    # 'same' appears in 2 distinct docs -> removed everywhere; the empty
+    # paragraph between the doubled seps never counts
+    assert (out[1]["text"], out[1]["n_kept"], out[1]["n_removed"]) == ("", 0, 2)
+    assert (out[2]["text"], out[2]["n_kept"], out[2]["n_removed"]) == ("", 0, 1)
+    # a document with no non-empty paragraphs still appears
+    assert (out[3]["text"], out[3]["n_kept"], out[3]["n_removed"]) == ("", 0, 0)
+
+
+def test_paragraph_dedup_within_doc_repeat_survives(spark):
+    """df counts DISTINCT documents: a paragraph repeated twice inside
+    ONE document is not boilerplate and must survive (both copies)."""
+    from adtl_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "echo\n\necho\n\nfoxtrot")], "doc_id long, text string"
+    )
+    row = paragraph_dedup(docs, min_df=2).collect()[0]
+    assert row["text"] == "echo\n\necho\n\nfoxtrot"
+    assert row["n_removed"] == 0
+
+
+# ------------------------------------------------- URL normalization ---
+
+
+def test_normalize_url_cases(spark):
+    from adtl_spark.operators.text import normalize_url, url_host
+
+    cases = [
+        # (input, expected_norm, expected_host)
+        (
+            "HTTP://WWW.Example.COM:80//A/b//c?z=1&a=2#frag",
+            "http://www.example.com/A/b/c?a=2&z=1",
+            "www.example.com",
+        ),
+        (
+            "https://Host.Test:443/path",
+            "https://host.test/path",
+            "host.test",
+        ),
+        (
+            "https://host.test:8443/path",
+            "https://host.test:8443/path",
+            "host.test",
+        ),
+        ("http://h.co", "http://h.co/", "h.co"),
+        ("http://h.co/?", "http://h.co/", "h.co"),
+        ("http://h.co/x?b=2&&a=1", "http://h.co/x?a=1&b=2", "h.co"),
+        ("ftp://F.co:21/f", "ftp://f.co/f", "f.co"),
+        ("not a url", None, None),
+        ("/relative/path", None, None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in cases], "u string")
+    rows = df.select(
+        "u",
+        normalize_url(F.col("u")).alias("n"),
+        url_host(F.col("u")).alias("h"),
+    ).collect()
+    got = {r["u"]: (r["n"], r["h"]) for r in rows}
+    for u, n, h in cases:
+        assert got[u] == (n, h), u
+
+
 # ------------------------------------------------- modularity plan ---
 
 

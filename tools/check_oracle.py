@@ -2,7 +2,14 @@
 on Spark and its oracle_sql() twin on DuckDB at the same scale factor;
 compare row count, column names/types and order-insensitive values.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT] [sf_dir] [query ...]
+
+--json OUT additionally writes per-query records in the driver's
+CORRECTNESS_r*.json shape (rows/schema/hash matches, row counts, err;
+rows-only queries carry "rows_only": true) — the committed
+CORRECTNESS_LOCAL_r*.json artifact that gives the registry tail past the
+50-slot driver window a machine-readable green at HEAD
+(tests/test_plans.py enforces coverage and greenness).
 """
 
 from __future__ import annotations
@@ -73,8 +80,14 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from adtl_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     spark = get_spark("oracle_check")
     con = duckdb.connect()
@@ -109,6 +122,7 @@ def main() -> None:
     del gate
 
     failures = []
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -118,22 +132,62 @@ def main() -> None:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": f"spark error {type(e).__name__}: {str(e)[:200]}",
+            }
             continue
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "rows_only": True,
+                "rows_match": len(sdf) >= 0,
+                "spark_rows": len(sdf),
+                "err": None,
+            }
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error {type(e).__name__}: {str(e)[:200]}")
+            results[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": len(sdf),
+                "oracle_rows": None,
+                "err": f"oracle error {type(e).__name__}: {str(e)[:200]}",
+            }
             continue
         diff = compare(sdf, odf)
+        schema_bad = diff is not None and (
+            diff.startswith("columns") or " dtype " in diff
+        )
+        rows_bad = diff is not None and diff.startswith("row count")
+        results[name] = {
+            "rows_match": not rows_bad,
+            "schema_match": not (rows_bad or schema_bad),
+            "hash_match": diff is None,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": diff,
+        }
         if diff is None:
             print(f"OK    {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
             print(f"FAIL  {name}: {diff}")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {len(results)} records to {json_out}")
     if failures:
         print("\nFAILURES:", ", ".join(failures))
         sys.exit(1)

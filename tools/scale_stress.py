@@ -187,6 +187,12 @@ QUERIES = [
     "mixture_doremi_step",
     "corpus_heldout_ppl",
     "retrieval_snippet",
+    # round-10 additions (PNG decode chain, WET extraction, paragraph
+    # dedup, URL canonicalization)
+    "multimodal_png_resize",
+    "wet_extract",
+    "text_paragraph_dedup",
+    "web_url_normalize",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
