@@ -48,11 +48,13 @@ def read_tabular(source: Any, what: str = "file") -> pd.DataFrame:
     if path.endswith(".xlsx"):
         try:
             return pd.read_excel(path)
-        except ImportError as e:
-            raise ImportError(
-                f"reading {what} from xlsx requires an excel engine "
-                "(openpyxl); install it or convert to csv/parquet"
-            ) from e
+        except ImportError:
+            # no excel engine in the environment: the stdlib-only reader
+            # covers the plain-table dictionary case (autoparser.xlsx_lite
+            # docstring scopes what it does NOT parse)
+            from adtl_spark.autoparser.xlsx_lite import read_xlsx
+
+            return read_xlsx(path)
     if path.endswith(".parquet"):
         return pd.read_parquet(path)
     raise ValueError(f"{what}: unsupported format (not CSV, XLSX or parquet): {path}")

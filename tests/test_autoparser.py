@@ -375,21 +375,80 @@ def test_long_mapper_and_parser(spark):
     assert parsed == spec
 
 
-def test_read_tabular_xlsx_gate(tmp_path):
-    """S10: xlsx path either works (engine present) or raises the clear
-    ImportError — never a silent stub."""
-    df = pd.DataFrame({"A": [1, 2]})
+def test_read_tabular_xlsx_round_trip(tmp_path):
+    """S10: the xlsx path works WITHOUT an excel engine — pandas first,
+    stdlib xlsx_lite fallback.  Round trip through the lite writer
+    covers strings/ints/floats/booleans/None."""
+    from adtl_spark.autoparser.xlsx_lite import write_xlsx
+
+    df = pd.DataFrame(
+        {
+            "A": [1, 2, 3],
+            "Name": ["alpha", "béta & <co>", ""],
+            "Ratio": [0.5, 2.25, -1.0],
+            "Flag": [True, False, True],
+        }
+    )
     path = tmp_path / "dict.xlsx"
-    try:
-        df.to_excel(path, index=False)
-    except ImportError:
-        pytest.skip("no excel writer engine in environment")
-    try:
-        out = AP.read_tabular(str(path))
-    except ImportError as e:
-        assert "openpyxl" in str(e) or "excel" in str(e).lower()
-    else:
-        assert list(out["A"]) == [1, 2]
+    write_xlsx(df, str(path))
+    out = AP.read_tabular(str(path))
+    assert list(out.columns) == ["A", "Name", "Ratio", "Flag"]
+    assert list(out["A"]) == [1, 2, 3]
+    assert list(out["Name"]) == ["alpha", "béta & <co>", ""]
+    assert list(out["Ratio"]) == [0.5, 2.25, -1.0]
+    assert list(out["Flag"]) == [True, False, True]
+
+
+def test_xlsx_lite_reads_spec_constructed_package(tmp_path):
+    """Reader pinned against HAND-WRITTEN SpreadsheetML (not our own
+    writer): shared strings incl. a rich-text run, a sparse row with a
+    skipped cell, a non-sheet1 filename resolved through the workbook
+    rels, int-vs-float typing."""
+    import zipfile
+
+    from adtl_spark.autoparser.xlsx_lite import read_xlsx
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c>'
+        '<c r="C1" t="inlineStr"><is><t>Score</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>1.5</v></c></row>'
+        '<row r="3"><c r="A3" t="s"><v>0</v></c><c r="B3" t="b"><v>1</v></c>'
+        '<c r="C3"><v>7</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    shared = (
+        f'<sst {ns} count="3" uniqueCount="3">'
+        "<si><t>Name</t></si><si><t>Keep</t></si>"
+        "<si><r><t>two-</t></r><r><t>part</t></r></si></sst>"
+    )
+    workbook = (
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Data" sheetId="1" r:id="rId9"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId9" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/worksheet"
+        '" Target="worksheets/data99.xml"/></Relationships>'
+    )
+    path = tmp_path / "hand.xlsx"
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/data99.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", shared)
+    out = read_xlsx(str(path))
+    assert list(out.columns) == ["Name", "Keep", "Score"]
+    assert out.iloc[0]["Name"] == "two-part"  # rich-text runs concatenate
+    assert out.iloc[0]["Keep"] is None  # sparse row: skipped cell
+    assert out.iloc[0]["Score"] == 1.5
+    assert out.iloc[1]["Keep"] is True
+    # a mixed int/float column homogenizes to float at the DataFrame
+    # level — the same dtype pd.read_excel produces on this sheet
+    assert out.iloc[1]["Score"] == 7.0
 
 
 # ---- real-provider adapters, driven through fake SDK objects (the
