@@ -205,16 +205,57 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int):
 # PNG color types: (channels, needs_palette)
 _PNG_COLOR = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
+
+
+def _png_deinterlace(
+    raw: bytes, width: int, height: int, bpp: int
+) -> bytes:
+    """Reassemble an Adam7-interlaced stream: each of the seven passes
+    is an independently-filtered sub-image (empty passes absent); after
+    per-pass unfiltering the pixels scatter back to their grid
+    positions (spec §8.2)."""
+    import numpy as np
+
+    out = np.zeros((height, width, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        size = ph * (pw * bpp + 1)
+        sub = _png_unfilter(raw[pos : pos + size], pw, ph, bpp)
+        pos += size
+        a = np.frombuffer(sub, dtype=np.uint8).reshape(ph, pw, bpp)
+        out[y0::dy, x0::dx, :] = a
+    if pos != len(raw):
+        raise ValueError(
+            f"Adam7 stream size {len(raw)} != consumed {pos}"
+        )
+    return out.tobytes()
+
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     """Dependency-free PNG decoder (stdlib zlib only): walks the chunk
     list verifying each CRC, inflates the IDAT stream, reverses all five
-    scanline filters, and converts to packed RGB bytes.  Supports 8-bit
-    depth, color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha)
-    and 6 (RGBA) — alpha is STRIPPED (not composited), gray replicates,
-    palette indexes PLTE.  Interlaced (Adam7) and 16-bit images raise
-    NotImplementedError; malformed payloads (bad CRC, short stream,
-    unknown filter) raise ValueError — corrupt media must fail loudly.
+    scanline filters, and converts to packed RGB bytes.  Supports 8- and
+    16-bit depth (16-bit quantizes to the high byte — the standard 8-bit
+    view), Adam7 interlacing (seven independently-filtered passes
+    scattered back to the grid), color types 0 (gray), 2 (RGB),
+    3 (palette, 8-bit only per spec), 4 (gray+alpha) and 6 (RGBA) —
+    alpha is STRIPPED (not composited), gray replicates, palette indexes
+    PLTE.  Malformed payloads (bad CRC, short stream, unknown filter)
+    raise ValueError — corrupt media must fail loudly.
 
     Returns (width, height, rgb_bytes) — the same contract as
     :func:`decode_ppm`, so every downstream stage (features, resize,
@@ -225,7 +266,7 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG payload")
     pos = len(_PNG_SIG)
     width = height = None
-    color_type = None
+    color_type = depth = interlace = None
     palette: bytes | None = None
     idat = bytearray()
     seen_iend = False
@@ -244,16 +285,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", data)
             )
-            if depth != 8:
+            if depth not in (8, 16) or (depth == 16 and color_type == 3):
                 raise NotImplementedError(
-                    f"only 8-bit PNG supported, got depth={depth}"
+                    f"PNG depth={depth}/color={color_type} unsupported "
+                    "(8- and 16-bit, palette 8-bit only)"
                 )
             if color_type not in _PNG_COLOR:
                 raise ValueError(f"unknown PNG color type {color_type}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard PNG compression/filter method")
-            if interlace != 0:
-                raise NotImplementedError("interlaced (Adam7) PNG unsupported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
         elif ctype == b"PLTE":
             palette = data
         elif ctype == b"IDAT":
@@ -266,9 +308,15 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("PNG missing IHDR/IDAT/IEND")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
-    bpp = _PNG_COLOR[color_type]
+    channels = _PNG_COLOR[color_type]
+    bpp = channels * (depth // 8)
     raw = zlib.decompress(bytes(idat))
-    px = _png_unfilter(raw, width, height, bpp)
+    if interlace == 1:
+        px = _png_deinterlace(raw, width, height, bpp)
+    else:
+        px = _png_unfilter(raw, width, height, bpp)
+    if depth == 16:
+        px = px[0::2]  # high byte of each big-endian sample: the 8-bit view
     n = width * height
     if color_type == 2:
         rgb = bytes(px)

@@ -217,7 +217,7 @@ def _spec_filtered_stream(pixels: bytes, width: int, height: int, bpp: int):
     return bytes(out)
 
 
-def _hand_png(width, height, color_type, stream, palette=None):
+def _hand_png(width, height, color_type, stream, palette=None, depth=8, interlace=0):
     """Assemble a PNG container by hand (struct + zlib only — independent
     of multimodal.encode_png)."""
     import struct
@@ -233,7 +233,8 @@ def _hand_png(width, height, color_type, stream, palette=None):
 
     out = b"\x89PNG\r\n\x1a\n"
     out += chunk(
-        b"IHDR", struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+        b"IHDR",
+        struct.pack(">IIBBBBB", width, height, depth, color_type, 0, 0, interlace),
     )
     if palette is not None:
         out += chunk(b"PLTE", palette)
@@ -314,35 +315,70 @@ def test_decode_png_rejects_corruption_and_unsupported():
     with pytest.raises(ValueError):
         decode_png(good[: len(good) // 2])  # truncated
 
-    def hdr(depth=8, interlace=0):
-        return _hand_png_hdr_only(depth, interlace)
-
-    def _hand_png_hdr_only(depth, interlace):
-        def chunk(ctype, data):
-            return (
-                struct.pack(">I", len(data))
-                + ctype
-                + data
-                + struct.pack(">I", _z.crc32(ctype + data) & 0xFFFFFFFF)
-            )
-
-        out = b"\x89PNG\r\n\x1a\n"
-        out += chunk(
-            b"IHDR",
-            struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace),
-        )
-        out += chunk(b"IDAT", _z.compress(bytes(14)))
-        out += chunk(b"IEND", b"")
-        return out
-
-    with pytest.raises(NotImplementedError, match="16|depth"):
-        decode_png(hdr(depth=16))
-    with pytest.raises(NotImplementedError, match="nterlace"):
-        decode_png(hdr(interlace=1))
+    # genuinely unsupported: sub-byte depths and 16-bit palette
+    stream = bytes([0, 0])
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(_hand_png(2, 2, 2, stream, depth=4))
+    with pytest.raises(NotImplementedError, match="depth"):
+        decode_png(_hand_png(2, 2, 3, stream, depth=16))
+    _ = struct, _z  # container helpers above keep their imports
     # unknown filter type byte
     stream = bytes([7]) + bytes(6)
     with pytest.raises(ValueError, match="filter type"):
         decode_png(_hand_png(2, 1, 2, stream))
+
+
+def test_decode_png_16bit_high_byte_view():
+    """16-bit gray: big-endian samples decode to their high byte (the
+    standard 8-bit view), replicated to RGB."""
+    from adtl_spark.operators.multimodal import decode_png
+
+    samples = [0x1234, 0xFF00, 0x0001, 0x8081]
+    row1 = b"\x00" + samples[0].to_bytes(2, "big") + samples[1].to_bytes(2, "big")
+    row2 = b"\x00" + samples[2].to_bytes(2, "big") + samples[3].to_bytes(2, "big")
+    payload = _hand_png(2, 2, 0, row1 + row2, depth=16)
+    w, h, rgb = decode_png(payload)
+    assert (w, h) == (2, 2)
+    assert rgb == bytes(
+        v for s in samples for v in (s >> 8, s >> 8, s >> 8)
+    )
+
+
+def test_decode_png_adam7_interlace_from_spec_passes():
+    """Adam7: the seven passes are built IN-TEST straight from the spec
+    pass grid (filter-0 rows), and the decoder must scatter them back to
+    the original pixel positions."""
+    from adtl_spark.operators.multimodal import decode_png
+
+    w = h = 4
+    px = lambda y, x, c: (y * 16 + x * 4 + c) & 0xFF  # noqa: E731
+    passes = []
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8),
+        (4, 0, 8, 8),
+        (0, 4, 4, 8),
+        (2, 0, 4, 4),
+        (0, 2, 2, 4),
+        (1, 0, 2, 2),
+        (0, 1, 1, 2),
+    ]:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        for j in range(ph):
+            row = bytes(
+                px(y0 + j * dy, x0 + i * dx, c)
+                for i in range(pw)
+                for c in range(3)
+            )
+            passes.append(b"\x00" + row)
+    payload = _hand_png(w, h, 2, b"".join(passes), interlace=1)
+    dw, dh, rgb = decode_png(payload)
+    assert (dw, dh) == (w, h)
+    assert rgb == bytes(
+        px(y, x, c) for y in range(h) for x in range(w) for c in range(3)
+    )
 
 
 def test_resize_and_pixel_stats_flow_png(spark):
