@@ -2,13 +2,15 @@
 with typed metadata.
 
 The Spark-side plumbing is real and tested: schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing by byte budget.  Three codecs
-are real and dependency-free — binary PPM, RIFF/WAVE PCM, and PNG
-(stdlib zlib inflate + all five scanline unfilters + gray/palette/alpha
-conversion) — so decode round trips are value-checked end to end.  The
-remaining compressed codecs (JPEG/MP3) need libraries not in this
-container and stay behind ``NotImplementedError`` with the batch shapes
-and UDF signatures they would use.
+``mapInPandas`` pipelines, partition sizing by byte budget.  Four codecs
+are real and dependency-free — binary PPM, RIFF/WAVE PCM, PNG (stdlib
+zlib inflate + all five scanline unfilters + Adam7 + 8/16-bit +
+gray/palette/alpha conversion) and baseline JPEG (marker walk + Huffman
++ IDCT + chroma upsample, operators/jpeg_lite.py) — so decode round
+trips are value-checked end to end.  The one remaining compressed codec
+(MP3) needs a library not in this container and stays behind
+``NotImplementedError`` with the batch shape and UDF signature it would
+use.
 
 Design for 100 TB:
 - binary payloads never pass through Python row-at-a-time; every decode /
@@ -428,18 +430,19 @@ def encode_png(
 
 
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an image payload to (width, height, rgb_bytes).  PPM (P6)
-    and PNG (stdlib-zlib chunk walk + unfilter, :func:`decode_png`)
-    decode natively; JPEG needs a codec library that is not in this
-    container and raises NotImplementedError naming the format."""
+    """Decode an image payload to (width, height, rgb_bytes).  PPM (P6),
+    PNG (stdlib-zlib chunk walk + unfilter, :func:`decode_png`) and
+    baseline JPEG (marker walk + Huffman + IDCT,
+    operators/jpeg_lite.py) all decode natively — no codec library in
+    the data path; unrecognized or malformed payloads fail loudly."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
     if payload.startswith(b"\xff\xd8\xff"):
-        raise NotImplementedError(
-            "JPEG decoding requires a codec library (PIL) not in this container"
-        )
+        from adtl_spark.operators.jpeg_lite import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image payload")
 
 

@@ -3693,6 +3693,66 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The baseline-JPEG codec (operators/jpeg_lite.py) exercised end to
+    end: per document a smooth gradient image (dims and slopes from id
+    arithmetic) is encoded — 4:4:4 for even ids, 4:2:0 (multi-block MCUs
+    + chroma upsample) for odd — then decoded, and the reconstruction
+    error measured.  JPEG is lossy, so the float-DCT pipeline has no
+    SQL replay: the oracle value-checks the DIMENSIONS exactly and pins
+    the per-image error bound (max |out-in| <= 3 on smooth gradients at
+    q92) as the expected invariant — any codec regression flips the
+    boolean and fails the hash.  The exact-arithmetic decode paths stay
+    on the PPM/PNG gates; the DC-only path is additionally pinned
+    byte-exact by a hand-built stream in tests/test_round10.py."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.jpeg_lite import decode_jpeg, encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                w, h = 16 + (i * 3) % 17, 16 + (i * 5) % 13
+                # slopes sized so the ramp never saturates (max value
+                # 32*3 + 28*3 + 34 = 214 < 255): a clamp kink is a hard
+                # edge the DCT rings against, which would make the bound
+                # a function of where the kink lands instead of codec
+                # health (measured: 13 with clamping, 1 without)
+                a = 1 + i % 3
+                b = 1 + (i * 2) % 3
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                img = (x * a + y * b + c * 17).astype(np.uint8)
+                payload = encode_jpeg(
+                    w,
+                    h,
+                    img.tobytes(),
+                    quality=92,
+                    subsampling="444" if i % 2 == 0 else "420",
+                )
+                dw, dh, out = decode_jpeg(payload)
+                err = int(
+                    np.abs(
+                        np.frombuffer(out, dtype=np.uint8).astype(int)
+                        - img.reshape(-1).astype(int)
+                    ).max()
+                )
+                rows.append((i, dw, dh, err <= 3))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "ok"]
+            )
+
+    return docs.mapInPandas(
+        run, schema="media_id long, width long, height long, ok boolean"
+    ).orderBy("media_id")
+
+
 # Boilerplate paragraphs for the paragraph-dedup gate page construction:
 # one on every page, one on every even-id page (so the gate exercises both
 # corpus-wide and partial boilerplate at different document frequencies).
@@ -6061,6 +6121,15 @@ def oracles() -> dict[str, str]:
             FROM c GROUP BY doc_id
         """,
         "wet_extract": _wet_extract_oracle(),
+        # lossy codec: dims value-checked exactly; the error bound is the
+        # pinned invariant (see the query docstring)
+        "multimodal_jpeg_roundtrip": """
+            SELECT doc_id AS media_id,
+                   CAST(16 + (doc_id * 3) % 17 AS BIGINT) AS width,
+                   CAST(16 + (doc_id * 5) % 13 AS BIGINT) AS height,
+                   TRUE AS ok
+            FROM documents ORDER BY doc_id
+        """,
         "text_paragraph_dedup": D.paragraph_dedup_oracle_sql(
             "SELECT doc_id, text || '\n\n' || '" + _PD_BOILER_ALL + "'"
             " || CASE WHEN doc_id % 2 = 0 THEN '\n\n' || '"
@@ -6890,20 +6959,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        the four gates new this round: the stdlib-PNG decode+resize round
        trip (``multimodal_png_resize``), the WARC->HTML->text WET
        extraction (``wet_extract``), CCNet-style paragraph dedup
-       (``text_paragraph_dedup``), and crawl-URL canonicalization
-       (``web_url_normalize``).
-    2. The remaining 45 slots refresh the LEAST-recently driver-verified
+       (``text_paragraph_dedup``), crawl-URL canonicalization
+       (``web_url_normalize``), and the baseline-JPEG round trip
+       (``multimodal_jpeg_roundtrip``).
+    2. The remaining 44 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``p8_unit_convert`` (driver rows dating to rounds 1-4, all
+       ``p6_enum_list`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``p9_date_reformat`` onward), the
+       rounds-1-4 remainder (``p8_unit_convert`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``p9_date_reformat`` through the pre-round-6 tail, then the
+    ``p8_unit_convert`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -6924,6 +6994,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_extract": wet_extract,
         "text_paragraph_dedup": text_paragraph_dedup,
         "web_url_normalize": web_url_normalize,
+        "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -6968,8 +7039,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
-        "p8_unit_convert": p8_unit_convert,
-        "p9_date_reformat": p9_date_reformat,  # -- past the 50-entry gate window --
+        "p8_unit_convert": p8_unit_convert,  # -- past the 50-entry gate window --
+        "p9_date_reformat": p9_date_reformat,
         "p10_sensitive_hash": p10_sensitive_hash,
         "t3_word_substitute": t3_word_substitute,
         "t4_get_float": t4_get_float,

@@ -51,6 +51,58 @@ def stream_tables(spec: CompiledSpec, stream_df: DataFrame) -> dict[str, DataFra
     return out
 
 
+def wet_ingest_stream(
+    spark,
+    src_dir: str,
+    dest_path: str,
+    checkpoint: str,
+    extract_html: bool = False,
+):
+    """Incremental WET-making: stream whole WARC archives as they land in
+    ``src_dir`` (the CommonCrawl drop-folder shape), run the SAME
+    record-parsing Columns the batch path uses — parse_warc_records is
+    row-local (split/posexplode/regexp), so it streams unchanged — and
+    append (doc_id, uri, text) parquet to ``dest_path``.  With
+    ``extract_html`` the source records are ``response`` HTML pages and
+    the text comes from html_to_text; otherwise ``conversion`` (WET)
+    records pass through.  Ids are the batch path's stable (uri,
+    rec_pos) hashes, so downstream dedup decisions are append-stable
+    across micro-batches.  Returns the started query; callers trigger
+    availableNow for catch-up runs or leave it continuous."""
+    from adtl_spark.operators.dedup import md5_60
+    from adtl_spark.operators.text import html_to_text
+    from adtl_spark.sources.io import parse_warc_records
+
+    # wholetext must be the reader-method keyword — .text() rebuilds its
+    # options, silently dropping a prior .option() call (the same pitfall
+    # sources.io.read_text_dir documents)
+    files = spark.readStream.text(src_dir, wholetext=True)
+    recs = parse_warc_records(files)
+    if extract_html:
+        docs = recs.filter(F.col("warc_type") == "response").select(
+            md5_60(
+                F.concat_ws(
+                    "|",
+                    F.coalesce(F.col("target_uri"), F.lit("")),
+                    F.col("rec_pos").cast("string"),
+                )
+            ).alias("doc_id"),
+            F.col("target_uri").alias("uri"),
+            html_to_text(F.col("content")).alias("text"),
+        )
+    else:
+        from adtl_spark.sources.io import wet_documents
+
+        docs = wet_documents(files)
+    return (
+        docs.writeStream.format("parquet")
+        .option("path", dest_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     ts_col: str = "ts",

@@ -315,6 +315,7 @@ HEADLINE = [
     "wet_extract",
     "text_paragraph_dedup",
     "web_url_normalize",
+    "multimodal_jpeg_roundtrip",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -330,6 +331,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_audio_features",
     "multimodal_image_resize",
     "multimodal_png_resize",
+    "multimodal_jpeg_roundtrip",
 ]
 
 

@@ -153,14 +153,14 @@ def test_multimodal_real_decoder_decodes_ppm(spark):
     assert all(again[m] == feats[m]["feature"] for m in feats)
 
 
-def test_multimodal_compressed_formats_png_real_jpeg_mp3_stubbed():
-    # PNG now decodes natively (stdlib zlib — tests/test_round10.py pins
-    # the filters); a garbage PNG body must fail loudly, not silently
+def test_multimodal_compressed_formats_png_jpeg_real_mp3_stubbed():
+    # PNG and JPEG now decode natively (stdlib zlib / jpeg_lite —
+    # tests/test_round10.py pins both); garbage bodies must fail loudly
     with pytest.raises(ValueError):
         M.decode_image(b"\x89PNG\r\n\x1a\n....")
-    # JPEG/MP3 stay env-blocked stubs
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff....")
+    # MP3 stays the one env-blocked stub
     with pytest.raises(NotImplementedError):
         M.decode_audio(b"ID3....")
 

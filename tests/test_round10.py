@@ -421,6 +421,130 @@ def test_resize_and_pixel_stats_flow_png(spark):
         assert rows[i]["checksum"] == chk
 
 
+# ------------------------------------------------------ JPEG codec ---
+
+
+def test_decode_jpeg_dc_only_hand_stream_exact():
+    """Decoder pinned against a HAND-BUILT single-block stream (own
+    minimal Huffman tables, not the encoder's): gray 8x8, quant[0,0]=16,
+    DC category 2 with amplitude bits '11' -> coefficient 3*16=48; the
+    IDCT of a DC-only block is flat 48/8=6, +128 level shift = 134
+    exactly, every pixel, every channel."""
+    import struct
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import _ZIGZAG, decode_jpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    qt = np.full(64, 16, dtype=np.uint8)
+    zz = bytearray(64)
+    for k in range(64):
+        zz[k] = qt[_ZIGZAG[k]]
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes(zz))
+    out += seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    # DC table: one 1-bit code '0' -> symbol 2 (category 2)
+    out += seg(0xC4, bytes([0x00]) + bytes([1] + [0] * 15) + bytes([2]))
+    # AC table: one 1-bit code '0' -> symbol 0x00 (EOB)
+    out += seg(0xC4, bytes([0x10]) + bytes([1] + [0] * 15) + bytes([0x00]))
+    out += seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+    # scan bits: DC code '0', amplitude '11' (=3), AC EOB '0', pad 1s
+    out += bytes([0b01101111])
+    out += b"\xff\xd9"
+    w, h, rgb = decode_jpeg(out)
+    assert (w, h) == (8, 8)
+    assert rgb == bytes([134]) * (8 * 8 * 3)
+
+
+def test_jpeg_round_trips_flat_gradient_noise_gray_420():
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import decode_jpeg, encode_jpeg
+
+    def err(w, h, rgb, **kw):
+        payload = encode_jpeg(w, h, rgb, **kw)
+        dw, dh, out = decode_jpeg(payload)
+        assert (dw, dh) == (w, h)
+        a = np.frombuffer(out, dtype=np.uint8).astype(int)
+        b = np.frombuffer(rgb, dtype=np.uint8).astype(int)
+        return int(np.abs(a - b).max()), payload
+
+    w, h = 21, 19
+    flat = bytes([77, 77, 77]) * (w * h)
+    e, p = err(w, h, flat, quality=90)
+    assert e == 0
+    assert encode_jpeg(w, h, flat, quality=90) == p  # deterministic
+
+    grad = bytes(
+        min(255, x * 6 + y * 4 + 30 * c)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    e, _ = err(w, h, grad, quality=92)
+    assert e <= 2
+    e, _ = err(w, h, grad, quality=92, subsampling="420")
+    assert e <= 3  # chroma replication upsample on a smooth ramp
+
+    # adversarial arithmetic noise: lossy by design, bounded not exact
+    noise = bytes((31 * j * j + 7 * j) % 256 for j in range(w * h * 3))
+    e, _ = err(w, h, noise, quality=95)
+    assert e <= 96, e  # high-frequency noise at q95 keeps most energy
+
+    grayv = bytes(min(255, x * 10 + y) for y in range(h) for x in range(w))
+    payload = encode_jpeg(w, h, grayv, quality=92, gray=True)
+    dw, dh, out = decode_jpeg(payload)
+    a = np.frombuffer(out, dtype=np.uint8).reshape(h, w, 3)
+    assert (a[:, :, 0] == a[:, :, 1]).all() and (a[:, :, 0] == a[:, :, 2]).all()
+    b = np.frombuffer(grayv, dtype=np.uint8).reshape(h, w).astype(int)
+    assert np.abs(a[:, :, 0].astype(int) - b).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_truncated():
+    from adtl_spark.operators.jpeg_lite import decode_jpeg, encode_jpeg
+
+    noise = bytes((31 * j * j + 7 * j) % 256 for j in range(32 * 32 * 3))
+    p = encode_jpeg(32, 32, noise, quality=90)
+    prog = bytearray(p)
+    at = p.index(b"\xff\xc0")
+    prog[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError, match="progressive|SOF"):
+        decode_jpeg(bytes(prog))
+    sos_at = p.index(b"\xff\xda")
+    assert len(p) > sos_at + 200  # the cut really lands inside the scan
+    with pytest.raises(ValueError):
+        decode_jpeg(p[: sos_at + 200])  # cut inside the entropy data
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0hello")
+
+
+def test_decode_image_dispatches_jpeg(spark):
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import encode_jpeg
+    from adtl_spark.operators.multimodal import image_pixel_stats
+
+    w, h = 16, 12
+    rgb = bytes(
+        min(255, x * 8 + y * 5 + 20 * c)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    df = spark.createDataFrame(
+        [(1, encode_jpeg(w, h, rgb, quality=95))], "media_id long, payload binary"
+    )
+    row = image_pixel_stats(df).collect()[0]
+    assert (row["width"], row["height"]) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(int)
+    # lossy: channel sums within 2/pixel of the source
+    assert abs(row["sum_r"] - a[:, 0].sum()) <= 2 * w * h
+    assert abs(row["sum_g"] - a[:, 1].sum()) <= 2 * w * h
+    assert abs(row["sum_b"] - a[:, 2].sum()) <= 2 * w * h
+
+
 # ------------------------------------------------- paragraph dedup ---
 
 
@@ -514,6 +638,84 @@ def test_normalize_url_cases(spark):
     got = {r["u"]: (r["n"], r["h"]) for r in rows}
     for u, n, h in cases:
         assert got[u] == (n, h), u
+
+
+# ------------------------------------------------ streaming WET ---
+
+
+def test_wet_ingest_stream_matches_batch_and_appends(spark, tmp_path):
+    """Streaming WET-making over a WARC drop folder: the availableNow
+    catch-up run must equal the batch wet_documents output; a later
+    archive drop appends ONLY its own records with the same stable
+    ids."""
+    from adtl_spark.sources.io import read_text_dir, wet_documents
+    from adtl_spark.streaming.pipeline import wet_ingest_stream
+
+    def archive(uri_prefix, texts):
+        recs = []
+        for i, t in enumerate(texts):
+            recs.append(
+                "WARC/1.0\r\n"
+                "WARC-Type: conversion\r\n"
+                f"WARC-Target-URI: http://{uri_prefix}/{i}\r\n"
+                f"Content-Length: {len(t)}\r\n"
+                "\r\n" + t + "\r\n\r\n"
+            )
+        return "".join(recs)
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    (src / "a.warc").write_text(archive("a.test", ["alpha one", "beta two"]))
+    (src / "b.warc").write_text(archive("b.test", ["gamma three"]))
+    dest = str(tmp_path / "wet_out")
+    cp = str(tmp_path / "cp")
+
+    q = wet_ingest_stream(spark, str(src), dest, cp)
+    q.awaitTermination(120)
+    got = {
+        (r["uri"], r["text"]): r["doc_id"]
+        for r in spark.read.parquet(dest).collect()
+    }
+    batch = {
+        (r["uri"], r["text"]): r["doc_id"]
+        for r in wet_documents(
+            read_text_dir(spark, str(src), whole_files=True)
+        ).collect()
+    }
+    assert got == batch and len(got) == 3  # same rows, same stable ids
+
+    (src / "c.warc").write_text(archive("c.test", ["delta four"]))
+    q2 = wet_ingest_stream(spark, str(src), dest, cp)
+    q2.awaitTermination(120)
+    after = spark.read.parquet(dest).collect()
+    assert len(after) == 4  # only the new archive's record appended
+    assert {r["text"] for r in after} == {
+        "alpha one", "beta two", "gamma three", "delta four",
+    }
+
+
+def test_wet_ingest_stream_html_extraction(spark, tmp_path):
+    from adtl_spark.streaming.pipeline import wet_ingest_stream
+
+    html = "<html><body><h1>T</h1><p>hello &amp; goodbye</p></body></html>"
+    rec = (
+        "WARC/1.0\r\n"
+        "WARC-Type: response\r\n"
+        "WARC-Target-URI: http://h.test/p\r\n"
+        f"Content-Length: {len(html)}\r\n"
+        "\r\n" + html + "\r\n\r\n"
+    )
+    src = tmp_path / "drop2"
+    src.mkdir()
+    (src / "a.warc").write_text(rec)
+    dest = str(tmp_path / "html_out")
+    q = wet_ingest_stream(
+        spark, str(src), dest, str(tmp_path / "cp2"), extract_html=True
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(dest).collect()
+    assert len(rows) == 1
+    assert rows[0]["text"] == "T\nhello & goodbye"
 
 
 # ------------------------------------------------- modularity plan ---
