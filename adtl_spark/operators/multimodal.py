@@ -741,6 +741,29 @@ def synthetic_wav_arith(n_frames: int, seed: int, rate: int = 16000) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 
+def synthetic_wav_arith_gated(
+    n_frames: int, seed: int, rate: int = 16000, gate_block: int = 320
+) -> bytes:
+    """:func:`synthetic_wav_arith` with deterministic SILENCE gating:
+    sample i is zeroed when ``(i // gate_block) % 3 == 0`` (every third
+    block silent, starting with a silent lead-in), loud-arithmetic
+    otherwise — the exact-oracle fixture for energy-threshold VAD
+    (leading/trailing silence exists by construction and the whole gate
+    pattern replays in SQL)."""
+    import struct
+
+    import numpy as np
+
+    idx = np.arange(n_frames, dtype=np.int64)
+    samples = ((seed * _WAV_MIX_A + idx * _WAV_MIX_B) % 65536) - 32768
+    samples = np.where((idx // gate_block) % 3 == 0, 0, samples)
+    pcm = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
 def synthetic_ppm_arith(width: int, height: int, seed: int) -> bytes:
     """A REAL binary P6 payload whose pixel byte at flat index ``j`` is
     ``(seed*31 + j*131) % 256`` — the exact-oracle counterpart of
@@ -829,6 +852,197 @@ def audio_signal_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_SIGNAL_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("dhash_hi", T.LongType(), True),
+        T.StructField("dhash_lo", T.LongType(), True),
+    ]
+)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash) over decoded images — the
+    image-dedup analogue of SimHash: sample the grayscale image on a 9x8
+    nearest-neighbor grid and emit one bit per horizontally-adjacent
+    pair (left < right), 64 bits total.  Near-duplicate images (resizes,
+    recompressions, small edits) land at small Hamming distance; exact
+    groupBy on the hash catches straight duplicates.
+
+    INTEGER-EXACT by construction so the hash is replayable in SQL and
+    stable across platforms: grayscale is the unnormalized weighted sum
+    299r + 587g + 114b (comparisons are scale-invariant, so the /1000
+    is dropped), the sample grid is floor(x*W/9) x floor(y*H/8), and
+    the 64 bits pack into two BIGINT halves (lo = bits 0..31, hi =
+    32..63) to stay inside int64 on every engine.  Requires images of
+    at least 9x8 pixels; smaller payloads yield null halves (grading a
+    thumbnail's texture is meaningless).  Compose with the SimHash
+    band-join machinery for Hamming-radius candidate pairs at corpus
+    scale."""
+    import numpy as np
+
+    def one(b: bytes | None):
+        if b is None:
+            return (None, None)
+        try:
+            w, h, rgb = decode_image(b)
+        except ValueError:
+            return (None, None)
+        if w < 9 or h < 8:
+            return (None, None)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+        gray = a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114
+        xs = (np.arange(9, dtype=np.int64) * w) // 9
+        ys = (np.arange(8, dtype=np.int64) * h) // 8
+        g = gray[np.ix_(ys, xs)]
+        bits = (g[:, :8] < g[:, 1:]).astype(np.int64).reshape(64)
+        lo = int((bits[:32] << np.arange(32)).sum())
+        hi = int((bits[32:] << np.arange(32)).sum())
+        return (hi, lo)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash_hi": [v[0] for v in vals],
+                    "dhash_lo": [v[1] for v in vals],
+                }
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+AUDIO_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_speech", T.LongType(), True),
+        T.StructField("first_speech", T.LongType(), True),
+        T.StructField("last_speech", T.LongType(), True),
+        T.StructField("trimmed_samples", T.LongType(), True),
+    ]
+)
+
+
+def audio_vad_trim(
+    df: DataFrame, frame: int = 160, threshold: int = 1000
+) -> DataFrame:
+    """Energy-threshold voice-activity trimming through the native
+    WAV/PCM decode path — the silence-screen and endpointing primitive a
+    speech-corpus pipeline runs before segmentation: frame the samples
+    into ``frame``-sample windows (ragged tail dropped), mark a frame
+    active when its total absolute amplitude exceeds
+    ``threshold * frame`` (an integer compare — no float mean), and
+    report the active span.  ``trimmed_samples`` is the sample count of
+    first..last active frame inclusive (0 when nothing is active).
+    16-bit mono PCM; other formats yield null stats.  Integer-exact end
+    to end, so the whole decision is SQL-replayable."""
+    import numpy as np
+
+    def one(b: bytes | None):
+        if b is None:
+            return (None,) * 5
+        try:
+            _rate, ch, bits, pcm = decode_wav(b)
+        except ValueError:
+            return (None,) * 5
+        if bits != 16 or ch != 1:
+            return (None,) * 5
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        nf = x.size // frame
+        if nf == 0:
+            return (0, 0, None, None, 0)
+        sums = np.abs(x[: nf * frame]).reshape(nf, frame).sum(axis=1)
+        active = sums > threshold * frame
+        n_speech = int(active.sum())
+        if n_speech == 0:
+            return (nf, 0, None, None, 0)
+        first = int(np.argmax(active))
+        last = nf - 1 - int(np.argmax(active[::-1]))
+        return (nf, n_speech, first, last, (last - first + 1) * frame)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [one(b) for b in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames": [v[0] for v in vals],
+                    "n_speech": [v[1] for v in vals],
+                    "first_speech": [v[2] for v in vals],
+                    "last_speech": [v[3] for v in vals],
+                    "trimmed_samples": [v[4] for v in vals],
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_VAD_SCHEMA)
+
+
+def dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance over
+    :func:`image_dhash` output — the SimHash 4-block banding applied to
+    the two-BIGINT hash: the 64 bits band into four 16-bit blocks (two
+    per half), a pair within hamming <= 3 shares at least one block
+    exactly (pigeonhole), so candidates come from four equi-joins on
+    short keys, never an all-pairs scan; wider distances may be missed —
+    the standard blocking tradeoff, same contract as dedup.simhash_pairs.
+    Null-hash rows (undecodable or sub-grid images) are excluded."""
+    sig = hashes.filter(
+        F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
+    )
+    mask = F.lit((1 << 16) - 1)
+    blocks = sig.select(
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("blk"),
+                    F.col("dhash_lo").bitwiseAND(mask).alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("blk"),
+                    F.shiftright(F.col("dhash_lo"), 16)
+                    .bitwiseAND(mask)
+                    .alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("blk"),
+                    F.col("dhash_hi").bitwiseAND(mask).alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("blk"),
+                    F.shiftright(F.col("dhash_hi"), 16)
+                    .bitwiseAND(mask)
+                    .alias("val"),
+                ),
+            )
+        ).alias("b"),
+    ).select("media_id", "dhash_hi", "dhash_lo", "b.blk", "b.val")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+    ) + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:

@@ -3693,6 +3693,71 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup via dHash, value-checked end to end: 40
+    distinct arithmetic textures (seed = doc_id % 40, dims from the
+    seed) are replicated across the corpus, decoded, hashed on the 9x8
+    grayscale difference grid, and grouped — every copy of a texture
+    must land in one cluster with exact n_copies and the min-id
+    canonical.  The hash is integer arithmetic all the way (unnormalized
+    299/587/114 grayscale, floor sample grid, two BIGINT halves), so
+    the oracle replays every BIT per seed via generate_series and then
+    reproduces the cluster table (multimodal.image_dhash)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                seed = i % 40
+                w, h = 16 + seed % 9, 16 + (seed * 3) % 7
+                rows.append((i, M.synthetic_ppm_arith(w, h, seed=seed)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return (
+        M.image_dhash(media)
+        .groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("media_id").cast("long").alias("canonical_id"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold voice-activity trimming value-checked end to
+    end: gated arithmetic PCM (every third 320-sample block silent —
+    leading silence by construction, ragged non-frame-aligned tails) is
+    decoded and endpointed; the oracle replays sample generation, the
+    silence gate, 160-sample framing with tail drop, the integer
+    energy threshold, and the first/last-active span via
+    generate_series (multimodal.audio_vad_trim)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 320 * (2 + i % 9) + (i % 7)
+                rows.append((i, M.synthetic_wav_arith_gated(n, seed=i)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.audio_vad_trim(media).orderBy("media_id")
+
+
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The baseline-JPEG codec (operators/jpeg_lite.py) exercised end to
     end: per document a smooth gradient image (dims and slopes from id
@@ -6130,6 +6195,86 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        # every dHash BIT replayed per distinct texture seed, then the
+        # cluster table reproduced over the doc->seed assignment
+        "multimodal_image_dhash": """
+            WITH d AS (SELECT doc_id, doc_id % 40 AS seed FROM documents),
+            dims AS (
+              SELECT DISTINCT seed, 16 + seed % 9 AS W, 16 + (seed * 3) % 7 AS H
+              FROM d
+            ),
+            cells AS (
+              SELECT seed, W, k,
+                     ((k % 8) * W) // 9 AS x0,
+                     (((k % 8) + 1) * W) // 9 AS x1,
+                     ((k // 8) * H) // 8 AS y0
+              FROM dims,
+                   LATERAL (SELECT unnest(generate_series(0, CAST(63 AS BIGINT))) AS k) g
+            ),
+            g AS (
+              SELECT seed, k,
+                ((seed*31 + ((y0*W + x0)*3 + 0)*131) % 256) * 299
+              + ((seed*31 + ((y0*W + x0)*3 + 1)*131) % 256) * 587
+              + ((seed*31 + ((y0*W + x0)*3 + 2)*131) % 256) * 114 AS ga,
+                ((seed*31 + ((y0*W + x1)*3 + 0)*131) % 256) * 299
+              + ((seed*31 + ((y0*W + x1)*3 + 1)*131) % 256) * 587
+              + ((seed*31 + ((y0*W + x1)*3 + 2)*131) % 256) * 114 AS gb
+              FROM cells
+            ),
+            hs AS (
+              SELECT seed,
+                CAST(sum(CASE WHEN k < 32 AND ga < gb
+                         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+                  AS dhash_lo,
+                CAST(sum(CASE WHEN k >= 32 AND ga < gb
+                         THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+                  AS dhash_hi
+              FROM g GROUP BY seed
+            )
+            SELECT h.dhash_hi, h.dhash_lo,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(min(d.doc_id) AS BIGINT) AS canonical_id
+            FROM d JOIN hs h ON h.seed = d.seed
+            GROUP BY 1, 2 ORDER BY canonical_id
+        """,
+        # sample generation + silence gate + framing + integer energy
+        # threshold + active span, replayed per sample
+        "multimodal_audio_vad": """
+            WITH base AS (
+              SELECT doc_id, 320 * (2 + doc_id % 9) + (doc_id % 7) AS n
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id, i // 160 AS f,
+                     CASE WHEN (i // 320) % 3 = 0 THEN 0
+                          ELSE ((doc_id * 2654435761 + i * 40503) % 65536)
+                               - 32768
+                     END AS s
+              FROM v WHERE i < 160 * (n // 160)
+            ),
+            fr AS (SELECT doc_id, f, sum(abs(s)) AS e FROM s GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(CASE WHEN e > 160000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_speech,
+                CAST(min(CASE WHEN e > 160000 THEN f END) AS BIGINT)
+                  AS first_speech,
+                CAST(max(CASE WHEN e > 160000 THEN f END) AS BIGINT)
+                  AS last_speech
+              FROM fr GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id, n_frames, n_speech,
+                   first_speech, last_speech,
+                   CAST(COALESCE((last_speech - first_speech + 1) * 160, 0)
+                        AS BIGINT) AS trimmed_samples
+            FROM agg ORDER BY media_id
+        """,
         "text_paragraph_dedup": D.paragraph_dedup_oracle_sql(
             "SELECT doc_id, text || '\n\n' || '" + _PD_BOILER_ALL + "'"
             " || CASE WHEN doc_id % 2 = 0 THEN '\n\n' || '"
@@ -6960,20 +7105,22 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        trip (``multimodal_png_resize``), the WARC->HTML->text WET
        extraction (``wet_extract``), CCNet-style paragraph dedup
        (``text_paragraph_dedup``), crawl-URL canonicalization
-       (``web_url_normalize``), and the baseline-JPEG round trip
-       (``multimodal_jpeg_roundtrip``).
-    2. The remaining 44 slots refresh the LEAST-recently driver-verified
+       (``web_url_normalize``), the baseline-JPEG round trip
+       (``multimodal_jpeg_roundtrip``), perceptual-dHash image dedup
+       (``multimodal_image_dhash``), and energy-threshold VAD trimming
+       (``multimodal_audio_vad``).
+    2. The remaining 42 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``p6_enum_list`` (driver rows dating to rounds 1-4, all
+       ``v2_validation_report`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``p8_unit_convert`` onward), the
+       rounds-1-4 remainder (``p3_value_map`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``p8_unit_convert`` through the pre-round-6 tail, then the
+    ``p3_value_map`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -6995,6 +7142,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_paragraph_dedup": text_paragraph_dedup,
         "web_url_normalize": web_url_normalize,
         "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
+        "multimodal_image_dhash": multimodal_image_dhash,
+        "multimodal_audio_vad": multimodal_audio_vad,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -7037,9 +7186,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
         "v2_validation_report": v2_validation_report,
-        "p3_value_map": p3_value_map,
+        "p3_value_map": p3_value_map,  # -- past the 50-entry gate window --
         "p6_enum_list": p6_enum_list,
-        "p8_unit_convert": p8_unit_convert,  # -- past the 50-entry gate window --
+        "p8_unit_convert": p8_unit_convert,
         "p9_date_reformat": p9_date_reformat,
         "p10_sensitive_hash": p10_sensitive_hash,
         "t3_word_substitute": t3_word_substitute,

@@ -316,6 +316,8 @@ HEADLINE = [
     "text_paragraph_dedup",
     "web_url_normalize",
     "multimodal_jpeg_roundtrip",
+    "multimodal_image_dhash",
+    "multimodal_audio_vad",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -332,6 +334,8 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_image_resize",
     "multimodal_png_resize",
     "multimodal_jpeg_roundtrip",
+    "multimodal_image_dhash",
+    "multimodal_audio_vad",
 ]
 
 

@@ -640,6 +640,107 @@ def test_normalize_url_cases(spark):
         assert got[u] == (n, h), u
 
 
+# ------------------------------------------- dHash + VAD operators ---
+
+
+def test_image_dhash_groups_duplicates_and_skips_thumbnails(spark):
+    from adtl_spark.operators.multimodal import image_dhash, synthetic_ppm_arith
+
+    rows = [
+        (1, synthetic_ppm_arith(16, 12, seed=7)),
+        (2, synthetic_ppm_arith(16, 12, seed=7)),   # exact duplicate
+        (3, synthetic_ppm_arith(16, 12, seed=8)),   # different texture
+        (4, synthetic_ppm_arith(8, 4, seed=7)),     # below 9x8: null
+        (5, None),
+    ]
+    out = {r["media_id"]: r for r in image_dhash(
+        spark.createDataFrame(rows, "media_id long, payload binary")
+    ).collect()}
+    assert (out[1]["dhash_hi"], out[1]["dhash_lo"]) == (
+        out[2]["dhash_hi"], out[2]["dhash_lo"],
+    )
+    assert (out[1]["dhash_hi"], out[1]["dhash_lo"]) != (
+        out[3]["dhash_hi"], out[3]["dhash_lo"],
+    )
+    assert out[4]["dhash_hi"] is None and out[5]["dhash_lo"] is None
+    # straight-line replay of the grid/grayscale/bit arithmetic
+    w, h, seed = 16, 12, 7
+    def gray(x, y):
+        j = (y * w + x) * 3
+        px = [(seed * 31 + (j + c) * 131) % 256 for c in range(3)]
+        return px[0] * 299 + px[1] * 587 + px[2] * 114
+    bits = []
+    for k in range(64):
+        x0, x1 = ((k % 8) * w) // 9, (((k % 8) + 1) * w) // 9
+        y0 = ((k // 8) * h) // 8
+        bits.append(1 if gray(x0, y0) < gray(x1, y0) else 0)
+    lo = sum(b << i for i, b in enumerate(bits[:32]))
+    hi = sum(b << i for i, b in enumerate(bits[32:]))
+    assert (out[1]["dhash_hi"], out[1]["dhash_lo"]) == (hi, lo)
+
+
+def test_dhash_pairs_banding_contract(spark):
+    """Pairs within the block guarantee are found with exact Hamming;
+    a pair whose four 16-bit blocks ALL differ is missed (documented
+    blocking tradeoff); null hashes never pair."""
+    from adtl_spark.operators.multimodal import dhash_pairs
+
+    H, L = 0x1234_5678_9ABC_DEF0 >> 32, 0x1234_5678_9ABC_DEF0 & 0xFFFFFFFF
+    rows = [
+        (1, H, L),
+        (2, H, L ^ 0b11),          # hamming 2, three shared blocks
+        (3, H ^ (1 << 20), L),     # hamming 1 vs id 1
+        (4, H ^ 0x0001_0001, L ^ 0x0001_0001),  # all 4 blocks differ
+        (5, None, None),
+    ]
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_pairs(
+            spark.createDataFrame(
+                rows, "media_id long, dhash_hi long, dhash_lo long"
+            ),
+            max_hamming=8,
+        ).collect()
+    }
+    assert out[(1, 2)] == 2
+    assert out[(1, 3)] == 1
+    assert out[(2, 3)] == 3
+    assert not any(4 in k or 5 in k for k in out)
+
+
+def test_audio_vad_trim_edges(spark):
+    import struct
+
+    from adtl_spark.operators.multimodal import (
+        audio_vad_trim,
+        synthetic_wav_arith_gated,
+    )
+
+    def silent_wav(n):
+        pcm = b"\x00\x00" * n
+        fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    rows = [
+        (1, synthetic_wav_arith_gated(960, seed=3)),  # silent,loud,silent blocks
+        (2, silent_wav(640)),                          # all silence
+        (3, silent_wav(100)),                          # shorter than one frame
+    ]
+    out = {r["media_id"]: r for r in audio_vad_trim(
+        spark.createDataFrame(rows, "media_id long, payload binary")
+    ).collect()}
+    # 960 samples = 6 frames; 320-sample blocks gate as [sil, loud, loud]
+    # (block b silent iff b % 3 == 0), so frames 2..5 are speech
+    assert out[1]["n_frames"] == 6 and out[1]["n_speech"] == 4
+    assert (out[1]["first_speech"], out[1]["last_speech"]) == (2, 5)
+    assert out[1]["trimmed_samples"] == 640
+    assert out[2]["n_speech"] == 0 and out[2]["trimmed_samples"] == 0
+    assert out[2]["first_speech"] is None
+    assert out[3]["n_frames"] == 0 and out[3]["trimmed_samples"] == 0
+
+
 # ------------------------------------------------ streaming WET ---
 
 
