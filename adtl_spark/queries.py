@@ -3693,6 +3693,58 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style tar-shard ingestion value-checked end to end:
+    documents pack into in-memory tar shards (one per 64 consecutive
+    ids, members named ``<doc_id>.txt``, deterministic mtime-0 layout)
+    via applyInPandas, then the ingestion path — sources.io.
+    read_tar_members — explodes the shards back into member rows whose
+    payload must be the original text byte-for-byte.  The oracle is the
+    identity over ``documents`` (plus strlen byte length for the member
+    size), so any corruption in the tar build or the member walk breaks
+    the hash."""
+    from adtl_spark.sources.io import read_tar_members
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    grouped = docs.withColumn("__f", F.floor(F.col("doc_id") / 64))
+
+    def build_tar(pdf):
+        import io as _io
+        import tarfile
+
+        import pandas as pd
+
+        buf = _io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for _, r in pdf.sort_values("doc_id").iterrows():
+                data = str(r["text"]).encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(r['doc_id']):012d}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, _io.BytesIO(data))
+        return pd.DataFrame(
+            {
+                "path": [f"shard-{int(pdf['__f'].iloc[0]):05d}.tar"],
+                "content": [buf.getvalue()],
+            }
+        )
+
+    archives = grouped.groupBy("__f").applyInPandas(
+        build_tar, "path string, content binary"
+    )
+    members = read_tar_members(archives)
+    return (
+        members.select(
+            F.regexp_extract("member", r"(\d+)\.txt$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+            F.col("size").cast("long").alias("n_bytes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup via dHash, value-checked end to end: 40
     distinct arithmetic textures (seed = doc_id % 40, dims from the
@@ -6195,6 +6247,12 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        # pack->unpack identity: the tar layer must be byte-transparent
+        "web_tar_roundtrip": """
+            SELECT doc_id, text,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id
+        """,
         # every dHash BIT replayed per distinct texture seed, then the
         # cluster table reproduced over the doc->seed assignment
         "multimodal_image_dhash": """
@@ -7107,20 +7165,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``text_paragraph_dedup``), crawl-URL canonicalization
        (``web_url_normalize``), the baseline-JPEG round trip
        (``multimodal_jpeg_roundtrip``), perceptual-dHash image dedup
-       (``multimodal_image_dhash``), and energy-threshold VAD trimming
-       (``multimodal_audio_vad``).
-    2. The remaining 42 slots refresh the LEAST-recently driver-verified
+       (``multimodal_image_dhash``), energy-threshold VAD trimming
+       (``multimodal_audio_vad``), and the WebDataset tar-shard
+       round trip (``web_tar_roundtrip``).
+    2. The remaining 41 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``v2_validation_report`` (driver rows dating to rounds 1-4, all
+       ``r1_one_to_many`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``p3_value_map`` onward), the
+       rounds-1-4 remainder (``v2_validation_report`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``p3_value_map`` through the pre-round-6 tail, then the
+    ``v2_validation_report`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -7144,6 +7203,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
         "multimodal_image_dhash": multimodal_image_dhash,
         "multimodal_audio_vad": multimodal_audio_vad,
+        "web_tar_roundtrip": web_tar_roundtrip,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -7185,8 +7245,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
-        "v2_validation_report": v2_validation_report,
-        "p3_value_map": p3_value_map,  # -- past the 50-entry gate window --
+        "v2_validation_report": v2_validation_report,  # -- past the 50-entry gate window --
+        "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
         "p8_unit_convert": p8_unit_convert,
         "p9_date_reformat": p9_date_reformat,

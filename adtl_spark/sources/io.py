@@ -402,6 +402,119 @@ def media_from_binary_dir(
     )
 
 
+def read_tar_members(
+    archives: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """WebDataset-style tar-shard ingestion: one row per tar MEMBER from
+    binary archive payloads — (shard, member, member_idx, size, payload).
+    Training corpora for multimodal models ship as directories of tar
+    shards whose members are per-sample files (``000123.jpg`` /
+    ``000123.txt`` / ``000123.json`` grouped by basename); this is the
+    entry point that turns those shards into rows the decode pipelines
+    consume.
+
+    Arrow-batched ``mapInPandas`` with stdlib ``tarfile`` over in-memory
+    payloads: parallelism is per-shard (the same unit as the
+    ``binaryFile`` scan that feeds it), member extraction never touches
+    the driver, and only regular-file members are emitted (directories
+    and PAX/long-name metadata entries are consumed by tarfile itself).
+    Compose with :func:`write_tar_shards` for the round trip."""
+    import io as _io
+    import tarfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["shard", "member", "member_idx", "size", "payload"]
+        for pdf in batches:
+            rows = []
+            for shard_path, blob in zip(pdf[path_col], pdf[content_col]):
+                if blob is None:
+                    continue
+                with tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tf:
+                    idx = 0
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        f = tf.extractfile(m)
+                        rows.append(
+                            (shard_path, m.name, idx, m.size, f.read())
+                        )
+                        idx += 1
+            yield pd.DataFrame(rows, columns=cols)
+
+    return archives.mapInPandas(
+        run,
+        schema=(
+            "shard string, member string, member_idx long, "
+            "size long, payload binary"
+        ),
+    )
+
+
+def write_tar_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    member_col: str = "member",
+    payload_col: str = "payload",
+) -> None:
+    """Export (member, payload) rows as WebDataset-style tar shards:
+    rows hash-partition by member name into ``n_shards`` repartitioned
+    groups, each partition writes ONE ``shard-NNNNN.tar`` with members
+    sorted by name (deterministic layout for a given assignment —
+    re-exports byte-match modulo mtime, which is pinned to 0).  Shard
+    assignment uses the portable 60-bit hash, so it is stable across
+    runs and partitionings — the same contract as write_training_shards.
+    Executors write their own shard directly to ``path``; nothing
+    corpus-sized passes the driver."""
+    import io as _io
+    import os
+    import tarfile
+    from typing import Iterator
+
+    import pandas as pd
+
+    from adtl_spark.operators.dedup import md5_60
+
+    os.makedirs(path, exist_ok=True)
+    shard = F.pmod(md5_60(F.col(member_col)), F.lit(n_shards)).cast("int")
+    rows = df.select(
+        shard.alias("__shard"),
+        F.col(member_col).alias("member"),
+        F.col(payload_col).alias("payload"),
+    ).repartition(n_shards, "__shard")
+
+    def write_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        for pdf in batches:
+            for s, m, p in zip(pdf["__shard"], pdf["member"], pdf["payload"]):
+                acc.setdefault(int(s), []).append((m, p))
+        out = []
+        for s, members in acc.items():
+            buf = _io.BytesIO()
+            with tarfile.open(fileobj=buf, mode="w") as tf:
+                for name, payload in sorted(members):
+                    info = tarfile.TarInfo(name=name)
+                    info.size = len(payload)
+                    info.mtime = 0  # deterministic bytes
+                    tf.addfile(info, _io.BytesIO(bytes(payload)))
+            fname = os.path.join(path, f"shard-{s:05d}.tar")
+            with open(fname, "wb") as fh:
+                fh.write(buf.getvalue())
+            out.append((s, len(members)))
+        yield pd.DataFrame(out, columns=["shard", "n_members"])
+
+    # the mapInPandas output is the (shard, n_members) manifest; forcing
+    # it materializes the writes on the executors
+    rows.mapInPandas(
+        write_partition, schema="shard int, n_members long"
+    ).collect()
+
+
 def read_text_dir(
     spark: SparkSession, path: str, whole_files: bool = False
 ) -> DataFrame:

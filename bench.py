@@ -318,6 +318,7 @@ HEADLINE = [
     "multimodal_jpeg_roundtrip",
     "multimodal_image_dhash",
     "multimodal_audio_vad",
+    "web_tar_roundtrip",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -336,6 +337,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_jpeg_roundtrip",
     "multimodal_image_dhash",
     "multimodal_audio_vad",
+    "web_tar_roundtrip",
 ]
 
 

@@ -640,6 +640,45 @@ def test_normalize_url_cases(spark):
         assert got[u] == (n, h), u
 
 
+# ------------------------------------------------ tar shards ---
+
+
+def test_tar_shards_disk_round_trip_and_determinism(spark, tmp_path):
+    """write_tar_shards -> binaryFile scan -> read_tar_members must
+    reproduce every (member, payload) exactly; shard assignment is the
+    portable hash (stable across runs), and two exports byte-match
+    (mtime pinned to 0)."""
+    from adtl_spark.sources.io import (
+        read_binary_dir,
+        read_tar_members,
+        write_tar_shards,
+    )
+
+    rows = [
+        (f"{i:06d}.txt", f"payload number {i} é".encode("utf-8"))
+        for i in range(97)
+    ]
+    df = spark.createDataFrame(rows, "member string, payload binary")
+    out1, out2 = str(tmp_path / "shards1"), str(tmp_path / "shards2")
+    write_tar_shards(df, out1, n_shards=5)
+    write_tar_shards(df, out2, n_shards=5)
+
+    import pathlib
+
+    files1 = sorted(p.name for p in pathlib.Path(out1).glob("*.tar"))
+    assert files1 and len(files1) <= 5
+    for name in files1:  # deterministic re-export
+        assert (pathlib.Path(out1) / name).read_bytes() == (
+            pathlib.Path(out2) / name
+        ).read_bytes()
+
+    back = read_tar_members(read_binary_dir(spark, out1, glob="*.tar"))
+    got = {r["member"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == dict(rows)
+    sizes = {r["member"]: r["size"] for r in back.collect()}
+    assert all(sizes[m] == len(p) for m, p in rows)
+
+
 # ------------------------------------------- dHash + VAD operators ---
 
 
