@@ -469,8 +469,12 @@ def write_tar_shards(
     re-exports byte-match modulo mtime, which is pinned to 0).  Shard
     assignment uses the portable 60-bit hash, so it is stable across
     runs and partitionings — the same contract as write_training_shards.
-    Executors write their own shard directly to ``path``; nothing
-    corpus-sized passes the driver."""
+    Executors write their own shard directly to ``path`` with plain file
+    IO; nothing corpus-sized passes the driver.  CLUSTER CAVEAT: ``path``
+    must be a filesystem every executor can reach (NFS / FUSE-mounted
+    object store) — on a multi-node cluster with node-local disks, point
+    it at the shared mount; the Spark-native sinks (parquet/ORC above)
+    remain the path-agnostic exports."""
     import io as _io
     import os
     import tarfile
