@@ -640,6 +640,77 @@ def test_normalize_url_cases(spark):
         assert got[u] == (n, h), u
 
 
+# --------------------------------------------- codec properties ---
+
+
+def test_png_round_trip_property():
+    """Hypothesis over the PNG codec pair: any dims (incl. single-row/
+    single-column images where filter lanes degenerate), any supported
+    color type, mixed filters — decode(encode(x)) must reproduce the
+    expected RGB exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adtl_spark.operators.multimodal import decode_png, encode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 13),
+        h=st.integers(1, 13),
+        ct=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        mode=st.sampled_from(["mixed", "none"]),
+    )
+    def inner(w, h, ct, seed, mode):
+        ch = {0: 1, 2: 3, 6: 4}[ct]
+        raw = bytes((seed * 31 + j * 131) % 256 for j in range(w * h * ch))
+        dw, dh, rgb = decode_png(
+            encode_png(w, h, raw, color_type=ct, filter_mode=mode)
+        )
+        assert (dw, dh) == (w, h)
+        if ct == 2:
+            assert rgb == raw
+        elif ct == 6:
+            assert rgb == bytes(
+                raw[4 * i + c] for i in range(w * h) for c in range(3)
+            )
+        else:
+            assert rgb == bytes(v for v in raw for _ in range(3))
+
+    inner()
+
+
+def test_jpeg_flat_blocks_exact_property():
+    """Hypothesis over the JPEG pair on per-8x8-block-constant images:
+    piecewise-flat content is DC-only, which the codec must reproduce
+    EXACTLY (quantization of a multiple-of-16 coefficient is lossless at
+    these qualities), for both subsamplings and odd dims."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        gray_level=st.integers(0, 255),
+        seed=st.integers(0, 1000),
+    )
+    def inner(bw, bh, gray_level, seed):
+        w, h = bw * 16, bh * 16
+        img = np.full((h, w, 3), gray_level, dtype=np.uint8)
+        payload = encode_jpeg(w, h, img.tobytes(), quality=90)
+        dw, dh, out = decode_jpeg(payload)
+        got = np.frombuffer(out, dtype=np.uint8)
+        assert (dw, dh) == (w, h)
+        assert int(np.abs(got.astype(int) - gray_level).max()) == 0
+
+    inner()
+
+
 # ------------------------------------------------ tar shards ---
 
 
