@@ -607,13 +607,100 @@ def _entropy_estimate(payload: bytes | None) -> float | None:
     return min(compressed / len(payload), 1.0)
 
 
+# ------------------------------------------------------- video frames ---
+# Real video codecs (H.264/VP9) need libraries this container lacks, so
+# the frame-sampling pipeline runs against a REFERENCE CONTAINER: magic +
+# (n_frames, fps) + length-prefixed P6 frames.  The container isolates
+# what the Spark side actually owns — metadata-driven sampling plans,
+# per-frame decode fan-out, downstream image ops (stats/dhash) — from the
+# codec call, which is exactly the piece a production deployment swaps
+# for an ffmpeg binding without touching the plan.
+
+_VIDEO_MAGIC = b"ADTLVID1"
+
+
+def encode_video(frames: list[bytes], fps: int) -> bytes:
+    """Pack P6 frame payloads into the reference video container."""
+    import struct
+
+    out = bytearray(_VIDEO_MAGIC)
+    out += struct.pack("<II", len(frames), fps)
+    for f in frames:
+        out += struct.pack("<I", len(f)) + f
+    return bytes(out)
+
+
+def decode_video_meta(payload: bytes) -> tuple[int, int]:
+    """(n_frames, fps) from the container header."""
+    import struct
+
+    if not payload.startswith(_VIDEO_MAGIC):
+        raise ValueError("not a reference-container video payload")
+    return struct.unpack("<II", payload[8:16])
+
+
+def decode_video_frame(payload: bytes, idx: int) -> bytes:
+    """The idx-th frame's P6 payload (walks the length prefixes)."""
+    import struct
+
+    n, _fps = decode_video_meta(payload)
+    if not 0 <= idx < n:
+        raise ValueError(f"frame {idx} out of range 0..{n - 1}")
+    pos = 16
+    for _ in range(idx):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4 + ln
+    (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+    frame = payload[pos + 4 : pos + 4 + ln]
+    if len(frame) != ln:
+        raise ValueError("truncated video frame")
+    return frame
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """REAL frame sampling: per video, one decoded frame per planned
+    timestamp — the executed form of :func:`frame_sample_plan`, same
+    schedule arithmetic (one frame per ``every_ms`` of duration, at
+    least one), frame index ``min(n_frames - 1, ts_ms * fps // 1000)``.
+    Output (media_id, frame_idx, ts_ms, payload) where payload is the
+    frame's P6 bytes — composable into every image stage
+    (pixel stats, dHash, resize).  Arrow-batched; the per-frame walk is
+    offset arithmetic, never a payload regex."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "frame_idx", "ts_ms", "payload"]
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                if b is None:
+                    continue
+                n, fps = decode_video_meta(bytes(b))
+                if n == 0 or fps == 0:
+                    continue
+                duration_ms = n * 1000 // fps
+                n_samples = max(duration_ms // every_ms, 1)
+                for k in range(n_samples):
+                    ts = k * every_ms
+                    fi = min(n - 1, ts * fps // 1000)
+                    rows.append(
+                        (int(mid), fi, ts, decode_video_frame(bytes(b), fi))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(
+        run,
+        schema="media_id long, frame_idx long, ts_ms long, payload binary",
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:
     """Video frame-sampling *plan*: one output row per planned frame
-    timestamp from the metadata duration — pure Column math; the actual
-    frame grab is the stubbed decoder's job.  Demonstrates explode-based
-    fan-out without touching payloads."""
+    timestamp from the metadata duration — pure Column math, no payload
+    touched (:func:`sample_video_frames` is the executed form over the
+    reference container).  Demonstrates explode-based fan-out without
+    touching payloads."""
     n_frames = F.greatest(
         (F.col("meta.duration_ms") / every_ms).cast("int"), F.lit(1)
     )

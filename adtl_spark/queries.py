@@ -3693,6 +3693,43 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executed video frame sampling value-checked end to end: per
+    document a reference-container video (4-8 arith P6 frames at 4 fps,
+    frame f seeded doc_id*7+f) is sampled every 500 ms —
+    duration-derived schedule, frame index ts*fps//1000 — and every
+    SAMPLED frame decodes through the image pixel-stats path under the
+    composite key doc_id*1000+frame_idx.  The oracle replays the
+    schedule arithmetic and each sampled frame's per-pixel stats via
+    generate_series (multimodal.sample_video_frames)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 4 + i % 5
+                w, h = 8 + i % 6, 8 + (i * 3) % 5
+                frames = [
+                    M.synthetic_ppm_arith(w, h, seed=i * 7 + f)
+                    for f in range(nf)
+                ]
+                rows.append((i, M.encode_video(frames, fps=4)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    sampled = M.sample_video_frames(media, every_ms=500).select(
+        (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
+        "payload",
+    )
+    return M.image_pixel_stats(sampled).orderBy("media_id")
+
+
 def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingestion value-checked end to end:
     documents pack into in-memory tar shards (one per 64 consecutive
@@ -6247,6 +6284,45 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        # the sampling schedule (duration-derived, ts*fps//1000 frame
+        # index) and each sampled frame's pixel stats replayed per pixel
+        "multimodal_video_frames": """
+            WITH f AS (
+              SELECT doc_id, 4 + doc_id % 5 AS nf,
+                     8 + doc_id % 6 AS w, 8 + (doc_id * 3) % 5 AS h
+              FROM documents
+            ),
+            kk AS (
+              SELECT doc_id, nf, w, h,
+                     unnest(generate_series(0,
+                       CAST(greatest((nf * 250) // 500, 1) - 1 AS BIGINT))) AS k
+              FROM f
+            ),
+            fr AS (
+              SELECT doc_id, w, h, least(2 * k, nf - 1) AS fi FROM kk
+            ),
+            px AS (
+              SELECT doc_id, w, h, fi, doc_id * 7 + fi AS seed,
+                     unnest(generate_series(0, CAST(w * h - 1 AS BIGINT))) AS p
+              FROM fr
+            ),
+            c AS (
+              SELECT doc_id, w, h, fi, p,
+                     (seed * 31 + (p * 3) * 131) % 256 AS r,
+                     (seed * 31 + (p * 3 + 1) * 131) % 256 AS g,
+                     (seed * 31 + (p * 3 + 2) * 131) % 256 AS b
+              FROM px
+            )
+            SELECT CAST(doc_id * 1000 + fi AS BIGINT) AS media_id,
+                   CAST(max(w) AS BIGINT) AS width,
+                   CAST(max(h) AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum((p + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+                     AS checksum
+            FROM c GROUP BY doc_id, fi ORDER BY media_id
+        """,
         # pack->unpack identity: the tar layer must be byte-transparent
         "web_tar_roundtrip": """
             SELECT doc_id, text,
@@ -7166,20 +7242,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``web_url_normalize``), the baseline-JPEG round trip
        (``multimodal_jpeg_roundtrip``), perceptual-dHash image dedup
        (``multimodal_image_dhash``), energy-threshold VAD trimming
-       (``multimodal_audio_vad``), and the WebDataset tar-shard
-       round trip (``web_tar_roundtrip``).
-    2. The remaining 41 slots refresh the LEAST-recently driver-verified
+       (``multimodal_audio_vad``), the WebDataset tar-shard round
+       trip (``web_tar_roundtrip``), and executed video frame sampling
+       (``multimodal_video_frames``).
+    2. The remaining 40 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``r1_one_to_many`` (driver rows dating to rounds 1-4, all
+       ``a3_combined_fold`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``v2_validation_report`` onward), the
+       rounds-1-4 remainder (``r1_one_to_many`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``v2_validation_report`` through the pre-round-6 tail, then the
+    ``r1_one_to_many`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -7204,6 +7281,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash": multimodal_image_dhash,
         "multimodal_audio_vad": multimodal_audio_vad,
         "web_tar_roundtrip": web_tar_roundtrip,
+        "multimodal_video_frames": multimodal_video_frames,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -7244,8 +7322,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_predicates": f_predicates,
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,
-        "r1_one_to_many": r1_one_to_many,
-        "v2_validation_report": v2_validation_report,  # -- past the 50-entry gate window --
+        "r1_one_to_many": r1_one_to_many,  # -- past the 50-entry gate window --
+        "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,
         "p8_unit_convert": p8_unit_convert,

@@ -319,6 +319,7 @@ HEADLINE = [
     "multimodal_image_dhash",
     "multimodal_audio_vad",
     "web_tar_roundtrip",
+    "multimodal_video_frames",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -338,6 +339,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_image_dhash",
     "multimodal_audio_vad",
     "web_tar_roundtrip",
+    "multimodal_video_frames",
 ]
 
 

@@ -361,7 +361,7 @@ def test_query_registry_invariants():
     # the least-recently-verified rounds-1-4 block.  The round-7-verified
     # block rotated to the registry tail (freshest rows last).
     gate = list(qs)[:50]
-    assert gate[:9] == [
+    assert gate[:10] == [
         "graph_entity_resolution",
         "multimodal_png_resize",
         "wet_extract",
@@ -371,6 +371,7 @@ def test_query_registry_invariants():
         "multimodal_image_dhash",
         "multimodal_audio_vad",
         "web_tar_roundtrip",
+        "multimodal_video_frames",
     ], "window head must hold the never-driver-verified + new-this-round gates"
     for name in (
         # head of the rounds-1-4 refresh block
@@ -385,7 +386,7 @@ def test_query_registry_invariants():
         "w1_sessionize",
         "q1_pricing_summary",
         "a2_last_not_null",
-        "r1_one_to_many",
+        "a3_combined_fold",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-7-verified block must be at the very tail, not burning

@@ -640,6 +640,40 @@ def test_normalize_url_cases(spark):
         assert got[u] == (n, h), u
 
 
+# ------------------------------------------------ video container ---
+
+
+def test_video_container_and_frame_sampling(spark):
+    from adtl_spark.operators.multimodal import (
+        decode_video_frame,
+        decode_video_meta,
+        encode_video,
+        sample_video_frames,
+        synthetic_ppm_arith,
+    )
+
+    frames = [synthetic_ppm_arith(10, 9, seed=f) for f in range(6)]
+    vid = encode_video(frames, fps=2)  # 3000 ms duration
+    assert decode_video_meta(vid) == (6, 2)
+    assert decode_video_frame(vid, 0) == frames[0]
+    assert decode_video_frame(vid, 5) == frames[5]
+    with pytest.raises(ValueError):
+        decode_video_frame(vid, 6)
+    with pytest.raises(ValueError):
+        decode_video_meta(b"not a video")
+
+    df = spark.createDataFrame([(1, vid)], "media_id long, payload binary")
+    rows = sorted(
+        sample_video_frames(df, every_ms=1000).collect(),
+        key=lambda r: r["ts_ms"],
+    )
+    # duration 3000 ms -> samples at 0/1000/2000 ms -> frames 0/2/4
+    assert [(r["frame_idx"], r["ts_ms"]) for r in rows] == [
+        (0, 0), (2, 1000), (4, 2000),
+    ]
+    assert bytes(rows[1]["payload"]) == frames[2]
+
+
 # --------------------------------------------- codec properties ---
 
 
