@@ -348,35 +348,37 @@ def _png_filter_line(
     ftype: int, line: bytes, prev: bytes | None, bpp: int
 ) -> bytes:
     """Forward-apply one PNG scanline filter (the encoder side of
-    :func:`_png_unfilter`)."""
-    stride = len(line)
-    out = bytearray(stride)
-    for x in range(stride):
-        left = line[x - bpp] if x >= bpp else 0
-        up = prev[x] if prev is not None else 0
-        ul = prev[x - bpp] if (prev is not None and x >= bpp) else 0
-        if ftype == 0:
-            v = line[x]
-        elif ftype == 1:
-            v = line[x] - left
-        elif ftype == 2:
-            v = line[x] - up
-        elif ftype == 3:
-            v = line[x] - ((left + up) >> 1)
-        elif ftype == 4:
-            p = left + up - ul
-            pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-            if pa <= pb and pa <= pc:
-                pr = left
-            elif pb <= pc:
-                pr = up
-            else:
-                pr = ul
-            v = line[x] - pr
-        else:
-            raise ValueError(f"PNG filter type {ftype} is not in 0..4")
-        out[x] = v & 0xFF
-    return bytes(out)
+    :func:`_png_unfilter`).  Fully vectorizable — unlike unfiltering,
+    the predictors read ORIGINAL bytes, so left/up/upper-left are just
+    shifted views of the input rows."""
+    import numpy as np
+
+    if ftype not in (0, 1, 2, 3, 4):
+        raise ValueError(f"PNG filter type {ftype} is not in 0..4")
+    cur = np.frombuffer(line, dtype=np.uint8).astype(np.int32)
+    if ftype == 0:
+        return line
+    up = (
+        np.frombuffer(prev, dtype=np.uint8).astype(np.int32)
+        if prev is not None
+        else np.zeros(len(line), dtype=np.int32)
+    )
+    left = np.zeros(len(line), dtype=np.int32)
+    left[bpp:] = cur[:-bpp]
+    if ftype == 1:
+        out = cur - left
+    elif ftype == 2:
+        out = cur - up
+    elif ftype == 3:
+        out = cur - ((left + up) >> 1)
+    else:  # Paeth
+        ul = np.zeros(len(line), dtype=np.int32)
+        ul[bpp:] = up[:-bpp]
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pr = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        out = cur - pr
+    return (out & 0xFF).astype(np.uint8).tobytes()
 
 
 def encode_png(
