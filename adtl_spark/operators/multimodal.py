@@ -431,6 +431,176 @@ def encode_png(
     )
 
 
+# ---------------------------------------------------------- IMA ADPCM ---
+# IMA/DVI ADPCM (WAV format tag 0x11): 4-bit differential coding with
+# the standard 89-entry step table and index adaptation — the classic
+# compressed speech/telephony format.  Integer-exact by definition, so
+# decode is deterministic across platforms.  Self-consistency note (same
+# reasoning as the JPEG tables): encoder and decoder share these module
+# tables, so round trips hold exactly as written; the tables ARE the
+# published IMA ones, making external interop expected but the
+# correctness argument independent of transcription.
+
+_ADPCM_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA decode step: (new_pred, new_index) from a 4-bit code."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = max(-32768, min(32767, pred + diff))
+    index = max(0, min(88, index + _ADPCM_INDEX[nibble & 7]))
+    return pred, index
+
+
+def decode_adpcm_block(
+    block: bytes, n_samples: int
+) -> list[int]:
+    """Decode one IMA ADPCM block: 4-byte header (int16 predictor,
+    uint8 step index, reserved) then two low-nibble-first samples per
+    byte; the header predictor IS sample 0."""
+    import struct
+
+    pred, index = struct.unpack("<hB", block[:3])
+    if index > 88:
+        raise ValueError(f"ADPCM step index {index} > 88")
+    out = [pred]
+    for byte in block[4:]:
+        for nibble in (byte & 0x0F, byte >> 4):
+            if len(out) >= n_samples:
+                break
+            pred, index = _adpcm_step(pred, index, nibble)
+            out.append(pred)
+    return out[:n_samples]
+
+
+def encode_wav_adpcm(
+    pcm: bytes, rate: int = 16000, block_align: int = 256
+) -> bytes:
+    """Encode 16-bit mono PCM as an IMA ADPCM WAV (format tag 0x11):
+    per block, the first sample seeds the header predictor and the rest
+    quantize to 4-bit codes with the encoder state kept in LOCKSTEP with
+    the decoder's reconstruction (each step re-runs the decode
+    arithmetic), so error never accumulates beyond one step size.
+    Writes the fact chunk (total samples) and samples_per_block, like a
+    conformant writer."""
+    import struct
+
+    samples = list(
+        struct.unpack(f"<{len(pcm) // 2}h", pcm[: len(pcm) // 2 * 2])
+    )
+    spb = (block_align - 4) * 2 + 1
+    blocks = bytearray()
+    i = 0
+    index = 0
+    while i < len(samples):
+        chunk = samples[i : i + spb]
+        i += spb
+        pred = chunk[0]
+        blocks += struct.pack("<hBB", pred, index, 0)
+        nibbles: list[int] = []
+        for s in chunk[1:]:
+            step = _ADPCM_STEPS[index]
+            diff = s - pred
+            code = 8 if diff < 0 else 0
+            diff = abs(diff)
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            pred, index = _adpcm_step(pred, index, code)
+            nibbles.append(code)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            blocks.append(lo | (hi << 4))
+        pad = block_align - 4 - len(nibbles) // 2
+        blocks += bytes(pad)  # ragged final block zero-padded to align
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        rate,
+        rate * block_align // spb,
+        block_align,
+        4,
+        2,
+        spb,
+    )
+    fact = struct.pack("<I", len(samples))
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<I", len(fact)) + fact
+    chunks += b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_adpcm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode an IMA ADPCM WAV to (rate, channels=1, bits=16,
+    pcm_bytes): walks the chunk list for fmt (tag 0x11, mono) / fact /
+    data, decodes block by block, trims to the fact-chunk sample count."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    total = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            tag, ch, rate, _br, balign = struct.unpack("<HHIIH", body[:14])
+            if tag != 0x11:
+                raise ValueError(f"not IMA ADPCM (format {tag})")
+            if ch != 1:
+                raise ValueError("only mono ADPCM supported")
+            spb = struct.unpack("<H", body[18:20])[0] if size >= 20 else (
+                (balign - 4) * 2 + 1
+            )
+            fmt = (rate, balign, spb)
+        elif cid == b"fact":
+            (total,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("ADPCM payload missing fmt or data chunk")
+    rate, balign, spb = fmt
+    out: list[int] = []
+    for b0 in range(0, len(data), balign):
+        block = data[b0 : b0 + balign]
+        if len(block) < 4:
+            break
+        remaining = (total - len(out)) if total is not None else spb
+        out.extend(decode_adpcm_block(block, min(spb, max(remaining, 0))))
+    if total is not None:
+        out = out[:total]
+    pcm = struct.pack(f"<{len(out)}h", *out)
+    return rate, 1, 16, pcm
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Decode an image payload to (width, height, rgb_bytes).  PPM (P6),
     PNG (stdlib-zlib chunk walk + unfilter, :func:`decode_png`) and
@@ -450,10 +620,15 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
 
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
-    WAV/PCM decodes natively; compressed codecs raise
-    NotImplementedError."""
+    WAV/PCM and IMA ADPCM (format tag 0x11 — decompressed to 16-bit PCM)
+    decode natively; MP3 raises NotImplementedError."""
     if payload.startswith(b"RIFF"):
-        return decode_wav(payload)
+        try:
+            return decode_wav(payload)
+        except ValueError as e:
+            if "format 17" in str(e):  # PCM reader saw the ADPCM tag
+                return decode_wav_adpcm(payload)
+            raise
     if payload.startswith(b"\xff\xfb") or payload.startswith(b"ID3"):
         raise NotImplementedError(
             "MP3 decoding requires a codec library (ffmpeg) not in this container"

@@ -3693,6 +3693,56 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IMA ADPCM codec (4-bit compressed audio, WAV format 0x11)
+    exercised end to end: per document an integer triangle wave (full
+    + ragged blocks from id arithmetic) encodes at 4 bits/sample and
+    decodes back; the gate emits the exact sample count (block math +
+    fact-chunk trim — SQL-replayable) and pins the reconstruction
+    envelope (measured max |err| = 88 at this slope, deterministic;
+    bound 128) — ADPCM is lossy, so the bound is the invariant, the
+    count is the value check (multimodal.encode_wav_adpcm/
+    decode_wav_adpcm, dispatched through decode_audio)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav_adpcm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 505 * (1 + d % 3) + (d % 97)
+                i = np.arange(n)
+                tri = (np.abs((i * 64) % 16000 - 8000) - 4000).astype(
+                    np.int16
+                )
+                rate, _ch, _bits, pcm = decode_audio(
+                    encode_wav_adpcm(tri.tobytes(), rate=16000)
+                )
+                out = np.frombuffer(pcm, dtype=np.int16)
+                err = (
+                    int(np.abs(out.astype(int) - tri.astype(int)).max())
+                    if len(out) == n
+                    else 1 << 30
+                )
+                rows.append((d, len(out), rate, err <= 128))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "n_samples", "sample_rate", "ok"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="media_id long, n_samples long, sample_rate int, ok boolean",
+    ).orderBy("media_id")
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executed video frame sampling value-checked end to end: per
     document a reference-container video (4-8 arith P6 frames at 4 fps,
@@ -6284,6 +6334,17 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        # lossy 4-bit codec: the sample count is the exact value check
+        # (block math + fact trim), the error envelope the pinned
+        # invariant (query docstring)
+        "multimodal_adpcm_roundtrip": """
+            SELECT doc_id AS media_id,
+                   CAST(505 * (1 + doc_id % 3) + (doc_id % 97) AS BIGINT)
+                     AS n_samples,
+                   CAST(16000 AS INT) AS sample_rate,
+                   TRUE AS ok
+            FROM documents ORDER BY doc_id
+        """,
         # the sampling schedule (duration-derived, ts*fps//1000 frame
         # index) and each sampled frame's pixel stats replayed per pixel
         "multimodal_video_frames": """
@@ -7243,20 +7304,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``multimodal_jpeg_roundtrip``), perceptual-dHash image dedup
        (``multimodal_image_dhash``), energy-threshold VAD trimming
        (``multimodal_audio_vad``), the WebDataset tar-shard round
-       trip (``web_tar_roundtrip``), and executed video frame sampling
-       (``multimodal_video_frames``).
-    2. The remaining 40 slots refresh the LEAST-recently driver-verified
+       trip (``web_tar_roundtrip``), executed video frame sampling
+       (``multimodal_video_frames``), and the IMA ADPCM round trip
+       (``multimodal_adpcm_roundtrip``).
+    2. The remaining 39 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``a3_combined_fold`` (driver rows dating to rounds 1-4, all
+       ``a2_last_not_null`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``r1_one_to_many`` onward), the
+       rounds-1-4 remainder (``a3_combined_fold`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``r1_one_to_many`` through the pre-round-6 tail, then the
+    ``a3_combined_fold`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -7282,6 +7344,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_vad": multimodal_audio_vad,
         "web_tar_roundtrip": web_tar_roundtrip,
         "multimodal_video_frames": multimodal_video_frames,
+        "multimodal_adpcm_roundtrip": multimodal_adpcm_roundtrip,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -7321,8 +7384,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_shipping_priority": q3_shipping_priority,
         "f_predicates": f_predicates,
         "a2_last_not_null": a2_last_not_null,
-        "a3_combined_fold": a3_combined_fold,
-        "r1_one_to_many": r1_one_to_many,  # -- past the 50-entry gate window --
+        "a3_combined_fold": a3_combined_fold,  # -- past the 50-entry gate window --
+        "r1_one_to_many": r1_one_to_many,
         "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,
         "p6_enum_list": p6_enum_list,

@@ -320,6 +320,7 @@ HEADLINE = [
     "multimodal_audio_vad",
     "web_tar_roundtrip",
     "multimodal_video_frames",
+    "multimodal_adpcm_roundtrip",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -340,6 +341,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_audio_vad",
     "web_tar_roundtrip",
     "multimodal_video_frames",
+    "multimodal_adpcm_roundtrip",
 ]
 
 

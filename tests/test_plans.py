@@ -361,7 +361,7 @@ def test_query_registry_invariants():
     # the least-recently-verified rounds-1-4 block.  The round-7-verified
     # block rotated to the registry tail (freshest rows last).
     gate = list(qs)[:50]
-    assert gate[:10] == [
+    assert gate[:11] == [
         "graph_entity_resolution",
         "multimodal_png_resize",
         "wet_extract",
@@ -372,6 +372,7 @@ def test_query_registry_invariants():
         "multimodal_audio_vad",
         "web_tar_roundtrip",
         "multimodal_video_frames",
+        "multimodal_adpcm_roundtrip",
     ], "window head must hold the never-driver-verified + new-this-round gates"
     for name in (
         # head of the rounds-1-4 refresh block
@@ -386,7 +387,6 @@ def test_query_registry_invariants():
         "w1_sessionize",
         "q1_pricing_summary",
         "a2_last_not_null",
-        "a3_combined_fold",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-7-verified block must be at the very tail, not burning

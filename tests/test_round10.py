@@ -737,6 +737,58 @@ def test_video_container_and_frame_sampling(spark):
     assert bytes(rows[1]["payload"]) == frames[2]
 
 
+# ------------------------------------------------------ IMA ADPCM ---
+
+
+def test_adpcm_tables_and_hand_vector():
+    from adtl_spark.operators.multimodal import (
+        _ADPCM_INDEX,
+        _ADPCM_STEPS,
+        decode_adpcm_block,
+    )
+
+    assert len(_ADPCM_STEPS) == 89
+    assert _ADPCM_STEPS[0] == 7 and _ADPCM_STEPS[-1] == 32767
+    assert all(b > a for a, b in zip(_ADPCM_STEPS, _ADPCM_STEPS[1:]))
+    assert _ADPCM_INDEX == [-1, -1, -1, -1, 2, 4, 6, 8]
+    # hand replay from the spec arithmetic: pred=100, index=4 (step 11),
+    # nibbles 0x3 then 0x9
+    # 0x3: diff = 11>>3 + 11>>2 + 11>>1 = 1+2+5 = 8 -> pred 108, idx 4-1=3
+    # 0x9: step=10; diff = -(10>>3 + 10>>2) = -(1+2) = -3 -> 105, idx 2
+    block = bytes([100, 0, 4, 0, 0x93])  # int16 100 LE, index 4, nibbles 3,9
+    assert decode_adpcm_block(block, 3) == [100, 108, 105]
+
+
+def test_adpcm_round_trip_and_dispatch(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        audio_vad_trim,
+        decode_audio,
+        encode_wav_adpcm,
+    )
+
+    n = 505 * 2 + 77  # full blocks + ragged
+    i = np.arange(n)
+    tri = (np.abs((i * 64) % 16000 - 8000) - 4000).astype(np.int16)
+    payload = encode_wav_adpcm(tri.tobytes(), rate=16000)
+    assert len(payload) < len(tri.tobytes()) // 2  # actually compressed
+    rate, ch, bits, pcm = decode_audio(payload)  # dispatch via format tag
+    assert (rate, ch, bits) == (16000, 1, 16)
+    out = np.frombuffer(pcm, dtype=np.int16)
+    assert len(out) == n  # fact-chunk trim through ragged final block
+    assert int(np.abs(out.astype(int) - tri.astype(int)).max()) <= 128
+    # deterministic
+    assert encode_wav_adpcm(tri.tobytes(), rate=16000) == payload
+    # PCM-consuming operators reject the compressed container cleanly
+    # (they call decode_wav, which names the format)
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    row = audio_vad_trim(df).collect()[0]
+    assert row["n_frames"] is None  # not silently treated as PCM
+
+
 # --------------------------------------------- codec properties ---
 
 
