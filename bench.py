@@ -51,12 +51,14 @@ positional-index phrase search, robust median/MAD outliers, the Bloom
 runtime-filter join, the exact bitmap-distinct rollup); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-10 changes: appends the PNG decode+resize round trip and the WET
-extraction gate; mapInPandas-backed queries get a second untimed warmup
-pass (PYTHON_WORKER_QUERIES) so their timed run measures steady-state
-Python-worker reuse rather than daemon pool spin-up — the r7 driver
-bench's multimodal_{audio,image}_meta spikes were exactly this fixed
-cost surfacing in a cold pool (docs/BENCH_NOTES.md).
+Round-10 changes: appends the round's eleven gates (PNG decode+resize,
+WET extraction, paragraph dedup, URL canonicalization, JPEG round trip,
+dHash image dedup, VAD trimming, tar-shard round trip, video frame
+sampling, ADPCM round trip); mapInPandas-backed queries get a second
+untimed warmup pass (PYTHON_WORKER_QUERIES) so their timed run measures
+steady-state Python-worker reuse rather than daemon pool spin-up — the
+r7 driver bench's multimodal_{audio,image}_meta spikes were exactly
+this fixed cost surfacing in a cold pool (docs/BENCH_NOTES.md).
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
