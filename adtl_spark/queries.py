@@ -3693,6 +3693,113 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup PAIR GENERATION value-checked end to end: 20
+    arithmetic textures replicated across the corpus, with every odd id
+    carrying a one-byte perturbation (channel byte 0 += 128 — at most
+    one dHash bit moves, so banding must still catch the cross-variant
+    pairs); image_dhash -> dhash_pairs(max_hamming=8) emits every
+    within-radius pair with its exact Hamming distance.  The oracle
+    replays the hashes per (seed, variant) — the perturbation enters the
+    per-bit arithmetic — and then the ENTIRE banding join in SQL
+    (4x16-bit block equality as an OR, bit_count(xor) Hamming, the same
+    radius filter), so candidate generation, dedup, and distance all
+    hash-match (multimodal.image_dhash / dhash_pairs)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                seed = i % 20
+                w, h = 16 + seed % 5, 16 + (seed * 3) % 5
+                payload = bytearray(M.synthetic_ppm_arith(w, h, seed=seed))
+                if i % 2 == 1:
+                    hdr = len(f"P6\n{w} {h}\n255\n")
+                    payload[hdr] = (payload[hdr] + 128) % 256
+                rows.append((i, bytes(payload)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.dhash_pairs(M.image_dhash(media), max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _dhash_pairs_oracle() -> str:
+    """DuckDB twin of :func:`multimodal_dhash_pairs`: per-bit hash
+    replay with the variant perturbation folded into the byte formula,
+    then the band-join candidate generation and Hamming filter in SQL."""
+
+    def byte(j: str) -> str:
+        return (
+            f"((seed*31 + ({j})*131 + CASE WHEN v = 1 AND ({j}) = 0 "
+            f"THEN 128 ELSE 0 END) % 256)"
+        )
+
+    def gray(base: str) -> str:
+        return (
+            f"{byte(base)} * 299 + {byte(f'{base} + 1')} * 587 + "
+            f"{byte(f'{base} + 2')} * 114"
+        )
+
+    ga = gray("(y0*W + x0)*3")
+    gb = gray("(y0*W + x1)*3")
+    ham = (
+        "bit_count(xor(a.dhash_hi, b.dhash_hi)) "
+        "+ bit_count(xor(a.dhash_lo, b.dhash_lo))"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 20 AS seed, doc_id % 2 AS v FROM documents
+    ),
+    dims AS (
+      SELECT DISTINCT seed, v,
+             16 + seed % 5 AS W, 16 + (seed * 3) % 5 AS H
+      FROM d
+    ),
+    cells AS (
+      SELECT seed, v, W, k,
+             ((k % 8) * W) // 9 AS x0,
+             (((k % 8) + 1) * W) // 9 AS x1,
+             ((k // 8) * H) // 8 AS y0
+      FROM dims,
+           LATERAL (SELECT unnest(generate_series(0, CAST(63 AS BIGINT))) AS k) g
+    ),
+    gg AS (
+      SELECT seed, v, k, {ga} AS ga, {gb} AS gb FROM cells
+    ),
+    hs AS (
+      SELECT seed, v,
+        CAST(sum(CASE WHEN k < 32 AND ga < gb
+                 THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT)
+          AS dhash_lo,
+        CAST(sum(CASE WHEN k >= 32 AND ga < gb
+                 THEN (CAST(1 AS BIGINT) << (k - 32)) ELSE 0 END) AS BIGINT)
+          AS dhash_hi
+      FROM gg GROUP BY seed, v
+    ),
+    hd AS (
+      SELECT d.doc_id, h.dhash_hi, h.dhash_lo
+      FROM d JOIN hs h ON h.seed = d.seed AND h.v = d.v
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM hd a JOIN hd b ON a.doc_id < b.doc_id
+    WHERE ((a.dhash_lo & 65535) = (b.dhash_lo & 65535)
+        OR ((a.dhash_lo >> 16) & 65535) = ((b.dhash_lo >> 16) & 65535)
+        OR (a.dhash_hi & 65535) = (b.dhash_hi & 65535)
+        OR ((a.dhash_hi >> 16) & 65535) = ((b.dhash_hi >> 16) & 65535))
+      AND {ham} <= 8
+    ORDER BY id_a, id_b
+    """
+
+
 def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMA ADPCM codec (4-bit compressed audio, WAV format 0x11)
     exercised end to end: per document an integer triangle wave (full
@@ -6334,6 +6441,7 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        "multimodal_dhash_pairs": _dhash_pairs_oracle(),
         # lossy 4-bit codec: the sample count is the exact value check
         # (block math + fact trim), the error envelope the pinned
         # invariant (query docstring)
@@ -7305,20 +7413,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``multimodal_image_dhash``), energy-threshold VAD trimming
        (``multimodal_audio_vad``), the WebDataset tar-shard round
        trip (``web_tar_roundtrip``), executed video frame sampling
-       (``multimodal_video_frames``), and the IMA ADPCM round trip
-       (``multimodal_adpcm_roundtrip``).
-    2. The remaining 39 slots refresh the LEAST-recently driver-verified
+       (``multimodal_video_frames``), the IMA ADPCM round trip
+       (``multimodal_adpcm_roundtrip``), and banded dHash pair
+       generation (``multimodal_dhash_pairs``).
+    2. The remaining 38 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``a2_last_not_null`` (driver rows dating to rounds 1-4, all
+       ``q3_shipping_priority`` and ``f_predicates`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle run since —
        committed as CORRECTNESS_LOCAL_r08.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``a3_combined_fold`` onward), the
+       rounds-1-4 remainder (``a2_last_not_null`` onward), the
        round-6-verified block, and — freshest rows last — the 50 queries
        the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``a3_combined_fold`` through the pre-round-6 tail, then the
+    ``a2_last_not_null`` through the pre-round-6 tail, then the
     round-6 block; the round-7-verified block stays last as the
     freshest rows.  Lifetime invariant: after this round's gate, every
     registry query except the two documented ROWS_ONLY entries has an
@@ -7345,6 +7454,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_tar_roundtrip": web_tar_roundtrip,
         "multimodal_video_frames": multimodal_video_frames,
         "multimodal_adpcm_roundtrip": multimodal_adpcm_roundtrip,
+        "multimodal_dhash_pairs": multimodal_dhash_pairs,
         "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
         "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
         "text_tfidf": text_tfidf,
@@ -7383,8 +7493,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "f_predicates": f_predicates,
-        "a2_last_not_null": a2_last_not_null,
-        "a3_combined_fold": a3_combined_fold,  # -- past the 50-entry gate window --
+        "a2_last_not_null": a2_last_not_null,  # -- past the 50-entry gate window --
+        "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
         "v2_validation_report": v2_validation_report,
         "p3_value_map": p3_value_map,

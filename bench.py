@@ -323,6 +323,7 @@ HEADLINE = [
     "web_tar_roundtrip",
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
+    "multimodal_dhash_pairs",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -344,6 +345,7 @@ PYTHON_WORKER_QUERIES = [
     "web_tar_roundtrip",
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
+    "multimodal_dhash_pairs",
 ]
 
 

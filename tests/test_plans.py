@@ -361,7 +361,7 @@ def test_query_registry_invariants():
     # the least-recently-verified rounds-1-4 block.  The round-7-verified
     # block rotated to the registry tail (freshest rows last).
     gate = list(qs)[:50]
-    assert gate[:11] == [
+    assert gate[:12] == [
         "graph_entity_resolution",
         "multimodal_png_resize",
         "wet_extract",
@@ -373,6 +373,7 @@ def test_query_registry_invariants():
         "web_tar_roundtrip",
         "multimodal_video_frames",
         "multimodal_adpcm_roundtrip",
+        "multimodal_dhash_pairs",
     ], "window head must hold the never-driver-verified + new-this-round gates"
     for name in (
         # head of the rounds-1-4 refresh block
@@ -386,7 +387,7 @@ def test_query_registry_invariants():
         "dedup_simhash",
         "w1_sessionize",
         "q1_pricing_summary",
-        "a2_last_not_null",
+        "f_predicates",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-7-verified block must be at the very tail, not burning

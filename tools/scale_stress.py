@@ -199,6 +199,7 @@ QUERIES = [
     "web_tar_roundtrip",
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
+    "multimodal_dhash_pairs",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
