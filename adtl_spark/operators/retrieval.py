@@ -816,6 +816,7 @@ def write_search_index(
       the writer's bucket count.
     """
     spark = docs.sparkSession
+    _INDEX_META_CACHE.pop(path, None)  # rebuild may change the layout
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -852,14 +853,26 @@ _POSTINGS_SCHEMA = "id long, token string, tf long, bucket int"
 _LEXICON_SCHEMA = "token string, df_ long, ctf long, bucket int"
 
 
+# n_buckets per index path, memoized: the meta sidecar is immutable for
+# a given index layout, so the per-query-call Spark job it cost (a read
+# + collect on every bm25/QL/phrase/append call — serving-path latency)
+# is paid once per process; write_search_index invalidates its path so
+# an in-process rebuild with a different bucket count can't serve stale
+_INDEX_META_CACHE: dict[str, int] = {}
+
+
 def _index_buckets(spark, path: str, n_buckets: int | None) -> int:
     """Resolve an index's bucket count from the meta sidecar
     (write_search_index always emits it).  An explicit argument is
     VALIDATED against meta, never trusted over it: a mismatched bucket
     count would silently route new postings into different buckets than
     the persisted ones, corrupting every pruned read after — fail fast
-    instead."""
-    stored = spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
+    instead.  The sidecar read is memoized per index path (immutable
+    per layout); the validation always runs."""
+    stored = _INDEX_META_CACHE.get(path)
+    if stored is None:
+        stored = spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
+        _INDEX_META_CACHE[path] = int(stored)
     if n_buckets is not None and int(n_buckets) != int(stored):
         raise ValueError(
             f"search index at {path} was written with n_buckets={stored}; "

@@ -1658,7 +1658,10 @@ _HTML_PASSES: list[tuple[str, str]] = [
 _URL_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
 _URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)"
 _URL_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-_URL_QUERY_RE = r"\?([^#]*)"
+# anchored scan: [^#?]* consumes up to the FIRST '?' or '#', so a '?'
+# that appears only inside the fragment never parses as a query, and the
+# query always starts at the first '?' (RFC 3986 §3.4)
+_URL_QUERY_RE = r"^[^#?]*\?([^#]*)"
 # scheme -> default port, stripped during canonicalization
 _URL_DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
@@ -1737,10 +1740,13 @@ def normalize_url_expr_sql(col: str) -> str:
     )
     raw_path = f"regexp_replace(regexp_extract({col}, '{_URL_PATH_RE}', 1), '/{{2,}}', '/', 'g')"
     path = f"CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END"
-    query = f"regexp_extract({col}, '\\?([^#]*)', 1)"
+    query = f"regexp_extract({col}, '^[^#?]*\\?([^#]*)', 1)"
+    # COALESCE: DuckDB's array_to_string over an EMPTY list returns NULL
+    # (Spark's array_join returns '') — without it a query-less URL
+    # NULLs the whole rebuilt string through the concatenation
     qsorted = (
-        f"array_to_string(list_sort(list_filter(string_split({query}, '&'),"
-        f" p -> p != '')), '&')"
+        f"COALESCE(array_to_string(list_sort(list_filter("
+        f"string_split({query}, '&'), p -> p != '')), '&'), '')"
     )
     return f"""CASE WHEN {scheme} = '' THEN NULL ELSE
       {scheme} || '://' || {host}

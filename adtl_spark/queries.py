@@ -3800,6 +3800,167 @@ def _dhash_pairs_oracle() -> str:
     """
 
 
+def _dhash_recall_classes() -> list[tuple[int, int, int, int, int]]:
+    """(parity, v, cid, dhash_hi, dhash_lo) rows of the 18 constructed
+    hash classes the dHash-banding recall gate measures on: a shared
+    base pattern XOR v flipped bits, where even-parity classes flip bits
+    CYCLING across the four 16-bit bands (the adversarial layout — any
+    4+ consecutive flips touch every band) and odd-parity classes flip
+    bits CONCENTRATED in bands 0-1 (bands 2-3 always shared — the
+    friendly layout).  Pairwise Hamming distances span 0..8+ with both
+    catchable and uncatchable pairs at 4..8, which no toy IMAGE corpus
+    produces on purpose (texture hashes land ~32 bits apart), so the
+    recall measurement runs at the hash level the banding operates on."""
+    adv = [0, 16, 32, 48, 7, 23, 39, 55]
+    con = [0, 7, 8, 15, 16, 23, 24, 31]
+    base = (0x5A5A5A5A << 32) | 0x3C3C3C3C
+    rows = []
+    for p, fam in ((0, adv), (1, con)):
+        for v in range(9):
+            m = base
+            for b in fam[:v]:
+                m ^= 1 << b
+            rows.append(
+                (p, v, p * 9 + v, (m >> 32) & 0xFFFFFFFF, m & 0xFFFFFFFF)
+            )
+    return rows
+
+
+def multimodal_dhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of dhash_pairs' 4x16-bit-band candidate
+    generation against exact Hamming truth — the measured-approximation
+    twin the repo's own standard demands of every blocking scheme
+    (dedup_minhash_recall / ann_lsh_recall pattern): documents map onto
+    18 constructed hash classes (_dhash_recall_classes) whose pairwise
+    distances cover 0..8 with band-adversarial AND band-friendly pairs;
+    truth is the exact class-pair distance table weighted by class
+    sizes (an 18x18 broadcast cross join — never doc-level all-pairs on
+    the Spark side), found is the REAL dhash_pairs operator at
+    max_hamming=8.  Output: one row per distance (hamming, n_true,
+    n_hit, recall) — recall is 1.0 through distance 3 (the pigeonhole
+    guarantee) and degrades above it exactly where flips span all four
+    bands; the oracle replays both sides, banding predicate included."""
+    from adtl_spark.operators import multimodal as M
+
+    classes = spark.createDataFrame(
+        _dhash_recall_classes(),
+        "p int, v int, cid int, dhash_hi long, dhash_lo long",
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 2).cast("int").alias("p"),
+        (F.expr("doc_id DIV 2") % 9).cast("int").alias("v"),
+    )
+    classed = docs.join(F.broadcast(classes), ["p", "v"]).select(
+        F.col("doc_id").alias("media_id"), "cid", "dhash_hi", "dhash_lo"
+    )
+    found = (
+        M.dhash_pairs(
+            classed.select("media_id", "dhash_hi", "dhash_lo"), max_hamming=8
+        )
+        .groupBy("hamming")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    sizes = classed.groupBy("cid", "dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a, b = sizes.alias("a"), sizes.alias("b")
+    ham = F.bit_count(
+        F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
+    ) + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
+    truth = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a.cid") <= F.col("b.cid"))
+        .filter(ham <= 8)
+        .select(
+            ham.alias("hamming"),
+            F.when(
+                F.col("a.cid") == F.col("b.cid"),
+                F.floor(F.col("a.n") * (F.col("a.n") - 1) / 2),
+            )
+            .otherwise(F.col("a.n") * F.col("b.n"))
+            .cast("long")
+            .alias("n_pairs"),
+        )
+        .groupBy("hamming")
+        .agg(F.sum("n_pairs").cast("long").alias("n_true"))
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+    return (
+        truth.join(found, "hamming", "left")
+        .select(
+            F.col("hamming").cast("long").alias("hamming"),
+            "n_true",
+            n_hit.alias("n_hit"),
+            (
+                F.floor(
+                    n_hit.cast("double") / F.col("n_true").cast("double")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("recall"),
+        )
+        .orderBy("hamming")
+    )
+
+
+def _dhash_recall_oracle() -> str:
+    """DuckDB twin of :func:`multimodal_dhash_recall`: the same 18-class
+    VALUES table, exact class-pair truth, and a doc-level self-join that
+    replays the 4-band candidate predicate plus the Hamming filter."""
+    vals = ", ".join(
+        f"({p}, {v}, {cid}, CAST({hi} AS BIGINT), CAST({lo} AS BIGINT))"
+        for p, v, cid, hi, lo in _dhash_recall_classes()
+    )
+    ham_ab = (
+        "bit_count(xor(a.dhash_hi, b.dhash_hi)) "
+        "+ bit_count(xor(a.dhash_lo, b.dhash_lo))"
+    )
+    return f"""
+    WITH cls(p, v, cid, dhash_hi, dhash_lo) AS (VALUES {vals}),
+    d AS (
+      SELECT doc_id, CAST(doc_id % 2 AS INT) AS p,
+             CAST((doc_id // 2) % 9 AS INT) AS v
+      FROM documents
+    ),
+    h AS (
+      SELECT d.doc_id, c.cid, c.dhash_hi, c.dhash_lo
+      FROM d JOIN cls c ON c.p = d.p AND c.v = d.v
+    ),
+    sizes AS (
+      SELECT cid, dhash_hi, dhash_lo, CAST(count(*) AS BIGINT) AS n
+      FROM h GROUP BY 1, 2, 3
+    ),
+    truth AS (
+      SELECT {ham_ab} AS hamming,
+             CAST(sum(CASE WHEN a.cid = b.cid THEN a.n * (a.n - 1) // 2
+                      ELSE a.n * b.n END) AS BIGINT) AS n_true
+      FROM sizes a JOIN sizes b ON a.cid <= b.cid
+      WHERE {ham_ab} <= 8
+      GROUP BY 1
+    ),
+    found AS (
+      SELECT hamming, CAST(count(*) AS BIGINT) AS n_hit FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               {ham_ab} AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE ((a.dhash_lo & 65535) = (b.dhash_lo & 65535)
+            OR ((a.dhash_lo >> 16) & 65535) = ((b.dhash_lo >> 16) & 65535)
+            OR (a.dhash_hi & 65535) = (b.dhash_hi & 65535)
+            OR ((a.dhash_hi >> 16) & 65535) = ((b.dhash_hi >> 16) & 65535))
+          AND {ham_ab} <= 8
+      ) GROUP BY 1
+    )
+    SELECT CAST(t.hamming AS BIGINT) AS hamming, t.n_true,
+           CAST(COALESCE(f.n_hit, 0) AS BIGINT) AS n_hit,
+           floor(COALESCE(f.n_hit, 0) * 10000.0 / t.n_true + 0.5) / 10000.0
+             AS recall
+    FROM truth t LEFT JOIN found f USING (hamming)
+    ORDER BY hamming
+    """
+
+
 def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IMA ADPCM codec (4-bit compressed audio, WAV format 0x11)
     exercised end to end: per document an integer triangle wave (full
@@ -3847,6 +4008,64 @@ def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         schema="media_id long, n_samples long, sample_rate int, ok boolean",
+    ).orderBy("media_id")
+
+
+def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The G.711 codec (µ-law/A-law logarithmic companding, WAV format
+    tags 0x07/0x06 — the telephony and ASR-corpus wire format) exercised
+    end to end: per document an integer triangle wave compresses to 8
+    bits/sample (µ-law for even ids, A-law for odd) and expands back
+    through the decode_audio fmt-tag dispatch; the compressor is
+    differentially exact against the reference G.711 algorithm over the
+    full int16 range (tests), the expansion is a 256-entry LUT built
+    from the spec formulas.  The gate emits the exact sample count (one
+    byte per sample — SQL-replayable) and pins the companding envelope
+    (measured max |err| at this amplitude: 92 µ-law / 32 A-law; bound
+    128) — G.711 is lossy, so the bound is the invariant, the count is
+    the value check (multimodal.encode_wav_g711/decode_wav_g711)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.multimodal import (
+            decode_audio,
+            encode_wav_g711,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 400 * (1 + d % 4) + (d % 89)
+                law = "ulaw" if d % 2 == 0 else "alaw"
+                i = np.arange(n)
+                tri = (np.abs((i * 64) % 16000 - 8000) - 4000).astype(
+                    np.int16
+                )
+                rate, _ch, bits, pcm = decode_audio(
+                    encode_wav_g711(tri.tobytes(), rate=8000, law=law)
+                )
+                out = np.frombuffer(pcm, dtype=np.int16)
+                err = (
+                    int(np.abs(out.astype(int) - tri.astype(int)).max())
+                    if len(out) == n and bits == 16
+                    else 1 << 30
+                )
+                rows.append((d, len(out), rate, law, err <= 128))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_samples", "sample_rate", "law", "ok"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_samples long, sample_rate int, "
+            "law string, ok boolean"
+        ),
     ).orderBy("media_id")
 
 
@@ -4101,12 +4320,22 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/aggregation key plus the per-host partition key.  The oracle
     replays the identical regex chain (text.normalize_url_expr_sql) —
     path case must be PRESERVED while scheme/host lowercase, :80 must
-    strip while :8080 survives, and the query must come back sorted."""
+    strip while :8080 survives, the query must come back sorted, a
+    query-LESS URL must survive (the DuckDB empty-list-to-NULL trap),
+    and a '?' living only inside the fragment must NOT parse as a
+    query."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     port = (
         F.when(F.col("doc_id") % 3 == 0, F.lit(":80"))
         .when(F.col("doc_id") % 3 == 1, F.lit(":8080"))
         .otherwise(F.lit(""))
+    )
+    tail = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#frag"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("#sec?x=1"))
+        .otherwise(
+            F.concat(F.lit("?z=1&a=2&m="), F.col("lang"), F.lit("#frag"))
+        )
     )
     url = F.concat(
         F.lit("HTTP://WWW.Example-"),
@@ -4115,9 +4344,7 @@ def web_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         port,
         F.lit("//A/b//c/"),
         F.col("doc_id").cast("string"),
-        F.lit("?z=1&a=2&m="),
-        F.col("lang"),
-        F.lit("#frag"),
+        tail,
     )
     return docs.select(
         "doc_id",
@@ -6453,6 +6680,17 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        "multimodal_g711_roundtrip": """
+            SELECT doc_id AS media_id,
+                   CAST(400 * (1 + doc_id % 4) + (doc_id % 89) AS BIGINT)
+                     AS n_samples,
+                   CAST(8000 AS INT) AS sample_rate,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ulaw' ELSE 'alaw' END
+                     AS law,
+                   TRUE AS ok
+            FROM documents ORDER BY doc_id
+        """,
+        "multimodal_dhash_recall": _dhash_recall_oracle(),
         # the sampling schedule (duration-derived, ts*fps//1000 frame
         # index) and each sampled frame's pixel stats replayed per pixel
         "multimodal_video_frames": """
@@ -6593,7 +6831,9 @@ def oracles() -> dict[str, str]:
                           WHEN doc_id % 3 = 1 THEN ':8080'
                           ELSE '' END ||
                      '//A/b//c/' || CAST(doc_id AS VARCHAR) ||
-                     '?z=1&a=2&m=' || lang || '#frag' AS url
+                     CASE WHEN doc_id % 4 = 0 THEN '#frag'
+                          WHEN doc_id % 4 = 1 THEN '#sec?x=1'
+                          ELSE '?z=1&a=2&m=' || lang || '#frag' END AS url
               FROM documents
             )
             SELECT doc_id,
@@ -7441,6 +7681,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
+        # -- r9 window head: gates new this round --
+        "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
+        "multimodal_dhash_recall": multimodal_dhash_recall,
         # -- r8 window head: the one never-driver-verified query, then
         # the two gates new this round --
         "graph_entity_resolution": graph_entity_resolution,

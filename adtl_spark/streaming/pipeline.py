@@ -57,6 +57,7 @@ def wet_ingest_stream(
     dest_path: str,
     checkpoint: str,
     extract_html: bool = False,
+    trigger: dict | None = None,
 ):
     """Incremental WET-making: stream whole WARC archives as they land in
     ``src_dir`` (the CommonCrawl drop-folder shape), run the SAME
@@ -67,8 +68,11 @@ def wet_ingest_stream(
     the text comes from html_to_text; otherwise ``conversion`` (WET)
     records pass through.  Ids are the batch path's stable (uri,
     rec_pos) hashes, so downstream dedup decisions are append-stable
-    across micro-batches.  Returns the started query; callers trigger
-    availableNow for catch-up runs or leave it continuous."""
+    across micro-batches.  Returns the started query.  ``trigger``
+    passes through to ``writeStream.trigger(**trigger)`` — default
+    ``{"availableNow": True}`` (catch-up run that drains and stops);
+    pass e.g. ``{"processingTime": "30 seconds"}`` to tail the drop
+    folder continuously."""
     from adtl_spark.operators.dedup import md5_60
     from adtl_spark.operators.text import html_to_text
     from adtl_spark.sources.io import parse_warc_records
@@ -98,7 +102,7 @@ def wet_ingest_stream(
         docs.writeStream.format("parquet")
         .option("path", dest_path)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 

@@ -1,0 +1,242 @@
+"""Round-11 block: the G.711 codec, the measured dHash-banding recall
+gate, URL canonicalization edge cases (query-less URLs, fragments with
+'?'), the fmt-tag audio dispatch, and the memoized index-meta read."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------- G.711 ---
+
+
+def _ref_linear2ulaw(pcm: int) -> int:
+    """Scalar reference µ-law compressor (the public-domain Sun g711.c
+    algorithm, transcribed from ITU-T G.711) — the differential truth."""
+    bias, clip = 0x84, 8159
+    seg_uend = [0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF, 0x1FFF]
+    pcm >>= 2
+    if pcm < 0:
+        pcm, mask = -pcm, 0x7F
+    else:
+        mask = 0xFF
+    pcm = min(pcm, clip) + (bias >> 2)
+    seg = next((i for i, v in enumerate(seg_uend) if pcm <= v), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    return ((seg << 4) | ((pcm >> (seg + 1)) & 0xF)) ^ mask
+
+
+def _ref_linear2alaw(pcm: int) -> int:
+    """Scalar reference A-law compressor (same provenance)."""
+    seg_aend = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+    pcm >>= 3
+    if pcm >= 0:
+        mask = 0xD5
+    else:
+        mask, pcm = 0x55, -pcm - 1
+    seg = next((i for i, v in enumerate(seg_aend) if pcm <= v), 8)
+    if seg >= 8:
+        return 0x7F ^ mask
+    aval = seg << 4
+    aval |= (pcm >> 1) & 0xF if seg < 2 else (pcm >> seg) & 0xF
+    return aval ^ mask
+
+
+def test_g711_encode_differential_full_int16_range():
+    """The vectorized compressor matches the reference algorithm on
+    every one of the 65536 input values, both laws."""
+    from adtl_spark.operators.multimodal import _g711_encode
+
+    allx = np.arange(-32768, 32768, dtype=np.int64)
+    got_u = _g711_encode(allx, "ulaw")
+    want_u = np.array([_ref_linear2ulaw(int(v)) for v in allx], dtype=np.uint8)
+    assert (got_u == want_u).all()
+    got_a = _g711_encode(allx, "alaw")
+    want_a = np.array([_ref_linear2alaw(int(v)) for v in allx], dtype=np.uint8)
+    assert (got_a == want_a).all()
+
+
+def test_g711_decode_is_left_inverse_of_encode_on_code_points():
+    """enc(dec(code)) == code for all 256 codes, both laws — except the
+    inherent µ-law ±0 aliasing (0x7F and 0xFF both decode to 0, which
+    canonically re-encodes as 0xFF)."""
+    from adtl_spark.operators.multimodal import (
+        _g711_decode_tables,
+        _g711_encode,
+    )
+
+    ulaw_t, alaw_t = _g711_decode_tables()
+    codes = np.arange(256, dtype=np.uint8)
+    re_u = _g711_encode(np.take(ulaw_t, codes), "ulaw")
+    bad = np.nonzero(re_u != codes)[0]
+    assert list(bad) == [0x7F] and re_u[0x7F] == 0xFF
+    re_a = _g711_encode(np.take(alaw_t, codes), "alaw")
+    assert (re_a == codes).all()
+
+
+def test_g711_wav_roundtrip_error_bound():
+    from adtl_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    tri = (np.abs((np.arange(3000) * 64) % 16000 - 8000) - 4000).astype(
+        np.int16
+    )
+    for law, bound in (("ulaw", 128), ("alaw", 64)):
+        rate, ch, bits, pcm = decode_audio(
+            encode_wav_g711(tri.tobytes(), rate=8000, law=law)
+        )
+        out = np.frombuffer(pcm, dtype=np.int16)
+        assert (rate, ch, bits) == (8000, 1, 16)
+        assert len(out) == len(tri)
+        assert np.abs(out.astype(int) - tri.astype(int)).max() <= bound
+
+
+def test_decode_audio_dispatches_on_fmt_tag_not_error_text():
+    """A WAV with format tag 170 (or any non-PCM, non-ADPCM, non-G.711
+    tag) must surface the PCM reader's accurate error, never be
+    misrouted into the ADPCM decoder by a '17' substring match."""
+    import struct
+
+    from adtl_spark.operators.multimodal import decode_audio
+
+    def wav_with_tag(tag: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", tag, 1, 8000, 16000, 2, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    for tag in (170, 1792):
+        with pytest.raises(ValueError, match=f"format {tag}"):
+            decode_audio(wav_with_tag(tag))
+    # PCM still routes to the PCM reader
+    rate, ch, bits, pcm = decode_audio(wav_with_tag(1))
+    assert (rate, ch, bits, pcm) == (8000, 1, 16, b"\x00\x00\x00\x00")
+
+
+# ------------------------------------------- dHash banding recall ---
+
+
+def test_dhash_recall_classes_distances_and_band_structure():
+    """The constructed corpus has the shape the gate claims: nested flip
+    sets (same-parity distance == |v1-v2|), the adversarial family
+    spreads any 4+ span over all four 16-bit bands, the friendly family
+    never leaves bands 0-1."""
+    from adtl_spark.queries import _dhash_recall_classes
+
+    rows = _dhash_recall_classes()
+    assert len(rows) == 18
+    h = {
+        (p, v): (hi << 32) | lo for p, v, _cid, hi, lo in rows
+    }
+    for p in (0, 1):
+        for v1 in range(9):
+            for v2 in range(9):
+                d = bin(h[(p, v1)] ^ h[(p, v2)]).count("1")
+                assert d == abs(v1 - v2)
+    # adversarial: base vs v=4 differs in all four bands -> band-join misses
+    x = h[(0, 0)] ^ h[(0, 4)]
+    bands = {k for k in range(4) if (x >> (16 * k)) & 0xFFFF}
+    assert bands == {0, 1, 2, 3}
+    # friendly: base vs v=8 stays in bands 0-1 -> band-join catches
+    x = h[(1, 0)] ^ h[(1, 8)]
+    bands = {k for k in range(4) if (x >> (16 * k)) & 0xFFFF}
+    assert bands <= {0, 1}
+
+
+def test_dhash_recall_gate_pigeonhole_and_degradation(spark):
+    """recall == 1.0 at hamming <= 3 (pigeonhole-complete), < 1.0
+    somewhere in 4..8 (the measured tradeoff the docstring reports), and
+    n_hit <= n_true everywhere."""
+    from adtl_spark.queries import multimodal_dhash_recall
+
+    rows = {
+        r["hamming"]: r
+        for r in multimodal_dhash_recall(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    for d, r in rows.items():
+        assert r["n_hit"] <= r["n_true"]
+        if d <= 3:
+            assert r["recall"] == 1.0
+    assert any(r["recall"] < 1.0 for d, r in rows.items() if d >= 4)
+
+
+# -------------------------------------------------- URL edge cases ---
+
+
+def test_normalize_url_queryless_and_fragment_question_mark(spark):
+    from adtl_spark.operators.text import normalize_url
+
+    df = spark.createDataFrame(
+        [
+            ("HTTP://A.com:80/b",),  # no query, no fragment
+            ("http://a.com/b#frag",),  # fragment only
+            ("http://a.com/b#sec?x=1",),  # '?' only inside the fragment
+            ("http://a.com/b?z=1&a=2#s?y",),  # query AND '?' in fragment
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+    assert got == [
+        "http://a.com/b",
+        "http://a.com/b",
+        "http://a.com/b",
+        "http://a.com/b?a=2&z=1",
+    ]
+
+
+def test_normalize_url_sql_twin_matches_on_edge_cases():
+    duckdb = pytest.importorskip("duckdb")
+    from adtl_spark.operators.text import normalize_url_expr_sql
+
+    con = duckdb.connect()
+    expr = normalize_url_expr_sql("url")
+    got = con.execute(
+        f"""SELECT {expr} FROM (VALUES
+            ('HTTP://A.com:80/b'),
+            ('http://a.com/b#frag'),
+            ('http://a.com/b#sec?x=1'),
+            ('http://a.com/b?z=1&a=2#s?y')) t(url)"""
+    ).fetchall()
+    assert [r[0] for r in got] == [
+        "http://a.com/b",
+        "http://a.com/b",
+        "http://a.com/b",
+        "http://a.com/b?a=2&z=1",
+    ]
+
+
+# ------------------------------------------- index meta memoization ---
+
+
+def test_index_buckets_memoized_and_invalidated_on_rebuild(spark, tmp_path):
+    """The meta-sidecar read happens once per index path (serving-path
+    latency fix); an in-process REBUILD with a different bucket count
+    invalidates, and the explicit-argument fail-fast still fires from
+    the memoized value."""
+    from adtl_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    path = str(tmp_path / "idx")
+    R.write_search_index(docs, path, n_buckets=4)
+    assert R._index_buckets(spark, path, None) == 4
+    assert path in R._INDEX_META_CACHE
+    # poison the cache to prove the second resolve never re-reads parquet
+    R._INDEX_META_CACHE[path] = 4
+    assert R._index_buckets(spark, path, 4) == 4
+    with pytest.raises(ValueError, match="n_buckets=4"):
+        R._index_buckets(spark, path, 8)
+    # rebuild with a different layout must invalidate and re-read
+    R.write_search_index(docs, path, n_buckets=2)
+    assert R._index_buckets(spark, path, None) == 2

@@ -142,10 +142,16 @@ def main() -> None:
             }
             continue
         if name not in oracles:
-            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                failures.append(name)
+                print(f"FAIL  {name}: rows-only query returned 0 rows")
+            else:
+                print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            # rows-only queries still carry a real signal: a 0-row
+            # regression must read red in the committed artifact
             results[name] = {
                 "rows_only": True,
-                "rows_match": len(sdf) >= 0,
+                "rows_match": len(sdf) > 0,
                 "spark_rows": len(sdf),
                 "err": None,
             }
