@@ -983,24 +983,177 @@ def decode_video_frame(payload: bytes, idx: int) -> bytes:
     return frame
 
 
+def mux_avi_mjpeg(
+    frames: list[bytes], fps: int, width: int, height: int
+) -> bytes:
+    """Pack JPEG frame payloads into a REAL RIFF/AVI container (MJPEG —
+    the format a user's screen-capture or legacy-camera corpus actually
+    arrives in): 'hdrl' list with MainAVIHeader + one 'vids'/'MJPG'
+    stream (AVIStreamHeader + BITMAPINFOHEADER), 'movi' list of '00dc'
+    chunks (word-aligned per RIFF), and a standard 'idx1' keyframe
+    index.  Written to the public AVI RIFF layout (MSDN AVI RIFF File
+    Reference / OpenDML); plays in any MJPEG-capable player."""
+    import struct
+
+    n = len(frames)
+    maxf = max((len(f) for f in frames), default=0)
+    usec = 1_000_000 // fps if fps else 0
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        usec, maxf * fps, 0, 0x10, n, 0, 1, maxf, width, height,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"MJPG", 0, 0, 0, 0, 1, fps, 0, n, maxf, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24, b"MJPG", width * height * 3, 0, 0, 0, 0,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            cid
+            + struct.pack("<I", len(body))
+            + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b""
+    idx = b""
+    for f in frames:
+        # idx1 offsets are relative to the 'movi' fourcc (the common
+        # convention players expect): first chunk sits at offset 4
+        idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
+        movi_body += chunk(b"00dc", f)
+    movi = lst(b"movi", movi_body)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_top_chunks(payload: bytes):
+    """Yield (fourcc, list_type_or_None, body_offset, body_size) for the
+    top-level RIFF chunks of an AVI payload."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not a RIFF/AVI payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"LIST":
+            yield cid, payload[pos + 8 : pos + 12], pos + 12, size - 4
+        else:
+            yield cid, None, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def _avi_movi_frames(payload: bytes) -> list[tuple[int, int]]:
+    """(offset, size) of every video frame chunk (``..dc``/``..db``) in
+    the 'movi' list, in stream order — one walk per payload, then frame
+    access is O(1) slicing."""
+    import struct
+
+    for cid, ltype, off, size in _avi_top_chunks(payload):
+        if cid == b"LIST" and ltype == b"movi":
+            frames = []
+            pos, end = off, off + size
+            while pos + 8 <= end:
+                fcc = payload[pos : pos + 4]
+                (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                if fcc[2:4] in (b"dc", b"db"):
+                    frames.append((pos + 8, ln))
+                pos += 8 + ln + (ln & 1)
+            return frames
+    raise ValueError("AVI payload has no movi list")
+
+
+def decode_avi_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, fps, width, height) of an MJPEG AVI: fps from the
+    stream header's rate/scale (authoritative over the avih µs field),
+    dimensions from the main header, frame count from the ACTUAL movi
+    chunk walk (headers lie in truncated files; chunks don't)."""
+    import struct
+
+    fps = width = height = 0
+    for cid, ltype, off, size in _avi_top_chunks(payload):
+        if cid != b"LIST" or ltype != b"hdrl":
+            continue
+        pos, end = off, off + size
+        while pos + 8 <= end:
+            sub = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if sub == b"avih":
+                _, _, _, _, _, _, _, _, width, height = struct.unpack(
+                    "<10I", payload[pos + 8 : pos + 48]
+                )
+                pos += 8 + ln + (ln & 1)
+            elif sub == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+                pos += 12  # descend into strl
+            else:
+                if sub == b"strh":
+                    (ftype, _hdl, _fl, _pr, _lang, _init, scale, rate) = (
+                        struct.unpack(
+                            "<4s4sIHHIII", payload[pos + 8 : pos + 36]
+                        )
+                    )
+                    if ftype == b"vids" and scale:
+                        fps = rate // scale
+                pos += 8 + ln + (ln & 1)
+    return len(_avi_movi_frames(payload)), fps, width, height
+
+
+def decode_avi_frame(payload: bytes, idx: int) -> bytes:
+    """The idx-th frame's JPEG bytes from the movi list."""
+    frames = _avi_movi_frames(payload)
+    if not 0 <= idx < len(frames):
+        raise ValueError(f"frame {idx} out of range 0..{len(frames) - 1}")
+    off, ln = frames[idx]
+    return payload[off : off + ln]
+
+
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """REAL frame sampling: per video, one decoded frame per planned
     timestamp — the executed form of :func:`frame_sample_plan`, same
     schedule arithmetic (one frame per ``every_ms`` of duration, at
     least one), frame index ``min(n_frames - 1, ts_ms * fps // 1000)``.
-    Output (media_id, frame_idx, ts_ms, payload) where payload is the
-    frame's P6 bytes — composable into every image stage
+    Containers: MJPEG-in-AVI (``RIFF..AVI `` — real-world files, frames
+    decoded through the in-repo JPEG codec) and the length-prefixed
+    reference container (P6 frames).  Output (media_id, frame_idx,
+    ts_ms, payload) where payload is ALWAYS the frame's P6 bytes
+    regardless of source container — composable into every image stage
     (pixel stats, dHash, resize).  Arrow-batched; the per-frame walk is
-    offset arithmetic, never a payload regex."""
+    offset arithmetic (one movi scan per AVI payload), never a payload
+    regex."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from adtl_spark.operators.jpeg_lite import decode_jpeg
+
         cols = ["media_id", "frame_idx", "ts_ms", "payload"]
         for pdf in batches:
             rows = []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 if b is None:
                     continue
-                n, fps = decode_video_meta(bytes(b))
+                b = bytes(b)
+                is_avi = b.startswith(b"RIFF") and b[8:12] == b"AVI "
+                if is_avi:
+                    offsets = _avi_movi_frames(b)
+                    n, fps, _w, _h = decode_avi_meta(b)
+                else:
+                    n, fps = decode_video_meta(b)
                 if n == 0 or fps == 0:
                     continue
                 duration_ms = n * 1000 // fps
@@ -1008,9 +1161,13 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 for k in range(n_samples):
                     ts = k * every_ms
                     fi = min(n - 1, ts * fps // 1000)
-                    rows.append(
-                        (int(mid), fi, ts, decode_video_frame(bytes(b), fi))
-                    )
+                    if is_avi:
+                        off, ln = offsets[fi]
+                        w, h, rgb = decode_jpeg(b[off : off + ln])
+                        frame = f"P6\n{w} {h}\n255\n".encode() + rgb
+                    else:
+                        frame = decode_video_frame(b, fi)
+                    rows.append((int(mid), fi, ts, frame))
             yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(

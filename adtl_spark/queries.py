@@ -4106,6 +4106,100 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(sampled).orderBy("media_id")
 
 
+def multimodal_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over a REAL video container: per document an
+    MJPEG-in-AVI file (4-8 smooth-gradient frames, JPEG-encoded by the
+    in-repo codec, muxed by multimodal.mux_avi_mjpeg into the standard
+    RIFF hdrl/movi/idx1 layout) is sampled every 500 ms by the SAME
+    sample_video_frames operator the reference-container gate uses —
+    the AVI route walks the movi chunk list once, decodes each sampled
+    frame through jpeg_lite, and emits P6.  Each sampled frame is then
+    verified against the expected per-frame gradient (frames differ by
+    a per-index brightness step, so sampling the WRONG frame index
+    flips the bound).  JPEG is lossy, so the oracle value-checks the
+    schedule arithmetic and dimensions exactly and pins the
+    reconstruction bound (measured max |err| = 1 on these gradients;
+    bound 3) as the invariant — the multimodal_jpeg_roundtrip contract
+    applied to a container a user actually has."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.jpeg_lite import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                nf = 4 + i % 5
+                w, h = 16 + (i * 3) % 17, 16 + (i * 5) % 13
+                a, b = 1 + i % 2, 1 + (i // 2) % 2
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                frames = [
+                    encode_jpeg(
+                        w,
+                        h,
+                        (x * a + y * b + c * 17 + f * 5)
+                        .astype(np.uint8)
+                        .tobytes(),
+                        quality=92,
+                        subsampling="444",
+                    )
+                    for f in range(nf)
+                ]
+                rows.append((i, M.mux_avi_mjpeg(frames, 4, w, h)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    sampled = M.sample_video_frames(media, every_ms=500)
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.multimodal import decode_image
+
+        for pdf in batches:
+            rows = []
+            for mid, fi, ts, payload in zip(
+                pdf["media_id"], pdf["frame_idx"], pdf["ts_ms"], pdf["payload"]
+            ):
+                i, fi = int(mid), int(fi)
+                w, h, rgb = decode_image(bytes(payload))
+                a, b = 1 + i % 2, 1 + (i // 2) % 2
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(3)[None, None, :]
+                want = (x * a + y * b + c * 17 + fi * 5).astype(np.uint8)
+                err = int(
+                    np.abs(
+                        np.frombuffer(rgb, dtype=np.uint8).astype(int)
+                        - want.reshape(-1).astype(int)
+                    ).max()
+                )
+                rows.append((i, fi, int(ts), w, h, err <= 3))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "ts_ms", "width", "height", "ok",
+                ],
+            )
+
+    return sampled.mapInPandas(
+        check,
+        schema=(
+            "media_id long, frame_idx long, ts_ms long, "
+            "width long, height long, ok boolean"
+        ),
+    ).orderBy("media_id", "frame_idx")
+
+
 def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingestion value-checked end to end:
     documents pack into in-memory tar shards (one per 64 consecutive
@@ -6691,6 +6785,28 @@ def oracles() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
+        # the AVI gate's schedule arithmetic: nf frames at 4 fps ->
+        # duration nf*250 ms, one sample per 500 ms, frame index 2k
+        "multimodal_video_frames_avi": """
+            WITH d AS (
+              SELECT doc_id, 4 + doc_id % 5 AS nf,
+                     CAST(16 + (doc_id * 3) % 17 AS BIGINT) AS w,
+                     CAST(16 + (doc_id * 5) % 13 AS BIGINT) AS h
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, nf, w, h, k
+              FROM d, LATERAL (
+                SELECT unnest(generate_series(
+                  CAST(0 AS BIGINT),
+                  greatest(nf * 250 // 500, 1) - 1)) AS k) g
+            )
+            SELECT doc_id AS media_id,
+                   CAST(least(nf - 1, 2 * k) AS BIGINT) AS frame_idx,
+                   CAST(k * 500 AS BIGINT) AS ts_ms,
+                   w AS width, h AS height, TRUE AS ok
+            FROM s ORDER BY media_id, frame_idx
+        """,
         # the sampling schedule (duration-derived, ts*fps//1000 frame
         # index) and each sampled frame's pixel stats replayed per pixel
         "multimodal_video_frames": """
@@ -7684,6 +7800,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r9 window head: gates new this round --
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
+        "multimodal_video_frames_avi": multimodal_video_frames_avi,
         # -- r8 window head: the one never-driver-verified query, then
         # the two gates new this round --
         "graph_entity_resolution": graph_entity_resolution,

@@ -170,6 +170,119 @@ def test_dhash_recall_gate_pigeonhole_and_degradation(spark):
     assert any(r["recall"] < 1.0 for d, r in rows.items() if d >= 4)
 
 
+# ------------------------------------------------------ MJPEG AVI ---
+
+
+def _gradient_jpegs(w, h, nf):
+    from adtl_spark.operators.jpeg_lite import encode_jpeg
+
+    x = np.arange(w)[None, :, None]
+    y = np.arange(h)[:, None, None]
+    c = np.arange(3)[None, None, :]
+    return [
+        encode_jpeg(
+            w,
+            h,
+            (x + y + c * 17 + f * 5).astype(np.uint8).tobytes(),
+            quality=92,
+            subsampling="444",
+        )
+        for f in range(nf)
+    ]
+
+
+def test_avi_mux_demux_frame_byte_identity():
+    """Frames come back byte-for-byte through the movi walk; meta reads
+    the stream header's rate/scale and the ACTUAL chunk count."""
+    from adtl_spark.operators.multimodal import (
+        decode_avi_frame,
+        decode_avi_meta,
+        mux_avi_mjpeg,
+    )
+
+    frames = _gradient_jpegs(20, 18, 5)
+    avi = mux_avi_mjpeg(frames, fps=4, width=20, height=18)
+    assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    assert decode_avi_meta(avi) == (5, 4, 20, 18)
+    for i, f in enumerate(frames):
+        assert decode_avi_frame(avi, i) == f
+    with pytest.raises(ValueError, match="out of range"):
+        decode_avi_frame(avi, 5)
+
+
+def test_avi_word_alignment_with_odd_chunk_sizes():
+    """RIFF chunks are word-aligned: an odd-length frame must not shift
+    subsequent chunk parsing."""
+    from adtl_spark.operators.multimodal import (
+        decode_avi_frame,
+        decode_avi_meta,
+        mux_avi_mjpeg,
+    )
+
+    frames = [b"\xff\xd8\xff" + b"a" * 8, b"\xff\xd8\xff" + b"bb" * 5]
+    avi = mux_avi_mjpeg(frames, fps=2, width=4, height=4)
+    assert decode_avi_meta(avi)[0] == 2
+    assert decode_avi_frame(avi, 0) == frames[0]
+    assert decode_avi_frame(avi, 1) == frames[1]
+
+
+def test_avi_idx1_offsets_point_at_frame_chunks():
+    """The written idx1 entries resolve: movi_fourcc_pos + offset lands
+    on a '00dc' fourcc whose size matches the index entry."""
+    import struct
+
+    from adtl_spark.operators.multimodal import mux_avi_mjpeg
+
+    frames = _gradient_jpegs(16, 16, 3)
+    avi = mux_avi_mjpeg(frames, fps=4, width=16, height=16)
+    movi_pos = avi.index(b"movi")
+    idx_pos = avi.index(b"idx1")
+    (idx_size,) = struct.unpack("<I", avi[idx_pos + 4 : idx_pos + 8])
+    assert idx_size == 16 * len(frames)
+    for k in range(len(frames)):
+        ent = avi[idx_pos + 8 + 16 * k : idx_pos + 8 + 16 * (k + 1)]
+        ckid, _flags, off, ln = struct.unpack("<4sIII", ent)
+        assert ckid == b"00dc"
+        chunk_pos = movi_pos + off
+        assert avi[chunk_pos : chunk_pos + 4] == b"00dc"
+        (csize,) = struct.unpack("<I", avi[chunk_pos + 4 : chunk_pos + 8])
+        assert csize == ln == len(frames[k])
+
+
+def test_sample_video_frames_routes_avi_and_legacy_identically(spark):
+    """The same schedule over the same frames in BOTH containers yields
+    the same (frame_idx, ts_ms) rows and near-identical pixels (JPEG
+    loss <= 3 on smooth gradients)."""
+    from adtl_spark.operators import multimodal as M
+
+    w, h, nf = 16, 16, 6
+    jpegs = _gradient_jpegs(w, h, nf)
+    # decode each jpeg to P6 for the legacy container so pixel sources match
+    from adtl_spark.operators.jpeg_lite import decode_jpeg
+
+    p6 = [
+        f"P6\n{w} {h}\n255\n".encode() + decode_jpeg(j)[2] for j in jpegs
+    ]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(M.mux_avi_mjpeg(jpegs, 4, w, h))),
+            (2, bytearray(M.encode_video(p6, fps=4))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = M.sample_video_frames(df, every_ms=500).collect()
+    avi = sorted(
+        [(r["frame_idx"], r["ts_ms"], bytes(r["payload"])) for r in rows if r["media_id"] == 1]
+    )
+    leg = sorted(
+        [(r["frame_idx"], r["ts_ms"], bytes(r["payload"])) for r in rows if r["media_id"] == 2]
+    )
+    assert [(f, t) for f, t, _ in avi] == [(f, t) for f, t, _ in leg]
+    assert len(avi) == 3  # duration 1500 ms / 500
+    for (_, _, pa), (_, _, pl) in zip(avi, leg):
+        assert pa == pl  # both decode the same JPEG through the same codec
+
+
 # -------------------------------------------------- URL edge cases ---
 
 
