@@ -935,6 +935,63 @@ def _pruned(spark, path: str, terms: list[str], n_buckets: int) -> DataFrame:
     )
 
 
+def _delta_gens(spark, path: str) -> tuple[list[int], list[int]]:
+    """(committed, all) append-generation numbers under ``{path}/delta``
+    — a generation counts as COMMITTED only when its ``commit`` parquet
+    carries the job-success marker, which the committer writes as the
+    LAST act of a successful append.  Uncommitted directories (a crashed
+    or in-flight append) are invisible to readers and to the next
+    append, which is the whole atomicity story.  Listed through the
+    Hadoop FS API so the layout works on any Spark filesystem."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
+    fs = dpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(dpath):
+        return [], []
+    committed: list[int] = []
+    all_gens: list[int] = []
+    for st in fs.listStatus(dpath):
+        name = st.getPath().getName()
+        if not name.isdigit():
+            continue
+        g = int(name)
+        all_gens.append(g)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{path}/delta/{name}/commit/_SUCCESS"
+        )
+        if fs.exists(marker):
+            committed.append(g)
+    return sorted(committed), sorted(all_gens)
+
+
+def _search_components(spark, path: str, terms: list[str], n_buckets: int):
+    """(postings, lexicon, dl, stats) of a persisted search index
+    resolved across its committed append generations: postings and
+    document lengths are the base plus every committed delta (pruned
+    per directory); the lexicon and stats are SNAPSHOTS — each append
+    writes the fully-merged aggregate into its generation, so readers
+    take only the newest committed copy, keeping the serving read path
+    one directory per aggregate however long ingestion runs."""
+    gens, _ = _delta_gens(spark, path)
+    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
+    dl = _read_or_empty(spark, f"{path}/docs", "id long, dl long").select(
+        "id", "dl"
+    )
+    for g in gens:
+        post = post.unionByName(
+            _pruned(spark, f"{path}/delta/{g}/postings", terms, n_buckets)
+        )
+        dl = dl.unionByName(
+            spark.read.parquet(f"{path}/delta/{g}/docs").select("id", "dl")
+        )
+    lex_dir = f"{path}/delta/{gens[-1]}/lexicon" if gens else f"{path}/lexicon"
+    stats_dir = f"{path}/delta/{gens[-1]}/stats" if gens else f"{path}/stats"
+    lex = _pruned(spark, lex_dir, terms, n_buckets)
+    stats = spark.read.parquet(stats_dir)
+    return post, lex, dl, stats
+
+
 def bm25_query_index(
     spark,
     path: str,
@@ -956,10 +1013,8 @@ def bm25_query_index(
         [(r["query_id"], r["token"]) for r in qrows],
         "query_id long, token string",
     ).distinct()
-    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
-    lex = _pruned(spark, f"{path}/lexicon", terms, n_buckets)
-    dl = spark.read.parquet(f"{path}/docs")
-    stats = spark.read.parquet(f"{path}/stats").select(
+    post, lex, dl, stats = _search_components(spark, path, terms, n_buckets)
+    stats = stats.select(
         "n_docs", F.expr("t_tokens * 1000 DIV n_docs").alias("avgdl_q")
     )
     idf_q = F.floor(
@@ -1020,10 +1075,8 @@ def ql_query_index(
         [(r["query_id"], r["token"], r["qtf"]) for r in qrows],
         "query_id long, token string, qtf long",
     )
-    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
-    lex = _pruned(spark, f"{path}/lexicon", terms, n_buckets)
-    dl = spark.read.parquet(f"{path}/docs")
-    total = spark.read.parquet(f"{path}/stats").select("t_tokens")
+    post, lex, dl, stats = _search_components(spark, path, terms, n_buckets)
+    total = stats.select("t_tokens")
     qv = qt.join(F.broadcast(lex.select("token", "ctf")), "token")
     qlen = qv.groupBy("query_id").agg(F.sum("qtf").alias("qlen"))
     a_q = F.floor(
@@ -1080,25 +1133,31 @@ def append_to_search_index(
     index: document ids must be previously unseen; re-ingesting an id
     would double-count its postings).
 
-    Per component: postings and dl rows APPEND (per-document rows are
-    final on first sight); the lexicon and corpus stats are aggregates,
-    so they merge — read, union the batch delta, re-aggregate, staged
-    overwrite (localCheckpoint breaks the read-overwrite cycle, the
-    quantile-store pattern).  The merged lexicon/stats stay
+    STAGED COMMIT — appends are atomic: every component of the batch is
+    written into a fresh generation directory ``{path}/delta/<gen>/``
+    (postings + dl deltas; the lexicon and corpus stats as fully-merged
+    SNAPSHOTS, merged from the newest committed state), and the
+    generation becomes visible only when its ``commit`` parquet lands —
+    the last write of the sequence.  Readers (:func:`_search_components`)
+    and subsequent appends resolve committed generations only, so a
+    crash at ANY point leaves served results exactly equal to the
+    pre-append state, and RETRYING the failed batch is safe: the
+    orphaned directory is skipped forever (and reclaimed by
+    :func:`compact_search_index`).  The merged lexicon/stats stay
     vocabulary-/one-row-sized however long ingestion runs, and serving
     queries against the maintained index equals a from-scratch build
-    over the full corpus exactly (tested, batch and foreachBatch).
-
-    FAILURE CONTRACT: the five steps are not atomic.  A crash between
-    the postings append and the lexicon/stats overwrites leaves the
-    index inconsistent, and because postings/dl are append-mode,
-    RE-RUNNING the failed batch double-counts them — recover a failed
-    append by rebuilding the index (write_search_index), never by
-    retrying the batch.  An explicit ``n_buckets`` is validated against
-    the index's meta sidecar and raises on mismatch (a silent mismatch
-    would bucket new postings differently from old ones)."""
+    over the full corpus exactly (tested, batch and foreachBatch, plus
+    the kill-between-steps test).  Same id contract as the IVF-PQ
+    index: document ids must be previously unseen.  An explicit
+    ``n_buckets`` is validated against the index's meta sidecar and
+    raises on mismatch (a silent mismatch would bucket new postings
+    differently from old ones)."""
     spark = batch_docs.sparkSession
     n_buckets = _index_buckets(spark, path, n_buckets)
+    committed, all_gens = _delta_gens(spark, path)
+    gen = (max(all_gens) + 1) if all_gens else 1
+    gdir = f"{path}/delta/{gen}"
+    cur = f"{path}/delta/{committed[-1]}" if committed else path
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
     toks = batch_docs.select(
         F.col(id_col).alias("id"),
@@ -1108,15 +1167,17 @@ def append_to_search_index(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     tf = tf.localCheckpoint(eager=True)  # read twice (postings + lexicon delta)
-    tf.withColumn("bucket", bucket).write.mode("append").partitionBy(
+    tf.withColumn("bucket", bucket).write.mode("overwrite").partitionBy(
         "bucket"
-    ).parquet(f"{path}/postings")
+    ).parquet(f"{gdir}/postings")
     delta = tf.groupBy("token").agg(
         F.count(F.lit(1)).cast("long").alias("df_"),
         F.sum("tf").cast("long").alias("ctf"),
     )
+    # merge source is the COMMITTED snapshot, write target the fresh
+    # generation — no read-overwrite cycle, so no checkpoint needed
     merged_lex = (
-        _read_or_empty(spark, f"{path}/lexicon", _LEXICON_SCHEMA)
+        _read_or_empty(spark, f"{cur}/lexicon", _LEXICON_SCHEMA)
         .select("token", "df_", "ctf")
         .unionByName(delta)
         .groupBy("token")
@@ -1125,18 +1186,17 @@ def append_to_search_index(
             F.sum("ctf").cast("long").alias("ctf"),
         )
         .withColumn("bucket", bucket)
-        .localCheckpoint(eager=True)
     )
     merged_lex.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/lexicon"
+        f"{gdir}/lexicon"
     )
     dl = batch_docs.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
     )
-    dl.write.mode("append").parquet(f"{path}/docs")
+    dl.write.mode("overwrite").parquet(f"{gdir}/docs")
     merged_stats = (
-        spark.read.parquet(f"{path}/stats")
+        spark.read.parquet(f"{cur}/stats")
         .unionByName(
             dl.agg(
                 F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1147,9 +1207,68 @@ def append_to_search_index(
             F.sum("n_docs").cast("long").alias("n_docs"),
             F.sum("t_tokens").cast("long").alias("t_tokens"),
         )
-        .localCheckpoint(eager=True)
     )
-    merged_stats.write.mode("overwrite").parquet(f"{path}/stats")
+    merged_stats.write.mode("overwrite").parquet(f"{gdir}/stats")
+    # THE COMMIT: one tiny parquet job whose success marker flips the
+    # whole generation visible — everything before this line is invisible
+    spark.createDataFrame([(int(gen),)], "gen int").write.mode(
+        "overwrite"
+    ).parquet(f"{gdir}/commit")
+
+
+def compact_search_index(spark, path: str, n_buckets: int | None = None) -> None:
+    """Fold committed append generations back into the base components
+    and reclaim delta directories (committed AND orphaned) — the read-
+    amplification maintenance for long-running ingestion: readers union
+    one postings/dl directory per committed generation, so compaction
+    restores the single-directory read path.  NOT needed for
+    correctness, ever — appends stay atomic without it.
+
+    Staging: all merged components are materialized (checkpointed)
+    BEFORE the first base overwrite.  Unlike the append path this step
+    rewrites the base in place, so a crash BETWEEN the base overwrites
+    corrupts the index (rebuild via write_search_index) — run it as
+    offline maintenance, which is the standard contract for an index
+    compactor; the serving-path appends never require it."""
+    n_buckets = _index_buckets(spark, path, n_buckets)
+    committed, all_gens = _delta_gens(spark, path)
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
+    fs = dpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not committed:
+        # nothing visible to fold; orphans (crashed appends) still reclaim
+        if all_gens:
+            fs.delete(dpath, True)
+        return
+    cur = f"{path}/delta/{committed[-1]}"
+    post = _read_or_empty(spark, f"{path}/postings", _POSTINGS_SCHEMA)
+    dl = _read_or_empty(spark, f"{path}/docs", "id long, dl long").select(
+        "id", "dl"
+    )
+    for g in committed:
+        post = post.unionByName(
+            spark.read.parquet(f"{path}/delta/{g}/postings")
+        )
+        dl = dl.unionByName(
+            spark.read.parquet(f"{path}/delta/{g}/docs").select("id", "dl")
+        )
+    # base dirs are both source and target -> checkpoint breaks the cycle
+    post = post.select("id", "token", "tf", "bucket").localCheckpoint(
+        eager=True
+    )
+    dl = dl.localCheckpoint(eager=True)
+    lex = spark.read.parquet(f"{cur}/lexicon").localCheckpoint(eager=True)
+    stats = spark.read.parquet(f"{cur}/stats").localCheckpoint(eager=True)
+    post.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    dl.write.mode("overwrite").parquet(f"{path}/docs")
+    lex.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/lexicon"
+    )
+    stats.write.mode("overwrite").parquet(f"{path}/stats")
+    fs.delete(dpath, True)
 
 
 def ndcg_oracle_sql(truth_sql: str, approx_sql: str, k: int) -> str:

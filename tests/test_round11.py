@@ -328,6 +328,108 @@ def test_normalize_url_sql_twin_matches_on_edge_cases():
     ]
 
 
+# ------------------------------------------- atomic index appends ---
+
+
+def _bm25_rows(spark, path, qdf):
+    from adtl_spark.operators.retrieval import bm25_query_index
+
+    return sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in bm25_query_index(spark, path, qdf, k=5, n_buckets=8).collect()
+    )
+
+
+def test_append_crash_between_steps_serves_pre_append_state(spark, tmp_path):
+    """The staged-commit contract: an append that dies at ANY point
+    before its commit marker leaves served results exactly equal to the
+    pre-append state, and retrying the batch is safe (no double count).
+    Crash is simulated at the worst point — every component written,
+    marker missing — plus an earlier partial (postings-only) orphan."""
+    from adtl_spark.operators import retrieval as R
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta beta delta"), (3, "gamma alpha")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(4, "alpha alpha epsilon"), (5, "delta gamma")],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, "alpha delta"), (1, "beta gamma")], "query_id long, query string"
+    )
+    path = str(tmp_path / "idx")
+    R.write_search_index(base, path, n_buckets=8)
+    before = _bm25_rows(spark, path, qdf)
+
+    # crash simulation 1: full append, then strip its commit marker --
+    # identical on-disk state to dying between the stats write and commit
+    R.append_to_search_index(batch, path, n_buckets=8)
+    committed, all_gens = R._delta_gens(spark, path)
+    assert committed == all_gens == [1]
+    import shutil
+
+    shutil.rmtree(tmp_path / "idx" / "delta" / "1" / "commit")
+    assert R._delta_gens(spark, path) == ([], [1])
+    assert _bm25_rows(spark, path, qdf) == before
+
+    # crash simulation 2: an even earlier death (postings only, no
+    # lexicon/docs/stats) must equally be invisible
+    batch.limit(1).selectExpr(
+        "doc_id as id", "'x' as token", "CAST(1 AS LONG) as tf",
+        "CAST(0 AS INT) as bucket",
+    ).write.partitionBy("bucket").parquet(str(tmp_path / "idx/delta/2/postings"))
+    assert R._delta_gens(spark, path) == ([], [1, 2])
+    assert _bm25_rows(spark, path, qdf) == before
+
+    # retry is safe: the new generation skips the orphans entirely
+    R.append_to_search_index(batch, path, n_buckets=8)
+    assert R._delta_gens(spark, path)[0] == [3]
+    full = str(tmp_path / "full")
+    R.write_search_index(base.unionByName(batch), full, n_buckets=8)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full, qdf)
+
+
+def test_compact_search_index_preserves_results_and_reclaims(spark, tmp_path):
+    """Compaction folds committed generations into the base (identical
+    query results, delta tree gone — orphans included) and is a no-op
+    rebuilding nothing when there are no deltas."""
+    from adtl_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} alpha") for i in range(10)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, "tok1 alpha"), (1, "tok2 tok4")], "query_id long, query string"
+    )
+    path = str(tmp_path / "idx")
+    R.write_search_index(docs.filter("doc_id < 4"), path, n_buckets=8)
+    R.append_to_search_index(docs.filter("doc_id >= 4 and doc_id < 7"), path)
+    R.append_to_search_index(docs.filter("doc_id >= 7"), path)
+    # plus one orphan from a "crashed" append
+    import shutil
+
+    shutil.rmtree(tmp_path / "idx" / "delta" / "2" / "commit")
+    want = _bm25_rows(spark, path, qdf)
+    assert want  # non-trivial
+    # wait: gen 2 was one of the two committed appends; recompute truth
+    # against a from-scratch index over what is actually committed
+    visible = docs.filter("doc_id < 7")
+    full = str(tmp_path / "full")
+    R.write_search_index(visible, full, n_buckets=8)
+    assert want == _bm25_rows(spark, full, qdf)
+    R.compact_search_index(spark, path)
+    assert R._delta_gens(spark, path) == ([], [])
+    assert _bm25_rows(spark, path, qdf) == want
+    # append after compaction starts a fresh generation line
+    R.append_to_search_index(docs.filter("doc_id >= 7"), path)
+    full2 = str(tmp_path / "full2")
+    R.write_search_index(docs, full2, n_buckets=8)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full2, qdf)
+
+
 # ------------------------------------------- index meta memoization ---
 
 
