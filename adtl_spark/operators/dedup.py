@@ -119,19 +119,65 @@ def paragraph_dedup(
 
     Output: (id_col, text, n_kept, n_removed); empty paragraphs are
     dropped from both counts."""
+    return paragraph_dedup_apply(
+        df,
+        paragraph_freq(df, text_col=text_col, id_col=id_col, sep=sep),
+        min_df=min_df,
+        text_col=text_col,
+        id_col=id_col,
+        sep=sep,
+    )
+
+
+def _paragraph_parts(df, text_col: str, id_col: str, sep: str) -> DataFrame:
+    """(__id, __pos, __para, __key) rows: posexplode on ``sep``, empty
+    paragraphs dropped, key = lower+trim — shared by the one-shot and
+    the maintained-store paragraph-dedup paths so the two can never
+    disagree on splitting or normalization."""
     parts = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
             "__pos", "__para"
         ),
     ).filter(F.trim(F.col("__para")) != "")
-    parts = parts.withColumn("__key", F.lower(F.trim(F.col("__para"))))
-    freq = parts.groupBy("__key").agg(
+    return parts.withColumn("__key", F.lower(F.trim(F.col("__para"))))
+
+
+def paragraph_freq(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """The paragraph document-frequency relation (__key, __pdf) of a
+    corpus — the model side of CCNet paragraph dedup, exposed so a
+    stream can MAINTAIN it incrementally (streaming.paragraph_freq_sink):
+    document ids are counted distinct within the input, so deltas from
+    disjoint-id batches add exactly."""
+    return _paragraph_parts(df, text_col, id_col, sep).groupBy("__key").agg(
         F.countDistinct("__id").alias("__pdf")
     )
-    keep = F.col("__pdf") < min_df
+
+
+def paragraph_dedup_apply(
+    df: DataFrame,
+    freq: DataFrame,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Apply CCNet paragraph dedup against an EXTERNAL frequency
+    relation (__key, __pdf) — same flag join + single-agg reassembly as
+    :func:`paragraph_dedup`, but the frequencies may come from a
+    maintained store covering documents beyond ``df`` (the incremental-
+    crawl shape: score today's batch against the whole crawl history).
+    Keys absent from ``freq`` count as unseen (kept)."""
+    parts = _paragraph_parts(df, text_col, id_col, sep)
+    freq = freq.select("__key", "__pdf")
+    keep = F.coalesce(F.col("__pdf"), F.lit(0)) < min_df
     agg = (
-        parts.join(freq, "__key")
+        parts.join(freq, "__key", "left")  # unseen keys kept (null pdf)
         .groupBy("__id")
         .agg(
             F.array_join(

@@ -319,6 +319,42 @@ def bm25_query_sink(index_path: str, log_path: str, k: int = 5):
     return sink
 
 
+def paragraph_freq_sink(store_path: str):
+    """foreachBatch maintenance of the CCNet paragraph-frequency store —
+    boilerplate removal for INCREMENTAL crawls: every micro-batch's
+    (paragraph key, distinct-doc count) delta is written to its own
+    ``{store}/delta/<batch_id>`` directory in overwrite mode, so a
+    replayed batch (at-least-once foreachBatch) overwrites its own delta
+    instead of double-counting — the maintenance is idempotent per
+    batch, the same argument the structured-streaming docs make for
+    idempotent foreachBatch sinks.  Batches must carry disjoint doc ids
+    (the append-stable id contract every maintained store here shares);
+    distinct counts from disjoint batches add exactly, so the summed
+    store equals a from-scratch paragraph_freq over everything the
+    stream has seen (tested across micro-batch boundaries)."""
+    from adtl_spark.operators.dedup import paragraph_freq
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        paragraph_freq(batch_df).write.mode("overwrite").parquet(
+            f"{store_path}/delta/{int(batch_id)}"
+        )
+
+    return sink
+
+
+def paragraph_store_freq(spark, store_path: str) -> DataFrame:
+    """The maintained paragraph-frequency relation (__key, __pdf):
+    sum of all per-batch deltas.  Feed to dedup.paragraph_dedup_apply
+    to boilerplate-strip any batch against the full crawl history."""
+    return (
+        spark.read.parquet(f"{store_path}/delta/*")
+        .groupBy("__key")
+        .agg(F.sum("__pdf").cast("long").alias("__pdf"))
+    )
+
+
 def doremi_monitor_sink(
     model: DataFrame,
     log_path: str,

@@ -430,6 +430,74 @@ def test_compact_search_index_preserves_results_and_reclaims(spark, tmp_path):
     assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full2, qdf)
 
 
+# ------------------------------------- streaming paragraph dedup ---
+
+
+def test_paragraph_freq_maintained_on_stream_equals_batch(spark, tmp_path):
+    """The paragraph-frequency store maintained via foreachBatch across
+    micro-batch boundaries scores documents EXACTLY like a one-shot
+    paragraph_dedup over the full corpus — including a boilerplate
+    paragraph that only crosses the min_df threshold across different
+    micro-batches; replaying a delta (at-least-once) changes nothing."""
+    from adtl_spark.operators.dedup import (
+        paragraph_dedup,
+        paragraph_dedup_apply,
+        paragraph_freq,
+    )
+    from adtl_spark.streaming.pipeline import (
+        paragraph_freq_sink,
+        paragraph_store_freq,
+    )
+
+    boiler = "subscribe to our newsletter"
+    docs = [
+        (1, f"unique one\n\n{boiler}"),
+        (2, "unique two\n\nsecond thoughts"),
+        (3, f"unique three\n\n{boiler}"),  # crosses min_df only w/ batch 1
+        (4, f"{boiler}\n\nunique four"),
+        (5, "all alone here"),
+        (6, f"unique six\n\n{boiler}\n\nunique six again"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    src = tmp_path / "pd_stream"
+    src.mkdir()
+    for i, pred in enumerate(("doc_id <= 2", "doc_id IN (3, 4)", "doc_id >= 5")):
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+    store = str(tmp_path / "pd_store")
+    stream = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src) + "/*")
+    q = stream.writeStream.foreachBatch(paragraph_freq_sink(store)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    freq = paragraph_store_freq(spark, store)
+    got = sorted(
+        tuple(r) for r in paragraph_dedup_apply(df, freq, min_df=2).collect()
+    )
+    want = sorted(tuple(r) for r in paragraph_dedup(df, min_df=2).collect())
+    assert got == want
+    # the cross-batch boilerplate was actually removed (not a vacuous pass)
+    by_id = {r[0]: r for r in got}
+    assert by_id[3][3] == 1 and boiler not in by_id[3][1]
+    # replaying a batch's delta is idempotent: overwrite, not append
+    batch0 = df.filter("doc_id <= 2")
+    paragraph_freq_sink(store)(batch0, 0)
+    freq2 = paragraph_store_freq(spark, store)
+    got2 = sorted(
+        tuple(r) for r in paragraph_dedup_apply(df, freq2, min_df=2).collect()
+    )
+    assert got2 == want
+    # the maintained relation itself equals from-scratch paragraph_freq
+    want_freq = sorted(tuple(r) for r in paragraph_freq(df).collect())
+    got_freq = sorted(tuple(r) for r in freq2.collect())
+    assert got_freq == want_freq
+
+
 # ------------------------------------------- index meta memoization ---
 
 
