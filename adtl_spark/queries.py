@@ -7756,40 +7756,30 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds ``graph_entity_resolution`` — the one query
-       that had no lifetime driver row after round 7 (it landed at
-       position 51 that round; locally green in the r7 verdict's own
-       check_oracle run) — followed by the two gates new this round:
-       the four gates new this round: the stdlib-PNG decode+resize round
-       trip (``multimodal_png_resize``), the WARC->HTML->text WET
-       extraction (``wet_extract``), CCNet-style paragraph dedup
-       (``text_paragraph_dedup``), crawl-URL canonicalization
-       (``web_url_normalize``), the baseline-JPEG round trip
-       (``multimodal_jpeg_roundtrip``), perceptual-dHash image dedup
-       (``multimodal_image_dhash``), energy-threshold VAD trimming
-       (``multimodal_audio_vad``), the WebDataset tar-shard round
-       trip (``web_tar_roundtrip``), executed video frame sampling
-       (``multimodal_video_frames``), the IMA ADPCM round trip
-       (``multimodal_adpcm_roundtrip``), and banded dHash pair
-       generation (``multimodal_dhash_pairs``).
-    2. The remaining 38 slots refresh the LEAST-recently driver-verified
-       entries: the rounds-1-4 block from ``text_pmi_topk`` through
-       ``q3_shipping_priority`` and ``f_predicates`` (driver rows dating to rounds 1-4, all
-       re-verified green at HEAD by every full check_oracle run since —
-       committed as CORRECTNESS_LOCAL_r08.json this round).
+    1. The window head holds the three gates new this round: the G.711
+       µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
+       measured dHash-banding recall (``multimodal_dhash_recall``), and
+       MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``).
+    2. The remaining 47 slots refresh the LEAST-recently driver-verified
+       entries: the rounds-1-4 remainder from ``a2_last_not_null``
+       through ``olap_cube`` (driver rows dating to rounds 1-4, all
+       re-verified green at HEAD by every full check_oracle sweep since
+       — committed as CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``a2_last_not_null`` onward), the
-       round-6-verified block, and — freshest rows last — the 50 queries
-       the round-7 driver gate verified (CORRECTNESS_r07: 50/50 green).
+       rounds-1-4 remainder (``olap_grouping_sets`` through
+       ``w16_gapfill_linear``), the round-6-verified block, the
+       round-7-verified block, and — freshest rows last — the 50
+       queries the round-8 driver gate verified (CORRECTNESS_r08:
+       50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``a2_last_not_null`` through the pre-round-6 tail, then the
-    round-6 block; the round-7-verified block stays last as the
-    freshest rows.  Lifetime invariant: after this round's gate, every
-    registry query except the two documented ROWS_ONLY entries has an
-    exact driver-green row in some CORRECTNESS_r*.json, and the full
-    203-oracle sweep at HEAD is committed per round as
-    CORRECTNESS_LOCAL_r*.json (enforced by tests/test_plans.py).
+    ``olap_grouping_sets`` onward, then the round-6 block; the
+    round-7 and round-8 blocks stay last as the freshest rows.
+    Lifetime invariant: every registry query except the two documented
+    ROWS_ONLY entries has an exact driver-green row in some
+    CORRECTNESS_r*.json, and the full-registry sweep at HEAD is
+    committed per round as CORRECTNESS_LOCAL_r*.json (enforced by
+    tests/test_plans.py).
 
     When adding a query, insert it at the top so it gets a driver row
     next round; rotate the most-recently-checked entries toward the
@@ -7797,63 +7787,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: gates new this round --
+        # -- r9 window head: the three gates new this round --
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,
-        # -- r8 window head: the one never-driver-verified query, then
-        # the two gates new this round --
-        "graph_entity_resolution": graph_entity_resolution,
-        "multimodal_png_resize": multimodal_png_resize,
-        "wet_extract": wet_extract,
-        "text_paragraph_dedup": text_paragraph_dedup,
-        "web_url_normalize": web_url_normalize,
-        "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
-        "multimodal_image_dhash": multimodal_image_dhash,
-        "multimodal_audio_vad": multimodal_audio_vad,
-        "web_tar_roundtrip": web_tar_roundtrip,
-        "multimodal_video_frames": multimodal_video_frames,
-        "multimodal_adpcm_roundtrip": multimodal_adpcm_roundtrip,
-        "multimodal_dhash_pairs": multimodal_dhash_pairs,
-        "text_pmi_topk": text_pmi_topk,  # -- rounds-1-4 rows refreshing this window --
-        "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
-        "text_tfidf": text_tfidf,
-        "corpus_pack": corpus_pack,
-        "corpus_decontaminate": corpus_decontaminate,
-        "corpus_unigram_logprob": corpus_unigram_logprob,
-        "dedup_incremental": dedup_incremental,
-        "text_quality": text_quality,
-        "text_langid": text_langid,
-        "sample_stratified": sample_stratified,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_ngram": dedup_ngram,
-        "corpus_length_stats": corpus_length_stats,
-        "w6_range_join": w6_range_join,
-        "multimodal_meta": multimodal_meta,
-        "sample_hash": sample_hash,
-        "text_chunk": text_chunk,
-        "split_train_test": split_train_test,
-        "text_repetition": text_repetition,
-        "text_vocab": text_vocab,
-        "text_redact": text_redact,
-        "dedup_cluster": dedup_cluster,
-        "dedup_apply_anti_join": dedup_apply_anti_join,
-        "w1_sessionize": w1_sessionize,
-        "w2_json_extract": w2_json_extract,
-        "w3_topn_per_group": w3_topn_per_group,
-        "w4_rolling_aggregate": w4_rolling_aggregate,
-        "w5_asof_join": w5_asof_join,
-        "text_token_stats": text_token_stats,
-        "text_fingerprint": text_fingerprint,
-        "adtl_engine_groupby": adtl_engine_groupby,
-        "adtl_engine_typed": adtl_engine_typed,
-        "adtl_engine_one_to_many": adtl_engine_one_to_many,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_shipping_priority": q3_shipping_priority,
-        "f_predicates": f_predicates,
-        "a2_last_not_null": a2_last_not_null,  # -- past the 50-entry gate window --
+        # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
+        "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
         "v2_validation_report": v2_validation_report,
@@ -7917,7 +7856,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
-        "ann_pq_trained_topk": ann_pq_trained_topk,  # -- round-6 driver rows --
+        # -- round-6-verified block --
+        "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
@@ -7967,7 +7907,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_nearest_centroid": emb_nearest_centroid,
         "corpus_length_filter": corpus_length_filter,
         "corpus_zipf": corpus_zipf,
-        "retrieval_ql_topk": retrieval_ql_topk,  # -- round-7 driver-verified window (freshest rows, rotated to tail) --
+        # -- round-7-verified block --
+        "retrieval_ql_topk": retrieval_ql_topk,
         "retrieval_rrf_fuse": retrieval_rrf_fuse,
         "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
         "retrieval_mmr_topk": retrieval_mmr_topk,
@@ -8017,4 +7958,55 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_image_resize": multimodal_image_resize,
         "text_containment": text_containment,
+        # -- round-8-verified block: freshest driver rows, rotated to the tail --
+        "graph_entity_resolution": graph_entity_resolution,
+        "multimodal_png_resize": multimodal_png_resize,
+        "wet_extract": wet_extract,
+        "text_paragraph_dedup": text_paragraph_dedup,
+        "web_url_normalize": web_url_normalize,
+        "multimodal_jpeg_roundtrip": multimodal_jpeg_roundtrip,
+        "multimodal_image_dhash": multimodal_image_dhash,
+        "multimodal_audio_vad": multimodal_audio_vad,
+        "web_tar_roundtrip": web_tar_roundtrip,
+        "multimodal_video_frames": multimodal_video_frames,
+        "multimodal_adpcm_roundtrip": multimodal_adpcm_roundtrip,
+        "multimodal_dhash_pairs": multimodal_dhash_pairs,
+        "text_pmi_topk": text_pmi_topk,
+        "corpus_length_quantiles_hist": corpus_length_quantiles_hist,
+        "text_tfidf": text_tfidf,
+        "corpus_pack": corpus_pack,
+        "corpus_decontaminate": corpus_decontaminate,
+        "corpus_unigram_logprob": corpus_unigram_logprob,
+        "dedup_incremental": dedup_incremental,
+        "text_quality": text_quality,
+        "text_langid": text_langid,
+        "sample_stratified": sample_stratified,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
+        "corpus_length_stats": corpus_length_stats,
+        "w6_range_join": w6_range_join,
+        "multimodal_meta": multimodal_meta,
+        "sample_hash": sample_hash,
+        "text_chunk": text_chunk,
+        "split_train_test": split_train_test,
+        "text_repetition": text_repetition,
+        "text_vocab": text_vocab,
+        "text_redact": text_redact,
+        "dedup_cluster": dedup_cluster,
+        "dedup_apply_anti_join": dedup_apply_anti_join,
+        "w1_sessionize": w1_sessionize,
+        "w2_json_extract": w2_json_extract,
+        "w3_topn_per_group": w3_topn_per_group,
+        "w4_rolling_aggregate": w4_rolling_aggregate,
+        "w5_asof_join": w5_asof_join,
+        "text_token_stats": text_token_stats,
+        "text_fingerprint": text_fingerprint,
+        "adtl_engine_groupby": adtl_engine_groupby,
+        "adtl_engine_typed": adtl_engine_typed,
+        "adtl_engine_one_to_many": adtl_engine_one_to_many,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "f_predicates": f_predicates,
     }

@@ -54,11 +54,16 @@ unchanged, so per-query times compare directly to earlier runs.
 Round-10 changes: appends the round's eleven gates (PNG decode+resize,
 WET extraction, paragraph dedup, URL canonicalization, JPEG round trip,
 dHash image dedup, VAD trimming, tar-shard round trip, video frame
-sampling, ADPCM round trip); mapInPandas-backed queries get a second
+sampling, ADPCM round trip, banded dHash pair generation);
+mapInPandas-backed queries get a second
 untimed warmup pass (PYTHON_WORKER_QUERIES) so their timed run measures
 steady-state Python-worker reuse rather than daemon pool spin-up — the
 r7 driver bench's multimodal_{audio,image}_meta spikes were exactly
 this fixed cost surfacing in a cold pool (docs/BENCH_NOTES.md).
+
+Round-11 changes: appends the round's three gates (G.711 round trip,
+measured dHash-banding recall, MJPEG-in-AVI frame sampling); prefix
+order unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
@@ -324,6 +329,9 @@ HEADLINE = [
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
     "multimodal_dhash_pairs",
+    "multimodal_g711_roundtrip",
+    "multimodal_dhash_recall",
+    "multimodal_video_frames_avi",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -346,6 +354,8 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
     "multimodal_dhash_pairs",
+    "multimodal_g711_roundtrip",
+    "multimodal_video_frames_avi",
 ]
 
 

@@ -354,46 +354,35 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-8 window: every query WITHOUT a lifetime driver row must
-    # hold the window head — after the 50/50-green round-7 gate that is
-    # exactly graph_entity_resolution (landed at position 51 last round)
-    # plus the two gates new this round; the remaining 47 slots refresh
-    # the least-recently-verified rounds-1-4 block.  The round-7-verified
-    # block rotated to the registry tail (freshest rows last).
+    # the round-9 window: the three gates new this round hold the head
+    # (never driver-verified); the remaining 47 slots refresh the
+    # least-recently-verified rounds-1-4 remainder (a2_last_not_null
+    # through olap_cube).  The round-8-verified block rotated to the
+    # registry tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
-    assert gate[:12] == [
-        "graph_entity_resolution",
-        "multimodal_png_resize",
-        "wet_extract",
-        "text_paragraph_dedup",
-        "web_url_normalize",
-        "multimodal_jpeg_roundtrip",
-        "multimodal_image_dhash",
-        "multimodal_audio_vad",
-        "web_tar_roundtrip",
-        "multimodal_video_frames",
-        "multimodal_adpcm_roundtrip",
-        "multimodal_dhash_pairs",
-    ], "window head must hold the never-driver-verified + new-this-round gates"
+    assert gate[:3] == [
+        "multimodal_g711_roundtrip",
+        "multimodal_dhash_recall",
+        "multimodal_video_frames_avi",
+    ], "window head must hold the new-this-round gates"
     for name in (
-        # head of the rounds-1-4 refresh block
-        "text_pmi_topk",
-        "corpus_length_quantiles_hist",
-        "text_tfidf",
-        "corpus_pack",
-        "corpus_decontaminate",
-        "dedup_exact",
-        "dedup_minhash",
-        "dedup_simhash",
-        "w1_sessionize",
-        "q1_pricing_summary",
-        "f_predicates",
+        # the rounds-1-4 refresh block now in the window
+        "a2_last_not_null",
+        "a3_combined_fold",
+        "r1_one_to_many",
+        "v2_validation_report",
+        "p14_uuid5",
+        "corpus_budget_select",
+        "w7_asof_forward",
+        "dedup_semantic",
+        "q5_local_supplier_volume",
+        "olap_cube",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
-    # the round-7-verified block must be at the very tail, not burning
-    # window slots (their CORRECTNESS_r07 rows are the freshest)
+    # the round-8-verified block must be at the very tail, not burning
+    # window slots (their CORRECTNESS_r08 rows are the freshest)
     tail = list(qs)[-50:]
-    for name in ("retrieval_ql_topk", "text_containment", "graph_modularity"):
+    for name in ("graph_entity_resolution", "multimodal_dhash_pairs", "f_predicates"):
         assert name in tail, f"{name} should have rotated to the tail"
 
 

@@ -87,6 +87,11 @@ SMJ_ALLOWED = {
     "ann_ivfpq_recall": "contains the exact L2 truth side (IVF-PQ twin)",
     "ann_ivfpq_rerank_recall": "contains the exact L2 truth side (IVF-PQ rerank twin)",
     "ann_ivfpq_residual_recall": "contains the exact L2 truth side (residual-IVFADC twin)",
+    "multimodal_dhash_recall": (
+        "the banding candidate self-join it measures: both sides are "
+        "corpus-grain block rows (plus the tiny truth<->found "
+        "per-distance join, AQE-broadcast in production)"
+    ),
 }
 
 # Reason-pattern check: when an allowlisted query's plan DOES contain a
@@ -135,6 +140,7 @@ SMJ_EXPECT = {
     "ann_ivfpq_recall": r"query_id|corpus_id",
     "ann_ivfpq_rerank_recall": r"query_id|corpus_id",
     "ann_ivfpq_residual_recall": r"query_id|corpus_id",
+    "multimodal_dhash_recall": r"\bblk\b|\bval\b|hamming",
 }
 
 

@@ -200,6 +200,11 @@ QUERIES = [
     "multimodal_video_frames",
     "multimodal_adpcm_roundtrip",
     "multimodal_dhash_pairs",
+    # round-11 additions (G.711 companding, real-container AVI sampling;
+    # multimodal_dhash_recall excluded like the other recall gates — its
+    # exact truth side measures the truth, dhash_pairs covers the operator)
+    "multimodal_g711_roundtrip",
+    "multimodal_video_frames_avi",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
