@@ -1376,7 +1376,8 @@ AUDIO_SIGNAL_SCHEMA = T.StructType(
 
 
 def audio_signal_features(df: DataFrame) -> DataFrame:
-    """Signal-level audio statistics through the native WAV decode path:
+    """Signal-level audio statistics through the full decode dispatch
+    (WAV/PCM, IMA ADPCM, G.711 — compressed forms expand to 16-bit PCM):
     peak amplitude, total absolute amplitude, zero-crossing count (sign
     transitions with sign(x) := x >= 0), and RMS quantized at 1e-6.
 
@@ -1392,7 +1393,9 @@ def audio_signal_features(df: DataFrame) -> DataFrame:
         if b is None:
             return (None,) * 5
         try:
-            _rate, _ch, bits, pcm = decode_wav(b)
+            # full dispatch: compressed payloads (ADPCM, G.711) expand
+            # to 16-bit PCM and flow through the same stats
+            _rate, _ch, bits, pcm = decode_audio(b)
             if bits != 16:
                 return (None,) * 5
             x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
@@ -1509,15 +1512,21 @@ def audio_vad_trim(
     ``threshold * frame`` (an integer compare — no float mean), and
     report the active span.  ``trimmed_samples`` is the sample count of
     first..last active frame inclusive (0 when nothing is active).
-    16-bit mono PCM; other formats yield null stats.  Integer-exact end
-    to end, so the whole decision is SQL-replayable."""
+    Decodes through the full dispatch (PCM, ADPCM, G.711 — compressed
+    telephony/capture audio endpoints without a transcode step); inputs
+    must resolve to 16-bit mono, others yield null stats.  Integer-exact
+    end to end over the decoded samples, so the whole decision is
+    SQL-replayable."""
     import numpy as np
 
     def one(b: bytes | None):
         if b is None:
             return (None,) * 5
         try:
-            _rate, ch, bits, pcm = decode_wav(b)
+            # full dispatch: a G.711 telephony clip or ADPCM capture
+            # trims exactly like its PCM expansion — the ASR-corpus
+            # endpointing combo (decode -> VAD) without a transcode step
+            _rate, ch, bits, pcm = decode_audio(b)
         except ValueError:
             return (None,) * 5
         if bits != 16 or ch != 1:

@@ -170,6 +170,46 @@ def test_dhash_recall_gate_pigeonhole_and_degradation(spark):
     assert any(r["recall"] < 1.0 for d, r in rows.items() if d >= 4)
 
 
+def test_vad_trims_g711_like_its_pcm_expansion(spark):
+    """A G.711-companded clip endpoints exactly like its decoded PCM
+    expansion (same frames, same active span) — the decode->VAD combo an
+    ASR corpus runs on telephony audio without a transcode step.  The
+    signal is built far from the energy threshold so companding loss
+    (max |err| 128) can never flip a frame decision."""
+    import struct
+
+    from adtl_spark.operators.multimodal import (
+        audio_vad_trim,
+        decode_audio,
+        encode_wav_g711,
+    )
+
+    # 160-sample frames: silent, loud, silent, loud (amplitudes 0 / 8000)
+    frames = [0, 8000, 0, 8000, 0]
+    pcm = np.concatenate(
+        [np.full(160, a, dtype=np.int16) for a in frames]
+    ).tobytes()
+    g711 = encode_wav_g711(pcm, rate=8000, law="ulaw")
+    # the PCM expansion as a plain WAV
+    rate, ch, bits, expanded = decode_audio(g711)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(expanded))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(expanded)) + expanded
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(g711)), (2, bytearray(wav))],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in audio_vad_trim(df).collect()}
+    assert tuple(rows[1])[1:] == tuple(rows[2])[1:]
+    assert rows[1]["n_frames"] == 5 and rows[1]["n_speech"] == 2
+    assert rows[1]["first_speech"] == 1 and rows[1]["last_speech"] == 3
+    assert rows[1]["trimmed_samples"] == 3 * 160
+
+
 # ------------------------------------------------------ MJPEG AVI ---
 
 
