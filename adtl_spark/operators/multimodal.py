@@ -984,23 +984,32 @@ def decode_video_frame(payload: bytes, idx: int) -> bytes:
 
 
 def mux_avi_mjpeg(
-    frames: list[bytes], fps: int, width: int, height: int
+    frames: list[bytes],
+    fps: int,
+    width: int,
+    height: int,
+    audio: tuple[int, bytes] | None = None,
 ) -> bytes:
-    """Pack JPEG frame payloads into a REAL RIFF/AVI container (MJPEG —
-    the format a user's screen-capture or legacy-camera corpus actually
-    arrives in): 'hdrl' list with MainAVIHeader + one 'vids'/'MJPG'
-    stream (AVIStreamHeader + BITMAPINFOHEADER), 'movi' list of '00dc'
-    chunks (word-aligned per RIFF), and a standard 'idx1' keyframe
-    index.  Written to the public AVI RIFF layout (MSDN AVI RIFF File
-    Reference / OpenDML); plays in any MJPEG-capable player."""
+    """Pack JPEG frame payloads — and optionally an interleaved 16-bit
+    mono PCM soundtrack — into a REAL RIFF/AVI container (MJPEG — the
+    format a user's screen-capture or legacy-camera corpus actually
+    arrives in): 'hdrl' list with MainAVIHeader + a 'vids'/'MJPG'
+    stream (AVIStreamHeader + BITMAPINFOHEADER) and, with ``audio=
+    (sample_rate, pcm16)``, a second 'auds' stream (WAVEFORMATEX);
+    'movi' list of '00dc' video chunks with '01wb' audio chunks
+    interleaved one-per-frame (word-aligned per RIFF), and a standard
+    'idx1' keyframe index covering both streams.  Written to the public
+    AVI RIFF layout (MSDN AVI RIFF File Reference / OpenDML); plays in
+    any MJPEG-capable player."""
     import struct
 
     n = len(frames)
     maxf = max((len(f) for f in frames), default=0)
     usec = 1_000_000 // fps if fps else 0
+    n_streams = 2 if audio else 1
     avih = struct.pack(
         "<IIIIIIIIII4I",
-        usec, maxf * fps, 0, 0x10, n, 0, 1, maxf, width, height,
+        usec, maxf * fps, 0, 0x10, n, 0, n_streams, maxf, width, height,
         0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -1025,14 +1034,41 @@ def mux_avi_mjpeg(
         return b"LIST" + struct.pack("<I", 4 + len(body)) + ltype + body
 
     strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    hdrl_body = chunk(b"avih", avih) + strl
+    # split the soundtrack into one '01wb' chunk per video frame (the
+    # standard interleave granularity); the ragged tail rides the last
+    audio_chunks: list[bytes] = []
+    if audio:
+        rate, pcm = audio
+        spf = max((rate // fps) * 2, 2) if fps else len(pcm)  # bytes/frame
+        audio_chunks = [pcm[i : i + spf] for i in range(0, len(pcm), spf)]
+        astrh = struct.pack(
+            "<4s4sIHHIIIIIIiI4h",
+            b"auds", b"\x00\x00\x00\x00", 0, 0, 0, 0, 1, rate, 0,
+            len(pcm) // 2, max(map(len, audio_chunks), default=0), -1, 2,
+            0, 0, 0, 0,
+        )
+        astrf = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        hdrl_body += lst(
+            b"strl", chunk(b"strh", astrh) + chunk(b"strf", astrf)
+        )
+    hdrl = lst(b"hdrl", hdrl_body)
     movi_body = b""
     idx = b""
-    for f in frames:
+    for k, f in enumerate(frames):
         # idx1 offsets are relative to the 'movi' fourcc (the common
         # convention players expect): first chunk sits at offset 4
         idx += b"00dc" + struct.pack("<III", 0x10, 4 + len(movi_body), len(f))
         movi_body += chunk(b"00dc", f)
+        if k < len(audio_chunks):
+            a = audio_chunks[k]
+            idx += b"01wb" + struct.pack(
+                "<III", 0x10, 4 + len(movi_body), len(a)
+            )
+            movi_body += chunk(b"01wb", a)
+    for a in audio_chunks[len(frames):]:  # soundtrack longer than video
+        idx += b"01wb" + struct.pack("<III", 0x10, 4 + len(movi_body), len(a))
+        movi_body += chunk(b"01wb", a)
     movi = lst(b"movi", movi_body)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
     return b"RIFF" + struct.pack("<I", len(body)) + body
@@ -1122,6 +1158,70 @@ def decode_avi_frame(payload: bytes, idx: int) -> bytes:
         raise ValueError(f"frame {idx} out of range 0..{len(frames) - 1}")
     off, ln = frames[idx]
     return payload[off : off + ln]
+
+
+def decode_avi_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+    """The soundtrack of an AVI as (sample_rate, channels, bits, pcm):
+    format facts from the 'auds' stream's WAVEFORMATEX, samples from the
+    concatenation of every ``..wb`` chunk in movi order (the interleave
+    is a storage layout, not a sample transform — concatenation IS the
+    stream).  Raises on video-only files.  Feeds straight into the
+    audio stages (audio_vad_trim, audio_signal_features take WAV bytes;
+    wrap with :func:`pcm_to_wav` or use the tuple directly)."""
+    import struct
+
+    fmt = None
+    for cid, ltype, off, size in _avi_top_chunks(payload):
+        if cid != b"LIST" or ltype != b"hdrl":
+            continue
+        pos, end = off, off + size
+        in_auds = False
+        while pos + 8 <= len(payload) and pos < end:
+            sub = payload[pos : pos + 4]
+            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+            if sub == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+                pos += 12
+                continue
+            if sub == b"strh":
+                in_auds = payload[pos + 8 : pos + 12] == b"auds"
+            elif sub == b"strf" and in_auds:
+                _tag, ch, rate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[pos + 8 : pos + 24]
+                )
+                fmt = (rate, ch, bits)
+            pos += 8 + ln + (ln & 1)
+    if fmt is None:
+        raise ValueError("AVI payload has no audio stream")
+    pcm = bytearray()
+    for cid2, ltype2, off2, size2 in _avi_top_chunks(payload):
+        if cid2 == b"LIST" and ltype2 == b"movi":
+            pos, end = off2, off2 + size2
+            while pos + 8 <= end:
+                fcc = payload[pos : pos + 4]
+                (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                if fcc[2:4] == b"wb":
+                    pcm += payload[pos + 8 : pos + 8 + ln]
+                pos += 8 + ln + (ln & 1)
+    return fmt[0], fmt[1], fmt[2], bytes(pcm)
+
+
+def pcm_to_wav(rate: int, channels: int, bits: int, pcm: bytes) -> bytes:
+    """Wrap raw PCM in a minimal RIFF/WAVE header — the adapter between
+    container demuxers (AVI soundtrack) and the WAV-payload audio
+    operators."""
+    import struct
+
+    balign = channels * (bits // 8)
+    fmt = struct.pack(
+        "<IHHIIHH", 16, 1, channels, rate, rate * balign, balign, bits
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt " + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
 
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -2984,7 +2984,12 @@ def append_to_ivfpq_index(
     absorbs a daily crawl: quantizer stability is what makes the codes
     comparable across appends, and dynamic partition overwrite is NOT
     used — appends only add files inside each cell directory, so a
-    concurrent reader never sees a cell disappear.  Retrain (rewrite
+    concurrent reader never sees a cell disappear.  ATOMICITY: the
+    append is ONE parquet job, so the Hadoop output committer already
+    gives it all-or-nothing semantics — a crashed append leaves only
+    _temporary files readers never see, and retrying is safe (unlike
+    the multi-component search index, which needed staged generation
+    commits — retrieval.append_to_search_index).  Retrain (rewrite
     via :func:`write_ivfpq_index`) when drift
     (:func:`adtl_spark.operators.monitor.centroid_drift` on the new
     batch vs the index corpus) says the quantizer no longer fits."""

@@ -4200,6 +4200,56 @@ def multimodal_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
+def multimodal_avi_soundtrack_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full real-container multimodal combo: per document an AVI
+    carrying BOTH an MJPEG video track and an interleaved 16-bit PCM
+    soundtrack (gated arithmetic samples — every third 320-block silent,
+    ragged tails) is demuxed on the audio side (multimodal.
+    decode_avi_audio — '01wb' chunk concatenation + WAVEFORMATEX facts),
+    rewrapped (pcm_to_wav), and endpointed by the SAME audio_vad_trim
+    the plain-WAV gate uses.  The oracle replays sample generation, the
+    silence gate, framing, threshold and span via generate_series —
+    identical arithmetic to multimodal_audio_vad, so any corruption in
+    the interleave, chunk walk, or rewrap breaks the hash."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 320 * (2 + i % 8) + (i % 5)
+                wav = M.synthetic_wav_arith_gated(n, seed=i)
+                _r, _c, _b, pcm = M.decode_wav(wav)
+                frames = [
+                    M.synthetic_ppm_arith(8, 8, seed=i * 3 + f)
+                    for f in range(2)
+                ]
+                rows.append(
+                    (i, M.mux_avi_mjpeg(frames, 4, 8, 8, audio=(16000, pcm)))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+
+    def demux(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, bits, pcm = M.decode_avi_audio(bytes(b))
+                rows.append((int(mid), M.pcm_to_wav(rate, ch, bits, pcm)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    audio = media.mapInPandas(demux, schema="media_id long, payload binary")
+    return M.audio_vad_trim(audio).orderBy("media_id")
+
+
 def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset-style tar-shard ingestion value-checked end to end:
     documents pack into in-memory tar shards (one per 64 consecutive
@@ -6785,6 +6835,44 @@ def oracles() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
+        # identical VAD arithmetic to multimodal_audio_vad, over the
+        # soundtrack that survived the AVI interleave + demux + rewrap
+        "multimodal_avi_soundtrack_vad": """
+            WITH base AS (
+              SELECT doc_id, 320 * (2 + doc_id % 8) + (doc_id % 5) AS n
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id, i // 160 AS f,
+                     CASE WHEN (i // 320) % 3 = 0 THEN 0
+                          ELSE ((doc_id * 2654435761 + i * 40503) % 65536)
+                               - 32768
+                     END AS s
+              FROM v WHERE i < 160 * (n // 160)
+            ),
+            fr AS (SELECT doc_id, f, sum(abs(s)) AS e FROM s GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id,
+                CAST(count(*) AS BIGINT) AS n_frames,
+                CAST(sum(CASE WHEN e > 160000 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_speech,
+                CAST(min(CASE WHEN e > 160000 THEN f END) AS BIGINT)
+                  AS first_speech,
+                CAST(max(CASE WHEN e > 160000 THEN f END) AS BIGINT)
+                  AS last_speech
+              FROM fr GROUP BY doc_id
+            )
+            SELECT doc_id AS media_id, n_frames, n_speech,
+                   first_speech, last_speech,
+                   CAST(COALESCE((last_speech - first_speech + 1) * 160, 0)
+                        AS BIGINT) AS trimmed_samples
+            FROM agg ORDER BY media_id
+        """,
         # the AVI gate's schedule arithmetic: nf frames at 4 fps ->
         # duration nf*250 ms, one sample per 500 ms, frame index 2k
         "multimodal_video_frames_avi": """
@@ -7756,24 +7844,26 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the three gates new this round: the G.711
+    1. The window head holds the four gates new this round: the G.711
        µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
-       measured dHash-banding recall (``multimodal_dhash_recall``), and
-       MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``).
-    2. The remaining 47 slots refresh the LEAST-recently driver-verified
+       measured dHash-banding recall (``multimodal_dhash_recall``),
+       MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
+       and the AVI-soundtrack demux + VAD combo
+       (``multimodal_avi_soundtrack_vad``).
+    2. The remaining 46 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``olap_cube`` (driver rows dating to rounds 1-4, all
+       through ``q20_excess_shipments`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
        — committed as CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``olap_grouping_sets`` through
+       rounds-1-4 remainder (``olap_cube`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``olap_grouping_sets`` onward, then the round-6 block; the
+    ``olap_cube`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
@@ -7787,10 +7877,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the three gates new this round --
+        # -- r9 window head: the four gates new this round --
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,
+        "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
         # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,

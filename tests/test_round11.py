@@ -289,6 +289,41 @@ def test_avi_idx1_offsets_point_at_frame_chunks():
         assert csize == ln == len(frames[k])
 
 
+def test_avi_audio_interleave_roundtrip_and_vad():
+    """An interleaved PCM soundtrack survives mux -> demux
+    byte-for-byte (tail chunks past the last video frame included), the
+    WAVEFORMATEX facts come back, the video frames stay byte-identical
+    next to the audio chunks, and a video-only file raises."""
+    from adtl_spark.operators.multimodal import (
+        decode_audio,
+        decode_avi_audio,
+        decode_avi_frame,
+        decode_avi_meta,
+        mux_avi_mjpeg,
+        pcm_to_wav,
+    )
+
+    frames = _gradient_jpegs(16, 16, 3)
+    pcm = np.concatenate(
+        [np.full(160, a, dtype=np.int16) for a in (0, 8000, 0, 8000, 0, 0, 8000)]
+    ).tobytes()
+    avi = mux_avi_mjpeg(frames, 4, 16, 16, audio=(8000, pcm))
+    assert decode_avi_meta(avi) == (3, 4, 16, 16)
+    for i, f in enumerate(frames):
+        assert decode_avi_frame(avi, i) == f
+    rate, ch, bits, got = decode_avi_audio(avi)
+    assert (rate, ch, bits) == (8000, 1, 16) and got == pcm
+    # soundtrack longer than the video: tail chunks still land
+    avi2 = mux_avi_mjpeg(frames, 4, 16, 16, audio=(8000, pcm * 3))
+    assert decode_avi_audio(avi2)[3] == pcm * 3
+    # the rewrap adapter feeds the WAV-payload operators
+    assert decode_audio(pcm_to_wav(rate, ch, bits, got)) == (
+        8000, 1, 16, pcm,
+    )
+    with pytest.raises(ValueError, match="no audio stream"):
+        decode_avi_audio(mux_avi_mjpeg(frames, 4, 16, 16))
+
+
 def test_sample_video_frames_routes_avi_and_legacy_identically(spark):
     """The same schedule over the same frames in BOTH containers yields
     the same (frame_idx, ts_ms) rows and near-identical pixels (JPEG

@@ -205,6 +205,7 @@ QUERIES = [
     # exact truth side measures the truth, dhash_pairs covers the operator)
     "multimodal_g711_roundtrip",
     "multimodal_video_frames_avi",
+    "multimodal_avi_soundtrack_vad",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
