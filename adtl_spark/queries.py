@@ -3569,6 +3569,40 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(M.resize_image_nn(media, factor=2))
 
 
+def multimodal_image_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The antialiased twin of multimodal_image_resize: the same
+    encode -> decode -> downsample-by-2 -> re-encode -> decode -> pixel
+    stats chain, but through the BOX FILTER (integer area average —
+    each output pixel is the floor of its 2x2 block sum over 4).  The
+    mean is exact integer arithmetic, so the oracle replays every
+    output pixel as the block sum of four arithmetic source bytes //
+    4; a bug in blocking, truncation, stride or channel order breaks
+    the position-weighted checksum (multimodal.resize_image_box)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_ppm_arith(
+                            8 + int(i) % 16, 8 + (int(i) * 3) % 16, seed=int(i)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.image_pixel_stats(M.resize_image_box(media, factor=2))
+
+
 def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG twin of multimodal_image_resize, through the stdlib-zlib
     PNG decode path: arithmetic RGBA payloads written with MIXED per-row
@@ -6835,6 +6869,49 @@ def oracles() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
+        # every output pixel = floor over 4 of its 2x2 block's byte sum,
+        # q = 0..3 encoding (dy, dx) = (q // 2, q % 2)
+        "multimodal_image_resize_box": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     (8 + doc_id % 16) // 2 AS ow,
+                     (8 + (doc_id * 3) % 16) // 2 AS oh
+              FROM documents
+            ),
+            px AS (
+              SELECT doc_id, w, ow, oh,
+                     unnest(generate_series(0, CAST(ow * oh - 1 AS BIGINT))) AS p
+              FROM dims
+            ),
+            blk AS (
+              SELECT doc_id, w, ow, oh, p,
+                     unnest(generate_series(0, CAST(3 AS BIGINT))) AS q
+              FROM px
+            ),
+            j AS (
+              SELECT doc_id, ow, oh, p,
+                     (((p // ow) * 2 + q // 2) * w
+                      + (p % ow) * 2 + (q % 2)) * 3 AS jj
+              FROM blk
+            ),
+            s AS (
+              SELECT doc_id, ow, oh, p,
+                     sum((doc_id * 31 + jj * 131) % 256) // 4 AS r,
+                     sum((doc_id * 31 + (jj + 1) * 131) % 256) // 4 AS g,
+                     sum((doc_id * 31 + (jj + 2) * 131) % 256) // 4 AS b
+              FROM j GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(ow) AS BIGINT) AS width,
+                   CAST(max(oh) AS BIGINT) AS height,
+                   CAST(sum(r) AS BIGINT) AS sum_r,
+                   CAST(sum(g) AS BIGINT) AS sum_g,
+                   CAST(sum(b) AS BIGINT) AS sum_b,
+                   CAST(sum((p + 1) * (r + 2 * g + 3 * b)) AS BIGINT)
+                     AS checksum
+            FROM s GROUP BY doc_id
+        """,
         # identical VAD arithmetic to multimodal_audio_vad, over the
         # soundtrack that survived the AVI interleave + demux + rewrap
         "multimodal_avi_soundtrack_vad": """
@@ -7844,26 +7921,27 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the four gates new this round: the G.711
+    1. The window head holds the five gates new this round: the G.711
        µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
        measured dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
-       and the AVI-soundtrack demux + VAD combo
-       (``multimodal_avi_soundtrack_vad``).
-    2. The remaining 46 slots refresh the LEAST-recently driver-verified
+       the AVI-soundtrack demux + VAD combo
+       (``multimodal_avi_soundtrack_vad``), and the integer box-filter
+       resize chain (``multimodal_image_resize_box``).
+    2. The remaining 45 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``q20_excess_shipments`` (driver rows dating to rounds 1-4, all
+       through ``q16_supplier_count`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
        — committed as CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``olap_cube`` through
+       rounds-1-4 remainder (``q20_excess_shipments`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``olap_cube`` onward, then the round-6 block; the
+    ``q20_excess_shipments`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
@@ -7882,6 +7960,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,
         "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
+        "multimodal_image_resize_box": multimodal_image_resize_box,
         # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,

@@ -210,6 +210,49 @@ def test_vad_trims_g711_like_its_pcm_expansion(spark):
     assert rows[1]["trimmed_samples"] == 3 * 160
 
 
+# ------------------------------------------------- box-filter resize ---
+
+
+def test_resize_image_box_exact_mean_and_truncation(spark):
+    """Every output pixel is the floor of its f x f block mean (checked
+    against an independent numpy computation), ragged right/bottom edges
+    truncate, factor=1 is the identity, and an image smaller than the
+    filter fails loudly."""
+    from adtl_spark.operators.multimodal import (
+        decode_image,
+        resize_image_box,
+        synthetic_ppm_arith,
+    )
+
+    w, h, f = 13, 11, 3  # ragged on both axes
+    payload = synthetic_ppm_arith(w, h, seed=7)
+    _w, _h, rgb = decode_image(payload)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+    ow, oh = w // f, h // f
+    want = (
+        a[: oh * f, : ow * f, :].reshape(oh, f, ow, f, 3).sum(axis=(1, 3))
+        // (f * f)
+    ).astype(np.uint8)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary"
+    )
+    out = bytes(resize_image_box(df, factor=f).collect()[0]["payload"])
+    gw, gh, grgb = decode_image(out)
+    assert (gw, gh) == (ow, oh)
+    assert np.frombuffer(grgb, dtype=np.uint8).reshape(oh, ow, 3).tolist() == want.tolist()
+    # factor=1 identity (decode->re-encode of the same pixels)
+    out1 = bytes(resize_image_box(df, factor=1).collect()[0]["payload"])
+    assert decode_image(out1) == (w, h, rgb)
+    # smaller than the filter: loud failure, not a 0-dim image
+    tiny = spark.createDataFrame(
+        [(1, bytearray(synthetic_ppm_arith(2, 2, seed=1)))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="smaller than"):
+        resize_image_box(tiny, factor=4).collect()
+
+
 # ------------------------------------------------------ MJPEG AVI ---
 
 
