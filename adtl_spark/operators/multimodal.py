@@ -1811,6 +1811,48 @@ def resize_image_box(df: DataFrame, factor: int = 2) -> DataFrame:
     return df.mapInPandas(run, schema="media_id long, payload binary")
 
 
+def resample_audio_box(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Integer-factor audio decimation with a box prefilter: output
+    sample k = floor(mean of input samples k*f .. k*f+f-1) — the
+    dependency-free rate normalizer an ASR corpus runs before training
+    (48k -> 16k is factor 3; naked decimation aliases, the box mean is
+    the cheap prefilter).  Decodes through the full dispatch
+    (PCM/ADPCM/G.711 — a telephony clip resamples without a transcode
+    step), requires 16-bit mono, truncates the ragged tail, and
+    re-wraps the result as a WAV at rate // f so every downstream audio
+    stage composes.  INTEGER-EXACT (floor of the f-sample sum over f),
+    so every output sample is SQL-replayable; the sum is one vectorized
+    numpy reshape, never per-sample Python."""
+    import numpy as np
+
+    if factor < 1:
+        raise ValueError("resample_audio_box needs factor >= 1")
+
+    def one(b: bytes | None):
+        if b is None:
+            return None
+        rate, ch, bits, pcm = decode_audio(b)
+        if bits != 16 or ch != 1:
+            raise ValueError("resample_audio_box needs 16-bit mono input")
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        m = x.size // factor
+        out = (
+            np.floor_divide(x[: m * factor].reshape(m, factor).sum(axis=1), factor)
+        ).astype("<i2")
+        return pcm_to_wav(rate // factor, 1, 16, out.tobytes())
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [one(b) for b in pdf["payload"]],
+                }
+            )
+
+    return df.mapInPandas(run, schema="media_id long, payload binary")
+
+
 IMAGE_PIXEL_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

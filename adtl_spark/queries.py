@@ -3603,6 +3603,42 @@ def multimodal_image_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(M.resize_image_box(media, factor=2))
 
 
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate normalization value-checked end to end: arithmetic-sample
+    PCM decodes, box-decimates by 2 (output sample k = floor of the
+    mean of inputs 2k, 2k+1 — multimodal.resample_audio_box), re-wraps
+    as WAV at half the rate, and reduces through the SAME
+    audio_signal_features DSP as the native-rate gate.  The oracle
+    replays every RESAMPLED sample from the generator arithmetic
+    (floor((s(2k) + s(2k+1)) / 2)) and then the full stats pipeline —
+    peak, total amplitude, zero crossings, quantized RMS — so aliasing
+    the decimation, the tail truncation, or the rewrap breaks the
+    hash."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        M.synthetic_wav_arith(
+                            160 * (1 + int(i) % 30), seed=int(i)
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.audio_signal_features(M.resample_audio_box(media, factor=2))
+
+
 def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PNG twin of multimodal_image_resize, through the stdlib-zlib
     PNG decode path: arithmetic RGBA payloads written with MIXED per-row
@@ -6912,6 +6948,44 @@ def oracles() -> dict[str, str]:
                      AS checksum
             FROM s GROUP BY doc_id
         """,
+        # every resampled sample replayed from the generator arithmetic
+        # (floor of the 2-sample mean), then the full DSP reduction —
+        # prev recomputed from k-1 (no window), the audio_features style
+        "multimodal_audio_resample": """
+            WITH base AS (
+              SELECT doc_id, 80 * (1 + doc_id % 30) AS m FROM documents
+            ),
+            v AS (
+              SELECT doc_id, m,
+                     unnest(generate_series(0, CAST(m - 1 AS BIGINT))) AS k
+              FROM base
+            ),
+            x AS (
+              SELECT doc_id, m, k,
+                CAST(floor(
+                  ((((doc_id * 2654435761 + (2 * k) * 40503) % 65536) - 32768)
+                   + (((doc_id * 2654435761 + (2 * k + 1) * 40503) % 65536)
+                      - 32768)) / 2.0) AS BIGINT) AS s,
+                CASE WHEN k = 0 THEN NULL ELSE
+                  CAST(floor(
+                    ((((doc_id * 2654435761 + (2 * k - 2) * 40503) % 65536)
+                      - 32768)
+                     + (((doc_id * 2654435761 + (2 * k - 1) * 40503) % 65536)
+                        - 32768)) / 2.0) AS BIGINT)
+                END AS prev
+              FROM v
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(m) AS BIGINT) AS n_samples,
+                   CAST(max(abs(s)) AS BIGINT) AS peak,
+                   CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+                   CAST(sum(CASE WHEN prev IS NOT NULL
+                                  AND ((s >= 0) != (prev >= 0))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                   CAST(floor(sqrt(CAST(sum(s * s) AS DOUBLE) / max(m))
+                              * 1000000 + 0.5) AS BIGINT) AS rms_q6
+            FROM x GROUP BY doc_id
+        """,
         # identical VAD arithmetic to multimodal_audio_vad, over the
         # soundtrack that survived the AVI interleave + demux + rewrap
         "multimodal_avi_soundtrack_vad": """
@@ -7921,27 +7995,28 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the five gates new this round: the G.711
+    1. The window head holds the six gates new this round: the G.711
        µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
        measured dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
        the AVI-soundtrack demux + VAD combo
-       (``multimodal_avi_soundtrack_vad``), and the integer box-filter
-       resize chain (``multimodal_image_resize_box``).
-    2. The remaining 45 slots refresh the LEAST-recently driver-verified
+       (``multimodal_avi_soundtrack_vad``), the integer box-filter
+       resize chain (``multimodal_image_resize_box``), and box-decimated
+       audio rate normalization (``multimodal_audio_resample``).
+    2. The remaining 44 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``q16_supplier_count`` (driver rows dating to rounds 1-4, all
+       through ``q11_important_parts`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
        — committed as CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``q20_excess_shipments`` through
+       rounds-1-4 remainder (``q16_supplier_count`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``q20_excess_shipments`` onward, then the round-6 block; the
+    ``q16_supplier_count`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
@@ -7961,6 +8036,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames_avi": multimodal_video_frames_avi,
         "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
         "multimodal_image_resize_box": multimodal_image_resize_box,
+        "multimodal_audio_resample": multimodal_audio_resample,
         # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,

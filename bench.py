@@ -61,10 +61,11 @@ steady-state Python-worker reuse rather than daemon pool spin-up — the
 r7 driver bench's multimodal_{audio,image}_meta spikes were exactly
 this fixed cost surfacing in a cold pool (docs/BENCH_NOTES.md).
 
-Round-11 changes: appends the round's five gates (G.711 round trip,
+Round-11 changes: appends the round's six gates (G.711 round trip,
 measured dHash-banding recall, MJPEG-in-AVI frame sampling, AVI
-soundtrack demux + VAD, integer box-filter resize chain); prefix order
-unchanged, so per-query times compare directly to earlier runs.
+soundtrack demux + VAD, integer box-filter resize chain, box-decimated
+audio resampling); prefix order unchanged, so per-query times compare
+directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
@@ -335,6 +336,7 @@ HEADLINE = [
     "multimodal_video_frames_avi",
     "multimodal_avi_soundtrack_vad",
     "multimodal_image_resize_box",
+    "multimodal_audio_resample",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -361,6 +363,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_video_frames_avi",
     "multimodal_avi_soundtrack_vad",
     "multimodal_image_resize_box",
+    "multimodal_audio_resample",
 ]
 
 

@@ -360,12 +360,13 @@ def test_query_registry_invariants():
     # through olap_cube).  The round-8-verified block rotated to the
     # registry tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
-    assert gate[:5] == [
+    assert gate[:6] == [
         "multimodal_g711_roundtrip",
         "multimodal_dhash_recall",
         "multimodal_video_frames_avi",
         "multimodal_avi_soundtrack_vad",
         "multimodal_image_resize_box",
+        "multimodal_audio_resample",
     ], "window head must hold the new-this-round gates"
     for name in (
         # the rounds-1-4 refresh block now in the window
@@ -378,7 +379,7 @@ def test_query_registry_invariants():
         "w7_asof_forward",
         "dedup_semantic",
         "q5_local_supplier_volume",
-        "q16_supplier_count",
+        "q11_important_parts",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-8-verified block must be at the very tail, not burning

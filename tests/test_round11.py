@@ -253,6 +253,50 @@ def test_resize_image_box_exact_mean_and_truncation(spark):
         resize_image_box(tiny, factor=4).collect()
 
 
+def test_resample_audio_box_exact_and_composes(spark):
+    """Every output sample is floor(mean of its f-sample block) (checked
+    vs independent numpy, negatives included), the WAV rewrap halves the
+    rate, ragged tails truncate, a G.711 input resamples without a
+    transcode step, and factor=1 is the identity."""
+    from adtl_spark.operators.multimodal import (
+        decode_audio,
+        encode_wav_g711,
+        resample_audio_box,
+    )
+
+    rng_x = np.array(
+        [-32768, -3, -2, -1, 0, 1, 2, 3, 32767, -7, 5, 4, 9], dtype=np.int16
+    )
+    from adtl_spark.operators.multimodal import pcm_to_wav
+
+    wav = pcm_to_wav(16000, 1, 16, rng_x.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, payload binary"
+    )
+    out = bytes(resample_audio_box(df, factor=2).collect()[0]["payload"])
+    rate, ch, bits, pcm = decode_audio(out)
+    got = np.frombuffer(pcm, dtype="<i2")
+    m = rng_x.size // 2
+    want = np.floor_divide(
+        rng_x[: m * 2].astype(np.int64).reshape(m, 2).sum(axis=1), 2
+    )
+    assert (rate, ch, bits) == (8000, 1, 16)
+    assert got.tolist() == want.tolist()  # floor semantics, negatives too
+    # factor=1 identity
+    out1 = bytes(resample_audio_box(df, factor=1).collect()[0]["payload"])
+    assert decode_audio(out1)[3] == rng_x.tobytes()
+    # compressed input flows straight through the dispatch
+    loud = np.full(320, 8000, dtype=np.int16)
+    g = spark.createDataFrame(
+        [(1, bytearray(encode_wav_g711(loud.tobytes(), rate=8000)))],
+        "media_id long, payload binary",
+    )
+    rate2, _c, _b, pcm2 = decode_audio(
+        bytes(resample_audio_box(g, factor=2).collect()[0]["payload"])
+    )
+    assert rate2 == 4000 and len(pcm2) == 320  # 160 samples * 2 bytes
+
+
 # ------------------------------------------------------ MJPEG AVI ---
 
 
