@@ -23,6 +23,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import zlib
 from typing import Iterator
@@ -99,6 +100,28 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, rgb
 
 
+def _riff_chunks(payload: bytes, container: bytes = b"WAVE"):
+    """Yield (chunk_id, body) for every top-level chunk of a RIFF
+    container, after verifying the ``RIFF``/container signature — the
+    ONE word-aligned walk every WAV-family decoder shares (PCM, ADPCM,
+    G.711, the fmt-tag dispatcher), so an alignment or truncation fix
+    lands once."""
+    import struct
+
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != container
+    ):
+        raise ValueError(f"not a RIFF/{container.decode().strip()} payload")
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        yield cid, payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     """Dependency-free RIFF/WAVE PCM decoder: walks the chunk list, reads
     the ``fmt `` chunk (PCM only) and the ``data`` chunk.  Returns
@@ -106,17 +129,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     compressed payloads raise ValueError."""
     import struct
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
     fmt = None
     data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
-            if size < 16:
+            if len(body) < 16:
                 raise ValueError("short fmt chunk")
             audio_format, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
@@ -125,7 +142,6 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, bytes]:
             fmt = (rate, channels, bits)
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAVE payload missing fmt or data chunk")
     return fmt[0], fmt[1], fmt[2], data
@@ -561,22 +577,16 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, int, bytes]:
     data, decodes block by block, trims to the fact-chunk sample count."""
     import struct
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
     fmt = data = None
     total = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
             tag, ch, rate, _br, balign = struct.unpack("<HHIIH", body[:14])
             if tag != 0x11:
                 raise ValueError(f"not IMA ADPCM (format {tag})")
             if ch != 1:
                 raise ValueError("only mono ADPCM supported")
-            spb = struct.unpack("<H", body[18:20])[0] if size >= 20 else (
+            spb = struct.unpack("<H", body[18:20])[0] if len(body) >= 20 else (
                 (balign - 4) * 2 + 1
             )
             fmt = (rate, balign, spb)
@@ -584,7 +594,6 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, int, bytes]:
             (total,) = struct.unpack("<I", body[:4])
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("ADPCM payload missing fmt or data chunk")
     rate, balign, spb = fmt
@@ -601,11 +610,14 @@ def decode_wav_adpcm(payload: bytes) -> tuple[int, int, int, bytes]:
     return rate, 1, 16, pcm
 
 
+@functools.lru_cache(maxsize=1)
 def _g711_decode_tables():
     """256-entry int16 decode LUTs for µ-law (ITU-T G.711 tables 2a/2b)
     and A-law (tables 1a/1b), built from the piecewise-linear expansion
     formulas — self-describing like the ADPCM/JPEG tables, so round-trip
-    correctness never depends on transcribing 256 constants."""
+    correctness never depends on transcribing 256 constants.  Cached:
+    the tables are constants and this sits in the per-payload decode
+    hot path (callers only np.take from them, never mutate)."""
     import numpy as np
 
     ulaw = np.empty(256, dtype=np.int16)
@@ -705,14 +717,8 @@ def decode_wav_g711(payload: bytes) -> tuple[int, int, int, bytes]:
 
     import numpy as np
 
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
     fmt = data = None
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        body = payload[pos + 8 : pos + 8 + size]
+    for cid, body in _riff_chunks(payload):
         if cid == b"fmt ":
             tag, ch, rate = struct.unpack("<HHI", body[:8])
             if tag not in (0x06, 0x07):
@@ -720,7 +726,6 @@ def decode_wav_g711(payload: bytes) -> tuple[int, int, int, bytes]:
             fmt = (tag, ch, rate)
         elif cid == b"data":
             data = body
-        pos += 8 + size + (size & 1)
     if fmt is None or data is None:
         raise ValueError("G.711 payload missing fmt or data chunk")
     tag, ch, rate = fmt
@@ -749,18 +754,18 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
 
 def _wav_format_tag(payload: bytes) -> int | None:
     """The ``fmt `` chunk's format tag of a RIFF/WAVE payload, or None
-    when no fmt chunk is present — dispatch on the tag itself rather
-    than substring-matching decoder error text (tag 170 or 1792 would
-    also contain '17')."""
+    when no fmt chunk is present or the container is not WAVE (an AVI
+    also starts with RIFF) — dispatch on the tag itself rather than
+    substring-matching decoder error text (tag 170 or 1792 would also
+    contain '17')."""
     import struct
 
-    pos = 12
-    while pos + 8 <= len(payload):
-        cid = payload[pos : pos + 4]
-        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-        if cid == b"fmt " and size >= 2:
-            return struct.unpack("<H", payload[pos + 8 : pos + 10])[0]
-        pos += 8 + size + (size & 1)
+    try:
+        for cid, body in _riff_chunks(payload):
+            if cid == b"fmt " and len(body) >= 2:
+                return struct.unpack("<H", body[:2])[0]
+    except ValueError:
+        return None
     return None
 
 
@@ -1116,14 +1121,20 @@ def _avi_movi_frames(payload: bytes) -> list[tuple[int, int]]:
     raise ValueError("AVI payload has no movi list")
 
 
-def decode_avi_meta(payload: bytes) -> tuple[int, int, int, int]:
-    """(n_frames, fps, width, height) of an MJPEG AVI: fps from the
-    stream header's rate/scale (authoritative over the avih µs field),
-    dimensions from the main header, frame count from the ACTUAL movi
-    chunk walk (headers lie in truncated files; chunks don't)."""
+def _avi_header(payload: bytes) -> dict:
+    """One hdrl walk shared by meta, audio demux and the frame sampler:
+    {'width', 'height', 'fps' (video rate/scale), 'auds': None or
+    (stream_idx, sample_rate, channels, bits)}.  Raises on multiple
+    audio streams — silently concatenating two interleaved soundtracks
+    would hand downstream DSP byte-shuffled garbage under one stream's
+    format, so demuxing a multi-soundtrack file is an explicit caller
+    decision, not a default."""
     import struct
 
-    fps = width = height = 0
+    width = height = fps = 0
+    n_streams = 0
+    auds = None
+    pending_auds = None
     for cid, ltype, off, size in _avi_top_chunks(payload):
         if cid != b"LIST" or ltype != b"hdrl":
             continue
@@ -1131,24 +1142,42 @@ def decode_avi_meta(payload: bytes) -> tuple[int, int, int, int]:
         while pos + 8 <= end:
             sub = payload[pos : pos + 4]
             (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            if sub == b"avih":
-                _, _, _, _, _, _, _, _, width, height = struct.unpack(
-                    "<10I", payload[pos + 8 : pos + 48]
-                )
-                pos += 8 + ln + (ln & 1)
-            elif sub == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+            if sub == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
                 pos += 12  # descend into strl
-            else:
-                if sub == b"strh":
-                    (ftype, _hdl, _fl, _pr, _lang, _init, scale, rate) = (
-                        struct.unpack(
-                            "<4s4sIHHIII", payload[pos + 8 : pos + 36]
+                continue
+            if sub == b"avih":
+                vals = struct.unpack("<10I", payload[pos + 8 : pos + 48])
+                width, height = vals[8], vals[9]
+            elif sub == b"strh":
+                (ftype, _hdl, _fl, _pr, _lang, _init, scale, rate) = (
+                    struct.unpack("<4s4sIHHIII", payload[pos + 8 : pos + 36])
+                )
+                if ftype == b"vids" and scale and not fps:
+                    fps = rate // scale
+                if ftype == b"auds":
+                    if auds is not None or pending_auds is not None:
+                        raise ValueError(
+                            "AVI has multiple audio streams — "
+                            "demux one at a time"
                         )
-                    )
-                    if ftype == b"vids" and scale:
-                        fps = rate // scale
-                pos += 8 + ln + (ln & 1)
-    return len(_avi_movi_frames(payload)), fps, width, height
+                    pending_auds = n_streams
+                n_streams += 1
+            elif sub == b"strf" and pending_auds is not None and auds is None:
+                _tag, ch, arate, _br, _ba, bits = struct.unpack(
+                    "<HHIIHH", payload[pos + 8 : pos + 24]
+                )
+                auds = (pending_auds, arate, ch, bits)
+            pos += 8 + ln + (ln & 1)
+    return {"width": width, "height": height, "fps": fps, "auds": auds}
+
+
+def decode_avi_meta(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_frames, fps, width, height) of an MJPEG AVI: fps from the
+    stream header's rate/scale (authoritative over the avih µs field),
+    dimensions from the main header, frame count from the ACTUAL movi
+    chunk walk (headers lie in truncated files; chunks don't)."""
+    hdr = _avi_header(payload)
+    return len(_avi_movi_frames(payload)), hdr["fps"], hdr["width"], hdr["height"]
 
 
 def decode_avi_frame(payload: bytes, idx: int) -> bytes:
@@ -1163,46 +1192,32 @@ def decode_avi_frame(payload: bytes, idx: int) -> bytes:
 def decode_avi_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """The soundtrack of an AVI as (sample_rate, channels, bits, pcm):
     format facts from the 'auds' stream's WAVEFORMATEX, samples from the
-    concatenation of every ``..wb`` chunk in movi order (the interleave
-    is a storage layout, not a sample transform — concatenation IS the
-    stream).  Raises on video-only files.  Feeds straight into the
-    audio stages (audio_vad_trim, audio_signal_features take WAV bytes;
-    wrap with :func:`pcm_to_wav` or use the tuple directly)."""
+    concatenation of THAT stream's ``NNwb`` chunks in movi order (the
+    interleave is a storage layout, not a sample transform —
+    concatenation IS the stream; other streams' wb chunks are filtered
+    by their stream-number prefix).  Raises on video-only files and on
+    multiple audio streams (via :func:`_avi_header`).  Feeds straight
+    into the audio stages (audio_vad_trim, audio_signal_features take
+    WAV bytes; wrap with :func:`pcm_to_wav` or use the tuple
+    directly)."""
     import struct
 
-    fmt = None
-    for cid, ltype, off, size in _avi_top_chunks(payload):
-        if cid != b"LIST" or ltype != b"hdrl":
-            continue
-        pos, end = off, off + size
-        in_auds = False
-        while pos + 8 <= len(payload) and pos < end:
-            sub = payload[pos : pos + 4]
-            (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-            if sub == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
-                pos += 12
-                continue
-            if sub == b"strh":
-                in_auds = payload[pos + 8 : pos + 12] == b"auds"
-            elif sub == b"strf" and in_auds:
-                _tag, ch, rate, _br, _ba, bits = struct.unpack(
-                    "<HHIIHH", payload[pos + 8 : pos + 24]
-                )
-                fmt = (rate, ch, bits)
-            pos += 8 + ln + (ln & 1)
-    if fmt is None:
+    hdr = _avi_header(payload)
+    if hdr["auds"] is None:
         raise ValueError("AVI payload has no audio stream")
+    idx, rate, ch, bits = hdr["auds"]
+    prefix = b"%02d" % idx
     pcm = bytearray()
-    for cid2, ltype2, off2, size2 in _avi_top_chunks(payload):
-        if cid2 == b"LIST" and ltype2 == b"movi":
-            pos, end = off2, off2 + size2
+    for cid, ltype, off, size in _avi_top_chunks(payload):
+        if cid == b"LIST" and ltype == b"movi":
+            pos, end = off, off + size
             while pos + 8 <= end:
                 fcc = payload[pos : pos + 4]
                 (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-                if fcc[2:4] == b"wb":
+                if fcc[2:4] == b"wb" and fcc[:2] == prefix:
                     pcm += payload[pos + 8 : pos + 8 + ln]
                 pos += 8 + ln + (ln & 1)
-    return fmt[0], fmt[1], fmt[2], bytes(pcm)
+    return rate, ch, bits, bytes(pcm)
 
 
 def pcm_to_wav(rate: int, channels: int, bits: int, pcm: bytes) -> bytes:
@@ -1250,8 +1265,8 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                 b = bytes(b)
                 is_avi = b.startswith(b"RIFF") and b[8:12] == b"AVI "
                 if is_avi:
-                    offsets = _avi_movi_frames(b)
-                    n, fps, _w, _h = decode_avi_meta(b)
+                    offsets = _avi_movi_frames(b)  # the ONE movi walk
+                    n, fps = len(offsets), _avi_header(b)["fps"]
                 else:
                     n, fps = decode_video_meta(b)
                 if n == 0 or fps == 0:
@@ -1507,7 +1522,9 @@ def audio_signal_features(df: DataFrame) -> DataFrame:
             sumsq = int(np.sum(x * x))
             rms_q6 = int(np.floor(np.sqrt(sumsq / n) * 1e6 + 0.5))
             return (n, int(np.max(np.abs(x))), int(np.sum(np.abs(x))), zc, rms_q6)
-        except ValueError:
+        except (ValueError, NotImplementedError):
+            # NotImplementedError: the MP3 stub — an undecodable row
+            # yields null stats, it must never kill the corpus job
             return (None,) * 5
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1627,7 +1644,8 @@ def audio_vad_trim(
             # trims exactly like its PCM expansion — the ASR-corpus
             # endpointing combo (decode -> VAD) without a transcode step
             _rate, ch, bits, pcm = decode_audio(b)
-        except ValueError:
+        except (ValueError, NotImplementedError):
+            # NotImplementedError: the MP3 stub — null stats, not a crash
             return (None,) * 5
         if bits != 16 or ch != 1:
             return (None,) * 5

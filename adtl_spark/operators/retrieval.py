@@ -868,9 +868,20 @@ def _index_buckets(spark, path: str, n_buckets: int | None) -> int:
     count would silently route new postings into different buckets than
     the persisted ones, corrupting every pruned read after — fail fast
     instead.  The sidecar read is memoized per index path (immutable
-    per layout); the validation always runs."""
+    per layout); the validation always runs.  In-process rebuilds
+    (write_search_index) invalidate the memo; an index rebuilt by
+    ANOTHER process under the same path is outside the single-writer
+    contract — a caller that must tolerate that passes the explicit
+    ``n_buckets`` it expects, because an explicit-argument mismatch
+    re-reads the sidecar before deciding (so a stale memo never raises
+    or masks a legitimate external rebuild)."""
     stored = _INDEX_META_CACHE.get(path)
     if stored is None:
+        stored = spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
+        _INDEX_META_CACHE[path] = int(stored)
+    if n_buckets is not None and int(n_buckets) != int(stored):
+        # the memo may be stale (external rebuild): re-read once before
+        # declaring a mismatch
         stored = spark.read.parquet(f"{path}/meta").collect()[0]["n_buckets"]
         _INDEX_META_CACHE[path] = int(stored)
     if n_buckets is not None and int(n_buckets) != int(stored):
@@ -938,11 +949,15 @@ def _pruned(spark, path: str, terms: list[str], n_buckets: int) -> DataFrame:
 def _delta_gens(spark, path: str) -> tuple[list[int], list[int]]:
     """(committed, all) append-generation numbers under ``{path}/delta``
     — a generation counts as COMMITTED only when its ``commit`` parquet
-    carries the job-success marker, which the committer writes as the
-    LAST act of a successful append.  Uncommitted directories (a crashed
-    or in-flight append) are invisible to readers and to the next
-    append, which is the whole atomicity story.  Listed through the
-    Hadoop FS API so the layout works on any Spark filesystem."""
+    holds committed DATA files, which the Hadoop output committer moves
+    out of _temporary as the LAST act of the append's final job (the
+    _SUCCESS marker alone is NOT trusted: deployments commonly disable
+    it with mapreduce.fileoutputcommitter.marksuccessfuljobs=false, and
+    keying visibility off it would silently orphan every append there).
+    Uncommitted directories (a crashed or in-flight append) are
+    invisible to readers and to the next append, which is the whole
+    atomicity story.  Listed through the Hadoop FS API so the layout
+    works on any Spark filesystem."""
     sc = spark.sparkContext
     jvm = sc._jvm
     dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
@@ -957,10 +972,12 @@ def _delta_gens(spark, path: str) -> tuple[list[int], list[int]]:
             continue
         g = int(name)
         all_gens.append(g)
-        marker = jvm.org.apache.hadoop.fs.Path(
-            f"{path}/delta/{name}/commit/_SUCCESS"
+        parts = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/delta/{name}/commit/part-*"
+            )
         )
-        if fs.exists(marker):
+        if parts is not None and len(parts) > 0:
             committed.append(g)
     return sorted(committed), sorted(all_gens)
 
@@ -1147,7 +1164,12 @@ def append_to_search_index(
     vocabulary-/one-row-sized however long ingestion runs, and serving
     queries against the maintained index equals a from-scratch build
     over the full corpus exactly (tested, batch and foreachBatch, plus
-    the kill-between-steps test).  Same id contract as the IVF-PQ
+    the kill-between-steps test).  SINGLE SEQUENTIAL WRITER: appends
+    must not run concurrently against one index path — two writers
+    would pick the same generation number and interleave components
+    (foreachBatch delivers micro-batches sequentially, which satisfies
+    this by construction; a retry only starts after its predecessor
+    died).  Same id contract as the IVF-PQ
     index: document ids must be previously unseen.  An explicit
     ``n_buckets`` is validated against the index's meta sidecar and
     raises on mismatch (a silent mismatch would bucket new postings

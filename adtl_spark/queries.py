@@ -4024,7 +4024,8 @@ def _dhash_recall_oracle() -> str:
     )
     SELECT CAST(t.hamming AS BIGINT) AS hamming, t.n_true,
            CAST(COALESCE(f.n_hit, 0) AS BIGINT) AS n_hit,
-           floor(COALESCE(f.n_hit, 0) * 10000.0 / t.n_true + 0.5) / 10000.0
+           floor(CAST(COALESCE(f.n_hit, 0) AS DOUBLE)
+                 / CAST(t.n_true AS DOUBLE) * 10000 + 0.5) / 10000.0
              AS recall
     FROM truth t LEFT JOIN found f USING (hamming)
     ORDER BY hamming
@@ -8030,7 +8031,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the four gates new this round --
+        # -- r9 window head: the six gates new this round --
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -354,11 +354,11 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-9 window: the three gates new this round hold the head
-    # (never driver-verified); the remaining 47 slots refresh the
+    # the round-9 window: the six gates new this round hold the head
+    # (never driver-verified); the remaining 44 slots refresh the
     # least-recently-verified rounds-1-4 remainder (a2_last_not_null
-    # through olap_cube).  The round-8-verified block rotated to the
-    # registry tail (freshest rows last), behind round-7.
+    # through q11_important_parts).  The round-8-verified block rotated
+    # to the registry tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
     assert gate[:6] == [
         "multimodal_g711_roundtrip",

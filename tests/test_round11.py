@@ -253,6 +253,67 @@ def test_resize_image_box_exact_mean_and_truncation(spark):
         resize_image_box(tiny, factor=4).collect()
 
 
+def test_audio_stats_and_vad_null_out_mp3_not_crash(spark):
+    """The MP3 stub raises NotImplementedError from decode_audio; the
+    corpus stats/VAD operators must yield null rows for such payloads,
+    never kill the job (the pre-dispatch contract, kept)."""
+    from adtl_spark.operators.multimodal import (
+        audio_signal_features,
+        audio_vad_trim,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"ID3" + b"\x00" * 30)), (2, bytearray(b"junk"))],
+        "media_id long, payload binary",
+    )
+    for rows in (
+        audio_signal_features(df).collect(),
+        audio_vad_trim(df).collect(),
+    ):
+        assert len(rows) == 2
+        for r in rows:
+            assert all(v is None for k, v in r.asDict().items() if k != "media_id")
+
+
+def test_avi_multiple_audio_streams_raise():
+    """Two interleaved soundtracks must raise, not concatenate into
+    byte-shuffled garbage under one stream's format."""
+    import struct
+
+    from adtl_spark.operators.multimodal import _avi_header, mux_avi_mjpeg
+
+    frames = _gradient_jpegs(16, 16, 2)
+    pcm = np.zeros(320, dtype=np.int16).tobytes()
+    avi = mux_avi_mjpeg(frames, 4, 16, 16, audio=(8000, pcm))
+    # splice a duplicate of the auds strl into hdrl
+    li = avi.rindex(b"LIST", 0, avi.index(b"auds"))
+    (lsz,) = struct.unpack("<I", avi[li + 4 : li + 8])
+    strl = avi[li : li + 8 + lsz]
+    hd = avi.index(b"LIST", 12)
+    (hsz,) = struct.unpack("<I", avi[hd + 4 : hd + 8])
+    body = avi[hd + 8 : hd + 8 + hsz] + strl
+    doubled = bytearray(
+        avi[:hd] + b"LIST" + struct.pack("<I", len(body)) + body
+        + avi[hd + 8 + hsz:]
+    )
+    doubled[4:8] = struct.pack("<I", len(doubled) - 8)
+    with pytest.raises(ValueError, match="multiple audio streams"):
+        _avi_header(bytes(doubled))
+
+
+def test_wav_format_tag_rejects_non_wave_riff():
+    """An AVI also starts with RIFF; the dispatcher must return None for
+    it (decode_audio then raises the accurate WAVE error), not walk AVI
+    lists as WAV chunks."""
+    from adtl_spark.operators.multimodal import (
+        _wav_format_tag,
+        mux_avi_mjpeg,
+    )
+
+    avi = mux_avi_mjpeg(_gradient_jpegs(16, 16, 1), 4, 16, 16)
+    assert _wav_format_tag(avi) is None
+
+
 def test_resample_audio_box_exact_and_composes(spark):
     """Every output sample is floor(mean of its f-sample block) (checked
     vs independent numpy, negatives included), the WAV rewrap halves the
