@@ -780,13 +780,14 @@ def test_adpcm_round_trip_and_dispatch(spark):
     assert int(np.abs(out.astype(int) - tri.astype(int)).max()) <= 128
     # deterministic
     assert encode_wav_adpcm(tri.tobytes(), rate=16000) == payload
-    # PCM-consuming operators reject the compressed container cleanly
-    # (they call decode_wav, which names the format)
+    # PCM-consuming operators now decode the compressed container
+    # through the full dispatch (round-11 change): the ADPCM clip
+    # endpoints like its 16-bit PCM expansion, not as null stats
     df = spark.createDataFrame(
         [(1, payload)], "media_id long, payload binary"
     )
     row = audio_vad_trim(df).collect()[0]
-    assert row["n_frames"] is None  # not silently treated as PCM
+    assert row["n_frames"] == n // 160  # decoded, framed, not rejected
 
 
 # --------------------------------------------- codec properties ---
