@@ -84,6 +84,47 @@ def train_test_split(
     return df.withColumn("split", label)
 
 
+def split_leakage_safe(
+    df: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Near-dup-aware train/test splitting: documents connected by a
+    near-duplicate pair land in the SAME split.  Hashing raw document
+    ids (train_test_split) silently leaks a training document's
+    near-copy into the eval set — the classic contamination bug an LLM
+    data pipeline must close BEFORE eval numbers mean anything.  Here
+    connected components over ``pairs`` (dedup.cluster_pairs — any pair
+    relation works: exact, MinHash, SimHash, embedding) give every
+    document its cluster's canonical id, and the split hash runs on
+    that CLUSTER key (singletons: their own id), so whole clusters move
+    together; the same append-stable keyed hash as train_test_split
+    means a cluster never migrates as the corpus grows.  Output: the
+    input rows plus (split, split_key).  Scale shape: CC is the
+    O(log d)-round pointer-jumping loop over the PAIR relation (near-dup
+    pairs, not the corpus); the corpus itself sees one left join against
+    the cluster labels and a narrow hash map."""
+    from adtl_spark.operators.dedup import cluster_pairs
+
+    labels = cluster_pairs(pairs, id_a=id_a, id_b=id_b).select(
+        F.col("doc_id").alias("__sls_node__"),
+        F.col("canonical_id").alias("__sls_canon__"),
+    )
+    keyed = df.join(
+        labels, df[key_col] == labels["__sls_node__"], "left"
+    ).withColumn(
+        "split_key",
+        F.coalesce(F.col("__sls_canon__"), F.col(key_col)),
+    ).drop("__sls_node__", "__sls_canon__")
+    return train_test_split(
+        keyed, weights, key_col="split_key", salt=salt
+    )
+
+
 def train_test_split_case_sql(
     weights: dict[str, float], key_expr: str, salt: str = "split"
 ) -> str:

@@ -3603,6 +3603,30 @@ def multimodal_image_resize_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.image_pixel_stats(M.resize_image_box(media, factor=2))
 
 
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test splitting value-checked end to end:
+    exact-duplicate pairs (text-equality self-join, id_a < id_b) feed
+    the REAL connected-components loop (dedup.cluster_pairs), every
+    document inherits its cluster's canonical id as the split key
+    (singletons: their own id), and the append-stable keyed hash
+    assigns train/test — so a training document's duplicate can never
+    land in the eval set.  Exact duplicates form cliques, so the CC
+    fixpoint is provably min(doc_id) per text group and the oracle
+    replays the whole pipeline as a window min + the split-hash CASE
+    (sampling.split_leakage_safe; the straddle-free property is
+    additionally pinned by pytest on a MinHash pair relation)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("tb"))
+    pairs = a.join(
+        b, (F.col("ta") == F.col("tb")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b")
+    out = SA.split_leakage_safe(
+        docs, pairs, {"train": 0.8, "test": 0.2}
+    )
+    return out.select("doc_id", "split_key", "split").orderBy("doc_id")
+
+
 def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rate normalization value-checked end to end: arithmetic-sample
     PCM decodes, box-decimates by 2 (output sample k = floor of the
@@ -6949,6 +6973,21 @@ def oracles() -> dict[str, str]:
                      AS checksum
             FROM s GROUP BY doc_id
         """,
+        # exact-dup cliques make the CC fixpoint a window min; the split
+        # is the same keyed-hash CASE the plain split oracle uses
+        "sample_split_leakage_safe": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     CAST(min(doc_id) OVER (PARTITION BY text) AS BIGINT)
+                       AS split_key
+              FROM documents
+            )
+            SELECT doc_id, split_key,
+                   {SA.train_test_split_case_sql(
+                       {"train": 0.8, "test": 0.2}, "split_key"
+                   )} AS split
+            FROM k ORDER BY doc_id
+        """,
         # every resampled sample replayed from the generator arithmetic
         # (floor of the 2-sample mean), then the full DSP reduction —
         # prev recomputed from k-1 (no window), the audio_features style
@@ -7996,28 +8035,29 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the six gates new this round: the G.711
+    1. The window head holds the seven gates new this round: the G.711
        µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
        measured dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
        the AVI-soundtrack demux + VAD combo
        (``multimodal_avi_soundtrack_vad``), the integer box-filter
-       resize chain (``multimodal_image_resize_box``), and box-decimated
-       audio rate normalization (``multimodal_audio_resample``).
-    2. The remaining 44 slots refresh the LEAST-recently driver-verified
+       resize chain (``multimodal_image_resize_box``), box-decimated
+       audio rate normalization (``multimodal_audio_resample``), and
+       leakage-safe cluster splitting (``sample_split_leakage_safe``).
+    2. The remaining 43 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``q11_important_parts`` (driver rows dating to rounds 1-4, all
+       through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
        — committed as CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``q16_supplier_count`` through
+       rounds-1-4 remainder (``q11_important_parts`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``q16_supplier_count`` onward, then the round-6 block; the
+    ``q11_important_parts`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
@@ -8031,13 +8071,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the six gates new this round --
+        # -- r9 window head: the seven gates new this round --
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,
         "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
         "multimodal_image_resize_box": multimodal_image_resize_box,
         "multimodal_audio_resample": multimodal_audio_resample,
+        "sample_split_leakage_safe": sample_split_leakage_safe,
         # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,

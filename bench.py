@@ -61,11 +61,11 @@ steady-state Python-worker reuse rather than daemon pool spin-up — the
 r7 driver bench's multimodal_{audio,image}_meta spikes were exactly
 this fixed cost surfacing in a cold pool (docs/BENCH_NOTES.md).
 
-Round-11 changes: appends the round's six gates (G.711 round trip,
+Round-11 changes: appends the round's seven gates (G.711 round trip,
 measured dHash-banding recall, MJPEG-in-AVI frame sampling, AVI
 soundtrack demux + VAD, integer box-filter resize chain, box-decimated
-audio resampling); prefix order unchanged, so per-query times compare
-directly to earlier runs.
+audio resampling, leakage-safe cluster splitting); prefix order
+unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
@@ -337,6 +337,7 @@ HEADLINE = [
     "multimodal_avi_soundtrack_vad",
     "multimodal_image_resize_box",
     "multimodal_audio_resample",
+    "sample_split_leakage_safe",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

@@ -354,19 +354,20 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-9 window: the six gates new this round hold the head
-    # (never driver-verified); the remaining 44 slots refresh the
+    # the round-9 window: the seven gates new this round hold the head
+    # (never driver-verified); the remaining 43 slots refresh the
     # least-recently-verified rounds-1-4 remainder (a2_last_not_null
-    # through q11_important_parts).  The round-8-verified block rotated
+    # through q9_product_profit).  The round-8-verified block rotated
     # to the registry tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
-    assert gate[:6] == [
+    assert gate[:7] == [
         "multimodal_g711_roundtrip",
         "multimodal_dhash_recall",
         "multimodal_video_frames_avi",
         "multimodal_avi_soundtrack_vad",
         "multimodal_image_resize_box",
         "multimodal_audio_resample",
+        "sample_split_leakage_safe",
     ], "window head must hold the new-this-round gates"
     for name in (
         # the rounds-1-4 refresh block now in the window
@@ -379,7 +380,7 @@ def test_query_registry_invariants():
         "w7_asof_forward",
         "dedup_semantic",
         "q5_local_supplier_volume",
-        "q11_important_parts",
+        "q9_product_profit",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-8-verified block must be at the very tail, not burning

@@ -653,6 +653,46 @@ def test_compact_search_index_preserves_results_and_reclaims(spark, tmp_path):
     assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full2, qdf)
 
 
+# ------------------------------------------- leakage-safe splits ---
+
+
+def test_split_leakage_safe_no_pair_straddles_splits(spark):
+    """The contamination property: over a MULTI-HOP pair relation (a-b,
+    b-c chains — where per-pair checks alone would not imply per-cluster
+    agreement), every connected component lands in exactly one split;
+    singletons split by their own id exactly like train_test_split."""
+    from adtl_spark.operators.sampling import (
+        split_leakage_safe,
+        train_test_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    # chains 0-1-2, 3-4, 10-11-12-13, plus scattered singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (10, 11), (11, 12), (12, 13)],
+        "id_a long, id_b long",
+    )
+    out = split_leakage_safe(
+        docs, pairs, {"train": 0.7, "test": 0.3}
+    ).collect()
+    split = {r["doc_id"]: r["split"] for r in out}
+    key = {r["doc_id"]: r["split_key"] for r in out}
+    assert len(split) == 40
+    for cluster in ([0, 1, 2], [3, 4], [10, 11, 12, 13]):
+        assert len({split[d] for d in cluster}) == 1
+        assert {key[d] for d in cluster} == {min(cluster)}
+    # singletons behave exactly like the plain splitter
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_test_split(docs, {"train": 0.7, "test": 0.3}).collect()
+    }
+    for d in range(40):
+        if d not in (0, 1, 2, 3, 4, 10, 11, 12, 13):
+            assert split[d] == plain[d] and key[d] == d
+
+
 # ------------------------------------- streaming paragraph dedup ---
 
 

@@ -92,6 +92,11 @@ SMJ_ALLOWED = {
         "corpus-grain block rows (plus the tiny truth<->found "
         "per-distance join, AQE-broadcast in production)"
     ),
+    "sample_split_leakage_safe": (
+        "corpus<->cluster-label re-attach join: the label relation is "
+        "one row per document appearing in a near-dup pair — corpus-"
+        "grain on a dup-heavy corpus, not broadcastable"
+    ),
 }
 
 # Reason-pattern check: when an allowlisted query's plan DOES contain a
@@ -141,6 +146,7 @@ SMJ_EXPECT = {
     "ann_ivfpq_rerank_recall": r"query_id|corpus_id",
     "ann_ivfpq_residual_recall": r"query_id|corpus_id",
     "multimodal_dhash_recall": r"\bblk\b|\bval\b|hamming",
+    "sample_split_leakage_safe": r"doc_id|__sls_node__|node|label|src|dst",
 }
 
 

@@ -208,6 +208,7 @@ QUERIES = [
     "multimodal_avi_soundtrack_vad",
     "multimodal_image_resize_box",
     "multimodal_audio_resample",
+    "sample_split_leakage_safe",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
