@@ -771,11 +771,12 @@ def _wav_format_tag(payload: bytes) -> int | None:
 
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
-    WAV/PCM, IMA ADPCM (format tag 0x11) and G.711 µ-law/A-law (tags
-    0x07/0x06) decode natively — compressed forms are decompressed to
-    16-bit PCM; MP3 raises NotImplementedError.  Dispatch reads the fmt
-    chunk's format tag directly, so unsupported tags surface the PCM
-    reader's accurate error rather than a misrouted decoder's."""
+    WAV/PCM, IMA ADPCM (format tag 0x11), G.711 µ-law/A-law (tags
+    0x07/0x06) and FLAC (``fLaC`` magic — the lossless codec, CRC- and
+    MD5-verified) decode natively — compressed forms are decompressed
+    to 16-bit PCM; MP3 raises NotImplementedError.  Dispatch reads the
+    fmt chunk's format tag directly, so unsupported tags surface the
+    PCM reader's accurate error rather than a misrouted decoder's."""
     if payload.startswith(b"RIFF"):
         tag = _wav_format_tag(payload)
         if tag == 0x11:
@@ -783,6 +784,10 @@ def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
         if tag in (0x06, 0x07):
             return decode_wav_g711(payload)
         return decode_wav(payload)
+    if payload.startswith(b"fLaC"):
+        from adtl_spark.operators.flac_lite import decode_flac
+
+        return decode_flac(payload)
     if payload.startswith(b"\xff\xfb") or payload.startswith(b"ID3"):
         raise NotImplementedError(
             "MP3 decoding requires a codec library (ffmpeg) not in this container"

@@ -4164,6 +4164,83 @@ def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAC codec (operators/flac_lite.py — the lossless ASR-corpus
+    format) exercised end to end: per document a deterministic sawtooth
+    signal (mono for even ids; stereo with an independent right channel
+    for odd ids, left/side decorrelation chosen by the encoder) is
+    encoded at block size 512 (multi-frame + partial final block) and
+    decoded back through the decode_audio ``fLaC`` dispatch, with frame
+    CRC-8/16 and the STREAMINFO stream-MD5 verified in the decoder.
+    FLAC is LOSSLESS, so unlike the ADPCM/G.711 gates the oracle
+    value-checks the decoded samples themselves: ``pcm_sum`` is the
+    exact sum of every decoded sample, replayed by DuckDB from the same
+    id arithmetic — any reconstruction error anywhere in the stream
+    moves the hash.  ``compressed`` pins that the stream actually
+    compresses (< raw PCM bytes) rather than falling back to verbatim."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.flac_lite import encode_flac
+        from adtl_spark.operators.multimodal import decode_audio
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 300 * (1 + d % 3) + (d % 53)
+                ch = 1 + (d % 2)
+                i = np.arange(n, dtype=np.int64)
+                left = ((i * (13 + d % 7) + d) % 4001 - 2000).astype(
+                    np.int16
+                )
+                if ch == 2:
+                    right = ((i * 17 + d * 3) % 3001 - 1500).astype(
+                        np.int16
+                    )
+                    pcm = np.empty(2 * n, dtype=np.int16)
+                    pcm[0::2], pcm[1::2] = left, right
+                else:
+                    pcm = left
+                enc = encode_flac(
+                    pcm.tobytes(), rate=16000, channels=ch, block_size=512
+                )
+                rate, och, bits, out = decode_audio(enc)
+                dec = np.frombuffer(out, dtype=np.int16)
+                rows.append(
+                    (
+                        d,
+                        len(dec),
+                        rate,
+                        och,
+                        int(dec.astype(np.int64).sum()),
+                        len(enc) < len(pcm.tobytes()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "sample_rate",
+                    "channels",
+                    "pcm_sum",
+                    "compressed",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_samples long, sample_rate int, "
+            "channels int, pcm_sum long, compressed boolean"
+        ),
+    ).orderBy("media_id")
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executed video frame sampling value-checked end to end: per
     document a reference-container video (4-8 arith P6 frames at 4 fps,
@@ -6929,6 +7006,36 @@ def oracles() -> dict[str, str]:
                    TRUE AS ok
             FROM documents ORDER BY doc_id
         """,
+        # lossless codec: the oracle replays the decoded SAMPLES (sum),
+        # not just counts — any reconstruction error moves the hash
+        "multimodal_flac_roundtrip": """
+            WITH d AS (
+              SELECT doc_id,
+                     300 * (1 + doc_id % 3) + (doc_id % 53) AS n,
+                     1 + (doc_id % 2) AS ch
+              FROM documents
+            ),
+            i AS (
+              SELECT doc_id, n, ch,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM d
+            ),
+            s AS (
+              SELECT doc_id, n, ch,
+                     ((i * (13 + doc_id % 7) + doc_id) % 4001) - 2000 AS l,
+                     CASE WHEN ch = 2
+                          THEN ((i * 17 + doc_id * 3) % 3001) - 1500
+                          ELSE 0 END AS r
+              FROM i
+            )
+            SELECT doc_id AS media_id,
+                   CAST(MAX(n) * MAX(ch) AS BIGINT) AS n_samples,
+                   CAST(16000 AS INT) AS sample_rate,
+                   CAST(MAX(ch) AS INT) AS channels,
+                   CAST(SUM(l + r) AS BIGINT) AS pcm_sum,
+                   TRUE AS compressed
+            FROM s GROUP BY doc_id ORDER BY media_id
+        """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
         # every output pixel = floor over 4 of its 2x2 block's byte sum,
         # q = 0..3 encoding (dy, dx) = (q // 2, q % 2)
@@ -8035,16 +8142,18 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the seven gates new this round: the G.711
-       µ-law/A-law round trip (``multimodal_g711_roundtrip``), the
-       measured dHash-banding recall (``multimodal_dhash_recall``),
+    1. The window head holds the eight gates new this round: the FLAC
+       lossless round trip (``multimodal_flac_roundtrip`` — the oracle
+       replays the decoded samples themselves), the G.711 µ-law/A-law
+       round trip (``multimodal_g711_roundtrip``), the measured
+       dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
        the AVI-soundtrack demux + VAD combo
        (``multimodal_avi_soundtrack_vad``), the integer box-filter
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 43 slots refresh the LEAST-recently driver-verified
+    2. The remaining 42 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8071,7 +8180,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the seven gates new this round --
+        # -- r9 window head: the eight gates new this round --
+        "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -1,0 +1,304 @@
+"""Round-12 block: FLAC codec (lossless round trip, decoder-only paths
+via hand-built bitstreams, CRC/MD5 strictness, dispatch)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+
+from adtl_spark.operators.flac_lite import (
+    _BitWriter,
+    _crc8,
+    _crc16,
+    _encode_coded_number,
+    decode_flac,
+    encode_flac,
+    flac_stream_info,
+)
+
+
+def _rt(sig: np.ndarray, channels: int = 1, rate: int = 16000, **kw):
+    enc = encode_flac(sig.tobytes(), rate=rate, channels=channels, **kw)
+    out_rate, out_ch, bits, pcm = decode_flac(enc)
+    assert (out_rate, out_ch, bits) == (rate, channels, 16)
+    return np.frombuffer(pcm, dtype=np.int16), enc
+
+
+def test_flac_roundtrip_shapes_and_block_sizes():
+    rng = np.random.RandomState(11)
+    t = np.arange(4101)
+    shapes = {
+        "noise": rng.randint(-3000, 3000, len(t)).astype(np.int16),
+        "ramp": (t % 997 - 498).astype(np.int16),
+        "sine": (2500 * np.sin(t / 17)).astype(np.int16),
+        "const": np.full(len(t), 42, dtype=np.int16),
+        "extremes": np.where(t % 2 == 0, 32767, -32768).astype(np.int16),
+    }
+    # 511 exercises the 16-bit block-size header escape, 192/256/4096
+    # the table codes, and every signal ends with a partial final block.
+    for bs in (192, 256, 511, 4096):
+        for name, sig in shapes.items():
+            out, _ = _rt(sig, block_size=bs)
+            assert np.array_equal(out, sig), (name, bs)
+
+
+def test_flac_roundtrip_stereo_modes_and_odd_rate():
+    rng = np.random.RandomState(3)
+    n = 2000
+    left = (1500 * np.sin(np.arange(n) / 23)).astype(np.int16)
+    right = (left + rng.randint(-40, 40, n)).astype(np.int16)
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    for mode in ("independent", "left_side", "auto"):
+        # 11025 is not in the sample-rate code table -> 16-bit Hz escape
+        out, enc = _rt(inter, channels=2, rate=11025, stereo_mode=mode)
+        assert np.array_equal(out, inter), mode
+        info = flac_stream_info(enc)
+        assert info["channels"] == 2 and info["sample_rate"] == 11025
+    # correlated stereo must compress better under left/side
+    _, enc_ind = _rt(inter, channels=2, stereo_mode="independent")
+    _, enc_ls = _rt(inter, channels=2, stereo_mode="left_side")
+    assert len(enc_ls) < len(enc_ind)
+
+
+def test_flac_streaminfo_and_md5_verification():
+    sig = (np.arange(900) % 311 - 155).astype(np.int16)
+    enc = bytearray(encode_flac(sig.tobytes(), rate=48000))
+    info = flac_stream_info(bytes(enc))
+    assert info["total_samples"] == 900
+    assert info["md5"] == hashlib.md5(sig.tobytes()).digest()
+    # flip one MD5 byte in STREAMINFO: CRCs still pass, MD5 gate trips
+    md5_off = bytes(enc).index(info["md5"])
+    enc[md5_off] ^= 0xFF
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(enc))
+    # but an opt-out decode still succeeds (streaming use)
+    _, _, _, pcm = decode_flac(bytes(enc), verify_md5=False)
+    assert np.array_equal(np.frombuffer(pcm, dtype=np.int16), sig)
+
+
+def test_flac_crc_strictness():
+    sig = (np.arange(600) % 100 - 50).astype(np.int16)
+    enc = bytearray(encode_flac(sig.tobytes(), block_size=256))
+    start = flac_stream_info(bytes(enc))["frames_start"]
+    # corrupt one byte inside the first frame's payload
+    enc[start + 8] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|sync|truncated|reserved"):
+        decode_flac(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Hand-built bitstreams for decoder paths the fixture encoder never
+# emits: LPC, fixed orders 3-4, RICE2, escape partitions, partition
+# order > 0, wasted bits, mid/side and right/side stereo.
+
+
+def _streaminfo(rate, channels, bits, total, pcm_md5=b"\x00" * 16):
+    out = bytearray(b"fLaC")
+    info = struct.pack(">HH", 192, 65535) + b"\x00" * 6
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | total
+    info += packed.to_bytes(8, "big") + pcm_md5
+    out.append(0x80)
+    out += (34).to_bytes(3, "big")
+    out += info
+    return out
+
+
+def _frame_header(bw, block_size, ch_code, frame_no=0):
+    bw.write(0x3FFE, 14)
+    bw.write(0, 2)
+    bw.write(7, 4)  # block size: 16-bit at end of header
+    bw.write(5, 4)  # 16 kHz
+    bw.write(ch_code, 4)
+    bw.write(4, 3)  # 16-bit samples
+    bw.write(0, 1)
+    for b in _encode_coded_number(frame_no):
+        bw.write(b, 8)
+    bw.write(block_size - 1, 16)
+
+
+def _finish_frame(bw):
+    bw.align()
+    header = bw.getvalue()
+    # CRC-8 covers the header (everything before it); our builders call
+    # this immediately after the header bits, so split is exact.
+    return header
+
+
+def _emit_rice(bw, residuals, param, method=0, porder=0, pred_order=0,
+               block_size=None):
+    bw.write(method, 2)
+    bw.write(porder, 4)
+    pbits = 4 if method == 0 else 5
+    nparts = 1 << porder
+    idx = 0
+    for p in range(nparts):
+        cnt = block_size >> porder
+        if p == 0:
+            cnt -= pred_order
+        bw.write(param, pbits)
+        for r in residuals[idx : idx + cnt]:
+            z = (r << 1) if r >= 0 else (((-r) << 1) - 1)
+            q = z >> param
+            while q >= 32:
+                bw.write(0, 32)
+                q -= 32
+            bw.write(1, q + 1)
+            if param:
+                bw.write(z, param)
+        idx += cnt
+    assert idx == len(residuals)
+
+
+def _build_stream(body_builder, block_size, channels=1, ch_code=None,
+                  total=None):
+    """Assemble fLaC + STREAMINFO + one frame whose subframe bits are
+    written by ``body_builder(bw)``."""
+    ch_code = channels - 1 if ch_code is None else ch_code
+    hdr = _BitWriter()
+    _frame_header(hdr, block_size, ch_code)
+    hdr.align()
+    header = hdr.getvalue()
+    body = _BitWriter()
+    body_builder(body)
+    body.align()
+    frame = header + bytes([_crc8(header)]) + body.getvalue()
+    frame += _crc16(frame).to_bytes(2, "big")
+    out = _streaminfo(16000, channels, 16,
+                      block_size if total is None else total)
+    return bytes(out) + frame
+
+
+def test_flac_decoder_lpc_subframe():
+    # target signal obeying s[i] = r[i] + ((c0*s[i-1] + c1*s[i-2]) >> shift)
+    n, order, shift = 64, 2, 4
+    coefs = [30, -15]
+    sig = [100, 103]
+    residuals = []
+    rng = np.random.RandomState(5)
+    for i in range(order, n):
+        pred = (coefs[0] * sig[i - 1] + coefs[1] * sig[i - 2]) >> shift
+        r = int(rng.randint(-8, 8))
+        sig.append(pred + r)
+        residuals.append(r)
+
+    def body(bw):
+        bw.write(0, 1)
+        bw.write(32 + (order - 1), 6)  # LPC order 2
+        bw.write(0, 1)  # no wasted bits
+        for s in sig[:order]:
+            bw.write(s & 0xFFFF, 16)
+        bw.write(6 - 1, 4)  # precision 6
+        bw.write(shift, 5)
+        for c in coefs:
+            bw.write(c & 0x3F, 6)
+        _emit_rice(bw, residuals, param=3, pred_order=order,
+                   block_size=n)
+
+    rate, ch, bits, pcm = decode_flac(_build_stream(body, n))
+    assert np.array_equal(np.frombuffer(pcm, dtype=np.int16),
+                          np.array(sig, dtype=np.int16))
+
+
+def test_flac_decoder_fixed_orders_3_4_and_partitions():
+    n = 64
+    for order in (3, 4):
+        sig = list(range(-order, 0))  # warmup
+        from adtl_spark.operators.flac_lite import _FIXED_COEFS
+
+        coefs = _FIXED_COEFS[order]
+        residuals = []
+        for i in range(order, n):
+            r = (i * 7) % 5 - 2
+            pred = sum(c * sig[i - 1 - j] for j, c in enumerate(coefs))
+            sig.append(pred + r)
+            residuals.append(r)
+
+        def body(bw, order=order, sig=sig, residuals=residuals):
+            bw.write(0, 1)
+            bw.write(8 + order, 6)
+            bw.write(0, 1)
+            for s in sig[:order]:
+                bw.write(s & 0xFFFF, 16)
+            # partition order 1: two partitions exercise the
+            # first-partition predictor-order discount
+            _emit_rice(bw, residuals, param=2, porder=1,
+                       pred_order=order, block_size=n)
+
+        _, _, _, pcm = decode_flac(_build_stream(body, n))
+        got = np.frombuffer(pcm, dtype=np.int16)
+        assert np.array_equal(got, np.array(sig, dtype=np.int16)), order
+
+
+def test_flac_decoder_rice2_escape_and_wasted_bits():
+    n = 32
+    base = [((i * 5) % 17 - 8) * 4 for i in range(n)]  # 2 wasted bits
+
+    def body(bw):
+        bw.write(0, 1)
+        bw.write(8, 6)  # FIXED order 0
+        bw.write(1, 1)  # wasted-bits flag
+        bw.write(1, 2)  # unary 1 -> k-1=1 -> 2 wasted bits
+        shifted = [s >> 2 for s in base]
+        # RICE2 method with an escaped partition: raw 6-bit residuals
+        bw.write(1, 2)  # method=RICE2
+        bw.write(0, 4)  # one partition
+        bw.write(31, 5)  # escape
+        bw.write(6, 5)  # 6 raw bits per residual
+        for s in shifted:
+            bw.write(s & 0x3F, 6)
+
+    _, _, _, pcm = decode_flac(_build_stream(body, n))
+    assert np.array_equal(np.frombuffer(pcm, dtype=np.int16),
+                          np.array(base, dtype=np.int16))
+
+
+def test_flac_decoder_mid_side_and_right_side():
+    n = 48
+    rng = np.random.RandomState(9)
+    left = rng.randint(-2000, 2000, n).astype(int).tolist()
+    right = [l - int(d) for l, d in zip(left, rng.randint(-30, 30, n))]
+    mid = [(l + r) >> 1 for l, r in zip(left, right)]
+    side = [l - r for l, r in zip(left, right)]
+
+    def verbatim(bw, vals, bps):
+        bw.write(0, 1)
+        bw.write(1, 6)
+        bw.write(0, 1)
+        for v in vals:
+            bw.write(v & ((1 << bps) - 1), bps)
+
+    def body_ms(bw):
+        verbatim(bw, mid, 16)
+        verbatim(bw, side, 17)  # side channel at +1 bit
+
+    _, ch, _, pcm = decode_flac(
+        _build_stream(body_ms, n, channels=2, ch_code=10)
+    )
+    got = np.frombuffer(pcm, dtype=np.int16)
+    assert ch == 2
+    assert got[0::2].tolist() == left and got[1::2].tolist() == right
+
+    def body_rs(bw):
+        verbatim(bw, side, 17)  # right/side stores side first
+        verbatim(bw, right, 16)
+
+    _, _, _, pcm2 = decode_flac(
+        _build_stream(body_rs, n, channels=2, ch_code=9)
+    )
+    got2 = np.frombuffer(pcm2, dtype=np.int16)
+    assert got2[0::2].tolist() == left and got2[1::2].tolist() == right
+
+
+def test_decode_audio_dispatches_flac():
+    from adtl_spark.operators.multimodal import decode_audio
+
+    sig = (np.arange(500) % 201 - 100).astype(np.int16)
+    rate, ch, bits, pcm = decode_audio(
+        encode_flac(sig.tobytes(), rate=22050)
+    )
+    assert (rate, ch, bits) == (22050, 1, 16)
+    assert np.array_equal(np.frombuffer(pcm, dtype=np.int16), sig)
