@@ -769,6 +769,173 @@ def _wav_format_tag(payload: bytes) -> int | None:
     return None
 
 
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3) metadata probe.  Full Layer III DECODE stays the
+# documented env-blocked stub (huffman/IMDCT/synthesis need a codec
+# library); the frame-header layer, however, is simple public structure
+# (ISO/IEC 11172-3 §2.4.1) and is all a corpus pipeline needs for
+# duration/bitrate/VBR stats, sharding decisions, and format audits.
+
+# kbps tables indexed 1..14 (index 0 = free format, 15 = invalid),
+# keyed by (MPEG-1?, layer)
+_MPEG_BITRATES = {
+    (True, 1): (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    (True, 2): (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    (True, 3): (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+    (False, 1): (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    (False, 2): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (False, 3): (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample-rate tables keyed by the 2-bit version field
+# (0b00 = MPEG-2.5, 0b10 = MPEG-2, 0b11 = MPEG-1)
+_MPEG_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+_MPEG_VERSION_NAME = {3: "1", 2: "2", 0: "2.5"}
+
+
+def _mpeg_frame_bytes(version_bits: int, layer: int, kbps: int,
+                      rate: int, padding: int) -> int:
+    bps = kbps * 1000
+    if layer == 1:
+        return (12 * bps // rate + padding) * 4
+    if layer == 3 and version_bits != 3:  # MPEG-2/2.5 Layer III: 576 spf
+        return 72 * bps // rate + padding
+    return 144 * bps // rate + padding
+
+
+def _mpeg_frame_samples(version_bits: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 3 and version_bits != 3:
+        return 576
+    return 1152
+
+
+def probe_mpeg_audio(payload: bytes) -> dict:
+    """Walk an MPEG audio (MP3/MP2/MP1) stream's frame headers and
+    return corpus-level metadata WITHOUT decoding audio:
+
+    ``{version, layer, sample_rate, channels, n_frames, total_samples,
+    duration_ms, total_bytes, avg_kbps, vbr, id3v2_bytes}``
+
+    Handles a leading ID3v2 tag (syncsafe size, optional footer), a
+    trailing ID3v1 tag, padding bits, and mixed-bitrate (VBR) streams;
+    stops at the first byte that is not a valid frame header and raises
+    if no frame was found (so junk never probes as audio).  Pure header
+    arithmetic from the public ISO/IEC 11172-3 frame format — the
+    decode stub in :func:`decode_audio` is unaffected."""
+    pos = 0
+    id3v2 = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        id3v2 = 10 + size + (10 if payload[5] & 0x10 else 0)
+        pos = id3v2
+    n_frames = 0
+    total_samples = 0
+    duration_us = 0
+    kbps_seen: set[int] = set()
+    kbps_sum = 0
+    meta = None
+    while pos + 4 <= len(payload):
+        h = int.from_bytes(payload[pos : pos + 4], "big")
+        if (h >> 21) != 0x7FF:
+            break
+        version_bits = (h >> 19) & 0x3
+        layer_bits = (h >> 17) & 0x3
+        if version_bits == 1 or layer_bits == 0:
+            break
+        layer = 4 - layer_bits
+        br_idx = (h >> 12) & 0xF
+        sr_idx = (h >> 10) & 0x3
+        if br_idx in (0, 15) or sr_idx == 3:
+            break
+        padding = (h >> 9) & 0x1
+        mode = (h >> 6) & 0x3
+        kbps = _MPEG_BITRATES[(version_bits == 3, layer)][br_idx - 1]
+        rate = _MPEG_RATES[version_bits][sr_idx]
+        channels = 1 if mode == 3 else 2
+        if meta is None:
+            meta = (version_bits, layer, rate, channels)
+        elif meta[:3] != (version_bits, layer, rate):
+            break  # format change mid-stream: stop at consistent prefix
+        flen = _mpeg_frame_bytes(version_bits, layer, kbps, rate, padding)
+        if pos + flen > len(payload):
+            break  # truncated final frame: exclude it
+        spf = _mpeg_frame_samples(version_bits, layer)
+        n_frames += 1
+        total_samples += spf
+        duration_us += spf * 1_000_000 // rate
+        kbps_seen.add(kbps)
+        kbps_sum += kbps
+        pos += flen
+    if meta is None:
+        raise ValueError("no MPEG audio frame found")
+    return {
+        "version": _MPEG_VERSION_NAME[meta[0]],
+        "layer": meta[1],
+        "sample_rate": meta[2],
+        "channels": meta[3],
+        "n_frames": n_frames,
+        "total_samples": total_samples,
+        "duration_ms": duration_us // 1000,
+        "total_bytes": pos - id3v2,
+        "avg_kbps": kbps_sum // n_frames,
+        "vbr": len(kbps_seen) > 1,
+        "id3v2_bytes": id3v2,
+    }
+
+
+def build_mpeg_audio(
+    frame_kbps: list[int],
+    version: str = "1",
+    layer: int = 3,
+    rate: int = 44100,
+    channels: int = 2,
+    pad_every: int = 0,
+    id3v2_size: int = 0,
+) -> bytes:
+    """Construct a structurally valid MPEG audio stream: real frame
+    headers with the requested per-frame bitrates (mixed list = VBR),
+    zeroed frame payloads, optional ID3v2 preamble.  Fixture-side
+    counterpart of :func:`probe_mpeg_audio` — the headers are exactly
+    what an encoder would emit, so any conformant prober agrees on
+    frame count/duration/bitrate; only the audio payload is silence."""
+    version_bits = {"1": 3, "2": 2, "2.5": 0}[version]
+    rates = _MPEG_RATES[version_bits]
+    sr_idx = rates.index(rate)
+    table = _MPEG_BITRATES[(version_bits == 3, layer)]
+    out = bytearray()
+    if id3v2_size:
+        body = max(0, id3v2_size - 10)
+        out += b"ID3\x04\x00\x00"
+        out += bytes(
+            [(body >> 21) & 0x7F, (body >> 14) & 0x7F,
+             (body >> 7) & 0x7F, body & 0x7F]
+        )
+        out += b"\x00" * body
+    for f, kbps in enumerate(frame_kbps):
+        padding = 1 if pad_every and (f + 1) % pad_every == 0 else 0
+        br_idx = table.index(kbps) + 1
+        h = (
+            (0x7FF << 21)
+            | (version_bits << 19)
+            | ((4 - layer) << 17)
+            | (1 << 16)  # no CRC
+            | (br_idx << 12)
+            | (sr_idx << 10)
+            | (padding << 9)
+            | ((3 if channels == 1 else 0) << 6)
+        )
+        flen = _mpeg_frame_bytes(version_bits, layer, kbps, rate, padding)
+        out += h.to_bytes(4, "big") + b"\x00" * (flen - 4)
+    return bytes(out)
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
     WAV/PCM, IMA ADPCM (format tag 0x11), G.711 µ-law/A-law (tags

@@ -4241,6 +4241,86 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-audio (MP3) metadata probing WITHOUT decode: per document a
+    structurally valid MPEG-1 Layer III stream is built (real frame
+    headers — CBR at 128 kbps for even ids, VBR cycling 64/80/96 for
+    odd — behind an ID3v2 preamble of id-derived size), then
+    probe_mpeg_audio walks the frame headers and reports frame count,
+    duration, byte length, average bitrate, VBR flag and the ID3 skip.
+    This is the honest MP3 surface for a corpus pipeline (stats/
+    sharding/format audit from pure public header arithmetic, ISO/IEC
+    11172-3 §2.4.1); sample DECODE remains the documented env-blocked
+    stub.  The oracle replays the frame-length arithmetic
+    (144000·kbps//rate per frame) and the duration integer math
+    exactly (multimodal.probe_mpeg_audio/build_mpeg_audio)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.multimodal import (
+            build_mpeg_audio,
+            probe_mpeg_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                nf = 40 + d % 17
+                rate = (44100, 48000, 32000)[d % 3]
+                ch = 1 if d % 3 == 0 else 2
+                kbps = (
+                    [(64, 80, 96)[f % 3] for f in range(nf)]
+                    if d % 2 == 1
+                    else [128] * nf
+                )
+                p = build_mpeg_audio(
+                    kbps,
+                    rate=rate,
+                    channels=ch,
+                    id3v2_size=10 + d % 40,
+                )
+                r = probe_mpeg_audio(p)
+                rows.append(
+                    (
+                        d,
+                        r["n_frames"],
+                        r["sample_rate"],
+                        r["channels"],
+                        r["duration_ms"],
+                        r["total_bytes"],
+                        r["avg_kbps"],
+                        r["vbr"],
+                        r["id3v2_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "sample_rate",
+                    "channels",
+                    "duration_ms",
+                    "total_bytes",
+                    "avg_kbps",
+                    "vbr",
+                    "id3v2_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_frames long, sample_rate int, channels int, "
+            "duration_ms long, total_bytes long, avg_kbps long, "
+            "vbr boolean, id3v2_bytes long"
+        ),
+    ).orderBy("media_id")
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executed video frame sampling value-checked end to end: per
     document a reference-container video (4-8 arith P6 frames at 4 fps,
@@ -7036,6 +7116,47 @@ def oracles() -> dict[str, str]:
                    TRUE AS compressed
             FROM s GROUP BY doc_id ORDER BY media_id
         """,
+        # header-arithmetic probe: frame lengths, integer-duration math
+        # and the ID3 skip all replayed exactly
+        "multimodal_mp3_probe": """
+            WITH d AS (
+              SELECT doc_id,
+                     40 + doc_id % 17 AS nf,
+                     CASE doc_id % 3 WHEN 0 THEN 44100
+                                     WHEN 1 THEN 48000
+                                     ELSE 32000 END AS rate,
+                     doc_id % 2 = 1 AS vbr,
+                     CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS ch,
+                     10 + doc_id % 40 AS id3
+              FROM documents
+            ),
+            f AS (
+              SELECT doc_id, nf, rate, vbr, ch, id3,
+                     unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS f
+              FROM d
+            ),
+            k AS (
+              SELECT doc_id, nf, rate, vbr, ch, id3,
+                     CASE WHEN vbr THEN
+                            CASE f % 3 WHEN 0 THEN 64
+                                       WHEN 1 THEN 80
+                                       ELSE 96 END
+                          ELSE 128 END AS kbps
+              FROM f
+            )
+            SELECT doc_id AS media_id,
+                   CAST(MAX(nf) AS BIGINT) AS n_frames,
+                   CAST(MAX(rate) AS INT) AS sample_rate,
+                   CAST(MAX(ch) AS INT) AS channels,
+                   CAST(MAX(nf) * ((1152 * 1000000) // MAX(rate)) // 1000
+                        AS BIGINT) AS duration_ms,
+                   CAST(SUM((144000 * kbps) // rate) AS BIGINT)
+                     AS total_bytes,
+                   CAST(SUM(kbps) // MAX(nf) AS BIGINT) AS avg_kbps,
+                   BOOL_OR(vbr) AS vbr,
+                   CAST(MAX(id3) AS BIGINT) AS id3v2_bytes
+            FROM k GROUP BY doc_id ORDER BY media_id
+        """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
         # every output pixel = floor over 4 of its 2x2 block's byte sum,
         # q = 0..3 encoding (dy, dx) = (q // 2, q % 2)
@@ -8142,9 +8263,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the eight gates new this round: the FLAC
+    1. The window head holds the nine gates new this round: the FLAC
        lossless round trip (``multimodal_flac_roundtrip`` — the oracle
-       replays the decoded samples themselves), the G.711 µ-law/A-law
+       replays the decoded samples themselves), the MPEG-audio header
+       probe (``multimodal_mp3_probe``), the G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
@@ -8153,7 +8275,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 42 slots refresh the LEAST-recently driver-verified
+    2. The remaining 41 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8180,8 +8302,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the eight gates new this round --
+        # -- r9 window head: the nine gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
+        "multimodal_mp3_probe": multimodal_mp3_probe,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

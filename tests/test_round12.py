@@ -302,3 +302,58 @@ def test_decode_audio_dispatches_flac():
     )
     assert (rate, ch, bits) == (22050, 1, 16)
     assert np.array_equal(np.frombuffer(pcm, dtype=np.int16), sig)
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio header probe (multimodal.probe_mpeg_audio).
+
+
+def test_mpeg_probe_cbr_vbr_and_id3():
+    from adtl_spark.operators.multimodal import (
+        build_mpeg_audio,
+        probe_mpeg_audio,
+    )
+
+    r = probe_mpeg_audio(build_mpeg_audio([128] * 40, rate=44100))
+    assert r["n_frames"] == 40 and not r["vbr"]
+    # 144000*128//44100 = 417 bytes/frame
+    assert r["total_bytes"] == 40 * (144000 * 128 // 44100)
+    assert r["duration_ms"] == 40 * (1152 * 1_000_000 // 44100) // 1000
+
+    r2 = probe_mpeg_audio(
+        build_mpeg_audio(
+            [64, 80, 96] * 10, version="2.5", layer=2, rate=8000,
+            channels=1, pad_every=3, id3v2_size=57,
+        )
+    )
+    assert r2["vbr"] and r2["id3v2_bytes"] == 57
+    assert r2["version"] == "2.5" and r2["channels"] == 1
+    # padding adds exactly one byte on every third frame (layer 2)
+    base = sum(144000 * k // 8000 for k in [64, 80, 96] * 10)
+    assert r2["total_bytes"] == base + 10
+
+
+def test_mpeg_probe_layer_variants_and_strictness():
+    import pytest as _pytest
+
+    from adtl_spark.operators.multimodal import (
+        build_mpeg_audio,
+        probe_mpeg_audio,
+    )
+
+    # Layer I: 384 samples/frame, 4-byte-slot lengths
+    r = probe_mpeg_audio(build_mpeg_audio([224] * 7, layer=1, rate=32000))
+    assert r["layer"] == 1 and r["total_samples"] == 7 * 384
+    # MPEG-2 Layer III: 576 samples/frame
+    r2 = probe_mpeg_audio(
+        build_mpeg_audio([64] * 10, version="2", layer=3, rate=16000)
+    )
+    assert r2["total_samples"] == 5760
+    # trailing junk is excluded, junk-only raises
+    p = build_mpeg_audio([128] * 5)
+    assert probe_mpeg_audio(p + b"TAG" + b"\x00" * 125)["n_frames"] == 5
+    with _pytest.raises(ValueError, match="no MPEG audio frame"):
+        probe_mpeg_audio(b"\x00" * 64)
+    # a truncated final frame is excluded from every tally
+    r3 = probe_mpeg_audio(p[:-10])
+    assert r3["n_frames"] == 4 and r3["total_bytes"] == len(p) // 5 * 4
