@@ -3787,6 +3787,76 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl ``.warc.gz`` wire format exercised end to end:
+    per document a WARC response record (correct Content-Length) is
+    compressed as its OWN gzip member (the record-per-member layout CC
+    ships and its CDX index range-requests into), 64 members are
+    concatenated per archive blob, and ingestion runs the real path —
+    ``gzip_member_records`` boundary-exact member split (zlib
+    unused_data walk, no magic-byte scanning) into
+    ``parse_warc_records_strict`` Content-Length record parsing.  The
+    oracle rebuilds every field from ``documents`` directly, so the
+    compress/split/parse chain must be an exact identity: record text,
+    Content-Length, and each record's member position within its
+    archive (sources/io.py: split_gzip_members, gzip_member_records,
+    gzip_members_bytes)."""
+    from adtl_spark.sources.io import (
+        gzip_member_records,
+        parse_warc_records_strict,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_archive(pdf):
+        import pandas as pd
+
+        from adtl_spark.sources.io import gzip_members_bytes
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d, t in zip(pdf["doc_id"], pdf["text"]):
+            body = f"D{int(d)}:{(t or '')[:80]}"
+            rec = (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://corpus.test/doc/{int(d)}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+            )
+            recs.append(rec.encode("utf-8"))
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["__f"].iloc[0])],
+                "content": [gzip_members_bytes(recs)],
+            }
+        )
+
+    # one archive per 64 consecutive docs: file count scales with the
+    # corpus, each group's in-memory archive stays 64-record-bounded
+    archives = (
+        docs.withColumn("__f", F.floor(F.col("doc_id") / 64))
+        .groupBy("__f")
+        .applyInPandas(build_archive, schema="archive_id long, content binary")
+    )
+    members = gzip_member_records(archives)
+    recs = parse_warc_records_strict(
+        members, content_col="value", passthrough=("member_pos",)
+    )
+    return (
+        recs.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("rec_text"),
+            F.col("content_length"),
+            # the REAL member position from the gzip split, carried
+            # through parsing — the oracle pins it to doc_id % 64
+            F.col("member_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIR GENERATION value-checked end to end: 20
     arithmetic textures replicated across the corpus, with every odd id
@@ -7354,6 +7424,18 @@ def oracles() -> dict[str, str]:
             FROM c GROUP BY doc_id, fi ORDER BY media_id
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
+        # compress -> member-split -> strict-parse must be an identity;
+        # member_pos comes from the actual gzip walk, pinned to id%64
+        "web_warc_gz_roundtrip": """
+            SELECT doc_id,
+                   'D' || CAST(doc_id AS VARCHAR) || ':'
+                       || substr(text, 1, 80) AS rec_text,
+                   CAST(length('D' || CAST(doc_id AS VARCHAR) || ':'
+                       || substr(text, 1, 80)) AS BIGINT)
+                     AS content_length,
+                   CAST(doc_id % 64 AS BIGINT) AS member_pos
+            FROM documents ORDER BY doc_id
+        """,
         "web_tar_roundtrip": """
             SELECT doc_id, text,
                    CAST(strlen(text) AS BIGINT) AS n_bytes
@@ -8263,10 +8345,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the nine gates new this round: the FLAC
+    1. The window head holds the ten gates new this round: the FLAC
        lossless round trip (``multimodal_flac_roundtrip`` — the oracle
        replays the decoded samples themselves), the MPEG-audio header
-       probe (``multimodal_mp3_probe``), the G.711 µ-law/A-law
+       probe (``multimodal_mp3_probe``), the CommonCrawl
+       record-per-member ``.warc.gz`` round trip
+       (``web_warc_gz_roundtrip``), the G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
@@ -8275,7 +8359,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 41 slots refresh the LEAST-recently driver-verified
+    2. The remaining 40 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8302,9 +8386,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the nine gates new this round --
+        # -- r9 window head: the ten gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
+        "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -731,7 +731,9 @@ def parse_warc_records(
 
 
 def parse_warc_records_strict(
-    files: DataFrame, content_col: str = "value"
+    files: DataFrame,
+    content_col: str = "value",
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Conformant WARC record parsing: like :func:`parse_warc_records`
     (same output schema, equal rows on well-formed archives — tested)
@@ -747,7 +749,12 @@ def parse_warc_records_strict(
     archives; the Column path remains the SQL-replayable fast path for
     text archives where payload collisions cannot occur (WET, test
     fixtures, synthetic corpora).  Character-addressed like the Column
-    path (byte-exact for ASCII/8-bit payloads)."""
+    path (byte-exact for ASCII/8-bit payloads).
+
+    ``passthrough`` names input columns copied verbatim onto every
+    record parsed from that row — provenance for CDX-style indexing
+    (archive path, gzip member offset from
+    :func:`gzip_member_records`)."""
     import re
     from typing import Iterator
 
@@ -806,20 +813,117 @@ def parse_warc_records_strict(
             "record_id",
             "content_length",
             "content",
-        ]
+        ] + list(passthrough)
         for pdf in batches:
-            rows = [
-                rec for c in pdf[content_col] if c is not None for rec in walk(c)
-            ]
+            rows = []
+            for _, row in pdf.iterrows():
+                c = row[content_col]
+                if c is None:
+                    continue
+                extra = tuple(row[p] for p in passthrough)
+                for rec in walk(c):
+                    rows.append(rec + extra)
             yield pd.DataFrame(rows, columns=cols)
 
-    return files.mapInPandas(
-        run,
-        schema=(
-            "rec_pos long, warc_type string, target_uri string, "
-            "record_id string, content_length long, content string"
-        ),
+    base_schema = (
+        "rec_pos long, warc_type string, target_uri string, "
+        "record_id string, content_length long, content string"
     )
+    if passthrough:
+        # provenance columns (archive path, gzip member offset/position,
+        # ...) copied verbatim onto every record parsed from that input
+        # row — what a CDX-style index build needs downstream
+        in_schema = {f.name: f.dataType.simpleString() for f in files.schema}
+        base_schema += "".join(f", {p} {in_schema[p]}" for p in passthrough)
+    return files.mapInPandas(run, schema=base_schema)
+
+
+def split_gzip_members(data: bytes) -> list:
+    """Split a concatenation of gzip members — the ``.warc.gz`` /
+    ``.wet.gz`` layout CommonCrawl ships, one member per WARC record —
+    into ``(offset, compressed_len, payload_bytes)`` triples.  Walks
+    members with ``zlib.decompressobj(wbits=31)`` and the ``unused_data``
+    tail, so member boundaries are exact (no magic-byte scanning, which
+    would false-split on 0x1f8b inside compressed payloads).  The
+    offsets are precisely what the CommonCrawl CDX index publishes for
+    range-request access, so a manifest built from them supports
+    offset-keyed partial reads at scale."""
+    import zlib
+
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        payload = d.decompress(data[pos:])
+        payload += d.flush()
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        consumed = (n - pos) - len(d.unused_data)
+        out.append((pos, consumed, payload))
+        pos += consumed
+    return out
+
+
+def gzip_members_bytes(payloads, mtime: int = 0) -> bytes:
+    """Concatenate ``payloads`` (bytes) as independent gzip members —
+    the writer side of :func:`split_gzip_members` and the exact
+    ``.warc.gz`` record-per-member layout.  ``mtime=0`` pins the gzip
+    header so output is byte-deterministic across runs/partitions."""
+    import gzip
+
+    return b"".join(gzip.compress(p, mtime=mtime) for p in payloads)
+
+
+def gzip_member_records(
+    files: DataFrame,
+    content_col: str = "content",
+    encoding: str = "utf-8",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Expand binary ``.gz``-member archives (e.g. from
+    ``spark.read.format('binaryFile')``) into one row per member:
+    ``(member_pos, member_off, member_len, value)`` with the payload
+    decoded as text — feed ``value`` to :func:`parse_warc_records_strict`
+    for the CommonCrawl one-record-per-member contract.
+
+    Arrow-batched ``mapInPandas`` over whole files: gzip members are
+    sequential WITHIN a file by construction (each member's end is only
+    known after inflating it), so the parallel unit is the archive file
+    — the same unit as the uncompressed WARC readers, and the right one
+    at 100 TB where a crawl ships as many ~1 GB archives.  The emitted
+    ``member_off`` doubles as the CDX-style offset for later
+    range-request access; ``passthrough`` copies input columns (the
+    archive path/id — offsets are only meaningful WITH their archive)
+    onto every member row."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["member_pos", "member_off", "member_len", "value"] + list(
+            passthrough
+        )
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                blob = row[content_col]
+                if blob is None:
+                    continue
+                extra = tuple(row[p] for p in passthrough)
+                for i, (off, clen, payload) in enumerate(
+                    split_gzip_members(bytes(blob))
+                ):
+                    rows.append(
+                        (i, off, clen, payload.decode(encoding)) + extra
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = "member_pos long, member_off long, member_len long, value string"
+    if passthrough:
+        in_schema = {f.name: f.dataType.simpleString() for f in files.schema}
+        schema += "".join(f", {p} {in_schema[p]}" for p in passthrough)
+    return files.mapInPandas(run, schema=schema)
 
 
 def wet_documents(files: DataFrame, content_col: str = "value") -> DataFrame:

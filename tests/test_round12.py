@@ -357,3 +357,73 @@ def test_mpeg_probe_layer_variants_and_strictness():
     # a truncated final frame is excluded from every tally
     r3 = probe_mpeg_audio(p[:-10])
     assert r3["n_frames"] == 4 and r3["total_bytes"] == len(p) // 5 * 4
+
+
+# ---------------------------------------------------------------------------
+# gzip-member archives (.warc.gz layout) — sources/io.py.
+
+
+def test_split_gzip_members_roundtrip_and_offsets():
+    import gzip
+
+    from adtl_spark.sources.io import gzip_members_bytes, split_gzip_members
+
+    payloads = [b"alpha", b"", b"WARC/1.0\r\n" * 40, bytes(range(256)) * 9]
+    blob = gzip_members_bytes(payloads)
+    got = split_gzip_members(blob)
+    assert [g[2] for g in got] == payloads
+    # offsets tile the blob exactly: off[i+1] = off[i] + clen[i]
+    pos = 0
+    for off, clen, _ in got:
+        assert off == pos
+        pos += clen
+    assert pos == len(blob)
+    # deterministic output (mtime pinned)
+    assert blob == gzip_members_bytes(payloads)
+    # a payload containing the gzip magic must NOT false-split
+    tricky = [b"x" + bytes([0x1F, 0x8B, 0x08]) * 50, b"y"]
+    assert [g[2] for g in split_gzip_members(gzip_members_bytes(tricky))] \
+        == tricky
+    # truncated member raises with the offset
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        split_gzip_members(blob[:-3])
+    # plain single-member gzip still works (a .gz that is not an archive)
+    assert split_gzip_members(gzip.compress(b"solo"))[0][2] == b"solo"
+
+
+def test_gzip_member_records_and_strict_parse_passthrough(spark):
+    from adtl_spark.sources.io import (
+        gzip_member_records,
+        gzip_members_bytes,
+        parse_warc_records_strict,
+    )
+
+    recs = []
+    for i in range(5):
+        body = f"payload-{i}\r\n\r\nWARC/1.0\r\nnot-a-record"
+        recs.append(
+            (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://t/{i}\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n{body}\r\n\r\n"
+            ).encode()
+        )
+    files = spark.createDataFrame(
+        [(0, bytearray(gzip_members_bytes(recs[:3]))),
+         (1, bytearray(gzip_members_bytes(recs[3:])))],
+        "archive_id long, content binary",
+    )
+    members = gzip_member_records(files, passthrough=("archive_id",))
+    rows = members.orderBy("archive_id", "member_off").collect()
+    assert [r.member_pos for r in rows if r.member_len > 0] == [0, 1, 2, 0, 1]
+    assert [r.archive_id for r in rows] == [0, 0, 0, 1, 1]
+    parsed = parse_warc_records_strict(
+        members, content_col="value", passthrough=("member_pos", "member_off")
+    ).collect()
+    assert len(parsed) == 5
+    for r in parsed:
+        i = int(r.target_uri.rsplit("/", 1)[1])
+        # Content-Length cut kept the WARC-looking payload intact
+        assert r.content.startswith(f"payload-{i}\r\n\r\nWARC/1.0")
+        assert r.member_pos == (i if i < 3 else i - 3)
+        assert r.member_off >= 0
