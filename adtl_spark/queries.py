@@ -3787,6 +3787,43 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF ingestion value-checked end to end: per document a real PDF
+    is written (1-3 pages from id arithmetic, one 40-char text slice
+    per page, Flate-compressed content streams, correct page tree and
+    xref) and the extraction path runs — object scan, Flate inflate,
+    catalog→Kids page-order walk, content-stream string lexing with
+    escape handling — emitting the page count and the reassembled text.
+    The oracle rebuilds the page slices from ``documents`` with substr
+    arithmetic, so the write→extract chain must be an exact identity
+    including paren/backslash escaping (operators/pdf_lite.py)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = t or ""
+                np_ = 1 + d % 3
+                pages = [[t[40 * p : 40 * p + 40]] for p in range(np_)]
+                got = pdf_pages(build_pdf(pages))
+                text = "\n".join(got)
+                rows.append((d, len(got), text, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "text", "n_chars"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_pages long, text string, n_chars long",
+    ).orderBy("doc_id")
+
+
 def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CommonCrawl ``.warc.gz`` wire format exercised end to end:
     per document a WARC response record (correct Content-Length) is
@@ -7424,6 +7461,28 @@ def oracles() -> dict[str, str]:
             FROM c GROUP BY doc_id, fi ORDER BY media_id
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
+        # write->extract identity: page slices replayed with substr
+        "doc_pdf_extract": """
+            WITH d AS (
+              SELECT doc_id, text, 1 + doc_id % 3 AS np FROM documents
+            ),
+            p AS (
+              SELECT doc_id, np, text,
+                     unnest(generate_series(0, CAST(np - 1 AS BIGINT))) AS p
+              FROM d
+            ),
+            pg AS (
+              SELECT doc_id, np, p,
+                     substr(text, CAST(1 + 40 * p AS BIGINT), 40) AS pt
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(MAX(np) AS BIGINT) AS n_pages,
+                   COALESCE(string_agg(pt, chr(10) ORDER BY p), '') AS text,
+                   CAST(length(COALESCE(string_agg(pt, chr(10) ORDER BY p),
+                                        '')) AS BIGINT) AS n_chars
+            FROM pg GROUP BY doc_id ORDER BY doc_id
+        """,
         # compress -> member-split -> strict-parse must be an identity;
         # member_pos comes from the actual gzip walk, pinned to id%64
         "web_warc_gz_roundtrip": """
@@ -8345,12 +8404,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the ten gates new this round: the FLAC
+    1. The window head holds the eleven gates new this round: the FLAC
        lossless round trip (``multimodal_flac_roundtrip`` — the oracle
        replays the decoded samples themselves), the MPEG-audio header
        probe (``multimodal_mp3_probe``), the CommonCrawl
        record-per-member ``.warc.gz`` round trip
-       (``web_warc_gz_roundtrip``), the G.711 µ-law/A-law
+       (``web_warc_gz_roundtrip``), PDF text extraction
+       (``doc_pdf_extract``), the G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
@@ -8359,7 +8419,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 40 slots refresh the LEAST-recently driver-verified
+    2. The remaining 39 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8386,10 +8446,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the ten gates new this round --
+        # -- r9 window head: the eleven gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
+        "doc_pdf_extract": doc_pdf_extract,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -427,3 +427,108 @@ def test_gzip_member_records_and_strict_parse_passthrough(spark):
         assert r.content.startswith(f"payload-{i}\r\n\r\nWARC/1.0")
         assert r.member_pos == (i if i < 3 else i - 3)
         assert r.member_off >= 0
+
+
+# ---------------------------------------------------------------------------
+# PDF text extraction (operators/pdf_lite.py).
+
+
+def test_pdf_roundtrip_escapes_pages_and_compression():
+    from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages, pdf_text
+
+    pages = [
+        ["hello world", "line (two) \\ done", ""],
+        ["page 2 with )unbalanced( parens"],
+        [],
+    ]
+    for compress in (True, False):
+        got = pdf_pages(build_pdf(pages, compress=compress))
+        assert got == [
+            "hello world\nline (two) \\ done",
+            "page 2 with )unbalanced( parens",
+            "",
+        ], compress
+    assert pdf_text(build_pdf([["a"], ["b"]]), page_sep="|") == "a|b"
+
+
+def test_pdf_extractor_tj_arrays_hex_octal_and_quote_ops():
+    import zlib
+
+    from adtl_spark.operators.pdf_lite import _content_text
+
+    # TJ array with kerning numbers; hex string; octal + named escapes;
+    # ' starts a new line, T* breaks lines
+    cs = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(Hel) -20 (lo) 5 ( )] TJ <776F726C64> Tj "
+        b"T* (o\\143t\\141l \\t tab) Tj "
+        b"(next)' ET"
+    )
+    assert _content_text(cs) == "Hello world\noctal \t tab\nnext"
+    # the same stream must survive a Flate round trip through pdf_pages
+    from adtl_spark.operators.pdf_lite import pdf_pages
+
+    content = zlib.compress(cs)
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+    )
+    assert pdf_pages(pdf) == ["Hello world\noctal \t tab\nnext"]
+
+
+def test_pdf_page_tree_order_beats_document_order():
+    from adtl_spark.operators.pdf_lite import pdf_pages
+
+    def page(num, content_num):
+        return (
+            str(num).encode()
+            + b" 0 obj\n<< /Type /Page /Parent 2 0 R /Contents "
+            + str(content_num).encode() + b" 0 R >>\nendobj\n"
+        )
+
+    def stream(num, text):
+        body = b"BT (" + text + b") Tj ET"
+        return (
+            str(num).encode()
+            + b" 0 obj\n<< /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream\nendobj\n"
+        )
+
+    # Kids list order [5, 3] reverses document order
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>\nendobj\n"
+        + page(3, 4) + stream(4, b"second")
+        + page(5, 6) + stream(6, b"first")
+    )
+    assert pdf_pages(pdf) == ["first", "second"]
+
+
+def test_pdf_strictness_and_fallbacks():
+    import pytest as _pytest
+
+    from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+    with _pytest.raises(ValueError, match="not a PDF"):
+        pdf_pages(b"GIF89a...")
+    with _pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_pages(b"%PDF-1.7\n1 0 obj\n<< /Encrypt 9 0 R >>\nendobj\n")
+    # corrupt Flate stream raises, never silently yields empty text
+    good = bytearray(build_pdf([["abc"]]))
+    i = good.index(b"stream\n") + 9
+    good[i : i + 4] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError, match="Flate"):
+        pdf_pages(bytes(good))
+    # no catalog: falls back to document order instead of zero pages
+    pdf = (
+        b"%PDF-1.7\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 15 >>\nstream\nBT (solo) Tj ET\nendstream\nendobj\n"
+    )
+    assert pdf_pages(pdf) == ["solo"]
