@@ -3787,6 +3787,107 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference fitting over a pairwise comparison log:
+    events become matches between 20 items (ids from event_id
+    arithmetic; the higher-indexed item wins 3 of 4 matches, so fitted
+    strengths must recover the index order), and two exact MM rounds
+    run as edge-list-vs-score-vector joins.  The oracle replays BOTH MM
+    iterations in SQL CTE algebra — per-pair win counts, symmetric
+    games, denominator sums, per-round normalization — so every join
+    and aggregate in the distributed iteration is value-checked at 6
+    decimals (operators/feedback.py:bradley_terry, Hunter 2004)."""
+    from adtl_spark.operators.feedback import bradley_terry
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    a = (F.col("event_id") % 20).alias("a")
+    b = ((F.col("event_id") / 20).cast("long") % 20).alias("b")
+    pairs = (
+        ev.select("event_id", a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.when(
+                F.col("event_id") % 4 != 0,
+                F.greatest("a", "b"),
+            )
+            .otherwise(F.least("a", "b"))
+            .alias("winner"),
+            F.when(
+                F.col("event_id") % 4 != 0,
+                F.least("a", "b"),
+            )
+            .otherwise(F.greatest("a", "b"))
+            .alias("loser"),
+        )
+    )
+    from adtl_spark.operators.monitor import _q6
+
+    out = bradley_terry(pairs, iters=2)
+    return out.select(
+        "item",
+        _q6(F.col("strength")).alias("strength_q6"),
+        F.col("wins").cast("long").alias("wins"),
+        F.col("games").cast("long").alias("games"),
+    ).orderBy("item")
+
+
+def pref_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement: each event contributes one label
+    ((item, rater) unique by id arithmetic: item = event_id // 5, rater
+    = event_id % 5, label = floor(value*10) % 4) and Cohen's kappa is
+    computed for every rater pair from one item self-join — observed
+    agreement vs the chance agreement of the pair's label marginals ON
+    their co-labeled items.  The oracle replays the contingency algebra
+    (agreement counts, per-rater marginals, pe = sum of marginal
+    products) at 6 decimals (operators/feedback.py:pairwise_kappa)."""
+    from adtl_spark.operators.feedback import pairwise_kappa
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    labels = ev.select(
+        (F.col("event_id") / 5).cast("long").alias("item"),
+        (F.col("event_id") % 5).alias("rater"),
+        (F.floor(F.col("value") * 10).cast("long") % 4).alias("label"),
+    )
+    from adtl_spark.operators.monitor import _q6
+
+    out = pairwise_kappa(labels)
+    return out.select(
+        "rater_a",
+        "rater_b",
+        F.col("n_items").cast("long").alias("n_items"),
+        _q6(F.col("po")).alias("po_q6"),
+        _q6(F.col("pe")).alias("pe_q6"),
+        _q6(F.col("kappa")).alias("kappa_q6"),
+    ).orderBy("rater_a", "rater_b")
+
+
+def pref_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa over the same synthetic 5-rater panel: per-item
+    agreement P_i from squared label counts, chance agreement from the
+    global label distribution, off-panel items excluded and counted.
+    One row out; the oracle replays the whole computation
+    (operators/feedback.py:fleiss_kappa)."""
+    from adtl_spark.operators.feedback import fleiss_kappa
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    labels = ev.select(
+        (F.col("event_id") / 5).cast("long").alias("item"),
+        (F.col("event_id") % 5).alias("rater"),
+        (F.floor(F.col("value") * 10).cast("long") % 4).alias("label"),
+    )
+    from adtl_spark.operators.monitor import _q6
+
+    out = fleiss_kappa(labels, n_raters=5)
+    return out.select(
+        F.col("n_items").cast("long").alias("n_items"),
+        F.col("n_raters").cast("int").alias("n_raters"),
+        _q6(F.col("p_bar")).alias("p_bar_q6"),
+        _q6(F.col("p_e")).alias("p_e_q6"),
+        _q6(F.col("kappa")).alias("kappa_q6"),
+        "n_excluded",
+    )
+
+
 def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF ingestion value-checked end to end: per document a real PDF
     is written (1-3 pages from id arithmetic, one 40-char text slice
@@ -7461,6 +7562,161 @@ def oracles() -> dict[str, str]:
             FROM c GROUP BY doc_id, fi ORDER BY media_id
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
+        # both MM rounds replayed in CTE algebra, 6-decimal parity
+        "pref_bradley_terry": """
+            WITH p AS (
+              SELECT event_id,
+                     event_id % 20 AS a,
+                     (event_id // 20) % 20 AS b
+              FROM events
+              WHERE event_id % 20 <> (event_id // 20) % 20
+            ),
+            pw AS (
+              SELECT CASE WHEN event_id % 4 <> 0 THEN greatest(a, b)
+                          ELSE least(a, b) END AS w,
+                     CASE WHEN event_id % 4 <> 0 THEN least(a, b)
+                          ELSE greatest(a, b) END AS l
+              FROM p
+            ),
+            wij AS (SELECT w AS i, l AS j, count(*) AS c
+                    FROM pw GROUP BY 1, 2),
+            games AS (
+              SELECT i, j, SUM(c) AS n_ij FROM (
+                SELECT i, j, c FROM wij
+                UNION ALL SELECT j AS i, i AS j, c FROM wij
+              ) GROUP BY 1, 2
+            ),
+            wins AS (SELECT i, SUM(c) AS wins FROM wij GROUP BY 1),
+            items AS (SELECT DISTINCT i FROM games),
+            s0 AS (SELECT i, 1.0 AS s FROM items),
+            d1 AS (
+              SELECT g.i, SUM(g.n_ij / (si.s + sj.s)) AS d
+              FROM games g
+              JOIN s0 si ON si.i = g.i
+              JOIN s0 sj ON sj.i = g.j
+              GROUP BY g.i
+            ),
+            r1 AS (
+              SELECT items.i, COALESCE(wins.wins, 0) / d1.d AS s
+              FROM items
+              LEFT JOIN wins ON wins.i = items.i
+              JOIN d1 ON d1.i = items.i
+            ),
+            s1 AS (
+              SELECT i, s * (SELECT count(*) FROM items)
+                         / (SELECT SUM(s) FROM r1) AS s
+              FROM r1
+            ),
+            d2 AS (
+              SELECT g.i, SUM(g.n_ij / (si.s + sj.s)) AS d
+              FROM games g
+              JOIN s1 si ON si.i = g.i
+              JOIN s1 sj ON sj.i = g.j
+              GROUP BY g.i
+            ),
+            r2 AS (
+              SELECT items.i, COALESCE(wins.wins, 0) / d2.d AS s
+              FROM items
+              LEFT JOIN wins ON wins.i = items.i
+              JOIN d2 ON d2.i = items.i
+            ),
+            s2 AS (
+              SELECT i, s * (SELECT count(*) FROM items)
+                         / (SELECT SUM(s) FROM r2) AS s
+              FROM r2
+            ),
+            tg AS (SELECT i, SUM(n_ij) AS games FROM games GROUP BY i)
+            SELECT s2.i AS item,
+                   CAST(floor(s2.s * 1000000 + 0.5) AS BIGINT)
+                     AS strength_q6,
+                   CAST(COALESCE(wins.wins, 0) AS BIGINT) AS wins,
+                   CAST(tg.games AS BIGINT) AS games
+            FROM s2
+            LEFT JOIN wins ON wins.i = s2.i
+            JOIN tg ON tg.i = s2.i
+            ORDER BY item
+        """,
+        # contingency-table algebra at 6-decimal parity
+        "pref_rater_kappa": """
+            WITH lab AS (
+              SELECT event_id // 5 AS item,
+                     event_id % 5 AS rater,
+                     CAST(FLOOR(value * 10) AS BIGINT) % 4 AS label
+              FROM events
+            ),
+            co AS (
+              SELECT a.item, a.rater AS ra, b.rater AS rb,
+                     a.label AS la, b.label AS lb
+              FROM lab a JOIN lab b USING (item)
+              WHERE a.rater < b.rater
+            ),
+            tot AS (
+              SELECT ra, rb, count(*) AS n_items,
+                     SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS agree
+              FROM co GROUP BY 1, 2
+            ),
+            ma AS (SELECT ra, rb, la AS lbl, count(*) AS na
+                   FROM co GROUP BY 1, 2, 3),
+            mb AS (SELECT ra, rb, lb AS lbl, count(*) AS nb
+                   FROM co GROUP BY 1, 2, 3),
+            pe AS (
+              SELECT ma.ra, ma.rb, SUM(na * nb) AS pe_num
+              FROM ma JOIN mb ON ma.ra = mb.ra AND ma.rb = mb.rb
+                              AND ma.lbl = mb.lbl
+              GROUP BY 1, 2
+            )
+            , rates AS (
+              SELECT tot.ra, tot.rb, n_items,
+                     agree * 1.0 / n_items AS po,
+                     pe_num * 1.0 / (n_items * n_items) AS pe
+              FROM tot JOIN pe ON tot.ra = pe.ra AND tot.rb = pe.rb
+            )
+            SELECT ra AS rater_a, rb AS rater_b,
+                   CAST(n_items AS BIGINT) AS n_items,
+                   CAST(floor(po * 1000000 + 0.5) AS BIGINT) AS po_q6,
+                   CAST(floor(pe * 1000000 + 0.5) AS BIGINT) AS pe_q6,
+                   CAST(floor((po - pe) / (1.0 - pe) * 1000000 + 0.5)
+                        AS BIGINT) AS kappa_q6
+            FROM rates
+            ORDER BY rater_a, rater_b
+        """,
+        "pref_fleiss_kappa": """
+            WITH lab AS (
+              SELECT event_id // 5 AS item,
+                     event_id % 5 AS rater,
+                     CAST(FLOOR(value * 10) AS BIGINT) % 4 AS label
+              FROM events
+            ),
+            il AS (SELECT item, label, count(*) AS n_ik
+                   FROM lab GROUP BY 1, 2),
+            per AS (SELECT item, SUM(n_ik) AS n,
+                           SUM(n_ik * n_ik) AS sq
+                    FROM il GROUP BY 1),
+            kept AS (SELECT * FROM per WHERE n = 5),
+            stats AS (
+              SELECT count(*) AS n_items,
+                     AVG((sq - 5.0) / 20.0) AS p_bar
+              FROM kept
+            ),
+            pk AS (
+              SELECT label, SUM(n_ik) AS nk
+              FROM il JOIN kept USING (item) GROUP BY 1
+            ),
+            pe AS (
+              SELECT SUM(POWER(nk * 1.0 / (SELECT SUM(nk) FROM pk), 2))
+                       AS p_e
+              FROM pk
+            ),
+            exc AS (SELECT count(*) AS n_excluded FROM per WHERE n <> 5)
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(5 AS INT) AS n_raters,
+                   CAST(floor(p_bar * 1000000 + 0.5) AS BIGINT) AS p_bar_q6,
+                   CAST(floor(p_e * 1000000 + 0.5) AS BIGINT) AS p_e_q6,
+                   CAST(floor((p_bar - p_e) / (1.0 - p_e) * 1000000 + 0.5)
+                        AS BIGINT) AS kappa_q6,
+                   CAST(n_excluded AS BIGINT) AS n_excluded
+            FROM stats, pe, exc
+        """,
         # write->extract identity: page slices replayed with substr
         "doc_pdf_extract": """
             WITH d AS (
@@ -8404,13 +8660,16 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the eleven gates new this round: the FLAC
-       lossless round trip (``multimodal_flac_roundtrip`` — the oracle
-       replays the decoded samples themselves), the MPEG-audio header
-       probe (``multimodal_mp3_probe``), the CommonCrawl
+    1. The window head holds the fourteen gates new this round: the
+       FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
+       oracle replays the decoded samples themselves), the MPEG-audio
+       header probe (``multimodal_mp3_probe``), the CommonCrawl
        record-per-member ``.warc.gz`` round trip
        (``web_warc_gz_roundtrip``), PDF text extraction
-       (``doc_pdf_extract``), the G.711 µ-law/A-law
+       (``doc_pdf_extract``), the preference/label-QC family
+       (``pref_bradley_terry`` — both MM rounds replayed in SQL,
+       ``pref_rater_kappa``, ``pref_fleiss_kappa``), the G.711
+       µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
        MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
@@ -8419,7 +8678,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 39 slots refresh the LEAST-recently driver-verified
+    2. The remaining 36 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8446,11 +8705,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the eleven gates new this round --
+        # -- r9 window head: the fourteen gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
         "doc_pdf_extract": doc_pdf_extract,
+        "pref_bradley_terry": pref_bradley_terry,
+        "pref_rater_kappa": pref_rater_kappa,
+        "pref_fleiss_kappa": pref_fleiss_kappa,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -67,6 +67,12 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
+Round-12 changes: appends seven gates (FLAC lossless round trip,
+MPEG-audio header probe, CommonCrawl .warc.gz member round trip, PDF
+text extraction, Bradley-Terry preference fitting, pairwise and Fleiss
+rater agreement); prefix order unchanged, so per-query times compare
+directly to earlier runs.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -338,6 +344,14 @@ HEADLINE = [
     "multimodal_image_resize_box",
     "multimodal_audio_resample",
     "sample_split_leakage_safe",
+    # round-12 additions (appended; prefix order unchanged for parity):
+    "multimodal_flac_roundtrip",
+    "multimodal_mp3_probe",
+    "web_warc_gz_roundtrip",
+    "doc_pdf_extract",
+    "pref_bradley_terry",
+    "pref_rater_kappa",
+    "pref_fleiss_kappa",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -365,6 +379,10 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_avi_soundtrack_vad",
     "multimodal_image_resize_box",
     "multimodal_audio_resample",
+    "multimodal_flac_roundtrip",
+    "multimodal_mp3_probe",
+    "web_warc_gz_roundtrip",
+    "doc_pdf_extract",
 ]
 
 

@@ -532,3 +532,106 @@ def test_pdf_strictness_and_fallbacks():
         b"4 0 obj\n<< /Length 15 >>\nstream\nBT (solo) Tj ET\nendstream\nendobj\n"
     )
     assert pdf_pages(pdf) == ["solo"]
+
+
+# ---------------------------------------------------------------------------
+# Preference / label-QC analytics (operators/feedback.py).
+
+
+def test_bradley_terry_recovers_order_and_matches_numpy(spark):
+    from adtl_spark.operators.feedback import bradley_terry
+
+    # item 2 beats 1 beats 0, with enough games to be unambiguous
+    pairs = [(2, 1)] * 30 + [(1, 2)] * 10 + [(1, 0)] * 30 + [(0, 1)] * 10 \
+        + [(2, 0)] * 35 + [(0, 2)] * 5
+    df = spark.createDataFrame(pairs, "winner long, loser long")
+    got = {
+        r.item: (r.strength, r.wins, r.games)
+        for r in bradley_terry(df, iters=3).collect()
+    }
+    assert got[2][0] > got[1][0] > got[0][0]
+    assert got[2][1] == 65 and got[0][2] == 80
+
+    # independent dense replay of the same MM update
+    import numpy as np
+
+    n = np.zeros((3, 3))
+    w = np.zeros(3)
+    for a, b in pairs:
+        n[a][b] += 1
+        n[b][a] += 1
+        w[a] += 1
+    s = np.ones(3)
+    for _ in range(3):
+        d = np.array(
+            [sum(n[i][j] / (s[i] + s[j]) for j in range(3) if j != i)
+             for i in range(3)]
+        )
+        s = w / d
+        s = s * 3 / s.sum()
+    for i in range(3):
+        assert abs(got[i][0] - s[i]) < 1e-9, i
+
+
+def test_pairwise_kappa_textbook_and_degenerate(spark):
+    from adtl_spark.operators.feedback import pairwise_kappa
+
+    # classic 2x2 example: po=0.7, marginals a:(0.6,0.4) b:(0.5,0.5)
+    # -> pe=0.5, kappa=0.4
+    labels = []
+    grid = [(1, 1)] * 40 + [(1, 0)] * 20 + [(0, 1)] * 10 + [(0, 0)] * 30
+    for item, (la, lb) in enumerate(grid):
+        labels += [(item, 0, la), (item, 1, lb)]
+    # a third rater with a CONSTANT label: pe=po for the constant pair
+    labels += [(item, 2, 1) for item in range(100)]
+    df = spark.createDataFrame(labels, "item long, rater long, label long")
+    rows = {(r.rater_a, r.rater_b): r for r in pairwise_kappa(df).collect()}
+    r01 = rows[(0, 1)]
+    assert abs(r01.po - 0.7) < 1e-12
+    assert abs(r01.pe - 0.5) < 1e-12
+    assert abs(r01.kappa - 0.4) < 1e-12
+    assert r01.n_items == 100
+    # rater 2 constant: pe = p_a(1)*1, kappa defined unless pe=1
+    r02 = rows[(0, 2)]
+    assert abs(r02.po - 0.6) < 1e-12 and abs(r02.pe - 0.6) < 1e-12
+    assert abs(r02.kappa - 0.0) < 1e-12
+    # two identical constant raters -> pe=1 -> kappa NULL
+    const = [(i, 0, 7) for i in range(10)] + [(i, 1, 7) for i in range(10)]
+    cdf = spark.createDataFrame(const, "item long, rater long, label long")
+    row = pairwise_kappa(cdf).collect()[0]
+    assert row.po == 1.0 and row.pe == 1.0 and row.kappa is None
+
+
+def test_fleiss_kappa_matches_reference_formula(spark):
+    import numpy as np
+
+    from adtl_spark.operators.feedback import fleiss_kappa
+
+    rng = np.random.RandomState(4)
+    n_items, n_raters = 60, 4
+    lab = rng.randint(0, 3, size=(n_items, n_raters))
+    rows = [
+        (i, r, int(lab[i, r])) for i in range(n_items) for r in range(n_raters)
+    ]
+    # one off-panel item (3 raters) must be excluded and counted
+    rows += [(999, r, 0) for r in range(3)]
+    df = spark.createDataFrame(rows, "item long, rater long, label long")
+    got = fleiss_kappa(df, n_raters=4).collect()[0]
+    assert got.n_items == n_items and got.n_excluded == 1
+
+    # reference formula on the dense matrix
+    counts = np.zeros((n_items, 3))
+    for i in range(n_items):
+        for r in range(n_raters):
+            counts[i, lab[i, r]] += 1
+    p_i = ((counts**2).sum(axis=1) - n_raters) / (n_raters * (n_raters - 1))
+    p_bar = p_i.mean()
+    pk = counts.sum(axis=0) / counts.sum()
+    p_e = (pk**2).sum()
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert abs(got.p_bar - p_bar) < 1e-12
+    assert abs(got.p_e - p_e) < 1e-12
+    assert abs(got.kappa - kappa) < 1e-12
+    # modal-count inference picks 4 when n_raters is omitted
+    inferred = fleiss_kappa(df).collect()[0]
+    assert inferred.n_raters == 4

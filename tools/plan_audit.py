@@ -61,6 +61,13 @@ SMJ_ALLOWED = {
         "canonical-pair <-> duplicate-membership expansion joins: both "
         "sides corpus-grain (membership is one row per raw document)"
     ),
+    "pref_rater_kappa": (
+        "label<->label self-join on the item key (both sides are the "
+        "full label fact — the contingency-table shape) and the "
+        "marginal<->marginal join (both sides rater-pair x label "
+        "grained: with crowdsourced rater counts neither is "
+        "guaranteed broadcastable; AQE converts at runtime when small)"
+    ),
     "graph_entity_resolution": (
         "CC iteration edge<->label joins plus the record<->entity-label "
         "re-attach join: both sides record-grain"

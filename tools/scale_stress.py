@@ -209,6 +209,16 @@ QUERIES = [
     "multimodal_image_resize_box",
     "multimodal_audio_resample",
     "sample_split_leakage_safe",
+    # round-12 additions (codec/format gates: linear-in-payload codec
+    # work inside Arrow batches, like the PNG/JPEG family)
+    "multimodal_flac_roundtrip",
+    "multimodal_mp3_probe",
+    "web_warc_gz_roundtrip",
+    "doc_pdf_extract",
+    # preference/label-QC family: comparison-log-sized shuffles collapse
+    # to item-sized state (BT) / rater-pair cells (kappa)
+    "pref_bradley_terry",
+    "pref_rater_kappa",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
