@@ -713,6 +713,198 @@ def bigram_logprob_oracle_sql(
 # -------------------------------------------------- Naive Bayes quality model
 
 
+def kn_bigram_logprob(
+    docs: DataFrame,
+    vocab_k: int = 20,
+    bigram_m: int = 200,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean bigram log-probability under INTERPOLATED
+    KNESER-NEY smoothing (Kneser & Ney 1995; the Chen & Goodman 1999
+    interpolated form) — the standard n-gram smoothing the stupid-
+    backoff scorer (:func:`bigram_logprob`) trades away for speed:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0) / c(w1.)
+                   + (D * N1+(w1.) / c(w1.)) * (N1+(.w2) / N1+(..))
+
+    where N1+(w1.) / N1+(.w2) are the distinct-successor / distinct-
+    predecessor type counts and N1+(..) the total distinct bigram types
+    — the continuation distribution that makes KN rank "Francisco"
+    below "dollars" as a novel-context continuation even when their raw
+    unigram counts agree.
+
+    Model relations stay bounded exactly as in ``bigram_logprob``: the
+    top-K vocab collapses the alphabet to K+1 symbols, the scoring
+    bigram table prunes to top-M (pruned pairs score through the
+    continuation term only — the interpolation weight is where their
+    mass lives), and the continuation statistics are (K+1)-row
+    aggregates of the unpruned pair STREAM (map-side-combined counts;
+    never a stored (K+1)^2 relation).  Only bigram transitions are
+    scored (documents need >= 2 tokens); per-pair logs quantize to 1e-4
+    integers per the module protocol, so the per-doc mean is a ratio of
+    exact integers and the DuckDB twin replays it bit-for-bit.
+
+    Returns ``(doc_id, n_pairs, avg_logprob)``."""
+    from adtl_spark.operators.text import tokens
+
+    uni = train_unigram(docs, vocab_k, text_col, id_col)
+    vset = uni.select("token", F.lit(True).alias("__in_v"))
+
+    raw = docs.select(
+        F.col(id_col).alias("__did__"),
+        tokens(F.col(text_col)).alias("t"),
+    )
+    pairs_raw = raw.select(
+        "__did__",
+        F.explode(
+            F.arrays_zip(
+                F.slice(
+                    F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w1"),
+                F.slice(
+                    F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))
+                ).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("__did__", F.col("p.w1").alias("r1"), F.col("p.w2").alias("r2"))
+    v1 = F.broadcast(
+        vset.select(F.col("token").alias("r1"), F.col("__in_v").alias("__v1"))
+    )
+    v2 = F.broadcast(
+        vset.select(F.col("token").alias("r2"), F.col("__in_v").alias("__v2"))
+    )
+    pairs = (
+        pairs_raw.join(v1, "r1", "left")
+        .join(v2, "r2", "left")
+        .select(
+            "__did__",
+            F.when(F.col("__v1").isNotNull(), F.col("r1"))
+            .otherwise("<unk>")
+            .alias("w1"),
+            F.when(F.col("__v2").isNotNull(), F.col("r2"))
+            .otherwise("<unk>")
+            .alias("w2"),
+        )
+    )
+    # c(w1 .) and the distinct-successor type count N1+(w1 .): one pass
+    ctx = pairs.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("ctx"),
+        F.countDistinct("w2").alias("n1f"),
+    )
+    # continuation distribution: distinct-predecessor types per w2
+    cont = pairs.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
+    ntypes = pairs.select("w1", "w2").distinct().agg(
+        F.count(F.lit(1)).alias("ntypes")
+    )
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt2"))
+        .orderBy(F.desc("cnt2"), F.asc("w1"), F.asc("w2"))
+        .limit(bigram_m)
+    )
+
+    d = float(discount)
+    p_kn = F.when(
+        F.col("cnt2").isNotNull(),
+        F.greatest(F.col("cnt2") - d, F.lit(0.0)) / F.col("ctx"),
+    ).otherwise(F.lit(0.0)) + ((d * F.col("n1f")) / F.col("ctx")) * (
+        F.col("n1b") / F.col("ntypes").cast("double")
+    )
+    qpair = F.floor(F.log(p_kn) * 10000 + F.lit(0.5)).cast("long")
+    psum = (
+        pairs.join(F.broadcast(big), ["w1", "w2"], "left")
+        .join(F.broadcast(ctx), "w1")
+        .join(F.broadcast(cont), "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .groupBy("__did__")
+        .agg(F.sum(qpair).alias("__ps__"), F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return psum.select(
+        F.col("__did__").alias(id_col),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (
+            F.floor(
+                F.col("__ps__").cast("double")
+                / F.col("n_pairs")
+                / 10000.0
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000.0
+        ).alias("avg_logprob"),
+    )
+
+
+def kn_bigram_logprob_oracle_sql(
+    source_sql: str,
+    vocab_k: int = 20,
+    bigram_m: int = 200,
+    discount: float = 0.75,
+) -> str:
+    """DuckDB twin of :func:`kn_bigram_logprob` — same tokenizer, top-K
+    and top-M tie-breaks, <unk> mapping, interpolated-KN formula with
+    identical double-arithmetic association, quantized-log protocol."""
+    d = float(discount)
+    return f"""
+    WITH t AS (
+      SELECT doc_id AS id,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS toks
+      FROM ({source_sql})
+    ),
+    flat AS (SELECT id, unnest(toks) AS token FROM t),
+    vocab AS (
+      SELECT token, count(*) AS cnt FROM flat
+      GROUP BY 1 ORDER BY cnt DESC, token ASC LIMIT {vocab_k}
+    ),
+    vl AS (SELECT list(token) AS vl FROM vocab),
+    m AS (
+      SELECT id,
+             list_transform(toks, x ->
+               CASE WHEN list_contains(vl.vl, x) THEN x ELSE '<unk>' END) AS m
+      FROM t CROSS JOIN vl
+    ),
+    pairs AS (
+      SELECT id, p[1] AS w1, p[2] AS w2
+      FROM (
+        SELECT id, unnest(list_zip(m[1:len(m)-1], m[2:len(m)])) AS p FROM m
+      )
+    ),
+    ctx AS (SELECT w1, count(*) AS ctx, count(DISTINCT w2) AS n1f
+            FROM pairs GROUP BY 1),
+    cont AS (SELECT w2, count(DISTINCT w1) AS n1b FROM pairs GROUP BY 1),
+    nt AS (SELECT count(*) AS ntypes
+           FROM (SELECT DISTINCT w1, w2 FROM pairs)),
+    big AS (
+      SELECT w1, w2, count(*) AS cnt2 FROM pairs
+      GROUP BY 1, 2 ORDER BY cnt2 DESC, w1 ASC, w2 ASC LIMIT {bigram_m}
+    ),
+    psum AS (
+      SELECT p.id,
+             SUM(CAST(floor(ln(
+               CASE WHEN b.cnt2 IS NOT NULL
+                    THEN greatest(b.cnt2 - {d}, 0.0) / c.ctx
+                    ELSE 0.0 END
+               + (({d} * c.n1f) / c.ctx)
+                 * (co.n1b / CAST(nt.ntypes AS DOUBLE))
+             ) * 10000 + 0.5) AS BIGINT)) AS ps,
+             count(*) AS n_pairs
+      FROM pairs p
+      LEFT JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN ctx c ON p.w1 = c.w1
+      JOIN cont co ON p.w2 = co.w2
+      CROSS JOIN nt
+      GROUP BY 1
+    )
+    SELECT id AS doc_id,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           floor(CAST(ps AS DOUBLE) / n_pairs / 10000.0 * 10000 + 0.5)
+             / 10000.0 AS avg_logprob
+    FROM psum
+    """
+
+
 NB_CURATED_SOURCES = ("src0", "src1", "src2", "src3")
 
 

@@ -1920,6 +1920,19 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the standard n-gram
+    smoothing next to the stupid-backoff scorer: discounted bigram MLE
+    interpolated with the distinct-predecessor continuation
+    distribution; bounded broadcast model, continuation stats as
+    (K+1)-row stream aggregates (corpus.kn_bigram_logprob)."""
+    return C.kn_bigram_logprob(
+        _t(spark, sf_dir, "documents"),
+        vocab_k=UNIGRAM_VOCAB_K,
+        bigram_m=BIGRAM_M,
+    )
+
+
 MIXTURE_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
 MIXTURE_DEFAULT = 0.1
 TOKEN_BUDGET = 15_000
@@ -8290,6 +8303,11 @@ def oracles() -> dict[str, str]:
             vocab_k=UNIGRAM_VOCAB_K,
             bigram_m=BIGRAM_M,
         ),
+        "corpus_kn_bigram": C.kn_bigram_logprob_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            vocab_k=UNIGRAM_VOCAB_K,
+            bigram_m=BIGRAM_M,
+        ),
         "sample_mixture": f"""
             SELECT doc_id, source FROM documents
             WHERE {SA.mixture_sample_where_sql(MIXTURE_WEIGHTS, default=MIXTURE_DEFAULT)}
@@ -8660,7 +8678,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the fourteen gates new this round: the
+    1. The window head holds the fifteen gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -8668,7 +8686,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``web_warc_gz_roundtrip``), PDF text extraction
        (``doc_pdf_extract``), the preference/label-QC family
        (``pref_bradley_terry`` — both MM rounds replayed in SQL,
-       ``pref_rater_kappa``, ``pref_fleiss_kappa``), the G.711
+       ``pref_rater_kappa``, ``pref_fleiss_kappa``), interpolated
+       Kneser-Ney bigram scoring (``corpus_kn_bigram``), the G.711
        µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -8678,7 +8697,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 36 slots refresh the LEAST-recently driver-verified
+    2. The remaining 35 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8705,7 +8724,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the fourteen gates new this round --
+        # -- r9 window head: the fifteen gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -8713,6 +8732,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_bradley_terry": pref_bradley_terry,
         "pref_rater_kappa": pref_rater_kappa,
         "pref_fleiss_kappa": pref_fleiss_kappa,
+        "corpus_kn_bigram": corpus_kn_bigram,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -67,11 +67,11 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-12 changes: appends seven gates (FLAC lossless round trip,
+Round-12 changes: appends eight gates (FLAC lossless round trip,
 MPEG-audio header probe, CommonCrawl .warc.gz member round trip, PDF
 text extraction, Bradley-Terry preference fitting, pairwise and Fleiss
-rater agreement); prefix order unchanged, so per-query times compare
-directly to earlier runs.
+rater agreement, interpolated Kneser-Ney bigram scoring); prefix order
+unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
@@ -352,6 +352,7 @@ HEADLINE = [
     "pref_bradley_terry",
     "pref_rater_kappa",
     "pref_fleiss_kappa",
+    "corpus_kn_bigram",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

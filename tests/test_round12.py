@@ -635,3 +635,96 @@ def test_fleiss_kappa_matches_reference_formula(spark):
     # modal-count inference picks 4 when n_raters is omitted
     inferred = fleiss_kappa(df).collect()[0]
     assert inferred.n_raters == 4
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (operators/corpus.py).
+
+
+def test_kn_bigram_matches_dense_reference(spark):
+    import math
+
+    from adtl_spark.operators.corpus import kn_bigram_logprob
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the log"),
+        (2, "a cat and a dog"),
+        (3, "mat log cat the the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # vocab large enough that nothing is <unk>, no bigram pruning
+    got = {
+        r.doc_id: (r.n_pairs, r.avg_logprob)
+        for r in kn_bigram_logprob(df, vocab_k=50, bigram_m=1000).collect()
+    }
+
+    # dense reference: interpolated KN with D=0.75 over the same corpus
+    from collections import Counter, defaultdict
+
+    pairs = []
+    for _i, text in docs:
+        toks = text.split()
+        pairs += list(zip(toks, toks[1:]))
+    c2 = Counter(pairs)
+    ctx = Counter(w1 for w1, _ in pairs)
+    n1f = defaultdict(set)
+    n1b = defaultdict(set)
+    for w1, w2 in c2:
+        n1f[w1].add(w2)
+        n1b[w2].add(w1)
+    ntypes = len(c2)
+    D = 0.75
+    for i, text in docs:
+        toks = text.split()
+        ps = 0
+        for w1, w2 in zip(toks, toks[1:]):
+            p = max(c2[(w1, w2)] - D, 0.0) / ctx[w1] + (
+                (D * len(n1f[w1])) / ctx[w1]
+            ) * (len(n1b[w2]) / float(ntypes))
+            ps += math.floor(math.log(p) * 10000 + 0.5)
+        n = len(toks) - 1
+        want = math.floor(ps / n / 10000.0 * 10000 + 0.5) / 10000.0
+        assert got[i] == (n, want), i
+
+
+def test_kn_bigram_context_distribution_sums_to_one():
+    # the interpolated-KN formula itself: for any context, summing over
+    # the full alphabet must give exactly 1 (discount mass = lambda)
+    from collections import Counter, defaultdict
+
+    pairs = [("a", "b")] * 5 + [("a", "c")] * 2 + [("b", "a")] * 3 + [
+        ("c", "a"), ("c", "b"), ("b", "b"),
+    ]
+    c2 = Counter(pairs)
+    ctx = Counter(w1 for w1, _ in pairs)
+    n1f = defaultdict(set)
+    n1b = defaultdict(set)
+    for w1, w2 in c2:
+        n1f[w1].add(w2)
+        n1b[w2].add(w1)
+    ntypes = len(c2)
+    D = 0.75
+    alphabet = {w for p in pairs for w in p}
+    # P_cont must itself sum to 1 over the alphabet
+    assert abs(sum(len(n1b[w]) / ntypes for w in alphabet) - 1.0) < 1e-12
+    for w1 in alphabet:
+        total = sum(
+            max(c2[(w1, w2)] - D, 0.0) / ctx[w1]
+            + ((D * len(n1f[w1])) / ctx[w1]) * (len(n1b[w2]) / ntypes)
+            for w2 in alphabet
+        )
+        assert abs(total - 1.0) < 1e-12, w1
+
+
+def test_kn_bigram_prefers_coherent_sequences(spark):
+    from adtl_spark.operators.corpus import kn_bigram_logprob
+
+    phrase = "hash join scan filter " * 10
+    scrambled = "hash hash join scan join filter scan filter " \
+        "filter join hash scan " * 3 + "hash join scan filter"
+    corpus = [(i, phrase) for i in range(8)] + [(100, scrambled.strip())]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    rows = {r.doc_id: r.avg_logprob
+            for r in kn_bigram_logprob(df, vocab_k=10, bigram_m=50).collect()}
+    assert rows[0] > rows[100]

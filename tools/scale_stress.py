@@ -219,6 +219,7 @@ QUERIES = [
     # to item-sized state (BT) / rater-pair cells (kappa)
     "pref_bradley_terry",
     "pref_rater_kappa",
+    "corpus_kn_bigram",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
