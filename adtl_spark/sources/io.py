@@ -926,6 +926,73 @@ def gzip_member_records(
     return files.mapInPandas(run, schema=schema)
 
 
+def read_gzip_member_at(blob: bytes, offset: int, length: int | None = None) -> bytes:
+    """Decompress exactly ONE gzip member from ``blob`` starting at
+    ``offset`` (a ``member_off`` from :func:`gzip_member_records` / a
+    CDX-index offset) without touching any earlier member — the
+    range-request read pattern: with a CDX manifest, fetching one record
+    from a 1 GB ``.warc.gz`` archive reads ``member_len`` bytes, not the
+    archive.  ``length`` (when given) bounds the slice like an HTTP
+    Range header; decompression stops at the member's end either way."""
+    import zlib
+
+    end = None if length is None else offset + length
+    d = zlib.decompressobj(wbits=31)
+    payload = d.decompress(blob[offset:end])
+    payload += d.flush()
+    if not d.eof:
+        raise ValueError(f"truncated gzip member at offset {offset}")
+    return payload
+
+
+def fetch_gzip_members(
+    archives: DataFrame,
+    manifest: DataFrame,
+    archive_key: str = "archive_id",
+    content_col: str = "content",
+    encoding: str = "utf-8",
+) -> DataFrame:
+    """CDX-style random access as a DataFrame op: join a (small)
+    ``manifest`` of wanted members — rows of ``(archive_key,
+    member_off, member_len)`` plus any passthrough columns — against
+    the binary archives, and inflate ONLY the requested members.
+
+    The manifest side broadcasts (a fetch list is query-sized; the
+    archive relation is the corpus); each archive blob is then sliced
+    per requested offset, so work is proportional to members FETCHED,
+    not archive bytes scanned — the partial-read contract a CDX index
+    exists for.  (With object-store range reads the slice happens at
+    the storage layer; on the DataFrame path the blob is in memory
+    once per file either way, and the decompression saving is real.)
+    Emits the manifest row's columns plus ``value`` (decoded member)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    want = [c for c in manifest.columns]
+    joined = archives.select(
+        archive_key, F.col(content_col).alias("__blob__")
+    ).join(F.broadcast(manifest), archive_key)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = read_gzip_member_at(
+                    bytes(row["__blob__"]),
+                    int(row["member_off"]),
+                    int(row["member_len"]),
+                )
+                rows.append(
+                    tuple(row[c] for c in want) + (payload.decode(encoding),)
+                )
+            yield pd.DataFrame(rows, columns=want + ["value"])
+
+    in_schema = {f.name: f.dataType.simpleString() for f in joined.schema}
+    schema = ", ".join(f"{c} {in_schema[c]}" for c in want) + ", value string"
+    return joined.mapInPandas(run, schema=schema)
+
+
 def wet_documents(files: DataFrame, content_col: str = "value") -> DataFrame:
     """WET-style text-document extraction from parsed WARC archives:
     keep ``conversion`` records (WET's extracted-text type), emit

@@ -8,6 +8,7 @@ import struct
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from adtl_spark.operators.flac_lite import (
     _BitWriter,
@@ -728,3 +729,37 @@ def test_kn_bigram_prefers_coherent_sequences(spark):
     rows = {r.doc_id: r.avg_logprob
             for r in kn_bigram_logprob(df, vocab_k=10, bigram_m=50).collect()}
     assert rows[0] > rows[100]
+
+
+def test_read_gzip_member_at_and_fetch(spark):
+    from adtl_spark.sources.io import (
+        fetch_gzip_members,
+        gzip_member_records,
+        gzip_members_bytes,
+        read_gzip_member_at,
+        split_gzip_members,
+    )
+
+    payloads = [f"record-{i}".encode() * (i + 1) for i in range(6)]
+    blob = gzip_members_bytes(payloads)
+    offsets = split_gzip_members(blob)
+    for (off, clen, want), orig in zip(offsets, payloads):
+        # exact-length slice (the HTTP Range contract) and open-ended
+        assert read_gzip_member_at(blob, off, clen) == orig
+        assert read_gzip_member_at(blob, off) == orig
+    # a wrong offset is loud, not silently misparsed
+    with pytest.raises(Exception):
+        read_gzip_member_at(blob, offsets[1][0] + 1, offsets[1][1])
+
+    files = spark.createDataFrame(
+        [(0, bytearray(blob)), (1, bytearray(gzip_members_bytes(payloads[:2])))],
+        "archive_id long, content binary",
+    )
+    members = gzip_member_records(files, passthrough=("archive_id",))
+    manifest = members.filter(
+        (F.col("member_pos") % 2 == 1)
+    ).select("archive_id", "member_off", "member_len", "member_pos")
+    got = fetch_gzip_members(files, manifest).collect()
+    assert len(got) == 4  # members 1,3,5 of archive 0 + member 1 of archive 1
+    for r in got:
+        assert r.value == payloads[r.member_pos].decode()
