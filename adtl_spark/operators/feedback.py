@@ -26,6 +26,7 @@ def bradley_terry(
     winner_col: str = "winner",
     loser_col: str = "loser",
     iters: int = 2,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fit Bradley-Terry strengths from a pairwise-preference log by
     ``iters`` rounds of the classic minorization-maximization update
@@ -44,11 +45,23 @@ def bradley_terry(
     one aggregation — at 100 TB of comparisons the edge list is bounded
     by distinct item pairs, and the score vector by items, so iteration
     cost is independent of log size.  Items that never win get strength
-    0 (w_i = 0), matching the MM update exactly."""
+    0 (w_i = 0), matching the MM update exactly.
+
+    ``weight_col`` feeds a PRE-COUNTED log — rows of (winner, loser,
+    count), e.g. a maintained streaming store — through the identical
+    math: the MM update only ever sees sufficient statistics, so the
+    weighted fit equals the row-per-comparison fit exactly."""
     w = F.col(winner_col).alias("i")
     l = F.col(loser_col).alias("j")
     # per-ordered-pair win counts, then symmetric games n_ij
-    wins_ij = pairs.select(w, l).groupBy("i", "j").count()
+    if weight_col is None:
+        wins_ij = pairs.select(w, l).groupBy("i", "j").count()
+    else:
+        wins_ij = (
+            pairs.select(w, l, F.col(weight_col).alias("__w"))
+            .groupBy("i", "j")
+            .agg(F.sum("__w").alias("count"))
+        )
     games = (
         wins_ij.select("i", "j", "count")
         .unionByName(

@@ -763,3 +763,72 @@ def test_read_gzip_member_at_and_fetch(spark):
     assert len(got) == 4  # members 1,3,5 of archive 0 + member 1 of archive 1
     for r in got:
         assert r.value == payloads[r.member_pos].decode()
+
+
+def test_bt_weighted_fit_equals_row_fit(spark):
+    from adtl_spark.operators.feedback import bradley_terry
+
+    rows = [(2, 1)] * 7 + [(1, 2)] * 3 + [(1, 0)] * 6 + [(2, 0)] * 4 \
+        + [(0, 2)] * 2
+    df = spark.createDataFrame(rows, "winner long, loser long")
+    counted = df.groupBy("winner", "loser").agg(F.count("*").alias("c"))
+    a = sorted(tuple(r) for r in bradley_terry(df, iters=2).collect())
+    b = sorted(
+        tuple(r)
+        for r in bradley_terry(counted, weight_col="c", iters=2).collect()
+    )
+    assert a == b
+
+
+def test_preference_store_maintained_on_stream_equals_batch(spark, tmp_path):
+    """Bradley-Terry refit from the foreachBatch-maintained win-count
+    store equals a one-shot fit over the full comparison log — win
+    counts are pure adds, so any micro-batch partitioning lands on the
+    same sufficient statistics; replaying a delta changes nothing."""
+    from adtl_spark.operators.feedback import bradley_terry
+    from adtl_spark.streaming.pipeline import (
+        preference_sink,
+        preference_store_fit,
+    )
+
+    rows = [(i, (2, 1) if i % 5 else (1, 2)) for i in range(40)]
+    rows += [(40 + i, (1, 0) if i % 3 else (0, 1)) for i in range(30)]
+    rows += [(70 + i, (2, 0)) for i in range(10)]
+    flat = [(rid, w, l) for rid, (w, l) in rows]
+    df = spark.createDataFrame(flat, "row_id long, winner long, loser long")
+    src = tmp_path / "bt_stream"
+    src.mkdir()
+    for i, pred in enumerate(
+        ("row_id < 25", "row_id >= 25 AND row_id < 60", "row_id >= 60")
+    ):
+        df.filter(pred).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"p{i}")
+        )
+    store = str(tmp_path / "bt_store")
+    stream = (
+        spark.readStream.schema("row_id long, winner long, loser long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream.writeStream.foreachBatch(preference_sink(store)).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(
+        tuple(r) for r in preference_store_fit(spark, store, iters=2).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in bradley_terry(
+            df.select("winner", "loser"), iters=2
+        ).collect()
+    )
+    assert got == want
+    # replaying one batch's delta is idempotent (overwrite semantics)
+    preference_sink(store)(df.filter("row_id < 25"), 0)
+    got2 = sorted(
+        tuple(r) for r in preference_store_fit(spark, store, iters=2).collect()
+    )
+    assert got2 == want
