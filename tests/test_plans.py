@@ -354,13 +354,22 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-9 window: the seven gates new this round hold the head
-    # (never driver-verified); the remaining 43 slots refresh the
+    # the round-9 window: the sixteen gates new this round hold the
+    # head (never driver-verified); the remaining 34 slots refresh the
     # least-recently-verified rounds-1-4 remainder (a2_last_not_null
-    # through q9_product_profit).  The round-8-verified block rotated
-    # to the registry tail (freshest rows last), behind round-7.
+    # onward).  The round-8-verified block rotated to the registry
+    # tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
-    assert gate[:7] == [
+    assert gate[:16] == [
+        "multimodal_flac_roundtrip",
+        "multimodal_mp3_probe",
+        "web_warc_gz_roundtrip",
+        "doc_pdf_extract",
+        "pref_bradley_terry",
+        "pref_rater_kappa",
+        "pref_fleiss_kappa",
+        "corpus_kn_bigram",
+        "web_warc_gz_fetch",
         "multimodal_g711_roundtrip",
         "multimodal_dhash_recall",
         "multimodal_video_frames_avi",
@@ -380,7 +389,7 @@ def test_query_registry_invariants():
         "w7_asof_forward",
         "dedup_semantic",
         "q5_local_supplier_volume",
-        "q9_product_profit",
+        "dedup_spans_apply",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-8-verified block must be at the very tail, not burning
