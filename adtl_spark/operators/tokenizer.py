@@ -416,3 +416,274 @@ def bpe_segment_model(
             F.sum("np").cast("long").alias("n_pieces"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (SentencePiece-style), Viterbi-EM variant.
+
+
+def _viterbi_pieces(word: str, counts: dict, total: int, max_len: int) -> list:
+    """Maximum-likelihood segmentation of ``word`` under the unigram
+    piece model — O(len * max_len) DP.  Deterministic tie-break: at
+    equal score the LONGEST piece ending at a position wins (the split
+    with the smaller start index is tried first and strict inequality
+    is required to replace it).  Characters absent from the model get a
+    0.5/total floor so every word stays segmentable (the SentencePiece
+    character-coverage fallback)."""
+    import math
+
+    n = len(word)
+    neg = float("-inf")
+    best = [neg] * (n + 1)
+    back = [0] * (n + 1)
+    best[0] = 0.0
+    floor = math.log(0.5 / total)
+    for end in range(1, n + 1):
+        for start in range(max(0, end - max_len), end):
+            piece = word[start:end]
+            c = counts.get(piece)
+            if c is None and end - start > 1:
+                continue
+            lp = math.log(c / total) if c else floor
+            score = best[start] + lp
+            if score > best[end]:
+                best[end] = score
+                back[end] = start
+    pieces = []
+    end = n
+    while end > 0:
+        start = back[end]
+        pieces.append(word[start:end])
+        end = start
+    pieces.reverse()
+    return pieces
+
+
+def _unigram_seed_local(words: list, max_piece_len: int, seed_size: int) -> dict:
+    """Candidate vocabulary: every substring of length <= max_piece_len,
+    scored by corpus frequency x length (the standard seeding
+    heuristic), top ``seed_size`` kept plus ALL single characters
+    (coverage).  Tie-break (score DESC, piece ASC) — total order."""
+    from collections import Counter
+
+    subs: Counter = Counter()
+    chars: Counter = Counter()
+    for word, cnt in words:
+        n = len(word)
+        for s in range(n):
+            chars[word[s]] += cnt
+            for e in range(s + 1, min(n, s + max_piece_len) + 1):
+                subs[word[s:e]] += cnt
+    ranked = sorted(
+        ((p, c) for p, c in subs.items() if len(p) > 1),
+        key=lambda pc: (-pc[1] * len(pc[0]), pc[0]),
+    )[: seed_size]
+    seed = {p: c for p, c in ranked}
+    seed.update(chars)
+    return seed
+
+
+def _unigram_em_local(
+    words: list, seed: dict, vocab_size: int, iters: int, max_piece_len: int
+) -> dict:
+    """Viterbi-EM: segment the word table under the current counts,
+    recount pieces from the segmentations, prune to ``vocab_size``
+    keeping all single characters.  Counts stay exact integers, so the
+    distributed twin lands on the identical model."""
+    counts = dict(seed)
+    for _ in range(iters):
+        total = sum(counts.values())
+        from collections import Counter
+
+        new: Counter = Counter()
+        for word, cnt in words:
+            for piece in _viterbi_pieces(word, counts, total, max_piece_len):
+                new[piece] += cnt
+        multi = sorted(
+            ((p, c) for p, c in new.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        singles = {p: c for p, c in new.items() if len(p) == 1}
+        keep = dict(multi[: max(0, vocab_size - len(singles))])
+        keep.update(singles)
+        counts = keep
+    return counts
+
+
+def unigram_train_local(
+    docs: DataFrame,
+    vocab_size: int = 60,
+    iters: int = 2,
+    max_piece_len: int = 8,
+    seed_size: int = 400,
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+    algorithm) in its deterministic hard-EM form: substring seeding,
+    Viterbi E-step, count M-step, frequency pruning — run driver-side
+    on the collected word-frequency table (vocabulary-bound, the same
+    legitimate collect as bpe_train_local).  Returns (piece, cnt,
+    total) — counts, not log-probs, so scoring math happens in exactly
+    one place (:func:`_viterbi_pieces`) for every consumer.
+
+    The distributed twin :func:`unigram_train` must produce the
+    identical model (tests pin it); this is the differential reference,
+    like bpe_train_local is for the BPE loop."""
+    spark: SparkSession = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    words = [(r["word"], int(r["cnt"])) for r in vocab]
+    seed = _unigram_seed_local(words, max_piece_len, seed_size)
+    counts = _unigram_em_local(words, seed, vocab_size, iters, max_piece_len)
+    total = sum(counts.values())
+    return spark.createDataFrame(
+        sorted((p, int(c), int(total)) for p, c in counts.items()),
+        "piece STRING, cnt BIGINT, total BIGINT",
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_size: int = 60,
+    iters: int = 2,
+    max_piece_len: int = 8,
+    seed_size: int = 400,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed unigram-LM training: the same seeding + Viterbi-EM
+    as :func:`unigram_train_local`, but every corpus/vocab-sized step
+    is a DataFrame op —
+
+    - ONE corpus pass builds the (word, count) relation (map-side
+      combined; the only corpus-sized shuffle);
+    - seeding explodes substrings of the DISTINCT-word relation with a
+      native sequence/transform expression (no UDF) and takes the
+      top-``seed_size`` weighted by frequency x length;
+    - each EM round segments the distinct-word relation in an
+      Arrow-batched pandas UDF against the BROADCAST count model
+      (model-sized, like the BPE segmenter), then recounts pieces with
+      a map-side-combined agg;
+    - pruning is a model-sized sort, and only the model (bounded by
+      ``vocab_size``) ever reaches the driver.
+
+    Counts are exact integers end-to-end, so this lands on the
+    IDENTICAL model as the local twin (tested)."""
+    from pyspark.sql import types as ST
+
+    spark: SparkSession = docs.sparkSession
+    word_df = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    word_df = word_df.localCheckpoint(eager=True)  # reused every round
+
+    # substring explode, natively: positions s in 1..len, e in s..s+L-1
+    subs = word_df.select(
+        "cnt",
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"""transform(sequence(1, length(word)), s ->
+                          transform(sequence(s, least(length(word),
+                                                      s + {int(max_piece_len) - 1})),
+                                    e -> substring(word, s, e - s + 1)))"""
+                )
+            )
+        ).alias("piece"),
+    )
+    piece_counts = subs.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    singles = piece_counts.filter(F.length("piece") == 1)
+    multi = (
+        piece_counts.filter(F.length("piece") > 1)
+        .orderBy(
+            F.desc(F.col("c") * F.length("piece")), F.asc("piece")
+        )
+        .limit(int(seed_size))
+    )
+    model = {
+        r["piece"]: int(r["c"])
+        for r in singles.unionByName(multi).collect()
+    }
+
+    piece_schema = ST.ArrayType(ST.StringType())
+    for _ in range(int(iters)):
+        total = sum(model.values())
+        bc = spark.sparkContext.broadcast((model, total))
+
+        @F.pandas_udf(piece_schema)
+        def seg_udf(words_s: pd.Series) -> pd.Series:
+            counts, tot = bc.value
+            return words_s.map(
+                lambda w: _viterbi_pieces(w, counts, tot, int(max_piece_len))
+            )
+
+        new_counts = (
+            word_df.select("cnt", F.explode(seg_udf(F.col("word"))).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        singles_r = new_counts.filter(F.length("piece") == 1).collect()
+        n_singles = len(singles_r)
+        multi_r = (
+            new_counts.filter(F.length("piece") > 1)
+            .orderBy(F.desc("c"), F.asc("piece"))
+            .limit(max(0, int(vocab_size) - n_singles))
+            .collect()
+        )
+        model = {r["piece"]: int(r["c"]) for r in singles_r}
+        model.update({r["piece"]: int(r["c"]) for r in multi_r})
+
+    total = sum(model.values())
+    return spark.createDataFrame(
+        sorted((p, int(c), int(total)) for p, c in model.items()),
+        "piece STRING, cnt BIGINT, total BIGINT",
+    )
+
+
+def unigram_segment_model(
+    docs: DataFrame,
+    model_rows: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 8,
+) -> DataFrame:
+    """Segment documents under a trained unigram model (rows of
+    (piece, cnt, total)): broadcast model, Viterbi over the DISTINCT
+    word relation (the bpe_segment_model scale shape — Zipf makes
+    unique words orders of magnitude fewer than tokens), piece counts
+    joined back broadcast-sized.  Output (id_col, n_words, n_pieces)."""
+    from pyspark.sql import types as ST
+
+    spark: SparkSession = docs.sparkSession
+    counts = {p: int(c) for p, c, _t in model_rows}
+    total = int(model_rows[0][2]) if model_rows else 1
+    bc = spark.sparkContext.broadcast((counts, total))
+
+    @F.pandas_udf(ST.IntegerType())
+    def n_pieces_udf(words_s: pd.Series) -> pd.Series:
+        cnts, tot = bc.value
+        return words_s.map(
+            lambda w: len(_viterbi_pieces(w, cnts, tot, int(max_piece_len)))
+        )
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
+    word_pieces = (
+        toks.select("word")
+        .distinct()
+        .select("word", n_pieces_udf(F.col("word")).alias("np"))
+    )
+    return (
+        toks.join(F.broadcast(word_pieces), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("np").cast("long").alias("n_pieces"),
+        )
+    )

@@ -832,3 +832,82 @@ def test_preference_store_maintained_on_stream_equals_batch(spark, tmp_path):
         tuple(r) for r in preference_store_fit(spark, store, iters=2).collect()
     )
     assert got2 == want
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer (operators/tokenizer.py, Kudo 2018 hard-EM form).
+
+
+def test_unigram_distributed_matches_local_model(spark):
+    from adtl_spark.operators.tokenizer import (
+        unigram_train,
+        unigram_train_local,
+    )
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog the quick")
+            for i in range(6)]
+    docs += [(10 + i, "internationalization and internationalism wins")
+             for i in range(4)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    loc = sorted(tuple(r) for r in
+                 unigram_train_local(df, vocab_size=40, iters=2).collect())
+    dist = sorted(tuple(r) for r in
+                  unigram_train(df, vocab_size=40, iters=2).collect())
+    assert loc == dist and len(loc) > 0
+
+
+def test_unigram_viterbi_optimal_and_total_coverage():
+    import itertools
+    import math
+
+    from adtl_spark.operators.tokenizer import _viterbi_pieces
+
+    counts = {"a": 50, "b": 30, "ab": 20, "ba": 10, "abab": 8, "c": 5}
+    total = sum(counts.values())
+
+    def score(pieces):
+        s = 0.0
+        for p in pieces:
+            c = counts.get(p)
+            if c is None and len(p) > 1:
+                return float("-inf")
+            s += math.log((c if c else 0.5) / total)
+        return s
+
+    def all_segs(w):
+        if not w:
+            yield []
+            return
+        for i in range(1, min(len(w), 8) + 1):
+            for rest in all_segs(w[i:]):
+                yield [w[:i]] + rest
+
+    for w in ("ababab", "abba", "aabb", "abcab", "bbbb"):
+        got = _viterbi_pieces(w, counts, total, 8)
+        assert "".join(got) == w  # lossless
+        best = max(score(list(s)) for s in all_segs(w))
+        assert abs(score(got) - best) < 1e-12, (w, got)
+    # unseen characters fall back to the 0.5/total floor, never fail
+    got = _viterbi_pieces("axb", counts, total, 8)
+    assert "".join(got) == "axb" and "x" in got
+
+
+def test_unigram_segment_model_shape_and_fallback(spark):
+    from adtl_spark.operators.tokenizer import (
+        unigram_segment_model,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(i, "hash join scan hash join filter") for i in range(5)],
+        "doc_id long, text string",
+    )
+    model = [tuple(r) for r in unigram_train(train, vocab_size=30).collect()]
+    # unseen word ("zzz") still segments via the char floor
+    df = spark.createDataFrame(
+        [(0, "hash join"), (1, "zzz hash")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: (r.n_words, r.n_pieces)
+            for r in unigram_segment_model(df, model).collect()}
+    assert rows[0] == (2, 2)  # frequent words become single pieces
+    assert rows[1][0] == 2 and rows[1][1] >= 4  # zzz -> 3 char pieces
