@@ -67,12 +67,12 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-12 changes: appends nine gates (FLAC lossless round trip,
+Round-12 changes: appends ten gates (FLAC lossless round trip,
 MPEG-audio header probe, CommonCrawl .warc.gz member round trip and its
 CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
-Kneser-Ney bigram scoring); prefix order unchanged, so per-query times
-compare directly to earlier runs.
+Kneser-Ney bigram scoring, unigram-LM tokenization); prefix order
+unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
@@ -355,6 +355,7 @@ HEADLINE = [
     "pref_fleiss_kappa",
     "corpus_kn_bigram",
     "web_warc_gz_fetch",
+    "tokenizer_unigram_segment",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -386,6 +387,8 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_mp3_probe",
     "web_warc_gz_roundtrip",
     "doc_pdf_extract",
+    "web_warc_gz_fetch",
+    "tokenizer_unigram_segment",
 ]
 
 
