@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bradley_terry", "pairwise_kappa", "fleiss_kappa"]
+__all__ = [
+    "bradley_terry",
+    "pairwise_kappa",
+    "fleiss_kappa",
+    "krippendorff_alpha",
+]
 
 
 def bradley_terry(
@@ -265,5 +270,76 @@ def fleiss_kappa(
                 (F.col("p_bar") - F.col("p_e")) / (1.0 - F.col("p_e")),
             ).alias("kappa"),
             F.lit(excluded).cast("long").alias("n_excluded"),
+        )
+    )
+
+
+def krippendorff_alpha(
+    labels: DataFrame,
+    item_col: str = "item",
+    rater_col: str = "rater",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for nominal data (Krippendorff 2004, the
+    coincidence-matrix formulation) — the agreement coefficient that
+    tolerates MISSING ratings, where Fleiss requires a fixed panel:
+    units rated by fewer than 2 raters are excluded (and counted).
+
+        D_o = (1/n) * sum_u (m_u^2 - sum_c n_uc^2) / (m_u - 1)
+        D_e = (n^2 - sum_c n_c^2) / (n (n - 1))
+        alpha = 1 - D_o / D_e
+
+    with m_u the unit's rating count, n_uc its per-label counts, n_c
+    the kept-unit label marginals and n the kept rating total.  The
+    per-unit disagreement term is quantized to a 1e-6 integer BEFORE
+    summing (the module's drift-gate protocol: integer sums are
+    partition-order-free, so Spark and a SQL twin agree bit-for-bit);
+    everything else is exact integer marginals.  Two aggregations over
+    (item, label) counts — no windows, no UDFs, no self-joins.
+
+    Returns one row: ``(n_units, n_ratings, do_q6_sum, alpha_q6,
+    n_excluded)``."""
+    il = labels.groupBy(
+        F.col(item_col).alias("item"), F.col(label_col).alias("label")
+    ).agg(F.count(F.col(rater_col)).alias("n_uc"))
+    per = il.groupBy("item").agg(
+        F.sum("n_uc").alias("m"),
+        F.sum(F.col("n_uc") * F.col("n_uc")).alias("sq"),
+    )
+    unit_q6 = F.floor(
+        (F.col("m") * F.col("m") - F.col("sq"))
+        / (F.col("m") - 1)
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    stats = per.agg(
+        F.sum(F.when(F.col("m") >= 2, 1).otherwise(0)).alias("n_units"),
+        F.sum(F.when(F.col("m") >= 2, F.col("m")).otherwise(0)).alias("n"),
+        F.sum(F.when(F.col("m") >= 2, unit_q6).otherwise(0)).alias("do_q6"),
+        F.sum(F.when(F.col("m") < 2, 1).otherwise(0)).alias("n_excluded"),
+    )
+    nc = (
+        il.join(per.filter(F.col("m") >= 2).select("item"), "item")
+        .groupBy("label")
+        .agg(F.sum("n_uc").alias("nc"))
+    )
+    ncsq = nc.agg(F.sum(F.col("nc") * F.col("nc")).alias("ncsq"))
+    d_o = (F.col("do_q6") / 1000000.0) / F.col("n")
+    d_e = (F.col("n") * F.col("n") - F.col("ncsq")) / (
+        F.col("n") * (F.col("n") - 1.0)
+    )
+    # d_e = 0 iff every kept rating carries ONE label: alpha is the
+    # indeterminate 0/0 — emit NULL, not NaN (Krippendorff 2004 §11.3)
+    alpha = F.when(d_e != 0.0, F.lit(1.0) - d_o / d_e)
+    return (
+        stats.crossJoin(F.broadcast(ncsq))
+        .select(
+            F.col("n_units").cast("long").alias("n_units"),
+            F.col("n").cast("long").alias("n_ratings"),
+            F.col("do_q6").cast("long").alias("do_q6_sum"),
+            F.floor(alpha * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("alpha_q6"),
+            F.col("n_excluded").cast("long").alias("n_excluded"),
         )
     )

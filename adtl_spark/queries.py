@@ -1920,6 +1920,27 @@ def corpus_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pref_krippendorff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha over a panel WITH MISSING RATINGS — the case
+    Fleiss cannot handle: the 5-rater synthetic labels drop every third
+    rating (event_id % 3 = 0), leaving variable per-unit rating counts,
+    and alpha computes from the coincidence-matrix formulation with
+    units under 2 ratings excluded and counted.  The per-unit
+    disagreement quantizes to 1e-6 integers before summing (the drift-
+    gate protocol — integer sums are partition-order-free), so the
+    oracle replays the whole computation exactly
+    (operators/feedback.py:krippendorff_alpha)."""
+    from adtl_spark.operators.feedback import krippendorff_alpha
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    labels = ev.filter(F.col("event_id") % 3 != 0).select(
+        (F.col("event_id") / 5).cast("long").alias("item"),
+        (F.col("event_id") % 5).alias("rater"),
+        (F.floor(F.col("value") * 10).cast("long") % 4).alias("label"),
+    )
+    return krippendorff_alpha(labels)
+
+
 def tokenizer_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style, Kudo 2018) tokenization end to
     end: substring seeding + two Viterbi-EM rounds train a 60-piece
@@ -7779,6 +7800,43 @@ def oracles() -> dict[str, str]:
             FROM rates
             ORDER BY rater_a, rater_b
         """,
+        "pref_krippendorff": """
+            WITH lab AS (
+              SELECT event_id // 5 AS item,
+                     event_id % 5 AS rater,
+                     CAST(FLOOR(value * 10) AS BIGINT) % 4 AS label
+              FROM events WHERE event_id % 3 <> 0
+            ),
+            il AS (SELECT item, label, count(*) AS n_uc
+                   FROM lab GROUP BY 1, 2),
+            per AS (SELECT item, SUM(n_uc) AS m,
+                           SUM(n_uc * n_uc) AS sq
+                    FROM il GROUP BY 1),
+            stats AS (
+              SELECT SUM(CASE WHEN m >= 2 THEN 1 ELSE 0 END) AS n_units,
+                     SUM(CASE WHEN m >= 2 THEN m ELSE 0 END) AS n,
+                     SUM(CASE WHEN m >= 2 THEN
+                           CAST(floor((m * m - sq) * 1.0 / (m - 1)
+                                      * 1000000 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS do_q6,
+                     SUM(CASE WHEN m < 2 THEN 1 ELSE 0 END) AS n_excluded
+              FROM per
+            ),
+            nc AS (
+              SELECT il.label, SUM(il.n_uc) AS nc
+              FROM il JOIN per ON il.item = per.item AND per.m >= 2
+              GROUP BY 1
+            ),
+            ncsq AS (SELECT SUM(nc * nc) AS ncsq FROM nc)
+            SELECT CAST(n_units AS BIGINT) AS n_units,
+                   CAST(n AS BIGINT) AS n_ratings,
+                   CAST(do_q6 AS BIGINT) AS do_q6_sum,
+                   CAST(floor((1.0 - ((do_q6 / 1000000.0) / n)
+                               / ((n * n - ncsq) * 1.0 / (n * (n - 1.0))))
+                              * 1000000 + 0.5) AS BIGINT) AS alpha_q6,
+                   CAST(n_excluded AS BIGINT) AS n_excluded
+            FROM stats, ncsq
+        """,
         "pref_fleiss_kappa": """
             WITH lab AS (
               SELECT event_id // 5 AS item,
@@ -8782,7 +8840,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the seventeen gates new this round: the
+    1. The window head holds the eighteen gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -8793,7 +8851,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``pref_bradley_terry`` — both MM rounds replayed in SQL,
        ``pref_rater_kappa``, ``pref_fleiss_kappa``), interpolated
        Kneser-Ney bigram scoring (``corpus_kn_bigram``), unigram-LM
-       tokenization (``tokenizer_unigram_segment``, rows-only), the
+       tokenization (``tokenizer_unigram_segment``, rows-only),
+       Krippendorff's alpha with missing ratings
+       (``pref_krippendorff``), the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -8803,7 +8863,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 33 slots refresh the LEAST-recently driver-verified
+    2. The remaining 32 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8830,7 +8890,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the seventeen gates new this round --
+        # -- r9 window head: the eighteen gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -8841,6 +8901,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kn_bigram": corpus_kn_bigram,
         "web_warc_gz_fetch": web_warc_gz_fetch,
         "tokenizer_unigram_segment": tokenizer_unigram_segment,
+        "pref_krippendorff": pref_krippendorff,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -67,11 +67,12 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-12 changes: appends ten gates (FLAC lossless round trip,
+Round-12 changes: appends eleven gates (FLAC lossless round trip,
 MPEG-audio header probe, CommonCrawl .warc.gz member round trip and its
 CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
-Kneser-Ney bigram scoring, unigram-LM tokenization); prefix order
+Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
+alpha); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -356,6 +357,7 @@ HEADLINE = [
     "corpus_kn_bigram",
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
+    "pref_krippendorff",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -389,6 +391,7 @@ PYTHON_WORKER_QUERIES = [
     "doc_pdf_extract",
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
+    "pref_krippendorff",
 ]
 
 

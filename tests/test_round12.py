@@ -911,3 +911,71 @@ def test_unigram_segment_model_shape_and_fallback(spark):
             for r in unigram_segment_model(df, model).collect()}
     assert rows[0] == (2, 2)  # frequent words become single pieces
     assert rows[1][0] == 2 and rows[1][1] >= 4  # zzz -> 3 char pieces
+
+
+def test_krippendorff_alpha_matches_reference_and_handles_missing(spark):
+    import math
+
+    from adtl_spark.operators.feedback import krippendorff_alpha
+
+    # classic missing-data panel: 4 raters, 12 units, holes
+    grid = {
+        # unit: {rater: label}
+        0: {0: 1, 1: 1, 2: None, 3: 1},
+        1: {0: 2, 1: 2, 2: 3, 3: 2},
+        2: {0: 3, 1: 3, 2: 3, 3: 3},
+        3: {0: 3, 1: 3, 2: 3, 3: 3},
+        4: {0: 2, 1: 2, 2: 2, 3: 2},
+        5: {0: 1, 1: 2, 2: 3, 3: 4},
+        6: {0: 4, 1: 4, 2: 4, 3: 4},
+        7: {0: 1, 1: 1, 2: 2, 3: 1},
+        8: {0: 2, 1: 2, 2: 2, 3: None},
+        9: {0: None, 1: 5, 2: 5, 3: 5},
+        10: {0: None, 1: None, 2: 1, 3: 1},
+        11: {0: None, 1: None, 2: 3, 3: None},  # single rating: excluded
+    }
+    rows = [
+        (u, r, lab)
+        for u, rl in grid.items()
+        for r, lab in rl.items()
+        if lab is not None
+    ]
+    df = spark.createDataFrame(rows, "item long, rater long, label long")
+    got = krippendorff_alpha(df).collect()[0]
+    assert got.n_excluded == 1 and got.n_units == 11
+
+    # dense coincidence-matrix reference with the same 1e-6 protocol
+    from collections import Counter
+
+    do_q6 = 0
+    n = 0
+    nc = Counter()
+    for u, rl in grid.items():
+        labs = [v for v in rl.values() if v is not None]
+        m = len(labs)
+        if m < 2:
+            continue
+        cnt = Counter(labs)
+        sq = sum(c * c for c in cnt.values())
+        do_q6 += math.floor((m * m - sq) / (m - 1) * 1000000 + 0.5)
+        n += m
+        nc.update(labs)
+    ncsq = sum(c * c for c in nc.values())
+    d_o = (do_q6 / 1000000.0) / n
+    d_e = (n * n - ncsq) / (n * (n - 1.0))
+    alpha_q6 = math.floor((1.0 - d_o / d_e) * 1000000 + 0.5)
+    assert got.n_ratings == n
+    assert got.do_q6_sum == do_q6
+    assert got.alpha_q6 == alpha_q6
+    # perfect within-unit agreement across VARYING labels -> alpha = 1
+    perf = spark.createDataFrame(
+        [(u, r, u % 3) for u in range(6) for r in range(3)],
+        "item long, rater long, label long",
+    )
+    assert krippendorff_alpha(perf).collect()[0].alpha_q6 == 1000000
+    # a single label everywhere: d_e = 0, alpha indeterminate -> NULL
+    mono = spark.createDataFrame(
+        [(u, r, 7) for u in range(5) for r in range(3)],
+        "item long, rater long, label long",
+    )
+    assert krippendorff_alpha(mono).collect()[0].alpha_q6 is None
