@@ -936,6 +936,127 @@ def build_mpeg_audio(
     return bytes(out)
 
 
+def parse_id3v2(payload: bytes) -> dict:
+    """Parse ID3v2.3/2.4 TEXT frames (the tag block the MPEG probe
+    skips): returns ``{frame_id: text}`` for the T*** frames (TIT2
+    title, TPE1 artist, TALB album, ...), handling syncsafe sizes and
+    the 0x00 (latin-1), 0x01 (UTF-16 BOM) and 0x03 (UTF-8) text
+    encodings.  Returns {} when no ID3v2 tag leads the payload —
+    metadata extraction is best-effort by contract, unlike the frame
+    probe which raises on junk."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return {}
+    major = payload[3]
+    size = 0
+    for b in payload[6:10]:
+        size = (size << 7) | (b & 0x7F)
+    end = min(10 + size, len(payload))
+    pos = 10
+    out: dict = {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        if not fid.strip(b"\x00") or not all(
+            65 <= c <= 90 or 48 <= c <= 57 for c in fid
+        ):
+            break
+        if major >= 4:  # v2.4: syncsafe frame sizes
+            flen = 0
+            for b in payload[pos + 4 : pos + 8]:
+                flen = (flen << 7) | (b & 0x7F)
+        else:
+            flen = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        body = payload[pos + 10 : pos + 10 + flen]
+        if fid[:1] == b"T" and body:
+            enc, raw = body[0], body[1:]
+            try:
+                if enc == 1:
+                    text = raw.decode("utf-16")
+                elif enc == 3:
+                    text = raw.decode("utf-8")
+                else:
+                    text = raw.decode("latin-1")
+                out[fid.decode("ascii")] = text.rstrip("\x00")
+            except UnicodeDecodeError:
+                pass
+        pos += 10 + flen
+    return out
+
+
+def build_id3v2(frames: dict, version: int = 4) -> bytes:
+    """Construct an ID3v2.3/2.4 tag with UTF-8 text frames — the
+    fixture-side counterpart of :func:`parse_id3v2`; prepend to any
+    MPEG stream from :func:`build_mpeg_audio`."""
+    body = bytearray()
+    for fid, text in frames.items():
+        data = b"\x03" + text.encode("utf-8")
+        n = len(data)
+        if version >= 4:
+            sz = bytes(
+                [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+            )
+        else:
+            sz = n.to_bytes(4, "big")
+        body += fid.encode("ascii") + sz + b"\x00\x00" + data
+    n = len(body)
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+    return hdr + bytes(body)
+
+
+def normalize_audio_peak(
+    df: DataFrame, target_peak: int = 30000
+) -> DataFrame:
+    """Peak normalization — the ASR-corpus loudness-prep step: decode
+    each payload through the full :func:`decode_audio` dispatch, scale
+    every sample by the EXACT integer rule
+
+        out = sample * target_peak // peak      (peak = max |sample|)
+
+    and emit (media_id, peak, n_samples, pcm_sum) with the scaled
+    payload re-encoded as WAV.  Integer floor scaling (not float) keeps
+    the transform SQL-replayable sample-for-sample; payloads quieter
+    than the target are amplified, louder ones attenuated, silence
+    passes through.  Arrow ``mapInPandas``, one decode per payload."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, ch, bits, pcm = decode_audio(bytes(payload))
+                x = np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+                peak = int(np.abs(x).max()) if len(x) else 0
+                if peak:
+                    y = x * target_peak // peak
+                else:
+                    y = x
+                out = pcm_to_wav(rate, ch, 16, y.astype(np.int16).tobytes())
+                rows.append(
+                    (
+                        int(mid),
+                        peak,
+                        len(y),
+                        int(y.sum()),
+                        out,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "peak", "n_samples", "pcm_sum", "payload"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, peak long, n_samples long, pcm_sum long, "
+            "payload binary"
+        ),
+    )
+
+
 def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
     WAV/PCM, IMA ADPCM (format tag 0x11), G.711 µ-law/A-law (tags

@@ -4649,6 +4649,95 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata extraction value-checked end to end: per document
+    a real ID3v2.4 tag (UTF-8 text frames, syncsafe sizes) leads an
+    MPEG frame stream; parse_id3v2 recovers title/artist and the probe
+    confirms the tag skip.  The oracle rebuilds the strings and the
+    byte-accounting arithmetic (tag length = header + per-frame
+    10+1+len(text)) directly (multimodal.parse_id3v2/build_id3v2)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.multimodal import (
+            build_id3v2,
+            build_mpeg_audio,
+            parse_id3v2,
+            probe_mpeg_audio,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                tag = build_id3v2(
+                    {"TIT2": f"title-{d}", "TPE1": f"artist-{d % 7}"}
+                )
+                p = tag + build_mpeg_audio([128] * (3 + d % 5))
+                meta = parse_id3v2(p)
+                probe = probe_mpeg_audio(p)
+                rows.append(
+                    (
+                        d,
+                        meta.get("TIT2"),
+                        meta.get("TPE1"),
+                        probe["n_frames"],
+                        probe["id3v2_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "title", "artist", "n_frames", "id3_bytes"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, title string, artist string, "
+            "n_frames long, id3_bytes long"
+        ),
+    ).orderBy("media_id")
+
+
+def multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak normalization through the FULL codec path: per document the
+    FLAC-gate sawtooth (mono) is FLAC-encoded, normalize_audio_peak
+    decodes it via the fLaC dispatch and rescales every sample by the
+    exact integer rule out = s * 30000 // peak.  The oracle replays the
+    signal arithmetic, the peak, and the per-sample floor-scaled sum —
+    so the codec decode AND the normalization are sample-exact
+    (multimodal.normalize_audio_peak)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.flac_lite import encode_flac
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 300 * (1 + d % 3) + (d % 53)
+                i = np.arange(n, dtype=np.int64)
+                sig = ((i * (13 + d % 7) + d) % 4001 - 2000).astype(np.int16)
+                rows.append(
+                    (d, encode_flac(sig.tobytes(), rate=16000, block_size=512))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    from adtl_spark.operators.multimodal import normalize_audio_peak
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    out = normalize_audio_peak(media, target_peak=30000)
+    return out.select("media_id", "peak", "n_samples", "pcm_sum").orderBy(
+        "media_id"
+    )
+
+
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Executed video frame sampling value-checked end to end: per
     document a reference-container video (4-8 arith P6 frames at 4 fps,
@@ -7485,6 +7574,48 @@ def oracles() -> dict[str, str]:
                    CAST(MAX(id3) AS BIGINT) AS id3v2_bytes
             FROM k GROUP BY doc_id ORDER BY media_id
         """,
+        # tag byte-accounting: 10 header + (10+1+6+len(id)) + (10+1+8)
+        "multimodal_id3_tags": """
+            SELECT doc_id AS media_id,
+                   'title-' || CAST(doc_id AS VARCHAR) AS title,
+                   'artist-' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+                   CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+                   CAST(46 + length(CAST(doc_id AS VARCHAR)) AS BIGINT)
+                     AS id3_bytes
+            FROM documents ORDER BY media_id
+        """,
+        # decode + integer floor rescale replayed sample-for-sample
+        "multimodal_audio_normalize": """
+            WITH d AS (
+              SELECT doc_id,
+                     300 * (1 + doc_id % 3) + (doc_id % 53) AS n
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, n,
+                     ((i * (13 + doc_id % 7) + doc_id) % 4001) - 2000 AS v
+              FROM (
+                SELECT doc_id, n,
+                       unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+                FROM d
+              )
+            ),
+            pk AS (
+              SELECT doc_id, n, MAX(abs(v)) AS peak FROM s GROUP BY 1, 2
+            )
+            SELECT s.doc_id AS media_id,
+                   CAST(MAX(pk.peak) AS BIGINT) AS peak,
+                   CAST(MAX(s.n) AS BIGINT) AS n_samples,
+                   -- numpy // FLOORS; DuckDB // truncates, so negative
+                   -- samples floor via the ceil-of-negation identity
+                   CAST(SUM(CASE WHEN s.v >= 0
+                                 THEN (s.v * 30000) // pk.peak
+                                 ELSE -(((-s.v) * 30000 + pk.peak - 1)
+                                        // pk.peak) END) AS BIGINT)
+                     AS pcm_sum
+            FROM s JOIN pk ON s.doc_id = pk.doc_id
+            GROUP BY s.doc_id ORDER BY media_id
+        """,
         "multimodal_dhash_recall": _dhash_recall_oracle(),
         # every output pixel = floor over 4 of its 2x2 block's byte sum,
         # q = 0..3 encoding (dy, dx) = (q // 2, q % 2)
@@ -8840,7 +8971,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the eighteen gates new this round: the
+    1. The window head holds the twenty gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -8853,7 +8984,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        Kneser-Ney bigram scoring (``corpus_kn_bigram``), unigram-LM
        tokenization (``tokenizer_unigram_segment``, rows-only),
        Krippendorff's alpha with missing ratings
-       (``pref_krippendorff``), the
+       (``pref_krippendorff``), ID3v2 metadata extraction
+       (``multimodal_id3_tags``), sample-exact peak normalization
+       through the FLAC decode path (``multimodal_audio_normalize``),
+       the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -8863,7 +8997,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 32 slots refresh the LEAST-recently driver-verified
+    2. The remaining 30 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -8890,7 +9024,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the eighteen gates new this round --
+        # -- r9 window head: the twenty gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -8902,6 +9036,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_warc_gz_fetch": web_warc_gz_fetch,
         "tokenizer_unigram_segment": tokenizer_unigram_segment,
         "pref_krippendorff": pref_krippendorff,
+        "multimodal_id3_tags": multimodal_id3_tags,
+        "multimodal_audio_normalize": multimodal_audio_normalize,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

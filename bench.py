@@ -67,12 +67,12 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-12 changes: appends eleven gates (FLAC lossless round trip,
+Round-12 changes: appends the thirteen round-12 gates (FLAC lossless round trip,
 MPEG-audio header probe, CommonCrawl .warc.gz member round trip and its
 CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
 Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
-alpha); prefix order
+alpha, ID3v2 tag extraction, FLAC-path peak normalization); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -358,6 +358,8 @@ HEADLINE = [
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
     "pref_krippendorff",
+    "multimodal_id3_tags",
+    "multimodal_audio_normalize",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -392,6 +394,8 @@ PYTHON_WORKER_QUERIES = [
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
     "pref_krippendorff",
+    "multimodal_id3_tags",
+    "multimodal_audio_normalize",
 ]
 
 

@@ -979,3 +979,66 @@ def test_krippendorff_alpha_matches_reference_and_handles_missing(spark):
         "item long, rater long, label long",
     )
     assert krippendorff_alpha(mono).collect()[0].alpha_q6 is None
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames + peak normalization (operators/multimodal.py).
+
+
+def test_id3v2_parse_build_roundtrip_and_encodings():
+    from adtl_spark.operators.multimodal import (
+        build_id3v2,
+        build_mpeg_audio,
+        parse_id3v2,
+        probe_mpeg_audio,
+    )
+
+    frames = {"TIT2": "My Söng", "TPE1": "Ärtist", "TALB": "Album/X"}
+    for version in (3, 4):
+        tag = build_id3v2(frames, version=version)
+        assert parse_id3v2(tag) == frames, version
+    # utf-16 and latin-1 encodings decode too
+    body = b"TIT2" + bytes([0, 0, 0, 1 + len("ab".encode("utf-16"))]) \
+        + b"\x00\x00" + b"\x01" + "ab".encode("utf-16")
+    tag = b"ID3\x03\x00\x00" + bytes(
+        [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+         (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+    ) + body
+    assert parse_id3v2(tag) == {"TIT2": "ab"}
+    # non-tagged payloads and junk return {}
+    assert parse_id3v2(b"\xff\xfbxxxx") == {}
+    assert parse_id3v2(b"") == {}
+    # probe agrees on the skip length
+    p = build_id3v2(frames) + build_mpeg_audio([128] * 3)
+    assert probe_mpeg_audio(p)["id3v2_bytes"] == len(build_id3v2(frames))
+
+
+def test_normalize_audio_peak_exact_and_silence(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        decode_audio,
+        normalize_audio_peak,
+        pcm_to_wav,
+    )
+
+    sig = np.array([-15000, 0, 7500, 15000, -2], dtype=np.int16)
+    silent = np.zeros(16, dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(pcm_to_wav(8000, 1, 16, sig.tobytes()))),
+            (1, bytearray(pcm_to_wav(8000, 1, 16, silent.tobytes()))),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r.media_id: r for r in normalize_audio_peak(df, 30000).collect()}
+    want = sig.astype(np.int64) * 30000 // 15000
+    assert rows[0].peak == 15000
+    assert rows[0].pcm_sum == int(want.sum())
+    got = np.frombuffer(
+        decode_audio(bytes(rows[0].payload))[3], dtype=np.int16
+    )
+    assert np.array_equal(got.astype(np.int64), want)  # floor, incl. -2 -> -4
+    assert got[4] == -4
+    # silence passes through untouched
+    assert rows[1].peak == 0 and rows[1].pcm_sum == 0

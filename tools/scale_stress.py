@@ -222,6 +222,8 @@ QUERIES = [
     "corpus_kn_bigram",
     "tokenizer_unigram_segment",
     "pref_krippendorff",
+    "multimodal_id3_tags",
+    "multimodal_audio_normalize",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
