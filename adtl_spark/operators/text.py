@@ -1789,3 +1789,122 @@ def html_to_text(col: Column) -> Column:
     for pat, repl in _HTML_PASSES:
         col = F.regexp_replace(col, pat, repl)
     return col
+
+
+# ---------------------------------------------------------------------------
+# robots.txt evaluation (RFC 9309) — the crawl-compliance filter.
+
+
+def parse_robots(robots_txt: str, agent: str = "*") -> list:
+    """Parse a robots.txt body and return the rule list for ``agent``
+    as ``(allow: bool, pattern: str)`` tuples, per RFC 9309 group
+    selection: the group whose ``User-agent`` token is the LONGEST
+    case-insensitive prefix of ``agent`` wins; the ``*`` group is the
+    fallback; consecutive user-agent lines share one group.  Patterns
+    keep their ``*`` wildcards and ``$`` end anchor verbatim — matching
+    happens in :func:`apply_robots`.  Empty Disallow lines (allow all)
+    are dropped, comments and unknown directives ignored."""
+    agent_l = agent.lower()
+    groups: list = []  # (agent_tokens, rules)
+    cur_agents: list = []
+    cur_rules: list = []
+    in_group_body = False
+    for raw in robots_txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_group_body = True
+            if val:
+                cur_rules.append((key == "allow", val))
+            # an empty Disallow means "allow everything": no rule
+    if cur_agents:
+        groups.append((cur_agents, cur_rules))
+    best: tuple = (-1, [])
+    for agents, rules in groups:
+        for a in agents:
+            if a == "*":
+                score = 0
+            elif agent_l.startswith(a):
+                score = len(a)
+            else:
+                continue
+            if score > best[0]:
+                best = (score, rules)
+    return list(best[1])
+
+
+def _robots_like(pattern: str) -> tuple:
+    """Translate a robots path pattern to (SQL LIKE pattern, match_len):
+    ``*`` becomes ``%``, a trailing ``$`` anchors (no trailing ``%``),
+    LIKE metacharacters are escaped with ``\\``.  match_len is the
+    specificity (pattern octets, ``$`` excluded) RFC 9309 ranks by."""
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    like = (
+        body.replace("\\", "\\\\")
+        .replace("%", "\\%")
+        .replace("_", "\\_")
+        .replace("*", "%")
+    )
+    if not anchored:
+        like += "%"
+    return like, len(body)
+
+
+def apply_robots(
+    urls: DataFrame, rules: list, url_col: str = "url"
+) -> DataFrame:
+    """Evaluate RFC 9309 rules against a URL relation: adds ``path``,
+    ``allowed`` (boolean) and ``rule`` (the winning pattern, NULL when
+    no rule matched — which allows by default).  Longest-match wins;
+    at equal length Allow beats Disallow (the RFC tie-break).
+
+    The rule list broadcasts (robots files are tiny) and matching is a
+    broadcast LIKE theta-join — URLs never shuffle; the verdict per URL
+    is one max_by over its matched rules.  Wildcards map to SQL LIKE
+    exactly (``*`` -> ``%``, ``$`` -> anchor), so a DuckDB twin replays
+    the evaluation with the same patterns."""
+    spark = urls.sparkSession
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/[^#?]*)?", 1
+    )
+    base = urls.withColumn("path", F.when(path == "", "/").otherwise(path))
+    if not rules:
+        return base.select(
+            "*", F.lit(True).alias("allowed"),
+            F.lit(None).cast("string").alias("rule"),
+        )
+    rows = []
+    for allow, pattern in rules:
+        like, mlen = _robots_like(pattern)
+        rows.append((bool(allow), pattern, like, mlen))
+    rdf = spark.createDataFrame(
+        rows, "allow boolean, rule string, like string, mlen int"
+    )
+    matched = base.join(
+        F.broadcast(rdf),
+        F.expr("path LIKE like ESCAPE '\\\\'"),
+        "left",
+    )
+    win = F.max_by(
+        F.struct(F.col("allow"), F.col("rule")),
+        # specificity, then Allow on ties (RFC 9309 §2.2.2)
+        F.struct(F.col("mlen"), F.col("allow").cast("int")),
+    )
+    key_cols = [c for c in base.columns]
+    out = matched.groupBy(*key_cols).agg(win.alias("__w"))
+    return out.select(
+        *key_cols,
+        F.coalesce(F.col("__w.allow"), F.lit(True)).alias("allowed"),
+        F.col("__w.rule").alias("rule"),
+    )

@@ -4115,6 +4115,57 @@ def web_warc_gz_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_ROBOTS_FIXTURE = """
+# corpus.test crawl policy
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp*
+Allow: /private/pub/
+Disallow: /exact$
+Allow: /exa
+"""
+
+
+def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (RFC 9309) value-checked end to
+    end: a fixed robots policy parses (group selection by longest
+    user-agent prefix) and evaluates against six URL shapes per
+    document — no-rule default-allow, prefix disallow, longer-allow
+    override, ``*`` wildcard, ``$`` exact anchor beating a shorter
+    allow, and plain allow.  Longest-match + Allow-on-tie semantics run
+    as a broadcast LIKE theta-join with a max_by verdict; the oracle
+    replays the same translated LIKE patterns and the specificity
+    ranking in SQL (operators/text.py: parse_robots, apply_robots)."""
+    from adtl_spark.operators.text import apply_robots, parse_robots
+
+    rules = parse_robots(_ROBOTS_FIXTURE, agent="corpusbot/2.0")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 6 == 0, F.concat(F.lit("/ok/"), d.cast("string")))
+        .when(d % 6 == 1, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 6 == 2, F.concat(F.lit("/private/pub/q"), d.cast("string")))
+        .when(d % 6 == 3, F.concat(F.lit("/tmp"), d.cast("string")))
+        .when(d % 6 == 4, F.lit("/exact"))
+        .otherwise(F.concat(F.lit("/exa"), d.cast("string")))
+    )
+    urls = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .select(
+            "doc_id",
+            F.concat(F.lit("http://corpus.test"), path).alias("url"),
+        )
+    )
+    return (
+        apply_robots(urls, rules)
+        .select("doc_id", "path", "allowed", "rule")
+        .orderBy("doc_id")
+    )
+
+
 def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIR GENERATION value-checked end to end: 20
     arithmetic textures replicated across the corpus, with every odd id
@@ -8027,6 +8078,38 @@ def oracles() -> dict[str, str]:
                                         '')) AS BIGINT) AS n_chars
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
+        # same translated LIKE patterns, same (specificity, allow) rank
+        "web_robots_filter": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 6
+                       WHEN 0 THEN '/ok/' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                       WHEN 2 THEN '/private/pub/q' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                       WHEN 4 THEN '/exact'
+                       ELSE '/exa' || CAST(doc_id AS VARCHAR)
+                     END AS path
+              FROM documents
+            ),
+            r(allow, rule, lk, mlen) AS (
+              VALUES (FALSE, '/private/', '/private/%', 9),
+                     (FALSE, '/tmp*', '/tmp%', 4),
+                     (TRUE,  '/private/pub/', '/private/pub/%', 13),
+                     (FALSE, '/exact$', '/exact', 6),
+                     (TRUE,  '/exa', '/exa%', 4)
+            ),
+            m AS (
+              SELECT u.doc_id, u.path, r.allow, r.rule,
+                     r.mlen * 2 + CASE WHEN r.allow THEN 1 ELSE 0 END
+                       AS rank
+              FROM u LEFT JOIN r ON u.path LIKE r.lk
+            )
+            SELECT doc_id, path,
+                   COALESCE(arg_max(allow, rank), TRUE) AS allowed,
+                   arg_max(rule, rank) AS rule
+            FROM m GROUP BY doc_id, path ORDER BY doc_id
+        """,
         # random access: only the manifested members are inflated;
         # offsets + single-member decompression + parse must be exact
         "web_warc_gz_fetch": """
@@ -8971,7 +9054,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the twenty gates new this round: the
+    1. The window head holds the twenty-one gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -8987,7 +9070,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``pref_krippendorff``), ID3v2 metadata extraction
        (``multimodal_id3_tags``), sample-exact peak normalization
        through the FLAC decode path (``multimodal_audio_normalize``),
-       the
+       RFC 9309 robots.txt compliance filtering
+       (``web_robots_filter``), the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -8997,7 +9081,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 30 slots refresh the LEAST-recently driver-verified
+    2. The remaining 29 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -9024,7 +9108,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the twenty gates new this round --
+        # -- r9 window head: the twenty-one gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -9038,6 +9122,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_krippendorff": pref_krippendorff,
         "multimodal_id3_tags": multimodal_id3_tags,
         "multimodal_audio_normalize": multimodal_audio_normalize,
+        "web_robots_filter": web_robots_filter,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -72,7 +72,8 @@ MPEG-audio header probe, CommonCrawl .warc.gz member round trip and its
 CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
 Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
-alpha, ID3v2 tag extraction, FLAC-path peak normalization); prefix order
+alpha, ID3v2 tag extraction, FLAC-path peak normalization, robots.txt
+compliance filtering); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -360,6 +361,7 @@ HEADLINE = [
     "pref_krippendorff",
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
+    "web_robots_filter",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

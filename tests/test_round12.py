@@ -1042,3 +1042,69 @@ def test_normalize_audio_peak_exact_and_silence(spark):
     assert got[4] == -4
     # silence passes through untouched
     assert rows[1].peak == 0 and rows[1].pcm_sum == 0
+
+
+# ---------------------------------------------------------------------------
+# robots.txt (RFC 9309) — operators/text.py.
+
+
+def test_parse_robots_group_selection_and_empty_disallow():
+    from adtl_spark.operators.text import parse_robots
+
+    txt = """
+    User-agent: megabot
+    User-agent: superbot
+    Disallow: /m/
+
+    User-agent: mega
+    Disallow: /short/
+
+    User-agent: *
+    Disallow:
+    Allow: /x
+    """
+    # longest agent-prefix group wins; shared user-agent lines group
+    assert parse_robots(txt, "megabot/3.1") == [(False, "/m/")]
+    assert parse_robots(txt, "superbot") == [(False, "/m/")]
+    assert parse_robots(txt, "megab") == [(False, "/short/")]
+    # fallback * group; empty Disallow contributes no rule
+    assert parse_robots(txt, "other") == [(True, "/x")]
+    # no matching group at all -> empty rules (allow everything)
+    assert parse_robots("User-agent: a\nDisallow: /", "b") == []
+
+
+def test_apply_robots_semantics(spark):
+    from adtl_spark.operators.text import apply_robots, parse_robots
+
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private/\nDisallow: /tmp*\n"
+        "Allow: /private/pub/\nDisallow: /exact$\nAllow: /exa\n"
+        "Disallow: /esc\\%age\n",
+        "bot",
+    )
+    urls = spark.createDataFrame(
+        [
+            (0, "http://t/ok"),
+            (1, "http://t/private/a"),
+            (2, "http://t/private/pub/b"),   # longer Allow overrides
+            (3, "http://t/tmp123"),          # * wildcard
+            (4, "http://t/exact"),           # $ anchor beats /exa
+            (5, "http://t/exactly"),         # anchor does NOT match
+            (6, "http://t"),                 # pathless -> "/"
+            (7, "http://t/esc\\%age"),       # LIKE metachars escaped
+        ],
+        "id long, url string",
+    )
+    got = {r.id: (r.allowed, r.rule)
+           for r in apply_robots(urls, rules).collect()}
+    assert got[0] == (True, None)
+    assert got[1] == (False, "/private/")
+    assert got[2] == (True, "/private/pub/")
+    assert got[3] == (False, "/tmp*")
+    assert got[4] == (False, "/exact$")
+    assert got[5] == (True, "/exa")
+    assert got[6] == (True, None)
+    assert got[7] == (False, "/esc\\%age")
+    # empty rule list allows everything
+    all_ok = apply_robots(urls, []).select("allowed").collect()
+    assert all(r.allowed for r in all_ok)
