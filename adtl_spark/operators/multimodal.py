@@ -2220,3 +2220,58 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=IMAGE_PIXEL_STATS_SCHEMA)
+
+
+def flip_image_h(df: DataFrame) -> DataFrame:
+    """Horizontal mirror — the cheapest, most common training-data
+    augmentation: decode (PPM/PNG), reverse each row's pixel order with
+    one negative-stride numpy view, re-encode as P6.  Exact integer op,
+    so augmentation chains stay SQL-replayable pixel-for-pixel."""
+    import numpy as np
+
+    def one(b: bytes | None):
+        if b is None:
+            return None
+        w, h, rgb = decode_image(b)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        out = np.ascontiguousarray(a[:, ::-1, :])
+        return f"P6\n{w} {h}\n255\n".encode() + out.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [one(b) for b in pdf["payload"]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
+def crop_image(df: DataFrame, box=None) -> DataFrame:
+    """Crop — the other half of the standard augmentation pair.
+    ``box(w, h) -> (x0, y0, cw, ch)`` computes the integer crop window
+    per image (default: the center half, ``(w//4, h//4, w//2, h//2)``);
+    one numpy slice, re-encoded as P6.  Exact, composable with
+    :func:`flip_image_h` / the resize family."""
+    import numpy as np
+
+    if box is None:
+        box = lambda w, h: (w // 4, h // 4, w // 2, h // 2)  # noqa: E731
+
+    def one(b: bytes | None):
+        if b is None:
+            return None
+        w, h, rgb = decode_image(b)
+        x0, y0, cw, ch = box(w, h)
+        if x0 < 0 or y0 < 0 or x0 + cw > w or y0 + ch > h or cw < 1 or ch < 1:
+            raise ValueError(f"crop box {(x0, y0, cw, ch)} outside {w}x{h}")
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+        out = np.ascontiguousarray(a[y0 : y0 + ch, x0 : x0 + cw, :])
+        return f"P6\n{cw} {ch}\n255\n".encode() + out.tobytes()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [one(b) for b in pdf["payload"]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)

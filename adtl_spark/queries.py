@@ -4166,6 +4166,45 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard augmentation pair — horizontal flip then center
+    crop — value-checked pixel-for-pixel: per document an arithmetic P6
+    image (byte j = (seed*31 + j*131) % 256) flips, crops to its center
+    half, and the result's channel sums and position-weighted checksum
+    are computed through image_pixel_stats.  The oracle replays the
+    composed index map O(y',x') = I(y0+y', W-1-x0-x') with
+    generate_series arithmetic, so both augmentations' stride math is
+    exact (multimodal.flip_image_h/crop_image)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 8 + d % 16, 8 + (d * 3) % 16
+                rows.append(
+                    (d, M.synthetic_ppm_arith(w, h, seed=d * 7 + 3))
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    out = M.image_pixel_stats(M.crop_image(M.flip_image_h(media)))
+    return out.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("sum_r").cast("long").alias("sum_r"),
+        F.col("sum_g").cast("long").alias("sum_g"),
+        F.col("sum_b").cast("long").alias("sum_b"),
+        F.col("checksum").cast("long").alias("checksum"),
+    ).orderBy("media_id")
+
+
 def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup PAIR GENERATION value-checked end to end: 20
     arithmetic textures replicated across the corpus, with every odd id
@@ -7625,6 +7664,50 @@ def oracles() -> dict[str, str]:
                    CAST(MAX(id3) AS BIGINT) AS id3v2_bytes
             FROM k GROUP BY doc_id ORDER BY media_id
         """,
+        # flip+crop index map O(y',x') = I(y0+y', W-1-x0-x') replayed
+        # per pixel; checksum pins stride order, not just multisets
+        "multimodal_image_augment": """
+            WITH dims AS (
+              SELECT doc_id,
+                     8 + doc_id % 16 AS w,
+                     8 + (doc_id * 3) % 16 AS h,
+                     doc_id * 7 + 3 AS seed
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, w, h, seed,
+                     w // 4 AS x0, h // 4 AS y0,
+                     w // 2 AS cw, h // 2 AS ch
+              FROM dims
+            ),
+            px AS (
+              SELECT doc_id, w, seed, x0, y0, cw, ch,
+                     unnest(generate_series(0, CAST(cw * ch - 1 AS BIGINT)))
+                       AS p
+              FROM c
+            ),
+            q AS (
+              SELECT doc_id, cw, ch, p, seed,
+                     ((y0 + p // cw) * w + (w - 1 - x0 - (p % cw))) AS q
+              FROM px
+            ),
+            b AS (
+              SELECT doc_id, cw, ch, p,
+                     (seed * 31 + (3 * q + 0) * 131) % 256 AS r,
+                     (seed * 31 + (3 * q + 1) * 131) % 256 AS g,
+                     (seed * 31 + (3 * q + 2) * 131) % 256 AS bb
+              FROM q
+            )
+            SELECT doc_id AS media_id,
+                   CAST(MAX(cw) AS INT) AS width,
+                   CAST(MAX(ch) AS INT) AS height,
+                   CAST(SUM(r) AS BIGINT) AS sum_r,
+                   CAST(SUM(g) AS BIGINT) AS sum_g,
+                   CAST(SUM(bb) AS BIGINT) AS sum_b,
+                   CAST(SUM((p + 1) * (r + 2 * g + 3 * bb)) AS BIGINT)
+                     AS checksum
+            FROM b GROUP BY doc_id ORDER BY media_id
+        """,
         # tag byte-accounting: 10 header + (10+1+6+len(id)) + (10+1+8)
         "multimodal_id3_tags": """
             SELECT doc_id AS media_id,
@@ -9054,7 +9137,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the twenty-one gates new this round: the
+    1. The window head holds the twenty-two gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -9071,7 +9154,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``multimodal_id3_tags``), sample-exact peak normalization
        through the FLAC decode path (``multimodal_audio_normalize``),
        RFC 9309 robots.txt compliance filtering
-       (``web_robots_filter``), the
+       (``web_robots_filter``), the pixel-exact flip+crop augmentation
+       chain (``multimodal_image_augment``), the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -9081,7 +9165,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 29 slots refresh the LEAST-recently driver-verified
+    2. The remaining 28 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -9108,7 +9192,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the twenty-one gates new this round --
+        # -- r9 window head: the twenty-two gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -9123,6 +9207,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_id3_tags": multimodal_id3_tags,
         "multimodal_audio_normalize": multimodal_audio_normalize,
         "web_robots_filter": web_robots_filter,
+        "multimodal_image_augment": multimodal_image_augment,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

@@ -67,13 +67,13 @@ soundtrack demux + VAD, integer box-filter resize chain, box-decimated
 audio resampling, leakage-safe cluster splitting); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
-Round-12 changes: appends the thirteen round-12 gates (FLAC lossless round trip,
+Round-12 changes: appends the round-12 gate block (FLAC lossless round trip,
 MPEG-audio header probe, CommonCrawl .warc.gz member round trip and its
 CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
 Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
 alpha, ID3v2 tag extraction, FLAC-path peak normalization, robots.txt
-compliance filtering); prefix order
+compliance filtering, the flip+crop augmentation chain); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -362,6 +362,7 @@ HEADLINE = [
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
     "web_robots_filter",
+    "multimodal_image_augment",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -398,6 +399,7 @@ PYTHON_WORKER_QUERIES = [
     "pref_krippendorff",
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
+    "multimodal_image_augment",
 ]
 
 

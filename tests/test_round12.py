@@ -1108,3 +1108,40 @@ def test_apply_robots_semantics(spark):
     # empty rule list allows everything
     all_ok = apply_robots(urls, []).select("allowed").collect()
     assert all(r.allowed for r in all_ok)
+
+
+def test_flip_crop_exact_and_strict(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        crop_image,
+        decode_image,
+        flip_image_h,
+        synthetic_ppm_arith,
+    )
+
+    base = synthetic_ppm_arith(8, 6, seed=9)
+    w, h, rgb = decode_image(base)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+    df = spark.createDataFrame(
+        [(0, bytearray(base))], "media_id long, payload binary"
+    )
+    # flip is an exact mirror; flipping twice restores the original
+    f1 = flip_image_h(df).collect()[0].payload
+    _, _, frgb = decode_image(bytes(f1))
+    fa = np.frombuffer(frgb, dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(fa, a[:, ::-1, :])
+    f2 = flip_image_h(flip_image_h(df)).collect()[0].payload
+    assert bytes(f2)[-len(rgb):] == rgb
+    # default center-half crop slices exactly
+    c1 = crop_image(df).collect()[0].payload
+    cw, chh, crgb = decode_image(bytes(c1))
+    assert (cw, chh) == (w // 2, h // 2)
+    ca = np.frombuffer(crgb, dtype=np.uint8).reshape(chh, cw, 3)
+    assert np.array_equal(ca, a[h // 4 : h // 4 + chh, w // 4 : w // 4 + cw, :])
+    # out-of-bounds boxes are loud
+    import pytest as _pytest
+
+    bad = crop_image(df, box=lambda ww, hh: (ww - 2, 0, 4, 2))
+    with _pytest.raises(Exception, match="crop box"):
+        bad.collect()

@@ -225,6 +225,7 @@ QUERIES = [
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
     "web_robots_filter",
+    "multimodal_image_augment",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
