@@ -4129,6 +4129,41 @@ Allow: /exa
 """
 
 
+def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compression-ratio quality heuristic exercised with a pinned
+    ORDER invariant: per document, the zlib ratio of its text is
+    compared against the ratio of a 10x-repeated 40-char slice of the
+    same text — repetition MUST compress strictly better, whatever the
+    zlib build produces.  The oracle value-checks the exact byte
+    lengths (SQL arithmetic) and the invariant boolean; the raw ratio
+    itself is zlib-version-dependent by nature and is pinned relative,
+    not absolute — the JPEG-gate pattern for codec-backed signals
+    (operators/text.py:compression_signal)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = docs.select(
+        "doc_id",
+        F.repeat(F.substring("text", 1, 40), 10).alias("text"),
+    )
+    base = X.compression_signal(docs)
+    reps = X.compression_signal(rep).select(
+        F.col("doc_id"),
+        F.col("n_bytes").alias("rep_bytes"),
+        F.col("ratio_q4").alias("rep_ratio_q4"),
+    )
+    return (
+        base.join(reps, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            "rep_bytes",
+            (F.col("rep_ratio_q4") < F.col("ratio_q4")).alias(
+                "rep_compresses_better"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (RFC 9309) value-checked end to
     end: a fixed robots policy parses (group selection by longest
@@ -8161,6 +8196,15 @@ def oracles() -> dict[str, str]:
                                         '')) AS BIGINT) AS n_chars
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
+        # exact byte accounting; the ratio ORDER is the pinned invariant
+        "quality_compression_ratio": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(length(substr(text, 1, 40)) * 10 AS BIGINT)
+                     AS rep_bytes,
+                   TRUE AS rep_compresses_better
+            FROM documents ORDER BY doc_id
+        """,
         # same translated LIKE patterns, same (specificity, allow) rank
         "web_robots_filter": """
             WITH u AS (
@@ -9137,7 +9181,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the twenty-two gates new this round: the
+    1. The window head holds the twenty-three gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -9155,7 +9199,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        through the FLAC decode path (``multimodal_audio_normalize``),
        RFC 9309 robots.txt compliance filtering
        (``web_robots_filter``), the pixel-exact flip+crop augmentation
-       chain (``multimodal_image_augment``), the
+       chain (``multimodal_image_augment``), the compression-ratio
+       quality signal (``quality_compression_ratio``), the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -9165,7 +9210,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 28 slots refresh the LEAST-recently driver-verified
+    2. The remaining 27 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
        through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
        re-verified green at HEAD by every full check_oracle sweep since
@@ -9192,7 +9237,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the twenty-two gates new this round --
+        # -- r9 window head: the twenty-three gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -9208,6 +9253,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_normalize": multimodal_audio_normalize,
         "web_robots_filter": web_robots_filter,
         "multimodal_image_augment": multimodal_image_augment,
+        "quality_compression_ratio": quality_compression_ratio,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

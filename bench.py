@@ -73,7 +73,8 @@ CDX-style random-access fetch, PDF text extraction, Bradley-Terry
 preference fitting, pairwise and Fleiss rater agreement, interpolated
 Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
 alpha, ID3v2 tag extraction, FLAC-path peak normalization, robots.txt
-compliance filtering, the flip+crop augmentation chain); prefix order
+compliance filtering, the flip+crop augmentation chain, the
+compression-ratio quality signal); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -363,6 +364,7 @@ HEADLINE = [
     "multimodal_audio_normalize",
     "web_robots_filter",
     "multimodal_image_augment",
+    "quality_compression_ratio",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -400,6 +402,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
     "multimodal_image_augment",
+    "quality_compression_ratio",
 ]
 
 

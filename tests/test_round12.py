@@ -1145,3 +1145,26 @@ def test_flip_crop_exact_and_strict(spark):
     bad = crop_image(df, box=lambda ww, hh: (ww - 2, 0, 4, 2))
     with _pytest.raises(Exception, match="crop box"):
         bad.collect()
+
+
+def test_compression_signal_orders_and_edges(spark):
+    from adtl_spark.operators.text import compression_signal
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam " * 200),                      # highly repetitive
+            (1, " ".join(f"w{i}x{i*7%97}" for i in range(200))),  # varied
+            (2, ""),                                  # empty
+            (3, None),                                # null
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in compression_signal(docs).collect()}
+    assert rows[0].ratio_q4 < rows[1].ratio_q4  # repetition compresses better
+    assert 0 < rows[0].ratio_q4 < 10000
+    assert rows[0].n_bytes == 1000
+    assert rows[2].n_bytes == 0 and rows[2].ratio_q4 is None
+    assert rows[3].n_bytes == 0 and rows[3].ratio_q4 is None
+    # deterministic across invocations
+    again = {r.doc_id: r.ratio_q4 for r in compression_signal(docs).collect()}
+    assert again[1] == rows[1].ratio_q4

@@ -226,6 +226,7 @@ QUERIES = [
     "multimodal_audio_normalize",
     "web_robots_filter",
     "multimodal_image_augment",
+    "quality_compression_ratio",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
