@@ -649,8 +649,14 @@ def encode_flac(
         bw.write(bs_code, 4)
         if sr_known:
             sr_code, sr_extra = _SAMPLE_RATE_CODES[rate], None
+        elif rate < 65536:
+            sr_code, sr_extra = 13, rate  # 16-bit Hz
+        elif rate % 10 == 0 and rate // 10 < 65536:
+            sr_code, sr_extra = 14, rate // 10  # 16-bit tens-of-Hz
         else:
-            sr_code, sr_extra = 13, rate
+            raise ValueError(
+                f"sample rate {rate} not representable in a frame header"
+            )
         bw.write(sr_code, 4)
 
         use_side = False
@@ -671,7 +677,7 @@ def encode_flac(
             bw.write(bs_extra, 8)
         elif bs_code == 7:
             bw.write(bs_extra, 16)
-        if sr_code == 13:
+        if sr_code in (13, 14):
             bw.write(sr_extra, 16)
         bw.align()
         header = bw.getvalue()

@@ -875,6 +875,10 @@ def probe_mpeg_audio(payload: bytes) -> dict:
         pos += flen
     if meta is None:
         raise ValueError("no MPEG audio frame found")
+    if n_frames == 0:
+        # a valid header whose frame is cut short (truncated download):
+        # same contract as junk — loud ValueError, never a ZeroDivision
+        raise ValueError("no complete MPEG audio frame found")
     return {
         "version": _MPEG_VERSION_NAME[meta[0]],
         "layer": meta[1],
@@ -1027,7 +1031,17 @@ def normalize_audio_peak(
                 if payload is None:
                     continue
                 rate, ch, bits, pcm = decode_audio(bytes(payload))
-                x = np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+                # honor the decoder's container width: <=16-bit decodes
+                # land in int16 buffers, wider in int32 (flac_lite
+                # contract); anything else is loud, never reinterpreted
+                if bits <= 16 and len(pcm) % 2 == 0 and bits > 8:
+                    x = np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+                elif bits > 16:
+                    x = np.frombuffer(pcm, dtype=np.int32).astype(np.int64)
+                else:
+                    raise ValueError(
+                        f"normalize_audio_peak: unsupported {bits}-bit PCM"
+                    )
                 peak = int(np.abs(x).max()) if len(x) else 0
                 if peak:
                     y = x * target_peak // peak

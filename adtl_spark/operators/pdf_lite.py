@@ -74,7 +74,13 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             else:
                 send = body.find(b"endstream", data_start)
                 raw = body[data_start : send if send >= 0 else len(body)]
-                raw = raw.rstrip(b"\r\n")
+                # the spec puts exactly ONE EOL before `endstream`;
+                # rstrip of ALL trailing CR/LF would eat real stream
+                # bytes whenever the payload itself ends in 0x0a/0x0d
+                if raw.endswith(b"\r\n"):
+                    raw = raw[:-2]
+                elif raw.endswith((b"\n", b"\r")):
+                    raw = raw[:-1]
             if _FLATE_RE.search(head):
                 try:
                     stream = zlib.decompress(raw)

@@ -1806,6 +1806,9 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
     are dropped, comments and unknown directives ignored."""
     agent_l = agent.lower()
     groups: list = []  # (agent_tokens, rules)
+    # RFC 9309 §2.2.1: groups sharing the matched user-agent MUST be
+    # combined — real robots.txt files are often fragment-assembled
+    # with several `User-agent: *` blocks.
     cur_agents: list = []
     cur_rules: list = []
     in_group_body = False
@@ -1829,8 +1832,9 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
             # an empty Disallow means "allow everything": no rule
     if cur_agents:
         groups.append((cur_agents, cur_rules))
-    best: tuple = (-1, [])
-    for agents, rules in groups:
+    best_score = -1
+    best_token = None
+    for agents, _rules in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -1838,9 +1842,17 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
                 score = len(a)
             else:
                 continue
-            if score > best[0]:
-                best = (score, rules)
-    return list(best[1])
+            if score > best_score or (
+                score == best_score and (best_token is None or a < best_token)
+            ):
+                best_score, best_token = score, a
+    if best_token is None:
+        return []
+    merged: list = []
+    for agents, rules in groups:
+        if best_token in agents:
+            merged.extend(rules)
+    return merged
 
 
 def _robots_like(pattern: str) -> tuple:
@@ -1864,10 +1876,12 @@ def _robots_like(pattern: str) -> tuple:
 def apply_robots(
     urls: DataFrame, rules: list, url_col: str = "url"
 ) -> DataFrame:
-    """Evaluate RFC 9309 rules against a URL relation: adds ``path``,
-    ``allowed`` (boolean) and ``rule`` (the winning pattern, NULL when
-    no rule matched — which allows by default).  Longest-match wins;
-    at equal length Allow beats Disallow (the RFC tie-break).
+    """Evaluate RFC 9309 rules against a URL relation: adds ``path``
+    (path PLUS query, fragment dropped — the RFC match target, so
+    ``Disallow: /*?sessionid=`` works), ``allowed`` (boolean) and
+    ``rule`` (the winning pattern, NULL when no rule matched — which
+    allows by default).  Longest-match wins; at equal length Allow
+    beats Disallow (the RFC tie-break).
 
     The rule list broadcasts (robots files are tiny) and matching is a
     broadcast LIKE theta-join — URLs never shuffle; the verdict per URL
@@ -1875,8 +1889,10 @@ def apply_robots(
     exactly (``*`` -> ``%``, ``$`` -> anchor), so a DuckDB twin replays
     the evaluation with the same patterns."""
     spark = urls.sparkSession
+    # RFC 9309 matches against path AND query (the Google matcher's
+    # '/fish' matches '/fish.php?id=x'); only the fragment is dropped
     path = F.regexp_extract(
-        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/[^#?]*)?", 1
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*(/[^#]*)?", 1
     )
     base = urls.withColumn("path", F.when(path == "", "/").otherwise(path))
     if not rules:

@@ -8221,7 +8221,9 @@ def oracles() -> dict[str, str]:
             ),
             r(allow, rule, lk, mlen) AS (
               VALUES (FALSE, '/private/', '/private/%', 9),
-                     (FALSE, '/tmp*', '/tmp%', 4),
+                     -- mlen counts pattern octets INCLUDING '*'
+                     -- (_robots_like: len(body)), matching the engine
+                     (FALSE, '/tmp*', '/tmp%', 5),
                      (TRUE,  '/private/pub/', '/private/pub/%', 13),
                      (FALSE, '/exact$', '/exact', 6),
                      (TRUE,  '/exa', '/exa%', 4)

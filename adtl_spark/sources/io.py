@@ -853,14 +853,24 @@ def split_gzip_members(data: bytes) -> list:
     out = []
     pos = 0
     n = len(data)
+    mv = memoryview(data)
+    chunk = 1 << 20
     while pos < n:
+        # feed bounded chunks so the walk is O(archive), not
+        # O(members x archive): a naive data[pos:] slice per member
+        # would memcpy the whole remaining tail every iteration — tens
+        # of terabytes of copying on a 1 GB record-per-member archive
         d = zlib.decompressobj(wbits=31)
-        payload = d.decompress(data[pos:])
-        payload += d.flush()
-        if not d.eof:
-            raise ValueError(f"truncated gzip member at offset {pos}")
-        consumed = (n - pos) - len(d.unused_data)
-        out.append((pos, consumed, payload))
+        payload = bytearray()
+        cur = pos
+        while not d.eof:
+            if cur >= n:
+                raise ValueError(f"truncated gzip member at offset {pos}")
+            block = mv[cur : cur + chunk]
+            cur += len(block)
+            payload += d.decompress(block)
+        consumed = (cur - pos) - len(d.unused_data)
+        out.append((pos, consumed, bytes(payload)))
         pos += consumed
     return out
 
@@ -964,32 +974,48 @@ def fetch_gzip_members(
     exists for.  (With object-store range reads the slice happens at
     the storage layer; on the DataFrame path the blob is in memory
     once per file either way, and the decompression saving is real.)
-    Emits the manifest row's columns plus ``value`` (decoded member)."""
+    Emits the manifest row's columns plus ``value`` (decoded member).
+    The manifest is grouped to ONE request-list row per archive before
+    the join, so each blob crosses the JVM->Arrow boundary exactly once
+    however many members are fetched from it (a row-per-request join
+    would replicate a 1 GB blob k times)."""
     from typing import Iterator
 
     import pandas as pd
 
     want = [c for c in manifest.columns]
+    extra = [c for c in want if c != archive_key]
+    wants = manifest.groupBy(archive_key).agg(
+        F.collect_list(F.struct(*extra)).alias("__reqs__")
+    )
     joined = archives.select(
         archive_key, F.col(content_col).alias("__blob__")
-    ).join(F.broadcast(manifest), archive_key)
+    ).join(F.broadcast(wants), archive_key)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                payload = read_gzip_member_at(
-                    bytes(row["__blob__"]),
-                    int(row["member_off"]),
-                    int(row["member_len"]),
-                )
-                rows.append(
-                    tuple(row[c] for c in want) + (payload.decode(encoding),)
-                )
-            yield pd.DataFrame(rows, columns=want + ["value"])
+                blob = bytes(row["__blob__"])
+                key = row[archive_key]
+                for req in row["__reqs__"]:
+                    payload = read_gzip_member_at(
+                        blob,
+                        int(req["member_off"]),
+                        int(req["member_len"]),
+                    )
+                    rows.append(
+                        (key,)
+                        + tuple(req[c] for c in extra)
+                        + (payload.decode(encoding),)
+                    )
+            yield pd.DataFrame(rows, columns=[archive_key] + extra + ["value"])
 
-    in_schema = {f.name: f.dataType.simpleString() for f in joined.schema}
-    schema = ", ".join(f"{c} {in_schema[c]}" for c in want) + ", value string"
+    in_schema = {f.name: f.dataType.simpleString() for f in manifest.schema}
+    schema = (
+        ", ".join(f"{c} {in_schema[c]}" for c in [archive_key] + extra)
+        + ", value string"
+    )
     return joined.mapInPandas(run, schema=schema)
 
 

@@ -359,7 +359,6 @@ HEADLINE = [
     "corpus_kn_bigram",
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
-    "pref_krippendorff",
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
     "web_robots_filter",
@@ -398,7 +397,6 @@ PYTHON_WORKER_QUERIES = [
     "doc_pdf_extract",
     "web_warc_gz_fetch",
     "tokenizer_unigram_segment",
-    "pref_krippendorff",
     "multimodal_id3_tags",
     "multimodal_audio_normalize",
     "multimodal_image_augment",

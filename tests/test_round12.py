@@ -1168,3 +1168,123 @@ def test_compression_signal_orders_and_edges(spark):
     # deterministic across invocations
     again = {r.doc_id: r.ratio_q4 for r in compression_signal(docs).collect()}
     assert again[1] == rows[1].ratio_q4
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions (round-12 inline review).
+
+
+def test_normalize_audio_peak_honors_bit_depth(spark):
+    import numpy as np
+
+    from adtl_spark.operators.multimodal import (
+        normalize_audio_peak,
+        pcm_to_wav,
+    )
+
+    # 8-bit PCM must be rejected loudly, never reinterpreted as int16
+    df = spark.createDataFrame(
+        [(0, bytearray(pcm_to_wav(8000, 1, 8, bytes([1, 2, 3, 4]))))],
+        "media_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="unsupported 8-bit"):
+        normalize_audio_peak(df).collect()
+
+
+def test_mpeg_probe_truncated_first_frame_raises():
+    from adtl_spark.operators.multimodal import (
+        build_mpeg_audio,
+        probe_mpeg_audio,
+    )
+
+    p = build_mpeg_audio([128])
+    with pytest.raises(ValueError, match="no complete MPEG audio frame"):
+        probe_mpeg_audio(p[:100])
+
+
+def test_robots_query_matching_and_group_merge(spark):
+    from adtl_spark.operators.text import apply_robots, parse_robots
+
+    # RFC 9309: rules match path+query; split user-agent:* groups merge
+    txt = (
+        "User-agent: *\nDisallow: /*?sessionid=\n\n"
+        "User-agent: *\nDisallow: /b/\n"
+    )
+    rules = parse_robots(txt, "bot")
+    assert (False, "/*?sessionid=") in rules and (False, "/b/") in rules
+    urls = spark.createDataFrame(
+        [
+            (0, "http://t/page?sessionid=5"),
+            (1, "http://t/page?x=1"),
+            (2, "http://t/b/y"),
+            (3, "http://t/page?sessionid=5#frag"),  # fragment dropped
+        ],
+        "id long, url string",
+    )
+    got = {r.id: r.allowed for r in apply_robots(urls, rules).collect()}
+    assert got == {0: False, 1: True, 2: False, 3: False}
+
+
+def test_split_gzip_members_linear_feed_large_members():
+    from adtl_spark.sources.io import gzip_members_bytes, split_gzip_members
+
+    # members larger than the 1 MiB feed chunk exercise the bounded loop
+    big = [bytes([i]) * (3 << 20) for i in range(3)] + [b"tail"]
+    blob = gzip_members_bytes(big)
+    got = split_gzip_members(blob)
+    assert [g[2] for g in got] == big
+    pos = 0
+    for off, clen, _ in got:
+        assert off == pos
+        pos += clen
+    assert pos == len(blob)
+
+
+def test_pdf_indirect_length_stream_ending_in_newline_byte():
+    import zlib
+
+    from adtl_spark.operators.pdf_lite import pdf_pages
+
+    # indirect /Length forces the endstream fallback; pad the Flate
+    # payload so its LAST byte is 0x0a — old rstrip ate it
+    # the adler32 tail tracks the byte sum; a 3-char pad over a
+    # contiguous alphabet sweeps > 256 consecutive sums, guaranteeing
+    # a variant whose final byte is 0x0a or 0x0d
+    comp = None
+    for total in range(3 * 33, 3 * 33 + 280):
+        a = min(total - 66, 122)
+        rest = total - a
+        b = min(rest - 33, 122)
+        c = rest - b
+        if not all(33 <= x <= 122 for x in (a, b, c)):
+            continue
+        c2 = zlib.compress(
+            b"BT (edge) Tj ET % " + bytes([a, b, c]), 9
+        )
+        if c2.endswith((b"\n", b"\r")):
+            comp = c2
+            break
+    assert comp is not None, "no variant produced a CR/LF-final stream"
+    pdf = (
+        b"%PDF-1.7\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Filter /FlateDecode /Length 9 0 R >>\nstream\n"
+        + comp + b"\nendstream\nendobj\n"
+    )
+    assert pdf_pages(pdf) == ["edge"]
+
+
+def test_flac_sr_code14_and_unrepresentable_rate():
+    import numpy as np
+
+    from adtl_spark.operators.flac_lite import decode_flac, encode_flac
+
+    sig = (np.arange(400) % 99 - 49).astype(np.int16)
+    # 88000 Hz: not in the table, too big for 16-bit Hz -> code 14
+    rate, _, _, pcm = decode_flac(encode_flac(sig.tobytes(), rate=88000))
+    assert rate == 88000
+    assert np.array_equal(np.frombuffer(pcm, dtype=np.int16), sig)
+    with pytest.raises(ValueError, match="not representable"):
+        encode_flac(sig.tobytes(), rate=655361)
