@@ -9214,18 +9214,19 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
     2. The remaining 27 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``q9_product_profit`` (driver rows dating to rounds 1-4, all
-       re-verified green at HEAD by every full check_oracle sweep since
-       — committed as CORRECTNESS_LOCAL_r09.json this round).
+       through ``emb_gram_matrix`` (the 50-slot cap falls there; driver
+       rows dating to rounds 1-4, all re-verified green at HEAD by
+       every full check_oracle sweep since — committed as
+       CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``q11_important_parts`` through
+       rounds-1-4 remainder (``dedup_spans`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``q11_important_parts`` onward, then the round-6 block; the
+    ``dedup_spans`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
