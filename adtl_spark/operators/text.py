@@ -1965,3 +1965,32 @@ def compression_signal(
     return df.mapInPandas(
         run, schema="doc_id long, n_bytes long, ratio_q4 long"
     )
+
+
+def parse_sitemap(
+    df: DataFrame, xml_col: str = "xml", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Extract URL entries from sitemap.xml documents (the crawl
+    frontier's other input next to robots.txt): one output row per
+    ``<url>`` block with ``(url_pos, loc, lastmod)`` — ``lastmod`` NULL
+    when absent.  Entirely native Columns: split on ``</url>`` then
+    per-block regexp extraction, so blocks with optional fields never
+    mis-pair positionally and the whole parse is SQL-replayable (no
+    lookarounds — RE2-safe).  Namespaced or sitemapindex files degrade
+    to zero rows rather than wrong ones (no ``<url>`` blocks match);
+    XML entity decoding is the caller's step (html_to_text's entity
+    pass) when sources escape ampersands in URLs."""
+    blocks = F.split(F.col(xml_col), "</url>")
+    exploded = df.select(
+        *keep_cols, F.posexplode(blocks).alias("url_pos", "__block")
+    )
+    loc = F.regexp_extract(F.col("__block"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("__block"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+    )
+    return exploded.select(
+        *keep_cols,
+        F.col("url_pos").cast("long").alias("url_pos"),
+        loc.alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+    ).filter(F.col("loc") != "")

@@ -4164,6 +4164,48 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sitemap.xml ingestion value-checked end to end: per document a
+    three-entry sitemap is constructed (every second entry carries a
+    ``<lastmod>``; entry URLs and dates from id arithmetic) and
+    parse_sitemap splits/extracts it with native Columns.  The oracle
+    rebuilds every (loc, lastmod) directly from ``documents``, so the
+    block split, field extraction and the optional-field NULL contract
+    are exact (operators/text.py:parse_sitemap)."""
+    from adtl_spark.operators.text import parse_sitemap
+
+    d = F.col("doc_id")
+    entries = []
+    for k in range(3):
+        url = F.concat(
+            F.lit("http://corpus.test/doc/"),
+            d.cast("string"),
+            F.lit(f"-{k}"),
+        )
+        lastmod = F.concat(
+            F.lit("2024-01-"),
+            F.lpad((1 + (d + k) % 27).cast("string"), 2, "0"),
+        )
+        entry = F.concat(
+            F.lit("<url><loc>"),
+            url,
+            F.lit("</loc>"),
+            F.when(
+                F.lit(k % 2 == 0),
+                F.concat(F.lit("<lastmod>"), lastmod, F.lit("</lastmod>")),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+        entries.append(entry)
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        *entries,
+        F.lit("</urlset>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", xml.alias("xml"))
+    return parse_sitemap(docs).orderBy("doc_id", "url_pos")
+
+
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (RFC 9309) value-checked end to
     end: a fixed robots policy parses (group selection by longest
@@ -8205,6 +8247,24 @@ def oracles() -> dict[str, str]:
                    TRUE AS rep_compresses_better
             FROM documents ORDER BY doc_id
         """,
+        # every (loc, lastmod) rebuilt from id arithmetic; odd entries
+        # pin the optional-field NULL contract
+        "web_sitemap_parse": """
+            WITH e AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(2 AS BIGINT))) AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS url_pos,
+                   'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR)
+                       || '-' || CAST(k AS VARCHAR) AS loc,
+                   CASE WHEN k % 2 = 0 THEN
+                     '2024-01-' || lpad(CAST(1 + (doc_id + k) % 27
+                                             AS VARCHAR), 2, '0')
+                   END AS lastmod
+            FROM e ORDER BY doc_id, url_pos
+        """,
         # same translated LIKE patterns, same (specificity, allow) rank
         "web_robots_filter": """
             WITH u AS (
@@ -9183,7 +9243,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the twenty-three gates new this round: the
+    1. The window head holds the twenty-four gates new this round: the
        FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
        oracle replays the decoded samples themselves), the MPEG-audio
        header probe (``multimodal_mp3_probe``), the CommonCrawl
@@ -9202,7 +9262,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        RFC 9309 robots.txt compliance filtering
        (``web_robots_filter``), the pixel-exact flip+crop augmentation
        chain (``multimodal_image_augment``), the compression-ratio
-       quality signal (``quality_compression_ratio``), the
+       quality signal (``quality_compression_ratio``), sitemap.xml
+       ingestion (``web_sitemap_parse``), the
        G.711 µ-law/A-law
        round trip (``multimodal_g711_roundtrip``), the measured
        dHash-banding recall (``multimodal_dhash_recall``),
@@ -9212,21 +9273,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        resize chain (``multimodal_image_resize_box``), box-decimated
        audio rate normalization (``multimodal_audio_resample``), and
        leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 27 slots refresh the LEAST-recently driver-verified
+    2. The remaining 26 slots refresh the LEAST-recently driver-verified
        entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``emb_gram_matrix`` (the 50-slot cap falls there; driver
+       through ``dedup_semantic`` (the 50-slot cap falls there; driver
        rows dating to rounds 1-4, all re-verified green at HEAD by
        every full check_oracle sweep since — committed as
        CORRECTNESS_LOCAL_r09.json this round).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``dedup_spans`` through
+       rounds-1-4 remainder (``corpus_decontaminate_bloom`` through
        ``w16_gapfill_linear``), the round-6-verified block, the
        round-7-verified block, and — freshest rows last — the 50
        queries the round-8 driver gate verified (CORRECTNESS_r08:
        50/50 green).
 
     Next-round rotation queue: the rounds-1-4 remainder from
-    ``dedup_spans`` onward, then the round-6 block; the
+    ``corpus_decontaminate_bloom`` onward, then the round-6 block; the
     round-7 and round-8 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the two documented
     ROWS_ONLY entries has an exact driver-green row in some
@@ -9240,7 +9301,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the twenty-three gates new this round --
+        # -- r9 window head: the twenty-four gates new this round --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -9257,6 +9318,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_robots_filter": web_robots_filter,
         "multimodal_image_augment": multimodal_image_augment,
         "quality_compression_ratio": quality_compression_ratio,
+        "web_sitemap_parse": web_sitemap_parse,
         "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
         "multimodal_dhash_recall": multimodal_dhash_recall,
         "multimodal_video_frames_avi": multimodal_video_frames_avi,

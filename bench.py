@@ -74,7 +74,7 @@ preference fitting, pairwise and Fleiss rater agreement, interpolated
 Kneser-Ney bigram scoring, unigram-LM tokenization, Krippendorff's
 alpha, ID3v2 tag extraction, FLAC-path peak normalization, robots.txt
 compliance filtering, the flip+crop augmentation chain, the
-compression-ratio quality signal); prefix order
+compression-ratio quality signal, sitemap ingestion); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -364,6 +364,7 @@ HEADLINE = [
     "web_robots_filter",
     "multimodal_image_augment",
     "quality_compression_ratio",
+    "web_sitemap_parse",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

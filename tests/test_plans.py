@@ -354,13 +354,13 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-9 window: the twenty-three gates new this round hold the
-    # head (never driver-verified); the remaining 27 slots refresh the
+    # the round-9 window: the twenty-four gates new this round hold the
+    # head (never driver-verified); the remaining 26 slots refresh the
     # least-recently-verified rounds-1-4 remainder (a2_last_not_null
     # onward).  The round-8-verified block rotated to the registry
     # tail (freshest rows last), behind round-7.
     gate = list(qs)[:50]
-    assert gate[:23] == [
+    assert gate[:24] == [
         "multimodal_flac_roundtrip",
         "multimodal_mp3_probe",
         "web_warc_gz_roundtrip",
@@ -377,6 +377,7 @@ def test_query_registry_invariants():
         "web_robots_filter",
         "multimodal_image_augment",
         "quality_compression_ratio",
+        "web_sitemap_parse",
         "multimodal_g711_roundtrip",
         "multimodal_dhash_recall",
         "multimodal_video_frames_avi",
@@ -396,7 +397,7 @@ def test_query_registry_invariants():
         "w7_asof_forward",
         "dedup_semantic",
         "q5_local_supplier_volume",
-        "corpus_decontaminate_bloom",
+        "w8_asof_nearest",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-8-verified block must be at the very tail, not burning

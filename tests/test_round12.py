@@ -1288,3 +1288,26 @@ def test_flac_sr_code14_and_unrepresentable_rate():
     assert np.array_equal(np.frombuffer(pcm, dtype=np.int16), sig)
     with pytest.raises(ValueError, match="not representable"):
         encode_flac(sig.tobytes(), rate=655361)
+
+
+def test_parse_sitemap_optional_fields_and_degradation(spark):
+    from adtl_spark.operators.text import parse_sitemap
+
+    xml = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc> http://a/1 </loc><lastmod>2024-02-03</lastmod></url>"
+        "<url><loc>http://a/2</loc></url>"
+        "<url><lastmod>2024-01-01</lastmod></url>"  # loc-less: dropped
+        "</urlset>"
+    )
+    df = spark.createDataFrame([(7, xml), (8, "<sitemapindex/>")],
+                               "doc_id long, xml string")
+    rows = sorted(
+        tuple(r) for r in parse_sitemap(df).collect()
+    )
+    # whitespace trimmed, lastmod NULL when absent, loc-less dropped,
+    # non-urlset XML yields zero rows (never wrong ones)
+    assert rows == [
+        (7, 0, "http://a/1", "2024-02-03"),
+        (7, 1, "http://a/2", None),
+    ]

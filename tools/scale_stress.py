@@ -227,6 +227,7 @@ QUERIES = [
     "web_robots_filter",
     "multimodal_image_augment",
     "quality_compression_ratio",
+    "web_sitemap_parse",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
