@@ -54,26 +54,43 @@ _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
 def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     """Map object number -> (dict/body bytes, decoded stream bytes or
     None).  Objects are located by direct scan, so damaged or appended
-    xref tables don't matter."""
+    xref tables don't matter.
+
+    Stream bytes are never re-scanned: a spurious ``N G obj`` byte
+    pattern INSIDE a stream (routine in Flate output) must not clobber
+    a real object of the same number, so matches falling inside an
+    already-parsed object's extent are skipped, and when ``/Length`` is
+    a direct integer the object's extent jumps OVER the stream data —
+    an ``endobj`` byte pattern inside the stream can't truncate it
+    either.  Length-less streams still rely on the first ``endstream``
+    after the data (the spec requires /Length; its absence is already a
+    degraded-input path)."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    guard = 0  # first byte past the last fully-parsed object's extent
     for m in _OBJ_RE.finditer(payload):
+        if m.start() < guard:
+            continue  # inside a previous object (usually its stream bytes)
         num = int(m.group(1))
         start = m.end()
         end = payload.find(b"endobj", start)
         if end < 0:
             continue
-        body = payload[start:end]
         stream = None
-        sm = re.search(rb"stream\r?\n", body)
+        sm = re.compile(rb"stream\r?\n").search(payload, start, end)
         if sm is not None:
-            head = body[: sm.start()]
+            head = payload[start : sm.start()]
             data_start = sm.end()
             lm = _LENGTH_RE.search(head)
             if lm is not None:
-                raw = body[data_start : data_start + int(lm.group(1))]
+                data_end = data_start + int(lm.group(1))
+                raw = payload[data_start:data_end]
+                # the true endobj is past the stream: re-locate so a
+                # payload containing 'endobj' bytes can't cut the extent
+                true_end = payload.find(b"endobj", data_end)
+                end = true_end if true_end >= 0 else max(end, data_end)
             else:
-                send = body.find(b"endstream", data_start)
-                raw = body[data_start : send if send >= 0 else len(body)]
+                send = payload.find(b"endstream", data_start, end)
+                raw = payload[data_start : send if send >= 0 else end]
                 # the spec puts exactly ONE EOL before `endstream`;
                 # rstrip of ALL trailing CR/LF would eat real stream
                 # bytes whenever the payload itself ends in 0x0a/0x0d
@@ -89,6 +106,9 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
             else:
                 stream = raw
             body = head
+        else:
+            body = payload[start:end]
+        guard = end + len(b"endobj")
         # latest definition wins (incremental updates append new versions)
         objects[num] = (body, stream)
     return objects

@@ -1887,7 +1887,12 @@ def apply_robots(
     broadcast LIKE theta-join — URLs never shuffle; the verdict per URL
     is one max_by over its matched rules.  Wildcards map to SQL LIKE
     exactly (``*`` -> ``%``, ``$`` -> anchor), so a DuckDB twin replays
-    the evaluation with the same patterns."""
+    the evaluation with the same patterns.
+
+    Cardinality-preserving: rows are re-assembled after the rule join
+    on a per-row surrogate key, so fully-duplicate input rows (routine
+    in a raw crawl URL log) come back as the same number of rows, not
+    collapsed into one."""
     spark = urls.sparkSession
     # RFC 9309 matches against path AND query (the Google matcher's
     # '/fish' matches '/fish.php?id=x'); only the fragment is dropped
@@ -1900,6 +1905,11 @@ def apply_robots(
             "*", F.lit(True).alias("allowed"),
             F.lit(None).cast("string").alias("rule"),
         )
+    # per-row surrogate key: the post-join reassembly groups on it, so
+    # duplicate input rows keep their cardinality (mid is deterministic
+    # per partition given a deterministic upstream, the standard
+    # row-identity contract the engine's lastNotNull path also uses)
+    base = base.withColumn("__rid", F.monotonically_increasing_id())
     rows = []
     for allow, pattern in rules:
         like, mlen = _robots_like(pattern)
@@ -1920,14 +1930,17 @@ def apply_robots(
     key_cols = [c for c in base.columns]
     out = matched.groupBy(*key_cols).agg(win.alias("__w"))
     return out.select(
-        *key_cols,
+        *[c for c in key_cols if c != "__rid"],
         F.coalesce(F.col("__w.allow"), F.lit(True)).alias("allowed"),
         F.col("__w.rule").alias("rule"),
     )
 
 
 def compression_signal(
-    df: DataFrame, text_col: str = "text", level: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Compression-ratio quality signal (the Gopher/RefinedWeb-family
     heuristic the n-gram repetition stats cannot see: long-range and
@@ -1951,7 +1964,7 @@ def compression_signal(
 
         for pdf in batches:
             rows = []
-            for did, t in zip(pdf["doc_id"], pdf[text_col]):
+            for did, t in zip(pdf[id_col], pdf[text_col]):
                 raw = (t or "").encode("utf-8")
                 if not raw:
                     rows.append((int(did), 0, None))
@@ -1960,10 +1973,10 @@ def compression_signal(
                 rows.append(
                     (int(did), len(raw), comp * 10000 // len(raw))
                 )
-            yield pd.DataFrame(rows, columns=["doc_id", "n_bytes", "ratio_q4"])
+            yield pd.DataFrame(rows, columns=[id_col, "n_bytes", "ratio_q4"])
 
     return df.mapInPandas(
-        run, schema="doc_id long, n_bytes long, ratio_q4 long"
+        run, schema=f"{id_col} long, n_bytes long, ratio_q4 long"
     )
 
 

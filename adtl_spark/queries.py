@@ -8137,8 +8137,12 @@ def oracles() -> dict[str, str]:
                    CAST(n_items AS BIGINT) AS n_items,
                    CAST(floor(po * 1000000 + 0.5) AS BIGINT) AS po_q6,
                    CAST(floor(pe * 1000000 + 0.5) AS BIGINT) AS pe_q6,
-                   CAST(floor((po - pe) / (1.0 - pe) * 1000000 + 0.5)
-                        AS BIGINT) AS kappa_q6
+                   -- pe=1 guard mirrors the engine (pairwise_kappa emits
+                   -- NULL kappa for a degenerate single-label rater pair)
+                   CASE WHEN pe < 1.0 THEN
+                     CAST(floor((po - pe) / (1.0 - pe) * 1000000 + 0.5)
+                          AS BIGINT)
+                   END AS kappa_q6
             FROM rates
             ORDER BY rater_a, rater_b
         """,

@@ -433,14 +433,33 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    full = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(full))
+    # Optional full-record sink: the per-query dict outgrew any
+    # line-capture window (238+ entries), so the durable copy goes to a
+    # file when requested (the committed docs/bench_runs/*.json records)
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out:
+        with open(out, "w") as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    # LAST line is always the compact summary: harnesses that tail-capture
+    # stdout and parse the final JSON line get a complete record however
+    # large the registry grows (the full per-query dict above is for
+    # humans and for SPARK_GRAFT_BENCH_OUT)
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_sec",
-                "value": round(sum(timings.values()), 3),
+                "metric": full["metric"],
+                "value": full["value"],
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+                "sf": full["sf"],
             }
         )
     )
