@@ -1795,22 +1795,21 @@ def html_to_text(col: Column) -> Column:
 # robots.txt evaluation (RFC 9309) — the crawl-compliance filter.
 
 
-def parse_robots(robots_txt: str, agent: str = "*") -> list:
-    """Parse a robots.txt body and return the rule list for ``agent``
-    as ``(allow: bool, pattern: str)`` tuples, per RFC 9309 group
-    selection: the group whose ``User-agent`` token is the LONGEST
-    case-insensitive prefix of ``agent`` wins; the ``*`` group is the
-    fallback; consecutive user-agent lines share one group.  Patterns
-    keep their ``*`` wildcards and ``$`` end anchor verbatim — matching
-    happens in :func:`apply_robots`.  Empty Disallow lines (allow all)
-    are dropped, comments and unknown directives ignored."""
-    agent_l = agent.lower()
-    groups: list = []  # (agent_tokens, rules)
-    # RFC 9309 §2.2.1: groups sharing the matched user-agent MUST be
-    # combined — real robots.txt files are often fragment-assembled
-    # with several `User-agent: *` blocks.
+def _robots_scan(robots_txt: str) -> tuple:
+    """Single scan of a robots.txt body shared by :func:`parse_robots`
+    and :func:`robots_directives`: returns ``(groups, sitemaps)`` where
+    groups is ``[(agent_tokens, rules, crawl_delay)]`` — consecutive
+    User-agent lines share one group, Allow/Disallow/Crawl-delay open
+    the group body (a later User-agent then starts a NEW group) — and
+    sitemaps is the file-order list of ``Sitemap:`` values, which the
+    robots.txt spec scopes to the FILE, not to any group.  Comments and
+    unknown directives are ignored; an unparseable Crawl-delay value is
+    treated as absent."""
+    groups: list = []  # (agent_tokens, rules, crawl_delay)
+    sitemaps: list = []
     cur_agents: list = []
     cur_rules: list = []
+    cur_delay = None
     in_group_body = False
     for raw in robots_txt.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -1819,10 +1818,14 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
         key, _, val = line.partition(":")
         key = key.strip().lower()
         val = val.strip()
+        if key == "sitemap":
+            if val:
+                sitemaps.append(val)
+            continue  # global: never opens or closes a group body
         if key == "user-agent":
             if in_group_body:
-                groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                groups.append((cur_agents, cur_rules, cur_delay))
+                cur_agents, cur_rules, cur_delay = [], [], None
                 in_group_body = False
             cur_agents.append(val.lower())
         elif key in ("allow", "disallow"):
@@ -1830,11 +1833,26 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
             if val:
                 cur_rules.append((key == "allow", val))
             # an empty Disallow means "allow everything": no rule
+        elif key == "crawl-delay":
+            in_group_body = True
+            try:
+                if cur_delay is None:
+                    cur_delay = float(val)
+            except ValueError:
+                pass
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delay))
+    return groups, sitemaps
+
+
+def _robots_best_token(groups: list, agent: str):
+    """RFC 9309 group selection: the User-agent token that is the
+    LONGEST case-insensitive prefix of ``agent``; ``*`` (score 0) is
+    the fallback; ties break lexicographically for determinism."""
+    agent_l = agent.lower()
     best_score = -1
     best_token = None
-    for agents, _rules in groups:
+    for agents, _rules, _delay in groups:
         for a in agents:
             if a == "*":
                 score = 0
@@ -1846,13 +1864,55 @@ def parse_robots(robots_txt: str, agent: str = "*") -> list:
                 score == best_score and (best_token is None or a < best_token)
             ):
                 best_score, best_token = score, a
+    return best_token
+
+
+def parse_robots(robots_txt: str, agent: str = "*") -> list:
+    """Parse a robots.txt body and return the rule list for ``agent``
+    as ``(allow: bool, pattern: str)`` tuples, per RFC 9309 group
+    selection: the group whose ``User-agent`` token is the LONGEST
+    case-insensitive prefix of ``agent`` wins; the ``*`` group is the
+    fallback; consecutive user-agent lines share one group.  Patterns
+    keep their ``*`` wildcards and ``$`` end anchor verbatim — matching
+    happens in :func:`apply_robots`.  Empty Disallow lines (allow all)
+    are dropped, comments and unknown directives ignored; Crawl-delay
+    and Sitemap lines are surfaced by :func:`robots_directives`."""
+    # RFC 9309 §2.2.1: groups sharing the matched user-agent MUST be
+    # combined — real robots.txt files are often fragment-assembled
+    # with several `User-agent: *` blocks.
+    groups, _sitemaps = _robots_scan(robots_txt)
+    best_token = _robots_best_token(groups, agent)
     if best_token is None:
         return []
     merged: list = []
-    for agents, rules in groups:
+    for agents, rules, _delay in groups:
         if best_token in agents:
             merged.extend(rules)
     return merged
+
+
+def robots_directives(robots_txt: str, agent: str = "*") -> dict:
+    """The auxiliary robots.txt directives a crawl frontier consumes
+    next to the Allow/Disallow rules: ``{"crawl_delay": float | None,
+    "sitemaps": [str, ...]}``.
+
+    ``Sitemap:`` lines are FILE-scoped per the sitemaps.org robots
+    extension (they may appear anywhere; all are returned, file order).
+    ``Crawl-delay`` is the conventional group-scoped extension (Bing/
+    Yandex semantics; RFC 9309 doesn't define it): the value comes from
+    the same winning agent group :func:`parse_robots` selects, first
+    non-None across merged same-agent groups, None when the group sets
+    none.  Compose with :func:`parse_sitemap_any` and
+    :func:`apply_robots` for the full frontier chain: robots ->
+    sitemaps -> URL filter -> delay-aware scheduling."""
+    groups, sitemaps = _robots_scan(robots_txt)
+    best_token = _robots_best_token(groups, agent)
+    delay = None
+    if best_token is not None:
+        for agents, _rules, d in groups:
+            if best_token in agents and d is not None and delay is None:
+                delay = d
+    return {"crawl_delay": delay, "sitemaps": sitemaps}
 
 
 def _robots_like(pattern: str) -> tuple:
@@ -1980,21 +2040,51 @@ def compression_signal(
     )
 
 
+# The five predefined XML entities (XML 1.0 §4.6).  &amp; decodes LAST:
+# double-escaped text ('&amp;lt;') must come back one level ('&lt;'),
+# never two ('<') — decoding &amp; first would re-expose entity heads.
+_XML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def xml_unescape(col: Column) -> Column:
+    """Decode the five predefined XML entities as a native Column chain
+    (literal replace, no regex) — what sitemap ``<loc>`` values need,
+    where ``&`` in query strings MUST be escaped per the sitemaps.org
+    spec.  Numeric character references (``&#NNN;``) are out of scope
+    (vanishingly rare in URLs; they pass through verbatim).  The DuckDB
+    twin is the same five replace() calls in the same order."""
+    for ent, ch in _XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def parse_sitemap(
     df: DataFrame, xml_col: str = "xml", keep_cols: tuple = ("doc_id",)
 ) -> DataFrame:
-    """Extract URL entries from sitemap.xml documents (the crawl
-    frontier's other input next to robots.txt): one output row per
+    """Extract URL entries from sitemap.xml ``<urlset>`` documents (the
+    crawl frontier's other input next to robots.txt): one output row per
     ``<url>`` block with ``(url_pos, loc, lastmod)`` — ``lastmod`` NULL
-    when absent.  Entirely native Columns: split on ``</url>`` then
-    per-block regexp extraction, so blocks with optional fields never
-    mis-pair positionally and the whole parse is SQL-replayable (no
-    lookarounds — RE2-safe).  Namespaced or sitemapindex files degrade
-    to zero rows rather than wrong ones (no ``<url>`` blocks match);
-    XML entity decoding is the caller's step (html_to_text's entity
-    pass) when sources escape ampersands in URLs."""
+    when absent, ``loc`` XML-entity-decoded (:func:`xml_unescape` — the
+    spec REQUIRES escaping ``&`` in URLs, so the decode belongs to the
+    parse, not the caller).  Entirely native Columns: split on
+    ``</url>`` then per-block regexp extraction, so blocks with optional
+    fields never mis-pair positionally and the whole parse is
+    SQL-replayable (no lookarounds — RE2-safe).  ``<sitemapindex>``
+    files (how large sites actually publish) yield zero rows here —
+    filtered out EXPLICITLY, because their ``<sitemap><loc>`` children
+    would otherwise leak through the block-less extraction as page
+    URLs; route mixed inputs through :func:`parse_sitemap_any`, which
+    extracts those child-sitemap pointers as their own kind."""
     blocks = F.split(F.col(xml_col), "</url>")
-    exploded = df.select(
+    exploded = df.filter(
+        ~F.col(xml_col).contains("<sitemapindex")
+    ).select(
         *keep_cols, F.posexplode(blocks).alias("url_pos", "__block")
     )
     loc = F.regexp_extract(F.col("__block"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
@@ -2004,6 +2094,48 @@ def parse_sitemap(
     return exploded.select(
         *keep_cols,
         F.col("url_pos").cast("long").alias("url_pos"),
-        loc.alias("loc"),
+        xml_unescape(loc).alias("loc"),
+        F.when(lastmod != "", lastmod).alias("lastmod"),
+    ).filter(F.col("loc") != "")
+
+
+def parse_sitemap_any(
+    df: DataFrame, xml_col: str = "xml", keep_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Sitemap ingestion over a MIXED corpus of ``<urlset>`` and
+    ``<sitemapindex>`` files — the shape a crawl frontier actually sees,
+    because the first fetch from a large site is almost always an index
+    whose ``<sitemap><loc>`` children must go back into the fetch queue.
+    One output row per entry: ``(entry_pos, kind, loc, lastmod)`` with
+    ``kind`` = ``'url'`` (a page to crawl) or ``'sitemap'`` (a child
+    sitemap to fetch — the one level of recursion the sitemaps.org spec
+    allows: indexes may not point at other indexes).
+
+    Single pass, entirely native Columns: each document is exactly one
+    of the two kinds, so splitting on ``</url>|</sitemap>`` is exact
+    for both (the other tag never occurs), kind comes from one
+    document-level ``contains`` test, and per-block field extraction +
+    entity decode are shared with :func:`parse_sitemap` — the corpus is
+    scanned once, not once per kind.  ``loc`` values are
+    XML-entity-decoded; loc-less blocks (and the trailing post-split
+    fragment) are dropped."""
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    blocks = F.split(F.col(xml_col), r"</url>|</sitemap>")
+    exploded = df.select(
+        *keep_cols,
+        is_index.alias("__idx"),
+        F.posexplode(blocks).alias("entry_pos", "__block"),
+    )
+    loc = F.regexp_extract(F.col("__block"), r"<loc>\s*([^<]+?)\s*</loc>", 1)
+    lastmod = F.regexp_extract(
+        F.col("__block"), r"<lastmod>\s*([^<]+?)\s*</lastmod>", 1
+    )
+    return exploded.select(
+        *keep_cols,
+        F.col("entry_pos").cast("long").alias("entry_pos"),
+        F.when(F.col("__idx"), F.lit("sitemap"))
+        .otherwise(F.lit("url"))
+        .alias("kind"),
+        xml_unescape(loc).alias("loc"),
         F.when(lastmod != "", lastmod).alias("lastmod"),
     ).filter(F.col("loc") != "")

@@ -4117,15 +4117,20 @@ def web_warc_gz_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROBOTS_FIXTURE = """
 # corpus.test crawl policy
+Sitemap: http://corpus.test/sitemap-a.xml
+
 User-agent: badbot
 Disallow: /
 
 User-agent: *
+Crawl-delay: 2.5
 Disallow: /private/
 Disallow: /tmp*
 Allow: /private/pub/
 Disallow: /exact$
 Allow: /exa
+
+Sitemap: http://corpus.test/sitemap-b.xml
 """
 
 
@@ -4206,6 +4211,83 @@ def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_sitemap(docs).orderBy("doc_id", "url_pos")
 
 
+def web_sitemap_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion over a MIXED urlset/sitemapindex corpus — the
+    crawl frontier's real first fetch: every third document publishes a
+    ``<sitemapindex>`` whose two ``<sitemap><loc>`` children must come
+    out as kind='sitemap' rows (to go back into the fetch queue), the
+    rest publish two-entry ``<urlset>`` files emitting kind='url' rows.
+    Every loc carries a spec-mandated ``&amp;``-escaped query ampersand
+    (the urlset side also an ``&apos;`` pair), so the XML entity decode
+    is value-checked too; lastmod presence alternates per kind to pin
+    the optional-field NULL contract on both paths.  The oracle
+    rebuilds every (entry_pos, kind, loc, lastmod) from id arithmetic
+    (operators/text.py: parse_sitemap_any, xml_unescape)."""
+    from adtl_spark.operators.text import parse_sitemap_any
+
+    d = F.col("doc_id")
+    is_idx = d % 3 == 0
+
+    def entry(k: int) -> Column:
+        # child-sitemap pointer (index docs): lastmod on k=0 only
+        sm_loc = F.concat(
+            F.lit("http://corpus.test/sm/"),
+            d.cast("string"),
+            F.lit(f"-{k}.xml?a=1&amp;b="),
+            d.cast("string"),
+        )
+        sm_lastmod = F.concat(
+            F.lit("2024-02-"),
+            F.lpad((1 + (d + k) % 27).cast("string"), 2, "0"),
+        )
+        sm = F.concat(
+            F.lit("<sitemap><loc>"),
+            sm_loc,
+            F.lit("</loc>"),
+            F.when(
+                F.lit(k == 0),
+                F.concat(F.lit("<lastmod>"), sm_lastmod, F.lit("</lastmod>")),
+            ).otherwise(F.lit("")),
+            F.lit("</sitemap>"),
+        )
+        # page entry (urlset docs): lastmod on k=1 only
+        u_loc = F.concat(
+            F.lit("http://corpus.test/doc/"),
+            d.cast("string"),
+            F.lit(f"?k={k}&amp;t=&apos;q&apos;"),
+        )
+        u_lastmod = F.concat(
+            F.lit("2024-03-"),
+            F.lpad((1 + (d + k) % 27).cast("string"), 2, "0"),
+        )
+        u = F.concat(
+            F.lit("<url><loc>"),
+            u_loc,
+            F.lit("</loc>"),
+            F.when(
+                F.lit(k == 1),
+                F.concat(F.lit("<lastmod>"), u_lastmod, F.lit("</lastmod>")),
+            ).otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+        return F.when(is_idx, sm).otherwise(u)
+
+    ns = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+    xml = F.when(
+        is_idx,
+        F.concat(
+            F.lit(f"<sitemapindex{ns}>"),
+            entry(0),
+            entry(1),
+            F.lit("</sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(F.lit(f"<urlset{ns}>"), entry(0), entry(1), F.lit("</urlset>"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", xml.alias("xml"))
+    return parse_sitemap_any(docs).orderBy("doc_id", "entry_pos")
+
+
 def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt compliance filtering (RFC 9309) value-checked end to
     end: a fixed robots policy parses (group selection by longest
@@ -4240,6 +4322,67 @@ def web_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         apply_robots(urls, rules)
         .select("doc_id", "path", "allowed", "rule")
         .orderBy("doc_id")
+    )
+
+
+def web_frontier_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-frontier chain composed end to end: robots.txt
+    auxiliary directives (``Crawl-delay`` from the winning agent group,
+    file-scoped ``Sitemap:`` lines) feed sitemap parsing and compliance
+    filtering — per document a three-entry urlset (allowed /
+    group-disallowed / longer-allow-override paths) parses, every URL
+    runs through the RFC 9309 evaluator, and the surviving URLs get a
+    delay-aware schedule: ``fetch_after_ms`` = queue position x the
+    group's crawl delay, plus ``n_sitemaps`` pinning that both Sitemap
+    lines (one before any group, one after) were collected.  The oracle
+    rebuilds the surviving entries, their winning rules and the
+    schedule from id arithmetic (operators/text.py: robots_directives,
+    parse_sitemap, apply_robots)."""
+    from adtl_spark.operators.text import (
+        apply_robots,
+        parse_robots,
+        parse_sitemap,
+        robots_directives,
+    )
+
+    rules = parse_robots(_ROBOTS_FIXTURE, agent="corpusbot/2.0")
+    dirs = robots_directives(_ROBOTS_FIXTURE, agent="corpusbot/2.0")
+    delay_ms = int(dirs["crawl_delay"] * 1000)  # 2.5 s -> 2500 ms
+    n_sitemaps = len(dirs["sitemaps"])
+
+    d = F.col("doc_id")
+    paths = [
+        F.concat(F.lit("/ok/"), d.cast("string")),
+        F.concat(F.lit("/private/p"), d.cast("string")),
+        F.concat(F.lit("/private/pub/q"), d.cast("string")),
+    ]
+    entries = [
+        F.concat(
+            F.lit("<url><loc>http://corpus.test"), p, F.lit("</loc></url>")
+        )
+        for p in paths
+    ]
+    xml = F.concat(
+        F.lit('<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+        *entries,
+        F.lit("</urlset>"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", xml.alias("xml"))
+    urls = parse_sitemap(docs).select(
+        "doc_id", "url_pos", F.col("loc").alias("url")
+    )
+    return (
+        apply_robots(urls, rules)
+        .filter(F.col("allowed"))
+        .select(
+            "doc_id",
+            "url_pos",
+            "path",
+            "rule",
+            (F.col("url_pos") * delay_ms).alias("fetch_after_ms"),
+            F.lit(n_sitemaps).cast("int").alias("n_sitemaps"),
+        )
+        .orderBy("doc_id", "url_pos")
     )
 
 
@@ -8269,6 +8412,54 @@ def oracles() -> dict[str, str]:
                    END AS lastmod
             FROM e ORDER BY doc_id, url_pos
         """,
+        # mixed urlset/sitemapindex: kind, loc (entity-decoded), and the
+        # per-kind optional lastmod all rebuilt from id arithmetic
+        "web_sitemap_index": """
+            WITH e AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(1 AS BIGINT))) AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS entry_pos,
+                   CASE WHEN doc_id % 3 = 0 THEN 'sitemap'
+                        ELSE 'url' END AS kind,
+                   CASE WHEN doc_id % 3 = 0 THEN
+                     'http://corpus.test/sm/' || CAST(doc_id AS VARCHAR)
+                       || '-' || CAST(k AS VARCHAR) || '.xml?a=1&b='
+                       || CAST(doc_id AS VARCHAR)
+                   ELSE
+                     'http://corpus.test/doc/' || CAST(doc_id AS VARCHAR)
+                       || '?k=' || CAST(k AS VARCHAR) || '&t=''q'''
+                   END AS loc,
+                   CASE WHEN doc_id % 3 = 0 AND k = 0 THEN
+                     '2024-02-' || lpad(CAST(1 + (doc_id + k) % 27
+                                             AS VARCHAR), 2, '0')
+                   WHEN doc_id % 3 <> 0 AND k = 1 THEN
+                     '2024-03-' || lpad(CAST(1 + (doc_id + k) % 27
+                                             AS VARCHAR), 2, '0')
+                   END AS lastmod
+            FROM e ORDER BY doc_id, entry_pos
+        """,
+        # robots -> sitemap -> filter -> schedule: the disallowed middle
+        # entry drops, the longer-allow override survives with its rule,
+        # crawl-delay scheduling and both Sitemap lines value-checked
+        "web_frontier_compose": """
+            WITH e AS (
+              SELECT doc_id,
+                     unnest(generate_series(0, CAST(2 AS BIGINT))) AS k
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(k AS BIGINT) AS url_pos,
+                   CASE WHEN k = 0 THEN '/ok/' || CAST(doc_id AS VARCHAR)
+                        ELSE '/private/pub/q' || CAST(doc_id AS VARCHAR)
+                   END AS path,
+                   CASE WHEN k = 2 THEN '/private/pub/' END AS rule,
+                   CAST(k * 2500 AS BIGINT) AS fetch_after_ms,
+                   CAST(2 AS INTEGER) AS n_sitemaps
+            FROM e WHERE k <> 1 ORDER BY doc_id, url_pos
+        """,
         # same translated LIKE patterns, same (specificity, allow) rank
         "web_robots_filter": """
             WITH u AS (
@@ -9305,7 +9496,10 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r9 window head: the twenty-four gates new this round --
+        # -- r10 window head: the gates new this round --
+        "web_sitemap_index": web_sitemap_index,
+        "web_frontier_compose": web_frontier_compose,
+        # -- r9 head: carried high until the r10 head is final --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,

@@ -58,6 +58,97 @@ def test_pdf_scan_objects_stream_collisions():
     assert 4 in objs
 
 
+# ---------------------------------------------------------------------------
+# Crawl frontier: sitemapindex recursion + XML entity decoding
+
+
+def test_parse_sitemap_any_mixed_corpus(spark):
+    from adtl_spark.operators.text import parse_sitemap, parse_sitemap_any
+
+    idx = (
+        '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<sitemap><loc>http://a/sm?x=1&amp;y=2</loc>"
+        "<lastmod>2024-05-01</lastmod></sitemap>"
+        "<sitemap><loc> http://a/sm2.xml </loc></sitemap></sitemapindex>"
+    )
+    us = (
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>http://a/p?q=&quot;v&quot;&amp;amp;r</loc></url>"
+        "<url><loc>http://a/p2</loc><lastmod>2024-01-02</lastmod></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame(
+        [(1, idx), (2, us)], "doc_id long, xml string"
+    )
+    rows = sorted(
+        tuple(r) for r in parse_sitemap_any(df).collect()
+    )
+    assert rows == [
+        (1, 0, "sitemap", "http://a/sm?x=1&y=2", "2024-05-01"),
+        (1, 1, "sitemap", "http://a/sm2.xml", None),
+        # &amp;amp; decodes ONE level (to &amp;), never two
+        (2, 0, "url", 'http://a/p?q="v"&amp;r', None),
+        (2, 1, "url", "http://a/p2", "2024-01-02"),
+    ]
+    # parse_sitemap must NOT leak index children as page URLs
+    assert parse_sitemap(df).count() == 2
+    assert parse_sitemap(df.filter("doc_id = 1")).count() == 0
+
+
+def test_robots_directives():
+    from adtl_spark.operators.text import parse_robots, robots_directives
+
+    txt = (
+        "Sitemap: http://x/sm-global.xml\n"
+        "User-agent: fastbot\n"
+        "Crawl-delay: 0.5\n"
+        "Disallow: /a\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2.5\n"
+        "Crawl-delay: 9\n"  # first non-None wins within the group
+        "Disallow: /b\n"
+        "Sitemap: http://x/sm-tail.xml\n"
+        "User-agent: fastbot\n"  # merged same-agent group, no delay
+        "Disallow: /c\n"
+    )
+    d = robots_directives(txt, agent="fastbot/1.0")
+    # group-scoped delay from the winning group; file-scoped sitemaps
+    assert d["crawl_delay"] == 0.5
+    assert d["sitemaps"] == [
+        "http://x/sm-global.xml",
+        "http://x/sm-tail.xml",
+    ]
+    assert robots_directives(txt, agent="otherbot")["crawl_delay"] == 2.5
+    # no matching group at all -> no delay, sitemaps still global
+    assert robots_directives("Sitemap: http://x/s.xml")["crawl_delay"] is None
+    assert robots_directives("Sitemap: http://x/s.xml")["sitemaps"] == [
+        "http://x/s.xml"
+    ]
+    # unparseable value treated as absent
+    assert (
+        robots_directives("User-agent: *\nCrawl-delay: soon\nDisallow: /x")[
+            "crawl_delay"
+        ]
+        is None
+    )
+    # crawl-delay opens the group body: a later User-agent starts a NEW
+    # group, and rule merging across same-agent groups still holds
+    assert parse_robots(txt, agent="fastbot/1.0") == [
+        (False, "/a"),
+        (False, "/c"),
+    ]
+
+
+def test_xml_unescape_order(spark):
+    from adtl_spark.operators.text import xml_unescape
+
+    df = spark.createDataFrame(
+        [("&lt;a&gt; &apos;x&apos; &quot;y&quot; &amp;lt;raw",)], "s string"
+    )
+    out = df.select(xml_unescape(df.s).alias("d")).collect()[0]["d"]
+    assert out == "<a> 'x' \"y\" &lt;raw"
+
+
 def test_compression_signal_id_col(spark):
     from adtl_spark.operators.text import compression_signal
 
