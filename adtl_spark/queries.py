@@ -4386,6 +4386,97 @@ def web_frontier_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset-aware WET extraction value-checked byte-exact on real
+    crawl shapes: per document an HTTP response wrapped in a binary
+    WARC record, four charset classes by id — utf-8 declared in the
+    Content-Type header, windows-1252 declared in the header (en dash
+    and euro sign live OUTSIDE latin-1, so a wrong decode can't pass),
+    utf-16-le carried by BOM alone (the header stays bare text/html —
+    BOM precedence is what's under test), and iso-8859-1 declared ONLY
+    by a meta tag in the body.  The chain is the real binary path:
+    record-per-member .warc.gz -> byte-true member split ->
+    parse_warc_records_bytes (Content-Length counts BYTES — the utf-16
+    class doubles its byte count precisely) -> http_text_records
+    (WHATWG precedence decode) -> html_to_text.  The oracle rebuilds
+    status, canonical charset name and the exact non-ASCII text from
+    id arithmetic (sources/io.py: parse_warc_records_bytes,
+    decode_http_response; operators/text.py: html_to_text)."""
+    from adtl_spark.operators.text import html_to_text
+    from adtl_spark.sources.io import (
+        gzip_member_records,
+        parse_warc_records_bytes,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build_archive(pdf):
+        import pandas as pd
+
+        from adtl_spark.sources.io import gzip_members_bytes
+
+        pdf = pdf.sort_values("doc_id")
+        recs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            cls = d % 4
+            payload = ["café", "déjà–vu €", "日本語 café", "niño ¡hola!"][cls]
+            meta = '<meta charset="iso-8859-1">' if cls == 3 else ""
+            html = (
+                f"<html><head>{meta}<title>t</title></head>"
+                f"<body><p>Doc {d} {payload}</p></body></html>"
+            )
+            enc = ["utf-8", "cp1252", "utf-16-le", "latin-1"][cls]
+            body = html.encode(enc)
+            if cls == 2:
+                body = b"\xff\xfe" + body  # BOM is the ONLY declaration
+            ct = [
+                b"text/html; charset=utf-8",
+                b"text/html; charset=windows-1252",
+                b"text/html",
+                b"text/html",
+            ][cls]
+            http = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: " + ct + b"\r\n\r\n" + body
+            )
+            rec = (
+                b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: http://corpus.test/doc/{d}\r\n".encode()
+                + f"Content-Length: {len(http)}\r\n\r\n".encode()
+                + http
+                + b"\r\n\r\n"
+            )
+            recs.append(rec)
+        return pd.DataFrame(
+            {
+                "archive_id": [int(pdf["__f"].iloc[0])],
+                "content": [gzip_members_bytes(recs)],
+            }
+        )
+
+    archives = (
+        docs.withColumn("__f", F.floor(F.col("doc_id") / 64))
+        .groupBy("__f")
+        .applyInPandas(build_archive, schema="archive_id long, content binary")
+    )
+    members = gzip_member_records(archives, encoding=None)
+    recs = parse_warc_records_bytes(members, content_col="value")
+    from adtl_spark.sources.io import http_text_records
+
+    decoded = http_text_records(
+        recs.filter(F.col("warc_type") == "response"),
+        passthrough=("target_uri",),
+    )
+    return decoded.select(
+        F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "http_status",
+        "charset",
+        html_to_text(F.col("text")).alias("text"),
+    ).orderBy("doc_id")
+
+
 def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The standard augmentation pair — horizontal flip then center
     crop — value-checked pixel-for-pixel: per document an arithmetic P6
@@ -8441,6 +8532,24 @@ def oracles() -> dict[str, str]:
                    END AS lastmod
             FROM e ORDER BY doc_id, entry_pos
         """,
+        # four charset classes (header utf-8 / header cp1252 / BOM-only
+        # utf-16-le / meta-only latin-1): canonical charset name and the
+        # exact non-ASCII text rebuilt per id — a wrong decode cannot
+        # hash-match (en dash and euro sign are outside latin-1)
+        "web_wet_charset": """
+            SELECT doc_id,
+                   CAST(200 AS INTEGER) AS http_status,
+                   CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                                   WHEN 1 THEN 'cp1252'
+                                   WHEN 2 THEN 'utf-16-le'
+                                   ELSE 'iso8859-1' END AS charset,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' ' ||
+                   CASE doc_id % 4 WHEN 0 THEN 'café'
+                                   WHEN 1 THEN 'déjà–vu €'
+                                   WHEN 2 THEN '日本語 café'
+                                   ELSE 'niño ¡hola!' END AS text
+            FROM documents ORDER BY doc_id
+        """,
         # robots -> sitemap -> filter -> schedule: the disallowed middle
         # entry drops, the longer-allow override survives with its rule,
         # crawl-delay scheduling and both Sitemap lines value-checked
@@ -9499,6 +9608,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 window head: the gates new this round --
         "web_sitemap_index": web_sitemap_index,
         "web_frontier_compose": web_frontier_compose,
+        "web_wet_charset": web_wet_charset,
         # -- r9 head: carried high until the r10 head is final --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,

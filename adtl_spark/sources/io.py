@@ -838,6 +838,218 @@ def parse_warc_records_strict(
     return files.mapInPandas(run, schema=base_schema)
 
 
+def parse_warc_records_bytes(
+    files: DataFrame,
+    content_col: str = "content",
+    passthrough: tuple = (),
+) -> DataFrame:
+    """Byte-true WARC record parsing for BINARY archives: the same
+    Content-Length walk as :func:`parse_warc_records_strict`, but over
+    bytes — so Content-Length counts actual BYTES (the WARC contract)
+    and payloads in any charset (or none) come through intact as a
+    ``content binary`` column.  Header blocks are ASCII per the WARC
+    spec, so header regexes run on bytes directly; header VALUES decode
+    as latin-1 (byte-preserving) into the string columns.
+
+    This is the ingestion layer for real crawl archives, where each
+    record's payload charset is only discoverable per record (HTTP
+    headers / meta tags): feed ``response`` records to
+    :func:`http_text_records` for charset-aware text decoding.  The
+    string-path readers remain the right tool for WET/ASCII corpora.
+    Parallel unit is the archive file, same as the other WARC readers."""
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+
+    h_end = re.compile(rb"\r?\n\r?\n")
+    next_rec = re.compile(rb"\r?\n\r?\nWARC/1\.0\r?\n")
+    r_clen = re.compile(rb"(?m)^Content-Length:\s*(\d+)")
+    r_type = re.compile(rb"(?m)^WARC-Type:\s*(\S+)")
+    r_uri = re.compile(rb"(?m)^WARC-Target-URI:\s*(\S+)")
+    r_rid = re.compile(rb"(?m)^WARC-Record-ID:\s*<?([^>\r\n]+)>?")
+
+    def walk(content: bytes):
+        pos, rec_pos, n = 0, 0, len(content)
+        while pos < n:
+            while pos < n and content[pos : pos + 1] in (b"\r", b"\n"):
+                pos += 1
+            if not content.startswith(b"WARC/1.0", pos):
+                break  # strict: stop at the first non-record byte
+            m = h_end.search(content, pos)
+            if m is None:
+                break  # truncated header block
+            headers = content[pos : m.start()]
+            body_start = m.end()
+            mc = r_clen.search(headers)
+            if mc is not None:
+                clen = int(mc.group(1))
+                body = content[body_start : body_start + clen]
+                pos = body_start + clen
+            else:
+                clen = None
+                nxt = next_rec.search(content, body_start)
+                end = nxt.start() if nxt is not None else n
+                body = content[body_start:end].rstrip(b"\r\n")
+                pos = end
+            mt, mu, mi = (
+                r_type.search(headers),
+                r_uri.search(headers),
+                r_rid.search(headers),
+            )
+            yield (
+                rec_pos,
+                mt.group(1).decode("latin-1") if mt else None,
+                mu.group(1).decode("latin-1") if mu else None,
+                mi.group(1).decode("latin-1") if mi else None,
+                clen,
+                body,
+            )
+            rec_pos += 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "rec_pos",
+            "warc_type",
+            "target_uri",
+            "record_id",
+            "content_length",
+            "content",
+        ] + list(passthrough)
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                c = row[content_col]
+                if c is None:
+                    continue
+                extra = tuple(row[p] for p in passthrough)
+                for rec in walk(bytes(c)):
+                    rows.append(rec + extra)
+            yield pd.DataFrame(rows, columns=cols)
+
+    base_schema = (
+        "rec_pos long, warc_type string, target_uri string, "
+        "record_id string, content_length long, content binary"
+    )
+    if passthrough:
+        in_schema = {f.name: f.dataType.simpleString() for f in files.schema}
+        base_schema += "".join(f", {p} {in_schema[p]}" for p in passthrough)
+    return files.mapInPandas(run, schema=base_schema)
+
+
+def decode_http_response(payload: bytes, sniff_bytes: int = 1024) -> tuple:
+    """Decode one HTTP response payload (head + body, as stored in a
+    WARC ``response`` record) to ``(status, charset, text)`` with
+    WHATWG-encoding-standard precedence:
+
+    1. byte-order mark on the body (UTF-8 / UTF-16 LE / UTF-16 BE) —
+       a BOM outranks any declaration;
+    2. ``charset=`` in the ``Content-Type`` response header;
+    3. ``<meta charset=...>`` / ``<meta http-equiv="Content-Type"...>``
+       sniffed in the first ``sniff_bytes`` of the body (ASCII-
+       compatible scan — the way real pages declare windows-1252);
+    4. UTF-8 with ``errors='replace'`` as the documented last resort
+       (never raises on arbitrary crawl bytes).
+
+    ``charset`` is the codec's canonical Python name (``cp1252`` for
+    ``windows-1252``), so downstream grouping by charset is stable
+    across alias spellings; unknown labels fall through to the next
+    precedence level.  ``status`` is the response-line code (None for
+    a payload with no HTTP head — the whole payload is then the body)."""
+    import codecs
+    import re
+
+    head, sep, body = payload.partition(b"\r\n\r\n")
+    status = None
+    if sep and head[:5] == b"HTTP/":
+        m = re.match(rb"HTTP/\d(?:\.\d)?\s+(\d{3})", head)
+        if m:
+            status = int(m.group(1))
+    else:
+        body = payload  # no HTTP head: decode the payload itself
+        head = b""
+
+    def canon(label: bytes):
+        try:
+            return codecs.lookup(
+                label.decode("ascii", "replace").strip().strip("\"'")
+            ).name
+        except LookupError:
+            return None
+
+    charset = None
+    if body[:3] == b"\xef\xbb\xbf":
+        charset, body = "utf-8", body[3:]
+    elif body[:2] == b"\xff\xfe":
+        charset, body = "utf-16-le", body[2:]
+    elif body[:2] == b"\xfe\xff":
+        charset, body = "utf-16-be", body[2:]
+    if charset is None and head:
+        m = re.search(
+            rb"(?im)^Content-Type:[^\r\n]*?charset=([^\s;\"']+)", head
+        )
+        if m:
+            charset = canon(m.group(1))
+    if charset is None:
+        sniff = body[:sniff_bytes]
+        m = re.search(rb"(?i)<meta\s+charset=[\"']?([A-Za-z0-9_.:-]+)", sniff)
+        if m is None:
+            m = re.search(
+                rb"(?i)<meta[^>]+content=[\"'][^\"']*charset=([A-Za-z0-9_.:-]+)",
+                sniff,
+            )
+        if m:
+            charset = canon(m.group(1))
+    if charset is None:
+        charset = "utf-8"
+    return status, charset, body.decode(charset, errors="replace")
+
+
+def http_text_records(
+    records: DataFrame,
+    content_col: str = "content",
+    passthrough: tuple = ("rec_pos", "target_uri"),
+    sniff_bytes: int = 1024,
+) -> DataFrame:
+    """Charset-aware HTTP payload decoding as a DataFrame op — the step
+    between :func:`parse_warc_records_bytes` and ``html_to_text`` that
+    turns raw crawl bytes into text a WET pipeline can trust: real
+    CommonCrawl is full of windows-1252 / latin-1 / utf-16 pages, and
+    decoding them as utf-8 silently mangles every non-ASCII character.
+    Emits ``passthrough`` + ``(http_status, charset, text)`` per input
+    record via :func:`decode_http_response` (WHATWG precedence: BOM >
+    Content-Type header > meta sniff > utf-8/replace — never raises).
+    Arrow ``mapInPandas``; per-record work is one header regex + one
+    decode, so it distributes like the codec operators."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = list(passthrough) + ["http_status", "charset", "text"]
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = row[content_col]
+                if payload is None:
+                    continue
+                status, charset, text = decode_http_response(
+                    bytes(payload), sniff_bytes
+                )
+                rows.append(
+                    tuple(row[p] for p in passthrough)
+                    + (status, charset, text)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    in_schema = {f.name: f.dataType.simpleString() for f in records.schema}
+    schema = (
+        "".join(f"{p} {in_schema[p]}, " for p in passthrough)
+        + "http_status int, charset string, text string"
+    )
+    return records.mapInPandas(run, schema=schema)
+
+
 def split_gzip_members(data: bytes) -> list:
     """Split a concatenation of gzip members — the ``.warc.gz`` /
     ``.wet.gz`` layout CommonCrawl ships, one member per WARC record —
@@ -888,7 +1100,7 @@ def gzip_members_bytes(payloads, mtime: int = 0) -> bytes:
 def gzip_member_records(
     files: DataFrame,
     content_col: str = "content",
-    encoding: str = "utf-8",
+    encoding: str | None = "utf-8",
     passthrough: tuple = (),
 ) -> DataFrame:
     """Expand binary ``.gz``-member archives (e.g. from
@@ -905,7 +1117,10 @@ def gzip_member_records(
     ``member_off`` doubles as the CDX-style offset for later
     range-request access; ``passthrough`` copies input columns (the
     archive path/id — offsets are only meaningful WITH their archive)
-    onto every member row."""
+    onto every member row.  ``encoding=None`` keeps members as BYTES
+    (``value binary``) — the input to :func:`parse_warc_records_bytes`
+    when payload charsets are only known per record (real crawl
+    archives)."""
     from typing import Iterator
 
     import pandas as pd
@@ -924,12 +1139,18 @@ def gzip_member_records(
                 for i, (off, clen, payload) in enumerate(
                     split_gzip_members(bytes(blob))
                 ):
-                    rows.append(
-                        (i, off, clen, payload.decode(encoding)) + extra
+                    val = (
+                        payload
+                        if encoding is None
+                        else payload.decode(encoding)
                     )
+                    rows.append((i, off, clen, val) + extra)
             yield pd.DataFrame(rows, columns=cols)
 
-    schema = "member_pos long, member_off long, member_len long, value string"
+    vtype = "binary" if encoding is None else "string"
+    schema = (
+        f"member_pos long, member_off long, member_len long, value {vtype}"
+    )
     if passthrough:
         in_schema = {f.name: f.dataType.simpleString() for f in files.schema}
         schema += "".join(f", {p} {in_schema[p]}" for p in passthrough)

@@ -149,6 +149,87 @@ def test_xml_unescape_order(spark):
     assert out == "<a> 'x' \"y\" &lt;raw"
 
 
+# ---------------------------------------------------------------------------
+# Charset-aware WET extraction (binary WARC path)
+
+
+def test_decode_http_response_precedence():
+    from adtl_spark.sources.io import decode_http_response
+
+    def mk(body, ct=None):
+        h = b"HTTP/1.1 200 OK\r\nServer: t"
+        if ct:
+            h += b"\r\nContent-Type: " + ct
+        return h + b"\r\n\r\n" + body
+
+    # header charset, canonical codec name
+    s, c, t = decode_http_response(
+        mk("déjà–vu €".encode("cp1252"), b"text/html; charset=windows-1252")
+    )
+    assert (s, c, t) == (200, "cp1252", "déjà–vu €")
+    # BOM beats a (wrong) header declaration
+    s, c, t = decode_http_response(
+        mk(b"\xff\xfe" + "日本語".encode("utf-16-le"),
+           b"text/html; charset=utf-8")
+    )
+    assert (c, t) == ("utf-16-le", "日本語")
+    # meta-only declaration, both syntaxes
+    html = '<meta charset="iso-8859-1"><p>niño</p>'.encode("latin-1")
+    assert decode_http_response(mk(html, b"text/html"))[1] == "iso8859-1"
+    html = (
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=KOI8-R">' + "да".encode("koi8_r")
+    )
+    s, c, t = decode_http_response(mk(html))
+    assert c == "koi8-r" and t.endswith("да")
+    # unknown label falls through; broken bytes never raise
+    assert decode_http_response(mk(b"ok", b"x; charset=klingon"))[1] == "utf-8"
+    s, c, t = decode_http_response(mk(b"\xff\xfa oops"))
+    assert c == "utf-8" and "�" in t
+    # headless payload: whole thing is the body, no status
+    assert decode_http_response("café".encode()) == (None, "utf-8", "café")
+    # utf-8 BOM stripped, not rendered
+    assert decode_http_response(mk(b"\xef\xbb\xbfabc"))[2] == "abc"
+
+
+def test_parse_warc_records_bytes_byte_lengths(spark):
+    """Content-Length counts BYTES: a utf-16 payload (2x its char
+    count) must round-trip intact through the binary walk, and the
+    next record must still parse at the right offset."""
+    from adtl_spark.sources.io import (
+        http_text_records,
+        parse_warc_records_bytes,
+    )
+
+    b1 = b"\xff\xfe" + "日本語 café".encode("utf-16-le")
+    b2 = "plain".encode()
+    recs = b"".join(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        + f"WARC-Target-URI: http://t/{i}\r\n".encode()
+        + f"Content-Length: {len(b)}\r\n\r\n".encode()
+        + b
+        + b"\r\n\r\n"
+        for i, b in enumerate([b1, b2])
+    )
+    files = spark.createDataFrame([(recs,)], "content binary")
+    parsed = parse_warc_records_bytes(files)
+    rows = {r["rec_pos"]: r for r in parsed.collect()}
+    assert len(rows) == 2
+    assert bytes(rows[0]["content"]) == b1
+    assert rows[0]["content_length"] == len(b1)
+    assert bytes(rows[1]["content"]) == b2
+    out = {
+        r["rec_pos"]: r
+        for r in http_text_records(
+            parsed, passthrough=("rec_pos",)
+        ).collect()
+    }
+    # headless HTTP payload: BOM still resolves the charset
+    assert out[0]["charset"] == "utf-16-le"
+    assert out[0]["text"] == "日本語 café"
+    assert out[1]["text"] == "plain"
+
+
 def test_compression_signal_id_col(spark):
     from adtl_spark.operators.text import compression_signal
 
