@@ -1181,7 +1181,7 @@ def fetch_gzip_members(
     manifest: DataFrame,
     archive_key: str = "archive_id",
     content_col: str = "content",
-    encoding: str = "utf-8",
+    encoding: str | None = "utf-8",
 ) -> DataFrame:
     """CDX-style random access as a DataFrame op: join a (small)
     ``manifest`` of wanted members — rows of ``(archive_key,
@@ -1195,7 +1195,8 @@ def fetch_gzip_members(
     exists for.  (With object-store range reads the slice happens at
     the storage layer; on the DataFrame path the blob is in memory
     once per file either way, and the decompression saving is real.)
-    Emits the manifest row's columns plus ``value`` (decoded member).
+    Emits the manifest row's columns plus ``value`` (decoded member;
+    ``encoding=None`` keeps it as BYTES for the charset-aware readers).
     The manifest is grouped to ONE request-list row per archive before
     the join, so each blob crosses the JVM->Arrow boundary exactly once
     however many members are fetched from it (a row-per-request join
@@ -1228,14 +1229,19 @@ def fetch_gzip_members(
                     rows.append(
                         (key,)
                         + tuple(req[c] for c in extra)
-                        + (payload.decode(encoding),)
+                        + (
+                            payload
+                            if encoding is None
+                            else payload.decode(encoding),
+                        )
                     )
             yield pd.DataFrame(rows, columns=[archive_key] + extra + ["value"])
 
     in_schema = {f.name: f.dataType.simpleString() for f in manifest.schema}
+    vtype = "binary" if encoding is None else "string"
     schema = (
         ", ".join(f"{c} {in_schema[c]}" for c in [archive_key] + extra)
-        + ", value string"
+        + f", value {vtype}"
     )
     return joined.mapInPandas(run, schema=schema)
 

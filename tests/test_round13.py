@@ -230,6 +230,32 @@ def test_parse_warc_records_bytes_byte_lengths(spark):
     assert out[1]["text"] == "plain"
 
 
+def test_fetch_gzip_members_binary(spark):
+    from adtl_spark.sources.io import (
+        fetch_gzip_members,
+        gzip_member_records,
+        gzip_members_bytes,
+    )
+
+    payloads = [b"\xff\xferaw-bytes", "caf\xe9".encode("cp1252")]
+    blob = gzip_members_bytes(payloads)
+    archives = spark.createDataFrame(
+        [(1, blob)], "archive_id long, content binary"
+    )
+    members = gzip_member_records(
+        archives, encoding=None, passthrough=("archive_id",)
+    )
+    manifest = members.select("archive_id", "member_off", "member_len",
+                              "member_pos")
+    got = {
+        r["member_pos"]: bytes(r["value"])
+        for r in fetch_gzip_members(
+            archives, manifest, encoding=None
+        ).collect()
+    }
+    assert got == {0: payloads[0], 1: payloads[1]}
+
+
 def test_compression_signal_id_col(spark):
     from adtl_spark.operators.text import compression_signal
 
