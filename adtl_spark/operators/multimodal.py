@@ -735,20 +735,83 @@ def decode_wav_g711(payload: bytes) -> tuple[int, int, int, bytes]:
     return rate, ch, 16, np.take(table, codes).tobytes()
 
 
-def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+# ---------------------------------------------------------------------------
+# Pluggable codec registry — the production swap-in seam.
+#
+# Every decode operator routes through decode_image/decode_audio, which
+# dispatch per FORMAT KEY through this registry: callers swap in
+# production decoders (libjpeg-turbo, libFLAC, pyav, an MP3 codec) with
+# register_decoder and never touch operator code.  The in-repo codecs
+# are the defaults — an empty registry changes nothing.
+#
+# Closure-capture contract: Spark Python workers import this module
+# FRESH, so a driver-side register_decoder would be invisible to
+# executors if operators read the module global inside their closures.
+# Operators therefore snapshot codec_overrides() at PLAN CONSTRUCTION
+# time (on the driver) and close over the snapshot — cloudpickle ships
+# the dict and its callables (module functions by reference, injected
+# lambdas/locals by value) to every worker.  Register BEFORE building
+# the plan; plans built earlier keep the decoders they captured.
+
+_CODEC_REGISTRY: dict = {}
+
+#: the format keys decode_image/decode_audio dispatch on
+CODEC_FORMATS = ("ppm", "png", "jpeg", "wav", "adpcm", "g711", "flac", "mp3")
+
+
+def register_decoder(fmt: str, fn) -> None:
+    """Install ``fn`` as the decoder for format key ``fmt`` (one of
+    :data:`CODEC_FORMATS`).  Image decoders return ``(width, height,
+    rgb_bytes)``; audio decoders return ``(sample_rate, channels, bits,
+    pcm_bytes)`` — the same contracts the in-repo codecs satisfy.  MP3
+    is the seam's first production use: the in-repo default raises
+    NotImplementedError (a Layer-III synthesis filterbank needs a codec
+    library), so ``register_decoder("mp3", my_decode)`` is how real
+    deployments light up MP3 ingestion."""
+    if fmt not in CODEC_FORMATS:
+        raise ValueError(
+            f"unknown codec format {fmt!r}; expected one of {CODEC_FORMATS}"
+        )
+    _CODEC_REGISTRY[fmt] = fn
+
+
+def unregister_decoder(fmt: str) -> None:
+    """Remove an override, restoring the in-repo default for ``fmt``."""
+    _CODEC_REGISTRY.pop(fmt, None)
+
+
+def codec_overrides() -> dict:
+    """Snapshot of the registry for closure capture — every decode
+    operator calls this at plan-construction time and ships the result
+    to the executors (see the registry contract above)."""
+    return dict(_CODEC_REGISTRY)
+
+
+def _mp3_decode_unavailable(payload: bytes):
+    raise NotImplementedError(
+        "MP3 decoding requires a codec library (ffmpeg) not in this "
+        "container; install one via register_decoder('mp3', fn) — "
+        "probe_mpeg_audio covers metadata without decoding"
+    )
+
+
+def decode_image(payload: bytes, overrides: dict | None = None) -> tuple:
     """Decode an image payload to (width, height, rgb_bytes).  PPM (P6),
     PNG (stdlib-zlib chunk walk + unfilter, :func:`decode_png`) and
     baseline JPEG (marker walk + Huffman + IDCT,
     operators/jpeg_lite.py) all decode natively — no codec library in
-    the data path; unrecognized or malformed payloads fail loudly."""
+    the data path; unrecognized or malformed payloads fail loudly.
+    ``overrides`` (a :func:`codec_overrides` snapshot) swaps in
+    registered production decoders per format key."""
+    reg = _CODEC_REGISTRY if overrides is None else overrides
     if payload.startswith(b"P6"):
-        return decode_ppm(payload)
+        return reg.get("ppm", decode_ppm)(payload)
     if payload.startswith(b"\x89PNG"):
-        return decode_png(payload)
+        return reg.get("png", decode_png)(payload)
     if payload.startswith(b"\xff\xd8\xff"):
         from adtl_spark.operators.jpeg_lite import decode_jpeg
 
-        return decode_jpeg(payload)
+        return reg.get("jpeg", decode_jpeg)(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -1024,13 +1087,15 @@ def normalize_audio_peak(
     passes through.  Arrow ``mapInPandas``, one decode per payload."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                rate, ch, bits, pcm = decode_audio(bytes(payload))
+                rate, ch, bits, pcm = decode_audio(bytes(payload), ov)
                 # honor the decoder's container width: <=16-bit decodes
                 # land in int16 buffers, wider in int32 (flac_lite
                 # contract); anything else is loud, never reinterpreted
@@ -1071,38 +1136,44 @@ def normalize_audio_peak(
     )
 
 
-def decode_audio(payload: bytes) -> tuple[int, int, int, bytes]:
+def decode_audio(
+    payload: bytes, overrides: dict | None = None
+) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
     WAV/PCM, IMA ADPCM (format tag 0x11), G.711 µ-law/A-law (tags
     0x07/0x06) and FLAC (``fLaC`` magic — the lossless codec, CRC- and
     MD5-verified) decode natively — compressed forms are decompressed
-    to 16-bit PCM; MP3 raises NotImplementedError.  Dispatch reads the
-    fmt chunk's format tag directly, so unsupported tags surface the
-    PCM reader's accurate error rather than a misrouted decoder's."""
+    to 16-bit PCM; MP3 raises NotImplementedError unless a production
+    decoder is registered (the codec-registry seam's first real use).
+    Dispatch reads the fmt chunk's format tag directly, so unsupported
+    tags surface the PCM reader's accurate error rather than a
+    misrouted decoder's.  ``overrides`` (a :func:`codec_overrides`
+    snapshot) swaps in registered production decoders per format key."""
+    reg = _CODEC_REGISTRY if overrides is None else overrides
     if payload.startswith(b"RIFF"):
         tag = _wav_format_tag(payload)
         if tag == 0x11:
-            return decode_wav_adpcm(payload)
+            return reg.get("adpcm", decode_wav_adpcm)(payload)
         if tag in (0x06, 0x07):
-            return decode_wav_g711(payload)
-        return decode_wav(payload)
+            return reg.get("g711", decode_wav_g711)(payload)
+        return reg.get("wav", decode_wav)(payload)
     if payload.startswith(b"fLaC"):
         from adtl_spark.operators.flac_lite import decode_flac
 
-        return decode_flac(payload)
+        return reg.get("flac", decode_flac)(payload)
     if payload.startswith(b"\xff\xfb") or payload.startswith(b"ID3"):
-        raise NotImplementedError(
-            "MP3 decoding requires a codec library (ffmpeg) not in this container"
-        )
+        return reg.get("mp3", _mp3_decode_unavailable)(payload)
     raise ValueError("unrecognized audio payload")
 
 
-def image_feature(payload: bytes, dim: int = 8) -> list[float]:
+def image_feature(
+    payload: bytes, dim: int = 8, overrides: dict | None = None
+) -> list[float]:
     """Real decoded-image feature vector: [width, height, mean_r, mean_g,
     mean_b, mean_gray, min_gray, max_gray, ...] scaled to [0, 1] and
     padded/truncated to ``dim`` — the deterministic decode-derived
     counterpart of :func:`fake_feature`."""
-    width, height, rgb = decode_image(payload)
+    width, height, rgb = decode_image(payload, overrides)
     n = width * height
     sums = [0, 0, 0]
     gmin, gmax, gsum = 255, 0, 0
@@ -1150,6 +1221,7 @@ def extract_image_features(
     (:func:`image_feature`); compressed formats raise
     NotImplementedError naming the missing codec.
     """
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1166,7 +1238,7 @@ def extract_image_features(
                     "entropy_estimate": payloads.map(_entropy_estimate),
                     "feature": payloads.map(
                         lambda b: (
-                            image_feature(b, dim)
+                            image_feature(b, dim, ov)
                             if use_real_decoder
                             else fake_feature(b, dim)
                         )
@@ -1203,10 +1275,12 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     report format facts with null amplitudes."""
     import struct
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return (None, None, None, None, None, None, None)
-        rate, channels, bits, pcm = decode_audio(b)
+        rate, channels, bits, pcm = decode_audio(b, ov)
         frames = len(pcm) // (channels * (bits // 8)) if bits else 0
         dur_ms = int(frames * 1000 / rate) if rate else None
         rms = peak = None
@@ -1559,10 +1633,12 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     (pixel stats, dHash, resize).  Arrow-batched; the per-frame walk is
     offset arithmetic (one movi scan per AVI payload), never a payload
     regex."""
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from adtl_spark.operators.jpeg_lite import decode_jpeg
+        from adtl_spark.operators.jpeg_lite import decode_jpeg as _default
 
+        decode_jpeg = ov.get("jpeg", _default)
         cols = ["media_id", "frame_idx", "ts_ms", "payload"]
         for pdf in batches:
             rows = []
@@ -1811,13 +1887,15 @@ def audio_signal_features(df: DataFrame) -> DataFrame:
     Python."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def stats(b: bytes | None):
         if b is None:
             return (None,) * 5
         try:
             # full dispatch: compressed payloads (ADPCM, G.711) expand
             # to 16-bit PCM and flow through the same stats
-            _rate, _ch, bits, pcm = decode_audio(b)
+            _rate, _ch, bits, pcm = decode_audio(b, ov)
             if bits != 16:
                 return (None,) * 5
             x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
@@ -1880,11 +1958,13 @@ def image_dhash(df: DataFrame) -> DataFrame:
     scale."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return (None, None)
         try:
-            w, h, rgb = decode_image(b)
+            w, h, rgb = decode_image(b, ov)
         except ValueError:
             return (None, None)
         if w < 9 or h < 8:
@@ -1943,6 +2023,8 @@ def audio_vad_trim(
     SQL-replayable."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return (None,) * 5
@@ -1950,7 +2032,7 @@ def audio_vad_trim(
             # full dispatch: a G.711 telephony clip or ADPCM capture
             # trims exactly like its PCM expansion — the ASR-corpus
             # endpointing combo (decode -> VAD) without a transcode step
-            _rate, ch, bits, pcm = decode_audio(b)
+            _rate, ch, bits, pcm = decode_audio(b, ov)
         except (ValueError, NotImplementedError):
             # NotImplementedError: the MP3 stub — null stats, not a crash
             return (None,) * 5
@@ -2066,10 +2148,12 @@ def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:
     if factor < 1:
         raise ValueError("resize_image_nn needs factor >= 1")
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return None
-        w, h, rgb = decode_image(b)
+        w, h, rgb = decode_image(b, ov)
         a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
         out = np.ascontiguousarray(a[::factor, ::factor, :])
         oh, ow = out.shape[0], out.shape[1]
@@ -2104,10 +2188,12 @@ def resize_image_box(df: DataFrame, factor: int = 2) -> DataFrame:
     if factor < 1:
         raise ValueError("resize_image_box needs factor >= 1")
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return None
-        w, h, rgb = decode_image(b)
+        w, h, rgb = decode_image(b, ov)
         ow, oh = w // factor, h // factor
         if ow == 0 or oh == 0:
             raise ValueError(
@@ -2153,10 +2239,12 @@ def resample_audio_box(df: DataFrame, factor: int = 2) -> DataFrame:
     if factor < 1:
         raise ValueError("resample_audio_box needs factor >= 1")
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return None
-        rate, ch, bits, pcm = decode_audio(b)
+        rate, ch, bits, pcm = decode_audio(b, ov)
         if bits != 16 or ch != 1:
             raise ValueError("resample_audio_box needs 16-bit mono input")
         x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
@@ -2199,11 +2287,13 @@ def image_pixel_stats(df: DataFrame) -> DataFrame:
     upstream resample's stride arithmetic, not just value multisets."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def stats(b: bytes | None):
         if b is None:
             return (None,) * 6
         try:
-            w, h, rgb = decode_image(b)
+            w, h, rgb = decode_image(b, ov)
             a = np.frombuffer(rgb, dtype=np.uint8).reshape(h * w, 3).astype(np.int64)
             weights = np.arange(1, h * w + 1, dtype=np.int64)
             mix = a[:, 0] + 2 * a[:, 1] + 3 * a[:, 2]
@@ -2243,10 +2333,12 @@ def flip_image_h(df: DataFrame) -> DataFrame:
     so augmentation chains stay SQL-replayable pixel-for-pixel."""
     import numpy as np
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return None
-        w, h, rgb = decode_image(b)
+        w, h, rgb = decode_image(b, ov)
         a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
         out = np.ascontiguousarray(a[:, ::-1, :])
         return f"P6\n{w} {h}\n255\n".encode() + out.tobytes()
@@ -2271,10 +2363,12 @@ def crop_image(df: DataFrame, box=None) -> DataFrame:
     if box is None:
         box = lambda w, h: (w // 4, h // 4, w // 2, h // 2)  # noqa: E731
 
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
     def one(b: bytes | None):
         if b is None:
             return None
-        w, h, rgb = decode_image(b)
+        w, h, rgb = decode_image(b, ov)
         x0, y0, cw, ch = box(w, h)
         if x0 < 0 or y0 < 0 or x0 + cw > w or y0 + ch > h or cw < 1 or ch < 1:
             raise ValueError(f"crop box {(x0, y0, cw, ch)} outside {w}x{h}")

@@ -12,6 +12,67 @@ from pyspark.sql import functions as F
 
 
 # ---------------------------------------------------------------------------
+# Pluggable codec registry
+
+
+def test_codec_registry_injects_through_operators(spark):
+    """A registered decoder must reach the executors through the
+    plan-time snapshot: the multimodal operators pick up the override
+    without any operator-code change, and MP3 — the seam's first
+    production use — decodes once a codec is registered."""
+    import numpy as np
+
+    from adtl_spark.operators import multimodal as M
+
+    fake_pcm = np.array([100, -200, 300, -400], dtype=np.int16).tobytes()
+
+    def fake_mp3(payload):
+        return (8000, 1, 16, fake_pcm)
+
+    def fake_ppm(payload):
+        return (2, 2, bytes([10, 20, 30] * 4))
+
+    mp3_payload = b"ID3\x04\x00\x00\x00\x00\x00\x00fake"
+    # default: the documented stub raises and names the seam
+    with pytest.raises(NotImplementedError, match="register_decoder"):
+        M.decode_audio(mp3_payload)
+    M.register_decoder("mp3", fake_mp3)
+    M.register_decoder("ppm", fake_ppm)
+    try:
+        audio = spark.createDataFrame(
+            [(1, mp3_payload)], "media_id long, payload binary"
+        )
+        row = M.extract_audio_features(audio).collect()[0]
+        assert (row["sample_rate"], row["channels"], row["bits"]) == (
+            8000, 1, 16,
+        )
+        assert row["n_samples"] == 4 and row["peak"] == 400
+        # image op sees the fake ppm decode (real P6 header, fake pixels)
+        img = spark.createDataFrame(
+            [(2, b"P6\n1 1\n255\n\x00\x00\x00")],
+            "media_id long, payload binary",
+        )
+        st = M.image_pixel_stats(img).collect()[0]
+        assert (st["width"], st["height"]) == (2, 2)
+        assert st["sum_r"] == 40 and st["sum_g"] == 80 and st["sum_b"] == 120
+    finally:
+        M.unregister_decoder("mp3")
+        M.unregister_decoder("ppm")
+    with pytest.raises(NotImplementedError):
+        M.decode_audio(mp3_payload)
+    # real decode restored after unregister
+    st = M.image_pixel_stats(
+        spark.createDataFrame(
+            [(3, b"P6\n1 1\n255\n\x05\x06\x07")],
+            "media_id long, payload binary",
+        )
+    ).collect()[0]
+    assert (st["width"], st["height"], st["sum_r"]) == (1, 1, 5)
+    with pytest.raises(ValueError):
+        M.register_decoder("gif", lambda b: None)
+
+
+# ---------------------------------------------------------------------------
 # ADVICE fixes
 
 
