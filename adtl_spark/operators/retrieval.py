@@ -817,6 +817,13 @@ def write_search_index(
     """
     spark = docs.sparkSession
     _INDEX_META_CACHE.pop(path, None)  # rebuild may change the layout
+    # a rebuild is a fresh index: stale append generations or compacted
+    # bases from a previous life would otherwise shadow or double-count
+    sc = spark.sparkContext
+    hpath = sc._jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+    for sub in ("delta", "base"):
+        fs.delete(hpath(f"{path}/{sub}"), True)
     spark.createDataFrame(
         [(int(n_buckets),)], "n_buckets int"
     ).write.mode("overwrite").parquet(f"{path}/meta")
@@ -982,19 +989,63 @@ def _delta_gens(spark, path: str) -> tuple[list[int], list[int]]:
     return sorted(committed), sorted(all_gens)
 
 
+def _base_state(spark, path: str) -> tuple[str, int]:
+    """``(base_dir, folded_upto)`` — the serving base of a search index:
+    the newest COMMITTED compacted base under ``{path}/base`` (written
+    by :func:`compact_search_index`), or the legacy top-level layout
+    (``write_search_index`` output; folded_upto 0) when none exists.
+    A base directory is named ``{gen}_{folded_upto}`` — the highest
+    delta generation folded into it rides in the NAME, so resolving the
+    serving state costs one FS listing (no parquet read on the query
+    path), and readers knowing the watermark can ignore folded delta
+    directories even when a crash interrupted their reclamation.
+    Commit detection matches :func:`_delta_gens` (committed data files
+    under ``commit/``, the last write of a compaction): an uncommitted
+    base — a compaction that died mid-write — is invisible, so serving
+    stays on the previous state."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(f"{path}/base")
+    fs = bpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(bpath):
+        return path, 0
+    best = None
+    for st in fs.listStatus(bpath):
+        name = st.getPath().getName()
+        head, _, tail = name.partition("_")
+        if not (head.isdigit() and tail.isdigit()):
+            continue
+        g = int(head)
+        parts = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path}/base/{name}/commit/part-*"
+            )
+        )
+        if parts is not None and len(parts) > 0:
+            if best is None or g > best[0]:
+                best = (g, int(tail), name)
+    if best is None:
+        return path, 0
+    return f"{path}/base/{best[2]}", best[1]
+
+
 def _search_components(spark, path: str, terms: list[str], n_buckets: int):
     """(postings, lexicon, dl, stats) of a persisted search index
     resolved across its committed append generations: postings and
-    document lengths are the base plus every committed delta (pruned
-    per directory); the lexicon and stats are SNAPSHOTS — each append
-    writes the fully-merged aggregate into its generation, so readers
-    take only the newest committed copy, keeping the serving read path
-    one directory per aggregate however long ingestion runs."""
+    document lengths are the base (newest committed compacted base, or
+    the legacy top-level layout) plus every committed delta ABOVE the
+    base's folded watermark (pruned per directory); the lexicon and
+    stats are SNAPSHOTS — each append writes the fully-merged aggregate
+    into its generation, so readers take only the newest committed
+    copy, keeping the serving read path one directory per aggregate
+    however long ingestion runs."""
+    base_dir, folded = _base_state(spark, path)
     gens, _ = _delta_gens(spark, path)
-    post = _pruned(spark, f"{path}/postings", terms, n_buckets)
-    dl = _read_or_empty(spark, f"{path}/docs", "id long, dl long").select(
-        "id", "dl"
-    )
+    gens = [g for g in gens if g > folded]
+    post = _pruned(spark, f"{base_dir}/postings", terms, n_buckets)
+    dl = _read_or_empty(
+        spark, f"{base_dir}/docs", "id long, dl long"
+    ).select("id", "dl")
     for g in gens:
         post = post.unionByName(
             _pruned(spark, f"{path}/delta/{g}/postings", terms, n_buckets)
@@ -1002,8 +1053,12 @@ def _search_components(spark, path: str, terms: list[str], n_buckets: int):
         dl = dl.unionByName(
             spark.read.parquet(f"{path}/delta/{g}/docs").select("id", "dl")
         )
-    lex_dir = f"{path}/delta/{gens[-1]}/lexicon" if gens else f"{path}/lexicon"
-    stats_dir = f"{path}/delta/{gens[-1]}/stats" if gens else f"{path}/stats"
+    lex_dir = (
+        f"{path}/delta/{gens[-1]}/lexicon" if gens else f"{base_dir}/lexicon"
+    )
+    stats_dir = (
+        f"{path}/delta/{gens[-1]}/stats" if gens else f"{base_dir}/stats"
+    )
     lex = _pruned(spark, lex_dir, terms, n_buckets)
     stats = spark.read.parquet(stats_dir)
     return post, lex, dl, stats
@@ -1176,10 +1231,14 @@ def append_to_search_index(
     differently from old ones)."""
     spark = batch_docs.sparkSession
     n_buckets = _index_buckets(spark, path, n_buckets)
+    base_dir, folded = _base_state(spark, path)
     committed, all_gens = _delta_gens(spark, path)
-    gen = (max(all_gens) + 1) if all_gens else 1
+    committed = [g for g in committed if g > folded]
+    # never reuse a folded generation number, even after its delta dir
+    # was reclaimed — a reused number would shadow the base's watermark
+    gen = max(all_gens + [folded]) + 1 if (all_gens or folded) else 1
     gdir = f"{path}/delta/{gen}"
-    cur = f"{path}/delta/{committed[-1]}" if committed else path
+    cur = f"{path}/delta/{committed[-1]}" if committed else base_dir
     bucket = F.pmod(F.xxhash64("token"), F.lit(n_buckets)).cast("int")
     toks = batch_docs.select(
         F.col(id_col).alias("id"),
@@ -1239,58 +1298,101 @@ def append_to_search_index(
 
 
 def compact_search_index(spark, path: str, n_buckets: int | None = None) -> None:
-    """Fold committed append generations back into the base components
-    and reclaim delta directories (committed AND orphaned) — the read-
+    """Fold committed append generations into a NEW compacted base and
+    reclaim delta directories (folded AND orphaned) — the read-
     amplification maintenance for long-running ingestion: readers union
     one postings/dl directory per committed generation, so compaction
     restores the single-directory read path.  NOT needed for
     correctness, ever — appends stay atomic without it.
 
-    Staging: all merged components are materialized (checkpointed)
-    BEFORE the first base overwrite.  Unlike the append path this step
-    rewrites the base in place, so a crash BETWEEN the base overwrites
-    corrupts the index (rebuild via write_search_index) — run it as
-    offline maintenance, which is the standard contract for an index
-    compactor; the serving-path appends never require it."""
+    STAGED COMMIT, same contract as the appends: every merged component
+    is written into a fresh generation directory
+    ``{path}/base/{gen}_{folded_upto}`` (the highest delta generation
+    folded rides in the NAME), and the generation becomes visible only
+    when its ``commit`` parquet lands — the last write.  A crash at ANY
+    point therefore serves exactly the pre-compaction state: before
+    commit the new base is invisible (readers stay on the old base +
+    deltas, all still present); after commit the folded watermark makes
+    readers ignore the folded deltas even if the crash interrupted
+    their reclamation, so nothing is ever double-counted.  Reclamation
+    (folded/orphaned deltas, superseded and uncommitted bases, the
+    legacy top-level components once a compacted base exists) is pure
+    garbage collection after the commit; a re-run finishes it.
+    SINGLE WRITER: like the appends, compaction must not run
+    concurrently with an append on the same path (offline maintenance —
+    an in-flight append's uncommitted directory would be reclaimed as
+    an orphan)."""
     n_buckets = _index_buckets(spark, path, n_buckets)
+    base_dir, folded = _base_state(spark, path)
     committed, all_gens = _delta_gens(spark, path)
+    fold = [g for g in committed if g > folded]
     sc = spark.sparkContext
     jvm = sc._jvm
-    dpath = jvm.org.apache.hadoop.fs.Path(f"{path}/delta")
-    fs = dpath.getFileSystem(sc._jsc.hadoopConfiguration())
-    if not committed:
-        # nothing visible to fold; orphans (crashed appends) still reclaim
-        if all_gens:
-            fs.delete(dpath, True)
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(sc._jsc.hadoopConfiguration())
+
+    def reclaim(new_base_name: str | None, new_folded: int) -> None:
+        # folded + orphaned delta dirs (never a committed, unfolded one)
+        live = {g for g in committed if g > new_folded}
+        for g in all_gens:
+            if g not in live:
+                fs.delete(hpath(f"{path}/delta/{g}"), True)
+        bpath = hpath(f"{path}/base")
+        if fs.exists(bpath):
+            keep = new_base_name or (
+                base_dir.rsplit("/", 1)[-1] if base_dir != path else None
+            )
+            for st in fs.listStatus(bpath):
+                name = st.getPath().getName()
+                if name != keep:
+                    fs.delete(st.getPath(), True)
+            # once a compacted base serves, the legacy top-level
+            # components are dead weight (meta stays — layout contract)
+            if keep is not None:
+                for comp in ("postings", "lexicon", "docs", "stats"):
+                    fs.delete(hpath(f"{path}/{comp}"), True)
+
+    if not fold:
+        # nothing new to fold: reclamation only (orphans, stale dirs)
+        reclaim(None, folded)
         return
-    cur = f"{path}/delta/{committed[-1]}"
-    post = _read_or_empty(spark, f"{path}/postings", _POSTINGS_SCHEMA)
-    dl = _read_or_empty(spark, f"{path}/docs", "id long, dl long").select(
-        "id", "dl"
-    )
-    for g in committed:
+    cur = f"{path}/delta/{fold[-1]}"
+    post = _read_or_empty(spark, f"{base_dir}/postings", _POSTINGS_SCHEMA)
+    dl = _read_or_empty(
+        spark, f"{base_dir}/docs", "id long, dl long"
+    ).select("id", "dl")
+    for g in fold:
         post = post.unionByName(
             spark.read.parquet(f"{path}/delta/{g}/postings")
         )
         dl = dl.unionByName(
             spark.read.parquet(f"{path}/delta/{g}/docs").select("id", "dl")
         )
-    # base dirs are both source and target -> checkpoint breaks the cycle
-    post = post.select("id", "token", "tf", "bucket").localCheckpoint(
-        eager=True
+    base_gen = (
+        int(base_dir.rsplit("/", 1)[-1].partition("_")[0]) + 1
+        if base_dir != path
+        else 1
     )
-    dl = dl.localCheckpoint(eager=True)
-    lex = spark.read.parquet(f"{cur}/lexicon").localCheckpoint(eager=True)
-    stats = spark.read.parquet(f"{cur}/stats").localCheckpoint(eager=True)
-    post.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
+    new_name = f"{base_gen}_{fold[-1]}"
+    gdir = f"{path}/base/{new_name}"
+    # writes target a FRESH directory — no read-overwrite cycle, so no
+    # checkpoint barrier is needed (the old base stays readable until
+    # the commit marker flips visibility)
+    post.select("id", "token", "tf", "bucket").write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(f"{gdir}/postings")
+    dl.write.mode("overwrite").parquet(f"{gdir}/docs")
+    spark.read.parquet(f"{cur}/lexicon").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(f"{gdir}/lexicon")
+    spark.read.parquet(f"{cur}/stats").write.mode("overwrite").parquet(
+        f"{gdir}/stats"
     )
-    dl.write.mode("overwrite").parquet(f"{path}/docs")
-    lex.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/lexicon"
-    )
-    stats.write.mode("overwrite").parquet(f"{path}/stats")
-    fs.delete(dpath, True)
+    # THE COMMIT: the new base becomes visible here and not before
+    spark.createDataFrame(
+        [(int(base_gen), int(fold[-1]))], "gen int, folded_upto int"
+    ).write.mode("overwrite").parquet(f"{gdir}/commit")
+    reclaim(new_name, fold[-1])
 
 
 def ndcg_oracle_sql(truth_sql: str, approx_sql: str, k: int) -> str:

@@ -73,6 +73,121 @@ def test_codec_registry_injects_through_operators(spark):
 
 
 # ---------------------------------------------------------------------------
+# Crash-safe (staged-commit) index compaction
+
+
+def _bm25_rows(spark, path, qdf):
+    from adtl_spark.operators.retrieval import bm25_query_index
+
+    return sorted(
+        (r["query_id"], r["doc_id"], r["rank"])
+        for r in bm25_query_index(spark, path, qdf, k=5, n_buckets=8).collect()
+    )
+
+
+def test_compaction_crash_at_any_point_serves_pre_state(spark, tmp_path):
+    """Compaction is staged-commit like the appends: a crash BEFORE the
+    new base's commit marker leaves served results exactly equal to the
+    pre-compaction state (old base + deltas untouched), and a crash
+    AFTER the marker but BEFORE reclamation must not double-count the
+    folded deltas (the folded watermark in the base name excludes
+    them).  A compact re-run converges either way."""
+    import shutil
+
+    from adtl_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} tok{i % 5} alpha") for i in range(12)],
+        "doc_id long, text string",
+    )
+    qdf = spark.createDataFrame(
+        [(0, "tok1 alpha"), (1, "tok2 tok4")], "query_id long, query string"
+    )
+    path = str(tmp_path / "idx")
+    R.write_search_index(docs.filter("doc_id < 5"), path, n_buckets=8)
+    R.append_to_search_index(docs.filter("doc_id >= 5 and doc_id < 9"), path)
+    R.append_to_search_index(docs.filter("doc_id >= 9"), path)
+    want = _bm25_rows(spark, path, qdf)
+
+    # run the real compaction on a CLONE to obtain the exact bytes a
+    # compaction writes, then transplant them into the original at the
+    # two crash points
+    clone = str(tmp_path / "clone")
+    shutil.copytree(path, clone)
+    R._INDEX_META_CACHE.pop(clone, None)
+    R.compact_search_index(spark, clone)
+    (base_name,) = [p.name for p in (tmp_path / "clone" / "base").iterdir()]
+    assert base_name == "1_2"
+
+    # crash 1: every component written, commit missing -> invisible
+    shutil.copytree(
+        tmp_path / "clone" / "base" / base_name,
+        tmp_path / "idx" / "base" / base_name,
+    )
+    shutil.rmtree(tmp_path / "idx" / "base" / base_name / "commit")
+    assert R._base_state(spark, path) == (path, 0)
+    assert _bm25_rows(spark, path, qdf) == want
+
+    # crash 2: commit landed, reclamation never ran -> the folded
+    # watermark keeps the (still present) deltas out of the union, so
+    # nothing double-counts
+    shutil.copytree(
+        tmp_path / "clone" / "base" / base_name / "commit",
+        tmp_path / "idx" / "base" / base_name / "commit",
+    )
+    assert R._base_state(spark, path) == (f"{path}/base/{base_name}", 2)
+    assert (tmp_path / "idx" / "delta" / "1").exists()  # not yet reclaimed
+    assert _bm25_rows(spark, path, qdf) == want
+
+    # re-run finishes reclamation and converges; results unchanged
+    R.compact_search_index(spark, path)
+    assert R._delta_gens(spark, path) == ([], [])
+    assert not (tmp_path / "idx" / "postings").exists()  # legacy reclaimed
+    assert _bm25_rows(spark, path, qdf) == want
+
+    # appends after compaction respect the folded watermark: the next
+    # generation is folded_upto+1, never a reused number
+    extra = spark.createDataFrame(
+        [(100, "alpha tok1 zeta")], "doc_id long, text string"
+    )
+    R.append_to_search_index(extra, path)
+    assert R._delta_gens(spark, path) == ([3], [3])
+    full = str(tmp_path / "full")
+    R.write_search_index(docs.unionByName(extra), full, n_buckets=8)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full, qdf)
+
+    # second compaction folds onto the compacted base (gen 2, folded 3)
+    R.compact_search_index(spark, path)
+    assert R._base_state(spark, path) == (f"{path}/base/2_3", 3)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full, qdf)
+
+
+def test_write_search_index_rebuild_clears_old_generations(spark, tmp_path):
+    """Rebuilding an index under a path that previously had appends and
+    a compacted base must not serve ghosts from the old life."""
+    from adtl_spark.operators import retrieval as R
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "beta gamma")], "doc_id long, text string"
+    )
+    qdf = spark.createDataFrame([(0, "alpha gamma")],
+                                "query_id long, query string")
+    path = str(tmp_path / "idx")
+    R.write_search_index(docs, path, n_buckets=8)
+    R.append_to_search_index(
+        spark.createDataFrame([(3, "alpha alpha")], "doc_id long, text string"),
+        path,
+    )
+    R.compact_search_index(spark, path)
+    R.write_search_index(docs, path, n_buckets=8)
+    fresh = str(tmp_path / "fresh")
+    R.write_search_index(docs, fresh, n_buckets=8)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, fresh, qdf)
+    assert R._base_state(spark, path) == (path, 0)
+    assert R._delta_gens(spark, path) == ([], [])
+
+
+# ---------------------------------------------------------------------------
 # ADVICE fixes
 
 
