@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish pre-tokenizer: letter runs, single digits, single punctuation —
@@ -1913,6 +1913,71 @@ def robots_directives(robots_txt: str, agent: str = "*") -> dict:
             if best_token in agents and d is not None and delay is None:
                 delay = d
     return {"crawl_delay": delay, "sitemaps": sitemaps}
+
+
+def schedule_frontier(
+    urls: DataFrame,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    default_delay_ms: int = 1000,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Politeness scheduling for a crawl frontier — the step after
+    robots/sitemap ingestion that turns a URL set into a fetch plan a
+    1000-worker crawler can execute without hammering any host:
+
+    - ``host``: the URL's authority, lowercased (politeness is
+      per-host; RFC 3986 hosts are case-insensitive);
+    - ``shard`` = md5-60(host) mod ``n_shards`` — ALL of a host's URLs
+      land in ONE shard, so per-host FIFO needs no cross-shard
+      coordination and each fetcher worker owns its shards outright;
+    - ``fetch_seq``: the URL's position in its host's queue
+      (row_number ordered by the URL string — deterministic and
+      append-stable for a fixed URL set);
+    - ``fetch_after_ms`` = (fetch_seq - 1) x the host's delay —
+      ``delays`` is a small (host, delay_ms) relation (robots
+      Crawl-delay values, :func:`robots_directives`) joined as a
+      BROADCAST; hosts without an entry get ``default_delay_ms``.
+
+    One shuffle (the per-host window partition); the delay side never
+    shuffles the URL relation.  Host skew is INHERENT here, not a bug
+    to salt away: a 100M-page host is one sequential politeness queue
+    by definition, and the shard hash spreads distinct hosts across
+    workers — the long pole is the crawl policy's, not the plan's.
+    Fully SQL-replayable (md5-60 shard + row_number twin).  Non-URL
+    rows (no ``scheme://authority``) yield a NULL host and schedule in
+    their own bucket — filter upstream if they should not fetch."""
+    host = F.lower(
+        F.nullif(
+            F.regexp_extract(
+                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+            ),
+            F.lit(""),
+        )
+    )
+    from adtl_spark.operators.dedup import md5_60
+
+    out = urls.withColumn("host", host)
+    if delays is not None:
+        d = delays.select(
+            F.lower(F.col("host")).alias("host"),
+            F.col("delay_ms").cast("long").alias("__delay"),
+        )
+        out = out.join(F.broadcast(d), "host", "left")
+    else:
+        out = out.withColumn("__delay", F.lit(None).cast("long"))
+    seq = F.row_number().over(
+        Window.partitionBy("host").orderBy(F.col(url_col))
+    )
+    delay = F.coalesce(F.col("__delay"), F.lit(int(default_delay_ms)))
+    return (
+        out.withColumn("shard", F.pmod(md5_60(F.col("host")), F.lit(n_shards)).cast("int"))
+        .withColumn("fetch_seq", seq.cast("long"))
+        .withColumn(
+            "fetch_after_ms", ((F.col("fetch_seq") - 1) * delay).cast("long")
+        )
+        .drop("__delay")
+    )
 
 
 def _robots_like(pattern: str) -> tuple:

@@ -4386,6 +4386,41 @@ def web_frontier_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness scheduling value-checked end to end: the
+    corpus's URLs spread over seven hosts (id arithmetic), three of
+    which carry robots Crawl-delay overrides in a broadcast delay
+    relation; schedule_frontier assigns each URL its host-owned shard
+    (md5-60 hash — all of a host's URLs in one shard), its position in
+    the host's FIFO queue, and the delay-scaled fetch offset.  The
+    oracle replays host extraction, the portable shard hash, the
+    row_number queue and the delay join in SQL, so the whole fetch plan
+    is exact (operators/text.py: schedule_frontier)."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://H"),  # mixed case: host must lowercase
+            (d % 7).cast("string"),
+            F.lit(".test/p/"),
+            d.cast("string"),
+        ).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 500), ("h1.test", 1000), ("h2.test", 1500)],
+        "host string, delay_ms long",
+    )
+    return (
+        schedule_frontier(urls, delays, default_delay_ms=2000)
+        .select(
+            "doc_id", "host", "shard", "fetch_seq", "fetch_after_ms"
+        )
+        .orderBy("doc_id")
+    )
+
+
 def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware WET extraction value-checked byte-exact on real
     crawl shapes: per document an HTTP response wrapped in a binary
@@ -8532,6 +8567,31 @@ def oracles() -> dict[str, str]:
                    END AS lastmod
             FROM e ORDER BY doc_id, entry_pos
         """,
+        # host extraction + portable md5-60 shard + row_number FIFO +
+        # broadcast delay join, all replayed in SQL
+        "web_frontier_politeness": f"""
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host,
+                     'http://H' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, host,
+                     CAST({D.md5_60_sql("host")} % 64 AS INTEGER) AS shard,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY url
+                     ) AS BIGINT) AS fetch_seq,
+                     CASE doc_id % 7 WHEN 0 THEN 500 WHEN 1 THEN 1000
+                                     WHEN 2 THEN 1500 ELSE 2000
+                     END AS delay
+              FROM u
+            )
+            SELECT doc_id, host, shard, fetch_seq,
+                   CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
+            FROM s ORDER BY doc_id
+        """,
         # four charset classes (header utf-8 / header cp1252 / BOM-only
         # utf-16-le / meta-only latin-1): canonical charset name and the
         # exact non-ASCII text rebuilt per id — a wrong decode cannot
@@ -9609,6 +9669,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_sitemap_index": web_sitemap_index,
         "web_frontier_compose": web_frontier_compose,
         "web_wet_charset": web_wet_charset,
+        "web_frontier_politeness": web_frontier_politeness,
         # -- r9 head: carried high until the r10 head is final --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,

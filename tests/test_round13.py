@@ -315,6 +315,38 @@ def test_robots_directives():
     ]
 
 
+def test_schedule_frontier_politeness(spark):
+    from adtl_spark.operators.text import schedule_frontier
+
+    urls = spark.createDataFrame(
+        [
+            ("http://A.test/2",),
+            ("http://a.test/1",),
+            ("https://b.test:8080/x",),
+            ("not a url",),
+        ],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("a.test", 100)], "host string, delay_ms long"
+    )
+    rows = {r["url"]: r for r in schedule_frontier(urls, delays).collect()}
+    # case-insensitive host grouping: one queue, delay from the table
+    assert rows["http://a.test/1"]["host"] == "a.test"
+    assert rows["http://A.test/2"]["host"] == "a.test"
+    assert rows["http://a.test/1"]["fetch_seq"] == 2  # 'A' sorts before 'a'
+    assert rows["http://A.test/2"]["fetch_after_ms"] == 0
+    assert rows["http://a.test/1"]["fetch_after_ms"] == 100
+    assert (
+        rows["http://a.test/1"]["shard"] == rows["http://A.test/2"]["shard"]
+    )
+    # port kept in the host key; unknown host -> default delay
+    assert rows["https://b.test:8080/x"]["host"] == "b.test:8080"
+    assert rows["https://b.test:8080/x"]["fetch_after_ms"] == 0
+    # non-URL rows: NULL host, still scheduled (documented)
+    assert rows["not a url"]["host"] is None
+
+
 def test_xml_unescape_order(spark):
     from adtl_spark.operators.text import xml_unescape
 
