@@ -9607,53 +9607,32 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the twenty-four gates new this round: the
-       FLAC lossless round trip (``multimodal_flac_roundtrip`` — the
-       oracle replays the decoded samples themselves), the MPEG-audio
-       header probe (``multimodal_mp3_probe``), the CommonCrawl
-       record-per-member ``.warc.gz`` round trip
-       (``web_warc_gz_roundtrip``) and its CDX-style random-access
-       fetch (``web_warc_gz_fetch``), PDF text extraction
-       (``doc_pdf_extract``), the preference/label-QC family
-       (``pref_bradley_terry`` — both MM rounds replayed in SQL,
-       ``pref_rater_kappa``, ``pref_fleiss_kappa``), interpolated
-       Kneser-Ney bigram scoring (``corpus_kn_bigram``), unigram-LM
-       tokenization (``tokenizer_unigram_segment``, rows-only),
-       Krippendorff's alpha with missing ratings
-       (``pref_krippendorff``), ID3v2 metadata extraction
-       (``multimodal_id3_tags``), sample-exact peak normalization
-       through the FLAC decode path (``multimodal_audio_normalize``),
-       RFC 9309 robots.txt compliance filtering
-       (``web_robots_filter``), the pixel-exact flip+crop augmentation
-       chain (``multimodal_image_augment``), the compression-ratio
-       quality signal (``quality_compression_ratio``), sitemap.xml
-       ingestion (``web_sitemap_parse``), the
-       G.711 µ-law/A-law
-       round trip (``multimodal_g711_roundtrip``), the measured
-       dHash-banding recall (``multimodal_dhash_recall``),
-       MJPEG-in-AVI frame sampling (``multimodal_video_frames_avi``),
-       the AVI-soundtrack demux + VAD combo
-       (``multimodal_avi_soundtrack_vad``), the integer box-filter
-       resize chain (``multimodal_image_resize_box``), box-decimated
-       audio rate normalization (``multimodal_audio_resample``), and
-       leakage-safe cluster splitting (``sample_split_leakage_safe``).
-    2. The remaining 26 slots refresh the LEAST-recently driver-verified
-       entries: the rounds-1-4 remainder from ``a2_last_not_null``
-       through ``dedup_semantic`` (the 50-slot cap falls there; driver
-       rows dating to rounds 1-4, all re-verified green at HEAD by
-       every full check_oracle sweep since — committed as
-       CORRECTNESS_LOCAL_r09.json this round).
+    1. The window head holds the FOUR gates new this round — mixed
+       urlset/sitemapindex ingestion with XML entity decoding
+       (``web_sitemap_index``), the composed robots -> sitemap ->
+       filter -> crawl-delay schedule chain (``web_frontier_compose``),
+       charset-aware WET extraction over binary WARC archives
+       (``web_wet_charset``), and per-host politeness scheduling
+       (``web_frontier_politeness``).
+    2. The remaining 46 slots are the refresh queue's continuation
+       exactly as documented last round: the rounds-1-4 remainder from
+       ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
+       (38 entries, driver rows dating to rounds 1-4, all re-verified
+       green at HEAD by every full check_oracle sweep since) plus the
+       first eight round-6-verified entries (``ann_pq_trained_topk``
+       through ``emb_kmeans`` — the 50-slot cap falls there).
     3. The tail holds, in refresh-queue order: the rest of the
-       rounds-1-4 remainder (``corpus_decontaminate_bloom`` through
-       ``w16_gapfill_linear``), the round-6-verified block, the
-       round-7-verified block, and — freshest rows last — the 50
-       queries the round-8 driver gate verified (CORRECTNESS_r08:
-       50/50 green).
+       round-6-verified block (``emb_kmeans_centroids`` through
+       ``corpus_zipf``), the round-7-verified block, the
+       round-8-verified block, and — freshest rows last — the two
+       blocks the round-9 driver gate verified (CORRECTNESS_r09: 48/50
+       exact + 2 rows-only): the rounds-1-4 rows ``a2_last_not_null``
+       through ``dedup_semantic``, then the round-9 head block.
 
-    Next-round rotation queue: the rounds-1-4 remainder from
-    ``corpus_decontaminate_bloom`` onward, then the round-6 block; the
-    round-7 and round-8 blocks stay last as the freshest rows.
-    Lifetime invariant: every registry query except the two documented
+    Next-round rotation queue: the round-6 remainder from
+    ``emb_kmeans_centroids`` onward, then the round-7 block; the
+    round-8 and round-9 blocks stay last as the freshest rows.
+    Lifetime invariant: every registry query except the three documented
     ROWS_ONLY entries has an exact driver-green row in some
     CORRECTNESS_r*.json, and the full-registry sweep at HEAD is
     committed per round as CORRECTNESS_LOCAL_r*.json (enforced by
@@ -9670,58 +9649,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_compose": web_frontier_compose,
         "web_wet_charset": web_wet_charset,
         "web_frontier_politeness": web_frontier_politeness,
-        # -- r9 head: carried high until the r10 head is final --
-        "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
-        "multimodal_mp3_probe": multimodal_mp3_probe,
-        "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
-        "doc_pdf_extract": doc_pdf_extract,
-        "pref_bradley_terry": pref_bradley_terry,
-        "pref_rater_kappa": pref_rater_kappa,
-        "pref_fleiss_kappa": pref_fleiss_kappa,
-        "corpus_kn_bigram": corpus_kn_bigram,
-        "web_warc_gz_fetch": web_warc_gz_fetch,
-        "tokenizer_unigram_segment": tokenizer_unigram_segment,
-        "pref_krippendorff": pref_krippendorff,
-        "multimodal_id3_tags": multimodal_id3_tags,
-        "multimodal_audio_normalize": multimodal_audio_normalize,
-        "web_robots_filter": web_robots_filter,
-        "multimodal_image_augment": multimodal_image_augment,
-        "quality_compression_ratio": quality_compression_ratio,
-        "web_sitemap_parse": web_sitemap_parse,
-        "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
-        "multimodal_dhash_recall": multimodal_dhash_recall,
-        "multimodal_video_frames_avi": multimodal_video_frames_avi,
-        "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
-        "multimodal_image_resize_box": multimodal_image_resize_box,
-        "multimodal_audio_resample": multimodal_audio_resample,
-        "sample_split_leakage_safe": sample_split_leakage_safe,
-        # -- rounds-1-4 rows refreshing this window (least-recently driver-verified; the window cap falls inside this block) --
-        "a2_last_not_null": a2_last_not_null,
-        "a3_combined_fold": a3_combined_fold,
-        "r1_one_to_many": r1_one_to_many,
-        "v2_validation_report": v2_validation_report,
-        "p3_value_map": p3_value_map,
-        "p6_enum_list": p6_enum_list,
-        "p8_unit_convert": p8_unit_convert,
-        "p9_date_reformat": p9_date_reformat,
-        "p10_sensitive_hash": p10_sensitive_hash,
-        "t3_word_substitute": t3_word_substitute,
-        "t4_get_float": t4_get_float,
-        "t7_duration_days": t7_duration_days,
-        "t10_make_date": t10_make_date,
-        "p14_uuid5": p14_uuid5,
-        "corpus_budget_by_source": corpus_budget_by_source,
-        "pipeline_corpus_assemble": pipeline_corpus_assemble,
-        "corpus_pack_texts": corpus_pack_texts,
-        "q5_local_supplier_volume": q5_local_supplier_volume,
-        "q18_large_volume_customer": q18_large_volume_customer,
-        "privacy_k_anonymity": privacy_k_anonymity,
-        "sample_mixture": sample_mixture,
-        "corpus_budget_select": corpus_budget_select,
-        "corpus_shuffle": corpus_shuffle,
-        "w7_asof_forward": w7_asof_forward,
-        "w8_asof_nearest": w8_asof_nearest,
-        "dedup_semantic": dedup_semantic,
+        # -- rounds-1-4 remainder refreshing this window (the refresh
+        # queue's continuation, least-recently driver-verified) --
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
         "text_ngram_topk": text_ngram_topk,
         "emb_gram_matrix": emb_gram_matrix,
@@ -9760,7 +9689,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w14_rank_functions": w14_rank_functions,
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
-        # -- round-6-verified block --
+        # -- round-6-verified block (the 50-slot window cap falls after
+        # emb_kmeans: 4 new + 38 rounds-1-4 + these 8) --
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
@@ -9769,6 +9699,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
+        # ---- past the driver window from here on ----
         "emb_kmeans_centroids": emb_kmeans_centroids,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -9913,4 +9844,56 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "f_predicates": f_predicates,
+        # -- round-9-verified rounds-1-4 rows: freshest, rotated last --
+        "a2_last_not_null": a2_last_not_null,
+        "a3_combined_fold": a3_combined_fold,
+        "r1_one_to_many": r1_one_to_many,
+        "v2_validation_report": v2_validation_report,
+        "p3_value_map": p3_value_map,
+        "p6_enum_list": p6_enum_list,
+        "p8_unit_convert": p8_unit_convert,
+        "p9_date_reformat": p9_date_reformat,
+        "p10_sensitive_hash": p10_sensitive_hash,
+        "t3_word_substitute": t3_word_substitute,
+        "t4_get_float": t4_get_float,
+        "t7_duration_days": t7_duration_days,
+        "t10_make_date": t10_make_date,
+        "p14_uuid5": p14_uuid5,
+        "corpus_budget_by_source": corpus_budget_by_source,
+        "pipeline_corpus_assemble": pipeline_corpus_assemble,
+        "corpus_pack_texts": corpus_pack_texts,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q18_large_volume_customer": q18_large_volume_customer,
+        "privacy_k_anonymity": privacy_k_anonymity,
+        "sample_mixture": sample_mixture,
+        "corpus_budget_select": corpus_budget_select,
+        "corpus_shuffle": corpus_shuffle,
+        "w7_asof_forward": w7_asof_forward,
+        "w8_asof_nearest": w8_asof_nearest,
+        "dedup_semantic": dedup_semantic,
+        # -- round-9 head block: freshest driver rows of all --
+        "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
+        "multimodal_mp3_probe": multimodal_mp3_probe,
+        "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
+        "doc_pdf_extract": doc_pdf_extract,
+        "pref_bradley_terry": pref_bradley_terry,
+        "pref_rater_kappa": pref_rater_kappa,
+        "pref_fleiss_kappa": pref_fleiss_kappa,
+        "corpus_kn_bigram": corpus_kn_bigram,
+        "web_warc_gz_fetch": web_warc_gz_fetch,
+        "tokenizer_unigram_segment": tokenizer_unigram_segment,
+        "pref_krippendorff": pref_krippendorff,
+        "multimodal_id3_tags": multimodal_id3_tags,
+        "multimodal_audio_normalize": multimodal_audio_normalize,
+        "web_robots_filter": web_robots_filter,
+        "multimodal_image_augment": multimodal_image_augment,
+        "quality_compression_ratio": quality_compression_ratio,
+        "web_sitemap_parse": web_sitemap_parse,
+        "multimodal_g711_roundtrip": multimodal_g711_roundtrip,
+        "multimodal_dhash_recall": multimodal_dhash_recall,
+        "multimodal_video_frames_avi": multimodal_video_frames_avi,
+        "multimodal_avi_soundtrack_vad": multimodal_avi_soundtrack_vad,
+        "multimodal_image_resize_box": multimodal_image_resize_box,
+        "multimodal_audio_resample": multimodal_audio_resample,
+        "sample_split_leakage_safe": sample_split_leakage_safe,
     }

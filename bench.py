@@ -77,6 +77,14 @@ compliance filtering, the flip+crop augmentation chain, the
 compression-ratio quality signal, sitemap ingestion); prefix order
 unchanged, so per-query times compare directly to earlier runs.
 
+Round-13 changes: appends the crawl-frontier block (mixed
+urlset/sitemapindex ingestion, the composed robots -> sitemap ->
+filter -> schedule chain, charset-aware WET extraction over binary
+WARC archives, per-host politeness scheduling); prefix order
+unchanged.  Output now ends with a compact summary line (the full
+per-query dict exceeds tail-capture windows at 242 queries) and
+optionally writes the full record to $SPARK_GRAFT_BENCH_OUT.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -365,6 +373,10 @@ HEADLINE = [
     "multimodal_image_augment",
     "quality_compression_ratio",
     "web_sitemap_parse",
+    "web_sitemap_index",
+    "web_frontier_compose",
+    "web_wet_charset",
+    "web_frontier_politeness",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -402,6 +414,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_audio_normalize",
     "multimodal_image_augment",
     "quality_compression_ratio",
+    "web_wet_charset",
 ]
 
 

@@ -354,56 +354,41 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-9 window: the twenty-four gates new this round hold the
-    # head (never driver-verified); the remaining 26 slots refresh the
-    # least-recently-verified rounds-1-4 remainder (a2_last_not_null
-    # onward).  The round-8-verified block rotated to the registry
-    # tail (freshest rows last), behind round-7.
+    # the round-10 window: the four gates new this round hold the head
+    # (never driver-verified); the remaining 46 slots are the refresh
+    # queue's continuation — the rounds-1-4 remainder from
+    # corpus_decontaminate_bloom through w16_gapfill_linear, then the
+    # first eight round-6-verified entries (the cap falls after
+    # emb_kmeans).  The round-9-verified blocks rotated to the very
+    # tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:24] == [
-        "multimodal_flac_roundtrip",
-        "multimodal_mp3_probe",
-        "web_warc_gz_roundtrip",
-        "doc_pdf_extract",
-        "pref_bradley_terry",
-        "pref_rater_kappa",
-        "pref_fleiss_kappa",
-        "corpus_kn_bigram",
-        "web_warc_gz_fetch",
-        "tokenizer_unigram_segment",
-        "pref_krippendorff",
-        "multimodal_id3_tags",
-        "multimodal_audio_normalize",
-        "web_robots_filter",
-        "multimodal_image_augment",
-        "quality_compression_ratio",
-        "web_sitemap_parse",
-        "multimodal_g711_roundtrip",
-        "multimodal_dhash_recall",
-        "multimodal_video_frames_avi",
-        "multimodal_avi_soundtrack_vad",
-        "multimodal_image_resize_box",
-        "multimodal_audio_resample",
-        "sample_split_leakage_safe",
+    assert gate[:4] == [
+        "web_sitemap_index",
+        "web_frontier_compose",
+        "web_wet_charset",
+        "web_frontier_politeness",
     ], "window head must hold the new-this-round gates"
+    assert gate[4] == "corpus_decontaminate_bloom"
+    assert gate[49] == "emb_kmeans"
     for name in (
-        # the rounds-1-4 refresh block now in the window
-        "a2_last_not_null",
-        "a3_combined_fold",
-        "r1_one_to_many",
-        "v2_validation_report",
-        "p14_uuid5",
-        "corpus_budget_select",
-        "w7_asof_forward",
-        "dedup_semantic",
-        "q5_local_supplier_volume",
-        "w8_asof_nearest",
+        # the rounds-1-4/round-6 refresh block now in the window
+        "w16_gapfill_linear",
+        "ann_pq_trained_topk",
+        "olap_cube",
+        "q2_best_supplier",
+        "graph_triangles",
+        "stream_trending_finalize",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
-    # the round-8-verified block must be at the very tail, not burning
-    # window slots (their CORRECTNESS_r08 rows are the freshest)
-    tail = list(qs)[-50:]
-    for name in ("graph_entity_resolution", "multimodal_dhash_pairs", "f_predicates"):
+    # the round-9-verified blocks must be at the very tail, not burning
+    # window slots (their CORRECTNESS_r09 rows are the freshest)
+    tail = list(qs)[-51:]
+    for name in (
+        "a2_last_not_null",
+        "dedup_semantic",
+        "multimodal_flac_roundtrip",
+        "sample_split_leakage_safe",
+    ):
         assert name in tail, f"{name} should have rotated to the tail"
 
 
