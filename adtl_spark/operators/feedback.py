@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bradley_terry",
+    "winrate_wilson",
     "pairwise_kappa",
     "fleiss_kappa",
     "krippendorff_alpha",
@@ -116,6 +117,59 @@ def bradley_terry(
             F.coalesce(F.col("wins"), F.lit(0)).alias("wins"),
             F.col("games"),
         )
+    )
+
+
+def winrate_wilson(
+    pairs: DataFrame,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-item win rates with the Wilson score interval lower bound —
+    the ranking-safe statistic when items have unequal match counts: a
+    2-0 newcomer must not outrank a 70-30 veteran, and sorting by the
+    raw rate does exactly that.  Per item over the pairwise-preference
+    log: ``(item, games, wins, winrate, wilson_lo)`` with
+
+        wilson_lo = (p + z^2/2n - z*sqrt(p(1-p)/n + z^2/4n^2))
+                    / (1 + z^2/n)
+
+    (Wilson 1927; the standard ranking lower bound at confidence z,
+    default 1.96 = 95%).  Items that only ever appear as losers get
+    p = 0 and a zero lower bound — present, not dropped.
+
+    Distributed shape: the log explodes to (item, win) rows and
+    collapses in ONE aggregation — the only corpus-sized shuffle; the
+    output is item-grained.  The interval arithmetic is plain double
+    math over the two counts (sqrt and divide are correctly rounded
+    IEEE operations), so a SQL twin replaying the same expression shape
+    reproduces it bit-for-bit."""
+    w = pairs.select(F.col(winner_col).alias("item"), F.lit(1).alias("win"))
+    lo = pairs.select(F.col(loser_col).alias("item"), F.lit(0).alias("win"))
+    per = (
+        w.unionByName(lo)
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("games"),
+            F.sum("win").cast("long").alias("wins"),
+        )
+    )
+    z = float(z)
+    z2 = z * z
+    n = F.col("games").cast("double")
+    p = F.col("wins").cast("double") / n
+    center = p + F.lit(z2) / (F.lit(2.0) * n)
+    radius = F.lit(z) * F.sqrt(
+        p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * n * n)
+    )
+    denom = F.lit(1.0) + F.lit(z2) / n
+    return per.select(
+        "item",
+        "games",
+        "wins",
+        p.alias("winrate"),
+        ((center - radius) / denom).alias("wilson_lo"),
     )
 
 

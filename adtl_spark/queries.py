@@ -3884,6 +3884,43 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item")
 
 
+def pref_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson-lower-bound win rates over the same pairwise comparison
+    log as the Bradley-Terry gate (20 items, higher index wins 3 of 4):
+    per item the game/win counts, the raw rate and the 95% Wilson score
+    lower bound — the ranking statistic that cannot promote a
+    small-sample item.  The oracle replays the count aggregation and
+    the interval expression in the identical shape (sqrt and divide are
+    correctly rounded IEEE doubles, so 6-decimal quantization is exact)
+    (operators/feedback.py:winrate_wilson, Wilson 1927)."""
+    from adtl_spark.operators.feedback import winrate_wilson
+    from adtl_spark.operators.monitor import _q6
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    a = (F.col("event_id") % 20).alias("a")
+    b = ((F.col("event_id") / 20).cast("long") % 20).alias("b")
+    pairs = (
+        ev.select("event_id", a, b)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.when(F.col("event_id") % 4 != 0, F.greatest("a", "b"))
+            .otherwise(F.least("a", "b"))
+            .alias("winner"),
+            F.when(F.col("event_id") % 4 != 0, F.least("a", "b"))
+            .otherwise(F.greatest("a", "b"))
+            .alias("loser"),
+        )
+    )
+    out = winrate_wilson(pairs)
+    return out.select(
+        "item",
+        "games",
+        "wins",
+        _q6(F.col("winrate")).alias("winrate_q6"),
+        _q6(F.col("wilson_lo")).alias("wilson_lo_q6"),
+    ).orderBy("item")
+
+
 def pref_rater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-annotator agreement: each event contributes one label
     ((item, rater) unique by id arithmetic: item = event_id // 5, rater
@@ -8294,6 +8331,49 @@ def oracles() -> dict[str, str]:
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
         # both MM rounds replayed in CTE algebra, 6-decimal parity
+        # same match log as Bradley-Terry; the Wilson expression is
+        # replayed in the identical IEEE-double shape
+        "pref_winrate_wilson": f"""
+            WITH p AS (
+              SELECT event_id,
+                     event_id % 20 AS a,
+                     (event_id // 20) % 20 AS b
+              FROM events
+              WHERE event_id % 20 <> (event_id // 20) % 20
+            ),
+            pw AS (
+              SELECT CASE WHEN event_id % 4 <> 0 THEN greatest(a, b)
+                          ELSE least(a, b) END AS w,
+                     CASE WHEN event_id % 4 <> 0 THEN least(a, b)
+                          ELSE greatest(a, b) END AS l
+              FROM p
+            ),
+            e AS (
+              SELECT w AS item, 1 AS win FROM pw
+              UNION ALL SELECT l AS item, 0 AS win FROM pw
+            ),
+            per AS (
+              SELECT item,
+                     CAST(count(*) AS BIGINT) AS games,
+                     CAST(sum(win) AS BIGINT) AS wins
+              FROM e GROUP BY 1
+            ),
+            x AS (
+              SELECT item, games, wins,
+                     CAST(games AS DOUBLE) AS n,
+                     CAST(wins AS DOUBLE) / CAST(games AS DOUBLE) AS pr
+              FROM per
+            )
+            SELECT item, games, wins,
+                   CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS winrate_q6,
+                   CAST(floor(
+                     ((pr + {1.96 * 1.96!r} / (2.0 * n)
+                       - 1.96 * sqrt(pr * (1.0 - pr) / n
+                                     + {1.96 * 1.96!r} / (4.0 * n * n)))
+                      / (1.0 + {1.96 * 1.96!r} / n)) * 1000000 + 0.5
+                   ) AS BIGINT) AS wilson_lo_q6
+            FROM x ORDER BY item
+        """,
         "pref_bradley_terry": """
             WITH p AS (
               SELECT event_id,
@@ -9607,20 +9687,21 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the FOUR gates new this round — mixed
+    1. The window head holds the FIVE gates new this round — mixed
        urlset/sitemapindex ingestion with XML entity decoding
        (``web_sitemap_index``), the composed robots -> sitemap ->
        filter -> crawl-delay schedule chain (``web_frontier_compose``),
        charset-aware WET extraction over binary WARC archives
-       (``web_wet_charset``), and per-host politeness scheduling
-       (``web_frontier_politeness``).
-    2. The remaining 46 slots are the refresh queue's continuation
+       (``web_wet_charset``), per-host politeness scheduling
+       (``web_frontier_politeness``), and Wilson-lower-bound win rates
+       for the preference family (``pref_winrate_wilson``).
+    2. The remaining 45 slots are the refresh queue's continuation
        exactly as documented last round: the rounds-1-4 remainder from
        ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
        (38 entries, driver rows dating to rounds 1-4, all re-verified
        green at HEAD by every full check_oracle sweep since) plus the
-       first eight round-6-verified entries (``ann_pq_trained_topk``
-       through ``emb_kmeans`` — the 50-slot cap falls there).
+       first seven round-6-verified entries (``ann_pq_trained_topk``
+       through ``emb_label_centroids`` — the 50-slot cap falls there).
     3. The tail holds, in refresh-queue order: the rest of the
        round-6-verified block (``emb_kmeans_centroids`` through
        ``corpus_zipf``), the round-7-verified block, the
@@ -9649,6 +9730,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_compose": web_frontier_compose,
         "web_wet_charset": web_wet_charset,
         "web_frontier_politeness": web_frontier_politeness,
+        "pref_winrate_wilson": pref_winrate_wilson,
         # -- rounds-1-4 remainder refreshing this window (the refresh
         # queue's continuation, least-recently driver-verified) --
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
@@ -9690,7 +9772,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
         # -- round-6-verified block (the 50-slot window cap falls after
-        # emb_kmeans: 4 new + 38 rounds-1-4 + these 8) --
+        # emb_label_centroids: 5 new + 38 rounds-1-4 + seven of these) --
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
@@ -9698,8 +9780,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,
-        "emb_kmeans": emb_kmeans,
         # ---- past the driver window from here on ----
+        "emb_kmeans": emb_kmeans,
         "emb_kmeans_centroids": emb_kmeans_centroids,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,

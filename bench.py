@@ -377,6 +377,10 @@ HEADLINE = [
     "web_frontier_compose",
     "web_wet_charset",
     "web_frontier_politeness",
+    "pref_winrate_wilson",
+    # added late: omitted from the r12 block by mistake, so run36 and
+    # earlier lack a row for it (README promises full registry coverage)
+    "pref_krippendorff",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

@@ -354,22 +354,23 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-10 window: the four gates new this round hold the head
-    # (never driver-verified); the remaining 46 slots are the refresh
+    # the round-10 window: the five gates new this round hold the head
+    # (never driver-verified); the remaining 45 slots are the refresh
     # queue's continuation — the rounds-1-4 remainder from
     # corpus_decontaminate_bloom through w16_gapfill_linear, then the
-    # first eight round-6-verified entries (the cap falls after
-    # emb_kmeans).  The round-9-verified blocks rotated to the very
-    # tail (freshest rows last), behind round-7 and round-8.
+    # first seven round-6-verified entries (the cap falls after
+    # emb_label_centroids).  The round-9-verified blocks rotated to the
+    # very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:4] == [
+    assert gate[:5] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
         "web_frontier_politeness",
+        "pref_winrate_wilson",
     ], "window head must hold the new-this-round gates"
-    assert gate[4] == "corpus_decontaminate_bloom"
-    assert gate[49] == "emb_kmeans"
+    assert gate[5] == "corpus_decontaminate_bloom"
+    assert gate[49] == "emb_label_centroids"
     for name in (
         # the rounds-1-4/round-6 refresh block now in the window
         "w16_gapfill_linear",

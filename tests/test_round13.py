@@ -73,6 +73,41 @@ def test_codec_registry_injects_through_operators(spark):
 
 
 # ---------------------------------------------------------------------------
+# Preference family: Wilson-lower-bound win rates
+
+
+def test_winrate_wilson_ranking_safety(spark):
+    """The property the operator exists for: a 2-0 small-sample item
+    must NOT outrank a 28-7 veteran by the Wilson lower bound, even
+    though its raw win rate is higher; loss-only items appear with a
+    zero bound; the bound matches the closed form."""
+    import math
+
+    from adtl_spark.operators.feedback import winrate_wilson
+
+    pairs = spark.createDataFrame(
+        [(1, 99)] * 2 + [(2, 98)] * 28 + [(98, 2)] * 7,
+        "winner long, loser long",
+    )
+    rows = {r["item"]: r for r in winrate_wilson(pairs).collect()}
+    assert rows[1]["games"] == 2 and rows[1]["wins"] == 2
+    assert rows[1]["winrate"] == 1.0
+    assert rows[2]["winrate"] == 28 / 35
+    # ranking safety: veteran's lower bound beats the 2-0 newcomer's
+    assert rows[2]["wilson_lo"] > rows[1]["wilson_lo"]
+    # loss-only items present with p=0 and a zero lower bound
+    assert rows[99]["games"] == 2 and rows[99]["wins"] == 0
+    assert rows[99]["wilson_lo"] == 0.0
+    # closed form at z=1.96
+    z, n, p = 1.96, 35.0, 28 / 35
+    want = (
+        p + z * z / (2 * n)
+        - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    ) / (1 + z * z / n)
+    assert abs(rows[2]["wilson_lo"] - want) < 1e-12
+
+
+# ---------------------------------------------------------------------------
 # Crash-safe (staged-commit) index compaction
 
 

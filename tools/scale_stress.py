@@ -228,6 +228,11 @@ QUERIES = [
     "multimodal_image_augment",
     "quality_compression_ratio",
     "web_sitemap_parse",
+    "web_sitemap_index",
+    "web_frontier_compose",
+    "web_wet_charset",
+    "web_frontier_politeness",
+    "pref_winrate_wilson",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
