@@ -2061,6 +2061,103 @@ def apply_robots(
     )
 
 
+# Unicode scripts profiled, in priority order (ties in dominant-script
+# selection break toward the earlier entry): (key, Java regex script
+# name, RE2/DuckDB script name — the twin names differ only by the
+# 'Is' prefix).
+_SCRIPT_CLASSES = (
+    ("latin", "IsLatin"),
+    ("cyrillic", "IsCyrillic"),
+    ("han", "IsHan"),
+    ("arabic", "IsArabic"),
+    ("greek", "IsGreek"),
+)
+
+
+def script_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script histogram per document — the language-ID adjunct
+    that catches what n-gram langid cannot: mixed-script spam, wrong-
+    charset mojibake (cp1252-as-utf-8 turns Latin text into stray
+    Cyrillic/Greek codepoints), and CJK content inside a nominally
+    Latin corpus.  Per document: ``n_chars`` (codepoints), one
+    ``n_<script>`` count per profiled script (Latin, Cyrillic, Han,
+    Arabic, Greek), and ``dominant`` — the script with the highest
+    count, ties broken by the fixed profile order, ``'none'`` when no
+    profiled script occurs.
+
+    Entirely native Columns: each count is one regexp_replace (strip
+    the complement class) + length, so the whole profile is a narrow
+    whole-stage-codegen chain with no shuffle at all; Java's
+    ``\\p{IsX}`` and RE2's ``\\p{X}`` agree on script membership, so a
+    DuckDB twin replays every count."""
+    counts = {
+        k: F.length(
+            F.regexp_replace(F.col(text_col), f"[^\\p{{{java}}}]", "")
+        ).cast("long")
+        for k, java in _SCRIPT_CLASSES
+    }
+    best = F.greatest(*counts.values())
+    dominant = F.lit("none")
+    for k, _ in reversed(_SCRIPT_CLASSES):
+        # walked in reverse so earlier scripts overwrite on ties
+        dominant = F.when(
+            (counts[k] == best) & (best > 0), F.lit(k)
+        ).otherwise(dominant)
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        *[counts[k].alias(f"n_{k}") for k, _ in _SCRIPT_CLASSES],
+        dominant.alias("dominant"),
+    )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (default NFC) — the dedup-critical text
+    prep step: composed ``é`` (U+00E9) and decomposed ``e`` + U+0301
+    are different strings to every hash/shingle/groupBy in the pipeline
+    and the SAME string after normalization, so corpora assembled from
+    mixed sources (macOS filenames and HTML forms ship decomposed)
+    must normalize before any dedup key is computed.  Emits the id,
+    ``text_nfc`` and the before/after codepoint counts (a cheap
+    how-much-changed signal).  Arrow ``mapInPandas`` over stdlib
+    ``unicodedata`` — Spark has no native normalizer; per-row work is
+    one C-implemented call, so it distributes like the codec
+    operators.  NFC's oracle twin is DuckDB's ``nfc_normalize``; other
+    forms (NFD/NFKC/NFKD) run the same path but have no SQL twin."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                out = unicodedata.normalize(form, t)
+                rows.append((int(did), out, len(t), len(out)))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "text_nfc", "n_chars_before", "n_chars_after"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            f"{id_col} long, text_nfc string, "
+            "n_chars_before long, n_chars_after long"
+        ),
+    )
+
+
 def compression_signal(
     df: DataFrame,
     text_col: str = "text",

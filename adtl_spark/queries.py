@@ -3884,6 +3884,52 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("item")
 
 
+def text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script histogram value-checked count for count: per
+    document a mixed-script text is constructed from id arithmetic —
+    Latin runs (absent every 7th doc, so 'none' occurs), Cyrillic every
+    other doc, Han every 5th, Greek every 4th (sized to TIE with Latin,
+    pinning the fixed-order tie-break), plus non-script digits/spaces —
+    and script_profile counts each class with one native
+    regexp_replace+length per script.  The oracle rebuilds every count
+    and the dominant-script CASE chain from the same arithmetic, so the
+    Java-regex script classes must match RE2's exactly
+    (operators/text.py: script_profile)."""
+    from adtl_spark.operators.text import script_profile
+
+    d = F.col("doc_id")
+    lat = F.when(d % 7 == 0, F.lit("")).otherwise(
+        F.repeat(F.lit("ab"), (1 + d % 3).cast("int"))
+    )
+    cyr = F.repeat(F.lit("де"), (d % 2).cast("int"))
+    han = F.when(d % 5 == 0, F.lit("漢字漢")).otherwise(F.lit(""))
+    grk = F.when(d % 4 == 1, F.lit("ωμγα")).otherwise(F.lit(""))
+    text = F.concat(lat, F.lit(" 12"), cyr, han, grk, F.lit("; "))
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return script_profile(docs).orderBy("doc_id")
+
+
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization value-checked byte-exact: per document
+    a DECOMPOSED string is constructed (``e`` + combining acute U+0301,
+    repeated per id arithmetic, plus an ASCII tail), normalized through
+    the Arrow unicodedata path, and compared against DuckDB's
+    ``nfc_normalize`` on the identically-constructed string — composed
+    output, and the codepoint counts before/after, must all match (the
+    count drops by exactly the number of combining marks composed)
+    (operators/text.py: normalize_unicode)."""
+    from adtl_spark.operators.text import normalize_unicode
+
+    d = F.col("doc_id")
+    text = F.concat(
+        F.repeat(F.lit("e\u0301"), (1 + d % 4).cast("int")),
+        F.lit("x"),
+        d.cast("string"),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return normalize_unicode(docs).orderBy("doc_id")
+
+
 def pref_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson-lower-bound win rates over the same pairwise comparison
     log as the Bradley-Terry gate (20 items, higher index wins 3 of 4):
@@ -8331,6 +8377,50 @@ def oracles() -> dict[str, str]:
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
         # both MM rounds replayed in CTE algebra, 6-decimal parity
+        # every script count and the dominant CASE chain rebuilt from
+        # the same id arithmetic the fixture text was built from — a
+        # Java-vs-RE2 script-class disagreement cannot hash-match
+        "text_script_profile": """
+            WITH c AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN 0
+                          ELSE 2 * (1 + doc_id % 3) END AS l,
+                     2 * (doc_id % 2) AS c,
+                     CASE WHEN doc_id % 5 = 0 THEN 3 ELSE 0 END AS h,
+                     0 AS a,
+                     CASE WHEN doc_id % 4 = 1 THEN 4 ELSE 0 END AS g
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(l + c + h + g + 5 AS BIGINT) AS n_chars,
+                   CAST(l AS BIGINT) AS n_latin,
+                   CAST(c AS BIGINT) AS n_cyrillic,
+                   CAST(h AS BIGINT) AS n_han,
+                   CAST(a AS BIGINT) AS n_arabic,
+                   CAST(g AS BIGINT) AS n_greek,
+                   CASE WHEN greatest(l, c, h, a, g) = 0 THEN 'none'
+                        WHEN l = greatest(l, c, h, a, g) THEN 'latin'
+                        WHEN c = greatest(l, c, h, a, g) THEN 'cyrillic'
+                        WHEN h = greatest(l, c, h, a, g) THEN 'han'
+                        WHEN a = greatest(l, c, h, a, g) THEN 'arabic'
+                        ELSE 'greek' END AS dominant
+            FROM c ORDER BY doc_id
+        """,
+        # the identically-constructed DECOMPOSED string through DuckDB's
+        # nfc_normalize; composed text and both codepoint counts exact
+        "text_nfc_normalize": """
+            WITH t AS (
+              SELECT doc_id,
+                     repeat('e' || chr(769), CAST(1 + doc_id % 4 AS INTEGER))
+                       || 'x' || CAST(doc_id AS VARCHAR) AS raw
+              FROM documents
+            )
+            SELECT doc_id,
+                   nfc_normalize(raw) AS text_nfc,
+                   CAST(length(raw) AS BIGINT) AS n_chars_before,
+                   CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_chars_after
+            FROM t ORDER BY doc_id
+        """,
         # same match log as Bradley-Terry; the Wilson expression is
         # replayed in the identical IEEE-double shape
         "pref_winrate_wilson": f"""
@@ -9687,21 +9777,24 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the FIVE gates new this round — mixed
+    1. The window head holds the SEVEN gates new this round — mixed
        urlset/sitemapindex ingestion with XML entity decoding
        (``web_sitemap_index``), the composed robots -> sitemap ->
        filter -> crawl-delay schedule chain (``web_frontier_compose``),
        charset-aware WET extraction over binary WARC archives
        (``web_wet_charset``), per-host politeness scheduling
-       (``web_frontier_politeness``), and Wilson-lower-bound win rates
-       for the preference family (``pref_winrate_wilson``).
-    2. The remaining 45 slots are the refresh queue's continuation
+       (``web_frontier_politeness``), Wilson-lower-bound win rates for
+       the preference family (``pref_winrate_wilson``), the Unicode
+       script histogram (``text_script_profile``), and NFC
+       normalization (``text_nfc_normalize``).
+    2. The remaining 43 slots are the refresh queue's continuation
        exactly as documented last round: the rounds-1-4 remainder from
        ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
        (38 entries, driver rows dating to rounds 1-4, all re-verified
        green at HEAD by every full check_oracle sweep since) plus the
-       first seven round-6-verified entries (``ann_pq_trained_topk``
-       through ``emb_label_centroids`` — the 50-slot cap falls there).
+       first five round-6-verified entries (``ann_pq_trained_topk``
+       through ``multimodal_audio_meta`` — the 50-slot cap falls
+       there).
     3. The tail holds, in refresh-queue order: the rest of the
        round-6-verified block (``emb_kmeans_centroids`` through
        ``corpus_zipf``), the round-7-verified block, the
@@ -9731,6 +9824,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_wet_charset": web_wet_charset,
         "web_frontier_politeness": web_frontier_politeness,
         "pref_winrate_wilson": pref_winrate_wilson,
+        "text_script_profile": text_script_profile,
+        "text_nfc_normalize": text_nfc_normalize,
         # -- rounds-1-4 remainder refreshing this window (the refresh
         # queue's continuation, least-recently driver-verified) --
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
@@ -9772,15 +9867,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
         # -- round-6-verified block (the 50-slot window cap falls after
-        # emb_label_centroids: 5 new + 38 rounds-1-4 + seven of these) --
+        # multimodal_audio_meta: 7 new + 38 rounds-1-4 + five of these) --
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
         "multimodal_audio_meta": multimodal_audio_meta,
+        # ---- past the driver window from here on ----
         "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,
-        # ---- past the driver window from here on ----
         "emb_kmeans": emb_kmeans,
         "emb_kmeans_centroids": emb_kmeans_centroids,
         "dedup_embedding": dedup_embedding,

@@ -381,6 +381,8 @@ HEADLINE = [
     # added late: omitted from the r12 block by mistake, so run36 and
     # earlier lack a row for it (README promises full registry coverage)
     "pref_krippendorff",
+    "text_script_profile",
+    "text_nfc_normalize",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -419,6 +421,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_image_augment",
     "quality_compression_ratio",
     "web_wet_charset",
+    "text_nfc_normalize",
 ]
 
 

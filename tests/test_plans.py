@@ -354,23 +354,25 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-10 window: the five gates new this round hold the head
-    # (never driver-verified); the remaining 45 slots are the refresh
+    # the round-10 window: the seven gates new this round hold the head
+    # (never driver-verified); the remaining 43 slots are the refresh
     # queue's continuation — the rounds-1-4 remainder from
     # corpus_decontaminate_bloom through w16_gapfill_linear, then the
-    # first seven round-6-verified entries (the cap falls after
-    # emb_label_centroids).  The round-9-verified blocks rotated to the
-    # very tail (freshest rows last), behind round-7 and round-8.
+    # first five round-6-verified entries (the cap falls after
+    # multimodal_audio_meta).  The round-9-verified blocks rotated to
+    # the very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:5] == [
+    assert gate[:7] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
         "web_frontier_politeness",
         "pref_winrate_wilson",
+        "text_script_profile",
+        "text_nfc_normalize",
     ], "window head must hold the new-this-round gates"
-    assert gate[5] == "corpus_decontaminate_bloom"
-    assert gate[49] == "emb_label_centroids"
+    assert gate[7] == "corpus_decontaminate_bloom"
+    assert gate[49] == "multimodal_audio_meta"
     for name in (
         # the rounds-1-4/round-6 refresh block now in the window
         "w16_gapfill_linear",

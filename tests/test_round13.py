@@ -73,6 +73,57 @@ def test_codec_registry_injects_through_operators(spark):
 
 
 # ---------------------------------------------------------------------------
+# Text prep: script histogram + NFC normalization
+
+
+def test_script_profile_counts_and_dominant(spark):
+    from adtl_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [
+            (1, "abc где 123"),      # latin 3, cyrillic 3 -> tie: latin
+            (2, "漢字 ωμ"),           # han 2, greek 2 -> tie: han
+            (3, "123 !?"),           # no script chars -> none
+            (4, "мир мир a"),        # cyrillic dominant
+            (5, None),               # null text -> zero counts, none
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in script_profile(df).collect()}
+    assert (rows[1]["n_latin"], rows[1]["n_cyrillic"]) == (3, 3)
+    assert rows[1]["dominant"] == "latin"  # fixed-order tie-break
+    assert rows[2]["dominant"] == "han"
+    assert rows[3]["dominant"] == "none"
+    assert rows[4]["dominant"] == "cyrillic" and rows[4]["n_cyrillic"] == 6
+    assert rows[5]["dominant"] == "none"
+
+
+def test_normalize_unicode_nfc(spark):
+    from adtl_spark.operators.text import normalize_unicode
+
+    decomposed = "cafe\u0301 + A\u030angstro\u0308m"
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, "plain"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in normalize_unicode(df).collect()}
+    assert rows[1]["text_nfc"] == "caf\u00e9 + \u00c5ngstr\u00f6m"
+    assert rows[1]["n_chars_before"] == len(decomposed)
+    assert rows[1]["n_chars_after"] == len(decomposed) - 3
+    assert rows[2]["text_nfc"] == "plain"
+    assert rows[3]["text_nfc"] == "" and rows[3]["n_chars_before"] == 0
+    # NFKC runs through the same path (no SQL twin, documented)
+    nfkc = {
+        r["doc_id"]: r["text_nfc"]
+        for r in normalize_unicode(
+            spark.createDataFrame([(1, "ﬁt ①")], "doc_id long, text string"),
+            form="NFKC",
+        ).collect()
+    }
+    assert nfkc[1] == "fit 1"
+
+
+# ---------------------------------------------------------------------------
 # Preference family: Wilson-lower-bound win rates
 
 
