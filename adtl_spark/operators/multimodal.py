@@ -2005,6 +2005,122 @@ AUDIO_VAD_SCHEMA = T.StructType(
 )
 
 
+def audio_clipping(df: DataFrame, threshold: int = 32700) -> DataFrame:
+    """Clipping screen for audio corpora — the capture-quality filter an
+    ASR pipeline runs next to VAD: clipped recordings (samples pinned at
+    or near full scale) train badly and are cheap to detect exactly.
+    Per payload: ``n_samples``, ``peak`` (max |sample|), ``n_clipped``
+    (samples with |s| >= ``threshold``; the default 32700 catches
+    near-full-scale limiting, not just exact rail hits), and
+    ``clip_ppm = n_clipped * 1e6 // n_samples`` — all integer exact, so
+    the whole verdict is SQL-replayable.  Decodes through the full
+    dispatch (PCM/ADPCM/G.711/FLAC; compressed telephony audio screens
+    without a transcode step); inputs must resolve to 16-bit mono,
+    others yield null stats.  Arrow ``mapInPandas``, vectorized numpy
+    per payload."""
+    import numpy as np
+
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
+    def one(b: bytes | None):
+        if b is None:
+            return (None,) * 4
+        try:
+            _rate, ch, bits, pcm = decode_audio(b, ov)
+        except (ValueError, NotImplementedError):
+            return (None,) * 4
+        if bits != 16 or ch != 1:
+            return (None,) * 4
+        x = np.abs(
+            np.frombuffer(pcm, dtype=np.int16).astype(np.int64)
+        )
+        n = len(x)
+        if n == 0:
+            return (0, 0, 0, 0)
+        clipped = int((x >= threshold).sum())
+        return (n, int(x.max()), clipped, clipped * 1_000_000 // n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(m),) + one(None if b is None else bytes(b))
+                for m, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "peak", "n_clipped", "clip_ppm",
+                ],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_samples long, peak long, n_clipped long, "
+            "clip_ppm long"
+        ),
+    )
+
+
+def image_sharpness(df: DataFrame) -> DataFrame:
+    """Blur screen for image corpora — the L1-Laplacian sharpness
+    statistic (low = blurry/flat, the standard variance-of-Laplacian
+    family reduced to integer arithmetic so it is EXACT): per decoded
+    image, grayscale each pixel as the unnormalized ``299r + 587g +
+    114b`` (the dhash convention — scale never matters for a screen
+    threshold), then over every INTERIOR pixel take
+
+        lap(y, x) = |4*g(y,x) - g(y-1,x) - g(y+1,x) - g(y,x-1) - g(y,x+1)|
+
+    and emit ``n_interior``, ``lap_sum`` and ``lap_mean = lap_sum //
+    n_interior`` — integer end to end, so a SQL twin replays every
+    pixel.  Images smaller than 3x3 have no interior and yield null
+    stats.  Arrow ``mapInPandas``, vectorized numpy per payload."""
+    import numpy as np
+
+    ov = codec_overrides()  # plan-time snapshot, shipped in the closure
+
+    def one(b: bytes | None):
+        if b is None:
+            return (None, None, None)
+        try:
+            w, h, rgb = decode_image(b, ov)
+        except ValueError:
+            return (None, None, None)
+        if w < 3 or h < 3:
+            return (None, None, None)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+        g = a[:, :, 0] * 299 + a[:, :, 1] * 587 + a[:, :, 2] * 114
+        lap = np.abs(
+            4 * g[1:-1, 1:-1]
+            - g[:-2, 1:-1]
+            - g[2:, 1:-1]
+            - g[1:-1, :-2]
+            - g[1:-1, 2:]
+        )
+        n = lap.size
+        s = int(lap.sum())
+        return (n, s, s // n)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(m),) + one(None if b is None else bytes(b))
+                for m, b in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_interior", "lap_sum", "lap_mean"],
+            )
+
+    return df.mapInPandas(
+        run,
+        schema=(
+            "media_id long, n_interior long, lap_sum long, lap_mean long"
+        ),
+    )
+
+
 def audio_vad_trim(
     df: DataFrame, frame: int = 160, threshold: int = 1000
 ) -> DataFrame:

@@ -3930,6 +3930,60 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_unicode(docs).orderBy("doc_id")
 
 
+def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping screen value-checked sample for sample: per document a
+    real WAV whose samples are the closed-form mix arithmetic (the VAD
+    gate's loud fixture, ungated — the full int16 range, so near-rail
+    samples occur at a deterministic rate) runs through decode ->
+    |s| >= 32700 counting.  The oracle replays every sample from the
+    closed form with generate_series, so the decode and the integer
+    clip verdict must both be exact (multimodal.audio_clipping)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 320 * (2 + d % 9) + (d % 7)
+                rows.append((d, M.synthetic_wav_arith(n, seed=d)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.audio_clipping(media).orderBy("media_id")
+
+
+def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur screen value-checked pixel for pixel: per document an
+    arithmetic P6 image (byte j = (seed*31 + j*131) % 256) runs through
+    decode -> integer L1 Laplacian over interior pixels.  The oracle
+    recomputes every interior pixel's five grayscale taps from the
+    closed form with generate_series and sums the same |4g - up - down
+    - left - right| — decode, grayscale weights and stencil arithmetic
+    all exact (multimodal.image_sharpness)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 6, 5 + (d * 3) % 5
+                rows.append((d, M.synthetic_ppm_arith(w, h, seed=d * 7 + 3)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(build, schema="media_id long, payload binary")
+    return M.image_sharpness(media).orderBy("media_id")
+
+
 def pref_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wilson-lower-bound win rates over the same pairwise comparison
     log as the Bradley-Terry gate (20 items, higher index wins 3 of 4):
@@ -6424,6 +6478,19 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.phrase_search(docs, PHRASE_QUERY)
 
 
+def _sharp_gray_sql(y: str, x: str) -> str:
+    """SQL text for the sharpness fixture's grayscale at (y, x): the
+    arithmetic-P6 byte closed form ((seed*31 + j*131) % 256) at the
+    three channel offsets, weighted 299/587/114 — expanded per stencil
+    tap so the oracle recomputes exactly what the decoder saw."""
+    base = f"(3 * (({y}) * W + ({x})))"
+
+    def p(off: int) -> str:
+        return f"((seed * 31 + ({base} + {off}) * 131) % 256)"
+
+    return f"(299 * {p(0)} + 587 * {p(1)} + 114 * {p(2)})"
+
+
 def oracles() -> dict[str, str]:
     en = X.STOPWORDS["en"]
     en_sql = "[" + ", ".join(f"'{w}'" for w in en) + "]"
@@ -8377,6 +8444,68 @@ def oracles() -> dict[str, str]:
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
         # both MM rounds replayed in CTE algebra, 6-decimal parity
+        # every sample replayed from the closed form; the integer clip
+        # verdict (count at |s| >= 32700 and its ppm) must be exact
+        "multimodal_audio_clipping": """
+            WITH base AS (
+              SELECT doc_id, 320 * (2 + doc_id % 9) + (doc_id % 7) AS n
+              FROM documents
+            ),
+            v AS (
+              SELECT doc_id, n,
+                     unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+              FROM base
+            ),
+            s AS (
+              SELECT doc_id, n,
+                     abs(((doc_id * 2654435761 + i * 40503) % 65536)
+                         - 32768) AS a
+              FROM v
+            )
+            SELECT doc_id AS media_id,
+                   CAST(max(n) AS BIGINT) AS n_samples,
+                   CAST(max(a) AS BIGINT) AS peak,
+                   CAST(sum(CASE WHEN a >= 32700 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clipped,
+                   CAST(sum(CASE WHEN a >= 32700 THEN 1 ELSE 0 END)
+                        * 1000000 // max(n) AS BIGINT) AS clip_ppm
+            FROM s GROUP BY doc_id ORDER BY media_id
+        """,
+        # every interior pixel's five grayscale taps recomputed from the
+        # arithmetic-P6 closed form; |4g - up - down - left - right|
+        # summed — decode, weights, and stencil all exact
+        "multimodal_image_sharpness": f"""
+            WITH dims AS (
+              SELECT doc_id, doc_id * 7 + 3 AS seed,
+                     6 + doc_id % 6 AS W, 5 + (doc_id * 3) % 5 AS H
+              FROM documents
+            ),
+            ys AS (
+              SELECT doc_id, seed, W,
+                     unnest(generate_series(1, CAST(H - 2 AS BIGINT))) AS y
+              FROM dims
+            ),
+            px AS (
+              SELECT doc_id, seed, W, y,
+                     unnest(generate_series(1, CAST(W - 3 AS BIGINT) + 1))
+                       AS x
+              FROM ys
+            ),
+            lap AS (
+              SELECT doc_id,
+                     abs(4 * {_sharp_gray_sql('y', 'x')}
+                         - {_sharp_gray_sql('y - 1', 'x')}
+                         - {_sharp_gray_sql('y + 1', 'x')}
+                         - {_sharp_gray_sql('y', 'x - 1')}
+                         - {_sharp_gray_sql('y', 'x + 1')}) AS v
+              FROM px
+            )
+            SELECT doc_id AS media_id,
+                   CAST(count(*) AS BIGINT) AS n_interior,
+                   CAST(sum(v) AS BIGINT) AS lap_sum,
+                   CAST(sum(v) // count(*) AS BIGINT) AS lap_mean
+            FROM lap GROUP BY doc_id ORDER BY media_id
+        """,
         # every script count and the dominant CASE chain rebuilt from
         # the same id arithmetic the fixture text was built from — a
         # Java-vs-RE2 script-class disagreement cannot hash-match
@@ -9777,7 +9906,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the SEVEN gates new this round — mixed
+    1. The window head holds the NINE gates new this round — mixed
        urlset/sitemapindex ingestion with XML entity decoding
        (``web_sitemap_index``), the composed robots -> sitemap ->
        filter -> crawl-delay schedule chain (``web_frontier_compose``),
@@ -9785,15 +9914,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``web_wet_charset``), per-host politeness scheduling
        (``web_frontier_politeness``), Wilson-lower-bound win rates for
        the preference family (``pref_winrate_wilson``), the Unicode
-       script histogram (``text_script_profile``), and NFC
-       normalization (``text_nfc_normalize``).
-    2. The remaining 43 slots are the refresh queue's continuation
+       script histogram (``text_script_profile``), NFC normalization
+       (``text_nfc_normalize``), and the integer-exact corpus quality
+       screens for audio clipping (``multimodal_audio_clipping``) and
+       image blur (``multimodal_image_sharpness``).
+    2. The remaining 41 slots are the refresh queue's continuation
        exactly as documented last round: the rounds-1-4 remainder from
        ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
        (38 entries, driver rows dating to rounds 1-4, all re-verified
        green at HEAD by every full check_oracle sweep since) plus the
-       first five round-6-verified entries (``ann_pq_trained_topk``
-       through ``multimodal_audio_meta`` — the 50-slot cap falls
+       first three round-6-verified entries (``ann_pq_trained_topk``
+       through ``ann_pq_rerank_recall`` — the 50-slot cap falls
        there).
     3. The tail holds, in refresh-queue order: the rest of the
        round-6-verified block (``emb_kmeans_centroids`` through
@@ -9826,6 +9957,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pref_winrate_wilson": pref_winrate_wilson,
         "text_script_profile": text_script_profile,
         "text_nfc_normalize": text_nfc_normalize,
+        "multimodal_audio_clipping": multimodal_audio_clipping,
+        "multimodal_image_sharpness": multimodal_image_sharpness,
         # -- rounds-1-4 remainder refreshing this window (the refresh
         # queue's continuation, least-recently driver-verified) --
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
@@ -9867,13 +10000,13 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
         # -- round-6-verified block (the 50-slot window cap falls after
-        # multimodal_audio_meta: 7 new + 38 rounds-1-4 + five of these) --
+        # ann_pq_rerank_recall: 9 new + 38 rounds-1-4 + three of these) --
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
+        # ---- past the driver window from here on ----
         "stream_trending_finalize": stream_trending_finalize,
         "multimodal_audio_meta": multimodal_audio_meta,
-        # ---- past the driver window from here on ----
         "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,

@@ -383,6 +383,8 @@ HEADLINE = [
     "pref_krippendorff",
     "text_script_profile",
     "text_nfc_normalize",
+    "multimodal_audio_clipping",
+    "multimodal_image_sharpness",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -422,6 +424,8 @@ PYTHON_WORKER_QUERIES = [
     "quality_compression_ratio",
     "web_wet_charset",
     "text_nfc_normalize",
+    "multimodal_audio_clipping",
+    "multimodal_image_sharpness",
 ]
 
 

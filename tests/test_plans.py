@@ -354,15 +354,15 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-10 window: the seven gates new this round hold the head
-    # (never driver-verified); the remaining 43 slots are the refresh
+    # the round-10 window: the nine gates new this round hold the head
+    # (never driver-verified); the remaining 41 slots are the refresh
     # queue's continuation — the rounds-1-4 remainder from
     # corpus_decontaminate_bloom through w16_gapfill_linear, then the
-    # first five round-6-verified entries (the cap falls after
-    # multimodal_audio_meta).  The round-9-verified blocks rotated to
+    # first three round-6-verified entries (the cap falls after
+    # ann_pq_rerank_recall).  The round-9-verified blocks rotated to
     # the very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:7] == [
+    assert gate[:9] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
@@ -370,9 +370,11 @@ def test_query_registry_invariants():
         "pref_winrate_wilson",
         "text_script_profile",
         "text_nfc_normalize",
+        "multimodal_audio_clipping",
+        "multimodal_image_sharpness",
     ], "window head must hold the new-this-round gates"
-    assert gate[7] == "corpus_decontaminate_bloom"
-    assert gate[49] == "multimodal_audio_meta"
+    assert gate[9] == "corpus_decontaminate_bloom"
+    assert gate[49] == "ann_pq_rerank_recall"
     for name in (
         # the rounds-1-4/round-6 refresh block now in the window
         "w16_gapfill_linear",
@@ -380,7 +382,6 @@ def test_query_registry_invariants():
         "olap_cube",
         "q2_best_supplier",
         "graph_triangles",
-        "stream_trending_finalize",
     ):
         assert name in gate, f"{name} rotated out of the gate window prematurely"
     # the round-9-verified blocks must be at the very tail, not burning

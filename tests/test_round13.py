@@ -73,6 +73,98 @@ def test_codec_registry_injects_through_operators(spark):
 
 
 # ---------------------------------------------------------------------------
+# Property tests: charset decode + XML entity round trips
+
+
+def test_decode_http_response_roundtrip_property():
+    """For random text and any declaration path (header, BOM, meta),
+    encode->decode is the identity on every charset that can represent
+    the text; the resolved charset is the canonical name of what was
+    declared.  Pure-Python property (no Spark session needed)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adtl_spark.sources.io import decode_http_response
+
+    cp1252_ok = st.text(
+        alphabet="abcXYZ 123éü–€Ÿ", max_size=60
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        text=cp1252_ok,
+        path=st.sampled_from(["header", "bom16", "meta", "plain_utf8"]),
+    )
+    def run(text, path):
+        if path == "header":
+            body = text.encode("cp1252")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html; "
+                b"charset=windows-1252\r\n\r\n" + body
+            )
+            want_cs = "cp1252"
+        elif path == "bom16":
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + b"\xff\xfe"
+                + text.encode("utf-16-le")
+            )
+            want_cs = "utf-16-le"
+        elif path == "meta":
+            html = '<meta charset="utf-8">' + text
+            payload = (
+                b"HTTP/1.1 200 OK\r\nServer: x\r\n\r\n"
+                + html.encode("utf-8")
+            )
+            want_cs = "utf-8"
+            text = html
+        else:
+            payload = b"HTTP/1.1 200 OK\r\n\r\n" + text.encode("utf-8")
+            want_cs = "utf-8"
+        status, cs, out = decode_http_response(payload)
+        assert status == 200 and cs == want_cs and out == text
+
+    run()
+
+
+def test_xml_unescape_escape_roundtrip_property(spark):
+    """escape(text) -> xml_unescape == identity for random text over
+    the five predefined entities' characters — the decode order (&amp;
+    last) is exactly what makes this hold."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adtl_spark.operators.text import xml_unescape
+
+    def esc(s: str) -> str:
+        s = s.replace("&", "&amp;")
+        s = s.replace("<", "&lt;").replace(">", "&gt;")
+        return s.replace('"', "&quot;").replace("'", "&apos;")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(alphabet="ab<>&\"' ;ampltgtquos", max_size=30),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def run(texts):
+        df = spark.createDataFrame(
+            [(i, esc(t)) for i, t in enumerate(texts)], "i long, s string"
+        )
+        got = {
+            r["i"]: r["d"]
+            for r in df.select("i", xml_unescape(F.col("s")).alias("d"))
+            .collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == t
+
+    run()
+
+
+# ---------------------------------------------------------------------------
 # Text prep: script histogram + NFC normalization
 
 
@@ -121,6 +213,55 @@ def test_normalize_unicode_nfc(spark):
         ).collect()
     }
     assert nfkc[1] == "fit 1"
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality screens: audio clipping + image blur
+
+
+def test_audio_clipping_detects_limited_audio(spark):
+    import numpy as np
+
+    from adtl_spark.operators import multimodal as M
+
+    quiet = np.full(100, 1000, dtype=np.int16)
+    limited = np.array([32760, -32768, 32700, 5, -32699] * 20,
+                       dtype=np.int16)
+    df = spark.createDataFrame(
+        [
+            (1, M.pcm_to_wav(16000, 1, 16, quiet.tobytes())),
+            (2, M.pcm_to_wav(16000, 1, 16, limited.tobytes())),
+            (3, None),
+        ],
+        "media_id long, payload binary",
+    )
+    rows = {r["media_id"]: r for r in M.audio_clipping(df).collect()}
+    assert rows[1]["n_clipped"] == 0 and rows[1]["clip_ppm"] == 0
+    assert rows[1]["peak"] == 1000
+    # 32760, -32768, 32700 clip; 5 and -32699 do not
+    assert rows[2]["n_clipped"] == 60
+    assert rows[2]["clip_ppm"] == 60 * 1_000_000 // 100
+    assert rows[2]["peak"] == 32768
+    assert rows[3]["n_samples"] is None
+
+
+def test_image_sharpness_flat_vs_edge(spark):
+    from adtl_spark.operators import multimodal as M
+
+    flat = b"P6\n3 3\n255\n" + bytes([50] * 27)
+    # center pixel white on black: lap at the single interior pixel =
+    # |4*G(255,255,255)| = 4 * (299+587+114) * 255
+    edge = b"P6\n3 3\n255\n" + bytes(
+        [0] * 12 + [255, 255, 255] + [0] * 12
+    )
+    tiny = b"P6\n2 2\n255\n" + bytes(12)
+    df = spark.createDataFrame(
+        [(1, flat), (2, edge), (3, tiny)], "media_id long, payload binary"
+    )
+    rows = {r["media_id"]: r for r in M.image_sharpness(df).collect()}
+    assert rows[1]["lap_sum"] == 0 and rows[1]["n_interior"] == 1
+    assert rows[2]["lap_sum"] == 4 * 1000 * 255
+    assert rows[3]["n_interior"] is None  # no interior below 3x3
 
 
 # ---------------------------------------------------------------------------

@@ -235,6 +235,8 @@ QUERIES = [
     "pref_winrate_wilson",
     "text_script_profile",
     "text_nfc_normalize",
+    "multimodal_audio_clipping",
+    "multimodal_image_sharpness",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
