@@ -429,6 +429,17 @@ PYTHON_WORKER_QUERIES = [
 ]
 
 
+# Measurement gates: their timed cost is dominated by the exact TRUTH
+# side they grade against (all-pairs recall truths are quadratic in
+# class/duplicate counts by design — disclosed, and excluded from the
+# 10x scale stress).  They stay in the suite and in `queries`, but the
+# record splits their subtotal out so the core-operator trend is
+# readable as more recall/nDCG gates accumulate.
+MEASUREMENT_GATES = frozenset(
+    name for name in HEADLINE if "recall" in name or "_ndcg" in name
+)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -457,10 +468,15 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
 
+    meas = round(
+        sum(t for n, t in timings.items() if n in MEASUREMENT_GATES), 3
+    )
     full = {
         "metric": "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "core_sec": round(sum(timings.values()) - meas, 3),
+        "measurement_sec": meas,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
