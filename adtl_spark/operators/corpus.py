@@ -124,6 +124,61 @@ def decontaminate_oracle_sql(
     """
 
 
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ref_text_col: str = "text",
+    ref_id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty against a reference corpus — the
+    data-curation twin of :func:`decontaminate`: instead of flagging
+    overlap with an eval set, score how much of each document's
+    distinct word-n-gram vocabulary is UNSEEN in the reference.  High
+    novelty = content the corpus doesn't have yet; near-zero = copies
+    and boilerplate of what is already collected — the selection signal
+    for incremental corpus growth and diversity-aware sampling.  Per
+    doc: ``n_ngrams`` (distinct), ``n_novel`` (absent from the
+    reference's distinct shingle set) and ``novelty_ppm =
+    n_novel * 1e6 // n_ngrams``.
+
+    Distributed shape: the reference collapses ONCE to its distinct
+    shingle set; the document side LEFT-joins against it on the shingle
+    hash — a plain shuffle hash join, because a reference corpus at the
+    100 TB design point is corpus-sized, NOT broadcastable (for
+    benchmark-sized references :func:`decontaminate` /
+    :func:`decontaminate_bloom` are the broadcast/Bloom fast paths).
+    Shingling reuses the dedup family's hashed word-n-gram contract, so
+    the oracle rebuilds both sides with the same CTE builder."""
+    ref = (
+        shingle_df(reference, ref_text_col, ref_id_col, n)
+        .select("sh")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tr = shingle_df(docs, text_col, id_col, n)
+    per = (
+        tr.join(ref, "sh", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ngrams"),
+            F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return docs.select(F.col(id_col)).join(
+        per, docs[id_col] == per["id"], "left"
+    ).select(
+        F.col(id_col),
+        F.col("n_ngrams"),
+        F.col("n_novel"),
+        F.expr("n_novel * 1000000 div n_ngrams").alias("novelty_ppm"),
+    )
+
+
 def _exploded_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # text.tokens IS the cross-engine tokenizer contract (mirrors DuckDB's
     # string_split_regex + list_filter); every operator must go through it

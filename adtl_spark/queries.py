@@ -3930,6 +3930,21 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_unicode(docs).orderBy("doc_id")
 
 
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram novelty scoring value-checked end to end: every third
+    document forms the reference corpus, so reference members must come
+    back with novelty exactly 0 (every shingle of theirs is in the
+    reference by construction) and the rest score genuine partial
+    novelty.  Shingling, the distinct reference set, the left join and
+    the integer ppm all replay through the dedup family's shared
+    n-gram CTE builder (operators/corpus.py:ngram_novelty)."""
+    from adtl_spark.operators.corpus import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    return ngram_novelty(docs, ref, n=3).orderBy("doc_id")
+
+
 def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clipping screen value-checked sample for sample: per document a
     real WAV whose samples are the closed-form mix arithmetic (the VAD
@@ -8444,6 +8459,31 @@ def oracles() -> dict[str, str]:
         """,
         # pack->unpack identity: the tar layer must be byte-transparent
         # both MM rounds replayed in CTE algebra, 6-decimal parity
+        # same shingle CTE as the dedup/decontaminate twins; reference
+        # members must score exactly zero novelty
+        "corpus_ngram_novelty": f"""
+            WITH tr AS ({D.shingle_cte_sql('documents', 3)}),
+            rf AS (
+              SELECT DISTINCT sh FROM (
+                {D.shingle_cte_sql(
+                    '(SELECT doc_id, text FROM documents '
+                    'WHERE doc_id % 3 = 0)', 3)}
+              )
+            ),
+            per AS (
+              SELECT tr.id,
+                     CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(sum(CASE WHEN rf.sh IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM tr LEFT JOIN rf ON tr.sh = rf.sh
+              GROUP BY tr.id
+            )
+            SELECT d.doc_id, per.n_ngrams, per.n_novel,
+                   CAST(per.n_novel * 1000000 // per.n_ngrams AS BIGINT)
+                     AS novelty_ppm
+            FROM documents d LEFT JOIN per ON per.id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         # every sample replayed from the closed form; the integer clip
         # verdict (count at |s| >= 32700 and its ppm) must be exact
         "multimodal_audio_clipping": """
@@ -9906,7 +9946,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the NINE gates new this round — mixed
+    1. The window head holds the TEN gates new this round — mixed
        urlset/sitemapindex ingestion with XML entity decoding
        (``web_sitemap_index``), the composed robots -> sitemap ->
        filter -> crawl-delay schedule chain (``web_frontier_compose``),
@@ -9915,17 +9955,17 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        (``web_frontier_politeness``), Wilson-lower-bound win rates for
        the preference family (``pref_winrate_wilson``), the Unicode
        script histogram (``text_script_profile``), NFC normalization
-       (``text_nfc_normalize``), and the integer-exact corpus quality
+       (``text_nfc_normalize``), the integer-exact corpus quality
        screens for audio clipping (``multimodal_audio_clipping``) and
-       image blur (``multimodal_image_sharpness``).
-    2. The remaining 41 slots are the refresh queue's continuation
+       image blur (``multimodal_image_sharpness``), and n-gram novelty
+       scoring against a reference corpus (``corpus_ngram_novelty``).
+    2. The remaining 40 slots are the refresh queue's continuation
        exactly as documented last round: the rounds-1-4 remainder from
        ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
        (38 entries, driver rows dating to rounds 1-4, all re-verified
        green at HEAD by every full check_oracle sweep since) plus the
-       first three round-6-verified entries (``ann_pq_trained_topk``
-       through ``ann_pq_rerank_recall`` — the 50-slot cap falls
-       there).
+       first two round-6-verified entries (``ann_pq_trained_topk`` and
+       ``ann_pq_rerank_topk`` — the 50-slot cap falls there).
     3. The tail holds, in refresh-queue order: the rest of the
        round-6-verified block (``emb_kmeans_centroids`` through
        ``corpus_zipf``), the round-7-verified block, the
@@ -9959,6 +9999,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_nfc_normalize": text_nfc_normalize,
         "multimodal_audio_clipping": multimodal_audio_clipping,
         "multimodal_image_sharpness": multimodal_image_sharpness,
+        "corpus_ngram_novelty": corpus_ngram_novelty,
         # -- rounds-1-4 remainder refreshing this window (the refresh
         # queue's continuation, least-recently driver-verified) --
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
@@ -10000,11 +10041,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": emb_quantize,
         "w16_gapfill_linear": w16_gapfill_linear,
         # -- round-6-verified block (the 50-slot window cap falls after
-        # ann_pq_rerank_recall: 9 new + 38 rounds-1-4 + three of these) --
+        # ann_pq_rerank_topk: 10 new + 38 rounds-1-4 + two of these) --
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
-        "ann_pq_rerank_recall": ann_pq_rerank_recall,
         # ---- past the driver window from here on ----
+        "ann_pq_rerank_recall": ann_pq_rerank_recall,
         "stream_trending_finalize": stream_trending_finalize,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_image_meta": multimodal_image_meta,

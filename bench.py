@@ -385,6 +385,7 @@ HEADLINE = [
     "text_nfc_normalize",
     "multimodal_audio_clipping",
     "multimodal_image_sharpness",
+    "corpus_ngram_novelty",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

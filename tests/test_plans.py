@@ -354,15 +354,15 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-10 window: the nine gates new this round hold the head
-    # (never driver-verified); the remaining 41 slots are the refresh
+    # the round-10 window: the ten gates new this round hold the head
+    # (never driver-verified); the remaining 40 slots are the refresh
     # queue's continuation — the rounds-1-4 remainder from
     # corpus_decontaminate_bloom through w16_gapfill_linear, then the
-    # first three round-6-verified entries (the cap falls after
-    # ann_pq_rerank_recall).  The round-9-verified blocks rotated to
+    # first two round-6-verified entries (the cap falls after
+    # ann_pq_rerank_topk).  The round-9-verified blocks rotated to
     # the very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:9] == [
+    assert gate[:10] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
@@ -372,9 +372,10 @@ def test_query_registry_invariants():
         "text_nfc_normalize",
         "multimodal_audio_clipping",
         "multimodal_image_sharpness",
+        "corpus_ngram_novelty",
     ], "window head must hold the new-this-round gates"
-    assert gate[9] == "corpus_decontaminate_bloom"
-    assert gate[49] == "ann_pq_rerank_recall"
+    assert gate[10] == "corpus_decontaminate_bloom"
+    assert gate[49] == "ann_pq_rerank_topk"
     for name in (
         # the rounds-1-4/round-6 refresh block now in the window
         "w16_gapfill_linear",

@@ -216,6 +216,33 @@ def test_normalize_unicode_nfc(spark):
 
 
 # ---------------------------------------------------------------------------
+# n-gram novelty
+
+
+def test_ngram_novelty_reference_members_score_zero(spark):
+    from adtl_spark.operators.corpus import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),   # exact copy of a ref doc
+            (3, "a completely different line here"),
+            (4, "the quick brown fox sleeps"),  # partial overlap
+        ],
+        "doc_id long, text string",
+    )
+    ref = docs.filter("doc_id = 1")
+    rows = {r["doc_id"]: r for r in ngram_novelty(docs, ref, n=3).collect()}
+    assert rows[1]["novelty_ppm"] == 0  # reference member
+    assert rows[2]["novelty_ppm"] == 0  # exact copy
+    assert rows[3]["novelty_ppm"] == 1_000_000  # fully novel
+    # 'the quick brown fox sleeps': 3 trigrams, 2 shared with the
+    # reference ('the quick brown', 'quick brown fox') -> 1 novel
+    assert rows[4]["n_ngrams"] == 3 and rows[4]["n_novel"] == 1
+    assert rows[4]["novelty_ppm"] == 1 * 1_000_000 // 3
+
+
+# ---------------------------------------------------------------------------
 # Corpus quality screens: audio clipping + image blur
 
 

@@ -237,6 +237,7 @@ QUERIES = [
     "text_nfc_normalize",
     "multimodal_audio_clipping",
     "multimodal_image_sharpness",
+    "corpus_ngram_novelty",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
