@@ -416,6 +416,56 @@ def test_compaction_crash_at_any_point_serves_pre_state(spark, tmp_path):
     assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, full, qdf)
 
 
+def test_compaction_interleaved_with_appends_randomized(spark, tmp_path):
+    """Deterministic-seed randomized sequences of append/compact against
+    one index path: after EVERY step, querying the maintained index
+    equals a from-scratch build over the documents ingested so far —
+    the invariant that makes compaction safe to schedule anywhere in an
+    ingestion timeline."""
+    import random
+
+    from adtl_spark.operators import retrieval as R
+
+    rng = random.Random(1307)
+    vocab = ["alpha", "beta", "gamma", "delta", "tok1", "tok2", "tok3"]
+    qdf = spark.createDataFrame(
+        [(0, "alpha tok1"), (1, "beta gamma tok3")],
+        "query_id long, query string",
+    )
+    path = str(tmp_path / "idx")
+    next_id = 0
+
+    def batch(k):
+        nonlocal next_id
+        rows = [
+            (next_id + i, " ".join(rng.choices(vocab, k=rng.randint(2, 6))))
+            for i in range(k)
+        ]
+        next_id += k
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    ingested = batch(4)
+    R.write_search_index(ingested, path, n_buckets=8)
+    for step in range(5):
+        if step in (2, 4):
+            R.compact_search_index(spark, path)
+        else:
+            b = batch(rng.randint(1, 3))
+            R.append_to_search_index(b, path)
+            ingested = ingested.unionByName(b)
+        fresh = str(tmp_path / f"fresh{step}")
+        R.write_search_index(ingested, fresh, n_buckets=8)
+        assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, fresh, qdf), (
+            f"diverged at step {step}"
+        )
+    # double compaction in a row is a safe no-op
+    R.compact_search_index(spark, path)
+    R.compact_search_index(spark, path)
+    fresh = str(tmp_path / "fresh_final")
+    R.write_search_index(ingested, fresh, n_buckets=8)
+    assert _bm25_rows(spark, path, qdf) == _bm25_rows(spark, fresh, qdf)
+
+
 def test_write_search_index_rebuild_clears_old_generations(spark, tmp_path):
     """Rebuilding an index under a path that previously had appends and
     a compacted base must not serve ghosts from the old life."""
