@@ -1161,7 +1161,15 @@ def decode_audio(
         from adtl_spark.operators.flac_lite import decode_flac
 
         return reg.get("flac", decode_flac)(payload)
-    if payload.startswith(b"\xff\xfb") or payload.startswith(b"ID3"):
+    # MPEG audio sync: 11 set bits across the first two octets — the
+    # same sniff probe_mpeg_audio walks with.  Matching only \xff\xfb
+    # would silently miss MPEG-2/2.5 and protection-bit variants
+    # (\xff\xf3, \xff\xf2, \xff\xfa, ...) whenever no ID3 tag leads.
+    if payload.startswith(b"ID3") or (
+        len(payload) >= 2
+        and payload[0] == 0xFF
+        and (payload[1] & 0xE0) == 0xE0
+    ):
         return reg.get("mp3", _mp3_decode_unavailable)(payload)
     raise ValueError("unrecognized audio payload")
 

@@ -1318,10 +1318,18 @@ def compact_search_index(spark, path: str, n_buckets: int | None = None) -> None
     (folded/orphaned deltas, superseded and uncommitted bases, the
     legacy top-level components once a compacted base exists) is pure
     garbage collection after the commit; a re-run finishes it.
-    SINGLE WRITER: like the appends, compaction must not run
-    concurrently with an append on the same path (offline maintenance —
-    an in-flight append's uncommitted directory would be reclaimed as
-    an orphan)."""
+    SINGLE WRITER, QUIESCED READERS: like the appends, compaction must
+    not run concurrently with an append on the same path (an in-flight
+    append's uncommitted directory would be reclaimed as an orphan),
+    and READERS must be quiesced too — reclamation deletes the
+    superseded base and folded deltas immediately after the commit
+    marker lands, so a reader that resolved the OLD base just before
+    the commit would fail on deleted parquet files mid-query.  The
+    crash-at-any-point guarantee above is about WRITER crashes
+    (re-runs and readers starting after the crash see a consistent
+    state); it is not reader-concurrency isolation.  Online compaction
+    would defer reclamation to a separate GC step with a grace window
+    (offline maintenance keeps the layout dependency-free instead)."""
     n_buckets = _index_buckets(spark, path, n_buckets)
     base_dir, folded = _base_state(spark, path)
     committed, all_gens = _delta_gens(spark, path)

@@ -1921,19 +1921,31 @@ def schedule_frontier(
     url_col: str = "url",
     default_delay_ms: int = 1000,
     n_shards: int = 64,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """Politeness scheduling for a crawl frontier — the step after
     robots/sitemap ingestion that turns a URL set into a fetch plan a
     1000-worker crawler can execute without hammering any host:
 
-    - ``host``: the URL's authority, lowercased (politeness is
-      per-host; RFC 3986 hosts are case-insensitive);
+    - ``host``: the URL's authority with userinfo and port STRIPPED,
+      lowercased (politeness is per-host; RFC 3986 hosts are
+      case-insensitive, and ``http://u@h.test/`` / ``http://h.test:8080/``
+      must share ``h.test``'s queue and its Crawl-delay — a raw-authority
+      key would silently split them into separate politeness queues and
+      miss the broadcast delay join);
     - ``shard`` = md5-60(host) mod ``n_shards`` — ALL of a host's URLs
       land in ONE shard, so per-host FIFO needs no cross-shard
       coordination and each fetcher worker owns its shards outright;
     - ``fetch_seq``: the URL's position in its host's queue
       (row_number ordered by the URL string — deterministic and
-      append-stable for a fixed URL set);
+      append-stable for a fixed URL set).  With ``priority_col`` the
+      queue orders by that column DESCENDING instead (URL string as the
+      deterministic tie-break): this is how a curation crawl closes the
+      select -> schedule loop, feeding a novelty or quality score
+      (:func:`adtl_spark.operators.corpus.ngram_novelty`) straight into
+      the fetch plan so each host's politeness budget is spent on its
+      most valuable URLs first — same window, same single shuffle, only
+      the ordering key changes;
     - ``fetch_after_ms`` = (fetch_seq - 1) x the host's delay —
       ``delays`` is a small (host, delay_ms) relation (robots
       Crawl-delay values, :func:`robots_directives`) joined as a
@@ -1947,10 +1959,16 @@ def schedule_frontier(
     Fully SQL-replayable (md5-60 shard + row_number twin).  Non-URL
     rows (no ``scheme://authority``) yield a NULL host and schedule in
     their own bucket — filter upstream if they should not fetch."""
+    # authority -> host: drop userinfo (everything through the last '@')
+    # and a trailing ':port' (RFC 3986 §3.2 — the registered name is the
+    # politeness key, not the full authority)
+    authority = F.regexp_extract(
+        F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+    )
     host = F.lower(
         F.nullif(
-            F.regexp_extract(
-                F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]+)", 1
+            F.regexp_replace(
+                F.regexp_replace(authority, "^.*@", ""), ":[0-9]+$", ""
             ),
             F.lit(""),
         )
@@ -1966,9 +1984,12 @@ def schedule_frontier(
         out = out.join(F.broadcast(d), "host", "left")
     else:
         out = out.withColumn("__delay", F.lit(None).cast("long"))
-    seq = F.row_number().over(
-        Window.partitionBy("host").orderBy(F.col(url_col))
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col)]
+        if priority_col is not None
+        else [F.col(url_col)]
     )
+    seq = F.row_number().over(Window.partitionBy("host").orderBy(*order))
     delay = F.coalesce(F.col("__delay"), F.lit(int(default_delay_ms)))
     return (
         out.withColumn("shard", F.pmod(md5_60(F.col("host")), F.lit(n_shards)).cast("int"))
@@ -2017,7 +2038,15 @@ def apply_robots(
     Cardinality-preserving: rows are re-assembled after the rule join
     on a per-row surrogate key, so fully-duplicate input rows (routine
     in a raw crawl URL log) come back as the same number of rows, not
-    collapsed into one."""
+    collapsed into one.  The surrogate key is
+    ``monotonically_increasing_id``, so the INPUT MUST BE DETERMINISTIC
+    (a file read, not e.g. a non-deterministic sample): under task retry
+    or speculative re-execution a non-deterministic upstream could
+    assign different ids across attempts and double-count or drop rows
+    in the reassembly — the same row-identity contract the engine's
+    lastNotNull path documents (plans/tables.py: attach_row_id).
+    Materialize (``df.localCheckpoint()``) a non-deterministic input
+    before calling."""
     spark = urls.sparkSession
     # RFC 9309 matches against path AND query (the Google matcher's
     # '/fish' matches '/fish.php?id=x'); only the fragment is dropped

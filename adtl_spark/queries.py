@@ -4573,6 +4573,52 @@ def web_frontier_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-ordered frontier scheduling — the operator that closes
+    the curation-crawl loop (select -> schedule): each host's
+    politeness queue orders by a supplied priority column DESCENDING
+    (here ``n_chars``, standing in for a novelty/quality score) instead
+    of URL order, so the per-host delay budget is spent on the most
+    valuable URLs first.  The URL set mixes in userinfo-decorated and
+    port-decorated authorities (``crawler@h3.test``, ``H2.test:8080``)
+    that MUST normalize into the bare host's queue and pick up its
+    Crawl-delay — the raw-authority bug would split them into separate
+    politeness queues with the default delay.  The oracle replays the
+    priority row_number and the delay join in SQL (operators/text.py:
+    schedule_frontier(priority_col=...))."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    d = F.col("doc_id")
+    k = (d % 5).cast("string")
+    ds = d.cast("string")
+    url = (
+        F.when(
+            d % 10 == 3,
+            F.concat(
+                F.lit("http://crawler@h"), k, F.lit(".test/p/"), ds
+            ),
+        )
+        .when(
+            d % 10 == 7,
+            F.concat(F.lit("http://H"), k, F.lit(".test:8080/p/"), ds),
+        )
+        .otherwise(F.concat(F.lit("http://h"), k, F.lit(".test/p/"), ds))
+    )
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), F.col("n_chars").alias("priority")
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 250), ("h1.test", 750)], "host string, delay_ms long"
+    )
+    return (
+        schedule_frontier(
+            urls, delays, default_delay_ms=1500, priority_col="priority"
+        )
+        .select("doc_id", "host", "fetch_seq", "fetch_after_ms")
+        .orderBy("doc_id")
+    )
+
+
 def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware WET extraction value-checked byte-exact on real
     crawl shapes: per document an HTTP response wrapped in a binary
@@ -4585,10 +4631,14 @@ def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     record-per-member .warc.gz -> byte-true member split ->
     parse_warc_records_bytes (Content-Length counts BYTES — the utf-16
     class doubles its byte count precisely) -> http_text_records
-    (WHATWG precedence decode) -> html_to_text.  The oracle rebuilds
-    status, canonical charset name and the exact non-ASCII text from
-    id arithmetic (sources/io.py: parse_warc_records_bytes,
-    decode_http_response; operators/text.py: html_to_text)."""
+    (WHATWG precedence decode) -> html_to_text.  Every 16th document
+    additionally contributes a NULL-payload record, which must come
+    back as a (NULL, NULL, NULL) row — http_text_records is
+    cardinality-preserving, not row-dropping, so crawl-audit record
+    counts balance.  The oracle rebuilds status, canonical charset name
+    and the exact non-ASCII text from id arithmetic (sources/io.py:
+    parse_warc_records_bytes, decode_http_response, http_text_records;
+    operators/text.py: html_to_text)."""
     from adtl_spark.operators.text import html_to_text
     from adtl_spark.sources.io import (
         gzip_member_records,
@@ -4650,9 +4700,20 @@ def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = parse_warc_records_bytes(members, content_col="value")
     from adtl_spark.sources.io import http_text_records
 
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        "target_uri", "content"
+    )
+    # NULL-payload rows (a fetch that stored no body): must pass through
+    # as (NULL, NULL, NULL), not vanish — cardinality preservation
+    nulls = docs.filter(F.col("doc_id") % 16 == 5).select(
+        F.concat(
+            F.lit("http://corpus.test/nullbody/"),
+            F.col("doc_id").cast("string"),
+        ).alias("target_uri"),
+        F.lit(None).cast("binary").alias("content"),
+    )
     decoded = http_text_records(
-        recs.filter(F.col("warc_type") == "response"),
-        passthrough=("target_uri",),
+        resp.unionByName(nulls), passthrough=("target_uri",)
     )
     return decoded.select(
         F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
@@ -8931,10 +8992,43 @@ def oracles() -> dict[str, str]:
                    CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
             FROM s ORDER BY doc_id
         """,
+        # priority scheduling: same row_number replay, ordered by the
+        # priority column; decorated authorities (userinfo / port / case)
+        # all collapse to the bare host and take its delay
+        "web_frontier_priority": """
+            WITH u AS (
+              SELECT doc_id, n_chars,
+                     'h' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+                     CASE doc_id % 10
+                       WHEN 3 THEN 'http://crawler@h'
+                            || CAST(doc_id % 5 AS VARCHAR)
+                            || '.test/p/' || CAST(doc_id AS VARCHAR)
+                       WHEN 7 THEN 'http://H' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.test:8080/p/' || CAST(doc_id AS VARCHAR)
+                       ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR)
+                            || '.test/p/' || CAST(doc_id AS VARCHAR)
+                     END AS url
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, host,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY n_chars DESC, url
+                     ) AS BIGINT) AS fetch_seq,
+                     CASE doc_id % 5 WHEN 0 THEN 250 WHEN 1 THEN 750
+                                     ELSE 1500 END AS delay
+              FROM u
+            )
+            SELECT doc_id, host, fetch_seq,
+                   CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
+            FROM s ORDER BY doc_id
+        """,
         # four charset classes (header utf-8 / header cp1252 / BOM-only
         # utf-16-le / meta-only latin-1): canonical charset name and the
         # exact non-ASCII text rebuilt per id — a wrong decode cannot
-        # hash-match (en dash and euro sign are outside latin-1)
+        # hash-match (en dash and euro sign are outside latin-1); every
+        # 16th doc adds a NULL-payload record that must survive as an
+        # all-NULL row (cardinality preservation)
         "web_wet_charset": """
             SELECT doc_id,
                    CAST(200 AS INTEGER) AS http_status,
@@ -8947,7 +9041,13 @@ def oracles() -> dict[str, str]:
                                    WHEN 1 THEN 'déjà–vu €'
                                    WHEN 2 THEN '日本語 café'
                                    ELSE 'niño ¡hola!' END AS text
-            FROM documents ORDER BY doc_id
+            FROM documents
+            UNION ALL
+            SELECT doc_id, CAST(NULL AS INTEGER) AS http_status,
+                   CAST(NULL AS VARCHAR) AS charset,
+                   CAST(NULL AS VARCHAR) AS text
+            FROM documents WHERE doc_id % 16 = 5
+            ORDER BY doc_id
         """,
         # robots -> sitemap -> filter -> schedule: the disallowed middle
         # entry drops, the longer-allow override survives with its rule,
@@ -9989,7 +10089,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r10 window head: the gates new this round --
+        # -- r11 window head: the gates new this round --
+        "web_frontier_priority": web_frontier_priority,
+        # -- r10 block --
         "web_sitemap_index": web_sitemap_index,
         "web_frontier_compose": web_frontier_compose,
         "web_wet_charset": web_wet_charset,

@@ -1019,6 +1019,10 @@ def http_text_records(
     Emits ``passthrough`` + ``(http_status, charset, text)`` per input
     record via :func:`decode_http_response` (WHATWG precedence: BOM >
     Content-Type header > meta sniff > utf-8/replace — never raises).
+    CARDINALITY-PRESERVING: a record with a NULL payload yields a
+    ``(NULL, NULL, NULL)`` triple, not a dropped row — a WET pipeline
+    counting records in vs out must balance, and silently vanishing
+    rows are exactly the failure a crawl audit exists to catch.
     Arrow ``mapInPandas``; per-record work is one header regex + one
     decode, so it distributes like the codec operators."""
     from typing import Iterator
@@ -1029,17 +1033,16 @@ def http_text_records(
         cols = list(passthrough) + ["http_status", "charset", "text"]
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = row[content_col]
+            for payload, *through in zip(
+                pdf[content_col], *(pdf[p] for p in passthrough)
+            ):
                 if payload is None:
+                    rows.append(tuple(through) + (None, None, None))
                     continue
                 status, charset, text = decode_http_response(
                     bytes(payload), sniff_bytes
                 )
-                rows.append(
-                    tuple(row[p] for p in passthrough)
-                    + (status, charset, text)
-                )
+                rows.append(tuple(through) + (status, charset, text))
             yield pd.DataFrame(rows, columns=cols)
 
     in_schema = {f.name: f.dataType.simpleString() for f in records.schema}

@@ -362,7 +362,8 @@ def test_query_registry_invariants():
     # ann_pq_rerank_topk).  The round-9-verified blocks rotated to
     # the very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[:10] == [
+    assert gate[0] == "web_frontier_priority", "r11 gates hold the head"
+    assert gate[1:11] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
@@ -374,8 +375,8 @@ def test_query_registry_invariants():
         "multimodal_image_sharpness",
         "corpus_ngram_novelty",
     ], "window head must hold the new-this-round gates"
-    assert gate[10] == "corpus_decontaminate_bloom"
-    assert gate[49] == "ann_pq_rerank_topk"
+    assert gate[11] == "corpus_decontaminate_bloom"
+    assert gate[49] == "ann_pq_trained_topk"
     for name in (
         # the rounds-1-4/round-6 refresh block now in the window
         "w16_gapfill_linear",

@@ -1,0 +1,127 @@
+"""Round-14 block: priority frontier scheduling + host normalization,
+cardinality-preserving charset decode, MPEG-sync audio dispatch, and
+(as they land) modern-PDF xref/ObjStm, progressive JPEG, and MPEG-1
+Layer I/II decode."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# schedule_frontier: host normalization + priority ordering
+
+
+def test_schedule_frontier_strips_userinfo_and_port(spark):
+    """Decorated authorities (userinfo, port, case) must share the bare
+    host's politeness queue AND its broadcast Crawl-delay — a raw
+    authority key would split them into separate queues silently."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    urls = spark.createDataFrame(
+        [
+            ("http://h.test/a",),
+            ("http://crawler@h.test/b",),
+            ("http://H.test:8080/c",),
+            ("http://u:pw@H.TEST:80/d",),
+        ],
+        "url string",
+    )
+    delays = spark.createDataFrame(
+        [("h.test", 700)], "host string, delay_ms long"
+    )
+    rows = (
+        schedule_frontier(urls, delays, default_delay_ms=9999)
+        .orderBy("fetch_seq")
+        .collect()
+    )
+    assert {r.host for r in rows} == {"h.test"}
+    assert [r.fetch_seq for r in rows] == [1, 2, 3, 4]
+    # all four take h.test's delay, never the default
+    assert [r.fetch_after_ms for r in rows] == [0, 700, 1400, 2100]
+
+
+def test_schedule_frontier_priority_ordering(spark):
+    """priority_col reorders each host's queue descending, URL string
+    as the tie-break; fetch_after_ms follows the new sequence."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    urls = spark.createDataFrame(
+        [
+            ("http://h.test/low", 1),
+            ("http://h.test/hi", 9),
+            ("http://h.test/tie-b", 5),
+            ("http://h.test/tie-a", 5),
+            ("http://other.test/solo", 0),
+        ],
+        "url string, priority int",
+    )
+    out = (
+        schedule_frontier(urls, default_delay_ms=100, priority_col="priority")
+        .orderBy("host", "fetch_seq")
+        .collect()
+    )
+    h = [r.url for r in out if r.host == "h.test"]
+    assert h == [
+        "http://h.test/hi",
+        "http://h.test/tie-a",
+        "http://h.test/tie-b",
+        "http://h.test/low",
+    ]
+    assert [r.fetch_after_ms for r in out if r.host == "h.test"] == [
+        0, 100, 200, 300,
+    ]
+    assert [r.fetch_seq for r in out if r.host == "other.test"] == [1]
+
+
+# ---------------------------------------------------------------------------
+# http_text_records: cardinality preservation
+
+
+def test_http_text_records_null_payload_rows_survive(spark):
+    """A NULL payload yields a (NULL, NULL, NULL) row, never a dropped
+    one — record counts in must equal record counts out."""
+    from adtl_spark.sources.io import http_text_records
+
+    body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nhello"
+    recs = spark.createDataFrame(
+        [("u1", body), ("u2", None), ("u3", body)],
+        "target_uri string, content binary",
+    )
+    out = http_text_records(recs, passthrough=("target_uri",)).orderBy(
+        "target_uri"
+    )
+    rows = out.collect()
+    assert len(rows) == 3
+    null_row = rows[1]
+    assert null_row.target_uri == "u2"
+    assert null_row.http_status is None
+    assert null_row.charset is None
+    assert null_row.text is None
+    assert rows[0].http_status == 200 and rows[0].text == "hello"
+
+
+# ---------------------------------------------------------------------------
+# decode_audio: MPEG sync dispatch
+
+
+def test_decode_audio_routes_all_mpeg_sync_variants():
+    """MPEG-2/2.5 and protection-bit sync bytes must reach the mp3
+    registry seam instead of 'unrecognized audio payload'."""
+    from adtl_spark.operators import multimodal as M
+
+    seen = []
+
+    def spy(payload):
+        seen.append(bytes(payload[:2]))
+        return (8000, 1, 16, b"\x00\x00")
+
+    for first2 in (b"\xff\xfb", b"\xff\xf3", b"\xff\xf2", b"\xff\xfa",
+                   b"\xff\xe2"):
+        M.decode_audio(first2 + b"\x90\x00rest", {"mp3": spy})
+    assert len(seen) == 5
+    # a non-sync 0xFF prefix still fails loudly
+    with pytest.raises(ValueError, match="unrecognized audio"):
+        M.decode_audio(b"\xff\x1b\x90\x00", {"mp3": spy})
