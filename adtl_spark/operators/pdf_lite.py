@@ -19,15 +19,29 @@ Extractor scope (the "simple born-digital PDF" class):
   (kerning numbers ignored), literal strings with all escape forms
   (named, octal, line continuation, balanced nested parens) and hex
   strings; ``Td``/``TD``/``T*`` break lines
-* encrypted PDFs, CID/Type0 composite fonts, ToUnicode CMaps and
-  object streams (``/ObjStm``) are out of scope and raise/degrade
-  loudly (documented), not silently
+* MODERN LAYOUTS (PDF 1.5+, the default every current producer
+  emits): cross-reference STREAMS (``/Type /XRef``, W-array field
+  decoding, ``/Index`` subsections, PNG up/sub predictors via
+  ``/DecodeParms``) and object streams (``/Type /ObjStm`` — non-stream
+  objects packed into one compressed stream) both parse; ObjStm
+  members are inflated into the object table, with the xref stream's
+  type-2 entries deciding liveness against stale top-level versions
+  from incremental updates (multiple xref streams merge newest-first
+  by ``/Size``, the practical stand-in for the ``/Prev`` chain once
+  byte offsets are abstracted away by the direct object scan)
+* encrypted PDFs, CID/Type0 composite fonts and ToUnicode CMaps
+  remain out of scope and raise/degrade loudly (documented), not
+  silently
 
-The writer emits spec-valid PDFs (correct xref offsets, trailer,
-page tree, Flate-compressed content) so fixtures are real files any
-PDF reader opens.  Per-payload Python meant for Arrow ``mapInPandas``
-batches, like the repo's other codecs; swap-in point for pdfium/poppler
-in production is the single ``pdf_pages`` call site.
+The writers emit spec-valid PDFs so fixtures are real files any PDF
+reader opens: :func:`build_pdf` the classic layout (correct xref
+table offsets, trailer, page tree, Flate-compressed content),
+:func:`build_pdf_modern` the PDF-1.5 layout (page tree and catalog
+inside an ObjStm, xref stream with PNG Predictor-12 rows — the
+structure pdftex/word/chrome produce).  Per-payload Python meant for
+Arrow ``mapInPandas`` batches, like the repo's other codecs; swap-in
+point for pdfium/poppler in production is the single ``pdf_pages``
+call site.
 """
 
 from __future__ import annotations
@@ -35,7 +49,7 @@ from __future__ import annotations
 import re
 import zlib
 
-__all__ = ["pdf_pages", "pdf_text", "build_pdf"]
+__all__ = ["pdf_pages", "pdf_text", "build_pdf", "build_pdf_modern"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
@@ -49,6 +63,15 @@ _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+_TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+_TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_NMEMB_RE = re.compile(rb"/N\s+(\d+)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
+_COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
 def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
@@ -111,6 +134,148 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         guard = end + len(b"endobj")
         # latest definition wins (incremental updates append new versions)
         objects[num] = (body, stream)
+    return objects
+
+
+def _png_unpredict(data: bytes, columns: int, predictor: int) -> bytes:
+    """Undo the PNG row predictors (/DecodeParms /Predictor >= 10) a
+    producer may apply to an xref stream's rows: each row is one filter
+    byte + ``columns`` data bytes.  Only filters None(0), Sub(1) and
+    Up(2) appear in practice for xref data (byte-aligned integer
+    columns); Average/Paeth decode too for completeness — the algorithm
+    is the PNG spec's, one pass, previous row retained."""
+    if predictor < 10:
+        if predictor in (0, 1):
+            return data
+        raise NotImplementedError(f"/Predictor {predictor} (TIFF) unsupported")
+    row_len = columns + 1
+    if len(data) % row_len:
+        raise ValueError("xref stream predictor rows misaligned")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_len):
+        ftype = data[r]
+        row = bytearray(data[r + 1 : r + row_len])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} in xref stream")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _decode_xref_stream(body: bytes, stream: bytes) -> dict[int, tuple]:
+    """Decode one xref STREAM's entry table (ISO 32000-1 §7.5.8): the
+    /W array gives the three field widths (a zero width means the
+    field defaults — type defaults to 1), /Index the (start, count)
+    subsections (default [0 /Size]).  Returns object number ->
+    (type, field2, field3): type 1 = top-level at byte offset field2,
+    type 2 = member field3 of object stream field2, type 0 = free."""
+    wm = _W_RE.search(body)
+    sm = _SIZE_RE.search(body)
+    if wm is None or sm is None:
+        raise ValueError("xref stream missing /W or /Size")
+    w = [int(x) for x in wm.group(1).split()]
+    if len(w) != 3:
+        raise ValueError(f"xref stream /W has {len(w)} fields, expected 3")
+    size = int(sm.group(1))
+    im = _INDEX_RE.search(body)
+    idx = [int(x) for x in im.group(1).split()] if im else [0, size]
+    pm = _PREDICTOR_RE.search(body)
+    if pm is not None:
+        cm = _COLUMNS_RE.search(body)
+        stream = _png_unpredict(
+            stream, int(cm.group(1)) if cm else 1, int(pm.group(1))
+        )
+    row_len = sum(w)
+    entries: dict[int, tuple] = {}
+    pos = 0
+    for start, count in zip(idx[0::2], idx[1::2]):
+        for i in range(count):
+            row = stream[pos : pos + row_len]
+            if len(row) < row_len:
+                raise ValueError("xref stream entry table truncated")
+            pos += row_len
+            fields = []
+            o = 0
+            for width in w:
+                fields.append(
+                    int.from_bytes(row[o : o + width], "big") if width else None
+                )
+                o += width
+            t = fields[0] if w[0] else 1  # §7.5.8.3: missing type means 1
+            entries[start + i] = (t, fields[1], fields[2])
+    return entries
+
+
+def _parse_objstm(body: bytes, stream: bytes) -> list[tuple[int, bytes]]:
+    """Split an object stream (/Type /ObjStm) into its member objects:
+    the first /First bytes hold /N (objnum, offset) integer pairs;
+    each member's bytes run from /First + offset to the next member's
+    start (the members are plain dicts/arrays — the spec forbids
+    streams inside an ObjStm)."""
+    nm, fm = _NMEMB_RE.search(body), _FIRST_RE.search(body)
+    if nm is None or fm is None:
+        raise ValueError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = stream[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("ObjStm header shorter than /N pairs")
+    pairs = [
+        (int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)
+    ]
+    out = []
+    for i, (num, off) in enumerate(pairs):
+        end = first + pairs[i + 1][1] if i + 1 < n else len(stream)
+        out.append((num, stream[first + off : end]))
+    return out
+
+
+def _expand_object_streams(
+    objects: dict[int, tuple[bytes, bytes | None]],
+) -> dict[int, tuple[bytes, bytes | None]]:
+    """Inflate every ObjStm member into the object table.  Liveness:
+    a top-level (direct-scan) definition wins UNLESS a cross-reference
+    stream's type-2 entry names the ObjStm copy as live (the
+    incremental-update case where an appended xref re-routes an object
+    into a new ObjStm).  Multiple xref streams merge newest-first by
+    /Size — the byte-offset /Prev chain is meaningless after a direct
+    object scan, and a newer update's /Size is never smaller."""
+    xref_entries: dict[int, tuple] = {}
+    xrefs = []
+    for num, (body, stream) in objects.items():
+        if _TYPE_XREF_RE.search(body) and stream is not None:
+            sm = _SIZE_RE.search(body)
+            xrefs.append((int(sm.group(1)) if sm else 0, body, stream))
+    for _size, body, stream in sorted(xrefs, key=lambda t: -t[0]):
+        for num, entry in _decode_xref_stream(body, stream).items():
+            xref_entries.setdefault(num, entry)  # newest-first: first wins
+    for num, (body, stream) in list(objects.items()):
+        if stream is not None and _TYPE_OBJSTM_RE.search(body):
+            for onum, obody in _parse_objstm(body, stream):
+                entry = xref_entries.get(onum)
+                live_here = entry is not None and entry[0] == 2 and entry[1] == num
+                if onum not in objects or live_here:
+                    objects[onum] = (obody, None)
     return objects
 
 
@@ -243,7 +408,7 @@ def pdf_pages(payload: bytes) -> list[str]:
         raise ValueError("not a PDF payload")
     if _ENCRYPT_RE.search(payload):
         raise NotImplementedError("encrypted PDFs are out of scope")
-    objects = _scan_objects(payload)
+    objects = _expand_object_streams(_scan_objects(payload))
 
     # page order: catalog -> /Pages -> depth-first /Kids
     ordered: list[int] = []
@@ -367,4 +532,118 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, xref_off)
     )
+    return bytes(out)
+
+
+def build_pdf_modern(
+    pages: list[list[str]], compress: bool = True, predictor: bool = True
+) -> bytes:
+    """Write a PDF-1.5 modern-layout file — the structure every current
+    producer (pdftex, Word, Chrome's print-to-PDF) emits and the reason
+    classic-only parsers miss most real-world PDFs: the catalog, page
+    tree, font and page dicts live inside ONE compressed object stream
+    (/Type /ObjStm); the cross-reference is an xref STREAM (/Type
+    /XRef, W [1 2 2] fields, type-2 entries addressing the ObjStm
+    members, PNG Predictor-12 row filtering when ``predictor``) and
+    there is no classic trailer — ``startxref`` points at the xref
+    stream object.  Content streams stay top-level (the spec forbids
+    streams inside an ObjStm).  Fixture-side counterpart of the
+    modern-layout read path (:func:`_decode_xref_stream`,
+    :func:`_parse_objstm`); any conformant viewer opens the output."""
+    npg = len(pages)
+    # numbering: 1 catalog, 2 pages node, 3 font, 4..3+npg page dicts
+    # (all ObjStm members); then npg content streams, the ObjStm, the
+    # xref stream — streams are top-level objects
+    content_nums = [4 + npg + i for i in range(npg)]
+    objstm_num = 4 + 2 * npg
+    xref_num = objstm_num + 1
+    kids = " ".join(f"{4 + i} 0 R" for i in range(npg))
+    members: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    contents: list[bytes] = []
+    for i, lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_literal(line)}) Tj")
+        ops.append("ET")
+        data = " ".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            data = zlib.compress(data, 9)
+            filt = b"/Filter /FlateDecode "
+        contents.append(
+            b"<< %s/Length %d >>\nstream\n%s\nendstream" % (filt, len(data), data)
+        )
+        members.append(
+            (
+                4 + i,
+                b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 3 0 R >> >> "
+                b"/Contents %d 0 R >>" % content_nums[i],
+            )
+        )
+    # assemble the ObjStm: header of (objnum, offset) pairs, then bodies
+    bodies = bytearray()
+    header = []
+    for num, body in members:
+        header.append(f"{num} {len(bodies)}")
+        bodies += body + b"\n"
+    hdr = (" ".join(header) + "\n").encode()
+    stm_raw = hdr + bytes(bodies)
+    stm_data = zlib.compress(stm_raw, 9)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (len(members), len(hdr), len(stm_data), stm_data)
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in list(zip(content_nums, contents)) + [
+        (objstm_num, objstm_body)
+    ]:
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+
+    # xref stream entries, W = [1 2 2]: obj 0 free; ObjStm members are
+    # type-2 (stream number, member index); streams are type-1 offsets
+    xref_off = len(out)
+    offsets[xref_num] = xref_off
+    size = xref_num + 1
+    rows = []
+    entry: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
+    for i, (num, _b) in enumerate(members):
+        entry[num] = (2, objstm_num, i)
+    for num in content_nums + [objstm_num, xref_num]:
+        entry[num] = (1, offsets[num], 0)
+    for num in range(size):
+        t, f2, f3 = entry[num]
+        rows.append(bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(2, "big"))
+    columns = 5
+    if predictor:
+        filtered = bytearray()
+        prev = bytes(columns)
+        for row in rows:
+            filtered.append(2)  # PNG Up
+            filtered += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+            prev = row
+        xdata = zlib.compress(bytes(filtered), 9)
+        parms = b"/DecodeParms << /Predictor 12 /Columns 5 >> "
+    else:
+        xdata = zlib.compress(b"".join(rows), 9)
+        parms = b""
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 2 2] /Root 1 0 R "
+        b"/Filter /FlateDecode %s/Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (size, parms, len(xdata), xdata)
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
     return bytes(out)

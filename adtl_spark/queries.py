@@ -4130,6 +4130,52 @@ def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def doc_pdf_extract_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODERN-layout PDF ingestion (PDF 1.5+ — the default every
+    current producer emits) value-checked end to end: per document a
+    real xref-STREAM file is written — catalog/page-tree/page dicts
+    packed in a compressed object stream, W-array xref entries
+    (type-2 members + type-1 stream offsets), PNG Predictor-12 row
+    filtering on even ids and unfiltered rows on odd — and the
+    extraction path runs the full modern chain: direct object scan,
+    xref-stream W decoding + predictor unfiltering, ObjStm member
+    inflation, page-tree walk, content lexing.  The oracle rebuilds
+    the page slices from ``documents`` with substr arithmetic, so the
+    modern write→extract chain must be an exact identity
+    (operators/pdf_lite.py: build_pdf_modern, _decode_xref_stream,
+    _parse_objstm)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.pdf_lite import build_pdf_modern, pdf_pages
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = t or ""
+                np_ = 1 + d % 3
+                pages = [[t[40 * p : 40 * p + 40]] for p in range(np_)]
+                payload = build_pdf_modern(pages, predictor=(d % 2 == 0))
+                got = pdf_pages(payload)
+                text = "\n".join(got)
+                rows.append((d, len(got), text, len(text), d % 2 == 0))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_pages", "text", "n_chars", "predictor"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, n_pages long, text string, n_chars long, "
+            "predictor boolean"
+        ),
+    ).orderBy("doc_id")
+
+
 def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CommonCrawl ``.warc.gz`` wire format exercised end to end:
     per document a WARC response record (correct Content-Length) is
@@ -8911,6 +8957,30 @@ def oracles() -> dict[str, str]:
                                         '')) AS BIGINT) AS n_chars
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
+        # same substr arithmetic as the classic gate; the modern layout
+        # (ObjStm + xref stream + predictor rows) must extract identically
+        "doc_pdf_extract_modern": """
+            WITH d AS (
+              SELECT doc_id, text, 1 + doc_id % 3 AS np FROM documents
+            ),
+            p AS (
+              SELECT doc_id, np, text,
+                     unnest(generate_series(0, CAST(np - 1 AS BIGINT))) AS p
+              FROM d
+            ),
+            pg AS (
+              SELECT doc_id, np, p,
+                     substr(text, CAST(1 + 40 * p AS BIGINT), 40) AS pt
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(MAX(np) AS BIGINT) AS n_pages,
+                   COALESCE(string_agg(pt, chr(10) ORDER BY p), '') AS text,
+                   CAST(length(COALESCE(string_agg(pt, chr(10) ORDER BY p),
+                                        '')) AS BIGINT) AS n_chars,
+                   doc_id % 2 = 0 AS predictor
+            FROM pg GROUP BY doc_id ORDER BY doc_id
+        """,
         # exact byte accounting; the ratio ORDER is the pinned invariant
         "quality_compression_ratio": """
             SELECT doc_id,
@@ -10091,6 +10161,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- r11 window head: the gates new this round --
         "web_frontier_priority": web_frontier_priority,
+        "doc_pdf_extract_modern": doc_pdf_extract_modern,
         # -- r10 block --
         "web_sitemap_index": web_sitemap_index,
         "web_frontier_compose": web_frontier_compose,

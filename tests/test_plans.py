@@ -362,8 +362,13 @@ def test_query_registry_invariants():
     # ann_pq_rerank_topk).  The round-9-verified blocks rotated to
     # the very tail (freshest rows last), behind round-7 and round-8.
     gate = list(qs)[:50]
-    assert gate[0] == "web_frontier_priority", "r11 gates hold the head"
-    assert gate[1:11] == [
+    r11 = [
+        "web_frontier_priority",
+        "doc_pdf_extract_modern",
+    ]
+    n11 = len(r11)
+    assert gate[:n11] == r11, "r11 gates hold the head"
+    assert gate[n11 : n11 + 10] == [
         "web_sitemap_index",
         "web_frontier_compose",
         "web_wet_charset",
@@ -375,12 +380,11 @@ def test_query_registry_invariants():
         "multimodal_image_sharpness",
         "corpus_ngram_novelty",
     ], "window head must hold the new-this-round gates"
-    assert gate[11] == "corpus_decontaminate_bloom"
-    assert gate[49] == "ann_pq_trained_topk"
+    assert gate[n11 + 10] == "corpus_decontaminate_bloom"
     for name in (
-        # the rounds-1-4/round-6 refresh block now in the window
+        # the rounds-1-4 refresh block still in the window mid-round
+        # (the final r11 rotation swaps in the round-6/7 queue)
         "w16_gapfill_linear",
-        "ann_pq_trained_topk",
         "olap_cube",
         "q2_best_supplier",
         "graph_triangles",

@@ -125,3 +125,60 @@ def test_decode_audio_routes_all_mpeg_sync_variants():
     # a non-sync 0xFF prefix still fails loudly
     with pytest.raises(ValueError, match="unrecognized audio"):
         M.decode_audio(b"\xff\x1b\x90\x00", {"mp3": spy})
+
+
+# ---------------------------------------------------------------------------
+# Modern PDF layouts: xref streams + object streams
+
+
+def _modern_pages():
+    return [["Hello (world) \\ one", "line two"], ["page 2"], ["p3 àé"]]
+
+
+def test_pdf_modern_roundtrip_all_variants():
+    from adtl_spark.operators.pdf_lite import build_pdf_modern, pdf_pages
+
+    pages = _modern_pages()
+    want = ["\n".join(p) for p in pages]
+    for predictor in (True, False):
+        for compress in (True, False):
+            payload = build_pdf_modern(
+                pages, compress=compress, predictor=predictor
+            )
+            assert pdf_pages(payload) == want, (predictor, compress)
+    payload = build_pdf_modern(pages)
+    # really the modern layout: xref stream + ObjStm, no classic trailer
+    assert b"trailer" not in payload
+    assert b"/Type /XRef" in payload and b"/Type /ObjStm" in payload
+
+
+def test_pdf_modern_xref_decides_liveness_on_incremental_update():
+    """A stale top-level copy of an ObjStm member (the incremental-
+    update shape) must lose to the xref stream's type-2 entry."""
+    from adtl_spark.operators.pdf_lite import build_pdf_modern, pdf_pages
+
+    pages = [["live text"]]
+    payload = build_pdf_modern(pages)
+    stale = (
+        b"4 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 999 0 R >>\n"
+        b"endobj\n"
+    )
+    assert pdf_pages(payload + stale) == ["live text"]
+
+
+def test_pdf_png_unpredict_filters():
+    from adtl_spark.operators.pdf_lite import _png_unpredict
+
+    raw = bytes([1, 2, 3, 4, 5, 6])  # two rows of three columns
+    # Sub filter: row[i] += row[i-1]
+    sub = bytes([1, 1, 1, 1]) + bytes([1, 4, 1, 1])
+    assert _png_unpredict(sub, 3, 12) == bytes([1, 2, 3, 4, 5, 6])
+    # Up filter round trip
+    up = bytes([2, 1, 2, 3]) + bytes([2, 3, 3, 3])
+    assert _png_unpredict(up, 3, 12) == raw
+    # predictor 1 = identity
+    assert _png_unpredict(b"anything", 99, 1) == b"anything"
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _png_unpredict(b"\x00" * 4, 3, 2)
