@@ -7,8 +7,13 @@ entropy decoding, dequant + IDCT + chroma upsample + YCbCr->RGB):
 
 - **decode**: baseline sequential DCT (SOF0), 8-bit, 1- or 3-component,
   any sampling factors in {1,2} (4:4:4, 4:2:2, 4:2:0), restart
-  intervals, byte-stuffing.  Progressive (SOF2) and arithmetic coding
-  raise NotImplementedError; malformed streams raise ValueError.
+  intervals, byte-stuffing; AND progressive DCT (SOF2, T.81 Annex G) —
+  spectral selection, successive approximation, EOB runs spanning
+  blocks, DC/AC refinement scans (see ``_ProgressiveState``), so the
+  large share of web JPEGs encoded progressively feed the dedup /
+  sharpness / augment operators instead of being skipped.  Arithmetic
+  coding, lossless and hierarchical modes raise NotImplementedError;
+  malformed streams raise ValueError.
 - **encode**: baseline 4:4:4 (or grayscale) with SELF-DESCRIBING
   canonical Huffman tables — every table the encoder uses is written to
   its DHT segment (12 four-bit DC codes; all 162 AC symbols at eight
@@ -321,6 +326,218 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quality: int = 90,
+    gray: bool = False,
+) -> bytes:
+    """Progressive (SOF2) JFIF encoding of packed RGB (or single-channel
+    with ``gray``) — the fixture-side counterpart of the progressive
+    decode path.  4:4:4 (no subsampling); the scan script exercises all
+    four progressive scan kinds: an interleaved DC first scan at Al=1,
+    a DC refinement scan, per-component spectral-selection AC first
+    scans (bands 1-5 and 6-63 at Al=2), and two successive-approximation
+    AC refinement passes per band (Al 2->1->0).  QUANTIZATION IS
+    IDENTICAL to :func:`encode_jpeg` at the same quality (same DCT,
+    tables, rounding), so a conformant decoder reconstructs EXACTLY the
+    same pixels from both encodings — the gate's feature-exact check.
+    Emits EOB runs of length one (per-block), which keeps the encoder's
+    correction-bit bookkeeping local to a block; decoders must handle
+    any run length and ours does (tested against hand-built streams)."""
+    nchan = 1 if gray else 3
+    if len(rgb) != width * height * nchan:
+        raise ValueError(
+            f"pixel buffer {len(rgb)} != {width}x{height}x{nchan}"
+        )
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, nchan)
+    a = a.astype(np.float64)
+    if gray:
+        raw_planes = [a[:, :, 0]]
+    else:
+        r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        raw_planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    bw, bh = -(-width // 8), -(-height // 8)
+    q0, q1 = _quality_tables(quality)
+    qtables = [q0] + ([] if gray else [q1])
+    coef: list[np.ndarray] = []  # per comp, (bh, bw, 64) zigzag ints
+    for ci in range(nchan):
+        p = np.pad(
+            raw_planes[ci],
+            ((0, bh * 8 - height), (0, bw * 8 - width)),
+            mode="edge",
+        ) - 128.0
+        blocks = p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+        coefs = np.einsum(
+            "ij,yxjk,kl->yxil", _DCT_M, blocks, _DCT_M.T, optimize=True
+        )
+        qt = qtables[0 if ci == 0 else 1]
+        quant = np.round(coefs / qt).astype(np.int64).reshape(bh, bw, 64)
+        coef.append(quant[:, :, _ZIGZAG])
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += _dqt_segment(0, q0)
+    if not gray:
+        out += _dqt_segment(1, q1)
+    comp = b""
+    for ci in range(nchan):
+        comp += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    sof = struct.pack(">BHHB", 8, height, width, nchan) + comp
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, _DC_BITS, _DC_VALS)
+    out += _dht_segment(1, 0, _AC_BITS, _AC_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_BITS, _DC_VALS)
+        out += _dht_segment(1, 1, _AC_BITS, _AC_VALS)
+
+    def sos(comps_tables: list[tuple[int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(comps_tables)])
+        for cid, tbl in comps_tables:
+            body += bytes([cid, tbl])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # --- scan 1: DC first, all components interleaved, Al=1 ---
+    w = _BitWriter()
+    preds = [0] * nchan
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nchan):
+                t = int(coef[ci][by, bx, 0]) >> 1  # point transform
+                diff = t - preds[ci]
+                preds[ci] = t
+                size = _category(diff)
+                code, length = dc_codes[size]
+                w.write(code, length)
+                if size:
+                    w.write(_amplitude(diff, size), size)
+    out += sos(
+        [(ci + 1, (0 if ci == 0 else 1) << 4) for ci in range(nchan)],
+        0, 0, 0, 1,
+    )
+    out += w.flush()
+
+    # --- scan 2: DC refinement, Al=0 (one raw bit per block) ---
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nchan):
+                w.write(int(coef[ci][by, bx, 0]) & 1, 1)
+    out += sos([(ci + 1, 0) for ci in range(nchan)], 0, 0, 1, 0)
+    out += w.flush()
+
+    # --- AC scans per component: spectral bands, then refinements ---
+    bands = [(1, 5), (6, 63)]
+    for ci in range(nchan):
+        ta = 0 if ci == 0 else 1
+        for ss_, se_ in bands:
+            out += sos([(ci + 1, ta)], ss_, se_, 0, 2)
+            out += _encode_ac_first(coef[ci], ss_, se_, 2, ac_codes)
+        for ah_, al_ in ((2, 1), (1, 0)):
+            for ss_, se_ in bands:
+                out += sos([(ci + 1, ta)], ss_, se_, ah_, al_)
+                out += _encode_ac_refine(coef[ci], ss_, se_, al_, ac_codes)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_ac_first(zz: np.ndarray, ss: int, se: int, al: int,
+                     ac_codes: dict) -> bytes:
+    """One AC first scan (Ah=0) over every block of one component:
+    run-length coding of the point-transformed band, per-block EOB."""
+    bh, bw, _ = zz.shape
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            band = zz[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(band[k])
+                v = (abs(v) >> al) * (1 if v >= 0 else -1)
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                size = _category(v)
+                code, length = ac_codes[(run << 4) | size]
+                w.write(code, length)
+                w.write(_amplitude(v, size), size)
+                run = 0
+            if run:
+                code, length = ac_codes[0x00]  # EOB (run length 1)
+                w.write(code, length)
+    return w.flush()
+
+
+def _encode_ac_refine(zz: np.ndarray, ss: int, se: int, al: int,
+                      ac_codes: dict) -> bytes:
+    """One AC refinement scan (Ah=Al+1): for each block, newly-
+    significant coefficients (|v|>>Al == 1) are inserted with s=1
+    symbols; already-significant ones (|v|>>(Al+1) != 0) contribute one
+    correction bit each, interleaved exactly where the decoder's
+    advance loop consumes them (T.81 G.1.2.3); per-block EOB carries
+    the tail correction bits."""
+    bh, bw, _ = zz.shape
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            band = zz[by, bx]
+            k = ss
+            while k <= se:
+                run = 0
+                corr: list[int] = []
+                j = k
+                nextsig = None
+                while j <= se:
+                    v = int(band[j])
+                    if abs(v) >> (al + 1):  # history-nonzero
+                        corr.append((abs(v) >> al) & 1)
+                    elif (abs(v) >> al) == 1:  # newly significant
+                        nextsig = j
+                        break
+                    else:
+                        if run == 15:
+                            break  # ZRL boundary: 16 zeros accumulated
+                        run += 1
+                    j += 1
+                if nextsig is not None:
+                    code, length = ac_codes[(run << 4) | 1]
+                    w.write(code, length)
+                    w.write(1 if int(band[nextsig]) > 0 else 0, 1)
+                    for bit in corr:
+                        w.write(bit, 1)
+                    k = nextsig + 1
+                elif j <= se:  # broke on the ZRL boundary (16th zero)
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    for bit in corr:
+                        w.write(bit, 1)
+                    k = j + 1
+                else:  # end of band: EOB (run 1) + tail correction bits
+                    code, length = ac_codes[0x00]
+                    w.write(code, length)
+                    for bit in corr:
+                        w.write(bit, 1)
+                    k = se + 1
+    return w.flush()
+
+
 # --------------------------------------------------------------- decoder
 
 
@@ -431,10 +648,228 @@ def _decode_block(
     return out.reshape(8, 8), dc
 
 
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding — ITU-T
+    T.81 Annex G.  Each scan deposits bits into per-component zigzag
+    coefficient arrays; after the last scan one vectorized
+    dequant + IDCT produces the sample planes.
+
+    Scan kinds (G.1.2): DC first (interleaved or single-component,
+    Huffman diff coding of the point-transformed DC), DC refinement
+    (one raw bit per block), AC first (single-component run-length
+    with EOBn end-of-band runs, values shifted left by the
+    successive-approximation low bit), AC refinement (correction bits
+    for already-nonzero coefficients interleaved with newly-significant
+    +-1<<Al insertions — the spec's trickiest bitstream, G.1.2.3).
+    Non-interleaved scans cover the component's TRUE block grid
+    (ceil(comp dims / 8)), not the MCU-padded grid — the two differ
+    whenever the image size is not an MCU multiple."""
+
+    def __init__(self, comps: list[dict], width: int, height: int) -> None:
+        self.comps = comps
+        self.maxh = max(c["h"] for c in comps)
+        self.maxv = max(c["v"] for c in comps)
+        self.mcus_x = (width + 8 * self.maxh - 1) // (8 * self.maxh)
+        self.mcus_y = (height + 8 * self.maxv - 1) // (8 * self.maxv)
+        self.by_id = {c["id"]: i for i, c in enumerate(comps)}
+        self.dims: list[tuple[int, int, int, int]] = []  # bw, bh, pw, ph
+        self.coef: list[np.ndarray] = []
+        for c in comps:
+            cw = -(-width * c["h"] // self.maxh)
+            chh = -(-height * c["v"] // self.maxv)
+            bw, bh = -(-cw // 8), -(-chh // 8)
+            pw, ph = self.mcus_x * c["h"], self.mcus_y * c["v"]
+            self.dims.append((bw, bh, pw, ph))
+            self.coef.append(np.zeros((ph, pw, 64), dtype=np.int32))
+
+    # ---- per-scan decoding ----
+
+    def decode_scan(
+        self, payload, pos, scan_comps, ss, se, ah, al,
+        dc_trees, ac_trees, restart_interval,
+    ):
+        """Decode one scan's entropy data starting at ``pos``; returns
+        the position of the next marker."""
+        if ss == 0 and se != 0:
+            raise ValueError("progressive scan mixes DC and AC bands")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        br = _BitReader(payload, pos)
+        self._eobrun = 0
+        preds = [0] * len(self.comps)
+        if len(scan_comps) > 1:
+            # interleaved (DC only): MCU order over all scan components
+            units = []
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    mcu = []
+                    for cs, td, _ta in scan_comps:
+                        ci = self.by_id[cs]
+                        c = self.comps[ci]
+                        for vy in range(c["v"]):
+                            for vx in range(c["h"]):
+                                mcu.append(
+                                    (ci, my * c["v"] + vy, mx * c["h"] + vx, td)
+                                )
+                    units.append(mcu)
+        else:
+            cs, td, ta = scan_comps[0]
+            ci = self.by_id[cs]
+            bw, bh, _pw, _ph = self.dims[ci]
+            units = [
+                [(ci, by, bx, td)] for by in range(bh) for bx in range(bw)
+            ]
+        try:
+            return self._run_units(
+                br, payload, units, scan_comps, ss, se, ah, al,
+                dc_trees, ac_trees, restart_interval, preds,
+            )
+        except IndexError:
+            raise ValueError("truncated JPEG entropy data") from None
+
+    def _run_units(
+        self, br, payload, units, scan_comps, ss, se, ah, al,
+        dc_trees, ac_trees, restart_interval, preds,
+    ):
+        n_done = 0
+        for mcu in units:
+            if restart_interval and n_done and n_done % restart_interval == 0:
+                br.align_to_marker()
+                nxt = br.data[br.pos + 1]
+                if not (0xD0 <= nxt <= 0xD7):
+                    raise ValueError("expected restart marker in scan")
+                br.pos += 2
+                br.acc = br.nbits = 0
+                preds = [0] * len(self.comps)
+                self._eobrun = 0
+            try:
+                for ci, by, bx, td in mcu:
+                    if ss == 0:
+                        self._dc_unit(br, ci, by, bx, td, ah, al,
+                                      dc_trees, preds)
+                    else:
+                        _cs, _td, ta = scan_comps[0]
+                        self._ac_unit(br, ci, by, bx, ta, ss, se, ah, al,
+                                      ac_trees)
+            except _RestartMarker:
+                raise ValueError("unexpected restart marker mid-unit")
+            n_done += 1
+        # align to the next marker (skip pad bits / stray fill bytes)
+        p = br.pos
+        n = len(payload)
+        while p + 1 < n and not (
+            payload[p] == 0xFF
+            and payload[p + 1] != 0x00
+            and not (0xD0 <= payload[p + 1] <= 0xD7)
+        ):
+            p += 1
+        return p
+
+    def _dc_unit(self, br, ci, by, bx, td, ah, al, dc_trees, preds):
+        if ah == 0:
+            size = dc_trees[td].decode(br)
+            diff = _extend(br.receive(size), size) if size else 0
+            preds[ci] += diff
+            self.coef[ci][by, bx, 0] = preds[ci] << al
+        else:  # refinement: one raw bit
+            if br.read_bit():
+                self.coef[ci][by, bx, 0] |= 1 << al
+
+    def _ac_unit(self, br, ci, by, bx, ta, ss, se, ah, al, ac_trees):
+        zz = self.coef[ci][by, bx]
+        if ah == 0:
+            if self._eobrun:
+                self._eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                sym = ac_trees[ta].decode(br)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r < 15:  # EOBn: run of 2^r + receive(r) blocks
+                        self._eobrun = (1 << r) - 1
+                        if r:
+                            self._eobrun += br.receive(r)
+                        return
+                    k += 16  # ZRL
+                else:
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run past band end")
+                    zz[k] = _extend(br.receive(s), s) << al
+                    k += 1
+            return
+        # refinement (G.1.2.3): correction bits for history-nonzero
+        # coefficients interleaved with newly-significant insertions
+        p1 = 1 << al
+        k = ss
+        if self._eobrun == 0:
+            while k <= se:
+                sym = ac_trees[ta].decode(br)
+                r, s = sym >> 4, sym & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        self._eobrun = 1 << r
+                        if r:
+                            self._eobrun += br.receive(r)
+                        break
+                    # r == 15: ZRL — skip 16 zero-history positions
+                elif s == 1:
+                    newval = p1 if br.read_bit() else -p1
+                else:
+                    raise ValueError("bad AC refinement magnitude")
+                while k <= se:
+                    v = int(zz[k])
+                    if v != 0:
+                        if br.read_bit() and (abs(v) & p1) == 0:
+                            zz[k] = v + (p1 if v > 0 else -p1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval:
+                    if k > se:
+                        raise ValueError("refinement insertion past band")
+                    zz[k] = newval
+                k += 1
+        if self._eobrun > 0:
+            while k <= se:
+                v = int(zz[k])
+                if v != 0 and br.read_bit() and (abs(v) & p1) == 0:
+                    zz[k] = v + (p1 if v > 0 else -p1)
+                k += 1
+            self._eobrun -= 1
+
+    # ---- final reconstruction ----
+
+    def idct_planes(self, qtables) -> list[np.ndarray]:
+        """Vectorized dequant + IDCT over every block of every
+        component: one einsum per component, no per-block Python."""
+        planes = []
+        for ci, c in enumerate(self.comps):
+            _bw, _bh, pw, ph = self.dims[ci]
+            zz = self.coef[ci]  # (ph, pw, 64) zigzag order
+            nat = np.zeros_like(zz)
+            nat[:, :, _ZIGZAG] = zz
+            blocks = nat.reshape(ph, pw, 8, 8).astype(np.float64)
+            blocks *= qtables[c["tq"]]
+            out = np.einsum(
+                "ij,yxjk,kl->yxil", _DCT_M.T, blocks, _DCT_M, optimize=True
+            )
+            plane = out.transpose(0, 2, 1, 3).reshape(ph * 8, pw * 8)
+            planes.append(plane)
+        return planes
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline sequential JFIF/JPEG payload to (width, height,
-    rgb_bytes) — same contract as decode_png/decode_ppm.  Grayscale
-    replicates to RGB; 4:2:0/4:2:2 chroma upsamples by replication."""
+    """Decode a baseline-sequential (SOF0/1) or progressive (SOF2)
+    JFIF/JPEG payload to (width, height, rgb_bytes) — same contract as
+    decode_png/decode_ppm.  Grayscale replicates to RGB; 4:2:0/4:2:2
+    chroma upsamples by replication.  Progressive files accumulate
+    coefficients scan by scan (``_ProgressiveState``) and reconstruct
+    with one vectorized dequant+IDCT at the end."""
     if not payload.startswith(b"\xff\xd8"):
         raise ValueError("not a JPEG payload (no SOI)")
     pos = 2
@@ -445,6 +880,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
     width = height = None
     restart_interval = 0
     scan_comps = None
+    progressive = False
+    prog = None
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -478,7 +915,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 tree = _HuffTree(bits, vals)
                 (dc_trees if tclass == 0 else ac_trees)[tid] = tree
                 p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, height, width, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for i in range(nc):
@@ -486,10 +924,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF marker 0xFF{marker:02X} (progressive/extended) "
-                "unsupported; baseline sequential only"
+                f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
+                "hierarchical) unsupported; baseline + progressive only"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
@@ -500,8 +938,28 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 cs, tables = body[1 + 2 * i], body[2 + 2 * i]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
             pos = pos + 2 + seglen
-            break
+            if not progressive:
+                break
+            # progressive: decode this scan into the coefficient store
+            # and keep walking markers (DHT/DQT may precede later scans)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _ProgressiveState(comps, width, height)
+            pos = prog.decode_scan(
+                payload, pos, scan_comps, ss, se, ahal >> 4, ahal & 0x0F,
+                dc_trees, ac_trees, restart_interval,
+            )
+            scan_comps = None
+            continue
         pos += 2 + seglen
+    if progressive:
+        if prog is None:
+            raise ValueError("progressive JPEG with no scans")
+        planes = prog.idct_planes(qtables)
+        return _assemble_planes(
+            comps, planes, prog.maxh, prog.maxv, width, height
+        )
     if width is None or scan_comps is None:
         raise ValueError("JPEG missing SOF or SOS")
     if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
@@ -566,6 +1024,12 @@ def _decode_scan(
                 raise ValueError("unexpected restart marker mid-MCU")
             mcu_count += 1
 
+    return _assemble_planes(comps, planes, maxh, maxv, width, height)
+
+
+def _assemble_planes(comps, planes, maxh, maxv, width, height):
+    """Shared tail of both decode paths: level-shift, chroma upsample
+    by replication, crop to the true dimensions, YCbCr->RGB."""
     full = []
     for i, c in enumerate(comps):
         p = planes[i] + 128.0

@@ -5791,6 +5791,89 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive JPEG (SOF2) decode value-checked against the
+    baseline decode OF THE SAME PIXELS: per document a deterministic
+    noisy image (byte j = (seed*31 + j*131) % 256 — maximal AC energy,
+    every refinement path exercised) is encoded BOTH ways at the same
+    quality; encode_jpeg_progressive quantizes identically to
+    encode_jpeg, so the progressive decode must be BYTE-EXACT equal to
+    the baseline decode (``exact``), and the downstream corpus screens
+    must agree: the progressive payloads run through the real
+    image_sharpness operator (decode_image dispatch — progressive
+    files no longer raise) and their integer Laplacian stats must
+    match the baseline payloads' (``sharp_match``).  The oracle pins
+    dims from id arithmetic and both booleans TRUE
+    (operators/jpeg_lite.py: _ProgressiveState, encode_jpeg_progressive)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.jpeg_lite import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 12 + d % 13, 10 + (d * 3) % 11
+                seed = d * 7 + 3
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = ((seed * 31 + j * 131) % 256).astype(np.uint8).tobytes()
+                base = encode_jpeg(w, h, img, quality=88)
+                prog = encode_jpeg_progressive(w, h, img, quality=88)
+                db = M.decode_image(base)
+                dp = M.decode_image(prog)
+                rows.append((d, dp[0], dp[1], db == dp, base, prog))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "exact",
+                         "base", "prog"],
+            )
+
+    media = docs.mapInPandas(
+        build,
+        schema=(
+            "media_id long, width long, height long, exact boolean, "
+            "base binary, prog binary"
+        ),
+    )
+    sb = M.image_sharpness(
+        media.select("media_id", F.col("base").alias("payload"))
+    ).select(
+        "media_id",
+        F.col("n_interior").alias("nb"),
+        F.col("lap_sum").alias("lb"),
+    )
+    sp = M.image_sharpness(
+        media.select("media_id", F.col("prog").alias("payload"))
+    ).select(
+        "media_id",
+        F.col("n_interior").alias("np_"),
+        F.col("lap_sum").alias("lp"),
+    )
+    return (
+        media.select("media_id", "width", "height", "exact")
+        .join(sb, "media_id")
+        .join(sp, "media_id")
+        .select(
+            "media_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            "exact",
+            ((F.col("nb") == F.col("np_")) & (F.col("lb") == F.col("lp")))
+            .alias("sharp_match"),
+        )
+        .orderBy("media_id")
+    )
+
+
 # Boilerplate paragraphs for the paragraph-dedup gate page construction:
 # one on every page, one on every even-id page (so the gate exercises both
 # corpus-wide and partial boilerplate at different document frequencies).
@@ -8957,6 +9040,16 @@ def oracles() -> dict[str, str]:
                                         '')) AS BIGINT) AS n_chars
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
+        # deterministic dims; the exactness booleans ARE the invariant
+        # (progressive decode == baseline decode of the same pixels)
+        "multimodal_jpeg_progressive": """
+            SELECT doc_id AS media_id,
+                   CAST(12 + doc_id % 13 AS BIGINT) AS width,
+                   CAST(10 + (doc_id * 3) % 11 AS BIGINT) AS height,
+                   TRUE AS exact,
+                   TRUE AS sharp_match
+            FROM documents ORDER BY doc_id
+        """,
         # same substr arithmetic as the classic gate; the modern layout
         # (ObjStm + xref stream + predictor rows) must extract identically
         "doc_pdf_extract_modern": """
@@ -10116,37 +10209,30 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the TEN gates new this round — mixed
-       urlset/sitemapindex ingestion with XML entity decoding
-       (``web_sitemap_index``), the composed robots -> sitemap ->
-       filter -> crawl-delay schedule chain (``web_frontier_compose``),
-       charset-aware WET extraction over binary WARC archives
-       (``web_wet_charset``), per-host politeness scheduling
-       (``web_frontier_politeness``), Wilson-lower-bound win rates for
-       the preference family (``pref_winrate_wilson``), the Unicode
-       script histogram (``text_script_profile``), NFC normalization
-       (``text_nfc_normalize``), the integer-exact corpus quality
-       screens for audio clipping (``multimodal_audio_clipping``) and
-       image blur (``multimodal_image_sharpness``), and n-gram novelty
-       scoring against a reference corpus (``corpus_ngram_novelty``).
-    2. The remaining 40 slots are the refresh queue's continuation
-       exactly as documented last round: the rounds-1-4 remainder from
-       ``corpus_decontaminate_bloom`` through ``w16_gapfill_linear``
-       (38 entries, driver rows dating to rounds 1-4, all re-verified
-       green at HEAD by every full check_oracle sweep since) plus the
-       first two round-6-verified entries (``ann_pq_trained_topk`` and
-       ``ann_pq_rerank_topk`` — the 50-slot cap falls there).
-    3. The tail holds, in refresh-queue order: the rest of the
-       round-6-verified block (``emb_kmeans_centroids`` through
-       ``corpus_zipf``), the round-7-verified block, the
-       round-8-verified block, and — freshest rows last — the two
-       blocks the round-9 driver gate verified (CORRECTNESS_r09: 48/50
-       exact + 2 rows-only): the rounds-1-4 rows ``a2_last_not_null``
-       through ``dedup_semantic``, then the round-9 head block.
+    1. The window head holds the gates new this round — priority-
+       ordered frontier scheduling with host normalization
+       (``web_frontier_priority``), modern-layout PDF extraction
+       (xref streams + object streams, ``doc_pdf_extract_modern``),
+       progressive JPEG decode (``multimodal_jpeg_progressive``), and
+       MPEG-1 Layer I/II audio decode (``multimodal_mp2_decode``).
+    2. The remaining slots are the refresh queue's continuation
+       exactly as documented last round: the round-6-verified
+       remainder from ``emb_kmeans_centroids`` through ``corpus_zipf``
+       (42 entries), then the first round-7-verified entries
+       (``retrieval_ql_topk`` onward — the 50-slot cap falls there).
+    3. The tail holds, in refresh-queue order: the six skipped
+       round-6 head entries (``ann_pq_rerank_recall`` through
+       ``emb_kmeans`` — they lead the next-round queue), the round-7
+       remainder and the round-8/round-9 blocks unchanged, and —
+       freshest rows last — the round-10 driver window's two blocks
+       (CORRECTNESS_r10: 50/50 exact): the rounds-1-4 refresh block
+       ``corpus_decontaminate_bloom`` through ``ann_pq_rerank_topk``,
+       then the ten round-10 gates.
 
-    Next-round rotation queue: the round-6 remainder from
-    ``emb_kmeans_centroids`` onward, then the round-7 block; the
-    round-8 and round-9 blocks stay last as the freshest rows.
+    Next-round rotation queue: the six skipped round-6 entries
+    (``ann_pq_rerank_recall`` onward), then the round-7 remainder
+    (``retrieval_hybrid_rrf`` onward) and the round-8 block; the
+    round-9 and round-10 blocks stay last as the freshest rows.
     Lifetime invariant: every registry query except the three documented
     ROWS_ONLY entries has an exact driver-green row in some
     CORRECTNESS_r*.json, and the full-registry sweep at HEAD is
@@ -10162,68 +10248,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r11 window head: the gates new this round --
         "web_frontier_priority": web_frontier_priority,
         "doc_pdf_extract_modern": doc_pdf_extract_modern,
-        # -- r10 block --
-        "web_sitemap_index": web_sitemap_index,
-        "web_frontier_compose": web_frontier_compose,
-        "web_wet_charset": web_wet_charset,
-        "web_frontier_politeness": web_frontier_politeness,
-        "pref_winrate_wilson": pref_winrate_wilson,
-        "text_script_profile": text_script_profile,
-        "text_nfc_normalize": text_nfc_normalize,
-        "multimodal_audio_clipping": multimodal_audio_clipping,
-        "multimodal_image_sharpness": multimodal_image_sharpness,
-        "corpus_ngram_novelty": corpus_ngram_novelty,
-        # -- rounds-1-4 remainder refreshing this window (the refresh
-        # queue's continuation, least-recently driver-verified) --
-        "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
-        "text_ngram_topk": text_ngram_topk,
-        "emb_gram_matrix": emb_gram_matrix,
-        "dedup_spans": dedup_spans,
-        "corpus_length_quantiles": corpus_length_quantiles,
-        "dedup_spans_apply": dedup_spans_apply,
-        "tokenizer_bpe_train_local": tokenizer_bpe_train_local,
-        "tokenizer_bpe_segment_model": tokenizer_bpe_segment_model,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q7_volume_shipping": q7_volume_shipping,
-        "q12_shipping_delay": q12_shipping_delay,
-        "q15_top_supplier": q15_top_supplier,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q19_disjunctive_revenue": q19_disjunctive_revenue,
-        "q2_best_supplier": q2_best_supplier,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_count": q16_supplier_count,
-        "q20_excess_shipments": q20_excess_shipments,
-        "olap_cube": olap_cube,
-        "olap_grouping_sets": olap_grouping_sets,
-        "join_salted_hot_key": join_salted_hot_key,
-        "text_heavy_hitters": text_heavy_hitters,
-        "ann_l2_topk": ann_l2_topk,
-        "ann_pq_topk": ann_pq_topk,
-        "ann_pq_recall": ann_pq_recall,
-        "layout_zorder_key": layout_zorder_key,
-        "emb_jl_project": emb_jl_project,
-        "w15_gapfill": w15_gapfill,
-        "olap_unpivot": olap_unpivot,
-        "pipeline_curriculum": pipeline_curriculum,
-        "sample_temperature": sample_temperature,
-        "graph_triangles": graph_triangles,
-        "multimodal_frame_sample": multimodal_frame_sample,
-        "w14_rank_functions": w14_rank_functions,
-        "emb_quantize": emb_quantize,
-        "w16_gapfill_linear": w16_gapfill_linear,
-        # -- round-6-verified block (the 50-slot window cap falls after
-        # ann_pq_rerank_topk: 10 new + 38 rounds-1-4 + two of these) --
-        "ann_pq_trained_topk": ann_pq_trained_topk,
-        "ann_pq_rerank_topk": ann_pq_rerank_topk,
-        # ---- past the driver window from here on ----
-        "ann_pq_rerank_recall": ann_pq_rerank_recall,
-        "stream_trending_finalize": stream_trending_finalize,
-        "multimodal_audio_meta": multimodal_audio_meta,
-        "multimodal_image_meta": multimodal_image_meta,
-        "emb_label_centroids": emb_label_centroids,
-        "emb_kmeans": emb_kmeans,
+        "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+        # -- round-6-verified remainder (the documented refresh
+        # queue's continuation: emb_kmeans_centroids onward) --
         "emb_kmeans_centroids": emb_kmeans_centroids,
         "dedup_embedding": dedup_embedding,
         "dedup_embedding_lsh": dedup_embedding_lsh,
@@ -10266,12 +10293,23 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_nearest_centroid": emb_nearest_centroid,
         "corpus_length_filter": corpus_length_filter,
         "corpus_zipf": corpus_zipf,
-        # -- round-7-verified block --
+        # -- round-7-verified block starts; the 50-slot window cap
+        # falls inside it --
         "retrieval_ql_topk": retrieval_ql_topk,
         "retrieval_rrf_fuse": retrieval_rrf_fuse,
         "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
         "retrieval_mmr_topk": retrieval_mmr_topk,
+        # ---- past the driver window from here on ----
+        "ann_pq_rerank_recall": ann_pq_rerank_recall,
+        # skipped round-6 head entries -- they lead the next-round
+        # refresh queue, then the round-7 remainder below
+        "stream_trending_finalize": stream_trending_finalize,
+        "multimodal_audio_meta": multimodal_audio_meta,
+        "multimodal_image_meta": multimodal_image_meta,
+        "emb_label_centroids": emb_label_centroids,
+        "emb_kmeans": emb_kmeans,
         "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
+        # round-7 remainder, round-8 and round-9 blocks (unchanged order)
         "retrieval_rm3_expand": retrieval_rm3_expand,
         "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
         "corpus_heldout_ppl": corpus_heldout_ppl,
@@ -10317,7 +10355,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": multimodal_audio_features,
         "multimodal_image_resize": multimodal_image_resize,
         "text_containment": text_containment,
-        # -- round-8-verified block: freshest driver rows, rotated to the tail --
         "graph_entity_resolution": graph_entity_resolution,
         "multimodal_png_resize": multimodal_png_resize,
         "wet_extract": wet_extract,
@@ -10368,7 +10405,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
         "f_predicates": f_predicates,
-        # -- round-9-verified rounds-1-4 rows: freshest, rotated last --
         "a2_last_not_null": a2_last_not_null,
         "a3_combined_fold": a3_combined_fold,
         "r1_one_to_many": r1_one_to_many,
@@ -10395,7 +10431,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_asof_forward": w7_asof_forward,
         "w8_asof_nearest": w8_asof_nearest,
         "dedup_semantic": dedup_semantic,
-        # -- round-9 head block: freshest driver rows of all --
         "multimodal_flac_roundtrip": multimodal_flac_roundtrip,
         "multimodal_mp3_probe": multimodal_mp3_probe,
         "web_warc_gz_roundtrip": web_warc_gz_roundtrip,
@@ -10420,4 +10455,58 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_resize_box": multimodal_image_resize_box,
         "multimodal_audio_resample": multimodal_audio_resample,
         "sample_split_leakage_safe": sample_split_leakage_safe,
+        "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
+        # the r10 driver window's refresh block (rounds-1-4 remainder
+        # + two round-6 entries), CORRECTNESS_r10-verified --
+        # freshest rows, rotated to the tail
+        "text_ngram_topk": text_ngram_topk,
+        "emb_gram_matrix": emb_gram_matrix,
+        "dedup_spans": dedup_spans,
+        "corpus_length_quantiles": corpus_length_quantiles,
+        "dedup_spans_apply": dedup_spans_apply,
+        "tokenizer_bpe_train_local": tokenizer_bpe_train_local,
+        "tokenizer_bpe_segment_model": tokenizer_bpe_segment_model,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q7_volume_shipping": q7_volume_shipping,
+        "q12_shipping_delay": q12_shipping_delay,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "q2_best_supplier": q2_best_supplier,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_count": q16_supplier_count,
+        "q20_excess_shipments": q20_excess_shipments,
+        "olap_cube": olap_cube,
+        "olap_grouping_sets": olap_grouping_sets,
+        "join_salted_hot_key": join_salted_hot_key,
+        "text_heavy_hitters": text_heavy_hitters,
+        "ann_l2_topk": ann_l2_topk,
+        "ann_pq_topk": ann_pq_topk,
+        "ann_pq_recall": ann_pq_recall,
+        "layout_zorder_key": layout_zorder_key,
+        "emb_jl_project": emb_jl_project,
+        "w15_gapfill": w15_gapfill,
+        "olap_unpivot": olap_unpivot,
+        "pipeline_curriculum": pipeline_curriculum,
+        "sample_temperature": sample_temperature,
+        "graph_triangles": graph_triangles,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "w14_rank_functions": w14_rank_functions,
+        "emb_quantize": emb_quantize,
+        "w16_gapfill_linear": w16_gapfill_linear,
+        "ann_pq_trained_topk": ann_pq_trained_topk,
+        "ann_pq_rerank_topk": ann_pq_rerank_topk,
+        "web_sitemap_index": web_sitemap_index,
+        # the ten r10 gates: CORRECTNESS_r10-verified, freshest last
+        "web_frontier_compose": web_frontier_compose,
+        "web_wet_charset": web_wet_charset,
+        "web_frontier_politeness": web_frontier_politeness,
+        "pref_winrate_wilson": pref_winrate_wilson,
+        "text_script_profile": text_script_profile,
+        "text_nfc_normalize": text_nfc_normalize,
+        "multimodal_audio_clipping": multimodal_audio_clipping,
+        "multimodal_image_sharpness": multimodal_image_sharpness,
+        "corpus_ngram_novelty": corpus_ngram_novelty,
     }

@@ -354,50 +354,41 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-10 window: the ten gates new this round hold the head
-    # (never driver-verified); the remaining 40 slots are the refresh
-    # queue's continuation — the rounds-1-4 remainder from
-    # corpus_decontaminate_bloom through w16_gapfill_linear, then the
-    # first two round-6-verified entries (the cap falls after
-    # ann_pq_rerank_topk).  The round-9-verified blocks rotated to
-    # the very tail (freshest rows last), behind round-7 and round-8.
+    # the round-11 window: the gates new this round hold the head; the
+    # remaining slots are the documented refresh queue's continuation —
+    # the round-6-verified remainder from emb_kmeans_centroids through
+    # corpus_zipf, then the first round-7-verified entries (the cap
+    # falls inside the retrieval block).  The round-10 driver window's
+    # blocks rotated to the very tail (freshest rows last).
     gate = list(qs)[:50]
     r11 = [
         "web_frontier_priority",
         "doc_pdf_extract_modern",
+        "multimodal_jpeg_progressive",
     ]
     n11 = len(r11)
     assert gate[:n11] == r11, "r11 gates hold the head"
-    assert gate[n11 : n11 + 10] == [
-        "web_sitemap_index",
-        "web_frontier_compose",
-        "web_wet_charset",
-        "web_frontier_politeness",
-        "pref_winrate_wilson",
-        "text_script_profile",
-        "text_nfc_normalize",
-        "multimodal_audio_clipping",
-        "multimodal_image_sharpness",
-        "corpus_ngram_novelty",
-    ], "window head must hold the new-this-round gates"
-    assert gate[n11 + 10] == "corpus_decontaminate_bloom"
+    assert gate[n11] == "emb_kmeans_centroids", (
+        "round-6 remainder leads the refresh continuation"
+    )
     for name in (
-        # the rounds-1-4 refresh block still in the window mid-round
-        # (the final r11 rotation swaps in the round-6/7 queue)
-        "w16_gapfill_linear",
-        "olap_cube",
-        "q2_best_supplier",
-        "graph_triangles",
+        # spot entries of the round-6 remainder now refreshing
+        "corpus_zipf",
+        "dedup_minhash_recall",
+        "graph_pagerank",
+        "tokenizer_bpe_segment",
+        "retrieval_ql_topk",
     ):
-        assert name in gate, f"{name} rotated out of the gate window prematurely"
-    # the round-9-verified blocks must be at the very tail, not burning
-    # window slots (their CORRECTNESS_r09 rows are the freshest)
+        assert name in gate, f"{name} missing from the r11 gate window"
+    # the round-10-verified blocks must be at the very tail, not burning
+    # window slots (their CORRECTNESS_r10 rows are the freshest)
     tail = list(qs)[-51:]
     for name in (
-        "a2_last_not_null",
-        "dedup_semantic",
-        "multimodal_flac_roundtrip",
-        "sample_split_leakage_safe",
+        "web_sitemap_index",
+        "corpus_ngram_novelty",
+        "corpus_decontaminate_bloom",
+        "w16_gapfill_linear",
+        "ann_pq_rerank_topk",
     ):
         assert name in tail, f"{name} should have rotated to the tail"
 

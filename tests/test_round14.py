@@ -182,3 +182,109 @@ def test_pdf_png_unpredict_filters():
 
     with _pytest.raises(NotImplementedError):
         _png_unpredict(b"\x00" * 4, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Same quantization => a progressive re-encode must decode to the
+    IDENTICAL pixels the baseline encode of the same image decodes to."""
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for (w, h, q) in [(16, 16, 90), (13, 9, 75), (56, 40, 20), (8, 8, 95)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, rgb, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, quality=q))
+        assert base == prog, (w, h, q)
+    gray = rng.randint(0, 256, size=(9, 11), dtype=np.uint8).tobytes()
+    assert decode_jpeg(
+        encode_jpeg(11, 9, gray, quality=85, gray=True)
+    ) == decode_jpeg(encode_jpeg_progressive(11, 9, gray, quality=85, gray=True))
+
+
+def test_jpeg_progressive_multiblock_eob_run():
+    """Hand-built two-block progressive stream using EOB runs that span
+    blocks (what libjpeg emits, which our per-block encoder does not):
+    the run must skip whole blocks in first scans and consume correction
+    bits across blocks in refinement scans."""
+    import struct
+
+    import numpy as np
+
+    from adtl_spark.operators import jpeg_lite as J
+
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    # custom AC table: the module's shared table has no EOBn (r>0)
+    # symbols — that is exactly the path under test here
+    ac_bits = [0, 3, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ac_vals = [0x00, 0x01, 0x10]
+    ac_codes = J._canonical_codes(ac_bits, ac_vals)
+    ones = np.ones((8, 8), dtype=np.int32)
+
+    out = bytearray(b"\xff\xd8")
+    out += J._dqt_segment(0, ones)
+    sof = struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+    out += J._dht_segment(1, 0, ac_bits, ac_vals)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    # DC first scan, Al=0: dc values 40 and 48 (diffs 40, +8)
+    w = J._BitWriter()
+    for diff in (40, 8):
+        size = J._category(diff)
+        code, length = dc_codes[size]
+        w.write(code, length)
+        w.write(J._amplitude(diff, size), size)
+    out += sos(0, 0, 0, 0) + w.flush()
+
+    # AC first scan, Al=1: block 1 codes +1 at k=1 then EOB1 with extra
+    # bit 0 => eobrun covers block 2 entirely (block 2 has no AC here)
+    w = J._BitWriter()
+    code, length = ac_codes[0x01]  # run 0, size 1
+    w.write(code, length)
+    w.write(1, 1)  # amplitude +1
+    code, length = ac_codes[0x10]  # EOBn, r=1
+    w.write(code, length)
+    w.write(0, 1)  # extension bits: run length 2^1 + 0 = 2 blocks
+    out += sos(1, 63, 0, 1) + w.flush()
+
+    # AC refinement to Al=0: block 2 first becomes significant (+1 at
+    # k=2), then EOB1 run covering... block layout: block1 has history
+    # coef 2 at k=1; emit EOB2-run immediately: sym 0x10 + ext 0 covers
+    # blocks 1 and 2 via the eobrun tail, whose correction bits are:
+    # block1 k=1 (bit 1 -> 2 becomes 3); block 2 has no nonzero: none.
+    w = J._BitWriter()
+    code, length = ac_codes[0x10]
+    w.write(code, length)
+    w.write(0, 1)
+    w.write(1, 1)  # correction bit for block1 k=1: 2 -> 3
+    out += sos(1, 63, 1, 0) + w.flush()
+    out += b"\xff\xd9"
+
+    gw, gh, rgb = J.decode_jpeg(bytes(out))
+    assert (gw, gh) == (16, 8)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 16, 3)[:, :, 0]
+
+    # expected: block1 coefs DC=40, k=1 (natural (0,1)) = 3; block2 DC=48
+    def idct(coefs):
+        return np.clip(
+            np.round(J._DCT_M.T @ coefs @ J._DCT_M + 128.0), 0, 255
+        ).astype(np.uint8)
+
+    c1 = np.zeros((8, 8)); c1[0, 0] = 40; c1[0, 1] = 3
+    c2 = np.zeros((8, 8)); c2[0, 0] = 48
+    expected = np.concatenate([idct(c1), idct(c2)], axis=1)
+    assert np.array_equal(got, expected)
