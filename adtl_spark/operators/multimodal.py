@@ -763,11 +763,12 @@ def register_decoder(fmt: str, fn) -> None:
     """Install ``fn`` as the decoder for format key ``fmt`` (one of
     :data:`CODEC_FORMATS`).  Image decoders return ``(width, height,
     rgb_bytes)``; audio decoders return ``(sample_rate, channels, bits,
-    pcm_bytes)`` — the same contracts the in-repo codecs satisfy.  MP3
-    is the seam's first production use: the in-repo default raises
-    NotImplementedError (a Layer-III synthesis filterbank needs a codec
-    library), so ``register_decoder("mp3", my_decode)`` is how real
-    deployments light up MP3 ingestion."""
+    pcm_bytes)`` — the same contracts the in-repo codecs satisfy.  The
+    'mp3' key covers ALL MPEG audio payloads: the in-repo default
+    decodes Layer I/II natively (operators/mp2_lite.py) and raises
+    NotImplementedError for Layer III (a Layer-III synthesis chain
+    needs a codec library), so ``register_decoder("mp3", my_decode)``
+    remains how real deployments light up MP3 ingestion."""
     if fmt not in CODEC_FORMATS:
         raise ValueError(
             f"unknown codec format {fmt!r}; expected one of {CODEC_FORMATS}"
@@ -787,12 +788,14 @@ def codec_overrides() -> dict:
     return dict(_CODEC_REGISTRY)
 
 
-def _mp3_decode_unavailable(payload: bytes):
-    raise NotImplementedError(
-        "MP3 decoding requires a codec library (ffmpeg) not in this "
-        "container; install one via register_decoder('mp3', fn) — "
-        "probe_mpeg_audio covers metadata without decoding"
-    )
+def _decode_mpeg_default(payload: bytes):
+    """Default decoder behind the 'mp3' registry key: MPEG-1 Layer I/II
+    decode natively (operators/mp2_lite.py — the broadcast formats);
+    Layer III raises NotImplementedError naming the registry seam (a
+    Layer-III synthesis chain needs a codec library)."""
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio
+
+    return decode_mpeg_audio(payload)
 
 
 def decode_image(payload: bytes, overrides: dict | None = None) -> tuple:
@@ -1141,10 +1144,12 @@ def decode_audio(
 ) -> tuple[int, int, int, bytes]:
     """Decode an audio payload to (sample_rate, channels, bits, pcm).
     WAV/PCM, IMA ADPCM (format tag 0x11), G.711 µ-law/A-law (tags
-    0x07/0x06) and FLAC (``fLaC`` magic — the lossless codec, CRC- and
-    MD5-verified) decode natively — compressed forms are decompressed
-    to 16-bit PCM; MP3 raises NotImplementedError unless a production
-    decoder is registered (the codec-registry seam's first real use).
+    0x07/0x06), FLAC (``fLaC`` magic — the lossless codec, CRC- and
+    MD5-verified) and MPEG-1 Layer I/II (broadcast MP2/MP1, the
+    polyphase subband codec — operators/mp2_lite.py) decode natively —
+    compressed forms are decompressed to 16-bit PCM; MP3 (Layer III)
+    raises NotImplementedError unless a production decoder is
+    registered (the codec-registry seam's remaining production use).
     Dispatch reads the fmt chunk's format tag directly, so unsupported
     tags surface the PCM reader's accurate error rather than a
     misrouted decoder's.  ``overrides`` (a :func:`codec_overrides`
@@ -1170,7 +1175,7 @@ def decode_audio(
         and payload[0] == 0xFF
         and (payload[1] & 0xE0) == 0xE0
     ):
-        return reg.get("mp3", _mp3_decode_unavailable)(payload)
+        return reg.get("mp3", _decode_mpeg_default)(payload)
     raise ValueError("unrecognized audio payload")
 
 

@@ -5874,6 +5874,80 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-1 Layer II decode value-checked end to end: per document a
+    sine fixture (frequency/amplitude from id arithmetic) is encoded
+    to real Layer-II frames — even ids mono at 320 kbit/s, odd ids
+    stereo at 384 (half-amplitude right channel) — and decoded back
+    through the FULL decode_audio dispatch (MPEG sync sniff -> mp3
+    registry key -> native mp2_lite Layer I/II path).  Signal features
+    pin fidelity: zero-crossing count of the steady-state midsection
+    recovers the tone frequency (``freq_ok``) and the RMS matches
+    amp/sqrt(2) within 8% (``rms_ok``) — the polyphase synthesis,
+    scalefactors and dequantization all sit in that path, so a codec
+    regression flips a boolean.  Dims/rates are exact oracle
+    arithmetic (operators/mp2_lite.py: decode_mpeg_audio, encode_mp2)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.mp2_lite import encode_mp2
+
+        rate = 48000
+        n = 2 * 1152
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                freq = 400 * (1 + d % 8)
+                amp = 0.4 + 0.01 * (d % 10)
+                x = amp * np.sin(2 * np.pi * freq * t / rate)
+                pcm = np.round(x * 32767).astype("<i2")
+                if d % 2 == 0:
+                    payload = encode_mp2(pcm.tobytes(), channels=1, kbps=320)
+                else:
+                    st = np.stack([pcm, pcm // 2], axis=1).reshape(-1)
+                    payload = encode_mp2(st.tobytes(), channels=2, kbps=384)
+                r, ch, _bits, out = M.decode_audio(payload)
+                y = np.frombuffer(out, "<i2").astype(np.float64)
+                y0 = y.reshape(-1, ch)[:, 0]
+                mid = y0[600:1800]
+                # zero-crossing count, exact zeros excluded (the decode
+                # is clean enough to hit 0 exactly at crossings)
+                nz = mid[mid != 0]
+                crossings = int(np.sum(nz[1:] * nz[:-1] < 0))
+                expect = 2 * freq * len(mid) / rate
+                freq_ok = abs(crossings - expect) <= 4
+                rms = float(np.sqrt(np.mean(mid**2)))
+                want = amp * 32767 / np.sqrt(2.0)
+                # stereo runs the leaner mid allocation ladder (384
+                # kbit/s over two channels), so its quantization noise
+                # budget is wider
+                tol = 0.06 if d % 2 == 0 else 0.12
+                rms_ok = abs(rms - want) <= tol * want
+                rows.append(
+                    (d, r, ch, len(y) // ch, bool(freq_ok), bool(rms_ok))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels",
+                         "n_samples", "freq_ok", "rms_ok"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, sample_rate int, channels int, "
+            "n_samples long, freq_ok boolean, rms_ok boolean"
+        ),
+    ).orderBy("media_id")
+
+
 # Boilerplate paragraphs for the paragraph-dedup gate page construction:
 # one on every page, one on every even-id page (so the gate exercises both
 # corpus-wide and partial boilerplate at different document frequencies).
@@ -9040,6 +9114,18 @@ def oracles() -> dict[str, str]:
                                         '')) AS BIGINT) AS n_chars
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
+        # exact rates/dims from arithmetic; the fidelity booleans ARE
+        # the invariant (tone frequency + RMS recovered from the decode)
+        "multimodal_mp2_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(48000 AS INTEGER) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END
+                        AS INTEGER) AS channels,
+                   CAST(2304 AS BIGINT) AS n_samples,
+                   TRUE AS freq_ok,
+                   TRUE AS rms_ok
+            FROM documents ORDER BY doc_id
+        """,
         # deterministic dims; the exactness booleans ARE the invariant
         # (progressive decode == baseline decode of the same pixels)
         "multimodal_jpeg_progressive": """
@@ -10249,6 +10335,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_frontier_priority": web_frontier_priority,
         "doc_pdf_extract_modern": doc_pdf_extract_modern,
         "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+        "multimodal_mp2_decode": multimodal_mp2_decode,
         # -- round-6-verified remainder (the documented refresh
         # queue's continuation: emb_kmeans_centroids onward) --
         "emb_kmeans_centroids": emb_kmeans_centroids,

@@ -365,6 +365,7 @@ def test_query_registry_invariants():
         "web_frontier_priority",
         "doc_pdf_extract_modern",
         "multimodal_jpeg_progressive",
+        "multimodal_mp2_decode",
     ]
     n11 = len(r11)
     assert gate[:n11] == r11, "r11 gates hold the head"

@@ -32,8 +32,10 @@ def test_codec_registry_injects_through_operators(spark):
     def fake_ppm(payload):
         return (2, 2, bytes([10, 20, 30] * 4))
 
-    mp3_payload = b"ID3\x04\x00\x00\x00\x00\x00\x00fake"
-    # default: the documented stub raises and names the seam
+    # a real Layer-III header stream: the in-repo default now decodes
+    # Layer I/II natively, so the seam's remaining production use is
+    # Layer III — the stub raises and names the seam on it
+    mp3_payload = M.build_mpeg_audio([128, 128], layer=3)
     with pytest.raises(NotImplementedError, match="register_decoder"):
         M.decode_audio(mp3_payload)
     M.register_decoder("mp3", fake_mp3)
@@ -644,8 +646,9 @@ def test_schedule_frontier_politeness(spark):
     assert (
         rows["http://a.test/1"]["shard"] == rows["http://A.test/2"]["shard"]
     )
-    # port kept in the host key; unknown host -> default delay
-    assert rows["https://b.test:8080/x"]["host"] == "b.test:8080"
+    # port STRIPPED from the host key (round-14 ADVICE fix: decorated
+    # authorities share the bare host's queue); unknown host -> default
+    assert rows["https://b.test:8080/x"]["host"] == "b.test"
     assert rows["https://b.test:8080/x"]["fetch_after_ms"] == 0
     # non-URL rows: NULL host, still scheduled (documented)
     assert rows["not a url"]["host"] is None

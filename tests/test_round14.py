@@ -288,3 +288,150 @@ def test_jpeg_progressive_multiblock_eob_run():
     c2 = np.zeros((8, 8)); c2[0, 0] = 48
     expected = np.concatenate([idct(c1), idct(c2)], axis=1)
     assert np.array_equal(got, expected)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer I/II decode (mp2_lite)
+
+
+def _chirp_pcm(n, amp=0.5, rate=48000):
+    import numpy as np
+
+    t = np.arange(n)
+    x = amp * np.sin(2 * np.pi * (300 + 2.0e-2 * t) * t / rate)
+    return np.round(x * 32767).astype("<i2")
+
+
+def _best_lag_snr(y, x, lo=1500, hi=3800):
+    import numpy as np
+
+    best = (-1, -1e9, 0.0)
+    for lag in range(440, 540):
+        a = y[lo:hi]
+        b = x[lo - lag : hi - lag]
+        g = (a @ b) / max((b @ b), 1.0)
+        err = a - g * b
+        s = 10 * np.log10((b**2).sum() / max((err**2).sum(), 1e-9))
+        if s > best[1]:
+            best = (lag, s, g)
+    return best
+
+
+def test_mp2_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp2
+
+    pcm = _chirp_pcm(4 * 1152)
+    r, ch, bits, out = decode_mpeg_audio(
+        encode_mp2(pcm.tobytes(), channels=1, kbps=320)
+    )
+    assert (r, ch, bits) == (48000, 1, 16)
+    y = np.frombuffer(out, "<i2").astype(float)
+    lag, snr, gain = _best_lag_snr(y, pcm.astype(float))
+    assert lag == 480, "polyphase delay must be the filterbank's 480"
+    assert snr > 40, snr
+    assert 0.9 < gain < 1.1
+
+    st = np.stack([pcm, pcm // 2], axis=1).reshape(-1)
+    r, ch, _b, out = decode_mpeg_audio(
+        encode_mp2(st.tobytes(), channels=2, kbps=384)
+    )
+    assert ch == 2
+    y = np.frombuffer(out, "<i2").astype(float).reshape(-1, 2)
+    for c, ref in ((0, pcm), (1, pcm // 2)):
+        lag, snr, gain = _best_lag_snr(y[:, c], ref.astype(float))
+        assert lag == 480 and snr > 18, (c, lag, snr)
+
+
+def test_mp1_roundtrip():
+    import numpy as np
+
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp1
+
+    pcm = _chirp_pcm(12 * 384)
+    r, ch, bits, out = decode_mpeg_audio(
+        encode_mp1(pcm.tobytes(), channels=1, kbps=448)
+    )
+    assert (r, ch, bits) == (48000, 1, 16)
+    y = np.frombuffer(out, "<i2").astype(float)
+    lag, snr, _g = _best_lag_snr(y, pcm.astype(float))
+    assert lag == 480 and snr > 35, (lag, snr)
+
+
+def test_mp2_intensity_joint_stereo_collapses_above_bound():
+    """Above the joint bound both channels reconstruct the transmitted
+    channel mean; below it they stay independent."""
+    import numpy as np
+
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp2
+
+    rate = 48000
+    t = np.arange(4 * 1152)
+    # low tone differs per channel (below bound 8 => subband < 8:
+    # < 6 kHz); high tone identical-frequency but ch1 is silent there
+    lo0 = 0.4 * np.sin(2 * np.pi * 700 * t / rate)
+    lo1 = 0.4 * np.sin(2 * np.pi * 1900 * t / rate)
+    hi = 0.3 * np.sin(2 * np.pi * 9000 * t / rate)
+    ch0 = np.round((lo0 + hi) * 32767).astype("<i2")
+    ch1 = np.round(lo1 * 32767).astype("<i2")
+    st = np.stack([ch0, ch1], axis=1).reshape(-1)
+    enc = encode_mp2(st.tobytes(), channels=2, kbps=384, joint_bound=8)
+    _r, ch, _b, out = decode_mpeg_audio(enc)
+    assert ch == 2
+    y = np.frombuffer(out, "<i2").astype(float).reshape(-1, 2)
+    # both output channels must carry the 9 kHz mean component at
+    # roughly half the original amplitude: correlate with the shifted
+    # carrier (delay 480)
+    carrier = hi * 32767
+    seg = slice(1500, 3800)
+    for c in range(2):
+        a = y[seg, c]
+        b = carrier[1500 - 480 : 3800 - 480]
+        g = (a @ b) / (b @ b)
+        assert 0.35 < g < 0.65, (c, g)  # mean of (hi, 0) = hi/2
+    # below the bound the channels stay distinct: 700 Hz only on ch0
+    b700 = (lo0 * 32767)[1500 - 480 : 3800 - 480]
+    g0 = (y[seg, 0] @ b700) / (b700 @ b700)
+    g1 = (y[seg, 1] @ b700) / (b700 @ b700)
+    assert g0 > 0.8 and abs(g1) < 0.15, (g0, g1)
+
+
+def test_mpeg_decode_scope_errors():
+    import pytest as _pytest
+
+    from adtl_spark.operators import multimodal as M
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp2
+
+    # Layer III through the full dispatch names the registry seam
+    l3 = M.build_mpeg_audio([128, 128], layer=3)
+    with _pytest.raises(NotImplementedError, match="register_decoder"):
+        M.decode_audio(l3)
+    # MPEG-2 (LSF) scoped out loudly
+    l2_lsf = M.build_mpeg_audio([64, 64], version="2", layer=2, rate=24000)
+    with _pytest.raises(NotImplementedError, match="MPEG-2"):
+        decode_mpeg_audio(l2_lsf)
+    # low-rate allocation tables scoped out loudly
+    with _pytest.raises(NotImplementedError, match="3-B.2c/d"):
+        encode_mp2(_chirp_pcm(1152).tobytes(), channels=1, kbps=48)
+    # junk raises ValueError, never NotImplementedError
+    with _pytest.raises(ValueError):
+        decode_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00junk")
+
+
+def test_mp2_decodes_through_audio_operators(spark):
+    """A Layer-II payload flows through the real decode_audio-based
+    operators (extract_audio_features) with correct rate/channels."""
+    from adtl_spark.operators import multimodal as M
+    from adtl_spark.operators.mp2_lite import encode_mp2
+
+    pcm = _chirp_pcm(2 * 1152)
+    payload = encode_mp2(pcm.tobytes(), channels=1, kbps=320)
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id long, payload binary"
+    )
+    row = M.extract_audio_features(df).collect()[0]
+    assert (row["sample_rate"], row["channels"], row["bits"]) == (
+        48000, 1, 16,
+    )
+    assert row["n_samples"] == 2 * 1152
