@@ -5798,18 +5798,20 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     every refinement path exercised) is encoded BOTH ways at the same
     quality; encode_jpeg_progressive quantizes identically to
     encode_jpeg, so the progressive decode must be BYTE-EXACT equal to
-    the baseline decode (``exact``), and the downstream corpus screens
-    must agree: the progressive payloads run through the real
-    image_sharpness operator (decode_image dispatch — progressive
-    files no longer raise) and their integer Laplacian stats must
-    match the baseline payloads' (``sharp_match``).  The oracle pins
-    dims from id arithmetic and both booleans TRUE
-    (operators/jpeg_lite.py: _ProgressiveState, encode_jpeg_progressive)."""
+    the baseline decode (``exact``), and the corpus blur screen's
+    integer L1-Laplacian statistic must agree between the two decodes
+    (``sharp_match`` — the same grayscale/interior-pixel arithmetic as
+    operators/multimodal.py:image_sharpness; the OPERATOR-path
+    acceptance of progressive payloads through decode_image dispatch
+    is pinned by tests/test_round14.py).  One linear mapInPandas — no
+    joins, no payload re-execution.  The oracle pins dims from id
+    arithmetic and both booleans TRUE (operators/jpeg_lite.py:
+    _ProgressiveState, encode_jpeg_progressive)."""
     from adtl_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
 
-    def build(batches):
+    def run(batches):
         import numpy as np
         import pandas as pd
 
@@ -5817,6 +5819,19 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             encode_jpeg,
             encode_jpeg_progressive,
         )
+
+        def lap_stats(w, h, rgb):
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            g = (
+                a[:, :, 0].astype(np.int64) * 299
+                + a[:, :, 1] * 587
+                + a[:, :, 2] * 114
+            )
+            lap = np.abs(
+                4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                - g[1:-1, :-2] - g[1:-1, 2:]
+            )
+            return lap.size, int(lap.sum())
 
         for pdf in batches:
             rows = []
@@ -5830,48 +5845,23 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 prog = encode_jpeg_progressive(w, h, img, quality=88)
                 db = M.decode_image(base)
                 dp = M.decode_image(prog)
-                rows.append((d, dp[0], dp[1], db == dp, base, prog))
+                rows.append(
+                    (d, dp[0], dp[1], db == dp,
+                     lap_stats(*db) == lap_stats(*dp))
+                )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "exact",
-                         "base", "prog"],
+                         "sharp_match"],
             )
 
-    media = docs.mapInPandas(
-        build,
+    return docs.mapInPandas(
+        run,
         schema=(
             "media_id long, width long, height long, exact boolean, "
-            "base binary, prog binary"
+            "sharp_match boolean"
         ),
-    )
-    sb = M.image_sharpness(
-        media.select("media_id", F.col("base").alias("payload"))
-    ).select(
-        "media_id",
-        F.col("n_interior").alias("nb"),
-        F.col("lap_sum").alias("lb"),
-    )
-    sp = M.image_sharpness(
-        media.select("media_id", F.col("prog").alias("payload"))
-    ).select(
-        "media_id",
-        F.col("n_interior").alias("np_"),
-        F.col("lap_sum").alias("lp"),
-    )
-    return (
-        media.select("media_id", "width", "height", "exact")
-        .join(sb, "media_id")
-        .join(sp, "media_id")
-        .select(
-            "media_id",
-            F.col("width").cast("long").alias("width"),
-            F.col("height").cast("long").alias("height"),
-            "exact",
-            ((F.col("nb") == F.col("np_")) & (F.col("lb") == F.col("lp")))
-            .alias("sharp_match"),
-        )
-        .orderBy("media_id")
-    )
+    ).orderBy("media_id")
 
 
 def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

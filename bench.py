@@ -85,6 +85,20 @@ unchanged.  Output now ends with a compact summary line (the full
 per-query dict exceeds tail-capture windows at 242 queries) and
 optionally writes the full record to $SPARK_GRAFT_BENCH_OUT.
 
+Round-14 changes: appends the round's four gates (priority frontier
+scheduling, modern-PDF xref/ObjStm extraction, progressive JPEG
+decode, MPEG-1 Layer II decode) AND changes the MEASUREMENT PROTOCOL
+for the Python-worker section: the timed suite now restarts the
+SparkSession before the section and between ~15-query sub-blocks,
+reaping the reused Python worker daemons whose accumulated state had
+contaminated the official record two rounds running (BENCH_r10's
+multimodal_image_augment read 14.0 s vs 4.6/3.9 s isolated at the same
+HEAD; the JVM and its C2 state survive a session restart, so JVM-side
+comparability holds).  Each sub-block re-warms twice after its restart,
+so timed runs still measure steady-state worker reuse.  Records are
+now self-adjudicating: entries reading >2x their run34 band (>1 s
+absolute) are listed under "flagged" and counted in the summary line.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -386,6 +400,13 @@ HEADLINE = [
     "multimodal_audio_clipping",
     "multimodal_image_sharpness",
     "corpus_ngram_novelty",
+    # round-14 additions (appended; prefix order unchanged for parity):
+    # priority frontier scheduling, modern-PDF (xref/ObjStm) extraction,
+    # progressive JPEG decode, MPEG-1 Layer II decode
+    "web_frontier_priority",
+    "doc_pdf_extract_modern",
+    "multimodal_jpeg_progressive",
+    "multimodal_mp2_decode",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -427,6 +448,9 @@ PYTHON_WORKER_QUERIES = [
     "text_nfc_normalize",
     "multimodal_audio_clipping",
     "multimodal_image_sharpness",
+    "doc_pdf_extract_modern",
+    "multimodal_jpeg_progressive",
+    "multimodal_mp2_decode",
 ]
 
 
@@ -441,33 +465,88 @@ MEASUREMENT_GATES = frozenset(
 )
 
 
+def _load_bands() -> dict[str, float]:
+    """run34 is the canonical clean suite state (BENCH_NOTES): its
+    per-query times are the self-adjudication bands.  Queries added
+    after run34 have no band and are never flagged."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "bench_runs", "run34.json",
+    )
+    try:
+        with open(path) as f:
+            return json.load(f)["queries"]
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("adtl_spark_bench")
 
     all_q = Q.all_queries()
+    pw = set(PYTHON_WORKER_QUERIES)
+    jvm_queries = [n for n in HEADLINE if n not in pw]
+    py_queries = [n for n in HEADLINE if n in pw]
 
-    # Phase 1: warm the WHOLE suite untimed at the target sf.  Per-query
+    # Phase 1: warm the JVM section untimed at the target sf.  Per-query
     # warmup is not enough: whole-stage codegen classes are per-plan, but
     # HotSpot's C2 compilation of the shared runtime (parquet reader,
     # shuffle, Tungsten) is JVM-global and takes several queries to reach
     # steady state — measured: the first two queries read 9 s on their
     # SECOND execution in a cold JVM vs <2 s once the session is hot.
-    for name in HEADLINE:
-        all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    for name in PYTHON_WORKER_QUERIES:
+    for name in jvm_queries:
         all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # Phase 2: one timed run per query — construction inside the timer
     # (eager operators do real work at construction), no cached state
     # carried over (dedup operators release their persisted intermediates)
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in jvm_queries:
         t0 = time.time()
         df = all_q[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+
+    # Phase 3: the Python-worker section, in REAPED sub-blocks.  Reused
+    # Python daemon workers accumulate state over hundreds of suite
+    # queries, and by round 10 that suite-state contamination reached
+    # the DRIVER's official record (multimodal_image_augment read 14.0 s
+    # in BENCH_r10 vs 4.6/3.9 s isolated at the same HEAD).  Restarting
+    # the SparkSession kills the worker daemons (the JVM and its C2
+    # state survive — the py4j gateway is reused), so each sub-block
+    # times against a fresh, section-local worker pool; two untimed
+    # passes after each restart re-pay pool spin-up before the timer
+    # runs.  Sub-blocks bound the contamination WINDOW to ~15 queries
+    # regardless of registry growth.
+    reap_every = int(os.environ.get("SPARK_GRAFT_BENCH_REAP", "15"))
+    for i in range(0, len(py_queries), reap_every):
+        block = py_queries[i : i + reap_every]
+        spark.stop()
+        spark = get_spark("adtl_spark_bench")
+        for _pass in range(2):
+            for name in block:
+                all_q[name](spark, sf_dir).write.mode("overwrite").format(
+                    "noop"
+                ).save()
+        for name in block:
+            t0 = time.time()
+            df = all_q[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.time() - t0, 3)
+    timings = {n: timings[n] for n in HEADLINE}  # canonical order
+
+    # Self-adjudication: flag entries reading >2x their run34 band (and
+    # >1 s absolute, so microsecond queries never trip on jitter).  A
+    # flagged entry means "adjudicate with an isolated probe before
+    # believing this number" — the record carries its own health check.
+    bands = _load_bands()
+    flagged = {
+        n: {"sec": t, "band_sec": bands[n]}
+        for n, t in timings.items()
+        if n in bands and t > 1.0 and t > 2.0 * bands[n]
+    }
 
     meas = round(
         sum(t for n, t in timings.items() if n in MEASUREMENT_GATES), 3
@@ -479,6 +558,7 @@ def main() -> None:
         "core_sec": round(sum(timings.values()) - meas, 3),
         "measurement_sec": meas,
         "queries": timings,
+        "flagged": flagged,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(full))
@@ -500,6 +580,7 @@ def main() -> None:
                 "value": full["value"],
                 "unit": "sec",
                 "n_queries": len(timings),
+                "n_flagged": len(flagged),
                 "sf": full["sf"],
             }
         )

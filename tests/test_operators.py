@@ -160,8 +160,11 @@ def test_multimodal_compressed_formats_png_jpeg_real_mp3_stubbed():
         M.decode_image(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError):
         M.decode_image(b"\xff\xd8\xff....")
-    # MP3 stays the one env-blocked stub
+    # Layer III stays the one env-blocked stub (Layer I/II now decode
+    # natively via mp2_lite); junk behind an ID3 tag fails loudly
     with pytest.raises(NotImplementedError):
+        M.decode_audio(M.build_mpeg_audio([128], layer=3))
+    with pytest.raises(ValueError):
         M.decode_audio(b"ID3....")
 
 

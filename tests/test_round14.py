@@ -435,3 +435,34 @@ def test_mp2_decodes_through_audio_operators(spark):
         48000, 1, 16,
     )
     assert row["n_samples"] == 2 * 1152
+
+
+def test_sharpness_and_dhash_operators_accept_progressive(spark):
+    """The corpus screens must consume progressive payloads through the
+    decode_image dispatch and agree with the baseline encode of the
+    same pixels (identical quantized coefficients => identical stats)."""
+    import numpy as np
+
+    from adtl_spark.operators import multimodal as M
+    from adtl_spark.operators.jpeg_lite import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(4):
+        w, h = 16 + i, 12 + i
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        rows.append((2 * i, encode_jpeg(w, h, img, quality=85)))
+        rows.append((2 * i + 1, encode_jpeg_progressive(w, h, img, quality=85)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    sharp = {r.media_id: (r.n_interior, r.lap_sum)
+             for r in M.image_sharpness(media).collect()}
+    dh = {r.media_id: (r.dhash_lo, r.dhash_hi)
+          for r in M.image_dhash(media).collect()}
+    for i in range(4):
+        assert sharp[2 * i] == sharp[2 * i + 1], i
+        assert sharp[2 * i][0] is not None
+        assert dh[2 * i] == dh[2 * i + 1], i
+        assert dh[2 * i][0] is not None

@@ -25,6 +25,11 @@ alongside for an honest account of what a hot key costs a window.
 Usage: python tools/scale_stress.py [out_dir] [query ...]
        python tools/scale_stress.py --skew [out_dir]
        python tools/scale_stress.py --degenerate [out_dir]
+       python tools/scale_stress.py --hot-host [out_dir]
+
+``--hot-host`` stresses politeness scheduling with ~50% of all URLs on
+one host (the monster-host case the per-host FIFO window makes one
+long partition by definition) and prints the hot/uniform ratio.
 
 ``--skew`` also covers the two superlinear-output dedup operators
 (span-dedup application, semantic dedup) against duplicate-heavy skew
@@ -238,6 +243,11 @@ QUERIES = [
     "multimodal_audio_clipping",
     "multimodal_image_sharpness",
     "corpus_ngram_novelty",
+    # round-14 additions
+    "web_frontier_priority",
+    "doc_pdf_extract_modern",
+    "multimodal_jpeg_progressive",
+    "multimodal_mp2_decode",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
@@ -454,12 +464,59 @@ def run_skew(spark, uniform: Path, skew: Path) -> None:
         )
 
 
+def run_hot_host(spark, uniform: Path) -> None:
+    """Politeness scheduling under HOST SKEW — the stress the per-host
+    FIFO semantics makes inherent: schedule_frontier numbers each
+    host's queue with one window partition per host, so a monster host
+    is ONE long partition by definition (operators/text.py docstring).
+    Builds two URL relations from the 10x documents table: uniform
+    (1024 hosts, ids spread evenly) and hot (the SAME total rows, but
+    ~50% of URLs on one host).  Prints both times and the ratio — the
+    number that tells a crawl operator when to sub-shard a monster
+    host by path prefix (hand the host's URL set to schedule_frontier
+    again with a path-derived pseudo-host) rather than queue it whole."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    docs = spark.read.parquet(str(uniform / "documents.parquet"))
+    d = F.col("doc_id")
+    uniform_urls = docs.select(
+        F.concat(
+            F.lit("http://h"), (d % 1024).cast("string"),
+            F.lit(".test/p/"), d.cast("string"),
+        ).alias("url")
+    )
+    hot_host = F.when(d % 2 == 0, F.lit(0)).otherwise(d % 1024)
+    hot_urls = docs.select(
+        F.concat(
+            F.lit("http://h"), hot_host.cast("string"),
+            F.lit(".test/p/"), d.cast("string"),
+        ).alias("url")
+    )
+    times = {}
+    for label, rel in (("uniform-hosts", uniform_urls), ("hot-host", hot_urls)):
+        schedule_frontier(rel).write.mode("overwrite").format(
+            "noop"
+        ).save()  # warm
+        t0 = time.time()
+        schedule_frontier(rel).write.mode("overwrite").format("noop").save()
+        times[label] = time.time() - t0
+        print(f"schedule_frontier[{label}]: {times[label]:.2f}s", flush=True)
+    print(
+        "hot-host/uniform ratio "
+        f"{times['hot-host'] / times['uniform-hosts']:.2f}x "
+        "(one window partition holds ~50% of rows — the per-host FIFO "
+        "long pole; sub-shard monster hosts by path when it bites)",
+        flush=True,
+    )
+
+
 def main() -> None:
     argv = sys.argv[1:]
     skew_mode = "--skew" in argv
     degen_mode = "--degenerate" in argv
     skew_profile_mode = "--skew-profile" in argv
-    argv = [a for a in argv if a not in ("--skew", "--degenerate", "--skew-profile")]
+    hot_host_mode = "--hot-host" in argv
+    argv = [a for a in argv if a not in ("--skew", "--degenerate", "--skew-profile", "--hot-host")]
     out = Path(argv[0] if argv else "/tmp/adtl_stress_10x")
     only = set(argv[1:])
     spark = get_spark("scale_stress")
@@ -467,6 +524,9 @@ def main() -> None:
     build(spark, out)
     if degen_mode:
         run_degenerate(spark, out)
+        return
+    if hot_host_mode:
+        run_hot_host(spark, out)
         return
     if skew_profile_mode:
         run_skew_profile(spark, out, Path(str(out) + "_skew"))
