@@ -565,20 +565,32 @@ def test_jpeg_round_trips_flat_gradient_noise_gray_420():
     assert np.abs(a[:, :, 0].astype(int) - b).max() <= 2
 
 
-def test_jpeg_rejects_progressive_and_truncated():
-    from adtl_spark.operators.jpeg_lite import decode_jpeg, encode_jpeg
+def test_jpeg_rejects_unsupported_modes_and_truncated():
+    # (round-14 update: SOF2 progressive now DECODES — see
+    # tests/test_round14.py — so the rejection contract covers the
+    # remaining out-of-scope modes: lossless and arithmetic coding)
+    from adtl_spark.operators.jpeg_lite import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
 
     noise = bytes((31 * j * j + 7 * j) % 256 for j in range(32 * 32 * 3))
     p = encode_jpeg(32, 32, noise, quality=90)
-    prog = bytearray(p)
-    at = p.index(b"\xff\xc0")
-    prog[at + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(NotImplementedError, match="progressive|SOF"):
-        decode_jpeg(bytes(prog))
+    for sof in (0xC3, 0xC9, 0xCB):  # lossless / arithmetic variants
+        alt = bytearray(p)
+        at = p.index(b"\xff\xc0")
+        alt[at + 1] = sof
+        with pytest.raises(NotImplementedError, match="SOF"):
+            decode_jpeg(bytes(alt))
     sos_at = p.index(b"\xff\xda")
     assert len(p) > sos_at + 200  # the cut really lands inside the scan
     with pytest.raises(ValueError):
         decode_jpeg(p[: sos_at + 200])  # cut inside the entropy data
+    # truncated PROGRESSIVE entropy data fails loudly too
+    pr = encode_jpeg_progressive(32, 32, noise, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(pr[: pr.index(b"\xff\xda") + 40])
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0hello")
 
