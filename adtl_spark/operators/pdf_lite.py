@@ -9,9 +9,12 @@ Extractor scope (the "simple born-digital PDF" class):
 * object scan (``N G obj``..``endobj``), classic xref NOT required —
   robust to appended/linearized files because objects are located
   directly
-* stream payloads cut by ``/Length`` when it is a direct integer,
-  falling back to ``endstream`` search; ``/FlateDecode`` inflated with
-  zlib (stdlib), identity streams passed through
+* stream payloads cut by ``/Length`` — direct integers immediately,
+  indirect ``N 0 R`` references resolved against the completed object
+  table in a second pass (so a payload containing literal
+  ``endstream`` bytes cannot truncate the extent) — with ``endstream``
+  search as the no-/Length degraded path; ``/FlateDecode`` inflated
+  with zlib (stdlib), identity streams passed through
 * page ORDER from the ``/Root`` → ``/Pages`` → ``/Kids`` tree walk
   (depth-first, the spec's page ordering), falling back to document
   order when the tree is absent/broken
@@ -53,6 +56,7 @@ __all__ = ["pdf_pages", "pdf_text", "build_pdf", "build_pdf_modern"]
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+_LENGTH_IND_RE = re.compile(rb"/Length\s+(\d+)\s+\d+\s+R\b")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
 _TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
 _TYPE_CATALOG_RE = re.compile(rb"/Type\s*/Catalog\b")
@@ -85,10 +89,14 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
     already-parsed object's extent are skipped, and when ``/Length`` is
     a direct integer the object's extent jumps OVER the stream data —
     an ``endobj`` byte pattern inside the stream can't truncate it
-    either.  Length-less streams still rely on the first ``endstream``
-    after the data (the spec requires /Length; its absence is already a
-    degraded-input path)."""
+    either.  INDIRECT lengths (``/Length N 0 R`` — routine in
+    incrementally-written real-world files, where the producer only
+    knows the byte count after the stream is out) resolve in a second
+    pass against the completed object table, and only then does the
+    extent-sensitive Flate inflate run; the ``endstream`` search is the
+    first-pass placeholder and the no-/Length degraded path."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
+    pending: list[tuple[int, int, int, bytes]] = []  # indirect lengths
     guard = 0  # first byte past the last fully-parsed object's extent
     for m in _OBJ_RE.finditer(payload):
         if m.start() < guard:
@@ -99,11 +107,13 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         if end < 0:
             continue
         stream = None
+        deferred = False
         sm = re.compile(rb"stream\r?\n").search(payload, start, end)
         if sm is not None:
             head = payload[start : sm.start()]
             data_start = sm.end()
             lm = _LENGTH_RE.search(head)
+            im = _LENGTH_IND_RE.search(head)
             if lm is not None:
                 data_end = data_start + int(lm.group(1))
                 raw = payload[data_start:data_end]
@@ -121,7 +131,14 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
                     raw = raw[:-2]
                 elif raw.endswith((b"\n", b"\r")):
                     raw = raw[:-1]
-            if _FLATE_RE.search(head):
+                if im is not None:
+                    # indirect length: the extent above is provisional;
+                    # resolve + inflate in the second pass
+                    pending.append((num, data_start, int(im.group(1)), head))
+                    deferred = True
+            if deferred:
+                stream = raw  # placeholder, replaced in pass 2
+            elif _FLATE_RE.search(head):
                 try:
                     stream = zlib.decompress(raw)
                 except zlib.error as e:
@@ -134,6 +151,20 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         guard = end + len(b"endobj")
         # latest definition wins (incremental updates append new versions)
         objects[num] = (body, stream)
+    for num, data_start, ref, head in pending:
+        raw = objects[num][1]
+        if ref in objects:
+            lbody = objects[ref][0].strip()
+            if lbody.isdigit():
+                raw = payload[data_start : data_start + int(lbody)]
+        if _FLATE_RE.search(head):
+            try:
+                stream = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"PDF: bad Flate stream in obj {num}: {e}")
+        else:
+            stream = raw
+        objects[num] = (objects[num][0], stream)
     return objects
 
 

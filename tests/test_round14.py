@@ -466,3 +466,56 @@ def test_sharpness_and_dhash_operators_accept_progressive(spark):
         assert sharp[2 * i][0] is not None
         assert dh[2 * i] == dh[2 * i + 1], i
         assert dh[2 * i][0] is not None
+
+
+def test_mp2_decodes_behind_id3v2_tag():
+    import numpy as np
+
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp2
+
+    pcm = np.round(
+        0.5 * np.sin(2 * np.pi * 1000 * np.arange(2 * 1152) / 48000) * 32767
+    ).astype("<i2")
+    enc = encode_mp2(pcm.tobytes(), channels=1, kbps=320)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 64]) + b"\x00" * 64
+    r, ch, bits, out = decode_mpeg_audio(id3 + enc)
+    assert (r, ch, bits) == (48000, 1, 16)
+    assert len(out) == 2 * 2 * 1152  # int16 mono, 2 frames
+
+
+def test_pdf_indirect_length_streams_resolve():
+    """/Length N 0 R (indirect, routine in incrementally-written PDFs)
+    must resolve through the object table — including when the stream
+    payload itself contains the literal bytes 'endstream', which would
+    truncate the first-pass search-based extent."""
+    import re as _re
+
+    from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+    # identity-stream page whose text CONTAINS 'endstream'
+    pages = [["before endstream after", "line two"]]
+    payload = build_pdf(pages, compress=False)
+    # rewrite the content stream's direct /Length to an indirect ref
+    m = _re.search(rb"<< /Length (\d+) >>", payload)
+    assert m is not None
+    n = int(m.group(1))
+    patched = (
+        payload[: m.start()]
+        + b"<< /Length 99 0 R >>"
+        + payload[m.end() :]
+        + b"99 0 obj\n%d\nendobj\n" % n
+    )
+    assert pdf_pages(patched) == ["before endstream after\nline two"]
+
+    # compressed variant: indirect length on a Flate stream
+    payload = build_pdf([["flate indirect"]], compress=True)
+    m = _re.search(rb"<< /Filter /FlateDecode /Length (\d+) >>", payload)
+    assert m is not None
+    n = int(m.group(1))
+    patched = (
+        payload[: m.start()]
+        + b"<< /Filter /FlateDecode /Length 99 0 R >>"
+        + payload[m.end() :]
+        + b"99 0 obj\n%d\nendobj\n" % n
+    )
+    assert pdf_pages(patched) == ["flate indirect"]
