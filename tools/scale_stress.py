@@ -478,15 +478,21 @@ def run_hot_host(spark, uniform: Path) -> None:
     from adtl_spark.operators.text import schedule_frontier
 
     docs = spark.read.parquet(str(uniform / "documents.parquet"))
-    d = F.col("doc_id")
-    uniform_urls = docs.select(
+    # 100 URLs per document (~5M total at the 10x clone): the hot case
+    # must put MILLIONS of rows in one window partition to measure the
+    # long pole rather than scheduler noise
+    urls = docs.select(
+        F.posexplode(F.array_repeat(F.col("doc_id"), 100)).alias("k", "d")
+    ).select((F.col("d") * 100 + F.col("k")).alias("uid"))
+    d = F.col("uid")
+    uniform_urls = urls.select(
         F.concat(
             F.lit("http://h"), (d % 1024).cast("string"),
             F.lit(".test/p/"), d.cast("string"),
         ).alias("url")
     )
     hot_host = F.when(d % 2 == 0, F.lit(0)).otherwise(d % 1024)
-    hot_urls = docs.select(
+    hot_urls = urls.select(
         F.concat(
             F.lit("http://h"), hot_host.cast("string"),
             F.lit(".test/p/"), d.cast("string"),
