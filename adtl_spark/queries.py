@@ -5796,7 +5796,9 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline decode OF THE SAME PIXELS: per document a deterministic
     noisy image (byte j = (seed*31 + j*131) % 256 — maximal AC energy,
     every refinement path exercised) is encoded BOTH ways at the same
-    quality; encode_jpeg_progressive quantizes identically to
+    quality — 4:4:4 on even ids, 4:2:0 on odd (multi-block interleaved
+    DC MCUs over the padded grid + true-grid AC scans, the dominant web
+    progressive layout); encode_jpeg_progressive quantizes identically to
     encode_jpeg, so the progressive decode must be BYTE-EXACT equal to
     the baseline decode (``exact``), and the corpus blur screen's
     integer L1-Laplacian statistic must agree between the two decodes
@@ -5841,8 +5843,11 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seed = d * 7 + 3
                 j = np.arange(w * h * 3, dtype=np.int64)
                 img = ((seed * 31 + j * 131) % 256).astype(np.uint8).tobytes()
-                base = encode_jpeg(w, h, img, quality=88)
-                prog = encode_jpeg_progressive(w, h, img, quality=88)
+                ss = "444" if d % 2 == 0 else "420"
+                base = encode_jpeg(w, h, img, quality=88, subsampling=ss)
+                prog = encode_jpeg_progressive(
+                    w, h, img, quality=88, subsampling=ss
+                )
                 db = M.decode_image(base)
                 dp = M.decode_image(prog)
                 rows.append(

@@ -519,3 +519,26 @@ def test_pdf_indirect_length_streams_resolve():
         + b"99 0 obj\n%d\nendobj\n" % n
     )
     assert pdf_pages(patched) == ["flate indirect"]
+
+
+def test_jpeg_progressive_420_matches_baseline_420():
+    """4:2:0 progressive (the dominant web layout: interleaved
+    multi-block DC MCUs over the PADDED grid, per-component AC scans
+    over the TRUE block grid) must decode byte-exactly to the baseline
+    4:2:0 encode of the same pixels."""
+    import numpy as np
+
+    from adtl_spark.operators.jpeg_lite import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(17)
+    for (w, h, q) in [(16, 16, 90), (13, 9, 85), (24, 17, 75)]:
+        rgb = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8).tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, rgb, quality=q, subsampling="420"))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(w, h, rgb, quality=q, subsampling="420")
+        )
+        assert base == prog, (w, h, q)
