@@ -417,6 +417,10 @@ HEADLINE = [
 # SECOND untimed pass so the timed run measures steady-state worker-pool
 # reuse, not residual allocator churn.
 PYTHON_WORKER_QUERIES = [
+    # multimodal_meta was missing from this list until run40 flagged it
+    # drifting (1.1/2.0 s in-suite vs 0.8 isolated) — it is mapInPandas
+    # like the rest and belongs in the reaped section
+    "multimodal_meta",
     "multimodal_audio_meta",
     "multimodal_image_meta",
     "multimodal_audio_features",
