@@ -542,3 +542,116 @@ def test_jpeg_progressive_420_matches_baseline_420():
             encode_jpeg_progressive(w, h, rgb, quality=q, subsampling="420")
         )
         assert base == prog, (w, h, q)
+
+
+# ---------------------------------------------------------------------------
+# Real-file robustness paths: progressive restarts, CRC frames, W[0]=0
+
+
+def test_jpeg_progressive_restart_markers():
+    """Progressive scans WITH restart intervals (DRI + RSTn, common in
+    camera/producer output) must reset DC predictors and EOB runs at
+    each marker — hand-built 4-block stream, pixel math checked."""
+    import struct
+
+    import numpy as np
+
+    from adtl_spark.operators import jpeg_lite as J
+
+    dc_codes = J._canonical_codes(J._DC_BITS, J._DC_VALS)
+    ones = np.ones((8, 8), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    out += J._dqt_segment(0, ones)
+    sof = struct.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += J._dht_segment(0, 0, J._DC_BITS, J._DC_VALS)
+    ac_bits = [0, 1] + [0] * 14
+    ac_vals = [0x00]
+    out += J._dht_segment(1, 0, ac_bits, ac_vals)
+    out += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", 2)
+
+    def sos(ss, se, ah, al):
+        body = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(body) + 2) + body
+
+    dcs = [10, 20, 30, 40]
+    out += sos(0, 0, 0, 0)
+    w = J._BitWriter()
+    pred = 0
+    for i, dc in enumerate(dcs):
+        if i and i % 2 == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            w = J._BitWriter()
+            pred = 0  # restart resets the predictor
+        diff = dc - pred
+        pred = dc
+        size = J._category(diff)
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            w.write(J._amplitude(diff, size), size)
+    out += w.flush()
+    out += sos(1, 63, 0, 0)
+    acc = J._canonical_codes(ac_bits, ac_vals)
+    w = J._BitWriter()
+    for i in range(4):
+        if i and i % 2 == 0:
+            out += w.flush()
+            out += bytes([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            w = J._BitWriter()
+        code, length = acc[0x00]
+        w.write(code, length)
+    out += w.flush()
+    out += b"\xff\xd9"
+
+    gw, gh, rgb = J.decode_jpeg(bytes(out))
+    assert (gw, gh) == (32, 8)
+    got = np.frombuffer(rgb, np.uint8).reshape(8, 32, 3)[:, :, 0]
+    expect = []
+    for dc in dcs:
+        blk = np.zeros((8, 8))
+        blk[0, 0] = dc
+        expect.append(
+            np.clip(
+                np.round(J._DCT_M.T @ blk @ J._DCT_M + 128.0), 0, 255
+            ).astype(np.uint8)
+        )
+    assert np.array_equal(got, np.concatenate(expect, axis=1))
+
+
+def test_mp2_crc_protected_frames_decode():
+    """Frames with the protection bit set (CRC-16 after the header —
+    standard in broadcast Layer II) must decode identically; the CRC
+    bytes are skipped, not verified (documented)."""
+    import numpy as np
+
+    from adtl_spark.operators.mp2_lite import decode_mpeg_audio, encode_mp2
+
+    pcm = np.round(
+        0.5 * np.sin(2 * np.pi * 1000 * np.arange(2 * 1152) / 48000) * 32767
+    ).astype("<i2")
+    enc = encode_mp2(pcm.tobytes(), channels=1, kbps=320)
+    fb = 144 * 320000 // 48000
+    crc_frames = []
+    for i in range(2):
+        f = enc[i * fb : (i + 1) * fb]
+        h = bytearray(f[:4])
+        h[1] &= ~0x01  # protection bit 0 = CRC present
+        # steal two trailing pad bytes for the CRC slot (the fixture
+        # encoder always leaves padding slack at these bitrates)
+        crc_frames.append(bytes(h) + b"\xbe\xef" + f[4:-2])
+    assert decode_mpeg_audio(b"".join(crc_frames)) == decode_mpeg_audio(enc)
+
+
+def test_pdf_xref_stream_w0_defaults_to_type1():
+    """ISO 32000-1 §7.5.8.3: a zero-width first field means every entry
+    is type 1 — producers emit W [0 n m] for offset-only tables."""
+    from adtl_spark.operators.pdf_lite import _decode_xref_stream
+
+    body = b"<< /Type /XRef /Size 3 /W [0 2 1] /Index [1 2] >>"
+    stream = bytes([0, 50, 0, 0, 99, 0])
+    assert _decode_xref_stream(body, stream) == {
+        1: (1, 50, 0),
+        2: (1, 99, 0),
+    }
