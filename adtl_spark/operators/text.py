@@ -1922,6 +1922,8 @@ def schedule_frontier(
     default_delay_ms: int = 1000,
     n_shards: int = 64,
     priority_col: str | None = None,
+    banded_numbering: bool = False,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """Politeness scheduling for a crawl frontier — the step after
     robots/sitemap ingestion that turns a URL set into a fetch plan a
@@ -1952,10 +1954,18 @@ def schedule_frontier(
       BROADCAST; hosts without an entry get ``default_delay_ms``.
 
     One shuffle (the per-host window partition); the delay side never
-    shuffles the URL relation.  Host skew is INHERENT here, not a bug
-    to salt away: a 100M-page host is one sequential politeness queue
-    by definition, and the shard hash spreads distinct hosts across
-    workers — the long pole is the crawl policy's, not the plan's.
+    shuffles the URL relation.  Host skew is INHERENT to the OUTPUT
+    here — a 100M-page host is one sequential politeness queue by
+    definition — but not to the COMPUTE: ``banded_numbering=True``
+    swaps the single per-host window for an exact-equivalent banded
+    plan (range-partition by (host, order), number within (host,
+    band), add per-host prefix-sum offsets of the tiny (host, band)
+    count relation over ``n_bands`` bands), so no partition ever holds
+    a whole monster host; ~3 bounded shuffles instead of 1 unbounded
+    one — measured 2.07x hot-host penalty in the default plan at 2.5M
+    hot rows (tools/scale_stress.py --hot-host), the banded plan's
+    worst partition stays corpus/n_bands.  Default stays the single
+    window: cheapest for ordinary host distributions.
     Fully SQL-replayable (md5-60 shard + row_number twin).  Non-URL
     rows (no ``scheme://authority``) yield a NULL host and schedule in
     their own bucket — filter upstream if they should not fetch."""
@@ -1989,11 +1999,72 @@ def schedule_frontier(
         if priority_col is not None
         else [F.col(url_col)]
     )
-    seq = F.row_number().over(Window.partitionBy("host").orderBy(*order))
+    if banded_numbering:
+        # EXACT-EQUIVALENT hot-host-safe numbering: a monster host makes
+        # the plain per-host window ONE partition (measured 2.07x at
+        # 2.5M hot rows — tools/scale_stress.py --hot-host).  Instead,
+        # range-partition by (host, order...) so each host's queue is
+        # split across contiguous partitions IN ORDER, number within
+        # (host, partition) — every window partition is now bounded by
+        # the range-partition size — and add per-host prefix-sum offsets
+        # of the (host, partition) counts (a relation of ~n_bands +
+        # #hosts rows).  Same fetch_seq values as the plain window (ties
+        # may permute, as in any row_number), at the cost of ~3 bounded
+        # shuffles instead of 1 unbounded one.  spark_partition_id is
+        # captured as a column right after the range exchange, so the
+        # usual deterministic-input caveat applies (see apply_robots).
+        sc = urls.sparkSession.sparkContext
+        bands = int(n_bands) if n_bands else sc.defaultParallelism * 4
+        # localCheckpoint pins the band ids: the ranged relation feeds
+        # BOTH the count aggregate and the numbering join, and without
+        # materialization the range exchange is evaluated twice — AQE
+        # may coalesce its partitions differently per evaluation, and
+        # spark_partition_id would then disagree between the two
+        # consumers (observed: wrong offsets on a 20k-row run).  One
+        # bounded materialization of the frontier buys consistency.
+        ranged = (
+            out.repartitionByRange(bands, F.col("host"), *order)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+        within = F.row_number().over(
+            Window.partitionBy("host", "__pid").orderBy(*order)
+        )
+        offs = (
+            ranged.groupBy("host", "__pid")
+            .count()
+            .withColumn(
+                "__off",
+                F.coalesce(
+                    F.sum("count").over(
+                        Window.partitionBy("host")
+                        .orderBy("__pid")
+                        .rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("host", "__pid", "__off")
+        )
+        out = (
+            ranged.withColumn("__within", within)
+            # shuffle-hash: the offsets relation (~n_bands + #hosts
+            # rows) is the build side; sorting the URL relation for an
+            # SMJ would be pure waste, and a broadcast is wrong at
+            # scale (#hosts can be millions)
+            .join(offs.hint("shuffle_hash"), ["host", "__pid"])
+            .withColumn(
+                "fetch_seq",
+                (F.col("__off") + F.col("__within")).cast("long"),
+            )
+            .drop("__pid", "__within", "__off")
+        )
+    else:
+        seq = F.row_number().over(Window.partitionBy("host").orderBy(*order))
+        out = out.withColumn("fetch_seq", seq.cast("long"))
     delay = F.coalesce(F.col("__delay"), F.lit(int(default_delay_ms)))
     return (
         out.withColumn("shard", F.pmod(md5_60(F.col("host")), F.lit(n_shards)).cast("int"))
-        .withColumn("fetch_seq", seq.cast("long"))
         .withColumn(
             "fetch_after_ms", ((F.col("fetch_seq") - 1) * delay).cast("long")
         )

@@ -4665,6 +4665,42 @@ def web_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def web_frontier_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-host-safe BANDED politeness numbering value-checked
+    against the plain window's SQL semantics: same fixture shape as
+    ``web_frontier_politeness`` but with a deliberately skewed host
+    distribution (even ids all on one host — half the corpus in one
+    politeness queue) and ``banded_numbering=True``, so the
+    range-partition + per-band row_number + per-host prefix-sum offset
+    plan must reproduce EXACTLY the row_number the oracle computes with
+    one window.  This is the claim the operator makes: no partition
+    ever holds a whole monster host, and the fetch plan is bit-for-bit
+    the plain plan's (operators/text.py: schedule_frontier
+    banded_numbering)."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    d = F.col("doc_id")
+    host_k = F.when(d % 2 == 0, F.lit(0)).otherwise(d % 11)
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), host_k.cast("string"),
+            F.lit(".test/p/"), d.cast("string"),
+        ).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 300)], "host string, delay_ms long"
+    )
+    return (
+        schedule_frontier(
+            urls, delays, default_delay_ms=900,
+            banded_numbering=True, n_bands=48,
+        )
+        .select("doc_id", "host", "fetch_seq", "fetch_after_ms")
+        .orderBy("doc_id")
+    )
+
+
 def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset-aware WET extraction value-checked byte-exact on real
     crawl shapes: per document an HTTP response wrapped in a binary
@@ -9236,6 +9272,32 @@ def oracles() -> dict[str, str]:
                    CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
             FROM s ORDER BY doc_id
         """,
+        # the banded plan must reproduce the ONE-WINDOW row_number the
+        # oracle computes — exact equivalence is the operator's claim
+        "web_frontier_banded": """
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                      ELSE doc_id % 11 END AS VARCHAR)
+                     || '.test' AS host,
+                     'http://h' || CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                                             ELSE doc_id % 11 END AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, host,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY url
+                     ) AS BIGINT) AS fetch_seq,
+                     CASE WHEN host = 'h0.test' THEN 300 ELSE 900
+                     END AS delay
+              FROM u
+            )
+            SELECT doc_id, host, fetch_seq,
+                   CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
+            FROM s ORDER BY doc_id
+        """,
         # priority scheduling: same row_number replay, ordered by the
         # priority column; decorated authorities (userinfo / port / case)
         # all collapse to the bare host and take its delay
@@ -10294,8 +10356,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        ordered frontier scheduling with host normalization
        (``web_frontier_priority``), modern-layout PDF extraction
        (xref streams + object streams, ``doc_pdf_extract_modern``),
-       progressive JPEG decode (``multimodal_jpeg_progressive``), and
-       MPEG-1 Layer I/II audio decode (``multimodal_mp2_decode``).
+       progressive JPEG decode (``multimodal_jpeg_progressive``),
+       MPEG-1 Layer I/II audio decode (``multimodal_mp2_decode``), and
+       the hot-host-safe banded politeness numbering, value-checked
+       exactly equivalent to the plain window
+       (``web_frontier_banded``).
     2. The remaining slots are the refresh queue's continuation
        exactly as documented last round: the round-6-verified
        remainder from ``emb_kmeans_centroids`` through ``corpus_zipf``
@@ -10331,6 +10396,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pdf_extract_modern": doc_pdf_extract_modern,
         "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
         "multimodal_mp2_decode": multimodal_mp2_decode,
+        "web_frontier_banded": web_frontier_banded,
         # -- round-6-verified remainder (the documented refresh
         # queue's continuation: emb_kmeans_centroids onward) --
         "emb_kmeans_centroids": emb_kmeans_centroids,

@@ -407,6 +407,7 @@ HEADLINE = [
     "doc_pdf_extract_modern",
     "multimodal_jpeg_progressive",
     "multimodal_mp2_decode",
+    "web_frontier_banded",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their

@@ -366,6 +366,7 @@ def test_query_registry_invariants():
         "doc_pdf_extract_modern",
         "multimodal_jpeg_progressive",
         "multimodal_mp2_decode",
+        "web_frontier_banded",
     ]
     n11 = len(r11)
     assert gate[:n11] == r11, "r11 gates hold the head"

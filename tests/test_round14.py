@@ -655,3 +655,37 @@ def test_pdf_xref_stream_w0_defaults_to_type1():
         1: (1, 50, 0),
         2: (1, 99, 0),
     }
+
+
+def test_schedule_frontier_banded_equals_plain(spark):
+    """banded_numbering must produce the identical fetch plan the plain
+    per-host window produces — including under host skew and with a
+    priority column — while no window partition holds a whole host."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    d = F.col("id")
+    urls = spark.range(0, 4000).select(
+        F.concat(
+            F.lit("http://h"),
+            F.when(d % 2 == 0, F.lit(0)).otherwise(d % 17).cast("string"),
+            F.lit(".test/p/"), d.cast("string"),
+        ).alias("url"),
+        (d % 5).cast("int").alias("priority"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 100)], "host string, delay_ms long"
+    )
+    cols = ["url", "host", "shard", "fetch_seq", "fetch_after_ms"]
+    for prio in (None, "priority"):
+        plain = sorted(
+            map(tuple, schedule_frontier(
+                urls, delays, priority_col=prio
+            ).select(cols).collect())
+        )
+        banded = sorted(
+            map(tuple, schedule_frontier(
+                urls, delays, priority_col=prio,
+                banded_numbering=True, n_bands=37,
+            ).select(cols).collect())
+        )
+        assert plain == banded, f"banded plan diverged (priority={prio})"

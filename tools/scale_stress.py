@@ -245,6 +245,7 @@ QUERIES = [
     "corpus_ngram_novelty",
     # round-14 additions
     "web_frontier_priority",
+    "web_frontier_banded",
     "doc_pdf_extract_modern",
     "multimodal_jpeg_progressive",
     "multimodal_mp2_decode",
@@ -499,19 +500,29 @@ def run_hot_host(spark, uniform: Path) -> None:
         ).alias("url")
     )
     times = {}
-    for label, rel in (("uniform-hosts", uniform_urls), ("hot-host", hot_urls)):
-        schedule_frontier(rel).write.mode("overwrite").format(
+    variants = (
+        ("uniform-hosts", uniform_urls, {}),
+        ("hot-host", hot_urls, {}),
+        ("hot-host-banded", hot_urls, {"banded_numbering": True}),
+    )
+    for label, rel, kw in variants:
+        schedule_frontier(rel, **kw).write.mode("overwrite").format(
             "noop"
         ).save()  # warm
         t0 = time.time()
-        schedule_frontier(rel).write.mode("overwrite").format("noop").save()
+        schedule_frontier(rel, **kw).write.mode("overwrite").format(
+            "noop"
+        ).save()
         times[label] = time.time() - t0
         print(f"schedule_frontier[{label}]: {times[label]:.2f}s", flush=True)
     print(
         "hot-host/uniform ratio "
         f"{times['hot-host'] / times['uniform-hosts']:.2f}x "
         "(one window partition holds ~50% of rows — the per-host FIFO "
-        "long pole; sub-shard monster hosts by path when it bites)",
+        "long pole); banded/plain hot-host ratio "
+        f"{times['hot-host-banded'] / times['hot-host']:.2f}x "
+        "(banded_numbering replaces the unbounded window with ~3 "
+        "bounded shuffles — exact same fetch plan)",
         flush=True,
     )
 
