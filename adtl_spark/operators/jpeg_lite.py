@@ -6,7 +6,9 @@ from the spec structure (markers / DQT / SOF0 / DHT / DRI / SOS, MCU
 entropy decoding, dequant + IDCT + chroma upsample + YCbCr->RGB):
 
 - **decode**: baseline sequential DCT (SOF0), 8-bit, 1- or 3-component,
-  any sampling factors in {1,2} (4:4:4, 4:2:2, 4:2:0), restart
+  any dividing sampling factors in 1-4 (4:4:4, 4:2:2, 4:2:0, 4:1:1 —
+  validated right at SOF so BOTH decode paths reject out-of-range
+  layouts loudly), restart
   intervals, byte-stuffing; AND progressive DCT (SOF2, T.81 Annex G) —
   spectral selection, successive approximation, EOB runs spanning
   blocks, DC/AC refinement scans (see ``_ProgressiveState``), so the
@@ -14,7 +16,7 @@ entropy decoding, dequant + IDCT + chroma upsample + YCbCr->RGB):
   sharpness / augment operators instead of being skipped.  Arithmetic
   coding, lossless and hierarchical modes raise NotImplementedError;
   malformed streams raise ValueError.
-- **encode**: baseline 4:4:4/4:2:0 (or grayscale) with SELF-DESCRIBING
+- **encode**: baseline 4:4:4/4:2:2/4:2:0/4:1:1 (or grayscale) with SELF-DESCRIBING
   canonical Huffman tables — every table the encoder uses is written to
   its DHT segment (12 four-bit DC codes; all 162 AC symbols at eight
   bits), so any conformant decoder reads them back; compression is a
@@ -219,6 +221,51 @@ def _dqt_segment(tid: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(body) + 2) + body
 
 
+# subsampling name -> luma (h, v); chroma components are always (1, 1),
+# so the chroma mean-pool factors equal the luma factors
+_SUBSAMPLING_HV = {
+    "444": (1, 1),
+    "422": (2, 1),
+    "420": (2, 2),
+    "411": (4, 1),
+}
+
+
+def _subsample_planes(
+    raw_planes: list, subsampling: str, gray: bool
+) -> tuple[list, list]:
+    """Shared encoder prologue: mean-pool the chroma planes for the
+    requested subsampling and return (planes, per-component (h, v)
+    list).  '411' (h=4 luma — common camera output) exercises the
+    decoder's 4x horizontal upsample; '422'/'420' the 2x paths."""
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(
+            f"subsampling {subsampling!r} not in {sorted(_SUBSAMPLING_HV)}"
+        )
+    if gray:
+        return raw_planes, [(1, 1)]
+    fh, fv = _SUBSAMPLING_HV[subsampling]
+    if (fh, fv) == (1, 1):
+        return raw_planes, [(1, 1)] * 3
+    for i in (1, 2):
+        p = raw_planes[i]
+        p = np.pad(
+            p,
+            ((0, (-p.shape[0]) % fv), (0, (-p.shape[1]) % fh)),
+            mode="edge",
+        )
+        # ordered accumulation (row-major within the window): for the
+        # 2x2 case this is bit-identical to the original hand-written
+        # four-term sum, keeping every existing '420' fixture byte-stable
+        acc = None
+        for vy in range(fv):
+            for vx in range(fh):
+                term = p[vy::fv, vx::fh]
+                acc = term if acc is None else acc + term
+        raw_planes[i] = acc / float(fh * fv)
+    return raw_planes, [(fh, fv), (1, 1), (1, 1)]
+
+
 def encode_jpeg(
     width: int,
     height: int,
@@ -230,12 +277,16 @@ def encode_jpeg(
     """Baseline JFIF encoding of packed RGB bytes (or, with ``gray``,
     single-channel bytes) — every Huffman/quant table used is written to
     the stream, so any conformant decoder round-trips it.
-    ``subsampling`` is '444' (full chroma) or '420' (2x2-mean chroma,
-    16x16 MCUs — the common photographic layout, and the encoder-side
-    exercise of the decoder's multi-block-MCU upsample path)."""
+    ``subsampling`` is '444' (full chroma), '422', '420' (2x2-mean
+    chroma, 16x16 MCUs — the common photographic layout, and the
+    encoder-side exercise of the decoder's multi-block-MCU upsample
+    path), or '411' (4x1-mean chroma, 32x8 MCUs — common camera
+    output, the decoder's h=4 upsample exercise)."""
     nchan = 1 if gray else 3
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} not in ('444','420')")
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(
+            f"subsampling {subsampling!r} not in {sorted(_SUBSAMPLING_HV)}"
+        )
     if len(rgb) != width * height * nchan:
         raise ValueError(
             f"pixel buffer {len(rgb)} != {width}x{height}x{nchan}"
@@ -251,17 +302,7 @@ def encode_jpeg(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    sub = subsampling == "420" and not gray
-    # per-component (h, v) sampling factors
-    hv = [(1, 1)] if gray else ([(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3)
-    if sub:
-        # 2x2-mean chroma downsample (edge-pad odd dims first)
-        for i in (1, 2):
-            p = raw_planes[i]
-            p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
-            raw_planes[i] = (
-                p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
-            ) / 4.0
+    raw_planes, hv = _subsample_planes(raw_planes, subsampling, gray)
     maxh = max(h for h, _ in hv)
     maxv = max(v for _, v in hv)
     mcus_x = (width + 8 * maxh - 1) // (8 * maxh)
@@ -340,11 +381,12 @@ def encode_jpeg_progressive(
 ) -> bytes:
     """Progressive (SOF2) JFIF encoding of packed RGB (or single-channel
     with ``gray``) — the fixture-side counterpart of the progressive
-    decode path.  ``subsampling`` is '444' or '420' (2x2-mean chroma,
-    16x16 MCUs — the dominant web progressive layout; the interleaved
+    decode path.  ``subsampling`` is '444', '422', '420' (2x2-mean
+    chroma, 16x16 MCUs — the dominant web progressive layout; the interleaved
     DC scan then covers multi-block MCUs over the PADDED grid while the
     per-component AC scans cover each component's TRUE block grid,
-    which is exactly the asymmetry the decoder must honor).  The scan
+    which is exactly the asymmetry the decoder must honor), or '411'
+    (4x1-mean chroma, 32x8 MCUs).  The scan
     script exercises all four progressive scan kinds: an interleaved DC first scan at Al=1,
     a DC refinement scan, per-component spectral-selection AC first
     scans (bands 1-5 and 6-63 at Al=2), and two successive-approximation
@@ -356,8 +398,10 @@ def encode_jpeg_progressive(
     correction-bit bookkeeping local to a block; decoders must handle
     any run length and ours does (tested against hand-built streams)."""
     nchan = 1 if gray else 3
-    if subsampling not in ("444", "420"):
-        raise ValueError(f"subsampling {subsampling!r} not in ('444','420')")
+    if subsampling not in _SUBSAMPLING_HV:
+        raise ValueError(
+            f"subsampling {subsampling!r} not in {sorted(_SUBSAMPLING_HV)}"
+        )
     if len(rgb) != width * height * nchan:
         raise ValueError(
             f"pixel buffer {len(rgb)} != {width}x{height}x{nchan}"
@@ -373,15 +417,7 @@ def encode_jpeg_progressive(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
-    sub = subsampling == "420" and not gray
-    hv = [(1, 1)] if gray else ([(2, 2), (1, 1), (1, 1)] if sub else [(1, 1)] * 3)
-    if sub:
-        for i in (1, 2):
-            p = raw_planes[i]
-            p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge")
-            raw_planes[i] = (
-                p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
-            ) / 4.0
+    raw_planes, hv = _subsample_planes(raw_planes, subsampling, gray)
     maxh = max(h_ for h_, _ in hv)
     maxv = max(v_ for _, v_ in hv)
     mcus_x = (width + 8 * maxh - 1) // (8 * maxh)
@@ -964,6 +1000,21 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
+            # sampling validation HERE, before either decode path runs
+            # (the progressive branch returns without reaching any later
+            # guard): T.81 allows factors 1-4; the replication upsample
+            # additionally needs each factor to divide the maximum
+            if any(
+                not 1 <= c["h"] <= 4 or not 1 <= c["v"] <= 4
+                for c in comps
+            ):
+                raise ValueError("JPEG sampling factors out of range 1-4")
+            mh = max(c["h"] for c in comps)
+            mv = max(c["v"] for c in comps)
+            if any(mh % c["h"] or mv % c["v"] for c in comps):
+                raise NotImplementedError(
+                    "non-dividing JPEG sampling factors unsupported"
+                )
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF marker 0xFF{marker:02X} (lossless/arithmetic/"
@@ -1002,9 +1053,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, bytes]:
         )
     if width is None or scan_comps is None:
         raise ValueError("JPEG missing SOF or SOS")
-    if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
-        raise NotImplementedError("sampling factors beyond 2 unsupported")
-
     maxh = max(c["h"] for c in comps)
     maxv = max(c["v"] for c in comps)
     mcu_w, mcu_h = 8 * maxh, 8 * maxv

@@ -1,26 +1,36 @@
-"""Dependency-free MPEG-1 Layer I/II audio codec — stdlib + numpy.
+"""Dependency-free MPEG-1/MPEG-2 Layer I/II audio codec — stdlib + numpy.
 
 Closes the broadcast-audio decode gap behind the codec registry's MP3
 seam: MPEG-1 Layer II is the DAB/DVB/broadcast archive format (and
 Layer I its simpler sibling), and its decode is ~an order of magnitude
 less machinery than Layer III (no Huffman tables, no IMDCT, no bit
-reservoir).  Written from the public ISO/IEC 11172-3 structure:
+reservoir).  Written from the public ISO/IEC 11172-3 + 13818-3
+structure:
 
 - **decode** (:func:`decode_mpeg_audio`): frame-header walk (shared
   sync/bitrate/samplerate layout with ``probe_mpeg_audio``), CRC skip,
-  Layer II bit allocation (Tables 3-B.2a/b — the 27- and 30-subband
-  high-rate tables; the low-rate c/d tables raise NotImplementedError),
-  scfsi/scalefactor decoding, grouped (3/5/9-level) and ungrouped
-  sample dequantization, intensity joint stereo above the bound, and
-  the 32-band polyphase synthesis filterbank.  Layer I decodes with the
-  same machinery (4-bit allocations, 12 samples/subband, no grouping).
-  Layer III payloads raise NotImplementedError naming the registry
-  seam (``register_decoder('mp3', fn)``), as before.
+  Layer II bit allocation — the FULL (sample_rate, bitrate-class)
+  selection of ISO 11172-3 §2.4.2.3: Tables 3-B.2a/b (high-rate, 27
+  and 30 subbands), 3-B.2c/d (low-rate <= 48 kbit/s per channel, 8 and
+  12 subbands — speech/low-bitrate broadcast archives), and the single
+  ISO 13818-3 Table B.1 (30 subbands) for MPEG-2 LSF (22.05/24/16 kHz)
+  and MPEG-2.5 (11.025/12/8 kHz) frames — then scfsi/scalefactor
+  decoding, grouped (3/5/9-level) and ungrouped sample dequantization,
+  intensity joint stereo above the bound, and the 32-band polyphase
+  synthesis filterbank.  Layer I decodes with the same machinery
+  (4-bit allocations, 12 samples/subband, no grouping) at every
+  version.  Layer III payloads raise NotImplementedError naming the
+  registry seam (``register_decoder('mp3', fn)``), as before — its
+  exact ISO Huffman table data cannot be honestly re-derived.
 - **encode** (:func:`encode_mp2`, :func:`encode_mp1`): fixture-side
   encoders producing spec-shaped frames (real headers, allocation /
   scfsi / scalefactor / sample fields in bitstream order) from PCM, so
   the decode path is exercised on byte streams any conformant decoder
-  agrees on structurally.
+  agrees on structurally.  The version is inferred from the sample
+  rate (44.1/48/32 kHz -> MPEG-1, 22.05/24/16 -> MPEG-2 LSF,
+  11.025/12/8 -> MPEG-2.5), and the allocation ladder adapts to the
+  selected table, so low-rate and LSF fixtures come out of the same
+  entry points.
 
 DISCLOSED APPROXIMATION — the filterbank prototype: ISO 11172-3 gives
 the 512-tap analysis/synthesis window as a numeric table (Tables
@@ -38,15 +48,17 @@ certified decoder still arrives via ``register_decoder``.  The
 quantization layer (midtread reconstruction ``(2c+1-steps)/steps``) IS
 exactly ISO Table 3-B.4 (algebraically identical to the C/D constants).
 
-The Layer II SAMPLE SECTION is fully vectorized on both sides: its
+The Layer I AND Layer II SAMPLE SECTIONS are fully vectorized: their
 field layout is static once the allocation is read, so decode extracts
 every sample field of a frame with one ``np.unpackbits`` + weighted
-``reduceat`` pass (:func:`_extract_bits`) and encode packs the whole
-frame with one ``np.packbits`` pass (:func:`_pack_bits`) — measured
-2-4x decode / 6-8x encode over the per-bit reader, byte-identical
-output (the per-bit reader remains for the small sequential
-allocation/scfsi/scalefactor headers and for Layer I).  Per-payload
-work inside Arrow ``mapInPandas`` batches like the repo's other codecs.
+``reduceat`` pass (:func:`_extract_bits`) and Layer II encode packs the
+whole frame with one ``np.packbits`` pass (:func:`_pack_bits`) —
+measured 2-4x decode / 6-8x encode over the per-bit reader,
+byte-identical output (the per-bit reader remains for the small
+sequential allocation/scfsi/scalefactor headers, and Layer I's per-bit
+sample walk is retained as :func:`_decode_frame_l1_perbit`, the
+differential ground truth).  Per-payload work inside Arrow
+``mapInPandas`` batches like the repo's other codecs.
 """
 
 from __future__ import annotations
@@ -120,34 +132,59 @@ _CLASS_BITS = {
     16383: (14, False), 32767: (15, False), 65535: (16, False),
 }
 
-# Layer II allocation tables (3-B.2a: 48 kHz, 27 subbands; 3-B.2b:
-# 44.1/32 kHz, 30 subbands; both for >= 56 kbit/s per channel).  Each
-# entry: (nbal, allowed-steps list indexed by the allocation code - 1).
+# Layer II allocation tables.  Each entry: (nbal, allowed-steps list
+# indexed by the allocation code - 1).  High-rate (>= 56 kbit/s/ch)
+# rows (3-B.2a: 27 subbands; 3-B.2b: 30):
 _STEPS_LO = [3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
              16383, 32767, 65535]
 _STEPS_MID = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
               8191, 65535]
 _STEPS_HI = [3, 5, 7, 9, 15, 31, 65535]
 _STEPS_TOP = [3, 5, 65535]
+# Low-rate (<= 48 kbit/s/ch) rows (3-B.2c: 8 subbands at 44.1/48 kHz;
+# 3-B.2d: 12 subbands at 32 kHz) — all-grouped small quantizers, and
+# the widest class jumps straight to 16 bits:
+_STEPS_LR4 = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+              8191, 16383, 65535]
+_STEPS_LR3 = [3, 5, 9, 15, 31, 63, 127]
+# MPEG-2 LSF (ISO 13818-3 Table B.1, 30 subbands, ALL bitrates) rows —
+# same shape as the low-rate rows but capped at 15 bits and with a
+# 2-bit top tier:
+_STEPS_LSF4 = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+               8191, 16383, 32767]
+_STEPS_LSF2 = [3, 5, 9]
 
 
-def _alloc_table(sample_rate: int, kbps_per_ch: int) -> list:
-    """Per-subband (nbal, steps-list) rows.  48 kHz uses the 27-subband
-    Table 3-B.2a; 44.1/32 kHz the 30-subband 3-B.2b.  The low-rate
-    (<= 48 kbit/s per channel) c/d tables are out of scope — broadcast
-    Layer II is 192-384 kbit/s stereo."""
-    if kbps_per_ch <= 48:
-        raise NotImplementedError(
-            "Layer II low-rate allocation tables (3-B.2c/d) unsupported; "
-            ">= 56 kbit/s per channel only"
+def _alloc_table(sample_rate: int, kbps_per_ch: int, version: int = 3) -> list:
+    """Per-subband (nbal, steps-list) rows, selected per ISO 11172-3
+    §2.4.2.3 by BOTH sample rate and bitrate class (a 44.1 kHz
+    112-160 kbit/s stereo stream is the 27-subband 3-B.2a, not the
+    30-subband 3-B.2b a rate-only lookup would pick):
+
+    - MPEG-2 LSF / MPEG-2.5 (``version`` != 3): the single ISO 13818-3
+      Table B.1 (30 subbands) at every rate and bitrate;
+    - <= 48 kbit/s per channel: 3-B.2c (8 subbands, 44.1/48 kHz) or
+      3-B.2d (12 subbands, 32 kHz);
+    - 56-80 kbit/s per channel: 3-B.2a (27 subbands) at ALL rates;
+    - >= 96 kbit/s per channel: 3-B.2a at 48 kHz, 3-B.2b (30 subbands)
+      at 44.1/32 kHz.
+    """
+    if version != 3:
+        return (
+            [(4, _STEPS_LSF4)] * 4
+            + [(3, _STEPS_LR3)] * 7
+            + [(2, _STEPS_LSF2)] * 19
         )
+    if kbps_per_ch <= 48:
+        sblimit = 8 if sample_rate in (44100, 48000) else 12
+        return [(4, _STEPS_LR4)] * 2 + [(3, _STEPS_LR3)] * (sblimit - 2)
     rows = (
         [(4, _STEPS_LO)] * 3
         + [(4, _STEPS_MID)] * 8
         + [(3, _STEPS_HI)] * 12
         + [(2, _STEPS_TOP)] * 4
     )
-    if sample_rate != 48000:
+    if sample_rate != 48000 and kbps_per_ch >= 96:
         rows = rows + [(2, _STEPS_TOP)] * 3  # 3-B.2b extends to 30
     return rows
 
@@ -244,7 +281,17 @@ _BITRATES_L1 = (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
                 416, 448)
 _BITRATES_L2 = (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
                 320, 384)
-_RATES = {3: (44100, 48000, 32000)}
+# MPEG-2 LSF (and 2.5) bitrate tables, ISO 13818-3 — Layer II/III share
+# one table
+_BITRATES_L1_LSF = (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176,
+                    192, 224, 256)
+_BITRATES_L2_LSF = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                    144, 160)
+_RATES = {
+    3: (44100, 48000, 32000),        # MPEG-1
+    2: (22050, 24000, 16000),        # MPEG-2 LSF
+    0: (11025, 12000, 8000),         # MPEG-2.5
+}
 
 
 def _parse_header(h: int) -> dict:
@@ -252,10 +299,8 @@ def _parse_header(h: int) -> dict:
         raise ValueError("lost MPEG audio sync")
     version_bits = (h >> 19) & 0x3
     layer = 4 - ((h >> 17) & 0x3)
-    if version_bits != 3:
-        raise NotImplementedError(
-            "MPEG-2/2.5 (LSF) decode unsupported; MPEG-1 Layer I/II only"
-        )
+    if version_bits == 1:
+        raise ValueError("reserved MPEG version bits")
     if layer == 3:
         raise NotImplementedError(
             "MP3 (Layer III) decoding requires a codec library; install "
@@ -268,10 +313,15 @@ def _parse_header(h: int) -> dict:
     sr_idx = (h >> 10) & 0x3
     if br_idx in (0, 15) or sr_idx == 3:
         raise ValueError("free-format or invalid bitrate/samplerate")
-    kbps = (_BITRATES_L1 if layer == 1 else _BITRATES_L2)[br_idx - 1]
-    rate = _RATES[3][sr_idx]
+    if version_bits == 3:
+        table = _BITRATES_L1 if layer == 1 else _BITRATES_L2
+    else:
+        table = _BITRATES_L1_LSF if layer == 1 else _BITRATES_L2_LSF
+    kbps = table[br_idx - 1]
+    rate = _RATES[version_bits][sr_idx]
     mode = (h >> 6) & 0x3
     return {
+        "version": version_bits,
         "layer": layer,
         "kbps": kbps,
         "rate": rate,
@@ -301,7 +351,7 @@ def _dequant(code: int, steps: int) -> float:
 
 def _decode_frame_l2(data: bytes, hdr: dict) -> np.ndarray:
     nch = hdr["nch"]
-    table = _alloc_table(hdr["rate"], hdr["kbps"] // nch)
+    table = _alloc_table(hdr["rate"], hdr["kbps"] // nch, hdr["version"])
     sblimit = len(table)
     bound = hdr["bound"] if hdr["bound"] is not None else sblimit
     bound = min(bound, sblimit)
@@ -405,7 +455,9 @@ def _decode_frame_l2(data: bytes, hdr: dict) -> np.ndarray:
     return S
 
 
-def _decode_frame_l1(data: bytes, hdr: dict) -> np.ndarray:
+def _l1_headers(data: bytes, hdr: dict):
+    """Layer I allocation + scalefactor sections (sequential, tiny);
+    returns (alloc, sf, bound, bit position of the sample section)."""
     nch = hdr["nch"]
     bound = hdr["bound"] if hdr["bound"] is not None else 32
     br = _BitReader(data, (4 + (2 if hdr["crc"] else 0)) * 8)
@@ -431,6 +483,59 @@ def _decode_frame_l1(data: bytes, hdr: dict) -> np.ndarray:
         for ch in range(nch):
             if alloc[ch][sb]:
                 sf[ch][sb] = _SF[br.read(6)]
+    return alloc, sf, bound, br.pos
+
+
+def _decode_frame_l1(data: bytes, hdr: dict) -> np.ndarray:
+    """Layer I frame decode with the sample section extracted in ONE
+    vectorized :func:`_extract_bits` pass (the same static-layout
+    property as Layer II: once the allocation is read, every sample
+    field's width is known).  Byte-identical to the retained per-bit
+    path (:func:`_decode_frame_l1_perbit` — differential-tested)."""
+    nch = hdr["nch"]
+    alloc, sf, bound, pos = _l1_headers(data, hdr)
+
+    S = np.zeros((12, nch, 32))
+    s_l, sb_l, ch_l, steps_l, widths = [], [], [], [], []
+    for s in range(12):
+        for sb in range(32):
+            shared = sb >= bound
+            for ch in range(1 if shared else nch):
+                steps = alloc[ch][sb]
+                if not steps:
+                    continue
+                s_l.append(s)
+                sb_l.append(sb)
+                ch_l.append(ch)
+                steps_l.append(steps)
+                widths.append(steps.bit_length())
+    if not widths:
+        return S
+    codes = _extract_bits(data, pos, widths)
+    steps_a = np.array(steps_l, dtype=np.int64)
+    x = (2 * codes + 1 - steps_a) / steps_a  # Table 3-B.4 midtread
+    s_a, sb_a = np.array(s_l), np.array(sb_l)
+    src_ch = np.array(ch_l)
+    shared_a = sb_a >= bound
+    sf_a = np.array(sf)  # (nch, 32)
+    for tch in range(nch):
+        take = (src_ch == tch) | shared_a if nch > 1 else src_ch == tch
+        if not take.any():
+            continue
+        # a shared subband lands on a channel only if that channel's
+        # allocation is live (mirrors the per-bit path exactly)
+        live = np.array(alloc[tch])[sb_a[take]] > 0
+        tk = np.where(take)[0][live]
+        S[s_a[tk], tch, sb_a[tk]] = x[tk] * sf_a[tch, sb_a[tk]]
+    return S
+
+
+def _decode_frame_l1_perbit(data: bytes, hdr: dict) -> np.ndarray:
+    """The original per-bit Layer I sample walk, kept as the
+    differential ground truth for :func:`_decode_frame_l1`."""
+    nch = hdr["nch"]
+    alloc, sf, bound, pos = _l1_headers(data, hdr)
+    br = _BitReader(data, pos)
 
     S = np.zeros((12, nch, 32))
     for s in range(12):
@@ -493,15 +598,34 @@ def decode_mpeg_audio(payload: bytes) -> tuple[int, int, int, bytes]:
 # Fixture encoders
 
 
+def _version_of(rate: int) -> int:
+    """MPEG version bits inferred from the sample rate (the three rate
+    families are disjoint): 44.1/48/32 kHz -> MPEG-1 (3), halved ->
+    MPEG-2 LSF (2), quartered -> MPEG-2.5 (0)."""
+    for version, rates in _RATES.items():
+        if rate in rates:
+            return version
+    raise ValueError(f"sample rate {rate} is not an MPEG audio rate")
+
+
 def _header_int(layer: int, kbps: int, rate: int, nch: int) -> int:
-    table = _BITRATES_L1 if layer == 1 else _BITRATES_L2
+    version = _version_of(rate)
+    if version == 3:
+        table = _BITRATES_L1 if layer == 1 else _BITRATES_L2
+    else:
+        table = _BITRATES_L1_LSF if layer == 1 else _BITRATES_L2_LSF
+    if kbps not in table:
+        raise ValueError(
+            f"{kbps} kbit/s is not a Layer {'I' * layer} bitrate at "
+            f"{rate} Hz; valid: {table}"
+        )
     return (
         (0x7FF << 21)
-        | (3 << 19)                      # MPEG-1
+        | (version << 19)
         | ((4 - layer) << 17)
         | (1 << 16)                      # no CRC
         | ((table.index(kbps) + 1) << 12)
-        | (_RATES[3].index(rate) << 10)
+        | (_RATES[version].index(rate) << 10)
         | ((3 if nch == 1 else 0) << 6)  # mono / stereo
     )
 
@@ -519,33 +643,68 @@ def _pick_sf(maxabs: float) -> int:
 
 
 def _l2_ladder_cost(steps_by_sb: list[int], nch: int) -> int:
-    """Sample bits per frame for a per-subband steps choice."""
+    """Sample bits per frame for a per-subband steps choice (0 = that
+    subband is not allocated and costs no sample bits)."""
     total = 0
     for steps in steps_by_sb:
+        if not steps:
+            continue
         bits, grouped = _CLASS_BITS[steps]
         total += 12 * nch * (bits if grouped else 3 * bits)
     return total
 
 
 def _l2_allocation(table: list, nch: int, frame_bits: int) -> list[int]:
-    """Static fixture allocation: the richest of three ladders that
-    fits the frame's sample-bit budget (header + allocation + scfsi=0
-    + full scalefactors are fixed costs), expressed as allocation
-    codes into the table's steps lists."""
+    """Static fixture allocation: the richest ladder that fits the
+    frame's sample-bit budget (header + allocation + scfsi=0 + full
+    scalefactors are fixed costs), expressed as allocation codes into
+    the table's steps lists.  The high-rate 3-B.2a/b tables keep the
+    original three hand-tiered ladders FIRST (byte-stability of every
+    existing fixture); all tables then fall through to generic tiered
+    ladders built from each subband's own allowed-steps list (largest
+    allowed value <= a per-nbal cap), which is what makes the low-rate
+    3-B.2c/d and LSF B.1 tables encodable without per-table ladder
+    hand-tuning."""
     sblimit = len(table)
-    fixed = 32 + nch * (
-        sum(nbal for nbal, _ in table) + 2 * sblimit + 18 * sblimit
-    )
-    budget = frame_bits - fixed
-    ladders = (
-        [16383] * 3 + [255] * 8 + [7] * 12 + [3] * (sblimit - 23),
-        [15] * 3 + [9] * 8 + [7] * 12 + [3] * (sblimit - 23),
-        [7] * 3 + [5] * 8 + [3] * 12 + [3] * (sblimit - 23),
-    )
+    # header + allocation codes are always transmitted; scfsi (2) +
+    # three scalefactors (18) per channel only for ALLOCATED subbands
+    # (steps 0 = allocation code 0, the decoder skips them) — this is
+    # what lets mid/low bitrates fit: real encoders leave upper
+    # subbands unallocated rather than thinning every quantizer
+    always = 32 + nch * sum(nbal for nbal, _ in table)
+    budget = frame_bits - always
+
+    def fits(steps_by_sb: list[int]) -> bool:
+        nalloc = sum(1 for s in steps_by_sb if s)
+        return (
+            nch * 20 * nalloc + _l2_ladder_cost(steps_by_sb, nch)
+            <= budget
+        )
+
+    ladders: list[list[int]] = []
+    if sblimit >= 23 and 7 in table[12][1]:  # high-rate 3-B.2a/b shape
+        ladders += [
+            [16383] * 3 + [255] * 8 + [7] * 12 + [3] * (sblimit - 23),
+            [15] * 3 + [9] * 8 + [7] * 12 + [3] * (sblimit - 23),
+            [7] * 3 + [5] * 8 + [3] * 12 + [3] * (sblimit - 23),
+        ]
+    for cap4, cap3, cap2 in (
+        (16383, 127, 9), (255, 63, 5), (15, 9, 3), (9, 5, 3),
+        (5, 3, 3), (3, 3, 3),
+    ):
+        cap_by_nbal = {4: cap4, 3: cap3, 2: cap2}
+        full = [
+            max(s for s in steps if s <= cap_by_nbal[nbal])
+            for nbal, steps in table
+        ]
+        for k in (sblimit, 24, 16, 12, 8, 5, 3, 2):
+            if k <= sblimit:
+                ladders.append(full[:k] + [0] * (sblimit - k))
     for steps_by_sb in ladders:
-        if _l2_ladder_cost(steps_by_sb, nch) <= budget:
+        if fits(steps_by_sb):
             return [
                 table[sb][1].index(steps_by_sb[sb]) + 1
+                if steps_by_sb[sb] else 0
                 for sb in range(sblimit)
             ]
     raise ValueError(
@@ -561,11 +720,16 @@ def encode_mp2(
     kbps: int | None = None,
     joint_bound: int | None = None,
 ) -> bytes:
-    """Encode 16-bit PCM to MPEG-1 Layer II frames (fixture encoder):
-    static allocation, scfsi=0 (all three scalefactors transmitted),
-    per-part scalefactor selection, grouped/ungrouped quantization —
-    every field in bitstream order, zero-padded to the frame length.
-    Default bitrates: 192 kbit/s mono, 384 kbit/s stereo.
+    """Encode 16-bit PCM to MPEG-1/MPEG-2 Layer II frames (fixture
+    encoder): static allocation, scfsi=0 (all three scalefactors
+    transmitted), per-part scalefactor selection, grouped/ungrouped
+    quantization — every field in bitstream order, zero-padded to the
+    frame length.  The MPEG version follows the sample rate
+    (44.1/48/32 kHz -> MPEG-1 with the full 3-B.2a-d table selection;
+    22.05/24/16 -> MPEG-2 LSF; 11.025/12/8 -> MPEG-2.5 — both LSF
+    families use ISO 13818-3 Table B.1).  Default bitrates (MPEG-1):
+    192 kbit/s mono, 384 kbit/s stereo; LSF rates need an explicit
+    ``kbps`` from the 8-160 table for stereo.
     ``joint_bound`` (4/8/12/16, stereo only) writes intensity joint
     stereo: above the bound one allocation and one sample set (the
     channel mean) are shared, scalefactors stay per channel — the
@@ -589,7 +753,7 @@ def encode_mp2(
     S = np.stack(
         [_analyze(x[:, ch]) for ch in range(channels)], axis=1
     )  # (T, nch, 32)
-    table = _alloc_table(rate, kbps // channels)
+    table = _alloc_table(rate, kbps // channels, _version_of(rate))
     sblimit = len(table)
     bound = joint_bound if joint_bound is not None else sblimit
     hdr = _header_int(2, kbps, rate, channels)
@@ -600,15 +764,20 @@ def encode_mp2(
     frame_bytes = 144 * kbps * 1000 // rate
     alloc_codes = _l2_allocation(table, channels, frame_bytes * 8)
     steps_by_sb = np.array(
-        [table[sb][1][alloc_codes[sb] - 1] for sb in range(sblimit)],
+        [
+            table[sb][1][alloc_codes[sb] - 1] if alloc_codes[sb] else 0
+            for sb in range(sblimit)
+        ],
         dtype=np.int64,
     )
     bits_by_sb = np.array(
-        [_CLASS_BITS[int(st)][0] for st in steps_by_sb], dtype=np.int64
+        [_CLASS_BITS[int(st)][0] if st else 0 for st in steps_by_sb],
+        dtype=np.int64,
     )
     grouped_by_sb = np.array(
-        [_CLASS_BITS[int(st)][1] for st in steps_by_sb]
+        [_CLASS_BITS[int(st)][1] if st else False for st in steps_by_sb]
     )
+    live_sb = [sb for sb in range(sblimit) if alloc_codes[sb]]
     out = bytearray()
     for f in range(nframes):
         Sf = S[36 * f : 36 * f + 36].copy()  # (36, nch, 32)
@@ -635,10 +804,12 @@ def encode_mp2(
             for _ch in range(channels if sb < bound else 1):
                 values.append(alloc_codes[sb])
                 widths.append(table[sb][0])
-        values.extend([0] * (sblimit * channels))  # scfsi = 0
-        widths.extend([2] * (sblimit * channels))
+        # scfsi = 0 and scalefactors only for ALLOCATED subbands (the
+        # decoder skips both for allocation code 0)
+        values.extend([0] * (len(live_sb) * channels))
+        widths.extend([2] * (len(live_sb) * channels))
         # scalefactors in (sb, ch, part) transmission order
-        sf_t = sf_idx.transpose(2, 1, 0).reshape(-1)
+        sf_t = sf_idx.transpose(2, 1, 0)[live_sb].reshape(-1)
         values.extend(sf_t.tolist())
         widths.extend([6] * len(sf_t))
         # samples: grouped triplets fold to one code; ungrouped triplets
@@ -655,7 +826,7 @@ def encode_mp2(
         fold = np.where(grouped_by_sb[None, None, :], fold_g, fold_u)
         fw = np.where(grouped_by_sb, bits_by_sb, 3 * bits_by_sb)
         for gr in range(12):
-            for sb in range(sblimit):
+            for sb in live_sb:
                 for ch in range(channels if sb < bound else 1):
                     values.append(int(fold[gr, ch, sb]))
                     widths.append(int(fw[sb]))
@@ -675,11 +846,13 @@ def encode_mp1(
     kbps: int | None = None,
     alloc_bits: int | None = None,
 ) -> bytes:
-    """Encode 16-bit PCM to MPEG-1 Layer I frames (fixture encoder):
-    uniform per-subband allocation (``alloc_bits`` auto-picked as the
-    largest uniform width the frame budget affords when not given),
-    one scalefactor per subband.  Default bitrates: 192 kbit/s mono,
-    384 kbit/s stereo."""
+    """Encode 16-bit PCM to MPEG-1/MPEG-2 Layer I frames (fixture
+    encoder): uniform per-subband allocation (``alloc_bits`` auto-picked
+    as the largest uniform width the frame budget affords when not
+    given), one scalefactor per subband.  The MPEG version follows the
+    sample rate (:func:`_version_of`).  Default bitrates (MPEG-1):
+    192 kbit/s mono, 384 kbit/s stereo; LSF needs ``kbps`` from the
+    32-256 LSF Layer I table for stereo."""
     if kbps is None:
         kbps = 192 * channels
     x = (

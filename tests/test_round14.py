@@ -407,13 +407,14 @@ def test_mpeg_decode_scope_errors():
     l3 = M.build_mpeg_audio([128, 128], layer=3)
     with _pytest.raises(NotImplementedError, match="register_decoder"):
         M.decode_audio(l3)
-    # MPEG-2 (LSF) scoped out loudly
+    # MPEG-2 (LSF) and low-rate MPEG-1 frames now DECODE (round 15;
+    # all-zero allocation bodies -> silence at the right rate)
     l2_lsf = M.build_mpeg_audio([64, 64], version="2", layer=2, rate=24000)
-    with _pytest.raises(NotImplementedError, match="MPEG-2"):
-        decode_mpeg_audio(l2_lsf)
-    # low-rate allocation tables scoped out loudly
-    with _pytest.raises(NotImplementedError, match="3-B.2c/d"):
-        encode_mp2(_chirp_pcm(1152).tobytes(), channels=1, kbps=48)
+    rate, nch, bits, pcm = decode_mpeg_audio(l2_lsf)
+    assert (rate, nch, bits) == (24000, 2, 16)
+    lo = encode_mp2(_chirp_pcm(1152).tobytes(), channels=1, kbps=48)
+    rate, nch, bits, pcm = decode_mpeg_audio(lo)
+    assert (rate, nch, bits) == (48000, 1, 16)
     # junk raises ValueError, never NotImplementedError
     with _pytest.raises(ValueError):
         decode_mpeg_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00junk")
