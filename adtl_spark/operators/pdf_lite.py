@@ -78,7 +78,9 @@ _PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)")
 _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
-def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+def _scan_objects(
+    payload: bytes, unresolved: list | None = None
+) -> dict[int, tuple[bytes, bytes | None]]:
     """Map object number -> (dict/body bytes, decoded stream bytes or
     None).  Objects are located by direct scan, so damaged or appended
     xref tables don't matter.
@@ -153,19 +155,50 @@ def _scan_objects(payload: bytes) -> dict[int, tuple[bytes, bytes | None]]:
         objects[num] = (body, stream)
     for num, data_start, ref, head in pending:
         raw = objects[num][1]
+        resolved = False
         if ref in objects:
             lbody = objects[ref][0].strip()
             if lbody.isdigit():
                 raw = payload[data_start : data_start + int(lbody)]
-        if _FLATE_RE.search(head):
-            try:
-                stream = zlib.decompress(raw)
-            except zlib.error as e:
-                raise ValueError(f"PDF: bad Flate stream in obj {num}: {e}")
-        else:
-            stream = raw
-        objects[num] = (objects[num][0], stream)
+                resolved = True
+        if not resolved and unresolved is not None:
+            # the length object may live inside an object stream (real
+            # generators emit this) — defer: keep the provisional
+            # (endstream-cut) COMPRESSED bytes and let the caller retry
+            # via _resolve_pending_lengths after ObjStm expansion
+            unresolved.append((num, data_start, ref, head))
+            continue
+        objects[num] = (objects[num][0], _inflate_if_flate(raw, head, num))
     return objects
+
+
+def _inflate_if_flate(raw: bytes, head: bytes, num: int) -> bytes:
+    if _FLATE_RE.search(head):
+        try:
+            return zlib.decompress(raw)
+        except zlib.error as e:
+            raise ValueError(f"PDF: bad Flate stream in obj {num}: {e}")
+    return raw
+
+
+def _resolve_pending_lengths(
+    objects: dict[int, tuple[bytes, bytes | None]],
+    pending: list,
+    payload: bytes,
+) -> None:
+    """Third pass over indirect ``/Length`` refs that pass 2 could not
+    resolve against TOP-LEVEL objects: after object-stream expansion
+    the referenced integer may have appeared as an ObjStm member —
+    re-cut the stream to its true extent and inflate.  Refs that are
+    still missing fall back to the provisional endstream-cut extent
+    (the same degraded path a direct no-/Length stream takes)."""
+    for num, data_start, ref, head in pending:
+        raw = objects[num][1]
+        if ref in objects:
+            lbody = objects[ref][0].strip()
+            if lbody.isdigit():
+                raw = payload[data_start : data_start + int(lbody)]
+        objects[num] = (objects[num][0], _inflate_if_flate(raw, head, num))
 
 
 def _png_unpredict(data: bytes, columns: int, predictor: int) -> bytes:
@@ -298,11 +331,24 @@ def _expand_object_streams(
             sm = _SIZE_RE.search(body)
             xrefs.append((int(sm.group(1)) if sm else 0, body, stream))
     for _size, body, stream in sorted(xrefs, key=lambda t: -t[0]):
-        for num, entry in _decode_xref_stream(body, stream).items():
+        # a malformed or unsupported xref stream (missing /W or /Size,
+        # TIFF predictor, truncated table) must not abort extraction:
+        # xref streams are consulted only for ObjStm LIVENESS here, so
+        # the right degraded behavior is to skip it and fall back to
+        # the no-xref rule (top-level definition wins)
+        try:
+            decoded = _decode_xref_stream(body, stream)
+        except (ValueError, NotImplementedError):
+            continue
+        for num, entry in decoded.items():
             xref_entries.setdefault(num, entry)  # newest-first: first wins
     for num, (body, stream) in list(objects.items()):
         if stream is not None and _TYPE_OBJSTM_RE.search(body):
-            for onum, obody in _parse_objstm(body, stream):
+            try:
+                parsed = _parse_objstm(body, stream)
+            except ValueError:
+                continue  # malformed ObjStm: keep its top-level siblings
+            for onum, obody in parsed:
                 entry = xref_entries.get(onum)
                 live_here = entry is not None and entry[0] == 2 and entry[1] == num
                 if onum not in objects or live_here:
@@ -439,7 +485,10 @@ def pdf_pages(payload: bytes) -> list[str]:
         raise ValueError("not a PDF payload")
     if _ENCRYPT_RE.search(payload):
         raise NotImplementedError("encrypted PDFs are out of scope")
-    objects = _expand_object_streams(_scan_objects(payload))
+    pending: list = []
+    objects = _expand_object_streams(_scan_objects(payload, pending))
+    if pending:
+        _resolve_pending_lengths(objects, pending, payload)
 
     # page order: catalog -> /Pages -> depth-first /Kids
     ordered: list[int] = []
@@ -567,7 +616,10 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
 
 
 def build_pdf_modern(
-    pages: list[list[str]], compress: bool = True, predictor: bool = True
+    pages: list[list[str]],
+    compress: bool = True,
+    predictor: bool = True,
+    objstm_lengths: bool = False,
 ) -> bytes:
     """Write a PDF-1.5 modern-layout file — the structure every current
     producer (pdftex, Word, Chrome's print-to-PDF) emits and the reason
@@ -580,14 +632,24 @@ def build_pdf_modern(
     stream object.  Content streams stay top-level (the spec forbids
     streams inside an ObjStm).  Fixture-side counterpart of the
     modern-layout read path (:func:`_decode_xref_stream`,
-    :func:`_parse_objstm`); any conformant viewer opens the output."""
+    :func:`_parse_objstm`); any conformant viewer opens the output.
+
+    ``objstm_lengths=True`` additionally writes every content stream's
+    ``/Length`` as an INDIRECT reference to an integer object that
+    itself lives inside the ObjStm — the layout real generators emit
+    when the byte count is only known after the compressed body is
+    out, and the reason the reader needs a third resolution pass
+    (:func:`_resolve_pending_lengths`)."""
     npg = len(pages)
     # numbering: 1 catalog, 2 pages node, 3 font, 4..3+npg page dicts
     # (all ObjStm members); then npg content streams, the ObjStm, the
-    # xref stream — streams are top-level objects
+    # xref stream — streams are top-level objects; with
+    # ``objstm_lengths`` the npg length integers follow as further
+    # ObjStm members
     content_nums = [4 + npg + i for i in range(npg)]
     objstm_num = 4 + 2 * npg
     xref_num = objstm_num + 1
+    length_nums = [xref_num + 1 + i for i in range(npg)]
     kids = " ".join(f"{4 + i} 0 R" for i in range(npg))
     members: list[tuple[int, bytes]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
@@ -607,9 +669,17 @@ def build_pdf_modern(
         if compress:
             data = zlib.compress(data, 9)
             filt = b"/Filter /FlateDecode "
-        contents.append(
-            b"<< %s/Length %d >>\nstream\n%s\nendstream" % (filt, len(data), data)
-        )
+        if objstm_lengths:
+            contents.append(
+                b"<< %s/Length %d 0 R >>\nstream\n%s\nendstream"
+                % (filt, length_nums[i], data)
+            )
+            members.append((length_nums[i], b"%d" % len(data)))
+        else:
+            contents.append(
+                b"<< %s/Length %d >>\nstream\n%s\nendstream"
+                % (filt, len(data), data)
+            )
         members.append(
             (
                 4 + i,
@@ -647,7 +717,7 @@ def build_pdf_modern(
     # type-2 (stream number, member index); streams are type-1 offsets
     xref_off = len(out)
     offsets[xref_num] = xref_off
-    size = xref_num + 1
+    size = (length_nums[-1] if objstm_lengths and npg else xref_num) + 1
     rows = []
     entry: dict[int, tuple[int, int, int]] = {0: (0, 0, 65535)}
     for i, (num, _b) in enumerate(members):

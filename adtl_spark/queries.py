@@ -4139,11 +4139,15 @@ def doc_pdf_extract_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering on even ids and unfiltered rows on odd — and the
     extraction path runs the full modern chain: direct object scan,
     xref-stream W decoding + predictor unfiltering, ObjStm member
-    inflation, page-tree walk, content lexing.  The oracle rebuilds
+    inflation, page-tree walk, content lexing; every third document
+    (``objstm_len``) additionally writes its content streams'
+    ``/Length`` as indirect references to integers living INSIDE the
+    object stream — the real-generator layout that requires the
+    reader's third resolution pass.  The oracle rebuilds
     the page slices from ``documents`` with substr arithmetic, so the
     modern write→extract chain must be an exact identity
     (operators/pdf_lite.py: build_pdf_modern, _decode_xref_stream,
-    _parse_objstm)."""
+    _parse_objstm, _resolve_pending_lengths)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def run(batches):
@@ -4158,20 +4162,27 @@ def doc_pdf_extract_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = t or ""
                 np_ = 1 + d % 3
                 pages = [[t[40 * p : 40 * p + 40]] for p in range(np_)]
-                payload = build_pdf_modern(pages, predictor=(d % 2 == 0))
+                payload = build_pdf_modern(
+                    pages,
+                    predictor=(d % 2 == 0),
+                    objstm_lengths=(d % 3 == 0),
+                )
                 got = pdf_pages(payload)
                 text = "\n".join(got)
-                rows.append((d, len(got), text, len(text), d % 2 == 0))
+                rows.append(
+                    (d, len(got), text, len(text), d % 2 == 0, d % 3 == 0)
+                )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_pages", "text", "n_chars", "predictor"],
+                columns=["doc_id", "n_pages", "text", "n_chars",
+                         "predictor", "objstm_len"],
             )
 
     return docs.mapInPandas(
         run,
         schema=(
             "doc_id long, n_pages long, text string, n_chars long, "
-            "predictor boolean"
+            "predictor boolean, objstm_len boolean"
         ),
     ).orderBy("doc_id")
 
@@ -9188,7 +9199,8 @@ def oracles() -> dict[str, str]:
                    COALESCE(string_agg(pt, chr(10) ORDER BY p), '') AS text,
                    CAST(length(COALESCE(string_agg(pt, chr(10) ORDER BY p),
                                         '')) AS BIGINT) AS n_chars,
-                   doc_id % 2 = 0 AS predictor
+                   doc_id % 2 = 0 AS predictor,
+                   doc_id % 3 = 0 AS objstm_len
             FROM pg GROUP BY doc_id ORDER BY doc_id
         """,
         # exact byte accounting; the ratio ORDER is the pinned invariant
