@@ -688,18 +688,22 @@ def _l2_allocation(table: list, nch: int, frame_bits: int) -> list[int]:
             [15] * 3 + [9] * 8 + [7] * 12 + [3] * (sblimit - 23),
             [7] * 3 + [5] * 8 + [3] * 12 + [3] * (sblimit - 23),
         ]
-    for cap4, cap3, cap2 in (
-        (16383, 127, 9), (255, 63, 5), (15, 9, 3), (9, 5, 3),
-        (5, 3, 3), (3, 3, 3),
-    ):
-        cap_by_nbal = {4: cap4, 3: cap3, 2: cap2}
-        full = [
-            max(s for s in steps if s <= cap_by_nbal[nbal])
-            for nbal, steps in table
-        ]
-        for k in (sblimit, 24, 16, 12, 8, 5, 3, 2):
-            if k <= sblimit:
-                ladders.append(full[:k] + [0] * (sblimit - k))
+    # coverage-major order: a ladder keeping MORE subbands (coarser
+    # quantizers) beats one keeping fewer rich ones — zeroing a band
+    # the signal lives in is the one unrecoverable allocation choice
+    for k in (sblimit, 24, 16, 12, 8, 5, 3, 2):
+        if k > sblimit:
+            continue
+        for cap4, cap3, cap2 in (
+            (16383, 127, 9), (255, 63, 5), (15, 9, 3), (9, 5, 3),
+            (5, 3, 3), (3, 3, 3),
+        ):
+            cap_by_nbal = {4: cap4, 3: cap3, 2: cap2}
+            full = [
+                max(s for s in steps if s <= cap_by_nbal[nbal])
+                for nbal, steps in table
+            ]
+            ladders.append(full[:k] + [0] * (sblimit - k))
     for steps_by_sb in ladders:
         if fits(steps_by_sb):
             return [

@@ -1922,8 +1922,9 @@ def schedule_frontier(
     default_delay_ms: int = 1000,
     n_shards: int = 64,
     priority_col: str | None = None,
-    banded_numbering: bool = False,
+    banded_numbering: bool | str = False,
     n_bands: int | None = None,
+    keep_delay: bool = False,
 ) -> DataFrame:
     """Politeness scheduling for a crawl frontier — the step after
     robots/sitemap ingestion that turns a URL set into a fetch plan a
@@ -1966,6 +1967,21 @@ def schedule_frontier(
     hot rows (tools/scale_stress.py --hot-host), the banded plan's
     worst partition stays corpus/n_bands.  Default stays the single
     window: cheapest for ordinary host distributions.
+    ``banded_numbering="auto"`` picks the plan from the DATA: a real
+    crawl doesn't know in advance when a host crosses the skew
+    threshold, so auto mode runs one extra aggregate-only job over the
+    frontier (groupBy(host).count() with map-side combine — a single
+    collected row, never the URL rows) and switches to the banded plan
+    exactly when the largest host's queue exceeds the banded plan's
+    per-band bound (max host count > total/n_bands — below that the
+    plain window's worst partition is already no worse than a band,
+    and the plain plan's single shuffle is cheaper, per the 1.03x
+    stress row).  Both sides of the threshold produce identical
+    values; only the physical plan changes.
+    ``keep_delay=True`` keeps the resolved per-host ``delay_ms``
+    column on the output — the hook the streaming continuation sink
+    (:func:`adtl_spark.streaming.pipeline.frontier_sink`) uses to
+    re-derive ``fetch_after_ms`` after adding cross-batch offsets.
     Fully SQL-replayable (md5-60 shard + row_number twin).  Non-URL
     rows (no ``scheme://authority``) yield a NULL host and schedule in
     their own bucket — filter upstream if they should not fetch."""
@@ -1999,6 +2015,17 @@ def schedule_frontier(
         if priority_col is not None
         else [F.col(url_col)]
     )
+    if banded_numbering == "auto":
+        sc = urls.sparkSession.sparkContext
+        bands = int(n_bands) if n_bands else sc.defaultParallelism * 4
+        row = (
+            out.groupBy("host")
+            .count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .first()
+        )
+        mx, tot = row["mx"] or 0, row["tot"] or 0
+        banded_numbering = mx * bands > tot
     if banded_numbering:
         # EXACT-EQUIVALENT hot-host-safe numbering: a monster host makes
         # the plain per-host window ONE partition (measured 2.07x at
@@ -2063,13 +2090,15 @@ def schedule_frontier(
         seq = F.row_number().over(Window.partitionBy("host").orderBy(*order))
         out = out.withColumn("fetch_seq", seq.cast("long"))
     delay = F.coalesce(F.col("__delay"), F.lit(int(default_delay_ms)))
-    return (
+    out = (
         out.withColumn("shard", F.pmod(md5_60(F.col("host")), F.lit(n_shards)).cast("int"))
         .withColumn(
             "fetch_after_ms", ((F.col("fetch_seq") - 1) * delay).cast("long")
         )
-        .drop("__delay")
     )
+    if keep_delay:
+        out = out.withColumn("delay_ms", delay.cast("long"))
+    return out.drop("__delay")
 
 
 def _robots_like(pattern: str) -> tuple:

@@ -5990,6 +5990,195 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def multimodal_mp2_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MPEG-2 LSF and MPEG-1 LOW-RATE Layer II decode value-checked end
+    to end — the two allocation-table families the round-14 codec
+    scoped out: per document a sine fixture cycles through (id % 4)
+    MPEG-2 LSF 24 kHz mono 96 kbit/s, LSF 16 kHz stereo 64 kbit/s
+    (both ISO 13818-3 Table B.1), MPEG-1 48 kHz mono 48 kbit/s (Table
+    3-B.2c — <= 48 kbit/s per channel), and MPEG-1 32 kHz stereo
+    96 kbit/s (48 kbit/s per channel -> Table 3-B.2d), encoded to real
+    frames and decoded through the full decode_audio dispatch.
+    Zero-crossing frequency recovery (``freq_ok``) and RMS fidelity
+    (``rms_ok``) pin the whole chain — header version bits, the
+    (sample_rate, bitrate-class) table selection, grouped low-rate
+    quantizers, and the polyphase synthesis at halved rates
+    (operators/mp2_lite.py: _alloc_table, _parse_header, encode_mp2)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.mp2_lite import encode_mp2
+
+        cfg = [
+            (24000, 1, 96),   # MPEG-2 LSF mono
+            (16000, 2, 64),   # MPEG-2 LSF stereo (32 kbit/s per ch)
+            (48000, 1, 48),   # MPEG-1 low-rate, Table 3-B.2c
+            (32000, 2, 96),   # MPEG-1 low-rate, Table 3-B.2d
+        ]
+        n = 2 * 1152
+        t = np.arange(n)
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate, ch, kbps = cfg[d % 4]
+                # tones stay inside the lowest three subbands (< 3 *
+                # rate/64) so every budget-feasible allocation covers them
+                freq = 100 * (1 + d % 6)
+                amp = 0.4 + 0.01 * (d % 10)
+                x = amp * np.sin(2 * np.pi * freq * t / rate)
+                pcm = np.round(x * 32767).astype("<i2")
+                if ch == 2:
+                    pcm = np.stack([pcm, pcm // 2], axis=1).reshape(-1)
+                payload = encode_mp2(
+                    pcm.tobytes(), rate=rate, channels=ch, kbps=kbps
+                )
+                r, c, _bits, out = M.decode_audio(payload)
+                y = np.frombuffer(out, "<i2").astype(np.float64)
+                y0 = y.reshape(-1, c)[:, 0]
+                mid = y0[600:1800]
+                nz = mid[mid != 0]
+                crossings = int(np.sum(nz[1:] * nz[:-1] < 0))
+                expect = 2 * freq * len(mid) / rate
+                freq_ok = abs(crossings - expect) <= 6
+                rms = float(np.sqrt(np.mean(mid**2)))
+                want = amp * 32767 / np.sqrt(2.0)
+                # the coarse low-rate quantizers widen the noise
+                # budget; the stereo classes run 3-5-step midtread
+                # ladders whose peak-clamp bias is deterministic
+                # (worst measured: 0.06 / 0.17 / 0.11 / 0.08 by class)
+                tol = (0.12, 0.25, 0.20, 0.25)[d % 4]
+                rms_ok = abs(rms - want) <= tol * want
+                rows.append(
+                    (d, r, c, len(y) // c, bool(freq_ok), bool(rms_ok))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels",
+                         "n_samples", "freq_ok", "rms_ok"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, sample_rate int, channels int, "
+            "n_samples long, freq_ok boolean, rms_ok boolean"
+        ),
+    ).orderBy("media_id")
+
+
+def multimodal_jpeg_411(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chroma-subsampled JPEG beyond h/v=2 value-checked the same way
+    the progressive gate is: per document a deterministic noisy image
+    is encoded BOTH baseline and progressive at the same quality with
+    4:1:1 chroma on even ids (h=4 luma, 32x8 MCUs — common camera
+    output, the decoder's 4x horizontal upsample) and 4:2:2 on odd
+    (h=2/v=1), and the two decodes must be BYTE-EXACT equal (identical
+    quantization by construction) with the blur screen's integer
+    L1-Laplacian statistic agreeing.  The oracle pins dims from id
+    arithmetic and both booleans TRUE (operators/jpeg_lite.py:
+    _subsample_planes, _assemble_planes; SOF-time sampling
+    validation)."""
+    from adtl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from adtl_spark.operators.jpeg_lite import (
+            encode_jpeg,
+            encode_jpeg_progressive,
+        )
+
+        def lap_stats(w, h, rgb):
+            a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+            g = (
+                a[:, :, 0].astype(np.int64) * 299
+                + a[:, :, 1] * 587
+                + a[:, :, 2] * 114
+            )
+            lap = np.abs(
+                4 * g[1:-1, 1:-1] - g[:-2, 1:-1] - g[2:, 1:-1]
+                - g[1:-1, :-2] - g[1:-1, 2:]
+            )
+            return lap.size, int(lap.sum())
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 14 + d % 11, 9 + (d * 5) % 13
+                seed = d * 13 + 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                img = ((seed * 37 + j * 149) % 256).astype(np.uint8).tobytes()
+                ss = "411" if d % 2 == 0 else "422"
+                base = encode_jpeg(w, h, img, quality=86, subsampling=ss)
+                prog = encode_jpeg_progressive(
+                    w, h, img, quality=86, subsampling=ss
+                )
+                db = M.decode_image(base)
+                dp = M.decode_image(prog)
+                rows.append(
+                    (d, db[0], db[1], db == dp,
+                     lap_stats(*db) == lap_stats(*dp))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "exact",
+                         "sharp_match"],
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema=(
+            "media_id long, width long, height long, exact boolean, "
+            "sharp_match boolean"
+        ),
+    ).orderBy("media_id")
+
+
+def web_frontier_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-mode politeness scheduling — the banding decision made from
+    the data: the fixture's host distribution is deliberately skewed
+    (every third id on one host — far past the max-host-count >
+    total/n_bands threshold), so ``banded_numbering="auto"`` must
+    profile the frontier, switch to the banded plan, and still produce
+    fetch plans EXACTLY equal to the plain window's SQL semantics (the
+    oracle replays the one-window row_number).  The below-threshold
+    side — auto staying on the plain window with identical values — is
+    pinned by pytest (operators/text.py: schedule_frontier
+    banded_numbering='auto')."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    d = F.col("doc_id")
+    host_k = F.when(d % 3 == 0, F.lit(0)).otherwise(1 + d % 7)
+    urls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("http://h"), host_k.cast("string"),
+            F.lit(".test/p/"), d.cast("string"),
+        ).alias("url"),
+    )
+    delays = spark.createDataFrame(
+        [("h0.test", 200), ("h3.test", 650)], "host string, delay_ms long"
+    )
+    return (
+        schedule_frontier(
+            urls, delays, default_delay_ms=1100,
+            banded_numbering="auto", n_bands=48,
+        )
+        .select("doc_id", "host", "fetch_seq", "fetch_after_ms")
+        .orderBy("doc_id")
+    )
+
+
 # Boilerplate paragraphs for the paragraph-dedup gate page construction:
 # one on every page, one on every even-id page (so the gate exercises both
 # corpus-wide and partial boilerplate at different document frequencies).
@@ -9168,6 +9357,58 @@ def oracles() -> dict[str, str]:
                    TRUE AS rms_ok
             FROM documents ORDER BY doc_id
         """,
+        # LSF / low-rate fixture cycle: (rate, channels) from id % 4;
+        # every fixture decodes to exactly two 1152-sample frames
+        "multimodal_mp2_lsf": """
+            SELECT doc_id AS media_id,
+                   CAST(CASE doc_id % 4 WHEN 0 THEN 24000 WHEN 1 THEN 16000
+                        WHEN 2 THEN 48000 ELSE 32000 END
+                        AS INTEGER) AS sample_rate,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 1 ELSE 2 END
+                        AS INTEGER) AS channels,
+                   CAST(2304 AS BIGINT) AS n_samples,
+                   TRUE AS freq_ok,
+                   TRUE AS rms_ok
+            FROM documents ORDER BY doc_id
+        """,
+        # 4:1:1 / 4:2:2 progressive-vs-baseline parity: dims from id
+        # arithmetic, byte-exactness and sharpness agreement pinned TRUE
+        "multimodal_jpeg_411": """
+            SELECT doc_id AS media_id,
+                   CAST(14 + doc_id % 11 AS BIGINT) AS width,
+                   CAST(9 + (doc_id * 5) % 13 AS BIGINT) AS height,
+                   TRUE AS exact,
+                   TRUE AS sharp_match
+            FROM documents ORDER BY doc_id
+        """,
+        # auto-banding: values must equal the ONE-WINDOW replay even
+        # though the physical plan switched to banded
+        "web_frontier_auto": """
+            WITH u AS (
+              SELECT doc_id,
+                     'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                      ELSE 1 + doc_id % 7 END AS VARCHAR)
+                     || '.test' AS host,
+                     'http://h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                             ELSE 1 + doc_id % 7
+                                        END AS VARCHAR)
+                     || '.test/p/' || CAST(doc_id AS VARCHAR) AS url
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, host,
+                     CAST(row_number() OVER (
+                       PARTITION BY host ORDER BY url
+                     ) AS BIGINT) AS fetch_seq,
+                     CASE host WHEN 'h0.test' THEN 200
+                               WHEN 'h3.test' THEN 650
+                               ELSE 1100 END AS delay
+              FROM u
+            )
+            SELECT doc_id, host, fetch_seq,
+                   CAST((fetch_seq - 1) * delay AS BIGINT) AS fetch_after_ms
+            FROM s ORDER BY doc_id
+        """,
         # deterministic dims; the exactness booleans ARE the invariant
         # (progressive decode == baseline decode of the same pixels)
         "multimodal_jpeg_progressive": """
@@ -10364,33 +10605,28 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the gates new this round — priority-
-       ordered frontier scheduling with host normalization
-       (``web_frontier_priority``), modern-layout PDF extraction
-       (xref streams + object streams, ``doc_pdf_extract_modern``),
-       progressive JPEG decode (``multimodal_jpeg_progressive``),
-       MPEG-1 Layer I/II audio decode (``multimodal_mp2_decode``), and
-       the hot-host-safe banded politeness numbering, value-checked
-       exactly equivalent to the plain window
-       (``web_frontier_banded``).
+    1. The window head holds the gates new this round — MPEG-2 LSF +
+       low-rate Layer II decode (``multimodal_mp2_lsf``), 4:1:1/4:2:2
+       JPEG subsampling (``multimodal_jpeg_411``), data-driven
+       auto-banded politeness scheduling (``web_frontier_auto``) —
+       plus ``doc_pdf_extract_modern``, whose fixture grew the
+       ObjStm-resident indirect-/Length class this round and is
+       re-pinned for a fresh driver row.
     2. The remaining slots are the refresh queue's continuation
-       exactly as documented last round: the round-6-verified
-       remainder from ``emb_kmeans_centroids`` through ``corpus_zipf``
-       (42 entries), then the first round-7-verified entries
-       (``retrieval_ql_topk`` onward — the 50-slot cap falls there).
-    3. The tail holds, in refresh-queue order: the six skipped
-       round-6 head entries (``ann_pq_rerank_recall`` through
-       ``emb_kmeans`` — they lead the next-round queue), the round-7
-       remainder and the round-8/round-9 blocks unchanged, and —
-       freshest rows last — the round-10 driver window's two blocks
-       (CORRECTNESS_r10: 50/50 exact): the rounds-1-4 refresh block
-       ``corpus_decontaminate_bloom`` through ``ann_pq_rerank_topk``,
-       then the ten round-10 gates.
+       exactly as documented last round: ``retrieval_mmr_topk`` (the
+       entry the 50-slot cap dropped in r11), the six skipped round-6
+       head entries (``ann_pq_rerank_recall`` through ``emb_kmeans``),
+       then the round-7 remainder from ``retrieval_hybrid_rrf``
+       (the cap falls at ``quality_vocab_js``).
+    3. The tail holds, in refresh-queue order: the remaining
+       round-8/round-9/round-10 blocks unchanged, and — freshest rows
+       last — the round-11 driver window (CORRECTNESS_r11: 49/50
+       exact + the documented ``emb_pca_project`` rows-only row).
 
-    Next-round rotation queue: the six skipped round-6 entries
-    (``ann_pq_rerank_recall`` onward), then the round-7 remainder
-    (``retrieval_hybrid_rrf`` onward) and the round-8 block; the
-    round-9 and round-10 blocks stay last as the freshest rows.
+    Next-round rotation queue: the round-8 continuation
+    (``corpus_dsir_select`` onward through the round-9 block), then
+    the round-10 block; the round-11 window block stays last as the
+    freshest rows.
     Lifetime invariant: every registry query except the three documented
     ROWS_ONLY entries has an exact driver-green row in some
     CORRECTNESS_r*.json, and the full-registry sweep at HEAD is
@@ -10403,73 +10639,26 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
-        # -- r11 window head: the gates new this round --
-        "web_frontier_priority": web_frontier_priority,
+        # -- r12 window head: the gates new this round, plus the
+        # modern-PDF gate whose fixture grew the ObjStm-resident
+        # /Length class (re-pinned for a fresh driver row) --
+        "multimodal_mp2_lsf": multimodal_mp2_lsf,
+        "multimodal_jpeg_411": multimodal_jpeg_411,
+        "web_frontier_auto": web_frontier_auto,
         "doc_pdf_extract_modern": doc_pdf_extract_modern,
-        "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
-        "multimodal_mp2_decode": multimodal_mp2_decode,
-        "web_frontier_banded": web_frontier_banded,
-        # -- round-6-verified remainder (the documented refresh
-        # queue's continuation: emb_kmeans_centroids onward) --
-        "emb_kmeans_centroids": emb_kmeans_centroids,
-        "dedup_embedding": dedup_embedding,
-        "dedup_embedding_lsh": dedup_embedding_lsh,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        "pipeline_corpus_clean": pipeline_corpus_clean,
-        "graph_pagerank": graph_pagerank,
-        "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
-        "w11_scd2": w11_scd2,
-        "w12_transitions": w12_transitions,
-        "w13_anomaly": w13_anomaly,
-        "sample_weighted": sample_weighted,
-        "corpus_merge_upsert": corpus_merge_upsert,
-        "tokenizer_bpe_merges": tokenizer_bpe_merges,
-        "tokenizer_bpe_segment": tokenizer_bpe_segment,
-        "text_hll_distinct": text_hll_distinct,
-        "quality_nb": quality_nb,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q22_sales_opportunity": q22_sales_opportunity,
-        "q4_order_priority": q4_order_priority,
-        "q14_promo_revenue": q14_promo_revenue,
-        "q10_returned_items": q10_returned_items,
-        "q13_customer_distribution": q13_customer_distribution,
-        "dedup_minhash_recall": dedup_minhash_recall,
-        "dedup_embedding_recall": dedup_embedding_recall,
-        "ann_lsh_recall": ann_lsh_recall,
-        "emb_pca_project": emb_pca_project,
-        "text_bm25_topk": text_bm25_topk,
-        "text_normalize": text_normalize,
-        "text_cms_counts": text_cms_counts,
-        "corpus_bigram_logprob": corpus_bigram_logprob,
-        "dedup_keep_best": dedup_keep_best,
-        "dedup_tfidf_cosine": dedup_tfidf_cosine,
-        "w9_funnel": w9_funnel,
-        "w10_retention": w10_retention,
-        "olap_rollup": olap_rollup,
-        "olap_pivot": olap_pivot,
-        "emb_outliers": emb_outliers,
-        "emb_nearest_centroid": emb_nearest_centroid,
-        "corpus_length_filter": corpus_length_filter,
-        "corpus_zipf": corpus_zipf,
-        # -- round-7-verified block starts; the 50-slot window cap
-        # falls inside it --
-        "retrieval_ql_topk": retrieval_ql_topk,
-        "retrieval_rrf_fuse": retrieval_rrf_fuse,
-        "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
+        # -- the refresh queue's continuation exactly as documented
+        # last round: the entry the 50-slot cap dropped in r11, the
+        # six skipped round-6 head entries, then the round-7
+        # remainder / round-8 block (the cap falls at
+        # quality_vocab_js) --
         "retrieval_mmr_topk": retrieval_mmr_topk,
-        # ---- past the driver window from here on ----
         "ann_pq_rerank_recall": ann_pq_rerank_recall,
-        # skipped round-6 head entries -- they lead the next-round
-        # refresh queue, then the round-7 remainder below
         "stream_trending_finalize": stream_trending_finalize,
         "multimodal_audio_meta": multimodal_audio_meta,
         "multimodal_image_meta": multimodal_image_meta,
         "emb_label_centroids": emb_label_centroids,
         "emb_kmeans": emb_kmeans,
         "retrieval_hybrid_rrf": retrieval_hybrid_rrf,
-        # round-7 remainder, round-8 and round-9 blocks (unchanged order)
         "retrieval_rm3_expand": retrieval_rm3_expand,
         "ann_ivfpq_rerank_ndcg": ann_ivfpq_rerank_ndcg,
         "corpus_heldout_ppl": corpus_heldout_ppl,
@@ -10508,6 +10697,8 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_key_skew": profile_key_skew,
         "layout_range_bounds": layout_range_bounds,
         "quality_vocab_js": quality_vocab_js,
+        # -- tail, refresh-queue order: the remaining round-8/9/10
+        # blocks unchanged --
         "corpus_dsir_select": corpus_dsir_select,
         "quality_psi_drift": quality_psi_drift,
         "quality_ks_drift": quality_ks_drift,
@@ -10616,9 +10807,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_resample": multimodal_audio_resample,
         "sample_split_leakage_safe": sample_split_leakage_safe,
         "corpus_decontaminate_bloom": corpus_decontaminate_bloom,
-        # the r10 driver window's refresh block (rounds-1-4 remainder
-        # + two round-6 entries), CORRECTNESS_r10-verified --
-        # freshest rows, rotated to the tail
         "text_ngram_topk": text_ngram_topk,
         "emb_gram_matrix": emb_gram_matrix,
         "dedup_spans": dedup_spans,
@@ -10659,7 +10847,6 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_trained_topk": ann_pq_trained_topk,
         "ann_pq_rerank_topk": ann_pq_rerank_topk,
         "web_sitemap_index": web_sitemap_index,
-        # the ten r10 gates: CORRECTNESS_r10-verified, freshest last
         "web_frontier_compose": web_frontier_compose,
         "web_wet_charset": web_wet_charset,
         "web_frontier_politeness": web_frontier_politeness,
@@ -10669,4 +10856,55 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_clipping": multimodal_audio_clipping,
         "multimodal_image_sharpness": multimodal_image_sharpness,
         "corpus_ngram_novelty": corpus_ngram_novelty,
+        # -- freshest rows last: the round-11 driver window
+        # (CORRECTNESS_r11: 49/50 exact + documented rows-only) --
+        "web_frontier_priority": web_frontier_priority,
+        "multimodal_jpeg_progressive": multimodal_jpeg_progressive,
+        "multimodal_mp2_decode": multimodal_mp2_decode,
+        "web_frontier_banded": web_frontier_banded,
+        "emb_kmeans_centroids": emb_kmeans_centroids,
+        "dedup_embedding": dedup_embedding,
+        "dedup_embedding_lsh": dedup_embedding_lsh,
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "pipeline_corpus_clean": pipeline_corpus_clean,
+        "graph_pagerank": graph_pagerank,
+        "fuzzy_pairs_suppliers": fuzzy_pairs_suppliers,
+        "w11_scd2": w11_scd2,
+        "w12_transitions": w12_transitions,
+        "w13_anomaly": w13_anomaly,
+        "sample_weighted": sample_weighted,
+        "corpus_merge_upsert": corpus_merge_upsert,
+        "tokenizer_bpe_merges": tokenizer_bpe_merges,
+        "tokenizer_bpe_segment": tokenizer_bpe_segment,
+        "text_hll_distinct": text_hll_distinct,
+        "quality_nb": quality_nb,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q22_sales_opportunity": q22_sales_opportunity,
+        "q4_order_priority": q4_order_priority,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q10_returned_items": q10_returned_items,
+        "q13_customer_distribution": q13_customer_distribution,
+        "dedup_minhash_recall": dedup_minhash_recall,
+        "dedup_embedding_recall": dedup_embedding_recall,
+        "ann_lsh_recall": ann_lsh_recall,
+        "emb_pca_project": emb_pca_project,
+        "text_bm25_topk": text_bm25_topk,
+        "text_normalize": text_normalize,
+        "text_cms_counts": text_cms_counts,
+        "corpus_bigram_logprob": corpus_bigram_logprob,
+        "dedup_keep_best": dedup_keep_best,
+        "dedup_tfidf_cosine": dedup_tfidf_cosine,
+        "w9_funnel": w9_funnel,
+        "w10_retention": w10_retention,
+        "olap_rollup": olap_rollup,
+        "olap_pivot": olap_pivot,
+        "emb_outliers": emb_outliers,
+        "emb_nearest_centroid": emb_nearest_centroid,
+        "corpus_length_filter": corpus_length_filter,
+        "corpus_zipf": corpus_zipf,
+        "retrieval_ql_topk": retrieval_ql_topk,
+        "retrieval_rrf_fuse": retrieval_rrf_fuse,
+        "retrieval_ndcg_truncated": retrieval_ndcg_truncated,
     }

@@ -355,6 +355,113 @@ def paragraph_store_freq(spark, store_path: str) -> DataFrame:
     )
 
 
+def frontier_sink(
+    store_path: str,
+    delays: DataFrame | None = None,
+    url_col: str = "url",
+    default_delay_ms: int = 1000,
+    n_shards: int = 64,
+    priority_col: str | None = None,
+    banded_numbering: bool | str = False,
+    n_bands: int | None = None,
+):
+    """foreachBatch maintenance of an INCREMENTAL crawl frontier — the
+    streaming form of :func:`adtl_spark.operators.text.
+    schedule_frontier`: a production crawl discovers URLs continuously,
+    and without continuation each micro-batch's ``fetch_seq`` would
+    restart at 1, re-spending every host's politeness budget from zero.
+
+    Per micro-batch: the batch is scheduled with the full batch
+    operator (host normalization, broadcast delay join, plain / priority
+    / banded / auto numbering all apply unchanged), then each host's
+    ``fetch_seq`` is shifted by the host's CONTINUATION OFFSET — the
+    count of URLs earlier batches already queued on that host,
+    maintained as per-batch ``(host, count, batch_id)`` deltas in
+    ``{store}/delta/<batch_id>`` (overwrite mode: a replayed batch
+    overwrites its own delta instead of double-counting — the
+    idempotent-per-batch contract every maintained store here shares;
+    offsets for batch N sum only deltas with ``batch_id < N``, so a
+    replay also re-reads exactly the offsets it saw the first time).
+    ``fetch_after_ms`` is re-derived from the shifted sequence and the
+    host's resolved delay, and the scheduled batch lands in
+    ``{store}/out/<batch_id>`` (the per-batch fetch plan a crawler
+    consumes; delta counts are computed from the WRITTEN plan, one
+    schedule execution per batch).  The offsets relation is
+    hosts-sized, joined shuffle-hash build-side (a broadcast would be
+    wrong at scale: #hosts can be millions).
+
+    SEQUENTIAL-REPLAY EQUALITY (the ``stream_debounce_last_kept``
+    standard): when each host's URLs arrive across batches in the
+    order the one-batch twin would queue them (URL order, or priority
+    order with ``priority_col``), the accumulated ``fetch_seq`` /
+    ``fetch_after_ms`` across all ``out/`` batches equal the twin's on
+    the same rows — pinned by tests for plain, priority AND banded
+    modes.  Batches that interleave a host's queue out of that order
+    still get correct CONTINUATION (no restart, no collisions), just a
+    different tie-break than the hindsight twin, which no online
+    scheduler can reproduce."""
+    from adtl_spark.operators.text import schedule_frontier
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        sched = schedule_frontier(
+            batch_df,
+            delays,
+            url_col=url_col,
+            default_delay_ms=default_delay_ms,
+            n_shards=n_shards,
+            priority_col=priority_col,
+            banded_numbering=banded_numbering,
+            n_bands=n_bands,
+            keep_delay=True,
+        )
+        try:
+            prior = spark.read.parquet(f"{store_path}/delta/*")
+        except Exception:
+            prior = None  # first batch: no deltas yet
+        if prior is not None:
+            offs = (
+                prior.filter(F.col("batch_id") < int(batch_id))
+                .groupBy("host")
+                .agg(F.sum("count").cast("long").alias("__off"))
+            )
+            sched = (
+                sched.join(offs.hint("shuffle_hash"), "host", "left")
+                .withColumn("__off", F.coalesce(F.col("__off"), F.lit(0)))
+                .withColumn(
+                    "fetch_seq",
+                    (F.col("fetch_seq") + F.col("__off")).cast("long"),
+                )
+                .withColumn(
+                    "fetch_after_ms",
+                    ((F.col("fetch_seq") - 1) * F.col("delay_ms")).cast(
+                        "long"
+                    ),
+                )
+                .drop("__off")
+            )
+        out_path = f"{store_path}/out/{int(batch_id)}"
+        sched.drop("delay_ms").write.mode("overwrite").parquet(out_path)
+        (
+            spark.read.parquet(out_path)
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("count"))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .parquet(f"{store_path}/delta/{int(batch_id)}")
+        )
+
+    return sink
+
+
+def frontier_store_plan(spark, store_path: str) -> DataFrame:
+    """The accumulated fetch plan: every scheduled batch the sink has
+    written, with stream-continued ``fetch_seq`` / ``fetch_after_ms``."""
+    return spark.read.parquet(f"{store_path}/out/*")
+
+
 def preference_sink(store_path: str, winner_col: str = "winner",
                     loser_col: str = "loser"):
     """foreachBatch maintenance of the pairwise-preference count store —

@@ -408,6 +408,11 @@ HEADLINE = [
     "multimodal_jpeg_progressive",
     "multimodal_mp2_decode",
     "web_frontier_banded",
+    # round-15 additions: MPEG-2 LSF + low-rate Layer II decode,
+    # 4:1:1/4:2:2 JPEG subsampling, auto-banded frontier scheduling
+    "multimodal_mp2_lsf",
+    "multimodal_jpeg_411",
+    "web_frontier_auto",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -456,6 +461,8 @@ PYTHON_WORKER_QUERIES = [
     "doc_pdf_extract_modern",
     "multimodal_jpeg_progressive",
     "multimodal_mp2_decode",
+    "multimodal_mp2_lsf",
+    "multimodal_jpeg_411",
 ]
 
 

@@ -354,43 +354,43 @@ def test_query_registry_invariants():
     assert [k for k in os_ if k not in qs] == []
     assert [k for k in ROWS_ONLY if k in os_] == []
     assert all(reason.strip() for reason in ROWS_ONLY.values())
-    # the round-11 window: the gates new this round hold the head; the
-    # remaining slots are the documented refresh queue's continuation —
-    # the round-6-verified remainder from emb_kmeans_centroids through
-    # corpus_zipf, then the first round-7-verified entries (the cap
-    # falls inside the retrieval block).  The round-10 driver window's
-    # blocks rotated to the very tail (freshest rows last).
+    # the round-12 window: the gates new this round (plus the re-pinned
+    # modern-PDF gate, whose fixture grew the ObjStm-resident /Length
+    # class) hold the head; the remaining slots are the documented
+    # refresh queue's continuation — the entry the r11 cap dropped,
+    # the six skipped round-6 head entries, then the round-7 remainder
+    # (the cap falls at quality_vocab_js).  The round-11 driver window
+    # rotated to the very tail (freshest rows last).
     gate = list(qs)[:50]
-    r11 = [
-        "web_frontier_priority",
+    r12 = [
+        "multimodal_mp2_lsf",
+        "multimodal_jpeg_411",
+        "web_frontier_auto",
         "doc_pdf_extract_modern",
+    ]
+    n12 = len(r12)
+    assert gate[:n12] == r12, "r12 gates hold the head"
+    assert gate[n12] == "retrieval_mmr_topk", (
+        "the entry the r11 cap dropped leads the refresh continuation"
+    )
+    for name in (
+        # spot entries of the round-6/7/8 refresh now in the window
+        "ann_pq_rerank_recall",
+        "emb_kmeans",
+        "retrieval_hybrid_rrf",
+        "graph_modularity",
+        "quality_vocab_js",
+    ):
+        assert name in gate, f"{name} missing from the r12 gate window"
+    # the round-11-verified window must be at the very tail, not burning
+    # window slots (their CORRECTNESS_r11 rows are the freshest)
+    tail = list(qs)[-49:]
+    for name in (
+        "web_frontier_priority",
         "multimodal_jpeg_progressive",
         "multimodal_mp2_decode",
         "web_frontier_banded",
-    ]
-    n11 = len(r11)
-    assert gate[:n11] == r11, "r11 gates hold the head"
-    assert gate[n11] == "emb_kmeans_centroids", (
-        "round-6 remainder leads the refresh continuation"
-    )
-    for name in (
-        # spot entries of the round-6 remainder now refreshing
-        "corpus_zipf",
-        "dedup_minhash_recall",
-        "graph_pagerank",
-        "tokenizer_bpe_segment",
-        "retrieval_ql_topk",
-    ):
-        assert name in gate, f"{name} missing from the r11 gate window"
-    # the round-10-verified blocks must be at the very tail, not burning
-    # window slots (their CORRECTNESS_r10 rows are the freshest)
-    tail = list(qs)[-51:]
-    for name in (
-        "web_sitemap_index",
-        "corpus_ngram_novelty",
-        "corpus_decontaminate_bloom",
-        "w16_gapfill_linear",
-        "ann_pq_rerank_topk",
+        "retrieval_ndcg_truncated",
     ):
         assert name in tail, f"{name} should have rotated to the tail"
 
