@@ -508,6 +508,11 @@ def run_hot_host(spark, uniform: Path) -> None:
         ("uniform-hosts", uniform_urls, {}),
         ("hot-host", hot_urls, {}),
         ("hot-host-banded", hot_urls, {"banded_numbering": True}),
+        # auto mode pays one aggregate-only probe job and then picks
+        # the plan the data calls for: plain below the threshold,
+        # banded above it
+        ("uniform-hosts-auto", uniform_urls, {"banded_numbering": "auto"}),
+        ("hot-host-auto", hot_urls, {"banded_numbering": "auto"}),
     )
     for label, rel, kw in variants:
         schedule_frontier(rel, **kw).write.mode("overwrite").format(
@@ -526,7 +531,10 @@ def run_hot_host(spark, uniform: Path) -> None:
         "long pole); banded/plain hot-host ratio "
         f"{times['hot-host-banded'] / times['hot-host']:.2f}x "
         "(banded_numbering replaces the unbounded window with ~3 "
-        "bounded shuffles — exact same fetch plan)",
+        "bounded shuffles — exact same fetch plan); auto overhead: "
+        f"uniform {times['uniform-hosts-auto'] / times['uniform-hosts']:.2f}x "
+        f"of plain, hot {times['hot-host-auto'] / times['hot-host-banded']:.2f}x "
+        "of banded (the skew-probe aggregate)",
         flush=True,
     )
 
