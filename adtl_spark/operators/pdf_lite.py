@@ -67,6 +67,16 @@ _PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _FLATE_RE = re.compile(rb"/Filter\s*/FlateDecode\b")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R\b")
+_STD_FILTER_RE = re.compile(rb"/Filter\s*/Standard\b")
+_V_RE = re.compile(rb"/V\s+(\d+)")
+_R_RE = re.compile(rb"/R\s+(\d+)")
+_P_RE = re.compile(rb"/P\s+(-?\d+)")
+_KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+_CFM_AES_RE = re.compile(rb"/CFM\s*/AESV2\b")
+_CFM_V2_RE = re.compile(rb"/CFM\s*/V2\b")
+_ENC_META_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
+_ID_RE = re.compile(rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\((?:[^\\()]|\\.)*\))")
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
 _TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
@@ -79,7 +89,9 @@ _COLUMNS_RE = re.compile(rb"/Columns\s+(\d+)")
 
 
 def _scan_objects(
-    payload: bytes, unresolved: list | None = None
+    payload: bytes,
+    unresolved: list | None = None,
+    decryptor=None,
 ) -> dict[int, tuple[bytes, bytes | None]]:
     """Map object number -> (dict/body bytes, decoded stream bytes or
     None).  Objects are located by direct scan, so damaged or appended
@@ -98,12 +110,12 @@ def _scan_objects(
     extent-sensitive Flate inflate run; the ``endstream`` search is the
     first-pass placeholder and the no-/Length degraded path."""
     objects: dict[int, tuple[bytes, bytes | None]] = {}
-    pending: list[tuple[int, int, int, bytes]] = []  # indirect lengths
+    pending: list[tuple] = []  # indirect lengths: (num, gen, start, ref, head)
     guard = 0  # first byte past the last fully-parsed object's extent
     for m in _OBJ_RE.finditer(payload):
         if m.start() < guard:
             continue  # inside a previous object (usually its stream bytes)
-        num = int(m.group(1))
+        num, gen = int(m.group(1)), int(m.group(2))
         start = m.end()
         end = payload.find(b"endobj", start)
         if end < 0:
@@ -136,24 +148,21 @@ def _scan_objects(
                 if im is not None:
                     # indirect length: the extent above is provisional;
                     # resolve + inflate in the second pass
-                    pending.append((num, data_start, int(im.group(1)), head))
+                    pending.append(
+                        (num, gen, data_start, int(im.group(1)), head)
+                    )
                     deferred = True
             if deferred:
                 stream = raw  # placeholder, replaced in pass 2
-            elif _FLATE_RE.search(head):
-                try:
-                    stream = zlib.decompress(raw)
-                except zlib.error as e:
-                    raise ValueError(f"PDF: bad Flate stream in obj {num}: {e}")
             else:
-                stream = raw
+                stream = _finish_stream(raw, head, num, gen, decryptor)
             body = head
         else:
             body = payload[start:end]
         guard = end + len(b"endobj")
         # latest definition wins (incremental updates append new versions)
         objects[num] = (body, stream)
-    for num, data_start, ref, head in pending:
+    for num, gen, data_start, ref, head in pending:
         raw = objects[num][1]
         resolved = False
         if ref in objects:
@@ -164,11 +173,13 @@ def _scan_objects(
         if not resolved and unresolved is not None:
             # the length object may live inside an object stream (real
             # generators emit this) — defer: keep the provisional
-            # (endstream-cut) COMPRESSED bytes and let the caller retry
-            # via _resolve_pending_lengths after ObjStm expansion
-            unresolved.append((num, data_start, ref, head))
+            # (endstream-cut) RAW bytes and let the caller retry via
+            # _resolve_pending_lengths after ObjStm expansion
+            unresolved.append((num, gen, data_start, ref, head))
             continue
-        objects[num] = (objects[num][0], _inflate_if_flate(raw, head, num))
+        objects[num] = (
+            objects[num][0], _finish_stream(raw, head, num, gen, decryptor)
+        )
     return objects
 
 
@@ -181,10 +192,21 @@ def _inflate_if_flate(raw: bytes, head: bytes, num: int) -> bytes:
     return raw
 
 
+def _finish_stream(raw, head, num, gen, decryptor):
+    """Decrypt-then-inflate: encryption applies to the RAW stream bytes
+    (before any /Filter), and cross-reference streams are NEVER
+    encrypted (ISO 32000-1 §7.5.8.2 — the reader needs them before it
+    can know the key)."""
+    if decryptor is not None and not _TYPE_XREF_RE.search(head):
+        raw = decryptor(num, gen, raw)
+    return _inflate_if_flate(raw, head, num)
+
+
 def _resolve_pending_lengths(
     objects: dict[int, tuple[bytes, bytes | None]],
     pending: list,
     payload: bytes,
+    decryptor=None,
 ) -> None:
     """Third pass over indirect ``/Length`` refs that pass 2 could not
     resolve against TOP-LEVEL objects: after object-stream expansion
@@ -192,13 +214,15 @@ def _resolve_pending_lengths(
     re-cut the stream to its true extent and inflate.  Refs that are
     still missing fall back to the provisional endstream-cut extent
     (the same degraded path a direct no-/Length stream takes)."""
-    for num, data_start, ref, head in pending:
+    for num, gen, data_start, ref, head in pending:
         raw = objects[num][1]
         if ref in objects:
             lbody = objects[ref][0].strip()
             if lbody.isdigit():
                 raw = payload[data_start : data_start + int(lbody)]
-        objects[num] = (objects[num][0], _inflate_if_flate(raw, head, num))
+        objects[num] = (
+            objects[num][0], _finish_stream(raw, head, num, gen, decryptor)
+        )
 
 
 def _png_unpredict(data: bytes, columns: int, predictor: int) -> bytes:
@@ -477,18 +501,152 @@ def _content_text(stream: bytes) -> str:
     return "\n".join(lines).strip("\n")
 
 
+def _string_bytes_after(body: bytes, key: bytes) -> bytes | None:
+    """The BYTE value of a ``/Key (literal)`` or ``/Key <hex>`` entry —
+    /O and /U are 32 random bytes, so the str-returning content-lexer
+    unescape cannot be reused here."""
+    m = re.search(key + rb"\s*(\(|<)", body)
+    if m is None:
+        return None
+    i = m.end() - 1
+    if body[i : i + 1] == b"<":
+        j = body.find(b">", i)
+        hexs = re.sub(rb"\s", b"", body[i + 1 : j])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode("ascii"))
+    # literal string: balanced parens, backslash escapes
+    depth, j = 1, i + 1
+    out = bytearray()
+    n = len(body)
+    while j < n and depth:
+        c = body[j]
+        if c == 0x5C and j + 1 < n:  # backslash
+            nxt = body[j + 1]
+            named = {
+                ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8,
+                ord("f"): 12, ord("("): 40, ord(")"): 41, ord("\\"): 92,
+            }
+            if nxt in named:
+                out.append(named[nxt])
+                j += 2
+            elif 0x30 <= nxt <= 0x37:
+                k = j + 1
+                while k < min(j + 4, n) and 0x30 <= body[k] <= 0x37:
+                    k += 1
+                out.append(int(body[j + 1 : k], 8) & 0xFF)
+                j = k
+            else:
+                out.append(nxt)
+                j += 2
+            continue
+        if c == 0x28:
+            depth += 1
+        elif c == 0x29:
+            depth -= 1
+            if not depth:
+                break
+        out.append(c)
+        j += 1
+    return bytes(out)
+
+
+def _parse_encrypt(payload: bytes):
+    """Build a per-object decryptor for a standard-security-handler
+    file with an EMPTY user password (the restrict-printing case that
+    dominates "encrypted" web PDFs) — RC4 (V1/V2 and V4 /V2 crypt
+    filters) and AES-128-CBC (/AESV2).  Raises NotImplementedError by
+    name for non-Standard handlers, R5/R6 (AES-256), and files whose
+    user password is genuinely non-empty."""
+    from adtl_spark.operators.pdf_crypt import (
+        aes_cbc_decrypt,
+        check_empty_user_password,
+        object_key,
+        rc4,
+    )
+
+    refs = _ENCRYPT_REF_RE.findall(payload)
+    if not refs:
+        return None  # '/Encrypt' bytes without a trailer entry
+    enc_num = int(refs[-1])  # last trailer wins (incremental updates)
+    body = None
+    for m in re.finditer(
+        rb"(?<![0-9])%d\s+\d+\s+obj\b" % enc_num, payload
+    ):
+        end = payload.find(b"endobj", m.end())
+        if end >= 0:
+            body = payload[m.end() : end]
+    if body is None:
+        raise ValueError("PDF /Encrypt reference without the dictionary")
+    if not _STD_FILTER_RE.search(body):
+        raise NotImplementedError(
+            "only the /Standard PDF security handler is supported"
+        )
+    v = int(_V_RE.search(body).group(1)) if _V_RE.search(body) else 0
+    r = int(_R_RE.search(body).group(1)) if _R_RE.search(body) else 2
+    if v >= 5 or r >= 5:
+        raise NotImplementedError(
+            "AES-256 (R5/R6) encrypted PDFs unsupported; RC4 and AESV2 "
+            "(PDF 1.4-1.6 standard handler) decode natively"
+        )
+    pm = _P_RE.search(body)
+    o = _string_bytes_after(body, rb"/O")
+    u = _string_bytes_after(body, rb"/U")
+    if pm is None or o is None or u is None:
+        raise ValueError("PDF /Encrypt dictionary missing /O, /U or /P")
+    p = int(pm.group(1))
+    klm = _KEYLEN_RE.search(body)
+    key_bytes = (int(klm.group(1)) if klm else 40) // 8
+    aes = False
+    if v == 4:
+        if _CFM_AES_RE.search(body):
+            aes = True
+            key_bytes = 16
+        elif not _CFM_V2_RE.search(body):
+            raise NotImplementedError(
+                "unsupported /V 4 crypt filter (not /V2 or /AESV2)"
+            )
+    encrypt_metadata = not _ENC_META_FALSE_RE.search(body)
+    idm = None
+    for idm in _ID_RE.finditer(payload):
+        pass  # last /ID (newest trailer) wins
+    file_id = (
+        _string_bytes_after(b"/ID " + idm.group(1), rb"/ID")
+        if idm is not None
+        else b""
+    )
+    key = check_empty_user_password(
+        o, u, p, file_id, r, key_bytes, encrypt_metadata
+    )
+    if key is None:
+        raise NotImplementedError(
+            "password-protected PDF (non-empty user password)"
+        )
+
+    def decryptor(num: int, gen: int, data: bytes) -> bytes:
+        ok = object_key(key, num, gen, aes=aes)
+        return aes_cbc_decrypt(ok, data) if aes else rc4(ok, data)
+
+    return decryptor
+
+
 def pdf_pages(payload: bytes) -> list[str]:
     """Extract per-page text from a simple PDF, in page-tree order.
-    Raises on encrypted files and bad Flate streams; returns page texts
-    with ``\\n`` between text lines."""
+    Standard-security-handler encryption with an EMPTY user password
+    (RC4 / AESV2) decrypts natively; password-protected and AES-256
+    files raise NotImplementedError by name.  Returns page texts with
+    ``\\n`` between text lines."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
-    if _ENCRYPT_RE.search(payload):
-        raise NotImplementedError("encrypted PDFs are out of scope")
+    decryptor = (
+        _parse_encrypt(payload) if _ENCRYPT_RE.search(payload) else None
+    )
     pending: list = []
-    objects = _expand_object_streams(_scan_objects(payload, pending))
+    objects = _expand_object_streams(
+        _scan_objects(payload, pending, decryptor)
+    )
     if pending:
-        _resolve_pending_lengths(objects, pending, payload)
+        _resolve_pending_lengths(objects, pending, payload, decryptor)
 
     # page order: catalog -> /Pages -> depth-first /Kids
     ordered: list[int] = []
@@ -611,6 +769,139 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     out += (
         b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
         % (len(objects) + 1, xref_off)
+    )
+    return bytes(out)
+
+
+def build_pdf_encrypted(
+    pages: list[list[str]],
+    method: str = "rc4",
+    owner_password: bytes = b"owner",
+    compress: bool = True,
+) -> bytes:
+    """Write a standard-security-handler ENCRYPTED classic-layout PDF
+    with an EMPTY user password — the restrict-permissions file most
+    "encrypted" web PDFs actually are (any conformant reader opens it
+    without prompting).  ``method``: ``"rc4-40"`` (V1/R2, the PDF 1.1
+    40-bit handler), ``"rc4"`` (V2/R3, 128-bit — the Acrobat 5 era
+    default), or ``"aesv2"`` (V4/R4 with an /AESV2 /StdCF crypt
+    filter, AES-128-CBC — Acrobat 7).  Real /O and /U entries are
+    computed from the spec algorithms (pdf_crypt.compute_o/compute_u),
+    so the reader exercises the genuine empty-password validation, and
+    every stream is encrypted with its per-object key.  The /ID and
+    AES IVs are derived deterministically from the content (fixture
+    byte-stability; decoders never care how the IV was chosen)."""
+    import hashlib
+
+    from adtl_spark.operators.pdf_crypt import (
+        aes_cbc_encrypt,
+        compute_o,
+        compute_u,
+        object_key,
+        rc4,
+        standard_key,
+    )
+
+    cfg = {
+        "rc4-40": (1, 2, 5),
+        "rc4": (2, 3, 16),
+        "aesv2": (4, 4, 16),
+    }
+    if method not in cfg:
+        raise ValueError(f"method {method!r} not in {sorted(cfg)}")
+    v, r, key_bytes = cfg[method]
+    aes = method == "aesv2"
+    p = -44  # print/copy restricted — the common permissions mask
+    file_id = hashlib.md5(
+        b"adtl-fixture" + repr(pages).encode("utf-8")
+    ).digest()
+    o_entry = compute_o(owner_password, b"", r, key_bytes)
+    key = standard_key(b"", o_entry, p, file_id, r, key_bytes)
+    u_entry = compute_u(key, file_id, r)
+
+    def esc(s: bytes) -> bytes:
+        return (
+            s.replace(b"\\", b"\\\\")
+            .replace(b"(", b"\\(")
+            .replace(b")", b"\\)")
+            .replace(b"\r", b"\\r")
+        )
+
+    objects: list[bytes] = []
+    npg = len(pages)
+    page_nums = [4 + 2 * i for i in range(npg)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append("0 -14 Td")
+            ops.append(f"({_escape_literal(line)}) Tj")
+        ops.append("ET")
+        content = " ".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content, 9)
+            filt = b"/Filter /FlateDecode "
+        num = page_nums[i] + 1
+        ok = object_key(key, num, 0, aes=aes)
+        if aes:
+            iv = hashlib.md5(b"iv%d" % num + file_id).digest()
+            content = aes_cbc_encrypt(ok, content, iv)
+        else:
+            content = rc4(ok, content)
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % num
+        )
+        objects.append(
+            b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (filt, len(content), content)
+        )
+    enc_num = len(objects) + 1
+    if v == 1:
+        enc_body = b"<< /Filter /Standard /V 1 /R 2 /O (%s) /U (%s) /P %d >>" % (
+            esc(o_entry), esc(u_entry), p,
+        )
+    elif v == 2:
+        enc_body = (
+            b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O (%s) /U (%s) "
+            b"/P %d >>" % (esc(o_entry), esc(u_entry), p)
+        )
+    else:
+        enc_body = (
+            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O (%s) /U (%s) /P %d >>"
+            % (esc(o_entry), esc(u_entry), p)
+        )
+    objects.append(enc_body)
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += body
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    idhex = file_id.hex().encode("ascii")
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R "
+        b"/ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, enc_num, idhex, idhex, xref_off)
     )
     return bytes(out)
 

@@ -99,6 +99,12 @@ so timed runs still measure steady-state worker reuse.  Records are
 now self-adjudicating: entries reading >2x their run34 band (>1 s
 absolute) are listed under "flagged" and counted in the summary line.
 
+Round-15 changes: appends the round's four gates (MPEG-2 LSF +
+low-rate Layer II decode, 4:1:1/4:2:2 JPEG subsampling, auto-banded
+politeness scheduling, encrypted-PDF extraction — RC4/AESV2 standard
+security handler with empty user password); prefix order unchanged,
+protocol unchanged from round 14.
+
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
 rerank + its recall, trending finalizer); ordering stays append-only so
 per-query times compare directly to BENCH_r05.
@@ -413,6 +419,7 @@ HEADLINE = [
     "multimodal_mp2_lsf",
     "multimodal_jpeg_411",
     "web_frontier_auto",
+    "doc_pdf_encrypted",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -463,6 +470,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_mp2_decode",
     "multimodal_mp2_lsf",
     "multimodal_jpeg_411",
+    "doc_pdf_encrypted",
 ]
 
 

@@ -334,6 +334,82 @@ def test_pdf_degraded_xref_stream_falls_back():
 
 
 # ---------------------------------------------------------------------------
+# encrypted PDFs (standard security handler, empty user password)
+
+
+def test_aes_and_rc4_primitives_match_public_vectors():
+    """FIPS-197 Appendix C (all three key sizes) and the classic RC4
+    'Key'/'Plaintext' vector — the generated S-box and key expansion
+    are pinned to spec values, not to this implementation."""
+    from adtl_spark.operators.pdf_crypt import (
+        _SBOX,
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    assert sorted(_SBOX) == list(range(256))  # bijective
+    assert (_SBOX[0x00], _SBOX[0x01], _SBOX[0x53]) == (0x63, 0x7C, 0xED)
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = [
+        ("000102030405060708090a0b0c0d0e0f", 10,
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617", 12,
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f10111213141516171819"
+         "1a1b1c1d1e1f", 14, "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for kh, nr, cth in vectors:
+        k = bytes.fromhex(kh)
+        w = _expand_key(k)
+        ct = _encrypt_block(pt, w, nr)
+        assert ct.hex() == cth
+        assert _decrypt_block(ct, w, nr) == pt
+    k = bytes.fromhex(vectors[0][0])
+    data = b"pdf content stream bytes" * 5
+    assert aes_cbc_decrypt(k, aes_cbc_encrypt(k, data, bytes(16))) == data
+    assert rc4(b"Key", b"Plaintext").hex().upper() == "BBF316E8D940AF0AD3"
+
+
+@pytest.mark.parametrize("method", ["rc4-40", "rc4", "aesv2"])
+def test_encrypted_pdf_extracts_with_empty_user_password(method):
+    """The permissions-restricted class of encrypted PDFs (empty user
+    password) extracts exactly across all three standard-handler
+    generations; the plaintext never appears in the payload."""
+    from adtl_spark.operators.pdf_lite import build_pdf_encrypted, pdf_pages
+
+    pages = [["secret alpha", "beta line"], ["page two (restricted)"]]
+    want = ["secret alpha\nbeta line", "page two (restricted)"]
+    for compress in (True, False):
+        pdf = build_pdf_encrypted(pages, method=method, compress=compress)
+        assert pdf_pages(pdf) == want
+        assert b"secret alpha" not in pdf
+
+
+def test_encrypted_pdf_scope_errors_are_loud():
+    """A genuinely password-protected file (the /U entry validates
+    against some non-empty password we cannot know) and AES-256 (R6)
+    both raise NotImplementedError by name, never garbage output."""
+    from adtl_spark.operators.pdf_lite import build_pdf_encrypted, pdf_pages
+
+    pdf = bytearray(build_pdf_encrypted([["x"]], method="rc4"))
+    i = pdf.find(b"/U (")
+    pdf[i + 4] ^= 0xFF
+    with pytest.raises(NotImplementedError, match="password-protected"):
+        pdf_pages(bytes(pdf))
+    fake = (
+        b"%PDF-1.7\n9 0 obj\n<< /Filter /Standard /V 5 /R 6 /O (x) "
+        b"/U (y) /P -44 >>\nendobj\n"
+        b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>"
+    )
+    with pytest.raises(NotImplementedError, match="AES-256"):
+        pdf_pages(fake)
+
+
+# ---------------------------------------------------------------------------
 # auto-banded frontier scheduling
 
 
