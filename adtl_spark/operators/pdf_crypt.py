@@ -24,9 +24,13 @@ algorithms (2/4/5/6) and FIPS-197:
   objnum[0:3] + gen[0:2] (+ b"sAlT" for AESV2)), truncated to
   min(n + 5, 16).
 
-R5/R6 (AES-256, SHA-2 based Algorithm 2.A) is out of scope here and
-raises NotImplementedError by name in pdf_lite — the RC4/AESV2 handlers
-cover the PDF 1.4-1.6 era that dominates crawled archives.
+R5/R6 (AES-256 / PDF 2.0) is covered too: the SHA-2-based Algorithm
+2.A/2.B hash (:func:`hash_r6` — the 64+-round AES-CBC/SHA-256/384/512
+iteration), empty-user-password validation against the 48-byte /U
+(hash + validation salt + key salt), and file-key recovery by
+AES-256-CBC-decrypting /UE with the key-salt intermediate.  /V 5
+content uses the FILE key directly (no per-object derivation) with the
+same IV-prefixed CBC layout as AESV2.
 """
 
 from __future__ import annotations
@@ -38,8 +42,11 @@ __all__ = [
     "rc4",
     "aes_cbc_decrypt",
     "aes_cbc_encrypt",
+    "aes_cbc_raw",
+    "hash_r6",
     "standard_key",
     "check_empty_user_password",
+    "check_empty_user_password_r6",
     "object_key",
     "PAD",
 ]
@@ -140,6 +147,71 @@ def _expand_key(key: bytes) -> list[list[int]]:
     return w
 
 
+def _build_te() -> tuple[list[int], list[int], list[int], list[int]]:
+    # T-tables: one fused SubBytes+MixColumns word per input byte
+    # (row0 in the MSB), Te_i shifted per MixColumns row rotation
+    te0, te1, te2, te3 = [], [], [], []
+    for x in range(256):
+        s = _SBOX[x]
+        s2, s3 = _gf_mul(s, 2), _gf_mul(s, 3)
+        te0.append((s2 << 24) | (s << 16) | (s << 8) | s3)
+        te1.append((s3 << 24) | (s2 << 16) | (s << 8) | s)
+        te2.append((s << 24) | (s3 << 16) | (s2 << 8) | s)
+        te3.append((s << 24) | (s << 16) | (s3 << 8) | s2)
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_te()
+
+
+def _rk_words(w) -> list[int]:
+    return [
+        (wi[0] << 24) | (wi[1] << 16) | (wi[2] << 8) | wi[3] for wi in w
+    ]
+
+
+def _encrypt_block_fast(block: bytes, rk: list[int], nr: int) -> bytes:
+    """T-table encryption — the R6 KDF runs ~10k block encryptions per
+    hash, where the schoolbook per-byte path is ~50x too slow.
+    Differential-pinned byte-identical to :func:`_encrypt_block`."""
+    c0 = int.from_bytes(block[0:4], "big") ^ rk[0]
+    c1 = int.from_bytes(block[4:8], "big") ^ rk[1]
+    c2 = int.from_bytes(block[8:12], "big") ^ rk[2]
+    c3 = int.from_bytes(block[12:16], "big") ^ rk[3]
+    for rnd in range(1, nr):
+        k = 4 * rnd
+        t0 = (
+            _TE0[(c0 >> 24) & 255] ^ _TE1[(c1 >> 16) & 255]
+            ^ _TE2[(c2 >> 8) & 255] ^ _TE3[c3 & 255] ^ rk[k]
+        )
+        t1 = (
+            _TE0[(c1 >> 24) & 255] ^ _TE1[(c2 >> 16) & 255]
+            ^ _TE2[(c3 >> 8) & 255] ^ _TE3[c0 & 255] ^ rk[k + 1]
+        )
+        t2 = (
+            _TE0[(c2 >> 24) & 255] ^ _TE1[(c3 >> 16) & 255]
+            ^ _TE2[(c0 >> 8) & 255] ^ _TE3[c1 & 255] ^ rk[k + 2]
+        )
+        t3 = (
+            _TE0[(c3 >> 24) & 255] ^ _TE1[(c0 >> 16) & 255]
+            ^ _TE2[(c1 >> 8) & 255] ^ _TE3[c2 & 255] ^ rk[k + 3]
+        )
+        c0, c1, c2, c3 = t0, t1, t2, t3
+    k = 4 * nr
+    out = bytearray(16)
+    S = _SBOX
+    cols = (c0, c1, c2, c3)
+    for j in range(4):
+        w_ = (
+            (S[(cols[j] >> 24) & 255] << 24)
+            | (S[(cols[(j + 1) % 4] >> 16) & 255] << 16)
+            | (S[(cols[(j + 2) % 4] >> 8) & 255] << 8)
+            | S[cols[(j + 3) % 4] & 255]
+        ) ^ rk[k + j]
+        out[4 * j : 4 * j + 4] = w_.to_bytes(4, "big")
+    return bytes(out)
+
+
 def _add_round_key(s, w, rnd):
     for c in range(4):
         for r in range(4):
@@ -216,6 +288,73 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     if not 1 <= pad <= 16:
         raise ValueError("bad AES-CBC padding")
     return bytes(out[:-pad])
+
+
+def aes_cbc_raw(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """AES-CBC with NO padding and NO IV prefix — the R6 KDF and the
+    /UE //OE file-key wrapping use exact-multiple-of-16 payloads.  The
+    encrypt side takes the T-table fast path: the KDF chains ~10k
+    sequential block encryptions per hash."""
+    if len(data) % 16:
+        raise ValueError("raw CBC needs a block multiple")
+    w = _expand_key(key)
+    nr = len(key) // 4 + 6
+    out = bytearray()
+    prev = iv
+    if encrypt:
+        rk = _rk_words(w)
+        for i in range(0, len(data), 16):
+            prev = _encrypt_block_fast(
+                bytes(p ^ v for p, v in zip(data[i : i + 16], prev)),
+                rk, nr,
+            )
+            out += prev
+        return bytes(out)
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        plain = _decrypt_block(block, w, nr)
+        out += bytes(p ^ v for p, v in zip(plain, prev))
+        prev = block
+    return bytes(out)
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (revision 6 KDF; revision 5 is the
+    plain SHA-256 first step): iterate AES-128-CBC over a 64x repeat of
+    (password + K + udata), re-hash with SHA-256/384/512 selected by
+    the ciphertext's first-16-byte sum mod 3, until round >= 64 and the
+    last ciphertext byte <= round - 32."""
+    K = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + K + udata) * 64
+        e = aes_cbc_raw(K[:16], K[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        K = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return K[:32]
+
+
+def check_empty_user_password_r6(
+    u_entry: bytes, ue_entry: bytes, revision: int
+) -> bytes | None:
+    """R5/R6 empty-user-password check + file-key recovery: /U is
+    hash(32) + validation salt(8) + key salt(8); the file key is
+    AES-256-CBC(no pad, zero IV) decrypt of /UE under the key-salt
+    intermediate hash.  R5 uses the single-step SHA-256 hash."""
+    if len(u_entry) < 48 or len(ue_entry) < 32:
+        return None
+    vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+    if revision == 5:
+        h = hashlib.sha256(b"" + vsalt).digest()
+        inter = hashlib.sha256(b"" + ksalt).digest()
+    else:
+        h = hash_r6(b"", vsalt)
+        inter = hash_r6(b"", ksalt)
+    if h != u_entry[:32]:
+        return None
+    return aes_cbc_raw(inter, bytes(16), ue_entry[:32], encrypt=False)
 
 
 def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:

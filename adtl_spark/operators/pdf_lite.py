@@ -32,9 +32,13 @@ Extractor scope (the "simple born-digital PDF" class):
   from incremental updates (multiple xref streams merge newest-first
   by ``/Size``, the practical stand-in for the ``/Prev`` chain once
   byte offsets are abstracted away by the direct object scan)
-* encrypted PDFs, CID/Type0 composite fonts and ToUnicode CMaps
-  remain out of scope and raise/degrade loudly (documented), not
-  silently
+* ENCRYPTED files with the standard security handler and an empty
+  user password decrypt natively across all four handler generations
+  (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 /AESV2 V4/R4, AES-256 /AESV3
+  V5/R6 — see :mod:`adtl_spark.operators.pdf_crypt`); genuinely
+  password-protected files raise NotImplementedError by name.
+  CID/Type0 composite fonts and ToUnicode CMaps remain out of scope
+  and raise/degrade loudly (documented), not silently
 
 The writers emit spec-valid PDFs so fixtures are real files any PDF
 reader opens: :func:`build_pdf` the classic layout (correct xref
@@ -50,6 +54,7 @@ call site.
 from __future__ import annotations
 
 import re
+import struct
 import zlib
 
 __all__ = ["pdf_pages", "pdf_text", "build_pdf", "build_pdf_modern"]
@@ -555,9 +560,10 @@ def _parse_encrypt(payload: bytes):
     """Build a per-object decryptor for a standard-security-handler
     file with an EMPTY user password (the restrict-printing case that
     dominates "encrypted" web PDFs) — RC4 (V1/V2 and V4 /V2 crypt
-    filters) and AES-128-CBC (/AESV2).  Raises NotImplementedError by
-    name for non-Standard handlers, R5/R6 (AES-256), and files whose
-    user password is genuinely non-empty."""
+    filters), AES-128-CBC (/AESV2), and AES-256 (V5/R6 /AESV3, the
+    SHA-2 Algorithm-2.B KDF).  Raises NotImplementedError by name for
+    non-Standard handlers and files whose user password is genuinely
+    non-empty."""
     from adtl_spark.operators.pdf_crypt import (
         aes_cbc_decrypt,
         check_empty_user_password,
@@ -585,10 +591,27 @@ def _parse_encrypt(payload: bytes):
     v = int(_V_RE.search(body).group(1)) if _V_RE.search(body) else 0
     r = int(_R_RE.search(body).group(1)) if _R_RE.search(body) else 2
     if v >= 5 or r >= 5:
-        raise NotImplementedError(
-            "AES-256 (R5/R6) encrypted PDFs unsupported; RC4 and AESV2 "
-            "(PDF 1.4-1.6 standard handler) decode natively"
+        # AES-256 (R5 draft / R6 PDF 2.0): the file key comes from /UE
+        # under the key-salt intermediate hash; content uses the file
+        # key DIRECTLY (no per-object derivation)
+        from adtl_spark.operators.pdf_crypt import (
+            check_empty_user_password_r6,
         )
+
+        u = _string_bytes_after(body, rb"/U")
+        ue = _string_bytes_after(body, rb"/UE")
+        if u is None or ue is None:
+            raise ValueError("PDF /Encrypt (V5) missing /U or /UE")
+        key = check_empty_user_password_r6(u, ue, r)
+        if key is None:
+            raise NotImplementedError(
+                "password-protected PDF (non-empty user password)"
+            )
+
+        def decryptor_v5(num: int, gen: int, data: bytes) -> bytes:
+            return aes_cbc_decrypt(key, data)
+
+        return decryptor_v5
     pm = _P_RE.search(body)
     o = _string_bytes_after(body, rb"/O")
     u = _string_bytes_after(body, rb"/U")
@@ -633,9 +656,9 @@ def _parse_encrypt(payload: bytes):
 def pdf_pages(payload: bytes) -> list[str]:
     """Extract per-page text from a simple PDF, in page-tree order.
     Standard-security-handler encryption with an EMPTY user password
-    (RC4 / AESV2) decrypts natively; password-protected and AES-256
-    files raise NotImplementedError by name.  Returns page texts with
-    ``\\n`` between text lines."""
+    (RC4 / AESV2 / AES-256) decrypts natively; genuinely
+    password-protected files raise NotImplementedError by name.
+    Returns page texts with ``\\n`` between text lines."""
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload")
     decryptor = (
@@ -716,6 +739,17 @@ def _escape_literal(s: str) -> str:
     )
 
 
+def _esc_str(s: bytes) -> bytes:
+    """Escape arbitrary BYTES for a PDF literal string — /O, /U, /UE
+    and friends are raw hash/cipher output."""
+    return (
+        s.replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+        .replace(b"\r", b"\\r")
+    )
+
+
 def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     """Write a spec-valid PDF: one content stream per page (each inner
     list is that page's text lines), Flate-compressed by default,
@@ -785,18 +819,23 @@ def build_pdf_encrypted(
     without prompting).  ``method``: ``"rc4-40"`` (V1/R2, the PDF 1.1
     40-bit handler), ``"rc4"`` (V2/R3, 128-bit — the Acrobat 5 era
     default), or ``"aesv2"`` (V4/R4 with an /AESV2 /StdCF crypt
-    filter, AES-128-CBC — Acrobat 7).  Real /O and /U entries are
-    computed from the spec algorithms (pdf_crypt.compute_o/compute_u),
+    filter, AES-128-CBC — Acrobat 7), or ``"aes256"`` (V5/R6 /AESV3,
+    AES-256 — PDF 2.0).  Real /O and /U entries are
+    computed from the spec algorithms (pdf_crypt.compute_o/compute_u;
+    hash_r6 + /UE //OE wrapping for R6),
     so the reader exercises the genuine empty-password validation, and
-    every stream is encrypted with its per-object key.  The /ID and
+    every stream is encrypted with its per-object key (the file key
+    directly for V5).  The /ID, salts and
     AES IVs are derived deterministically from the content (fixture
     byte-stability; decoders never care how the IV was chosen)."""
     import hashlib
 
     from adtl_spark.operators.pdf_crypt import (
         aes_cbc_encrypt,
+        aes_cbc_raw,
         compute_o,
         compute_u,
+        hash_r6,
         object_key,
         rc4,
         standard_key,
@@ -806,27 +845,47 @@ def build_pdf_encrypted(
         "rc4-40": (1, 2, 5),
         "rc4": (2, 3, 16),
         "aesv2": (4, 4, 16),
+        "aes256": (5, 6, 32),
     }
     if method not in cfg:
         raise ValueError(f"method {method!r} not in {sorted(cfg)}")
     v, r, key_bytes = cfg[method]
-    aes = method == "aesv2"
+    aes = method in ("aesv2", "aes256")
     p = -44  # print/copy restricted — the common permissions mask
     file_id = hashlib.md5(
         b"adtl-fixture" + repr(pages).encode("utf-8")
     ).digest()
-    o_entry = compute_o(owner_password, b"", r, key_bytes)
-    key = standard_key(b"", o_entry, p, file_id, r, key_bytes)
-    u_entry = compute_u(key, file_id, r)
-
-    def esc(s: bytes) -> bytes:
-        return (
-            s.replace(b"\\", b"\\\\")
-            .replace(b"(", b"\\(")
-            .replace(b")", b"\\)")
-            .replace(b"\r", b"\\r")
+    extra = b""
+    if v == 5:
+        # R6: the file key is random-per-file in the wild; derived
+        # deterministically here.  /U carries hash + the two salts;
+        # /UE wraps the file key under the key-salt intermediate.
+        key = hashlib.sha256(b"filekey" + file_id).digest()
+        vsalt = hashlib.md5(b"vs" + file_id).digest()[:8]
+        ksalt = hashlib.md5(b"ks" + file_id).digest()[:8]
+        u_entry = hash_r6(b"", vsalt) + vsalt + ksalt
+        ue = aes_cbc_raw(hash_r6(b"", ksalt), bytes(16), key, encrypt=True)
+        ovs = hashlib.md5(b"ovs" + file_id).digest()[:8]
+        oks = hashlib.md5(b"oks" + file_id).digest()[:8]
+        o_entry = hash_r6(owner_password, ovs, u_entry) + ovs + oks
+        oe = aes_cbc_raw(
+            hash_r6(owner_password, oks, u_entry), bytes(16), key,
+            encrypt=True,
         )
+        perms = aes_cbc_raw(
+            key, bytes(16),
+            struct.pack("<i", p) + b"\xff\xff\xff\xffTadb" + b"\x00" * 4,
+            encrypt=True,
+        )
+        extra = b"/UE (%s) /OE (%s) /Perms (%s) " % tuple(
+            _esc_str(x) for x in (ue, oe, perms)
+        )
+    else:
+        o_entry = compute_o(owner_password, b"", r, key_bytes)
+        key = standard_key(b"", o_entry, p, file_id, r, key_bytes)
+        u_entry = compute_u(key, file_id, r)
 
+    esc = _esc_str
     objects: list[bytes] = []
     npg = len(pages)
     page_nums = [4 + 2 * i for i in range(npg)]
@@ -851,7 +910,7 @@ def build_pdf_encrypted(
             content = zlib.compress(content, 9)
             filt = b"/Filter /FlateDecode "
         num = page_nums[i] + 1
-        ok = object_key(key, num, 0, aes=aes)
+        ok = key if v == 5 else object_key(key, num, 0, aes=aes)
         if aes:
             iv = hashlib.md5(b"iv%d" % num + file_id).digest()
             content = aes_cbc_encrypt(ok, content, iv)
@@ -876,12 +935,19 @@ def build_pdf_encrypted(
             b"<< /Filter /Standard /V 2 /R 3 /Length 128 /O (%s) /U (%s) "
             b"/P %d >>" % (esc(o_entry), esc(u_entry), p)
         )
-    else:
+    elif v == 4:
         enc_body = (
             b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
             b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
             b"/StmF /StdCF /StrF /StdCF /O (%s) /U (%s) /P %d >>"
             % (esc(o_entry), esc(u_entry), p)
+        )
+    else:
+        enc_body = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF /O (%s) /U (%s) %s/P %d >>"
+            % (esc(o_entry), esc(u_entry), extra, p)
         )
     objects.append(enc_body)
 

@@ -6000,9 +6000,14 @@ def doc_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     extraction path runs the full chain: /Encrypt dict parse, empty-
     password validation (Algorithm 6), per-object key derivation
     (Algorithm 1), stream decrypt-then-inflate, page walk, content
-    lexing.  The oracle rebuilds the page slices with substr
-    arithmetic, so decrypt→extract must be an exact identity
-    (operators/pdf_crypt.py; pdf_lite._parse_encrypt,
+    lexing.  AES-256 (V5/R6) also decodes but stays OUT of this gate's
+    cycle by design: its Algorithm-2.B KDF is a deliberate
+    password-hardening function (~0.4 s/hash even on the T-table fast
+    path — per FILE, not per stream), so it is pytest-pinned
+    (tests/test_round15.py::test_encrypted_pdf_aes256_r6) instead of
+    multiplied across 500 fixture docs.  The oracle rebuilds the page
+    slices with substr arithmetic, so decrypt→extract must be an exact
+    identity (operators/pdf_crypt.py; pdf_lite._parse_encrypt,
     build_pdf_encrypted)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 

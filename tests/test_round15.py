@@ -389,24 +389,46 @@ def test_encrypted_pdf_extracts_with_empty_user_password(method):
         assert b"secret alpha" not in pdf
 
 
-def test_encrypted_pdf_scope_errors_are_loud():
-    """A genuinely password-protected file (the /U entry validates
-    against some non-empty password we cannot know) and AES-256 (R6)
-    both raise NotImplementedError by name, never garbage output."""
+def test_encrypted_pdf_aes256_r6():
+    """PDF 2.0 AES-256 (V5/R6): the Algorithm-2.B KDF validates the
+    empty user password against /U, the file key unwraps from /UE, and
+    content decrypts with the file key directly — and the fast T-table
+    block path is byte-identical to the schoolbook reference."""
+    from adtl_spark.operators.pdf_crypt import (
+        _encrypt_block,
+        _encrypt_block_fast,
+        _expand_key,
+        _rk_words,
+    )
     from adtl_spark.operators.pdf_lite import build_pdf_encrypted, pdf_pages
 
-    pdf = bytearray(build_pdf_encrypted([["x"]], method="rc4"))
-    i = pdf.find(b"/U (")
-    pdf[i + 4] ^= 0xFF
-    with pytest.raises(NotImplementedError, match="password-protected"):
-        pdf_pages(bytes(pdf))
-    fake = (
-        b"%PDF-1.7\n9 0 obj\n<< /Filter /Standard /V 5 /R 6 /O (x) "
-        b"/U (y) /P -44 >>\nendobj\n"
-        b"trailer << /Encrypt 9 0 R /ID [<00> <00>] >>"
-    )
-    with pytest.raises(NotImplementedError, match="AES-256"):
-        pdf_pages(fake)
+    for klen in (16, 32):
+        key = bytes(range(klen))
+        blk = bytes(range(100, 116))
+        w = _expand_key(key)
+        nr = klen // 4 + 6
+        assert _encrypt_block(blk, w, nr) == _encrypt_block_fast(
+            blk, _rk_words(w), nr
+        )
+    pages = [["pdf two point oh"]]
+    pdf = build_pdf_encrypted(pages, method="aes256")
+    assert pdf_pages(pdf) == ["pdf two point oh"]
+    assert b"pdf two point oh" not in pdf
+
+
+def test_encrypted_pdf_scope_errors_are_loud():
+    """A genuinely password-protected file (the /U entry validates
+    against some non-empty password we cannot know) raises
+    NotImplementedError by name — R2-R4 and R6 alike — never garbage
+    output."""
+    from adtl_spark.operators.pdf_lite import build_pdf_encrypted, pdf_pages
+
+    for method in ("rc4", "aes256"):
+        pdf = bytearray(build_pdf_encrypted([["x"]], method=method))
+        i = pdf.find(b"/U (")
+        pdf[i + 4] ^= 0xFF
+        with pytest.raises(NotImplementedError, match="password-protected"):
+            pdf_pages(bytes(pdf))
 
 
 # ---------------------------------------------------------------------------
