@@ -583,7 +583,12 @@ def _parse_encrypt(payload: bytes):
         if end >= 0:
             body = payload[m.end() : end]
     if body is None:
-        raise ValueError("PDF /Encrypt reference without the dictionary")
+        # the trailer names an /Encrypt dict we cannot locate: the file
+        # IS encrypted and we cannot derive its key — same scope class
+        # as an unsupported handler (round-12 pinned contract)
+        raise NotImplementedError(
+            "encrypted PDF: /Encrypt dictionary not found in the payload"
+        )
     if not _STD_FILTER_RE.search(body):
         raise NotImplementedError(
             "only the /Standard PDF security handler is supported"
