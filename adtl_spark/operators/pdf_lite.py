@@ -82,6 +82,10 @@ _CFM_AES_RE = re.compile(rb"/CFM\s*/AESV2\b")
 _CFM_V2_RE = re.compile(rb"/CFM\s*/V2\b")
 _ENC_META_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
 _ID_RE = re.compile(rb"/ID\s*\[\s*(<[0-9A-Fa-f\s]*>|\((?:[^\\()]|\\.)*\))")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_RESOURCES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
+_FONT_ENTRY_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<")
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
 _TYPE_OBJSTM_RE = re.compile(rb"/Type\s*/ObjStm\b")
 _W_RE = re.compile(rb"/W\s*\[([^\]]*)\]")
@@ -385,18 +389,18 @@ def _expand_object_streams(
     return objects
 
 
-def _unescape_literal(raw: bytes) -> str:
-    out = []
+def _unescape_literal_bytes(raw: bytes) -> bytes:
+    out = bytearray()
     i, n = 0, len(raw)
     named = {
-        ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
-        ord("b"): "\b", ord("f"): "\f",
-        ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+        ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09,
+        ord("b"): 0x08, ord("f"): 0x0C,
+        ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C,
     }
     while i < n:
         c = raw[i]
         if c != 0x5C:  # backslash
-            out.append(chr(c))
+            out.append(c)
             i += 1
             continue
         i += 1
@@ -410,27 +414,161 @@ def _unescape_literal(raw: bytes) -> str:
             j = i
             while j < min(i + 3, n) and 0x30 <= raw[j] <= 0x37:
                 j += 1
-            out.append(chr(int(raw[i:j], 8) & 0xFF))
+            out.append(int(raw[i:j], 8) & 0xFF)
             i = j
         elif c in (0x0A, 0x0D):  # line continuation
             i += 1
             if c == 0x0D and i < n and raw[i] == 0x0A:
                 i += 1
         else:  # unknown escape: spec says drop the backslash
-            out.append(chr(c))
+            out.append(c)
             i += 1
+    return bytes(out)
+
+
+def _unescape_literal(raw: bytes) -> str:
+    return _unescape_literal_bytes(raw).decode("latin-1")
+
+
+_BFCHAR_RE = re.compile(
+    rb"beginbfchar(.*?)endbfchar", re.S
+)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_CODESPACE_RE = re.compile(
+    rb"begincodespacerange\s*<([0-9A-Fa-f]+)>", re.S
+)
+
+
+def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a /ToUnicode CMap stream (Adobe CMap syntax, the subset
+    every generator emits) into (code byte length, code -> text map).
+    ``bfchar`` pairs map single codes; ``bfrange`` maps either a
+    consecutive block onto a Unicode start or onto an explicit array.
+    Destination hex is UTF-16BE and may be multi-codepoint (ligature
+    expansions like fi -> 'fi')."""
+    m = _CODESPACE_RE.search(cmap)
+    nbytes = len(m.group(1)) // 2 if m else 2
+    out: dict[int, str] = {}
+
+    def utext(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", "replace"
+        )
+
+    for block in _BFCHAR_RE.findall(cmap):
+        toks = _HEXTOK_RE.findall(block)
+        for k in range(0, len(toks) - 1, 2):
+            out[int(toks[k], 16)] = utext(toks[k + 1])
+    for block in _BFRANGE_RE.findall(cmap):
+        # entries are <lo> <hi> <dst>  OR  <lo> <hi> [<d0> <d1> ...]
+        i = 0
+        while True:
+            mlo = _HEXTOK_RE.search(block, i)
+            if mlo is None:
+                break
+            mhi = _HEXTOK_RE.search(block, mlo.end())
+            if mhi is None:
+                break
+            lo, hi = int(mlo.group(1), 16), int(mhi.group(1), 16)
+            # array form?
+            rest = block[mhi.end():].lstrip()
+            if rest.startswith(b"["):
+                close = block.find(b"]", mhi.end())
+                arr = _HEXTOK_RE.findall(block[mhi.end() : close])
+                for k, dh in enumerate(arr):
+                    if lo + k <= hi:
+                        out[lo + k] = utext(dh)
+                i = close + 1
+                continue
+            mdst = _HEXTOK_RE.search(block, mhi.end())
+            if mdst is None:
+                break
+            base_hex = mdst.group(1)
+            base = int(base_hex, 16)
+            # consecutive mapping increments the LAST code unit
+            width = len(base_hex) // 2
+            for k in range(hi - lo + 1):
+                out[lo + k] = (
+                    (base + k).to_bytes(max(width, 2), "big")
+                    .decode("utf-16-be", "replace")
+                )
+            i = mdst.end()
+    return nbytes, out
+
+
+def _page_fonts(objects: dict, body: bytes, *extra: bytes) -> dict:
+    """Resolve a page's /Resources /Font entries (inline dict or an
+    indirect /Resources object; ``extra`` bodies — the /Pages node —
+    are fallbacks for inherited resources) into the name ->
+    (code_bytes, tounicode_map) dict :func:`_content_text` consumes.
+    Fonts WITHOUT a /ToUnicode CMap keep the latin-1 passthrough
+    (simple fonts), so classic fixtures are byte-identical."""
+    srcs = [body]
+    rm = _RESOURCES_REF_RE.search(body)
+    if rm is not None and int(rm.group(1)) in objects:
+        srcs.append(objects[int(rm.group(1))][0])
+    srcs.extend(extra)
+    fonts: dict = {}
+    for src in srcs:
+        fm = _FONT_DICT_RE.search(src)
+        if fm is None:
+            continue
+        depth, k = 1, fm.end()
+        while k < len(src) and depth:
+            if src[k : k + 2] == b"<<":
+                depth += 1
+                k += 2
+            elif src[k : k + 2] == b">>":
+                depth -= 1
+                k += 2
+            else:
+                k += 1
+        region = src[fm.end() : k]
+        for name, ref in _FONT_ENTRY_RE.findall(region):
+            ref = int(ref)
+            if ref not in objects:
+                continue
+            tm = _TOUNICODE_RE.search(objects[ref][0])
+            if tm is None:
+                continue
+            tref = int(tm.group(1))
+            if tref in objects and objects[tref][1] is not None:
+                key = name.decode("latin-1")
+                if key not in fonts:
+                    fonts[key] = _parse_tounicode(objects[tref][1])
+    return fonts
+
+
+def _decode_shown(raw: bytes, font) -> str:
+    """Decode a shown string under the ACTIVE font: CID fonts map
+    fixed-width codes through their ToUnicode CMap (unmapped codes
+    become U+FFFD — visible, not silently dropped); simple fonts keep
+    the historical latin-1 passthrough."""
+    if font is None:
+        return raw.decode("latin-1")
+    nbytes, cmap = font
+    out = []
+    for k in range(0, len(raw) - nbytes + 1, nbytes):
+        code = int.from_bytes(raw[k : k + nbytes], "big")
+        out.append(cmap.get(code, "�"))
     return "".join(out)
 
 
-def _content_text(stream: bytes) -> str:
+def _content_text(stream: bytes, fonts: dict | None = None) -> str:
     """Walk a content stream's tokens; text-showing operators append,
     Td/TD/T* start a new line.  Balanced-paren literal strings (with
     escapes) and hex strings are lexed exactly; everything else is
     whitespace-split operator soup we only inspect for the few
-    operators that matter."""
+    operators that matter.  ``fonts`` maps resource names (``F1``) to
+    ``(code_bytes, tounicode_map)`` for CID/Type0 fonts — ``/Fx .. Tf``
+    switches the active decoding; simple fonts decode as before."""
     lines: list[str] = [""]
     i, n = 0, len(stream)
     pending: list[str] = []  # strings shown since the last operator test
+    fonts = fonts or {}
+    active = None  # (nbytes, map) of the current CID font, else None
+    last_name = None
 
     def newline():
         if lines[-1] != "":
@@ -455,7 +593,9 @@ def _content_text(stream: bytes) -> str:
                         break
                 buf.append(b)
                 j += 1
-            pending.append(_unescape_literal(bytes(buf)))
+            pending.append(
+                _decode_shown(_unescape_literal_bytes(bytes(buf)), active)
+            )
             i = j + 1
             continue
         if c == 0x3C and i + 1 < n and stream[i + 1] != 0x3C:  # <hex>
@@ -464,7 +604,9 @@ def _content_text(stream: bytes) -> str:
             hx = re.sub(rb"\s", b"", stream[i + 1 : j])
             if len(hx) % 2:
                 hx += b"0"
-            pending.append(bytes.fromhex(hx.decode("ascii")).decode("latin-1"))
+            pending.append(
+                _decode_shown(bytes.fromhex(hx.decode("ascii")), active)
+            )
             i = j + 1
             continue
         if c == 0x5B or c == 0x5D or c == 0x3C or c == 0x3E:
@@ -487,6 +629,10 @@ def _content_text(stream: bytes) -> str:
                 j += 1
         tok = stream[i:j]
         i = j
+        if tok[:1] == b"/":
+            last_name = tok[1:].decode("latin-1")
+        elif tok == b"Tf":
+            active = fonts.get(last_name)
         if tok in (b"Tj", b"TJ"):
             lines[-1] += "".join(pending)
             pending.clear()
@@ -723,7 +869,16 @@ def pdf_pages(payload: bytes) -> list[str]:
         for r in refs:
             if r in objects and objects[r][1] is not None:
                 streams.append(objects[r][1])
-        pages.append(_content_text(b"".join(streams)))
+        parents = [
+            b for num2, (b, _s) in objects.items()
+            if _TYPE_PAGES_RE.search(b)
+        ]
+        pages.append(
+            _content_text(
+                b"".join(streams),
+                fonts=_page_fonts(objects, body, *parents),
+            )
+        )
     return pages
 
 
@@ -799,6 +954,116 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         offsets.append(len(out))
         out += b"%d 0 obj\n" % num
         out += body
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, xref_off)
+    )
+    return bytes(out)
+
+
+def build_pdf_cid(pages: list[list[str]], compress: bool = True) -> bytes:
+    """Write a classic-layout PDF whose text uses a CID-keyed Type0
+    font (Identity-H) with a /ToUnicode CMap — the embedded-subset
+    layout every real-world generator (TeX, Word, browsers) emits,
+    where the bytes in the content stream are GLYPH CODES, not
+    character codes, and extraction is impossible without the CMap.
+    The fixture's codes are deliberately NOT the Unicode values
+    (ASCII maps through a shifted ``bfrange`` at 0x0F00 + codepoint;
+    U+00E9 and the 'fi' ligature expansion through ``bfchar`` entries;
+    daggers through the array form of ``bfrange``), so a reader that
+    skips the CMap extracts garbage, not accidentally-right text.
+    Non-ASCII input characters outside the mapped specials raise —
+    fixtures declare their alphabet."""
+    specials = {"é": 0x0A01, "†": 0x0B00, "‡": 0x0B01,
+                "•": 0x0B02}
+    # 0x0A02 is the 'fi' ligature glyph: encoded whenever the literal
+    # pair occurs, expanded back by the CMap's multi-codepoint dst
+
+    def encode_text(s: str) -> bytes:
+        codes: list[int] = []
+        i = 0
+        while i < len(s):
+            if s[i : i + 2] == "fi":
+                codes.append(0x0A02)
+                i += 2
+                continue
+            ch = s[i]
+            if ch in specials:
+                codes.append(specials[ch])
+            elif " " <= ch <= "~":
+                codes.append(0x0F00 + ord(ch))
+            else:
+                raise ValueError(
+                    f"character {ch!r} outside the fixture CMap alphabet"
+                )
+            i += 1
+        return b"".join(c.to_bytes(2, "big") for c in codes)
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"12 dict begin\nbegincmap\n"
+        b"/CMapName /Fixture-UCS def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfchar\n"
+        b"<0A01> <00E9>\n"          # e-acute
+        b"<0A02> <00660069>\n"      # 'fi' ligature expansion
+        b"endbfchar\n"
+        b"2 beginbfrange\n"
+        b"<0F20> <0F7E> <0020>\n"   # shifted ASCII block
+        b"<0B00> <0B02> [<2020> <2021> <2022>]\n"  # daggers, array form
+        b"endbfrange\n"
+        b"endcmap\nCMapName currentdict /CMap defineresource pop\n"
+        b"end\nend\n"
+    )
+    npg = len(pages)
+    # 1 catalog, 2 pages, 3 Type0 font, 4 descendant, 5 ToUnicode,
+    # then per page: dict, content
+    page_nums = [6 + 2 * i for i in range(npg)]
+    kids = " ".join(f"{n} 0 R" for n in page_nums)
+    objects: list[bytes] = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode(),
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture "
+        b"/Encoding /Identity-H /DescendantFonts [4 0 R] "
+        b"/ToUnicode 5 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Fixture "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap),
+    ]
+    for i, lines in enumerate(pages):
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for k, line in enumerate(lines):
+            if k:
+                ops.append(b"0 -14 Td")
+            ops.append(b"<" + encode_text(line).hex().encode() + b"> Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
+        filt = b""
+        if compress:
+            content = zlib.compress(content, 9)
+            filt = b"/Filter /FlateDecode "
+        objects.append(
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 3 0 R >> >> "
+            b"/Contents %d 0 R >>" % (page_nums[i] + 1)
+        )
+        objects.append(
+            b"<< %s/Length %d >>\nstream\n%s\nendstream"
+            % (filt, len(content), content)
+        )
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for num, obody in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % num
+        out += obody
         out += b"\nendobj\n"
     xref_off = len(out)
     out += b"xref\n0 %d\n" % (len(objects) + 1)

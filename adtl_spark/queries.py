@@ -5990,6 +5990,54 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def doc_pdf_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CID-keyed Type0 font extraction — the embedded-subset layout
+    every real generator emits, where content-stream bytes are GLYPH
+    CODES and extraction is impossible without the /ToUnicode CMap:
+    per document a real Identity-H Type0 file is written whose codes
+    are deliberately NOT the Unicode values (shifted-ASCII bfrange,
+    bfchar specials incl. a multi-codepoint 'fi' ligature expansion,
+    array-form bfrange daggers — a reader that skips the CMap
+    extracts garbage, not accidentally-right text), and the page walk
+    + font resolution + CMap decode must reproduce the source slices
+    exactly.  The oracle rebuilds the ASCII-sanitized page slices and
+    the specials line with substr/regexp arithmetic
+    (operators/pdf_lite.py: build_pdf_cid, _parse_tounicode,
+    _page_fonts, _decode_shown)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.pdf_lite import build_pdf_cid, pdf_pages
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = t or ""
+                np_ = 1 + d % 2
+                pages = []
+                for p in range(np_):
+                    sl = t[40 * p : 40 * p + 40]
+                    pages.append(
+                        ["".join(ch for ch in sl if " " <= ch <= "~")]
+                    )
+                pages.append(["é fi †‡• marks"])  # the CMap specials page
+                payload = build_pdf_cid(pages)
+                got = pdf_pages(payload)
+                text = "\n".join(got)
+                rows.append((d, len(got), text, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "text", "n_chars"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_pages long, text string, n_chars long",
+    ).orderBy("doc_id")
+
+
 def doc_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ENCRYPTED-PDF ingestion — the standard-security-handler,
     empty-user-password class that dominates "encrypted" PDFs on the
@@ -9413,6 +9461,32 @@ def oracles() -> dict[str, str]:
                    TRUE AS rms_ok
             FROM documents ORDER BY doc_id
         """,
+        # CID/Type0 extraction: ASCII-sanitized page slices plus the
+        # CMap-specials line, all rebuilt with substr/regexp arithmetic
+        "doc_pdf_cid": """
+            WITH d AS (
+              SELECT doc_id, text, 1 + doc_id % 2 AS np FROM documents
+            ),
+            p AS (
+              SELECT doc_id, np, text,
+                     unnest(generate_series(0, CAST(np AS BIGINT))) AS p
+              FROM d
+            ),
+            pg AS (
+              SELECT doc_id, np, p,
+                     CASE WHEN p < np THEN regexp_replace(
+                       substr(text, CAST(1 + 40 * p AS BIGINT), 40),
+                       '[^ -~]', '', 'g'
+                     ) ELSE 'é fi †‡• marks' END AS pt
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(MAX(np) + 1 AS BIGINT) AS n_pages,
+                   COALESCE(string_agg(pt, chr(10) ORDER BY p), '') AS text,
+                   CAST(length(COALESCE(string_agg(pt, chr(10) ORDER BY p),
+                                        '')) AS BIGINT) AS n_chars
+            FROM pg GROUP BY doc_id ORDER BY doc_id
+        """,
         # encrypted-PDF extraction: the decrypt chain must be an exact
         # identity on the page slices; handler method from id % 3
         "doc_pdf_encrypted": """
@@ -10686,9 +10760,11 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the gates new this round — encrypted-PDF
-       extraction (standard security handler, empty user password:
-       RC4-40/RC4-128/AESV2, ``doc_pdf_encrypted``), MPEG-2 LSF +
+    1. The window head holds the gates new this round — CID/Type0
+       font extraction through /ToUnicode CMaps (``doc_pdf_cid``),
+       encrypted-PDF extraction (standard security handler, empty
+       user password: RC4-40/RC4-128/AESV2 gated + AES-256 R6
+       pytest-pinned, ``doc_pdf_encrypted``), MPEG-2 LSF +
        low-rate Layer II decode (``multimodal_mp2_lsf``), 4:1:1/4:2:2
        JPEG subsampling (``multimodal_jpeg_411``), data-driven
        auto-banded politeness scheduling (``web_frontier_auto``) —
@@ -10700,14 +10776,15 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        entry the 50-slot cap dropped in r11), the six skipped round-6
        head entries (``ann_pq_rerank_recall`` through ``emb_kmeans``),
        then the round-7 remainder from ``retrieval_hybrid_rrf``
-       (the cap falls at ``layout_range_bounds``).
+       (the cap falls at ``profile_key_skew``).
     3. The tail holds, in refresh-queue order: the remaining
        round-8/round-9/round-10 blocks unchanged, and — freshest rows
        last — the round-11 driver window (CORRECTNESS_r11: 49/50
        exact + the documented ``emb_pca_project`` rows-only row).
 
-    Next-round rotation queue: ``quality_vocab_js`` (the entry this
-    round's cap dropped), then the round-8 continuation
+    Next-round rotation queue: ``layout_range_bounds`` and
+    ``quality_vocab_js`` (the entries this round's cap dropped), then
+    the round-8 continuation
     (``corpus_dsir_select`` onward through the round-9 block), then
     the round-10 block; the round-11 window block stays last as the
     freshest rows.
@@ -10723,6 +10800,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
+        "doc_pdf_cid": doc_pdf_cid,
         "doc_pdf_encrypted": doc_pdf_encrypted,
         # -- r12 window head: the gates new this round, plus the
         # modern-PDF gate whose fixture grew the ObjStm-resident

@@ -432,6 +432,71 @@ def test_encrypted_pdf_scope_errors_are_loud():
 
 
 # ---------------------------------------------------------------------------
+# CID/Type0 fonts via /ToUnicode CMaps
+
+
+def test_cid_pdf_extracts_through_tounicode():
+    """Glyph-coded (Identity-H Type0) text extracts exactly through
+    the /ToUnicode CMap — shifted-ASCII bfrange, bfchar specials, a
+    multi-codepoint ligature expansion and the array form of bfrange
+    all decode; the plaintext never appears in the payload."""
+    from adtl_spark.operators.pdf_lite import build_pdf_cid, pdf_pages
+
+    pages = [
+        ["CID fixture: the fish is fine", "second line with é and †"],
+        ["page two ‡ and • done"],
+    ]
+    want = [
+        "CID fixture: the fish is fine\nsecond line with é and †",
+        "page two ‡ and • done",
+    ]
+    for compress in (True, False):
+        pdf = build_pdf_cid(pages, compress=compress)
+        assert pdf_pages(pdf) == want
+        assert b"fixture:" not in pdf and b"fish" not in pdf
+
+
+def test_cid_unmapped_codes_are_visible_not_dropped():
+    """A glyph code outside the CMap decodes to U+FFFD — corpus audits
+    must SEE extraction gaps, not receive silently shortened text."""
+    from adtl_spark.operators.pdf_lite import build_pdf_cid, pdf_pages
+
+    pdf = bytearray(build_pdf_cid([["abc"]], compress=False))
+    # the content hex is <0F61 0F62 0F63>; corrupt the middle code to
+    # one the CMap does not map
+    i = pdf.find(b"0f610f620f63")
+    assert i > 0
+    pdf[i : i + 12] = b"0f61ffff0f63"
+    got = pdf_pages(bytes(pdf))
+    assert got == ["a�c"], got
+
+
+def test_parse_tounicode_forms():
+    from adtl_spark.operators.pdf_lite import _parse_tounicode
+
+    cmap = (
+        b"1 begincodespacerange <00> <FF> endcodespacerange\n"
+        b"2 beginbfchar <41> <0041> <42> <006600660069> endbfchar\n"
+        b"1 beginbfrange <61> <63> <03B1> endbfrange\n"
+        b"1 beginbfrange <70> <71> [<2020> <2021>] endbfrange\n"
+    )
+    nbytes, m = _parse_tounicode(cmap)
+    assert nbytes == 1
+    assert m[0x41] == "A" and m[0x42] == "ffi"
+    assert (m[0x61], m[0x62], m[0x63]) == ("α", "β", "γ")
+    assert m[0x70] == "†" and m[0x71] == "‡"
+
+
+def test_simple_fonts_keep_latin1_passthrough():
+    """Classic fixtures (no /ToUnicode) are untouched by the font
+    machinery — byte-identical extraction to previous rounds."""
+    from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+    pdf = build_pdf([["plain (classic) text", "second"]])
+    assert pdf_pages(pdf) == ["plain (classic) text\nsecond"]
+
+
+# ---------------------------------------------------------------------------
 # auto-banded frontier scheduling
 
 
