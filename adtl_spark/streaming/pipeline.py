@@ -382,6 +382,10 @@ def frontier_sink(
     idempotent-per-batch contract every maintained store here shares;
     offsets for batch N sum only deltas with ``batch_id < N``, so a
     replay also re-reads exactly the offsets it saw the first time).
+    Periodic :func:`compact_frontier_store` folds old deltas into a
+    watermarked base so the per-batch offset read stays one base + a
+    bounded delta tail instead of every delta since the crawl began
+    (O(B^2) over the stream's life otherwise).
     ``fetch_after_ms`` is re-derived from the shifted sequence and the
     host's resolved delay, and the scheduled batch lands in
     ``{store}/out/<batch_id>`` (the per-batch fetch plan a crawler
@@ -417,16 +421,8 @@ def frontier_sink(
             n_bands=n_bands,
             keep_delay=True,
         )
-        try:
-            prior = spark.read.parquet(f"{store_path}/delta/*")
-        except Exception:
-            prior = None  # first batch: no deltas yet
-        if prior is not None:
-            offs = (
-                prior.filter(F.col("batch_id") < int(batch_id))
-                .groupBy("host")
-                .agg(F.sum("count").cast("long").alias("__off"))
-            )
+        offs = _frontier_offsets(spark, store_path, int(batch_id))
+        if offs is not None:
             sched = (
                 sched.join(offs.hint("shuffle_hash"), "host", "left")
                 .withColumn("__off", F.coalesce(F.col("__off"), F.lit(0)))
@@ -454,6 +450,109 @@ def frontier_sink(
         )
 
     return sink
+
+
+def _frontier_base(spark, store_path: str):
+    """Newest COMMITTED offsets base: ``{store}/base/<upto>/data``
+    holds the per-host sums of all deltas with ``batch_id <= upto`` —
+    the folded watermark lives in the directory NAME and commitment in
+    a marker subdirectory written LAST (the search-index pattern:
+    resolving the serving state costs one FS listing, and a compaction
+    that died mid-write is invisible)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    bpath = jvm.org.apache.hadoop.fs.Path(f"{store_path}/base")
+    fs = bpath.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(bpath):
+        return None, -1
+    best = -1
+    for st in fs.listStatus(bpath):
+        name = st.getPath().getName()
+        if not name.isdigit():
+            continue
+        marker = fs.globStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{store_path}/base/{name}/commit/part-*"
+            )
+        )
+        if marker is not None and len(marker) > 0:
+            best = max(best, int(name))
+    if best < 0:
+        return None, -1
+    return spark.read.parquet(f"{store_path}/base/{best}/data"), best
+
+
+def _frontier_offsets(spark, store_path: str, batch_id: int):
+    """Per-host continuation offsets for batch ``batch_id``: the newest
+    compacted base (deltas <= its watermark, pre-summed) plus only the
+    deltas BETWEEN the watermark and this batch.  Without compaction
+    the sink would re-read every historical delta each batch — O(B^2)
+    over a crawl's life; with periodic :func:`compact_frontier_store`
+    the per-batch read is one base + a bounded tail of deltas."""
+    base, upto = _frontier_base(spark, store_path)
+    if batch_id <= upto:
+        # a replayed batch must re-read EXACTLY the offsets it saw the
+        # first time; a base folded past it would include the batch's
+        # own delta (double count).  compact_frontier_store's contract
+        # forbids folding batches the checkpoint might still replay.
+        raise ValueError(
+            f"frontier store compacted past batch {batch_id} (base "
+            f"watermark {upto}): only fold batches the streaming "
+            "checkpoint has committed past"
+        )
+    try:
+        deltas = spark.read.parquet(f"{store_path}/delta/*").filter(
+            (F.col("batch_id") > upto) & (F.col("batch_id") < batch_id)
+        )
+    except Exception:
+        deltas = None  # first batch: no deltas yet
+    parts = []
+    if base is not None:
+        parts.append(base.select("host", F.col("count").cast("long")))
+    if deltas is not None:
+        parts.append(deltas.select("host", F.col("count").cast("long")))
+    if not parts:
+        return None
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("host").agg(
+        F.sum("count").cast("long").alias("__off")
+    )
+
+
+def compact_frontier_store(spark, store_path: str, upto_batch: int) -> None:
+    """Fold all deltas with ``batch_id <= upto_batch`` (plus any older
+    base) into ``{store}/base/<upto_batch>/data``, marker written LAST
+    — bounding the sink's per-batch offset read to one base + the
+    delta tail instead of every historical delta (O(B) per batch ->
+    O(1) + tail; over a crawl's life the un-compacted shape is
+    O(B^2)).  CONTRACT: ``upto_batch`` must be a batch id the
+    streaming checkpoint has committed past — a replayed batch must
+    never find its own delta pre-folded (the sink fail-fasts on that).
+    Idempotent (overwrite); old bases/deltas stay on disk (readers
+    pick the NEWEST committed base by its name watermark; reclamation
+    is an operational sweep, same as the search index).  Single
+    sequential writer, like the other maintained stores."""
+    spark_path = f"{store_path}/base/{int(upto_batch)}"
+    base, upto = _frontier_base(spark, store_path)
+    deltas = spark.read.parquet(f"{store_path}/delta/*").filter(
+        (F.col("batch_id") > upto) & (F.col("batch_id") <= int(upto_batch))
+    )
+    folded = deltas.select("host", F.col("count").cast("long"))
+    if base is not None:
+        folded = folded.unionByName(
+            base.select("host", F.col("count").cast("long"))
+        )
+    (
+        folded.groupBy("host")
+        .agg(F.sum("count").cast("long").alias("count"))
+        .write.mode("overwrite")
+        .parquet(f"{spark_path}/data")
+    )
+    spark.createDataFrame(
+        [(int(upto_batch),)], "upto long"
+    ).write.mode("overwrite").parquet(f"{spark_path}/commit")
 
 
 def frontier_store_plan(spark, store_path: str) -> DataFrame:

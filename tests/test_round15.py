@@ -625,6 +625,49 @@ def test_frontier_sink_sequential_replay_equals_batch_twin(
     assert got2 == want
 
 
+def test_frontier_store_compaction_preserves_continuation(spark, tmp_path):
+    """Folding old deltas into a watermarked base changes NOTHING about
+    the numbering: batches after a mid-stream compaction read base +
+    delta tail and produce the same fetch_seq as the uncompacted twin;
+    a replay of an already-folded batch fail-fasts instead of double
+    counting."""
+    from adtl_spark.streaming.pipeline import (
+        compact_frontier_store,
+        frontier_sink,
+        frontier_store_plan,
+    )
+
+    rows = [(i, f"http://h{i % 5}.test/p/{i:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    batches = [
+        df.filter((F.col("doc_id") >= 50 * k) & (F.col("doc_id") < 50 * (k + 1)))
+        for k in range(4)
+    ]
+    plain_store = str(tmp_path / "fc_plain")
+    comp_store = str(tmp_path / "fc_comp")
+    sink_p = frontier_sink(plain_store)
+    sink_c = frontier_sink(comp_store)
+    for bid in (0, 1):
+        sink_p(batches[bid], bid)
+        sink_c(batches[bid], bid)
+    # fold batches 0-1 (the checkpoint has committed past them)
+    compact_frontier_store(spark, comp_store, upto_batch=1)
+    for bid in (2, 3):
+        sink_p(batches[bid], bid)
+        sink_c(batches[bid], bid)
+    key = lambda s: {  # noqa: E731
+        r["doc_id"]: (r["fetch_seq"], r["fetch_after_ms"])
+        for r in frontier_store_plan(spark, s).collect()
+    }
+    assert key(comp_store) == key(plain_store)
+    # compacting again (idempotent) and continuing still agrees
+    compact_frontier_store(spark, comp_store, upto_batch=1)
+    assert key(comp_store) == key(plain_store)
+    # a replayed batch at-or-below the watermark must fail fast
+    with pytest.raises(Exception, match="compacted past"):
+        sink_c(batches[1], 1)
+
+
 def test_frontier_sink_through_real_stream(spark, tmp_path):
     """The sink behaves identically under a real structured-streaming
     foreachBatch drive (maxFilesPerTrigger=1 -> one batch per file)."""
