@@ -497,6 +497,142 @@ def _parse_tounicode(cmap: bytes) -> tuple[int, dict[int, str]]:
     return nbytes, out
 
 
+# Adobe Glyph List subset: the names real /Differences arrays use.
+# One-char names (A-Z, a-z) and the uniXXXX / uXXXXXX algorithmic
+# rules are handled in _glyph_to_unicode; this table covers the
+# multi-char names for ASCII punctuation, digits and the common
+# Latin-1/typographic set.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "Euro": "€", "bullet": "•", "emdash": "—",
+    "endash": "–", "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "quotesinglbase": "‚", "quotedblbase": "„",
+    "ellipsis": "…", "dagger": "†", "daggerdbl": "‡",
+    "perthousand": "‰", "trademark": "™",
+    "guilsinglleft": "‹", "guilsinglright": "›",
+    "guillemotleft": "«", "guillemotright": "»",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "micro": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cent": "¢", "sterling": "£",
+    "yen": "¥", "section": "§", "exclamdown": "¡",
+    "questiondown": "¿", "florin": "ƒ", "fi": "ﬁ",
+    "fl": "ﬂ", "oe": "œ", "OE": "Œ", "ae": "æ",
+    "AE": "Æ", "oslash": "ø", "Oslash": "Ø",
+    "germandbls": "ß", "dotlessi": "ı",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "ecircumflex": "ê", "edieresis": "ë", "igrave": "ì",
+    "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "ydieresis": "ÿ",
+    "Agrave": "À", "Aacute": "Á", "Adieresis": "Ä",
+    "Ccedilla": "Ç", "Egrave": "È", "Eacute": "É",
+    "Ntilde": "Ñ", "Odieresis": "Ö", "Udieresis": "Ü",
+}
+
+
+def _glyph_to_unicode(name: str) -> str | None:
+    """AGL resolution: table names, one-char names, and the
+    ``uniXXXX`` / ``uXXXX[XX]`` algorithmic forms."""
+    if name in _AGL:
+        return _AGL[name]
+    if len(name) == 1:
+        return name
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return "".join(
+                chr(int(name[k : k + 4], 16))
+                for k in range(3, len(name) - 3, 4)
+            )
+        except ValueError:
+            return None
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            return None
+    return None
+
+
+_ENC_NAME_RE = re.compile(
+    rb"/Encoding\s*/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding)"
+)
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*<<")
+_BASE_ENC_RE = re.compile(
+    rb"/BaseEncoding\s*/(WinAnsiEncoding|MacRomanEncoding|StandardEncoding)"
+)
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([^\s/\[\]<>()]+)")
+
+
+def _base_encoding_map(name: bytes) -> dict[int, str]:
+    """Full 0-255 table for a named simple-font base encoding.
+    WinAnsi IS cp1252 (the PDF spec says so); MacRoman is the
+    mac-roman codec; Standard's printable ASCII run matches latin-1
+    closely enough for extraction (its typographic slots are exactly
+    what /Differences overrides in practice)."""
+    codec = {
+        b"WinAnsiEncoding": "cp1252",
+        b"MacRomanEncoding": "mac_roman",
+        b"StandardEncoding": "latin-1",
+    }[name]
+    out = {}
+    for c in range(256):
+        try:
+            out[c] = bytes([c]).decode(codec)
+        except UnicodeDecodeError:
+            out[c] = chr(c)  # undefined slot: latin-1 passthrough
+    return out
+
+
+def _simple_font_map(objects: dict, fbody: bytes) -> dict[int, str] | None:
+    """(code -> text) for a simple font that declares /Encoding but no
+    /ToUnicode: named base encoding, indirect or inline encoding dict
+    with /BaseEncoding + /Differences (ints set the next code, names
+    consume consecutive codes; unknown glyph names become U+FFFD so
+    extraction gaps stay visible)."""
+    m = _ENC_NAME_RE.search(fbody)
+    if m is not None:
+        return _base_encoding_map(m.group(1))
+    ebody = None
+    rm = _ENC_REF_RE.search(fbody)
+    if rm is not None and int(rm.group(1)) in objects:
+        ebody = objects[int(rm.group(1))][0]
+    elif _ENC_DICT_RE.search(fbody) is not None:
+        ebody = fbody[_ENC_DICT_RE.search(fbody).end() - 2 :]
+    if ebody is None:
+        return None
+    bm = _BASE_ENC_RE.search(ebody)
+    table = _base_encoding_map(bm.group(1) if bm else b"StandardEncoding")
+    dm = _DIFF_RE.search(ebody)
+    if dm is not None:
+        code = 0
+        for num, glyph in _DIFF_TOK_RE.findall(dm.group(1)):
+            if num:
+                code = int(num)
+            else:
+                table[code] = _glyph_to_unicode(
+                    glyph.decode("latin-1")
+                ) or "�"
+                code += 1
+    return table
+
+
 def _page_fonts(objects: dict, body: bytes, *extra: bytes) -> dict:
     """Resolve a page's /Resources /Font entries (inline dict or an
     indirect /Resources object; ``extra`` bodies — the /Pages node —
@@ -529,14 +665,19 @@ def _page_fonts(objects: dict, body: bytes, *extra: bytes) -> dict:
             ref = int(ref)
             if ref not in objects:
                 continue
-            tm = _TOUNICODE_RE.search(objects[ref][0])
-            if tm is None:
+            key = name.decode("latin-1")
+            if key in fonts:
                 continue
-            tref = int(tm.group(1))
-            if tref in objects and objects[tref][1] is not None:
-                key = name.decode("latin-1")
-                if key not in fonts:
+            fbody = objects[ref][0]
+            tm = _TOUNICODE_RE.search(fbody)
+            if tm is not None:
+                tref = int(tm.group(1))
+                if tref in objects and objects[tref][1] is not None:
                     fonts[key] = _parse_tounicode(objects[tref][1])
+                    continue
+            smap = _simple_font_map(objects, fbody)
+            if smap is not None:
+                fonts[key] = (1, smap)
     return fonts
 
 
@@ -910,11 +1051,23 @@ def _esc_str(s: bytes) -> bytes:
     )
 
 
-def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def build_pdf(
+    pages: list[list],
+    compress: bool = True,
+    base_encoding: str | None = None,
+    differences: list | None = None,
+) -> bytes:
     """Write a spec-valid PDF: one content stream per page (each inner
     list is that page's text lines), Flate-compressed by default,
     correct xref table and trailer.  Fixture-side counterpart of
-    :func:`pdf_pages` — any conformant viewer opens the output."""
+    :func:`pdf_pages` — any conformant viewer opens the output.
+
+    ``base_encoding`` ("WinAnsiEncoding" / "MacRomanEncoding" /
+    "StandardEncoding") and ``differences`` (the raw /Differences
+    array: ints set the next code, glyph-name strings consume
+    consecutive codes) write a simple-font /Encoding entry — the
+    pre-ToUnicode layout older generators emit.  With an encoding in
+    play, page lines may be BYTES (already font code units)."""
     objects: list[bytes] = []  # bodies, object number = index + 1
     npg = len(pages)
     page_nums = [4 + 2 * i for i in range(npg)]
@@ -923,17 +1076,41 @@ def build_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {npg} >>".encode()
     )
+    enc = b""
+    if differences is not None:
+        parts = []
+        for d in differences:
+            parts.append(
+                b"%d" % d if isinstance(d, int)
+                else b"/" + str(d).encode("latin-1")
+            )
+        base = (
+            b"/BaseEncoding /" + base_encoding.encode()
+            if base_encoding else b""
+        )
+        enc = (
+            b" /Encoding << %s /Differences [ %s ] >>"
+            % (base, b" ".join(parts))
+        )
+    elif base_encoding is not None:
+        enc = b" /Encoding /" + base_encoding.encode("latin-1")
     objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica%s >>" % enc
     )
     for i, lines in enumerate(pages):
-        ops = ["BT /F1 12 Tf 72 720 Td"]
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
         for k, line in enumerate(lines):
             if k:
-                ops.append("0 -14 Td")
-            ops.append(f"({_escape_literal(line)}) Tj")
-        ops.append("ET")
-        content = " ".join(ops).encode("latin-1")
+                ops.append(b"0 -14 Td")
+            raw = (
+                line if isinstance(line, bytes)
+                else _escape_literal(line).encode("latin-1")
+            )
+            if isinstance(line, bytes):
+                raw = _esc_str(raw)
+            ops.append(b"(" + raw + b") Tj")
+        ops.append(b"ET")
+        content = b" ".join(ops)
         filt = b""
         if compress:
             content = zlib.compress(content, 9)

@@ -487,6 +487,30 @@ def test_parse_tounicode_forms():
     assert m[0x70] == "†" and m[0x71] == "‡"
 
 
+def test_simple_font_encodings_and_differences():
+    """Pre-ToUnicode simple fonts: WinAnsi (cp1252 smart quotes / Euro
+    / em dash), MacRoman, and /Differences glyph remapping with AGL
+    table names, uniXXXX algorithmic names, one-char names, and a
+    VISIBLE U+FFFD for unknown glyphs."""
+    from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+    got = pdf_pages(build_pdf(
+        [[b"\x93quoted\x94 \x80 price \x97 done"]],
+        base_encoding="WinAnsiEncoding",
+    ))
+    assert got == ["“quoted” € price — done"]
+    got = pdf_pages(build_pdf(
+        [[b"list \xa5 caf\x8e"]], base_encoding="MacRomanEncoding"
+    ))
+    assert got == ["list • café"]
+    got = pdf_pages(build_pdf(
+        [[b"caf\xc0 \xc1 x\xc2 \xc3"]],
+        base_encoding="WinAnsiEncoding",
+        differences=[0xC0, "eacute", "uni2603", "Z", "nosuchglyph"],
+    ))
+    assert got == ["café ☃ xZ �"]
+
+
 def test_simple_fonts_keep_latin1_passthrough():
     """Classic fixtures (no /ToUnicode) are untouched by the font
     machinery — byte-identical extraction to previous rounds."""
