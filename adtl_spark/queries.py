@@ -5990,6 +5990,57 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
+def doc_pdf_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-font /Encoding extraction — the pre-ToUnicode layout
+    older generators emit, where single-byte codes mean whatever the
+    font's base encoding + /Differences say: per document a WinAnsi
+    file is written whose final page carries BYTE-coded text (cp1252
+    smart quotes, Euro, em dash) plus /Differences remappings (an AGL
+    table name and a uniXXXX algorithmic name), so extraction through
+    the latin-1 assumption would produce mojibake, not the oracle's
+    exact string.  ASCII slice pages ride along to pin that the
+    WinAnsi table is latin-1-identical over the printable ASCII run
+    (operators/pdf_lite.py: _simple_font_map, _glyph_to_unicode,
+    _base_encoding_map)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        import pandas as pd
+
+        from adtl_spark.operators.pdf_lite import build_pdf, pdf_pages
+
+        tail = b"caf\xc0 \xc1 \x93ok\x94 \x80\x97"
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = t or ""
+                np_ = 1 + d % 2
+                pages = []
+                for p in range(np_):
+                    sl = t[40 * p : 40 * p + 40]
+                    pages.append(
+                        ["".join(ch for ch in sl if " " <= ch <= "~")]
+                    )
+                pages.append([tail])  # byte-coded specials page
+                payload = build_pdf(
+                    pages,
+                    base_encoding="WinAnsiEncoding",
+                    differences=[0xC0, "eacute", "uni2603"],
+                )
+                got = pdf_pages(payload)
+                text = "\n".join(got)
+                rows.append((d, len(got), text, len(text)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_pages", "text", "n_chars"]
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, n_pages long, text string, n_chars long",
+    ).orderBy("doc_id")
+
+
 def doc_pdf_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CID-keyed Type0 font extraction — the embedded-subset layout
     every real generator emits, where content-stream bytes are GLYPH
@@ -9461,6 +9512,33 @@ def oracles() -> dict[str, str]:
                    TRUE AS rms_ok
             FROM documents ORDER BY doc_id
         """,
+        # simple-font /Encoding extraction: sanitized slices + the
+        # WinAnsi/Differences specials page decoded to an exact string
+        "doc_pdf_encoding": """
+            WITH d AS (
+              SELECT doc_id, text, 1 + doc_id % 2 AS np FROM documents
+            ),
+            p AS (
+              SELECT doc_id, np, text,
+                     unnest(generate_series(0, CAST(np AS BIGINT))) AS p
+              FROM d
+            ),
+            pg AS (
+              SELECT doc_id, np, p,
+                     CASE WHEN p < np THEN regexp_replace(
+                       substr(text, CAST(1 + 40 * p AS BIGINT), 40),
+                       '[^ -~]', '', 'g'
+                     ) ELSE 'café ☃ ' || chr(8220) || 'ok' || chr(8221)
+                            || ' ' || chr(8364) || chr(8212) END AS pt
+              FROM p
+            )
+            SELECT doc_id,
+                   CAST(MAX(np) + 1 AS BIGINT) AS n_pages,
+                   COALESCE(string_agg(pt, chr(10) ORDER BY p), '') AS text,
+                   CAST(length(COALESCE(string_agg(pt, chr(10) ORDER BY p),
+                                        '')) AS BIGINT) AS n_chars
+            FROM pg GROUP BY doc_id ORDER BY doc_id
+        """,
         # CID/Type0 extraction: ASCII-sanitized page slices plus the
         # CMap-specials line, all rebuilt with substr/regexp arithmetic
         "doc_pdf_cid": """
@@ -10760,7 +10838,9 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     The driver's correctness gate checks only the FIRST 50 entries of this
     dict, so the ordering is a rotation policy, not an accident:
 
-    1. The window head holds the gates new this round — CID/Type0
+    1. The window head holds the gates new this round — simple-font
+       /Encoding extraction (WinAnsi + /Differences,
+       ``doc_pdf_encoding``), CID/Type0
        font extraction through /ToUnicode CMaps (``doc_pdf_cid``),
        encrypted-PDF extraction (standard security handler, empty
        user password: RC4-40/RC4-128/AESV2 gated + AES-256 R6
@@ -10776,13 +10856,14 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        entry the 50-slot cap dropped in r11), the six skipped round-6
        head entries (``ann_pq_rerank_recall`` through ``emb_kmeans``),
        then the round-7 remainder from ``retrieval_hybrid_rrf``
-       (the cap falls at ``profile_key_skew``).
+       (the cap falls at ``quality_roc_auc``).
     3. The tail holds, in refresh-queue order: the remaining
        round-8/round-9/round-10 blocks unchanged, and — freshest rows
        last — the round-11 driver window (CORRECTNESS_r11: 49/50
        exact + the documented ``emb_pca_project`` rows-only row).
 
-    Next-round rotation queue: ``layout_range_bounds`` and
+    Next-round rotation queue: ``profile_key_skew``,
+    ``layout_range_bounds`` and
     ``quality_vocab_js`` (the entries this round's cap dropped), then
     the round-8 continuation
     (``corpus_dsir_select`` onward through the round-9 block), then
@@ -10800,6 +10881,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (enforced by tools/check_oracle.py and tests/test_plans.py).
     """
     return {
+        "doc_pdf_encoding": doc_pdf_encoding,
         "doc_pdf_cid": doc_pdf_cid,
         "doc_pdf_encrypted": doc_pdf_encrypted,
         # -- r12 window head: the gates new this round, plus the

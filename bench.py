@@ -99,11 +99,12 @@ so timed runs still measure steady-state worker reuse.  Records are
 now self-adjudicating: entries reading >2x their run34 band (>1 s
 absolute) are listed under "flagged" and counted in the summary line.
 
-Round-15 changes: appends the round's five gates (MPEG-2 LSF +
+Round-15 changes: appends the round's six gates (MPEG-2 LSF +
 low-rate Layer II decode, 4:1:1/4:2:2 JPEG subsampling, auto-banded
 politeness scheduling, encrypted-PDF extraction — RC4/AESV2 standard
-security handler with empty user password — and CID/Type0 font
-extraction through /ToUnicode CMaps); prefix order unchanged,
+security handler with empty user password — CID/Type0 font
+extraction through /ToUnicode CMaps, and simple-font /Encoding
+extraction with WinAnsi + /Differences); prefix order unchanged,
 protocol unchanged from round 14.
 
 Round-6 changes: appends the four new gates (trained-codebook PQ, PQ
@@ -422,6 +423,7 @@ HEADLINE = [
     "web_frontier_auto",
     "doc_pdf_encrypted",
     "doc_pdf_cid",
+    "doc_pdf_encoding",
 ]
 
 # Queries whose plans run Python workers (mapInPandas codec work): their
@@ -474,6 +476,7 @@ PYTHON_WORKER_QUERIES = [
     "multimodal_jpeg_411",
     "doc_pdf_encrypted",
     "doc_pdf_cid",
+    "doc_pdf_encoding",
 ]
 
 

@@ -363,6 +363,7 @@ def test_query_registry_invariants():
     # rotated to the very tail (freshest rows last).
     gate = list(qs)[:50]
     r12 = [
+        "doc_pdf_encoding",
         "doc_pdf_cid",
         "doc_pdf_encrypted",
         "multimodal_mp2_lsf",
@@ -381,7 +382,7 @@ def test_query_registry_invariants():
         "emb_kmeans",
         "retrieval_hybrid_rrf",
         "graph_modularity",
-        "profile_key_skew",
+        "quality_roc_auc",
     ):
         assert name in gate, f"{name} missing from the r12 gate window"
     # the round-11-verified window must be at the very tail, not burning

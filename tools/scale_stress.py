@@ -255,6 +255,7 @@ QUERIES = [
     "web_frontier_auto",
     "doc_pdf_encrypted",
     "doc_pdf_cid",
+    "doc_pdf_encoding",
     # ann_pq_recall: excluded like the other recall gates' truth sides —
     # the exact-L2 all-pairs join dominates and measures the truth, not
     # the PQ operator (ann_pq_topk and ann_l2_topk cover both halves)
