@@ -838,6 +838,13 @@ def cluster_pairs(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # persisted: the pointer-jump below is a SELF-join of `adopted`
+        # (probe side + parent side), and Spark plans trees — without the
+        # cache the whole adoption subtree (the edges join + neighbor-min
+        # aggregation, the expensive half of the iteration) would execute
+        # TWICE per round (exchange reuse cannot fire: the two sides
+        # shuffle on different keys).  Released right after the
+        # checkpoint materializes.
         adopted = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -846,6 +853,7 @@ def cluster_pairs(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
+            .persist()
         )
         parent = adopted.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
@@ -868,6 +876,7 @@ def cluster_pairs(
         )
         labels = jumped
         cur = obs.get["s"]
+        adopted.unpersist()
         if cur == prev_sum:
             break
         prev_sum = cur

@@ -415,9 +415,11 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     where W = total directed weight (2m), e_c = directed weight inside
     c, d_c = weighted degree mass of c.  Computed as the exact BIGINT
     numerator sum_c (e_c * W - d_c^2) divided once by W^2 — one edge
-    scan joined twice against the |V|-row broadcast label vector, then
-    community-level (tiny) arithmetic.  Edgeless input is defined as
-    Q = 0.  Magnitudes: d_c <= W, so each term and the sum stay within
+    scan joined twice against the |V|-row label vector, then ONE
+    community-level aggregation carrying both masses.  ``labels`` must
+    cover every edge endpoint (label_propagation output does — every
+    vertex labels itself); an unlabeled endpoint's edges would drop
+    out of both masses.  Edgeless input is defined as Q = 0.  Magnitudes: d_c <= W, so each term and the sum stay within
     2^63 while W < ~3e9 directed weight; beyond that, scale the weights
     down (documented bound, same family as PageRank's 1e9 quantum).
 
@@ -446,16 +448,22 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         lab.select(F.col("v").alias("dst"), F.col("c").alias("cd")),
         "dst",
     )
-    d_c = e_src.groupBy("cs").agg(F.sum("w").alias("dc"))
-    e_c = (
-        both.filter(F.col("cs") == F.col("cd"))
-        .groupBy("cs")
-        .agg(F.sum("w").alias("ec"))
+    # ONE community-level aggregation yields BOTH masses: the label
+    # vector is total over the edge endpoints (label_propagation labels
+    # every vertex — documented precondition), so grouping the
+    # double-joined relation by cs sees exactly the rows the old
+    # d_c-over-e_src pass saw, and the intra-community mass rides the
+    # same shuffle as a conditional sum (null when a community has no
+    # internal edge — same shape the old left join produced).  Before:
+    # two aggregation pipelines, each re-executing the label join
+    # (Spark plans trees); after: one.
+    masses = both.groupBy("cs").agg(
+        F.sum("w").alias("dc"),
+        F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w"))).alias("ec"),
     )
     w_tot = edges.agg(F.sum("w").alias("wt"))
     num = (
-        d_c.join(F.broadcast(e_c), "cs", "left")
-        .crossJoin(F.broadcast(w_tot))
+        masses.crossJoin(F.broadcast(w_tot))
         .agg(
             F.sum(
                 F.coalesce(F.col("ec"), F.lit(0)) * F.col("wt")

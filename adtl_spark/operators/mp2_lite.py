@@ -142,10 +142,11 @@ _STEPS_MID = [3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
 _STEPS_HI = [3, 5, 7, 9, 15, 31, 65535]
 _STEPS_TOP = [3, 5, 65535]
 # Low-rate (<= 48 kbit/s/ch) rows (3-B.2c: 8 subbands at 44.1/48 kHz;
-# 3-B.2d: 12 subbands at 32 kHz) — all-grouped small quantizers, and
-# the widest class jumps straight to 16 bits:
+# 3-B.2d: 12 subbands at 32 kHz) — all-grouped small quantizers, topping
+# out at 15-bit ungrouped (32767; the straight-to-16-bit jump belongs to
+# the high-rate 3-B.2a/b rows only):
 _STEPS_LR4 = [3, 5, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
-              8191, 16383, 65535]
+              8191, 16383, 32767]
 _STEPS_LR3 = [3, 5, 9, 15, 31, 63, 127]
 # MPEG-2 LSF (ISO 13818-3 Table B.1, 30 subbands, ALL bitrates) rows —
 # same shape as the low-rate rows but capped at 15 bits and with a

@@ -272,7 +272,11 @@ def _decrypt_block(block: bytes, w, nr: int) -> bytes:
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """AES-CBC with the PDF /AESV2 layout: the first 16 bytes of
-    ``data`` are the IV; PKCS#7 padding is stripped."""
+    ``data`` are the IV; PKCS#7 padding is stripped.  Zero-length and
+    IV-only payloads (some producers emit them for empty streams)
+    degrade to an empty stream rather than aborting the whole file."""
+    if len(data) <= 16:
+        return b""
     if len(data) < 32 or len(data) % 16:
         raise ValueError("AES-CBC data must be IV + non-empty blocks")
     w = _expand_key(key)

@@ -78,6 +78,7 @@ _V_RE = re.compile(rb"/V\s+(\d+)")
 _R_RE = re.compile(rb"/R\s+(\d+)")
 _P_RE = re.compile(rb"/P\s+(-?\d+)")
 _KEYLEN_RE = re.compile(rb"/Length\s+(\d+)")
+_STMF_IDENTITY_RE = re.compile(rb"/StmF\s*/Identity\b")
 _CFM_AES_RE = re.compile(rb"/CFM\s*/AESV2\b")
 _CFM_V2_RE = re.compile(rb"/CFM\s*/V2\b")
 _ENC_META_FALSE_RE = re.compile(rb"/EncryptMetadata\s+false\b")
@@ -911,9 +912,17 @@ def _parse_encrypt(payload: bytes):
         raise ValueError("PDF /Encrypt dictionary missing /O, /U or /P")
     p = int(pm.group(1))
     klm = _KEYLEN_RE.search(body)
-    key_bytes = (int(klm.group(1)) if klm else 40) // 8
+    # /Length is bit-valued at the top level (40..128) but BYTE-valued
+    # inside crypt-filter dicts ("/CFM /V2 /Length 16"); a V4 body may
+    # only carry the latter, so values below 40 are already bytes
+    kl = int(klm.group(1)) if klm else 40
+    key_bytes = kl // 8 if kl >= 40 else kl
     aes = False
     if v == 4:
+        if _STMF_IDENTITY_RE.search(body):
+            # streams are NOT encrypted under /StmF /Identity; decrypting
+            # them would turn plaintext into garbage
+            return None
         if _CFM_AES_RE.search(body):
             aes = True
             key_bytes = 16
@@ -995,6 +1004,12 @@ def pdf_pages(payload: bytes) -> list[str]:
         ]
 
     pages = []
+    # page-independent: scan the object table for /Type /Pages nodes ONCE,
+    # not once per page (O(pages x objects) on large documents otherwise)
+    parents = [
+        b for _num2, (b, _s) in objects.items()
+        if _TYPE_PAGES_RE.search(b)
+    ]
     for num in ordered:
         body = objects[num][0]
         streams: list[bytes] = []
@@ -1010,10 +1025,6 @@ def pdf_pages(payload: bytes) -> list[str]:
         for r in refs:
             if r in objects and objects[r][1] is not None:
                 streams.append(objects[r][1])
-        parents = [
-            b for num2, (b, _s) in objects.items()
-            if _TYPE_PAGES_RE.search(b)
-        ]
         pages.append(
             _content_text(
                 b"".join(streams),

@@ -229,22 +229,34 @@ def ann_lsh(
     return _topk_per_query(sims, k)
 
 
+def _lowest_rows(corpus: DataFrame, n: int, id_col: str, vec_col: str):
+    """ONE collect of the ``n`` lowest-id (i, v) rows — shared by every
+    index-build artifact that seeds from the lowest-id prefix (IVF
+    centroids, PQ codebooks, residual seeds), so a composite index like
+    IVF-PQ pays one driver job for its whole build instead of one per
+    artifact (they are prefixes of the same sorted relation)."""
+    return (
+        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n)
+        .collect()
+    )
+
+
 def _centroid_literals(
-    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str
+    corpus: DataFrame, n_centroids: int, id_col: str, vec_col: str,
+    rows=None,
 ) -> list[tuple[int, list[float], float]]:
     """Deterministic IVF coarse quantizer: the ``n_centroids`` lowest-id
     vectors ARE the centroids (no iterative training, so the DuckDB oracle
     can mirror the quantizer exactly).  Production IVF would k-means these;
     the partition/shuffle story downstream is identical.  One tiny collect —
-    the index-build step, like LSH's fixed planes."""
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(n_centroids)
-        .collect()
-    )
+    the index-build step, like LSH's fixed planes — shareable via ``rows``
+    (a :func:`_lowest_rows` result of at least ``n_centroids`` rows)."""
+    if rows is None:
+        rows = _lowest_rows(corpus, n_centroids, id_col, vec_col)
     out = []
-    for r in rows:
+    for r in rows[:n_centroids]:
         vec = [float(x) for x in r["v"]]
         nrm = sum(x * x for x in vec) ** 0.5
         out.append((r["i"], vec, nrm))
@@ -433,6 +445,113 @@ def ann_lsh_oracle_sql(
     """
 
 
+def _neardup_allpairs_blocked(
+    df: DataFrame, tau: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Exact all-pairs cosine >= tau — the quadratic-BY-DESIGN oracle
+    truth twin of the LSH paths (never the 100 TB serving path; the gate
+    runs it to measure the LSH structures' recall).
+
+    Executed BLOCKED (guide §4.2 shape): the corpus groups into C chunk
+    rows of (ids, vectors), chunk pairs cross-join (C(C+1)/2 rows, each
+    carrying two blocks), and every block pair scores in numpy inside
+    one mapInPandas.  The numpy fold replays the JVM ``cosine``
+    expression's arithmetic EXACTLY — per pair, dot/na/nb accumulate
+    left-to-right over the dims (``acc += a_d * b_d`` per dim is one
+    IEEE-rounded add per pair per dim, the same sequence the
+    ``aggregate(zip_with(...))`` fold performs), then
+    ``dot / (sqrt(na) * sqrt(nb))`` in that operation order — so the
+    values are bit-identical to the old BroadcastNestedLoopJoin form
+    while the per-pair cost drops from three interpreted-HOF folds
+    evaluated TWICE (join condition + projection) to vectorized numpy
+    passes over whole blocks.  Rounding to 4 decimals stays in Spark SQL
+    (same F.round).
+
+    Chunk count scales with the corpus (bounded rows per chunk row), so
+    no single task or row is ever corpus-sized; the quadratic chunk-pair
+    fan-out is the operator's documented nature."""
+    spark = df.sparkSession
+    n = df.count()  # metadata-cheap on parquet; bounds chunk width
+    per_chunk = 2048
+    C = max(
+        spark.sparkContext.defaultParallelism,
+        -(-n // per_chunk) if n else 1,
+    )
+    c = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    chunks = c.groupBy(F.expr(f"pmod(id, {C})").alias("ck")).agg(
+        F.collect_list("id").alias("ids"),
+        F.collect_list("v").alias("vs"),
+    )
+    a = chunks.select(
+        F.col("ck").alias("ck_a"),
+        F.col("ids").alias("ids_a"),
+        F.col("vs").alias("vs_a"),
+    )
+    b = chunks.select(
+        F.col("ck").alias("ck_b"),
+        F.col("ids").alias("ids_b"),
+        F.col("vs").alias("vs_b"),
+    )
+    pairs = a.join(b, F.col("ck_a") <= F.col("ck_b"))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a: list = []
+            out_b: list = []
+            out_c: list = []
+            for ck_a, ids_a, vs_a, ck_b, ids_b, vs_b in zip(
+                pdf["ck_a"], pdf["ids_a"], pdf["vs_a"],
+                pdf["ck_b"], pdf["ids_b"], pdf["vs_b"],
+            ):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+                if not len(ia) or not len(ib):
+                    continue
+                A = np.stack(
+                    [np.asarray(x, dtype=np.float32) for x in vs_a]
+                ).astype(np.float64)
+                B = np.stack(
+                    [np.asarray(x, dtype=np.float32) for x in vs_b]
+                ).astype(np.float64)
+                d = A.shape[1]
+                # strict left-to-right folds (one rounded add per dim,
+                # per pair / per vector — the JVM aggregate() order)
+                dot = np.zeros((len(ia), len(ib)))
+                for j in range(d):
+                    dot += A[:, j, None] * B[None, :, j]
+                na = np.zeros(len(ia))
+                nb = np.zeros(len(ib))
+                for j in range(d):
+                    na += A[:, j] * A[:, j]
+                    nb += B[:, j] * B[:, j]
+                cos = dot / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+                m1 = (cos >= tau) & (ia[:, None] < ib[None, :])
+                i1, j1 = np.nonzero(m1)
+                out_a.extend(ia[i1])
+                out_b.extend(ib[j1])
+                out_c.extend(cos[i1, j1])
+                if int(ck_a) != int(ck_b):
+                    # cross-chunk pairs whose lower id sits in chunk B
+                    # exist ONLY in this (ck_a, ck_b) row (the mirrored
+                    # chunk pair was filtered by ck_a <= ck_b)
+                    m2 = (cos >= tau) & (ib[None, :] < ia[:, None])
+                    i2, j2 = np.nonzero(m2)
+                    out_a.extend(ib[j2])
+                    out_b.extend(ia[i2])
+                    out_c.extend(cos[i2, j2])
+            yield pd.DataFrame(
+                {"id_a": pd.Series(out_a, dtype="int64"),
+                 "id_b": pd.Series(out_b, dtype="int64"),
+                 "cos": pd.Series(out_c, dtype="float64")}
+            )
+
+    res = pairs.mapInPandas(score, "id_a long, id_b long, cos double")
+    return res.select("id_a", "id_b", F.round("cos", 4).alias("cos"))
+
+
 def embedding_neardup(
     df: DataFrame,
     tau: float = 0.95,
@@ -458,11 +577,9 @@ def embedding_neardup(
     a pair is a candidate if ANY band's r-bit sub-signature matches
     (1-(1-p^r)^B), the structure for low-tau regimes; candidates are
     deduped before the exact cosine refilter.  Exact twin: planes=0."""
-    sig = (
-        hyperplane_signature(vec_col, dim, planes, seed)
-        if planes
-        else F.lit(0).cast("long")
-    )
+    if not planes:
+        return _neardup_allpairs_blocked(df, tau, id_col, vec_col)
+    sig = hyperplane_signature(vec_col, dim, planes, seed)
     c = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
     )
@@ -1335,7 +1452,8 @@ def pca_project(
 
 
 def _pq_codebooks(
-    corpus: DataFrame, m: int, ks: int, dim: int, id_col: str, vec_col: str
+    corpus: DataFrame, m: int, ks: int, dim: int, id_col: str, vec_col: str,
+    rows=None,
 ) -> list[list[tuple[int, list[float], float]]]:
     """Deterministic PQ codebooks: subspace j's codebook is the j-th
     sub-slice of the ``ks`` lowest-id vectors (codes 0..ks-1 in id
@@ -1344,14 +1462,12 @@ def _pq_codebooks(
     exactly.  Production PQ would k-means each subspace; every
     partition/shuffle property downstream is identical.  Returns per
     subspace a list of (code, coords, half_sq) triples compatible with
-    _kmeans_cell_sql."""
+    _kmeans_cell_sql.  ``rows`` shares a :func:`_lowest_rows` collect
+    with the other build artifacts."""
     d_sub = dim // m
-    rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(ks)
-        .collect()
-    )
+    if rows is None:
+        rows = _lowest_rows(corpus, ks, id_col, vec_col)
+    rows = rows[:ks]
     books = []
     for j in range(m):
         cells = []
@@ -2221,8 +2337,11 @@ def ann_ivfpq(
     import math
 
     d_sub = dim // m
-    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
-    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
+    # one driver collect serves both build artifacts (both seed from the
+    # lowest-id prefix) — one corpus limit-scan instead of two
+    seed = _lowest_rows(corpus, max(n_centroids, ks), id_col, vec_col)
+    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col, rows=seed)
+    books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col, rows=seed)
 
     ranked = _cell_rank_sql(vec_col, cents)
     sliced = corpus.select(
@@ -3152,7 +3271,12 @@ def ann_ivfpq_residual(
     import math
 
     d_sub = dim // m
-    cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
+    # one driver collect seeds BOTH the coarse quantizer and the residual
+    # codebooks (prefixes of the same lowest-id relation)
+    seed_all = _lowest_rows(corpus, max(n_centroids, ks), id_col, vec_col)
+    cents = _centroid_literals(
+        corpus, n_centroids, id_col, vec_col, rows=seed_all
+    )
     cent_by_id = {cid: cvec for cid, cvec, _ in cents}
 
     def _fold_dot(a: list[float], b: list[float]) -> float:
@@ -3169,12 +3293,7 @@ def ann_ivfpq_residual(
     # residual codebooks: subspace j's codebook is the j-th sub-slice of
     # the ks lowest-id vectors' RESIDUALS (v - centroid of v's own cell)
     # — rebuildable from the raw corpus, so the oracle replays it
-    seed_rows = (
-        corpus.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
-        .orderBy("i")
-        .limit(ks)
-        .collect()
-    )
+    seed_rows = seed_all[:ks]
     books: list[list[tuple[int, list[float], float]]] = []
     seed_res = []
     for r in seed_rows:

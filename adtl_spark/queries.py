@@ -76,6 +76,21 @@ def _t(
     return df
 
 
+def _ckpt_order(df: DataFrame, *cols) -> DataFrame:
+    """Materialize, then globally order — for gates whose deterministic
+    output order sits on top of an EXPENSIVE per-row pipeline (payload
+    codecs in mapInPandas).  A global ``orderBy`` is a range exchange,
+    and the range partitioner's boundary-sampling pass executes the
+    full upstream once BEFORE the real pass does — for a Python-codec
+    pipeline that doubles the query (measured 2 x 32-task MapInPandas
+    stages per execution on the JPEG gates; guide §7.2's duplicated-
+    subtree smell).  ``localCheckpoint`` computes the pipeline once and
+    lets both the sampling and the sort read the materialized blocks.
+    Gate-output shaped only: the checkpointed relation is the per-doc
+    feature table (rows ~ documents), never payload-sized."""
+    return df.localCheckpoint().orderBy(*cols)
+
+
 def _dec_sum(col, alias: str):
     return F.sum(col.cast(DEC)).cast("double").alias(alias)
 
@@ -1957,7 +1972,7 @@ def tokenizer_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     model = [tuple(r) for r in unigram_train(docs, vocab_size=60, iters=2).collect()]
-    return unigram_segment_model(docs, model).orderBy("doc_id")
+    return _ckpt_order(unigram_segment_model(docs, model), "doc_id")
 
 
 def corpus_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2157,11 +2172,16 @@ def dedup_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     high tau the single bucket prunes AND recalls).  Same
     measured-approximation pattern as dedup_minhash_recall."""
     emb = _t(spark, sf_dir, "embeddings")
+    # checkpointed: BOTH measured paths grade against the same all-pairs
+    # truth — without the cut the quadratic truth join would execute once
+    # per measure() call (Spark plans trees, not DAGs)
+    truth = (
+        S.embedding_neardup(emb, tau=NEARDUP_TAU, planes=0)
+        .select("id_a", "id_b", F.lit(1).alias("t"))
+        .localCheckpoint()
+    )
 
     def measure(path: str, **kw) -> DataFrame:
-        truth = S.embedding_neardup(emb, tau=NEARDUP_TAU, planes=0).select(
-            "id_a", "id_b", F.lit(1).alias("t")
-        )
         found = S.embedding_neardup(emb, tau=NEARDUP_TAU, **kw).select(
             "id_a", "id_b", F.lit(1).alias("f")
         )
@@ -3835,9 +3855,9 @@ def wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         X.html_to_text(F.col("content")).alias("text"),
     )
-    return out.select(
+    return _ckpt_order(out.select(
         "doc_id", "text", F.length("text").cast("long").alias("n_chars")
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3927,7 +3947,7 @@ def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.cast("string"),
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
-    return normalize_unicode(docs).orderBy("doc_id")
+    return _ckpt_order(normalize_unicode(docs), "doc_id")
 
 
 def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3969,7 +3989,7 @@ def multimodal_audio_clipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
-    return M.audio_clipping(media).orderBy("media_id")
+    return _ckpt_order(M.audio_clipping(media), "media_id")
 
 
 def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3996,7 +4016,7 @@ def multimodal_image_sharpness(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
-    return M.image_sharpness(media).orderBy("media_id")
+    return _ckpt_order(M.image_sharpness(media), "media_id")
 
 
 def pref_winrate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4124,10 +4144,10 @@ def doc_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_pages", "text", "n_chars"]
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema="doc_id long, n_pages long, text string, n_chars long",
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def doc_pdf_extract_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4178,13 +4198,13 @@ def doc_pdf_extract_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "predictor", "objstm_len"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "doc_id long, n_pages long, text string, n_chars long, "
             "predictor boolean, objstm_len boolean"
         ),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4241,8 +4261,7 @@ def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = parse_warc_records_strict(
         members, content_col="value", passthrough=("member_pos",)
     )
-    return (
-        recs.filter(F.col("warc_type") == "response")
+    return _ckpt_order(recs.filter(F.col("warc_type") == "response")
         .select(
             F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
             .cast("long")
@@ -4252,9 +4271,7 @@ def web_warc_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the REAL member position from the gzip split, carried
             # through parsing — the oracle pins it to doc_id % 64
             F.col("member_pos"),
-        )
-        .orderBy("doc_id")
-    )
+        ), "doc_id")
 
 
 def web_warc_gz_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4364,8 +4381,7 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").alias("rep_bytes"),
         F.col("ratio_q4").alias("rep_ratio_q4"),
     )
-    return (
-        base.join(reps, "doc_id")
+    return _ckpt_order(base.join(reps, "doc_id")
         .select(
             "doc_id",
             "n_bytes",
@@ -4373,9 +4389,7 @@ def quality_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rep_ratio_q4") < F.col("ratio_q4")).alias(
                 "rep_compresses_better"
             ),
-        )
-        .orderBy("doc_id")
-    )
+        ), "doc_id")
 
 
 def web_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4808,14 +4822,14 @@ def web_wet_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = http_text_records(
         resp.unionByName(nulls), passthrough=("target_uri",)
     )
-    return decoded.select(
+    return _ckpt_order(decoded.select(
         F.regexp_extract(F.col("target_uri"), r"(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
         "http_status",
         "charset",
         html_to_text(F.col("text")).alias("text"),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4846,7 +4860,7 @@ def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
     out = M.image_pixel_stats(M.crop_image(M.flip_image_h(media)))
-    return out.select(
+    return _ckpt_order(out.select(
         "media_id",
         F.col("width").cast("int").alias("width"),
         F.col("height").cast("int").alias("height"),
@@ -4854,7 +4868,7 @@ def multimodal_image_augment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_g").cast("long").alias("sum_g"),
         F.col("sum_b").cast("long").alias("sum_b"),
         F.col("checksum").cast("long").alias("checksum"),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5170,10 +5184,10 @@ def multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "n_samples", "sample_rate", "ok"]
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema="media_id long, n_samples long, sample_rate int, ok boolean",
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5225,13 +5239,13 @@ def multimodal_g711_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "n_samples", "sample_rate", "law", "ok"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, n_samples long, sample_rate int, "
             "law string, ok boolean"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5302,13 +5316,13 @@ def multimodal_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, n_samples long, sample_rate int, "
             "channels int, pcm_sum long, compressed boolean"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5381,14 +5395,14 @@ def multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, n_frames long, sample_rate int, channels int, "
             "duration_ms long, total_bytes long, avg_kbps long, "
             "vbr boolean, id3v2_bytes long"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5434,13 +5448,13 @@ def multimodal_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["media_id", "title", "artist", "n_frames", "id3_bytes"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, title string, artist string, "
             "n_frames long, id3_bytes long"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5475,7 +5489,7 @@ def multimodal_audio_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
     out = normalize_audio_peak(media, target_peak=30000)
-    return out.select("media_id", "peak", "n_samples", "pcm_sum").orderBy(
+    return _ckpt_order(out.select("media_id", "peak", "n_samples", "pcm_sum"), 
         "media_id"
     )
 
@@ -5514,7 +5528,7 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") * 1000 + F.col("frame_idx")).alias("media_id"),
         "payload",
     )
-    return M.image_pixel_stats(sampled).orderBy("media_id")
+    return _ckpt_order(M.image_pixel_stats(sampled), "media_id")
 
 
 def multimodal_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5602,13 +5616,13 @@ def multimodal_video_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return sampled.mapInPandas(
+    return _ckpt_order(sampled.mapInPandas(
         check,
         schema=(
             "media_id long, frame_idx long, ts_ms long, "
             "width long, height long, ok boolean"
         ),
-    ).orderBy("media_id", "frame_idx")
+    ), "media_id", "frame_idx")
 
 
 def multimodal_avi_soundtrack_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5658,7 +5672,7 @@ def multimodal_avi_soundtrack_vad(spark: SparkSession, sf_dir: str) -> DataFrame
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     audio = media.mapInPandas(demux, schema="media_id long, payload binary")
-    return M.audio_vad_trim(audio).orderBy("media_id")
+    return _ckpt_order(M.audio_vad_trim(audio), "media_id")
 
 
 def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5701,16 +5715,13 @@ def web_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_tar, "path string, content binary"
     )
     members = read_tar_members(archives)
-    return (
-        members.select(
+    return _ckpt_order(members.select(
             F.regexp_extract("member", r"(\d+)\.txt$", 1)
             .cast("long")
             .alias("doc_id"),
             F.decode(F.col("payload"), "UTF-8").alias("text"),
             F.col("size").cast("long").alias("n_bytes"),
-        )
-        .orderBy("doc_id")
-    )
+        ), "doc_id")
 
 
 def multimodal_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5775,7 +5786,7 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
     media = docs.mapInPandas(build, schema="media_id long, payload binary")
-    return M.audio_vad_trim(media).orderBy("media_id")
+    return _ckpt_order(M.audio_vad_trim(media), "media_id")
 
 
 def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5833,9 +5844,9 @@ def multimodal_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["media_id", "width", "height", "ok"]
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run, schema="media_id long, width long, height long, ok boolean"
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5907,13 +5918,16 @@ def multimodal_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sharp_match"],
             )
 
-    return docs.mapInPandas(
-        run,
-        schema=(
-            "media_id long, width long, height long, exact boolean, "
-            "sharp_match boolean"
+    return _ckpt_order(
+        docs.mapInPandas(
+            run,
+            schema=(
+                "media_id long, width long, height long, exact boolean, "
+                "sharp_match boolean"
+            ),
         ),
-    ).orderBy("media_id")
+        "media_id",
+    )
 
 
 def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5981,13 +5995,13 @@ def multimodal_mp2_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_samples", "freq_ok", "rms_ok"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, sample_rate int, channels int, "
             "n_samples long, freq_ok boolean, rms_ok boolean"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def doc_pdf_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6035,10 +6049,10 @@ def doc_pdf_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_pages", "text", "n_chars"]
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema="doc_id long, n_pages long, text string, n_chars long",
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def doc_pdf_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6083,10 +6097,10 @@ def doc_pdf_cid(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "n_pages", "text", "n_chars"]
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema="doc_id long, n_pages long, text string, n_chars long",
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def doc_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6136,13 +6150,13 @@ def doc_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 columns=["doc_id", "n_pages", "text", "n_chars", "method"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "doc_id long, n_pages long, text string, n_chars long, "
             "method string"
         ),
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def multimodal_mp2_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6218,13 +6232,13 @@ def multimodal_mp2_lsf(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_samples", "freq_ok", "rms_ok"],
             )
 
-    return docs.mapInPandas(
+    return _ckpt_order(docs.mapInPandas(
         run,
         schema=(
             "media_id long, sample_rate int, channels int, "
             "n_samples long, freq_ok boolean, rms_ok boolean"
         ),
-    ).orderBy("media_id")
+    ), "media_id")
 
 
 def multimodal_jpeg_411(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6290,13 +6304,16 @@ def multimodal_jpeg_411(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sharp_match"],
             )
 
-    return docs.mapInPandas(
-        run,
-        schema=(
-            "media_id long, width long, height long, exact boolean, "
-            "sharp_match boolean"
+    return _ckpt_order(
+        docs.mapInPandas(
+            run,
+            schema=(
+                "media_id long, width long, height long, exact boolean, "
+                "sharp_match boolean"
+            ),
         ),
-    ).orderBy("media_id")
+        "media_id",
+    )
 
 
 def web_frontier_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10808,7 +10825,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorecard for graph_label_propagation, one row."""
     li = _t(spark, sf_dir, "lineitem")
     supplier = _t(spark, sf_dir, "supplier")
-    edges = G.cooccurrence_edges(li, "l_orderkey", "l_suppkey")
+    # checkpointed: label_propagation AND modularity both persist/scan
+    # the edge list, and each releases its own cache — without the cut
+    # the full co-occurrence derivation (lineitem distinct + per-order
+    # self-join + weight aggregation) would execute twice in this query
+    edges = G.cooccurrence_edges(
+        li, "l_orderkey", "l_suppkey"
+    ).localCheckpoint()
     vertices = supplier.select(F.col("s_suppkey").alias("v"))
     labels = G.label_propagation(edges, vertices, iters=LPA_ITERS)
     return G.modularity(edges, labels)

@@ -16,6 +16,7 @@ src/adtl/parser.py:709-725).  Two streaming capabilities are added here:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -504,8 +505,15 @@ def _frontier_offsets(spark, store_path: str, batch_id: int):
         deltas = spark.read.parquet(f"{store_path}/delta/*").filter(
             (F.col("batch_id") > upto) & (F.col("batch_id") < batch_id)
         )
-    except Exception:
-        deltas = None  # first batch: no deltas yet
+    except AnalysisException as e:
+        # ONLY the no-deltas-yet case (first batch) may be treated as
+        # empty; a corrupted or unreadable delta must FAIL the batch —
+        # silently zeroing every host's continuation offset is exactly
+        # the restart bug this sink exists to prevent
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            deltas = None
+        else:
+            raise
     parts = []
     if base is not None:
         parts.append(base.select("host", F.col("count").cast("long")))
