@@ -838,13 +838,12 @@ def cluster_pairs(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # persisted: the pointer-jump below is a SELF-join of `adopted`
-        # (probe side + parent side), and Spark plans trees — without the
-        # cache the whole adoption subtree (the edges join + neighbor-min
-        # aggregation, the expensive half of the iteration) would execute
-        # TWICE per round (exchange reuse cannot fire: the two sides
-        # shuffle on different keys).  Released right after the
-        # checkpoint materializes.
+        # NOTE (r13 optimization round): the pointer-jump below is a
+        # SELF-join of `adopted`, so the adoption subtree executes twice
+        # per round.  persist()-ing it here was tried and REVERTED: the
+        # InMemoryRelation defeats AQE's runtime join planning and cost
+        # more than the duplicated subtree saved (dedup_keep_best
+        # 7.8 s -> 10.3 s isolated; dedup_cluster only -0.8 s).
         adopted = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -853,7 +852,6 @@ def cluster_pairs(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
         )
         parent = adopted.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
@@ -876,7 +874,6 @@ def cluster_pairs(
         )
         labels = jumped
         cur = obs.get["s"]
-        adopted.unpersist()
         if cur == prev_sum:
             break
         prev_sum = cur

@@ -85,17 +85,28 @@ def ql_topk(
     on (id, token) for tf; query terms broadcast; the scored relation is
     bounded by postings matches, and dl joins map-side (AQE broadcasts
     the match-bounded side)."""
+    from adtl_spark.operators.dedup import _materialize_and_release
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: ctf, the corpus total AND the scoring join all read the
+    # tf relation; without the cache each branch re-runs the tokenize +
+    # explode + (id, token) shuffle (Spark plans trees).  ctf and the
+    # total are DERIVED from tf (sum of tf == count over toks, exactly,
+    # as BIGINTs) so the corpus tokenizes ONCE for the postings side.
+    tf = (
+        toks.groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     dl = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
     )
-    ctf = toks.groupBy("token").agg(F.count(F.lit(1)).alias("ctf"))
-    total = toks.agg(F.count(F.lit(1)).alias("t_tokens"))
+    ctf = tf.groupBy("token").agg(F.sum("tf").alias("ctf"))
+    total = tf.agg(F.sum("tf").alias("t_tokens"))
     qterms = (
         queries.select(
             "query_id", F.explode(tokens(F.col("query"))).alias("token")
@@ -136,7 +147,7 @@ def ql_topk(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -146,6 +157,8 @@ def ql_topk(
             (F.col("__score").cast("double") / QL_SCALE).alias("ql"),
         )
     )
+    # queries x k rows — materialize, then release the postings cache
+    return _materialize_and_release(result, [tf])
 
 
 def ql_topk_oracle_sql(

@@ -738,20 +738,32 @@ def bm25_topk(
     shuffled except on (id, token) for the tf agg."""
     from pyspark.sql import Window
 
+    from adtl_spark.operators.dedup import _materialize_and_release
+
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("token"),
     )
-    tf = toks.groupBy("id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # persisted: THREE consumers read the tf relation (the query-matched
+    # scoring join, the document-frequency aggregation, nothing else re-
+    # tokenizes through it) — Spark plans trees, so without the cache the
+    # tokenize + explode + (id, token) shuffle executed once per branch
+    # (the un-cached rrf_fuse plan read the corpus 18 times across its
+    # two rankers).  Released after the top-k result materializes.
+    tf = (
+        toks.groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     # document length is a NARROW per-row projection (size of the token
-    # array), not a second explode+shuffle; the corpus-wide stats then
-    # reduce the same narrow relation — one extra column-pruned scan, no
-    # extra shuffle.  The dl join below stays map-side at scale: the
-    # other side is the query-matched tf subset, which AQE broadcasts.
+    # array), not a second explode+shuffle; persisted because the scoring
+    # join and the corpus-wide stats both read it.  The dl join below
+    # stays map-side at scale: the other side is the query-matched tf
+    # subset, which AQE broadcasts.
     dl = df.select(
         F.col(id_col).alias("id"),
         F.size(tokens(F.col(text_col))).cast("long").alias("dl"),
-    )
+    ).persist()
     doc_freq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_"))
     stats = dl.select(
         F.count(F.lit(1)).alias("n_docs"),
@@ -789,7 +801,7 @@ def bm25_topk(
         .agg(F.sum("__s").alias("__score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc("id"))
-    return (
+    result = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -799,6 +811,9 @@ def bm25_topk(
             (F.col("__score").cast("double") / 1e9).alias("bm25"),
         )
     )
+    # queries x k rows — materializing is cheap at any scale and lets the
+    # postings caches release deterministically (dedup-operator pattern)
+    return _materialize_and_release(result, [tf, dl])
 
 
 def bm25_topk_oracle_sql(
