@@ -57,16 +57,24 @@ def bradley_terry(
     count), e.g. a maintained streaming store — through the identical
     math: the MM update only ever sees sufficient statistics, so the
     weighted fit equals the row-per-comparison fit exactly."""
+    from adtl_spark.operators.dedup import _materialize_and_release
+
     w = F.col(winner_col).alias("i")
     l = F.col(loser_col).alias("j")
-    # per-ordered-pair win counts, then symmetric games n_ij
+    # per-ordered-pair win counts, then symmetric games n_ij.  Only
+    # wins_ij — the ONE log-sized aggregation — is persisted: every MM
+    # round plus the final join re-executes its subtree otherwise (~6
+    # executions of the corpus scan for a 2-round fit).  games/wins
+    # derive from the cached pair-bounded relation, so recomputing THEM
+    # per consumer costs pair-sized shuffles, never another corpus pass.
     if weight_col is None:
-        wins_ij = pairs.select(w, l).groupBy("i", "j").count()
+        wins_ij = pairs.select(w, l).groupBy("i", "j").count().persist()
     else:
         wins_ij = (
             pairs.select(w, l, F.col(weight_col).alias("__w"))
             .groupBy("i", "j")
             .agg(F.sum("__w").alias("count"))
+            .persist()
         )
     games = (
         wins_ij.select("i", "j", "count")
@@ -108,7 +116,7 @@ def bradley_terry(
         # round k+1 doesn't recompute rounds 1..k
         scores = scores.localCheckpoint(eager=True)
     tot_games = games.groupBy("i").agg(F.sum("n_ij").alias("games"))
-    return (
+    result = (
         scores.join(wins, "i", "left")
         .join(tot_games, "i")
         .select(
@@ -118,6 +126,8 @@ def bradley_terry(
             F.col("games"),
         )
     )
+    # item-sized result — materialize, then release the statistics cache
+    return _materialize_and_release(result, [wins_ij])
 
 
 def winrate_wilson(
