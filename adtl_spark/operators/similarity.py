@@ -20,6 +20,7 @@ element order — bit-identical to the DuckDB twin (both fold left-to-right).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -50,6 +51,50 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_arrow() -> Column:
+    """Arrow-vectorized twin of :func:`cosine` for HIGH-CARDINALITY pair
+    scoring (candidate joins that evaluate millions of pairs).
+
+    The JVM ``cosine`` is an interpreted higher-order fold (aggregate over
+    zip_with, no codegen) and Catalyst evaluates it once in the projection
+    and AGAIN in the ``>= tau`` filter — ~2x130 interpreted ops per pair.
+    This pandas_udf replays the identical IEEE sequence per row — float32
+    element cast to float64, one rounded multiply-add per dim accumulated
+    left-to-right from 0.0, then ``dot / (sqrt(na) * sqrt(nb))`` — so the
+    doubles are bit-equal to the JVM fold, while whole Arrow batches score
+    in a few numpy passes and the value is computed ONCE.
+
+    Returns a fresh udf Column factory per call site (no global state in
+    the Python workers)."""
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if not len(va):
+            return pd.Series([], dtype="float64")
+        A = np.stack(
+            [np.asarray(x, dtype=np.float32) for x in va]
+        ).astype(np.float64)
+        B = np.stack(
+            [np.asarray(x, dtype=np.float32) for x in vb]
+        ).astype(np.float64)
+        n = len(va)
+        dot = np.zeros(n)
+        na = np.zeros(n)
+        nb = np.zeros(n)
+        # strict left-to-right folds: one rounded add per dim per row,
+        # the JVM aggregate() order (proven bit-equal in the blocked
+        # all-pairs scorer)
+        for j in range(A.shape[1]):
+            dot += A[:, j] * B[:, j]
+            na += A[:, j] * A[:, j]
+            nb += B[:, j] * B[:, j]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    return _cos
 
 
 def _topk_per_query(sims: DataFrame, k: int) -> DataFrame:
@@ -580,15 +625,20 @@ def embedding_neardup(
     if not planes:
         return _neardup_allpairs_blocked(df, tau, id_col, vec_col)
     sig = hyperplane_signature(vec_col, dim, planes, seed)
-    c = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
-    )
+    # candidate generation shuffles (id, bucket) ONLY — 16-ish bytes per
+    # row, not two 64-float vectors (guide: shuffle fewer bytes); vectors
+    # join back onto the candidate ids afterwards (AQE broadcasts the
+    # corpus side when small, shuffle-hash on id otherwise), and the exact
+    # cosine refilter runs Arrow-vectorized (cosine_arrow) — the
+    # interpreted JVM HOF, evaluated once in the projection and AGAIN in
+    # the >= tau condition per candidate pair, was the dominant cost of
+    # the low-selectivity banded path.
+    c = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     if bands and planes:
         r = planes // bands
         mask = (1 << r) - 1
-        c = c.select(
+        buck = c.select(
             "id",
-            "v",
             F.explode(
                 F.array(
                     *[
@@ -605,7 +655,7 @@ def embedding_neardup(
                 )
             ).alias("bucket"),
         )
-        a, b = c.alias("a"), c.alias("b")
+        a, b = buck.alias("a"), buck.alias("b")
         cand = (
             a.join(
                 b,
@@ -615,30 +665,32 @@ def embedding_neardup(
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
-                F.col("a.v").alias("va"),
-                F.col("b.v").alias("vb"),
             )
             .dropDuplicates(["id_a", "id_b"])
         )
-        return (
-            cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
-            .filter(F.col("cos") >= tau)
-            .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
-        )
-    a, b = c.alias("a"), c.alias("b")
-    return (
-        a.join(
+    else:
+        a, b = c.alias("a"), c.alias("b")
+        cand = a.join(
             b,
             (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
-        )
-        .withColumn("cos", cosine(F.col("a.v"), F.col("b.v")))
-        .filter(F.col("cos") >= tau)
-        .select(
+        ).select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round("cos", 4).alias("cos"),
         )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        cand.join(
+            vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+            "id_a",
+        )
+        .join(
+            vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+            "id_b",
+        )
+        .withColumn("cos", cosine_arrow()(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= tau)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
 
 
