@@ -337,7 +337,6 @@ def dedup_ngram_jaccard(
     multiplicity so the cap behaves exactly as on the raw corpus) at a
     fraction of the join cost on duplicate-heavy corpora.
     """
-    from pyspark.sql import Window
 
     # ---- exact-duplicate collapse (semantics-preserving) -----------------
     # one shuffle: identical texts share a hash, so any_value picks the
@@ -378,7 +377,7 @@ def dedup_ngram_jaccard(
         n_docs = df.count()  # one cheap metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
         freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.select("id", "sh").join(freq, "sh").persist()
+    sh = sh.select("id", "sh").join(freq, "sh")
 
     # PPJoin prefix filter (lossless): two docs with jaccard >= t must share
     # a shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles when
@@ -386,11 +385,27 @@ def dedup_ngram_jaccard(
     # shingles cuts the candidate set by orders of magnitude vs. the naive
     # shingle self-join, with identical output (the oracle runs the naive
     # form).
-    by_rarity = Window.partitionBy("id").orderBy("df_", "sh")
-    ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
-    sized = ranked.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("id")))
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    prefix = sized.filter(F.col("pos") <= prefix_len).select("id", "sh", "sz", "pos")
+    #
+    # The rarity ranking is ONE aggregation into per-doc sorted arrays:
+    # array_sort of (df_, sh) structs is exactly the row_number order the
+    # former window pair (rank + count over id) produced, but the window
+    # sort ran once per consumer (prefix side, doc sets) while the
+    # persisted doc_arr is computed once and every consumer derives by
+    # per-row array ops alone (guide §2.4 — remove shuffles outright).
+    doc_arr = (
+        sh.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "sh"))).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+        .persist()
+    )
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    prefix = doc_arr.select(
+        "id",
+        F.posexplode(F.slice("arr", F.lit(1), prefix_len)).alias("p0", "x"),
+        "sz",
+    ).select("id", F.col("x.sh").alias("sh"), "sz", (F.col("p0") + 1).alias("pos"))
 
     a = prefix.alias("a")
     b = prefix.alias("b")
@@ -420,14 +435,13 @@ def dedup_ngram_jaccard(
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # derive doc sets from `sized`, not `sh`: Window already hash-partitioned
-    # the rows by id, so this groupBy reuses that exchange instead of
-    # re-shuffling the shingle relation a second time.  Persisted: both
-    # verification join sides and the self-pair eligibility check read it.
-    doc_sets = sized.groupBy("id").agg(
-        F.array_sort(F.collect_list("sh")).alias("set_"),
-        F.count(F.lit(1)).alias("sz"),
-    ).persist()
+    # doc sets derive from the cached doc_arr by per-row projection — no
+    # second shuffle of the shingle relation, no window re-sort
+    doc_sets = doc_arr.select(
+        "id",
+        F.array_sort(F.transform("arr", lambda x: x["sh"])).alias("set_"),
+        "sz",
+    )
     pairs = (
         cand.join(
             doc_sets.select(
@@ -488,7 +502,7 @@ def dedup_ngram_jaccard(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
-    return _materialize_and_release(result, [canon_full, membership, sh, doc_sets])
+    return _materialize_and_release(result, [canon_full, membership, doc_arr])
 
 
 def ngram_jaccard_oracle_sql(
@@ -840,10 +854,14 @@ def cluster_pairs(
         )
         # NOTE (r13 optimization round): the pointer-jump below is a
         # SELF-join of `adopted`, so the adoption subtree executes twice
-        # per round.  persist()-ing it here was tried and REVERTED: the
-        # InMemoryRelation defeats AQE's runtime join planning and cost
-        # more than the duplicated subtree saved (dedup_keep_best
-        # 7.8 s -> 10.3 s isolated; dedup_cluster only -0.8 s).
+        # per round.  BOTH sharing mechanisms were tried and REVERTED on
+        # measurement: persist() defeats AQE's runtime join planning
+        # (dedup_keep_best 7.8 s -> 10.3 s isolated), and an eager
+        # per-round localCheckpoint costs more than the duplicated
+        # subtree it saves (dedup_cluster 7.6 -> 8.1 s, dedup_keep_best
+        # 6.7 -> 7.8 s isolated) — the label table is node-sized, so the
+        # extra materialization job per round dominates the saved
+        # recompute at every scale where labels fit executor memory.
         adopted = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -1526,7 +1544,6 @@ def containment_pairs(
     Output: (src, dst, inter, n_src, containment_q4), containment
     quantized at 1e-4.
     """
-    from pyspark.sql import Window
 
     # ---- exact-duplicate collapse (semantics-preserving) -----------------
     hashed = df.select(
@@ -1558,29 +1575,35 @@ def containment_pairs(
         n_docs = df.count()  # metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
         freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.select("id", "sh").join(freq, "sh").persist()
+    sh = sh.select("id", "sh").join(freq, "sh")
 
-    by_rarity = Window.partitionBy("id").orderBy("df_", "sh")
-    ranked = sh.withColumn("pos", F.row_number().over(by_rarity))
-    sized = ranked.withColumn(
-        "sz", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    # Rarity ranking as ONE aggregation into per-doc sorted arrays (see
+    # dedup_ngram_jaccard): the former row_number/count window pair ran
+    # its per-partition sort once per consumer (src prefix, dst side,
+    # doc sets); array_sort of (df_, sh) structs reproduces the identical
+    # order and every consumer derives from the cached doc_arr with
+    # per-row array ops alone.
+    doc_arr = (
+        sh.groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df_", "sh"))).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+        .persist()
     )
     # one-sided PPJoin prefix: overlap >= ceil(t*sz) means a shared
     # shingle appears among src's first sz - ceil(t*sz) + 1 rarest
-    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    src_prefix = (
-        sized.filter(F.col("pos") <= prefix_len)
-        .select(
-            F.col("id").alias("src"),
-            F.col("sh").alias("src_sh"),
-            F.col("sz").alias("sz_src"),
-        )
-    )
-    dst_all = sized.select(
+    prefix_len = (
+        F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).cast("int")
+    src_prefix = doc_arr.select(
+        F.col("id").alias("src"),
+        F.explode(F.slice("arr", F.lit(1), prefix_len)).alias("x"),
+        F.col("sz").alias("sz_src"),
+    ).select("src", F.col("x.sh").alias("src_sh"), "sz_src")
+    dst_all = doc_arr.select(
         F.col("id").alias("dst"),
-        F.col("sh").alias("dst_sh"),
+        F.explode("arr").alias("x"),
         F.col("sz").alias("sz_dst"),
-    )
+    ).select("dst", F.col("x.sh").alias("dst_sh"), "sz_dst")
 
     cand = (
         src_prefix.join(
@@ -1594,10 +1617,11 @@ def containment_pairs(
         .dropDuplicates(["src", "dst"])
     )
 
-    doc_sets = sized.groupBy("id").agg(
-        F.array_sort(F.collect_list("sh")).alias("set_"),
-        F.count(F.lit(1)).alias("sz"),
-    ).persist()
+    doc_sets = doc_arr.select(
+        "id",
+        F.array_sort(F.transform("arr", lambda x: x["sh"])).alias("set_"),
+        "sz",
+    )
     canon_pairs = (
         cand.join(
             doc_sets.select(
@@ -1663,7 +1687,7 @@ def containment_pairs(
         )
     )
     return _materialize_and_release(
-        result, [canon_full, membership, sh, doc_sets]
+        result, [canon_full, membership, doc_arr]
     )
 
 

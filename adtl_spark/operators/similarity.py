@@ -94,7 +94,11 @@ def cosine_arrow() -> Column:
             nb += B[:, j] * B[:, j]
         return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
 
-    return _cos
+    # nondeterministic marker (guide §4.4): without it Catalyst pushes the
+    # ``>= tau`` filter below the projection and evaluates the udf TWICE
+    # (two ArrowEvalPython nodes, every candidate scored twice); the
+    # function is pure, the marker only stops the optimizer duplicating it
+    return _cos.asNondeterministic()
 
 
 def _topk_per_query(sims: DataFrame, k: int) -> DataFrame:
