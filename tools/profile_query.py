@@ -44,9 +44,12 @@ def main() -> None:
             continue
         spark = get_spark("profile_" + name)
         try:
+            from bench import _release_leaked_blocks
+
             for _ in range(args.warm):
                 all_q[name](spark, args.sf_dir).write.mode(
                     "overwrite").format("noop").save()
+                _release_leaked_blocks(spark)
             runs = []
             for _ in range(args.timed):
                 spark.sparkContext.setJobDescription(f"profile:{name}")
@@ -54,6 +57,7 @@ def main() -> None:
                 df = all_q[name](spark, args.sf_dir)
                 df.write.mode("overwrite").format("noop").save()
                 runs.append(round(time.time() - t0, 3))
+                _release_leaked_blocks(spark)
             print(f"{name}: runs={runs} min={min(runs)}", flush=True)
             if args.explain:
                 os.makedirs(args.explain, exist_ok=True)
