@@ -629,14 +629,23 @@ def embedding_neardup(
     if not planes:
         return _neardup_allpairs_blocked(df, tau, id_col, vec_col)
     sig = hyperplane_signature(vec_col, dim, planes, seed)
-    # candidate generation shuffles (id, bucket) ONLY — 16-ish bytes per
-    # row, not two 64-float vectors (guide: shuffle fewer bytes); vectors
-    # join back onto the candidate ids afterwards (AQE broadcasts the
-    # corpus side when small, shuffle-hash on id otherwise), and the exact
-    # cosine refilter runs Arrow-vectorized (cosine_arrow) — the
-    # interpreted JVM HOF, evaluated once in the projection and AGAIN in
-    # the >= tau condition per candidate pair, was the dominant cost of
-    # the low-selectivity banded path.
+    # Two scorer strategies, keyed on the STRUCTURE (guide §4.1 — cross
+    # the Python boundary only when the row volume pays for it):
+    #  * banded (bands>0): OR-amplification exists to produce MANY
+    #    candidates (low-tau regime), so candidate generation shuffles
+    #    (id, bucket) ONLY — 16-ish bytes per row instead of B copies of
+    #    a 64-float vector through the explode — vectors join back onto
+    #    the candidate ids, and the exact refilter runs Arrow-vectorized
+    #    (cosine_arrow, bit-equal to the JVM fold).
+    #  * single bucket (bands=0): the AND of all `planes` bits prunes
+    #    hard, candidates are sparse, and the corpus self-join needs ONE
+    #    exchange (by sig, reused for both sides) — carrying the vectors
+    #    through it is cheaper than two join-backs plus a Python
+    #    round-trip.  The JVM fold scores each pair ONCE: the 1-element
+    #    explode() is a Generate barrier Catalyst will not duplicate the
+    #    expression across (without it, PushDownPredicates clones the
+    #    fold into the >= tau condition and every pair pays ~2x130
+    #    interpreted ops).
     c = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     if bands and planes:
         r = planes // bands
@@ -673,14 +682,26 @@ def embedding_neardup(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
-        a, b = c.alias("a"), c.alias("b")
-        cand = a.join(
-            b,
-            (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.id") < F.col("b.id")),
-        ).select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        cv = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("sig")
+        )
+        a, b = cv.alias("a"), cv.alias("b")
+        scored = (
+            a.join(
+                b,
+                (F.col("a.sig") == F.col("b.sig"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.explode(
+                    F.array(cosine(F.col("a.v"), F.col("b.v")))
+                ).alias("cos"),
+            )
+        )
+        return scored.filter(F.col("cos") >= tau).select(
+            "id_a", "id_b", F.round("cos", 4).alias("cos")
         )
     vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (

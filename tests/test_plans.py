@@ -426,12 +426,19 @@ def test_full_registry_local_verification_artifact():
     assert bad == {}, f"non-green rows in {arts[-1].name}: {sorted(bad)}"
 
 
-def test_bm25_query_side_broadcasts(spark):
+def test_bm25_query_side_broadcasts(spark, monkeypatch):
     """BM25's query-term join must be a broadcast-hash join — the corpus
     tf relation never shuffles for the semi-join against a handful of
-    query terms."""
+    query terms.  bm25_topk returns a localCheckpoint-backed result (the
+    r13 postings-sharing change releases its caches deterministically),
+    whose plan is just an ExistingRDD scan — so the assertion inspects
+    the PRE-materialization plan by stubbing the materialize helper."""
+    import adtl_spark.operators.dedup as D
     from adtl_spark.operators import text as X
 
+    monkeypatch.setattr(
+        D, "_materialize_and_release", lambda result, caches: result
+    )
     docs = spark.createDataFrame(
         [(i, "hash join scan filter sort") for i in range(200)],
         ["doc_id", "text"],
