@@ -316,21 +316,47 @@ def label_propagation(
 
     Output: (v, community) for every vertex, ordered by (community, v).
     """
-    edges = edges.persist()
+    # The +1 incumbency vote rides the edge relation as a self-loop
+    # (v, v, 1) per vertex, folded in ONCE before the loop: after the
+    # src-label join it produces exactly the (dst=v, lab(v), w=1) row the
+    # old per-iteration union branch emitted, so every vote multiset —
+    # and therefore every sum and argmax — is identical.  What it buys
+    # (r13, guide §1.2/§2.2): the label vector now has exactly ONE
+    # consumer per iteration (the join), so the lineage is a chain and
+    # the per-iteration eager localCheckpoint — four driver-job
+    # round-trips whose only purpose was stopping the two-consumer
+    # subtree from doubling per level — is replaced by a single eager
+    # checkpoint after the loop (still needed: downstream consumers like
+    # modularity read the labels several times, and the edge cache
+    # releases before return).
+    # Cached PARTITIONED BY dst (guide §2.1 — remove shuffles outright):
+    # when the label join broadcasts (the |V|-row vector is small, or AQE
+    # converts at runtime), the join preserves this clustering, so the
+    # (dst, lab) vote sum AND the per-dst argmax both read a relation
+    # already clustered by dst — HashPartitioning(dst) satisfies both
+    # aggregations' distributions and no per-iteration exchange runs.
+    # In the shuffle-join regime (huge |V|) the dst clustering still
+    # feeds the argmax for free after the (dst, lab) aggregation; the
+    # cached plan's partitioning is stable
+    # (canChangeCachedPlanOutputPartitioning defaults false).
+    edges = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            vertices.select(
+                F.col("v").alias("src"),
+                F.col("v").alias("dst"),
+                F.lit(1).cast("long").alias("w"),
+            )
+        )
+        .repartition(F.col("dst"))
+        .persist()
+    )
     edges.count()
     try:
         labels = vertices.select("v", F.col("v").cast("long").alias("lab"))
         for _ in range(iters):
-            votes = (
-                edges.join(labels, edges["src"] == labels["v"])
-                .select(F.col("dst"), F.col("lab"), F.col("w"))
-                .unionByName(
-                    labels.select(
-                        F.col("v").alias("dst"),
-                        F.col("lab"),
-                        F.lit(1).cast("long").alias("w"),
-                    )
-                )
+            votes = edges.join(labels, edges["src"] == labels["v"]).select(
+                F.col("dst"), F.col("lab"), F.col("w")
             )
             scores = votes.groupBy("dst", "lab").agg(F.sum("w").alias("s"))
             labels = (
@@ -342,8 +368,8 @@ def label_propagation(
                     ).alias("lab")
                 )
                 .select(F.col("dst").alias("v"), F.col("lab"))
-                .localCheckpoint(eager=True)
             )
+        labels = labels.localCheckpoint(eager=True)
         return labels.select(
             "v", F.col("lab").alias("community")
         ).orderBy("community", "v")
