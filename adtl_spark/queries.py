@@ -2092,7 +2092,9 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping rounds.  Oracle: recursive-CTE transitive closure —
     the iterative Spark algorithm is still value-checked."""
     docs = _t(spark, sf_dir, "documents")
-    return D.cluster_pairs(D.simhash_pairs(docs)).select(
+    # signature-contracted twin of cluster_pairs(simhash_pairs(docs)) —
+    # identical output, ~6x less shuffle (dedup.simhash_components)
+    return D.simhash_components(docs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("canonical_id").cast("long").alias("canonical_id"),
     )
@@ -2127,7 +2129,7 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.withColumn(
         "__q__", F.size(F.array_distinct(X.tokens(F.col("text")))).cast("long")
     )
-    clusters = D.cluster_pairs(D.simhash_pairs(docs))
+    clusters = D.simhash_components(docs)
     return D.keep_best_representative(scored, clusters, "__q__").select(
         "doc_id", "lang", "source"
     )
