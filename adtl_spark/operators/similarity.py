@@ -1733,8 +1733,9 @@ def ann_pq(
     Scale shape: encoding is a narrow map over the corpus (the index
     build; at 100 TB the m-byte codes are what you persist and scan);
     queries broadcast; per-subspace distances are element_at lookups
-    into LITERAL per-query tables folded into one expression, so scoring
-    runs inside whole-stage codegen with zero joins beyond the broadcast.
+    into per-query tables riding the broadcast as an array column, so
+    scoring runs inside whole-stage codegen with zero joins beyond the
+    broadcast.
 
     Determinism: per-subspace distances quantize to BIGINT at 1e-9
     before summing (order-independent integer adds), ranking ties break
@@ -1754,13 +1755,11 @@ def ann_pq(
     # code), quantized to BIGINT at 1e-9.  Computed DRIVER-SIDE from the
     # collected query vectors — the per-query LUT build real PQ engines
     # do at query time (queries are serving-sized by definition; this is
-    # the same legitimate collect as IVF's centroid build).  The payoff:
-    # the scoring expression contains ONLY integer literals (m maps of
-    # |queries| x ks longs), no per-cell dot folds, so Catalyst analysis
-    # stays milliseconds at any ks and scoring is pure codegen'd integer
-    # lookups.  Arithmetic is the exact left-fold + ((qq - 2*qc) + cc)
-    # order the oracle's list_dot_product replay uses, so the quantized
-    # values agree bit-for-bit.
+    # the same legitimate collect as IVF's centroid build).  Scoring is
+    # codegen'd integer element_at lookups, no per-cell dot folds.
+    # Arithmetic is the exact left-fold + ((qq - 2*qc) + cc) order the
+    # oracle's list_dot_product replay uses, so the quantized values
+    # agree bit-for-bit.
     qrows = queries.select(
         F.col(id_col).alias("i"), F.col(vec_col).alias("v")
     ).collect()
@@ -1786,26 +1785,29 @@ def ann_pq(
             per_q[int(r["i"])] = cells
         luts.append(per_q)
     qids = sorted(luts[0]) if luts and luts[0] else []
-    qid_df = queries.sparkSession.createDataFrame(
-        [(i,) for i in qids], "query_id long"
+    # The LUT travels as a BROADCAST COLUMN, not as literals (r13, guide
+    # §5.2): the literal form inlined |queries| x ks x m BIGINTs into the
+    # scoring expression (51k literal nodes at ks=64) — megabytes of SQL
+    # to parse, an analysis/constant-folding walk over the whole table,
+    # and a codegen'd class big enough to spill out of JIT caches
+    # (measured: 4.7 s vs 22 s run-to-run jitter on identical plans).
+    # The values are unchanged (same driver-side fold, same BIGINTs);
+    # only the transport is a 100-row broadcast instead of the plan tree.
+    lut_df = queries.sparkSession.createDataFrame(
+        [(int(qid), [luts[j][qid] for j in range(m)]) for qid in qids],
+        "query_id long, __lut__ array<array<bigint>>",
     )
-    joined = codes.crossJoin(F.broadcast(qid_df)).filter(
+    joined = codes.crossJoin(F.broadcast(lut_df)).filter(
         F.col("query_id") != F.col("corpus_id")
     )
-    dist_terms = []
+    qdist = None
     for j in range(m):
-        lut_map = "map(" + ", ".join(
-            f"CAST({qid} AS BIGINT), array({', '.join(str(v) + 'L' for v in luts[j][qid])})"
-            for qid in qids
-        ) + ")"
-        dist_terms.append(
-            f"element_at(element_at({lut_map}, `query_id`), "
-            f"CAST(`code{j}` AS INT) + 1)"
+        term = F.element_at(
+            F.element_at(F.col("__lut__"), j + 1),
+            F.col(f"code{j}").cast("int") + 1,
         )
-    total = " + ".join(dist_terms)
-    sims = joined.select(
-        "query_id", "corpus_id", F.expr(total).alias("qdist")
-    )
+        qdist = term if qdist is None else qdist + term
+    sims = joined.select("query_id", "corpus_id", qdist.alias("qdist"))
     # two-phase exact top-k per query, ascending distance (the mirror of
     # _topk_per_query's descending-cosine form)
     keyed = sims.select(
@@ -2511,27 +2513,31 @@ def _ivfpq_score_codes(
     probed_cells = sorted({c for _, c in probe_pairs})
     if probed_cells:
         codes = codes.filter(F.col("cell").isin(probed_cells))
+    # LUT as a broadcast column on the probe rows, not literals — same
+    # rationale and bit-identical values as ann_pq's r13 change: the
+    # literal form parsed/analyzed/codegen'd |queries| x ks x m BIGINT
+    # nodes per plan; the broadcast is |probe_pairs| rows x ~m*ks longs.
+    lut_by_q = {
+        qid: [luts[j][qid] for j in range(m)]
+        for qid in (sorted(luts[0]) if luts and luts[0] else [])
+    }
     qcell = queries.sparkSession.createDataFrame(
-        probe_pairs, "query_id long, cell long"
+        [(q, c, lut_by_q[q]) for q, c in probe_pairs],
+        "query_id long, cell long, __lut__ array<array<bigint>>",
     )
     joined = codes.join(F.broadcast(qcell), "cell").filter(
         F.col("query_id") != F.col("corpus_id")
     )
-    qids = sorted(luts[0]) if luts and luts[0] else []
-    dist_terms = []
+    qdist = None
     for j in range(m):
-        lut_map = "map(" + ", ".join(
-            f"CAST({qid} AS BIGINT), array({', '.join(str(v) + 'L' for v in luts[j][qid])})"
-            for qid in qids
-        ) + ")"
-        dist_terms.append(
-            f"element_at(element_at({lut_map}, `query_id`), "
-            f"CAST(`code{j}` AS INT) + 1)"
+        term = F.element_at(
+            F.element_at(F.col("__lut__"), j + 1),
+            F.col(f"code{j}").cast("int") + 1,
         )
-    total = " + ".join(dist_terms) if dist_terms else "CAST(NULL AS BIGINT)"
-    sims = joined.select(
-        "query_id", "corpus_id", F.expr(total).alias("qdist")
-    )
+        qdist = term if qdist is None else qdist + term
+    if qdist is None:
+        qdist = F.lit(None).cast("bigint")
+    sims = joined.select("query_id", "corpus_id", qdist.alias("qdist"))
     # two-phase exact top-k per query, ascending distance (the shape
     # ann_pq/l2_topk use: partitions keep local k, only k*partitions
     # candidate rows shuffle)
