@@ -1691,26 +1691,55 @@ def pq_encode(
 ) -> DataFrame:
     """PQ encoding: each vector compresses to ``m`` one-byte-ish codes —
     the 100 TB move that shrinks a 64-float embedding to m bytes so the
-    whole index fits in memory.  A pure NARROW map (argmin over literal
-    sub-centroids per subspace, one transform lambda each — see
-    _pq_cell_sql); no join, no shuffle.  Returns (corpus_id,
-    code0..code{m-1})."""
+    whole index fits in memory.  A pure NARROW map (Arrow-vectorized
+    per-subspace argmin, bit-identical to the _pq_cell_sql expression
+    form — see the inline note); no join, no shuffle.  Returns
+    (corpus_id, code0..code{m-1})."""
     m = len(books)
     d_sub = dim // m
-    sliced = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        *[
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
-            for j in range(m)
-        ],
+    # Arrow-vectorized argmin (r13, guide §4.2): the _pq_cell_sql
+    # expression form evaluated m x ks x d_sub interpreted HOF
+    # multiply-adds PER ROW (4096 at m=8, ks=64 — measured 6.7 s for a
+    # 2000-row encode).  The numpy replay is bit-identical: per
+    # subspace, the dot folds left-to-right over the dims (one
+    # IEEE-rounded add each, the JVM aggregate() order), score =
+    # half_sq - dot with the same literal doubles, and np.argmin takes
+    # the FIRST minimum exactly like array_position(scores,
+    # array_min(scores)).  Still a pure narrow map — no join, no
+    # shuffle, same scale shape.
+    hs = [[cell[2] for cell in books[j]] for j in range(m)]
+    cbs = [[cell[1] for cell in books[j]] for j in range(m)]
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__v")
     )
-    return sliced.select(
-        "corpus_id",
-        *[
-            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
-            for j in range(m)
-        ],
+    schema = "corpus_id long, " + ", ".join(
+        f"code{j} long" for j in range(m)
     )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        CB = [np.asarray(cbs[j], dtype=np.float64) for j in range(m)]
+        HS = [np.asarray(hs[j], dtype=np.float64) for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ci = pdf["corpus_id"].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf["__v"]]
+            ).astype(np.float64)
+            out = {"corpus_id": ci}
+            for j in range(m):
+                sub = V[:, j * d_sub : (j + 1) * d_sub]
+                dotv = np.zeros((len(ci), CB[j].shape[0]))
+                for t in range(d_sub):
+                    dotv += sub[:, t, None] * CB[j][None, :, t]
+                scores = HS[j][None, :] - dotv
+                out[f"code{j}"] = np.argmin(scores, axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return c.mapInPandas(encode, schema)
 
 
 def ann_pq(
@@ -2421,6 +2450,74 @@ def jl_project_oracle_sql(
 # ------------------------------------------------------------------- IVF-PQ
 
 
+def _ivfpq_encode_arrow(
+    corpus: DataFrame,
+    cents,
+    books,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    residual: bool = False,
+) -> DataFrame:
+    """(corpus_id, cell, code0..code{m-1}) — Arrow-vectorized twin of the
+    _cell_rank_sql + _pq_cell_sql expression chain shared by the IVF-PQ
+    builds (r13, guide §4.2; bit-identical by the same argument as
+    pq_encode's inline note).  Cell pick: ``cents`` arrive in ascending
+    cid order (lowest-id prefix), so numpy's first-position argmin over
+    ``-dot/nrm`` equals sort_array's (s ASC, cid ASC) head.  With
+    ``residual=True`` the coded vector is v - centroid(cell), subtracted
+    coordinate-wise exactly like the zip_with form.  Still one narrow
+    pass, no join, no shuffle."""
+    m = len(books)
+    d_sub = dim // m
+    cent_ids = [int(cid) for cid, _, _ in cents]
+    cent_vecs = [cvec for _, cvec, _ in cents]
+    cent_nrms = [nrm for _, _, nrm in cents]
+    hs = [[cell[2] for cell in books[j]] for j in range(m)]
+    cbs = [[cell[1] for cell in books[j]] for j in range(m)]
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("__v")
+    )
+    schema = "corpus_id long, cell long, " + ", ".join(
+        f"code{j} long" for j in range(m)
+    )
+
+    def encode(batches):
+        import numpy as np
+        import pandas as pd
+
+        CID = np.asarray(cent_ids, dtype=np.int64)
+        CV = np.asarray(cent_vecs, dtype=np.float64)
+        NRM = np.asarray(cent_nrms, dtype=np.float64)
+        CB = [np.asarray(cbs[j], dtype=np.float64) for j in range(m)]
+        HS = [np.asarray(hs[j], dtype=np.float64) for j in range(m)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ci = pdf["corpus_id"].to_numpy(dtype=np.int64)
+            V = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf["__v"]]
+            ).astype(np.float64)
+            n = len(ci)
+            dotc = np.zeros((n, len(CID)))
+            for t in range(V.shape[1]):
+                dotc += V[:, t, None] * CV[None, :, t]
+            s = (-dotc) / NRM[None, :]
+            cell_idx = np.argmin(s, axis=1)
+            out = {"corpus_id": ci, "cell": CID[cell_idx]}
+            W = V - CV[cell_idx] if residual else V
+            for j in range(m):
+                sub = W[:, j * d_sub : (j + 1) * d_sub]
+                dotv = np.zeros((n, CB[j].shape[0]))
+                for t in range(d_sub):
+                    dotv += sub[:, t, None] * CB[j][None, :, t]
+                scores = HS[j][None, :] - dotv
+                out[f"code{j}"] = np.argmin(scores, axis=1).astype(np.int64)
+            yield pd.DataFrame(out)
+
+    return c.mapInPandas(encode, schema)
+
+
 def ann_ivfpq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2469,23 +2566,7 @@ def ann_ivfpq(
     cents = _centroid_literals(corpus, n_centroids, id_col, vec_col, rows=seed)
     books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col, rows=seed)
 
-    ranked = _cell_rank_sql(vec_col, cents)
-    sliced = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
-        *[
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
-            for j in range(m)
-        ],
-    )
-    codes = sliced.select(
-        "corpus_id",
-        "cell",
-        *[
-            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
-            for j in range(m)
-        ],
-    )
+    codes = _ivfpq_encode_arrow(corpus, cents, books, dim, id_col, vec_col)
 
     return _ivfpq_score_codes(codes, queries, cents, books, n_probe, k,
                               dim, id_col, vec_col)
@@ -3146,23 +3227,7 @@ def write_ivfpq_index(
     d_sub = dim // m
     cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
     books = _pq_codebooks(corpus, m, ks, dim, id_col, vec_col)
-    ranked = _cell_rank_sql(vec_col, cents)
-    sliced = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
-        *[
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
-            for j in range(m)
-        ],
-    )
-    codes = sliced.select(
-        "corpus_id",
-        "cell",
-        *[
-            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
-            for j in range(m)
-        ],
-    )
+    codes = _ivfpq_encode_arrow(corpus, cents, books, dim, id_col, vec_col)
     codes.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/codes")
     model = {
         "dim": dim,
@@ -3261,22 +3326,8 @@ def append_to_ivfpq_index(
          for code, coords, hs in book]
         for book in model["books"]
     ]
-    ranked = _cell_rank_sql(vec_col, cents)
-    sliced = new_vectors.select(
-        F.col(id_col).alias("corpus_id"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
-        *[
-            F.slice(F.col(vec_col), j * d_sub + 1, d_sub).alias(f"sv{j}")
-            for j in range(m)
-        ],
-    )
-    codes = sliced.select(
-        "corpus_id",
-        "cell",
-        *[
-            F.expr(_pq_cell_sql(f"sv{j}", books[j], d_sub)).alias(f"code{j}")
-            for j in range(m)
-        ],
+    codes = _ivfpq_encode_arrow(
+        new_vectors, cents, books, dim, id_col, vec_col
     )
     codes.write.mode("append").partitionBy("cell").parquet(f"{path}/codes")
 
@@ -3437,34 +3488,11 @@ def ann_ivfpq_residual(
             cells.append((code, coords, _half_sq(coords)))
         books.append(cells)
 
-    # index build: cell + residual slices + m codes, one narrow pass
-    cent_map = "map(" + ", ".join(
-        f"CAST({cid} AS BIGINT), {_dvec_lit(cvec)}" for cid, cvec, _ in cents
-    ) + ")"
-    ranked = _cell_rank_sql(vec_col, cents)
-    sliced = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
-        F.col(vec_col).alias("__v"),
-    ).select(
-        "corpus_id",
-        "cell",
-        *[
-            F.expr(
-                f"zip_with(slice(__v, {j * d_sub + 1}, {d_sub}), "
-                f"slice(element_at({cent_map}, cell), {j * d_sub + 1}, {d_sub}), "
-                "(x, y) -> CAST(x AS DOUBLE) - y)"
-            ).alias(f"rv{j}")
-            for j in range(m)
-        ],
-    )
-    codes = sliced.select(
-        "corpus_id",
-        "cell",
-        *[
-            F.expr(_pq_cell_sql(f"rv{j}", books[j], d_sub)).alias(f"code{j}")
-            for j in range(m)
-        ],
+    # index build: cell + residual + m codes, one narrow Arrow pass
+    # (_ivfpq_encode_arrow with residual=True — bit-identical to the old
+    # cent_map/zip_with/_pq_cell_sql expression chain)
+    codes = _ivfpq_encode_arrow(
+        corpus, cents, books, dim, id_col, vec_col, residual=True
     )
 
     # query-side: per (query, PROBED cell), the residual LUTs as DATA on
