@@ -30,6 +30,8 @@ import re
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from adtl_spark.operators.graph import _gated_broadcast
+
 # deterministic 31-bit modulus for minhash permutations (fits multiplication
 # by 31-bit coefficients inside int64)
 MERSENNE_31 = 2_147_483_647
@@ -732,19 +734,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
             F.array_distinct(F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""))
         ).alias("tok"),
     ).select("id", md5_60(F.col("tok")).alias("h"))
+    # the 48 vote sums and the 48-term signature build as F.expr SQL text
+    # (r13, guide §5): the Column-object form cost ~1000 py4j round trips
+    # — 1.5-2.0 s of DRIVER time per construction, 4x the job itself
+    # (same fix as _dot_lit_sql's note in similarity.py); the parsed
+    # trees are identical, so plans and values are unchanged
     bit_votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"v_{j}")
         for j in range(SIMHASH_BITS)
     ]
     votes = toks.groupBy("id").agg(*bit_votes)
-    sig = None
-    for j in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"v_{j}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = bit * F.lit(1 << j).cast("long")
-        sig = term if sig is None else sig + term
-    return votes.select(F.col("id").alias("doc_id"), sig.alias("simhash"))
+    sig = " + ".join(
+        f"(CASE WHEN v_{j} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        f" * CAST({1 << j} AS BIGINT))"
+        for j in range(SIMHASH_BITS)
+    )
+    return votes.select(
+        F.col("id").alias("doc_id"), F.expr(sig).alias("simhash")
+    )
 
 
 def simhash_pairs(
@@ -928,21 +937,41 @@ def cluster_pairs(
 
     # checkpointed: every iteration joins against edges — without cutting
     # lineage here each round would re-execute the whole upstream
-    # pair-generation pipeline
-    edges = cut(
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
+    # pair-generation pipeline.  The pair list normalizes to (lo, hi)
+    # BEFORE the distinct (r13, guide §2.2 — shuffle fewer bytes): the
+    # old form mirrored first and deduplicated the doubled relation, so
+    # the distinct shuffled and the checkpoint materialized 2x the rows;
+    # mirroring on top of the checkpoint is a narrow map.  Ids are
+    # assumed non-null (every caller passes key columns).
+    half = cut(
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("lo"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
+        ).distinct()
+    )
+    edges = half.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(
+        half.filter(F.col("lo") != F.col("hi")).select(
+            F.col("hi").alias("src"), F.col("lo").alias("dst")
+        )
     )
     labels = cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # node count gates the per-round broadcasts (graph._gated_broadcast):
+    # every relation in the loop except `edges` is node-sized, but they
+    # all sit under per-round aggregation/checkpoint chains where AQE has
+    # no stage boundary to measure, so the planned join re-shuffled (and
+    # re-sorted) the EDGE relation every round.  Cheap count on the
+    # already-materialized checkpoint blocks.
+    n_nodes = labels.count()
     prev_sum = None
     for _ in range(max_iterations):
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(_gated_broadcast(labels, n_nodes), edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -957,7 +986,11 @@ def cluster_pairs(
         # extra materialization job per round dominates the saved
         # recompute at every scale where labels fit executor memory.
         adopted = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            labels.join(
+                _gated_broadcast(neighbor_min, n_nodes),
+                labels.node == neighbor_min.src,
+                "left",
+            )
             .select(
                 "node",
                 F.least(
@@ -975,7 +1008,11 @@ def cluster_pairs(
 
         obs = Observation()
         jumped = cut(
-            adopted.join(parent, adopted.label == parent.p_node, "left")
+            adopted.join(
+                _gated_broadcast(parent, n_nodes),
+                adopted.label == parent.p_node,
+                "left",
+            )
             .select(
                 "node",
                 F.least(

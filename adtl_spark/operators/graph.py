@@ -34,6 +34,35 @@ from pyspark.sql import functions as F
 
 PR_SCALE = 1_000_000_000
 
+# Size gate for broadcasting vertex-sized relations inside iterative
+# graph loops (r13 optimization round, guide §3.1 — pick the join
+# strategy deliberately).  The per-iteration label/rank vector sits
+# under an aggregation chain with no stage boundary below the join, so
+# AQE never gets runtime stats to convert the planned sort-merge join —
+# measured: every iteration re-shuffled and re-sorted the EDGE relation
+# (1.2M rows at sf0.1; LPA loop 3.3 s plain vs 1.0 s broadcast).  An
+# unconditional hint would OOM at web-scale vertex counts, so the
+# broadcast is gated on a MEASURED row count the caller already has
+# (vertices.count() / the checkpointed label materialization), with the
+# threshold a runtime conf.  Default 4M rows of (BIGINT, BIGINT) ~=
+# 64 MB serialized — inside Spark's 8 GB broadcast-table hard cap and a
+# sensible executor-memory share; raise it on big-memory clusters, or
+# to 0 to disable broadcasting entirely.  Above the gate the join
+# degrades to the shuffle form exactly as before.
+BCAST_VERTEX_ROWS_CONF = "spark.adtl.graph.broadcastVertexRows"
+_BCAST_VERTEX_ROWS_DEFAULT = 4_000_000
+
+
+def _gated_broadcast(df: DataFrame, n_rows: int) -> DataFrame:
+    """``F.broadcast(df)`` iff ``n_rows`` is within the configured gate
+    (see BCAST_VERTEX_ROWS_CONF above), else ``df`` unchanged."""
+    thr = int(
+        df.sparkSession.conf.get(
+            BCAST_VERTEX_ROWS_CONF, str(_BCAST_VERTEX_ROWS_DEFAULT)
+        )
+    )
+    return F.broadcast(df) if n_rows <= thr else df
+
 
 def cooccurrence_edges(
     pairs: DataFrame, group_col: str, member_col: str
@@ -81,6 +110,7 @@ def pagerank(
     ew = edges.join(outdeg, "src").persist()
     ew.count()  # materialize ew, then the bare edge cache can go
     edges.unpersist()
+    nv = vertices.count()  # gates the rank-vector broadcast (see top)
     try:
         ranks = vertices.select(
             F.col("v"), F.lit(PR_SCALE).cast("long").alias("rq")
@@ -95,7 +125,7 @@ def pagerank(
         # build (rerun on executor loss).
         for _ in range(iters):
             contrib = (
-                ew.join(ranks, ew["src"] == ranks["v"])
+                ew.join(_gated_broadcast(ranks, nv), ew["src"] == ranks["v"])
                 .select(
                     F.col("dst"),
                     F.floor(
@@ -111,7 +141,11 @@ def pagerank(
                 .agg(F.sum("c").alias("csum"))
             )
             ranks = (
-                vertices.join(contrib, vertices["v"] == contrib["dst"], "left")
+                vertices.join(
+                    _gated_broadcast(contrib, nv),
+                    vertices["v"] == contrib["dst"],
+                    "left",
+                )
                 .select(
                     F.col("v"),
                     (
@@ -330,8 +364,9 @@ def label_propagation(
     # modularity read the labels several times, and the edge cache
     # releases before return).
     # Cached PARTITIONED BY dst (guide §2.1 — remove shuffles outright):
-    # when the label join broadcasts (the |V|-row vector is small, or AQE
-    # converts at runtime), the join preserves this clustering, so the
+    # when the label join broadcasts (the gated hint below; AQE cannot
+    # convert it itself — the label side has no stage boundary under the
+    # join to measure), the join preserves this clustering, so the
     # (dst, lab) vote sum AND the per-dst argmax both read a relation
     # already clustered by dst — HashPartitioning(dst) satisfies both
     # aggregations' distributions and no per-iteration exchange runs.
@@ -352,12 +387,13 @@ def label_propagation(
         .persist()
     )
     edges.count()
+    nv = vertices.count()  # gates the label-vector broadcast
     try:
         labels = vertices.select("v", F.col("v").cast("long").alias("lab"))
         for _ in range(iters):
-            votes = edges.join(labels, edges["src"] == labels["v"]).select(
-                F.col("dst"), F.col("lab"), F.col("w")
-            )
+            votes = edges.join(
+                _gated_broadcast(labels, nv), edges["src"] == labels["v"]
+            ).select(F.col("dst"), F.col("lab"), F.col("w"))
             scores = votes.groupBy("dst", "lab").agg(F.sum("w").alias("s"))
             labels = (
                 scores.groupBy("dst")
