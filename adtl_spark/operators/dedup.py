@@ -1538,13 +1538,18 @@ def tfidf_cosine_pairs(
     weighted = sh.select("id", "sh").join(freq, "sh").select(
         "id", "sh", w.alias("w")
     )
-    norms = weighted.groupBy("id").agg(
-        F.sum(F.col("w") * F.col("w")).alias("__s2__")
-    )
+    # the per-doc norm rides a window over the SAME weighted relation
+    # (r13, guide §2.2): the old groupBy + join-back gave `weighted` two
+    # consumers, so the whole shingle+df pipeline executed twice (Spark
+    # plans trees); the window is one shuffle by id and the values are
+    # the identical exact integers
+    from pyspark.sql import Window
+
+    s2 = F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id"))
     # persisted: the pair self-join reads the unit relation twice and the
     # self-pair check a third time
     unit = (
-        weighted.join(norms, "id")
+        weighted.withColumn("__s2__", s2)
         .filter(F.col("__s2__") > 0)
         .select(
             "id",
