@@ -96,8 +96,9 @@ multimodal_image_augment read 14.0 s vs 4.6/3.9 s isolated at the same
 HEAD; the JVM and its C2 state survive a session restart, so JVM-side
 comparability holds).  Each sub-block re-warms twice after its restart,
 so timed runs still measure steady-state worker reuse.  Records are
-now self-adjudicating: entries reading >2x their run34 band (>1 s
-absolute) are listed under "flagged" and counted in the summary line.
+now self-adjudicating: entries reading >2x their band (>1 s absolute)
+are listed under "flagged" and counted in the summary line (band
+source: bands_r13.json since r13; run34 before that).
 
 Round-15 changes: appends the round's six gates (MPEG-2 LSF +
 low-rate Layer II decode, 4:1:1/4:2:2 JPEG subsampling, auto-banded
@@ -492,12 +493,18 @@ MEASUREMENT_GATES = frozenset(
 
 
 def _load_bands() -> dict[str, float]:
-    """run34 is the canonical clean suite state (BENCH_NOTES): its
-    per-query times are the self-adjudication bands.  Queries added
-    after run34 have no band and are never flagged."""
+    """Self-adjudication bands from ``bands_r13.json`` — the r13
+    re-baseline (element-wise MIN of clean quiet-host suite runs
+    48/49/50 at r13 HEADs; provenance inside the file and in
+    BENCH_NOTES).  The run34 source was retired in r13: 25/259 entries
+    flagged with zero real regressions in BENCH_r12 meant the alarm no
+    longer discriminated code from host noise.  A flag still means
+    "adjudicate with an isolated probe before believing this number",
+    nothing more.  Queries missing from the band file are never
+    flagged."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "docs", "bench_runs", "run34.json",
+        "docs", "bench_runs", "bands_r13.json",
     )
     try:
         with open(path) as f:
@@ -593,7 +600,7 @@ def main() -> None:
             _release_leaked_blocks(spark)
     timings = {n: timings[n] for n in HEADLINE}  # canonical order
 
-    # Self-adjudication: flag entries reading >2x their run34 band (and
+    # Self-adjudication: flag entries reading >2x their band (and
     # >1 s absolute, so microsecond queries never trip on jitter).  A
     # flagged entry means "adjudicate with an isolated probe before
     # believing this number" — the record carries its own health check.
