@@ -372,14 +372,21 @@ def dedup_ngram_jaccard(
     # arrays, frequency filter); persist the compact (id, sh, df) rows so
     # tokenization+explode runs once, not three times
     sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
-    freq = sh.groupBy("sh").agg(
-        F.sum("__gsize").alias("df_")  # multiplicity-weighted df
+    # multiplicity-weighted df as a window over the SAME shingle relation
+    # (r13, guide §2.2): the old groupBy + join-back gave the shingle
+    # pass two consumers, executing tokenization+explode twice; the
+    # window is one shuffle by sh and the integers are identical
+    from pyspark.sql import Window
+
+    sh = sh.select(
+        "id",
+        "sh",
+        F.sum("__gsize").over(Window.partitionBy("sh")).alias("df_"),
     )
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # one cheap metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
-        freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.select("id", "sh").join(freq, "sh")
+        sh = sh.filter(F.col("df_") <= cap)
 
     # PPJoin prefix filter (lossless): two docs with jaccard >= t must share
     # a shingle within each doc's first |d| - ceil(t*|d|) + 1 shingles when
@@ -1529,22 +1536,27 @@ def tfidf_cosine_pairs(
 
     sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
     n_docs = df.count()  # raw count — multiplicity-weighted df cap below
-    freq = sh.groupBy("sh").agg(F.sum("__gsize").alias("df_"))
+    # multiplicity-weighted df as a window over the SAME shingle relation
+    # (r13, guide §2.2, same cure as dedup_ngram_jaccard): the groupBy +
+    # join-back form executed the shingle pass twice
+    from pyspark.sql import Window
+
+    sh = sh.select(
+        "id",
+        "sh",
+        F.sum("__gsize").over(Window.partitionBy("sh")).alias("df_"),
+    )
     if max_doc_freq_frac is not None:
-        freq = freq.filter(F.col("df_") <= int(n_docs * max_doc_freq_frac))
+        sh = sh.filter(F.col("df_") <= int(n_docs * max_doc_freq_frac))
     w = F.floor(
         F.log(F.lit(float(n_docs)) / F.col("df_")) * 10000 + F.lit(0.5)
     ).cast("long")
-    weighted = sh.select("id", "sh").join(freq, "sh").select(
-        "id", "sh", w.alias("w")
-    )
+    weighted = sh.select("id", "sh", w.alias("w"))
     # the per-doc norm rides a window over the SAME weighted relation
     # (r13, guide §2.2): the old groupBy + join-back gave `weighted` two
     # consumers, so the whole shingle+df pipeline executed twice (Spark
     # plans trees); the window is one shuffle by id and the values are
     # the identical exact integers
-    from pyspark.sql import Window
-
     s2 = F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("id"))
     # persisted: the pair self-join reads the unit relation twice and the
     # self-pair check a third time
@@ -1704,14 +1716,20 @@ def containment_pairs(
     )
 
     sh = shingle_df(canon, text_col, "id", n, carry=["__gsize"])
-    freq = sh.groupBy("sh").agg(
-        F.sum("__gsize").alias("df_")  # multiplicity-weighted df
+    # multiplicity-weighted df as a window (r13, guide §2.2 — same cure
+    # as dedup_ngram_jaccard: the groupBy + join-back form executed the
+    # shingle pass twice)
+    from pyspark.sql import Window
+
+    sh = sh.select(
+        "id",
+        "sh",
+        F.sum("__gsize").over(Window.partitionBy("sh")).alias("df_"),
     )
     if max_doc_freq_frac is not None:
         n_docs = df.count()  # metadata-only action
         cap = int(n_docs * max_doc_freq_frac)
-        freq = freq.filter(F.col("df_") <= cap)
-    sh = sh.select("id", "sh").join(freq, "sh")
+        sh = sh.filter(F.col("df_") <= cap)
 
     # Rarity ranking as ONE aggregation into per-doc sorted arrays (see
     # dedup_ngram_jaccard): the former row_number/count window pair ran

@@ -67,9 +67,11 @@ def test_alloc_table_selection_matrix():
         t = _alloc_table(rate, kbps, version=2)
         assert len(t) == 30
         assert [n for n, _ in t] == [4] * 4 + [3] * 7 + [2] * 19
-    # low-rate grouped ladders: no 7-step class, 16-bit top for nbal=4
+    # low-rate grouped ladders: no 7-step class; nbal=4 tops at 32767
+    # (15-bit ungrouped — the r12 ADVICE fix; 65535 would desync by
+    # reading 16 bits for allocation code 15, pinned in test_round16)
     nbal4, steps4 = _alloc_table(48000, 48)[0]
-    assert nbal4 == 4 and 7 not in steps4 and steps4[-1] == 65535
+    assert nbal4 == 4 and 7 not in steps4 and steps4[-1] == 32767
     nbal3, steps3 = _alloc_table(48000, 48)[2]
     assert nbal3 == 3 and steps3 == [3, 5, 9, 15, 31, 63, 127]
     # LSF rows cap at 15 bits and carry a 3/5/9 2-bit top tier
