@@ -110,6 +110,11 @@ def pagerank(
     ew = edges.join(outdeg, "src").persist()
     ew.count()  # materialize ew, then the bare edge cache can go
     edges.unpersist()
+    # persist the vertex relation too: it is executed once per iteration
+    # (the rank left join, each eagerly checkpointed) plus the count below
+    # — for TextRank the uncached form re-ran tokenize+explode+distinct
+    # four times per call
+    vertices = vertices.persist()
     nv = vertices.count()  # gates the rank-vector broadcast (see top)
     try:
         ranks = vertices.select(
@@ -163,6 +168,7 @@ def pagerank(
         ).orderBy(F.desc("pagerank"), F.asc("v"))
     finally:
         ew.unpersist()
+        vertices.unpersist()
 
 
 def pagerank_cooccurrence_oracle_sql(
@@ -239,10 +245,18 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     The count is orientation-invariant, so the DuckDB oracle keeps the
     simple id-oriented three-way join.  Degrees join as a broadcast
     (vertex-bound relation).  Returns one row (n_triangles)."""
+    # persist the deduplicated edge list: it feeds the degree aggregation
+    # and the oriented-edge build, and the oriented relation is referenced
+    # three times (two wedge sides + the closing edge) — Spark plans trees,
+    # so without the caches the caller's edge pipeline (for the triangles
+    # gate: a lineitem-wide co-occurrence aggregation + global top-K sort)
+    # re-executes once per reference (measured: 18 copies of the backbone
+    # subtree / 36 lineitem scans in the uncached physical plan)
     und = (
         edges.select("src", "dst")
         .filter(F.col("src") < F.col("dst"))
         .distinct()
+        .persist()
     )
     deg = (
         und.select(F.explode(F.array("src", "dst")).alias("v"))
@@ -258,7 +272,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     o = keyed.select(
         F.when(lo_first, F.col("src")).otherwise(F.col("dst")).alias("u"),
         F.when(lo_first, F.col("dst")).otherwise(F.col("src")).alias("x"),
-    )
+    ).persist()
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
     wedges = (
         e1.join(e2, F.col("e1.u") == F.col("e2.u"))
@@ -271,14 +285,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         F.least(F.col("e3.u"), F.col("e3.x")).alias("a2"),
         F.greatest(F.col("e3.u"), F.col("e3.x")).alias("b2"),
     )
-    return (
-        wedges.select(
-            F.least(F.col("a"), F.col("b")).alias("a2"),
-            F.greatest(F.col("a"), F.col("b")).alias("b2"),
+    try:
+        # one row; the eager checkpoint cuts the result off the caches so
+        # they can be released before returning (pagerank's pattern)
+        return (
+            wedges.select(
+                F.least(F.col("a"), F.col("b")).alias("a2"),
+                F.greatest(F.col("a"), F.col("b")).alias("b2"),
+            )
+            .join(closing, ["a2", "b2"])
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .localCheckpoint()
         )
-        .join(closing, ["a2", "b2"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
+    finally:
+        o.unpersist()
+        und.unpersist()
 
 
 def triangle_count_cooccurrence_oracle_sql(

@@ -2211,9 +2211,14 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     dedup.simhash_pairs; callers needing high recall past distance 3
     should band into 8-bit blocks (8 joins, complete to hamming <= 7).
     Null-hash rows (undecodable or sub-grid images) are excluded."""
+    # persist the (media_id, hi, lo) hash relation: the banding self-join
+    # references it on both sides, and with a broadcast build side there is
+    # no exchange to reuse — uncached, the whole upstream (for the pair
+    # gate: the image decode + dHash MapInPandas chain) executes twice,
+    # once per side (two MapInPandas spans in the measured plan)
     sig = hashes.filter(
         F.col("dhash_hi").isNotNull() & F.col("dhash_lo").isNotNull()
-    )
+    ).persist()
     mask = F.lit((1 << 16) - 1)
     blocks = sig.select(
         "media_id",
@@ -2248,7 +2253,7 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
     hamming = F.bit_count(
         F.col("a.dhash_hi").bitwiseXOR(F.col("b.dhash_hi"))
     ) + F.bit_count(F.col("a.dhash_lo").bitwiseXOR(F.col("b.dhash_lo")))
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.blk") == F.col("b.blk"))
@@ -2263,6 +2268,9 @@ def dhash_pairs(hashes: DataFrame, max_hamming: int = 8) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    return _materialize_and_release(pairs, [sig])
 
 
 def resize_image_nn(df: DataFrame, factor: int = 2) -> DataFrame:

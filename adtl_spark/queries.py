@@ -6827,10 +6827,15 @@ def olap_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     explodes only within orders — the fact-to-fact equi-join shape with
     a tiny per-key fan-out.  Integer-exact: counts are BIGINT, lift
     quantizes at 1e-4 from exact products."""
+    # persist the distinct (order, part) relation: it feeds four consumers
+    # (both self-join sides, the per-part counts, the order count) and the
+    # self-join's broadcast build side leaves no exchange to reuse — the
+    # uncached plan scanned lineitem and re-ran the distinct five times
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     a = li.select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa")
@@ -6877,9 +6882,14 @@ def olap_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
-    return scored.orderBy(
-        F.desc("lift"), F.asc("pa"), F.asc("pb")
-    ).limit(BASKET_TOP)
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    return _materialize_and_release(
+        scored.orderBy(F.desc("lift"), F.asc("pa"), F.asc("pb")).limit(
+            BASKET_TOP
+        ),
+        [li],
+    )
 
 
 def quality_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,3 +159,78 @@ def test_frontier_offsets_valid_delta_still_read(spark, tmp_path):
     offs = _frontier_offsets(spark, store, 1)
     got = {r["host"]: r["__off"] for r in offs.collect()}
     assert got == {"h1": 3, "h2": 5}
+
+
+# -------------------------------------------- r13 cache-release contracts
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def _clear_persistent(spark) -> None:
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist(False)
+
+
+def test_triangle_count_releases_edge_caches(spark):
+    """triangle_count now persists the deduplicated and the oriented edge
+    relations (the caller's edge pipeline re-executed once per reference
+    — 18 backbone copies in the triangles gate's uncached plan) and must
+    release BOTH before returning; only the one-row result checkpoint
+    may survive the call."""
+    from adtl_spark.operators import graph as G
+
+    _clear_persistent(spark)
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4),
+                                (1, 4)] for a, b in [(a, b), (b, a)]],
+        "src long, dst long, w long",
+    )
+    n0 = _n_persistent(spark)
+    out = G.triangle_count(edges)
+    assert out.collect()[0]["n_triangles"] == 4
+    assert _n_persistent(spark) - n0 <= 1
+
+
+def test_pagerank_releases_vertex_cache(spark):
+    """pagerank persists the vertex relation (executed once per iteration
+    plus the broadcast-gate count) and must release it with the edge
+    cache; leftovers after the call are at most the per-iteration rank
+    checkpoints."""
+    from adtl_spark.operators import graph as G
+
+    _clear_persistent(spark)
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 1, 1), (2, 3, 2), (3, 2, 2)],
+        "src long, dst long, w long",
+    )
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    n0 = _n_persistent(spark)
+    out = G.pagerank(edges, verts, iters=3).collect()
+    assert len(out) == 3
+    # 3 iteration checkpoints may linger; ew + vertices must not
+    assert _n_persistent(spark) - n0 <= 3
+
+
+def test_dhash_pairs_releases_hash_cache(spark):
+    """dhash_pairs persists the (media_id, hi, lo) relation so the decode
+    chain upstream executes once, not once per banding-join side, and
+    materializes the pair list through _materialize_and_release; only
+    the result checkpoint may survive."""
+    from adtl_spark.operators.multimodal import dhash_pairs
+
+    _clear_persistent(spark)
+    hashes = spark.createDataFrame(
+        [(1, 7, 7), (2, 7, 7), (3, 7, 6), (4, None, None)],
+        "media_id long, dhash_hi long, dhash_lo long",
+    )
+    n0 = _n_persistent(spark)
+    rows = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dhash_pairs(hashes, max_hamming=8).collect()
+    }
+    # identical hashes at distance 0; (hi 7, lo 7) vs (hi 7, lo 6): the
+    # lo halves differ in 2 bits (0b111 vs 0b110 -> 1 bit) -- compute:
+    # 7 ^ 6 = 1 -> bit_count 1
+    assert rows[(1, 2)] == 0 and rows[(1, 3)] == 1 and rows[(2, 3)] == 1
+    assert (4, 1) not in rows and (1, 4) not in rows
+    assert _n_persistent(spark) - n0 <= 1
