@@ -330,6 +330,83 @@ def _cell_rank_sql(vec_name: str, cents) -> str:
     return f"sort_array(array({structs}), true)"
 
 
+# Size gate for the Arrow IVF cell assignment (r13, guide §4.2 + §1.3).
+# Measured at 16 centroids x 64 dims: the interpreted expression form
+# costs ~70 us/row (1.4 s at 20k rows, 7.3 s at 100k) while the Arrow
+# pass runs the same dots in numpy (~0.6 s / 1.8 s incl. boundary) — a
+# 2.5-4x win that only grows with corpus size.  BELOW ~10k rows the
+# relationship inverts: the Python stage's fixed overhead (~0.3-0.5 s)
+# exceeds the entire interpreted cost, so tiny corpora keep the
+# expression form.  Same measured-gate pattern as
+# graph.BCAST_VERTEX_ROWS_CONF; 0 disables the Arrow path entirely.
+ARROW_ASSIGN_ROWS_CONF = "spark.adtl.ann.arrowAssignRows"
+_ARROW_ASSIGN_ROWS_DEFAULT = 10_000
+
+
+def _ivf_cell_assign(rel: DataFrame, cents, vec_field: str = "cv") -> DataFrame:
+    """Append the IVF cell id to ``rel`` (which must carry the vector in
+    ``vec_field``): Arrow-vectorized above the size gate (one
+    mapInPandas pass — the interpreted form folds n_centroids × dim
+    multiply-adds per corpus row), the original
+    ``element_at(_cell_rank_sql(...), 1).cid`` expression below it.
+    The two branches are BIT-IDENTICAL (exceptAll diff 0 at sf0.1 for 16
+    and 32 centroids, vectors included) by _ivfpq_encode_arrow's
+    argument: ``cents`` arrive in ascending cid order, so numpy's
+    first-position argmin over ``-dot/nrm`` (per-dimension left-to-right
+    float64 accumulation — the interpreted fold's IEEE sequence) equals
+    sort_array's (s ASC, cid ASC) head.  The vector and any passthrough
+    columns cross the Arrow boundary untouched; a float32 round-trip is
+    bitwise lossless because no arithmetic touches them.  The gate's
+    count() is one aggregate-only job over the (already pruned) input —
+    the same probe-then-pick trade as text.schedule_frontier's
+    auto-banding."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    thr = int(
+        rel.sparkSession.conf.get(
+            ARROW_ASSIGN_ROWS_CONF, str(_ARROW_ASSIGN_ROWS_DEFAULT)
+        )
+    )
+    if thr == 0 or rel.count() < thr:
+        ranked = _cell_rank_sql(vec_field, cents)
+        return rel.withColumn(
+            "cell", F.expr(f"element_at({ranked}, 1).cid")
+        )
+
+    cent_ids = [int(cid) for cid, _, _ in cents]
+    cent_vecs = [cvec for _, cvec, _ in cents]
+    cent_nrms = [nrm for _, _, nrm in cents]
+    # copy the field list: StructType.add mutates in place, and rel.schema
+    # hands back the DataFrame's cached schema object
+    schema = StructType(
+        list(rel.schema.fields) + [StructField("cell", LongType())]
+    )
+
+    def assign(batches):
+        import numpy as np
+
+        CID = np.asarray(cent_ids, dtype=np.int64)
+        CV = np.asarray(cent_vecs, dtype=np.float64)
+        NRM = np.asarray(cent_nrms, dtype=np.float64)
+        for pdf in batches:
+            pdf = pdf.copy()
+            if not len(pdf):
+                pdf["cell"] = np.array([], dtype=np.int64)
+                yield pdf
+                continue
+            V = np.stack(
+                [np.asarray(x, dtype=np.float32) for x in pdf[vec_field]]
+            ).astype(np.float64)
+            dotc = np.zeros((len(pdf), len(CID)))
+            for t in range(V.shape[1]):
+                dotc += V[:, t, None] * CV[None, :, t]
+            s = (-dotc) / NRM[None, :]
+            pdf["cell"] = CID[np.argmin(s, axis=1)]
+            yield pdf
+
+    return rel.mapInPandas(assign, schema)
+
+
 def ann_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -347,10 +424,14 @@ def ann_ivf(
     |corpus| * n_probe / n_centroids on a balanced quantizer."""
     cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
     ranked = _cell_rank_sql(vec_col, cents)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(vec_col).alias("cv"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+    # corpus-side cell assignment in one Arrow pass (r13): the interpreted
+    # form evaluated n_centroids x dim HOF multiply-adds per corpus row;
+    # the query side stays expression-based (queries are a tiny relation)
+    c = _ivf_cell_assign(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("cv")
+        ),
+        cents,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -3117,11 +3198,14 @@ def hard_negatives_ann(
     (query_id, corpus_id, rank, cos)."""
     cents = _centroid_literals(corpus, n_centroids, id_col, vec_col)
     ranked = _cell_rank_sql(vec_col, cents)
-    c = corpus.select(
-        F.col(id_col).alias("corpus_id"),
-        F.col(label_col).alias("c_label"),
-        F.col(vec_col).alias("cv"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cell"),
+    # corpus-side cell assignment in one Arrow pass (r13) — see ann_ivf
+    c = _ivf_cell_assign(
+        corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            F.col(label_col).alias("c_label"),
+            F.col(vec_col).alias("cv"),
+        ),
+        cents,
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),

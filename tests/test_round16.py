@@ -234,3 +234,40 @@ def test_dhash_pairs_releases_hash_cache(spark):
     assert rows[(1, 2)] == 0 and rows[(1, 3)] == 1 and rows[(2, 3)] == 1
     assert (4, 1) not in rows and (1, 4) not in rows
     assert _n_persistent(spark) - n0 <= 1
+
+
+def test_ivf_cell_assign_gate_branches_bit_equal(spark):
+    """_ivf_cell_assign picks the expression form below the size gate and
+    the Arrow pass above it; the two branches must be bit-identical
+    (cells AND passthrough vector) so the gate can never change a
+    result."""
+    from adtl_spark.operators import similarity as S
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, float((i * 3) % 5) - 1.5,
+              0.125 * (i % 11), -0.5 * (i % 3)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = S._centroid_literals(emb, 4, "vec_id", "embedding")
+    rel = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("cv")
+    )
+    # default gate (10k): 60 rows -> expression branch, no Python node
+    lazy = S._ivf_cell_assign(rel, cents)
+    assert "MapInPandas" not in lazy._jdf.queryExecution().toString()
+    expr_rows = sorted(
+        (r["corpus_id"], r["cell"], tuple(r["cv"])) for r in lazy.collect()
+    )
+    # forced gate: Arrow branch
+    spark.conf.set(S.ARROW_ASSIGN_ROWS_CONF, "1")
+    try:
+        arrow = S._ivf_cell_assign(rel, cents)
+        assert "MapInPandas" in arrow._jdf.queryExecution().toString()
+        arrow_rows = sorted(
+            (r["corpus_id"], r["cell"], tuple(r["cv"]))
+            for r in arrow.collect()
+        )
+    finally:
+        spark.conf.unset(S.ARROW_ASSIGN_ROWS_CONF)
+    assert expr_rows == arrow_rows
