@@ -1210,11 +1210,18 @@ def semantic_dedup(
         k = max(2, math.isqrt(max(int(corpus.count()), 1)))
     cents = _kmeans_train(corpus, k, iters, id_col, vec_col)
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    # persist the distinct-vector relation: it is referenced three times
+    # (both threat-join sides + the member join-back) and the threat
+    # join's broadcast build side leaves no exchange to reuse — uncached,
+    # the groupBy AND the k x dim interpreted cell fold executed once per
+    # reference (3 scan+aggregate copies in the measured plan; r13, guide
+    # §2.4).  Released below once the survivor list materializes.
     d = (
         c.groupBy("v")
         .agg(F.min("vec_id").alias("rep"))
         .withColumn("cluster", F.expr(_kmeans_cell_sql("v", cents)))
         .withColumn("self_cos", cosine(F.col("v"), F.col("v")))
+        .persist()
     )
     a, b = d.alias("a"), d.alias("b")
     # smallest lower-bound threat per distinct vector: any DIFFERENT
@@ -1231,7 +1238,7 @@ def semantic_dedup(
         .agg(F.min(F.col("b.rep")).alias("thr"))
     )
     meta = d.join(threats, "rep", "left")
-    return (
+    result = (
         c.join(meta, "v")
         .filter(
             (F.col("thr").isNull() | (F.col("vec_id") < F.col("thr")))
@@ -1242,6 +1249,9 @@ def semantic_dedup(
         )
         .select("vec_id", "cluster")
     )
+    from adtl_spark.operators.dedup import _materialize_and_release
+
+    return _materialize_and_release(result, [d])
 
 
 def semantic_dedup_oracle_sql(

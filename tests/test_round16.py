@@ -271,3 +271,25 @@ def test_ivf_cell_assign_gate_branches_bit_equal(spark):
     finally:
         spark.conf.unset(S.ARROW_ASSIGN_ROWS_CONF)
     assert expr_rows == arrow_rows
+
+
+def test_semantic_dedup_releases_distinct_vector_cache(spark):
+    """semantic_dedup persists the distinct-vector relation (referenced
+    by both threat-join sides and the member join-back) and must release
+    it once the survivor list materializes; only the result checkpoint
+    may survive the call."""
+    from adtl_spark.operators.similarity import semantic_dedup
+
+    _clear_persistent(spark)
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0]),
+         (4, [0.70710678, 0.70710678])],
+        "vec_id long, embedding array<float>",
+    )
+    n0 = _n_persistent(spark)
+    rows = semantic_dedup(emb, tau=0.99, k=2, iters=1).collect()
+    survivors = sorted(r["vec_id"] for r in rows)
+    # 2 duplicates 1 exactly (cos=1 >= tau) and is dropped; 3 and 4 are
+    # at cos ~0.707 from each other and below tau from everything else
+    assert survivors == [1, 3, 4]
+    assert _n_persistent(spark) - n0 <= 1
