@@ -297,12 +297,19 @@ def test_pack_chunks_heavy_window_is_partitioned(spark):
            "__bk__" in plan.split("Window")[1]
 
 
-def test_semantic_dedup_joins_on_cluster(spark):
+def test_semantic_dedup_joins_on_cluster(spark, monkeypatch):
     """The within-cluster pair scan must plan as an equi-join on the
     cluster id (hash-partitionable), never a cartesian/nested-loop over
-    the corpus."""
+    the corpus.  semantic_dedup returns a localCheckpoint-backed result
+    since the r13 distinct-vector cache change, so the assertion
+    inspects the PRE-materialization plan by stubbing the materialize
+    helper (the test_bm25_query_side_broadcasts pattern)."""
+    import adtl_spark.operators.dedup as D
     from adtl_spark.operators import similarity as S
 
+    monkeypatch.setattr(
+        D, "_materialize_and_release", lambda result, caches: result
+    )
     df = spark.createDataFrame(
         [(i, [float(i % 3), 1.0]) for i in range(8)], ["vec_id", "embedding"]
     )
