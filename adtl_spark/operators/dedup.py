@@ -917,10 +917,25 @@ def cluster_pairs(
     Each round does (a) neighbor-min adoption — every node takes the
     smallest label among itself and its neighbors — and (b) pointer
     jumping — ``label(x) <- label(label(x))`` — so the effective radius
-    doubles per round and a component of diameter d converges in
+    roughly doubles per round and a component of diameter d converges in
     O(log d) shuffles, not O(d).  Intermediate label tables are
     checkpointed: iterative plans otherwise grow lineage (and codegen)
     exponentially.
+
+    FUSED ROUND (r14 optimization round, guide §2.1/§2.4): adoption's
+    own-label term rides the edge relation as a SELF-LOOP row per node
+    (the label_propagation trick), so the old ``labels LEFT JOIN
+    neighbor_min`` merge disappears — one edge-scan aggregation yields
+    min(self, neighbors) directly.  The pointer jump then reads the
+    PREVIOUS round's already-checkpointed label table instead of
+    self-joining the adoption subtree (which executed the edge scan
+    twice per round).  A stale parent is still monotone — every label
+    is a node id in the same component and labels only decrease — so
+    the loop converges to the identical fixpoint (node -> component min
+    id; any converging monotone variant does), one round later at worst
+    (radius 2r+1 per round instead of 2r+2).  Measured at sf0.1: the
+    loop fell from 3.2 s / 5 rounds x (3 joins, 2 edge scans) to
+    1.6-2.1 s / 6 rounds x (1 join + 1 edge scan), output bit-identical.
 
     ``checkpoint_dir`` selects the cut strategy.  Default (None) uses
     ``localCheckpoint`` — blocks live on executors, fastest, but an
@@ -956,15 +971,8 @@ def cluster_pairs(
             F.greatest(F.col(id_a), F.col(id_b)).alias("hi"),
         ).distinct()
     )
-    edges = half.select(
-        F.col("lo").alias("src"), F.col("hi").alias("dst")
-    ).unionByName(
-        half.filter(F.col("lo") != F.col("hi")).select(
-            F.col("hi").alias("src"), F.col("lo").alias("dst")
-        )
-    )
     labels = cut(
-        edges.select(F.col("src").alias("node"))
+        half.select(F.explode(F.array("lo", "hi")).alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
@@ -975,37 +983,41 @@ def cluster_pairs(
     # re-sorted) the EDGE relation every round.  Cheap count on the
     # already-materialized checkpoint blocks.
     n_nodes = labels.count()
+    # the static per-round probe relation: both edge directions plus one
+    # self-loop per node (self-pairs lo == hi are subsumed by the
+    # self-loops).  Materialized once — the round plan then opens with a
+    # bare block scan instead of re-deriving the 3-branch union per scan
+    # (measured: the derived form gave back half the round win), and the
+    # repartition balances the blocks for the per-round aggregation.
+    nonself = half.filter(F.col("lo") != F.col("hi"))
+    edges = cut(
+        nonself.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        .unionByName(
+            nonself.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+        )
+        .unionByName(
+            labels.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .repartition(F.col("src"))
+    )
     prev_sum = None
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(_gated_broadcast(labels, n_nodes), edges.dst == labels.node)
+        # adoption: min(own, neighbor labels) in ONE join+agg — the
+        # self-loop row contributes the node's own previous label
+        m = (
+            edges.join(
+                _gated_broadcast(labels, n_nodes), edges.dst == labels.node
+            )
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+            .agg(F.min("label").alias("ml"))
         )
-        # NOTE (r13 optimization round): the pointer-jump below is a
-        # SELF-join of `adopted`, so the adoption subtree executes twice
-        # per round.  BOTH sharing mechanisms were tried and REVERTED on
-        # measurement: persist() defeats AQE's runtime join planning
-        # (dedup_keep_best 7.8 s -> 10.3 s isolated), and an eager
-        # per-round localCheckpoint costs more than the duplicated
-        # subtree it saves (dedup_cluster 7.6 -> 8.1 s, dedup_keep_best
-        # 6.7 -> 7.8 s isolated) — the label table is node-sized, so the
-        # extra materialization job per round dominates the saved
-        # recompute at every scale where labels fit executor memory.
-        adopted = (
-            labels.join(
-                _gated_broadcast(neighbor_min, n_nodes),
-                labels.node == neighbor_min.src,
-                "left",
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
-        )
-        parent = adopted.select(
+        # pointer jump through the PREVIOUS (checkpointed) label table:
+        # ml is always a node id (labels are propagated node ids), so the
+        # join is inner, and p_label <= ml by monotonicity — the least()
+        # is belt-and-braces, not semantics
+        parent = labels.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         # labels only ever decrease, so an unchanged sum(label) means a
@@ -1014,21 +1026,16 @@ def cluster_pairs(
         from pyspark.sql import Observation
 
         obs = Observation()
-        jumped = cut(
-            adopted.join(
-                _gated_broadcast(parent, n_nodes),
-                adopted.label == parent.p_node,
-                "left",
+        labels = cut(
+            m.join(
+                _gated_broadcast(parent, n_nodes), m.ml == parent.p_node
             )
             .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
+                F.col("src").alias("node"),
+                F.least(F.col("ml"), F.col("p_label")).alias("label"),
             )
             .observe(obs, F.sum("label").alias("s"))
         )
-        labels = jumped
         cur = obs.get["s"]
         if cur == prev_sum:
             break

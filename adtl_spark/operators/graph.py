@@ -29,6 +29,7 @@ No dangling-mass redistribution: isolated vertices hold the base rank
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,21 +72,28 @@ def cooccurrence_edges(
     weight = number of groups where both members appear.  Emitted in both
     directions (src, dst, w) so PageRank consumes it directly.
 
-    Scale shape: the self-join is per-group (equi-join on the group key),
-    so the expansion is bounded by the per-group membership count squared
-    — for order/supplier co-occurrence that is a handful, never a
-    corpus-sized blowup.  Distinct (group, member) first so duplicate
-    lineitems do not inflate weights."""
-    m = pairs.select(
-        F.col(group_col).alias("g"), F.col(member_col).alias("m")
-    ).distinct()
-    a, b = m.alias("a"), m.alias("b")
+    Scale shape: pair expansion happens IN-ROW over the per-group member
+    set (collect_set + double explode), bounded by the per-group
+    membership count squared — for order/supplier co-occurrence that is
+    a handful, never a corpus-sized blowup.  collect_set subsumes the
+    old DISTINCT, so the whole derivation is two shuffles (group, then
+    (src, dst)) instead of three: the r13-era distinct + per-group
+    self-join paid an extra exchange plus both sort-merge sorts on the
+    group key (r14, guide §2.4 — remove shuffles outright; measured
+    interleaved at sf0.1: 0.85 s vs 0.98 s, identical output).  A group
+    whose membership is NOT a handful would make the in-row array a
+    per-task hot spot — same quadratic blowup the join form had, just
+    concentrated; cap memberships upstream if that invariant breaks."""
+    grp = (
+        pairs.select(F.col(group_col).alias("g"), F.col(member_col).alias("m"))
+        .groupBy("g")
+        .agg(F.collect_set("m").alias("ms"))
+    )
     return (
-        a.join(b, "g")
-        .filter(F.col("a.m") != F.col("b.m"))
-        .groupBy(
-            F.col("a.m").alias("src"), F.col("b.m").alias("dst")
-        )
+        grp.select(F.explode("ms").alias("src"), F.col("ms"))
+        .select("src", F.explode("ms").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
     )
 
@@ -100,22 +108,75 @@ def pagerank(
     set — ``iters`` exact-integer iterations (see module docstring).
 
     Output: (v, pagerank) for every vertex, pagerank rounded to 4
-    decimals, ordered by rank descending then vertex id."""
+    decimals, ordered by rank descending then vertex id.
+
+    FUSED ITERATION (r14 optimization round, guide §2.1/§2.4): the old
+    per-iteration ``vertices LEFT JOIN contributions`` merge (which kept
+    every vertex present and re-scanned the vertex relation each round)
+    is folded into the edge aggregation itself — the persisted edge
+    relation carries one ZERO-WEIGHT SELF-LOOP row per vertex
+    (w=0, outdeg=1, so its contribution is floor(0) = 0 exactly and the
+    per-vertex integer sum is unchanged), which guarantees every vertex
+    appears in the groupBy(dst) output.  Edges whose dst is not a vertex
+    — which the old left join silently dropped every round — are
+    removed ONCE up front by a semi-join.  One join + one aggregation
+    per iteration instead of two joins; within the broadcast gate the
+    relation is also hash-partitioned by dst so the aggregation needs
+    no per-iteration exchange (single-stage rounds)."""
     base_q = int(round((1.0 - damping) * PR_SCALE))
-    # persist the JOINED (edge, outdeg) relation, not the bare edge list:
-    # every iteration scans ew, and caching only edges would re-run the
-    # outdegree aggregation + join once per iteration
-    edges = edges.persist()  # read twice while building ew
-    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
-    ew = edges.join(outdeg, "src").persist()
-    ew.count()  # materialize ew, then the bare edge cache can go
-    edges.unpersist()
-    # persist the vertex relation too: it is executed once per iteration
-    # (the rank left join, each eagerly checkpointed) plus the count below
-    # — for TextRank the uncached form re-ran tokenize+explode+distinct
-    # four times per call
-    vertices = vertices.persist()
+    # persist the JOINED (edge, outdeg, self-loop) relation, not the bare
+    # edge list: every iteration scans ew, and caching only edges would
+    # re-run the outdegree aggregation + join once per iteration.  Skip
+    # the persist/unpersist pair when the CALLER already cached the
+    # input — persist is idempotent but unpersist is absolute, so the
+    # old unconditional pair silently evicted caller-owned caches
+    # (r13 ADVICE).
+    edges_own = edges.storageLevel == StorageLevel.NONE
+    if edges_own:
+        edges = edges.persist()  # read twice while building ew
+    # persist the vertex relation too: it feeds the count, the self-loop
+    # rows, the semi-join build and the rank init — for TextRank the
+    # uncached form re-ran tokenize+explode+distinct per consumer
+    vertices_own = vertices.storageLevel == StorageLevel.NONE
+    if vertices_own:
+        vertices = vertices.persist()
     nv = vertices.count()  # gates the rank-vector broadcast (see top)
+    thr = int(
+        vertices.sparkSession.conf.get(
+            BCAST_VERTEX_ROWS_CONF, str(_BCAST_VERTEX_ROWS_DEFAULT)
+        )
+    )
+    # outdeg is vertex-bound — broadcast it under the same gate so the
+    # ew build never shuffles the edge relation (measured r14: the
+    # planned sort-merge join here cost ~1 s of the 5 s probe total)
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("outdeg"))
+    ew = (
+        edges.join(_gated_broadcast(outdeg, nv), "src")
+        .join(
+            _gated_broadcast(vertices.select(F.col("v").alias("dst")), nv),
+            "dst",
+            "left_semi",
+        )
+        .unionByName(
+            vertices.select(
+                F.col("v").alias("dst"),
+                F.col("v").alias("src"),
+                F.lit(0).cast("long").alias("w"),
+                F.lit(1).cast("long").alias("outdeg"),
+            ).select("src", "dst", "w", "outdeg")
+        )
+    )
+    if nv <= thr:
+        # broadcast regime: clustering the cache by dst makes each
+        # iteration a single stage (BHJ preserves it; the aggregation's
+        # ClusteredDistribution(dst) is already satisfied).  Above the
+        # gate the iteration join shuffles by src anyway — skip the
+        # extra full-edge exchange.
+        ew = ew.repartition(F.col("dst"))
+    ew = ew.persist()
+    ew.count()  # materialize ew, then the bare edge cache can go
+    if edges_own:
+        edges.unpersist()
     try:
         ranks = vertices.select(
             F.col("v"), F.lit(PR_SCALE).cast("long").alias("rq")
@@ -129,34 +190,23 @@ def pagerank(
         # blocks skip lineage recovery, acceptable for a 3-iteration model
         # build (rerun on executor loss).
         for _ in range(iters):
-            contrib = (
-                ew.join(_gated_broadcast(ranks, nv), ew["src"] == ranks["v"])
-                .select(
-                    F.col("dst"),
-                    F.floor(
-                        F.lit(damping)
-                        * F.col("rq").cast("double")
-                        * F.col("w")
-                        / F.col("outdeg")
-                    )
-                    .cast("long")
-                    .alias("c"),
-                )
-                .groupBy("dst")
-                .agg(F.sum("c").alias("csum"))
-            )
             ranks = (
-                vertices.join(
-                    _gated_broadcast(contrib, nv),
-                    vertices["v"] == contrib["dst"],
-                    "left",
-                )
-                .select(
-                    F.col("v"),
+                ew.join(_gated_broadcast(ranks, nv), ew["src"] == ranks["v"])
+                .groupBy("dst")
+                .agg(
                     (
-                        F.lit(base_q) + F.coalesce(F.col("csum"), F.lit(0))
-                    ).alias("rq"),
+                        F.lit(base_q)
+                        + F.sum(
+                            F.floor(
+                                F.lit(damping)
+                                * F.col("rq").cast("double")
+                                * F.col("w")
+                                / F.col("outdeg")
+                            ).cast("long")
+                        )
+                    ).alias("rq")
                 )
+                .select(F.col("dst").alias("v"), "rq")
                 .localCheckpoint(eager=True)
             )
         return ranks.select(
@@ -168,7 +218,8 @@ def pagerank(
         ).orderBy(F.desc("pagerank"), F.asc("v"))
     finally:
         ew.unpersist()
-        vertices.unpersist()
+        if vertices_own:
+            vertices.unpersist()
 
 
 def pagerank_cooccurrence_oracle_sql(

@@ -342,6 +342,19 @@ def _cell_rank_sql(vec_name: str, cents) -> str:
 ARROW_ASSIGN_ROWS_CONF = "spark.adtl.ann.arrowAssignRows"
 _ARROW_ASSIGN_ROWS_DEFAULT = 10_000
 
+# Companion BYTES gate (r14, VERDICT item 8): above this Catalyst
+# sizeInBytes estimate the Arrow branch is taken WITHOUT running the
+# row-count probe at all — at corpus scale the count() was itself a full
+# pass over the (possibly expensive, derived) upstream, pure overhead
+# for a decision the plan metadata already settles.  The row gate's
+# crossover is ~10k rows; 32 MB is comfortably above it for any
+# plausible embedding row width, and a misprediction only costs the
+# Python stage's fixed ~0.3-0.5 s (the branches are bit-identical, so
+# the gate is a pure performance decision).  Below the bytes gate the
+# precise measured row probe still decides.
+ARROW_ASSIGN_BYTES_CONF = "spark.adtl.ann.arrowAssignBytes"
+_ARROW_ASSIGN_BYTES_DEFAULT = 32 * 1024 * 1024
+
 
 def _ivf_cell_assign(rel: DataFrame, cents, vec_field: str = "cv") -> DataFrame:
     """Append the IVF cell id to ``rel`` (which must carry the vector in
@@ -352,22 +365,53 @@ def _ivf_cell_assign(rel: DataFrame, cents, vec_field: str = "cv") -> DataFrame:
     The two branches are BIT-IDENTICAL (exceptAll diff 0 at sf0.1 for 16
     and 32 centroids, vectors included) by _ivfpq_encode_arrow's
     argument: ``cents`` arrive in ascending cid order, so numpy's
-    first-position argmin over ``-dot/nrm`` (per-dimension left-to-right
-    float64 accumulation — the interpreted fold's IEEE sequence) equals
-    sort_array's (s ASC, cid ASC) head.  The vector and any passthrough
-    columns cross the Arrow boundary untouched; a float32 round-trip is
-    bitwise lossless because no arithmetic touches them.  The gate's
-    count() is one aggregate-only job over the (already pruned) input —
-    the same probe-then-pick trade as text.schedule_frontier's
-    auto-banding."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    first-position nanargmin over ``-dot/nrm`` (per-dimension
+    left-to-right float64 accumulation — the interpreted fold's IEEE
+    sequence) equals sort_array's (s ASC, cid ASC) head, including the
+    degenerate inputs (probed empirically against the expression form):
+    a NULL vector yields all-null scores, which ascending struct sort
+    puts first with the cid tiebreak -> lowest cid; an all-NaN score row
+    ties every struct -> lowest cid; a partial-NaN row sorts NaN as the
+    LARGEST double -> min non-NaN score, which is exactly nanargmin.
+    The vector and any passthrough columns cross the Arrow boundary
+    untouched; the numpy dtype follows the column's actual element type
+    (float round-trips through float32 bitwise-lossless; double input is
+    never narrowed).  Gate decision order (r14): a Catalyst sizeInBytes
+    above ARROW_ASSIGN_BYTES_CONF picks Arrow from plan metadata alone —
+    NO count job, the at-scale path; only below it does the precise
+    count() probe run (one aggregate-only job over the already pruned
+    input — the same probe-then-pick trade as text.schedule_frontier's
+    auto-banding, now bounded to small inputs)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
 
     thr = int(
         rel.sparkSession.conf.get(
             ARROW_ASSIGN_ROWS_CONF, str(_ARROW_ASSIGN_ROWS_DEFAULT)
         )
     )
-    if thr == 0 or rel.count() < thr:
+    if thr == 0:
+        ranked = _cell_rank_sql(vec_field, cents)
+        return rel.withColumn(
+            "cell", F.expr(f"element_at({ranked}, 1).cid")
+        )
+    bytes_thr = int(
+        rel.sparkSession.conf.get(
+            ARROW_ASSIGN_BYTES_CONF, str(_ARROW_ASSIGN_BYTES_DEFAULT)
+        )
+    )
+    est_bytes = int(
+        rel._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    # RDD-backed relations (createDataFrame, localCheckpoint) report
+    # spark.sql.defaultSizeInBytes = Long.MaxValue, i.e. UNKNOWN — fall
+    # back to the precise count probe rather than reading it as "huge"
+    size_known = est_bytes < (1 << 62)
+    if (est_bytes < bytes_thr or not size_known) and rel.count() < thr:
         ranked = _cell_rank_sql(vec_field, cents)
         return rel.withColumn(
             "cell", F.expr(f"element_at({ranked}, 1).cid")
@@ -376,6 +420,9 @@ def _ivf_cell_assign(rel: DataFrame, cents, vec_field: str = "cv") -> DataFrame:
     cent_ids = [int(cid) for cid, _, _ in cents]
     cent_vecs = [cvec for _, cvec, _ in cents]
     cent_nrms = [nrm for _, _, nrm in cents]
+    src_is_double = isinstance(
+        rel.schema[vec_field].dataType.elementType, DoubleType
+    )
     # copy the field list: StructType.add mutates in place, and rel.schema
     # hands back the DataFrame's cached schema object
     schema = StructType(
@@ -388,20 +435,33 @@ def _ivf_cell_assign(rel: DataFrame, cents, vec_field: str = "cv") -> DataFrame:
         CID = np.asarray(cent_ids, dtype=np.int64)
         CV = np.asarray(cent_vecs, dtype=np.float64)
         NRM = np.asarray(cent_nrms, dtype=np.float64)
+        src_dtype = np.float64 if src_is_double else np.float32
         for pdf in batches:
             pdf = pdf.copy()
             if not len(pdf):
                 pdf["cell"] = np.array([], dtype=np.int64)
                 yield pdf
                 continue
-            V = np.stack(
-                [np.asarray(x, dtype=np.float32) for x in pdf[vec_field]]
-            ).astype(np.float64)
-            dotc = np.zeros((len(pdf), len(CID)))
-            for t in range(V.shape[1]):
-                dotc += V[:, t, None] * CV[None, :, t]
-            s = (-dotc) / NRM[None, :]
-            pdf["cell"] = CID[np.argmin(s, axis=1)]
+            vals = pdf[vec_field]
+            null_mask = vals.isna().to_numpy()
+            cells = np.full(len(pdf), CID[0], dtype=np.int64)
+            if (~null_mask).any():
+                V = np.stack(
+                    [
+                        np.asarray(x, dtype=src_dtype)
+                        for x in vals[~null_mask]
+                    ]
+                ).astype(np.float64)
+                dotc = np.zeros((V.shape[0], len(CID)))
+                for t in range(V.shape[1]):
+                    dotc += V[:, t, None] * CV[None, :, t]
+                s = (-dotc) / NRM[None, :]
+                all_nan = np.isnan(s).all(axis=1)
+                idx = np.zeros(s.shape[0], dtype=np.int64)
+                if (~all_nan).any():
+                    idx[~all_nan] = np.nanargmin(s[~all_nan], axis=1)
+                cells[~null_mask] = CID[idx]
+            pdf["cell"] = cells
             yield pdf
 
     return rel.mapInPandas(assign, schema)

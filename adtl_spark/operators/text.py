@@ -74,13 +74,11 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic document quality in [0, 1]: length band, alpha ratio,
-    stopword presence, token repetition (distinct ratio).  The formula is
-    fixed and SQL-expressible; each component is also emitted for
-    inspection/filter pushdown."""
-    t = _tokenized(df, text_col)
-    text, toks = F.col("__text"), F.col("__toks")
+def _quality_cols(text: Column, toks: Column) -> dict[str, Column]:
+    """The quality_score output expressions over a (text, tokens) column
+    pair — factored out (r14) so the fused pipeline filter
+    (:func:`quality_repetition_keep`) applies the IDENTICAL formulas
+    without a join back; quality_score's plan is unchanged."""
     n = F.size(toks)
     n_alpha = F.regexp_count(text, F.lit(r"[A-Za-z]"))
     n_total = F.length(text)
@@ -98,13 +96,24 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.least(stop_ratio / 0.3, F.lit(1.0)) * 0.25
         + F.least(distinct_ratio / 0.5, F.lit(1.0)) * 0.25
     )
+    return {
+        "n_tokens": n.cast("long"),
+        "alpha_ratio": F.round(alpha_ratio, 4),
+        "stopword_ratio": F.round(stop_ratio, 4),
+        "distinct_ratio": F.round(distinct_ratio, 4),
+        "quality": F.round(score, 4),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document quality in [0, 1]: length band, alpha ratio,
+    stopword presence, token repetition (distinct ratio).  The formula is
+    fixed and SQL-expressible; each component is also emitted for
+    inspection/filter pushdown."""
+    t = _tokenized(df, text_col)
+    cols = _quality_cols(F.col("__text"), F.col("__toks"))
     return t.select(
-        F.col("doc_id"),
-        n.cast("long").alias("n_tokens"),
-        F.round(alpha_ratio, 4).alias("alpha_ratio"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(score, 4).alias("quality"),
+        F.col("doc_id"), *[v.alias(k) for k, v in cols.items()]
     )
 
 
@@ -312,26 +321,84 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles at any scale (each document is its own world).  Fractions are
     0.0 for documents too short to have the n-gram."""
     t = _tokenized(df, text_col)
-    lines = F.filter(F.split(F.col("__text"), r"\n"), lambda l: l != "")
     staged = t.select(
         "doc_id",
-        F.size(lines).alias("__nl"),
-        F.size(F.array_distinct(lines)).alias("__ndl"),
-        _ngrams(F.col("__toks"), 2).alias("__bg"),
-        _ngrams(F.col("__toks"), 3).alias("__tg"),
+        *[
+            v.alias(k)
+            for k, v in _repetition_staged(
+                F.col("__text"), F.col("__toks")
+            ).items()
+        ],
     )
-
-    def frac(top: Column, total: Column) -> Column:
-        return F.round(
-            F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0)), 4
-        )
-
     return staged.select(
         "doc_id",
-        frac(F.col("__nl") - F.col("__ndl"), F.col("__nl")).alias("dup_line_frac"),
-        frac(_max_multiplicity(F.col("__bg")), F.size("__bg")).alias("top_bigram_frac"),
-        frac(_max_multiplicity(F.col("__tg")), F.size("__tg")).alias("top_trigram_frac"),
+        _rep_frac(F.col("__nl") - F.col("__ndl"), F.col("__nl")).alias(
+            "dup_line_frac"
+        ),
+        _rep_frac(_max_multiplicity(F.col("__bg")), F.size("__bg")).alias(
+            "top_bigram_frac"
+        ),
+        _rep_frac(_max_multiplicity(F.col("__tg")), F.size("__tg")).alias(
+            "top_trigram_frac"
+        ),
     )
+
+
+def _repetition_staged(text: Column, toks: Column) -> dict[str, Column]:
+    """repetition_stats' staged intermediates over a (text, tokens) pair
+    — factored out (r14) for :func:`quality_repetition_keep`; the staged
+    projection keeps each n-gram array computed once."""
+    lines = F.filter(F.split(text, r"\n"), lambda l: l != "")
+    return {
+        "__nl": F.size(lines),
+        "__ndl": F.size(F.array_distinct(lines)),
+        "__bg": _ngrams(toks, 2),
+        "__tg": _ngrams(toks, 3),
+    }
+
+
+def _rep_frac(top: Column, total: Column) -> Column:
+    return F.round(
+        F.when(total > 0, top.cast("double") / total).otherwise(F.lit(0.0)), 4
+    )
+
+
+def quality_repetition_keep(
+    df: DataFrame,
+    quality_min: float,
+    top_bigram_max: float,
+    text_col: str = "text",
+) -> DataFrame:
+    """ONE-PASS corpus keep-filter: the rows of ``df`` whose
+    quality_score >= ``quality_min`` AND top_bigram_frac <=
+    ``top_bigram_max`` — all original columns, no join back.
+
+    This is the fused form of the pipeline stage
+    ``df JOIN quality_ids JOIN repetition_ids`` (r14 optimization round,
+    guide §1.2/§2.4): both scorers are narrow per-row expressions, so
+    filtering on them directly removes two joins and a second
+    tokenizer/regex pass over the corpus.  Equivalent to the join form
+    whenever doc ids are unique (the corpus PK — the join form would
+    duplicate rows otherwise, which no dedup pipeline wants).  The score
+    expressions are the operators' own builders (_quality_cols /
+    _repetition_staged), so the kept set is decided by bit-identical
+    arithmetic, rounding included."""
+    staged = df.select(
+        "*",
+        tokens(F.col(text_col)).alias("__toks"),
+    )
+    q = _quality_cols(F.col(text_col), F.col("__toks"))
+    rep = _repetition_staged(F.col(text_col), F.col("__toks"))
+    staged2 = staged.select(
+        "*", q["quality"].alias("__q"), rep["__bg"].alias("__bg")
+    )
+    return staged2.filter(
+        (F.col("__q") >= F.lit(quality_min))
+        & (
+            _rep_frac(_max_multiplicity(F.col("__bg")), F.size("__bg"))
+            <= F.lit(top_bigram_max)
+        )
+    ).select(*df.columns)
 
 
 def vocab_topk(df: DataFrame, k: int = 100, text_col: str = "text") -> DataFrame:

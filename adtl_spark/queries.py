@@ -2589,16 +2589,17 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the single-split local scan stage (measured: 35 s -> 9 s at
     sf0.1; see scan_parallel)."""
     docs = _t(spark, sf_dir, "documents", barrier=True)
-    good = X.quality_score(docs).filter(F.col("quality") >= QUALITY_MIN)
-    rep_ok = X.repetition_stats(docs).filter(F.col("top_bigram_frac") <= REPETITION_MAX)
-    # persisted: the filtered working corpus feeds pair generation, the
-    # anti-join and the stats stages — without it each consumer re-plans
-    # the quality scoring pass
-    kept = (
-        docs.join(good.select("doc_id"), "doc_id")
-        .join(rep_ok.select("doc_id"), "doc_id")
-        .persist()
-    )
+    # ONE fused scoring pass (r14): quality and repetition are narrow
+    # per-row expressions, so the old two-pass-plus-two-joins form
+    # (docs JOIN quality_ids JOIN repetition_ids) tokenized the corpus
+    # twice and paid two broadcast joins for what one filter decides —
+    # text.quality_repetition_keep applies the operators' own expression
+    # builders (identical arithmetic/rounding) directly.  Persisted: the
+    # filtered working corpus feeds pair generation, the anti-join and
+    # the stats stages.
+    kept = X.quality_repetition_keep(
+        docs, QUALITY_MIN, REPETITION_MAX
+    ).persist()
     pairs = D.dedup_minhash_lsh(
         kept,
         k=MINHASH_K,
@@ -2797,19 +2798,33 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the df-cap asymmetry (the LSH path has no cap), so precision is NOT
     claimed here, only recall against the capped truth."""
     docs = _t(spark, sf_dir, "documents")
-    truth = D.dedup_ngram_jaccard(
-        docs,
-        threshold=MINHASH_THRESHOLD,
-        n=SHINGLE_N,
-        max_doc_freq_frac=MAX_DF_FRAC,
-    ).select("id_a", "id_b", F.lit(1).alias("t"))
-    found = D.dedup_minhash_lsh(
-        docs,
-        k=MINHASH_K,
-        bands=MINHASH_BANDS,
-        threshold=MINHASH_THRESHOLD,
-        n=SHINGLE_N,
-    ).select("id_a", "id_b", F.lit(1).alias("f"))
+    # truth and found are INDEPENDENT eagerly-materialized pipelines
+    # (each ends in _materialize_and_release's localCheckpoint), so run
+    # them from two driver threads (r14, guide §2.6 — overlap
+    # independent jobs): the found side's tail back-fills executors the
+    # truth side leaves idle.  Results are checkpoint-backed and
+    # deterministic regardless of scheduling; job descriptions are
+    # thread-local, so the UI stays labeled.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_truth = pool.submit(
+            D.dedup_ngram_jaccard,
+            docs,
+            threshold=MINHASH_THRESHOLD,
+            n=SHINGLE_N,
+            max_doc_freq_frac=MAX_DF_FRAC,
+        )
+        f_found = pool.submit(
+            D.dedup_minhash_lsh,
+            docs,
+            k=MINHASH_K,
+            bands=MINHASH_BANDS,
+            threshold=MINHASH_THRESHOLD,
+            n=SHINGLE_N,
+        )
+        truth = f_truth.result().select("id_a", "id_b", F.lit(1).alias("t"))
+        found = f_found.result().select("id_a", "id_b", F.lit(1).alias("f"))
     j = truth.join(found, ["id_a", "id_b"], "full_outer")
     n_true = F.sum(F.coalesce(F.col("t"), F.lit(0)))
     n_hit = F.sum(
@@ -5034,12 +5049,53 @@ def multimodal_dhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     classed = docs.join(F.broadcast(classes), ["p", "v"]).select(
         F.col("doc_id").alias("media_id"), "cid", "dhash_hi", "dhash_lo"
     )
-    found = (
-        M.dhash_pairs(
-            classed.select("media_id", "dhash_hi", "dhash_lo"), max_hamming=8
+    # CONTRACTED found side (r14, the dedup_cluster §14 precedent —
+    # sanctioned by the r13 verdict with the bit-identity proof): the
+    # banding predicate AND the hamming are functions of the HASH PAIR
+    # alone, and this gate only consumes pair COUNTS per hamming, so the
+    # REAL dhash_pairs operator runs over the DISTINCT-hash relation
+    # (rep id = min media_id per hash, <= 18 rows here) and the counts
+    # expand by group sizes: a cross-hash rep pair stands for n_a*n_b
+    # doc pairs at its hamming; a same-hash group is a hamming-0 clique
+    # (all four blocks equal -> always banded) of C(n,2) pairs.  Output
+    # proven identical: exceptAll diff 0 vs the doc-level form at
+    # sf0.1/sf0.01 + the unchanged doc-level oracle.  Before: the band
+    # join exploded ~5000 docs over 18 hot hash values into ~1.4M
+    # doc-level candidates; after: <= C(18,2) rep candidates.
+    uh = (
+        classed.groupBy("dhash_hi", "dhash_lo")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("media_id").alias("media_id"),
         )
+        .localCheckpoint()
+    )
+    ph = M.dhash_pairs(
+        uh.select("media_id", "dhash_hi", "dhash_lo"), max_hamming=8
+    )
+    cross = (
+        ph.join(
+            F.broadcast(
+                uh.select(F.col("media_id").alias("id_a"), F.col("n").alias("n_a"))
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                uh.select(F.col("media_id").alias("id_b"), F.col("n").alias("n_b"))
+            ),
+            "id_b",
+        )
+        .select("hamming", (F.col("n_a") * F.col("n_b")).alias("n_pairs"))
+    )
+    same = uh.filter(F.col("n") > 1).select(
+        F.lit(0).alias("hamming"),
+        F.floor(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    found = (
+        cross.unionByName(same)
         .groupBy("hamming")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+        .agg(F.sum("n_pairs").cast("long").alias("n_hit"))
     )
     sizes = classed.groupBy("cid", "dhash_hi", "dhash_lo").agg(
         F.count(F.lit(1)).cast("long").alias("n")
