@@ -593,13 +593,19 @@ def bigram_logprob(
             .alias("w2"),
         )
     )
-    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
-    big = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt2"))
-        .orderBy(F.desc("cnt2"), F.asc("w1"), F.asc("w2"))
-        .limit(bigram_m)
+    # ctx and the top-M table both factor through the (K+1)^2-bounded
+    # pair-TYPE table (r14 — see kn_bigram_logprob for the argument):
+    # aggregating the raw stream separately per consumer re-executed
+    # the tokenize+explode pipeline once per broadcast build.
+    from adtl_spark.session import cut
+
+    bcounts = cut(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
     )
+    ctx = bcounts.groupBy("w1").agg(F.sum("cnt2").alias("ctx"))
+    big = bcounts.orderBy(
+        F.desc("cnt2"), F.asc("w1"), F.asc("w2")
+    ).limit(bigram_m)
     total = uni.agg(F.max("total").alias("total"))
 
     p_pair = F.when(
@@ -843,22 +849,34 @@ def kn_bigram_logprob(
             .alias("w2"),
         )
     )
-    # c(w1 .) and the distinct-successor type count N1+(w1 .): one pass
-    ctx = pairs.groupBy("w1").agg(
-        F.count(F.lit(1)).alias("ctx"),
-        F.countDistinct("w2").alias("n1f"),
+    # EVERY model statistic factors through the pair-TYPE table
+    # (r14, guide §1.2/§2.4): the alphabet is K+1 symbols after the
+    # vocab collapse, so groupBy(w1, w2) has at most (K+1)^2 rows — and
+    # c(w1.), N1+(w1.), N1+(.w2), N1+(..) and the top-M scoring table
+    # are all tiny aggregates OF that table.  The old form aggregated
+    # the raw pair STREAM four separate times, and since each consumer
+    # is a broadcast build, each build re-executed the whole
+    # tokenize+explode+vocab-join pipeline — four extra corpus passes
+    # for statistics derivable from <= 441 rows.  One eager cut on the
+    # type table; the raw stream is now scanned exactly twice (type
+    # counts + the per-doc scoring pass).  Counts are exact integers
+    # either way; the oracle is unchanged and stays bit-identical.
+    from adtl_spark.session import cut
+
+    bcounts = cut(
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt2"))
+    )
+    # c(w1 .) = sum of pair counts; N1+(w1 .) = pair-type rows per w1
+    ctx = bcounts.groupBy("w1").agg(
+        F.sum("cnt2").alias("ctx"),
+        F.count(F.lit(1)).alias("n1f"),
     )
     # continuation distribution: distinct-predecessor types per w2
-    cont = pairs.groupBy("w2").agg(F.countDistinct("w1").alias("n1b"))
-    ntypes = pairs.select("w1", "w2").distinct().agg(
-        F.count(F.lit(1)).alias("ntypes")
-    )
-    big = (
-        pairs.groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("cnt2"))
-        .orderBy(F.desc("cnt2"), F.asc("w1"), F.asc("w2"))
-        .limit(bigram_m)
-    )
+    cont = bcounts.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    ntypes = bcounts.agg(F.count(F.lit(1)).alias("ntypes"))
+    big = bcounts.orderBy(
+        F.desc("cnt2"), F.asc("w1"), F.asc("w2")
+    ).limit(bigram_m)
 
     d = float(discount)
     p_kn = F.when(

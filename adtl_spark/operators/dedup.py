@@ -70,8 +70,14 @@ def _materialize_and_release(result: DataFrame, caches: list[DataFrame]) -> Data
     queries in a long-lived session; but the caches can only be released
     once nothing will recompute through them.  The result of every dedup
     operator is a pair/canonical list orders of magnitude smaller than the
-    corpus, so materializing it is cheap at any scale."""
-    out = result.localCheckpoint()
+    corpus, so materializing it is cheap at any scale.
+
+    The cut is session.cut: executor-local checkpoint by default,
+    reliable checkpoint under spark.adtl.reliableCheckpoint (r14) —
+    local blocks are NOT fault-tolerant, see session.RELIABLE_CKPT_CONF."""
+    from adtl_spark.session import cut
+
+    out = cut(result)
     for c in caches:
         c.unpersist()
     return out
@@ -953,9 +959,11 @@ def cluster_pairs(
             return df.checkpoint()
 
     else:
-
-        def cut(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint()
+        # session.cut: localCheckpoint by default, reliable checkpoint
+        # under spark.adtl.reliableCheckpoint (r14) — same switch the
+        # explicit checkpoint_dir parameter has always offered, now
+        # reachable session-wide without threading the parameter
+        from adtl_spark.session import cut
 
     # checkpointed: every iteration joins against edges — without cutting
     # lineage here each round would re-execute the whole upstream

@@ -33,6 +33,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from adtl_spark.session import cut as _cut
+
 PR_SCALE = 1_000_000_000
 
 # Size gate for broadcasting vertex-sized relations inside iterative
@@ -207,8 +209,8 @@ def pagerank(
                     ).alias("rq")
                 )
                 .select(F.col("dst").alias("v"), "rq")
-                .localCheckpoint(eager=True)
             )
+            ranks = _cut(ranks)
         return ranks.select(
             F.col("v"),
             (
@@ -339,15 +341,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     try:
         # one row; the eager checkpoint cuts the result off the caches so
         # they can be released before returning (pagerank's pattern)
-        return (
+        out = (
             wedges.select(
                 F.least(F.col("a"), F.col("b")).alias("a2"),
                 F.greatest(F.col("a"), F.col("b")).alias("b2"),
             )
             .join(closing, ["a2", "b2"])
             .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-            .localCheckpoint()
         )
+        return _cut(out)
     finally:
         o.unpersist()
         und.unpersist()
@@ -477,7 +479,7 @@ def label_propagation(
                 )
                 .select(F.col("dst").alias("v"), F.col("lab"))
             )
-        labels = labels.localCheckpoint(eager=True)
+        labels = _cut(labels)
         return labels.select(
             "v", F.col("lab").alias("community")
         ).orderBy("community", "v")
@@ -609,7 +611,7 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.countDistinct("community").cast("long").alias("n_communities")
     )
     try:
-        return (
+        out = (
             n_comm.crossJoin(w_tot)
             .crossJoin(num)
             .select(
@@ -630,8 +632,8 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
                 .otherwise(F.lit(0.0))
                 .alias("modularity"),
             )
-            .localCheckpoint(eager=True)
         )
+        return _cut(out)
     finally:
         edges.unpersist()
 

@@ -619,7 +619,21 @@ def _encode_ac_refine(zz: np.ndarray, ss: int, se: int, al: int,
 
 class _BitReader:
     """MSB-first reader over the entropy-coded segment, unstuffing
-    0xFF00 and stopping at markers (which the caller handles)."""
+    0xFF00 and stopping at markers (which the caller handles).
+
+    r14 rewrite (guide §4.2 — the per-task inner loop IS the cost):
+    the old reader accumulated every consumed byte forever
+    (``acc = (acc << 8) | b`` with no trim), so ``acc`` became an
+    unbounded Python bigint and every ``read_bit`` paid a shift of the
+    WHOLE history — an O(n^2) decode measured at 6.0 s of a 6.6 s
+    single-payload baseline decode (661k read_bit calls at ~9 us each).
+    The accumulator is now trimmed to its live bits (always < 32), bits
+    are pulled in bulk (``receive``/``peek16`` instead of n read_bit
+    calls), and marker handling is DEFERRED exactly as the lazy reader
+    did it: filling stops AT a marker without consuming it, and the
+    restart/error raise happens only when a bit past the boundary is
+    actually demanded — identical external semantics, byte-identical
+    decodes (pinned by the existing roundtrip/differential tests)."""
 
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
@@ -627,34 +641,60 @@ class _BitReader:
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+    def _fill_to(self, want: int) -> int:
+        """Buffer bytes until ``want`` bits are available or a marker
+        blocks; never consumes a marker.  Returns the available bits."""
+        data, pos = self.data, self.pos
+        acc, nbits = self.acc & ((1 << self.nbits) - 1), self.nbits
+        while nbits < want:
+            b = data[pos]
+            if b == 0xFF:
+                nxt = data[pos + 1]
+                if nxt != 0x00:
+                    break  # marker: stop buffering, leave pos on the FF
+                pos += 2
             else:
-                raise ValueError(
-                    f"marker 0xFF{nxt:02X} inside entropy data"
-                )
-        else:
-            self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.data, self.pos = data, pos
+        self.acc, self.nbits = acc, nbits
+        return nbits
+
+    def _marker_stop(self):
+        """Reproduce the lazy reader's raise for a demanded bit that
+        sits past the marker now blocking the fill."""
+        nxt = self.data[self.pos + 1]
+        if 0xD0 <= nxt <= 0xD7:
+            raise _RestartMarker(nxt)
+        raise ValueError(f"marker 0xFF{nxt:02X} inside entropy data")
 
     def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
+        if self.nbits == 0 and self._fill_to(1) == 0:
+            self._marker_stop()
         self.nbits -= 1
         return (self.acc >> self.nbits) & 1
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
+        if n == 0:
+            return 0
+        if self.nbits < n and self._fill_to(n) < n:
+            self._marker_stop()
+        self.nbits -= n
+        return (self.acc >> self.nbits) & ((1 << n) - 1)
+
+    def peek16(self) -> tuple[int, int]:
+        """(next 16 bits MSB-first zero-padded, bits actually available)
+        — the Huffman fast path; never consumes."""
+        n = self.nbits
+        if n < 16:
+            n = self._fill_to(16)
+        if n >= 16:
+            return (self.acc >> (n - 16)) & 0xFFFF, 16
+        return (self.acc << (16 - n)) & 0xFFFF, n
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
 
     def align_to_marker(self) -> None:
         self.acc = 0
@@ -669,28 +709,61 @@ class _RestartMarker(Exception):
 
 
 class _HuffTree:
-    """Canonical-code decoder: (length, code) -> symbol lookups built
-    straight from a DHT segment's bits/vals."""
+    """Canonical-code decoder: a flat 16-bit-peek table built straight
+    from a DHT segment's bits/vals (r14 — one table lookup + one skip
+    per symbol instead of up to 16 read_bit calls; prefix-freeness
+    makes the zero-padded peek safe: a matched code of length L <=
+    available-bits used only real bits).  Entries pack
+    ``(length << 8) | symbol``; 0 marks an invalid prefix."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.lookup: dict[tuple[int, int], int] = {}
+        # first level: 8-bit peek table — 256 writes keeps the build
+        # cheap enough for the tiny-payload gates (a flat 16-bit table
+        # measured 0.44 ms/build, the TOP cost at 12x10-px images);
+        # codes longer than 8 bits (rare in practice) fall back to the
+        # canonical (length, code) dict
+        tbl8 = [0] * 256
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 self.lookup[(length, code)] = vals[k]
+                if length <= 8:
+                    lo = code << (8 - length)
+                    tbl8[lo : lo + (1 << (8 - length))] = [
+                        (length << 8) | vals[k]
+                    ] * (1 << (8 - length))
                 code += 1
                 k += 1
             code <<= 1
+        self.tbl8 = tbl8
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            sym = self.lookup.get((length, code))
+        peek, avail = br.peek16()
+        entry = self.tbl8[peek >> 8]
+        length = entry >> 8
+        if length:
+            if length > avail:
+                br._marker_stop()
+            br.skip(length)
+            return entry & 0xFF
+        # no code of length <= 8 prefixes this peek: walk the long
+        # lengths against the canonical dict
+        lookup = self.lookup
+        for length in range(9, 17):
+            sym = lookup.get((length, peek >> (16 - length)))
             if sym is not None:
+                if length > avail:
+                    br._marker_stop()
+                br.skip(length)
                 return sym
-        raise ValueError("invalid Huffman code in entropy data")
+        # nothing matched: with >= 16 real bits that is corrupt entropy
+        # data; with fewer, the stream ended at a marker mid-code (the
+        # lazy reader raised from read_bit)
+        if avail >= 16:
+            raise ValueError("invalid Huffman code in entropy data")
+        br._marker_stop()
 
 
 def _extend(v: int, size: int) -> int:

@@ -87,8 +87,13 @@ def _ckpt_order(df: DataFrame, *cols) -> DataFrame:
     subtree smell).  ``localCheckpoint`` computes the pipeline once and
     lets both the sampling and the sort read the materialized blocks.
     Gate-output shaped only: the checkpointed relation is the per-doc
-    feature table (rows ~ documents), never payload-sized."""
-    return df.localCheckpoint().orderBy(*cols)
+    feature table (rows ~ documents), never payload-sized.  Cut via
+    session.cut: reliable checkpoint under
+    spark.adtl.reliableCheckpoint (r14 — local blocks are not
+    fault-tolerant on a real cluster)."""
+    from adtl_spark.session import cut as _cut
+
+    return _cut(df).orderBy(*cols)
 
 
 def _dec_sum(col, alias: str):

@@ -105,6 +105,32 @@ def scan_parallel(df, factor: int = 2, by=None, barrier: bool = False):
     return df
 
 
+# Lineage-cut strategy for the engine's materialization points (r14,
+# VERDICT "what's wrong" #5 / guide §5).  Default "false" keeps
+# localCheckpoint: blocks live on EXECUTORS ONLY — fastest, but NOT
+# fault-tolerant; on a real cluster one lost executor makes every
+# truncated lineage unrecoverable and fails the job.  That is acceptable
+# for local mode and rerun-on-loss batch jobs, NOT for multi-hour 100 TB
+# runs: set spark.adtl.reliableCheckpoint=true AND give the context a
+# durable checkpoint dir (spark.sparkContext.setCheckpointDir on
+# HDFS/object store) and every cut point — _materialize_and_release,
+# _ckpt_order, the iterative-loop checkpoints — switches to reliable
+# checkpoint(): each cut survives executor loss.
+RELIABLE_CKPT_CONF = "spark.adtl.reliableCheckpoint"
+
+
+def cut(df):
+    """Cut ``df``'s lineage eagerly: ``localCheckpoint()`` by default,
+    reliable ``checkpoint()`` when RELIABLE_CKPT_CONF is true (see the
+    conf comment above for the fault-tolerance trade)."""
+    if (
+        df.sparkSession.conf.get(RELIABLE_CKPT_CONF, "false").lower()
+        == "true"
+    ):
+        return df.checkpoint()
+    return df.localCheckpoint()
+
+
 def configure_for_engine(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine semantics to an externally-owned session.
 
